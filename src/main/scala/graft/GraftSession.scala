@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory for the graft engine: a SparkSession with the engine's
+ * functions installed and scale-appropriate defaults.
+ *
+ * Defaults are chosen for the local[32] test harness but mirror what a
+ * 1000-executor deployment would set: AQE on (runtime re-plan, skew-join
+ * handling), shuffle partitions sized to the cluster rather than the 200
+ * default, zstd parquet (one-time compression, mirroring the reference's
+ * compress-once contract, `/root/reference/internal/producing/coalescer.go:175-198`).
+ */
+object GraftSession {
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      : SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(graft.functions.GraftFunctions.install)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  }
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Ensure graft functions exist on a session we did not build (the driver's
+    * Verify/Bench sessions): idempotent SQL-level registration. */
+  def ensureFunctions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `murmur3_h1(string|binary) -> long` — the reference partitioner hash
+ * (`/root/reference/internal/types/murmur.go:37`, SURVEY.md §2 Table B
+ * "scalar functions"). Codegen'd: stays inside whole-stage codegen so hashing
+ * 100 TB of keys never leaves the generated loop.
+ */
+case class Murmur3H1(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "murmur3_h1"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"murmur3_h1 requires string or binary input, got ${other.catalogString}")
+    }
+
+  private val isString = child.dataType.isInstanceOf[StringType]
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => Murmur3.hashUtf8(s)
+    case b: Array[Byte] => Murmur3.hash(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isString) defineCodeGen(ctx, ev, c => s"graft.functions.Murmur3.hashUtf8($c)")
+    else defineCodeGen(ctx, ev, c => s"graft.functions.Murmur3.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Murmur3H1 = copy(child = c)
+}
+
+/**
+ * `polar_partition(token, clusterSize, rangesPerToken) -> int` — flattened
+ * `(brokerIndex, rangeIndex)` owning a token; the placement function of the
+ * reference (`/root/reference/internal/types/token.go:49-66`,
+ * `internal/discovery/discoverer.go:343-368`). A shuffle on this value is the
+ * reference's leader routing (SURVEY.md §2 A3).
+ */
+case class PolarPartition(child: Expression, clusterSize: Int, rangesPerToken: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "polar_partition"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"polar_partition requires a long token, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenMath.partitionForToken(v.asInstanceOf[Long], clusterSize, rangesPerToken)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenMath.partitionForToken($c, $clusterSize, $rangesPerToken)")
+
+  override protected def withNewChildInternal(c: Expression): PolarPartition = copy(child = c)
+}
+
+/** Registration + Column-level API for the graft engine's native functions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftshims.GraftShims
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "murmur3_h1" -> ((args: Seq[Expression]) => Murmur3H1(args.head)),
+    "polar_partition" -> ((args: Seq[Expression]) => {
+      def intArg(e: Expression): Int =
+        e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+      PolarPartition(args.head, intArg(args(1)), intArg(args(2)))
+    }))
+
+  /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
+  def install(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), b))
+    }
+
+  /** SQL-name registration on an already-built session (driver's Verify /
+    * Bench sessions). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftShims.registerFunction(spark, name, new ExpressionInfo(getClass.getName, name), b)
+    }
+
+  /** Token of a partition key (Cassandra murmur3 x64 H1). */
+  def murmur3_h1(c: Column): Column = GraftShims.column(Murmur3H1(GraftShims.expression(c)))
+
+  /** Flat partition id `brokerIndex * rangesPerToken + rangeIndex` of a token. */
+  def polar_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
+    GraftShims.column(PolarPartition(GraftShims.expression(token), clusterSize, rangesPerToken))
+}

@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graftshims
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Minimal bridge to two `private[sql]` seams that every Spark extension
+ * library needs: wrapping a Catalyst Expression as a Column, and registering
+ * native (non-UDF, codegen-capable) functions on an already-built session.
+ * Same approach as spark-packages (e.g. sedona, delta) use; no Spark
+ * internals are modified.
+ */
+object GraftShims {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: ExpressionInfo,
+      builder: FunctionBuilder): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+  }
+}
