@@ -1,0 +1,485 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The relational capability surface (SURVEY.md §2 Table B): everything the
+ * reference gets "for free" once its log is a DataFrame — filters,
+ * projections, joins of every flavor, aggregations, windows, sorts/limits,
+ * set ops, grouping sets, scalar functions, JSON extraction.
+ *
+ * All plans are declared via the DataFrame API so Catalyst handles pushdown,
+ * pruning, join strategy and AQE; broadcast hints are placed only where a
+ * dimension table is provably small (nation/region/customer-scale), which is
+ * exactly what survives a 1000-executor 100 TB deployment.
+ */
+object RelationalQueries extends QueryRegistry {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q1_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+              * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "q6_agg_filter",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""")),
+
+    QueryDef(
+      "q2_filter_project",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS net_price,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        FROM lineitem
+        WHERE l_quantity >= 45 AND l_returnflag = 'R'""")),
+
+    // ---- joins ------------------------------------------------------------
+
+    QueryDef(
+      "q3_join_topk",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, order_day
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    QueryDef(
+      "q5_multi_join",
+      (s, dir) => {
+        val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, dir)
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val sup = Tables.supplier(s, dir)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey") &&
+            sup("s_nationkey") === cust("c_nationkey"))
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    QueryDef(
+      "q_semi_join",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        GROUP BY c_mktsegment""")),
+
+    QueryDef(
+      "q_anti_join",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val bigOrd = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+        cust.join(bigOrd, cust("c_custkey") === bigOrd("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 250000)""")),
+
+    QueryDef(
+      "q_outer_join",
+      (s, dir) => {
+        val nation = Tables.nation(s, dir)
+        val sup = Tables.supplier(s, dir)
+        nation.join(sup, nation("n_nationkey") === sup("s_nationkey"), "left_outer")
+          .groupBy(col("n_name"))
+          .agg(count(col("s_suppkey")).as("n_suppliers"),
+            coalesce(sum(dec(col("s_acctbal"))).cast("double"), lit(0.0)).as("total_bal"))
+      },
+      Some("""
+        SELECT n_name, COUNT(s_suppkey) AS n_suppliers,
+               COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal
+        FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        GROUP BY n_name""")),
+
+    QueryDef(
+      "q_cross_join",
+      (s, dir) => {
+        val region = Tables.region(s, dir)
+        val nation = Tables.nation(s, dir)
+        region.crossJoin(nation)
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""
+        SELECT r_name, COUNT(*) AS n_pairs
+        FROM region CROSS JOIN nation
+        GROUP BY r_name""")),
+
+    // ---- windows ----------------------------------------------------------
+
+    QueryDef(
+      "q_window_rank",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) t
+        WHERE rk <= 3""")),
+
+    QueryDef(
+      "q_window_running",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(col("l_suppkey") <= 10)
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_qty
+        FROM lineitem WHERE l_suppkey <= 10""")),
+
+    QueryDef(
+      "q_window_lag",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id") <= 5)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               value - LAG(value, 1) OVER (PARTITION BY user_id
+                                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS delta
+        FROM events WHERE user_id <= 5""")),
+
+    // ---- sorts / limits / distinct / set ops ------------------------------
+
+    QueryDef(
+      "q_sort_limit",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .limit(20)
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20""")),
+
+    QueryDef(
+      "q_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    QueryDef(
+      "q_intersect",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey").as("custkey"))
+        val b = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+        a.intersect(b)
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders""")),
+
+    QueryDef(
+      "q_except",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+        val b = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("custkey"))
+        a.except(b)
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000""")),
+
+    QueryDef(
+      "q_union_agg",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val hi = ord.filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey"), lit("high").as("bucket"))
+        val lo = ord.filter(col("o_totalprice") < 10000)
+          .select(col("o_custkey"), lit("low").as("bucket"))
+        hi.unionAll(lo).groupBy(col("bucket")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+      },
+      Some("""
+        SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+        FROM (
+          SELECT o_custkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+          UNION ALL
+          SELECT o_custkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+        ) t GROUP BY bucket""")),
+
+    // ---- grouping sets / having / conditional agg -------------------------
+
+    QueryDef(
+      "q_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    QueryDef(
+      "q_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    QueryDef(
+      "q_having",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+        .filter(col("n_orders") >= 3),
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3""")),
+
+    QueryDef(
+      "q_case_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") > 50, 1).otherwise(0)).as("n_big"),
+          sum(when(col("user_id") % 2 === 0, dec(col("value"))).otherwise(lit(0)))
+            .cast("double").as("even_user_value")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_big,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS even_user_value
+        FROM events
+        GROUP BY event_type""")),
+
+    QueryDef(
+      "q_count_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- scalar functions / json / subqueries -----------------------------
+
+    QueryDef(
+      "q_scalar_funcs",
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+          abs(col("p_size") - lit(25)).as("size_dist"),
+          round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+          (col("p_partkey") % 7).as("pk_mod")),
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LENGTH(p_name) AS name_len,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               CONCAT_WS('#', p_brand, p_type) AS brand_type,
+               ABS(p_size - 25) AS size_dist,
+               ROUND(p_retailprice * 1.1, 2) AS marked_up,
+               p_partkey % 7 AS pk_mod
+        FROM part WHERE p_partkey <= 200""")),
+
+    QueryDef(
+      "q_date_funcs",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total")),
+      Some("""
+        SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+               EXTRACT(month FROM o_orderdate) AS order_month,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY order_year, order_month""")),
+
+    QueryDef(
+      "q_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") > 90),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90""")),
+
+    QueryDef(
+      "q_scalar_subquery",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val stats = ord.agg(
+          (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+        ord.crossJoin(broadcast(stats))
+          .filter(col("o_totalprice") > col("avg_price") * 1.8)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders)""")),
+
+    QueryDef(
+      "q_in_subquery",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val bigParts = Tables.part(s, dir).filter(col("p_size") >= 40)
+          .select(col("p_partkey"))
+        li.join(broadcast(bigParts), li("l_partkey") === bigParts("p_partkey"), "left_semi")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)"""))
+  )
+}
