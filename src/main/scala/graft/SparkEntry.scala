@@ -8,7 +8,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    PolarLogQueries)
 
   private lazy val defs: Seq[QueryDef] = registries.flatMap(_.all)
 

@@ -28,7 +28,7 @@ case class Murmur3H1(child: Expression) extends UnaryExpression {
           s"murmur3_h1 requires string or binary input, got ${other.catalogString}")
     }
 
-  private val isString = child.dataType.isInstanceOf[StringType]
+  private def isString = child.dataType.isInstanceOf[StringType]
 
   override def nullSafeEval(v: Any): Any = v match {
     case s: UTF8String => Murmur3.hashUtf8(s)

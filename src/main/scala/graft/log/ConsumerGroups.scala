@@ -1,0 +1,111 @@
+package graft.log
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/**
+ * Consumer-group offset state for the batch consume path — the Spark
+ * rendition of the reference's offset commit store
+ * (`/root/reference/internal/consuming/offset_state.go:28-137,456-490`):
+ * per (group, topic), the next offset to read per partition, persisted as an
+ * atomically-renamed JSON document under `{topic}/_groups/{group}.json`
+ * (replacing SQLite + gossip — the driver/shared storage is the single
+ * authority).
+ *
+ * Reset policies mirror `onNewGroup` (`internal/types/models_offset.go:94-111`):
+ *  - `Earliest`: a brand-new group starts at offset 0 everywhere;
+ *  - `Latest`: a brand-new group starts at the current producer tails (only
+ *    records produced after registration are seen).
+ *
+ * Delivery contract: [[poll]] returns records in `[committed, tail)` and
+ * only [[commit]] advances the committed state — uncommitted polls re-serve
+ * the same records (at-least-once redelivery, the origin-rewind semantics of
+ * `internal/data/segment_reader.go:115-135`). `goodbye` = commit + forget,
+ * like `POST /v1/consumer/goodbye` (`internal/consuming/server.go:448-488`).
+ */
+object ConsumerGroups {
+
+  sealed trait ResetPolicy
+  case object Earliest extends ResetPolicy
+  case object Latest extends ResetPolicy
+
+  final case class Poll(records: DataFrame, nextOffsets: Map[Int, Long])
+
+  private def groupPath(cfg: TopicConfig, group: String): Path =
+    new Path(s"${cfg.groupsDir}/$group.json")
+
+  def committed(cfg: TopicConfig, group: String): Option[Map[Int, Long]] = {
+    val path = groupPath(cfg, group)
+    val fc = FileContext.getFileContext(path.toUri, new org.apache.hadoop.conf.Configuration())
+    if (!fc.util().exists(path)) return None
+    val in = fc.open(path)
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      Some(parseOffsets(new String(bytes, StandardCharsets.UTF_8)))
+    } finally in.close()
+  }
+
+  def commit(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit = {
+    val path = groupPath(cfg, group)
+    val tmp = new Path(path.toString + ".tmp")
+    val fc = FileContext.getFileContext(path.toUri, new org.apache.hadoop.conf.Configuration())
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(render(nextOffsets).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, path, Options.Rename.OVERWRITE)
+  }
+
+  /** Starting offsets for a group: committed state, or the reset policy's
+    * defaults for a new group. */
+  def startingOffsets(
+      cfg: TopicConfig, group: String, policy: ResetPolicy): Map[Int, Long] =
+    committed(cfg, group).getOrElse(policy match {
+      case Earliest => (0 until cfg.numPartitions).map(_ -> 0L).toMap
+      case Latest => PolarLog.tails(cfg)
+    })
+
+  /** One consume round: everything from the group's position to the current
+    * tails. Does NOT commit — call [[commit]] with `nextOffsets` after the
+    * batch is safely processed (manual commit), or use [[pollAndCommit]]. */
+  def poll(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      group: String,
+      policy: ResetPolicy = Latest): Poll = {
+    val start = startingOffsets(cfg, group, policy)
+    val end = PolarLog.tails(cfg)
+    val records = PolarLog.consume(spark, cfg, startOffsets = start, endOffsets = end)
+    Poll(records, end)
+  }
+
+  /** Auto-commit analog (`internal/conf/config.go:264-266`'s 5 s auto-commit
+    * collapsed to commit-on-successful-poll for the batch path). */
+  def pollAndCommit(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      group: String,
+      policy: ResetPolicy = Latest): DataFrame = {
+    val p = poll(spark, cfg, group, policy)
+    // materialization boundary: only commit after the batch is consumed
+    p.records.cache().count()
+    commit(cfg, group, p.nextOffsets)
+    p.records
+  }
+
+  /** Commit + unregister. */
+  def goodbye(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit = {
+    commit(cfg, group, nextOffsets)
+  }
+
+  private[log] def render(offsets: Map[Int, Long]): String =
+    offsets.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString("{\"offsets\":{", ",", "}}")
+
+  private[log] def parseOffsets(s: String): Map[Int, Long] =
+    """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+}

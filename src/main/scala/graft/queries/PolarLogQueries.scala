@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.log.{ConsumerGroups, PolarLog, TopicConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * The event-log plane exercised end-to-end through the correctness gate:
+ * each query produces the `events` table into a fresh polar topic (murmur3
+ * placement, dense offsets), consumes it back, and emits an aggregate that a
+ * DuckDB oracle can compute from `events` directly — so the oracle checks
+ * the produce→consume round trip for loss, duplication and ordering, without
+ * needing to reproduce the placement hash (SURVEY.md §2 A1–A21 semantics).
+ */
+object PolarLogQueries extends QueryRegistry {
+
+  /** Produce events into a throwaway topic and return the consumed log. */
+  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_polar_q").toString
+    val cfg = TopicConfig(root, "events")
+    val records = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("partitionKey"),
+      col("ts").as("timestamp"),
+      to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"))
+    PolarLog.produce(records, cfg, orderBy = Seq(col("timestamp"), col("value")))
+    PolarLog.consume(s, cfg)
+  }
+
+  override def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "polar_roundtrip",
+      (s, dir) => roundtrip(s, dir)
+        .groupBy(col("partitionKey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(get_json_object(col("value").cast("string"), "$.event_id"))
+            .as("n_events")),
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_events
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
+      "polar_order_invariant",
+      (s, dir) => {
+        // within every partition, offset order must equal event-time order
+        // (the per-key total order guarantee, FIXTURES.md §5.1)
+        val w = Window.partitionBy(col("part")).orderBy(col("offset"))
+        roundtrip(s, dir)
+          .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+          .withColumn("ok", col("prev_ts").isNull || col("prev_ts") <= col("timestamp"))
+          .groupBy(col("partitionKey"))
+          .agg(count(lit(1)).as("n"), min(col("ok")).as("ordered"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n, TRUE AS ordered
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
+      "polar_offsets_dense",
+      (s, dir) => {
+        // offsets dense from 0 per partition <=> sum over partitions of
+        // (max offset + 1) equals the total record count
+        roundtrip(s, dir)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("span"))
+          .agg(sum(col("n")).as("n_records"), sum(col("span")).as("offset_span"))
+      },
+      Some("SELECT COUNT(*) AS n_records, COUNT(*) AS offset_span FROM events")),
+
+    QueryDef(
+      "polar_consumer_groups",
+      (s, dir) => {
+        // register earliest-group, poll all, commit, produce nothing more,
+        // poll again -> empty; emit the committed read counts per partition key
+        val root = Files.createTempDirectory("graft_polar_g").toString
+        val cfg = TopicConfig(root, "events")
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(records, cfg)
+        val p1 = ConsumerGroups.poll(s, cfg, "gate", ConsumerGroups.Earliest)
+        val read1 = p1.records.count()
+        ConsumerGroups.commit(cfg, "gate", p1.nextOffsets)
+        val read2 = ConsumerGroups.poll(s, cfg, "gate").records.count()
+        s.createDataFrame(Seq((read1, read2))).toDF("first_poll", "after_commit")
+      },
+      Some("SELECT COUNT(*) AS first_poll, CAST(0 AS BIGINT) AS after_commit FROM events")),
+
+    QueryDef(
+      "polar_ndjson_ingest",
+      (s, dir) => {
+        // one NDJSON body per user (lines = that user's props, produce order),
+        // split into one record per line by the ingestion path
+        val root = Files.createTempDirectory("graft_polar_n").toString
+        val cfg = TopicConfig(root, "ndjson")
+        val bodies = Tables.events(s, dir)
+          .groupBy(col("user_id").cast("string").as("partitionKey"))
+          .agg(concat_ws("\n", collect_list(col("props"))).as("body"))
+        PolarLog.ingestNdjson(bodies, cfg)
+        PolarLog.consume(s, cfg).agg(count(lit(1)).as("n_records"))
+      },
+      Some("SELECT COUNT(*) AS n_records FROM events")))
+}

@@ -1,0 +1,184 @@
+package graft.log
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Produce→consume round-trips over the real testdata, asserting the
+  * FIXTURES.md §5 invariant checklist. */
+class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_log_spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def eventsAsRecords = graft.Tables.events(spark, sfDir)
+    .select(col("user_id").cast("string").as("partitionKey"),
+      col("ts").as("timestamp"),
+      to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"),
+      col("event_id"))
+
+  test("produce assigns dense offsets per partition from 0") {
+    val cfg = TopicConfig(root, "t_dense")
+    val res = PolarLog.produce(eventsAsRecords.drop("event_id"), cfg,
+      orderBy = Seq(col("timestamp"), col("value")))
+    assert(res.recordsWritten === 1000)
+    val log = PolarLog.consume(spark, cfg)
+    val perPart = log.groupBy("part")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
+        countDistinct("offset").as("distinct_offsets"))
+      .collect()
+    perPart.foreach { r =>
+      assert(r.getAs[Long]("lo") === 0L, s"partition ${r.get(0)} must start at 0")
+      assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1)
+      assert(r.getAs[Long]("distinct_offsets") === r.getAs[Long]("n"))
+    }
+    assert(perPart.map(_.getAs[Long]("n")).sum === 1000)
+  }
+
+  test("same key always lands in the same partition; placement matches kernel") {
+    val cfg = TopicConfig(root, "t_placement")
+    PolarLog.produce(eventsAsRecords.drop("event_id"), cfg)
+    val byKey = PolarLog.consume(spark, cfg)
+      .groupBy("partitionKey").agg(countDistinct("part").as("nparts")).collect()
+    byKey.foreach(r => assert(r.getAs[Long]("nparts") === 1L))
+    // spot-check against driver-side kernel math
+    val sample = PolarLog.consume(spark, cfg)
+      .select("partitionKey", "token", "part").distinct().collect()
+    sample.foreach { r =>
+      val expectTok = graft.functions.Murmur3.hashString(r.getString(0))
+      assert(r.getLong(1) === expectTok)
+      assert(r.getInt(2) ===
+        graft.functions.TokenMath.partitionForToken(expectTok, 3, 4))
+    }
+  }
+
+  test("per-key read order equals produce order (offsets monotone in event order)") {
+    val cfg = TopicConfig(root, "t_order")
+    PolarLog.produce(eventsAsRecords.drop("event_id"), cfg,
+      orderBy = Seq(col("timestamp"), col("value")))
+    val w = Window.partitionBy("part").orderBy("offset")
+    val violations = PolarLog.consume(spark, cfg)
+      .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("prev_ts") > col("timestamp"))
+      .count()
+    assert(violations === 0L, "offset order must respect produce order per partition")
+  }
+
+  test("second produce continues offsets (append, not restart)") {
+    val cfg = TopicConfig(root, "t_append")
+    val firstHalf = eventsAsRecords.filter(col("event_id") <= 500).drop("event_id")
+    val secondHalf = eventsAsRecords.filter(col("event_id") > 500).drop("event_id")
+    val r1 = PolarLog.produce(firstHalf, cfg)
+    val r2 = PolarLog.produce(secondHalf, cfg)
+    r2.newTails.foreach { case (p, tail) =>
+      assert(tail >= r1.newTails.getOrElse(p, 0L))
+    }
+    val log = PolarLog.consume(spark, cfg)
+    assert(log.count() === 1000)
+    // still dense after append
+    val bad = log.groupBy("part")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"))
+      .filter(col("hi") =!= col("n") - 1).count()
+    assert(bad === 0L)
+  }
+
+  test("null keys spread across partitions without a key column") {
+    val cfg = TopicConfig(root, "t_nullkey")
+    val df = graft.Tables.events(spark, sfDir)
+      .select(col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(df, cfg)
+    val parts = PolarLog.consume(spark, cfg).select("part").distinct().count()
+    assert(parts >= 6, s"null-key records should spread widely, got $parts partitions")
+  }
+
+  test("offset-range consume prunes and bounds correctly") {
+    val cfg = TopicConfig(root, "t_range")
+    PolarLog.produce(eventsAsRecords.drop("event_id"), cfg)
+    val tails = PolarLog.tails(cfg)
+    val p0 = tails.keys.min
+    val slice = PolarLog.consume(spark, cfg,
+      startOffsets = Map(p0 -> 2L), endOffsets = Map(p0 -> 5L))
+      .filter(col("part") === p0)
+    assert(slice.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 3L, 4L))
+  }
+
+  test("consumer groups: earliest sees all, latest sees only new, redelivery until commit") {
+    val cfg = TopicConfig(root, "t_groups")
+    PolarLog.produce(eventsAsRecords.filter(col("event_id") < 600).drop("event_id"), cfg)
+
+    // earliest: new group reads from 0
+    val pEarly = ConsumerGroups.poll(spark, cfg, "g_early", ConsumerGroups.Earliest)
+    assert(pEarly.records.count() === 600)
+    // no commit -> redelivery of the same records
+    val pAgain = ConsumerGroups.poll(spark, cfg, "g_early", ConsumerGroups.Earliest)
+    assert(pAgain.records.count() === 600)
+    ConsumerGroups.commit(cfg, "g_early", pAgain.nextOffsets)
+    assert(ConsumerGroups.poll(spark, cfg, "g_early").records.count() === 0)
+
+    // latest: new group registered now sees only post-registration records
+    val pLate = ConsumerGroups.poll(spark, cfg, "g_late", ConsumerGroups.Latest)
+    assert(pLate.records.count() === 0)
+    ConsumerGroups.commit(cfg, "g_late", pLate.nextOffsets)
+    PolarLog.produce(eventsAsRecords.filter(col("event_id") >= 600).drop("event_id"), cfg)
+    val pLate2 = ConsumerGroups.poll(spark, cfg, "g_late")
+    assert(pLate2.records.count() === 400)
+    // committed earliest group also sees exactly the delta
+    assert(ConsumerGroups.poll(spark, cfg, "g_early").records.count() === 400)
+  }
+
+  test("ndjson ingestion splits lines into records") {
+    val cfg = TopicConfig(root, "t_ndjson")
+    val reqs = spark.createDataFrame(Seq(
+      ("k1", "{\"a\":1}\n{\"a\":2}\n{\"a\":3}"),
+      ("k2", "{\"b\":1}\n\n{\"b\":2}\n"))) // blank lines dropped
+      .toDF("partitionKey", "body")
+    val res = PolarLog.ingestNdjson(reqs, cfg)
+    assert(res.recordsWritten === 5)
+    val vals = PolarLog.consume(spark, cfg)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+    assert(vals === Set("{\"a\":1}", "{\"a\":2}", "{\"a\":3}", "{\"b\":1}", "{\"b\":2}"))
+  }
+
+  test("retention GC deletes aged files and leaves fresh ones") {
+    val cfg = TopicConfig(root, "t_gc")
+    PolarLog.produce(eventsAsRecords.drop("event_id"), cfg)
+    val none = PolarLog.cleanRetention(cfg, retentionMs = 60_000L)
+    assert(none === 0)
+    val all = PolarLog.cleanRetention(cfg, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 120_000L)
+    assert(all > 0)
+    assert(PolarLog.consume(spark, cfg).count() === 0L)
+  }
+
+  test("concurrent producer is rejected by metadata CAS") {
+    val cfg = TopicConfig(root, "t_cas")
+    PolarLog.produce(eventsAsRecords.drop("event_id").limit(10), cfg)
+    val stale = LogMetadata.read(cfg).copy(version = 99L)
+    intercept[IllegalStateException] {
+      LogMetadata.compareAndSet(cfg, stale)(identity)
+    }
+  }
+
+  test("metadata json round-trips") {
+    val m = LogMetadata(7L, 3, 4, Vector.tabulate(12)(_.toLong * 5))
+    assert(LogMetadata.parse(LogMetadata.render(m)) === m)
+    val o = Map(0 -> 5L, 3 -> 11L)
+    assert(ConsumerGroups.parseOffsets(ConsumerGroups.render(o)) === o)
+  }
+}
