@@ -9,7 +9,8 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     RelationalQueries,
-    PolarLogQueries)
+    PolarLogQueries,
+    StreamingQueries)
 
   private lazy val defs: Seq[QueryDef] = registries.flatMap(_.all)
 

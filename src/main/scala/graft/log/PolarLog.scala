@@ -74,6 +74,9 @@ object PolarLog {
       orderBy: Seq[Column] = Nil): ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
+    // int64-micros timestamps in the log files (not INT96) so the streaming
+    // reader's plain column access works and row-group stats stay usable
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val meta0 = {
       val m = LogMetadata.read(cfg)
       require(m.clusterSize == cfg.clusterSize && m.rangesPerToken == cfg.rangesPerToken,

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.log.{PolarLog, TopicConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Streaming facade over the polar log.
+ *
+ * Consume: `read(spark, cfg)` = `spark.readStream.format("polar")` — each
+ * micro-batch is an offset delta per partition (see
+ * [[graft.sources.PolarMicroBatchStream]]); the query's checkpoint is the
+ * consumer group (offset commit store) of the reference.
+ *
+ * Produce: `write(df, cfg, checkpoint)` — a foreachBatch sink whose every
+ * micro-batch is one [[PolarLog.produce]] call: the batch IS the coalescer
+ * group (`/root/reference/internal/producing/coalescer.go:81-172` — greedy
+ * grouping with a drain window ≈ the trigger interval), and the produce
+ * commit (files + metadata CAS) is the durable-ack boundary, so records
+ * become visible to consumers only after their batch commits — the
+ * reference's ack-after-replication contract (SURVEY.md §2 A6/A10).
+ * At-least-once: a batch retried after a crash between file append and
+ * checkpoint advance re-produces (consumers dedup by (part, offset)).
+ */
+object PolarStream {
+
+  /** Streaming consume of a topic. */
+  def read(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      startingOffsets: String = "latest",
+      maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("polar")
+      .option("root", cfg.root)
+      .option("topic", cfg.topic)
+      .option("clusterSize", cfg.clusterSize)
+      .option("rangesPerToken", cfg.rangesPerToken)
+      .option("startingOffsets", startingOffsets)
+    maxRecordsPerTrigger.foreach(n => r = r.option("maxRecordsPerTrigger", n))
+    r.load()
+  }
+
+  /** Streaming produce into a topic (micro-batched appends). */
+  def write(
+      df: DataFrame,
+      cfg: TopicConfig,
+      checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PolarLog.produce(batch, cfg): Unit
+      }
+      .start()
+}
