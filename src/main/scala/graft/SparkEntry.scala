@@ -10,7 +10,8 @@ object SparkEntry {
   private def registries: Seq[QueryRegistry] = Seq(
     RelationalQueries,
     PolarLogQueries,
-    StreamingQueries)
+    StreamingQueries,
+    PipelineQueries)
 
   private lazy val defs: Seq[QueryDef] = registries.flatMap(_.all)
 

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Sketch kernels for the training-data pipeline operators (dedup /
+ * similarity), as codegen'd Catalyst expressions so they run inside
+ * whole-stage codegen over 100 TB:
+ *
+ *  - [[SimHash64]]: 64-bit SimHash of a token array (Charikar's scheme over
+ *    murmur3-hashed tokens) — near-dup fingerprinting, hamming distance ≤ k
+ *    banding via 16-bit chunks;
+ *  - [[HyperplaneLsh]]: sign-random-projection bucket of an embedding
+ *    (Goemans–Williamson style random hyperplanes, planes derived
+ *    deterministically from murmur3 so every executor agrees without
+ *    shipping plane matrices);
+ *  - [[RollingFingerprint]]: Karp–Rabin polynomial rolling hash of a
+ *    document — order-sensitive content fingerprint.
+ */
+object Sketches {
+
+  /** SimHash over token murmur hashes: bit b of the result is the sign of
+    * sum over tokens of ±1 depending on bit b of murmur3(token). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = Murmur3.hashUtf8(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Deterministic pseudo-random plane weight in [-0.5, 0.5): derived from
+    * murmur3(seed, plane, dim) so it is identical on every executor. */
+  @inline private def planeWeight(seed: Int, plane: Int, dim: Int): Double = {
+    val bytes = new Array[Byte](12)
+    writeInt(bytes, 0, seed); writeInt(bytes, 4, plane); writeInt(bytes, 8, dim)
+    val h = Murmur3.hash(bytes)
+    // top 53 bits -> uniform double in [0,1)
+    (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  @inline private def writeInt(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+
+  /** Bucket id: bit j = sign of dot(vec, plane_j). Works for float or double
+    * element arrays. */
+  def hyperplaneLsh(vec: ArrayData, numPlanes: Int, seed: Int, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < numPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        dot += x * planeWeight(seed, j, d)
+        d += 1
+      }
+      if (dot >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Karp–Rabin polynomial rolling hash over UTF-8 bytes, base 257 mod 2^64
+    * (wraps) — an order-sensitive document fingerprint. */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257L + (bytes(i) & 0xffL) + 1L
+      i += 1
+    }
+    h
+  }
+}
+
+/** `simhash64(array<string>) -> long` */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** `hyperplane_lsh(array<float|double>, numPlanes, seed) -> long` */
+case class HyperplaneLsh(child: Expression, numPlanes: Int, seed: Int)
+    extends UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 63, "numPlanes must be in [1, 63]")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_lsh"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_lsh requires array<float|double>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.hyperplaneLsh(v.asInstanceOf[ArrayData], numPlanes, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.hyperplaneLsh($c, $numPlanes, $seed, $f)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+/** `rolling_fingerprint(string) -> long` */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint requires string, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.rollingFingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.rollingFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}

@@ -78,13 +78,17 @@ case class PolarPartition(child: Expression, clusterSize: Int, rangesPerToken: I
 object GraftFunctions {
   import org.apache.spark.sql.graftshims.GraftShims
 
+  private def intArg(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "murmur3_h1" -> ((args: Seq[Expression]) => Murmur3H1(args.head)),
-    "polar_partition" -> ((args: Seq[Expression]) => {
-      def intArg(e: Expression): Int =
-        e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
-      PolarPartition(args.head, intArg(args(1)), intArg(args(2)))
-    }))
+    "polar_partition" -> ((args: Seq[Expression]) =>
+      PolarPartition(args.head, intArg(args(1)), intArg(args(2)))),
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
+    "hyperplane_lsh" -> ((args: Seq[Expression]) =>
+      HyperplaneLsh(args.head, intArg(args(1)), intArg(args(2)))),
+    "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
   def install(ext: SparkSessionExtensions): Unit =
@@ -106,4 +110,16 @@ object GraftFunctions {
   /** Flat partition id `brokerIndex * rangesPerToken + rangeIndex` of a token. */
   def polar_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftShims.column(PolarPartition(GraftShims.expression(token), clusterSize, rangesPerToken))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(tokens)))
+
+  /** Sign-random-projection LSH bucket of an embedding. */
+  def hyperplane_lsh(vec: Column, numPlanes: Int, seed: Int): Column =
+    GraftShims.column(HyperplaneLsh(GraftShims.expression(vec), numPlanes, seed))
+
+  /** Karp–Rabin rolling hash fingerprint of a document. */
+  def rolling_fingerprint(text: Column): Column =
+    GraftShims.column(RollingFingerprint(GraftShims.expression(text)))
 }

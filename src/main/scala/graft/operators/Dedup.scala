@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.GraftFunctions.simhash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication family for training-data pipelines, each designed as a
+ * shuffle-minimal declarative plan:
+ *
+ *  - exact: one hash-aggregate on the content key;
+ *  - n-gram Jaccard: exact pairwise similarity, candidate-limited;
+ *  - MinHash + LSH banding: near-dup pairs at scale — shingle → signature
+ *    (all inside codegen via higher-order functions), band → bucket
+ *    self-join (the only shuffles are the bucket groupBy and the verify
+ *    join, both on bounded candidate sets — never all-pairs);
+ *  - SimHash: 64-bit fingerprints, hamming ≤ k retrieval via 16-bit chunk
+ *    banding (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+ *
+ * At 100 TB: all-pairs comparison is never materialized; LSH bucket sizes
+ * bound the quadratic term, and the band explode is a constant ×bands row
+ * multiplier before a hash shuffle — the canonical scale-out shape.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct content. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles of a document, distinct. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(words) < k, array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(0), size(words) - k),
+          i => concat_ws(" ", slice(words, i + 1, lit(k))))))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the min of
+    * xxhash64(seed-tagged shingle) — pure higher-order functions, codegen'd. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleCol, x => xxhash64(x, s))))
+
+  /**
+   * Near-duplicate pairs via MinHash + LSH banding, verified by exact
+   * Jaccard on the shingle sets. Returns (id_a, id_b, sim), id_a < id_b.
+   */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // band hash: xxhash64 over the band's signature slice (+ band index so
+    // buckets from different bands never collide)
+    val banded = docs.withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("band_hash")))))
+      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact n-gram Jaccard pairs (quadratic — candidate set must be small;
+    * the scalable path is [[minhashLshPairs]]). */
+  def exactJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    docs.as("a").join(docs.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** SimHash fingerprints of documents. */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDistance, found by
+    * 16-bit chunk banding (exact for maxDistance ≤ 3). */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val fps = simhashes(df, textCol, idCol)
+    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk_idx"),
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val")))
+    val chunked = fps.withColumn("chunk", explode(array(chunks: _*)))
+      .select(col("id"), col("simhash"), col("chunk.chunk_idx"), col("chunk.chunk_val"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions.rolling_fingerprint
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators through the correctness gate: text
+ * analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+ * embedding similarity (brute-force + LSH ANN), multimodal plumbing.
+ * Sketch-based operators (MinHash/SimHash/LSH) have no SQL mirror — they
+ * get rows-only gate entries and are value-verified against their exact
+ * counterparts in PipelineSpec.
+ */
+object PipelineQueries extends QueryRegistry {
+
+  // SQL fragments shared by oracles
+  private val WordsSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w)>0)"
+  private def shinglesSql(words: String) =
+    s"""CASE WHEN len($words) < 3 THEN [array_to_string($words, ' ')]
+        ELSE list_distinct([array_to_string($words[i:i+2], ' ')
+                            for i in generate_series(1, len($words)-2)]) END"""
+
+  override def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "text_stats",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stops"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[^ ]+')) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^ ]+')) + floor(length(text) / 16) AS BIGINT) AS n_subwords,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|it|for|on)\b')) AS n_stops,
+               round(
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+                 least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|it|for|on)\b')) AS DOUBLE)
+                       / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+                 (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                        / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) AS quality
+        FROM documents""")),
+
+    QueryDef(
+      "text_langid",
+      (s, dir) => Tables.documents(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n")),
+      Some {
+        val scores = Seq(
+          "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+          "es" -> "\\b(el|la|los|las|de|que|y|es)\\b",
+          "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
+          "fr" -> "\\b(le|les|des|et|est|une|dans)\\b",
+          "zh" -> "[\\x{4e00}-\\x{9fff}]")
+        val defs = scores.map { case (l, re) =>
+          s"len(regexp_extract_all(lower(text), '$re')) AS s_$l"
+        }.mkString(", ")
+        val maxExpr = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
+        val caseExpr = scores.map { case (l, _) =>
+          s"WHEN s_$l > 0 AND s_$l = $maxExpr THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT lang_pred, COUNT(*) AS n FROM (
+              SELECT CASE $caseExpr ELSE 'und' END AS lang_pred
+              FROM (SELECT $defs FROM documents))
+            GROUP BY lang_pred"""
+      }),
+
+    QueryDef(
+      "dedup_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+        .select(md5(col("text").cast("binary")).as("text_hash"),
+          col("keep_id"), col("n_copies")),
+      Some("""
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY text""")),
+
+    QueryDef(
+      "dedup_jaccard_pairs",
+      // unigram shingles: this corpus's vocabulary is small, so word-set
+      // Jaccard is the discriminating n-gram granularity (3-grams barely
+      // collide); threshold picked at the observed 90th percentile
+      (s, dir) => Dedup.exactJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", shingleK = 1, threshold = 0.8),
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, list_distinct($WordsSql) AS sh
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
+                     6) AS sim
+        FROM docs a, docs b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8""")),
+
+    QueryDef(
+      "dedup_char_jaccard",
+      (s, dir) => {
+        // character-set Jaccard vs a reference doc per source group — the
+        // n-gram family's 1-gram case, exactly mirroring DuckDB's jaccard()
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        val chars = (c: org.apache.spark.sql.Column) =>
+          array_distinct(split(c, ""))
+        docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            round(Dedup.jaccard(chars(col("a.text")), chars(col("b.text"))), 6).as("sim"))
+          .filter(col("sim") >= 0.9)
+      },
+      Some("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(jaccard(a.text, b.text), 6) AS sim
+        FROM documents a, documents b
+        WHERE a.doc_id < b.doc_id AND a.doc_id < 100 AND b.doc_id < 100
+          AND round(jaccard(a.text, b.text), 6) >= 0.9""")),
+
+    // sketch operators: rows-only gate entries (no SQL mirror exists);
+    // value-verified against exact counterparts in PipelineSpec
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", shingleK = 1, numHashes = 64, bands = 32,
+        threshold = 0.8),
+      None),
+
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", maxDistance = 8),
+      None),
+
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), rolling_fingerprint(col("text")).as("fp")),
+      None),
+
+    QueryDef(
+      "sim_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "sim_pairs",
+      (s, dir) => Similarity.exactCosinePairs(
+        Tables.embeddings(s, dir), "embedding", "vec_id", threshold = 0.35),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""")),
+
+    QueryDef(
+      "sim_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20, numPlanes = 6)
+      },
+      None),
+
+    QueryDef(
+      "multimodal_features",
+      (s, dir) => Multimodal.decodeAndFeaturize(
+        Multimodal.asMedia(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("payload_len"), col("thumb_w"), col("thumb_h")),
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS payload_len,
+               CASE WHEN greatest(length(text) % 640 + 16, length(text) % 480 + 16) <= 256
+                    THEN length(text) % 640 + 16
+                    ELSE CAST((length(text) % 640 + 16) * 256 //
+                              greatest(length(text) % 640 + 16, length(text) % 480 + 16) AS INT)
+               END AS thumb_w,
+               CASE WHEN greatest(length(text) % 640 + 16, length(text) % 480 + 16) <= 256
+                    THEN length(text) % 480 + 16
+                    ELSE CAST((length(text) % 480 + 16) * 256 //
+                              greatest(length(text) % 640 + 16, length(text) % 480 + 16) AS INT)
+               END AS thumb_h
+        FROM documents""")),
+
+    QueryDef(
+      "multimodal_frames",
+      (s, dir) => Multimodal.frameSample(
+        Multimodal.asMedia(Tables.documents(s, dir)).toDF())
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("frame_len")).as("bytes_sampled")),
+      None))
+}

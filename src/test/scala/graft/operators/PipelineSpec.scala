@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.GraftSession
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Sketch operators validated against their exact counterparts — the checks
+  * the DuckDB oracle can't express. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+  private def embs = graft.Tables.embeddings(spark, sfDir)
+
+  test("minhash LSH pairs: no false positives (verified) and high recall vs exact") {
+    val subset = docs.filter(col("doc_id") % 5 === 0)
+    val exact = Dedup.exactJaccardPairs(subset, "text", "doc_id",
+      shingleK = 1, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(subset, "text", "doc_id",
+      shingleK = 1, numHashes = 64, bands = 32, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes LSH output a subset of the exact pairs
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // banding (16 bands x 4 rows) at jaccard>=0.5 should recall nearly all
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash: identical docs collide, hamming is symmetric and bounded") {
+    val fps = Dedup.simhashes(docs, "text", "doc_id")
+    assert(fps.count() === docs.count())
+    // same token multiset -> same simhash
+    val twice = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here entirely"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(twice, "text", "doc_id", maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("lsh top-k results are a subset of brute-force ranking with same scores") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = embs.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", qv, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.lshTopK(rest, "embedding", "vec_id", qv, 20, numPlanes = 4)
+      .collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val sim = brute.get(r.getLong(0))
+      assert(sim.isDefined && math.abs(sim.get - r.getDouble(1)) < 1e-9,
+        s"ann scored ${r.getLong(0)} differently")
+    }
+  }
+
+  test("lsh cosine pairs match exact pairs at high threshold (bucket recall)") {
+    val subset = embs.filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.exactCosinePairs(subset, "embedding", "vec_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairs(subset, "embedding", "vec_id", 0.3, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold should yield pairs on this data")
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "lsh buckets should recall some pairs")
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val media = Multimodal.asMedia(docs.limit(50))
+    val f1 = Multimodal.decodeAndFeaturize(media, batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeAndFeaturize(media, batchSize = 64)
+      .collect().sortBy(_.doc_id)
+    assert(f1.length === 50)
+    // batch size must not change results (plumbing-only knob)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.doc_id === b.doc_id && a.payload_len === b.payload_len &&
+        a.features.toSeq === b.features.toSeq)
+    }
+    f1.foreach { f =>
+      assert(f.thumb_w <= 256 && f.thumb_h <= 256 && f.features.length === 8)
+    }
+  }
+
+  test("rolling fingerprint is order-sensitive; simhash is order-insensitive") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"))).toDF("doc_id", "text")
+    val fp = df.select(rolling_fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+    val sh = df.select(simhash64(TextAnalysis.tokens(col("text")))).collect().map(_.getLong(0))
+    assert(sh(0) === sh(1))
+  }
+}

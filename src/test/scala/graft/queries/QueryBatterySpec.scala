@@ -23,7 +23,9 @@ class QueryBatterySpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   // queries whose predicates can legitimately select zero rows at sf0.001
-  private val mayBeEmpty = Set("q_anti_join", "q_except", "q_json_extract")
+  private val mayBeEmpty = Set("q_anti_join", "q_except", "q_json_extract",
+    "sim_pairs", "dedup_jaccard_pairs", "dedup_char_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
