@@ -109,12 +109,13 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         // character-set Jaccard vs a reference doc per source group — the
         // n-gram family's 1-gram case, exactly mirroring DuckDB's jaccard()
+        // char sets computed BEFORE the self-join: O(n) array builds instead
+        // of O(n²) — the projection-pushdown shape that matters at scale
         val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
-        val chars = (c: org.apache.spark.sql.Column) =>
-          array_distinct(split(c, ""))
+          .select(col("doc_id"), array_distinct(split(col("text"), "")).as("cs"))
         docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            round(Dedup.jaccard(chars(col("a.text")), chars(col("b.text"))), 6).as("sim"))
+            round(Dedup.jaccard(col("a.cs"), col("b.cs")), 6).as("sim"))
           .filter(col("sim") >= 0.9)
       },
       Some("""
@@ -168,18 +169,20 @@ object PipelineQueries extends QueryRegistry {
 
     QueryDef(
       "sim_pairs",
+      // %5 sample bounds the quadratic pair count at bench scale
       (s, dir) => Similarity.exactCosinePairs(
-        Tables.embeddings(s, dir), "embedding", "vec_id", threshold = 0.35),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", threshold = 0.3),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings)
+                   FROM embeddings WHERE vec_id % 5 = 0)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
         FROM e a, e b
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""")),
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""")),
 
     QueryDef(
       "sim_ann_lsh",
