@@ -131,6 +131,25 @@ object TokenMath {
     out
   }
 
+  /** Ranges of a `newClusterSize` ring intersecting range `(token, index)`
+    * of a `clusterSize` ring (`token.go:133-163` ProjectRangeByClusterSize) —
+    * the arithmetic behind scale-up/down offset projection (SURVEY §2 A22). */
+  def projectRangeByClusterSize(
+      token: Long, index: Int, rangesPerToken: Int,
+      clusterSize: Int, newClusterSize: Int): Seq[(Long, Seq[Int])] = {
+    val (start, end) = rangeByTokenAndClusterSize(token, index, rangesPerToken, clusterSize)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    for (i <- 0 until newClusterSize) {
+      val newToken = tokenAtIndex(newClusterSize, i)
+      val indices = (0 until rangesPerToken).filter { newIndex =>
+        val (ns, ne) = rangeByTokenAndClusterSize(newToken, newIndex, rangesPerToken, newClusterSize)
+        intersects(start, end, ns, ne)
+      }
+      if (indices.nonEmpty) out += newToken -> indices
+    }
+    out.toSeq
+  }
+
   def validRingLength(size: Int): Boolean = {
     var s = size
     if (s < 3 || s % 3 != 0) return false

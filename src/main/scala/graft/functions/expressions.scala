@@ -88,7 +88,8 @@ object GraftFunctions {
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
     "hyperplane_lsh" -> ((args: Seq[Expression]) =>
       HyperplaneLsh(args.head, intArg(args(1)), intArg(args(2)))),
-    "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)))
+    "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)),
+    "polar_frames" -> ((args: Seq[Expression]) => PolarFrames(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
   def install(ext: SparkSessionExtensions): Unit =
@@ -122,4 +123,8 @@ object GraftFunctions {
   /** Karp–Rabin rolling hash fingerprint of a document. */
   def rolling_fingerprint(text: Column): Column =
     GraftShims.column(RollingFingerprint(GraftShims.expression(text)))
+
+  /** Frames of a `{u32-BE len}{bytes}`-framed body. */
+  def polar_frames(body: Column): Column =
+    GraftShims.column(PolarFrames(GraftShims.expression(body)))
 }

@@ -1,0 +1,118 @@
+package graft.log
+
+import graft.functions.GraftFunctions.polar_frames
+import graft.functions.TokenMath
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Topic-level operations beyond plain produce/consume: framed ingestion,
+ * the JSON poll response shape, and elastic ring resizing with offset
+ * projection — the Spark renditions of SURVEY §2 A5, A19, A22/A29/A30.
+ */
+object TopicOps {
+
+  /** Framed-records ingestion (A5): one request row with a binary
+    * `{u32-BE len}{bytes}`… body becomes one record per frame, sharing the
+    * request's key/timestamp. */
+  def ingestFrames(
+      df: DataFrame,
+      cfg: TopicConfig,
+      bodyCol: String = "body"): PolarLog.ProduceResult = {
+    val exploded = df
+      .withColumn("value", explode(polar_frames(col(bodyCol))))
+      .drop(bodyCol)
+    PolarLog.produce(exploded, cfg)
+  }
+
+  /**
+   * JSON poll response (A19): records of one poll serialized in the
+   * reference's consumer JSON shape — one item per partition chunk with
+   * int64s as strings and decompressed values inline
+   * (`/root/reference/internal/consuming/models.go:136-199`,
+   * `docs/rest_api/README.md:136-172`). `version` is the log epoch (fixed 1
+   * in the single-epoch engine).
+   */
+  def pollJson(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      startOffsets: Map[Int, Long] = Map.empty,
+      endOffsets: Map[Int, Long] = Map.empty): Dataset[String] = {
+    import spark.implicits._
+    val ranges = cfg.rangesPerToken
+    val brokerTokens = (0 until cfg.clusterSize)
+      .map(i => TokenMath.tokenAtIndex(cfg.clusterSize, i))
+    val tokenOf = udfFreeTokenMap(brokerTokens, ranges)
+    PolarLog.consume(spark, cfg, startOffsets, endOffsets)
+      .groupBy(col("part"))
+      .agg(min(col("offset")).as("startOffset"),
+        sort_array(collect_list(struct(col("offset"),
+          col("value").cast("string").as("v")))).as("recs"))
+      .select(to_json(struct(
+        lit(cfg.topic).as("topic"),
+        element_at(tokenOf, floor(col("part") / ranges).cast("int") + 1).as("token"),
+        (col("part") % ranges).as("rangeIndex"),
+        lit(1).as("version"),
+        col("startOffset").cast("string").as("startOffset"),
+        transform(col("recs"), r => r.getField("v")).as("values"))))
+      .as[String]
+  }
+
+  /** Broker tokens as a literal array of strings (int64-as-string, the
+    * reference's JSON convention). */
+  private def udfFreeTokenMap(tokens: Seq[Long], ranges: Int) =
+    array(tokens.map(t => lit(t.toString)): _*)
+
+  final case class RepartitionResult(
+      newCfg: TopicConfig,
+      recordsMoved: Long,
+      groupsProjected: Seq[String])
+
+  /**
+   * Elastic scale-up/down (A22/A29/A30 collapsed to one metadata-plus-data
+   * op): rewrite a topic into a new ring size. The reference splits/joins
+   * token ranges in place and projects offsets onto child generations
+   * (`internal/consuming/offset_state.go:492-774`); with Spark owning all
+   * partitions, the same outcome is a re-placement of every record by the
+   * new ring's `polar_partition` — per-key order is preserved by producing
+   * in (old partition, offset) order, and offsets restart dense at 0 in the
+   * new epoch exactly like the reference's "offsets restart at 0 for the new
+   * version" (`internal/producing/coalescer.go:93-135`).
+   *
+   * Consumer groups are projected like completed-generation offsets
+   * (A22): a group fully caught up on the old topic starts at the new tails
+   * ("nothing new"); any lagging group restarts from earliest — redelivery
+   * over loss, the at-least-once contract.
+   */
+  def repartitionTopic(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      newTopic: String,
+      newClusterSize: Int): RepartitionResult = {
+    val newCfg = TopicConfig(cfg.root, newTopic, newClusterSize, cfg.rangesPerToken)
+    val oldTails = PolarLog.tails(cfg)
+    val records = PolarLog.consume(spark, cfg)
+      .select(col("partitionKey"), col("timestamp"), col("value"),
+        col("part").as("__old_part"), col("offset").as("__old_offset"))
+    val res = PolarLog.produce(records, newCfg,
+      orderBy = Seq(col("__old_part"), col("__old_offset")))
+
+    // project consumer groups (A22)
+    val fs = PolarLog.fileSystem(cfg)
+    val groupsDir = new org.apache.hadoop.fs.Path(cfg.groupsDir)
+    val projected = if (!fs.exists(groupsDir)) Seq.empty[String] else {
+      fs.listStatus(groupsDir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val group = st.getPath.getName.stripSuffix(".json")
+          val committed = ConsumerGroups.committed(cfg, group).getOrElse(Map.empty)
+          val caughtUp = oldTails.forall { case (p, t) => committed.getOrElse(p, 0L) >= t }
+          val newOffsets =
+            if (caughtUp) PolarLog.tails(newCfg)
+            else (0 until newCfg.numPartitions).map(_ -> 0L).toMap
+          ConsumerGroups.commit(newCfg, group, newOffsets)
+          group
+        }
+    }
+    RepartitionResult(newCfg, res.recordsWritten, projected)
+  }
+}

@@ -92,6 +92,39 @@ object PolarLogQueries extends QueryRegistry {
       Some("SELECT COUNT(*) AS first_poll, CAST(0 AS BIGINT) AS after_commit FROM events")),
 
     QueryDef(
+      "polar_repartition",
+      (s, dir) => {
+        // scale-up 3 -> 6 brokers: every record re-placed by the new ring,
+        // none lost or duplicated (A22/A29/A30)
+        val root = Files.createTempDirectory("graft_polar_r").toString
+        val cfg = TopicConfig(root, "events", clusterSize = 3)
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        graft.log.PolarLog.produce(records, cfg)
+        val result = graft.log.TopicOps.repartitionTopic(s, cfg, "events_v2", 6)
+        PolarLog.consume(s, result.newCfg)
+          .groupBy(col("partitionKey"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey, COUNT(*) AS n
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
+      "polar_poll_json",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_polar_j").toString
+        val cfg = TopicConfig(root, "events")
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        graft.log.PolarLog.produce(records, cfg)
+        graft.log.TopicOps.pollJson(s, cfg).toDF("item")
+      },
+      None),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),

@@ -186,6 +186,7 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   override def deserializeOffset(json: String): Offset = PolarOffsets.parse(json)
   override def commit(end: Offset): Unit = () // checkpoint log is the commit store
   override def stop(): Unit = ()
+  override def toString: String = s"PolarScan(${topic.dir})"
 }
 
 object PolarMicroBatchStream {

@@ -1,0 +1,153 @@
+package graft.log
+
+import graft.GraftSession
+import graft.streaming.GraftMetrics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+class TopicOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("topic_ops_spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def frame(parts: Array[Byte]*): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    parts.foreach { p =>
+      buf.write(Array[Byte]((p.length >>> 24).toByte, (p.length >>> 16).toByte,
+        (p.length >>> 8).toByte, p.length.toByte))
+      buf.write(p)
+    }
+    buf.toByteArray
+  }
+
+  test("framed ingestion splits big-endian length-prefixed bodies (A5)") {
+    val cfg = TopicConfig(root, "t_frames")
+    val body = frame("alpha".getBytes, "bb".getBytes, Array[Byte]())
+    val df = spark.createDataFrame(Seq(("k1", 1)))
+      .toDF("partitionKey", "ignore").drop("ignore")
+      .withColumn("body", lit(body))
+    val res = TopicOps.ingestFrames(df, cfg)
+    assert(res.recordsWritten === 3)
+    val vals = PolarLog.consume(spark, cfg)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+    assert(vals === Set("alpha", "bb", ""))
+  }
+
+  test("truncated frame body is rejected") {
+    val cfg = TopicConfig(root, "t_frames_bad")
+    val bad = Array[Byte](0, 0, 0, 9, 1, 2) // declares 9 bytes, has 2
+    val df = spark.createDataFrame(Seq(Tuple1("k")))
+      .toDF("partitionKey").withColumn("body", lit(bad))
+    val e = intercept[Exception] { TopicOps.ingestFrames(df, cfg) }
+    assert(e.getMessage.contains("truncated") ||
+      Option(e.getCause).exists(_.getMessage.contains("truncated")))
+  }
+
+  test("pollJson emits the reference consumer response shape (A19)") {
+    val cfg = TopicConfig(root, "t_json")
+    val recs = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 50)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val items = TopicOps.pollJson(spark, cfg).collect()
+    assert(items.nonEmpty)
+    items.foreach { json =>
+      assert(json.contains("\"topic\":\"t_json\""))
+      assert(json.contains("\"rangeIndex\":"))
+      assert(json.contains("\"version\":1"))
+      // int64s serialized as strings, reference-style
+      assert("\"token\":\"-?\\d+\"".r.findFirstIn(json).isDefined, json.take(120))
+      assert("\"startOffset\":\"\\d+\"".r.findFirstIn(json).isDefined)
+      assert(json.contains("\"values\":["))
+    }
+  }
+
+  test("ring repartition preserves records, per-key order, and placement (A22/A29)") {
+    val cfg = TopicConfig(root, "t_scale", clusterSize = 3)
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg, orderBy = Seq(col("timestamp"), col("value")))
+
+    val result = TopicOps.repartitionTopic(spark, cfg, "t_scale_v2", newClusterSize = 6)
+    assert(result.recordsMoved === 1000)
+    val newLog = PolarLog.consume(spark, result.newCfg)
+    assert(newLog.count() === 1000)
+    // placement matches the 6-ring kernel math for every key
+    newLog.select("partitionKey", "part").distinct().collect().foreach { r =>
+      val tok = graft.functions.Murmur3.hashString(r.getString(0))
+      assert(r.getInt(1) === graft.functions.TokenMath.partitionForToken(tok, 6, 4))
+    }
+    // per-key event-time order preserved within new partitions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("offset")
+    val violations = newLog
+      .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("prev_ts") > col("timestamp")).count()
+    assert(violations === 0)
+    // old broker tokens keep their keys: a key on broker i of the 3-ring
+    // lands on broker 2i of the 6-ring unless it moved to the new
+    // interleaved broker — both are in the projected range set
+    val proj = graft.functions.TokenMath
+      .projectRangeByClusterSize(graft.functions.TokenMath.tokenAtIndex(3, 0), 0, 4, 3, 6)
+    assert(proj.nonEmpty)
+  }
+
+  test("caught-up groups project to new tails; lagging groups restart (A22)") {
+    val cfg = TopicConfig(root, "t_scale_g", clusterSize = 3)
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    // caught-up group
+    val p = ConsumerGroups.poll(spark, cfg, "done", ConsumerGroups.Earliest)
+    p.records.count()
+    ConsumerGroups.commit(cfg, "done", p.nextOffsets)
+    // lagging group: committed nothing past zero
+    ConsumerGroups.commit(cfg, "lagging", Map(0 -> 0L))
+
+    val result = TopicOps.repartitionTopic(spark, cfg, "t_scale_g_v2", 6)
+    assert(result.groupsProjected.toSet === Set("done", "lagging"))
+    assert(ConsumerGroups.poll(spark, result.newCfg, "done").records.count() === 0)
+    assert(ConsumerGroups.poll(spark, result.newCfg, "lagging").records.count() === 1000)
+  }
+
+  test("metrics listener counts polar stream consumption (A34)") {
+    val cfg = TopicConfig(root, "t_metrics")
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val metrics = GraftMetrics.attach(spark)
+    val q = graft.streaming.PolarStream.read(spark, cfg, startingOffsets = "earliest")
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_metrics")
+      .format("memory").queryName("t_metrics_out").start()
+    q.awaitTermination(120000)
+    // listener events are async; give the bus a moment
+    var tries = 0
+    while (metrics.snapshot.getOrElse("records_consumed", 0L) < 1000 && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    val snap = metrics.snapshot
+    assert(snap.getOrElse("queries_started", 0L) >= 1)
+    assert(snap.getOrElse("records_consumed", 0L) >= 1000)
+    assert(snap.getOrElse("polar_records_consumed", 0L) >= 1000)
+    spark.streams.removeListener(metrics)
+  }
+}
