@@ -85,6 +85,26 @@ object Sketches {
     bucket
   }
 
+  /** Jaccard similarity of two SORTED, DISTINCT string arrays by merge walk:
+    * O(n+m) with zero allocation per pair — the hot kernel of pairwise
+    * dedup (vs array_intersect's per-pair hash set). Callers must
+    * `sort_array(array_distinct(...))` once per row before the join. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
   /** Karp–Rabin polynomial rolling hash over UTF-8 bytes, base 257 mod 2^64
     * (wraps) — an order-sensitive document fingerprint. */
   def rollingFingerprint(s: UTF8String): Long = {
@@ -141,6 +161,26 @@ case class HyperplaneLsh(child: Expression, numPlanes: Int, seed: Int)
       c => s"graft.functions.Sketches.hyperplaneLsh($c, $numPlanes, $seed, $f)")
   }
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+/** `sorted_jaccard(array<string>, array<string>) -> double` — inputs must be
+  * sorted+distinct (see [[Sketches.sortedJaccard]]). */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard requires two array<string>, got ${l.catalogString}, ${r.catalogString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sketches.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(left = l, right = r)
 }
 
 /** `rolling_fingerprint(string) -> long` */

@@ -89,7 +89,8 @@ object GraftFunctions {
     "hyperplane_lsh" -> ((args: Seq[Expression]) =>
       HyperplaneLsh(args.head, intArg(args(1)), intArg(args(2)))),
     "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)),
-    "polar_frames" -> ((args: Seq[Expression]) => PolarFrames(args.head)))
+    "polar_frames" -> ((args: Seq[Expression]) => PolarFrames(args.head)),
+    "sorted_jaccard" -> ((args: Seq[Expression]) => SortedJaccard(args(0), args(1))))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
   def install(ext: SparkSessionExtensions): Unit =
@@ -127,4 +128,8 @@ object GraftFunctions {
   /** Frames of a `{u32-BE len}{bytes}`-framed body. */
   def polar_frames(body: Column): Column =
     GraftShims.column(PolarFrames(GraftShims.expression(body)))
+
+  /** Merge-walk Jaccard of two sorted+distinct string arrays. */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    GraftShims.column(SortedJaccard(GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -5,7 +5,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -47,6 +47,16 @@ import scala.jdk.CollectionConverters._
  * "read partition 7 from offset X" poll touches only that directory's tail
  * files.
  */
+/** The canonical event envelope as a case class (SURVEY §1.1). */
+final case class PolarRecord(
+    topic: String,
+    partitionKey: Option[String],
+    token: Option[Long],
+    offset: Long,
+    timestamp: java.sql.Timestamp,
+    value: Array[Byte],
+    part: Int)
+
 object PolarLog {
 
   val ValueSchema: StructType = StructType(Seq(
@@ -230,6 +240,14 @@ object PolarLog {
   /** Current tail offsets (next offset per partition). */
   def tails(cfg: TopicConfig): Map[Int, Long] =
     LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap
+
+  /** Typed facade over the envelope (`Dataset[PolarRecord]`) for callers who
+    * want compile-time field checks; the DataFrame API stays primary (the
+    * envelope is fixed, SURVEY §1.2). */
+  def consumeTyped(spark: SparkSession, cfg: TopicConfig): Dataset[PolarRecord] = {
+    import spark.implicits._
+    consume(spark, cfg).as[PolarRecord]
+  }
 
   // ------------------------------------------------------------------ utils
 

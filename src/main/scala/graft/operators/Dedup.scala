@@ -28,21 +28,30 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles of a document, distinct. */
+  /** Word k-shingles of a document, distinct and SORTED — sorted once per
+    * row so pairwise similarity can use the allocation-free merge-walk
+    * kernel ([[graft.functions.Sketches.sortedJaccard]]) instead of per-pair
+    * hash sets. */
   def shingles(text: Column, k: Int): Column = {
     val words = TextAnalysis.tokens(text)
-    array_distinct(
+    sort_array(array_distinct(
       when(size(words) < k, array(concat_ws(" ", words)))
         .otherwise(transform(sequence(lit(0), size(words) - k),
-          i => concat_ws(" ", slice(words, i + 1, lit(k))))))
+          i => concat_ws(" ", slice(words, i + 1, lit(k)))))))
   }
 
-  /** Exact Jaccard similarity of two string-array columns. */
+  /** Exact Jaccard similarity of two string-array columns (general form;
+    * does not require sorted inputs). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Merge-walk Jaccard for sorted+distinct arrays (what [[shingles]]
+    * produces) — the pairwise hot path. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.sorted_jaccard(a, b)
 
   /** MinHash signature: for each of `numHashes` seeds, the min of
     * xxhash64(seed-tagged shingle) — pure higher-order functions, codegen'd. */
@@ -80,7 +89,7 @@ object Dedup {
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
-      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -95,7 +104,7 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
     docs.as("a").join(docs.as("b"), col("a.id") < col("b.id"))
-      .withColumn("sim", jaccard(col("a.sh"), col("b.sh")))
+      .withColumn("sim", jaccardSorted(col("a.sh"), col("b.sh")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("sim"), 6).as("sim"))

@@ -112,10 +112,11 @@ object PipelineQueries extends QueryRegistry {
         // char sets computed BEFORE the self-join: O(n) array builds instead
         // of O(n²) — the projection-pushdown shape that matters at scale
         val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
-          .select(col("doc_id"), array_distinct(split(col("text"), "")).as("cs"))
+          .select(col("doc_id"),
+            sort_array(array_distinct(split(col("text"), ""))).as("cs"))
         docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            round(Dedup.jaccard(col("a.cs"), col("b.cs")), 6).as("sim"))
+            round(Dedup.jaccardSorted(col("a.cs"), col("b.cs")), 6).as("sim"))
           .filter(col("sim") >= 0.9)
       },
       Some("""
@@ -129,9 +130,11 @@ object PipelineQueries extends QueryRegistry {
     // value-verified against exact counterparts in PipelineSpec
     QueryDef(
       "dedup_minhash_lsh",
+      // 32 hashes / 16 bands of 2: collision P at j=0.8 is 1-(1-0.64)^16≈1.0,
+      // at half the signature cost of 64 hashes
       (s, dir) => Dedup.minhashLshPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", shingleK = 1, numHashes = 64, bands = 32,
+        "text", "doc_id", shingleK = 1, numHashes = 32, bands = 16,
         threshold = 0.8),
       None),
 

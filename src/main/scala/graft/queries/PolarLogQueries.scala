@@ -17,15 +17,22 @@ import java.nio.file.Files
  */
 object PolarLogQueries extends QueryRegistry {
 
-  /** Produce events into a throwaway topic and return the consumed log. */
+  // One produced topic per (session, sfDir), shared by the read-only gate
+  // queries — mutating queries (groups/ndjson/repartition) build their own.
+  private val produced = scala.collection.concurrent.TrieMap.empty[(String, String), TopicConfig]
+
+  /** Produce events into a per-sfDir topic once and return the consumed log. */
   private def roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_polar_q").toString
-    val cfg = TopicConfig(root, "events")
-    val records = Tables.events(s, dir).select(
-      col("user_id").cast("string").as("partitionKey"),
-      col("ts").as("timestamp"),
-      to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"))
-    PolarLog.produce(records, cfg, orderBy = Seq(col("timestamp"), col("value")))
+    val cfg = produced.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val root = Files.createTempDirectory("graft_polar_q").toString
+      val c = TopicConfig(root, "events")
+      val records = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"),
+        to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"))
+      PolarLog.produce(records, c, orderBy = Seq(col("timestamp"), col("value")))
+      c
+    })
     PolarLog.consume(s, cfg)
   }
 

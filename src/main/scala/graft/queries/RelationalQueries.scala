@@ -401,6 +401,16 @@ object RelationalQueries extends QueryRegistry {
     // ---- scalar functions / json / subqueries -----------------------------
 
     QueryDef(
+      "q_approx_distinct",
+      // HLL sketches differ across engines -> rows-only gate entry; the
+      // exact counterpart q_count_distinct is oracle-checked
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts")),
+      None),
+
+    QueryDef(
       "q_scalar_funcs",
       (s, dir) => Tables.part(s, dir)
         .filter(col("p_partkey") <= 200)

@@ -30,7 +30,7 @@ object StreamingQueries extends QueryRegistry {
         PolarLog.produce(records, cfg)
         val n = records.count()
         val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
-            maxRecordsPerTrigger = Some(math.max(n / 7, 1)))
+            maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ckpt")
@@ -62,7 +62,7 @@ object StreamingQueries extends QueryRegistry {
         PolarLog.produce(records, src)
         val n = records.count()
         val pipe = PolarStream.read(s, src, startingOffsets = "earliest",
-            maxRecordsPerTrigger = Some(math.max(n / 5, 1)))
+            maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
           .select(col("partitionKey"), col("timestamp"), col("value"))
         val q = PolarStream.write(pipe, dst, s"$root/ckpt_pipe")
         q.awaitTermination(300000)
