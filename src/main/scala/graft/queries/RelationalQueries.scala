@@ -401,6 +401,39 @@ object RelationalQueries extends QueryRegistry {
     // ---- scalar functions / json / subqueries -----------------------------
 
     QueryDef(
+      "q_salted_join",
+      (s, dir) => {
+        // manual skew salting: exact same rows as the plain join the oracle
+        // computes, but each hot key spread over 8 tasks
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir).withColumnRenamed("p_partkey", "l_partkey")
+        graft.operators.SkewJoin.saltedInnerJoin(li, p, "l_partkey", saltFactor = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")),
+
+    QueryDef(
+      "q_percentile",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75")),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS median_price,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    QueryDef(
       "q_approx_distinct",
       // HLL sketches differ across engines -> rows-only gate entry; the
       // exact counterpart q_count_distinct is oracle-checked

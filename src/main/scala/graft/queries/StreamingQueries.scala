@@ -72,5 +72,83 @@ object StreamingQueries extends QueryRegistry {
       },
       Some("""
         SELECT CAST(user_id AS VARCHAR) AS partitionKey, COUNT(*) AS n
-        FROM events GROUP BY user_id""")))
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
+      "stream_windowed_agg",
+      (s, dir) => {
+        // watermarked tumbling-window aggregation over the polar stream,
+        // drained with AvailableNow; oracle recomputes the same windows
+        // from the raw table (hour windows are epoch-aligned in both)
+        val root = Files.createTempDirectory("graft_stream_w").toString
+        val cfg = TopicConfig(root, "events")
+        PolarLog.produce(Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value")), cfg)
+        val q = graft.streaming.StreamAnalytics.windowedCounts(
+            PolarStream.read(s, cfg, startingOffsets = "earliest"),
+            keyCol = "partitionKey", windowLength = "1 hour",
+            watermark = "10 minutes")
+          // complete mode so the windows still inside the final watermark are
+          // emitted too (append would hold the last 10 minutes back)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_window").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_window")
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("partitionKey"), col("n"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+               CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2""")),
+
+    QueryDef(
+      "stream_sessionize",
+      (s, dir) => {
+        // stateful sessionization (flatMapGroupsWithState) replayed over the
+        // log in batch mode; oracle computes the same 30-min-gap sessions
+        // with window functions
+        val root = Files.createTempDirectory("graft_stream_s").toString
+        val cfg = TopicConfig(root, "events")
+        PolarLog.produce(Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value")), cfg)
+        graft.streaming.StreamAnalytics
+          .sessionize(PolarLog.consume(s, cfg).toDF(), gapSeconds = 1800)
+          .groupBy(col("partitionKey"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("duration_secs")).as("max_session_secs"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id,
+                 CAST(ts AS TIMESTAMP) AS tsv,
+                 CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                        OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                           > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        numbered AS (
+          SELECT user_id, tsv,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY tsv
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS cnt,
+                 (epoch_us(MAX(tsv)) - epoch_us(MIN(tsv))) // 1000000 AS dur
+          FROM numbered GROUP BY user_id, session_id)
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               MAX(dur) AS max_session_secs
+        FROM per_session
+        GROUP BY user_id""")))
 }

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.GraftSession
+import graft.log.{PolarLog, TopicConfig}
+import graft.operators.SkewJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+class StreamAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("stream_analytics_spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def producedTopic(name: String): TopicConfig = {
+    val cfg = TopicConfig(root, name)
+    PolarLog.produce(graft.Tables.events(spark, sfDir).select(
+      col("user_id").cast("string").as("partitionKey"),
+      col("ts").as("timestamp"), col("props").as("value")), cfg)
+    cfg
+  }
+
+  test("windowed counts over the live stream equal the batch replay") {
+    val cfg = producedTopic("w_agg")
+    val q = StreamAnalytics.windowedCounts(
+        PolarStream.read(spark, cfg, "earliest"), "partitionKey", "1 hour", "5 minutes")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_w")
+      .outputMode("complete")
+      .format("memory").queryName("w_agg_out").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("w_agg_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamAnalytics.windowedCounts(
+        PolarLog.consume(spark, cfg), "partitionKey", "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionize (batch replay): totals add up and sessions respect the gap") {
+    val cfg = producedTopic("sess")
+    val sessions = StreamAnalytics
+      .sessionize(PolarLog.consume(spark, cfg).toDF(), gapSeconds = 3600)
+      .collect()
+    assert(sessions.map(_.n_events).sum === 1000)
+    sessions.foreach { s =>
+      assert(s.duration_secs >= 0)
+      assert(s.first_ts.getTime <= s.last_ts.getTime)
+    }
+    // tighter gap => at least as many sessions
+    val tighter = StreamAnalytics
+      .sessionize(PolarLog.consume(spark, cfg).toDF(), gapSeconds = 600)
+      .collect()
+    assert(tighter.length >= sessions.length)
+    assert(tighter.map(_.n_events).sum === 1000)
+  }
+
+  test("sessionize over a live stream accumulates state across micro-batches") {
+    val cfg = producedTopic("sess_live")
+    val q = StreamAnalytics.sessionize(
+        PolarStream.read(spark, cfg, "earliest",
+          maxRecordsPerTrigger = Some(300L)).toDF(), gapSeconds = 60)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_sl")
+      .outputMode("append")
+      .format("memory").queryName("sess_live_out").start()
+    q.awaitTermination(120000)
+    // closed sessions only (trailing ones stay in state) — every emitted
+    // session must respect the gap contract
+    val emitted = spark.table("sess_live_out").collect()
+    emitted.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= 1)
+      assert(r.getAs[Long]("duration_secs") >= 0)
+    }
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val p = graft.Tables.part(spark, sfDir).withColumnRenamed("p_partkey", "l_partkey")
+    val salted = SkewJoin.saltedInnerJoin(li, p, "l_partkey", saltFactor = 4)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = li.join(p, "l_partkey")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+}
