@@ -108,6 +108,37 @@ object StreamingQueries extends QueryRegistry {
         FROM events GROUP BY 1, 2""")),
 
     QueryDef(
+      "stream_dedup",
+      (s, dir) => {
+        // at-least-once delivery means consumers may see duplicates; the
+        // watermarked streaming dedup restores exactly-once downstream:
+        // the log holds every record twice, the deduped stream once
+        val root = Files.createTempDirectory("graft_stream_d").toString
+        val cfg = TopicConfig(root, "events")
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(records, cfg)
+        PolarLog.produce(records, cfg) // redelivery
+        val n = records.count()
+        val q = graft.streaming.StreamAnalytics.dedupStream(
+            PolarStream.read(s, cfg, startingOffsets = "earliest",
+              maxRecordsPerTrigger = Some(math.max(n / 2, 1)))
+              .select(col("partitionKey"), col("timestamp"), col("value")),
+            keyCols = Seq("partitionKey", "value"), watermark = "60 days")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_dedup").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_dedup")
+          .groupBy(col("partitionKey")).agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey, COUNT(*) AS n
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
       "stream_sessionize",
       (s, dir) => {
         // stateful sessionization (flatMapGroupsWithState) replayed over the

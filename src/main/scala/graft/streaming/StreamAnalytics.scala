@@ -46,6 +46,20 @@ object StreamAnalytics {
       .select(col(s"window.start").as("window_start"), col(keyCol), col("n"))
   }
 
+  /** Streaming exact dedup: drop records whose `keyCols` were already seen,
+    * with state bounded by the watermark (a duplicate arriving later than
+    * `watermark` after the original is no longer caught — the bounded-state
+    * tradeoff every 100 TB streaming dedup must make). In batch replay the
+    * same call is a plain dropDuplicates. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("timestamp", watermark)
+        .dropDuplicates(keyCols :+ "timestamp")
+    else events.dropDuplicates(keyCols :+ "timestamp")
+
   /** Session assembly with a gap timeout: events of a key within
     * `gapSeconds` of each other belong to one session; a quiet gap (or
     * end-of-stream) closes it. State is per-key and bounded by the timeout. */

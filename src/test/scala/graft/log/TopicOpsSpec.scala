@@ -108,6 +108,22 @@ class TopicOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(proj.nonEmpty)
   }
 
+  test("ring scale-DOWN (6 -> 3) preserves records and placement (A30)") {
+    val cfg = TopicConfig(root, "t_down", clusterSize = 6)
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val result = TopicOps.repartitionTopic(spark, cfg, "t_down_v2", newClusterSize = 3)
+    assert(result.recordsMoved === 1000)
+    val newLog = PolarLog.consume(spark, result.newCfg)
+    assert(newLog.count() === 1000)
+    newLog.select("partitionKey", "part").distinct().collect().foreach { r =>
+      val tok = graft.functions.Murmur3.hashString(r.getString(0))
+      assert(r.getInt(1) === graft.functions.TokenMath.partitionForToken(tok, 3, 4))
+    }
+  }
+
   test("caught-up groups project to new tails; lagging groups restart (A22)") {
     val cfg = TopicConfig(root, "t_scale_g", clusterSize = 3)
     val recs = graft.Tables.events(spark, sfDir)

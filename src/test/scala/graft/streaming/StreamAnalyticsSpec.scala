@@ -89,6 +89,27 @@ class StreamAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming dedup drops in-watermark duplicates across micro-batches") {
+    val cfg = TopicConfig(root, "dedup_s")
+    val base = graft.Tables.events(spark, sfDir).limit(200).select(
+      col("user_id").cast("string").as("partitionKey"),
+      col("ts").as("timestamp"), col("props").as("value"))
+    // produce everything twice -> log holds 400 records, 200 distinct
+    PolarLog.produce(base, cfg)
+    PolarLog.produce(base, cfg)
+    val q = StreamAnalytics.dedupStream(
+        PolarStream.read(spark, cfg, "earliest",
+          maxRecordsPerTrigger = Some(150L))
+          .select(col("partitionKey"), col("timestamp"), col("value")),
+        keyCols = Seq("partitionKey", "value"), watermark = "60 days")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_d")
+      .format("memory").queryName("dedup_s_out").start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_s_out").count() === 200)
+    assert(PolarLog.consume(spark, cfg).count() === 400)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = graft.Tables.lineitem(spark, sfDir)
     val p = graft.Tables.part(spark, sfDir).withColumnRenamed("p_partkey", "l_partkey")
