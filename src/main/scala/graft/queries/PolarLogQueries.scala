@@ -99,6 +99,22 @@ object PolarLogQueries extends QueryRegistry {
       Some("SELECT COUNT(*) AS first_poll, CAST(0 AS BIGINT) AS after_commit FROM events")),
 
     QueryDef(
+      "polar_tokens",
+      // the placement kernel exercised directly through the gate: token and
+      // flat partition for every event key (rows-only: DuckDB has no
+      // Cassandra murmur3; golden vectors live in Murmur3Spec)
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("partitionKey")).distinct()
+          .select(col("partitionKey"),
+            graft.functions.GraftFunctions.murmur3_h1(col("partitionKey")).as("token"))
+          .withColumn("part",
+            graft.functions.GraftFunctions.polar_partition(col("token"), 3, 4))
+      },
+      None),
+
+    QueryDef(
       "polar_repartition",
       (s, dir) => {
         // scale-up 3 -> 6 brokers: every record re-placed by the new ring,

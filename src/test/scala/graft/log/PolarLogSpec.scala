@@ -175,6 +175,35 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("empty produce is a no-op that leaves metadata untouched") {
+    val cfg = TopicConfig(root, "t_empty")
+    PolarLog.produce(eventsAsRecords.drop("event_id").limit(5), cfg)
+    val before = LogMetadata.read(cfg)
+    val res = PolarLog.produce(
+      eventsAsRecords.drop("event_id").filter(col("partitionKey") === "no_such_key"), cfg)
+    assert(res.recordsWritten === 0)
+    val after = LogMetadata.read(cfg)
+    assert(after.producerOffsets === before.producerOffsets)
+    assert(PolarLog.consume(spark, cfg).count() === 5)
+  }
+
+  test("unicode and empty-string keys route deterministically") {
+    val cfg = TopicConfig(root, "t_unicode")
+    val df = spark.createDataFrame(Seq(
+      ("日本語キー", "v1"), ("ключ", "v2"), ("", "v3"), ("emoji🔥", "v4")))
+      .toDF("partitionKey", "value")
+    PolarLog.produce(df, cfg)
+    val rows = PolarLog.consume(spark, cfg)
+      .select("partitionKey", "token", "part").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val expect = graft.functions.Murmur3.hashString(r.getString(0))
+      assert(r.getLong(1) === expect)
+      assert(r.getInt(2) ===
+        graft.functions.TokenMath.partitionForToken(expect, 3, 4))
+    }
+  }
+
   test("metadata json round-trips") {
     val m = LogMetadata(7L, 3, 4, Vector.tabulate(12)(_.toLong * 5))
     assert(LogMetadata.parse(LogMetadata.render(m)) === m)
