@@ -95,13 +95,18 @@ object Sketches {
     var i = 0
     var j = 0
     var inter = 0
+    var nulls = 0
+    // null elements (sort_array places them first) are skipped — a null
+    // token is not content to match on
+    while (i < na && a.isNullAt(i)) { i += 1; nulls += 1 }
+    while (j < nb && b.isNullAt(j)) { j += 1; nulls += 1 }
     while (i < na && j < nb) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
-    val union = na + nb - inter
+    val union = na + nb - nulls - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 

@@ -59,18 +59,26 @@ object ConsumerGroups {
     fc.rename(tmp, path, Options.Rename.OVERWRITE)
   }
 
-  /** Starting offsets for a group: committed state, or the reset policy's
-    * defaults for a new group. */
+  /** Starting offsets for a group: committed state, or — for a brand-new
+    * group — the reset policy's defaults, which are PERSISTED immediately
+    * (registration pins the start, like `PUT /v1/consumer/register`): a
+    * Latest group that polls twice without committing must re-serve the same
+    * records, not skip whatever was produced in between. */
   def startingOffsets(
       cfg: TopicConfig, group: String, policy: ResetPolicy): Map[Int, Long] =
-    committed(cfg, group).getOrElse(policy match {
-      case Earliest => (0 until cfg.numPartitions).map(_ -> 0L).toMap
-      case Latest => PolarLog.tails(cfg)
-    })
+    committed(cfg, group).getOrElse {
+      val start = policy match {
+        case Earliest => (0 until cfg.numPartitions).map(_ -> 0L).toMap
+        case Latest => PolarLog.tails(cfg)
+      }
+      commit(cfg, group, start) // registration
+      start
+    }
 
   /** One consume round: everything from the group's position to the current
-    * tails. Does NOT commit — call [[commit]] with `nextOffsets` after the
-    * batch is safely processed (manual commit), or use [[pollAndCommit]]. */
+    * tails. Does NOT advance the position — call [[commit]] with
+    * `nextOffsets` after the batch is safely processed (manual commit), or
+    * use [[pollAndCommit]]. */
   def poll(
       spark: SparkSession,
       cfg: TopicConfig,
@@ -83,22 +91,27 @@ object ConsumerGroups {
   }
 
   /** Auto-commit analog (`internal/conf/config.go:264-266`'s 5 s auto-commit
-    * collapsed to commit-on-successful-poll for the batch path). */
+    * collapsed to commit-on-poll for the batch path). The returned frame is
+    * bounded by the poll's [start, end) offsets over an immutable log, so it
+    * yields the same records whenever evaluated — committing first is safe. */
   def pollAndCommit(
       spark: SparkSession,
       cfg: TopicConfig,
       group: String,
       policy: ResetPolicy = Latest): DataFrame = {
     val p = poll(spark, cfg, group, policy)
-    // materialization boundary: only commit after the batch is consumed
-    p.records.cache().count()
     commit(cfg, group, p.nextOffsets)
     p.records
   }
 
-  /** Commit + unregister. */
+  /** Commit + unregister: the group's state file is removed, so a future
+    * group with the same name starts fresh from its reset policy
+    * (`internal/consuming/server.go:448-488`). */
   def goodbye(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit = {
     commit(cfg, group, nextOffsets)
+    val path = groupPath(cfg, group)
+    val fc = FileContext.getFileContext(path.toUri, new org.apache.hadoop.conf.Configuration())
+    if (fc.util().exists(path)) fc.delete(path, false)
   }
 
   private[log] def render(offsets: Map[Int, Long]): String =

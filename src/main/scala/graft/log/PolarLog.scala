@@ -84,9 +84,6 @@ object PolarLog {
       orderBy: Seq[Column] = Nil): ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
-    // int64-micros timestamps in the log files (not INT96) so the streaming
-    // reader's plain column access works and row-group stats stay usable
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val meta0 = {
       val m = LogMetadata.read(cfg)
       require(m.clusterSize == cfg.clusterSize && m.rangesPerToken == cfg.rangesPerToken,
@@ -126,11 +123,21 @@ object PolarLog {
         col("timestamp"), col("value"), col("part"))
 
     val before = listDataFiles(cfg)
-    enveloped.write
+    // int64-micros timestamps in the log files (not INT96) so the streaming
+    // reader's plain column access works and row-group stats stay usable —
+    // scoped to this write, restoring the caller's session conf after
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try enveloped.write
       .mode("append")
       .option("compression", "zstd")
       .partitionBy("part")
       .parquet(cfg.dir)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
 
     val after = listDataFiles(cfg)
     val newFiles = after.map { case (p, files) =>
@@ -156,13 +163,14 @@ object PolarLog {
   /** NDJSON multi-record ingestion (SURVEY §2 A4): one request row with an
     * `application/x-ndjson` string body becomes one record per non-empty
     * line, sharing the request's key/timestamp — mirroring
-    * `/root/reference/internal/producing/models.go:44-87`. */
+    * `/root/reference/internal/producing/models.go:44-87`. CRLF bodies are
+    * normalized (the reference's line scanner drops the trailing CR). */
   def ingestNdjson(
       df: DataFrame,
       cfg: TopicConfig,
       bodyCol: String = "body"): ProduceResult = {
     val exploded = df
-      .withColumn("__line", explode(split(col(bodyCol), "\n")))
+      .withColumn("__line", explode(split(col(bodyCol), "\r?\n")))
       .filter(length(trim(col("__line"))) > 0)
       .withColumn("value", col("__line").cast(BinaryType))
       .drop("__line", bodyCol)
@@ -210,7 +218,8 @@ object PolarLog {
     val df = consume(spark, cfg)
       .filter(col("part") === partition && col("offset") >= fromOffset)
       .orderBy(col("offset"))
-    if (maxRecords == Long.MaxValue) df else df.limit(maxRecords.toInt)
+    if (maxRecords >= Int.MaxValue) df
+    else df.limit(math.max(maxRecords, 0L).toInt)
   }
 
   /** Retention GC (SURVEY §2 A25): delete data files whose modification time

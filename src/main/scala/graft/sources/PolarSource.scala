@@ -229,16 +229,26 @@ class PolarReaderFactory(topicName: String) extends PartitionReaderFactory {
 }
 
 object PolarReaderFactory {
+  // log files are immutable once visible, so footer stats are cached for the
+  // life of the driver — planning stays O(files-in-delta) footer READS even
+  // though every trigger inspects the full listing
+  private val rangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** (min, max) of the offset column across a file's row groups. */
   def fileOffsetRange(file: String, conf: Configuration): (Long, Long) = {
+    val cached = rangeCache.get(file)
+    if (cached != null) return cached
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-    try {
+    val range = try {
       val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == "offset").map(_.getStatistics)
       }
       (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
         stats.map(_.genericGetMax.asInstanceOf[Long]).max)
     } finally reader.close()
+    rangeCache.put(file, range)
+    range
   }
 }
 

@@ -142,6 +142,44 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerGroups.poll(spark, cfg, "g_early").records.count() === 400)
   }
 
+  test("latest-policy registration pins the start: uncommitted polls re-serve, never skip") {
+    val cfg = TopicConfig(root, "t_pin")
+    PolarLog.produce(eventsAsRecords.filter(col("event_id") < 300).drop("event_id"), cfg)
+    // registration at current tails
+    assert(ConsumerGroups.poll(spark, cfg, "g_pin", ConsumerGroups.Latest)
+      .records.count() === 0)
+    // new data lands; TWO uncommitted polls must both serve it (at-least-once)
+    PolarLog.produce(eventsAsRecords.filter(col("event_id") >= 300 &&
+      col("event_id") < 500).drop("event_id"), cfg)
+    val p1 = ConsumerGroups.poll(spark, cfg, "g_pin")
+    val p2 = ConsumerGroups.poll(spark, cfg, "g_pin")
+    assert(p1.records.count() === 200)
+    assert(p2.records.count() === 200, "uncommitted poll must re-serve, not skip")
+  }
+
+  test("goodbye unregisters: a reborn group starts fresh from its policy") {
+    val cfg = TopicConfig(root, "t_bye")
+    PolarLog.produce(eventsAsRecords.filter(col("event_id") < 400).drop("event_id"), cfg)
+    val p = ConsumerGroups.poll(spark, cfg, "g_bye", ConsumerGroups.Earliest)
+    assert(p.records.count() === 400)
+    ConsumerGroups.goodbye(cfg, "g_bye", p.nextOffsets)
+    assert(ConsumerGroups.committed(cfg, "g_bye").isEmpty, "state file must be gone")
+    // reborn with Earliest: full replay, not resume
+    assert(ConsumerGroups.poll(spark, cfg, "g_bye", ConsumerGroups.Earliest)
+      .records.count() === 400)
+  }
+
+  test("ndjson ingestion normalizes CRLF line endings") {
+    val cfg = TopicConfig(root, "t_crlf")
+    val reqs = spark.createDataFrame(Seq(("k1", "{\"a\":1}\r\n{\"a\":2}\r\n")))
+      .toDF("partitionKey", "body")
+    val res = PolarLog.ingestNdjson(reqs, cfg)
+    assert(res.recordsWritten === 2)
+    val vals = PolarLog.consume(spark, cfg)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+    assert(vals === Set("{\"a\":1}", "{\"a\":2}"), "no trailing CR bytes")
+  }
+
   test("ndjson ingestion splits lines into records") {
     val cfg = TopicConfig(root, "t_ndjson")
     val reqs = spark.createDataFrame(Seq(
