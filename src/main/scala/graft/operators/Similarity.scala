@@ -89,6 +89,58 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /**
+   * IVF (inverted-file) ANN: coarse-quantize every vector to its nearest of
+   * `nCells` centroid vectors (deterministically sampled from the data —
+   * a real deployment would k-means them; the index structure and probe
+   * path are identical), then answer queries by scanning only the `nProbe`
+   * cells nearest the query. Complements [[lshTopK]]: IVF cells adapt to
+   * the data distribution where LSH planes are data-independent.
+   *
+   * At 100 TB the cell assignment is one codegen'd pass, the cell id is a
+   * partition/cluster column, and a query touches nProbe/nCells of the data.
+   */
+  def ivfTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    // deterministic centroid sample: the nCells lowest ids
+    val centroids = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nCells)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("v").toSeq)
+
+    def cellOf(vec: Column): Column =
+      centroids.zipWithIndex.foldLeft((lit(-1), lit(Double.MinValue))) {
+        case ((bestIdx, bestSim), (c, i)) =>
+          val sim = cosine(vec, typedLit(c))
+          (when(sim > bestSim, lit(i)).otherwise(bestIdx),
+            greatest(sim, bestSim))
+      }._1
+
+    val qCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var dot = 0.0; var qq = 0.0; var cc = 0.0
+        queryVec.zip(c).foreach { case (a, b) =>
+          dot += a.toDouble * b.toDouble; qq += a.toDouble * a.toDouble
+          cc += b.toDouble * b.toDouble
+        }
+        i -> dot / (math.sqrt(qq) * math.sqrt(cc))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+
+    val q = typedLit(queryVec)
+    df.withColumn("cell", cellOf(col(vecCol)))
+      .filter(col("cell").isin(qCells: _*))
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine ≥ threshold (quadratic baseline). */
   def exactCosinePairs(
       df: DataFrame,

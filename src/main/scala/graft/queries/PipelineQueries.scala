@@ -199,6 +199,17 @@ object PipelineQueries extends QueryRegistry {
       None),
 
     QueryDef(
+      "sim_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20, nCells = 8, nProbe = 2)
+      },
+      None),
+
+    QueryDef(
       "multimodal_features",
       (s, dir) => Multimodal.decodeAndFeaturize(
         Multimodal.asMedia(Tables.documents(s, dir)))

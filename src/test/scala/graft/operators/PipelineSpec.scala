@@ -83,6 +83,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.nonEmpty, "lsh buckets should recall some pairs")
   }
 
+  test("ivf top-k scores match brute force and recall is reasonable") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = embs.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", qv, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(rest, "embedding", "vec_id", qv, 20,
+      nCells = 8, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    // every IVF result present in the brute top-20 is scored identically
+    ivf.foreach { r =>
+      brute.get(r.getLong(0))
+        .foreach(s => assert(math.abs(s - r.getDouble(1)) < 1e-9))
+    }
+    // probing half the cells should recall a decent share of the true top-20
+    val recall = ivf.map(_.getLong(0)).count(brute.contains).toDouble / 20.0
+    assert(recall >= 0.3, s"ivf recall $recall")
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(docs.limit(50))
     val f1 = Multimodal.decodeAndFeaturize(media, batchSize = 7)
