@@ -381,7 +381,7 @@ object RelationalQueries extends QueryRegistry {
             .cast("double").as("even_user_value")),
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_big,
+               CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS even_user_value
         FROM events
         GROUP BY event_type""")),
