@@ -94,6 +94,106 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** 60-bit cross-engine-deterministic content hash: the first 15 hex chars
+    * of md5 interpreted as an integer. Any engine with md5 computes the same
+    * value (the DuckDB oracle mirrors it nibble-by-nibble), unlike
+    * xxhash64/murmur whose implementations are engine-private. Stays inside
+    * whole-stage codegen (md5/conv/substr are all native expressions). */
+  def md5Hash60(c: Column): Column =
+    conv(substr(md5(c.cast("binary")), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** XOR-scramble seeds for the md5 minhash family: golden-ratio multiples
+    * masked to 60 bits. XOR by a constant is a bijection on the hash space,
+    * so `min(h XOR r_i)` is an independent minwise sample per seed at one
+    * md5 per shingle (vs one keyed hash per shingle per seed). */
+  private[graft] def xorSeeds(n: Int): Seq[Long] =
+    (0 until n).map(i => (i * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1))
+
+  /**
+   * [[minhashLshPairs]] with the oracle-mirrorable md5 hash family and
+   * band-value (not band-hash) bucketing, so every intermediate — signature,
+   * band bucket, candidate set, final pairs — is reproducible in any engine
+   * with md5. Same plan shape and shuffle structure as the xxhash64 variant;
+   * the only differences are the hash kernel and joining on the band's
+   * `array<long>` slice directly instead of hashing it first.
+   */
+  def md5MinhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    val seeds = xorSeeds(numHashes)
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      // hash each shingle once, then derive all minhashes by XOR-scramble
+      .withColumn("hs", transform(col("sh"), x => md5Hash60(x)))
+      .withColumn("sig", array(seeds.map(r =>
+        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(r))))): _*))
+    val banded = docs.withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            slice(col("sig"), b * rows + 1, lit(rows)).as("band_val")))))
+      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_val"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** 60-bit SimHash over [[md5Hash60]] token hashes as pure higher-order
+    * built-ins (one md5 + 60 counter updates per token, all codegen'd):
+    * bit j of the result is set iff more tokens have bit j set than clear.
+    * Cross-engine mirrorable, unlike [[graft.functions.SimHash64]]'s
+    * murmur3 kernel (which stays the scale path). */
+  def md5Simhash(tokens: Column): Column = {
+    val counts = aggregate(tokens, array_repeat(lit(0), 60),
+      (acc, t) => {
+        val h = md5Hash60(t)
+        zip_with(acc, sequence(lit(0), lit(59)),
+          (c, j) => c + when(call_function("shiftright", h, j)
+            .bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+      })
+    aggregate(zip_with(counts, sequence(lit(0), lit(59)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** [[simhashPairs]] with the md5 hash family: 60-bit fingerprints, 15-bit
+    * chunk banding (4 chunks — exact retrieval for hamming ≤ 3, candidate
+    * banding above that), hamming filter. Fully oracle-mirrorable. */
+  def md5SimhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      md5Simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk_idx"),
+      shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("chunk_val")))
+    val chunked = fps.withColumn("chunk", explode(array(chunks: _*)))
+      .select(col("id"), col("simhash"), col("chunk.chunk_idx"), col("chunk.chunk_val"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard pairs (quadratic — candidate set must be small;
     * the scalable path is [[minhashLshPairs]]). */
   def exactJaccardPairs(

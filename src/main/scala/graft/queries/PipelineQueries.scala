@@ -18,6 +18,12 @@ object PipelineQueries extends QueryRegistry {
   // SQL fragments shared by oracles
   private val WordsSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w)>0)"
+  /** First 15 hex chars of a lowercase hex string as a BIGINT — the DuckDB
+    * mirror of [[Dedup.md5Hash60]]. */
+  private def hex15ToInt(hexExpr: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 15),
+        i -> CAST(strpos('0123456789abcdef', substr($hexExpr, i, 1)) - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b)"""
   private def shinglesSql(words: String) =
     s"""CASE WHEN len($words) < 3 THEN [array_to_string($words, ' ')]
         ELSE list_distinct([array_to_string($words[i:i+2], ' ')
@@ -126,30 +132,92 @@ object PipelineQueries extends QueryRegistry {
         WHERE a.doc_id < b.doc_id AND a.doc_id < 100 AND b.doc_id < 100
           AND round(jaccard(a.text, b.text), 6) >= 0.9""")),
 
-    // sketch operators: rows-only gate entries (no SQL mirror exists);
-    // value-verified against exact counterparts in PipelineSpec
+    // sketch operators, md5-hash-family variants: every intermediate
+    // (signature, band bucket, candidate set) is engine-neutral, so the
+    // DuckDB oracle replays the whole sketch pipeline value-for-value.
+    // The murmur/xxhash variants stay the scale path, value-verified in
+    // PipelineSpec.
     QueryDef(
       "dedup_minhash_lsh",
       // 32 hashes / 16 bands of 2: collision P at j=0.8 is 1-(1-0.64)^16≈1.0,
       // at half the signature cost of 64 hashes
-      (s, dir) => Dedup.minhashLshPairs(
+      (s, dir) => Dedup.md5MinhashLshPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
         "text", "doc_id", shingleK = 1, numHashes = 32, bands = 16,
         threshold = 0.8),
-      None),
+      Some {
+        val rlist = Dedup.xorSeeds(32).map(_.toString + "::BIGINT").mkString(",")
+        s"""WITH docs AS (
+          SELECT doc_id, list_distinct($WordsSql) AS sh
+          FROM documents WHERE doc_id % 10 = 0),
+        hashed AS (
+          SELECT doc_id, sh, list_transform(sh, s -> ${hex15ToInt("md5(s)")}) AS hs
+          FROM docs),
+        sigs AS (
+          SELECT doc_id, sh, [ list_min([xor(h, r) for h in hs]) for r in [$rlist] ] AS sig
+          FROM hashed),
+        banded AS (
+          SELECT doc_id, sh, b, sig[2*b+1 : 2*b+2] AS bv
+          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                     (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)), 6) AS sim
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+              (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) >= 0.8"""
+      }),
 
     QueryDef(
       "dedup_simhash",
-      (s, dir) => Dedup.simhashPairs(
+      (s, dir) => Dedup.md5SimhashPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         "text", "doc_id", maxDistance = 8),
-      None),
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, $WordsSql AS toks
+          FROM documents WHERE doc_id % 5 = 0),
+        hashed AS (
+          SELECT doc_id, list_transform(toks, s -> ${hex15ToInt("md5(s)")}) AS hs
+          FROM docs),
+        fp AS (
+          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                   CASE WHEN 2*len(list_filter(hs, h -> (h >> j) & 1 = 1)) - len(hs) > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+          FROM hashed),
+        chunked AS (
+          SELECT doc_id, simhash, c, (simhash >> (c*15)) & 32767 AS cv
+          FROM fp, (SELECT unnest(generate_series(0, 3)) AS c) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM chunked a JOIN chunked b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 8""")),
 
     QueryDef(
       "text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), rolling_fingerprint(col("text")).as("fp")),
-      None),
+      // Karp–Rabin base-257 mod 2^64 over UTF-8 bytes, replayed in HUGEINT
+      // arithmetic (Java long wraparound == mod 2^64 on the unsigned view)
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+                   list_transform(generate_series(1, length(hx)//2),
+                     i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                          + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1))),
+                   (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) AS h
+          FROM b)
+        SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+        FROM v""")),
 
     QueryDef(
       "sim_topk",
@@ -207,7 +275,36 @@ object PipelineQueries extends QueryRegistry {
         Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
           "embedding", "vec_id", qv, 20, nCells = 8, nProbe = 2)
       },
-      None),
+      // the whole IVF index is deterministic (centroids = 8 lowest ids,
+      // argmax-cosine assignment with lowest-index tiebreak), so DuckDB can
+      // rebuild it: cosine folds are bit-identical across engines
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        assign AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT ci FROM c
+                  ORDER BY list_dot_product(e.v, c.cv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           ci ASC LIMIT 1) AS cell
+          FROM e),
+        qcells AS (
+          SELECT ci FROM c, q
+          ORDER BY list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                   ci ASC LIMIT 2)
+        SELECT vec_id AS id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM assign, q WHERE cell IN (SELECT ci FROM qcells)
+        ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
       "multimodal_features",
@@ -236,5 +333,16 @@ object PipelineQueries extends QueryRegistry {
         Multimodal.asMedia(Tables.documents(s, dir)).toDF())
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("frame_len")).as("bytes_sampled")),
-      None))
+      // frame i of a doc covers chars [256*i, 256*i+256); every 4th kept
+      // (documents are ASCII with no newlines, so Spark's regex framing ==
+      // arithmetic framing over length)
+      Some("""
+        WITH f AS (
+          SELECT doc_id, length(text) AS L,
+                 unnest(generate_series(0, CAST(length(text) AS BIGINT)//256)) AS i
+          FROM documents)
+        SELECT doc_id, COUNT(*) AS n_sampled,
+               CAST(SUM(least(256, L - 256*i)) AS BIGINT) AS bytes_sampled
+        FROM f WHERE i % 4 = 0 AND L - 256*i > 0
+        GROUP BY doc_id""")))
 }
