@@ -90,7 +90,8 @@ object GraftFunctions {
       HyperplaneLsh(args.head, intArg(args(1)), intArg(args(2)))),
     "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)),
     "polar_frames" -> ((args: Seq[Expression]) => PolarFrames(args.head)),
-    "sorted_jaccard" -> ((args: Seq[Expression]) => SortedJaccard(args(0), args(1))))
+    "sorted_jaccard" -> ((args: Seq[Expression]) => SortedJaccard(args(0), args(1))),
+    "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
   def install(ext: SparkSessionExtensions): Unit =
@@ -100,10 +101,14 @@ object GraftFunctions {
     }
 
   /** SQL-name registration on an already-built session (driver's Verify /
-    * Bench sessions). Idempotent. */
+    * Bench sessions). Idempotent: already-registered names are skipped (a
+    * re-register would log a "replaced a previously registered function"
+    * warning per name per query). */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      GraftShims.registerFunction(spark, name, new ExpressionInfo(getClass.getName, name), b)
+      if (!GraftShims.functionExists(spark, name)) {
+        GraftShims.registerFunction(spark, name, new ExpressionInfo(getClass.getName, name), b)
+      }
     }
 
   /** Token of a partition key (Cassandra murmur3 x64 H1). */
@@ -132,4 +137,8 @@ object GraftFunctions {
   /** Merge-walk Jaccard of two sorted+distinct string arrays. */
   def sorted_jaccard(a: Column, b: Column): Column =
     GraftShims.column(SortedJaccard(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
+  def hll60(hash: Column): Column =
+    GraftShims.column(Hll60(GraftShims.expression(hash)).toAggregateExpression())
 }

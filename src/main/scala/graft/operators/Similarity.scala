@@ -68,6 +68,44 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * ANN top-k with DATA-DERIVED hyperplanes: the `numPlanes` lowest-id
+   * vectors act as projection normals (a cheap stand-in for sampled/learned
+   * projections), bucket bit j = sign(dot(v, plane_j)). Fully deterministic
+   * from the data — no engine-private RNG — so an external oracle can
+   * rebuild the whole index; [[lshTopK]]'s murmur-seeded planes remain the
+   * data-independent variant. Same scale shape: one codegen'd pass computes
+   * buckets, the probe touches one bucket.
+   */
+  def dataPlaneLshTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      numPlanes: Int = 6): DataFrame = {
+    val planes = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(numPlanes)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("v").toSeq)
+    def bucketOf(vec: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // query bucket: same sequential double fold as the column-side dot
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = queryVec.zip(p).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      if (d >= 0) 1L << j else 0L
+    }.sum
+    val q = typedLit(queryVec)
+    df.withColumn("bucket", bucketOf(col(vecCol)))
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs (cosine ≥ threshold), LSH-bucketed: pairs are
     * only scored within a bucket. With `numPlanes` small the recall is high;
     * exactness on a given dataset is checked against the brute-force path in

@@ -18,12 +18,7 @@ object PipelineQueries extends QueryRegistry {
   // SQL fragments shared by oracles
   private val WordsSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w)>0)"
-  /** First 15 hex chars of a lowercase hex string as a BIGINT — the DuckDB
-    * mirror of [[Dedup.md5Hash60]]. */
-  private def hex15ToInt(hexExpr: String): String =
-    s"""list_reduce(list_transform(generate_series(1, 15),
-        i -> CAST(strpos('0123456789abcdef', substr($hexExpr, i, 1)) - 1 AS BIGINT)),
-        (a, b) -> a * 16 + b)"""
+  private def hex15ToInt(hexExpr: String): String = OracleSql.hex15ToInt(hexExpr)
   private def shinglesSql(words: String) =
     s"""CASE WHEN len($words) < 3 THEN [array_to_string($words, ' ')]
         ELSE list_distinct([array_to_string($words[i:i+2], ' ')
@@ -257,14 +252,40 @@ object PipelineQueries extends QueryRegistry {
 
     QueryDef(
       "sim_ann_lsh",
+      // data-derived hyperplanes (lowest-id vectors as normals) make the
+      // whole index deterministic and oracle-replayable; the murmur-seeded
+      // lshTopK stays the data-independent variant, spec-verified
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val qv = emb.filter(col("vec_id") === 0)
           .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
-        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+        Similarity.dataPlaneLshTopK(emb.filter(col("vec_id") =!= 0),
           "embedding", "vec_id", qv, 20, numPlanes = 6)
       },
-      None),
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj,
+                 CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 6),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        qb AS (
+          SELECT CAST(SUM(CASE WHEN list_dot_product(q.qv, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM q, p)
+        SELECT vec_id AS id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM b, q, qb WHERE b.bucket = qb.bucket
+        ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
       "sim_ann_ivf",

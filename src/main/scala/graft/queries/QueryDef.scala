@@ -23,3 +23,17 @@ final case class QueryDef(
 trait QueryRegistry {
   def all: Seq[QueryDef]
 }
+
+/** DuckDB SQL fragments shared across oracle mirrors. */
+object OracleSql {
+  /** First 15 hex chars of a lowercase hex expression as a BIGINT — the
+    * DuckDB mirror of [[graft.operators.Dedup.md5Hash60]]. */
+  def hex15ToInt(hexExpr: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 15),
+        i -> CAST(strpos('0123456789abcdef', substr($hexExpr, i, 1)) - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b)"""
+
+  /** md5Hash60 of a column rendered as VARCHAR. */
+  def md5Hash60(colExpr: String): String =
+    hex15ToInt(s"md5(CAST($colExpr AS VARCHAR))")
+}

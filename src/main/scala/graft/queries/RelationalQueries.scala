@@ -435,13 +435,50 @@ object RelationalQueries extends QueryRegistry {
 
     QueryDef(
       "q_approx_distinct",
-      // HLL sketches differ across engines -> rows-only gate entry; the
-      // exact counterpart q_count_distinct is oracle-checked
+      // graft's own HLL aggregate (graft.functions.Hll60): mergeable
+      // 4096-register sketch over the engine-neutral md5 hash with an
+      // integer-only estimator, so the oracle replays it register-for-
+      // register in HUGEINT arithmetic (built-in approx_count_distinct
+      // stays available but its HLL++ state is engine-private)
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts")),
-      None),
+        .agg(
+          graft.functions.GraftFunctions.hll60(
+            graft.operators.Dedup.md5Hash60(col("l_orderkey").cast("string")))
+            .as("approx_orders"),
+          graft.functions.GraftFunctions.hll60(
+            graft.operators.Dedup.md5Hash60(col("l_partkey").cast("string")))
+            .as("approx_parts")),
+      Some(s"""
+        WITH h AS (
+          SELECT l_returnflag,
+                 ${OracleSql.md5Hash60("l_orderkey")} AS ho,
+                 ${OracleSql.md5Hash60("l_partkey")} AS hp
+          FROM lineitem),
+        ro AS (
+          SELECT l_returnflag, CAST(ho & 4095 AS INT) AS bucket,
+                 COALESCE(1 + list_min(list_filter(generate_series(0, 47),
+                   j -> ((ho >> 12) >> j) & 1 = 1)), 49) AS rho
+          FROM h),
+        rp AS (
+          SELECT l_returnflag, CAST(hp & 4095 AS INT) AS bucket,
+                 COALESCE(1 + list_min(list_filter(generate_series(0, 47),
+                   j -> ((hp >> 12) >> j) & 1 = 1)), 49) AS rho
+          FROM h),
+        so AS (
+          SELECT l_returnflag,
+                 SUM(1::HUGEINT << (49 - mj)) + (4096 - COUNT(*)) * (1::HUGEINT << 49) AS s
+          FROM (SELECT l_returnflag, bucket, MAX(rho) AS mj FROM ro GROUP BY 1, 2)
+          GROUP BY 1),
+        sp AS (
+          SELECT l_returnflag,
+                 SUM(1::HUGEINT << (49 - mj)) + (4096 - COUNT(*)) * (1::HUGEINT << 49) AS s
+          FROM (SELECT l_returnflag, bucket, MAX(rho) AS mj FROM rp GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT so.l_returnflag,
+               CAST((7213 * (1::HUGEINT << 85)) // (40970790::HUGEINT * so.s) AS BIGINT) AS approx_orders,
+               CAST((7213 * (1::HUGEINT << 85)) // (40970790::HUGEINT * sp.s) AS BIGINT) AS approx_parts
+        FROM so JOIN sp ON so.l_returnflag = sp.l_returnflag""")),
 
     QueryDef(
       "q_scalar_funcs",

@@ -19,6 +19,11 @@ object GraftShims {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  def functionExists(spark: SparkSession, name: String): Boolean = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
+  }
+
   def registerFunction(
       spark: SparkSession,
       name: String,
