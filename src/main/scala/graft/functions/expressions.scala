@@ -86,6 +86,8 @@ object GraftFunctions {
     "polar_partition" -> ((args: Seq[Expression]) =>
       PolarPartition(args.head, intArg(args(1)), intArg(args(2)))),
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
+    "md5_hash60" -> ((args: Seq[Expression]) => Md5Hash60(args.head)),
+    "md5_simhash60" -> ((args: Seq[Expression]) => Md5Simhash60(args.head)),
     "hyperplane_lsh" -> ((args: Seq[Expression]) =>
       HyperplaneLsh(args.head, intArg(args(1)), intArg(args(2)))),
     "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)),
@@ -121,6 +123,14 @@ object GraftFunctions {
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(tokens)))
+
+  /** Engine-neutral 60-bit md5-derived content hash. */
+  def md5_hash60(c: Column): Column =
+    GraftShims.column(Md5Hash60(GraftShims.expression(c)))
+
+  /** 60-bit SimHash over md5_hash60 token hashes (oracle-mirrorable). */
+  def md5_simhash60(tokens: Column): Column =
+    GraftShims.column(Md5Simhash60(GraftShims.expression(tokens)))
 
   /** Sign-random-projection LSH bucket of an embedding. */
   def hyperplane_lsh(vec: Column, numPlanes: Int, seed: Int): Column =

@@ -97,10 +97,11 @@ object Dedup {
   /** 60-bit cross-engine-deterministic content hash: the first 15 hex chars
     * of md5 interpreted as an integer. Any engine with md5 computes the same
     * value (the DuckDB oracle mirrors it nibble-by-nibble), unlike
-    * xxhash64/murmur whose implementations are engine-private. Stays inside
-    * whole-stage codegen (md5/conv/substr are all native expressions). */
+    * xxhash64/murmur whose implementations are engine-private. Native
+    * codegen'd kernel ([[graft.functions.Md5Hash60]]) — equivalent to
+    * `conv(substr(md5(x), 1, 15), 16, 10)` without the hex round-trip. */
   def md5Hash60(c: Column): Column =
-    conv(substr(md5(c.cast("binary")), lit(1), lit(15)), 16, 10).cast("long")
+    graft.functions.GraftFunctions.md5_hash60(c.cast("binary"))
 
   /** XOR-scramble seeds for the md5 minhash family: golden-ratio multiples
     * masked to 60 bits. XOR by a constant is a bijection on the hash space,
@@ -150,23 +151,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** 60-bit SimHash over [[md5Hash60]] token hashes as pure higher-order
-    * built-ins (one md5 + 60 counter updates per token, all codegen'd):
-    * bit j of the result is set iff more tokens have bit j set than clear.
-    * Cross-engine mirrorable, unlike [[graft.functions.SimHash64]]'s
-    * murmur3 kernel (which stays the scale path). */
-  def md5Simhash(tokens: Column): Column = {
-    val counts = aggregate(tokens, array_repeat(lit(0), 60),
-      (acc, t) => {
-        val h = md5Hash60(t)
-        zip_with(acc, sequence(lit(0), lit(59)),
-          (c, j) => c + when(call_function("shiftright", h, j)
-            .bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-      })
-    aggregate(zip_with(counts, sequence(lit(0), lit(59)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+  /** 60-bit SimHash over [[md5Hash60]] token hashes: bit j of the result is
+    * set iff more tokens have bit j set than clear. Cross-engine mirrorable
+    * (the oracle replays it from md5 hex), served by the native codegen'd
+    * kernel [[graft.functions.Md5Simhash60]] — a higher-order-function
+    * formulation of the same math benched 8× slower from per-token array
+    * allocation. [[graft.functions.SimHash64]]'s murmur3 kernel stays the
+    * engine-private variant. */
+  def md5Simhash(tokens: Column): Column =
+    graft.functions.GraftFunctions.md5_simhash60(tokens)
 
   /** [[simhashPairs]] with the md5 hash family: 60-bit fingerprints, 15-bit
     * chunk banding (4 chunks — exact retrieval for hamming ≤ 3, candidate

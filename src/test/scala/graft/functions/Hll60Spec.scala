@@ -24,6 +24,20 @@ class Hll60Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("native md5_hash60 == conv(substr(md5)) formulation, simhash matches HOF math") {
+    GraftSession.ensureFunctions(spark)
+    val rows = spark.range(500L)
+      .selectExpr(
+        "md5_hash60(cast(cast(id AS STRING) AS BINARY)) AS native",
+        "CAST(conv(substr(md5(cast(cast(id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS viaHex")
+      .filter(col("native") =!= col("viaHex")).count()
+    assert(rows === 0L)
+    // simhash of a single token == the token's hash (sign of ±1 per bit)
+    val one = spark.sql(
+      "SELECT md5_simhash60(array('tok')) = md5_hash60(cast('tok' AS BINARY)) AS eq").head()
+    assert(one.getBoolean(0))
+  }
+
   test("estimate within standard HLL error of true cardinality") {
     // m=4096 => relative error ~1.04/sqrt(m) ~ 1.6%; raw estimator without
     // corrections stays within a few percent at n >> m
