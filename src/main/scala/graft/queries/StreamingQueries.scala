@@ -16,19 +16,33 @@ import java.nio.file.Files
  */
 object StreamingQueries extends QueryRegistry {
 
+  // The read-only streaming queries share one produced topic per (session,
+  // sfDir) — exactly the reference's model (one log, many consumer groups
+  // each with their own offsets); re-producing per query would only re-pay
+  // the placement shuffle. Mutating queries (dedup's double-produce, pipe's
+  // destination) still build their own.
+  private val shared =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (TopicConfig, Long)]
+
+  private def sharedTopic(s: org.apache.spark.sql.SparkSession, dir: String): (TopicConfig, Long) =
+    shared.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val root = Files.createTempDirectory("graft_stream_shared").toString
+      val cfg = TopicConfig(root, "events")
+      val records = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"),
+        col("props").as("value"))
+      val res = PolarLog.produce(records, cfg)
+      (cfg, res.recordsWritten)
+    })
+
   override def all: Seq[QueryDef] = Seq(
 
     QueryDef(
       "stream_consume",
       (s, dir) => {
+        val (cfg, n) = sharedTopic(s, dir)
         val root = Files.createTempDirectory("graft_stream_q").toString
-        val cfg = TopicConfig(root, "events")
-        val records = Tables.events(s, dir).select(
-          col("user_id").cast("string").as("partitionKey"),
-          col("ts").as("timestamp"),
-          col("props").as("value"))
-        PolarLog.produce(records, cfg)
-        val n = records.count()
         val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
             maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
           .writeStream
@@ -52,15 +66,9 @@ object StreamingQueries extends QueryRegistry {
         // stream-consume from one topic, stream-produce into another
         // (the reference's broker-to-broker dataflow as a Spark pipe),
         // then check the destination log against the source table
+        val (src, n) = sharedTopic(s, dir)
         val root = Files.createTempDirectory("graft_stream_p").toString
-        val src = TopicConfig(root, "src")
         val dst = TopicConfig(root, "dst")
-        val records = Tables.events(s, dir).select(
-          col("user_id").cast("string").as("partitionKey"),
-          col("ts").as("timestamp"),
-          col("props").as("value"))
-        PolarLog.produce(records, src)
-        val n = records.count()
         val pipe = PolarStream.read(s, src, startingOffsets = "earliest",
             maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
           .select(col("partitionKey"), col("timestamp"), col("value"))
@@ -80,11 +88,8 @@ object StreamingQueries extends QueryRegistry {
         // watermarked tumbling-window aggregation over the polar stream,
         // drained with AvailableNow; oracle recomputes the same windows
         // from the raw table (hour windows are epoch-aligned in both)
+        val (cfg, _) = sharedTopic(s, dir)
         val root = Files.createTempDirectory("graft_stream_w").toString
-        val cfg = TopicConfig(root, "events")
-        PolarLog.produce(Tables.events(s, dir).select(
-          col("user_id").cast("string").as("partitionKey"),
-          col("ts").as("timestamp"), col("props").as("value")), cfg)
         val q = graft.streaming.StreamAnalytics.windowedCounts(
             PolarStream.read(s, cfg, startingOffsets = "earliest"),
             keyCol = "partitionKey", windowLength = "1 hour",
@@ -121,9 +126,13 @@ object StreamingQueries extends QueryRegistry {
         PolarLog.produce(records, cfg)
         PolarLog.produce(records, cfg) // redelivery
         val n = records.count()
+        // trigger = n of 2n logged records => exactly 2 micro-batches, and
+        // per-partition offset order puts the two copies of every record in
+        // DIFFERENT batches: state must carry batch 1's keys to catch batch
+        // 2's duplicates (the cross-batch property under test)
         val q = graft.streaming.StreamAnalytics.dedupStream(
             PolarStream.read(s, cfg, startingOffsets = "earliest",
-              maxRecordsPerTrigger = Some(math.max(n / 2, 1)))
+              maxRecordsPerTrigger = Some(math.max(n, 1)))
               .select(col("partitionKey"), col("timestamp"), col("value")),
             keyCols = Seq("partitionKey", "value"), watermark = "60 days")
           .writeStream
@@ -144,11 +153,7 @@ object StreamingQueries extends QueryRegistry {
         // stateful sessionization (flatMapGroupsWithState) replayed over the
         // log in batch mode; oracle computes the same 30-min-gap sessions
         // with window functions
-        val root = Files.createTempDirectory("graft_stream_s").toString
-        val cfg = TopicConfig(root, "events")
-        PolarLog.produce(Tables.events(s, dir).select(
-          col("user_id").cast("string").as("partitionKey"),
-          col("ts").as("timestamp"), col("props").as("value")), cfg)
+        val (cfg, _) = sharedTopic(s, dir)
         graft.streaming.StreamAnalytics
           .sessionize(PolarLog.consume(s, cfg).toDF(), gapSeconds = 1800)
           .groupBy(col("partitionKey"))
