@@ -83,13 +83,10 @@ object PolarLogQueries extends QueryRegistry {
       "polar_consumer_groups",
       (s, dir) => {
         // register earliest-group, poll all, commit, produce nothing more,
-        // poll again -> empty; emit the committed read counts per partition key
-        val root = Files.createTempDirectory("graft_polar_g").toString
-        val cfg = TopicConfig(root, "events")
-        val records = Tables.events(s, dir).select(
-          col("user_id").cast("string").as("partitionKey"),
-          col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(records, cfg)
+        // poll again -> empty; emit the committed read counts per partition
+        // key. Polls the shared topic — a named group's commits live under
+        // the topic's _groups/ and don't perturb other readers.
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
         val p1 = ConsumerGroups.poll(s, cfg, "gate", ConsumerGroups.Earliest)
         val read1 = p1.records.count()
         ConsumerGroups.commit(cfg, "gate", p1.nextOffsets)
@@ -137,12 +134,7 @@ object PolarLogQueries extends QueryRegistry {
     QueryDef(
       "polar_poll_json",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_polar_j").toString
-        val cfg = TopicConfig(root, "events")
-        val records = Tables.events(s, dir).select(
-          col("user_id").cast("string").as("partitionKey"),
-          col("ts").as("timestamp"), col("props").as("value"))
-        graft.log.PolarLog.produce(records, cfg)
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
         graft.log.TopicOps.pollJson(s, cfg).toDF("item")
       },
       None),

@@ -16,25 +16,10 @@ import java.nio.file.Files
  */
 object StreamingQueries extends QueryRegistry {
 
-  // The read-only streaming queries share one produced topic per (session,
-  // sfDir) — exactly the reference's model (one log, many consumer groups
-  // each with their own offsets); re-producing per query would only re-pay
-  // the placement shuffle. Mutating queries (dedup's double-produce, pipe's
-  // destination) still build their own.
-  private val shared =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (TopicConfig, Long)]
-
+  // Read-only streaming queries consume the SharedTopics log (dedup's
+  // double-produce and pipe's destination still build their own).
   private def sharedTopic(s: org.apache.spark.sql.SparkSession, dir: String): (TopicConfig, Long) =
-    shared.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val root = Files.createTempDirectory("graft_stream_shared").toString
-      val cfg = TopicConfig(root, "events")
-      val records = Tables.events(s, dir).select(
-        col("user_id").cast("string").as("partitionKey"),
-        col("ts").as("timestamp"),
-        col("props").as("value"))
-      val res = PolarLog.produce(records, cfg)
-      (cfg, res.recordsWritten)
-    })
+    SharedTopics.eventsProps(s, dir)
 
   override def all: Seq[QueryDef] = Seq(
 
