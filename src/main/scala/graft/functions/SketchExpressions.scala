@@ -159,6 +159,27 @@ object Sketches {
     out
   }
 
+  /** All minhash lanes in one pass: out(i) = min over hashes of (h XOR
+    * seeds(i)); empty input yields Long.MaxValue lanes (no shingles). */
+  def xorMinhash(hashes: ArrayData, seeds: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = Array.fill(seeds.length)(Long.MaxValue)
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var s = 0
+        while (s < seeds.length) {
+          val v = h ^ seeds(s)
+          if (v < out(s)) out(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Karp–Rabin polynomial rolling hash over UTF-8 bytes, base 257 mod 2^64
     * (wraps) — an order-sensitive document fingerprint. */
   def rollingFingerprint(s: UTF8String): Long = {
@@ -210,6 +231,30 @@ case class Md5Simhash60(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.md5Simhash60($c)")
   override protected def withNewChildInternal(c: Expression): Md5Simhash60 = copy(child = c)
+}
+
+/** `xor_minhash(array<long>, seeds) -> array<long>` — all minhash signature
+  * lanes in ONE pass over the pre-hashed shingles: lane i = min(h XOR
+  * seed_i). As separate `array_min(transform(...))` columns Catalyst's
+  * project-collapse re-evaluates the md5 child per lane (32× the hash
+  * work); this kernel walks the hash array once. */
+case class XorMinhash(child: Expression, seeds: Seq[Long]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "xor_minhash"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"xor_minhash requires array<long>, got ${other.catalogString}")
+  }
+  @transient private lazy val seedArr: Array[Long] = seeds.toArray
+  override def nullSafeEval(v: Any): Any =
+    Sketches.xorMinhash(v.asInstanceOf[ArrayData], seedArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("seeds", seedArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.xorMinhash($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): XorMinhash = copy(child = c)
 }
 
 /** `simhash64(array<string>) -> long` */

@@ -132,6 +132,10 @@ object GraftFunctions {
   def md5_simhash60(tokens: Column): Column =
     GraftShims.column(Md5Simhash60(GraftShims.expression(tokens)))
 
+  /** All XOR-scramble minhash lanes over pre-hashed shingles, one pass. */
+  def xor_minhash(hashes: Column, seeds: Seq[Long]): Column =
+    GraftShims.column(XorMinhash(GraftShims.expression(hashes), seeds))
+
   /** Sign-random-projection LSH bucket of an embedding. */
   def hyperplane_lsh(vec: Column, numPlanes: Int, seed: Int): Column =
     GraftShims.column(HyperplaneLsh(GraftShims.expression(vec), numPlanes, seed))

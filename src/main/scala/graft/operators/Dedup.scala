@@ -129,10 +129,11 @@ object Dedup {
     val rows = numHashes / bands
     val seeds = xorSeeds(numHashes)
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      // hash each shingle once, then derive all minhashes by XOR-scramble
-      .withColumn("hs", transform(col("sh"), x => md5Hash60(x)))
-      .withColumn("sig", array(seeds.map(r =>
-        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(r))))): _*))
+      // hash each shingle once, then every lane in one pass — as 32
+      // array_min(transform(...)) columns, project-collapse re-evaluates
+      // the md5 child per lane (32× the hash work)
+      .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
+        transform(col("sh"), x => md5Hash60(x)), seeds))
     val banded = docs.withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
@@ -196,6 +197,12 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    // NOTE: a size-ratio prefilter in the join condition (jaccard >= t ⇒
+    // t·max(|a|,|b|) ≤ min(|a|,|b|)) benched 4× SLOWER here: the inferred
+    // IsNotNull constraints get pushed below the projection and re-derive
+    // the whole shingle pipeline inside the scan filters. The scalable
+    // candidate prune is [[minhashLshPairs]]; this quadratic path stays the
+    // simplest-possible verification baseline.
     docs.as("a").join(docs.as("b"), col("a.id") < col("b.id"))
       .withColumn("sim", jaccardSorted(col("a.sh"), col("b.sh")))
       .filter(col("sim") >= threshold)
