@@ -98,8 +98,11 @@ object PolarLogQueries extends QueryRegistry {
     QueryDef(
       "polar_tokens",
       // the placement kernel exercised directly through the gate: token and
-      // flat partition for every event key (rows-only: DuckDB has no
-      // Cassandra murmur3; golden vectors live in Murmur3Spec)
+      // flat partition for every event key. Keys here are ≤ 8 UTF-8 bytes,
+      // so the oracle replays the murmur3 tail block + finalization in
+      // HUGEINT arithmetic (OracleSql.murmur3H1ShortKeyCtes) and the ring
+      // arithmetic with the 3-broker tokens — an independent cross-check of
+      // both native kernels.
       (s, dir) => {
         graft.GraftSession.ensureFunctions(s)
         Tables.events(s, dir)
@@ -109,7 +112,24 @@ object PolarLogQueries extends QueryRegistry {
           .withColumn("part",
             graft.functions.GraftFunctions.polar_partition(col("token"), 3, 4))
       },
-      None),
+      Some {
+        // ring constants for clusterSize=3, rangesPerToken=4
+        val t1 = graft.functions.TokenMath.tokenAtIndex(3, 1) // -3074457345618259968
+        val t2 = graft.functions.TokenMath.tokenAtIndex(3, 2) // 3074457345618255872
+        val rangeSize = graft.functions.TokenMath.ChunkSizeUnit *
+          graft.functions.TokenMath.ringFactor(3) / 4
+        def rix(base: Long): String =
+          s"""(CASE WHEN (token::HUGEINT - ($base)::HUGEINT) // $rangeSize >= 4 THEN 0
+                    ELSE (token::HUGEINT - ($base)::HUGEINT) // $rangeSize END)"""
+        s"""WITH keys AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS pk FROM events),
+          ${OracleSql.murmur3H1ShortKeyCtes}
+          SELECT pk AS partitionKey, token,
+                 CAST(CASE WHEN token >= $t2 THEN 8 + ${rix(t2)}
+                           WHEN token >= $t1 THEN 4 + ${rix(t1)}
+                           ELSE ${rix(Long.MinValue)} END AS INTEGER) AS part
+          FROM murmur_tok"""
+      }),
 
     QueryDef(
       "polar_repartition",

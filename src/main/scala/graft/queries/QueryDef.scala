@@ -36,4 +36,66 @@ object OracleSql {
   /** md5Hash60 of a column rendered as VARCHAR. */
   def md5Hash60(colExpr: String): String =
     hex15ToInt(s"md5(CAST($colExpr AS VARCHAR))")
+
+  /**
+   * Cassandra-variant murmur3 x64-128 H1 of SHORT keys (≤ 8 UTF-8 bytes:
+   * only the k1 tail block + finalization run), replayed in DuckDB HUGEINT
+   * arithmetic — an independent cross-check of the
+   * [[graft.functions.Murmur3]] kernel, validated against the gocql golden
+   * vectors. Emitted as a chain of CTEs over a `(pk)` relation named
+   * `keys`; the final relation `murmur_tok` has columns (pk, token).
+   *
+   * 64-bit ops on the unsigned view u ∈ [0, 2^64): multiplies split the
+   * constant into 32-bit limbs so products stay under 2^127; xor works on
+   * 32-bit halves (DuckDB xor is BIGINT-only).
+   */
+  def murmur3H1ShortKeyCtes: String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    def mulC(a: String, c: BigInt): String = {
+      val (ch, cl) = (c >> 32, c & 0xFFFFFFFFL)
+      s"((($a) * $cl::HUGEINT + ((($a) * $ch::HUGEINT) % 4294967296) * 4294967296) % $M64)"
+    }
+    def xs33(x: String): String =
+      s"((($x) // 4294967296) * 4294967296 + " +
+        s"xor(CAST(($x) % 4294967296 AS BIGINT), CAST(($x) // 8589934592 AS BIGINT))::HUGEINT)"
+    def rotl31(x: String): String =
+      s"(((($x) * 2147483648::HUGEINT) % $M64) + (($x) // 8589934592))"
+    def add(a: String, b: String): String = s"((($a) + ($b)) % $M64)"
+    def xorLo(x: String, small: String): String =
+      s"((($x) // 4294967296) * 4294967296 + " +
+        s"xor(CAST(($x) % 4294967296 AS BIGINT), $small)::HUGEINT)"
+    val c1 = BigInt("87c37b91114253d5", 16)
+    val c2 = BigInt("4cf5ad432745937f", 16)
+    val f1 = BigInt("ff51afd7ed558ccd", 16)
+    val f2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""mm_b AS (SELECT pk, hex(encode(pk)) AS hx FROM keys),
+      mm_k0 AS (
+        SELECT pk, CAST(length(hx)//2 AS BIGINT) AS len,
+               COALESCE(list_sum(list_transform(generate_series(0, length(hx)//2 - 1),
+                 i -> CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)
+                           + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1) AS HUGEINT)
+                      * (1::HUGEINT << (8*i)))), 0)::HUGEINT AS k1
+        FROM mm_b),
+      mm_k1m AS (SELECT pk, len, ${mulC("k1", c1)} AS k1 FROM mm_k0),
+      mm_k1r AS (SELECT pk, len, ${rotl31("k1")} AS k1 FROM mm_k1m),
+      mm_k1f AS (SELECT pk, len, ${mulC("k1", c2)} AS k1 FROM mm_k1r),
+      mm_hl AS (SELECT pk, ${xorLo("k1", "len")} AS h1, len::HUGEINT AS h2 FROM mm_k1f),
+      mm_s1 AS (SELECT pk, ${add("h1", "h2")} AS h1, h2 FROM mm_hl),
+      mm_s2 AS (SELECT pk, h1, ${add("h2", "h1")} AS h2 FROM mm_s1),
+      mm_f1a AS (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_s2),
+      mm_f1b AS (SELECT pk, ${mulC("h1", f1)} AS h1, h2 FROM mm_f1a),
+      mm_f1c AS (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_f1b),
+      mm_f1d AS (SELECT pk, ${mulC("h1", f2)} AS h1, h2 FROM mm_f1c),
+      mm_f1e AS (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_f1d),
+      mm_f2a AS (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f1e),
+      mm_f2b AS (SELECT pk, h1, ${mulC("h2", f1)} AS h2 FROM mm_f2a),
+      mm_f2c AS (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f2b),
+      mm_f2d AS (SELECT pk, h1, ${mulC("h2", f2)} AS h2 FROM mm_f2c),
+      mm_f2e AS (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f2d),
+      mm_fin AS (SELECT pk, ${add("h1", "h2")} AS u FROM mm_f2e),
+      murmur_tok AS (
+        SELECT pk, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                             THEN u - $M64 ELSE u END AS BIGINT) AS token
+        FROM mm_fin)"""
+  }
 }
