@@ -21,6 +21,22 @@ object PolarLogQueries extends QueryRegistry {
   // queries — mutating queries (groups/ndjson/repartition) build their own.
   private val produced = scala.collection.concurrent.TrieMap.empty[(String, String), TopicConfig]
 
+  /** Flat partition id from a signed `token` column, 3-broker ring × 4
+    * ranges — the SQL mirror of `polar_partition(token, 3, 4)` (diffs in
+    * HUGEINT so top-of-range tokens don't overflow BIGINT). */
+  private lazy val part34Sql: String = {
+    val t1 = graft.functions.TokenMath.tokenAtIndex(3, 1) // -3074457345618259968
+    val t2 = graft.functions.TokenMath.tokenAtIndex(3, 2) // 3074457345618255872
+    val rangeSize = graft.functions.TokenMath.ChunkSizeUnit *
+      graft.functions.TokenMath.ringFactor(3) / 4
+    def rix(base: Long): String =
+      s"""(CASE WHEN (token::HUGEINT - ($base)::HUGEINT) // $rangeSize >= 4 THEN 0
+                ELSE (token::HUGEINT - ($base)::HUGEINT) // $rangeSize END)"""
+    s"""(CASE WHEN token >= $t2 THEN 8 + ${rix(t2)}
+              WHEN token >= $t1 THEN 4 + ${rix(t1)}
+              ELSE ${rix(Long.MinValue)} END)"""
+  }
+
   /** Produce events into a per-sfDir topic once and return the consumed log. */
   private def roundtrip(s: SparkSession, dir: String): DataFrame = {
     val cfg = produced.getOrElseUpdate((s.sparkContext.applicationId, dir), {
@@ -112,24 +128,12 @@ object PolarLogQueries extends QueryRegistry {
           .withColumn("part",
             graft.functions.GraftFunctions.polar_partition(col("token"), 3, 4))
       },
-      Some {
-        // ring constants for clusterSize=3, rangesPerToken=4
-        val t1 = graft.functions.TokenMath.tokenAtIndex(3, 1) // -3074457345618259968
-        val t2 = graft.functions.TokenMath.tokenAtIndex(3, 2) // 3074457345618255872
-        val rangeSize = graft.functions.TokenMath.ChunkSizeUnit *
-          graft.functions.TokenMath.ringFactor(3) / 4
-        def rix(base: Long): String =
-          s"""(CASE WHEN (token::HUGEINT - ($base)::HUGEINT) // $rangeSize >= 4 THEN 0
-                    ELSE (token::HUGEINT - ($base)::HUGEINT) // $rangeSize END)"""
-        s"""WITH keys AS (
-            SELECT DISTINCT CAST(user_id AS VARCHAR) AS pk FROM events),
-          ${OracleSql.murmur3H1ShortKeyCtes}
-          SELECT pk AS partitionKey, token,
-                 CAST(CASE WHEN token >= $t2 THEN 8 + ${rix(t2)}
-                           WHEN token >= $t1 THEN 4 + ${rix(t1)}
-                           ELSE ${rix(Long.MinValue)} END AS INTEGER) AS part
-          FROM murmur_tok"""
-      }),
+      Some(s"""
+        WITH keys AS (
+          SELECT DISTINCT CAST(user_id AS VARCHAR) AS pk FROM events),
+        ${OracleSql.murmur3H1ShortKeyCtes}
+        SELECT pk AS partitionKey, token, CAST($part34Sql AS INTEGER) AS part
+        FROM murmur_tok""")),
 
     QueryDef(
       "polar_repartition",
@@ -157,7 +161,36 @@ object PolarLogQueries extends QueryRegistry {
         val (cfg, _) = SharedTopics.eventsProps(s, dir)
         graft.log.TopicOps.pollJson(s, cfg).toDF("item")
       },
-      None),
+      // the poll items are fully reconstructible: murmur3 placement (SQL
+      // mirror), offsets = (timestamp, value) rank within partition (the
+      // shared topic's produce order), ring-token strings, and DuckDB's
+      // to_json(struct_pack) emits byte-identical compact JSON
+      Some {
+        val tokens = (0 until 3)
+          .map(i => graft.functions.TokenMath.tokenAtIndex(3, i).toString)
+        s"""WITH recs AS (
+            SELECT CAST(user_id AS VARCHAR) AS pk,
+                   CAST(ts AS TIMESTAMP) AS tsv, props
+            FROM events),
+          keys AS (SELECT DISTINCT pk FROM recs),
+          ${OracleSql.murmur3H1ShortKeyCtes},
+          placed AS (
+            SELECT r.tsv, r.props, CAST($part34Sql AS INTEGER) AS part
+            FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+          agg AS (
+            SELECT part, list(props ORDER BY tsv, props) AS vals
+            FROM placed GROUP BY part)
+          SELECT to_json(struct_pack(
+              topic := 'events',
+              token := CASE part // 4 WHEN 0 THEN '${tokens(0)}'
+                                      WHEN 1 THEN '${tokens(1)}'
+                                      ELSE '${tokens(2)}' END,
+              rangeIndex := part % 4,
+              version := 1,
+              startOffset := '0',
+              "values" := vals)) AS item
+          FROM agg"""
+      }),
 
     QueryDef(
       "polar_ndjson_ingest",

@@ -28,7 +28,12 @@ object SharedTopics {
         col("user_id").cast("string").as("partitionKey"),
         col("ts").as("timestamp"),
         col("props").as("value"))
-      val res = PolarLog.produce(records, cfg)
+      // (timestamp, value) order instead of the default engine-private
+      // xxhash64 tiebreak: per-partition timestamp order (the consumed
+      // invariant) is identical, and offsets become oracle-replayable
+      // (polar_poll_json reconstructs the poll items byte-for-byte)
+      val res = PolarLog.produce(records, cfg,
+        orderBy = Seq(col("timestamp"), col("value")))
       (cfg, res.recordsWritten)
     })
 }
