@@ -434,6 +434,61 @@ object RelationalQueries extends QueryRegistry {
         FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef(
+      "q_asof_join",
+      // AS-OF: each click enriched with the user's most recent purchase
+      // value at click time — the scalable union+window formulation
+      // (operators/TemporalJoins.asof), vs the quadratic theta-join the
+      // naive t_r <= t_l predicate would plan
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("p_event_id"))
+        graft.operators.TemporalJoins.asof(
+            clicks, purchases, keys = Seq("user_id"), timeCol = "ts",
+            payloadCols = Seq("value"), tiebreak = "p_event_id")
+          .select(col("event_id"), col("user_id"),
+            col("asof_value").as("last_purchase"))
+      },
+      Some("""
+        SELECT l.event_id, l.user_id,
+               (SELECT r.value FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+                ORDER BY CAST(r.ts AS TIMESTAMP) DESC, r.event_id DESC
+                LIMIT 1) AS last_purchase
+        FROM events l WHERE l.event_type = 'click'""")),
+
+    QueryDef(
+      "q_range_join",
+      // RANGE: purchases of the same user in the hour before each click,
+      // via the binned equi-join (operators/TemporalJoins.rangeJoinBinned)
+      // — bins keep the range predicate out of broadcast-nested-loop
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val hourMicros = 3600L * 1000000L
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        graft.operators.TemporalJoins.rangeJoinBinned(
+            clicks, purchases, keys = Seq("user_id"), timeCol = "ts",
+            beforeMicros = hourMicros, afterMicros = 0L, binMicros = hourMicros)
+          .groupBy(col("l.event_id").as("event_id"))
+          .agg(count(lit(1)).as("n_recent"))
+      },
+      Some("""
+        SELECT l.event_id, COUNT(*) AS n_recent
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id AND r.event_type = 'purchase'
+         AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+         AND CAST(r.ts AS TIMESTAMP) < CAST(l.ts AS TIMESTAMP)
+        WHERE l.event_type = 'click'
+        GROUP BY l.event_id""")),
+
+    QueryDef(
       "q_approx_distinct",
       // graft's own HLL aggregate (graft.functions.Hll60): mergeable
       // 4096-register sketch over the engine-neutral md5 hash with an

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Temporal joins checked against brute-force formulations. */
+class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("asof == brute-force latest-right-row per left row") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id").as("pid"))
+
+    val got = TemporalJoins.asof(clicks, purchases,
+        keys = Seq("user_id"), timeCol = "ts",
+        payloadCols = Seq("value"), tiebreak = "pid")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    // brute force: theta join + max-by-(ts, pid)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c.event_id"))
+      .orderBy(col("p.ts").desc, col("p.pid").desc)
+    val brute = clicks.as("c").join(purchases.as("p"),
+        col("p.user_id") === col("c.user_id") && col("p.ts") <= col("c.ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c.event_id"), col("p.value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    assert(got.size === clicks.count())
+    brute.foreach { case (id, v) => assert(got(id) === v, s"event $id") }
+    // left rows with no match surface null payloads
+    assert(got.values.exists(_.isEmpty) === brute.values.exists(_.isEmpty))
+  }
+
+  test("binned range join == plain range predicate, any bin width") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val hour = 3600L * 1000000L
+
+    // multiset compare: a bin-coverage bug would show as dup/missing pairs
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("l.event_id"), col("r.__rt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    val expected = {
+      val l = clicks.withColumn("__lt", unix_micros(col("ts")))
+      val r = purchases.withColumn("__rt", unix_micros(col("ts")))
+      l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.__rt") >= col("l.__lt") - hour && col("r.__rt") < col("l.__lt"))
+        .select(col("l.event_id"), col("r.__rt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    // bin width smaller, equal and larger than the span must all agree
+    for (bin <- Seq(hour / 3, hour, hour * 2)) {
+      val got = pairs(TemporalJoins.rangeJoinBinned(clicks, purchases,
+        Seq("user_id"), "ts", beforeMicros = hour, afterMicros = 0L, binMicros = bin))
+      assert(got === expected, s"bin=$bin")
+    }
+  }
+}
