@@ -106,6 +106,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[cosinePairs]] with DATA-DERIVED planes (lowest-id vectors as
+    * normals, like [[dataPlaneLshTopK]]): deterministic bucketing, so the
+    * whole near-dup pass — buckets, candidate pairs, scores — is
+    * oracle-replayable. Same scale shape: bucket in one codegen'd pass,
+    * quadratic term bounded per bucket. */
+  def dataPlaneCosinePairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      numPlanes: Int = 4): DataFrame = {
+    val planes = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(numPlanes)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("v").toSeq)
+    def bucketOf(vec: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-dup pairs (cosine ≥ threshold), LSH-bucketed: pairs are
     * only scored within a bucket. With `numPlanes` small the recall is high;
     * exactness on a given dataset is checked against the brute-force path in
