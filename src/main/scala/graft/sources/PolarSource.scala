@@ -51,11 +51,16 @@ class PolarTableProvider extends TableProvider
   override def shortName(): String = "polar"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PolarSource.FullSchema
+  // writes arrive with the PRODUCER schema (partitionKey/timestamp/value —
+  // a subset of the consume schema, like Kafka's source vs sink shape);
+  // accepting external metadata lets the write-side table report the
+  // incoming schema so AppendData resolves
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PolarTable(PolarSource.configFrom(properties.asScala.toMap))
+    new PolarTable(PolarSource.configFrom(properties.asScala.toMap), schema)
 }
 
 object PolarSource {
@@ -85,13 +90,41 @@ final case class PolarSourceConfig(
     startingOffsets: String,
     maxRecordsPerTrigger: Option[Long])
 
-class PolarTable(cfg: PolarSourceConfig) extends Table with SupportsRead {
+class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"polar:${cfg.topic.topic}"
-  override def schema(): StructType = PolarSource.FullSchema
+  override def schema(): StructType =
+    if (externalSchema != null && externalSchema.nonEmpty) externalSchema
+    else PolarSource.FullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PolarScanBuilder(cfg)
+
+  /** `df.write.format("polar").mode("append")` — the batch produce path
+    * (SURVEY §7 PR2 sink contract). A V1Write fallback is the right shape
+    * here: produce needs the placement SHUFFLE + offset-assignment window
+    * before files are written, which a per-task `DataWriter` cannot
+    * express — the reference's single-writer-per-partition invariant
+    * (`/root/reference/internal/producing/coalescer.go:24-27`) lives in
+    * [[graft.log.PolarLog.produce]]'s plan instead. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                "the polar log is append-only (reference semantics); use mode(\"append\")")
+              PolarLog.produce(data, cfg.topic): Unit
+            }
+        }
+    }
 }
 
 class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder {
