@@ -127,18 +127,76 @@ class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
     }
 }
 
-class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder {
-  override def build(): Scan = new PolarScan(cfg)
+/** Scan-time pruning bounds accepted from Catalyst filters: a per-partition
+  * offset window plus an optional partition set. The offset seek of the
+  * reference's sparse index (`internal/data/index_file_reader.go:26-77`)
+  * re-expressed as DSv2 filter pushdown → footer-stat file pruning. */
+final case class PolarScanBounds(
+    minOffset: Long = 0L,
+    maxOffsetExclusive: Long = Long.MaxValue,
+    parts: Option[Set[Int]] = None)
+
+class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var bounds = PolarScanBounds()
+  private var accepted: Array[Filter] = Array.empty
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case GreaterThanOrEqual("offset", v) => asLong(v).exists { n =>
+        bounds = bounds.copy(minOffset = math.max(bounds.minOffset, n)); true }
+      case GreaterThan("offset", v) => asLong(v).exists { n =>
+        bounds = bounds.copy(minOffset = math.max(bounds.minOffset, n + 1)); true }
+      case LessThan("offset", v) => asLong(v).exists { n =>
+        bounds = bounds.copy(maxOffsetExclusive = math.min(bounds.maxOffsetExclusive, n)); true }
+      case LessThanOrEqual("offset", v) => asLong(v).exists { n =>
+        bounds = bounds.copy(maxOffsetExclusive = math.min(bounds.maxOffsetExclusive, n + 1)); true }
+      case EqualTo("part", v) => asLong(v).exists { n =>
+        val s = Set(n.toInt)
+        bounds = bounds.copy(parts = Some(bounds.parts.fold(s)(_ intersect s)))
+        true }
+      case In("part", vs) =>
+        val ns = vs.flatMap(asLong).map(_.toInt).toSet
+        bounds = bounds.copy(parts = Some(bounds.parts.fold(ns)(_ intersect ns)))
+        true
+      case _ => false
+    }
+    // everything stays residual: pruning is file/partition-granular, Spark
+    // re-applies the exact predicates on the rows we do return
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new PolarScan(cfg, bounds)
 }
 
-class PolarScan(cfg: PolarSourceConfig) extends Scan {
+class PolarScan(cfg: PolarSourceConfig, bounds: PolarScanBounds = PolarScanBounds())
+    extends Scan {
   override def readSchema(): StructType = PolarSource.FullSchema
-  override def description(): String = s"PolarScan(${cfg.topic.dir})"
+  override def description(): String =
+    s"PolarScan(${cfg.topic.dir}, offsets=[${bounds.minOffset}," +
+      s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")})"
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      PolarMicroBatchStream.plan(cfg.topic,
-        PolarOffsets.zeros(cfg.topic), PolarOffsets(PolarLog.tails(cfg.topic)))
+    override def planInputPartitions(): Array[InputPartition] = {
+      val tails = PolarLog.tails(cfg.topic)
+      val kept = bounds.parts match {
+        case Some(ps) => tails.filter { case (p, _) => ps.contains(p) }
+        case None => tails
+      }
+      val start = PolarOffsets(kept.map { case (p, _) => p -> bounds.minOffset })
+      val end = PolarOffsets(kept.map { case (p, t) =>
+        p -> math.min(t, bounds.maxOffsetExclusive) })
+      PolarMicroBatchStream.plan(cfg.topic, start, end)
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new PolarReaderFactory(cfg.topic.topic)
   }
