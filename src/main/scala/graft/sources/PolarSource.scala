@@ -137,11 +137,18 @@ final case class PolarScanBounds(
     parts: Option[Set[Int]] = None)
 
 class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
   private var bounds = PolarScanBounds()
   private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = PolarSource.FullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the canonical field order; a projection like (value, offset)
+    // must still decode rows once, in schema order
+    required = StructType(PolarSource.FullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -175,15 +182,19 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new PolarScan(cfg, bounds)
+  override def build(): Scan = new PolarScan(cfg, bounds, required)
 }
 
-class PolarScan(cfg: PolarSourceConfig, bounds: PolarScanBounds = PolarScanBounds())
+class PolarScan(
+    cfg: PolarSourceConfig,
+    bounds: PolarScanBounds = PolarScanBounds(),
+    required: StructType = PolarSource.FullSchema)
     extends Scan {
-  override def readSchema(): StructType = PolarSource.FullSchema
+  override def readSchema(): StructType = required
   override def description(): String =
     s"PolarScan(${cfg.topic.dir}, offsets=[${bounds.minOffset}," +
-      s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")})"
+      s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")}, " +
+      s"ReadSchema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -198,7 +209,7 @@ class PolarScan(cfg: PolarSourceConfig, bounds: PolarScanBounds = PolarScanBound
       PolarMicroBatchStream.plan(cfg.topic, start, end)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolarReaderFactory(cfg.topic.topic)
+      new PolarReaderFactory(cfg.topic.topic, required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -314,9 +325,11 @@ final case class PolarInputPartition(
     startOffset: Long,
     endOffset: Long) extends InputPartition
 
-class PolarReaderFactory(topicName: String) extends PartitionReaderFactory {
+class PolarReaderFactory(
+    topicName: String,
+    required: StructType = PolarSource.FullSchema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PolarPartitionReader(partition.asInstanceOf[PolarInputPartition], topicName)
+    new PolarPartitionReader(partition.asInstanceOf[PolarInputPartition], topicName, required)
 }
 
 object PolarReaderFactory {
@@ -344,11 +357,18 @@ object PolarReaderFactory {
 }
 
 /** Row-oriented reader over the log's parquet chunks, offset-filtered —
-  * the per-poll record serving of the reference's segment reader. */
-class PolarPartitionReader(p: PolarInputPartition, topicName: String)
+  * the per-poll record serving of the reference's segment reader. Emits
+  * only the pruned `required` columns (in canonical schema order). */
+class PolarPartitionReader(
+    p: PolarInputPartition,
+    topicName: String,
+    required: StructType = PolarSource.FullSchema)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
+  // indices into the canonical full row for each required field
+  private val keepIdx: Array[Int] =
+    required.fieldNames.map(PolarSource.FullSchema.fieldIndex)
   private val fileIter = p.files.sorted.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[
     org.apache.parquet.example.data.Group] = _
@@ -395,8 +415,9 @@ class PolarPartitionReader(p: PolarInputPartition, topicName: String)
       if (field(g, "timestamp")) java.lang.Long.valueOf(g.getLong("timestamp", 0)) else null
     val value =
       if (field(g, "value")) g.getBinary("value", 0).getBytes else null
-    new GenericInternalRow(Array[Any](
-      key, token, offset, tsMicros, value, p.part, topicUtf8))
+    val full = Array[Any](key, token, offset, tsMicros, value, p.part, topicUtf8)
+    if (keepIdx.length == full.length) new GenericInternalRow(full)
+    else new GenericInternalRow(keepIdx.map(full))
   }
 
   override def get(): InternalRow = current

@@ -52,4 +52,16 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("unfiltered scan == consume (no pruning regressions)") {
     assert(read.count() === PolarLog.consume(spark, cfg).count())
   }
+
+  test("column pruning: projection reaches the scan, values intact") {
+    val df = read.select(col("value"), col("offset")).filter(col("part") === 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema=offset,value"), plan)
+    val viaConsume = PolarLog.consume(spark, cfg).filter(col("part") === 5)
+      .select(col("value").cast("string"), col("offset"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val got = df.select(col("value").cast("string"), col("offset"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === viaConsume.toSeq)
+  }
 }
