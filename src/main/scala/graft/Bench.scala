@@ -22,6 +22,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed session warmup: JIT/codegen infrastructure, parquet reader
+    // init, shuffle machinery — so the first measured query reflects its
+    // own cost, not whole-JVM cold start (standard bench hygiene; the
+    // per-query work itself still runs cold)
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000L).groupBy((col("id") % 7).as("g"))
+        .agg(count(lit(1))).count()
+      Tables.lineitem(spark, sfDir).limit(1).count()
+      Tables.documents(spark, sfDir).limit(1).count()
+      Tables.events(spark, sfDir).limit(1).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
