@@ -193,6 +193,28 @@ object PolarLogQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "polar_frames_ingest",
+      (s, dir) => {
+        // one framed binary body per user — {u32-BE len}{bytes} per event,
+        // assembled with pure column expressions (unhex(lpad(hex(len))) is
+        // the big-endian length prefix) — split back into records by the
+        // polar_frames ingestion path (A5); count proves the round trip
+        val root = Files.createTempDirectory("graft_polar_f").toString
+        val cfg = TopicConfig(root, "frames")
+        val frame = concat(
+          unhex(lpad(hex(length(col("props"))), 8, "0")),
+          col("props").cast("binary"))
+        val bodies = Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("partitionKey"), frame.as("f"))
+          .groupBy(col("partitionKey"))
+          .agg(aggregate(collect_list(col("f")),
+            lit(Array.emptyByteArray), (acc, x) => concat(acc, x)).as("body"))
+        graft.log.TopicOps.ingestFrames(bodies, cfg)
+        PolarLog.consume(s, cfg).agg(count(lit(1)).as("n_records"))
+      },
+      Some("SELECT COUNT(*) AS n_records FROM events")),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),
