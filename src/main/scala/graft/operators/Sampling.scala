@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reproducible sampling for training-data curation: membership is a pure
+ * function of a key's content hash, never of an RNG stream — so samples
+ * are stable across runs, engines, partitionings and cluster sizes (the
+ * property `df.sample()` cannot give), and a document's whole group
+ * follows it into the same split.
+ *
+ * Buckets come from the engine-neutral [[Dedup.md5Hash60]], so any
+ * external system (or the DuckDB oracle) reproduces the exact membership.
+ */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) for a key column. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(Dedup.md5Hash60(key.cast("string")), lit(buckets.toLong))
+
+  /** Keep rows whose key hashes into the first `pct` of 100 buckets. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < pct)
+
+  /** Deterministic train/val/test split tag for a key: the standard
+    * reproducible corpus split (e.g. 90/5/5 = boundaries (90, 95)). */
+  def splitTag(key: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucket(key)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+}

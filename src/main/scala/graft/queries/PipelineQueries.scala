@@ -355,6 +355,62 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "pipeline_sample_split",
+      // reproducible corpus splitting: hash-bucket membership is a pure
+      // function of doc_id, identical in any engine / partitioning / run
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Sampling.splitTag(col("doc_id"), 90, 5).as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n")),
+      Some(s"""
+        SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split, COUNT(*) AS n
+        FROM (SELECT ${OracleSql.md5Hash60("doc_id")} % 100 AS b FROM documents)
+        GROUP BY 1""")),
+
+    QueryDef(
+      "pipeline_curate",
+      // the canonical curation pipeline as ONE declarative query: quality
+      // gate -> language filter -> exact dedup (keep lowest id) -> stable
+      // 50% sample. Every stage is an operator verified elsewhere; this
+      // entry verifies their COMPOSITION end-to-end.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = docs.select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.langId(col("text")).as("lang"))
+          .filter(col("quality") >= 0.5 && col("lang") === "en")
+        val deduped = scored.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+        graft.operators.Sampling.hashSample(deduped, "doc_id", 50)
+          .select(col("doc_id"), col("quality"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 round(
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+                   least(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is|it|for|on)\\b')) AS DOUBLE)
+                         / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+                   (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                          / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) AS quality,
+                 len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS s_en,
+                 len(regexp_extract_all(lower(text), '\\b(el|la|los|las|de|que|y|es)\\b')) AS s_es,
+                 len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) AS s_de,
+                 len(regexp_extract_all(lower(text), '\\b(le|les|des|et|est|une|dans)\\b')) AS s_fr,
+                 len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+          FROM documents),
+        filtered AS (
+          SELECT doc_id, text, quality FROM scored
+          WHERE quality >= 0.5 AND s_en > 0
+            AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh)),
+        deduped AS (
+          SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality
+          FROM filtered GROUP BY text)
+        SELECT doc_id, quality FROM deduped
+        WHERE ${OracleSql.md5Hash60("doc_id")} % 100 < 50""")),
+
+    QueryDef(
       "multimodal_features",
       (s, dir) => Multimodal.decodeAndFeaturize(
         Multimodal.asMedia(Tables.documents(s, dir)))
