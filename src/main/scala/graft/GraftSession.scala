@@ -35,6 +35,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // harness events.parquet carries TIMESTAMP(NANOS) — an engine-level
+      // default (the flag is consulted task-side from the session conf, so
+      // it cannot be scoped to a single read)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   def get(): SparkSession = {

@@ -26,7 +26,11 @@ object Tables {
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the nanos flag is consulted by read TASKS via the session conf, so it
+    // cannot be scoped to one read; GraftSession sets it at build time and
+    // this guards sessions the engine did not build (the driver's)
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
   }
 

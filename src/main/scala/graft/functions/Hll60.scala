@@ -53,7 +53,9 @@ case class Hll60(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // mask to the declared 60-bit domain: a wider hash (e.g. xxhash64)
+      // would otherwise yield rho > MaxRho and overflow the register sum
+      val h = v.asInstanceOf[Long] & InputMask
       val bucket = (h & (M - 1)).toInt
       val w = h >>> P
       val rho: Byte =
@@ -90,6 +92,8 @@ case class Hll60(
 object Hll60 {
   val P = 12
   val M: Int = 1 << P
+  /** Inputs are 60-bit hashes; higher bits are ignored. */
+  val InputMask: Long = (1L << 60) - 1
   val MaxRho: Byte = (60 - P + 1).toByte // 49
   /** 7213·m³·2^49 (α numerator scaled integer; see class doc). */
   val Numerator: BigInteger =

@@ -142,8 +142,12 @@ object PipelineQueries extends QueryRegistry {
         threshold = 0.8),
       Some {
         val rlist = Dedup.xorSeeds(32).map(_.toString + "::BIGINT").mkString(",")
+        // the CASE mirrors Dedup.shingles' size<k branch: an empty token
+        // list yields the single sentinel shingle [''] on both sides
         s"""WITH docs AS (
-          SELECT doc_id, list_distinct($WordsSql) AS sh
+          SELECT doc_id,
+                 CASE WHEN len($WordsSql) < 1 THEN ['']
+                      ELSE list_distinct($WordsSql) END AS sh
           FROM documents WHERE doc_id % 10 = 0),
         hashed AS (
           SELECT doc_id, sh, list_transform(sh, s -> ${hex15ToInt("md5(s)")}) AS hs

@@ -101,12 +101,15 @@ object PolarLogQueries extends QueryRegistry {
         // register earliest-group, poll all, commit, produce nothing more,
         // poll again -> empty; emit the committed read counts per partition
         // key. Polls the shared topic — a named group's commits live under
-        // the topic's _groups/ and don't perturb other readers.
+        // the topic's _groups/ and don't perturb other readers. The group
+        // name is unique per invocation so a committed state never carries
+        // over into a re-run within the same application (idempotence).
         val (cfg, _) = SharedTopics.eventsProps(s, dir)
-        val p1 = ConsumerGroups.poll(s, cfg, "gate", ConsumerGroups.Earliest)
+        val group = "gate-" + java.util.UUID.randomUUID().toString
+        val p1 = ConsumerGroups.poll(s, cfg, group, ConsumerGroups.Earliest)
         val read1 = p1.records.count()
-        ConsumerGroups.commit(cfg, "gate", p1.nextOffsets)
-        val read2 = ConsumerGroups.poll(s, cfg, "gate").records.count()
+        ConsumerGroups.commit(cfg, group, p1.nextOffsets)
+        val read2 = ConsumerGroups.poll(s, cfg, group).records.count()
         s.createDataFrame(Seq((read1, read2))).toDF("first_poll", "after_commit")
       },
       Some("SELECT COUNT(*) AS first_poll, CAST(0 AS BIGINT) AS after_commit FROM events")),
@@ -202,7 +205,9 @@ object PolarLogQueries extends QueryRegistry {
         val root = Files.createTempDirectory("graft_polar_f").toString
         val cfg = TopicConfig(root, "frames")
         val frame = concat(
-          unhex(lpad(hex(length(col("props"))), 8, "0")),
+          // prefix counts BYTES of the UTF-8 body, not characters — length()
+          // over the binary cast, so non-ASCII props frame correctly
+          unhex(lpad(hex(length(col("props").cast("binary"))), 8, "0")),
           col("props").cast("binary"))
         val bodies = Tables.events(s, dir)
           .select(col("user_id").cast("string").as("partitionKey"), frame.as("f"))

@@ -160,11 +160,17 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
       case GreaterThanOrEqual("offset", v) => asLong(v).exists { n =>
         bounds = bounds.copy(minOffset = math.max(bounds.minOffset, n)); true }
       case GreaterThan("offset", v) => asLong(v).exists { n =>
-        bounds = bounds.copy(minOffset = math.max(bounds.minOffset, n + 1)); true }
+        // n+1 would wrap at Long.MaxValue; offset > MaxValue is the empty set,
+        // which minOffset = MaxValue (an empty [MaxValue, end) window) encodes
+        val lo = if (n == Long.MaxValue) Long.MaxValue else n + 1
+        bounds = bounds.copy(minOffset = math.max(bounds.minOffset, lo)); true }
       case LessThan("offset", v) => asLong(v).exists { n =>
         bounds = bounds.copy(maxOffsetExclusive = math.min(bounds.maxOffsetExclusive, n)); true }
       case LessThanOrEqual("offset", v) => asLong(v).exists { n =>
-        bounds = bounds.copy(maxOffsetExclusive = math.min(bounds.maxOffsetExclusive, n + 1)); true }
+        // <= MaxValue is a tautology: accept without narrowing (n+1 wraps)
+        if (n != Long.MaxValue)
+          bounds = bounds.copy(maxOffsetExclusive = math.min(bounds.maxOffsetExclusive, n + 1))
+        true }
       case EqualTo("part", v) => asLong(v).exists { n =>
         val s = Set(n.toInt)
         bounds = bounds.copy(parts = Some(bounds.parts.fold(s)(_ intersect s)))

@@ -110,7 +110,15 @@ object StreamAnalytics {
 
   private def closed(key: String, s: SessionState): UserSession =
     UserSession(key, s.n,
-      new java.sql.Timestamp(s.firstMicros / 1000L),
-      new java.sql.Timestamp(s.lastMicros / 1000L),
+      tsFromMicros(s.firstMicros),
+      tsFromMicros(s.lastMicros),
       (s.lastMicros - s.firstMicros) / 1000000L)
+
+  /** Micros-exact Timestamp: millis via the constructor, sub-milli micros
+    * restored through setNanos (the constructor alone truncates to millis). */
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 }
