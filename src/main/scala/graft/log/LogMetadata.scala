@@ -22,10 +22,42 @@ final case class TopicConfig(
     rangesPerToken: Int = 4) {
   require(graft.functions.TokenMath.validRingLength(clusterSize) || clusterSize == 1,
     s"clusterSize must be 1 or 3*2^n, got $clusterSize")
+  require(TopicConfig.validTopicName(topic),
+    s"Invalid topic: '$topic' (empty, path-unsafe or reserved)")
   def numPartitions: Int = clusterSize * rangesPerToken
   def dir: String = s"$root/$topic"
   def metadataPath: String = s"$dir/_polar_metadata.json"
   def groupsDir: String = s"$dir/_groups"
+}
+
+object TopicConfig {
+  /** Topic-name validation — the storage-layer analog of the reference's
+    * 400 "Invalid topic" on the produce path
+    * (`/root/reference/internal/producing/server.go:142-143`): non-empty,
+    * no path separators, not a reserved (`_`/`.`-prefixed) name. */
+  def validTopicName(name: String): Boolean =
+    name.nonEmpty && name.length <= 255 &&
+      !name.startsWith("_") && !name.startsWith(".") &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
+}
+
+/** One committed data file of a topic partition: the unit of the metadata
+  * file registry. Offsets `[minOffset, maxOffset]` are inclusive, dense, and
+  * disjoint across a partition's files — so planning a consume of
+  * `[start, end)` is pure metadata arithmetic (no directory listing, no
+  * parquet footer reads): the Spark rendition of the reference's segment
+  * index, lifted from per-file `.index` entries into the topic's single
+  * metadata document. `bytes` feeds byte-bounded admission control;
+  * `createdMs` feeds retention GC. */
+final case class FileEntry(
+    part: Int,
+    name: String,
+    minOffset: Long,
+    maxOffset: Long,
+    count: Long,
+    bytes: Long,
+    createdMs: Long) {
+  def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
 }
 
 /**
@@ -45,8 +77,13 @@ final case class LogMetadata(
     version: Long,
     clusterSize: Int,
     rangesPerToken: Int,
-    producerOffsets: Vector[Long]) {
+    producerOffsets: Vector[Long],
+    files: Vector[FileEntry] = Vector.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
+
+  /** Registered files of one partition in offset order. */
+  def filesOf(part: Int): Vector[FileEntry] =
+    files.filter(_.part == part).sortBy(_.minOffset)
 }
 
 object LogMetadata {
@@ -103,10 +140,18 @@ object LogMetadata {
   // -- tiny hand-rolled JSON (flat schema; avoids depending on jackson API
   //    stability across Spark versions) ------------------------------------
 
-  private[log] def render(m: LogMetadata): String =
+  private[log] def render(m: LogMetadata): String = {
+    val files = m.files.map(f =>
+      s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
+        s"""${f.bytes},${f.createdMs}]""").mkString(",")
     s"""{"version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
-      s""""producerOffsets":[${m.producerOffsets.mkString(",")}]}"""
+      s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
+      s""""files":[$files]}"""
+  }
+
+  private val FileEntryRe =
+    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)\]""".r
 
   private[log] def parse(s: String): LogMetadata = {
     def longField(name: String): Long = {
@@ -120,7 +165,14 @@ object LogMetadata {
     val offsets =
       if (arr.isEmpty) Vector.empty[Long]
       else arr.split(",").map(_.trim.toLong).toVector
+    // file entries are flat [part,"name",min,max,count,bytes,createdMs]
+    // tuples — a metadata doc predating the registry simply has none
+    val files = FileEntryRe.findAllMatchIn(s).map { m =>
+      FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
+        m.group(7).toLong)
+    }.toVector
     LogMetadata(longField("version"), longField("clusterSize").toInt,
-      longField("rangesPerToken").toInt, offsets)
+      longField("rangesPerToken").toInt, offsets, files)
   }
 }

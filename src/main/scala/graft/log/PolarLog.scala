@@ -3,49 +3,47 @@ package graft.log
 import graft.functions.GraftFunctions.{murmur3_h1, polar_partition}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-import scala.jdk.CollectionConverters._
 
 /**
  * The partitioned, offset-addressed event log — the data plane of the engine
  * (SURVEY.md §7.1).
  *
- * Layout: `{root}/{topic}/part={p}/<n>.parquet` (zstd), envelope columns
- * `(partitionKey, token, offset, timestamp, value)`; `part` is a directory
- * partition column so topic/partition predicates prune at planning time, and
- * `offset` predicates prune at row-group level via parquet min/max stats —
- * the Spark rendition of the reference's sparse `.index` files
- * (`/root/reference/internal/data/index_file_writer.go:77-90`, SURVEY §4).
+ * Layout: `{root}/{topic}/part={p}/<file>.parquet` (zstd), envelope columns
+ * `(partitionKey, token, offset, timestamp, value)`. The topic's metadata
+ * document carries a FILE REGISTRY — per-file `(part, minOffset, maxOffset,
+ * count, bytes)` — so every read plan is pure metadata arithmetic: no
+ * directory listing, no parquet footer reads. This is the Spark rendition of
+ * the reference's sparse `.index` files
+ * (`/root/reference/internal/data/index_file_writer.go:77-90`, SURVEY §4),
+ * lifted into the metadata log the way Delta/Iceberg do (the right shape for
+ * object stores, where listing is slow and rename is a copy).
  *
  * Placement fidelity: `partition = polar_partition(murmur3_h1(key))` —
  * identical to the reference's leader routing
- * (`internal/discovery/discoverer.go:343-368`); the shuffle induced by the
- * offset-assignment window IS the router (SURVEY §2 A3). Records with a null
- * key are placed by a deterministic content hash over all partitions —
- * the declarative stand-in for the reference's round-robin default
+ * (`internal/discovery/discoverer.go:343-368`); the clustering exchange of
+ * the DSv2 write IS the router (SURVEY §2 A3). Records with a null key are
+ * placed by a deterministic content hash over all partitions — the
+ * declarative stand-in for the reference's round-robin default
  * (`discoverer.go:370-412`): same distribution property, no per-key order
  * implied (none is promised for null keys there either).
  *
- * Offsets are dense per partition from 0. A produce assigns
- * `base(p) + rowNumberWithinPartition` via a window ordered by the caller's
- * `orderBy` (default event timestamp, content-hash tiebreak), with `base`
- * taken from [[LogMetadata]] at plan time and advanced by CAS at commit —
- * the single-writer-per-partition invariant of the reference's coalescer
- * (`internal/producing/coalescer.go:24-27,166-167`) held by hash clustering:
- * every row of a partition lands in exactly one task.
+ * Offsets are dense per partition from 0, assigned at WRITE time by counter
+ * increment in arrival order ([[graft.sources.PolarDataWriter]]) from a
+ * plan-time base, and committed by a single metadata CAS — exactly the
+ * reference coalescer's single-writer counter
+ * (`internal/producing/coalescer.go:24-27,166-167`). Arrival order is the
+ * caller's `orderBy` (default event timestamp, content-hash tiebreak),
+ * enforced as a spillable local sort, never a window.
  *
  * At 100 TB: the only shuffle is the clustering exchange (unavoidable — it
- * is the routing semantics); the write is append-only parquet per partition;
- * metadata work is O(partitions) on the driver. Consumption is a vectorized
- * parquet scan with partition pruning + offset row-group pruning, so a
- * "read partition 7 from offset X" poll touches only that directory's tail
- * files.
+ * is the routing semantics); the write streams append-only parquet per
+ * partition; metadata work is O(partitions + files) on the driver.
+ * Consumption is a vectorized parquet scan planned from the registry, so a
+ * "read partition 7 from offset X" poll touches only that partition's
+ * overlapping tail files.
  */
 /** The canonical event envelope as a case class (SURVEY §1.1). */
 final case class PolarRecord(
@@ -71,17 +69,26 @@ object PolarLog {
       oldTails: Map[Int, Long],
       newTails: Map[Int, Long])
 
+  /** Per-record size cap, the reference's `MaxMessageSize` default
+    * (`/root/reference/internal/conf/config.go:252-254`): oversize values
+    * fail the produce like the reference's 400 response. */
+  val DefaultMaxMessageSize: Int = 1 << 20
+
   /**
    * Append records to a topic. Input needs a `value` column (binary or
    * string); `partitionKey` (string) and `timestamp` are optional.
-   * At-least-once: files land before metadata commits; a crash in between
-   * re-appends on retry (consumer dedup by (partition, offset) — exactly the
-   * reference's redelivery contract).
+   *
+   * Routes through the DSv2 sink ([[graft.sources.PolarWrite]]): the plan
+   * is cluster-by-part + local sort; executors stream per-partition files
+   * with write-time dense offsets; visibility is a single metadata CAS at
+   * commit (files land first but are unregistered until then, so readers
+   * never see a torn produce).
    */
   def produce(
       df: DataFrame,
       cfg: TopicConfig,
-      orderBy: Seq[Column] = Nil): ProduceResult = {
+      orderBy: Seq[Column] = Nil,
+      maxMessageSize: Int = DefaultMaxMessageSize): ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
     val meta0 = {
@@ -99,63 +106,46 @@ object PolarLog {
     val withTs =
       if (withKey.columns.contains("timestamp")) withKey
       else withKey.withColumn("timestamp", current_timestamp())
-    val normalized = withTs.withColumn("value", col("value").cast(BinaryType))
+    // oversize-value rejection inline in the projection (codegen'd, zero
+    // cost unless violated — the produce-path 400 of the reference,
+    // `internal/producing/server.go:146-151`)
+    val sized = withTs.withColumn("value",
+      when(length(col("value").cast(BinaryType)) <= maxMessageSize,
+        col("value").cast(BinaryType))
+        .otherwise(raise_error(concat(
+          lit(s"record value exceeds maxMessageSize=$maxMessageSize bytes: "),
+          length(col("value").cast(BinaryType)).cast(StringType)))
+          .cast(BinaryType)))
 
     val token = murmur3_h1(col("partitionKey"))
     val contentSpread = pmod(xxhash64(col("value"), col("timestamp")), lit(n)).cast(IntegerType)
     val partExpr = when(col("partitionKey").isNull, contentSpread)
       .otherwise(polar_partition(token, cfg.clusterSize, cfg.rangesPerToken))
 
-    val baseMap = map(meta0.producerOffsets.zipWithIndex.flatMap {
-      case (b, p) => Seq(lit(p), lit(b))
-    }: _*)
-
+    // arrival order materialized as __oN columns — the DSv2 write requires
+    // a LOCAL sort on (part, __o*): spillable, no window buffer
     val order = if (orderBy.nonEmpty) orderBy
       else Seq(col("timestamp"), xxhash64(col("value")))
-    val w = Window.partitionBy(col("part")).orderBy(order: _*)
+    val orderCols = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
 
-    val enveloped = normalized
+    val enveloped = sized
       .withColumn("token", token)
       .withColumn("part", partExpr)
-      .withColumn("offset",
-        element_at(baseMap, col("part")) + row_number().over(w) - 1)
-      .select(col("partitionKey"), col("token"), col("offset"),
-        col("timestamp"), col("value"), col("part"))
+      .select(Seq(col("partitionKey"), col("token"), col("part"),
+        col("timestamp"), col("value")) ++ orderCols: _*)
 
-    val before = listDataFiles(cfg)
-    // int64-micros timestamps in the log files (not INT96) so the streaming
-    // reader's plain column access works and row-group stats stay usable —
-    // scoped to this write, restoring the caller's session conf after
-    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-    try enveloped.write
+    enveloped.write
+      .format("polar")
+      .option("root", cfg.root)
+      .option("topic", cfg.topic)
+      .option("clusterSize", cfg.clusterSize.toString)
+      .option("rangesPerToken", cfg.rangesPerToken.toString)
       .mode("append")
-      .option("compression", "zstd")
-      .partitionBy("part")
-      .parquet(cfg.dir)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set(tsTypeKey, v)
-      case None => spark.conf.unset(tsTypeKey)
-    }
+      .save()
 
-    val after = listDataFiles(cfg)
-    val newFiles = after.map { case (p, files) =>
-      p -> (files -- before.getOrElse(p, Set.empty))
-    }.filter(_._2.nonEmpty)
-
-    // tail advance from footer stats only — no second pass over the data
-    val newTails: Map[Int, Long] = newFiles.map { case (p, files) =>
-      val maxOff = files.map(f => footerMaxOffset(new Path(s"${cfg.dir}/part=$p/$f"))).max
-      p -> (maxOff + 1)
-    }
-
+    val after = LogMetadata.read(cfg)
     val oldTails = meta0.producerOffsets.zipWithIndex.map(_.swap).toMap
-    LogMetadata.compareAndSet(cfg, meta0) { cur =>
-      cur.copy(producerOffsets = cur.producerOffsets.zipWithIndex.map {
-        case (old, p) => newTails.getOrElse(p, old)
-      })
-    }
+    val newTails = after.producerOffsets.zipWithIndex.map(_.swap).toMap
     val written = newTails.map { case (p, t) => t - meta0.producerOffsets(p) }.sum
     ProduceResult(written, oldTails, newTails)
   }
@@ -177,23 +167,29 @@ object PolarLog {
     produce(exploded, cfg)
   }
 
-  /** Scan a topic (batch consume). Vectorized parquet scan; `part` prunes
-    * directories, offset bounds prune row groups. `startOffsets(p)` is
+  /** Scan a topic (batch consume). Vectorized parquet scan planned from the
+    * metadata file registry — only REGISTERED files are visible (commit
+    * atomicity), and no directory listing happens. `startOffsets(p)` is
     * inclusive, `endOffsets(p)` exclusive. */
   def consume(
       spark: SparkSession,
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
       endOffsets: Map[Int, Long] = Map.empty): DataFrame = {
-    val fs = fileSystem(cfg)
-    if (!fs.exists(new Path(cfg.dir))) return emptyLog(spark, cfg)
-    val hasData = listDataFiles(cfg).nonEmpty
-    if (!hasData) return emptyLog(spark, cfg)
+    val meta = LogMetadata.read(cfg)
+    if (meta.files.isEmpty) return emptyLog(spark, cfg)
+    // prune files by the requested offset windows before Spark ever sees
+    // them — registry stats replace footer reads
+    val wanted = meta.files.filter { f =>
+      f.maxOffset >= startOffsets.getOrElse(f.part, 0L) &&
+        f.minOffset < endOffsets.getOrElse(f.part, Long.MaxValue)
+    }
+    if (wanted.isEmpty) return emptyLog(spark, cfg)
 
     var out = spark.read
       .schema(ValueSchema.add(StructField("part", IntegerType)))
       .option("basePath", cfg.dir)
-      .parquet(cfg.dir)
+      .parquet(wanted.map(_.path(cfg)): _*)
       .withColumn("topic", lit(cfg.topic))
     if (startOffsets.nonEmpty) {
       val m = offsetMap(startOffsets)
@@ -222,28 +218,27 @@ object PolarLog {
     else df.limit(math.max(maxRecords, 0L).toInt)
   }
 
-  /** Retention GC (SURVEY §2 A25): delete data files whose modification time
-    * is older than the retention window — file-granularity age-based
-    * deletion, mirroring `/root/reference/internal/data/datalog_cleaner.go`.
-    * Returns deleted file count. */
+  /** Retention GC (SURVEY §2 A25): unregister-then-delete data files whose
+    * commit time is older than the retention window — file-granularity
+    * age-based deletion, mirroring
+    * `/root/reference/internal/data/datalog_cleaner.go`. The CAS
+    * unregistration is the visibility boundary (readers planning from the
+    * registry never race a half-deleted file); the physical delete after it
+    * is garbage collection. Returns deleted file count. */
   def cleanRetention(cfg: TopicConfig, retentionMs: Long,
       nowMs: Long = System.currentTimeMillis()): Int = {
-    val fs = fileSystem(cfg)
-    val dir = new Path(cfg.dir)
-    if (!fs.exists(dir)) return 0
     val cutoff = nowMs - retentionMs
-    var deleted = 0
-    fs.listStatus(dir).filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
-      .foreach { pdir =>
-        fs.listStatus(pdir.getPath).foreach { f =>
-          if (f.isFile && isDataFile(f.getPath.getName) &&
-              f.getModificationTime < cutoff) {
-            fs.delete(f.getPath, false)
-            deleted += 1
-          }
-        }
-      }
-    deleted
+    val meta = LogMetadata.read(cfg)
+    val (aged, kept) = meta.files.partition(_.createdMs < cutoff)
+    if (aged.isEmpty) return 0
+    LogMetadata.compareAndSet(cfg, meta)(_.copy(files = kept))
+    val conf = new Configuration()
+    aged.foreach { f =>
+      val p = new Path(f.path(cfg))
+      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+      catch { case _: java.io.IOException => () }
+    }
+    aged.size
   }
 
   /** Current tail offsets (next offset per partition). */
@@ -271,35 +266,27 @@ object PolarLog {
   private[log] def fileSystem(cfg: TopicConfig): FileSystem =
     new Path(cfg.root).getFileSystem(new Configuration())
 
-  private def isDataFile(name: String): Boolean =
-    !name.startsWith("_") && !name.startsWith(".") && name.endsWith(".parquet")
-
-  /** part -> data file names. */
-  private[log] def listDataFiles(cfg: TopicConfig): Map[Int, Set[String]] = {
+  /** Delete data files present on disk but absent from the registry —
+    * aborted-produce orphans (never visible to readers; this is pure space
+    * reclamation, the analog of the reference recycling failed chunks). */
+  def vacuum(cfg: TopicConfig): Int = {
+    val meta = LogMetadata.read(cfg)
+    val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet
     val fs = fileSystem(cfg)
     val dir = new Path(cfg.dir)
-    if (!fs.exists(dir)) return Map.empty
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
-      .map { pdir =>
-        val p = pdir.getPath.getName.stripPrefix("part=").toInt
-        p -> fs.listStatus(pdir.getPath).toSeq
-          .filter(f => f.isFile && isDataFile(f.getPath.getName))
-          .map(_.getPath.getName).toSet
-      }.filter(_._2.nonEmpty).toMap
-  }
-
-  /** Max value of the `offset` column from parquet footer stats (no data
-    * read) — the analog of reading the reference's `producer.offset` file. */
-  private[log] def footerMaxOffset(file: Path): Long = {
-    val in = HadoopInputFile.fromPath(file, new Configuration())
-    val reader = ParquetFileReader.open(in)
-    try {
-      reader.getFooter.getBlocks.asScala.flatMap { block =>
-        block.getColumns.asScala
-          .find(_.getPath.toDotString == "offset")
-          .map(_.getStatistics.genericGetMax.asInstanceOf[Long])
-      }.max
-    } finally reader.close()
+    if (!fs.exists(dir)) return 0
+    var deleted = 0
+    fs.listStatus(dir).filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+      .foreach { pdir =>
+        fs.listStatus(pdir.getPath).foreach { f =>
+          val rel = s"${pdir.getPath.getName}/${f.getPath.getName}"
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              !registered.contains(rel)) {
+            fs.delete(f.getPath, false)
+            deleted += 1
+          }
+        }
+      }
+    deleted
   }
 }

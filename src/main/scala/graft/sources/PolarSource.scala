@@ -3,17 +3,22 @@ package graft.sources
 import graft.log.{LogMetadata, PolarLog, TopicConfig}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetInputFormat
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.util
@@ -29,22 +34,27 @@ import scala.jdk.CollectionConverters._
  *    reference's offset state, `internal/consuming/offset_state.go`);
  *  - `startingOffsets` earliest|latest ≈ `onNewGroup` reset policies
  *    (`internal/types/models_offset.go:94-111`);
- *  - `maxRecordsPerTrigger` ≈ the group read queue's 2 MiB
- *    `ConsumerReadThreshold` admission control
- *    (`internal/consuming/group_read_queue.go:87-170`);
- *  - micro-batch planning = one `InputPartition` per log partition per
- *    offset delta, files selected by footer offset stats (the sparse-index
- *    seek, `internal/data/index_file_reader.go:26-77`);
- *  - the reader is row-oriented over the parquet chunks — deliberately: the
- *    consume path serves records in offset order, exactly like the
- *    reference's segment reader serving chunks (`internal/data/
- *    segment_reader.go:106-195`). Analytics go through the vectorized batch
- *    path (`PolarLog.consume`) instead.
+ *  - `maxRecordsPerTrigger` / `maxBytesPerTrigger` ≈ the group read queue's
+ *    `ConsumerReadThreshold` admission control (2 MiB default,
+ *    `internal/consuming/group_read_queue.go:87-170`,
+ *    `internal/conf/config.go:278-280`);
+ *  - planning is PURE METADATA: the topic's file registry carries exact
+ *    per-file offset/byte stats, so each trigger plans with zero directory
+ *    listings and zero footer reads — the sparse-index seek
+ *    (`internal/data/index_file_reader.go:26-77`) collapsed into the
+ *    metadata log;
+ *  - reads are VECTORIZED parquet (`ColumnarBatch` decode; the analog of
+ *    the reference's 8 MiB aligned read-ahead,
+ *    `internal/data/segment_reader.go:107-110`). Batch scans deliver
+ *    columnar batches into whole-stage codegen; streaming scans deliver
+ *    rows off the same vectorized decode, trimmed exactly to the trigger's
+ *    offset window.
  *
- * Scale posture: planning is O(files-in-delta) driver-side metadata; each
- * micro-batch reads only row groups overlapping its offset range; partitions
- * stream independently so a 1000-executor cluster drains all log partitions
- * in parallel.
+ * Scale posture: planning is O(files-in-delta) driver-side arithmetic over
+ * in-memory metadata; each micro-batch reads only row groups overlapping
+ * its offset range (parquet row-group filter from registry bounds);
+ * partitions stream independently so a 1000-executor cluster drains all log
+ * partitions in parallel.
  */
 class PolarTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -52,9 +62,9 @@ class PolarTableProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PolarSource.FullSchema
   // writes arrive with the PRODUCER schema (partitionKey/timestamp/value —
-  // a subset of the consume schema, like Kafka's source vs sink shape);
-  // accepting external metadata lets the write-side table report the
-  // incoming schema so AppendData resolves
+  // a subset of the consume schema, like Kafka's source vs sink shape) or
+  // the full envelope; accepting external metadata lets the write-side
+  // table report the incoming schema so AppendData resolves
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
@@ -81,14 +91,16 @@ object PolarSource {
         opt("clusterSize").map(_.toInt).getOrElse(3),
         opt("rangesPerToken").map(_.toInt).getOrElse(4)),
       startingOffsets = opt("startingOffsets").getOrElse("latest").toLowerCase,
-      maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong))
+      maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong))
   }
 }
 
 final case class PolarSourceConfig(
     topic: TopicConfig,
     startingOffsets: String,
-    maxRecordsPerTrigger: Option[Long])
+    maxRecordsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long] = None)
 
 class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
     extends Table with SupportsRead
@@ -97,40 +109,32 @@ class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else PolarSource.FullSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+    // producer-schema writes (no `part`) route through the V1 sugar shim;
+    // declaring V1_BATCH_WRITE unconditionally would force EVERY write —
+    // including the envelope BatchWrite — down the V1 path
+    if (!schema().fieldNames.contains("part")) caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PolarScanBuilder(cfg)
 
-  /** `df.write.format("polar").mode("append")` — the batch produce path
-    * (SURVEY §7 PR2 sink contract). A V1Write fallback is the right shape
-    * here: produce needs the placement SHUFFLE + offset-assignment window
-    * before files are written, which a per-task `DataWriter` cannot
-    * express — the reference's single-writer-per-partition invariant
-    * (`/root/reference/internal/producing/coalescer.go:24-27`) lives in
-    * [[graft.log.PolarLog.produce]]'s plan instead. */
+  /** `df.write.format("polar")` — envelope schemas get the real DSv2
+    * BatchWrite (commit-time offsets); producer schemas route through
+    * [[graft.log.PolarLog.produce]] which builds the envelope and lands in
+    * the same BatchWrite. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
-          override def toInsertableRelation
-              : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite,
-                "the polar log is append-only (reference semantics); use mode(\"append\")")
-              PolarLog.produce(data, cfg.topic): Unit
-            }
-        }
-    }
+    new PolarWriteBuilder(cfg, info)
 }
 
 /** Scan-time pruning bounds accepted from Catalyst filters: a per-partition
   * offset window plus an optional partition set. The offset seek of the
-  * reference's sparse index (`internal/data/index_file_reader.go:26-77`)
-  * re-expressed as DSv2 filter pushdown → footer-stat file pruning. */
+  * reference's sparse index re-expressed as DSv2 filter pushdown →
+  * registry-stat file pruning. */
 final case class PolarScanBounds(
     minOffset: Long = 0L,
     maxOffsetExclusive: Long = Long.MaxValue,
@@ -145,8 +149,8 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
   private var required: StructType = PolarSource.FullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve the canonical field order; a projection like (value, offset)
-    // must still decode rows once, in schema order
+    // preserve the canonical field order: file columns first, then the
+    // derived part/topic columns the reader appends
     required = StructType(PolarSource.FullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
@@ -181,7 +185,7 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
         true
       case _ => false
     }
-    // everything stays residual: pruning is file/partition-granular, Spark
+    // everything stays residual: pruning is file/row-group-granular, Spark
     // re-applies the exact predicates on the rows we do return
     filters
   }
@@ -204,18 +208,18 @@ class PolarScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val tails = PolarLog.tails(cfg.topic)
-      val kept = bounds.parts match {
-        case Some(ps) => tails.filter { case (p, _) => ps.contains(p) }
-        case None => tails
-      }
-      val start = PolarOffsets(kept.map { case (p, _) => p -> bounds.minOffset })
-      val end = PolarOffsets(kept.map { case (p, t) =>
-        p -> math.min(t, bounds.maxOffsetExclusive) })
-      PolarMicroBatchStream.plan(cfg.topic, start, end)
+      val meta = LogMetadata.read(cfg.topic)
+      val start = PolarOffsets(
+        (0 until cfg.topic.numPartitions).map(_ -> bounds.minOffset).toMap)
+      val end = PolarOffsets(meta.producerOffsets.zipWithIndex.map {
+        case (t, p) => p -> math.min(t, bounds.maxOffsetExclusive)
+      }.toMap)
+      PolarMicroBatchStream.plan(meta, start, end, bounds.parts)
     }
+    // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
+    // so row-group-granular delivery is exact by construction
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolarReaderFactory(cfg.topic.topic, required)
+      new PolarReaderFactory(cfg.topic.topic, cfg.topic.dir, required, columnar = true)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -245,11 +249,13 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   private val topic = cfg.topic
   @volatile private var availableNowCap: Option[PolarOffsets] = None
 
-  private def currentTails: PolarOffsets = PolarOffsets(PolarLog.tails(topic))
+  private def currentMeta: LogMetadata = LogMetadata.read(topic)
+  private def tailsOf(m: LogMetadata): PolarOffsets =
+    PolarOffsets(m.producerOffsets.zipWithIndex.map(_.swap).toMap)
 
   override def initialOffset(): Offset = cfg.startingOffsets match {
     case "earliest" => PolarOffsets.zeros(topic)
-    case "latest" => currentTails
+    case "latest" => tailsOf(currentMeta)
     case other => PolarOffsets.parse(other) // explicit {"p":offset,...}
   }
 
@@ -258,38 +264,84 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       .getOrElse(ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(currentTails)
+    availableNowCap = Some(tailsOf(currentMeta))
 
-  override def reportLatestOffset(): Offset = currentTails
+  override def reportLatestOffset(): Offset = tailsOf(currentMeta)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PolarOffsets]
-    val target = availableNowCap.getOrElse(currentTails)
-    limit match {
+    val meta = currentMeta
+    val target = availableNowCap.getOrElse(tailsOf(meta))
+    val rowCapped = limit match {
       case rows: ReadMaxRows =>
         // greedy fill across partitions in index order — the group read
         // queue's round-robin-until-threshold, collapsed to one pass
         var budget = rows.maxRows()
-        val capped = target.tails.toSeq.sorted.map { case (p, tail) =>
+        PolarOffsets(target.tails.toSeq.sorted.map { case (p, tail) =>
           val cur = from.tails.getOrElse(p, 0L)
           val take = math.min(tail - cur, budget)
           budget -= math.max(take, 0L)
           p -> (cur + math.max(take, 0L))
-        }.toMap
-        PolarOffsets(capped)
+        }.toMap)
       case _ => target
+    }
+    cfg.maxBytesPerTrigger match {
+      case Some(byteCap) => byteCapped(meta, from, rowCapped, byteCap)
+      case None => rowCapped
     }
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    PolarMicroBatchStream.plan(topic,
-      start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets])
+  /** Byte-bounded admission (`ConsumerReadThreshold`, 2 MiB default in the
+    * reference): walk each partition's pending registry files in offset
+    * order, charging `records × bytes/record` from the file's exact stats;
+    * stop at the cap but always admit at least one record when any is
+    * pending (progress guarantee). */
+  private def byteCapped(
+      meta: LogMetadata,
+      from: PolarOffsets,
+      target: PolarOffsets,
+      byteCap: Long): PolarOffsets = {
+    var budget = byteCap
+    var admittedAny = false
+    val capped = target.tails.toSeq.sorted.map { case (p, tail) =>
+      var cur = from.tails.getOrElse(p, 0L)
+      if (cur >= tail) p -> cur
+      else {
+        val files = meta.filesOf(p).filter(f => f.maxOffset >= cur && f.minOffset < tail)
+        var pos = cur
+        files.foreach { f =>
+          val lo = math.max(pos, f.minOffset)
+          val hi = math.min(tail - 1, f.maxOffset)
+          if (lo <= hi && pos >= f.minOffset) {
+            val perRecord = math.max(1L, f.bytes / math.max(1L, f.count))
+            val affordable = math.max(budget / perRecord,
+              if (admittedAny) 0L else 1L) // ≥1 record overall
+            val take = math.min(hi - lo + 1, affordable)
+            if (take > 0) {
+              pos = lo + take
+              budget -= take * perRecord
+              admittedAny = true
+            }
+          }
+        }
+        p -> pos
+      }
+    }.toMap
+    PolarOffsets(capped)
+  }
 
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    PolarMicroBatchStream.plan(currentMeta,
+      start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets], None)
+
+  // streaming delivers ROWS off the vectorized decode: a trigger's window
+  // can cut through a file, and exact [start,end) trimming is the reader's
+  // job here (no residual filters exist for planner-chosen bounds)
   override def createReaderFactory(): PartitionReaderFactory =
-    new PolarReaderFactory(topic.topic)
+    new PolarReaderFactory(topic.topic, topic.dir, PolarSource.FullSchema, columnar = false)
 
   override def deserializeOffset(json: String): Offset = PolarOffsets.parse(json)
   override def commit(end: Offset): Unit = () // checkpoint log is the commit store
@@ -298,134 +350,209 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
 }
 
 object PolarMicroBatchStream {
-  /** One InputPartition per log partition with pending offsets; files chosen
-    * by footer offset stats so only the overlapping tail is read. */
-  def plan(cfg: TopicConfig, start: PolarOffsets, end: PolarOffsets): Array[InputPartition] = {
-    val conf = new Configuration()
+  /** One InputPartition per log partition with pending offsets — files
+    * chosen from the registry's exact offset stats: zero listing, zero
+    * footer reads. */
+  def plan(
+      meta: LogMetadata,
+      start: PolarOffsets,
+      end: PolarOffsets,
+      parts: Option[Set[Int]]): Array[InputPartition] = {
+    val byPart = meta.files.groupBy(_.part)
     end.tails.toSeq.sorted.flatMap { case (p, endOff) =>
       val startOff = start.tails.getOrElse(p, 0L)
-      if (endOff <= startOff) None
+      if (endOff <= startOff || !parts.forall(_.contains(p))) None
       else {
-        val dir = new Path(s"${cfg.dir}/part=$p")
-        val fs = dir.getFileSystem(conf)
-        if (!fs.exists(dir)) None
-        else {
-          val files = fs.listStatus(dir).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString)
-            .filter { f =>
-              val (lo, hi) = PolarReaderFactory.fileOffsetRange(f, conf)
-              hi >= startOff && lo < endOff
-            }
-          if (files.isEmpty) None
-          else Some(PolarInputPartition(p, files, startOff, endOff))
-        }
+        val files = byPart.getOrElse(p, Vector.empty)
+          .filter(f => f.maxOffset >= startOff && f.minOffset < endOff)
+          .sortBy(_.minOffset)
+        if (files.isEmpty) None
+        else Some(PolarInputPartition(p,
+          files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset)),
+          startOff, endOff))
       }
     }.toArray
   }
 }
 
+/** A registered file of the partition being read (name relative to the
+  * partition directory; exact offset bounds from the registry). */
+final case class PolarFileSlice(name: String, minOffset: Long, maxOffset: Long)
+
 final case class PolarInputPartition(
     part: Int,
-    files: Seq[String],
+    files: Seq[PolarFileSlice],
     startOffset: Long,
     endOffset: Long) extends InputPartition
 
 class PolarReaderFactory(
     topicName: String,
-    required: StructType = PolarSource.FullSchema) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PolarPartitionReader(partition.asInstanceOf[PolarInputPartition], topicName, required)
-}
+    topicDir: String,
+    required: StructType,
+    columnar: Boolean) extends PartitionReaderFactory {
 
-object PolarReaderFactory {
-  // log files are immutable once visible, so footer stats are cached for the
-  // life of the driver — planning stays O(files-in-delta) footer READS even
-  // though every trigger inspects the full listing
-  private val rangeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  // derived part/topic columns the vectorized reader appends as constants
+  private def partitionSchema: StructType =
+    StructType(required.fields.filter(f => f.name == "part" || f.name == "topic"))
+  private def fileSchema: StructType =
+    StructType(required.fields.filterNot(f => f.name == "part" || f.name == "topic"))
 
-  /** (min, max) of the offset column across a file's row groups. */
-  def fileOffsetRange(file: String, conf: Configuration): (Long, Long) = {
-    val cached = rangeCache.get(file)
-    if (cached != null) return cached
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-    val range = try {
-      val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == "offset").map(_.getStatistics)
-      }
-      (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
-        stats.map(_.genericGetMax.asInstanceOf[Long]).max)
-    } finally reader.close()
-    rangeCache.put(file, range)
-    range
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  /** An empty projection (`count(*)` with no residual filters) needs only
+    * row COUNTS — and per-file offsets are dense, so the registry stats
+    * answer exactly: emit zero-column batches, never touch data. */
+  private def countOnly(p: PolarInputPartition): PartitionReader[ColumnarBatch] =
+    new PartitionReader[ColumnarBatch] {
+      private val counts = p.files.iterator.map { f =>
+        val lo = math.max(p.startOffset, f.minOffset)
+        val hi = math.min(p.endOffset - 1, f.maxOffset)
+        hi - lo + 1
+      }.filter(_ > 0)
+      private var current: ColumnarBatch = _
+      override def next(): Boolean =
+        if (!counts.hasNext) false
+        else {
+          var n = counts.next()
+          while (counts.hasNext && n < Int.MaxValue / 2) n += counts.next()
+          current = new ColumnarBatch(
+            Array.empty[org.apache.spark.sql.vectorized.ColumnVector], n.toInt)
+          true
+        }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = ()
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PolarInputPartition]
+    new PolarRowReader(
+      new PolarVectorReader(p, topicName, topicDir, fileSchema, partitionSchema),
+      required.fieldIndex("offset"), p.startOffset, p.endOffset)
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[PolarInputPartition]
+    if (required.isEmpty) countOnly(p)
+    else new PolarColumnarReader(
+      new PolarVectorReader(p, topicName, topicDir, fileSchema, partitionSchema))
   }
 }
 
-/** Row-oriented reader over the log's parquet chunks, offset-filtered —
-  * the per-poll record serving of the reference's segment reader. Emits
-  * only the pruned `required` columns (in canonical schema order). */
-class PolarPartitionReader(
+/** Vectorized decode over a partition's registered files: one
+  * `VectorizedParquetRecordReader` per file, with the partition's constant
+  * `part`/`topic` columns appended via `initBatch` and a parquet row-group
+  * filter from the offset window — the 8 MiB read-ahead analog. */
+private[sources] class PolarVectorReader(
     p: PolarInputPartition,
     topicName: String,
-    required: StructType = PolarSource.FullSchema)
-    extends PartitionReader[InternalRow] {
+    topicDir: String,
+    fileSchema: StructType,
+    partitionSchema: StructType) {
 
-  private val conf = new Configuration()
-  // indices into the canonical full row for each required field
-  private val keepIdx: Array[Int] =
-    required.fieldNames.map(PolarSource.FullSchema.fieldIndex)
-  private val fileIter = p.files.sorted.iterator
-  private var reader: org.apache.parquet.hadoop.ParquetReader[
-    org.apache.parquet.example.data.Group] = _
-  private var current: InternalRow = _
-  private val topicUtf8 = UTF8String.fromString(topicName)
+  private val conf: Configuration = {
+    val c = new Configuration()
+    c.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", fileSchema.json)
+    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, false)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    // row-group pruning from the trigger's offset window; exactness comes
+    // from residual filters (batch) or row trimming (streaming). The
+    // predicate may only reference a REQUESTED column: parquet's filtered
+    // row-group read synchronizes pages through the predicate column and
+    // emits nothing when it isn't projected. An offset-less projection only
+    // happens when no offset predicate survived — the window is the whole
+    // log and pruning would be a no-op anyway.
+    if (fileSchema.fieldNames.contains("offset") &&
+        (p.startOffset > 0L || p.endOffset < Long.MaxValue)) {
+      val hi = if (p.endOffset == Long.MaxValue) Long.MaxValue else p.endOffset - 1
+      ParquetInputFormat.setFilterPredicate(c,
+        FilterApi.and(
+          FilterApi.gtEq(FilterApi.longColumn("offset"), java.lang.Long.valueOf(p.startOffset)),
+          FilterApi.ltEq(FilterApi.longColumn("offset"), java.lang.Long.valueOf(hi))))
+    }
+    c
+  }
+
+  private val partitionValues: InternalRow = {
+    val vals = partitionSchema.fields.map {
+      case f if f.name == "part" => Int.box(p.part)
+      case _ => UTF8String.fromString(topicName)
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  private val dirOfPart = s"part=${p.part}"
+  private val fileIter = p.files.iterator
+  private var reader: VectorizedParquetRecordReader = _
 
   private def nextReader(): Boolean = {
-    if (reader != null) { reader.close(); reader = null }
+    close()
     if (!fileIter.hasNext) return false
-    val f = fileIter.next()
-    reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new GroupReadSupport(), new Path(f)).withConf(conf).build()
+    val slice = fileIter.next()
+    val path = new Path(s"$topicDir/$dirOfPart/${slice.name}")
+    val fs = path.getFileSystem(conf)
+    val split = new FileSplit(path, 0, fs.getFileStatus(path).getLen, Array.empty[String])
+    reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    reader.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    reader.initBatch(partitionSchema, partitionValues)
+    reader.enableReturningBatches()
     true
   }
 
+  /** Advance to the next non-empty batch across files; null at exhaustion. */
+  def nextBatch(): ColumnarBatch = {
+    while (true) {
+      if (reader == null && !nextReader()) return null
+      if (reader.nextKeyValue()) {
+        val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        if (b.numRows() > 0) return b
+      } else if (!nextReader()) return null
+    }
+    null
+  }
+
+  def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+class PolarColumnarReader(vec: PolarVectorReader)
+    extends PartitionReader[ColumnarBatch] {
+  private var current: ColumnarBatch = _
+  override def next(): Boolean = { current = vec.nextBatch(); current != null }
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = vec.close()
+}
+
+/** Row delivery off the vectorized decode, trimmed exactly to
+  * `[startOffset, endOffset)` — the streaming trigger contract. */
+class PolarRowReader(
+    vec: PolarVectorReader,
+    offsetIdx: Int,
+    startOffset: Long,
+    endOffset: Long) extends PartitionReader[InternalRow] {
+
+  private var batchRows: java.util.Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
   override def next(): Boolean = {
     while (true) {
-      if (reader == null && !nextReader()) return false
-      val g = reader.read()
-      if (g == null) {
-        if (!nextReader()) return false
+      if (batchRows == null || !batchRows.hasNext) {
+        val b = vec.nextBatch()
+        if (b == null) return false
+        batchRows = b.rowIterator().asInstanceOf[java.util.Iterator[InternalRow]]
       } else {
-        val offset = g.getLong("offset", 0)
-        if (offset >= p.startOffset && offset < p.endOffset) {
-          current = toRow(g, offset)
-          return true
-        }
+        val r = batchRows.next()
+        val off = r.getLong(offsetIdx)
+        if (off >= startOffset && off < endOffset) { current = r; return true }
       }
     }
     false
   }
 
-  private def field(g: org.apache.parquet.example.data.Group, name: String): Boolean =
-    g.getType.containsField(name) &&
-      g.getFieldRepetitionCount(name) > 0
-
-  private def toRow(g: org.apache.parquet.example.data.Group, offset: Long): InternalRow = {
-    val key =
-      if (field(g, "partitionKey")) UTF8String.fromString(g.getString("partitionKey", 0))
-      else null
-    val token: Any =
-      if (field(g, "token")) java.lang.Long.valueOf(g.getLong("token", 0)) else null
-    val tsMicros: Any =
-      if (field(g, "timestamp")) java.lang.Long.valueOf(g.getLong("timestamp", 0)) else null
-    val value =
-      if (field(g, "value")) g.getBinary("value", 0).getBytes else null
-    val full = Array[Any](key, token, offset, tsMicros, value, p.part, topicUtf8)
-    if (keepIdx.length == full.length) new GenericInternalRow(full)
-    else new GenericInternalRow(keepIdx.map(full))
-  }
-
   override def get(): InternalRow = current
-  override def close(): Unit = if (reader != null) reader.close()
+  override def close(): Unit = vec.close()
 }

@@ -25,12 +25,16 @@ import org.apache.spark.sql.Row
  */
 object PolarStream {
 
-  /** Streaming consume of a topic. */
+  /** Streaming consume of a topic. `maxBytesPerTrigger` is the reference's
+    * `ConsumerReadThreshold` byte-bounded admission (2 MiB default there,
+    * `/root/reference/internal/conf/config.go:278-280`), charged from the
+    * file registry's exact byte stats. */
   def read(
       spark: SparkSession,
       cfg: TopicConfig,
       startingOffsets: String = "latest",
-      maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+      maxRecordsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("polar")
       .option("root", cfg.root)
       .option("topic", cfg.topic)
@@ -38,6 +42,7 @@ object PolarStream {
       .option("rangesPerToken", cfg.rangesPerToken)
       .option("startingOffsets", startingOffsets)
     maxRecordsPerTrigger.foreach(n => r = r.option("maxRecordsPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n))
     r.load()
   }
 

@@ -66,4 +66,62 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage != null)
   }
+
+  test("oversize record values are rejected (MaxMessageSize parity)") {
+    val root = Files.createTempDirectory("polar_write_max").toString
+    val cfg = TopicConfig(root, "w")
+    val s = spark
+    import s.implicits._
+    val big = Seq(("k", "x" * 2048)).toDF("partitionKey", "value")
+    val ex = intercept[Exception] {
+      PolarLog.produce(big, cfg, maxMessageSize = 1024)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("maxMessageSize")), chain(ex).mkString("; "))
+    // the failed produce must not become visible
+    assert(PolarLog.consume(spark, cfg).count() === 0)
+    // within-limit values on the same topic still produce fine
+    val ok = Seq(("k", "small")).toDF("partitionKey", "value")
+    PolarLog.produce(ok, cfg, maxMessageSize = 1024)
+    assert(PolarLog.consume(spark, cfg).count() === 1)
+  }
+
+  test("invalid topic names are rejected at config time") {
+    for (bad <- Seq("", "a/b", "_reserved", ".hidden", "sp ace")) {
+      intercept[IllegalArgumentException] {
+        TopicConfig("/tmp", bad)
+      }
+    }
+    TopicConfig("/tmp", "ok-topic_1.v2") // sanity: valid name accepted
+  }
+
+  test("planning is metadata-only: unregistered files are invisible; vacuum reclaims them") {
+    val root = Files.createTempDirectory("polar_write_orphan").toString
+    val cfg = TopicConfig(root, "w")
+    PolarLog.produce(records.limit(60), cfg)
+    val before = PolarLog.consume(spark, cfg).count()
+
+    // drop an orphan parquet into a partition dir, as an aborted task would
+    val partDir = new java.io.File(s"${cfg.dir}/part=0")
+    partDir.mkdirs()
+    val orphanSrc = partDir.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(new java.io.File(s"${cfg.dir}").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .find(_.getName.endsWith(".parquet")).get)
+    val orphan = new java.io.File(partDir, "worphan-deadbeef.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+
+    // batch consume, DSv2 read and count all plan from the registry — the
+    // duplicate bytes on disk change nothing
+    assert(PolarLog.consume(spark, cfg).count() === before)
+    val dsv2 = spark.read.format("polar")
+      .option("root", cfg.root).option("topic", cfg.topic).load()
+    assert(dsv2.count() === before)
+    assert(dsv2.collect().length === before)
+
+    assert(PolarLog.vacuum(cfg) === 1)
+    assert(!orphan.exists())
+    assert(PolarLog.consume(spark, cfg).count() === before)
+  }
 }

@@ -92,6 +92,33 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       batches.map(_.numInputRows).mkString(","))
   }
 
+  test("maxBytesPerTrigger paces batches by registry byte stats") {
+    val cfg = TopicConfig(root, "s_bytes")
+    PolarLog.produce(records(0, 1000), cfg)
+    val totalBytes = graft.log.LogMetadata.read(cfg).files.map(_.bytes).sum
+    // a cap of ~1/8 total forces several batches
+    val cap = math.max(totalBytes / 8, 1L)
+    val q = PolarStream.read(spark, cfg, startingOffsets = "earliest",
+        maxBytesPerTrigger = Some(cap))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_bytes")
+      .format("memory").queryName("s_bytes").start()
+    q.awaitTermination(180000)
+    assert(spark.table("s_bytes").count() === 1000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4,
+      s"expected several byte-capped batches, got ${batches.length}: " +
+        batches.map(_.numInputRows).mkString(","))
+    // per-batch record count bounded by cap / min-per-record-bytes (+1 for
+    // the progress guarantee)
+    val meta = graft.log.LogMetadata.read(cfg)
+    val minPerRecord = meta.files.map(f => math.max(1L, f.bytes / f.count)).min
+    val bound = cap / minPerRecord + meta.numPartitions
+    assert(batches.forall(_.numInputRows <= bound),
+      batches.map(_.numInputRows).mkString(","))
+  }
+
   test("streaming produce -> streaming consume round trip preserves records and order") {
     val srcCfg = TopicConfig(root, "s_src")
     val dstCfg = TopicConfig(root, "s_dst")
