@@ -90,6 +90,53 @@ object ConsumerGroups {
     Poll(records, end)
   }
 
+  /**
+   * Deterministic multi-consumer assignment (SURVEY §2 A16): the flat
+   * `(brokerIndex, rangeIndex)` units of the ring are round-robined over the
+   * group's SORTED member ids — the reference's `setConsumerAssignment`
+   * (`/root/reference/internal/consuming/consumer_state.go:308-350`,
+   * `docs/developer/CONSUMER_ASSIGNMENT.md`): iterating brokers in index
+   * order and ranges within each broker while cycling the consumer index
+   * assigns flat unit `p` to member `p mod n`. Members beyond the unit count
+   * receive nothing; an uneven split gives earlier members one extra unit —
+   * both exactly the reference's behavior. Every member computes the same
+   * assignment from the same member list (no coordinator needed), which is
+   * the reference's gossip-shared deterministic rebalance collapsed to pure
+   * arithmetic.
+   */
+  def assignment(cfg: TopicConfig, memberIds: Seq[String]): Map[String, Seq[Int]] = {
+    require(memberIds.nonEmpty, "assignment needs at least one member")
+    val sorted = memberIds.distinct.sorted
+    val base = (0 until cfg.numPartitions).groupBy(p => sorted(p % sorted.size))
+    sorted.map(m => m -> base.getOrElse(m, Seq.empty).toSeq).toMap
+  }
+
+  /** One consume round for ONE member of a shared group: only the member's
+    * assigned partitions are served; `nextOffsets` covers only those, so a
+    * [[commitPartial]] never clobbers the other members' progress. */
+  def pollAs(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      group: String,
+      memberId: String,
+      memberIds: Seq[String],
+      policy: ResetPolicy = Latest): Poll = {
+    val mine = assignment(cfg, memberIds).getOrElse(memberId,
+      throw new IllegalArgumentException(s"$memberId not in member list")).toSet
+    val start = startingOffsets(cfg, group, policy)
+    val end = PolarLog.tails(cfg).filter { case (p, _) => mine.contains(p) }
+    val records = PolarLog.consume(spark, cfg,
+        startOffsets = start, endOffsets = end)
+      .filter(org.apache.spark.sql.functions.col("part")
+        .isInCollection(mine.toSeq.map(Integer.valueOf)))
+    Poll(records, end)
+  }
+
+  /** Merge-commit a member's partitions into the group document (the other
+    * members' offsets are preserved). */
+  def commitPartial(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
+    commit(cfg, group, committed(cfg, group).getOrElse(Map.empty) ++ nextOffsets)
+
   /** Auto-commit analog (`internal/conf/config.go:264-266`'s 5 s auto-commit
     * collapsed to commit-on-poll for the batch path). The returned frame is
     * bounded by the poll's [start, end) offsets over an immutable log, so it

@@ -98,7 +98,6 @@ object PolarLog {
       m
     }
 
-    val n = cfg.numPartitions
     val in0 = df
     val withKey =
       if (in0.columns.contains("partitionKey")) in0
@@ -118,9 +117,7 @@ object PolarLog {
           .cast(BinaryType)))
 
     val token = murmur3_h1(col("partitionKey"))
-    val contentSpread = pmod(xxhash64(col("value"), col("timestamp")), lit(n)).cast(IntegerType)
-    val partExpr = when(col("partitionKey").isNull, contentSpread)
-      .otherwise(polar_partition(token, cfg.clusterSize, cfg.rangesPerToken))
+    val partExpr = placementExpr(cfg)
 
     // arrival order materialized as __oN columns — the DSv2 write requires
     // a LOCAL sort on (part, __o*): spillable, no window buffer
@@ -244,6 +241,21 @@ object PolarLog {
   /** Current tail offsets (next offset per partition). */
   def tails(cfg: TopicConfig): Map[Int, Long] =
     LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap
+
+  /** The placement function over the envelope columns: keyed records route
+    * by their murmur3 token; null-key records by a synthetic content-hash
+    * TOKEN (not a partition index) — the declarative stand-in for the
+    * reference's round-robin default (`discoverer.go:370-412`; same uniform
+    * distribution, no per-key order implied). Routing null keys through
+    * token space means EVERY record's partition is a token range, so ring
+    * resizes keep strict range containment for all records — the property
+    * the A22 offset projection relies on. */
+  def placementExpr(cfg: TopicConfig): Column = {
+    val token = murmur3_h1(col("partitionKey"))
+    val syntheticToken = xxhash64(col("value"), col("timestamp"))
+    polar_partition(coalesce(token, syntheticToken),
+      cfg.clusterSize, cfg.rangesPerToken)
+  }
 
   /** Typed facade over the envelope (`Dataset[PolarRecord]`) for callers who
     * want compile-time field checks; the DataFrame API stays primary (the

@@ -79,10 +79,11 @@ object TopicOps {
    * new epoch exactly like the reference's "offsets restart at 0 for the new
    * version" (`internal/producing/coalescer.go:93-135`).
    *
-   * Consumer groups are projected like completed-generation offsets
-   * (A22): a group fully caught up on the old topic starts at the new tails
-   * ("nothing new"); any lagging group restarts from earliest — redelivery
-   * over loss, the at-least-once contract.
+   * Consumer groups are projected EXACTLY (A22): a mid-stream committed
+   * offset maps to child-range positions via the structural range projection
+   * ([[TokenMath.projectRangeByClusterSize]], `token.go:133-163`) plus a
+   * committed-prefix count per child partition — see [[projectGroupOffsets]].
+   * A caught-up group starts at the new tails without a data pass.
    */
   def repartitionTopic(
       spark: SparkSession,
@@ -108,11 +109,93 @@ object TopicOps {
           val caughtUp = oldTails.forall { case (p, t) => committed.getOrElse(p, 0L) >= t }
           val newOffsets =
             if (caughtUp) PolarLog.tails(newCfg)
-            else (0 until newCfg.numPartitions).map(_ -> 0L).toMap
+            else projectGroupOffsets(records, cfg, newCfg, oldTails, committed)
           ConsumerGroups.commit(newCfg, group, newOffsets)
           group
         }
     }
     RepartitionResult(newCfg, res.recordsWritten, projected)
+  }
+
+  /** Old flat partition -> new flat partitions it spreads into, from the
+    * reference's range projection arithmetic (`token.go:133-163`): on
+    * scale-up an old range SPLITS into nested children (each new partition
+    * has exactly one source); on scale-down ranges JOIN (a new partition
+    * unions several sources). */
+  private[log] def partitionProjection(
+      cfg: TopicConfig, newCfg: TopicConfig): Map[Int, Seq[Int]] =
+    (0 until cfg.numPartitions).map { p =>
+      val broker = p / cfg.rangesPerToken
+      val range = p % cfg.rangesPerToken
+      val token = TokenMath.tokenAtIndex(cfg.clusterSize, broker)
+      val children = TokenMath.projectRangeByClusterSize(
+          token, range, cfg.rangesPerToken, cfg.clusterSize, newCfg.clusterSize)
+        .flatMap { case (newToken, indices) =>
+          val newBroker = (0 until newCfg.clusterSize)
+            .find(i => TokenMath.tokenAtIndex(newCfg.clusterSize, i) == newToken)
+            .getOrElse(throw new IllegalStateException(s"unmapped token $newToken"))
+          indices.map(newBroker * newCfg.rangesPerToken + _)
+        }
+      p -> children
+    }.toMap
+
+  /**
+   * Exact mid-stream offset projection (A22, the lagging-group path of
+   * `offset_state.go:518-608`): the rewrite orders every new partition by
+   * `(old_part, old_offset)`, and range containment (all records route by
+   * token — [[PolarLog.placementExpr]]) means a new partition's records
+   * arrive as per-source blocks in ascending old-partition order, each block
+   * in old-offset order. A group's committed set is therefore a PREFIX of
+   * the new partition exactly up to the first partially-committed source:
+   *
+   *  - scale-UP: each new partition has ONE source, so the projection is
+   *    exact — zero redelivery;
+   *  - scale-DOWN: sources preceding the first partial one contribute their
+   *    full blocks; later committed records are re-served — minimal
+   *    redelivery, mirroring the reference's joined-generation rule that a
+   *    child only advances once ALL parents complete
+   *    (`offset_state.go:609-668`).
+   *
+   * Cost: one count-aggregation pass per lagging group (the resize itself is
+   * already a full-data op; a deployment with many groups would fold these
+   * into one pass keyed by group).
+   */
+  private[log] def projectGroupOffsets(
+      records: DataFrame,
+      cfg: TopicConfig,
+      newCfg: TopicConfig,
+      oldTails: Map[Int, Long],
+      committed: Map[Int, Long]): Map[Int, Long] = {
+    val commMap =
+      if (committed.isEmpty) typedLit(Map.empty[Int, Long])
+      else map(committed.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val counts = records
+      .withColumn("__new_part", PolarLog.placementExpr(newCfg))
+      .groupBy(col("__new_part"), col("__old_part"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__old_offset") <
+          coalesce(element_at(commMap, col("__old_part")), lit(0L)),
+          lit(1))).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val sourcesOf = partitionProjection(cfg, newCfg)
+      .toSeq.flatMap { case (p, qs) => qs.map(_ -> p) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    (0 until newCfg.numPartitions).map { q =>
+      var acc = 0L
+      var open = true
+      sourcesOf.getOrElse(q, Seq.empty).foreach { p =>
+        if (open) {
+          val (n, c) = counts.getOrElse((q, p), (0L, 0L))
+          val fullyCommitted = committed.getOrElse(p, 0L) >= oldTails.getOrElse(p, 0L)
+          acc += c
+          if (!fullyCommitted) open = false // later blocks re-serve (at-least-once)
+        }
+      }
+      q -> acc
+    }.toMap
   }
 }

@@ -115,6 +115,47 @@ object PolarLogQueries extends QueryRegistry {
       Some("SELECT COUNT(*) AS first_poll, CAST(0 AS BIGINT) AS after_commit FROM events")),
 
     QueryDef(
+      "polar_consumer_rebalance",
+      (s, dir) => {
+        // A16: two members share one group; the deterministic round-robin
+        // gives member i the partitions p with p % 2 == i, so the per-member
+        // record/key counts are fully reproducible from the placement
+        // kernel. After m-a merge-commits, its re-poll is empty while m-b
+        // still sees its full backlog (commit isolation between members).
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val group = "rebal-" + java.util.UUID.randomUUID().toString
+        val members = Seq("m-a", "m-b")
+        import org.apache.spark.sql.functions.{count => cnt}
+        val firstPolls = members.map { m =>
+          val p = ConsumerGroups.pollAs(s, cfg, group, m, members, ConsumerGroups.Earliest)
+          (m, p, p.records.agg(cnt(lit(1)), countDistinct(col("partitionKey")))
+            .collect()(0))
+        }
+        ConsumerGroups.commitPartial(cfg, group, firstPolls.head._2.nextOffsets)
+        val rows = firstPolls.map { case (m, _, r) =>
+          val again = ConsumerGroups.pollAs(s, cfg, group, m, members).records.count()
+          (m, r.getLong(0), r.getLong(1), again)
+        }
+        s.createDataFrame(rows)
+          .toDF("member", "n_records", "n_keys", "after_ma_commit")
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+        membered AS (
+          SELECT pk, CASE WHEN part % 2 = 0 THEN 'm-a' ELSE 'm-b' END AS member
+          FROM placed)
+        SELECT member,
+               COUNT(*) AS n_records, COUNT(DISTINCT pk) AS n_keys,
+               CASE WHEN member = 'm-a' THEN 0 ELSE COUNT(*) END AS after_ma_commit
+        FROM membered GROUP BY member""")),
+
+    QueryDef(
       "polar_tokens",
       // the placement kernel exercised directly through the gate: token and
       // flat partition for every event key. Keys here are ≤ 8 UTF-8 bytes,
@@ -157,6 +198,47 @@ object PolarLogQueries extends QueryRegistry {
       Some("""
         SELECT CAST(user_id AS VARCHAR) AS partitionKey, COUNT(*) AS n
         FROM events GROUP BY user_id""")),
+
+    QueryDef(
+      "polar_resize_offsets",
+      (s, dir) => {
+        // A22 exact: commit HALF of every partition mid-stream, scale the
+        // ring 3 -> 6, and poll the group on the new topic — the projection
+        // must serve exactly the uncommitted suffixes (scale-up children
+        // have a single source range, so zero redelivery). The produce order
+        // (timestamp, value, key) makes the committed cutoff deterministic,
+        // so DuckDB replays it with a window rank over the placement kernel.
+        val root = Files.createTempDirectory("graft_polar_rz").toString
+        val cfg = TopicConfig(root, "events", clusterSize = 3)
+        val records = graft.Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        graft.log.PolarLog.produce(records, cfg,
+          orderBy = Seq(col("timestamp"), col("value"), col("partitionKey")))
+        val half = PolarLog.tails(cfg).map { case (p, t) => p -> t / 2 }
+        ConsumerGroups.commit(cfg, "mid", half)
+        val res = graft.log.TopicOps.repartitionTopic(s, cfg, "events_v2", 6)
+        ConsumerGroups.poll(s, res.newCfg, "mid").records
+          .groupBy(col("partitionKey")).agg(count(lit(1)).as("n_served"))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk,
+                 CAST(ts AS TIMESTAMP) AS tsv, props
+          FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, r.tsv, r.props, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+        ranked AS (
+          SELECT pk,
+                 row_number() OVER (PARTITION BY part ORDER BY tsv, props, pk) AS rk,
+                 COUNT(*) OVER (PARTITION BY part) AS n_part
+          FROM placed)
+        SELECT pk AS partitionKey, COUNT(*) AS n_served
+        FROM ranked WHERE rk > n_part // 2
+        GROUP BY pk""")),
 
     QueryDef(
       "polar_poll_json",

@@ -204,6 +204,35 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, cfg).count() === 0L)
   }
 
+  test("multi-consumer assignment: deterministic round-robin, disjoint and complete (A16)") {
+    val cfg = TopicConfig(root, "t_rebal")
+    PolarLog.produce(eventsAsRecords.drop("event_id"), cfg)
+    val total = PolarLog.consume(spark, cfg).count()
+
+    // unit p -> member p % n over SORTED ids, independent of input order
+    val a = ConsumerGroups.assignment(cfg, Seq("b", "a", "c"))
+    assert(a === ConsumerGroups.assignment(cfg, Seq("c", "b", "a", "a")))
+    assert(a("a") === (0 until cfg.numPartitions by 3))
+    assert(a("b") === (1 until cfg.numPartitions by 3))
+    // members beyond the unit count receive nothing
+    val many = ConsumerGroups.assignment(cfg, (0 until 20).map(i => f"m$i%02d"))
+    assert(many.values.map(_.size).sum === cfg.numPartitions)
+    assert(many(f"m${19}%02d") === Seq.empty)
+
+    // two members: polls are disjoint and their union is the whole log
+    val members = Seq("c1", "c2")
+    val p1 = ConsumerGroups.pollAs(spark, cfg, "g", "c1", members, ConsumerGroups.Earliest)
+    val p2 = ConsumerGroups.pollAs(spark, cfg, "g", "c2", members, ConsumerGroups.Earliest)
+    assert(p1.records.count() + p2.records.count() === total)
+    assert(p1.records.select("part").intersect(p2.records.select("part")).count() === 0)
+
+    // partial commit of c1 leaves c2's backlog intact
+    ConsumerGroups.commitPartial(cfg, "g", p1.nextOffsets)
+    assert(ConsumerGroups.pollAs(spark, cfg, "g", "c1", members).records.count() === 0)
+    assert(ConsumerGroups.pollAs(spark, cfg, "g", "c2", members).records.count() ===
+      p2.records.count())
+  }
+
   test("concurrent producer is rejected by metadata CAS") {
     val cfg = TopicConfig(root, "t_cas")
     PolarLog.produce(eventsAsRecords.drop("event_id").limit(10), cfg)

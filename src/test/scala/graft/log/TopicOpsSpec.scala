@@ -143,6 +143,53 @@ class TopicOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerGroups.poll(spark, result.newCfg, "lagging").records.count() === 1000)
   }
 
+  test("mid-stream committed offsets project exactly on scale-up (A22)") {
+    val cfg = TopicConfig(root, "t_proj_up", clusterSize = 3)
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val tails = PolarLog.tails(cfg)
+    // commit exactly half of every partition
+    val half = tails.map { case (p, t) => p -> t / 2 }
+    ConsumerGroups.commit(cfg, "mid", half)
+    val committedCount = half.values.sum
+    val total = tails.values.sum
+
+    val result = TopicOps.repartitionTopic(spark, cfg, "t_proj_up_v2", 6)
+    val served = ConsumerGroups.poll(spark, result.newCfg, "mid").records
+    // scale-up: each new partition has ONE source range -> projection is
+    // exact, no re-served records
+    assert(served.count() === total - committedCount)
+    // and the served multiset is exactly the uncommitted suffixes
+    val expected = PolarLog.consume(spark, cfg)
+      .filter(col("offset") >= element_at(
+        map(half.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("part")))
+      .agg(sum(crc32(col("value")))).head.getLong(0)
+    assert(served.agg(sum(crc32(col("value")))).head.getLong(0) === expected)
+  }
+
+  test("scale-down projection never loses records, minimal redelivery (A22)") {
+    val cfg = TopicConfig(root, "t_proj_down", clusterSize = 6)
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val tails = PolarLog.tails(cfg)
+    val half = tails.map { case (p, t) => p -> t / 2 }
+    ConsumerGroups.commit(cfg, "mid", half)
+    val total = tails.values.sum
+    val uncommitted = total - half.values.sum
+
+    val result = TopicOps.repartitionTopic(spark, cfg, "t_proj_down_v2", 3)
+    val servedN = ConsumerGroups.poll(spark, result.newCfg, "mid").records.count()
+    // at-least-once: everything uncommitted is served; joins re-serve at
+    // most the blocks after the first partial source
+    assert(servedN >= uncommitted)
+    assert(servedN < total)
+  }
+
   test("metrics listener counts polar stream consumption (A34)") {
     val cfg = TopicConfig(root, "t_metrics")
     val recs = graft.Tables.events(spark, sfDir)
