@@ -20,7 +20,10 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // `div` = exact integer division: `/` would go through DOUBLE, and
+        // epoch NANOS (~1.7e18) exceed double precision — rounding some
+        // micros by ±1 vs DuckDB's truncating CAST(ts AS TIMESTAMP)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -63,6 +63,61 @@ object TopicOps {
   private def udfFreeTokenMap(tokens: Seq[Long], ranges: Int) =
     array(tokens.map(t => lit(t.toString)): _*)
 
+  /**
+   * Binary poll response items (A18): each partition chunk serialized in
+   * the reference's wire item layout
+   * (`/root/reference/internal/consuming/models.go:106-134`,
+   * `docs/developer/NETWORK_FORMATS.md:5-32`), emitted as a HEX string —
+   * big-endian throughout:
+   *
+   * {{{
+   * token i64 | rangeIndex u8 | version u32 | topicLen u8 | topic bytes
+   * | startOffset i64 | payloadLen i32 | payload
+   * }}}
+   *
+   * where the payload is the chunk's record block — per record
+   * `timestamp-µs i64 | length u32 | body` (`models.go:216-219`). The
+   * reference stores/ships the block zstd-compressed (A7); this rendition
+   * emits the pre-compression block: compression here is a storage-layer
+   * property (the log's parquet pages are zstd), and the uncompressed block
+   * is what makes the layout independently verifiable byte-for-byte.
+   *
+   * Pure column expressions end-to-end (hex arithmetic, no UDFs): one
+   * shuffle to group each partition's records, everything else codegen.
+   */
+  def pollBinary(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      startOffsets: Map[Int, Long] = Map.empty,
+      endOffsets: Map[Int, Long] = Map.empty): Dataset[String] = {
+    import spark.implicits._
+    val ranges = cfg.rangesPerToken
+    val tokenHex = array((0 until cfg.clusterSize).map(i =>
+      lit(f"${TokenMath.tokenAtIndex(cfg.clusterSize, i)}%016X")): _*)
+    val hexI64 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 16, "0")
+    val recHex = concat(
+      hexI64(unix_micros(col("timestamp"))),
+      lpad(hex(length(col("value"))), 8, "0"),
+      hex(col("value")))
+    PolarLog.consume(spark, cfg, startOffsets, endOffsets)
+      .withColumn("__rec", struct(col("offset"), recHex.as("h"),
+        (length(col("value")) + 12L).as("bytes")))
+      .groupBy(col("part"))
+      .agg(min(col("offset")).as("startOffset"),
+        sum(col("__rec.bytes")).as("payloadBytes"),
+        sort_array(collect_list(col("__rec"))).as("recs"))
+      .select(concat(
+        element_at(tokenHex, floor(col("part") / ranges).cast("int") + 1),
+        lpad(hex(col("part") % ranges), 2, "0"),
+        lit("00000001"), // version u32 (single-epoch engine)
+        lpad(hex(length(lit(cfg.topic))), 2, "0"),
+        hex(lit(cfg.topic)),
+        hexI64(col("startOffset")),
+        lpad(hex(col("payloadBytes")), 8, "0"),
+        array_join(transform(col("recs"), r => r.getField("h")), "")).as("item"))
+      .as[String]
+  }
+
   final case class RepartitionResult(
       newCfg: TopicConfig,
       recordsMoved: Long,

@@ -278,6 +278,50 @@ object PolarLogQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "polar_poll_binary",
+      (s, dir) => {
+        // A18: the reference's binary poll item layout (big-endian
+        // token/rangeIndex/version/topic/startOffset/payload with per-record
+        // ts/len headers), emitted as hex and reconstructed byte-for-byte
+        // by DuckDB string arithmetic over the placement kernel
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        graft.log.TopicOps.pollBinary(s, cfg).toDF("item")
+      },
+      Some {
+        val tokens = (0 until 3).map(i =>
+          f"${graft.functions.TokenMath.tokenAtIndex(3, i)}%016X")
+        s"""WITH recs AS (
+            SELECT CAST(user_id AS VARCHAR) AS pk,
+                   CAST(ts AS TIMESTAMP) AS tsv, props
+            FROM events),
+          keys AS (SELECT DISTINCT pk FROM recs),
+          ${OracleSql.murmur3H1ShortKeyCtes},
+          placed AS (
+            SELECT r.tsv, r.props, CAST($part34Sql AS INTEGER) AS part
+            FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+          agg AS (
+            SELECT part,
+                   string_agg(
+                     lpad(to_hex(epoch_us(tsv)), 16, '0') ||
+                     lpad(to_hex(octet_length(props::BLOB)), 8, '0') ||
+                     hex(props),
+                     '' ORDER BY tsv, props) AS payload,
+                   SUM(octet_length(props::BLOB) + 12) AS payload_bytes
+            FROM placed GROUP BY part)
+          SELECT concat(
+                   CASE part // 4 WHEN 0 THEN '${tokens(0)}'
+                                  WHEN 1 THEN '${tokens(1)}'
+                                  ELSE '${tokens(2)}' END,
+                   lpad(to_hex(part % 4), 2, '0'),
+                   '00000001',
+                   '06', hex('events'),
+                   '0000000000000000',
+                   lpad(to_hex(payload_bytes), 8, '0'),
+                   payload) AS item
+          FROM agg"""
+      }),
+
+    QueryDef(
       "polar_frames_ingest",
       (s, dir) => {
         // one framed binary body per user — {u32-BE len}{bytes} per event,

@@ -143,6 +143,47 @@ class TopicOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerGroups.poll(spark, result.newCfg, "lagging").records.count() === 1000)
   }
 
+  test("pollBinary items decode back to the log's records (A18)") {
+    val cfg = TopicConfig(root, "t_binary")
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val items = TopicOps.pollBinary(spark, cfg).collect()
+    assert(items.nonEmpty)
+
+    var decodedRecords = 0L
+    var decodedBytes = 0L
+    items.foreach { hexStr =>
+      val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+      buf.getLong // token
+      val rangeIndex = buf.get() & 0xff
+      assert(rangeIndex >= 0 && rangeIndex < cfg.rangesPerToken)
+      assert(buf.getInt === 1) // version
+      val topicLen = buf.get() & 0xff
+      val topicBytes = new Array[Byte](topicLen)
+      buf.get(topicBytes)
+      assert(new String(topicBytes, "UTF-8") === "t_binary")
+      assert(buf.getLong === 0L) // startOffset (full poll)
+      val payloadLen = buf.getInt
+      assert(payloadLen === buf.remaining())
+      while (buf.hasRemaining) {
+        val ts = buf.getLong
+        assert(ts > 0L)
+        val len = buf.getInt
+        val body = new Array[Byte](len)
+        buf.get(body)
+        decodedRecords += 1
+        decodedBytes += len
+      }
+    }
+    val log = PolarLog.consume(spark, cfg)
+    assert(decodedRecords === log.count())
+    assert(decodedBytes ===
+      log.agg(sum(length(col("value")))).head.getLong(0))
+  }
+
   test("mid-stream committed offsets project exactly on scale-up (A22)") {
     val cfg = TopicConfig(root, "t_proj_up", clusterSize = 3)
     val recs = graft.Tables.events(spark, sfDir)
