@@ -207,6 +207,96 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Lloyd k-means centroids over an embedding column, as DataFrame
+   * aggregations — the "real deployment" centroid path [[ivfTopK]]'s doc
+   * promises:
+   *
+   *  - init: `nCells` vectors evenly SPACED in id-rank order (a spread
+   *    sample — unlike lowest-N ids, a skewed id layout cannot collapse all
+   *    seeds into one cluster);
+   *  - each round: one codegen'd assignment pass (cosine argmax against the
+   *    current centroids) + a per-dimension mean via `posexplode`;
+   *  - only the `nCells × dim` centroid matrix crosses the driver per round
+   *    — at 100 TB each round is one scan, the reduction state is tiny, and
+   *    the result feeds the same one-pass cell assignment as the sampled
+   *    variant.
+   */
+  def kmeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      iters: Int = 3): Array[Seq[Double]] = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val n = vecs.count()
+    val stride = math.max(n / nCells, 1L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    var centroids: Array[Seq[Double]] = vecs
+      .withColumn("rn", row_number().over(w) - 1)
+      .filter(col("rn") % stride === 0)
+      .orderBy(col("rn")).limit(nCells)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble))
+
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell", cellOf(centroids.toSeq)(col("v")))
+      val dims = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid (cosine argmax, lowest index wins ties) as a codegen'd
+    * column expression. */
+  private[operators] def cellOf(centroids: Seq[Seq[Double]])(vec: Column): Column =
+    centroids.zipWithIndex.foldLeft((lit(-1), lit(Double.MinValue))) {
+      case ((bestIdx, bestSim), (c, i)) =>
+        val sim = cosine(vec, typedLit(c))
+        (when(sim > bestSim, lit(i)).otherwise(bestIdx),
+          greatest(sim, bestSim))
+    }._1
+
+  /** [[ivfTopK]] with k-means centroids: same index structure and probe
+    * path, centroids adapted to the data distribution — the variant to use
+    * when the corpus is skewed (see `SimilaritySpec`'s recall comparison). */
+  def ivfTopKKmeans(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(df, vecCol, idCol, nCells, iters)
+    val qCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var qq = 0.0; var cc = 0.0
+        queryVec.map(_.toDouble).zip(c).foreach { case (a, b) =>
+          d += a * b; qq += a * a; cc += b * b
+        }
+        i -> d / (math.sqrt(qq) * math.sqrt(cc))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = typedLit(queryVec)
+    df.withColumn("cell", cellOf(centroids.toSeq)(col(vecCol)))
+      .filter(col("cell").isin(qCells: _*))
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine ≥ threshold (quadratic baseline). */
   def exactCosinePairs(
       df: DataFrame,

@@ -102,6 +102,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"ivf recall $recall")
   }
 
+  test("kmeans IVF beats sampled-centroid IVF on a skewed corpus") {
+    // 3 tight clusters in 8 dims; ALL low ids sit in cluster 0, so the
+    // sampled-centroid variant (lowest-N ids) seeds every cell inside one
+    // cluster — adversarial skew. Deterministic jitter, no RNG.
+    val centers = Seq(
+      Seq(1.0, 0, 0, 0, 1, 0, 0, 0), Seq(0.0, 1, 0, 0, 0, 1, 0, 0),
+      Seq(0.0, 0, 1, 0, 0, 0, 1, 0))
+    val rows = (0 until 150).map { i =>
+      val cl = if (i < 50) 0 else if (i < 100) 1 else 2
+      val v = centers(cl).zipWithIndex.map { case (c, d) =>
+        (c + 0.05 * math.sin((i + 1.0) * (d + 1.0))).toFloat
+      }
+      (i.toLong, v)
+    }
+    val skewed = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    // query at cluster 2's center
+    val qv = centers(2).map(_.toFloat)
+
+    val brute = Similarity.bruteForceTopK(skewed, "embedding", "vec_id", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getLong(0)).count(brute.contains).toDouble / 20.0
+
+    val naive = recallOf(Similarity.ivfTopK(
+      skewed, "embedding", "vec_id", qv, 20, nCells = 3, nProbe = 1))
+    val kmeans = recallOf(Similarity.ivfTopKKmeans(
+      skewed, "embedding", "vec_id", qv, 20, nCells = 3, nProbe = 1, iters = 3))
+    assert(kmeans >= naive, s"kmeans $kmeans < naive $naive")
+    assert(kmeans >= 0.9, s"kmeans recall $kmeans on separable clusters")
+    // and the centroids really did adapt: one per cluster
+    val cents = Similarity.kmeansCentroids(skewed, "embedding", "vec_id", 3)
+    val assignedClusters = cents.map { c =>
+      centers.zipWithIndex.maxBy { case (ctr, _) =>
+        ctr.zip(c).map { case (a, b) => a * b }.sum /
+          (math.sqrt(ctr.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+      }._2
+    }
+    assert(assignedClusters.toSet === Set(0, 1, 2), assignedClusters.toSeq)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(docs.limit(50))
     val f1 = Multimodal.decodeAndFeaturize(media, batchSize = 7)
