@@ -88,7 +88,8 @@ object PolarLog {
       df: DataFrame,
       cfg: TopicConfig,
       orderBy: Seq[Column] = Nil,
-      maxMessageSize: Int = DefaultMaxMessageSize): ProduceResult = {
+      maxMessageSize: Int = DefaultMaxMessageSize,
+      maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes): ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
     val meta0 = {
@@ -137,6 +138,7 @@ object PolarLog {
       .option("topic", cfg.topic)
       .option("clusterSize", cfg.clusterSize.toString)
       .option("rangesPerToken", cfg.rangesPerToken.toString)
+      .option("maxFileBytes", maxFileBytes.toString)
       .mode("append")
       .save()
 

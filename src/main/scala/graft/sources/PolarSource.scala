@@ -92,7 +92,9 @@ object PolarSource {
         opt("rangesPerToken").map(_.toInt).getOrElse(4)),
       startingOffsets = opt("startingOffsets").getOrElse("latest").toLowerCase,
       maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong),
-      maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong))
+      maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong),
+      maxFileBytes = opt("maxFileBytes").map(_.toLong)
+        .getOrElse(PolarWrite.DefaultMaxFileBytes))
   }
 }
 
@@ -100,7 +102,8 @@ final case class PolarSourceConfig(
     topic: TopicConfig,
     startingOffsets: String,
     maxRecordsPerTrigger: Option[Long],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes)
 
 class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
     extends Table with SupportsRead

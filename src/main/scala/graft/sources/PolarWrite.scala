@@ -48,7 +48,8 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
     extends WriteBuilder {
   override def build(): Write = {
     val schema = info.schema()
-    if (schema.fieldNames.contains("part")) new PolarWrite(cfg.topic, schema)
+    if (schema.fieldNames.contains("part"))
+      new PolarWrite(cfg.topic, schema, cfg.maxFileBytes)
     else
       // producer-schema sugar (`df.write.format("polar")` with only
       // value[/partitionKey/timestamp]): route through PolarLog.produce,
@@ -61,13 +62,17 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             require(!overwrite,
               "the polar log is append-only (reference semantics); use mode(\"append\")")
-            PolarLog.produce(data, cfg.topic): Unit
+            PolarLog.produce(data, cfg.topic,
+              maxFileBytes = cfg.maxFileBytes): Unit
           }
       }
   }
 }
 
-class PolarWrite(cfg: TopicConfig, schema: StructType)
+class PolarWrite(
+    cfg: TopicConfig,
+    schema: StructType,
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -83,12 +88,23 @@ class PolarWrite(cfg: TopicConfig, schema: StructType)
       .toArray
   }
 
-  override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema)
+  override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema, maxFileBytes)
+}
+
+object PolarWrite {
+  /** Segment-size cap: a big produce ROLLS to a new file once the writer's
+    * buffered+flushed size passes this — the reference's `MaxSegmentSize`
+    * role (bounded segments are what make retention granular and planning
+    * parallel at 100 TB). */
+  val DefaultMaxFileBytes: Long = 1L << 30
 }
 
 final case class PolarCommitMessage(files: Seq[FileEntry]) extends WriterCommitMessage
 
-class PolarBatchWrite(cfg: TopicConfig, schema: StructType) extends BatchWrite {
+class PolarBatchWrite(
+    cfg: TopicConfig,
+    schema: StructType,
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes) extends BatchWrite {
 
   // plan-time snapshot: offset bases ship to the writers; the version is the
   // CAS expectation at commit (concurrent-producer guard)
@@ -100,7 +116,7 @@ class PolarBatchWrite(cfg: TopicConfig, schema: StructType) extends BatchWrite {
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PolarWriterFactory(cfg.dir, schema, meta0.producerOffsets.toArray)
+    new PolarWriterFactory(cfg.dir, schema, meta0.producerOffsets.toArray, maxFileBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap {
@@ -138,10 +154,13 @@ class PolarBatchWrite(cfg: TopicConfig, schema: StructType) extends BatchWrite {
   }
 }
 
-class PolarWriterFactory(dir: String, schema: StructType, bases: Array[Long])
-    extends DataWriterFactory {
+class PolarWriterFactory(
+    dir: String,
+    schema: StructType,
+    bases: Array[Long],
+    maxFileBytes: Long) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PolarDataWriter(dir, schema, bases, taskId)
+    new PolarDataWriter(dir, schema, bases, taskId, maxFileBytes)
 }
 
 object PolarDataWriter {
@@ -174,14 +193,17 @@ object PolarDataWriter {
       .build()
 }
 
-/** Streams the task's rows (pre-clustered by `part`, pre-sorted) into one
-  * zstd parquet file per log partition, assigning dense offsets by counter
-  * increment — the coalescer. */
+/** Streams the task's rows (pre-clustered by `part`, pre-sorted) into
+  * size-bounded zstd parquet segments per log partition, assigning dense
+  * offsets by counter increment — the coalescer, with `MaxSegmentSize`
+  * rolling: once a segment's written+buffered size passes `maxFileBytes`
+  * it is sealed and a new one continues the offset chain. */
 class PolarDataWriter(
     dir: String,
     schema: StructType,
     bases: Array[Long],
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes) extends DataWriter[InternalRow] {
 
   private val conf = PolarDataWriter.writeConf()
   private val partIdx = schema.fieldIndex("part")
@@ -190,12 +212,31 @@ class PolarDataWriter(
   private val tsIdx = schema.fieldIndex("timestamp")
   private val valueIdx = schema.fieldIndex("value")
 
-  private final class PartState(val part: Int) {
+  private final class Segment(val part: Int, val base: Long) {
     val name = f"w$taskId%05d-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
     val path = new Path(s"$dir/part=$part/$name")
     val writer = PolarDataWriter.open(path, conf)
-    val base: Long = bases(part)
     var count: Long = 0L
+    // self-tracked UNCOMPRESSED size: the parquet writer's own estimate
+    // only refreshes at its internal mem-check cadence, far too coarse to
+    // bound small segments; a conservative pre-compression bound is the
+    // MaxSegmentSize semantics anyway
+    var approxBytes: Long = 0L
+    def seal(createdMs: Long): FileEntry = {
+      writer.close()
+      val bytes = path.getFileSystem(conf).getFileStatus(path).getLen
+      FileEntry(part, name, base, base + count - 1, count, bytes, createdMs)
+    }
+  }
+
+  private final class PartState(part: Int) {
+    var segment = new Segment(part, bases(part))
+    val sealedSegs = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    def roll(): Unit = {
+      val next = segment.base + segment.count
+      sealedSegs += segment.seal(System.currentTimeMillis())
+      segment = new Segment(part, next)
+    }
   }
 
   private val states = scala.collection.mutable.HashMap.empty[Int, PartState]
@@ -206,33 +247,50 @@ class PolarDataWriter(
   override def write(row: InternalRow): Unit = {
     val p = row.getInt(partIdx)
     val st = states.getOrElseUpdate(p, new PartState(p))
-    buf.update(0, if (row.isNullAt(keyIdx)) null else row.getUTF8String(keyIdx))
+    val seg = st.segment
+    val key = if (row.isNullAt(keyIdx)) null else row.getUTF8String(keyIdx)
+    val value = if (row.isNullAt(valueIdx)) null else row.getBinary(valueIdx)
+    buf.update(0, key)
     buf.update(1, if (row.isNullAt(tokenIdx)) null else row.getLong(tokenIdx))
-    buf.update(2, st.base + st.count)
+    buf.update(2, seg.base + seg.count)
     buf.update(3, if (row.isNullAt(tsIdx)) null else row.getLong(tsIdx))
-    buf.update(4, if (row.isNullAt(valueIdx)) null else row.getBinary(valueIdx))
-    st.writer.write(buf)
-    st.count += 1
+    buf.update(4, value)
+    seg.writer.write(buf)
+    seg.count += 1
+    seg.approxBytes += 24L + // token + offset + timestamp
+      (if (key == null) 0 else key.numBytes()) +
+      (if (value == null) 0 else value.length)
+    if (seg.approxBytes >= maxFileBytes) st.roll()
   }
 
   override def commit(): WriterCommitMessage = {
     val now = System.currentTimeMillis()
-    val entries = states.values.toSeq.sortBy(_.part).map { st =>
-      st.writer.close()
-      val fs = st.path.getFileSystem(conf)
-      val bytes = fs.getFileStatus(st.path).getLen
-      FileEntry(st.part, st.name, st.base, st.base + st.count - 1, st.count,
-        bytes, now)
+    val entries = states.values.toSeq.sortBy(p => p.segment.part).flatMap { st =>
+      val tail = if (st.segment.count > 0) Seq(st.segment.seal(now)) else {
+        // an empty tail segment right after a roll: close and drop it
+        st.segment.writer.close()
+        try {
+          val fs = st.segment.path.getFileSystem(conf)
+          if (fs.exists(st.segment.path)) fs.delete(st.segment.path, false)
+        } catch { case _: java.io.IOException => () }
+        Seq.empty
+      }
+      st.sealedSegs.toSeq ++ tail
     }
     PolarCommitMessage(entries)
   }
 
   override def abort(): Unit = states.values.foreach { st =>
-    try st.writer.close() catch { case _: Exception => () }
-    try {
-      val fs = st.path.getFileSystem(conf)
-      if (fs.exists(st.path)) fs.delete(st.path, false)
-    } catch { case _: java.io.IOException => () }
+    (st.sealedSegs.map(f => new Path(s"$dir/part=${f.part}/${f.name}")) :+
+        st.segment.path).foreach { p =>
+      try {
+        if (p == st.segment.path) st.segment.writer.close()
+      } catch { case _: Exception => () }
+      try {
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   override def close(): Unit = ()

@@ -96,6 +96,35 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     TopicConfig("/tmp", "ok-topic_1.v2") // sanity: valid name accepted
   }
 
+  test("segments roll at maxFileBytes: bounded files, dense offset chains") {
+    val root = Files.createTempDirectory("polar_write_roll").toString
+    records.write.format("polar")
+      .option("root", root).option("topic", "w")
+      .option("maxFileBytes", "4096") // tiny cap -> many segments
+      .mode("append").save()
+    val cfg = TopicConfig(root, "w")
+    val meta = graft.log.LogMetadata.read(cfg)
+    val perPart = meta.files.groupBy(_.part)
+    assert(perPart.values.exists(_.size > 1),
+      s"expected rolled segments, got ${perPart.view.mapValues(_.size).toMap}")
+    // every partition's segments form a dense offset chain from 0
+    perPart.foreach { case (p, fs) =>
+      val sorted = fs.sortBy(_.minOffset)
+      assert(sorted.head.minOffset === 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b.minOffset === a.maxOffset + 1, s"gap in part $p")
+        case _ => ()
+      }
+    }
+    // and the data reads back whole
+    assert(PolarLog.consume(spark, cfg).count() === records.count())
+    // single-writer invariant held even with rolling: offsets dense
+    val bad = PolarLog.consume(spark, cfg).groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("span"))
+      .filter(col("n") =!= col("span")).count()
+    assert(bad === 0)
+  }
+
   test("planning is metadata-only: unregistered files are invisible; vacuum reclaims them") {
     val root = Files.createTempDirectory("polar_write_orphan").toString
     val cfg = TopicConfig(root, "w")
