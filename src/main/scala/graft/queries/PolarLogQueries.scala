@@ -322,6 +322,89 @@ object PolarLogQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "polar_http_roundtrip",
+      (s, dir) => {
+        // the full HTTP serving surface (A1/A15/A19/A32) driven end-to-end:
+        // NDJSON bodies produced over the wire (concurrently — the server
+        // coalescer batches them), consumed back through register/poll/
+        // commit/goodbye, and the polled JSON items parsed into per-range
+        // counts the oracle reproduces from the placement kernel.
+        import org.apache.spark.sql.types._
+        import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+        val root = Files.createTempDirectory("graft_polar_http").toString
+        val server = new graft.serving.PolarHttpServer(s, root).start()
+        try {
+          val base = s"http://127.0.0.1:${server.boundPort}"
+          val client = HttpClient.newHttpClient()
+          val subset = Tables.events(s, dir)
+            .select(col("user_id").cast("string").as("pk"), col("props"))
+            .filter(col("pk").isin(Tables.events(s, dir)
+              .select(col("user_id").cast("string")).distinct()
+              .orderBy(col("user_id").cast("string")).limit(24)
+              .collect().map(_.getString(0)).toSeq: _*))
+            .collect().groupBy(_.getString(0))
+          val posts = subset.toSeq.map { case (pk, rows) =>
+            val body = rows.map(_.getString(1)).mkString("\n")
+            client.sendAsync(
+              HttpRequest.newBuilder(java.net.URI.create(
+                s"$base/v1/topic/http-rt/messages?partitionKey=$pk&timestamp=1000000"))
+                .header("Content-Type", "application/x-ndjson")
+                .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+              HttpResponse.BodyHandlers.ofString())
+          }
+          posts.foreach { f =>
+            val r = f.join()
+            require(r.statusCode() == 200, s"produce failed: ${r.body()}")
+          }
+          def send(method: String, path: String, accept: String = "*/*") =
+            client.send(HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+              .method(method, HttpRequest.BodyPublishers.noBody())
+              .header("Accept", accept).build(),
+              HttpResponse.BodyHandlers.ofString())
+          require(send("PUT",
+            "/v1/consumer/register?consumerId=c&group=g&topic=http-rt&onNewGroup=startFromEarliest")
+            .statusCode() == 200)
+          val poll = send("POST", "/v1/consumer/poll?consumerId=c", "application/json")
+          require(poll.statusCode() == 200, s"poll: ${poll.statusCode()}")
+          val drained = send("POST", "/v1/consumer/poll?consumerId=c").statusCode() == 204
+          require(send("POST", "/v1/consumer/goodbye?consumerId=c").statusCode() == 200)
+          import s.implicits._
+          val itemSchema = StructType(Seq(
+            StructField("token", StringType),
+            StructField("rangeIndex", LongType),
+            StructField("values", ArrayType(StringType))))
+          // a top-level JSON array parses as one row per element
+          s.read.schema(itemSchema).json(s.createDataset(Seq(poll.body())))
+            .withColumn("v", explode(col("values")))
+            .groupBy(col("token"), col("rangeIndex"))
+            .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_distinct"))
+            .withColumn("drained", lit(drained))
+        } finally server.stop()
+      },
+      Some {
+        val tokens = (0 until 3)
+          .map(i => graft.functions.TokenMath.tokenAtIndex(3, i).toString)
+        s"""WITH subset AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS pk FROM events
+            ORDER BY pk LIMIT 24),
+          recs AS (
+            SELECT CAST(user_id AS VARCHAR) AS pk, props FROM events
+            WHERE CAST(user_id AS VARCHAR) IN (SELECT pk FROM subset)),
+          keys AS (SELECT pk FROM subset),
+          ${OracleSql.murmur3H1ShortKeyCtes},
+          placed AS (
+            SELECT r.pk, r.props, CAST($part34Sql AS INTEGER) AS part
+            FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+          SELECT CASE part // 4 WHEN 0 THEN '${tokens(0)}'
+                                WHEN 1 THEN '${tokens(1)}'
+                                ELSE '${tokens(2)}' END AS token,
+                 CAST(part % 4 AS BIGINT) AS rangeIndex,
+                 COUNT(*) AS n, COUNT(DISTINCT props) AS n_distinct,
+                 TRUE AS drained
+          FROM placed GROUP BY part"""
+      }),
+
+    QueryDef(
       "polar_frames_ingest",
       (s, dir) => {
         // one framed binary body per user — {u32-BE len}{bytes} per event,

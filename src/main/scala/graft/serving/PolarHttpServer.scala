@@ -1,0 +1,385 @@
+package graft.serving
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.log.{ConsumerGroups, PolarLog, TopicConfig, TopicOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{CompletableFuture, ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+/**
+ * The reference's HTTP serving surface (SURVEY §2 A1/A15/A17/A19/A32,
+ * `/root/reference/docs/rest_api/README.md`) as a thin façade over the
+ * engine: a single JDK `HttpServer` exposing the discovery, producer and
+ * consumer APIs, with Spark doing all routing, storage and scanning
+ * underneath.
+ *
+ * Endpoints (one port stands in for the reference's 9250/9251/9252 trio —
+ * `GET /v1/brokers` reports it for both roles):
+ *
+ *  - `GET /status` — readiness (all three reference APIs expose it).
+ *  - `GET /v1/brokers` — topology for client discovery
+ *    (`internal/discovery/discoverer_client_service.go:30-109`). The façade
+ *    IS the single client entry (Spark's shuffle replaces client-side leader
+ *    routing), so `length` is 1: a reference client computing placement from
+ *    this topology sends everything here, which is correct.
+ *  - `POST /v1/topic/{topic}/messages?partitionKey=&timestamp=` — produce.
+ *    Content types: `application/json` (one record), `application/x-ndjson`
+ *    (record per non-empty line, A4), `application/vnd.polar.producer.frames`
+ *    (`{u32-BE len}{bytes}`… framing, A5). Validation mirrors
+ *    `internal/producing/server.go:142-151`: unknown/invalid topic → 400,
+ *    missing/oversize body → 400 (`MaxMessageSize` 1 MiB default).
+ *    `timestamp` is epoch-MICROS (`server.go:179-183`).
+ *  - `PUT /v1/consumer/register?consumerId=&group=&topic=&onNewGroup=` —
+ *    idempotent registration; pins the group's start offsets per the reset
+ *    policy (`startFromLatest` default / `startFromEarliest`).
+ *  - `POST /v1/consumer/poll?consumerId=` — serves `[committed, tail)` for
+ *    the consumer's ASSIGNED partitions (deterministic round-robin over the
+ *    group's registered members, A16), auto-committing the previously polled
+ *    position first (`docs/rest_api/README.md:178-180`). `Accept:
+ *    application/json` → the JSON item array (A19); otherwise the binary
+ *    layout `u16-BE count` + items (A18,
+ *    `internal/consuming/group_read_queue.go:251`,
+ *    `internal/consuming/models.go:106-134`). 204 when nothing to read,
+ *    409 when unregistered.
+ *  - `POST /v1/consumer/commit?consumerId=` — manual commit, 204 / 409.
+ *  - `POST /v1/consumer/goodbye?consumerId=` — commit + unregister, 200 /
+ *    409.
+ *
+ * Produce path: requests are NOT produced one-by-one — they land in a
+ * queue drained by a single flusher thread that groups everything queued
+ * into ONE Spark produce per topic (the reference coalescer's micro-batch
+ * grouping, `internal/producing/coalescer.go:81-172`, with the linger window
+ * in place of its 100 µs double-buffer handoff). Each request's 200 is its
+ * batch's durable commit — the reference's ack-after-replication boundary.
+ * Concurrent producers therefore share metadata CAS rounds instead of
+ * racing them.
+ *
+ * Scale posture: the façade is a protocol adapter, not a data path — every
+ * byte served flows through the same planned scans as the library API
+ * (metadata-planned, vectorized, partition-pruned). A poll materializes only
+ * the served chunk, exactly like the reference's response writer.
+ */
+class PolarHttpServer(
+    spark: SparkSession,
+    root: String,
+    port: Int = 0,
+    clusterSize: Int = 3,
+    rangesPerToken: Int = 4,
+    lingerMs: Long = 10,
+    maxMessageSize: Int = PolarLog.DefaultMaxMessageSize) {
+
+  import PolarHttpServer._
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = Executors.newFixedThreadPool(8)
+  private val produceQueue = new ConcurrentLinkedQueue[PendingProduce]()
+  private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val consumers = scala.collection.concurrent.TrieMap.empty[String, Registered]
+  @volatile private var running = true
+  private val flusherDone = new CountDownLatch(1)
+
+  /** Flushes in batches observed per produce — exposed for coalescing tests. */
+  @volatile var flushCount: Long = 0L
+
+  private def cfgOf(topic: String): TopicConfig =
+    TopicConfig(root, topic, clusterSize, rangesPerToken)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): this.type = {
+    server.setExecutor(pool)
+    server.createContext("/", (ex: HttpExchange) => route(ex))
+    server.start()
+    val flusher = new Thread(() => flushLoop(), "polar-http-coalescer")
+    flusher.setDaemon(true)
+    flusher.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    flusherDone.await(10, TimeUnit.SECONDS)
+    server.stop(0)
+    pool.shutdown()
+  }
+
+  // ---------------------------------------------------------------- routing
+
+  private def route(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      (method, path) match {
+        case ("GET", p) if p == "/status" || p.endsWith("/status") =>
+          respond(ex, 200, "OK")
+        case ("GET", "/v1/brokers") =>
+          respond(ex, 200,
+            s"""{"length":1,"names":["127.0.0.1"],"producerPort":$boundPort,"consumerPort":$boundPort}""",
+            "application/json")
+        case ("POST", TopicMessages(topic)) => handleProduce(ex, topic)
+        case ("PUT", "/v1/consumer/register") => handleRegister(ex)
+        case ("POST", "/v1/consumer/poll") => handlePoll(ex)
+        case ("POST", "/v1/consumer/commit") => handleCommit(ex)
+        case ("POST", "/v1/consumer/goodbye") => handleGoodbye(ex)
+        case _ => respond(ex, 404, "Not found")
+      }
+    } catch {
+      case HttpError(status, msg) => respond(ex, status, msg)
+      case e: Exception => respond(ex, 500, s"Internal error: ${e.getMessage}")
+    } finally ex.close()
+  }
+
+  private def query(ex: HttpExchange): Map[String, Seq[String]] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.nonEmpty).toSeq
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def respond(
+      ex: HttpExchange, status: Int, body: String,
+      contentType: String = "text/plain"): Unit =
+    respondBytes(ex, status, body.getBytes(UTF_8), contentType)
+
+  private def respondBytes(
+      ex: HttpExchange, status: Int, body: Array[Byte], contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    if (status == 204 || body.isEmpty) ex.sendResponseHeaders(status, -1)
+    else {
+      ex.sendResponseHeaders(status, body.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    }
+  }
+
+  // ---------------------------------------------------------------- produce
+
+  private def handleProduce(ex: HttpExchange, topic: String): Unit = {
+    if (!TopicConfig.validTopicName(topic))
+      throw HttpError(400, "Invalid topic")
+    val declaredLen = Option(ex.getRequestHeaders.getFirst("Content-length"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+    if (declaredLen <= 0 || declaredLen > maxMessageSize)
+      throw HttpError(400,
+        s"Content length must be defined (HTTP/1.1 chunked not supported), " +
+          s"greater than 0 and less than $maxMessageSize bytes")
+    val body = ex.getRequestBody.readAllBytes()
+    if (body.length > maxMessageSize) throw HttpError(400, "Body exceeds max message size")
+    val q = query(ex)
+    val partitionKey = q.get("partitionKey").flatMap(_.headOption).filter(_.nonEmpty)
+    val tsMicros = q.get("timestamp").flatMap(_.headOption)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val contentType = Option(ex.getRequestHeaders.getFirst("Content-type"))
+      .getOrElse("application/json").takeWhile(_ != ';').trim.toLowerCase
+
+    val pending = PendingProduce(topic, partitionKey, tsMicros, contentType, body,
+      new CompletableFuture[Unit]())
+    produceQueue.add(pending)
+    queued.incrementAndGet()
+    try {
+      pending.done.get(120, TimeUnit.SECONDS)
+      respond(ex, 200, "")
+    } catch {
+      case e: java.util.concurrent.ExecutionException =>
+        val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+        if (msg != null && msg.contains("maxMessageSize")) throw HttpError(400, msg)
+        else throw HttpError(500, s"Produce failed: $msg")
+    }
+  }
+
+  /** The coalescer loop (A6): waits out the linger window, drains everything
+    * queued, produces ONE batch per topic, then completes every request in
+    * the batch — ack only after the metadata commit (durable-visibility
+    * boundary). */
+  private def flushLoop(): Unit = {
+    try {
+      while (running || queued.get() > 0) {
+        if (queued.get() == 0) Thread.sleep(lingerMs)
+        else {
+          Thread.sleep(lingerMs) // linger: let concurrent requests pile in
+          val batch = Iterator.continually(produceQueue.poll())
+            .takeWhile(_ != null).toVector
+          queued.addAndGet(-batch.size)
+          if (batch.nonEmpty) {
+            batch.groupBy(_.topic).foreach { case (topic, items) =>
+              try {
+                produceBatch(topic, items)
+                items.foreach(_.done.complete(()))
+              } catch {
+                case e: Exception => items.foreach(_.done.completeExceptionally(e))
+              }
+            }
+            flushCount += 1
+          }
+        }
+      }
+    } finally flusherDone.countDown()
+  }
+
+  private def produceBatch(topic: String, items: Vector[PendingProduce]): Unit = {
+    val schema = StructType(Seq(
+      StructField("partitionKey", StringType),
+      StructField("tsMicros", LongType),
+      StructField("contentType", StringType),
+      StructField("body", BinaryType)))
+    val now = java.time.Instant.now()
+    val nowMicros = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    val rows: Seq[org.apache.spark.sql.Row] = items.map(i => org.apache.spark.sql.Row(
+      i.partitionKey.orNull,
+      java.lang.Long.valueOf(i.tsMicros.getOrElse(nowMicros)),
+      i.contentType, i.body))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // one declarative splitter for all three content types, then one produce
+    val values = when(col("contentType") === "application/x-ndjson",
+        transform(
+          filter(split(col("body").cast(StringType), "\r?\n"),
+            s => length(trim(s)) > 0),
+          s => s.cast(BinaryType)))
+      .when(col("contentType") === FramesContentType,
+        graft.functions.GraftFunctions.polar_frames(col("body")))
+      .otherwise(array(col("body")))
+    val records = df
+      .withColumn("value", explode(values))
+      .withColumn("timestamp", timestamp_micros(col("tsMicros")))
+      .select(col("partitionKey"), col("timestamp"), col("value"))
+    PolarLog.produce(records, cfgOf(topic), maxMessageSize = maxMessageSize)
+  }
+
+  // --------------------------------------------------------------- consume
+
+  private def handleRegister(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    val consumerId = q.get("consumerId").flatMap(_.headOption)
+      .getOrElse(throw HttpError(400, "consumerId is required"))
+    val group = q.get("group").flatMap(_.headOption).getOrElse("default")
+    val topics = q.getOrElse("topic", Seq.empty).filter(_.nonEmpty)
+    if (topics.isEmpty) throw HttpError(400, "topic is required")
+    topics.find(!TopicConfig.validTopicName(_))
+      .foreach(t => throw HttpError(400, s"Invalid topic '$t'"))
+    val policy = q.get("onNewGroup").flatMap(_.headOption) match {
+      case Some("startFromEarliest") => ConsumerGroups.Earliest
+      case _ => ConsumerGroups.Latest
+    }
+    // registration pins the group's start per topic (idempotent: an existing
+    // committed state wins over the policy default)
+    topics.foreach(t => ConsumerGroups.startingOffsets(cfgOf(t), group, policy))
+    consumers.put(consumerId,
+      Registered(consumerId, group, topics, policy, Map.empty))
+    respond(ex, 200, "")
+  }
+
+  private def registered(ex: HttpExchange): Registered = {
+    val id = query(ex).get("consumerId").flatMap(_.headOption)
+      .getOrElse(throw HttpError(400, "consumerId is required"))
+    consumers.getOrElse(id, throw HttpError(409, "Consumer not registered"))
+  }
+
+  private def commitPending(r: Registered): Registered = {
+    r.pending.foreach { case (topic, offsets) =>
+      ConsumerGroups.commitPartial(cfgOf(topic), r.group, offsets)
+    }
+    val cleared = r.copy(pending = Map.empty)
+    consumers.put(r.consumerId, cleared)
+    cleared
+  }
+
+  private def handlePoll(ex: HttpExchange): Unit = {
+    val r0 = registered(ex)
+    // the reference auto-commits the previously served position when new
+    // data is requested (docs/rest_api/README.md:178-180)
+    val r = commitPending(r0)
+    val members = consumers.values.toSeq
+      .filter(_.group == r.group).map(_.consumerId).distinct.sorted
+    val json = Option(ex.getRequestHeaders.getFirst("Accept"))
+      .forall(_.contains("application/json"))
+
+    var servedPending = Map.empty[String, Map[Int, Long]]
+    val itemsPerTopic = r.topics.map { topic =>
+      val cfg = cfgOf(topic)
+      val mine = ConsumerGroups.assignment(cfg, members)(r.consumerId).toSet
+      val start = ConsumerGroups.startingOffsets(cfg, r.group, r.policy)
+      val tails = PolarLog.tails(cfg)
+      // non-assigned partitions get an empty [start, start) window
+      val end = tails.map { case (p, t) =>
+        p -> (if (mine.contains(p)) t else start.getOrElse(p, 0L))
+      }
+      val servedEnd = end.filter { case (p, e) => e > start.getOrElse(p, 0L) }
+      if (servedEnd.isEmpty) topic -> Seq.empty[String]
+      else {
+        servedPending += topic -> servedEnd
+        val items =
+          if (json) TopicOps.pollJson(spark, cfg, start, end).collect().toSeq
+          else TopicOps.pollBinary(spark, cfg, start, end).collect().toSeq
+        topic -> items
+      }
+    }
+    val items = itemsPerTopic.flatMap(_._2)
+    if (items.isEmpty) { respond(ex, 204, "") }
+    else {
+      consumers.put(r.consumerId, r.copy(pending = servedPending))
+      if (json)
+        respond(ex, 200, items.mkString("[", ",", "]"), "application/json")
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write((items.size >> 8) & 0xFF); out.write(items.size & 0xFF)
+        items.foreach(h => out.write(hexToBytes(h)))
+        respondBytes(ex, 200, out.toByteArray, "application/octet-stream")
+      }
+    }
+  }
+
+  private def handleCommit(ex: HttpExchange): Unit = {
+    commitPending(registered(ex))
+    respond(ex, 204, "")
+  }
+
+  private def handleGoodbye(ex: HttpExchange): Unit = {
+    val r = commitPending(registered(ex))
+    consumers.remove(r.consumerId)
+    respond(ex, 200, "")
+  }
+}
+
+object PolarHttpServer {
+  val FramesContentType = "application/vnd.polar.producer.frames"
+
+  private val TopicMessages = "/v1/topic/([^/]+)/messages".r
+
+  private final case class HttpError(status: Int, msg: String)
+    extends RuntimeException(msg)
+
+  private final case class PendingProduce(
+      topic: String,
+      partitionKey: Option[String],
+      tsMicros: Option[Long],
+      contentType: String,
+      body: Array[Byte],
+      done: CompletableFuture[Unit])
+
+  private final case class Registered(
+      consumerId: String,
+      group: String,
+      topics: Seq[String],
+      policy: ConsumerGroups.ResetPolicy,
+      pending: Map[String, Map[Int, Long]])
+
+  private[serving] def hexToBytes(h: String): Array[Byte] = {
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,186 @@
+package graft.serving
+
+import graft.log.{LogMetadata, PolarLog, TopicConfig}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: PolarHttpServer = _
+  private var base: String = _
+  private var root: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    spark = graft.GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_http").toString
+    server = new PolarHttpServer(spark, root, lingerMs = 5).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  private def post(path: String, body: Array[Byte],
+      headers: Seq[(String, String)] = Seq.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), BodyHandlers.ofString())
+  }
+
+  private def put(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .PUT(BodyPublishers.noBody()).build(), BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      BodyHandlers.ofString())
+
+  test("status and discovery endpoints") {
+    assert(get("/status").statusCode() === 200)
+    val brokers = get("/v1/brokers")
+    assert(brokers.statusCode() === 200)
+    assert(brokers.body().contains("\"length\":1"))
+    assert(brokers.body().contains(s""""producerPort":${server.boundPort}"""))
+  }
+
+  test("produce validation: invalid topic and oversize body are 400") {
+    assert(post("/v1/topic/_bad/messages", "{}".getBytes(UTF_8)).statusCode() === 400)
+    val big = new Array[Byte](PolarLog.DefaultMaxMessageSize + 1)
+    assert(post("/v1/topic/t400/messages", big).statusCode() === 400)
+  }
+
+  test("json produce + register + poll + commit + goodbye flow") {
+    val topic = "flow"
+    (0 until 6).foreach { i =>
+      val r = post(s"/v1/topic/$topic/messages?partitionKey=k$i&timestamp=${1000000L * i}",
+        s"""{"i":$i}""".getBytes(UTF_8), Seq("Content-Type" -> "application/json"))
+      assert(r.statusCode() === 200, r.body())
+    }
+    // unregistered poll is 409
+    assert(post("/v1/consumer/poll?consumerId=c1", Array.empty).statusCode() === 409)
+
+    val reg = put(s"/v1/consumer/register?consumerId=c1&group=g1&topic=$topic&onNewGroup=startFromEarliest")
+    assert(reg.statusCode() === 200)
+    val poll = post("/v1/consumer/poll?consumerId=c1", Array.empty,
+      Seq("Accept" -> "application/json"))
+    assert(poll.statusCode() === 200)
+    (0 until 6).foreach(i => assert(poll.body().contains(s"""{\\"i\\":$i}""")
+      || poll.body().contains(s"""{"i":$i}"""), s"missing record $i in ${poll.body()}"))
+
+    // nothing new: second poll auto-commits the first and returns 204
+    assert(post("/v1/consumer/poll?consumerId=c1", Array.empty).statusCode() === 204)
+    // goodbye unregisters
+    assert(post("/v1/consumer/goodbye?consumerId=c1", Array.empty).statusCode() === 200)
+    assert(post("/v1/consumer/poll?consumerId=c1", Array.empty).statusCode() === 409)
+    // a NEW earliest group re-reads everything (the goodbye committed g1, not the log)
+    put(s"/v1/consumer/register?consumerId=c2&group=g2&topic=$topic&onNewGroup=startFromEarliest")
+    assert(post("/v1/consumer/poll?consumerId=c2", Array.empty,
+      Seq("Accept" -> "application/json")).statusCode() === 200)
+  }
+
+  test("ndjson and framed produce split into records") {
+    val topic = "split"
+    val nd = "a\nb\r\nc\n\n".getBytes(UTF_8)
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=nd&timestamp=1",
+      nd, Seq("Content-Type" -> "application/x-ndjson")).statusCode() === 200)
+    val frames = {
+      val out = new java.io.ByteArrayOutputStream()
+      Seq("xx", "yyy").foreach { s =>
+        val b = s.getBytes(UTF_8)
+        out.write(Array[Byte](0, 0, 0, b.length.toByte)); out.write(b)
+      }
+      out.toByteArray
+    }
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=fr&timestamp=2",
+      frames, Seq("Content-Type" -> PolarHttpServer.FramesContentType)).statusCode() === 200)
+    val n = PolarLog.consume(spark, TopicConfig(root, topic)).count()
+    assert(n === 5) // a,b,c + xx,yyy
+  }
+
+  test("latest-policy group only sees records produced after registration") {
+    val topic = "latest"
+    post(s"/v1/topic/$topic/messages?partitionKey=k&timestamp=1", "before".getBytes(UTF_8))
+    put(s"/v1/consumer/register?consumerId=cl&group=gl&topic=$topic")
+    assert(post("/v1/consumer/poll?consumerId=cl", Array.empty).statusCode() === 204)
+    post(s"/v1/topic/$topic/messages?partitionKey=k&timestamp=2", "after".getBytes(UTF_8))
+    val r = post("/v1/consumer/poll?consumerId=cl", Array.empty,
+      Seq("Accept" -> "application/json"))
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("after") && !r.body().contains("before"))
+  }
+
+  test("two members of one group are served disjoint partitions that union to all") {
+    val topic = "shared"
+    (0 until 40).foreach { i =>
+      assert(post(s"/v1/topic/$topic/messages?partitionKey=u$i&timestamp=${i.toLong}",
+        s"""{"u":$i}""".getBytes(UTF_8)).statusCode() === 200)
+    }
+    put(s"/v1/consumer/register?consumerId=ma&group=gs&topic=$topic&onNewGroup=startFromEarliest")
+    put(s"/v1/consumer/register?consumerId=mb&group=gs&topic=$topic&onNewGroup=startFromEarliest")
+    def values(body: String): Set[Int] =
+      """\{\\?"u\\?":(\d+)\}""".r.findAllMatchIn(body).map(_.group(1).toInt).toSet
+    val ra = post("/v1/consumer/poll?consumerId=ma", Array.empty,
+      Seq("Accept" -> "application/json"))
+    val rb = post("/v1/consumer/poll?consumerId=mb", Array.empty,
+      Seq("Accept" -> "application/json"))
+    assert(ra.statusCode() === 200 && rb.statusCode() === 200)
+    val (va, vb) = (values(ra.body()), values(rb.body()))
+    assert((va & vb).isEmpty, s"members served overlapping records: ${va & vb}")
+    assert((va | vb) === (0 until 40).toSet)
+  }
+
+  test("binary poll response carries the u16 count + reference item layout") {
+    val topic = "bin"
+    post(s"/v1/topic/$topic/messages?partitionKey=k1&timestamp=7", "payload".getBytes(UTF_8))
+    put(s"/v1/consumer/register?consumerId=cb&group=gb&topic=$topic&onNewGroup=startFromEarliest")
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/v1/consumer/poll?consumerId=cb"))
+        .POST(BodyPublishers.noBody()).header("Accept", "application/octet-stream").build(),
+      BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    val b = r.body()
+    val count = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    assert(count === 1)
+    // item: token i64 | rangeIndex u8 | version u32 | topicLen u8 | topic ...
+    val topicLen = b(2 + 8 + 1 + 4) & 0xFF
+    assert(topicLen === topic.length)
+    val name = new String(b, 2 + 8 + 1 + 4 + 1, topicLen, UTF_8)
+    assert(name === topic)
+    assert(new String(b, UTF_8).contains("payload"))
+  }
+
+  test("concurrent produce requests coalesce into few batches") {
+    val topic = "coal"
+    val n = 30
+    val before = server.flushCount
+    val futures = (0 until n).map { i =>
+      client.sendAsync(
+        HttpRequest.newBuilder(
+          URI.create(s"$base/v1/topic/$topic/messages?partitionKey=k$i&timestamp=$i"))
+          .POST(BodyPublishers.ofString(s"""{"i":$i}""")).build(),
+        BodyHandlers.ofString())
+    }
+    futures.foreach(f => assert(f.join().statusCode() === 200))
+    val flushes = server.flushCount - before
+    assert(flushes < n, s"expected coalescing, got $flushes flushes for $n requests")
+    assert(PolarLog.consume(spark, TopicConfig(root, topic)).count() === n)
+    // metadata versions advanced once per flush, not once per request
+    assert(LogMetadata.read(TopicConfig(root, topic)).version <= flushes + 1)
+  }
+}
