@@ -2,13 +2,11 @@ package graft.serving
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.log.{ConsumerGroups, PolarLog, TopicConfig, TopicOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.SparkSession
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.{CompletableFuture, ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.{Executors, TimeUnit}
 
 /**
  * The reference's HTTP serving surface (SURVEY §2 A1/A15/A17/A19/A32,
@@ -76,17 +74,15 @@ class PolarHttpServer(
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(8)
-  private val produceQueue = new ConcurrentLinkedQueue[PendingProduce]()
-  private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
   private val consumers = scala.collection.concurrent.TrieMap.empty[String, Registered]
-  @volatile private var running = true
-  private val flusherDone = new CountDownLatch(1)
 
-  /** Flushes in batches observed per produce — exposed for coalescing tests. */
-  @volatile var flushCount: Long = 0L
+  /** The shared produce micro-batcher (A6); a binary server may share it. */
+  val coalescer = new ProduceCoalescer(
+    spark, root, clusterSize, rangesPerToken, lingerMs, maxMessageSize)
 
-  private def cfgOf(topic: String): TopicConfig =
-    TopicConfig(root, topic, clusterSize, rangesPerToken)
+  def flushCount: Long = coalescer.flushCount
+
+  private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -94,15 +90,11 @@ class PolarHttpServer(
     server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
     server.start()
-    val flusher = new Thread(() => flushLoop(), "polar-http-coalescer")
-    flusher.setDaemon(true)
-    flusher.start()
     this
   }
 
   def stop(): Unit = {
-    running = false
-    flusherDone.await(10, TimeUnit.SECONDS)
+    coalescer.stop()
     server.stop(0)
     pool.shutdown()
   }
@@ -181,12 +173,9 @@ class PolarHttpServer(
     val contentType = Option(ex.getRequestHeaders.getFirst("Content-type"))
       .getOrElse("application/json").takeWhile(_ != ';').trim.toLowerCase
 
-    val pending = PendingProduce(topic, partitionKey, tsMicros, contentType, body,
-      new CompletableFuture[Unit]())
-    produceQueue.add(pending)
-    queued.incrementAndGet()
     try {
-      pending.done.get(120, TimeUnit.SECONDS)
+      coalescer.append(topic, partitionKey, tsMicros, contentType, body)
+        .get(120, TimeUnit.SECONDS)
       respond(ex, 200, "")
     } catch {
       case e: java.util.concurrent.ExecutionException =>
@@ -194,65 +183,6 @@ class PolarHttpServer(
         if (msg != null && msg.contains("maxMessageSize")) throw HttpError(400, msg)
         else throw HttpError(500, s"Produce failed: $msg")
     }
-  }
-
-  /** The coalescer loop (A6): waits out the linger window, drains everything
-    * queued, produces ONE batch per topic, then completes every request in
-    * the batch — ack only after the metadata commit (durable-visibility
-    * boundary). */
-  private def flushLoop(): Unit = {
-    try {
-      while (running || queued.get() > 0) {
-        if (queued.get() == 0) Thread.sleep(lingerMs)
-        else {
-          Thread.sleep(lingerMs) // linger: let concurrent requests pile in
-          val batch = Iterator.continually(produceQueue.poll())
-            .takeWhile(_ != null).toVector
-          queued.addAndGet(-batch.size)
-          if (batch.nonEmpty) {
-            batch.groupBy(_.topic).foreach { case (topic, items) =>
-              try {
-                produceBatch(topic, items)
-                items.foreach(_.done.complete(()))
-              } catch {
-                case e: Exception => items.foreach(_.done.completeExceptionally(e))
-              }
-            }
-            flushCount += 1
-          }
-        }
-      }
-    } finally flusherDone.countDown()
-  }
-
-  private def produceBatch(topic: String, items: Vector[PendingProduce]): Unit = {
-    val schema = StructType(Seq(
-      StructField("partitionKey", StringType),
-      StructField("tsMicros", LongType),
-      StructField("contentType", StringType),
-      StructField("body", BinaryType)))
-    val now = java.time.Instant.now()
-    val nowMicros = now.getEpochSecond * 1000000L + now.getNano / 1000L
-    val rows: Seq[org.apache.spark.sql.Row] = items.map(i => org.apache.spark.sql.Row(
-      i.partitionKey.orNull,
-      java.lang.Long.valueOf(i.tsMicros.getOrElse(nowMicros)),
-      i.contentType, i.body))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-    // one declarative splitter for all three content types, then one produce
-    val values = when(col("contentType") === "application/x-ndjson",
-        transform(
-          filter(split(col("body").cast(StringType), "\r?\n"),
-            s => length(trim(s)) > 0),
-          s => s.cast(BinaryType)))
-      .when(col("contentType") === FramesContentType,
-        graft.functions.GraftFunctions.polar_frames(col("body")))
-      .otherwise(array(col("body")))
-    val records = df
-      .withColumn("value", explode(values))
-      .withColumn("timestamp", timestamp_micros(col("tsMicros")))
-      .select(col("partitionKey"), col("timestamp"), col("value"))
-    PolarLog.produce(records, cfgOf(topic), maxMessageSize = maxMessageSize)
   }
 
   // --------------------------------------------------------------- consume
@@ -351,20 +281,12 @@ class PolarHttpServer(
 }
 
 object PolarHttpServer {
-  val FramesContentType = "application/vnd.polar.producer.frames"
+  val FramesContentType: String = ProduceCoalescer.FramesContentType
 
   private val TopicMessages = "/v1/topic/([^/]+)/messages".r
 
   private final case class HttpError(status: Int, msg: String)
     extends RuntimeException(msg)
-
-  private final case class PendingProduce(
-      topic: String,
-      partitionKey: Option[String],
-      tsMicros: Option[Long],
-      contentType: String,
-      body: Array[Byte],
-      done: CompletableFuture[Unit])
 
   private final case class Registered(
       consumerId: String,

@@ -1,0 +1,136 @@
+package graft.serving
+
+import graft.log.{PolarLog, TopicConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+
+import java.util.concurrent.{CompletableFuture, ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+/**
+ * The serving-side micro-batcher (SURVEY §2 A6,
+ * `/root/reference/internal/producing/coalescer.go:81-172`): produce
+ * requests from ANY transport (HTTP, binary TCP) land in one queue drained
+ * by a single flusher thread that groups everything queued into ONE Spark
+ * produce per topic per flush — the linger window standing in for the
+ * reference's 100 µs double-buffer handoff. A request's ack is its batch's
+ * durable metadata commit (the reference's ack-after-replication boundary),
+ * so concurrent producers share CAS rounds instead of racing them.
+ */
+class ProduceCoalescer(
+    spark: SparkSession,
+    root: String,
+    clusterSize: Int = 3,
+    rangesPerToken: Int = 4,
+    lingerMs: Long = 10,
+    maxMessageSize: Int = PolarLog.DefaultMaxMessageSize) {
+
+  import ProduceCoalescer._
+
+  private val queue = new ConcurrentLinkedQueue[Pending]()
+  private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var running = true
+  private val done = new CountDownLatch(1)
+
+  /** Flush batches observed — exposed for coalescing tests. */
+  @volatile var flushCount: Long = 0L
+
+  def cfgOf(topic: String): TopicConfig =
+    TopicConfig(root, topic, clusterSize, rangesPerToken)
+
+  private val flusher = new Thread(() => flushLoop(), "polar-produce-coalescer")
+  flusher.setDaemon(true)
+  flusher.start()
+
+  def stop(): Unit = {
+    running = false
+    done.await(10, TimeUnit.SECONDS)
+  }
+
+  /** Enqueue one produce request; the future completes when its batch's
+    * metadata commit makes the records visible. */
+  def append(
+      topic: String,
+      partitionKey: Option[String],
+      tsMicros: Option[Long],
+      contentType: String,
+      body: Array[Byte]): CompletableFuture[Unit] = {
+    val p = Pending(topic, partitionKey, tsMicros, contentType, body,
+      new CompletableFuture[Unit]())
+    queue.add(p)
+    queued.incrementAndGet()
+    p.done
+  }
+
+  private def flushLoop(): Unit = {
+    try {
+      while (running || queued.get() > 0) {
+        if (queued.get() == 0) Thread.sleep(lingerMs)
+        else {
+          Thread.sleep(lingerMs) // linger: let concurrent requests pile in
+          val batch = Iterator.continually(queue.poll())
+            .takeWhile(_ != null).toVector
+          queued.addAndGet(-batch.size)
+          if (batch.nonEmpty) {
+            batch.groupBy(_.topic).foreach { case (topic, items) =>
+              try {
+                produceBatch(topic, items)
+                items.foreach(_.done.complete(()))
+              } catch {
+                case e: Exception => items.foreach(_.done.completeExceptionally(e))
+              }
+            }
+            flushCount += 1
+          }
+        }
+      }
+    } finally done.countDown()
+  }
+
+  private def produceBatch(topic: String, items: Vector[Pending]): Unit = {
+    val schema = StructType(Seq(
+      StructField("partitionKey", StringType),
+      StructField("tsMicros", LongType),
+      StructField("contentType", StringType),
+      StructField("body", BinaryType)))
+    val now = java.time.Instant.now()
+    val nowMicros = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    val rows: Seq[org.apache.spark.sql.Row] = items.map(i => org.apache.spark.sql.Row(
+      i.partitionKey.orNull,
+      java.lang.Long.valueOf(i.tsMicros.getOrElse(nowMicros)),
+      i.contentType, i.body))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // one declarative splitter for all content types, then one produce
+    val values = when(col("contentType") === NdjsonContentType,
+        transform(
+          filter(split(col("body").cast(StringType), "\r?\n"),
+            s => length(trim(s)) > 0),
+          s => s.cast(BinaryType)))
+      .when(col("contentType") === FramesContentType ||
+          col("contentType") === BinaryContentType,
+        graft.functions.GraftFunctions.polar_frames(col("body")))
+      .otherwise(array(col("body")))
+    val records = df
+      .withColumn("value", explode(values))
+      .withColumn("timestamp", timestamp_micros(col("tsMicros")))
+      .select(col("partitionKey"), col("timestamp"), col("value"))
+    PolarLog.produce(records, cfgOf(topic), maxMessageSize = maxMessageSize)
+  }
+}
+
+object ProduceCoalescer {
+  val NdjsonContentType = "application/x-ndjson"
+  val FramesContentType = "application/vnd.polar.producer.frames"
+  /** The binary transport's payload framing is the same `{u32-BE len}{bytes}`
+    * record block (`/root/reference/internal/types/models.go:14`). */
+  val BinaryContentType = "application/vnd.polar.producer.binary"
+
+  private final case class Pending(
+      topic: String,
+      partitionKey: Option[String],
+      tsMicros: Option[Long],
+      contentType: String,
+      body: Array[Byte],
+      done: CompletableFuture[Unit])
+}
