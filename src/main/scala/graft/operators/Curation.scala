@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs
+ * beyond dedup/similarity: train/test decontamination, intra-document
+ * repetition signals (the Gopher-rule family), and temperature-based
+ * domain mixture sampling. Everything is a declarative plan or a pure
+ * column expression with an exact SQL mirror for the oracle.
+ */
+object Curation {
+
+  // ------------------------------------------------------------ decontam
+
+  /**
+   * Train/test decontamination: for every train document, how many of its
+   * distinct word n-grams appear in ANY test document — the standard
+   * n-gram-overlap contamination check run before training (the "13-gram
+   * overlap" family, here with configurable n).
+   *
+   * Plan shape at 100 TB: the test set's distinct n-grams are TINY next to
+   * the train corpus (benchmarks are ~1e4–1e6 docs), so they broadcast —
+   * the train side is one scan + explode + broadcast-hash-join + one
+   * aggregation keyed by doc id; no shuffle of the train corpus at all.
+   * With `broadcastTest = false` it degrades to a hash shuffle on the
+   * n-gram — the right plan when the "test" side is itself huge.
+   */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      broadcastTest: Boolean = true): DataFrame = {
+    val testGrams0 = test
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val testGrams = if (broadcastTest) broadcast(testGrams0) else testGrams0
+    train
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("grams"))
+      .select(col(idCol), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(testGrams, "gram")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  /** All word n-grams of a document IN ORDER (repeats kept — the counting
+    * unit for repetition signals; distinct+sorted would erase them). */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val words = TextAnalysis.tokens(text)
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Fraction of word occurrences beyond each word's first — 0 for a
+    * document of all-distinct words, →1 as it degenerates to repetition. */
+  def dupWordFrac(text: Column): Column = {
+    val words = TextAnalysis.tokens(text)
+    round((size(words) - size(array_distinct(words))).cast("double") /
+      greatest(size(words), lit(1)).cast("double"), 6)
+  }
+
+  /** The most frequent n-gram's share of the document's characters
+    * (count × gram length / doc length) — the Gopher "top n-gram character
+    * fraction" signal. Ties break to the lexicographically largest gram
+    * (struct max on (count, gram)), so the value is deterministic.
+    *
+    * Per-document cost is O(distinct-grams × grams) inside codegen — fine
+    * for natural documents (bounded length); a pipeline facing book-length
+    * outliers should pre-truncate (`substring`) the signal input, which is
+    * what production quality filters do anyway. */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    val grams = ngramsAll(text, n)
+    val counts = transform(array_distinct(grams),
+      g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g")))
+    val top = array_max(counts)
+    round(when(length(text) === 0, lit(0.0)).otherwise(
+      (top.getField("c") * length(top.getField("g"))).cast("double") /
+        length(text).cast("double")), 6)
+  }
+
+  /** Character share of n-grams that occur more than once (each occurrence
+    * counted) — the Gopher "duplicated n-gram character fraction" family. */
+  def repeatedNgramCharFrac(text: Column, n: Int): Column = {
+    val grams = ngramsAll(text, n)
+    val repeatedChars = aggregate(
+      transform(array_distinct(grams),
+        g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g"))),
+      lit(0L),
+      (acc, s) => acc + when(s.getField("c") > 1,
+        (s.getField("c") * length(s.getField("g"))).cast("long")).otherwise(0L))
+    round(when(length(text) === 0, lit(0.0)).otherwise(
+      repeatedChars.cast("double") / length(text).cast("double")), 6)
+  }
+
+  // -------------------------------------------------------------- mixture
+
+  /**
+   * Temperature-scaled domain mixture rates: given per-domain document
+   * counts, the sampling rate per domain such that the kept corpus follows
+   * the α-temperature distribution `share_d ∝ (n_d/N)^α` at the largest
+   * feasible size (the domain that saturates at rate 1.0 pins the scale) —
+   * the standard multi-source mixing rule for training corpora (α<1 upweights
+   * small domains).
+   *
+   * All double arithmetic happens in SORTED domain order with IEEE ops only
+   * (sqrt/div/mul/add), so an external system — or the DuckDB oracle —
+   * reproduces the rates bit-for-bit.
+   */
+  def temperatureRates(
+      counts: Seq[(String, Long)], alpha: Double): Seq[(String, Double)] = {
+    val sorted = counts.sortBy(_._1)
+    val total = sorted.map(_._2).sum.toDouble
+    // α=0.5 goes through IEEE sqrt (correctly rounded ⇒ bit-identical in
+    // any engine); other α through pow (typically ≤1 ulp, close enough for
+    // rates but not guaranteed portable)
+    val weights = sorted.map { case (d, c) =>
+      val p = c.toDouble / total
+      d -> (if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha))
+    }
+    val z = weights.map(_._2).foldLeft(0.0)(_ + _) // fixed order
+    // K = min over domains of n_d / share_d; rate_d = share_d * K / n_d
+    val k = weights.map { case (d, w) =>
+      val share = w / z
+      sorted.toMap.apply(d).toDouble / share
+    }.min
+    weights.map { case (d, w) =>
+      val share = w / z
+      val nd = sorted.toMap.apply(d).toDouble
+      d -> math.min(1.0, share * k / nd)
+    }
+  }
+
+  /**
+   * Deterministic mixture sample: keep a document iff its content-hash
+   * bucket (of 10.000) falls under its domain's temperature rate. One
+   * count-aggregation (collected — domains are few), then a pure filter:
+   * membership is a function of (key, domain rates) only, reproducible
+   * anywhere, stable under repartitioning.
+   */
+  def mixtureSample(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val rates = temperatureRates(counts, alpha)
+    // integer threshold of 10k buckets: round once, compare in integers
+    val thresholds = rates.map { case (d, r) =>
+      d -> math.floor(r * 10000.0 + 0.5).toLong
+    }
+    val thMap = map(thresholds.flatMap { case (d, t) => Seq(lit(d), lit(t)) }: _*)
+    df.filter(Sampling.hashBucket(col(keyCol), 10000) <
+      element_at(thMap, col(domainCol)))
+  }
+}

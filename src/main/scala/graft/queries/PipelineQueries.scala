@@ -452,5 +452,106 @@ object PipelineQueries extends QueryRegistry {
         SELECT doc_id, COUNT(*) AS n_sampled,
                CAST(SUM(least(256, L - 256*i)) AS BIGINT) AS bytes_sampled
         FROM f WHERE i % 4 = 0 AND L - 256*i > 0
-        GROUP BY doc_id""")))
+        GROUP BY doc_id""")),
+
+    QueryDef(
+      "decontaminate",
+      // train/test decontamination: per train doc, its distinct 3-gram
+      // overlap with the WHOLE test split's n-gram set — test grams
+      // broadcast (tiny vs the corpus), train side never shuffles
+      (s, dir) => {
+        val tagged = Tables.documents(s, dir).withColumn("split",
+          graft.operators.Sampling.splitTag(col("doc_id"), 90, 5))
+        graft.operators.Curation.contamination(
+            tagged.filter(col("split") === "train"),
+            tagged.filter(col("split") === "test"),
+            "text", "doc_id", n = 3)
+          .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+            col("n_hit"), col("overlap"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $WordsSql AS words,
+                 ${OracleSql.md5Hash60("doc_id")} % 100 AS b
+          FROM documents),
+        grams AS (
+          SELECT doc_id, b, ${shinglesSql("words")} AS grams FROM toks),
+        test_grams AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE b >= 95),
+        train AS (
+          SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+          FROM grams WHERE b < 90)
+        SELECT t.doc_id, t.n_grams, COUNT(*) AS n_hit,
+               round(COUNT(*)::DOUBLE / n_grams, 6) AS overlap
+        FROM train t JOIN test_grams g ON t.gram = g.gram
+        GROUP BY t.doc_id, t.n_grams""")),
+
+    QueryDef(
+      "text_repetition",
+      // Gopher-family repetition signals, all inside codegen: duplicate
+      // word fraction, top-2-gram char share, repeated-2-gram char share
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.operators.Curation.dupWordFrac(col("text")).as("dup_word_frac"),
+        graft.operators.Curation.topNgramCharFrac(col("text"), 2).as("top2_char_frac"),
+        graft.operators.Curation.repeatedNgramCharFrac(col("text"), 2).as("rep2_char_frac")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, text, $WordsSql AS words FROM documents),
+        g AS (
+          SELECT doc_id, text, words,
+            CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+            ELSE [array_to_string(words[i:i+1], ' ')
+                  for i in generate_series(1, len(words)-1)] END AS grams
+          FROM toks),
+        c AS (
+          SELECT doc_id, text, words, grams,
+            list_max(list_transform(list_distinct(grams),
+              x -> struct_pack(c := len(list_filter(grams, y -> y = x)), g := x))) AS top
+          FROM g)
+        SELECT doc_id,
+          round((len(words) - len(list_distinct(words)))::DOUBLE
+                / greatest(len(words), 1), 6) AS dup_word_frac,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (top.c * len(top.g))::DOUBLE / length(text) END, 6) AS top2_char_frac,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+                ELSE list_sum(list_transform(list_distinct(grams),
+                  x -> CASE WHEN len(list_filter(grams, y -> y = x)) > 1
+                       THEN len(list_filter(grams, y -> y = x)) * len(x)
+                       ELSE 0 END))::DOUBLE / length(text) END, 6) AS rep2_char_frac
+        FROM c""")),
+
+    QueryDef(
+      "pipeline_mixture",
+      // temperature-based (α=0.5) domain mixture over the lang column:
+      // per-domain sampling rates follow the α-scaled distribution (IEEE
+      // sqrt/div order fixed so the oracle replays them bit-for-bit),
+      // membership is the content-hash bucket — fully deterministic
+      (s, dir) => {
+        import graft.operators.Curation
+        val docs = Tables.documents(s, dir)
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val rates = Curation.temperatureRates(counts, 0.5)
+        val rateMap = map(rates.flatMap { case (d, r) => Seq(lit(d), lit(r)) }: _*)
+        Curation.mixtureSample(docs, "lang", "doc_id", 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"))
+          .withColumn("rate", round(element_at(rateMap, col("lang")), 6))
+          .select(col("lang"), col("rate"), col("n_kept"))
+      },
+      Some(s"""
+        WITH counts AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n) AS total FROM counts),
+        w AS (SELECT lang, n, sqrt(n / total) AS wt FROM counts, tot),
+        z AS (SELECT list_reduce(list(wt ORDER BY lang), (a,b) -> a+b) AS zz FROM w),
+        shares AS (SELECT lang, n, wt / zz AS share FROM w, z),
+        kk AS (SELECT MIN(n / share) AS k FROM shares),
+        rates AS (SELECT lang, LEAST(1.0, share * k / n) AS rate FROM shares, kk),
+        th AS (SELECT lang, CAST(floor(rate*10000 + 0.5) AS BIGINT) AS t,
+                      round(rate, 6) AS rate_r FROM rates)
+        SELECT d.lang, any_value(th.rate_r) AS rate, COUNT(*) AS n_kept
+        FROM documents d JOIN th ON d.lang = th.lang
+        WHERE ${OracleSql.md5Hash60("doc_id")} % 10000 < th.t
+        GROUP BY d.lang""")))
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("contamination finds exactly the train docs sharing test n-grams") {
+    val sp = spark; import sp.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely unrelated words appear here"),
+      (3L, "quick brown fox runs fast today")).toDF("doc_id", "text")
+    val test = Seq((100L, "a the quick brown fox escaped")).toDF("doc_id", "text")
+    val hits = Curation.contamination(train, test, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 1 shares "the quick brown" and "quick brown fox"; doc 3 shares
+    // "quick brown fox"; doc 2 shares nothing
+    assert(hits === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("repetition signals on a hand-checked document") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = df.select(
+      Curation.dupWordFrac(col("text")).as("dw"),
+      Curation.topNgramCharFrac(col("text"), 2).as("top2"),
+      Curation.repeatedNgramCharFrac(col("text"), 2).as("rep2")).head()
+    // 6 words, 3 distinct -> dup fraction 0.5
+    assert(r.getDouble(0) === 0.5)
+    // 2-grams: [a b, b a, a b, b a, a c]; top = "b a" x2 (ties to the
+    // lexicographically largest of the count-2 grams); share = 2*3/11
+    assert(math.abs(r.getDouble(1) - math.rint(2.0 * 3 / 11 * 1e6) / 1e6) < 1e-9)
+    // repeated grams: "a b" x2 and "b a" x2 -> (2*3 + 2*3)/11
+    assert(math.abs(r.getDouble(2) - math.rint(12.0 / 11 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("temperature rates: flattened shares, saturating domain, determinism") {
+    val counts = Seq("big" -> 900L, "mid" -> 90L, "small" -> 10L)
+    val rates = Curation.temperatureRates(counts, 0.5).toMap
+    // the smallest domain saturates at 1.0; bigger domains downsample
+    assert(rates("small") === 1.0)
+    assert(rates("big") < rates("mid") && rates("mid") < 1.0)
+    // kept counts follow the α-scaled shares: kept_d / kept_e = sqrt(n_d/n_e)
+    val keptBig = rates("big") * 900
+    val keptMid = rates("mid") * 90
+    assert(math.abs(keptBig / keptMid - math.sqrt(900.0 / 90.0)) < 1e-9)
+    // α=1 is a no-op (proportional sampling keeps everything)
+    Curation.temperatureRates(counts, 1.0).foreach { case (_, r) =>
+      assert(math.abs(r - 1.0) < 1e-12)
+    }
+  }
+
+  test("mixtureSample membership is deterministic and rate-bounded") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val kept1 = Curation.mixtureSample(df, "lang", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Curation.mixtureSample(df.repartition(7), "lang", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 === kept2) // partitioning-independent
+    assert(kept1.nonEmpty && kept1.size < 300)
+  }
+}
