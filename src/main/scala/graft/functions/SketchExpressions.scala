@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,6 +23,58 @@ import org.apache.spark.unsafe.types.UTF8String
  *    document — order-sensitive content fingerprint.
  */
 object Sketches {
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct, binary-sorted k-word shingles of a document — byte-identical
+    * to `sort_array(array_distinct(transform(...)))` over
+    * `filter(split(lower(text),"\\s+"), len>0)` (the declarative form it
+    * replaces), but ONE tight pass per row instead of five interpreted
+    * higher-order functions: tokenization and shingle assembly dominate
+    * every n-gram operator's runtime (dedup, decontamination), so this is
+    * the kernel worth hand-writing. Fewer than k tokens collapse to a
+    * single whole-text shingle ("" for an empty document — kept so empty
+    * docs pair with empty docs, mirrored by the oracles). */
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    val tokens0 = Whitespace.split(s.toLowerCase.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < tokens0.length) { // compact non-empty tokens in place
+      if (!tokens0(i).isEmpty) { tokens0(n) = tokens0(i); n += 1 }
+      i += 1
+    }
+    if (n < k) {
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        sb.append(tokens0(i))
+        i += 1
+      }
+      return new GenericArrayData(Array[Any](UTF8String.fromString(sb.toString)))
+    }
+    // TreeSet on UTF8String natural order = unsigned byte order, exactly
+    // sort_array's ordering for string elements
+    val set = new java.util.TreeSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens0(i + j))
+        j += 1
+      }
+      set.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 
   /** SimHash over token murmur hashes: bit b of the result is the sign of
     * sum over tokens of ±1 depending on bit b of murmur3(token). */
@@ -192,6 +244,25 @@ object Sketches {
     }
     h
   }
+}
+
+/** `word_shingles(string, k) -> array<string>` — distinct sorted k-word
+  * shingles in one codegen'd pass (see [[Sketches.wordShingles]]). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word_shingles needs k >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string input, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.wordShingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.wordShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
 /** `md5_hash60(string|binary) -> long` — engine-neutral 60-bit content hash

@@ -93,6 +93,7 @@ object GraftFunctions {
     "rolling_fingerprint" -> ((args: Seq[Expression]) => RollingFingerprint(args.head)),
     "polar_frames" -> ((args: Seq[Expression]) => PolarFrames(args.head)),
     "sorted_jaccard" -> ((args: Seq[Expression]) => SortedJaccard(args(0), args(1))),
+    "word_shingles" -> ((args: Seq[Expression]) => WordShingles(args.head, intArg(args(1)))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
@@ -151,6 +152,10 @@ object GraftFunctions {
   /** Merge-walk Jaccard of two sorted+distinct string arrays. */
   def sorted_jaccard(a: Column, b: Column): Column =
     GraftShims.column(SortedJaccard(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Distinct sorted k-word shingles of a document, one codegen'd pass. */
+  def word_shingles(text: Column, k: Int): Column =
+    GraftShims.column(WordShingles(GraftShims.expression(text), k))
 
   /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
   def hll60(hash: Column): Column =

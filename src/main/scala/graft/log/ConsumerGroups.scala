@@ -76,18 +76,67 @@ object ConsumerGroups {
     }
 
   /** One consume round: everything from the group's position to the current
-    * tails. Does NOT advance the position — call [[commit]] with
-    * `nextOffsets` after the batch is safely processed (manual commit), or
-    * use [[pollAndCommit]]. */
+    * tails — or, with `maxBytes`, a byte-bounded chunk of it (the
+    * reference's `ConsumerReadThreshold` 2 MiB admission,
+    * `internal/consuming/group_read_queue.go:87-170`). Does NOT advance the
+    * position — call [[commit]] with `nextOffsets` after the batch is safely
+    * processed (manual commit), or use [[pollAndCommit]]. */
   def poll(
       spark: SparkSession,
       cfg: TopicConfig,
       group: String,
-      policy: ResetPolicy = Latest): Poll = {
+      policy: ResetPolicy = Latest,
+      maxBytes: Option[Long] = None): Poll = {
     val start = startingOffsets(cfg, group, policy)
-    val end = PolarLog.tails(cfg)
+    val tails = PolarLog.tails(cfg)
+    val end = maxBytes match {
+      case Some(cap) => byteCapEnd(LogMetadata.read(cfg), start, tails, cap)
+      case None => tails
+    }
     val records = PolarLog.consume(spark, cfg, startOffsets = start, endOffsets = end)
     Poll(records, end)
+  }
+
+  /**
+   * Byte-bounded end offsets: walk each partition's pending registry files
+   * in offset order, charging `records × bytes/record` from the file's
+   * exact stats, stopping at the cap but always admitting at least one
+   * record when any is pending (progress guarantee) — the batch-path mirror
+   * of the streaming source's `maxBytesPerTrigger` admission, both standing
+   * in for the reference's round-robin-until-threshold read queue. Pure
+   * metadata arithmetic: no file I/O.
+   */
+  def byteCapEnd(
+      meta: LogMetadata,
+      start: Map[Int, Long],
+      end: Map[Int, Long],
+      maxBytes: Long): Map[Int, Long] = {
+    var budget = maxBytes
+    var admittedAny = false
+    end.toSeq.sortBy(_._1).map { case (p, tail) =>
+      var pos = start.getOrElse(p, 0L)
+      if (pos >= tail) p -> tail // already caught up: keep the empty window
+      else {
+        meta.filesOf(p)
+          .filter(f => f.maxOffset >= pos && f.minOffset < tail)
+          .foreach { f =>
+            val lo = math.max(pos, f.minOffset)
+            val hi = math.min(tail - 1, f.maxOffset)
+            if (lo <= hi && pos >= f.minOffset) {
+              val perRecord = math.max(1L, f.bytes / math.max(1L, f.count))
+              val affordable = math.max(budget / perRecord,
+                if (admittedAny) 0L else 1L)
+              val take = math.min(hi - lo + 1, affordable)
+              if (take > 0) {
+                pos = lo + take
+                budget -= take * perRecord
+                admittedAny = true
+              }
+            }
+          }
+        p -> pos
+      }
+    }.toMap
   }
 
   /**

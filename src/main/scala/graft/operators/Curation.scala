@@ -37,14 +37,19 @@ object Curation {
     val testGrams0 = test
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .distinct()
+      .withColumn("__hit", lit(1))
     val testGrams = if (broadcastTest) broadcast(testGrams0) else testGrams0
+    // single shingle evaluation per train doc (shingling dominates the
+    // cost — a size()+explode() two-step would re-derive it per row via
+    // project collapse); n_grams falls out of the same count aggregation,
+    // whose partial phase collapses each doc's exploded run locally before
+    // any shuffle
     train
-      .select(col(idCol), Dedup.shingles(col(textCol), n).as("grams"))
-      .select(col(idCol), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("gram"))
-      .join(testGrams, "gram")
-      .groupBy(col(idCol), col("n_grams"))
-      .agg(count(lit(1)).as("n_hit"))
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(testGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
       .withColumn("overlap",
         round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
   }

@@ -31,14 +31,13 @@ object Dedup {
   /** Word k-shingles of a document, distinct and SORTED — sorted once per
     * row so pairwise similarity can use the allocation-free merge-walk
     * kernel ([[graft.functions.Sketches.sortedJaccard]]) instead of per-pair
-    * hash sets. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = TextAnalysis.tokens(text)
-    sort_array(array_distinct(
-      when(size(words) < k, array(concat_ws(" ", words)))
-        .otherwise(transform(sequence(lit(0), size(words) - k),
-          i => concat_ws(" ", slice(words, i + 1, lit(k)))))))
-  }
+    * hash sets. One native codegen'd pass
+    * ([[graft.functions.Sketches.wordShingles]]): the declarative
+    * sort_array(array_distinct(transform(...))) form it replaces ran five
+    * interpreted higher-order functions per row and dominated every n-gram
+    * operator's runtime. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.GraftFunctions.word_shingles(text, k)
 
   /** Exact Jaccard similarity of two string-array columns (general form;
     * does not require sorted inputs). */

@@ -466,8 +466,7 @@ object PipelineQueries extends QueryRegistry {
             tagged.filter(col("split") === "train"),
             tagged.filter(col("split") === "test"),
             "text", "doc_id", n = 3)
-          .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
-            col("n_hit"), col("overlap"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"), col("overlap"))
       },
       Some(s"""
         WITH toks AS (

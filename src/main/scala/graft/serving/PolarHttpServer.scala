@@ -34,9 +34,11 @@ import java.util.concurrent.{Executors, TimeUnit}
  *  - `PUT /v1/consumer/register?consumerId=&group=&topic=&onNewGroup=` —
  *    idempotent registration; pins the group's start offsets per the reset
  *    policy (`startFromLatest` default / `startFromEarliest`).
- *  - `POST /v1/consumer/poll?consumerId=` — serves `[committed, tail)` for
- *    the consumer's ASSIGNED partitions (deterministic round-robin over the
- *    group's registered members, A16), auto-committing the previously polled
+ *  - `POST /v1/consumer/poll?consumerId=` — serves a byte-bounded chunk
+ *    (`maxPollBytes`, default 2 MiB = the reference's
+ *    `ConsumerReadThreshold`) of `[committed, tail)` for the consumer's
+ *    ASSIGNED partitions (deterministic round-robin over the group's
+ *    registered members, A16), auto-committing the previously polled
  *    position first (`docs/rest_api/README.md:178-180`). `Accept:
  *    application/json` → the JSON item array (A19); otherwise the binary
  *    layout `u16-BE count` + items (A18,
@@ -68,7 +70,8 @@ class PolarHttpServer(
     clusterSize: Int = 3,
     rangesPerToken: Int = 4,
     lingerMs: Long = 10,
-    maxMessageSize: Int = PolarLog.DefaultMaxMessageSize) {
+    maxMessageSize: Int = PolarLog.DefaultMaxMessageSize,
+    maxPollBytes: Long = 2L << 20) {
 
   import PolarHttpServer._
 
@@ -240,9 +243,17 @@ class PolarHttpServer(
       val start = ConsumerGroups.startingOffsets(cfg, r.group, r.policy)
       val tails = PolarLog.tails(cfg)
       // non-assigned partitions get an empty [start, start) window
-      val end = tails.map { case (p, t) =>
+      val end0 = tails.map { case (p, t) =>
         p -> (if (mine.contains(p)) t else start.getOrElse(p, 0L))
       }
+      // byte-bounded chunk per poll — the reference's ConsumerReadThreshold
+      // (2 MiB, `internal/conf/config.go:278-280`); the rest is served by
+      // subsequent polls after auto-commit
+      val end =
+        if (maxPollBytes > 0)
+          ConsumerGroups.byteCapEnd(
+            graft.log.LogMetadata.read(cfg), start, end0, maxPollBytes)
+        else end0
       val servedEnd = end.filter { case (p, e) => e > start.getOrElse(p, 0L) }
       if (servedEnd.isEmpty) topic -> Seq.empty[String]
       else {

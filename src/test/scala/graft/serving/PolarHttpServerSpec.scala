@@ -165,6 +165,40 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(b, UTF_8).contains("payload"))
   }
 
+  test("byte-capped polls drain the backlog in chunks without loss") {
+    // a second server with a tiny poll cap against the same root
+    val small = new PolarHttpServer(spark, root, maxPollBytes = 64).start()
+    try {
+      val b2 = s"http://127.0.0.1:${small.boundPort}"
+      (0 until 12).foreach { i =>
+        val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"$b2/v1/topic/chunked/messages?partitionKey=k$i&timestamp=$i"))
+          .POST(BodyPublishers.ofString(s"""{"i":$i,"pad":"xxxxxxxxxxxxxxxx"}"""))
+          .build(), BodyHandlers.ofString())
+        assert(r.statusCode() === 200)
+      }
+      client.send(HttpRequest.newBuilder(URI.create(
+        s"$b2/v1/consumer/register?consumerId=cc&group=gc&topic=chunked&onNewGroup=startFromEarliest"))
+        .PUT(BodyPublishers.noBody()).build(), BodyHandlers.ofString())
+      def values(body: String): Set[Int] =
+        """\\?"i\\?":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toInt).toSet
+      var seen = Set.empty[Int]
+      var polls = 0
+      var status = 200
+      while (status == 200 && polls < 50) {
+        val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"$b2/v1/consumer/poll?consumerId=cc"))
+          .POST(BodyPublishers.noBody()).header("Accept", "application/json").build(),
+          BodyHandlers.ofString())
+        status = r.statusCode()
+        if (status == 200) { seen ++= values(r.body()); polls += 1 }
+      }
+      assert(status === 204)
+      assert(seen === (0 until 12).toSet, s"lost records after $polls polls")
+      assert(polls > 1, "expected the tiny byte cap to force chunked draining")
+    } finally small.stop()
+  }
+
   test("concurrent produce requests coalesce into few batches") {
     val topic = "coal"
     val n = 30
