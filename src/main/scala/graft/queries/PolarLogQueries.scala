@@ -322,6 +322,40 @@ object PolarLogQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "polar_sql_roundtrip",
+      (s, dir) => {
+        // the SQL surface end-to-end: topics as catalog tables, produce via
+        // INSERT INTO, consume via SELECT — CREATE/INSERT/SELECT/DROP all
+        // through the DSv2 TableCatalog (placement, offsets, pushdown
+        // identical to the library path)
+        graft.GraftSession.ensureFunctions(s)
+        if (!s.conf.getOption("spark.sql.catalog.polar_gate").isDefined) {
+          s.conf.set("spark.sql.catalog.polar_gate",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set("spark.sql.catalog.polar_gate.root",
+            Files.createTempDirectory("graft_polar_sql").toString)
+        }
+        val topic = "sqlrt-" + java.util.UUID.randomUUID().toString.take(12)
+        s.sql(s"CREATE TABLE polar_gate.`$topic`")
+        Tables.events(s, dir).createOrReplaceTempView("events_sql_src")
+        s.sql(s"""
+          INSERT INTO polar_gate.`$topic`
+          SELECT CAST(user_id AS STRING) AS partitionKey, ts AS timestamp,
+                 CAST(props AS BINARY) AS value
+          FROM events_sql_src""")
+        // DROP TABLE is exercised in PolarCatalogSpec — dropping here would
+        // invalidate the (lazily re-evaluated) result plan's cache
+        s.sql(s"""
+          SELECT partitionKey, count(*) AS n,
+                 count(DISTINCT CAST(value AS STRING)) AS n_vals
+          FROM polar_gate.`$topic` GROUP BY partitionKey""")
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n, COUNT(DISTINCT props) AS n_vals
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
       "polar_http_roundtrip",
       (s, dir) => {
         // the full HTTP serving surface (A1/A15/A19/A32) driven end-to-end:

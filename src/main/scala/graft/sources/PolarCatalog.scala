@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.log.{LogMetadata, TopicConfig}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/**
+ * DSv2 `TableCatalog` exposing topics as SQL tables — the full SQL surface
+ * over the log, which is SURVEY §2's own mapping of the produce/consume
+ * protocol onto Spark (`INSERT INTO polar_topic SELECT …`, A2 row):
+ *
+ * {{{
+ *   spark.sql.catalog.polar      = graft.sources.PolarCatalog
+ *   spark.sql.catalog.polar.root = /data/polar
+ *
+ *   CREATE TABLE polar.clicks;
+ *   INSERT INTO polar.clicks SELECT key AS partitionKey, ts AS timestamp, payload AS value FROM src;
+ *   SELECT part, count(*) FROM polar.clicks GROUP BY part;
+ *   DROP TABLE polar.clicks;
+ * }}}
+ *
+ * Topics are single-namespace (`polar.<topic>`); the envelope schema is
+ * engine-owned, so `CREATE TABLE` takes no columns (any supplied schema is
+ * rejected) and INSERT accepts the PRODUCER shape — `value` plus optional
+ * `partitionKey`/`timestamp` (ACCEPT_ANY_SCHEMA; the write path builds the
+ * envelope: token, partition placement, commit-time dense offsets).
+ * Re-inserting a full envelope re-produces the records: offsets are
+ * engine-assigned, never client-supplied — exactly the reference's contract.
+ *
+ * Ring geometry comes from catalog options (`clusterSize`,
+ * `rangesPerToken`) with per-table overrides via `TBLPROPERTIES`.
+ */
+class PolarCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private var defaultClusterSize = 3
+  private var defaultRangesPerToken = 4
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+    defaultClusterSize = Option(options.get("clusterSize")).map(_.toInt).getOrElse(3)
+    defaultRangesPerToken = Option(options.get("rangesPerToken")).map(_.toInt).getOrElse(4)
+  }
+
+  override def name(): String = catalogName
+
+  /** Topics are single-namespace. An empty namespace is the normal form;
+    * a single segment equal to the catalog name is tolerated because
+    * `ALTER TABLE … RENAME TO catalog.name` ships the catalog-qualified
+    * target through as a namespace. */
+  private def requireTopLevel(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty &&
+        !(namespace.length == 1 && namespace.head == catalogName))
+      throw new NoSuchNamespaceException(namespace)
+
+  private def cfgOf(ident: Identifier, props: Map[String, String] = Map.empty): TopicConfig =
+    TopicConfig(root, ident.name(),
+      props.get("clusterSize").map(_.toInt).getOrElse(defaultClusterSize),
+      props.get("rangesPerToken").map(_.toInt).getOrElse(defaultRangesPerToken))
+
+  private def fs(p: Path) =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private def exists(cfg: TopicConfig): Boolean = {
+    val p = new Path(cfg.metadataPath)
+    fs(p).exists(p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireTopLevel(namespace)
+    val rootPath = new Path(root)
+    val f = fs(rootPath)
+    if (!f.exists(rootPath)) return Array.empty
+    f.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => TopicConfig.validTopicName(t) &&
+        f.exists(new Path(s"$root/$t/_polar_metadata.json")))
+      .sorted
+      .map(t => Identifier.of(Array.empty, t))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    requireTopLevel(ident.namespace())
+    // geometry from the persisted metadata, not the catalog defaults — a
+    // topic resized to another ring keeps reading correctly
+    val probe = TopicConfig(root, ident.name())
+    if (!exists(probe)) throw new NoSuchTableException(ident)
+    val meta = LogMetadata.read(probe)
+    val cfg = TopicConfig(root, ident.name(), meta.clusterSize, meta.rangesPerToken)
+    new PolarTable(PolarSourceConfig(cfg, "latest", None), null, sqlInsertable = true)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    requireTopLevel(ident.namespace())
+    require(schema == null || schema.isEmpty ||
+        schema.fieldNames.sameElements(PolarSource.FullSchema.fieldNames),
+      "polar topics own their envelope schema; CREATE TABLE takes no columns")
+    require(partitions == null || partitions.isEmpty,
+      "polar topics are partitioned by the token ring, not by CREATE TABLE clauses")
+    import scala.jdk.CollectionConverters._
+    val cfg = cfgOf(ident, properties.asScala.toMap)
+    if (exists(cfg)) throw new TableAlreadyExistsException(ident)
+    LogMetadata.write(cfg, LogMetadata.empty(cfg))
+    new PolarTable(PolarSourceConfig(cfg, "latest", None), null, sqlInsertable = true)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "polar topics have an engine-owned schema; use TopicOps.repartitionTopic for ring changes")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    requireTopLevel(ident.namespace())
+    val cfg = TopicConfig(root, ident.name())
+    if (!exists(cfg)) return false
+    val dir = new Path(cfg.dir)
+    fs(dir).delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireTopLevel(oldIdent.namespace())
+    requireTopLevel(newIdent.namespace())
+    val from = TopicConfig(root, oldIdent.name())
+    val to = TopicConfig(root, newIdent.name()) // validates the new name
+    if (!exists(from)) throw new NoSuchTableException(oldIdent)
+    if (exists(to)) throw new TableAlreadyExistsException(newIdent)
+    val f = fs(new Path(from.dir))
+    if (!f.rename(new Path(from.dir), new Path(to.dir)))
+      throw new IllegalStateException(
+        s"rename ${from.topic} -> ${to.topic} failed")
+  }
+}

@@ -105,7 +105,10 @@ final case class PolarSourceConfig(
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes)
 
-class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
+class PolarTable(
+    cfg: PolarSourceConfig,
+    externalSchema: StructType = null,
+    sqlInsertable: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"polar:${cfg.topic.topic}"
@@ -119,6 +122,14 @@ class PolarTable(cfg: PolarSourceConfig, externalSchema: StructType = null)
     // declaring V1_BATCH_WRITE unconditionally would force EVERY write —
     // including the envelope BatchWrite — down the V1 path
     if (!schema().fieldNames.contains("part")) caps.add(TableCapability.V1_BATCH_WRITE)
+    if (sqlInsertable) {
+      // catalog tables: INSERT brings the PRODUCER shape (value [+ key,
+      // timestamp]) while the table reports the envelope — accept it and
+      // let the write builder route it through produce (offsets are
+      // engine-assigned, never client-supplied)
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+    }
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

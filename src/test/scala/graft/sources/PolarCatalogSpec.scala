@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The SQL surface: topics as catalog tables (`polar.<topic>`). */
+class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+
+  override def beforeAll(): Unit = {
+    root = Files.createTempDirectory("polar_catalog").toString
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.polar", classOf[PolarCatalog].getName)
+      .config("spark.sql.catalog.polar.root", root)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("create / insert / select / drop round trip in pure SQL") {
+    spark.sql("CREATE TABLE polar.clicks")
+    assert(spark.sql("SHOW TABLES IN polar").collect().map(_.getString(1))
+      .contains("clicks"))
+
+    spark.sql("""
+      INSERT INTO polar.clicks
+      SELECT CAST(id AS STRING) AS partitionKey,
+             timestamp_micros(id * 1000000) AS timestamp,
+             CAST(concat('v', id) AS BINARY) AS value
+      FROM range(50)""")
+
+    val n = spark.sql("SELECT count(*) AS n FROM polar.clicks").head().getLong(0)
+    assert(n === 50)
+
+    // the envelope is fully readable: offsets dense per partition
+    val bad = spark.sql("""
+      SELECT part, count(*) AS n, max(offset) + 1 AS span
+      FROM polar.clicks GROUP BY part
+      HAVING count(*) != max(offset) + 1""").count()
+    assert(bad === 0)
+
+    // second insert appends with continuing offsets
+    spark.sql("""
+      INSERT INTO polar.clicks
+      SELECT 'late' AS partitionKey, current_timestamp() AS timestamp,
+             CAST('tail' AS BINARY) AS value""")
+    assert(spark.table("polar.clicks").count() === 51)
+
+    // filter pushdown reaches the scan through the SQL path too
+    val one = spark.sql(
+      "SELECT CAST(value AS STRING) v FROM polar.clicks WHERE partitionKey = '7'")
+      .collect()
+    assert(one.map(_.getString(0)).toSeq === Seq("v7"))
+
+    assert(spark.sql("DROP TABLE polar.clicks").collect().isEmpty)
+    assert(!spark.catalog.tableExists("polar.clicks"))
+  }
+
+  test("create is explicit: selecting a missing topic fails, create twice fails") {
+    // NoSuchTableException surfaces via Spark's file-source fallback probe —
+    // either way the missing topic is an analysis error, never empty data
+    val e = intercept[Exception](spark.table("polar.nope").count())
+    assert(e.getMessage.nonEmpty)
+    spark.sql("CREATE TABLE polar.once")
+    val dup = intercept[Exception](spark.sql("CREATE TABLE polar.once"))
+    assert(dup.getMessage.toLowerCase.contains("already exists"))
+    spark.sql("DROP TABLE polar.once")
+  }
+
+  test("table properties override the ring geometry") {
+    spark.sql("CREATE TABLE polar.wide TBLPROPERTIES ('clusterSize'='6')")
+    spark.sql("""
+      INSERT INTO polar.wide
+      SELECT CAST(id AS STRING) AS partitionKey, current_timestamp() AS timestamp,
+             CAST('x' AS BINARY) AS value FROM range(100)""")
+    // 6 brokers x 4 ranges = 24 partitions; parts beyond 12 must be populated
+    val maxPart = spark.sql("SELECT max(part) FROM polar.wide").head().getInt(0)
+    assert(maxPart >= 12, s"expected 24-partition ring, max part was $maxPart")
+    spark.sql("DROP TABLE polar.wide")
+  }
+
+  test("rename keeps data; geometry read from persisted metadata") {
+    spark.sql("CREATE TABLE polar.before")
+    spark.sql("""
+      INSERT INTO polar.before
+      SELECT 'k' AS partitionKey, current_timestamp() AS timestamp,
+             CAST('v' AS BINARY) AS value""")
+    spark.sql("ALTER TABLE polar.before RENAME TO polar.after")
+    assert(spark.table("polar.after").count() === 1)
+    assert(!spark.catalog.tableExists("polar.before"))
+    spark.sql("DROP TABLE polar.after")
+  }
+}
