@@ -106,6 +106,41 @@ object Curation {
       repeatedChars.cast("double") / length(text).cast("double")), 6)
   }
 
+  // -------------------------------------------------------------- packing
+
+  /**
+   * Sequence packing: assign documents to fixed-size training context
+   * windows by greedy concatenation — documents are laid end-to-end in a
+   * reproducible pseudo-random order (the content-hash shuffle every
+   * training run needs anyway) and a document belongs to the window where
+   * its first token lands.
+   *
+   * Scale shape: a single global running sum would be one sequential
+   * window task, so the corpus is SHARDED by content hash first and packed
+   * WITHIN each shard independently (how distributed packing is actually
+   * run — each shard is a training data file); parallelism = `shards`,
+   * memory = one running counter per task, and window ids are unique as
+   * (shard, window). Everything is deterministic: same corpus ⇒ same
+   * packing, any partitioning, any engine.
+   */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      nTokensCol: String,
+      contextLen: Int,
+      shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = Sampling.hashBucket(col(keyCol), shards).as("shard")
+    val order = Dedup.md5Hash60(col(keyCol).cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(order.as("h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(nTokensCol), shard)
+      .withColumn("__cum", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .withColumn("window", floor(col("__cum") / contextLen))
+      .drop("__cum")
+  }
+
   // -------------------------------------------------------------- mixture
 
   /**

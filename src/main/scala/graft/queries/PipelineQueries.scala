@@ -521,6 +521,35 @@ object PipelineQueries extends QueryRegistry {
         FROM c""")),
 
     QueryDef(
+      "pipeline_pack",
+      // sequence packing: content-hash-shuffled docs laid end-to-end into
+      // 2048-token context windows, sharded (8) so packing parallelizes —
+      // per-(shard, window) doc/token counts are fully deterministic
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).as("nt"))
+        graft.operators.Curation.packSequences(docs, "doc_id", "nt", 2048, shards = 8)
+          .groupBy(col("shard"), col("window").as("win"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[^ ]+'))
+                      + floor(length(text) / 16) AS BIGINT) AS nt,
+                 ${OracleSql.md5Hash60("doc_id")} % 8 AS shard,
+                 ${OracleSql.md5Hash60("doc_id")} AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, nt, shard,
+                 SUM(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum
+          FROM t)
+        SELECT shard, CAST(floor(cum / 2048) AS BIGINT) AS win,
+               COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+        FROM c GROUP BY shard, win""")),
+
+    QueryDef(
       "pipeline_mixture",
       // temperature-based (α=0.5) domain mixture over the lang column:
       // per-domain sampling rates follow the α-scaled distribution (IEEE

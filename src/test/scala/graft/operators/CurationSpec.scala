@@ -65,6 +65,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packSequences: windows fill greedily, deterministic under repartition") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 200).map(i => (i.toLong, 100L + i % 7)).toDF("doc_id", "nt")
+    val packed = Curation.packSequences(df, "doc_id", "nt", 512, shards = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(1))) // shard, win, nt
+    // per (shard, window): token sum stays under ctx + one straddling doc
+    packed.groupBy(p => (p._1, p._2)).foreach { case ((s, w), docs) =>
+      val tokens = docs.map(_._3).sum
+      assert(tokens < 512 + 107, s"window ($s,$w) overfilled: $tokens")
+    }
+    // windows are contiguous from 0 in every shard
+    packed.groupBy(_._1).foreach { case (s, ds) =>
+      val wins = ds.map(_._2).distinct.sorted.toVector
+      assert(wins === (0L until wins.size).toVector, s"shard $s windows: $wins")
+    }
+    val again = Curation.packSequences(df.repartition(13), "doc_id", "nt", 512, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === Curation.packSequences(df, "doc_id", "nt", 512, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet)
+  }
+
   test("mixtureSample membership is deterministic and rate-bounded") {
     val sp = spark; import sp.implicits._
     val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
