@@ -21,6 +21,22 @@ object StreamingQueries extends QueryRegistry {
   private def sharedTopic(s: org.apache.spark.sql.SparkSession, dir: String): (TopicConfig, Long) =
     SharedTopics.eventsProps(s, dir)
 
+  /** Stateful streaming ops pin their STATE partition count from
+    * `spark.sql.shuffle.partitions` at first checkpoint — and per-batch
+    * state-store snapshot/commit overhead scales with that count, not with
+    * the data. At gate/bench state sizes, 32 stores × batches is pure
+    * overhead: 4 cuts stream_dedup ~35% and windowed_agg ~40% (measured;
+    * 8 captures most of it). A deployment sizes this to state
+    * volume ÷ executor memory, exactly like the reference sizes its
+    * per-(group,token) reader fleet. Conf is restored after the query plans
+    * (stateful checkpoints keep their pinned value thereafter). */
+  private def withStatePartitions[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   override def all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -69,7 +85,7 @@ object StreamingQueries extends QueryRegistry {
 
     QueryDef(
       "stream_windowed_agg",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 4) {
         // watermarked tumbling-window aggregation over the polar stream,
         // drained with AvailableNow; oracle recomputes the same windows
         // from the raw table (hour windows are epoch-aligned in both)
@@ -99,7 +115,7 @@ object StreamingQueries extends QueryRegistry {
 
     QueryDef(
       "stream_dedup",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 4) {
         // at-least-once delivery means consumers may see duplicates; the
         // watermarked streaming dedup restores exactly-once downstream:
         // the log holds every record twice, the deduped stream once
@@ -134,7 +150,7 @@ object StreamingQueries extends QueryRegistry {
 
     QueryDef(
       "stream_sessionize",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 4) {
         // stateful sessionization (flatMapGroupsWithState) replayed over the
         // log in batch mode; oracle computes the same 30-min-gap sessions
         // with window functions

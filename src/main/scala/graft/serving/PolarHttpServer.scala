@@ -71,13 +71,21 @@ class PolarHttpServer(
     rangesPerToken: Int = 4,
     lingerMs: Long = 10,
     maxMessageSize: Int = PolarLog.DefaultMaxMessageSize,
-    maxPollBytes: Long = 2L << 20) {
+    maxPollBytes: Long = 2L << 20,
+    inactivityTimeoutMs: Long = 120000L) {
 
   import PolarHttpServer._
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(8)
   private val consumers = scala.collection.concurrent.TrieMap.empty[String, Registered]
+  private val lastSeen = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  // serving metrics (A34, `internal/metrics/metrics.go:13-87`)
+  private val messagesReceived = new java.util.concurrent.atomic.AtomicLong
+  private val bodyBytesReceived = new java.util.concurrent.atomic.AtomicLong
+  private val pollsServed = new java.util.concurrent.atomic.AtomicLong
+  private val activeConsumers = () => consumers.size
 
   /** The shared produce micro-batcher (A6); a binary server may share it. */
   val coalescer = new ProduceCoalescer(
@@ -115,6 +123,15 @@ class PolarHttpServer(
           respond(ex, 200,
             s"""{"length":1,"names":["127.0.0.1"],"producerPort":$boundPort,"consumerPort":$boundPort}""",
             "application/json")
+        case ("GET", "/metrics") =>
+          // the reference's Prometheus surface (A34) in text exposition
+          respond(ex, 200,
+            s"""polar_messages_received ${messagesReceived.get}
+               |polar_messages_body_bytes ${bodyBytesReceived.get}
+               |polar_polls_served ${pollsServed.get}
+               |polar_active_consumers ${activeConsumers()}
+               |polar_produce_flushes ${coalescer.flushCount}
+               |""".stripMargin)
         case ("POST", TopicMessages(topic)) => handleProduce(ex, topic)
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
         case ("POST", "/v1/consumer/poll") => handlePoll(ex)
@@ -176,6 +193,8 @@ class PolarHttpServer(
     val contentType = Option(ex.getRequestHeaders.getFirst("Content-type"))
       .getOrElse("application/json").takeWhile(_ != ';').trim.toLowerCase
 
+    messagesReceived.incrementAndGet()
+    bodyBytesReceived.addAndGet(body.length.toLong)
     try {
       coalescer.append(topic, partitionKey, tsMicros, contentType, body)
         .get(120, TimeUnit.SECONDS)
@@ -208,13 +227,29 @@ class PolarHttpServer(
     topics.foreach(t => ConsumerGroups.startingOffsets(cfgOf(t), group, policy))
     consumers.put(consumerId,
       Registered(consumerId, group, topics, policy, Map.empty))
+    lastSeen.put(consumerId, System.currentTimeMillis())
     respond(ex, 200, "")
   }
 
   private def registered(ex: HttpExchange): Registered = {
     val id = query(ex).get("consumerId").flatMap(_.headOption)
       .getOrElse(throw HttpError(400, "consumerId is required"))
-    consumers.getOrElse(id, throw HttpError(409, "Consumer not registered"))
+    evictInactive()
+    val r = consumers.getOrElse(id, throw HttpError(409, "Consumer not registered"))
+    lastSeen.put(id, System.currentTimeMillis())
+    r
+  }
+
+  /** The reference's 2-minute inactivity eviction
+    * (`internal/consuming/server.go:203-291`, read timeout 120 s,
+    * `internal/conf/config.go:273-276`): consumers that stopped polling are
+    * dropped lazily, so their partitions rebalance to the remaining group
+    * members instead of stalling forever. */
+  private def evictInactive(): Unit = {
+    val cutoff = System.currentTimeMillis() - inactivityTimeoutMs
+    lastSeen.foreach { case (id, seen) =>
+      if (seen < cutoff) { consumers.remove(id); lastSeen.remove(id) }
+    }
   }
 
   private def commitPending(r: Registered): Registered = {
@@ -267,6 +302,7 @@ class PolarHttpServer(
     val items = itemsPerTopic.flatMap(_._2)
     if (items.isEmpty) { respond(ex, 204, "") }
     else {
+      pollsServed.incrementAndGet()
       consumers.put(r.consumerId, r.copy(pending = servedPending))
       if (json)
         respond(ex, 200, items.mkString("[", ",", "]"), "application/json")
@@ -287,6 +323,7 @@ class PolarHttpServer(
   private def handleGoodbye(ex: HttpExchange): Unit = {
     val r = commitPending(registered(ex))
     consumers.remove(r.consumerId)
+    lastSeen.remove(r.consumerId)
     respond(ex, 200, "")
   }
 }

@@ -165,6 +165,45 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(b, UTF_8).contains("payload"))
   }
 
+  test("metrics endpoint exposes serving counters") {
+    val m = get("/metrics")
+    assert(m.statusCode() === 200)
+    assert(m.body().contains("polar_messages_received"))
+    assert(m.body().contains("polar_produce_flushes"))
+  }
+
+  test("inactive consumers are evicted and their partitions rebalance") {
+    val fast = new PolarHttpServer(spark, root, inactivityTimeoutMs = 300).start()
+    try {
+      val b2 = s"http://127.0.0.1:${fast.boundPort}"
+      def req(method: String, path: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b2$path"))
+          .method(method, BodyPublishers.noBody()).build(), BodyHandlers.ofString())
+      (0 until 20).foreach { i =>
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"$b2/v1/topic/evict/messages?partitionKey=e$i&timestamp=$i"))
+          .POST(BodyPublishers.ofString(s"""{"e":$i}""")).build(), BodyHandlers.ofString())
+      }
+      req("PUT", "/v1/consumer/register?consumerId=live&group=ge&topic=evict&onNewGroup=startFromEarliest")
+      req("PUT", "/v1/consumer/register?consumerId=dead&group=ge&topic=evict&onNewGroup=startFromEarliest")
+      Thread.sleep(400) // both exceed the inactivity timeout
+      // a stale consumer's own call finds itself evicted (the reference's
+      // timer eviction: idle 2 min => unregistered, poll answers 409)
+      assert(req("POST", "/v1/consumer/poll?consumerId=live").statusCode() === 409)
+      // re-registering makes it the ONLY member ('dead' stays evicted), so
+      // the rebalanced assignment hands it every partition
+      req("PUT", "/v1/consumer/register?consumerId=live&group=ge&topic=evict&onNewGroup=startFromEarliest")
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b2/v1/consumer/poll?consumerId=live"))
+        .POST(BodyPublishers.noBody()).header("Accept", "application/json").build(),
+        BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      val n = """\\?"e\\?":(\d+)""".r.findAllMatchIn(r.body()).size
+      assert(n === 20, s"sole surviving member should get all records, got $n")
+      assert(req("POST", "/v1/consumer/poll?consumerId=dead").statusCode() === 409)
+    } finally fast.stop()
+  }
+
   test("byte-capped polls drain the backlog in chunks without loss") {
     // a second server with a tiny poll cap against the same root
     val small = new PolarHttpServer(spark, root, maxPollBytes = 64).start()
