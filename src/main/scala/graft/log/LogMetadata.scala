@@ -78,7 +78,8 @@ final case class LogMetadata(
     clusterSize: Int,
     rangesPerToken: Int,
     producerOffsets: Vector[Long],
-    files: Vector[FileEntry] = Vector.empty) {
+    files: Vector[FileEntry] = Vector.empty,
+    sinkCommits: Map[String, Long] = Map.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order. */
@@ -144,14 +145,36 @@ object LogMetadata {
     val files = m.files.map(f =>
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
         s"""${f.bytes},${f.createdMs}]""").mkString(",")
+    // sink ids are checkpoint paths: hex-encode so the hand-rolled JSON
+    // stays escape-free
+    val sinks = m.sinkCommits.toSeq.sorted.map { case (id, b) =>
+      s"""["${hexEncode(id)}",$b]"""
+    }.mkString(",")
     s"""{"version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
+      s""""sinkCommits":[$sinks],""" +
       s""""files":[$files]}"""
+  }
+
+  private[log] def hexEncode(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private[log] def hexDecode(h: String): String = {
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private val FileEntryRe =
     """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)\]""".r
+
+  private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)\]""".r
 
   private[log] def parse(s: String): LogMetadata = {
     def longField(name: String): Long = {
@@ -172,7 +195,10 @@ object LogMetadata {
         m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
         m.group(7).toLong)
     }.toVector
+    val sinks = SinkCommitRe.findAllMatchIn(s).map { m =>
+      hexDecode(m.group(1)) -> m.group(2).toLong
+    }.toMap
     LogMetadata(longField("version"), longField("clusterSize").toInt,
-      longField("rangesPerToken").toInt, offsets, files)
+      longField("rangesPerToken").toInt, offsets, files, sinks)
   }
 }

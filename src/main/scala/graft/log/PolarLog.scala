@@ -89,7 +89,8 @@ object PolarLog {
       cfg: TopicConfig,
       orderBy: Seq[Column] = Nil,
       maxMessageSize: Int = DefaultMaxMessageSize,
-      maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes): ProduceResult = {
+      maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes,
+      txn: Option[(String, Long)] = None): ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
     val meta0 = {
@@ -132,15 +133,18 @@ object PolarLog {
       .select(Seq(col("partitionKey"), col("token"), col("part"),
         col("timestamp"), col("value")) ++ orderCols: _*)
 
-    enveloped.write
+    var writer = enveloped.write
       .format("polar")
       .option("root", cfg.root)
       .option("topic", cfg.topic)
       .option("clusterSize", cfg.clusterSize.toString)
       .option("rangesPerToken", cfg.rangesPerToken.toString)
       .option("maxFileBytes", maxFileBytes.toString)
-      .mode("append")
-      .save()
+    txn.foreach { case (sinkId, batchId) =>
+      writer = writer.option("txnSinkId", sinkId)
+        .option("txnBatchId", batchId.toString)
+    }
+    writer.mode("append").save()
 
     val after = LogMetadata.read(cfg)
     val oldTails = meta0.producerOffsets.zipWithIndex.map(_.swap).toMap

@@ -94,7 +94,10 @@ object PolarSource {
       maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong),
       maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong),
       maxFileBytes = opt("maxFileBytes").map(_.toLong)
-        .getOrElse(PolarWrite.DefaultMaxFileBytes))
+        .getOrElse(PolarWrite.DefaultMaxFileBytes),
+      txn = opt("txnSinkId").map(id => id -> opt("txnBatchId")
+        .getOrElse(throw new IllegalArgumentException(
+          "txnSinkId requires txnBatchId")).toLong))
   }
 }
 
@@ -103,7 +106,8 @@ final case class PolarSourceConfig(
     startingOffsets: String,
     maxRecordsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long] = None,
-    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes)
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
+    txn: Option[(String, Long)] = None)
 
 class PolarTable(
     cfg: PolarSourceConfig,

@@ -49,7 +49,7 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
   override def build(): Write = {
     val schema = info.schema()
     if (schema.fieldNames.contains("part"))
-      new PolarWrite(cfg.topic, schema, cfg.maxFileBytes)
+      new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn)
     else
       // producer-schema sugar (`df.write.format("polar")` with only
       // value[/partitionKey/timestamp]): route through PolarLog.produce,
@@ -63,7 +63,7 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
             require(!overwrite,
               "the polar log is append-only (reference semantics); use mode(\"append\")")
             PolarLog.produce(data, cfg.topic,
-              maxFileBytes = cfg.maxFileBytes): Unit
+              maxFileBytes = cfg.maxFileBytes, txn = cfg.txn): Unit
           }
       }
   }
@@ -72,7 +72,8 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
 class PolarWrite(
     cfg: TopicConfig,
     schema: StructType,
-    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes)
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
+    txn: Option[(String, Long)] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -88,7 +89,7 @@ class PolarWrite(
       .toArray
   }
 
-  override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema, maxFileBytes)
+  override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema, maxFileBytes, txn)
 }
 
 object PolarWrite {
@@ -104,7 +105,8 @@ final case class PolarCommitMessage(files: Seq[FileEntry]) extends WriterCommitM
 class PolarBatchWrite(
     cfg: TopicConfig,
     schema: StructType,
-    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes) extends BatchWrite {
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
+    txn: Option[(String, Long)] = None) extends BatchWrite {
 
   // plan-time snapshot: offset bases ship to the writers; the version is the
   // CAS expectation at commit (concurrent-producer guard)
@@ -123,6 +125,14 @@ class PolarBatchWrite(
       case PolarCommitMessage(files) => files
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }
+    // idempotent sink (exactly-once visibility for streaming replays): a
+    // (sinkId, batchId) already recorded in the metadata means this batch
+    // committed before a crash — drop the replayed files, register nothing.
+    // The Delta-style txn-version pattern; one check at the CAS authority.
+    val replayed = txn.exists { case (sinkId, batchId) =>
+      LogMetadata.read(cfg).sinkCommits.get(sinkId).exists(_ >= batchId)
+    }
+    if (replayed) { abort(messages); return }
     LogMetadata.compareAndSet(cfg, meta0) { cur =>
       val tails = cur.producerOffsets.toArray
       entries.groupBy(_.part).foreach { case (p, fs) =>
@@ -136,7 +146,10 @@ class PolarBatchWrite(
           tails(p) = f.maxOffset + 1
         }
       }
-      cur.copy(producerOffsets = tails.toVector, files = cur.files ++ entries)
+      cur.copy(producerOffsets = tails.toVector, files = cur.files ++ entries,
+        sinkCommits = txn.fold(cur.sinkCommits) { case (sinkId, batchId) =>
+          cur.sinkCommits + (sinkId -> batchId)
+        })
     }
   }
 

@@ -20,8 +20,11 @@ import org.apache.spark.sql.Row
  * commit (files + metadata CAS) is the durable-ack boundary, so records
  * become visible to consumers only after their batch commits — the
  * reference's ack-after-replication contract (SURVEY.md §2 A6/A10).
- * At-least-once: a batch retried after a crash between file append and
- * checkpoint advance re-produces (consumers dedup by (part, offset)).
+ * Exactly-once: each batch commits with a `(checkpoint, batchId)` txn
+ * marker in the topic metadata, so a batch replayed after a crash between
+ * produce commit and checkpoint advance is recognized at the CAS authority
+ * and dropped — the Delta-style idempotent-sink upgrade over the
+ * reference's at-least-once redelivery contract.
  */
 object PolarStream {
 
@@ -55,8 +58,8 @@ object PolarStream {
     df.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        PolarLog.produce(batch, cfg): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        PolarLog.produce(batch, cfg, txn = Some((checkpointLocation, batchId))): Unit
       }
       .start()
 }

@@ -96,6 +96,28 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     TopicConfig("/tmp", "ok-topic_1.v2") // sanity: valid name accepted
   }
 
+  test("txn produce is idempotent: a replayed (sink, batch) registers nothing") {
+    val root = Files.createTempDirectory("polar_write_txn").toString
+    val cfg = TopicConfig(root, "w")
+    val r1 = PolarLog.produce(records, cfg, txn = Some(("ckpt-a", 0L)))
+    assert(r1.recordsWritten > 0)
+    val metaAfter = graft.log.LogMetadata.read(cfg)
+    // crash-replay of the same batch: same data, same txn marker
+    val r2 = PolarLog.produce(records, cfg, txn = Some(("ckpt-a", 0L)))
+    assert(r2.recordsWritten === 0, "replayed batch must not re-register")
+    assert(graft.log.LogMetadata.read(cfg).version === metaAfter.version)
+    assert(PolarLog.consume(spark, cfg).count() === records.count())
+    // no orphan files left behind by the replay
+    assert(graft.log.PolarLog.vacuum(cfg) === 0)
+    // the NEXT batch goes through
+    val r3 = PolarLog.produce(records, cfg, txn = Some(("ckpt-a", 1L)))
+    assert(r3.recordsWritten === records.count())
+    // a different sink's batch 0 is unrelated
+    val r4 = PolarLog.produce(records, cfg, txn = Some(("ckpt-b", 0L)))
+    assert(r4.recordsWritten === records.count())
+    assert(PolarLog.consume(spark, cfg).count() === 3 * records.count())
+  }
+
   test("segments roll at maxFileBytes: bounded files, dense offset chains") {
     val root = Files.createTempDirectory("polar_write_roll").toString
     records.write.format("polar")
