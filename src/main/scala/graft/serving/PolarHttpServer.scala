@@ -164,6 +164,15 @@ class PolarHttpServer(
 
   private def respondBytes(
       ex: HttpExchange, status: Int, body: Array[Byte], contentType: String): Unit = {
+    // The JDK server resets the connection if a response is sent while
+    // request-body bytes remain unread (the oversize-reject path); drain a
+    // bounded amount so the client actually receives the 4xx.
+    try {
+      val in = ex.getRequestBody
+      val buf = new Array[Byte](8192)
+      var drained = 0L
+      while (drained < (8L << 20) && in.read(buf) >= 0) drained += buf.length
+    } catch { case _: java.io.IOException => }
     ex.getResponseHeaders.set("Content-Type", contentType)
     if (status == 204 || body.isEmpty) ex.sendResponseHeaders(status, -1)
     else {
