@@ -209,6 +209,66 @@ object Dedup {
         round(col("sim"), 6).as("sim"))
   }
 
+  /**
+   * Connected components over a near-duplicate pair set: the step that
+   * turns pairwise edges into dedup GROUPS (every member of a component is
+   * a duplicate of the same cluster; keep `cluster_id`, drop the rest).
+   *
+   * Min-label propagation: every node starts labeled with its own id; each
+   * round a node adopts the smallest label in its neighborhood; fixpoint =
+   * every node carries its component's minimum id. One round is one shuffle
+   * join (edges ⋈ labels) plus one min-aggregate — the canonical iterative
+   * MapReduce CC shape. Rounds needed = graph diameter, which for
+   * near-duplicate graphs is tiny (clusters are near-cliques: LSH links
+   * most member pairs directly). For adversarially long chains at 100 TB
+   * the same loop admits the large-star/small-star variant (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) which
+   * converges in O(log²) rounds; not needed for dedup workloads.
+   *
+   * Lineage is truncated each round (`localCheckpoint`) so the plan does
+   * not grow with iterations — on a cluster this would be a reliable
+   * checkpoint. Convergence is detected from `sum(label)`: labels only
+   * ever decrease, so an unchanged sum (exact, decimal(38,0)) IS the
+   * fixpoint — one scalar aggregate per round instead of a change-join.
+   *
+   * Returns (id, cluster_id) for every node that appears in `pairs`;
+   * cluster_id is the component's minimum id (the member to keep).
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var cur = labelSum(labels)
+    var i = 0
+    while (i < maxIter && cur != null) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).union(prop)
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      val s = labelSum(next)
+      labels = next
+      if (s.compareTo(cur) == 0) i = maxIter else { cur = s; i += 1 }
+    }
+    labels.select(col("node").as("id"), col("label").as("cluster_id"))
+  }
+
+  /** Drop every cluster member except its representative (min id): the
+    * terminal step of a near-dup pipeline. `clusters` is
+    * [[connectedComponents]] output; rows of `df` absent from it are
+    * unique documents and pass through. */
+  def keepRepresentatives(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as("__dup_id")),
+      df(idCol) === col("__dup_id"), "left_anti")
+
   /** SimHash fingerprints of documents. */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -24,6 +24,47 @@ object PipelineQueries extends QueryRegistry {
         ELSE list_distinct([array_to_string($words[i:i+2], ' ')
                             for i in generate_series(1, len($words)-2)]) END"""
 
+  /** The md5-family MinHash+LSH pair set shared by `dedup_minhash_lsh` and
+    * `dedup_clusters` — one Spark formulation, one oracle CTE chain ending
+    * in `pairs(id_a, id_b, sim)`. */
+  private def minhashPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.md5MinhashLshPairs(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", shingleK = 1, numHashes = 32, bands = 16,
+      threshold = 0.8)
+
+  private lazy val MinhashPairsCtes: String = {
+    val rlist = Dedup.xorSeeds(32).map(_.toString + "::BIGINT").mkString(",")
+    // the CASE mirrors Dedup.shingles' size<k branch: an empty token
+    // list yields the single sentinel shingle [''] on both sides
+    s"""docs AS (
+          SELECT doc_id,
+                 CASE WHEN len($WordsSql) < 1 THEN ['']
+                      ELSE list_distinct($WordsSql) END AS sh
+          FROM documents WHERE doc_id % 10 = 0),
+        hashed AS (
+          SELECT doc_id, sh, list_transform(sh, s -> ${hex15ToInt("md5(s)")}) AS hs
+          FROM docs),
+        sigs AS (
+          SELECT doc_id, sh, [ list_min([xor(h, r) for h in hs]) for r in [$rlist] ] AS sig
+          FROM hashed),
+        banded AS (
+          SELECT doc_id, sh, b, sig[2*b+1 : 2*b+2] AS bv
+          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b,
+                 round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                       (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)), 6) AS sim
+          FROM cand
+          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) >= 0.8)"""
+  }
+
   override def all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -136,39 +177,27 @@ object PipelineQueries extends QueryRegistry {
       "dedup_minhash_lsh",
       // 32 hashes / 16 bands of 2: collision P at j=0.8 is 1-(1-0.64)^16≈1.0,
       // at half the signature cost of 64 hashes
-      (s, dir) => Dedup.md5MinhashLshPairs(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", shingleK = 1, numHashes = 32, bands = 16,
-        threshold = 0.8),
-      Some {
-        val rlist = Dedup.xorSeeds(32).map(_.toString + "::BIGINT").mkString(",")
-        // the CASE mirrors Dedup.shingles' size<k branch: an empty token
-        // list yields the single sentinel shingle [''] on both sides
-        s"""WITH docs AS (
-          SELECT doc_id,
-                 CASE WHEN len($WordsSql) < 1 THEN ['']
-                      ELSE list_distinct($WordsSql) END AS sh
-          FROM documents WHERE doc_id % 10 = 0),
-        hashed AS (
-          SELECT doc_id, sh, list_transform(sh, s -> ${hex15ToInt("md5(s)")}) AS hs
-          FROM docs),
-        sigs AS (
-          SELECT doc_id, sh, [ list_min([xor(h, r) for h in hs]) for r in [$rlist] ] AS sig
-          FROM hashed),
-        banded AS (
-          SELECT doc_id, sh, b, sig[2*b+1 : 2*b+2] AS bv
-          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-          FROM banded a JOIN banded b
-            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                     (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)), 6) AS sim
-        FROM cand
-        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-              (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) >= 0.8"""
-      }),
+      (s, dir) => minhashPairs(s, dir),
+      Some(s"WITH $MinhashPairsCtes SELECT id_a, id_b, sim FROM pairs")),
+
+    QueryDef(
+      "dedup_clusters",
+      // pairs → connected components: the step that turns near-dup EDGES
+      // into dedup GROUPS. Oracle computes the same components by
+      // recursive transitive closure over the identical pair set.
+      (s, dir) => Dedup.connectedComponents(minhashPairs(s, dir), "id_a", "id_b"),
+      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION
+          SELECT r.node, e.dst AS peer
+          FROM reach r JOIN edges e ON e.src = r.peer)
+        SELECT node AS id, least(node, min(peer)) AS cluster_id
+        FROM reach GROUP BY node""")),
 
     QueryDef(
       "dedup_simhash",

@@ -159,6 +159,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components: chains merge, components stay separate") {
+    val sp = spark; import sp.implicits._
+    // chain 5-3-8 ∪ {3-5 again}, separate pair 10-12, isolated edge 7-20
+    val pairs = Seq((3L, 5L), (5L, 8L), (3L, 8L), (10L, 12L), (7L, 20L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(3L -> 3L, 5L -> 3L, 8L -> 3L,
+      10L -> 10L, 12L -> 10L, 7L -> 7L, 20L -> 7L))
+  }
+
+  test("connected components: long chain converges past one round") {
+    val sp = spark; import sp.implicits._
+    // a 12-node path graph needs multiple propagation rounds
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 12 && cc.values.forall(_ == 1L))
+  }
+
+  test("keepRepresentatives drops non-min members, passes uniques through") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "x")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster_id")
+    val kept = Dedup.keepRepresentatives(df, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 9L))
+  }
+
   test("rolling fingerprint is order-sensitive; simhash is order-insensitive") {
     val df = spark.createDataFrame(Seq(
       (1L, "alpha beta gamma"), (2L, "gamma beta alpha"))).toDF("doc_id", "text")
