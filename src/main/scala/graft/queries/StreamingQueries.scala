@@ -187,5 +187,48 @@ object StreamingQueries extends QueryRegistry {
                CAST(SUM(cnt) AS BIGINT) AS n_events,
                MAX(dur) AS max_session_secs
         FROM per_session
-        GROUP BY user_id""")))
+        GROUP BY user_id""")),
+
+    QueryDef(
+      "stream_join",
+      (s, dir) => withStatePartitions(s, 4) {
+        // stream-stream interval join: "trigger" events (k<20) matched to
+        // "outcome" events (k>=80) of the same user within 30 minutes —
+        // two watermarked streams over the same topic, state keyed by
+        // partitionKey, matches emitted eagerly (inner join), watermark
+        // bounding join state to the 30-minute band. The oracle replays
+        // the identical interval join in batch over the raw table.
+        val (cfg, _) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_j").toString
+        def side(): org.apache.spark.sql.DataFrame =
+          PolarStream.read(s, cfg, startingOffsets = "earliest")
+            .select(col("partitionKey"), col("timestamp"),
+              get_json_object(col("value").cast("string"), "$.k").cast("int").as("k"))
+        val a = side().filter(col("k") < 20)
+          .select(col("partitionKey"), col("timestamp").as("ts_a"))
+          .withWatermark("ts_a", "2 hours")
+        val b = side().filter(col("k") >= 80)
+          .select(col("partitionKey").as("pk_b"), col("timestamp").as("ts_b"))
+          .withWatermark("ts_b", "2 hours")
+        val q = a.join(b,
+            col("partitionKey") === col("pk_b") &&
+              col("ts_b") > col("ts_a") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_join").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_join")
+          .groupBy(col("partitionKey")).agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(a.user_id AS VARCHAR) AS partitionKey, COUNT(*) AS n
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE CAST(a.props->>'$.k' AS INTEGER) < 20
+          AND CAST(b.props->>'$.k' AS INTEGER) >= 80
+        GROUP BY a.user_id""")))
 }
