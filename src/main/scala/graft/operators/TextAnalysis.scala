@@ -70,4 +70,29 @@ object TextAnalysis {
       when(s > 0 && s === maxScore, lit(lang)).otherwise(els)
     }
   }
+
+  // ------------------------------------------------------------------ PII
+  // Patterns restricted to the RE2 ∩ java.util.regex common subset so the
+  // DuckDB oracle runs them verbatim. Replacement order matters: emails
+  // first (their local part can contain digits/dots), then phones, then
+  // bare IPv4s.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def ipCount(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+
+  /** PII scrubbing for training corpora: emails, phone numbers and IPv4
+    * addresses replaced with typed placeholder tokens. Pure regexp_replace
+    * chain — codegen'd, scan-speed, no UDFs; counts come from the same
+    * patterns so "what was removed" is auditable per document. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
 }

@@ -610,5 +610,49 @@ object PipelineQueries extends QueryRegistry {
         SELECT d.lang, any_value(th.rate_r) AS rate, COUNT(*) AS n_kept
         FROM documents d JOIN th ON d.lang = th.lang
         WHERE ${OracleSql.md5Hash60("doc_id")} % 10000 < th.t
-        GROUP BY d.lang""")))
+        GROUP BY d.lang""")),
+
+    QueryDef(
+      "text_pii",
+      // PII scrubbing. The synthetic corpus carries no PII, so the gate
+      // deterministically plants emails/phones/IPs derived from doc_id on
+      // every 7th document — IDENTICALLY on both sides — then grades the
+      // redaction chain itself: per-doc counts and the md5 of the scrubbed
+      // text (a single divergent replacement breaks the hash).
+      (s, dir) => {
+        val d = col("doc_id")
+        val planted = concat(col("text"),
+          lit(" contact user"), d.cast("string"),
+          lit("@mail.example.com or call +1-555-"),
+          lpad((d * 37 % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (d % 256).cast("string"),
+          lit(".0."), (d * 7 % 256).cast("string"))
+        Tables.documents(s, dir)
+          .withColumn("t", when(d % 7 === 0, planted).otherwise(col("text")))
+          .select(d.as("doc_id"),
+            TextAnalysis.emailCount(col("t")).as("n_emails"),
+            TextAnalysis.phoneCount(col("t")).as("n_phones"),
+            TextAnalysis.ipCount(col("t")).as("n_ips"),
+            md5(TextAnalysis.redactPii(col("t")).cast("binary")).as("redacted_hash"))
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@mail.example.com or call +1-555-',
+                          lpad(CAST(doc_id*37 % 10000 AS VARCHAR), 4, '0'),
+                          ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                          '.0.', CAST(doc_id*7 % 256 AS VARCHAR))
+                 ELSE text END AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS n_emails,
+               len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS n_phones,
+               len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                     '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                     '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+                     '${TextAnalysis.Ipv4Re}', '<IP>', 'g')) AS redacted_hash
+        FROM aug""")))
 }

@@ -188,6 +188,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(1L, 3L, 9L))
   }
 
+  test("PII redaction replaces emails, phones and IPs with typed tokens") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      "mail a.b+c@x-corp.co.uk now",
+      "call +1-555-0199 or 44-123-4567",
+      "host 192.168.0.1 up, 999.1.2.3 still matches the scrubber",
+      "no pii here").toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text")).as[String].collect()
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "call <PHONE> or <PHONE>")
+    assert(out(2) === "host <IP> up, <IP> still matches the scrubber")
+    assert(out(3) === "no pii here")
+    val counts = df.agg(
+      sum(TextAnalysis.emailCount($"text")),
+      sum(TextAnalysis.phoneCount($"text")),
+      sum(TextAnalysis.ipCount($"text"))).head
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((1L, 2L, 2L)))
+  }
+
   test("rolling fingerprint is order-sensitive; simhash is order-insensitive") {
     val df = spark.createDataFrame(Seq(
       (1L, "alpha beta gamma"), (2L, "gamma beta alpha"))).toDF("doc_id", "text")
