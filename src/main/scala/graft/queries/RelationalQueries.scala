@@ -357,6 +357,36 @@ object RelationalQueries extends QueryRegistry {
         GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
     QueryDef(
+      "q_grouping_sets",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
+    QueryDef(
+      "q_pivot",
+      // pivot with explicit value list: one aggregate pass, no per-value
+      // scans — Catalyst rewrites it to conditional aggregation, exactly
+      // the oracle's formulation
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec(col("l_quantity"))).cast("double")),
+      Some("""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+        FROM lineitem
+        GROUP BY l_linestatus""")),
+
+    QueryDef(
       "q_having",
       (s, dir) => Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
