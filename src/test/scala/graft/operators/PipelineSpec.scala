@@ -179,6 +179,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc.size === 12 && cc.values.forall(_ == 1L))
   }
 
+  test("connected components: distributed loop agrees with union-find") {
+    val sp = spark; import sp.implicits._
+    // two chains + a triangle + isolated pairs; smallGraphMaxPairs = 0
+    // forces the label-propagation branch on the same input
+    val pairs = ((1L to 11L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 300L)))
+      .toDF("id_a", "id_b")
+    val small = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      smallGraphMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === small)
+    assert(small(102L) === 100L && small(300L) === 200L && small(11L) === 1L)
+  }
+
   test("keepRepresentatives drops non-min members, passes uniques through") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "x")).toDF("doc_id", "text")
