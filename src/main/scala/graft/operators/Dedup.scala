@@ -253,30 +253,40 @@ object Dedup {
     // the measured edge count.
     if (nPairs <= smallGraphMaxPairs) driverUnionFind(spark, e0)
     else {
+      // Shuffle width sized from the measured edge count via EXPLICIT
+      // repartition on the loop's frames — never session conf, so a
+      // concurrent query on the same session plans with its own width.
+      val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val nEdges0 = e0.count()
+      val width = math.max(1L, math.min(2 * nEdges0 / 2000000L + 1, sessionWidth.toLong)).toInt
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
-      val nEdges = edges.count()
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      val width = math.max(1L, math.min(nEdges / 2000000L + 1, prev.toLong)).toString
-      spark.conf.set("spark.sql.shuffle.partitions", width)
-      try {
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node")).localCheckpoint()
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-        var cur = labelSum(labels)
-        var i = 0
-        while (i < maxIter && cur != null) {
-          val prop = edges.join(labels, col("src") === col("node"))
-            .select(col("dst").as("node"), col("label"))
-          val next = labels.select(col("node"), col("label")).union(prop)
-            .groupBy("node").agg(min("label").as("label")).localCheckpoint()
-          val s = labelSum(next)
-          labels = next
-          if (s.compareTo(cur) == 0) i = maxIter else { cur = s; i += 1 }
-        }
-        labels.select(col("node").as("id"), col("label").as("cluster_id"))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        .distinct().repartition(width, col("src")).localCheckpoint()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var cur = labelSum(labels)
+      var converged = cur == null // an all-null-edge graph is trivially done
+      var i = 0
+      while (i < maxIter && !converged) {
+        val prop = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label")).union(prop)
+          .repartition(width, col("node"))
+          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+        val s = labelSum(next)
+        labels = next
+        if (s.compareTo(cur) == 0) converged = true else { cur = s; i += 1 }
+      }
+      // Min-label propagation needs diameter rounds; silently returning a
+      // non-fixpoint labeling would hand keepRepresentatives WRONG cluster
+      // ids. Fail loudly instead — callers with adversarial diameters raise
+      // maxIter (or see the cited large-star/small-star variant).
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"(graph diameter exceeds maxIter); raise maxIter")
+      labels.select(col("node").as("id"), col("label").as("cluster_id"))
     }
   }
 
@@ -294,13 +304,12 @@ object Dedup {
       x
     }
     val nodes = scala.collection.mutable.LongMap.empty[Unit]
-    e0.collect().foreach { r =>
-      if (!r.isNullAt(0) && !r.isNullAt(1)) {
-        val a = r.getLong(0); val b = r.getLong(1)
-        nodes(a) = (); nodes(b) = ()
-        val ra = find(a); val rb = find(b)
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
+    // Primitive-tuple collect: Tuple2 is @specialized on Long, so the 4M-pair
+    // cap really is ~64 MB of longs on the driver, not boxed Row overhead.
+    e0.na.drop().as[(Long, Long)].collect().foreach { case (a, b) =>
+      nodes(a) = (); nodes(b) = ()
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     nodes.keys.toSeq.map(n => (n, find(n))).toDF("id", "cluster_id")
   }

@@ -212,9 +212,12 @@ object Similarity {
    * aggregations — the "real deployment" centroid path [[ivfTopK]]'s doc
    * promises:
    *
-   *  - init: `nCells` vectors evenly SPACED in id-rank order (a spread
-   *    sample — unlike lowest-N ids, a skewed id layout cannot collapse all
-   *    seeds into one cluster);
+   *  - init: k-means||-style oversample-then-refine (Bahmani et al., VLDB
+   *    2012): ONE parallel hash-aggregate picks `4*nCells` candidate seeds
+   *    (per-bucket min of the engine-neutral md5 hash — a uniform sample,
+   *    no global sort, no count pass), then a driver-side greedy
+   *    farthest-point pass over that tiny candidate matrix picks `nCells`
+   *    well-spread seeds deterministically;
    *  - each round: one codegen'd assignment pass (cosine argmax against the
    *    current centroids) + a per-dimension mean via `posexplode`;
    *  - only the `nCells × dim` centroid matrix crosses the driver per round
@@ -229,15 +232,33 @@ object Similarity {
       nCells: Int,
       iters: Int = 3): Array[Seq[Double]] = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val n = vecs.count()
-    val stride = math.max(n / nCells, 1L)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-    var centroids: Array[Seq[Double]] = vecs
-      .withColumn("rn", row_number().over(w) - 1)
-      .filter(col("rn") % stride === 0)
-      .orderBy(col("rn")).limit(nCells)
+    // Candidate seeds: per-bucket min-hash representative. One partial-agg
+    // hash-aggregate pass — every partition combines locally, only
+    // 4*nCells rows reach the driver. No global sort, no count() pass.
+    val h = Dedup.md5Hash60(col("id").cast("string"))
+    val nBuckets = 4 * nCells
+    val candidates: Array[Seq[Double]] = vecs
+      .groupBy(pmod(h, lit(nBuckets.toLong)).as("bucket"))
+      .agg(min_by(col("v"), struct(h, col("id"))).as("v"))
+      .orderBy(col("bucket"))
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble))
+
+    def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var aa = 0.0; var bb = 0.0
+      a.zip(b).foreach { case (x, y) => d += x * y; aa += x * x; bb += y * y }
+      d / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    // Greedy farthest-point refinement on the driver (candidate matrix is
+    // ≤ 4*nCells × dim — same bounded size as the centroid matrix itself).
+    // Deterministic: starts at bucket 0's rep, ties resolve to the lowest
+    // candidate index.
+    val seeds = scala.collection.mutable.ArrayBuffer(candidates.head)
+    while (seeds.size < nCells && seeds.size < candidates.length) {
+      val next = candidates.maxBy(c => -seeds.map(s => cosSim(c, s)).max)
+      seeds += next
+    }
+    var centroids: Array[Seq[Double]] = seeds.toArray
 
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cell", cellOf(centroids.toSeq)(col("v")))

@@ -575,7 +575,7 @@ object PipelineQueries extends QueryRegistry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum
           FROM t)
         SELECT shard, CAST(floor(cum / 2048) AS BIGINT) AS win,
-               COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+               COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
         FROM c GROUP BY shard, win""")),
 
     QueryDef(

@@ -195,6 +195,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small(102L) === 100L && small(300L) === 200L && small(11L) === 1L)
   }
 
+  test("distributed CC stress: chains, stars, cliques match union-find truth") {
+    val sp = spark; import sp.implicits._
+    // adversarial corpus for the label-propagation branch: a 40-node path
+    // (diameter 39), a 50-leaf star, an 8-clique, and scattered pairs
+    val chain = (1000L until 1039L).map(i => (i, i + 1))
+    val star = (1L to 50L).map(i => (5000L, 5000L + i))
+    val clique = for (i <- 0 until 8; j <- i + 1 until 8)
+      yield (9000L + i, 9000L + j)
+    val pairs0 = chain ++ star ++ clique ++ Seq((77L, 78L), (80L, 79L))
+    // scramble the input order so convergence can't ride on sortedness
+    val pairs = pairs0.sortBy { case (a, b) => (a * 2654435761L + b) % 997 }
+      .toDF("id_a", "id_b")
+    val truth = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      maxIter = 60, smallGraphMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === truth)
+    assert(dist(1039L) === 1000L && dist(5050L) === 5000L &&
+      dist(9007L) === 9000L && dist(78L) === 77L && dist(80L) === 79L)
+  }
+
+  test("distributed CC fails loudly when maxIter is below the diameter") {
+    val sp = spark; import sp.implicits._
+    val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b",
+        maxIter = 3, smallGraphMaxPairs = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("distributed CC leaves session shuffle partitions untouched") {
+    val sp = spark; import sp.implicits._
+    val before = sp.conf.get("spark.sql.shuffle.partitions")
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(pairs, "id_a", "id_b",
+      smallGraphMaxPairs = 0L).collect()
+    assert(sp.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("keepRepresentatives drops non-min members, passes uniques through") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "x")).toDF("doc_id", "text")
