@@ -169,22 +169,28 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxDistance: Int = 3): DataFrame = {
+    // Materialize fingerprints ONCE (16 bytes/doc — trivially small even at
+    // 100 TB). Without this the self-join computes the tokenize+md5-per-token
+    // pipeline on BOTH sides, and constraint-inferred filters re-derive it
+    // again below the banding projections (same pathology as the
+    // exactJaccardPairs NOTE) — measured 7× the single-pass cost at sf0.1.
     val fps = df.select(col(idCol).as("id"),
       md5Simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
-    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk_idx"),
-      shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("chunk_val")))
-    val chunked = fps.withColumn("chunk", explode(array(chunks: _*)))
-      .select(col("id"), col("simhash"), col("chunk.chunk_idx"), col("chunk.chunk_val"))
+      .localCheckpoint()
+    // One join key: band index folded into the high bits of the 15-bit
+    // chunk value. Hamming is computed and filtered BEFORE the distinct so
+    // the aggregate sees only true near-dup rows (candidates collapse ~10×
+    // here) and carries no fingerprint columns.
+    val chunks = (0 until 4).map(c =>
+      shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)) + lit(c.toLong << 15))
+    val chunked = fps.select(col("id"), col("simhash"),
+      explode(array(chunks: _*)).as("band"))
     chunked.as("a").join(chunked.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.id") < col("b.id"))
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDistance)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard pairs (quadratic — candidate set must be small;
