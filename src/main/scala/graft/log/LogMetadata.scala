@@ -64,8 +64,15 @@ final case class FileEntry(
  * Driver-side control plane of a topic — the Spark replacement for the
  * reference's generation consensus + producer.offset files
  * (`/root/reference/internal/data/offset_file_writer.go`,
- * `internal/ownership/process_local.go`): a single monotonically-versioned
- * JSON document updated by atomic rename. The driver is the only metadata
+ * `internal/ownership/process_local.go`): a small monotonically-versioned
+ * ROOT document (version, tails, sink commits, one manifest pointer per
+ * partition) updated by atomic rename, plus immutable per-partition
+ * MANIFEST files carrying the file registry — the Iceberg manifest-list
+ * shape, mirroring the reference's per-(topic, token, range) index files
+ * (`internal/data/index_file_writer.go:37-115`). A commit renders only the
+ * manifests of partitions it touched (O(delta), never O(files)); readers
+ * cache manifests by their write-once names, so per-trigger planning
+ * re-parses nothing but the tiny root doc. The driver is the only metadata
  * authority (no gossip/Paxos needed), and `version` gives compare-and-set
  * against concurrent producers — mirroring the single-writer-per-partition
  * invariant of the coalescer (`internal/producing/coalescer.go:24-27`).
@@ -78,13 +85,32 @@ final case class LogMetadata(
     clusterSize: Int,
     rangesPerToken: Int,
     producerOffsets: Vector[Long],
-    files: Vector[FileEntry] = Vector.empty,
-    sinkCommits: Map[String, Long] = Map.empty) {
+    filesByPart: Map[Int, Vector[FileEntry]] = Map.empty,
+    sinkCommits: Map[String, Long] = Map.empty,
+    manifestNames: Map[Int, String] = Map.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
-  /** Registered files of one partition in offset order. */
+  /** Registered files of one partition in offset order — O(1) lookup, the
+    * vectors are kept minOffset-sorted at construction. */
   def filesOf(part: Int): Vector[FileEntry] =
-    files.filter(_.part == part).sortBy(_.minOffset)
+    filesByPart.getOrElse(part, Vector.empty)
+
+  /** Flat view over all partitions (cold paths: retention, vacuum, batch
+    * planning). Hot per-trigger paths use [[filesOf]]. */
+  def files: Vector[FileEntry] =
+    filesByPart.toVector.sortBy(_._1).flatMap(_._2)
+
+  /** True iff no partition has a registered file. */
+  def filesEmpty: Boolean = filesByPart.valuesIterator.forall(_.isEmpty)
+
+  /** Append freshly committed entries to their partitions. Untouched
+    * partitions keep their Vector INSTANCE — publish diffs by `eq` to
+    * rewrite only the changed manifests. */
+  def appendFiles(entries: Seq[FileEntry]): LogMetadata =
+    copy(filesByPart = entries.groupBy(_.part).foldLeft(filesByPart) {
+      case (acc, (p, fs)) =>
+        acc.updated(p, (acc.getOrElse(p, Vector.empty) ++ fs).sortBy(_.minOffset))
+    })
 }
 
 object LogMetadata {
@@ -95,46 +121,131 @@ object LogMetadata {
 
   private def hadoopConf = new Configuration()
 
-  def read(cfg: TopicConfig): LogMetadata = {
-    val path = new Path(cfg.metadataPath)
-    val fc = FileContext.getFileContext(path.toUri, hadoopConf)
-    if (!fc.util().exists(path)) return empty(cfg)
+  def manifestDir(cfg: TopicConfig): String = s"${cfg.dir}/_manifests"
+
+  /** Manifest cache, keyed by absolute manifest path. Manifest files are
+    * write-once under unique names (version + random suffix), so a cached
+    * entry can never be stale — even across delete-and-recreate of a topic
+    * directory, a fresh publish mints fresh names. Bounded: cleared
+    * wholesale when it outgrows the cap (re-reads repopulate it). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[FileEntry]]()
+  private val ManifestCacheMax = 4096
+
+  private def cacheManifest(path: String, entries: Vector[FileEntry]): Unit = {
+    if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(path, entries)
+  }
+
+  private def readText(fc: FileContext, path: Path): String = {
     val in = fc.open(path)
     try {
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       val sb = new StringBuilder
       var line = reader.readLine()
       while (line != null) { sb.append(line); line = reader.readLine() }
-      parse(sb.toString())
+      sb.toString()
     } finally in.close()
   }
 
-  /** Atomic publish via temp file + overwriting rename (same pattern as the
-    * reference's local-db transactionality, minus SQLite). */
-  def write(cfg: TopicConfig, meta: LogMetadata): Unit = {
+  def read(cfg: TopicConfig): LogMetadata = {
     val path = new Path(cfg.metadataPath)
-    val tmp = new Path(cfg.metadataPath + ".tmp")
     val fc = FileContext.getFileContext(path.toUri, hadoopConf)
+    if (!fc.util().exists(path)) return empty(cfg)
+    val root = parse(readText(fc, path))
+    // resolve manifest pointers through the cache; legacy docs carry files
+    // inline and have no pointers (first publish upgrades them)
+    if (root.manifestNames.isEmpty) root
+    else {
+      val byPart = root.manifestNames.map { case (p, name) =>
+        val mPath = s"${manifestDir(cfg)}/$name"
+        val cached = manifestCache.get(mPath)
+        val entries =
+          if (cached != null) cached
+          else {
+            val loaded = parseManifest(readText(fc, new Path(mPath)))
+            cacheManifest(mPath, loaded)
+            loaded
+          }
+        p -> entries
+      }
+      root.copy(filesByPart = byPart)
+    }
+  }
+
+  /** Full publish: renders EVERY non-empty partition's manifest (topic
+    * creation / format upgrade). Incremental commits go through
+    * [[compareAndSet]], which diffs against the current doc. */
+  def write(cfg: TopicConfig, meta: LogMetadata): Unit =
+    lockFor(cfg).synchronized { publish(cfg, meta, None): Unit }
+
+  /** Per-topic intra-JVM lock: the driver is the only metadata authority
+    * (SURVEY §7.1 — no gossip/Paxos), so serializing read-check-publish
+    * inside the driver JVM makes the CAS atomic for every committer that
+    * can exist. The version check remains as the cross-process guard. */
+  private val topicLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(cfg: TopicConfig): Object =
+    topicLocks.computeIfAbsent(cfg.metadataPath, _ => new Object)
+
+  /** CAS update: apply `f` to the current metadata iff its version is
+    * `expected.version`, else fail — the anti-concurrent-producer guard.
+    * Only manifests of partitions whose file vector CHANGED (by `eq`) are
+    * rewritten: a commit's metadata I/O is O(its own delta). */
+  def compareAndSet(cfg: TopicConfig, expected: LogMetadata)(
+      f: LogMetadata => LogMetadata): LogMetadata = lockFor(cfg).synchronized {
+    val current = read(cfg)
+    if (current.version != expected.version)
+      throw new ConcurrentMetadataException(
+        s"concurrent producer detected on ${cfg.topic}: metadata version " +
+          s"${current.version} != expected ${expected.version}")
+    val next = f(current).copy(version = current.version + 1)
+    publish(cfg, next, Some(current))
+  }
+
+  private def publish(
+      cfg: TopicConfig,
+      next0: LogMetadata,
+      prev: Option[LogMetadata]): LogMetadata = {
+    val rootPath = new Path(cfg.metadataPath)
+    val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
+    val prevNames = prev.map(_.manifestNames).getOrElse(Map.empty)
+    val prevFiles = prev.map(_.filesByPart).getOrElse(Map.empty)
+    val names = next0.filesByPart.collect {
+      case (p, v) if v.nonEmpty =>
+        val unchanged =
+          prevNames.contains(p) && prevFiles.get(p).exists(_ eq v)
+        val name =
+          if (unchanged) prevNames(p)
+          else {
+            // write-once unique name: version + random suffix ensures no
+            // collision even across topic re-creation at the same path
+            val suffix = java.util.UUID.randomUUID().toString.take(8)
+            val n = f"part-$p%05d-v${next0.version}-$suffix.json"
+            val mPath = new Path(s"${manifestDir(cfg)}/$n")
+            val out = fc.create(mPath,
+              java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+              Options.CreateOpts.createParent())
+            try out.write(renderManifest(v).getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            cacheManifest(mPath.toString, v)
+            n
+          }
+        p -> name
+    }
+    val next = next0.copy(manifestNames = names)
+    // manifests are durable before the root rename makes them reachable; a
+    // crash in between leaves unreferenced manifests for vacuum. The tmp
+    // name is unique per publish so no two writers ever share one.
+    val tmp = new Path(cfg.metadataPath + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
-    try out.write(render(meta).getBytes(StandardCharsets.UTF_8))
+    try out.write(render(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fc.rename(tmp, path, Options.Rename.OVERWRITE)
-  }
-
-  /** CAS update: apply `f` to the current metadata iff its version is
-    * `expected.version`, else fail — the anti-concurrent-producer guard. */
-  def compareAndSet(cfg: TopicConfig, expected: LogMetadata)(
-      f: LogMetadata => LogMetadata): LogMetadata = {
-    val current = read(cfg)
-    if (current.version != expected.version)
-      throw new IllegalStateException(
-        s"concurrent producer detected on ${cfg.topic}: metadata version " +
-          s"${current.version} != expected ${expected.version}")
-    val next = f(current).copy(version = current.version + 1)
-    write(cfg, next)
+    fc.rename(tmp, rootPath, Options.Rename.OVERWRITE)
     next
   }
 
@@ -142,9 +253,9 @@ object LogMetadata {
   //    stability across Spark versions) ------------------------------------
 
   private[log] def render(m: LogMetadata): String = {
-    val files = m.files.map(f =>
-      s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
-        s"""${f.bytes},${f.createdMs}]""").mkString(",")
+    val manifests = m.manifestNames.toSeq.sorted.map { case (p, n) =>
+      s"""[$p,"$n"]"""
+    }.mkString(",")
     // sink ids are checkpoint paths: hex-encode so the hand-rolled JSON
     // stays escape-free
     val sinks = m.sinkCommits.toSeq.sorted.map { case (id, b) =>
@@ -154,8 +265,20 @@ object LogMetadata {
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
       s""""sinkCommits":[$sinks],""" +
-      s""""files":[$files]}"""
+      s""""manifests":[$manifests]}"""
   }
+
+  private[log] def renderManifest(files: Vector[FileEntry]): String =
+    files.map(f =>
+      s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
+        s"""${f.bytes},${f.createdMs}]""").mkString("""{"files":[""", ",", "]}")
+
+  private[log] def parseManifest(s: String): Vector[FileEntry] =
+    FileEntryRe.findAllMatchIn(s).map { m =>
+      FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
+        m.group(7).toLong)
+    }.toVector.sortBy(_.minOffset)
 
   private[log] def hexEncode(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -176,6 +299,8 @@ object LogMetadata {
 
   private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)\]""".r
 
+  private val ManifestRe = """\[(\d+),"([^"]+)"\]""".r
+
   private[log] def parse(s: String): LogMetadata = {
     def longField(name: String): Long = {
       val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
@@ -188,17 +313,34 @@ object LogMetadata {
     val offsets =
       if (arr.isEmpty) Vector.empty[Long]
       else arr.split(",").map(_.trim.toLong).toVector
-    // file entries are flat [part,"name",min,max,count,bytes,createdMs]
-    // tuples — a metadata doc predating the registry simply has none
-    val files = FileEntryRe.findAllMatchIn(s).map { m =>
-      FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
-        m.group(7).toLong)
-    }.toVector
     val sinks = SinkCommitRe.findAllMatchIn(s).map { m =>
       hexDecode(m.group(1)) -> m.group(2).toLong
     }.toMap
+    // current docs point at per-partition manifests; legacy docs (pre
+    // manifest-list) carry [part,"name",min,max,count,bytes,createdMs]
+    // file tuples inline — read both, publish always writes the new shape
+    val manifestSection =
+      """"manifests"\s*:\s*\[(.*)\]""".r.findFirstMatchIn(s).map(_.group(1))
+    val (byPart, names) = manifestSection match {
+      case Some(sec) =>
+        (Map.empty[Int, Vector[FileEntry]],
+          ManifestRe.findAllMatchIn(sec)
+            .map(m => m.group(1).toInt -> m.group(2)).toMap)
+      case None =>
+        val files = FileEntryRe.findAllMatchIn(s).map { m =>
+          FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
+            m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
+            m.group(7).toLong)
+        }.toVector
+        (files.groupBy(_.part).map { case (p, v) => p -> v.sortBy(_.minOffset) },
+          Map.empty[Int, String])
+    }
     LogMetadata(longField("version"), longField("clusterSize").toInt,
-      longField("rangesPerToken").toInt, offsets, files, sinks)
+      longField("rangesPerToken").toInt, offsets, byPart, sinks, names)
   }
 }
+
+/** Thrown when a CAS publish loses to a concurrent committer — the write
+  * path catches it to rebase-and-retry (many-producers support). */
+final class ConcurrentMetadataException(msg: String)
+  extends IllegalStateException(msg)

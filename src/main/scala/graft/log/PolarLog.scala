@@ -180,7 +180,7 @@ object PolarLog {
       startOffsets: Map[Int, Long] = Map.empty,
       endOffsets: Map[Int, Long] = Map.empty): DataFrame = {
     val meta = LogMetadata.read(cfg)
-    if (meta.files.isEmpty) return emptyLog(spark, cfg)
+    if (meta.filesEmpty) return emptyLog(spark, cfg)
     // prune files by the requested offset windows before Spark ever sees
     // them — registry stats replace footer reads
     val wanted = meta.files.filter { f =>
@@ -232,9 +232,16 @@ object PolarLog {
       nowMs: Long = System.currentTimeMillis()): Int = {
     val cutoff = nowMs - retentionMs
     val meta = LogMetadata.read(cfg)
-    val (aged, kept) = meta.files.partition(_.createdMs < cutoff)
+    val aged = meta.files.filter(_.createdMs < cutoff)
     if (aged.isEmpty) return 0
-    LogMetadata.compareAndSet(cfg, meta)(_.copy(files = kept))
+    LogMetadata.compareAndSet(cfg, meta) { cur =>
+      // partitions with nothing aged keep their vector INSTANCE, so their
+      // manifests are not rewritten (publish diffs by eq)
+      cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+        val kept = v.filter(_.createdMs >= cutoff)
+        p -> (if (kept.length == v.length) v else kept)
+      })
+    }
     val conf = new Configuration()
     aged.foreach { f =>
       val p = new Path(f.path(cfg))
@@ -287,7 +294,9 @@ object PolarLog {
   /** Delete data files present on disk but absent from the registry —
     * aborted-produce orphans (never visible to readers; this is pure space
     * reclamation, the analog of the reference recycling failed chunks). */
-  def vacuum(cfg: TopicConfig): Int = {
+  def vacuum(cfg: TopicConfig,
+      manifestGraceMs: Long = 10L * 60 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Int = {
     val meta = LogMetadata.read(cfg)
     val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet
     val fs = fileSystem(cfg)
@@ -305,6 +314,21 @@ object PolarLog {
           }
         }
       }
+    // manifests superseded by later commits (or orphaned by a crash between
+    // manifest write and root rename): unreferenced by the CURRENT root and
+    // past the grace window that protects readers still resolving a root
+    // doc they loaded moments ago
+    val mdir = new Path(LogMetadata.manifestDir(cfg))
+    if (fs.exists(mdir)) {
+      val live = meta.manifestNames.values.toSet
+      fs.listStatus(mdir).foreach { f =>
+        if (f.isFile && !live.contains(f.getPath.getName) &&
+            f.getModificationTime < nowMs - manifestGraceMs) {
+          fs.delete(f.getPath, false)
+          deleted += 1
+        }
+      }
+    }
     deleted
   }
 }

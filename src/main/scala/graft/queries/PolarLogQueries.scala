@@ -463,6 +463,52 @@ object PolarLogQueries extends QueryRegistry {
       Some("SELECT COUNT(*) AS n_records FROM events")),
 
     QueryDef(
+      "polar_concurrent_produce",
+      (s, dir) => {
+        // MANY CONCURRENT PRODUCERS (reference: per-partition coalescer
+        // serializes arrivals from any number of producers,
+        // internal/producing/coalescer.go:24-27): two produce jobs race on
+        // the same topic from two threads; the CAS loser rebases its baked
+        // offsets and retries. Regardless of which commit wins, the log
+        // must hold BOTH batches with dense per-partition offsets — so the
+        // per-partition (count, offset span, distinct offsets) triple is
+        // deterministic and oracle-checkable from `events` alone.
+        val root = Files.createTempDirectory("graft_polar_cc").toString
+        val cfg = TopicConfig(root, "ccprod")
+        def half(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(2)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = (0 until 2).map { i =>
+          val t = new Thread(() => {
+            start.await()
+            try PolarLog.produce(half(i), cfg,
+              orderBy = Seq(col("timestamp"), col("value"))): Unit
+            catch { case e: Throwable => errs.add(e) }
+          })
+          t.start(); t
+        }
+        start.countDown()
+        threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
+            countDistinct(col("offset")).as("n_off"))
+      },
+      Some(s"""
+        WITH recs AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) AS n, COUNT(*) AS off_span, COUNT(*) AS n_off
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),

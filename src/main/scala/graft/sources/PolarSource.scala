@@ -376,14 +376,12 @@ object PolarMicroBatchStream {
       start: PolarOffsets,
       end: PolarOffsets,
       parts: Option[Set[Int]]): Array[InputPartition] = {
-    val byPart = meta.files.groupBy(_.part)
     end.tails.toSeq.sorted.flatMap { case (p, endOff) =>
       val startOff = start.tails.getOrElse(p, 0L)
       if (endOff <= startOff || !parts.forall(_.contains(p))) None
       else {
-        val files = byPart.getOrElse(p, Vector.empty)
+        val files = meta.filesOf(p)
           .filter(f => f.maxOffset >= startOff && f.minOffset < endOff)
-          .sortBy(_.minOffset)
         if (files.isEmpty) None
         else Some(PolarInputPartition(p,
           files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset)),

@@ -100,6 +100,54 @@ object PolarWrite {
   val DefaultMaxFileBytes: Long = 1L << 30
 }
 
+object PolarBatchWrite {
+  /** Bound on rebase-and-retry rounds under concurrent-producer churn. */
+  val MaxCommitRetries = 5
+
+  /** Rewrite one baked segment with its offset column shifted by `delta`,
+    * through the SAME parquet write support + conf as the original produce
+    * (identical physical types/codec). One single-partition task per file;
+    * the old file is deleted after the new one is durable. */
+  private[sources] def rewriteShifted(
+      spark: org.apache.spark.sql.SparkSession,
+      cfg: TopicConfig,
+      f: FileEntry,
+      delta: Long): FileEntry = {
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val newName = s"rb$suffix-${f.name}"
+    val destPath = s"${cfg.dir}/part=${f.part}/$newName"
+    val srcPath = f.path(cfg)
+    val rdd = spark.read.schema(PolarLog.ValueSchema).parquet(srcPath)
+      .coalesce(1).sortWithinPartitions("offset")
+      .queryExecution.toRdd
+    rdd.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        val conf = PolarDataWriter.writeConf()
+        val writer = PolarDataWriter.open(new Path(destPath), conf)
+        val buf = new GenericInternalRow(5)
+        try it.foreach { row =>
+          buf.update(0, if (row.isNullAt(0)) null else row.getUTF8String(0))
+          buf.update(1, if (row.isNullAt(1)) null else row.getLong(1))
+          buf.update(2, row.getLong(2) + delta)
+          buf.update(3, if (row.isNullAt(3)) null else row.getLong(3))
+          buf.update(4, if (row.isNullAt(4)) null else row.getBinary(4))
+          writer.write(buf)
+        } finally writer.close()
+    }
+    val hconf = new Configuration()
+    val dest = new Path(destPath)
+    val fs = dest.getFileSystem(hconf)
+    val bytes = fs.getFileStatus(dest).getLen
+    try {
+      val old = new Path(srcPath)
+      if (fs.exists(old)) fs.delete(old, false)
+    } catch { case _: java.io.IOException => () }
+    f.copy(name = newName, minOffset = f.minOffset + delta,
+      maxOffset = f.maxOffset + delta, bytes = bytes,
+      createdMs = System.currentTimeMillis())
+  }
+}
+
 final case class PolarCommitMessage(files: Seq[FileEntry]) extends WriterCommitMessage
 
 class PolarBatchWrite(
@@ -121,7 +169,7 @@ class PolarBatchWrite(
     new PolarWriterFactory(cfg.dir, schema, meta0.producerOffsets.toArray, maxFileBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.flatMap {
+    var entries: Array[FileEntry] = messages.flatMap {
       case PolarCommitMessage(files) => files
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }
@@ -133,23 +181,70 @@ class PolarBatchWrite(
       LogMetadata.read(cfg).sinkCommits.get(sinkId).exists(_ >= batchId)
     }
     if (replayed) { abort(messages); return }
-    LogMetadata.compareAndSet(cfg, meta0) { cur =>
-      val tails = cur.producerOffsets.toArray
-      entries.groupBy(_.part).foreach { case (p, fs) =>
-        val sorted = fs.sortBy(_.minOffset)
-        require(sorted.head.minOffset == tails(p),
-          s"offset gap in partition $p: file starts at ${sorted.head.minOffset}, " +
-            s"tail is ${tails(p)}")
-        sorted.foreach { f =>
-          require(f.minOffset == tails(p) && f.maxOffset - f.minOffset + 1 == f.count,
-            s"non-dense file entry $f at tail ${tails(p)}")
-          tails(p) = f.maxOffset + 1
+    // Optimistic commit with rebase-and-retry: a lost CAS means another
+    // producer advanced the tails after our plan-time snapshot. Our files
+    // carry offsets baked from the stale bases, so the loser REBASES — each
+    // conflicting file is rewritten once with its offset column shifted to
+    // the new tail (cost = re-writing this batch's own files, never topic
+    // data) — and the CAS is retried. This restores the reference's
+    // many-concurrent-producers contract
+    // (`/root/reference/internal/producing/coalescer.go:24-27`) where the
+    // per-partition coalescer serializes arrivals; here the metadata CAS is
+    // the serialization point and arrival interleaving is batch-granular.
+    var expected = meta0
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      try {
+        LogMetadata.compareAndSet(cfg, expected) { cur =>
+          val tails = cur.producerOffsets.toArray
+          entries.groupBy(_.part).foreach { case (p, fs) =>
+            val sorted = fs.sortBy(_.minOffset)
+            require(sorted.head.minOffset == tails(p),
+              s"offset gap in partition $p: file starts at ${sorted.head.minOffset}, " +
+                s"tail is ${tails(p)}")
+            sorted.foreach { f =>
+              require(f.minOffset == tails(p) && f.maxOffset - f.minOffset + 1 == f.count,
+                s"non-dense file entry $f at tail ${tails(p)}")
+              tails(p) = f.maxOffset + 1
+            }
+          }
+          cur.appendFiles(entries.toSeq)
+            .copy(producerOffsets = tails.toVector,
+              sinkCommits = txn.fold(cur.sinkCommits) { case (sinkId, batchId) =>
+                cur.sinkCommits + (sinkId -> batchId)
+              })
+        }
+        committed = true
+      } catch {
+        case e: graft.log.ConcurrentMetadataException =>
+          attempt += 1
+          if (attempt > PolarBatchWrite.MaxCommitRetries) throw e
+          val cur = LogMetadata.read(cfg)
+          entries = rebase(entries, cur)
+          expected = cur
+      }
+    }
+  }
+
+  /** Shift this batch's files onto the current tails: per partition, delta =
+    * new tail − our baked base; files in conflicting partitions are
+    * rewritten (offset column += delta) through the same parquet writer as
+    * the original produce. Non-conflicting partitions pass through. */
+  private def rebase(entries: Array[FileEntry], cur: LogMetadata): Array[FileEntry] = {
+    val deltas: Map[Int, Long] = entries.groupBy(_.part).flatMap { case (p, fs) =>
+      val d = cur.producerOffsets(p) - fs.map(_.minOffset).min
+      if (d != 0L) Some(p -> d) else None
+    }
+    if (deltas.isEmpty) entries
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      entries.map { f =>
+        deltas.get(f.part) match {
+          case None => f
+          case Some(d) => PolarBatchWrite.rewriteShifted(spark, cfg, f, d)
         }
       }
-      cur.copy(producerOffsets = tails.toVector, files = cur.files ++ entries,
-        sinkCommits = txn.fold(cur.sinkCommits) { case (sinkId, batchId) =>
-          cur.sinkCommits + (sinkId -> batchId)
-        })
     }
   }
 

@@ -277,4 +277,24 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val o = Map(0 -> 5L, 3 -> 11L)
     assert(ConsumerGroups.parseOffsets(ConsumerGroups.render(o)) === o)
   }
+
+  test("legacy inline-files metadata docs still parse") {
+    val doc = """{"version":3,"clusterSize":3,"rangesPerToken":4,""" +
+      """"producerOffsets":[2,0,0,0,0,0,0,0,0,0,0,1],"sinkCommits":[],""" +
+      """"files":[[0,"a.parquet",0,1,2,100,1700000000000],""" +
+      """[11,"b.parquet",0,0,1,50,1700000000001]]}"""
+    val m = LogMetadata.parse(doc)
+    assert(m.version === 3 && m.filesOf(0).map(_.name) === Vector("a.parquet"))
+    assert(m.filesOf(11).head.count === 1 && m.manifestNames.isEmpty)
+    assert(m.files.size === 2)
+  }
+
+  test("manifest root doc round-trips pointers") {
+    val m = LogMetadata(9L, 3, 4, Vector.tabulate(12)(_ => 0L),
+      manifestNames = Map(0 -> "part-00000-v9-abc12345.json",
+        7 -> "part-00007-v9-def67890.json"))
+    val back = LogMetadata.parse(LogMetadata.render(m))
+    assert(back.manifestNames === m.manifestNames)
+    assert(back.version === 9L)
+  }
 }

@@ -175,4 +175,86 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!orphan.exists())
     assert(PolarLog.consume(spark, cfg).count() === before)
   }
+
+  test("concurrent producers: the CAS loser rebases its offsets and commits") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val root = Files.createTempDirectory("polar_write_cc").toString
+    val cfg = TopicConfig(root, "cc", clusterSize = 3, rangesPerToken = 4)
+    graft.log.LogMetadata.write(cfg, graft.log.LogMetadata.empty(cfg))
+    val schema = StructType(Seq(
+      StructField("partitionKey", StringType), StructField("token", LongType),
+      StructField("part", IntegerType), StructField("timestamp", TimestampType),
+      StructField("value", BinaryType)))
+    // both writes snapshot metadata v0 — a deterministic plan-time race
+    val bw1 = new PolarBatchWrite(cfg, schema)
+    val bw2 = new PolarBatchWrite(cfg, schema)
+    def writeRows(bw: PolarBatchWrite, tag: String, n: Int) = {
+      val factory = bw.createBatchWriterFactory(
+        new PhysicalWriteInfo { override def numPartitions(): Int = 1 })
+      val w = factory.createWriter(0, 0L)
+      (0 until n).foreach { i =>
+        val row = new GenericInternalRow(5)
+        row.update(0, UTF8String.fromString(s"k${i % 2}"))
+        row.update(1, java.lang.Long.valueOf(0L))
+        row.update(2, java.lang.Integer.valueOf(i % 2))
+        row.update(3, java.lang.Long.valueOf(1000000L * i))
+        row.update(4, s"$tag-$i".getBytes("UTF-8"))
+        w.write(row)
+      }
+      w.commit()
+    }
+    val m1 = writeRows(bw1, "a", 10)
+    val m2 = writeRows(bw2, "b", 6)
+    bw1.commit(Array(m1))
+    bw2.commit(Array(m2)) // stale snapshot: must rebase, not throw
+
+    val log = PolarLog.consume(spark, cfg)
+    assert(log.count() === 16)
+    val bad = log.groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("span"),
+        countDistinct(col("offset")).as("d"))
+      .filter(col("n") =!= col("span") || col("n") =!= col("d")).count()
+    assert(bad === 0, "offsets must stay dense and unique per partition")
+    // the loser's records sit after the winner's in every partition
+    val rows = log.select(col("part"), col("offset"), col("value").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(rows.count(_._3.startsWith("b-")) === 6)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val aMax = rs.filter(_._3.startsWith("a-")).map(_._2).max
+      val bMin = rs.filter(_._3.startsWith("b-")).map(_._2).min
+      assert(aMax < bMin, s"rebased batch must follow the winner: $rs")
+    }
+  }
+
+  test("a commit rewrites only the touched partitions' manifests") {
+    val root = Files.createTempDirectory("polar_write_manifest").toString
+    val cfg = TopicConfig(root, "m")
+    PolarLog.produce(records, cfg)
+    val meta1 = graft.log.LogMetadata.read(cfg)
+    val names1 = meta1.manifestNames
+    assert(names1.nonEmpty)
+    // a single-key batch lands in exactly one partition
+    val s = spark
+    import s.implicits._
+    val one = Seq(("u-solo", "v")).toDF("partitionKey", "value")
+    PolarLog.produce(one, cfg)
+    val meta2 = graft.log.LogMetadata.read(cfg)
+    val touched = meta2.producerOffsets.zipWithIndex.collect {
+      case (t, p) if t != meta1.producerOffsets(p) => p
+    }
+    assert(touched.size === 1)
+    val changed = meta2.manifestNames.filter { case (p, n) =>
+      !names1.get(p).contains(n)
+    }.keySet
+    assert(changed === touched.toSet,
+      s"only partition ${touched.head}'s manifest may change, got $changed")
+    // untouched partitions share the same file vectors byte-for-byte
+    (0 until cfg.numPartitions).filterNot(touched.contains).foreach { p =>
+      assert(meta2.filesOf(p) === meta1.filesOf(p))
+    }
+  }
+
 }
