@@ -119,7 +119,7 @@ object LogMetadata {
     LogMetadata(0L, cfg.clusterSize, cfg.rangesPerToken,
       Vector.fill(cfg.numPartitions)(0L))
 
-  private def hadoopConf = new Configuration()
+  private def hadoopConf = HadoopConf.shared
 
   def manifestDir(cfg: TopicConfig): String = s"${cfg.dir}/_manifests"
 

@@ -242,7 +242,7 @@ object PolarLog {
         p -> (if (kept.length == v.length) v else kept)
       })
     }
-    val conf = new Configuration()
+    val conf = HadoopConf.shared
     aged.foreach { f =>
       val p = new Path(f.path(cfg))
       try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
@@ -289,7 +289,7 @@ object PolarLog {
       .withColumn("topic", lit(cfg.topic))
 
   private[log] def fileSystem(cfg: TopicConfig): FileSystem =
-    new Path(cfg.root).getFileSystem(new Configuration())
+    new Path(cfg.root).getFileSystem(HadoopConf.shared)
 
   /** Delete data files present on disk but absent from the registry —
     * aborted-produce orphans (never visible to readers; this is pure space

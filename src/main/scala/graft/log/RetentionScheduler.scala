@@ -1,0 +1,114 @@
+package graft.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import java.util.concurrent.{Executors, ScheduledFuture, ThreadFactory, TimeUnit}
+import scala.util.control.NonFatal
+
+/**
+ * Periodic retention GC (SURVEY §2 A25): the reference runs its datalog
+ * cleaner on a fixed 5-minute loop with a 168-hour default window
+ * (`/root/reference/internal/data/datalog_cleaner.go:16-37`,
+ * `/root/reference/internal/conf/config.go:291-302`). Each sweep:
+ *
+ *  1. discovers the topics under `root` (directories carrying a registry
+ *     doc — one bounded listing per sweep, no data I/O);
+ *  2. [[PolarLog.cleanRetention]]: unregisters-then-deletes segments older
+ *     than the window. The metadata CAS is the visibility boundary — a
+ *     reader planning mid-sweep either sees a file still registered (and
+ *     the physical delete hasn't happened yet) or never sees it at all;
+ *     offsets of surviving segments are untouched, so consumer positions
+ *     stay valid exactly as in the reference;
+ *  3. [[PolarLog.vacuum]]: reclaims aborted-produce orphans and superseded
+ *     manifest files past their grace window.
+ *
+ * Scale posture: a sweep is driver-side metadata work — one root listing,
+ * one registry CAS per topic with aged files, one delete per aged segment.
+ * Nothing scans data; period and window are deployment knobs exactly like
+ * the reference's `logRetentionDuration`.
+ */
+final class RetentionScheduler(
+    root: String,
+    retentionMs: Long = RetentionScheduler.DefaultRetentionMs,
+    periodMs: Long = RetentionScheduler.DefaultPeriodMs,
+    clusterSize: Int = 3,
+    rangesPerToken: Int = 4) extends AutoCloseable {
+
+  @volatile private var sweepsDone: Long = 0L
+  @volatile private var lastSweep: Map[String, RetentionScheduler.Sweep] = Map.empty
+  @volatile private var lastSweepError: Option[Throwable] = None
+  private var scheduled: Option[ScheduledFuture[_]] = None
+
+  private lazy val exec = Executors.newSingleThreadScheduledExecutor(
+    new ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "polar-retention")
+        t.setDaemon(true)
+        t
+      }
+    })
+
+  /** Begin the periodic loop (idempotent). */
+  def start(): this.type = synchronized {
+    if (scheduled.isEmpty)
+      scheduled = Some(exec.scheduleWithFixedDelay(
+        // catch EVERYTHING: scheduleWithFixedDelay silently cancels the
+        // schedule on any throw — a single failed sweep must not end
+        // retention for the server's lifetime
+        () => try { sweep(); () } catch { case t: Throwable => lastSweepError = Some(t) },
+        periodMs, periodMs, TimeUnit.MILLISECONDS))
+    this
+  }
+
+  /** Topics under the root: directories carrying a registry doc. */
+  def topics(): Seq[TopicConfig] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(HadoopConf.shared)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(s => TopicConfig(root, s.getPath.getName, clusterSize, rangesPerToken))
+      .filter(cfg => fs.exists(new Path(cfg.metadataPath)))
+  }
+
+  /** One sweep over every topic; returns per-topic deletion counts.
+    * Callable directly (the façade's manual trigger) — serialized with the
+    * scheduled loop. */
+  def sweep(nowMs: Long = System.currentTimeMillis()): Map[String, RetentionScheduler.Sweep] =
+    synchronized {
+      val res = topics().map { cfg =>
+        val aged =
+          try PolarLog.cleanRetention(cfg, retentionMs, nowMs)
+          catch { case NonFatal(_) => 0 }
+        val orphans =
+          try PolarLog.vacuum(cfg, nowMs = nowMs)
+          catch { case NonFatal(_) => 0 }
+        cfg.topic -> RetentionScheduler.Sweep(aged, orphans)
+      }.toMap
+      sweepsDone += 1
+      lastSweep = res
+      res
+    }
+
+  def sweeps: Long = sweepsDone
+  def last: Map[String, RetentionScheduler.Sweep] = lastSweep
+  def lastError: Option[Throwable] = lastSweepError
+
+  override def close(): Unit = synchronized {
+    scheduled.foreach(_.cancel(false))
+    scheduled = None
+    exec.shutdownNow(): Unit
+  }
+}
+
+object RetentionScheduler {
+  /** 168 h — the reference's `logRetentionDuration` default
+    * (`internal/conf/config.go:291-302`). */
+  val DefaultRetentionMs: Long = 168L * 3600 * 1000
+  /** 5 min — the reference cleaner's loop period
+    * (`internal/data/datalog_cleaner.go:16-37`). */
+  val DefaultPeriodMs: Long = 5L * 60 * 1000
+
+  final case class Sweep(agedDeleted: Int, orphansDeleted: Int)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.log.{ConsumerGroups, PolarLog, TopicConfig}
+import graft.log.{ConsumerGroups, LogMetadata, PolarLog, RetentionScheduler, TopicConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -507,6 +507,54 @@ object PolarLogQueries extends QueryRegistry {
           FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
         SELECT part, COUNT(*) AS n, COUNT(*) AS off_span, COUNT(*) AS n_off
         FROM placed GROUP BY part""")),
+
+    QueryDef(
+      "polar_retention",
+      (s, dir) => {
+        // RETENTION GC (A25, internal/data/datalog_cleaner.go): batch A
+        // (even event_ids) and batch B (odd) commit with a real time gap;
+        // a sweep whose window lands between the two commits
+        // unregisters-then-deletes exactly A's segments (file-granularity,
+        // CAS visibility). Offsets never renumber, so per partition the
+        // survivors must be the window [countA, countA+countB) — n /
+        // off_span / min_off are all oracle-computable from `events` plus
+        // the placement mirror, proving the cut deleted a dense prefix and
+        // nothing else.
+        val root = Files.createTempDirectory("graft_polar_ret").toString
+        val cfg = TopicConfig(root, "ret")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(2)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        Thread.sleep(600) // separate the two commits' createdMs
+        PolarLog.produce(slice(1), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        val meta = LogMetadata.read(cfg)
+        val cutoff = (meta.files.map(_.createdMs).min +
+          meta.files.map(_.createdMs).max) / 2
+        val now = System.currentTimeMillis()
+        new RetentionScheduler(root, retentionMs = now - cutoff).sweep(now)
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
+            min(col("offset")).as("min_off"))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 2 AS rem FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, r.rem, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part,
+               CAST(SUM(CASE WHEN rem = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               COUNT(*) AS off_span,
+               CAST(SUM(CASE WHEN rem = 0 THEN 1 ELSE 0 END) AS BIGINT) AS min_off
+        FROM placed GROUP BY part
+        HAVING SUM(CASE WHEN rem = 1 THEN 1 ELSE 0 END) > 0""")),
 
     QueryDef(
       "polar_ndjson_ingest",

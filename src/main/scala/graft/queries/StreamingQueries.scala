@@ -198,6 +198,14 @@ object StreamingQueries extends QueryRegistry {
         // partitionKey, matches emitted eagerly (inner join), watermark
         // bounding join state to the 30-minute band. The oracle replays
         // the identical interval join in batch over the raw table.
+        // INVARIANT: completeness vs the batch oracle relies on the
+        // default allAvailable read limit delivering the whole log as ONE
+        // micro-batch — with no pacing option set, both sides see all
+        // events before any watermark advances. If maxRecordsPerTrigger/
+        // maxBytesPerTrigger is ever added here, the 2h watermark plus
+        // multi-batch replay could evict join state and drop matches;
+        // either keep it unpaced or raise the watermark above the full
+        // event-time span of the topic.
         val (cfg, _) = sharedTopic(s, dir)
         val root = Files.createTempDirectory("graft_stream_j").toString
         def side(): org.apache.spark.sql.DataFrame =
@@ -230,5 +238,47 @@ object StreamingQueries extends QueryRegistry {
          AND b.ts <= a.ts + INTERVAL 30 MINUTE
         WHERE CAST(a.props->>'$.k' AS INTEGER) < 20
           AND CAST(b.props->>'$.k' AS INTEGER) >= 80
-        GROUP BY a.user_id""")))
+        GROUP BY a.user_id""")),
+
+    QueryDef(
+      "stream_multi_topic",
+      (s, dir) => {
+        // one streaming query subscribed to TWO topics (the reference's
+        // consumers register for topic lists, internal/types/models.go:34-39):
+        // events split by user parity into two logs under one root, consumed
+        // through `option("topics", "evens,odds")` with (topic, partition)
+        // offsets, paced so the trigger windows interleave both topics'
+        // partitions; the aggregate proves per-topic attribution and
+        // no loss/duplication across topics and batch boundaries
+        val root = Files.createTempDirectory("graft_stream_mt").toString
+        val ev = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"),
+          col("props").as("value"),
+          (col("user_id") % 2 === 0).as("even"))
+        val evens = TopicConfig(root, "evens")
+        val odds = TopicConfig(root, "odds")
+        val n =
+          PolarLog.produce(ev.filter(col("even")).drop("even"), evens,
+            orderBy = Seq(col("timestamp"), col("value"))).recordsWritten +
+          PolarLog.produce(ev.filter(!col("even")).drop("even"), odds,
+            orderBy = Seq(col("timestamp"), col("value"))).recordsWritten
+        val q = PolarStream.readTopics(s, Seq(evens, odds),
+            startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1)))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_multi").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_multi")
+          .groupBy(col("topic"), col("partitionKey"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("offset"), col("part")).as("n_unique"))
+      },
+      Some("""
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS topic,
+               CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n, COUNT(*) AS n_unique
+        FROM events GROUP BY 1, 2""")))
 }

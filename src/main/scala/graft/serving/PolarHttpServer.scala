@@ -1,7 +1,7 @@
 package graft.serving
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.log.{ConsumerGroups, PolarLog, TopicConfig, TopicOps}
+import graft.log.{ConsumerGroups, PolarLog, RetentionScheduler, TopicConfig, TopicOps}
 import org.apache.spark.sql.SparkSession
 
 import java.net.InetSocketAddress
@@ -72,7 +72,9 @@ class PolarHttpServer(
     lingerMs: Long = 10,
     maxMessageSize: Int = PolarLog.DefaultMaxMessageSize,
     maxPollBytes: Long = 2L << 20,
-    inactivityTimeoutMs: Long = 120000L) {
+    inactivityTimeoutMs: Long = 120000L,
+    retentionMs: Long = RetentionScheduler.DefaultRetentionMs,
+    retentionSweepMs: Long = RetentionScheduler.DefaultPeriodMs) {
 
   import PolarHttpServer._
 
@@ -93,6 +95,10 @@ class PolarHttpServer(
 
   def flushCount: Long = coalescer.flushCount
 
+  /** The reference's 5-min datalog cleaner loop (A25) over this root. */
+  val retention = new RetentionScheduler(
+    root, retentionMs, retentionSweepMs, clusterSize, rangesPerToken)
+
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 
   def boundPort: Int = server.getAddress.getPort
@@ -101,10 +107,12 @@ class PolarHttpServer(
     server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
     server.start()
+    retention.start()
     this
   }
 
   def stop(): Unit = {
+    retention.close()
     coalescer.stop()
     server.stop(0)
     pool.shutdown()
@@ -131,7 +139,14 @@ class PolarHttpServer(
                |polar_polls_served ${pollsServed.get}
                |polar_active_consumers ${activeConsumers()}
                |polar_produce_flushes ${coalescer.flushCount}
+               |polar_retention_sweeps ${retention.sweeps}
                |""".stripMargin)
+        case ("POST", "/v1/admin/retention/sweep") =>
+          // manual maintenance trigger; the scheduled loop serializes with it
+          val res = retention.sweep()
+          respond(ex, 200, res.toSeq.sortBy(_._1).map { case (t, s) =>
+            s""""$t":{"aged":${s.agedDeleted},"orphans":${s.orphansDeleted}}"""
+          }.mkString("{", ",", "}"), "application/json")
         case ("POST", TopicMessages(topic)) => handleProduce(ex, topic)
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
         case ("POST", "/v1/consumer/poll") => handlePoll(ex)
@@ -171,7 +186,8 @@ class PolarHttpServer(
       val in = ex.getRequestBody
       val buf = new Array[Byte](8192)
       var drained = 0L
-      while (drained < (8L << 20) && in.read(buf) >= 0) drained += buf.length
+      var n = 0
+      while (drained < (8L << 20) && { n = in.read(buf); n >= 0 }) drained += n
     } catch { case _: java.io.IOException => }
     ex.getResponseHeaders.set("Content-Type", contentType)
     if (status == 204 || body.isEmpty) ex.sendResponseHeaders(status, -1)

@@ -84,12 +84,27 @@ object PolarSource {
     }
     val root = opt("root").getOrElse(
       throw new IllegalArgumentException("polar source requires option 'root'"))
-    val topic = opt("topic").getOrElse(
-      throw new IllegalArgumentException("polar source requires option 'topic'"))
+    // one topic (`topic`) or a comma-separated subscription (`topics`) — the
+    // reference's consumers register for TOPIC LISTS
+    // (/root/reference/internal/types/models.go:34-39); cluster topology
+    // (clusterSize × rangesPerToken) is global there, so one partitioning
+    // applies to every subscribed topic here too
+    val names = (opt("topic"), opt("topics")) match {
+      case (Some(t), None) => Seq(t)
+      case (None, Some(ts)) =>
+        val parsed = ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (parsed.isEmpty) throw new IllegalArgumentException(
+          "option 'topics' must name at least one topic")
+        parsed
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "specify either 'topic' or 'topics', not both")
+      case (None, None) => throw new IllegalArgumentException(
+        "polar source requires option 'topic' (or 'topics')")
+    }
     PolarSourceConfig(
-      TopicConfig(root, topic,
+      names.map(t => TopicConfig(root, t,
         opt("clusterSize").map(_.toInt).getOrElse(3),
-        opt("rangesPerToken").map(_.toInt).getOrElse(4)),
+        opt("rangesPerToken").map(_.toInt).getOrElse(4))),
       startingOffsets = opt("startingOffsets").getOrElse("latest").toLowerCase,
       maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong),
       maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong),
@@ -102,12 +117,25 @@ object PolarSource {
 }
 
 final case class PolarSourceConfig(
-    topic: TopicConfig,
+    topics: Seq[TopicConfig],
     startingOffsets: String,
     maxRecordsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None) {
+  /** The single subscribed topic — write paths and single-topic sugar. */
+  def topic: TopicConfig = topics.head
+  def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
+}
+
+object PolarSourceConfig {
+  /** Single-topic constructor (catalog tables, write-side sugar). */
+  def apply(
+      topic: TopicConfig,
+      startingOffsets: String,
+      maxRecordsPerTrigger: Option[Long]): PolarSourceConfig =
+    PolarSourceConfig(Seq(topic), startingOffsets, maxRecordsPerTrigger)
+}
 
 class PolarTable(
     cfg: PolarSourceConfig,
@@ -115,7 +143,7 @@ class PolarTable(
     sqlInsertable: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"polar:${cfg.topic.topic}"
+  override def name(): String = s"polar:${cfg.topics.map(_.topic).mkString(",")}"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else PolarSource.FullSchema
@@ -145,8 +173,11 @@ class PolarTable(
     * the same BatchWrite. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (cfg.topics.size > 1) throw new UnsupportedOperationException(
+      "polar writes target exactly one topic; 'topics' is a consume-side subscription")
     new PolarWriteBuilder(cfg, info)
+  }
 }
 
 /** Scan-time pruning bounds accepted from Catalyst filters: a per-partition
@@ -220,61 +251,79 @@ class PolarScan(
     extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"PolarScan(${cfg.topic.dir}, offsets=[${bounds.minOffset}," +
+    s"PolarScan(${cfg.topics.map(_.dir).mkString(",")}, offsets=[${bounds.minOffset}," +
       s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")}, " +
       s"ReadSchema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val meta = LogMetadata.read(cfg.topic)
-      val start = PolarOffsets(
-        (0 until cfg.topic.numPartitions).map(_ -> bounds.minOffset).toMap)
-      val end = PolarOffsets(meta.producerOffsets.zipWithIndex.map {
-        case (t, p) => p -> math.min(t, bounds.maxOffsetExclusive)
+      val metas = cfg.topics.map(c => c.topic -> LogMetadata.read(c)).toMap
+      val start = PolarOffsets(cfg.topics.flatMap(c =>
+        (0 until c.numPartitions).map(p => (c.topic, p) -> bounds.minOffset)).toMap)
+      val end = PolarOffsets(metas.flatMap { case (t, m) =>
+        m.producerOffsets.zipWithIndex.map {
+          case (tail, p) => (t, p) -> math.min(tail, bounds.maxOffsetExclusive)
+        }
       }.toMap)
-      PolarMicroBatchStream.plan(meta, start, end, bounds.parts)
+      PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts)
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolarReaderFactory(cfg.topic.topic, cfg.topic.dir, required, columnar = true)
+      new PolarReaderFactory(required, columnar = true)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PolarMicroBatchStream(cfg)
 }
 
-/** Streaming offsets: next-offset-to-read per log partition, as JSON. */
-final case class PolarOffsets(tails: Map[Int, Long]) extends Offset {
+/** Streaming offsets: next-offset-to-read per (topic, log partition), as
+  * JSON `{"topic/part":offset,...}` — the multi-topic generalization of the
+  * reference's per-consumer offset map (consumers subscribe to topic lists,
+  * `/root/reference/internal/types/models.go:34-39`). Single-topic legacy
+  * keys (bare `"part"`) still parse against a default topic. */
+final case class PolarOffsets(tails: Map[(String, Int), Long]) extends Offset {
   override def json(): String =
-    tails.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    tails.toSeq.sortBy(_._1)
+      .map { case ((t, p), o) => s""""$t/$p":$o""" }.mkString("{", ",", "}")
   def totalFrom(start: PolarOffsets): Long =
-    tails.map { case (p, o) => o - start.tails.getOrElse(p, 0L) }.sum
+    tails.map { case (k, o) => o - start.tails.getOrElse(k, 0L) }.sum
 }
 
 object PolarOffsets {
-  def parse(json: String): PolarOffsets =
-    PolarOffsets(""""(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(json)
-      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
-  def zeros(cfg: TopicConfig): PolarOffsets =
-    PolarOffsets((0 until cfg.numPartitions).map(_ -> 0L).toMap)
+  def parse(json: String, defaultTopic: String): PolarOffsets =
+    PolarOffsets(""""([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(json).map { m =>
+      val k = m.group(1)
+      val slash = k.lastIndexOf('/')
+      val key =
+        if (slash < 0) (defaultTopic, k.toInt)
+        else (k.take(slash), k.drop(slash + 1).toInt)
+      key -> m.group(2).toLong
+    }.toMap)
+  def zeros(topics: Seq[TopicConfig]): PolarOffsets =
+    PolarOffsets(topics.flatMap(c =>
+      (0 until c.numPartitions).map(p => (c.topic, p) -> 0L)).toMap)
 }
 
 class PolarMicroBatchStream(cfg: PolarSourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private val topic = cfg.topic
+  private val topics = cfg.topics
   @volatile private var availableNowCap: Option[PolarOffsets] = None
 
-  private def currentMeta: LogMetadata = LogMetadata.read(topic)
-  private def tailsOf(m: LogMetadata): PolarOffsets =
-    PolarOffsets(m.producerOffsets.zipWithIndex.map(_.swap).toMap)
+  private def currentMetas: Map[String, LogMetadata] =
+    topics.map(c => c.topic -> LogMetadata.read(c)).toMap
+  private def tailsOf(metas: Map[String, LogMetadata]): PolarOffsets =
+    PolarOffsets(metas.flatMap { case (t, m) =>
+      m.producerOffsets.zipWithIndex.map { case (tail, p) => (t, p) -> tail }
+    }.toMap)
 
   override def initialOffset(): Offset = cfg.startingOffsets match {
-    case "earliest" => PolarOffsets.zeros(topic)
-    case "latest" => tailsOf(currentMeta)
-    case other => PolarOffsets.parse(other) // explicit {"p":offset,...}
+    case "earliest" => PolarOffsets.zeros(topics)
+    case "latest" => tailsOf(currentMetas)
+    // explicit {"topic/p":offset,...} (bare "p" keys → the first topic)
+    case other => PolarOffsets.parse(other, topics.head.topic)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -282,32 +331,32 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       .getOrElse(ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(tailsOf(currentMeta))
+    availableNowCap = Some(tailsOf(currentMetas))
 
-  override def reportLatestOffset(): Offset = tailsOf(currentMeta)
+  override def reportLatestOffset(): Offset = tailsOf(currentMetas)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PolarOffsets]
-    val meta = currentMeta
-    val target = availableNowCap.getOrElse(tailsOf(meta))
+    val metas = currentMetas
+    val target = availableNowCap.getOrElse(tailsOf(metas))
     val rowCapped = limit match {
       case rows: ReadMaxRows =>
-        // greedy fill across partitions in index order — the group read
-        // queue's round-robin-until-threshold, collapsed to one pass
+        // greedy fill across (topic, partition) in key order — the group
+        // read queue's round-robin-until-threshold, collapsed to one pass
         var budget = rows.maxRows()
-        PolarOffsets(target.tails.toSeq.sorted.map { case (p, tail) =>
-          val cur = from.tails.getOrElse(p, 0L)
+        PolarOffsets(target.tails.toSeq.sortBy(_._1).map { case (k, tail) =>
+          val cur = from.tails.getOrElse(k, 0L)
           val take = math.min(tail - cur, budget)
           budget -= math.max(take, 0L)
-          p -> (cur + math.max(take, 0L))
+          k -> (cur + math.max(take, 0L))
         }.toMap)
       case _ => target
     }
     cfg.maxBytesPerTrigger match {
-      case Some(byteCap) => byteCapped(meta, from, rowCapped, byteCap)
+      case Some(byteCap) => byteCapped(metas, from, rowCapped, byteCap)
       case None => rowCapped
     }
   }
@@ -318,17 +367,17 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     * stop at the cap but always admit at least one record when any is
     * pending (progress guarantee). */
   private def byteCapped(
-      meta: LogMetadata,
+      metas: Map[String, LogMetadata],
       from: PolarOffsets,
       target: PolarOffsets,
       byteCap: Long): PolarOffsets = {
     var budget = byteCap
     var admittedAny = false
-    val capped = target.tails.toSeq.sorted.map { case (p, tail) =>
-      var cur = from.tails.getOrElse(p, 0L)
-      if (cur >= tail) p -> cur
+    val capped = target.tails.toSeq.sortBy(_._1).map { case (k @ (t, p), tail) =>
+      var cur = from.tails.getOrElse(k, 0L)
+      if (cur >= tail) k -> cur
       else {
-        val files = meta.filesOf(p).filter(f => f.maxOffset >= cur && f.minOffset < tail)
+        val files = metas(t).filesOf(p).filter(f => f.maxOffset >= cur && f.minOffset < tail)
         var pos = cur
         files.foreach { f =>
           val lo = math.max(pos, f.minOffset)
@@ -345,45 +394,49 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
             }
           }
         }
-        p -> pos
+        k -> pos
       }
     }.toMap
     PolarOffsets(capped)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    PolarMicroBatchStream.plan(currentMeta,
+    PolarMicroBatchStream.plan(cfg.byName, currentMetas,
       start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets], None)
 
   // streaming delivers ROWS off the vectorized decode: a trigger's window
   // can cut through a file, and exact [start,end) trimming is the reader's
   // job here (no residual filters exist for planner-chosen bounds)
   override def createReaderFactory(): PartitionReaderFactory =
-    new PolarReaderFactory(topic.topic, topic.dir, PolarSource.FullSchema, columnar = false)
+    new PolarReaderFactory(PolarSource.FullSchema, columnar = false)
 
-  override def deserializeOffset(json: String): Offset = PolarOffsets.parse(json)
+  override def deserializeOffset(json: String): Offset =
+    PolarOffsets.parse(json, topics.head.topic)
   override def commit(end: Offset): Unit = () // checkpoint log is the commit store
   override def stop(): Unit = ()
-  override def toString: String = s"PolarScan(${topic.dir})"
+  override def toString: String =
+    s"PolarScan(${topics.map(_.dir).mkString(",")})"
 }
 
 object PolarMicroBatchStream {
-  /** One InputPartition per log partition with pending offsets — files
-    * chosen from the registry's exact offset stats: zero listing, zero
-    * footer reads. */
+  /** One InputPartition per (topic, log partition) with pending offsets —
+    * files chosen from the registry's exact offset stats: zero listing,
+    * zero footer reads. Subscribed topics plan independently and their
+    * partitions stream side by side. */
   def plan(
-      meta: LogMetadata,
+      cfgs: Map[String, TopicConfig],
+      metas: Map[String, LogMetadata],
       start: PolarOffsets,
       end: PolarOffsets,
       parts: Option[Set[Int]]): Array[InputPartition] = {
-    end.tails.toSeq.sorted.flatMap { case (p, endOff) =>
-      val startOff = start.tails.getOrElse(p, 0L)
+    end.tails.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
+      val startOff = start.tails.getOrElse((t, p), 0L)
       if (endOff <= startOff || !parts.forall(_.contains(p))) None
       else {
-        val files = meta.filesOf(p)
+        val files = metas(t).filesOf(p)
           .filter(f => f.maxOffset >= startOff && f.minOffset < endOff)
         if (files.isEmpty) None
-        else Some(PolarInputPartition(p,
+        else Some(PolarInputPartition(t, cfgs(t).dir, p,
           files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset)),
           startOff, endOff))
       }
@@ -396,14 +449,14 @@ object PolarMicroBatchStream {
 final case class PolarFileSlice(name: String, minOffset: Long, maxOffset: Long)
 
 final case class PolarInputPartition(
+    topic: String,
+    topicDir: String,
     part: Int,
     files: Seq[PolarFileSlice],
     startOffset: Long,
     endOffset: Long) extends InputPartition
 
 class PolarReaderFactory(
-    topicName: String,
-    topicDir: String,
     required: StructType,
     columnar: Boolean) extends PartitionReaderFactory {
 
@@ -442,7 +495,7 @@ class PolarReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PolarInputPartition]
     new PolarRowReader(
-      new PolarVectorReader(p, topicName, topicDir, fileSchema, partitionSchema),
+      new PolarVectorReader(p, fileSchema, partitionSchema),
       required.fieldIndex("offset"), p.startOffset, p.endOffset)
   }
 
@@ -450,7 +503,7 @@ class PolarReaderFactory(
     val p = partition.asInstanceOf[PolarInputPartition]
     if (required.isEmpty) countOnly(p)
     else new PolarColumnarReader(
-      new PolarVectorReader(p, topicName, topicDir, fileSchema, partitionSchema))
+      new PolarVectorReader(p, fileSchema, partitionSchema))
   }
 }
 
@@ -460,13 +513,14 @@ class PolarReaderFactory(
   * filter from the offset window — the 8 MiB read-ahead analog. */
 private[sources] class PolarVectorReader(
     p: PolarInputPartition,
-    topicName: String,
-    topicDir: String,
     fileSchema: StructType,
     partitionSchema: StructType) {
 
+  private val topicName: String = p.topic
+  private val topicDir: String = p.topicDir
+
   private val conf: Configuration = {
-    val c = new Configuration()
+    val c = graft.log.HadoopConf.fresh()
     c.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
     c.set("org.apache.spark.sql.parquet.row.requested_schema", fileSchema.json)
     c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")

@@ -134,7 +134,7 @@ object PolarBatchWrite {
           writer.write(buf)
         } finally writer.close()
     }
-    val hconf = new Configuration()
+    val hconf = graft.log.HadoopConf.shared
     val dest = new Path(destPath)
     val fs = dest.getFileSystem(hconf)
     val bytes = fs.getFileStatus(dest).getLen
@@ -250,7 +250,7 @@ class PolarBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort orphan cleanup; unregistered files are invisible anyway
-    val conf = new Configuration()
+    val conf = graft.log.HadoopConf.shared
     messages.foreach {
       case PolarCommitMessage(files) => files.foreach { f =>
         val p = new Path(s"${cfg.dir}/part=${f.part}/${f.name}")
@@ -275,7 +275,7 @@ object PolarDataWriter {
   /** Hadoop conf for the envelope parquet schema — every key the Spark
     * write-support consults, set explicitly (executors have no SQLConf). */
   def writeConf(): Configuration = {
-    val conf = new Configuration()
+    val conf = graft.log.HadoopConf.fresh()
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
     conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")

@@ -49,6 +49,34 @@ object PolarStream {
     r.load()
   }
 
+  /** Streaming consume of SEVERAL topics in one query — the reference's
+    * consumers register for topic lists
+    * (`/root/reference/internal/types/models.go:34-39`). All topics must
+    * share a root and cluster topology (clusterSize × rangesPerToken is
+    * cluster-global in the reference); offsets are tracked per
+    * (topic, partition) in the query's checkpoint. */
+  def readTopics(
+      spark: SparkSession,
+      cfgs: Seq[TopicConfig],
+      startingOffsets: String = "latest",
+      maxRecordsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    require(cfgs.nonEmpty, "readTopics requires at least one topic")
+    require(cfgs.map(_.root).distinct.size == 1,
+      "all subscribed topics must share a root")
+    require(cfgs.map(c => (c.clusterSize, c.rangesPerToken)).distinct.size == 1,
+      "all subscribed topics must share the cluster topology")
+    var r = spark.readStream.format("polar")
+      .option("root", cfgs.head.root)
+      .option("topics", cfgs.map(_.topic).mkString(","))
+      .option("clusterSize", cfgs.head.clusterSize)
+      .option("rangesPerToken", cfgs.head.rangesPerToken)
+      .option("startingOffsets", startingOffsets)
+    maxRecordsPerTrigger.foreach(n => r = r.option("maxRecordsPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n))
+    r.load()
+  }
+
   /** Streaming produce into a topic (micro-batched appends). */
   def write(
       df: DataFrame,

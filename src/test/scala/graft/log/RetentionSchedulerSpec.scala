@@ -1,0 +1,123 @@
+package graft.log
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Retention GC loop (A25): age-based segment deletion with CAS visibility,
+  * orphan vacuum, surviving offsets untouched, scheduled firing. */
+class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("retention_spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def records(from: Int, until: Int) = graft.Tables.events(spark, sfDir)
+    .filter(col("event_id") >= from && col("event_id") < until)
+    .select(col("user_id").cast("string").as("partitionKey"),
+      col("ts").as("timestamp"), col("props").as("value"))
+
+  test("sweep deletes aged segments, keeps young ones, preserves surviving offsets") {
+    val cfg = TopicConfig(root, "ret_age")
+    val nA = PolarLog.produce(records(0, 400), cfg).recordsWritten
+    Thread.sleep(400) // separate commit timestamps
+    PolarLog.produce(records(400, 700), cfg)
+
+    val meta = LogMetadata.read(cfg)
+    val oldMax = meta.files.map(_.createdMs).min
+    val newMin = meta.files.map(_.createdMs).max
+    assume(newMin > oldMax, "commits must have distinct timestamps")
+    // retention window placed between the two commits
+    val now = System.currentTimeMillis()
+    val cutoff = (oldMax + newMin) / 2
+    val sched = new RetentionScheduler(root, retentionMs = now - cutoff)
+    val res = sched.sweep(now)
+    assert(res("ret_age").agedDeleted > 0)
+
+    // a reader planning from the post-CAS registry sees only the young batch,
+    // with its ORIGINAL offsets (tails never renumber — consumer positions
+    // beyond the cut stay valid, as in the reference)
+    val remaining = PolarLog.consume(spark, cfg)
+    assert(remaining.count() === 300)
+    val tails = PolarLog.tails(cfg)
+    assert(tails.values.sum === 700L)
+    assert(nA === 400L)
+    // per partition: surviving window is exactly [minOffset, tail) — the cut
+    // removed a dense prefix and never renumbered
+    remaining.groupBy("part")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"))
+      .collect().foreach { r =>
+        val (part, n, lo, hi) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(hi === tails(part) - 1, s"part $part tail")
+        assert(hi - lo + 1 === n, s"part $part density")
+      }
+
+    // aged files physically gone
+    val fs = PolarLog.fileSystem(cfg)
+    val metaAfter = LogMetadata.read(cfg)
+    assert(metaAfter.files.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(f.path(cfg)))))
+    assert(metaAfter.files.forall(_.createdMs >= cutoff))
+  }
+
+  test("sweep vacuums aborted-produce orphans") {
+    val cfg = TopicConfig(root, "ret_orphan")
+    PolarLog.produce(records(0, 200), cfg)
+    val orphan = new org.apache.hadoop.fs.Path(s"${cfg.dir}/part=0/zz_orphan.parquet")
+    val fs = PolarLog.fileSystem(cfg)
+    val os = fs.create(orphan)
+    os.write("PAR1junk".getBytes); os.close()
+
+    val sched = new RetentionScheduler(root, retentionMs = Long.MaxValue / 2)
+    val res = sched.sweep()
+    assert(res("ret_orphan").orphansDeleted >= 1)
+    assert(!fs.exists(orphan))
+    assert(PolarLog.consume(spark, cfg).count() === 200)
+  }
+
+  test("scheduled loop fires on its own and GC's everything past a zero window") {
+    // dedicated root: one sweep walks only this topic (Hadoop's local-fs
+    // listStatus shells out per file — a multi-topic sweep under test load
+    // can outlast the wait window; on HDFS/S3 a listing is one RPC)
+    val schedRoot = Files.createTempDirectory("retention_sched").toString
+    val cfg = TopicConfig(schedRoot, "ret_sched")
+    PolarLog.produce(records(0, 150), cfg)
+    val before = LogMetadata.read(cfg).files.size
+    val sched = new RetentionScheduler(schedRoot,
+      retentionMs = 0L, periodMs = 100L).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        LogMetadata.read(cfg).files.nonEmpty) Thread.sleep(100)
+      assert(LogMetadata.read(cfg).files.isEmpty, "aged files not GC'd by the loop")
+      assert(sched.sweeps >= 1,
+        s"before=$before last=${sched.last} err=${sched.lastError}")
+    } finally sched.close()
+    // tails preserved: a post-GC produce continues the offset sequence
+    // (after close, so the zero-window loop can't GC the new batch)
+    PolarLog.produce(records(150, 160), cfg)
+    assert(PolarLog.tails(cfg).values.sum === 160L)
+    assert(PolarLog.consume(spark, cfg).count() === 10L)
+  }
+
+  test("topics() discovers only registry-bearing directories") {
+    val stray = new java.io.File(s"$root/not_a_topic"); stray.mkdirs()
+    val sched = new RetentionScheduler(root)
+    val names = sched.topics().map(_.topic).toSet
+    assert(!names.contains("not_a_topic"))
+    assert(names.contains("ret_age"))
+  }
+}

@@ -65,6 +65,27 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("/v1/topic/t400/messages", big).statusCode() === 400)
   }
 
+  test("chunked request bodies are rejected with a clean 400, connection stays usable") {
+    // an InputStream publisher has no known length -> the client sends
+    // Transfer-Encoding: chunked with no Content-Length
+    val req = HttpRequest.newBuilder(URI.create(s"$base/v1/topic/tchunk/messages"))
+      .POST(BodyPublishers.ofInputStream(() =>
+        new java.io.ByteArrayInputStream("""{"k":1}""".getBytes(UTF_8))))
+      .build()
+    val resp = client.send(req, BodyHandlers.ofString())
+    assert(resp.statusCode() === 400)
+    assert(resp.body().contains("chunked not supported"))
+    // the drained connection still serves the next request
+    assert(get("/status").statusCode() === 200)
+  }
+
+  test("manual retention sweep endpoint reports per-topic counts") {
+    val resp = post("/v1/admin/retention/sweep", Array.emptyByteArray)
+    assert(resp.statusCode() === 200)
+    assert(resp.body().startsWith("{") && resp.body().endsWith("}"))
+    assert(server.retention.sweeps >= 1)
+  }
+
   test("json produce + register + poll + commit + goodbye flow") {
     val topic = "flow"
     (0 until 6).foreach { i =>

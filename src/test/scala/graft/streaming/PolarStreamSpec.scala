@@ -150,6 +150,77 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0L)
   }
 
+  test("multi-topic subscribe streams both logs; checkpoint resumes per (topic, part)") {
+    val a = TopicConfig(root, "mt_a")
+    val b = TopicConfig(root, "mt_b")
+    PolarLog.produce(records(0, 300), a)
+    PolarLog.produce(records(300, 500), b)
+    val ckpt = s"$root/ckpt_mt"
+
+    val out1 = s"$root/out_mt_1"
+    val n1 = runCollect(
+      PolarStream.readTopics(spark, Seq(a, b), startingOffsets = "earliest",
+        maxRecordsPerTrigger = Some(120L)),
+      ckpt, out1)
+    assert(n1 === 500)
+    val byTopic = spark.read.parquet(out1).groupBy("topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic === Map("mt_a" -> 300L, "mt_b" -> 200L))
+
+    // new data in ONE topic only -> resume delivers just that topic's delta
+    PolarLog.produce(records(500, 650), b)
+    val out2 = s"$root/out_mt_2"
+    assert(runCollect(
+      PolarStream.readTopics(spark, Seq(a, b), startingOffsets = "earliest"),
+      ckpt, out2) === 150)
+    val delta = spark.read.parquet(out2).groupBy("topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delta === Map("mt_b" -> 150L))
+  }
+
+  test("multi-topic batch read unions the logs with per-topic attribution") {
+    val a = TopicConfig(root, "mtb_a")
+    val b = TopicConfig(root, "mtb_b")
+    PolarLog.produce(records(0, 200), a)
+    PolarLog.produce(records(200, 300), b)
+    val df = spark.read.format("polar")
+      .option("root", root).option("topics", "mtb_a,mtb_b").load()
+    assert(df.count() === 300)
+    val byTopic = df.groupBy("topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic === Map("mtb_a" -> 200L, "mtb_b" -> 100L))
+    // offsets are dense PER TOPIC: each (topic, part) starts at 0
+    val bad = df.groupBy("topic", "part")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"))
+      .filter(col("hi") =!= col("n") - 1).count()
+    assert(bad === 0L)
+  }
+
+  test("multi-topic subscription rejects writes") {
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("CAST(id AS STRING) AS partitionKey",
+          "current_timestamp() AS timestamp", "CAST('x' AS BINARY) AS value")
+        .write.format("polar").mode("append")
+        .option("root", root).option("topics", "w_a,w_b").save()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("exactly one topic"))))
+  }
+
+  test("PolarOffsets json round-trips (topic, part) keys and parses legacy bare keys") {
+    import graft.sources.PolarOffsets
+    val o = PolarOffsets(Map(("a", 0) -> 5L, ("a", 11) -> 7L, ("b", 3) -> 0L))
+    assert(PolarOffsets.parse(o.json(), "a") === o)
+    // legacy single-topic checkpoint {"part":off} resolves to the default topic
+    assert(PolarOffsets.parse("""{"0":5,"11":7}""", "solo") ===
+      PolarOffsets(Map(("solo", 0) -> 5L, ("solo", 11) -> 7L)))
+    // topic names may contain anything but '/'; lastIndexOf guards the split
+    assert(PolarOffsets.parse("""{"t.x-1/4":9}""", "unused") ===
+      PolarOffsets(Map(("t.x-1", 4) -> 9L)))
+  }
+
   test("batch read through the DSv2 surface matches the log") {
     val cfg = TopicConfig(root, "s_batch")
     PolarLog.produce(records(0, 300), cfg)
