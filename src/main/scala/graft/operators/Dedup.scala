@@ -73,21 +73,26 @@ object Dedup {
     val rows = numHashes / bands
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint()
     // band hash: xxhash64 over the band's signature slice (+ band index so
-    // buckets from different bands never collide)
+    // buckets from different bands never collide). Bands carry ONLY
+    // (id, band_idx, band_hash): shuffling the shingle arrays through the
+    // ×bands explode multiplies the dominant byte volume by the band count
+    // (see md5MinhashLshPairs for the measurement).
     val banded = docs.withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("band_hash")))))
-      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
+      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -127,25 +132,37 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
     val seeds = xorSeeds(numHashes)
+    // Materialize (id, sh, sig) ONCE. Two pathologies without this:
+    // the self-join computes the shingle+minhash pipeline on BOTH sides,
+    // and — the dominant cost — the band explode used to carry the full
+    // shingle array, putting ×bands copies of every document's shingles
+    // through the bucket shuffle. Bands now carry only (id, band slice);
+    // shingles re-enter via two joins against the materialized docs AFTER
+    // the candidate set has collapsed to near-dup pairs. (At extreme scale
+    // the same shape works without the checkpoint: recompute sh behind a
+    // broadcast of the candidate ids — either way no shingle bytes cross
+    // the banding shuffle.)
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       // hash each shingle once, then every lane in one pass — as 32
       // array_min(transform(...)) columns, project-collapse re-evaluates
       // the md5 child per lane (32× the hash work)
       .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
         transform(col("sh"), x => md5Hash60(x)), seeds))
+      .localCheckpoint()
     val banded = docs.withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             slice(col("sig"), b * rows + 1, lit(rows)).as("band_val")))))
-      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_val"))
+      .select(col("id"), col("band.band_idx"), col("band.band_val"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
