@@ -12,18 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted catalog table. */
+  /** Persist `df` as a bucketed+sorted catalog table. With `path` the
+    * table is external (data at the given location) — callers that
+    * rebuild layouts per run should pass a fresh path: a MANAGED table's
+    * warehouse directory outlives the in-memory catalog, and the next
+    * session's write trips LOCATION_ALREADY_EXISTS. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int,
+      path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — plans with zero
     * exchanges when bucket counts match. */

@@ -31,4 +31,23 @@ object Sampling {
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** Stratified reproducible sampling: each stratum keeps its own
+    * percentage of rows (the data-mixture knob when strata are
+    * languages/domains/sources). The per-stratum rate resolves to a pure
+    * CASE expression — no join, no shuffle, membership still a pure
+    * function of the key hash, so resampling at a new mixture touches
+    * nothing but the filter. Strata absent from `pcts` keep `defaultPct`. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      pcts: Map[String, Int],
+      defaultPct: Int = 0): DataFrame = {
+    val rate = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < rate)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -95,4 +95,58 @@ object TextAnalysis {
         regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
         lit(PhoneRe), lit("<PHONE>")),
       lit(Ipv4Re), lit("<IP>"))
+
+  /** Corpus vocabulary: per-token corpus frequency (tf) and document
+    * frequency (df), top-k by tf. The canonical word-count shape — partial
+    * aggregation collapses each task's token stream locally, so the one
+    * shuffle carries only distinct (token, partial-count) rows. df rides
+    * the SAME aggregate as an exact distinct-doc count because the explode
+    * emits each (doc, token) pair once per occurrence but tokens() output
+    * feeds count_distinct(doc_id) — no second pass over the corpus. */
+  def vocabulary(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
+  /** Per-document corpus-unigram log-probability — the cheap stand-in for
+    * LM-perplexity quality filtering (CCNet/Gopher-style): documents whose
+    * tokens are improbable under the corpus unigram distribution score low
+    * (gibberish), suspiciously high means boilerplate. Two shuffles of the
+    * exploded token stream (by token to attach frequencies, back by doc to
+    * aggregate); Catalyst broadcasts the vocabulary side automatically when
+    * it fits — at 100 TB you'd pin a top-V vocab broadcast with an UNK
+    * floor, same plan shape. Each token's log-prob is rounded to 9 places
+    * and summed as DECIMAL so per-doc totals are exact and
+    * order-independent — reproducible under any partitioning. */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / col("total")), 9)
+          .cast("decimal(20,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
+  /** Boilerplate mining: word n-grams shared by more than `minDocs`
+    * distinct documents (navigation chrome, license headers, template
+    * text — the spans an exact-substring dedup pass would cut). Shingles
+    * are distinct per document, so the count IS the doc frequency; one
+    * hash-aggregate after the explode, top-k by spread. */
+  def repeatedNgrams(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Long, k: Int): DataFrame =
+    docs.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
 }

@@ -654,5 +654,135 @@ object PipelineQueries extends QueryRegistry {
                      '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
                      '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
                      '${TextAnalysis.Ipv4Re}', '<IP>', 'g')) AS redacted_hash
-        FROM aug""")))
+        FROM aug""")),
+
+    QueryDef(
+      "text_vocab",
+      // vocabulary building: corpus term frequency + document frequency,
+      // the classic one-shuffle word-count (partial agg collapses each
+      // task's token stream before the exchange)
+      (s, dir) => TextAnalysis.vocabulary(
+        Tables.documents(s, dir), "text", "doc_id", 30),
+      Some(s"""
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest($WordsSql) AS token FROM documents)
+        GROUP BY token ORDER BY tf DESC, token LIMIT 30""")),
+
+    QueryDef(
+      "text_boilerplate",
+      // boilerplate mining: 5-gram spans shared across documents (shingles
+      // are distinct per doc, so count = doc frequency)
+      (s, dir) => TextAnalysis.repeatedNgrams(
+        Tables.documents(s, dir), "text", "doc_id", n = 5, minDocs = 2, k = 40),
+      Some(s"""
+        WITH w AS (SELECT $WordsSql AS words FROM documents),
+        g AS (SELECT unnest(
+                CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct([array_to_string(words[i:i+4], ' ')
+                                    for i in generate_series(1, len(words)-4)]) END) AS gram
+              FROM w)
+        SELECT gram, COUNT(*) AS n_docs FROM g
+        GROUP BY gram HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, gram LIMIT 40""")),
+
+    QueryDef(
+      "text_bm25",
+      // BM25 retrieval over the corpus: one 1-row stats aggregate
+      // broadcast back over a single scoring scan — the corpus never
+      // shuffles; scores are fixed-order FP chains the oracle replays
+      (s, dir) => graft.operators.Ranking.bm25TopK(
+        Tables.documents(s, dir), "text", "doc_id",
+        terms = Seq("spark", "query", "stream"), k = 20),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $WordsSql AS toks FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 SUM(CAST(len(toks) AS DOUBLE)) AS sum_dl,
+                 SUM(CASE WHEN len(list_filter(toks, x -> x = 'spark')) > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+                 SUM(CASE WHEN len(list_filter(toks, x -> x = 'query')) > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+                 SUM(CASE WHEN len(list_filter(toks, x -> x = 'stream')) > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+          FROM t),
+        s AS (
+          SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                 CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+                 CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf_1,
+                 CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf_2
+          FROM t)
+        SELECT doc_id, round(
+            ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+              / (tf_0 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+          + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+              / (tf_1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+          + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+              / (tf_2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 6) AS score
+        FROM s, stats
+        WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    QueryDef(
+      "sim_ann_sq8",
+      // int8 scalar-quantized ANN: per-dimension (min,max) stats, levels
+      // by floor-scaling, INTEGER dot-product scoring — exact arithmetic,
+      // so the ranking is engine-reproducible (no FP in the hot compare)
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.sq8TopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))) AS v
+                   FROM embeddings WHERE vec_id <> 0),
+        q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        ma AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS m FROM e),
+        qq AS (SELECT list_transform(qv,
+                 x -> least(greatest(CAST(floor(x * 127.0 / m) AS BIGINT), -127), 127)) AS ql
+               FROM q, ma),
+        dq AS (SELECT vec_id, list_transform(v,
+                 x -> least(greatest(CAST(floor(x * 127.0 / m) AS BIGINT), -127), 127)) AS dl
+               FROM e, ma)
+        SELECT vec_id AS id,
+               CAST(list_dot_product(CAST(dl AS DOUBLE[]), CAST(ql AS DOUBLE[])) AS BIGINT) AS score
+        FROM dq, qq ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "text_logprob",
+      // perplexity-proxy quality scoring: per-doc mean corpus-unigram
+      // log-probability; token log-probs rounded to 9 places and summed
+      // as DECIMAL so the per-doc total is exact under any fold order
+      (s, dir) => TextAnalysis.unigramLogProb(
+        Tables.documents(s, dir), "text", "doc_id"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest($WordsSql) AS token FROM documents),
+        vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        lp AS (SELECT doc_id,
+                      CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(20,9)) AS lp
+               FROM toks JOIN vocab USING (token), tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id""")),
+
+    QueryDef(
+      "pipeline_stratified",
+      // stratified sampling: per-language keep rates as one CASE filter —
+      // the mixture knob with zero joins/shuffles, membership a pure
+      // content-hash function
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 80, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+      Some(s"""
+        SELECT lang, COUNT(*) AS n_kept
+        FROM (SELECT lang, ${OracleSql.md5Hash60("doc_id")} % 100 AS b FROM documents)
+        WHERE b < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                            WHEN 'es' THEN 50 WHEN 'zh' THEN 25 ELSE 0 END
+        GROUP BY lang""")))
 }

@@ -645,6 +645,34 @@ object RelationalQueries extends QueryRegistry {
         SELECT COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)"""))
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""")),
+
+    QueryDef(
+      "q_bucketed_join",
+      // co-located join: both sides written bucketed by the join key, so
+      // the sort-merge join plans with ZERO exchanges (the shuffle is paid
+      // once at layout time and amortized over every join — the fact-table
+      // layout at 100 TB). BucketingSpec asserts the no-Exchange plan; this
+      // entry proves result parity against the plain join.
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val root = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+        graft.operators.Bucketing.writeBucketed(ord, "gate_b_orders", "custkey", 8,
+          Some(s"$root/orders"))
+        graft.operators.Bucketing.writeBucketed(cust, "gate_b_customer", "custkey", 8,
+          Some(s"$root/customer"))
+        graft.operators.Bucketing.bucketedJoin(s, "gate_b_orders", "gate_b_customer", "custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""))
   )
 }

@@ -272,4 +272,102 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh = df.select(simhash64(TextAnalysis.tokens(col("text")))).collect().map(_.getLong(0))
     assert(sh(0) === sh(1))
   }
+
+  test("sq8 quantized top-k ranks close to brute-force cosine") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val sq8 = Similarity.sq8TopK(corpus, "embedding", "vec_id", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    // int8 quantization keeps most of the exact neighborhood (unnormalized
+    // dot vs cosine + 8-bit rounding both cost a little)
+    val overlap = sq8.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"overlap $overlap ($sq8 vs $exact)")
+    // scores are exact integers: two runs with different partitioning agree
+    val rescored = Similarity.sq8TopK(corpus.repartition(7), "embedding", "vec_id", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = Similarity.sq8TopK(corpus, "embedding", "vec_id", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rescored === first)
+  }
+
+  test("bm25 ranks term-dense short docs above sparse long ones") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "spark spark spark query"),
+      (2L, "spark and a very long document about nothing in particular with many words diluting the match"),
+      (3L, "no relevant terms at all"),
+      (4L, "query stream spark")).toDF("doc_id", "text")
+    val out = Ranking.bm25TopK(df, "text", "doc_id", Seq("spark", "query", "stream"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 3 matches nothing -> absent
+    assert(!out.map(_._1).contains(3L))
+    // doc 4 hits all three terms, doc 1 two with high tf; both beat doc 2
+    val rank = out.map(_._1).toSeq
+    assert(rank.indexOf(4L) < rank.indexOf(2L))
+    assert(rank.indexOf(1L) < rank.indexOf(2L))
+    // scores strictly positive and sorted desc
+    assert(out.forall(_._2 > 0))
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("stratified sample respects per-stratum rates and is partition-stable") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100, "zh" -> 0), defaultPct = 50)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) === totals("en")) // 100% kept
+    assert(byLang.getOrElse("zh", -1L) === -1L)         // 0% kept
+    // default strata roughly halved (hash buckets, not exact)
+    for (l <- totals.keys if l != "en" && l != "zh" && totals(l) >= 10)
+      assert(byLang.getOrElse(l, 0L) < totals(l))
+    // membership is a pure content-hash function: repartition changes nothing
+    val again = Sampling.stratifiedSample(docs.repartition(13), "doc_id", "lang",
+      Map("en" -> 100, "zh" -> 0), defaultPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("vocabulary counts tf and df correctly on a known corpus") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "text", "doc_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.head === (("alpha", 3L, 2L)))
+    assert(v.toSet === Set(("alpha", 3L, 2L), ("beta", 1L, 1L), ("gamma", 1L, 1L)))
+  }
+
+  test("unigram log-prob scores common-word docs above rare-word docs") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "the the the the"),      // all high-frequency tokens
+      (2L, "the zzyzx"),            // one singleton token
+      (3L, "the the")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1)._1 === 4L)
+    assert(out(2)._1 === 2L)
+    // doc 1 and 3 are all-'the' -> identical avg; doc 2 dragged down by the singleton
+    assert(out(1)._2 === out(3)._2)
+    assert(out(2)._2 < out(1)._2)
+    // probabilities < 1 -> log-probs negative
+    assert(out.values.forall(_._2 < 0))
+  }
+
+  test("repeated n-grams surface only cross-document shared spans") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox sleeps"),
+      (3L, "completely different text entirely here")).toDF("doc_id", "text")
+    val grams = TextAnalysis.repeatedNgrams(df, "text", "doc_id", n = 4, minDocs = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grams.toSeq === Seq(("the quick brown fox", 2L)))
+  }
 }
