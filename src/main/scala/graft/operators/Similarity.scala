@@ -134,6 +134,44 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /**
+   * k-NN JOIN: for EVERY vector, its top-k most-similar neighbors among
+   * vectors sharing its (data-derived) LSH bucket — ANN as a join, the
+   * shape batch pipelines actually need at 100 TB ("attach each document's
+   * near neighbors"), where per-query top-k ([[dataPlaneLshTopK]]) would
+   * mean one job per query. One bucketing pass, one bucket-equi self-join
+   * (quadratic only within buckets), one window rank partitioned by the
+   * left id — three exchanges total, none over more than the bucketed
+   * candidate pairs. Returns (id, neighbor_id, nn_rank, sim).
+   */
+  def knnJoin(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      numPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(numPlanes)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("v").toSeq)
+    def bucketOf(vec: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("neighbor_id"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+      // LONG to match any BIGINT-producing oracle engine byte-for-byte
+      .select(col("id"), col("neighbor_id"), col("nn_rank").cast("long").as("nn_rank"),
+        col("sim"))
+  }
+
   /** Embedding near-dup pairs (cosine ≥ threshold), LSH-bucketed: pairs are
     * only scored within a bucket. With `numPlanes` small the recall is high;
     * exactness on a given dataset is checked against the brute-force path in

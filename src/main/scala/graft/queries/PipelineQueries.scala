@@ -311,6 +311,38 @@ object PipelineQueries extends QueryRegistry {
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3""")),
 
     QueryDef(
+      "sim_knn_join",
+      // ANN as a JOIN: every vector gets its top-3 bucket-local neighbors
+      // in one pass — the batch shape ("attach near neighbors to every
+      // doc") that per-query top-k can't scale to; same %5 sample as
+      // sim_pairs for comparability
+      (s, dir) => Similarity.knnJoin(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", k = 3, numPlanes = 4),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj, v AS pv
+          FROM e ORDER BY vec_id LIMIT 4),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        cand AS (
+          SELECT a.vec_id AS id, b2.vec_id AS neighbor_id,
+                 round(list_dot_product(a.v, b2.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS sim
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+        r AS (
+          SELECT id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY id ORDER BY sim DESC, neighbor_id) AS nn_rank
+          FROM cand)
+        SELECT id, neighbor_id, nn_rank, sim FROM r WHERE nn_rank <= 3""")),
+
+    QueryDef(
       "sim_ann_lsh",
       // data-derived hyperplanes (lowest-id vectors as normals) make the
       // whole index deterministic and oracle-replayable; the murmur-seeded

@@ -343,6 +343,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.toSet === Set(("alpha", 3L, 2L), ("beta", 1L, 1L), ("gamma", 1L, 1L)))
   }
 
+  test("knn join: per-id ranks contiguous, neighbors symmetric-bucket, scores match exact cosine") {
+    val sample = embs.filter(col("vec_id") % 5 === 0)
+    val out = Similarity.knnJoin(sample, "embedding", "vec_id", k = 3, numPlanes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // per id: at most k rows, ranks exactly 1..n, sims non-increasing
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._3).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse === sorted.map(_._4).toSeq)
+    }
+    // no self-neighbors
+    assert(out.forall(r => r._1 != r._2))
+    // spot-check one score against the exact cosine of those two vectors
+    val (a, b, _, sim) = out.head
+    val va = embs.filter(col("vec_id") === a).head().getAs[scala.collection.Seq[Float]]("embedding")
+    val vb = embs.filter(col("vec_id") === b).head().getAs[scala.collection.Seq[Float]]("embedding")
+    val dotD = va.zip(vb).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val na = math.sqrt(va.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val nb = math.sqrt(vb.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    assert(math.abs(sim - dotD / (na * nb)) < 1e-5)
+  }
+
   test("unigram log-prob scores common-word docs above rare-word docs") {
     val sp = spark; import sp.implicits._
     val df = Seq(
