@@ -123,7 +123,12 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))
+    // materialized once: both the per-token join side and the corpus total
+    // read it (without the cut each consumer re-runs the explode+aggregate
+    // over the corpus); unigram vocabularies are bounded far below corpus
+    // scale, so the checkpoint is cheap even at 100 TB
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
     toks.join(vocab, "token")
       .crossJoin(broadcast(total))
