@@ -74,6 +74,30 @@ object TemporalJoins {
   }
 
   /**
+   * [[asof]] with a TOLERANCE (pandas `merge_asof(tolerance=...)`): the
+   * match is kept only when the right row is no older than `toleranceMicros`
+   * at the left row's timestamp; staler matches surface as NULL payloads.
+   * Same single-shuffle plan — the matched right timestamp rides along as
+   * one more carried payload and the tolerance check is a stateless
+   * post-filter projection.
+   */
+  def asofWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      payloadCols: Seq[String],
+      tiebreak: String,
+      toleranceMicros: Long): DataFrame = {
+    val out = asof(left, right, keys, timeCol, payloadCols :+ timeCol, tiebreak)
+    val fresh =
+      unix_micros(col(timeCol)) - unix_micros(col(s"asof_$timeCol")) <= toleranceMicros
+    payloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop(s"asof_$timeCol")
+  }
+
+  /**
    * Binned RANGE JOIN: pairs (l, r) with equal `keys` and
    * `r(timeCol) ∈ [l(timeCol) - before, l(timeCol) + after)`.
    *

@@ -492,6 +492,35 @@ object RelationalQueries extends QueryRegistry {
         FROM events l WHERE l.event_type = 'click'""")),
 
     QueryDef(
+      "q_asof_tolerance",
+      // AS-OF with tolerance (pandas merge_asof semantics): the match only
+      // counts if the purchase is within 2 hours of the click — staler
+      // matches surface as NULL. Same one-shuffle union+window plan.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("p_event_id"))
+        graft.operators.TemporalJoins.asofWithin(
+            clicks, purchases, keys = Seq("user_id"), timeCol = "ts",
+            payloadCols = Seq("value"), tiebreak = "p_event_id",
+            toleranceMicros = 2L * 3600 * 1000000)
+          .select(col("event_id"), col("user_id"),
+            col("asof_value").as("recent_purchase"))
+      },
+      Some("""
+        SELECT l.event_id, l.user_id,
+               (SELECT r.value FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+                  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+                ORDER BY CAST(r.ts AS TIMESTAMP) DESC, r.event_id DESC
+                LIMIT 1) AS recent_purchase
+        FROM events l WHERE l.event_type = 'click'""")),
+
+    QueryDef(
       "q_range_join",
       // RANGE: purchases of the same user in the hour before each click,
       // via the binned equi-join (operators/TemporalJoins.rangeJoinBinned)

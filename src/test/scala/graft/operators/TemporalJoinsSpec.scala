@@ -51,6 +51,34 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_.isEmpty) === brute.values.exists(_.isEmpty))
   }
 
+  test("asof tolerance nulls stale matches and keeps fresh ones") {
+    val sp = spark; import sp.implicits._
+    val toTs = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (1L, 10L, toTs(10000)),   // fresh match at t-1000s
+      (2L, 10L, toTs(90000)),   // only stale matches (>1h old)
+      (3L, 20L, toTs(5000))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, toTs(9000), 1.5, 100L),
+      (10L, toTs(50000), 2.5, 101L)).toDF("user_id", "ts", "value", "pid")
+    val got = TemporalJoins.asofWithin(left, right,
+        keys = Seq("user_id"), timeCol = "ts",
+        payloadCols = Seq("value"), tiebreak = "pid",
+        toleranceMicros = 3600L * 1000000)
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) === Some(1.5))  // 1000s old, within 1h
+    assert(got(2L) === None)       // latest match 40000s old -> nulled
+    assert(got(3L) === None)       // no match at all
+    // plain asof would have matched event 2
+    val plain = TemporalJoins.asof(left, right,
+        keys = Seq("user_id"), timeCol = "ts",
+        payloadCols = Seq("value"), tiebreak = "pid")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(plain(2L) === Some(2.5))
+  }
+
   test("binned range join == plain range predicate, any bin width") {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
