@@ -356,6 +356,59 @@ object Similarity {
       .limit(k)
   }
 
+  private def cosSimD(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var aa = 0.0; var bb = 0.0
+    a.zip(b).foreach { case (x, y) => d += x * y; aa += x * x; bb += y * y }
+    d / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /**
+   * Persist an IVF index PARTITIONED BY CELL (one directory per cell):
+   * the assignment pass runs once at build time and the layout makes
+   * every probe's `cell IN (...)` filter a PARTITION PRUNE — the scan
+   * physically lists and reads only the nProbe probed cells' directories
+   * (`PartitionFilters` in the plan, `numFiles` ≈ nProbe/nCells of the
+   * corpus), not just a post-scan filter. This is the 100 TB posture for
+   * a query-heavy corpus: [[ivfTopK]] re-assigns cells per query (fine
+   * for one-off), the index layout amortizes assignment AND I/O across
+   * every probe — the same move as [[Bucketing]]'s pre-shuffled join
+   * layout. (partitionBy, not bucketBy: Spark's planner auto-disables
+   * bucketed scans for filter-only queries, dropping bucket pruning with
+   * them; directory partitions always prune.)
+   */
+  def ivfIndexWrite(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Seq[Seq[Double]],
+      path: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(centroids)(col("v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a persisted [[ivfIndexWrite]] layout: rank centroids by query
+    * cosine, scan only the `nProbe` nearest cells' directories. Same
+    * probe semantics as [[ivfTopK]] (stable tie-break to the lower cell
+    * index). */
+  def ivfIndexProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Seq[Seq[Double]],
+      queryVec: Seq[Float],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val qd = queryVec.map(_.toDouble)
+    val qCells = centroids.zipWithIndex
+      .map { case (c, i) => i -> cosSimD(qd, c) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = typedLit(queryVec)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(qCells: _*))
+      .select(col("id"), round(cosine(col("v"), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine ≥ threshold (quadratic baseline). */
   def exactCosinePairs(
       df: DataFrame,

@@ -420,6 +420,54 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_ivf_indexed",
+      // the PERSISTED-index IVF path: assignments written once, laid out
+      // one directory per cell; probe = partition-pruned scan of the
+      // nProbe nearest cells (PartitionFilters in the plan — the scan
+      // physically skips the other cells' directories). Same centroid
+      // rule and probe semantics as sim_ann_ivf, so the same oracle
+      // replays it.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val centroids = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+          .orderBy(col("id")).limit(8).collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble)).toSeq
+        val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+        Similarity.ivfIndexWrite(corpus, "embedding", "vec_id", centroids, s"$root/ivf")
+        Similarity.ivfIndexProbe(s, s"$root/ivf", centroids, qv, 20, nProbe = 2)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        assign AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT ci FROM c
+                  ORDER BY list_dot_product(e.v, c.cv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           ci ASC LIMIT 1) AS cell
+          FROM e),
+        qcells AS (
+          SELECT ci FROM c, q
+          ORDER BY list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                   ci ASC LIMIT 2)
+        SELECT vec_id AS id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM assign, q WHERE cell IN (SELECT ci FROM qcells)
+        ORDER BY sim DESC, id LIMIT 20""")),
+
+    QueryDef(
       "pipeline_sample_split",
       // reproducible corpus splitting: hash-bucket membership is a pure
       // function of doc_id, identical in any engine / partitioning / run

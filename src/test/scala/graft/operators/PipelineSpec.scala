@@ -343,6 +343,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.toSet === Set(("alpha", 3L, 2L), ("beta", 1L, 1L), ("gamma", 1L, 1L)))
   }
 
+  test("persisted IVF index bucket-prunes the probe scan and matches per-query IVF") {
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val centroids = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .orderBy(col("id")).limit(8).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    Similarity.ivfIndexWrite(corpus, "embedding", "vec_id", centroids, s"$root/ivf")
+    val probe = Similarity.ivfIndexProbe(spark, s"$root/ivf", centroids, qv, 20, nProbe = 2)
+    // the layout makes the cell filter a PHYSICAL partition prune: the
+    // scan's file count covers only the probed cells' directories
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(800))
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.head.metrics("numFiles").value
+    val allFiles = new java.io.File(s"$root/ivf").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.listFiles()
+        .count(_.getName.endsWith(".parquet")).toLong).sum
+    assert(filesRead < allFiles, s"read $filesRead of $allFiles files — no pruning")
+    // same results as the per-query assignment path
+    val direct = Similarity.ivfTopK(corpus, "embedding", "vec_id", qv, 20,
+      nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === direct)
+  }
+
   test("knn join: per-id ranks contiguous, neighbors symmetric-bucket, scores match exact cosine") {
     val sample = embs.filter(col("vec_id") % 5 === 0)
     val out = Similarity.knnJoin(sample, "embedding", "vec_id", k = 3, numPlanes = 3)
