@@ -241,6 +241,71 @@ object StreamingQueries extends QueryRegistry {
         GROUP BY a.user_id""")),
 
     QueryDef(
+      "stream_curate",
+      (s, dir) => withStatePartitions(s, 4) {
+        // the curation pipeline RUNNING ON THE STREAM: documents produced
+        // into a topic TWICE (at-least-once redelivery), streamed back in
+        // two paced micro-batches, then quality gate -> language filter ->
+        // cross-batch exact dedup — the same pure column expressions as
+        // the batch pipeline_curate, proving the text operators are
+        // streaming-safe (stateless projections) and the dedup state
+        // carries batch 1's keys into batch 2
+        import graft.operators.TextAnalysis
+        val root = Files.createTempDirectory("graft_stream_c").toString
+        val cfg = TopicConfig(root, "docs")
+        // +1 day: a doc_id-0 record at epoch 0 would equal the INITIAL
+        // watermark and be discarded as late by the stateful dedup
+        val records = Tables.documents(s, dir).select(
+          col("doc_id").cast("string").as("partitionKey"),
+          timestamp_seconds(col("doc_id") + 86400).as("timestamp"),
+          col("text").as("value"))
+        PolarLog.produce(records, cfg)
+        PolarLog.produce(records, cfg) // redelivery
+        val n = records.count()
+        // dedup keyed on text ALONE (the curation semantics: one survivor
+        // per distinct content, exactly the oracle's GROUP BY text) — not
+        // dedupStream's (keys, timestamp) exactly-once-delivery shape
+        val curated = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n, 1)))
+          .select(col("timestamp"), col("value").cast("string").as("text"))
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+            TextAnalysis.langId(col("text")) === "en")
+          .withWatermark("timestamp", "60 days")
+          .dropDuplicates("text")
+        val q = curated.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_curate").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_curate")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT text,
+                 round(
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+                   least(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is|it|for|on)\\b')) AS DOUBLE)
+                         / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+                   (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                          / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) AS quality,
+                 len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS s_en,
+                 len(regexp_extract_all(lower(text), '\\b(el|la|los|las|de|que|y|es)\\b')) AS s_es,
+                 len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) AS s_de,
+                 len(regexp_extract_all(lower(text), '\\b(le|les|des|et|est|une|dans)\\b')) AS s_fr,
+                 len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+          FROM documents),
+        deduped AS (
+          SELECT text FROM scored
+          WHERE quality >= 0.5 AND s_en > 0
+            AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh)
+          GROUP BY text)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM deduped""")),
+
+    QueryDef(
       "stream_multi_topic",
       (s, dir) => {
         // one streaming query subscribed to TWO topics (the reference's
