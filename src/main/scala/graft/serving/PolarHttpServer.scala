@@ -132,7 +132,24 @@ class PolarHttpServer(
             s"""{"length":1,"names":["127.0.0.1"],"producerPort":$boundPort,"consumerPort":$boundPort}""",
             "application/json")
         case ("GET", "/metrics") =>
-          // the reference's Prometheus surface (A34) in text exposition
+          // the reference's Prometheus surface (A34) in text exposition,
+          // plus a consumer-lag gauge per (group, topic): tail minus
+          // committed, summed over partitions — pure registry arithmetic,
+          // no data reads (the operability gauge every Kafka-shaped
+          // deployment alerts on)
+          val lagLines = consumers.values.toSeq
+            .flatMap(r => r.topics.map(t => (r.group, t))).distinct.sorted
+            .flatMap { case (g, t) =>
+              scala.util.Try {
+                val cfg = cfgOf(t)
+                val tails = graft.log.PolarLog.tails(cfg)
+                val comm = ConsumerGroups.committed(cfg, g).getOrElse(Map.empty)
+                val lag = tails.map { case (p, tl) =>
+                  math.max(0L, tl - comm.getOrElse(p, 0L))
+                }.sum
+                s"""polar_consumer_lag{group="$g",topic="$t"} $lag"""
+              }.toOption
+            }
           respond(ex, 200,
             s"""polar_messages_received ${messagesReceived.get}
                |polar_messages_body_bytes ${bodyBytesReceived.get}
@@ -140,7 +157,7 @@ class PolarHttpServer(
                |polar_active_consumers ${activeConsumers()}
                |polar_produce_flushes ${coalescer.flushCount}
                |polar_retention_sweeps ${retention.sweeps}
-               |""".stripMargin)
+               |""".stripMargin + lagLines.map(_ + "\n").mkString)
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()

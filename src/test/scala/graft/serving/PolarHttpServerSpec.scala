@@ -193,6 +193,30 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.body().contains("polar_produce_flushes"))
   }
 
+  test("consumer lag gauge tracks tail minus committed and drains to zero") {
+    for (i <- 0 until 6)
+      assert(post(s"/v1/topic/lagged/messages?partitionKey=k$i",
+        s"""{"i":$i}""".getBytes(UTF_8)).statusCode() === 200)
+    assert(put("/v1/consumer/register?consumerId=lc&group=lg&topic=lagged&onNewGroup=startFromEarliest")
+      .statusCode() === 200)
+    val before = get("/metrics").body()
+    val lagRe = """polar_consumer_lag\{group="lg",topic="lagged"\} (\d+)""".r
+    val lag0 = lagRe.findFirstMatchIn(before).map(_.group(1).toLong)
+    assert(lag0 === Some(6L), s"expected full lag, metrics:\n$before")
+    // drain: poll (may take several chunked polls), then commit the pending
+    var polls = 0
+    var more = true
+    while (more && polls < 20) {
+      more = post("/v1/consumer/poll?consumerId=lc", Array.empty).statusCode() === 200
+      polls += 1
+    }
+    val commit = post("/v1/consumer/commit?consumerId=lc", Array.empty).statusCode()
+    assert(commit === 200 || commit === 204, s"commit -> $commit")
+    val after = get("/metrics").body()
+    assert(lagRe.findFirstMatchIn(after).map(_.group(1).toLong) === Some(0L),
+      s"expected zero lag after drain, metrics:\n$after")
+  }
+
   test("inactive consumers are evicted and their partitions rebalance") {
     val fast = new PolarHttpServer(spark, root, inactivityTimeoutMs = 300).start()
     try {
