@@ -677,6 +677,39 @@ object RelationalQueries extends QueryRegistry {
         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""")),
 
     QueryDef(
+      "q_funnel",
+      // event-funnel conversion: of the users who clicked, how many made a
+      // purchase within 30 minutes AFTER a click — composed from the
+      // binned range join (no theta-join), distinct-user collapse on each
+      // side, one row out
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val converted = graft.operators.TemporalJoins.rangeJoinBinned(
+            clicks, purchases, keys = Seq("user_id"), timeCol = "ts",
+            beforeMicros = 0L, afterMicros = 30L * 60 * 1000000,
+            binMicros = 30L * 60 * 1000000)
+          .select(col("l.user_id")).distinct()
+        clicks.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users_clicked"))
+          .crossJoin(converted.agg(count(lit(1)).as("n_users_converted")))
+      },
+      Some("""
+        SELECT
+          (SELECT COUNT(DISTINCT user_id) FROM events
+           WHERE event_type = 'click') AS n_users_clicked,
+          (SELECT COUNT(DISTINCT a.user_id) FROM events a
+           WHERE a.event_type = 'click' AND EXISTS (
+             SELECT 1 FROM events b
+             WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+               AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+               AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE))
+            AS n_users_converted""")),
+
+    QueryDef(
       "q_bucketed_join",
       // co-located join: both sides written bucketed by the join key, so
       // the sort-merge join plans with ZERO exchanges (the shuffle is paid
