@@ -677,6 +677,26 @@ object RelationalQueries extends QueryRegistry {
         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""")),
 
     QueryDef(
+      "q_window_range_frame",
+      // value-based (RANGE) window frame: each order's trailing-30-day
+      // customer spend — the window family rows-frames can't express;
+      // ordering key is an integer day number so the frame bound is exact
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        FROM orders""")),
+
+    QueryDef(
       "q_funnel",
       // event-funnel conversion: of the users who clicked, how many made a
       // purchase within 30 minutes AFTER a click — composed from the
