@@ -677,6 +677,28 @@ object RelationalQueries extends QueryRegistry {
         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""")),
 
     QueryDef(
+      "q_unpivot",
+      // UNPIVOT/melt (the inverse of q_pivot): wide numeric columns to
+      // (metric, value) rows, then aggregated per metric — the reshaping
+      // op long-format pipelines need; exact DECIMAL sums so the melt is
+      // verifiable
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), col("value"),
+          col("user_id").cast("double").as("uid"))
+        .unpivot(Array(col("event_id")), Array(col("value"), col("uid")),
+          "metric", "v")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("v"))).cast("double").as("total")),
+      Some("""
+        SELECT 'value' AS metric, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        UNION ALL
+        SELECT 'uid', COUNT(*),
+               CAST(SUM(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+        FROM events""")),
+
+    QueryDef(
       "q_window_range_frame",
       // value-based (RANGE) window frame: each order's trailing-30-day
       // customer spend — the window family rows-frames can't express;
