@@ -557,6 +557,48 @@ object PolarLogQueries extends QueryRegistry {
         HAVING SUM(CASE WHEN rem = 1 THEN 1 ELSE 0 END) > 0""")),
 
     QueryDef(
+      "polar_compact",
+      (s, dir) => {
+        // SEGMENT COMPACTION: four per-request-sized produces leave four
+        // small segments per partition; one compaction pass merges each
+        // partition's run into a single full segment — offsets, order and
+        // rows preserved exactly (the consume aggregate replays from
+        // `events`), and the oracle-checkable n_files column proves every
+        // data-bearing partition ended at ONE registered file.
+        val root = Files.createTempDirectory("graft_polar_cp").toString
+        val cfg = TopicConfig(root, "cmp")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(4)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        (0 until 4).foreach(r => PolarLog.produce(slice(r), cfg,
+          orderBy = Seq(col("timestamp"), col("value"))))
+        val merged = graft.sources.PolarCompaction.compact(s, cfg,
+          smallBytes = 1L << 30, minRun = 2)
+        require(merged > 0, "compaction merged nothing")
+        val meta = LogMetadata.read(cfg)
+        val fileCounts: Map[Int, Long] =
+          meta.filesByPart.map { case (p, v) => p -> v.size.toLong }.toMap
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
+            min(col("offset")).as("min_off"))
+          .withColumn("n_files",
+            element_at(typedLit(fileCounts), col("part").cast("int")))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) AS n, COUNT(*) AS off_span,
+               CAST(0 AS BIGINT) AS min_off, CAST(1 AS BIGINT) AS n_files
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.log.{FileEntry, HadoopConf, LogMetadata, TopicConfig}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Segment compaction: merge runs of small adjacent segments into full-size
+ * ones. Per-request produces (the HTTP/binary façade, short micro-batches)
+ * leave a long tail of tiny files; at 100 TB that inflates the registry,
+ * the open-file count of every scan, and object-store request rates. The
+ * reference ducks this by coalescing BEFORE the write
+ * (`/root/reference/internal/producing/coalescer.go:24-27`) and rolling
+ * 1 GiB segments; this pass restores that invariant after the fact for
+ * whatever slipped through.
+ *
+ * Visibility discipline mirrors retention/rebase: merged files are written
+ * FIRST (invisible — readers plan from the registry, never the directory),
+ * then ONE metadata CAS swaps each run for its merged entry, then the old
+ * files are deleted. A run whose members changed under the CAS (retention
+ * raced it) is skipped and its merged file reclaimed — offsets, order and
+ * bytes are preserved exactly, so a reader planning across the swap sees
+ * the same rows either way.
+ */
+object PolarCompaction {
+
+  /** Merge every run of ≥ `minRun` adjacent segments smaller than
+    * `smallBytes` (runs capped at the topic's `maxFileBytes`). Returns the
+    * number of runs merged. */
+  def compact(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      smallBytes: Long = 64L << 20,
+      minRun: Int = 2): Int = {
+    val meta = LogMetadata.read(cfg)
+    val plans = meta.filesByPart.toSeq.sortBy(_._1).flatMap { case (p, files) =>
+      runsOf(files.sortBy(_.minOffset), smallBytes, minRun,
+          PolarWrite.DefaultMaxFileBytes)
+        .map(run => p -> run)
+    }
+    if (plans.isEmpty) return 0
+
+    // 1) write the merged segments (invisible until the CAS)
+    val merged: Seq[((Int, Vector[FileEntry]), FileEntry)] = plans.map {
+      case (p, run) =>
+        val suffix = java.util.UUID.randomUUID().toString.take(8)
+        val name = f"cp${run.head.minOffset}%011d-$suffix.parquet"
+        val destPath = s"${cfg.dir}/part=$p/$name"
+        val bytes = PolarBatchWrite.copySegments(
+          spark, run.map(_.path(cfg)), destPath, delta = 0L)
+        (p, run) -> FileEntry(p, name, run.head.minOffset, run.last.maxOffset,
+          run.map(_.count).sum, bytes, System.currentTimeMillis())
+    }
+
+    // 2) swap runs for merged entries — only where every member is still
+    //    registered (appends only ADD files; retention may have removed)
+    LogMetadata.compareAndSet(cfg, meta) { cur =>
+      cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+        var vec = v
+        merged.filter(_._1._1 == p).foreach { case ((_, run), m) =>
+          val names = run.map(_.name).toSet
+          if (names.forall(n => vec.exists(_.name == n)))
+            vec = (vec.filterNot(f => names(f.name)) :+ m).sortBy(_.minOffset)
+        }
+        p -> vec
+      })
+    }
+
+    // 3) delete what the swap superseded; reclaim merged files whose run
+    //    lost the race
+    val after = LogMetadata.read(cfg)
+    val conf = HadoopConf.shared
+    def rm(path: String): Unit =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      } catch { case _: java.io.IOException => () }
+    var applied = 0
+    merged.foreach { case ((p, run), m) =>
+      if (after.filesOf(p).exists(_.name == m.name)) {
+        applied += 1
+        run.foreach(f => rm(f.path(cfg)))
+      } else rm(m.path(cfg))
+    }
+    applied
+  }
+
+  /** Maximal runs of adjacent entries all below `smallBytes`, split so a
+    * run's total stays under `maxBytes`, keeping only runs of ≥ `minRun`. */
+  private[sources] def runsOf(
+      sorted: Vector[FileEntry],
+      smallBytes: Long,
+      minRun: Int,
+      maxBytes: Long): Seq[Vector[FileEntry]] = {
+    val out = Seq.newBuilder[Vector[FileEntry]]
+    var cur = Vector.empty[FileEntry]
+    var curBytes = 0L
+    def flush(): Unit = {
+      if (cur.length >= minRun) out += cur
+      cur = Vector.empty; curBytes = 0L
+    }
+    sorted.foreach { f =>
+      if (f.bytes >= smallBytes) flush()
+      else if (curBytes + f.bytes > maxBytes) { flush(); cur = Vector(f); curBytes = f.bytes }
+      else { cur = cur :+ f; curBytes += f.bytes }
+    }
+    flush()
+    out.result()
+  }
+}

@@ -116,8 +116,29 @@ object PolarBatchWrite {
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val newName = s"rb$suffix-${f.name}"
     val destPath = s"${cfg.dir}/part=${f.part}/$newName"
-    val srcPath = f.path(cfg)
-    val rdd = spark.read.schema(PolarLog.ValueSchema).parquet(srcPath)
+    val bytes = copySegments(spark, Seq(f.path(cfg)), destPath, delta)
+    val hconf = graft.log.HadoopConf.shared
+    try {
+      val old = new Path(f.path(cfg))
+      val fs = old.getFileSystem(hconf)
+      if (fs.exists(old)) fs.delete(old, false)
+    } catch { case _: java.io.IOException => () }
+    f.copy(name = newName, minOffset = f.minOffset + delta,
+      maxOffset = f.maxOffset + delta, bytes = bytes,
+      createdMs = System.currentTimeMillis())
+  }
+
+  /** Stream the rows of `srcPaths` (offset order, offsets shifted by
+    * `delta`) into ONE destination segment through the same parquet write
+    * support + conf as the original produce (identical physical
+    * types/codec). Returns the new file's byte size. Shared by the rebase
+    * rewrite and segment compaction. */
+  private[sources] def copySegments(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String],
+      destPath: String,
+      delta: Long): Long = {
+    val rdd = spark.read.schema(PolarLog.ValueSchema).parquet(srcPaths: _*)
       .coalesce(1).sortWithinPartitions("offset")
       .queryExecution.toRdd
     rdd.foreachPartition {
@@ -134,17 +155,8 @@ object PolarBatchWrite {
           writer.write(buf)
         } finally writer.close()
     }
-    val hconf = graft.log.HadoopConf.shared
     val dest = new Path(destPath)
-    val fs = dest.getFileSystem(hconf)
-    val bytes = fs.getFileStatus(dest).getLen
-    try {
-      val old = new Path(srcPath)
-      if (fs.exists(old)) fs.delete(old, false)
-    } catch { case _: java.io.IOException => () }
-    f.copy(name = newName, minOffset = f.minOffset + delta,
-      maxOffset = f.maxOffset + delta, bytes = bytes,
-      createdMs = System.currentTimeMillis())
+    dest.getFileSystem(graft.log.HadoopConf.shared).getFileStatus(dest).getLen
   }
 }
 

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.log.{LogMetadata, PolarLog, TopicConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Segment compaction: registry shrinks, rows/offsets byte-stable, idempotent. */
+class PolarCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = graft.GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def snapshot(cfg: TopicConfig): Seq[(Int, Long, String)] =
+    PolarLog.consume(spark, cfg)
+      .select(col("part"), col("offset"), col("value").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq.sorted
+
+  test("compaction merges small runs, preserves rows+offsets, and is idempotent") {
+    val root = Files.createTempDirectory("polar_cp_spec").toString
+    val cfg = TopicConfig(root, "cmp")
+    def slice(rem: Int) = graft.Tables.events(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(3)) === rem)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    (0 until 3).foreach(r => PolarLog.produce(slice(r), cfg,
+      orderBy = Seq(col("timestamp"), col("value"))))
+
+    val before = snapshot(cfg)
+    val filesBefore = LogMetadata.read(cfg).files.size
+    val merged = PolarCompaction.compact(spark, cfg, smallBytes = 1L << 30, minRun = 2)
+    assert(merged > 0)
+    val metaAfter = LogMetadata.read(cfg)
+    assert(metaAfter.files.size < filesBefore)
+    // every data-bearing partition collapsed to one registered segment
+    metaAfter.filesByPart.foreach { case (_, v) => assert(v.size <= 1) }
+    // rows, offsets, order, payloads: byte-stable across the swap
+    assert(snapshot(cfg) === before)
+    // offsets stay dense per partition
+    metaAfter.filesByPart.filter(_._2.nonEmpty).foreach { case (p, v) =>
+      assert(v.head.minOffset === 0L)
+      assert(v.head.count === v.head.maxOffset - v.head.minOffset + 1)
+    }
+    // second pass finds nothing (runs of one)
+    assert(PolarCompaction.compact(spark, cfg, smallBytes = 1L << 30, minRun = 2) === 0)
+    // new small segments re-qualify and the data stays intact
+    PolarLog.produce(slice(0), cfg, orderBy = Seq(col("timestamp"), col("value")))
+    assert(PolarCompaction.compact(spark, cfg, smallBytes = 1L << 30, minRun = 2) > 0)
+    assert(PolarLog.consume(spark, cfg).count() === before.size + slice(0).count())
+  }
+
+  test("files at or above the small threshold never join a run") {
+    val f = (o: Long, b: Long) => graft.log.FileEntry(0, s"f$o", o, o + 9, 10, b, 0L)
+    // small, small, BIG, small -> one run of the two leading smalls
+    val runs = PolarCompaction.runsOf(
+      Vector(f(0, 10), f(10, 10), f(20, 999), f(30, 10)),
+      smallBytes = 100, minRun = 2, maxBytes = 1L << 30)
+    assert(runs === Seq(Vector(f(0, 10), f(10, 10))))
+    // run splits when the cumulative size would exceed maxBytes
+    val capped = PolarCompaction.runsOf(
+      Vector(f(0, 60), f(10, 60), f(20, 60), f(30, 60)),
+      smallBytes = 100, minRun = 2, maxBytes = 130)
+    assert(capped.forall(_.map(_.bytes).sum <= 130))
+    assert(capped.flatten.size >= 2)
+  }
+}
