@@ -86,6 +86,7 @@ class PolarHttpServer(
   // serving metrics (A34, `internal/metrics/metrics.go:13-87`)
   private val messagesReceived = new java.util.concurrent.atomic.AtomicLong
   private val bodyBytesReceived = new java.util.concurrent.atomic.AtomicLong
+  private val compactionsRun = new java.util.concurrent.atomic.AtomicLong
   private val pollsServed = new java.util.concurrent.atomic.AtomicLong
   private val activeConsumers = () => consumers.size
 
@@ -157,12 +158,24 @@ class PolarHttpServer(
                |polar_active_consumers ${activeConsumers()}
                |polar_produce_flushes ${coalescer.flushCount}
                |polar_retention_sweeps ${retention.sweeps}
+               |polar_segments_merged ${compactionsRun.get}
                |""".stripMargin + lagLines.map(_ + "\n").mkString)
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()
           respond(ex, 200, res.toSeq.sortBy(_._1).map { case (t, s) =>
             s""""$t":{"aged":${s.agedDeleted},"orphans":${s.orphansDeleted}}"""
+          }.mkString("{", ",", "}"), "application/json")
+        case ("POST", "/v1/admin/compact") =>
+          // merge small-segment runs in every topic under the root (the
+          // per-request produce path creates one segment per flush); same
+          // write-then-CAS-then-delete visibility as retention
+          val res = retention.topics().map { cfg =>
+            cfg.topic -> graft.sources.PolarCompaction.compact(spark, cfg)
+          }
+          compactionsRun.addAndGet(res.map(_._2).sum.toLong)
+          respond(ex, 200, res.sortBy(_._1).map { case (t, n) =>
+            s""""$t":{"merged":$n}"""
           }.mkString("{", ",", "}"), "application/json")
         case ("POST", TopicMessages(topic)) => handleProduce(ex, topic)
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
