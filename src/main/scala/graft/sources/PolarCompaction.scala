@@ -53,17 +53,30 @@ object PolarCompaction {
     }
 
     // 2) swap runs for merged entries — only where every member is still
-    //    registered (appends only ADD files; retention may have removed)
-    LogMetadata.compareAndSet(cfg, meta) { cur =>
-      cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
-        var vec = v
-        merged.filter(_._1._1 == p).foreach { case ((_, run), m) =>
-          val names = run.map(_.name).toSet
-          if (names.forall(n => vec.exists(_.name == n)))
-            vec = (vec.filterNot(f => names(f.name)) :+ m).sortBy(_.minOffset)
+    //    registered (appends only ADD files; retention may have removed).
+    //    The copy phase above takes real time, so a concurrent produce
+    //    bumping the version is EXPECTED — re-read and replay the swap (the
+    //    membership check makes replaying safe against any interleaving);
+    //    if the CAS never lands, the cleanup below reclaims every merged
+    //    file and the pass reports 0.
+    var attempts = 0
+    var swapped = false
+    while (!swapped && attempts < 5) {
+      val base = LogMetadata.read(cfg)
+      try {
+        LogMetadata.compareAndSet(cfg, base) { cur =>
+          cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+            var vec = v
+            merged.filter(_._1._1 == p).foreach { case ((_, run), m) =>
+              val names = run.map(_.name).toSet
+              if (names.forall(n => vec.exists(_.name == n)))
+                vec = (vec.filterNot(f => names(f.name)) :+ m).sortBy(_.minOffset)
+            }
+            p -> vec
+          })
         }
-        p -> vec
-      })
+        swapped = true
+      } catch { case _: graft.log.ConcurrentMetadataException => attempts += 1 }
     }
 
     // 3) delete what the swap superseded; reclaim merged files whose run
