@@ -296,7 +296,8 @@ object PolarLog {
     * reclamation, the analog of the reference recycling failed chunks). */
   def vacuum(cfg: TopicConfig,
       manifestGraceMs: Long = 10L * 60 * 1000,
-      nowMs: Long = System.currentTimeMillis()): Int = {
+      nowMs: Long = System.currentTimeMillis(),
+      dataGraceMs: Long = 0L): Int = {
     val meta = LogMetadata.read(cfg)
     val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet
     val fs = fileSystem(cfg)
@@ -308,7 +309,10 @@ object PolarLog {
         fs.listStatus(pdir.getPath).foreach { f =>
           val rel = s"${pdir.getPath.getName}/${f.getPath.getName}"
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !registered.contains(rel)) {
+              !registered.contains(rel) &&
+              // dataGraceMs > 0 protects readers that planned against a
+              // pre-compaction registry and still hold the old file names
+              f.getModificationTime < nowMs - dataGraceMs) {
             fs.delete(f.getPath, false)
             deleted += 1
           }

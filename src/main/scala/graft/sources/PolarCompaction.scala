@@ -25,13 +25,22 @@ import org.apache.spark.sql.SparkSession
 object PolarCompaction {
 
   /** Merge every run of ≥ `minRun` adjacent segments smaller than
-    * `smallBytes` (runs capped at the topic's `maxFileBytes`). Returns the
-    * number of runs merged. */
+    * `smallBytes` (runs capped at the 1 GiB roll size). Returns the number
+    * of runs merged.
+    *
+    * `deleteOriginals = false` leaves the superseded files on disk as
+    * UNREGISTERED orphans — invisible to every new planner but still
+    * readable by long-running queries that planned against the
+    * pre-compaction registry; reclaim them later with
+    * `PolarLog.vacuum(cfg, dataGraceMs = maxQueryDuration)`. The default
+    * deletes immediately (right for batch topics with no readers in
+    * flight). */
   def compact(
       spark: SparkSession,
       cfg: TopicConfig,
       smallBytes: Long = 64L << 20,
-      minRun: Int = 2): Int = {
+      minRun: Int = 2,
+      deleteOriginals: Boolean = true): Int = {
     val meta = LogMetadata.read(cfg)
     val plans = meta.filesByPart.toSeq.sortBy(_._1).flatMap { case (p, files) =>
       runsOf(files.sortBy(_.minOffset), smallBytes, minRun,
@@ -93,7 +102,7 @@ object PolarCompaction {
     merged.foreach { case ((p, run), m) =>
       if (after.filesOf(p).exists(_.name == m.name)) {
         applied += 1
-        run.foreach(f => rm(f.path(cfg)))
+        if (deleteOriginals) run.foreach(f => rm(f.path(cfg)))
       } else rm(m.path(cfg))
     }
     applied

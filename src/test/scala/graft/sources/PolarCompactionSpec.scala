@@ -60,6 +60,35 @@ class PolarCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, cfg).count() === before.size + slice(0).count())
   }
 
+  test("deferred-delete mode keeps originals readable until an age-gated vacuum") {
+    val root = Files.createTempDirectory("polar_cp_defer").toString
+    val cfg = TopicConfig(root, "defer")
+    def slice(rem: Int) = graft.Tables.events(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(2)) === rem)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    (0 until 2).foreach(r => PolarLog.produce(slice(r), cfg,
+      orderBy = Seq(col("timestamp"), col("value"))))
+    val oldPaths = LogMetadata.read(cfg).files
+      .map(f => new org.apache.hadoop.fs.Path(f.path(cfg)))
+    assert(PolarCompaction.compact(spark, cfg, smallBytes = 1L << 30,
+      minRun = 2, deleteOriginals = false) > 0)
+    val fs = oldPaths.head.getFileSystem(graft.log.HadoopConf.shared)
+    // superseded files still on disk (an in-flight reader can finish)...
+    assert(oldPaths.forall(fs.exists))
+    // ...but invisible to new planners (registry lists only merged files)
+    assert(snapshot(cfg).size === LogMetadata.read(cfg).files.map(_.count).sum)
+    // an age-gated vacuum protects them inside the grace window...
+    PolarLog.vacuum(cfg, dataGraceMs = 60L * 60 * 1000)
+    assert(oldPaths.forall(fs.exists))
+    // ...and reclaims them beyond it
+    PolarLog.vacuum(cfg, dataGraceMs = 0L)
+    assert(!oldPaths.exists(fs.exists))
+    // data unchanged throughout
+    assert(snapshot(cfg).size.toLong ===
+      graft.Tables.events(spark, sfDir).count())
+  }
+
   test("files at or above the small threshold never join a run") {
     val f = (o: Long, b: Long) => graft.log.FileEntry(0, s"f$o", o, o + 9, 10, b, 0L)
     // small, small, BIG, small -> one run of the two leading smalls
