@@ -312,7 +312,9 @@ object PolarLog {
               !registered.contains(rel) &&
               // dataGraceMs > 0 protects readers that planned against a
               // pre-compaction registry and still hold the old file names
-              f.getModificationTime < nowMs - dataGraceMs) {
+              // (<= so the grace-0 default deletes same-millisecond files,
+              // exactly the pre-grace behavior)
+              f.getModificationTime <= nowMs - dataGraceMs) {
             fs.delete(f.getPath, false)
             deleted += 1
           }
