@@ -33,9 +33,14 @@ final class RetentionScheduler(
     retentionMs: Long = RetentionScheduler.DefaultRetentionMs,
     periodMs: Long = RetentionScheduler.DefaultPeriodMs,
     clusterSize: Int = 3,
-    rangesPerToken: Int = 4) extends AutoCloseable {
+    rangesPerToken: Int = 4,
+    // optional per-topic segment compactor (e.g. PolarCompaction.compact
+    // with deleteOriginals = false) — injected as a function so the
+    // metadata plane stays independent of the Spark execution layer
+    compactor: Option[TopicConfig => Int] = None) extends AutoCloseable {
 
   @volatile private var sweepsDone: Long = 0L
+  @volatile private var mergedDone: Long = 0L
   @volatile private var lastSweep: Map[String, RetentionScheduler.Sweep] = Map.empty
   @volatile private var lastSweepError: Option[Throwable] = None
   private var scheduled: Option[ScheduledFuture[_]] = None
@@ -84,14 +89,22 @@ final class RetentionScheduler(
         val orphans =
           try PolarLog.vacuum(cfg, nowMs = nowMs)
           catch { case NonFatal(_) => 0 }
-        cfg.topic -> RetentionScheduler.Sweep(aged, orphans)
+        // compaction runs AFTER vacuum: a deferred-delete compactor's
+        // superseded originals survive as unregistered orphans until the
+        // NEXT sweep's vacuum — the loop period doubles as the reader
+        // grace window
+        val mer = compactor.map(c =>
+          try c(cfg) catch { case NonFatal(_) => 0 }).getOrElse(0)
+        cfg.topic -> RetentionScheduler.Sweep(aged, orphans, mer)
       }.toMap
+      mergedDone += res.valuesIterator.map(_.merged.toLong).sum
       sweepsDone += 1
       lastSweep = res
       res
     }
 
   def sweeps: Long = sweepsDone
+  def merged: Long = mergedDone
   def last: Map[String, RetentionScheduler.Sweep] = lastSweep
   def lastError: Option[Throwable] = lastSweepError
 
@@ -110,5 +123,5 @@ object RetentionScheduler {
     * (`internal/data/datalog_cleaner.go:16-37`). */
   val DefaultPeriodMs: Long = 5L * 60 * 1000
 
-  final case class Sweep(agedDeleted: Int, orphansDeleted: Int)
+  final case class Sweep(agedDeleted: Int, orphansDeleted: Int, merged: Int = 0)
 }

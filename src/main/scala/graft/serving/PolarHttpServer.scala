@@ -96,9 +96,14 @@ class PolarHttpServer(
 
   def flushCount: Long = coalescer.flushCount
 
-  /** The reference's 5-min datalog cleaner loop (A25) over this root. */
+  /** The reference's 5-min datalog cleaner loop (A25) over this root —
+    * plus scheduled segment compaction: per-request produces fragment the
+    * log, each sweep re-merges; deferred deletes mean superseded originals
+    * stay readable for one full period (the in-flight-reader grace). */
   val retention = new RetentionScheduler(
-    root, retentionMs, retentionSweepMs, clusterSize, rangesPerToken)
+    root, retentionMs, retentionSweepMs, clusterSize, rangesPerToken,
+    compactor = Some(cfg => graft.sources.PolarCompaction.compact(
+      spark, cfg, deleteOriginals = false)))
 
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 
@@ -158,13 +163,13 @@ class PolarHttpServer(
                |polar_active_consumers ${activeConsumers()}
                |polar_produce_flushes ${coalescer.flushCount}
                |polar_retention_sweeps ${retention.sweeps}
-               |polar_segments_merged ${compactionsRun.get}
+               |polar_segments_merged ${compactionsRun.get + retention.merged}
                |""".stripMargin + lagLines.map(_ + "\n").mkString)
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()
           respond(ex, 200, res.toSeq.sortBy(_._1).map { case (t, s) =>
-            s""""$t":{"aged":${s.agedDeleted},"orphans":${s.orphansDeleted}}"""
+            s""""$t":{"aged":${s.agedDeleted},"orphans":${s.orphansDeleted},"merged":${s.merged}}"""
           }.mkString("{", ",", "}"), "application/json")
         case ("POST", "/v1/admin/compact") =>
           // merge small-segment runs in every topic under the root (the

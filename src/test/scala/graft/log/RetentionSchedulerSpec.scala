@@ -120,4 +120,40 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!names.contains("not_a_topic"))
     assert(names.contains("ret_age"))
   }
+
+  test("sweep compactor merges fragments; next sweep's vacuum reclaims deferred originals") {
+    val root2 = java.nio.file.Files.createTempDirectory("ret_compact").toString
+    val cfg = TopicConfig(root2, "frag")
+    def slice(rem: Int) = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.lit(2)) === rem)
+      .select(
+        org.apache.spark.sql.functions.col("user_id").cast("string").as("partitionKey"),
+        org.apache.spark.sql.functions.col("ts").as("timestamp"),
+        org.apache.spark.sql.functions.col("props").as("value"))
+    (0 until 2).foreach(r => PolarLog.produce(slice(r), cfg))
+    val total = PolarLog.consume(spark, cfg).count()
+    val sched = new RetentionScheduler(root2, retentionMs = Long.MaxValue / 2,
+      compactor = Some(c => graft.sources.PolarCompaction.compact(
+        spark, c, smallBytes = 1L << 30, minRun = 2, deleteOriginals = false)))
+    val first = sched.sweep()
+    assert(first("frag").merged > 0)
+    assert(sched.merged > 0)
+    // deferred originals survive the sweep that created them...
+    val fs = PolarLog.fileSystem(cfg)
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.dir))
+      .filter(_.getPath.getName.startsWith("part="))
+    val onDisk = partDirs.map(d => fs.listStatus(d.getPath)
+      .count(_.getPath.getName.endsWith(".parquet"))).sum
+    val registered = LogMetadata.read(cfg).files.size
+    assert(onDisk > registered, s"expected deferred originals, disk=$onDisk reg=$registered")
+    // ...and the next sweep's vacuum reclaims them (period = grace)
+    val second = sched.sweep()
+    assert(second("frag").orphansDeleted > 0)
+    val onDisk2 = partDirs.map(d => fs.listStatus(d.getPath)
+      .count(_.getPath.getName.endsWith(".parquet"))).sum
+    assert(onDisk2 === LogMetadata.read(cfg).files.size)
+    assert(PolarLog.consume(spark, cfg).count() === total)
+  }
 }
