@@ -200,6 +200,37 @@ object PipelineQueries extends QueryRegistry {
         FROM reach GROUP BY node""")),
 
     QueryDef(
+      "dedup_keep",
+      // the TERMINAL dedup step end-to-end: near-dup pairs → connected
+      // components → drop every cluster member except its min-id
+      // representative; unique documents pass through untouched. One
+      // left-anti join against the (tiny) non-representative set.
+      (s, dir) => {
+        val docs10 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        val clusters = Dedup.connectedComponents(minhashPairs(s, dir), "id_a", "id_b")
+        Dedup.keepRepresentatives(docs10, "doc_id", clusters)
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION
+          SELECT r.node, e.dst AS peer
+          FROM reach r JOIN edges e ON e.src = r.peer),
+        cc AS (
+          SELECT node AS id, least(node, min(peer)) AS cid
+          FROM reach GROUP BY node),
+        dropped AS (SELECT id FROM cc WHERE id <> cid)
+        SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT id FROM dropped)""")),
+
+    QueryDef(
       "dedup_simhash",
       (s, dir) => Dedup.md5SimhashPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
