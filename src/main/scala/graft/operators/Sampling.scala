@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Reproducible sampling for training-data curation: membership is a pure
@@ -49,5 +50,42 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
     }
     df.filter(hashBucket(col(keyCol)) < rate)
+  }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * stable `pos` by rank in content-hash order of its key — the standard
+    * pre-training corpus shuffle, reproducible across runs/engines/cluster
+    * sizes because the order is a pure function of (seed, key), not of an
+    * RNG stream or partition layout.
+    *
+    * Scale shape: range-partition on the hash key + sort WITHIN partitions
+    * (a distributed total sort — no single-task global sort), then assign
+    * positions by partition-prefix sums (`zipWithIndex`: one lightweight
+    * count job + one pass). At 100 TB this is exactly how you'd shard a
+    * shuffled corpus; the sort key is 8 bytes per row regardless of row
+    * width. Range boundaries come from sampling and may vary run to run,
+    * but `pos` does not: the (hash, key) order is total, so positions are
+    * independent of where the partition cuts land. */
+  def globalShuffle(
+      df: DataFrame,
+      keyCol: String,
+      seed: Long = 0L,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val key = Dedup.md5Hash60(
+      concat(lit(seed.toString), lit(":"), col(keyCol).cast("string")))
+    val sorted = df
+      .withColumn("__shuffle_key", key)
+      .repartitionByRange(n, col("__shuffle_key"), col(keyCol))
+      .sortWithinPartitions(col("__shuffle_key"), col(keyCol))
+      .drop("__shuffle_key")
+    val out = sorted.schema.add("pos", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, out)
   }
 }

@@ -231,6 +231,55 @@ object PipelineQueries extends QueryRegistry {
         WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT id FROM dropped)""")),
 
     QueryDef(
+      "dedup_semantic",
+      // semantic dedup in EMBEDDING space: LSH-bucketed cosine pairs →
+      // connected components → keep each cluster's min-id representative.
+      // Same %5 sample + data-derived planes as sim_pairs_lsh (bucketing
+      // verified there); this entry verifies the composition into a
+      // surviving corpus — the embedding-side analog of dedup_keep. At
+      // scale every stage is the banded/bucketed shape: pairs only within
+      // buckets, components over the (tiny) near-dup edge set, survivors
+      // via one left-anti join.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+        val pairs = Similarity.dataPlaneCosinePairs(
+          emb, "embedding", "vec_id", threshold = 0.3, numPlanes = 4)
+        val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.keepRepresentatives(emb, "vec_id", clusters)
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("vec_id")).cast("long").as("id_sum"))
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj, v AS pv
+          FROM e ORDER BY vec_id LIMIT 4),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        prs AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION
+          SELECT r.node, e2.dst AS peer
+          FROM reach r JOIN edges e2 ON e2.src = r.peer),
+        cc AS (SELECT node AS id, least(node, min(peer)) AS cid
+               FROM reach GROUP BY node),
+        dropped AS (SELECT id FROM cc WHERE id <> cid)
+        SELECT COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        FROM e WHERE vec_id NOT IN (SELECT id FROM dropped)""")),
+
+    QueryDef(
       "dedup_simhash",
       (s, dir) => Dedup.md5SimhashPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
@@ -511,6 +560,22 @@ object PipelineQueries extends QueryRegistry {
                     ELSE 'test' END AS split, COUNT(*) AS n
         FROM (SELECT ${OracleSql.md5Hash60("doc_id")} % 100 AS b FROM documents)
         GROUP BY 1""")),
+
+    QueryDef(
+      "pipeline_shuffle",
+      // deterministic global shuffle for training order: every doc's
+      // position is its rank in content-hash order — reproducible across
+      // runs/engines/cluster sizes. Assigned by range-partitioned sort +
+      // partition-prefix sums (zipWithIndex), never a single-task global
+      // sort; the 8-byte sort key is row-width-independent.
+      (s, dir) => graft.operators.Sampling.globalShuffle(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", seed = 7L)
+        .select(col("pos"), col("doc_id")),
+      Some(s"""
+        SELECT row_number() OVER (ORDER BY h, doc_id) - 1 AS pos, doc_id
+        FROM (SELECT doc_id,
+                ${OracleSql.md5Hash60("'7:' || doc_id")} AS h
+              FROM documents)""")),
 
     QueryDef(
       "pipeline_curate",

@@ -245,6 +245,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(1L, 3L, 9L))
   }
 
+  test("global shuffle: dense positions, hash-rank order, partition-invariant") {
+    val base = docs.select(col("doc_id"))
+    val out = Sampling.globalShuffle(base, "doc_id", seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // doc_id -> pos
+    val n = base.count()
+    // dense 0..n-1 positions
+    assert(out.values.toSeq.sorted === (0L until n).toSeq)
+    // pos is the rank in (md5Hash60("7:" || id), id) order
+    val ranked = base
+      .select(col("doc_id"),
+        Dedup.md5Hash60(concat(lit("7:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1).zipWithIndex
+    ranked.foreach { case (id, pos) => assert(out(id) === pos.toLong) }
+    // the order is a pure function of (seed, key): a different input
+    // partitioning yields identical positions
+    val repart = Sampling.globalShuffle(base.repartition(13), "doc_id", seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(repart === out)
+    // a different seed is a different permutation of the same positions
+    val reseeded = Sampling.globalShuffle(base, "doc_id", seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reseeded.values.toSeq.sorted === (0L until n).toSeq)
+    assert(reseeded !== out)
+  }
+
+  test("semantic dedup keeps one representative per cosine cluster") {
+    // three exact-duplicate vectors + one distinct: the duplicates form one
+    // component (cosine 1.0 in any bucket scheme), min id survives
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (5L, Array(2.0f, 0.0f, 0.0f)), // same direction = cosine 1.0
+      (9L, Array(0.0f, 1.0f, 0.0f)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val pairs = Similarity.dataPlaneCosinePairs(
+      df, "embedding", "vec_id", threshold = 0.99, numPlanes = 2)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val kept = Dedup.keepRepresentatives(df, "vec_id", clusters)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   test("PII redaction replaces emails, phones and IPs with typed tokens") {
     val sp = spark; import sp.implicits._
     val df = Seq(
