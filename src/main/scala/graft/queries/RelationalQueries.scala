@@ -677,6 +677,72 @@ object RelationalQueries extends QueryRegistry {
         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""")),
 
     QueryDef(
+      "q_exists_subquery",
+      // correlated EXISTS with a NON-equi correlated predicate (shipdate
+      // vs the outer row's orderdate) — beyond q_semi_join's key-only
+      // shape. Plans as one left-semi hash join on the key with the
+      // inequality as join condition: the fact side shuffles once, no
+      // nested-loop, which is the shape that survives 100 TB.
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li,
+            ord("o_orderkey") === li("l_orderkey") &&
+              li("l_shipdate") > date_add(ord("o_orderdate"), 80), "left_semi")
+          .agg(count(lit(1)).as("n_late"),
+            sum(dec(col("o_totalprice"))).cast("double").as("value_late"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_late,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value_late
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)""")),
+
+    QueryDef(
+      "q_array_funcs",
+      // array kernel surface over tokenized text: size/distinct/min/max/
+      // intersect — all codegen'd collection expressions, one scan, no
+      // shuffle before the final projection's filter
+      (s, dir) => {
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+            array_min(col("toks")).as("tok_min"),
+            array_max(col("toks")).as("tok_max"),
+            size(array_intersect(array_distinct(col("toks")),
+              array(lit("the"), lit("and"), lit("of")))).cast("long").as("n_stop"))
+          .filter(col("n_toks") >= 5)
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+               list_sort(toks)[1] AS tok_min,
+               list_reverse_sort(toks)[1] AS tok_max,
+               CAST(len(list_intersect(list_distinct(toks), ['the','and','of'])) AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks FROM documents)
+        WHERE len(toks) >= 5""")),
+
+    QueryDef(
+      "q_string_agg",
+      // ordered string aggregation (LISTAGG): collect_list is
+      // order-nondeterministic in a distributed engine, so the gate shape
+      // is sort_array THEN join — the deterministic form of the op
+      (s, dir) => Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations")),
+      Some("""
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey""")),
+
+    QueryDef(
       "q_unpivot",
       // UNPIVOT/melt (the inverse of q_pivot): wide numeric columns to
       // (metric, value) rows, then aggregated per metric — the reshaping
