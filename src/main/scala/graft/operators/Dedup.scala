@@ -237,22 +237,22 @@ object Dedup {
    * turns pairwise edges into dedup GROUPS (every member of a component is
    * a duplicate of the same cluster; keep `cluster_id`, drop the rest).
    *
-   * Min-label propagation: every node starts labeled with its own id; each
-   * round a node adopts the smallest label in its neighborhood; fixpoint =
-   * every node carries its component's minimum id. One round is one shuffle
-   * join (edges ⋈ labels) plus one min-aggregate — the canonical iterative
-   * MapReduce CC shape. Rounds needed = graph diameter, which for
-   * near-duplicate graphs is tiny (clusters are near-cliques: LSH links
-   * most member pairs directly). For adversarially long chains at 100 TB
-   * the same loop admits the large-star/small-star variant (Kiveris et al.,
-   * "Connected Components in MapReduce and Beyond", SoCC'14) which
-   * converges in O(log²) rounds; not needed for dedup workloads.
+   * Distributed path: alternating large-star/small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14). Each pass recomputes every node's closed-neighborhood
+   * minimum and rewires edges toward it — large-star rewires the
+   * higher-id side, small-star the lower — so components collapse into
+   * stars rooted at their minimum id in O(log²) passes on ANY graph
+   * shape. Unlike plain min-label propagation (rounds = graph diameter),
+   * an adversarially long chain costs logarithmic rounds, so there is no
+   * diameter-bounded failure mode at 100 TB. One pass is one
+   * min-aggregate plus one join, both behind explicit width-sized
+   * repartitions.
    *
    * Lineage is truncated each round (`localCheckpoint`) so the plan does
    * not grow with iterations — on a cluster this would be a reliable
-   * checkpoint. Convergence is detected from `sum(label)`: labels only
-   * ever decrease, so an unchanged sum (exact, decimal(38,0)) IS the
-   * fixpoint — one scalar aggregate per round instead of a change-join.
+   * checkpoint. Convergence is EXACT: a pass that leaves the canonical
+   * edge set unchanged (same count, empty `except`) is the fixpoint.
    *
    * Returns (id, cluster_id) for every node that appears in `pairs`;
    * cluster_id is the component's minimum id (the member to keep).
@@ -280,37 +280,73 @@ object Dedup {
       // repartition on the loop's frames — never session conf, so a
       // concurrent query on the same session plans with its own width.
       val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val nEdges0 = e0.count()
-      val width = math.max(1L, math.min(2 * nEdges0 / 2000000L + 1, sessionWidth.toLong)).toInt
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(width, col("src")).localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-      var cur = labelSum(labels)
-      var converged = cur == null // an all-null-edge graph is trivially done
-      var i = 0
-      while (i < maxIter && !converged) {
-        val prop = edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.select(col("node"), col("label")).union(prop)
-          .repartition(width, col("node"))
-          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
-        val s = labelSum(next)
-        labels = next
-        if (s.compareTo(cur) == 0) converged = true else { cur = s; i += 1 }
-      }
-      // Min-label propagation needs diameter rounds; silently returning a
-      // non-fixpoint labeling would hand keepRepresentatives WRONG cluster
-      // ids. Fail loudly instead — callers with adversarial diameters raise
-      // maxIter (or see the cited large-star/small-star variant).
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds " +
-            s"(graph diameter exceeds maxIter); raise maxIter")
-      labels.select(col("node").as("id"), col("label").as("cluster_id"))
+      val width = math.max(1L, math.min(2 * nPairs / 2000000L + 1, sessionWidth.toLong)).toInt
+      starComponents(e0, width, maxIter)
     }
+  }
+
+  /** Alternating large-star/small-star CC over canonical (u > v) edges —
+    * see [[connectedComponents]]. Returns (id, cluster_id) for every node
+    * of `e0`, including nodes isolated by self-loop removal. */
+  private def starComponents(e0: DataFrame, width: Int, maxIter: Int): DataFrame = {
+    val nodes = e0.na.drop()
+      .select(col("src").as("id")).union(e0.na.drop().select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    def directed(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // per-node minimum over the CLOSED neighborhood (self included)
+    def mins(n: DataFrame): DataFrame =
+      n.repartition(width, col("u")).groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // large-star: each node's HIGHER-id neighbors rewire to its min
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = directed(e)
+      canon(n.join(mins(n), "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: each node and its LOWER-id neighbors rewire to its min
+    def smallStar(e: DataFrame): DataFrame = {
+      val n = directed(e)
+      val m = mins(n)
+      canon(n.join(m, "u").filter(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    var edges = canon(e0.na.drop()
+      .select(col("src").as("u"), col("dst").as("v")))
+      .repartition(width, col("u")).localCheckpoint()
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
+    var i = 0
+    while (i < maxIter && !converged) {
+      val next = smallStar(largeStar(edges))
+        .repartition(width, col("u")).localCheckpoint()
+      val nextCount = next.count()
+      // exact fixpoint test: canonical sets are equal iff same size and
+      // empty difference (one bounded anti-join per round)
+      converged = nextCount == prevCount &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      prevCount = nextCount
+      if (!converged) i += 1
+    }
+    // A non-fixpoint edge set would hand keepRepresentatives WRONG cluster
+    // ids; fail loudly. O(log²) convergence makes this unreachable for any
+    // realistic graph at default maxIter.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
+    // fixpoint = stars: every edge is (member, root). Nodes absent from the
+    // final edge set (isolated / self-paired) are their own cluster.
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Small-graph CC: collect the (bounded) edge list and run union-by-min

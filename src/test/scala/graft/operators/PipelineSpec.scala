@@ -217,14 +217,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       dist(9007L) === 9000L && dist(78L) === 77L && dist(80L) === 79L)
   }
 
-  test("distributed CC fails loudly when maxIter is below the diameter") {
+  test("distributed CC fails loudly when maxIter is exhausted pre-fixpoint") {
     val sp = spark; import sp.implicits._
-    val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // one large+small-star alternation cannot collapse a 200-node path
+    val pairs = (1L to 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
       Dedup.connectedComponents(pairs, "id_a", "id_b",
-        maxIter = 3, smallGraphMaxPairs = 0L).collect()
+        maxIter = 1, smallGraphMaxPairs = 0L).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("distributed CC: star contraction needs only log rounds on a long path") {
+    val sp = spark; import sp.implicits._
+    // a 120-node path has diameter 119; min-label propagation would need
+    // 119 rounds, large/small-star collapses it within 10 alternations
+    val pairs = (1L to 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      maxIter = 10, smallGraphMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 121)
+    assert(cc.values.toSet === Set(1L))
   }
 
   test("distributed CC leaves session shuffle partitions untouched") {
