@@ -306,6 +306,53 @@ object StreamingQueries extends QueryRegistry {
         FROM deduped""")),
 
     QueryDef(
+      "stream_pack",
+      (s, dir) => withStatePartitions(s, 4) {
+        // sequence packing ON THE STREAM: documents produced into a topic,
+        // streamed back, and packed into 2048-token context windows by the
+        // stateful packer — the per-shard token cursor lives in
+        // flatMapGroupsWithState state (O(shards) state, batch-boundary
+        // safe). One AvailableNow batch ⇒ output equals the batch packer,
+        // so pipeline_pack's oracle verifies the streaming machinery.
+        import graft.operators.TextAnalysis
+        import graft.streaming.StreamAnalytics
+        val root = Files.createTempDirectory("graft_stream_pk").toString
+        val cfg = TopicConfig(root, "docs")
+        val records = Tables.documents(s, dir).select(
+          col("doc_id").cast("string").as("partitionKey"),
+          timestamp_seconds(col("doc_id") + 86400).as("timestamp"),
+          col("text").as("value"))
+        PolarLog.produce(records, cfg)
+        val docs = PolarStream.read(s, cfg, startingOffsets = "earliest")
+          .select(col("partitionKey").cast("long").as("doc_id"),
+            TextAnalysis.subwordCount(col("value").cast("string")).as("nt"))
+        val q = StreamAnalytics.packStream(docs, 2048, shards = 8)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_pack").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_pack")
+          .groupBy(col("shard"), col("window").as("win"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[^ ]+'))
+                      + floor(length(text) / 16) AS BIGINT) AS nt,
+                 ${OracleSql.md5Hash60("doc_id")} % 8 AS shard,
+                 ${OracleSql.md5Hash60("doc_id")} AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, nt, shard,
+                 SUM(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum
+          FROM t)
+        SELECT shard, CAST(floor(cum / 2048) AS BIGINT) AS win,
+               COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM c GROUP BY shard, win""")),
+
+    QueryDef(
       "stream_multi_topic",
       (s, dir) => {
         // one streaming query subscribed to TWO topics (the reference's

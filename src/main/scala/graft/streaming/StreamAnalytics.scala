@@ -15,6 +15,11 @@ final case class UserSession(
 private final case class SessionState(
     n: Long, firstMicros: Long, lastMicros: Long)
 
+/** One packed document: shard, assigned context-window id, token count. */
+final case class PackedDoc(shard: Long, window: Long, doc_id: Long, nt: Long)
+
+private final case class PackState(cum: Long)
+
 /**
  * Event-time analytics over the polar stream — the Structured Streaming
  * layer the reference leaves to its consumers (SURVEY §2 Table B
@@ -120,5 +125,45 @@ object StreamAnalytics {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
+  }
+
+  /** Streaming sequence packing: documents are laid end-to-end into fixed
+    * `contextLen` windows PER SHARD as they arrive; the running token
+    * cursor lives in `flatMapGroupsWithState` state, so packing continues
+    * seamlessly across micro-batches — window ids only ever grow, no
+    * window is reopened. Within a micro-batch each shard's group packs in
+    * (content-hash, id) order, identical to the batch packer
+    * ([[graft.operators.Curation.packSequences]]); a single-batch replay
+    * therefore equals the batch result exactly. State is one counter per
+    * shard — O(shards) regardless of corpus size, the right stateful
+    * footprint at 100 TB.
+    *
+    * `docs` needs columns `doc_id` (long) and `nt` (long token count). */
+  def packStream(
+      docs: DataFrame,
+      contextLen: Int,
+      shards: Int = 8): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(
+        graft.operators.Sampling.hashBucket(col("doc_id"), shards).as("shard"),
+        graft.operators.Dedup.md5Hash60(col("doc_id").cast("string")).as("h"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("nt").cast("long").as("nt"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy { case (_, h, id, _) => (h, id) }.map {
+            case (_, _, id, nt) =>
+              val win = cum / contextLen // floor: cum and contextLen >= 0
+              cum += nt
+              PackedDoc(shard, win, id, nt)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
   }
 }

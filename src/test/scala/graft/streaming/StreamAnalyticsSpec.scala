@@ -89,6 +89,68 @@ class StreamAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream packing carries the per-shard token cursor across micro-batches") {
+    val cfg = TopicConfig(root, "pack_s")
+    val docs = graft.Tables.documents(spark, sfDir).select(
+      col("doc_id").cast("string").as("partitionKey"),
+      timestamp_seconds(col("doc_id") + 86400).as("timestamp"),
+      col("text").as("value"))
+    PolarLog.produce(docs, cfg)
+    val n = docs.count()
+    // pace to force SEVERAL micro-batches through the stateful packer
+    val streamDocs = PolarStream.read(spark, cfg, "earliest",
+        maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
+      .select(col("partitionKey").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.subwordCount(col("value").cast("string")).as("nt"))
+    // capture each micro-batch's packed rows so the carry can be replayed
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[(Long, Long, Long, Long)])]
+    val q = StreamAnalytics.packStream(streamDocs, contextLen = 512, shards = 4)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_pk")
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[PackedDoc], id: Long) =>
+        val rows = df.collect().map(p => (p.shard, p.window, p.doc_id, p.nt))
+        batches.synchronized { batches += ((id, rows)) }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.size > 1, s"pacing should yield several batches, got ${batches.size}")
+    val out = batches.sortBy(_._1).flatMap(_._2)
+    // every doc packed exactly once
+    assert(out.length === n)
+    assert(out.map(_._3).distinct.length === n)
+    // EXACT cross-batch semantics: replay the packer — batches in commit
+    // order, each batch's shard group in (md5Hash60, id) order, ONE cursor
+    // per shard carried through. A state reset or skip would diverge.
+    val hOf = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.Dedup.md5Hash60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cursor = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val expectedWin = scala.collection.mutable.Map.empty[Long, Long]
+    batches.sortBy(_._1).foreach { case (_, rows) =>
+      rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (shard, rs) =>
+        rs.sortBy(r => (hOf(r._3), r._3)).foreach { case (_, _, id, nt) =>
+          expectedWin(id) = cursor(shard) / 512
+          cursor(shard) += nt
+        }
+      }
+    }
+    out.foreach { case (shard, win, id, nt) =>
+      assert(win === expectedWin(id),
+        s"doc $id in shard $shard: window $win != replay ${expectedWin(id)}")
+    }
+    // window ids contiguous from 0 per shard (carry signature: no reopened
+    // window 0, no gaps)
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val wins = rows.map(_._2).distinct.sorted
+      assert(wins === (0L until wins.length).toVector,
+        s"shard $shard windows not contiguous: ${wins.toSeq}")
+    }
+  }
+
   test("streaming dedup drops in-watermark duplicates across micro-batches") {
     val cfg = TopicConfig(root, "dedup_s")
     val base = graft.Tables.events(spark, sfDir).limit(200).select(
