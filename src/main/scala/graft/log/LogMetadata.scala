@@ -48,7 +48,12 @@ object TopicConfig {
   * parquet footer reads): the Spark rendition of the reference's segment
   * index, lifted from per-file `.index` entries into the topic's single
   * metadata document. `bytes` feeds byte-bounded admission control;
-  * `createdMs` feeds retention GC. */
+  * `createdMs` feeds retention GC. `tsMin`/`tsMax` are inclusive
+  * event-timestamp stats (micros) over the file's NON-NULL timestamps —
+  * the registry analog of parquet column stats, letting time-range scans
+  * prune whole segments without footer reads; the full-range sentinel
+  * `(Long.MinValue, Long.MaxValue)` means "unknown, never prune" (legacy
+  * manifests, all-null files). */
 final case class FileEntry(
     part: Int,
     name: String,
@@ -56,7 +61,9 @@ final case class FileEntry(
     maxOffset: Long,
     count: Long,
     bytes: Long,
-    createdMs: Long) {
+    createdMs: Long,
+    tsMin: Long = Long.MinValue,
+    tsMax: Long = Long.MaxValue) {
   def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
 }
 
@@ -271,14 +278,20 @@ object LogMetadata {
   private[log] def renderManifest(files: Vector[FileEntry]): String =
     files.map(f =>
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
-        s"""${f.bytes},${f.createdMs}]""").mkString("""{"files":[""", ",", "]}")
+        s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax}]""")
+      .mkString("""{"files":[""", ",", "]}")
+
+  private def entryOf(m: scala.util.matching.Regex.Match): FileEntry =
+    FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
+      m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
+      m.group(7).toLong,
+      // ts stats are a round-4 addition: absent in older manifests →
+      // full-range sentinel (never prune)
+      if (m.group(8) == null) Long.MinValue else m.group(8).toLong,
+      if (m.group(9) == null) Long.MaxValue else m.group(9).toLong)
 
   private[log] def parseManifest(s: String): Vector[FileEntry] =
-    FileEntryRe.findAllMatchIn(s).map { m =>
-      FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
-        m.group(7).toLong)
-    }.toVector.sortBy(_.minOffset)
+    FileEntryRe.findAllMatchIn(s).map(entryOf).toVector.sortBy(_.minOffset)
 
   private[log] def hexEncode(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -295,7 +308,7 @@ object LogMetadata {
   }
 
   private val FileEntryRe =
-    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)\]""".r
+    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+))?\]""".r
 
   private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)\]""".r
 
@@ -327,11 +340,7 @@ object LogMetadata {
           ManifestRe.findAllMatchIn(sec)
             .map(m => m.group(1).toInt -> m.group(2)).toMap)
       case None =>
-        val files = FileEntryRe.findAllMatchIn(s).map { m =>
-          FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,
-            m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
-            m.group(7).toLong)
-        }.toVector
+        val files = FileEntryRe.findAllMatchIn(s).map(entryOf).toVector
         (files.groupBy(_.part).map { case (p, v) => p -> v.sortBy(_.minOffset) },
           Map.empty[Int, String])
     }

@@ -67,6 +67,36 @@ object PolarLogQueries extends QueryRegistry {
         FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "polar_ts_window",
+      // event-time windowed consume: the pushed timestamp window prunes
+      // whole segments from the registry's per-file ts stats — the
+      // time-range analog of the offset seek (pruning itself is
+      // spec-verified in PolarPushdownSpec); this entry verifies the
+      // windowed read's VALUES against the raw table
+      (s, dir) => {
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-20 00:00:00").cast("timestamp")
+        s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .filter(col("timestamp") >= lo && col("timestamp") < hi)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("partitionKey")).as("n_keys"),
+            date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("first_ts"),
+            date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_keys,
+               strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'""")),
+
+    QueryDef(
       "polar_order_invariant",
       (s, dir) => {
         // within every partition, offset order must equal event-time order

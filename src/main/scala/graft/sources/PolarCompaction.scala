@@ -58,7 +58,10 @@ object PolarCompaction {
         val bytes = PolarBatchWrite.copySegments(
           spark, run.map(_.path(cfg)), destPath, delta = 0L)
         (p, run) -> FileEntry(p, name, run.head.minOffset, run.last.maxOffset,
-          run.map(_.count).sum, bytes, System.currentTimeMillis())
+          run.map(_.count).sum, bytes, System.currentTimeMillis(),
+          // ts stats merge conservatively: any unknown member (MinValue
+          // sentinel) keeps the merged file unprunable
+          run.map(_.tsMin).min, run.map(_.tsMax).max)
     }
 
     // 2) swap runs for merged entries — only where every member is still

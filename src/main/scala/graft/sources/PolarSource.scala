@@ -187,7 +187,9 @@ class PolarTable(
 final case class PolarScanBounds(
     minOffset: Long = 0L,
     maxOffsetExclusive: Long = Long.MaxValue,
-    parts: Option[Set[Int]] = None)
+    parts: Option[Set[Int]] = None,
+    tsMin: Long = Long.MinValue,
+    tsMax: Long = Long.MaxValue)
 
 class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -205,6 +207,16 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  // timestamp literals arrive as java.sql.Timestamp or (java8 datetime
+  // API) java.time.Instant — normalize to event-time micros
+  private def asMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
   }
 
@@ -232,6 +244,24 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
         val ns = vs.flatMap(asLong).map(_.toInt).toSet
         bounds = bounds.copy(parts = Some(bounds.parts.fold(ns)(_ intersect ns)))
         true
+      // event-time window: prunes whole segments via the registry's
+      // per-file ts stats (the time-range analog of the offset seek).
+      // Saturating bounds; the exact predicate is always re-applied by
+      // Spark as a residual, so null/edge semantics stay exact.
+      case GreaterThanOrEqual("timestamp", v) => asMicros(v).exists { n =>
+        bounds = bounds.copy(tsMin = math.max(bounds.tsMin, n)); true }
+      case GreaterThan("timestamp", v) => asMicros(v).exists { n =>
+        val lo = if (n == Long.MaxValue) n else n + 1
+        bounds = bounds.copy(tsMin = math.max(bounds.tsMin, lo)); true }
+      case LessThanOrEqual("timestamp", v) => asMicros(v).exists { n =>
+        bounds = bounds.copy(tsMax = math.min(bounds.tsMax, n)); true }
+      case LessThan("timestamp", v) => asMicros(v).exists { n =>
+        val hi = if (n == Long.MinValue) n else n - 1
+        bounds = bounds.copy(tsMax = math.min(bounds.tsMax, hi)); true }
+      case EqualTo("timestamp", v) => asMicros(v).exists { n =>
+        bounds = bounds.copy(
+          tsMin = math.max(bounds.tsMin, n), tsMax = math.min(bounds.tsMax, n))
+        true }
       case _ => false
     }
     // everything stays residual: pruning is file/row-group-granular, Spark
@@ -253,6 +283,7 @@ class PolarScan(
   override def description(): String =
     s"PolarScan(${cfg.topics.map(_.dir).mkString(",")}, offsets=[${bounds.minOffset}," +
       s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")}, " +
+      s"ts=[${bounds.tsMin},${bounds.tsMax}], " +
       s"ReadSchema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
@@ -265,7 +296,8 @@ class PolarScan(
           case (tail, p) => (t, p) -> math.min(tail, bounds.maxOffsetExclusive)
         }
       }.toMap)
-      PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts)
+      PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,
+        tsWindow = Some((bounds.tsMin, bounds.tsMax)))
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction
@@ -428,13 +460,19 @@ object PolarMicroBatchStream {
       metas: Map[String, LogMetadata],
       start: PolarOffsets,
       end: PolarOffsets,
-      parts: Option[Set[Int]]): Array[InputPartition] = {
+      parts: Option[Set[Int]],
+      tsWindow: Option[(Long, Long)] = None): Array[InputPartition] = {
+    val (tsLo, tsHi) = tsWindow.getOrElse((Long.MinValue, Long.MaxValue))
     end.tails.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
       val startOff = start.tails.getOrElse((t, p), 0L)
       if (endOff <= startOff || !parts.forall(_.contains(p))) None
       else {
         val files = metas(t).filesOf(p)
           .filter(f => f.maxOffset >= startOff && f.minOffset < endOff)
+          // registry ts stats: a file wholly outside the pushed event-time
+          // window contributes no rows (Spark re-applies the exact
+          // predicate residually) — skip it without touching storage
+          .filter(f => f.tsMax >= tsLo && f.tsMin <= tsHi)
         if (files.isEmpty) None
         else Some(PolarInputPartition(t, cfgs(t).dir, p,
           files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset)),

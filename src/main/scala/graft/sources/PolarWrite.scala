@@ -342,10 +342,18 @@ class PolarDataWriter(
     // bound small segments; a conservative pre-compression bound is the
     // MaxSegmentSize semantics anyway
     var approxBytes: Long = 0L
+    // event-timestamp stats over non-null rows (micros) — the registry's
+    // file-pruning analog of parquet column stats
+    var tsMin: Long = Long.MaxValue
+    var tsMax: Long = Long.MinValue
     def seal(createdMs: Long): FileEntry = {
       writer.close()
       val bytes = path.getFileSystem(conf).getFileStatus(path).getLen
-      FileEntry(part, name, base, base + count - 1, count, bytes, createdMs)
+      val (lo, hi) =
+        if (tsMin > tsMax) (Long.MinValue, Long.MaxValue) // all-null: unknown
+        else (tsMin, tsMax)
+      FileEntry(part, name, base, base + count - 1, count, bytes, createdMs,
+        lo, hi)
     }
   }
 
@@ -373,7 +381,13 @@ class PolarDataWriter(
     buf.update(0, key)
     buf.update(1, if (row.isNullAt(tokenIdx)) null else row.getLong(tokenIdx))
     buf.update(2, seg.base + seg.count)
-    buf.update(3, if (row.isNullAt(tsIdx)) null else row.getLong(tsIdx))
+    if (row.isNullAt(tsIdx)) buf.update(3, null)
+    else {
+      val ts = row.getLong(tsIdx)
+      if (ts < seg.tsMin) seg.tsMin = ts
+      if (ts > seg.tsMax) seg.tsMax = ts
+      buf.update(3, ts)
+    }
     buf.update(4, value)
     seg.writer.write(buf)
     seg.count += 1

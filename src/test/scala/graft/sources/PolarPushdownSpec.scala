@@ -45,6 +45,49 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("offsets=[3,10)") && plan.contains("parts=Set(5)"), plan)
   }
 
+  test("timestamp window prunes whole segments from registry ts stats") {
+    // a second topic written in two produces with DISJOINT time ranges →
+    // per partition, distinct segments with distinct [tsMin, tsMax]
+    val root2 = Files.createTempDirectory("polar_ts_prune").toString
+    val cfg2 = TopicConfig(root2, "tsev")
+    def recs(lo: Int, hi: Int) =
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("user_id").cast("string").as("partitionKey"),
+          // synthetic, widely separated event times keyed off event_id
+          timestamp_seconds(col("event_id") * 60 +
+            (if (lo == 0) 0 else 10000000)).as("timestamp"),
+          col("props").as("value"))
+    PolarLog.produce(recs(0, 500), cfg2)   // epoch + minutes
+    PolarLog.produce(recs(500, 1000), cfg2) // ~epoch + 115 days
+    val r2 = spark.read.format("polar")
+      .option("root", cfg2.root).option("topic", cfg2.topic).load()
+
+    // window covering only the FIRST produce
+    val cut = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(5000000L))
+    val early = r2.filter(col("timestamp") < cut)
+    val expected = PolarLog.consume(spark, cfg2).filter(col("timestamp") < cut)
+      .count()
+    assert(early.count() === expected && expected > 0)
+    // plan-time evidence: the ts window reached the scan, and the planned
+    // file set is strictly smaller than the full scan's
+    val plan = early.queryExecution.executedPlan.toString
+    assert(plan.contains("ts=[-9223372036854775808,4999999999999]"), plan)
+    def plannedFiles(df: DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      scan.batch.planInputPartitions().map {
+        case p: PolarInputPartition => p.files.size
+        case _ => 0
+      }.sum
+    }
+    val prunedCount = plannedFiles(early)
+    val fullCount = plannedFiles(r2)
+    assert(prunedCount > 0 && prunedCount < fullCount,
+      s"pruned=$prunedCount full=$fullCount")
+  }
+
   test("contradictory bounds plan an empty scan") {
     assert(read.filter(col("offset") >= 100000 && col("offset") < 5).count() === 0)
   }
