@@ -947,6 +947,38 @@ object PipelineQueries extends QueryRegistry {
         FROM lp GROUP BY doc_id""")),
 
     QueryDef(
+      "pipeline_quantile_filter",
+      // corpus-relative quality gating: drop the bottom 20% by score. The
+      // threshold is ONE exact-percentile aggregate (sort-based, one
+      // scalar) broadcast back over a second scan — the corpus itself
+      // never shuffles. Both engines interpolate linearly over the same
+      // 6-decimal-rounded scores, so the cut is reproducible.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val th = docs.agg(percentile(col("q"), lit(0.2)).as("t"))
+        docs.crossJoin(broadcast(th)).filter(col("q") >= col("t"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            round(min(col("t")), 6).as("threshold"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 round(
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+                   least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|it|for|on)\b')) AS DOUBLE)
+                         / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+                   (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                          / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) AS q
+          FROM documents),
+        th AS (SELECT quantile_cont(q, 0.2) AS t FROM scored)
+        SELECT COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               round(MIN(t), 6) AS threshold
+        FROM scored, th WHERE q >= t""")),
+
+    QueryDef(
       "pipeline_stratified",
       // stratified sampling: per-language keep rates as one CASE filter —
       // the mixture knob with zero joins/shuffles, membership a pure
