@@ -112,7 +112,16 @@ object PolarSource {
         .getOrElse(PolarWrite.DefaultMaxFileBytes),
       txn = opt("txnSinkId").map(id => id -> opt("txnBatchId")
         .getOrElse(throw new IllegalArgumentException(
-          "txnSinkId requires txnBatchId")).toLong))
+          "txnSinkId requires txnBatchId")).toLong),
+      // epoch millis (Kafka's startingTimestamp unit) or an ISO-8601
+      // instant; overrides startingOffsets when present
+      startingTimestampMicros = opt("startingTimestamp").map { s =>
+        if (s.nonEmpty && s.forall(c => c.isDigit || c == '-')) s.toLong * 1000L
+        else {
+          val i = java.time.Instant.parse(s)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+      })
   }
 }
 
@@ -122,7 +131,8 @@ final case class PolarSourceConfig(
     maxRecordsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
-    txn: Option[(String, Long)] = None) {
+    txn: Option[(String, Long)] = None,
+    startingTimestampMicros: Option[Long] = None) {
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -351,11 +361,28 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       m.producerOffsets.zipWithIndex.map { case (tail, p) => (t, p) -> tail }
     }.toMap)
 
-  override def initialOffset(): Offset = cfg.startingOffsets match {
-    case "earliest" => PolarOffsets.zeros(topics)
-    case "latest" => tailsOf(currentMetas)
-    // explicit {"topic/p":offset,...} (bare "p" keys → the first topic)
-    case other => PolarOffsets.parse(other, topics.head.topic)
+  override def initialOffset(): Offset = cfg.startingTimestampMicros match {
+    // event-time seek from registry ts stats: per partition, start at the
+    // first file (offset order) that can contain ts >= T — file-granular,
+    // like Kafka's offsetsForTimes over segment indexes; records earlier
+    // than T inside that file are delivered (compose with a filter for
+    // record exactness). Partitions with nothing at/after T start at tail.
+    case Some(t) =>
+      val metas = currentMetas
+      PolarOffsets(topics.flatMap { c =>
+        val m = metas(c.topic)
+        (0 until c.numPartitions).map { p =>
+          val start = m.filesOf(p).find(_.tsMax >= t).map(_.minOffset)
+            .getOrElse(m.producerOffsets.lift(p).getOrElse(0L))
+          (c.topic, p) -> start
+        }
+      }.toMap)
+    case None => cfg.startingOffsets match {
+      case "earliest" => PolarOffsets.zeros(topics)
+      case "latest" => tailsOf(currentMetas)
+      // explicit {"topic/p":offset,...} (bare "p" keys → the first topic)
+      case other => PolarOffsets.parse(other, topics.head.topic)
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit =

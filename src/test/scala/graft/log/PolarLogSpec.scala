@@ -289,6 +289,21 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.files.size === 2)
   }
 
+  test("manifest entries round-trip ts stats; legacy 7-field entries parse as unprunable") {
+    val withStats = Vector(
+      FileEntry(0, "a.parquet", 0, 9, 10, 400, 1700000000000L,
+        tsMin = 1700000000000000L, tsMax = 1700000600000000L),
+      FileEntry(0, "b.parquet", 10, 19, 10, 400, 1700000000001L))
+    val back = LogMetadata.parseManifest(LogMetadata.renderManifest(withStats))
+    assert(back === withStats)
+    assert(back(1).tsMin === Long.MinValue && back(1).tsMax === Long.MaxValue)
+    // a pre-round-4 manifest without the two ts fields
+    val legacy = """{"files":[[0,"old.parquet",0,4,5,200,1699999999999]]}"""
+    val lm = LogMetadata.parseManifest(legacy)
+    assert(lm.head.name === "old.parquet" && lm.head.count === 5)
+    assert(lm.head.tsMin === Long.MinValue && lm.head.tsMax === Long.MaxValue)
+  }
+
   test("manifest root doc round-trips pointers") {
     val m = LogMetadata(9L, 3, 4, Vector.tabulate(12)(_ => 0L),
       manifestNames = Map(0 -> "part-00000-v9-abc12345.json",

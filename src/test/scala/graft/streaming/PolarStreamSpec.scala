@@ -63,6 +63,34 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       ckpt, s"$root/out_basic_2") === 400)
   }
 
+  test("startingTimestamp seeks to the first segment that can hold ts >= T") {
+    val cfg = TopicConfig(root, "s_tseek")
+    // two produces with disjoint, widely separated event-time ranges →
+    // per partition, the second produce's records live in later segments
+    def stamped(from: Int, until: Int, baseSec: Long) =
+      graft.Tables.events(spark, sfDir)
+        .filter(col("event_id") >= from && col("event_id") < until)
+        .select(col("user_id").cast("string").as("partitionKey"),
+          timestamp_seconds(lit(baseSec) + col("event_id")).as("timestamp"),
+          col("props").as("value"))
+    PolarLog.produce(stamped(0, 500, 1000000L), cfg)
+    PolarLog.produce(stamped(500, 1000, 9000000L), cfg)
+    // T between the two ranges (epoch seconds 8,000,000 → millis)
+    val df = spark.readStream.format("polar")
+      .option("root", cfg.root).option("topic", cfg.topic)
+      .option("startingTimestamp", (8000000L * 1000L).toString)
+      .load()
+    val got = runCollect(df, s"$root/ckpt_tseek", s"$root/out_tseek")
+    assert(got === 500L)
+    // ISO form resolves identically
+    val df2 = spark.readStream.format("polar")
+      .option("root", cfg.root).option("topic", cfg.topic)
+      .option("startingTimestamp",
+        java.time.Instant.ofEpochSecond(8000000L).toString)
+      .load()
+    assert(runCollect(df2, s"$root/ckpt_tseek2", s"$root/out_tseek2") === 500L)
+  }
+
   test("latest sees nothing until new data arrives") {
     val cfg = TopicConfig(root, "s_latest")
     PolarLog.produce(records(0, 500), cfg)
