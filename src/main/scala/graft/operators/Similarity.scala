@@ -172,6 +172,50 @@ object Similarity {
         col("sim"))
   }
 
+  /** k-NN label classification (weak labeling): each probe gets the
+    * majority label of its `k` nearest LABELED corpus neighbors within its
+    * LSH bucket — ties break toward more votes, then the smaller label.
+    * The batch "attach labels to every new document" shape: one bucket
+    * join (never probe × corpus), local top-k pruned below the shuffle
+    * (WindowGroupLimit), one vote aggregate. Probes in a bucket with no
+    * corpus member are absent from the output (no neighbors = no vote). */
+  def knnClassify(
+      probes: DataFrame,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      k: Int,
+      numPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(numPlanes)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("v").toSeq)
+    def bucketOf(vec: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val pb = probes.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val cb = corpus.select(col(idCol).as("nid"), col(labelCol).as("label"),
+        col(vecCol).as("w"))
+      .withColumn("bucket", bucketOf(col("w")))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nid"))
+    val neighbors = pb.join(cb, "bucket")
+      .select(col("id"), col("nid"), col("label"),
+        round(cosine(col("v"), col("w")), 6).as("sim"))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= k)
+    val wVote = Window.partitionBy(col("id"))
+      .orderBy(col("votes").desc, col("label"))
+    neighbors.groupBy(col("id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("id"), col("label").cast("long").as("pred_label"),
+        col("votes").cast("long").as("votes"))
+  }
+
   /** Embedding near-dup pairs (cosine ≥ threshold), LSH-bucketed: pairs are
     * only scored within a bucket. With `numPlanes` small the recall is high;
     * exactness on a given dataset is checked against the brute-force path in

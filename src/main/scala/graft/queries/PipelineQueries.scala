@@ -423,6 +423,56 @@ object PipelineQueries extends QueryRegistry {
         SELECT id, neighbor_id, nn_rank, sim FROM r WHERE nn_rank <= 3""")),
 
     QueryDef(
+      "sim_knn_classify",
+      // weak labeling: every unlabeled probe (%5 sample) takes the
+      // majority label of its 5 nearest labeled neighbors in its LSH
+      // bucket — ties → more votes, then smaller label. One bucket join,
+      // top-k pruned below the shuffle, one vote aggregate.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.knnClassify(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          "embedding", "vec_id", "label", k = 5, numPlanes = 4)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+          FROM embeddings),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj, v AS pv
+          FROM e WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 4),
+        pb AS (
+          SELECT e.vec_id AS id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p WHERE e.vec_id % 5 = 0 GROUP BY e.vec_id, e.v),
+        cb AS (
+          SELECT e.vec_id AS nid, e.label, e.v AS w,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p WHERE e.vec_id % 5 <> 0 GROUP BY e.vec_id, e.label, e.v),
+        nb AS (
+          SELECT pb.id, cb.nid, cb.label,
+                 round(list_dot_product(pb.v, cb.w) /
+                       (sqrt(list_dot_product(pb.v, pb.v)) * sqrt(list_dot_product(cb.w, cb.w))), 6) AS sim
+          FROM pb JOIN cb USING (bucket)),
+        rk AS (
+          SELECT id, label,
+                 row_number() OVER (PARTITION BY id ORDER BY sim DESC, nid) AS r
+          FROM nb),
+        votes AS (
+          SELECT id, label, COUNT(*) AS votes FROM rk WHERE r <= 5
+          GROUP BY id, label),
+        best AS (
+          SELECT id, label, votes,
+                 row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) AS vr
+          FROM votes)
+        SELECT id, CAST(label AS BIGINT) AS pred_label,
+               CAST(votes AS BIGINT) AS votes
+        FROM best WHERE vr = 1""")),
+
+    QueryDef(
       "sim_ann_lsh",
       // data-derived hyperplanes (lowest-id vectors as normals) make the
       // whole index deterministic and oracle-replayable; the murmur-seeded

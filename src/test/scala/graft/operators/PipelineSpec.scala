@@ -284,6 +284,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reseeded !== out)
   }
 
+  test("knn classify: separable clusters vote their own label; ties break low") {
+    // two tight clusters along different axes; probes sit on the axes
+    val corpus = spark.createDataFrame(Seq(
+      (10L, Array(1.0f, 0.1f), 1),
+      (11L, Array(1.0f, -0.1f), 1),
+      (12L, Array(0.9f, 0.0f), 1),
+      (20L, Array(-1.0f, 0.1f), 2),
+      (21L, Array(-1.0f, -0.1f), 2),
+      (22L, Array(-0.9f, 0.0f), 2))).toDF("vec_id", "embedding", "label")
+    val probes = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(probes, corpus,
+        "embedding", "vec_id", "label", k = 3, numPlanes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((1L, 3L)) && out(2L) === ((2L, 3L)))
+  }
+
   test("semantic dedup keeps one representative per cosine cluster") {
     // three exact-duplicate vectors + one distinct: the duplicates form one
     // component (cosine 1.0 in any bucket scheme), min id survives
