@@ -729,6 +729,18 @@ object RelationalQueries extends QueryRegistry {
         WHERE len(toks) >= 5""")),
 
     QueryDef(
+      "q_histogram",
+      // fixed-width value histogram: bin assignment is a pure projection
+      // (no shuffle), counts collapse behind one partial-agg exchange —
+      // the OLAP binning primitive at any scale
+      (s, dir) => Tables.events(s, dir)
+        .select((floor(col("value") / lit(50.0)) * lit(50)).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events GROUP BY 1""")),
+
+    QueryDef(
       "q_string_agg",
       // ordered string aggregation (LISTAGG): collect_list is
       // order-nondeterministic in a distributed engine, so the gate shape
