@@ -353,6 +353,46 @@ object StreamingQueries extends QueryRegistry {
         FROM c GROUP BY shard, win""")),
 
     QueryDef(
+      "stream_ts_seek",
+      (s, dir) => {
+        // event-time seek on the stream: startingTimestamp resolves each
+        // partition's initial offset to the first segment whose registry
+        // tsMax can hold ts >= T. Two time-disjoint produces → the stream
+        // starts at the second; the oracle replays the same cut over the
+        // raw table.
+        val root = Files.createTempDirectory("graft_stream_ts").toString
+        val cfg = TopicConfig(root, "tsev")
+        def half(lo: Long, hi: Long, baseSec: Long) = Tables.events(s, dir)
+          .filter(col("event_id") >= lo && col("event_id") < hi)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            timestamp_seconds(lit(baseSec) + col("event_id")).as("timestamp"),
+            col("props").as("value"))
+        val n = Tables.events(s, dir).count()
+        PolarLog.produce(half(0, n / 2, 1000000L), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        PolarLog.produce(half(n / 2, n, 900000000L), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        val stream = s.readStream.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic)
+          .option("startingTimestamp", (800000000L * 1000L).toString)
+          .load()
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_ts").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_ts")
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct(col("partitionKey")).as("n_keys"),
+            unix_micros(min(col("timestamp"))).as("min_ts_us"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_records,
+               COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_keys,
+               CAST((900000000 + MIN(event_id)) * 1000000 AS BIGINT) AS min_ts_us
+        FROM events
+        WHERE event_id >= (SELECT CAST(floor(COUNT(*) / 2) AS BIGINT) FROM events)""")),
+
+    QueryDef(
       "stream_multi_topic",
       (s, dir) => {
         // one streaming query subscribed to TWO topics (the reference's
