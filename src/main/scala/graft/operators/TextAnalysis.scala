@@ -141,6 +141,39 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Per-doc mean corpus-bigram CONDITIONAL log-probability
+    * `ln(c(w1 w2) / c(w1 ·))` — the next-token-predictability quality
+    * signal one rung above [[unigramLogProb]] (formulaic/templated text
+    * scores high, shuffled-word noise scores low even when its unigrams
+    * are common). Same scale shape as the unigram scorer: the corpus is
+    * exploded ONCE; the bigram-count side is materialized and bounded far
+    * below corpus scale; the context-count side derives from it without
+    * touching the corpus again. Docs with fewer than two tokens carry no
+    * bigram and are absent from the output. Token log-probs are rounded
+    * to 9 places and summed as DECIMAL — exact under any fold order. */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val bg = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - lit(2)),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bgs = docs.select(col(idCol).as("doc_id"), explode(bg).as("bigram"))
+    val counts = bgs.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = counts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    bgs.join(counts, "bigram")
+      .join(ctx, substring_index(col("bigram"), " ", 1) === col("w1"))
+      .select(col("doc_id"),
+        round(log(col("c12").cast("double") / col("c1").cast("double")), 9)
+          .cast("decimal(20,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Boilerplate mining: word n-grams shared by more than `minDocs`
     * distinct documents (navigation chrome, license headers, template
     * text — the spans an exact-substring dedup pass would cut). Shingles

@@ -1036,6 +1036,32 @@ object PipelineQueries extends QueryRegistry {
         FROM lp GROUP BY doc_id""")),
 
     QueryDef(
+      "text_bigram_lm",
+      // conditional bigram log-prob scoring — next-token predictability,
+      // one rung above text_logprob's unigram proxy; same bounded-vocab
+      // join shape (corpus exploded once, counts checkpointed)
+      (s, dir) => TextAnalysis.bigramLogProb(
+        Tables.documents(s, dir), "text", "doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $WordsSql AS w FROM documents),
+        bg AS (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                 for i in generate_series(1, len(w)-1)]) AS bigram
+          FROM t),
+        counts AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+                FROM counts GROUP BY 1),
+        lp AS (
+          SELECT doc_id,
+                 CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) AS lp
+          FROM bg JOIN counts USING (bigram)
+                  JOIN ctx ON split_part(bigram, ' ', 1) = ctx.w1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id""")),
+
+    QueryDef(
       "pipeline_quantile_filter",
       // corpus-relative quality gating: drop the bottom 20% by score. The
       // threshold is ONE exact-percentile aggregate (sort-based, one

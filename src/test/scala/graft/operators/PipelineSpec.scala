@@ -490,6 +490,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.forall(_._2 < 0))
   }
 
+  test("bigram LM scores formulaic text above shuffled same-unigram text") {
+    val sp = spark; import sp.implicits._
+    val df = (Seq.tabulate(4)(i => (i.toLong, "the cat sat on the mat")) :+
+      (9L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size === 5)
+    // the four formulaic docs share every bigram (high conditional prob);
+    // the shuffled doc's bigrams are singletons against the same contexts
+    (0L until 4L).foreach(i => assert(out(i) > out(9L),
+      s"doc $i ${out(i)} should beat shuffled ${out(9L)}"))
+  }
+
   test("repeated n-grams surface only cross-document shared spans") {
     val sp = spark; import sp.implicits._
     val df = Seq(
