@@ -155,11 +155,43 @@ object LogMetadata {
     } finally in.close()
   }
 
+  /** Lock-free readers can catch a commit mid-rename: on filesystems whose
+    * overwrite-rename is not a single atomic step (the local ChecksumFs
+    * renames data + crc separately), the root doc can be transiently
+    * absent or half-visible. A topic WITH data but no readable root is
+    * therefore re-checked briefly before being reported empty — observed
+    * as a reader seeing count drop to 0 mid produce/compact race
+    * (PolarChaosSpec). Genuinely fresh topics (no data dir) stay on the
+    * immediate-empty fast path. */
+  private val MaxReadRetries = 5
+
   def read(cfg: TopicConfig): LogMetadata = {
     val path = new Path(cfg.metadataPath)
     val fc = FileContext.getFileContext(path.toUri, hadoopConf)
-    if (!fc.util().exists(path)) return empty(cfg)
-    val root = parse(readText(fc, path))
+    var attempt = 0
+    while (true) {
+      val result: Option[LogMetadata] =
+        try {
+          if (!fc.util().exists(path)) {
+            val hasData = fc.util().exists(new Path(cfg.dir))
+            if (!hasData || attempt >= MaxReadRetries) Some(empty(cfg)) else None
+          } else Some(resolveManifests(cfg, fc, parse(readText(fc, path))))
+        } catch {
+          case e: java.io.IOException =>
+            if (attempt >= MaxReadRetries) throw e else None
+        }
+      result match {
+        case Some(m) => return m
+        case None =>
+          attempt += 1
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resolveManifests(
+      cfg: TopicConfig, fc: FileContext, root: LogMetadata): LogMetadata =
     // resolve manifest pointers through the cache; legacy docs carry files
     // inline and have no pointers (first publish upgrades them)
     if (root.manifestNames.isEmpty) root
@@ -178,7 +210,6 @@ object LogMetadata {
       }
       root.copy(filesByPart = byPart)
     }
-  }
 
   /** Full publish: renders EVERY non-empty partition's manifest (topic
     * creation / format upgrade). Incremental commits go through
