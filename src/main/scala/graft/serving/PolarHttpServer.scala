@@ -269,10 +269,26 @@ class PolarHttpServer(
 
   // --------------------------------------------------------------- consume
 
+  /** Consumer identity: explicit `consumerId` (stateless, survives
+    * reconnects), the reference's deprecated `consumer_id` alias
+    * (`internal/consuming/server.go:43-44`), or — with neither —
+    * CONNECTION-BOUND: the client socket address IS the id, so requests on
+    * the same keep-alive connection share a consumer and a dropped
+    * connection is evicted by inactivity, mirroring the reference's
+    * per-connection tracked consumers (`internal/consuming/server.go:186`). */
+  private def consumerIdOf(ex: HttpExchange): String = {
+    val q = query(ex)
+    q.get("consumerId").flatMap(_.headOption)
+      .orElse(q.get("consumer_id").flatMap(_.headOption))
+      .getOrElse {
+        val r = ex.getRemoteAddress
+        s"conn-${r.getAddress.getHostAddress}:${r.getPort}"
+      }
+  }
+
   private def handleRegister(ex: HttpExchange): Unit = {
     val q = query(ex)
-    val consumerId = q.get("consumerId").flatMap(_.headOption)
-      .getOrElse(throw HttpError(400, "consumerId is required"))
+    val consumerId = consumerIdOf(ex)
     val group = q.get("group").flatMap(_.headOption).getOrElse("default")
     val topics = q.getOrElse("topic", Seq.empty).filter(_.nonEmpty)
     if (topics.isEmpty) throw HttpError(400, "topic is required")
@@ -292,8 +308,7 @@ class PolarHttpServer(
   }
 
   private def registered(ex: HttpExchange): Registered = {
-    val id = query(ex).get("consumerId").flatMap(_.headOption)
-      .getOrElse(throw HttpError(400, "consumerId is required"))
+    val id = consumerIdOf(ex)
     evictInactive()
     val r = consumers.getOrElse(id, throw HttpError(409, "Consumer not registered"))
     lastSeen.put(id, System.currentTimeMillis())

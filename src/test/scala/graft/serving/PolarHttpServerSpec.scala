@@ -115,6 +115,30 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("Accept" -> "application/json")).statusCode() === 200)
   }
 
+  test("connection-bound consumer: no consumerId, identity rides the keep-alive connection") {
+    val topic = "connb"
+    (0 until 3).foreach { i =>
+      assert(post(s"/v1/topic/$topic/messages?partitionKey=c$i",
+        s"""{"i":$i}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json")).statusCode() === 200)
+    }
+    // register WITHOUT consumerId: the client socket is the identity
+    // (reference: per-connection tracked consumers). The shared
+    // java.net.http client reuses its one keep-alive connection for
+    // sequential requests, so the next poll carries the same identity.
+    val reg = put(s"/v1/consumer/register?group=gc&topic=$topic&onNewGroup=startFromEarliest")
+    assert(reg.statusCode() === 200)
+    val poll = post("/v1/consumer/poll", Array.empty, Seq("Accept" -> "application/json"))
+    assert(poll.statusCode() === 200, poll.body())
+    (0 until 3).foreach(i => assert(poll.body().contains(s"""{\\"i\\":$i}""")
+      || poll.body().contains(s"""{"i":$i}"""), s"missing record $i"))
+    // legacy consumer_id alias still routes to the same stateless flow
+    assert(put(s"/v1/consumer/register?consumer_id=leg1&group=glegacy&topic=$topic&onNewGroup=startFromEarliest")
+      .statusCode() === 200)
+    assert(post("/v1/consumer/poll?consumer_id=leg1", Array.empty,
+      Seq("Accept" -> "application/json")).statusCode() === 200)
+  }
+
   test("ndjson and framed produce split into records") {
     val topic = "split"
     val nd = "a\nb\r\nc\n\n".getBytes(UTF_8)
