@@ -76,6 +76,38 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  /** In-order word n-grams with DUPLICATES PRESERVED (LM counting) — the
+    * non-distinct sibling of [[wordShingles]]. One tokenize per row (the
+    * declarative `transform(sequence, i -> element_at(toks, i))` chain
+    * re-evaluates the tokenizer per element after project-collapse —
+    * measured 10× the single-pass cost on the bigram scorer at sf0.1).
+    * Fewer than k tokens yield an EMPTY array (no sentinel). */
+  def wordNgrams(s: UTF8String, k: Int): ArrayData = {
+    val tokens0 = Whitespace.split(s.toLowerCase.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < tokens0.length) {
+      if (!tokens0(i).isEmpty) { tokens0(n) = tokens0(i); n += 1 }
+      i += 1
+    }
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens0(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over token murmur hashes: bit b of the result is the sign of
     * sum over tokens of ±1 depending on bit b of murmur3(token). */
   def simhash64(tokens: ArrayData): Long = {
@@ -263,6 +295,25 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.wordShingles($c, $k)")
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** `word_ngrams(string, k) -> array<string>` — in-order k-word n-grams with
+  * duplicates preserved, one codegen'd pass (see [[Sketches.wordNgrams]]). */
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word_ngrams needs k >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires string input, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.wordNgrams(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.wordNgrams($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
 }
 
 /** `md5_hash60(string|binary) -> long` — engine-neutral 60-bit content hash

@@ -94,6 +94,7 @@ object GraftFunctions {
     "polar_frames" -> ((args: Seq[Expression]) => PolarFrames(args.head)),
     "sorted_jaccard" -> ((args: Seq[Expression]) => SortedJaccard(args(0), args(1))),
     "word_shingles" -> ((args: Seq[Expression]) => WordShingles(args.head, intArg(args(1)))),
+    "word_ngrams" -> ((args: Seq[Expression]) => WordNgrams(args.head, intArg(args(1)))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
@@ -156,6 +157,10 @@ object GraftFunctions {
   /** Distinct sorted k-word shingles of a document, one codegen'd pass. */
   def word_shingles(text: Column, k: Int): Column =
     GraftShims.column(WordShingles(GraftShims.expression(text), k))
+
+  /** In-order k-word n-grams, duplicates preserved (LM counting). */
+  def word_ngrams(text: Column, k: Int): Column =
+    GraftShims.column(WordNgrams(GraftShims.expression(text), k))
 
   /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
   def hll60(hash: Column): Column =

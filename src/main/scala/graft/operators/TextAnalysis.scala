@@ -152,11 +152,10 @@ object TextAnalysis {
     * bigram and are absent from the output. Token log-probs are rounded
     * to 9 places and summed as DECIMAL — exact under any fold order. */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val bg = when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - lit(2)),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass kernel: the declarative transform(sequence, i ->
+    // element_at(toks, i)) chain re-tokenizes per element after
+    // project-collapse — measured 10× slower at sf0.1
+    val bg = graft.functions.GraftFunctions.word_ngrams(col(textCol), 2)
     val bgs = docs.select(col(idCol).as("doc_id"), explode(bg).as("bigram"))
     val counts = bgs.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
