@@ -60,4 +60,27 @@ class WordShinglesPropSpec extends AnyFunSuite {
     assert(nativeShingles("one two", 3) === Seq("one two"))
     assert(nativeShingles("A a A", 2) === Seq("a a")) // lowercase + distinct
   }
+
+  /** word_ngrams mirror: lower → split → drop empties → sliding k joined by
+    * one space, IN ORDER with duplicates preserved; n < k ⇒ empty. */
+  private def referenceNgrams(text: String, k: Int): Seq[String] = {
+    val words = UTF8String.fromString(text).toLowerCase.toString
+      .split("\\s+", -1).filter(_.nonEmpty).toSeq
+    if (words.size < k) Seq.empty
+    else (0 to words.size - k).map(i => words.slice(i, i + k).mkString(" "))
+  }
+
+  private def nativeNgrams(text: String, k: Int): Seq[String] = {
+    val arr = Sketches.wordNgrams(UTF8String.fromString(text), k)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  test("word_ngrams == in-order sliding window, duplicates preserved") {
+    check("ngram parity", Prop.forAll(texts, ks) { (t, k) =>
+      nativeNgrams(t, k) == referenceNgrams(t, k)
+    })
+    assert(nativeNgrams("", 2) === Seq.empty)
+    assert(nativeNgrams("one", 2) === Seq.empty)
+    assert(nativeNgrams("A a A", 2) === Seq("a a", "a a")) // duplicates stay
+  }
 }
