@@ -729,6 +729,33 @@ object RelationalQueries extends QueryRegistry {
         WHERE len(toks) >= 5""")),
 
     QueryDef(
+      "q_window_analytics",
+      // the remaining analytic-function surface in one entry: ntile
+      // deciles, percent_rank, and first/last value over a frame — all on
+      // the same single-shuffle window as q_window_rank
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(10).over(w).cast("long").as("decile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            first(col("o_orderkey")).over(wf).as("top_order"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               round(percent_rank() OVER w, 6) AS pr,
+               first_value(o_orderkey) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_order
+        FROM orders WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)""")),
+
+    QueryDef(
       "q_histogram",
       // fixed-width value histogram: bin assignment is a pure projection
       // (no shuffle), counts collapse behind one partial-agg exchange —
