@@ -86,6 +86,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet)
   }
 
+  test("packSequences equals a driver-side fold replay on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sp = spark; import sp.implicits._
+    // token counts include zeros and docs far larger than the context
+    val corpusGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 120)
+      ids <- Gen.pick(n, 0L until 500L)
+      nts <- Gen.listOfN(n, Gen.oneOf(Gen.chooseNum(0L, 30L), Gen.chooseNum(200L, 900L)))
+    } yield ids.toList.zip(nts)
+    def md5h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "nt")
+      val got = Curation.packSequences(df, "doc_id", "nt", 256, shards = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      // replay: shard by hash bucket, order by (h, id), fold one cursor
+      val expected = corpus
+        .map { case (id, nt) => (math.floorMod(md5h(id), 4L), md5h(id), id, nt) }
+        .groupBy(_._1).flatMap { case (shard, ds) =>
+          var cum = 0L
+          ds.sortBy(d => (d._2, d._3)).map { case (_, _, id, nt) =>
+            val win = cum / 256
+            cum += nt
+            id -> (shard, win)
+          }
+        }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mixtureSample membership is deterministic and rate-bounded") {
     val sp = spark; import sp.implicits._
     val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
