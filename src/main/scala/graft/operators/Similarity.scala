@@ -430,6 +430,23 @@ object Similarity {
       .withColumn("cell", cellOf(centroids)(col("v")))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental insert into a persisted [[ivfIndexWrite]] layout: new
+    * vectors are assigned to cells with the SAME frozen centroids and
+    * appended as new files inside their cell directories — no rebuild, no
+    * touch of existing files, probes see them immediately. The standard
+    * vector-store ingest path: centroids only retrain when drift warrants
+    * a full [[ivfIndexWrite]] (the append/rebuild split every IVF system
+    * has). */
+  def ivfIndexAppend(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Seq[Seq[Double]],
+      path: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(centroids)(col("v")))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe a persisted [[ivfIndexWrite]] layout: rank centroids by query
     * cosine, scan only the `nProbe` nearest cells' directories. Same
     * probe semantics as [[ivfTopK]] (stable tie-break to the lower cell

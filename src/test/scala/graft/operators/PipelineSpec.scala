@@ -449,6 +449,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(indexed === direct)
   }
 
+  test("IVF index append: half-build + insert equals the full build's probes") {
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val centroids = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .orderBy(col("id")).limit(8).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("ivf_app_spec").toString
+    // build with the even half, append the odd half (frozen centroids)
+    Similarity.ivfIndexWrite(corpus.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", centroids, s"$root/ivf")
+    Similarity.ivfIndexAppend(corpus.filter(col("vec_id") % 2 =!= 0),
+      "embedding", "vec_id", centroids, s"$root/ivf")
+    val appended = Similarity
+      .ivfIndexProbe(spark, s"$root/ivf", centroids, qv, 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Similarity.ivfIndexWrite(corpus, "embedding", "vec_id", centroids, s"$root/full")
+    val full = Similarity
+      .ivfIndexProbe(spark, s"$root/full", centroids, qv, 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(appended === full)
+  }
+
   test("knn join: per-id ranks contiguous, neighbors symmetric-bucket, scores match exact cosine") {
     val sample = embs.filter(col("vec_id") % 5 === 0)
     val out = Similarity.knnJoin(sample, "embedding", "vec_id", k = 3, numPlanes = 3)
