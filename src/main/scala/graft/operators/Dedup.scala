@@ -28,6 +28,20 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Case/whitespace-normalized content key: lowercase, runs of whitespace
+    * collapsed to one space, trimmed — the cheap canonicalization that
+    * catches trivially-reformatted duplicates exact hashing misses, while
+    * staying a pure projection (dedup on it is still ONE hash-aggregate). */
+  def normalizedContent(content: Column): Column =
+    trim(regexp_replace(lower(content), "\\s+", " "))
+
+  /** [[exact]] over the normalized content key. */
+  def exactNormalized(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.select(normalizedContent(col(contentCol)).as("norm_content"),
+        col(idCol).as("__id"))
+      .groupBy(col("norm_content"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Word k-shingles of a document, distinct and SORTED — sorted once per
     * row so pairwise similarity can use the allocation-free merge-walk
     * kernel ([[graft.functions.Sketches.sortedJaccard]]) instead of per-pair

@@ -126,6 +126,19 @@ object PipelineQueries extends QueryRegistry {
         FROM documents GROUP BY text""")),
 
     QueryDef(
+      "dedup_exact_norm",
+      // normalization-aware exact dedup: lowercase + whitespace collapse
+      // before hashing catches trivially-reformatted duplicates; still one
+      // hash-aggregate — the projection is free
+      (s, dir) => Dedup.exactNormalized(Tables.documents(s, dir), "text", "doc_id")
+        .select(md5(col("norm_content").cast("binary")).as("norm_hash"),
+          col("keep_id"), col("n_copies")),
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""")),
+
+    QueryDef(
       "dedup_jaccard_pairs",
       // unigram shingles: this corpus's vocabulary is small, so word-set
       // Jaccard is the discriminating n-gram granularity (3-grams barely
