@@ -1075,6 +1075,64 @@ object PipelineQueries extends QueryRegistry {
         FROM lp GROUP BY doc_id""")),
 
     QueryDef(
+      "pipeline_semantic_curate",
+      // TEXT-quality × EMBEDDING-space curation across both tables: keep
+      // documents that pass the quality gate AND whose embedding survives
+      // semantic dedup (components over full-corpus cosine pairs, min-id
+      // representative). The cross-modal join is a left-semi against the
+      // (tiny) surviving-id set — at 100 TB the corpus passes once, the
+      // embedding side stays banded/bucketed throughout.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.dataPlaneCosinePairs(
+          emb, "embedding", "vec_id", threshold = 0.3, numPlanes = 4)
+        val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val keptVecs = Dedup.keepRepresentatives(
+          emb.select(col("vec_id")), "vec_id", clusters)
+        docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+          .join(keptVecs, docs("doc_id") === keptVecs("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj, v AS pv
+          FROM e ORDER BY vec_id LIMIT 4),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        prs AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION
+          SELECT r.node, e2.dst AS peer
+          FROM reach r JOIN edges e2 ON e2.src = r.peer),
+        cc AS (SELECT node AS id, least(node, min(peer)) AS cid
+               FROM reach GROUP BY node),
+        dropped AS (SELECT id FROM cc WHERE id <> cid),
+        q AS (
+          SELECT doc_id FROM documents
+          WHERE round(
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+              least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|it|for|on)\b')) AS DOUBLE)
+                    / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+              (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                     / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) >= 0.5)
+        SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM q WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
+
+    QueryDef(
       "pipeline_quantile_filter",
       // corpus-relative quality gating: drop the bottom 20% by score. The
       // threshold is ONE exact-percentile aggregate (sort-based, one
