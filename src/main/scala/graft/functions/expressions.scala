@@ -95,6 +95,8 @@ object GraftFunctions {
     "sorted_jaccard" -> ((args: Seq[Expression]) => SortedJaccard(args(0), args(1))),
     "word_shingles" -> ((args: Seq[Expression]) => WordShingles(args.head, intArg(args(1)))),
     "word_ngrams" -> ((args: Seq[Expression]) => WordNgrams(args.head, intArg(args(1)))),
+    "vec_dot" -> ((args: Seq[Expression]) => VecDot(args(0), args(1))),
+    "vec_cosine" -> ((args: Seq[Expression]) => VecCosine(args(0), args(1))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
@@ -161,6 +163,14 @@ object GraftFunctions {
   /** In-order k-word n-grams, duplicates preserved (LM counting). */
   def word_ngrams(text: Column, k: Int): Column =
     GraftShims.column(WordNgrams(GraftShims.expression(text), k))
+
+  /** One-pass dot product of two float/double arrays. */
+  def vec_dot(a: Column, b: Column): Column =
+    GraftShims.column(VecDot(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** One-pass cosine similarity of two float/double arrays. */
+  def vec_cosine(a: Column, b: Column): Column =
+    GraftShims.column(VecCosine(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
   def hll60(hash: Column): Column =

