@@ -28,9 +28,10 @@ object Similarity {
   // aggregate(zip_with(...)) folds they replaced (same left-to-right IEEE
   // accumulation — oracle hashes unchanged): the fold chain allocated a
   // zipped array and ran interpreted higher-order functions THREE times
-  // per cosine (dot + both norms); measured ~2.4× on the full-corpus
-  // bucket-join pipeline (pipeline_semantic_curate 4.6s → 1.9s warm at
-  // sf0.1), with every similarity operator sharing the win.
+  // per cosine (dot + both norms); measured 10× on sim_pairs (3.1s →
+  // 0.31s) and ~4× on the full-corpus bucket-join pipeline
+  // (pipeline_semantic_curate 4.6s → 1.2s at sf0.1), with every
+  // similarity operator sharing the win.
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.vec_dot(a, b)
 
