@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /**
  * Similarity search over embedding columns (`array<float>`).
  *
- * Dot products are sequential left-folds over double-cast elements via
- * higher-order functions (`zip_with` + `aggregate`) — codegen'd, and
+ * Dot products and cosines run through the native one-pass
+ * [[graft.functions.Sketches.dotProd]]/[[graft.functions.Sketches.cosineSim]]
+ * kernels — left-to-right IEEE accumulation over double-cast elements,
  * bit-identical to the DuckDB oracle's `list_dot_product(DOUBLE[])`.
  *
  *  - [[bruteForceTopK]]: exact top-k by cosine — one scan + TakeOrdered,
@@ -23,7 +24,6 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two numeric arrays as double. */
   // Native one-pass kernels, bit-identical to the declarative
   // aggregate(zip_with(...)) folds they replaced (same left-to-right IEEE
   // accumulation — oracle hashes unchanged): the fold chain allocated a
