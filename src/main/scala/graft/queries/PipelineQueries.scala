@@ -489,40 +489,26 @@ object PipelineQueries extends QueryRegistry {
       "sim_class_centroids",
       // class prototypes: element-wise mean embedding per label (the
       // "centroid per class" primitive behind prototype classification and
-      // semantic-dedup seeding). posexplode → (label, pos) partial-agg →
-      // re-assemble sorted — the shuffle carries one row per (label, dim),
-      // never a vector. Components quantize to 2^-20 grid BEFORE summing
-      // so the aggregate is integer-exact and order-independent (a raw
-      // double sum would be partition-order nondeterministic).
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(col("label"), col("pos"),
-            floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("q"))
-        e.groupBy(col("label"), col("pos"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-          .select(col("label"), col("pos"),
-            round(col("sq").cast("double") / col("n") / lit(1048576.0), 6).as("m"),
-            col("n"))
-          .groupBy(col("label"))
-          .agg(min(col("n")).as("n_vecs"),
-            transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-              s => s.getField("m")).as("centroid"))
-      },
+      // semantic-dedup seeding). posexplode → (label, pos) partial-agg —
+      // the shuffle carries one row per (label, dim), never a vector.
+      // Components quantize to 2^-20 grid BEFORE summing so the aggregate
+      // is integer-exact and order-independent (a raw double sum would be
+      // partition-order nondeterministic). The gate emits long-form scalar
+      // rows (label, pos, m, n_vecs); Similarity.classCentroids packs the
+      // same means into array<double> for library callers.
+      (s, dir) =>
+        Similarity.classCentroidsLong(Tables.embeddings(s, dir),
+          "embedding", "label"),
       Some("""
         WITH x AS (
           SELECT label, i - 1 AS pos,
                  CAST(floor(v[i] * 1048576) AS BIGINT) AS q
           FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-               (SELECT unnest(generate_series(1, 64)) AS i) t),
-        m AS (
-          SELECT label, pos,
-                 round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576, 6) AS m,
-                 COUNT(*) AS n
-          FROM x GROUP BY label, pos)
-        SELECT label, MIN(n) AS n_vecs,
-               list(m ORDER BY pos) AS centroid
-        FROM m GROUP BY label""")),
+               (SELECT unnest(generate_series(1, 64)) AS i) t)
+        SELECT label, pos,
+               round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576, 6) AS m,
+               COUNT(*) AS n_vecs
+        FROM x GROUP BY label, pos""")),
 
     QueryDef(
       "sim_ann_lsh",

@@ -536,4 +536,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(grams.toSeq === Seq(("the quick brown fox", 2L)))
   }
+
+  test("classCentroids packs classCentroidsLong per label in dimension order") {
+    val long = Similarity.classCentroidsLong(embs, "embedding", "label")
+      .collect().map(r => (r.get(0), r.getAs[Int]("pos"), r.getAs[Double]("m")))
+    val packed = Similarity.classCentroids(embs, "embedding", "label").collect()
+    assert(packed.nonEmpty)
+    val dim = embs.head().getAs[scala.collection.Seq[Float]]("embedding").size
+    packed.foreach { r =>
+      val label = r.get(0)
+      val centroid = r.getAs[scala.collection.Seq[Double]]("centroid")
+      assert(centroid.size === dim)
+      val expect = long.filter(_._1 == label).sortBy(_._2).map(_._3).toSeq
+      assert(centroid.toSeq === expect)
+    }
+  }
 }
