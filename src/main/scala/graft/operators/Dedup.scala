@@ -396,6 +396,80 @@ object Dedup {
       clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as("__dup_id")),
       df(idCol) === col("__dup_id"), "left_anti")
 
+  /**
+   * Paragraph explode: one row per (doc, paragraph) with the paragraph's
+   * 0-based position, split on the literal `delim` (CCNet/Gopher pipelines
+   * split on newline). Paragraphs that normalize to empty (runs of
+   * delimiters, whitespace-only) are dropped. A pure generator projection —
+   * no shuffle; the row multiplier is the per-doc paragraph count.
+   */
+  def paragraphs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delim: String = "\n"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"), col("para"))
+      .filter(normalizedContent(col("para")) =!= "")
+
+  /**
+   * Corpus-wide paragraph dedup (CCNet/Gopher style): every paragraph
+   * keyed by its normalized content; the FIRST occurrence — minimum
+   * (doc_id, para_idx) — survives, all later occurrences (cross- and
+   * within-document) are dropped. Returns the surviving rows
+   * (doc_id, para_idx, para, n_copies).
+   *
+   * ONE hash-aggregate: `min_by` over the (doc_id, para_idx) order carries
+   * the winner's payload through the partial/final combine, so no
+   * winner-join is needed and only (key, winner row, count) crosses the
+   * shuffle — the same single-exchange shape as [[exact]] at any scale.
+   */
+  def dedupParagraphs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delim: String = "\n"): DataFrame =
+    paragraphs(df, textCol, idCol, delim)
+      .groupBy(normalizedContent(col("para")).as("k"))
+      .agg(
+        min_by(struct(col("doc_id"), col("para_idx"), col("para")),
+          struct(col("doc_id"), col("para_idx"))).as("w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("w.doc_id").as("doc_id"), col("w.para_idx").as("para_idx"),
+        col("w.para").as("para"), col("n_copies"))
+
+  /**
+   * End-to-end paragraph-granularity dedup: [[dedupParagraphs]] then
+   * reassemble each document's SURVIVING paragraphs in original order,
+   * re-joined with `delim`. Documents whose every paragraph was dropped
+   * are absent (nothing left to keep). Returns
+   * (doc_id, text, n_kept, n_dropped).
+   *
+   * The per-doc `collect_list` is bounded by a single document's paragraph
+   * count — never corpus-sized — and the totals side is a second aggregate
+   * over the same generator scan; both shuffles carry only (doc_id, para)
+   * rows.
+   */
+  def paragraphDedupRebuild(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delim: String = "\n"): DataFrame = {
+    val totals = paragraphs(df, textCol, idCol, delim)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    dedupParagraphs(df, textCol, idCol, delim)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("para_idx"), col("para")))),
+            s => s.getField("para")), delim).as("text"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("text"), col("n_kept"),
+        (col("n_paras") - col("n_kept")).as("n_dropped"))
+  }
+
   /** SimHash fingerprints of documents. */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),

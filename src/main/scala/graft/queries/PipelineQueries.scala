@@ -65,6 +65,43 @@ object PipelineQueries extends QueryRegistry {
                 (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) >= 0.8)"""
   }
 
+  /** Paragraph-structured view of the documents table for the paragraph
+    * dedup gates: the corpus has no newlines, so we derive the structure
+    * deterministically — words chunked 8 at a time, chunks joined by
+    * '\n'. A pure projection of the real table (no synthetic data), and
+    * exact duplicate documents yield genuine cross-document duplicate
+    * paragraphs for the operator to drop. */
+  private def paragraphedDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")),
+        "\n").as("text"))
+  }
+
+  /** Oracle mirror of [[paragraphedDocs]] + the normalized-key paragraph
+    * explode: CTEs ending in `d(doc_id, para_idx, para, k)`. Parallel
+    * unnests zip in DuckDB, so the chunk index and chunk value explode
+    * together without a lateral join. */
+  private val ParagraphCtes: String = """
+        s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        c AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nc FROM s),
+        p AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, nc - 1)) AS para_idx,
+                 unnest(list_transform(generate_series(0, nc - 1),
+                   i -> array_to_string(ws[i*8+1 : i*8+8], ' '))) AS para
+          FROM c),
+        d AS (
+          SELECT doc_id, para_idx, para,
+                 trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS k
+          FROM p
+          WHERE trim(regexp_replace(lower(para), '\s+', ' ', 'g')) <> '')"""
+
   override def all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -319,6 +356,48 @@ object PipelineQueries extends QueryRegistry {
             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 8""")),
+
+    QueryDef(
+      "dedup_paragraph",
+      // CCNet/Gopher paragraph-granularity dedup: every paragraph keyed by
+      // normalized content, first occurrence (min doc_id, para_idx) wins.
+      // ONE min_by hash-aggregate — no winner-join; only (key, winner,
+      // count) crosses the shuffle. The oracle computes the same winners
+      // via a window (same ordering).
+      (s, dir) => Dedup.dedupParagraphs(paragraphedDocs(s, dir),
+        "text", "doc_id", "\n"),
+      Some(s"""
+        WITH $ParagraphCtes,
+        w AS (
+          SELECT doc_id, para_idx, para,
+                 row_number() OVER (PARTITION BY k ORDER BY doc_id, para_idx) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n_copies
+          FROM d)
+        SELECT doc_id, para_idx, para, n_copies FROM w WHERE rn = 1""")),
+
+    QueryDef(
+      "dedup_paragraph_rebuild",
+      // the end-to-end paragraph pipeline: dedup at paragraph level, then
+      // reassemble each document's surviving paragraphs in original order
+      // — the shape CCNet ships to training. Per-doc collect_list is
+      // bounded by one document's paragraph count, never corpus-sized.
+      (s, dir) => Dedup.paragraphDedupRebuild(paragraphedDocs(s, dir),
+        "text", "doc_id", "\n"),
+      Some(s"""
+        WITH $ParagraphCtes,
+        w AS (
+          SELECT doc_id, para_idx, para,
+                 row_number() OVER (PARTITION BY k ORDER BY doc_id, para_idx) AS rn
+          FROM d),
+        keep AS (SELECT doc_id, para_idx, para FROM w WHERE rn = 1),
+        r AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(para, chr(10) ORDER BY para_idx) AS text
+          FROM keep GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_total FROM d GROUP BY doc_id)
+        SELECT r.doc_id, r.text, r.n_kept,
+               tot.n_total - r.n_kept AS n_dropped
+        FROM r JOIN tot USING (doc_id)""")),
 
     QueryDef(
       "text_fingerprint",

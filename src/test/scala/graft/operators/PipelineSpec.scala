@@ -537,6 +537,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grams.toSeq === Seq(("the quick brown fox", 2L)))
   }
 
+  test("paragraph dedup: first occurrence wins, rebuild preserves order, empty docs vanish") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "alpha one\nshared para\nBETA two"),
+      (2L, "shared  para\ngamma three"), // normalizes to doc 1's paragraph
+      (3L, "shared para"),               // every paragraph is a dup → doc gone
+      (4L, "delta four\ndelta four")     // within-doc duplicate
+    ).toDF("doc_id", "text")
+    val winners = Dedup.dedupParagraphs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // "shared para" keeps its (1,1) occurrence with 3 copies total
+    assert(winners.toSet.contains((1L, 1L, "shared para", 3L)))
+    assert(winners.count(_._3.toLowerCase.matches("shared\\s+para")) === 1)
+    // within-doc dup keeps only the first position
+    assert(winners.toSet.contains((4L, 0L, "delta four", 2L)))
+    val rebuilt = Dedup.paragraphDedupRebuild(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rebuilt(1L) === (("alpha one\nshared para\nBETA two", 3L, 0L)))
+    assert(rebuilt(2L) === (("gamma three", 1L, 1L)))
+    assert(!rebuilt.contains(3L)) // nothing survived
+    assert(rebuilt(4L) === (("delta four", 1L, 1L)))
+  }
+
   test("classCentroids packs classCentroidsLong per label in dimension order") {
     val long = Similarity.classCentroidsLong(embs, "embedding", "label")
       .collect().map(r => (r.get(0), r.getAs[Int]("pos"), r.getAs[Double]("m")))
