@@ -83,17 +83,27 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
     val rows = numHashes / bands
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .localCheckpoint()
+    // Size-gated materialization (same dual-path rationale as
+    // [[connectedComponents]]'s driver cap): below the cap the (id, sh,
+    // sig) frame is localCheckpoint'ed — one compute, re-read by banding
+    // and both verify sides. Above it nothing corpus-sized is pinned to
+    // executor disk: banding reads only (id, sig), and shingles are
+    // RECOMPUTED behind a broadcast semi-join of the candidate ids, so
+    // the full shingle set neither shuffles nor persists (candidate sets
+    // are the near-dup graph — a tiny fraction of the corpus).
+    val small = df.count() <= materializeMaxRows
+    val docs = if (small) base.localCheckpoint() else base
     // band hash: xxhash64 over the band's signature slice (+ band index so
     // buckets from different bands never collide). Bands carry ONLY
     // (id, band_idx, band_hash): shuffling the shingle arrays through the
     // ×bands explode multiplies the dominant byte volume by the band count
     // (see md5MinhashLshPairs for the measurement).
-    val banded = docs.withColumn("band",
+    val banded = docs.select(col("id"), col("sig")).withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("band_hash")))))
@@ -104,9 +114,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val shSource =
+      if (small) docs
+      else base.join(broadcast(
+          candidates.select(col("id_a").as("id"))
+            .union(candidates.select(col("id_b").as("id"))).distinct()),
+        Seq("id"), "left_semi")
     candidates
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shSource.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSource.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -143,27 +159,30 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
     val rows = numHashes / bands
     val seeds = xorSeeds(numHashes)
-    // Materialize (id, sh, sig) ONCE. Two pathologies without this:
+    // Two pathologies if the (id, sh, sig) frame is computed naively:
     // the self-join computes the shingle+minhash pipeline on BOTH sides,
-    // and — the dominant cost — the band explode used to carry the full
-    // shingle array, putting ×bands copies of every document's shingles
-    // through the bucket shuffle. Bands now carry only (id, band slice);
-    // shingles re-enter via two joins against the materialized docs AFTER
-    // the candidate set has collapsed to near-dup pairs. (At extreme scale
-    // the same shape works without the checkpoint: recompute sh behind a
-    // broadcast of the candidate ids — either way no shingle bytes cross
-    // the banding shuffle.)
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    // and — the dominant cost — a band explode that carries the full
+    // shingle array puts ×bands copies of every document's shingles
+    // through the bucket shuffle. Bands therefore carry only (id, band
+    // slice), and shingles re-enter AFTER the candidate set has collapsed
+    // to near-dup pairs. Size-gated (connectedComponents-style dual
+    // path): below `materializeMaxRows` the frame is localCheckpoint'ed
+    // (one compute, three readers); above it nothing corpus-sized is
+    // pinned to executor local disk — shingles are recomputed behind a
+    // broadcast semi-join of the candidate ids instead.
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       // hash each shingle once, then every lane in one pass — as 32
       // array_min(transform(...)) columns, project-collapse re-evaluates
       // the md5 child per lane (32× the hash work)
       .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
         transform(col("sh"), x => md5Hash60(x)), seeds))
-      .localCheckpoint()
-    val banded = docs.withColumn("band",
+    val small = df.count() <= materializeMaxRows
+    val docs = if (small) base.localCheckpoint() else base
+    val banded = docs.select(col("id"), col("sig")).withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             slice(col("sig"), b * rows + 1, lit(rows)).as("band_val")))))
@@ -174,9 +193,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val shSource =
+      if (small) docs
+      else base.join(broadcast(
+          candidates.select(col("id_a").as("id"))
+            .union(candidates.select(col("id_b").as("id"))).distinct()),
+        Seq("id"), "left_semi")
     candidates
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shSource.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSource.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -199,15 +224,22 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
     // Materialize fingerprints ONCE (16 bytes/doc — trivially small even at
     // 100 TB). Without this the self-join computes the tokenize+md5-per-token
     // pipeline on BOTH sides, and constraint-inferred filters re-derive it
     // again below the banding projections (same pathology as the
     // exactJaccardPairs NOTE) — measured 7× the single-pass cost at sf0.1.
-    val fps = df.select(col(idCol).as("id"),
+    // Size-gated: localCheckpoint below the cap; above it `persist` — the
+    // blocks are equally tiny, but lineage is KEPT, so losing an executor
+    // recomputes its fingerprints instead of failing the job (a
+    // checkpoint-truncated RDD cannot be rebuilt).
+    val baseFps = df.select(col(idCol).as("id"),
       md5Simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
-      .localCheckpoint()
+    val fps =
+      if (df.count() <= materializeMaxRows) baseFps.localCheckpoint()
+      else baseFps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One join key: band index folded into the high bits of the 15-bit
     // chunk value. Hamming is computed and filtered BEFORE the distinct so
     // the aggregate sees only true near-dup rows (candidates collapse ~10×

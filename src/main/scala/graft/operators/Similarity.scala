@@ -559,16 +559,24 @@ object Similarity {
       vecCol: String,
       idCol: String,
       queryVec: Seq[Float],
-      k: Int): DataFrame = {
+      k: Int,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
     // quantize NORMALIZED vectors: the integer dot product then tracks
     // cosine, not raw magnitude (vectors must be non-zero). Materialized
     // once — the stats pass and the scoring pass both read it, and without
     // the cut projection collapse would inline the norm's dot product into
     // the per-element lambda (O(dim²) per vector). At 100 TB you'd persist
     // the quantized corpus anyway — compression is the point of SQ8.
+    // Size-gated: localCheckpoint below the cap; `persist` above it — the
+    // InMemoryRelation is the same projection barrier but KEEPS lineage,
+    // so an executor loss recomputes its blocks (and spills to disk past
+    // memory) instead of failing on a truncated RDD.
     val vn = transform(col(vecCol).cast("array<double>"),
       x => x / norm(col(vecCol)))
-    val unit = df.select(col(idCol).as("id"), vn.as("v")).localCheckpoint()
+    val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
+    val unit =
+      if (df.count() <= materializeMaxRows) unitBase.localCheckpoint()
+      else unitBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one scalar stat: the corpus-wide max |component| (max is exact, so
     // partial-agg order cannot change it — safe bounded driver pull)
     val maxAbs = unit.agg(

@@ -560,6 +560,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rebuilt(4L) === (("delta four", 1L, 1L)))
   }
 
+  test("above the materialization cap: no checkpoint in the plan, same results") {
+    val subset = docs.filter(col("doc_id") % 5 === 0)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // minhash: scale path recomputes shingles behind a broadcast semi-join
+    val mhSmall = Dedup.md5MinhashLshPairs(subset, "text", "doc_id",
+      shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8)
+    val mhScale = Dedup.md5MinhashLshPairs(subset, "text", "doc_id",
+      shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8,
+      materializeMaxRows = 0L)
+    assert(!planOf(mhScale).contains("ExistingRDD"),
+      "scale path must not checkpoint the corpus")
+    assert(planOf(mhScale).contains("BroadcastExchange"),
+      "candidate ids should re-enter via broadcast")
+    assert(mhScale.collect().toSet === mhSmall.collect().toSet)
+    // simhash: scale path persists (lineage kept) instead of checkpointing
+    val shSmall = Dedup.md5SimhashPairs(subset, "text", "doc_id", maxDistance = 8)
+    val shScale = Dedup.md5SimhashPairs(subset, "text", "doc_id", maxDistance = 8,
+      materializeMaxRows = 0L)
+    assert(!planOf(shScale).contains("ExistingRDD"))
+    assert(planOf(shScale).contains("InMemoryTableScan"))
+    assert(shScale.collect().toSet === shSmall.collect().toSet)
+    // sq8: same switch
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val sqSmall = Similarity.sq8TopK(embs.filter(col("vec_id") =!= 0),
+      "embedding", "vec_id", qv, 20)
+    val sqScale = Similarity.sq8TopK(embs.filter(col("vec_id") =!= 0),
+      "embedding", "vec_id", qv, 20, materializeMaxRows = 0L)
+    assert(!planOf(sqScale).contains("ExistingRDD"))
+    assert(planOf(sqScale).contains("InMemoryTableScan"))
+    assert(sqScale.collect().toSeq === sqSmall.collect().toSeq)
+  }
+
   test("classCentroids packs classCentroidsLong per label in dimension order") {
     val long = Similarity.classCentroidsLong(embs, "embedding", "label")
       .collect().map(r => (r.get(0), r.getAs[Int]("pos"), r.getAs[Double]("m")))
