@@ -141,6 +141,44 @@ object Curation {
       .drop("__cum")
   }
 
+  /**
+   * [[packSequences]] straight from raw text with a PLUGGABLE token
+   * counter (default [[TextAnalysis.subwordCount]], the deterministic
+   * BPE-ish estimate). A real tokenizer's count — a native expression or
+   * UDF over the text column — drops in via `tokenCounter` without
+   * touching the packing plan; the counter runs once per document inside
+   * the same projection.
+   */
+  def packDocuments(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      contextLen: Int,
+      shards: Int = 64,
+      tokenCounter: Column => Column = TextAnalysis.subwordCount): DataFrame =
+    packSequences(
+      df.select(col(keyCol), tokenCounter(col(textCol)).as("n_tokens")),
+      keyCol, "n_tokens", contextLen, shards)
+
+  /**
+   * Corpus-relative quantile gating: keep documents whose score is at or
+   * above the corpus `quantile` (e.g. 0.2 drops the bottom 20%). The
+   * scorer is pluggable (default [[TextAnalysis.qualityScore]] — any
+   * Column expression, incl. a model-based score or a token-count
+   * heuristic, drops in). The threshold is ONE exact-percentile aggregate
+   * (a single scalar) broadcast back over a second scan — the corpus
+   * itself never shuffles. Output = input columns + (score, threshold).
+   */
+  def quantileFilter(
+      df: DataFrame,
+      textCol: String,
+      quantile: Double,
+      scorer: Column => Column = TextAnalysis.qualityScore): DataFrame = {
+    val scored = df.withColumn("score", scorer(col(textCol)))
+    val th = scored.agg(percentile(col("score"), lit(quantile)).as("threshold"))
+    scored.crossJoin(broadcast(th)).filter(col("score") >= col("threshold"))
+  }
+
   // -------------------------------------------------------------- mixture
 
   /**

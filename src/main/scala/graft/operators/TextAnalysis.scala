@@ -21,9 +21,28 @@ object TextAnalysis {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** A BPE-ish piece-count estimate: one piece per token plus one per 16
-    * chars — a cheap deterministic stand-in for a real tokenizer's count. */
+    * chars — a cheap deterministic stand-in for a real tokenizer's count.
+    * Every consumer takes it as a pluggable `tokenCounter: Column =>
+    * Column` default ([[stats]], [[Curation.packDocuments]]), so a real
+    * BPE count drops in without touching the operators. */
   def subwordCount(text: Column): Column =
     (tokenCount(text) + floor(length(text) / lit(16))).cast("long")
+
+  /** The standard per-document stats projection (token/subword/punct/
+    * stopword counts + composite quality) with a PLUGGABLE subword
+    * counter: swap in a real tokenizer's count without touching callers.
+    * Pure column expressions — one codegen'd pass over the corpus. */
+  def stats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tokenCounter: Column => Column = subwordCount): DataFrame =
+    df.select(col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      tokenCounter(col(textCol)).as("n_subwords"),
+      punctCount(col(textCol)).as("n_punct"),
+      stopwordCount(col(textCol)).as("n_stops"),
+      qualityScore(col(textCol)).as("quality"))
 
   def punctCount(text: Column): Column = regexp_count(text, lit("[.,;:!?]"))
 

@@ -106,13 +106,7 @@ object PipelineQueries extends QueryRegistry {
 
     QueryDef(
       "text_stats",
-      (s, dir) => Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
-        TextAnalysis.punctCount(col("text")).as("n_punct"),
-        TextAnalysis.stopwordCount(col("text")).as("n_stops"),
-        TextAnalysis.qualityScore(col("text")).as("quality")),
+      (s, dir) => TextAnalysis.stats(Tables.documents(s, dir), "text", "doc_id"),
       Some("""
         SELECT doc_id,
                len(regexp_extract_all(text, '[^ ]+')) AS n_tokens,
@@ -897,13 +891,10 @@ object PipelineQueries extends QueryRegistry {
       // sequence packing: content-hash-shuffled docs laid end-to-end into
       // 2048-token context windows, sharded (8) so packing parallelizes —
       // per-(shard, window) doc/token counts are fully deterministic
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"),
-          TextAnalysis.subwordCount(col("text")).as("nt"))
-        graft.operators.Curation.packSequences(docs, "doc_id", "nt", 2048, shards = 8)
-          .groupBy(col("shard"), col("window").as("win"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      },
+      (s, dir) => graft.operators.Curation.packDocuments(
+          Tables.documents(s, dir), "text", "doc_id", 2048, shards = 8)
+        .groupBy(col("shard"), col("window").as("win"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
       Some(s"""
         WITH t AS (
           SELECT doc_id,
@@ -1204,15 +1195,11 @@ object PipelineQueries extends QueryRegistry {
       // scalar) broadcast back over a second scan — the corpus itself
       // never shuffles. Both engines interpolate linearly over the same
       // 6-decimal-rounded scores, so the cut is reproducible.
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("q"))
-        val th = docs.agg(percentile(col("q"), lit(0.2)).as("t"))
-        docs.crossJoin(broadcast(th)).filter(col("q") >= col("t"))
-          .agg(count(lit(1)).as("n_kept"),
-            sum(col("doc_id")).cast("long").as("id_sum"),
-            round(min(col("t")), 6).as("threshold"))
-      },
+      (s, dir) => graft.operators.Curation.quantileFilter(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", 0.2)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          round(min(col("threshold")), 6).as("threshold")),
       Some("""
         WITH scored AS (
           SELECT doc_id,

@@ -122,6 +122,28 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("packDocuments and quantileFilter accept a custom token counter / scorer") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 40).map(i => (i.toLong, ("word " * (i + 1)).trim))
+      .toDF("doc_id", "text")
+    // a stand-in "real tokenizer": 1 token per 4 characters
+    val byChars: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => ceil(length(c) / lit(4.0)).cast("long")
+    val packed = Curation.packDocuments(df, "text", "doc_id", contextLen = 64,
+      shards = 2, tokenCounter = byChars)
+    // counts flow from the custom counter, not subwordCount
+    val expected = df.select(col("doc_id"), byChars(col("text")).as("n_tokens"))
+    val viaGeneric = Curation.packSequences(expected, "doc_id", "n_tokens", 64, shards = 2)
+    assert(packed.collect().toSet === viaGeneric.collect().toSet)
+    val defaultPacked = Curation.packDocuments(df, "text", "doc_id", 64, shards = 2)
+    assert(packed.select(sum("n_tokens")).head().getLong(0) !==
+      defaultPacked.select(sum("n_tokens")).head().getLong(0))
+    // quantile gate with a custom scorer: keep the longest 50% by tokens
+    val kept = Curation.quantileFilter(df, "text", 0.5, scorer = byChars)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (20L until 40L).toSet)
+  }
+
   test("mixtureSample membership is deterministic and rate-bounded") {
     val sp = spark; import sp.implicits._
     val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
