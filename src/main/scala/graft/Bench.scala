@@ -48,7 +48,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces: stdout capture has truncated long runs before
+    // (BENCH_r04 lost its tail) — the same line always lands in a file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_last.json")),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -86,13 +86,19 @@ final class RetentionScheduler(
         val aged =
           try PolarLog.cleanRetention(cfg, retentionMs, nowMs)
           catch { case NonFatal(_) => 0 }
+        // dataGraceMs = periodMs makes reclamation MODIFICATION-TIME
+        // gated, not ordering-gated: a superseded original survives at
+        // least one full period after its last write regardless of when
+        // sweeps happen to run, so any reader that planned against the
+        // pre-compaction registry gets a bounded, configurable window
+        // (previously grace was only implied by sweep ordering — a query
+        // outliving one period could hit FileNotFound mid-scan)
         val orphans =
-          try PolarLog.vacuum(cfg, nowMs = nowMs)
+          try PolarLog.vacuum(cfg, nowMs = nowMs, dataGraceMs = periodMs)
           catch { case NonFatal(_) => 0 }
         // compaction runs AFTER vacuum: a deferred-delete compactor's
-        // superseded originals survive as unregistered orphans until the
-        // NEXT sweep's vacuum — the loop period doubles as the reader
-        // grace window
+        // superseded originals survive as unregistered orphans until a
+        // LATER sweep's vacuum passes their grace window
         val mer = compactor.map(c =>
           try c(cfg) catch { case NonFatal(_) => 0 }).getOrElse(0)
         cfg.topic -> RetentionScheduler.Sweep(aged, orphans, mer)

@@ -89,12 +89,20 @@ object TemporalJoins {
       payloadCols: Seq[String],
       tiebreak: String,
       toleranceMicros: Long): DataFrame = {
-    val out = asof(left, right, keys, timeCol, payloadCols :+ timeCol, tiebreak)
+    // timeCol always rides along for the freshness check; if the caller
+    // ALSO listed it as a payload, don't carry it twice (duplicate
+    // asof_<timeCol> columns make every later reference ambiguous) and
+    // keep it in the output instead of dropping it
+    val wantsTime = payloadCols.contains(timeCol)
+    val carried = payloadCols.filterNot(_ == timeCol)
+    val out = asof(left, right, keys, timeCol, carried :+ timeCol, tiebreak)
     val fresh =
       unix_micros(col(timeCol)) - unix_micros(col(s"asof_$timeCol")) <= toleranceMicros
-    payloadCols.foldLeft(out) { (df, c) =>
+    val nulled = carried.foldLeft(out) { (df, c) =>
       df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
-    }.drop(s"asof_$timeCol")
+    }
+    if (wantsTime) nulled.withColumn(s"asof_$timeCol", when(fresh, col(s"asof_$timeCol")))
+    else nulled.drop(s"asof_$timeCol")
   }
 
   /**

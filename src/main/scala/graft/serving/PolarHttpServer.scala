@@ -321,9 +321,17 @@ class PolarHttpServer(
     * dropped lazily, so their partitions rebalance to the remaining group
     * members instead of stalling forever. */
   private def evictInactive(): Unit = {
-    val cutoff = System.currentTimeMillis() - inactivityTimeoutMs
+    val now = System.currentTimeMillis()
     lastSeen.foreach { case (id, seen) =>
-      if (seen < cutoff) { consumers.remove(id); lastSeen.remove(id) }
+      // connection-bound ids are the client's ip:port — an ephemeral port
+      // reused by a DIFFERENT client inside the window would silently
+      // resurrect the previous consumer's registration, so conn-* ids get
+      // a quarter of the explicit-id window (a live connection's polls
+      // refresh lastSeen far faster than that; a vanished connection
+      // should not linger the full read-timeout)
+      val window =
+        if (id.startsWith("conn-")) inactivityTimeoutMs / 4 else inactivityTimeoutMs
+      if (seen < now - window) { consumers.remove(id); lastSeen.remove(id) }
     }
   }
 

@@ -116,8 +116,10 @@ object PolarSource {
       // epoch millis (Kafka's startingTimestamp unit) or an ISO-8601
       // instant; overrides startingOffsets when present
       startingTimestampMicros = opt("startingTimestamp").map { s =>
-        if (s.nonEmpty && s.forall(c => c.isDigit || c == '-')) s.toLong * 1000L
-        else {
+        // epoch-millis iff the WHOLE string parses as a long ("2024-01"
+        // or "--" must fall through to the instant parser, whose error
+        // names the format, instead of a raw NumberFormatException)
+        scala.util.Try(s.trim.toLong).map(_ * 1000L).getOrElse {
           val i = java.time.Instant.parse(s)
           i.getEpochSecond * 1000000L + i.getNano / 1000L
         }

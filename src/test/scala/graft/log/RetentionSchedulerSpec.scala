@@ -82,7 +82,13 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     os.write("PAR1junk".getBytes); os.close()
 
     val sched = new RetentionScheduler(root, retentionMs = Long.MaxValue / 2)
-    val res = sched.sweep()
+    // vacuum grace is modification-time gated (dataGraceMs = periodMs):
+    // a just-written orphan must SURVIVE a same-instant sweep...
+    assert(sched.sweep()("ret_orphan").orphansDeleted === 0)
+    assert(fs.exists(orphan))
+    // ...and be reclaimed once the sweep clock passes the grace window
+    val res = sched.sweep(
+      System.currentTimeMillis() + RetentionScheduler.DefaultPeriodMs + 1000)
     assert(res("ret_orphan").orphansDeleted >= 1)
     assert(!fs.exists(orphan))
     assert(PolarLog.consume(spark, cfg).count() === 200)
@@ -148,8 +154,10 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.getPath.getName.endsWith(".parquet"))).sum
     val registered = LogMetadata.read(cfg).files.size
     assert(onDisk > registered, s"expected deferred originals, disk=$onDisk reg=$registered")
-    // ...and the next sweep's vacuum reclaims them (period = grace)
-    val second = sched.sweep()
+    // ...and a later sweep's vacuum reclaims them once past the
+    // modification-time grace (dataGraceMs = periodMs)
+    val second = sched.sweep(
+      System.currentTimeMillis() + RetentionScheduler.DefaultPeriodMs + 1000)
     assert(second("frag").orphansDeleted > 0)
     val onDisk2 = partDirs.map(d => fs.listStatus(d.getPath)
       .count(_.getPath.getName.endsWith(".parquet"))).sum

@@ -79,6 +79,27 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain(2L) === Some(2.5))
   }
 
+  test("asofWithin accepts the time column among payloads without duplication") {
+    val sp = spark; import sp.implicits._
+    val toTs = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (1L, 10L, toTs(10000)),
+      (2L, 10L, toTs(90000))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, toTs(9000), 1.5, 100L),
+      (10L, toTs(50000), 2.5, 101L)).toDF("user_id", "ts", "value", "pid")
+    val got = TemporalJoins.asofWithin(left, right,
+      keys = Seq("user_id"), timeCol = "ts",
+      payloadCols = Seq("value", "ts"), tiebreak = "pid",
+      toleranceMicros = 3600L * 1000000)
+    // exactly one asof_ts column, kept because the caller asked for it
+    assert(got.columns.count(_ == "asof_ts") === 1)
+    val rows = got.select(col("event_id"), col("asof_value"), col("asof_ts"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(rows(1L) === ((Some(1.5), Some(toTs(9000)))))  // fresh: payload + ts kept
+    assert(rows(2L) === ((None, None)))                   // stale: both nulled
+  }
+
   test("binned range join == plain range predicate, any bin width") {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
