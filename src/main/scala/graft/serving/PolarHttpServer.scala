@@ -183,6 +183,8 @@ class PolarHttpServer(
             s""""$t":{"merged":$n}"""
           }.mkString("{", ",", "}"), "application/json")
         case ("POST", TopicMessages(topic)) => handleProduce(ex, topic)
+        case ("GET", "/v1/consumer/groups") => handleGroups(ex)
+        case ("GET", "/v1/consumer/groups/describe") => handleGroupDescribe(ex)
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
         case ("POST", "/v1/consumer/poll") => handlePoll(ex)
         case ("POST", "/v1/consumer/commit") => handleCommit(ex)
@@ -305,6 +307,72 @@ class PolarHttpServer(
       Registered(consumerId, group, topics, policy, Map.empty))
     lastSeen.put(consumerId, System.currentTimeMillis())
     respond(ex, 200, "")
+  }
+
+  // ------------------------------------------------------------ group admin
+
+  /** Group snapshots as a pull endpoint — the reference shares the same
+    * (name, ids, topics) tuples between brokers via gossip
+    * (`internal/consuming/server.go:603-636`, `GetInfoForPeers`); with the
+    * driver as single authority they are served directly, plus a per-topic
+    * lag computed with EXACTLY the `/metrics` gauge's registry arithmetic
+    * (tail − committed per partition, no data reads). */
+  private def handleGroups(ex: HttpExchange): Unit = {
+    evictInactive()
+    val body = consumers.values.toSeq.groupBy(_.group).toSeq.sortBy(_._1)
+      .map { case (g, members) =>
+        val ids = members.map(_.consumerId).distinct.sorted
+        val topics = members.flatMap(_.topics).distinct.sorted
+        val lags = topics.flatMap { t =>
+          scala.util.Try {
+            val cfg = cfgOf(t)
+            val tails = graft.log.PolarLog.tails(cfg)
+            val comm = ConsumerGroups.committed(cfg, g).getOrElse(Map.empty)
+            val lag = tails.map { case (p, tl) =>
+              math.max(0L, tl - comm.getOrElse(p, 0L))
+            }.sum
+            s""""$t":$lag"""
+          }.toOption
+        }
+        s"""{"name":"$g","members":[${ids.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""topics":[${topics.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""lag":{${lags.mkString(",")}}}"""
+      }
+    respond(ex, 200, body.mkString("""{"groups":[""", ",", "]}"),
+      "application/json")
+  }
+
+  /** One group in full: members, the DETERMINISTIC round-robin assignment
+    * per topic (the same [[ConsumerGroups.assignment]] arithmetic poll
+    * uses — what the reference's rebalancer gossips), and per-partition
+    * committed/tail/lag. */
+  private def handleGroupDescribe(ex: HttpExchange): Unit = {
+    evictInactive()
+    val g = query(ex).get("group").flatMap(_.headOption)
+      .getOrElse(throw HttpError(400, "group is required"))
+    val members = consumers.values.filter(_.group == g).toSeq
+    if (members.isEmpty) throw HttpError(404, s"Unknown group '$g'")
+    val ids = members.map(_.consumerId).distinct.sorted
+    val topicJson = members.flatMap(_.topics).distinct.sorted.map { t =>
+      val cfg = cfgOf(t)
+      val tails = scala.util.Try(graft.log.PolarLog.tails(cfg))
+        .getOrElse(Map.empty[Int, Long])
+      val comm = ConsumerGroups.committed(cfg, g).getOrElse(Map.empty)
+      val subs = members.filter(_.topics.contains(t)).map(_.consumerId).distinct.sorted
+      val assign = ConsumerGroups.assignment(cfg, subs)
+      val assignJson = subs.map { m =>
+        s""""$m":[${assign.getOrElse(m, Seq.empty).sorted.mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      val parts = tails.toSeq.sortBy(_._1).map { case (p, tl) =>
+        val c = comm.getOrElse(p, 0L)
+        s"""{"partition":$p,"committed":$c,"tail":$tl,"lag":${math.max(0L, tl - c)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"topic":"$t","assignments":$assignJson,"partitions":$parts}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200,
+      s"""{"name":"$g","members":[${ids.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""topics":$topicJson}""",
+      "application/json")
   }
 
   private def registered(ex: HttpExchange): Registered = {

@@ -257,6 +257,40 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected zero lag after drain, metrics:\n$after")
   }
 
+  test("group admin endpoints list members, assignments and lag matching /metrics") {
+    for (i <- 0 until 8)
+      assert(post(s"/v1/topic/admint/messages?partitionKey=a$i",
+        s"""{"i":$i}""".getBytes(UTF_8)).statusCode() === 200)
+    assert(put("/v1/consumer/register?consumerId=ga1&group=gadmin&topic=admint&onNewGroup=startFromEarliest")
+      .statusCode() === 200)
+    assert(put("/v1/consumer/register?consumerId=ga2&group=gadmin&topic=admint&onNewGroup=startFromEarliest")
+      .statusCode() === 200)
+    val list = get("/v1/consumer/groups").body()
+    assert(list.contains(""""name":"gadmin""""), list)
+    assert(list.contains(""""members":["ga1","ga2"]"""), list)
+    // the list's per-topic lag is the /metrics gauge's number
+    val listLag = """"gadmin".*?"admint":(\d+)""".r
+      .findFirstMatchIn(list).map(_.group(1).toLong)
+    val mLag = """polar_consumer_lag\{group="gadmin",topic="admint"\} (\d+)""".r
+      .findFirstMatchIn(get("/metrics").body()).map(_.group(1).toLong)
+    assert(listLag === mLag)
+    assert(listLag === Some(8L), s"full backlog expected, got $listLag in $list")
+    val desc = get("/v1/consumer/groups/describe?group=gadmin").body()
+    assert(desc.contains(""""topic":"admint""""), desc)
+    // assignments are the rebalancer's: disjoint, union = all 12 partitions
+    val assigned = """"ga(\d)":\[([0-9,]*)\]""".r.findAllMatchIn(desc)
+      .map(m => m.group(1) -> m.group(2).split(",").filter(_.nonEmpty).map(_.toInt).toSet)
+      .toMap
+    assert(assigned.keySet === Set("1", "2"), desc)
+    assert((assigned("1") intersect assigned("2")).isEmpty)
+    assert(assigned("1") ++ assigned("2") === (0 until 12).toSet)
+    // per-partition lags sum to the same gauge
+    val perPartLag = """"lag":(\d+)\}""".r.findAllMatchIn(desc)
+      .map(_.group(1).toLong).sum
+    assert(perPartLag === 8L, desc)
+    assert(get("/v1/consumer/groups/describe?group=nope").statusCode() === 404)
+  }
+
   test("inactive consumers are evicted and their partitions rebalance") {
     val fast = new PolarHttpServer(spark, root, inactivityTimeoutMs = 300).start()
     try {
