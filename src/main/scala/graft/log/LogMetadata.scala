@@ -130,18 +130,87 @@ object LogMetadata {
 
   def manifestDir(cfg: TopicConfig): String = s"${cfg.dir}/_manifests"
 
-  /** Manifest cache, keyed by absolute manifest path. Manifest files are
-    * write-once under unique names (version + random suffix), so a cached
-    * entry can never be stale — even across delete-and-recreate of a topic
-    * directory, a fresh publish mints fresh names. Bounded: cleared
-    * wholesale when it outgrows the cap (re-reads repopulate it). */
-  private val manifestCache =
+  /** One manifest FILE: either a full snapshot (`parent` None, depth 0) or
+    * a tail-append SEGMENT carrying only the entries added since `parent`
+    * — so a steady-state commit writes O(its own delta) manifest bytes, not
+    * O(partition files). Chains are capped at [[MaxManifestDepth]]; the
+    * commit that would exceed it rewrites the full snapshot instead
+    * (the periodic-rewrite half of tail-append-with-periodic-rewrite). */
+  private[log] final case class ManifestDoc(
+      parent: Option[String],
+      depth: Int,
+      files: Vector[FileEntry])
+
+  private[log] val MaxManifestDepth = 16
+
+  /** Caches, keyed by absolute manifest path. Manifest files are
+    * write-once under unique names (version + random suffix) and their
+    * parents are equally immutable, so BOTH a segment and its fully
+    * resolved chain can never be stale — even across delete-and-recreate
+    * of a topic directory, a fresh publish mints fresh names. Bounded:
+    * cleared wholesale when they outgrow the cap (re-reads repopulate). */
+  private val resolvedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[FileEntry]]()
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestDoc]()
   private val ManifestCacheMax = 4096
 
-  private def cacheManifest(path: String, entries: Vector[FileEntry]): Unit = {
-    if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
-    manifestCache.put(path, entries)
+  private def cacheResolved(path: String, entries: Vector[FileEntry]): Unit = {
+    if (resolvedCache.size > ManifestCacheMax) resolvedCache.clear()
+    resolvedCache.put(path, entries)
+  }
+
+  private def cacheSegment(path: String, doc: ManifestDoc): Unit = {
+    if (segmentCache.size > ManifestCacheMax) segmentCache.clear()
+    segmentCache.put(path, doc)
+  }
+
+  /** Test hook: force the next read to re-parse manifests from disk. */
+  private[log] def clearManifestCachesForTest(): Unit = {
+    resolvedCache.clear(); segmentCache.clear()
+  }
+
+  private def segmentOf(cfg: TopicConfig, fc: FileContext, name: String): ManifestDoc = {
+    val mPath = s"${manifestDir(cfg)}/$name"
+    val cached = segmentCache.get(mPath)
+    if (cached != null) cached
+    else {
+      val doc = parseManifestDoc(readText(fc, new Path(mPath)))
+      cacheSegment(mPath, doc)
+      doc
+    }
+  }
+
+  /** Full file vector reachable from manifest `name`: the segment's own
+    * entries appended to its (recursively resolved) parent chain, sorted
+    * by offset. Chain contents are immutable given the head name, so the
+    * resolution caches at every level. */
+  private def resolveChain(
+      cfg: TopicConfig, fc: FileContext, name: String): Vector[FileEntry] = {
+    val mPath = s"${manifestDir(cfg)}/$name"
+    val cached = resolvedCache.get(mPath)
+    if (cached != null) cached
+    else {
+      val doc = segmentOf(cfg, fc, name)
+      val full = (doc.parent match {
+        case Some(p) => resolveChain(cfg, fc, p) ++ doc.files
+        case None => doc.files
+      }).sortBy(_.minOffset)
+      cacheResolved(mPath, full)
+      full
+    }
+  }
+
+  /** Every manifest name the current root doc depends on: the heads plus
+    * their full parent chains — what vacuum must treat as live. */
+  def liveManifestNames(cfg: TopicConfig, meta: LogMetadata): Set[String] = {
+    val fc = FileContext.getFileContext(new Path(cfg.metadataPath).toUri, hadoopConf)
+    val live = scala.collection.mutable.Set.empty[String]
+    def walk(name: String): Unit = if (live.add(name))
+      scala.util.Try(segmentOf(cfg, fc, name)).toOption
+        .flatMap(_.parent).foreach(walk)
+    meta.manifestNames.values.foreach(walk)
+    live.toSet
   }
 
   private def readText(fc: FileContext, path: Path): String = {
@@ -195,21 +264,9 @@ object LogMetadata {
     // resolve manifest pointers through the cache; legacy docs carry files
     // inline and have no pointers (first publish upgrades them)
     if (root.manifestNames.isEmpty) root
-    else {
-      val byPart = root.manifestNames.map { case (p, name) =>
-        val mPath = s"${manifestDir(cfg)}/$name"
-        val cached = manifestCache.get(mPath)
-        val entries =
-          if (cached != null) cached
-          else {
-            val loaded = parseManifest(readText(fc, new Path(mPath)))
-            cacheManifest(mPath, loaded)
-            loaded
-          }
-        p -> entries
-      }
-      root.copy(filesByPart = byPart)
-    }
+    else root.copy(filesByPart = root.manifestNames.map { case (p, name) =>
+      p -> resolveChain(cfg, fc, name)
+    })
 
   /** Full publish: renders EVERY non-empty partition's manifest (topic
     * creation / format upgrade). Incremental commits go through
@@ -256,6 +313,28 @@ object LogMetadata {
         val name =
           if (unchanged) prevNames(p)
           else {
+            // O(delta) commit path: when the new vector EXTENDS the
+            // previous one (reference-equal prefix — appendFiles shares
+            // instances), write only the delta as a tail-append segment
+            // pointing at the previous manifest. Depth is capped: the
+            // commit that would exceed MaxManifestDepth — and any
+            // non-append change (retention/compaction removals) — writes
+            // a full snapshot, bounding read fan-in and letting vacuum
+            // eventually reclaim long chains.
+            val prevV = prevFiles.getOrElse(p, Vector.empty)
+            val prevName = prevNames.get(p)
+            val isAppend = prevName.isDefined && prevV.nonEmpty &&
+              v.length > prevV.length &&
+              (0 until prevV.length).forall(i => v(i) eq prevV(i))
+            val doc =
+              if (isAppend) {
+                val prevDepth =
+                  scala.util.Try(segmentOf(cfg, fc, prevName.get).depth)
+                    .getOrElse(MaxManifestDepth)
+                if (prevDepth + 1 <= MaxManifestDepth)
+                  ManifestDoc(prevName, prevDepth + 1, v.drop(prevV.length))
+                else ManifestDoc(None, 0, v)
+              } else ManifestDoc(None, 0, v)
             // write-once unique name: version + random suffix ensures no
             // collision even across topic re-creation at the same path
             val suffix = java.util.UUID.randomUUID().toString.take(8)
@@ -264,9 +343,10 @@ object LogMetadata {
             val out = fc.create(mPath,
               java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
               Options.CreateOpts.createParent())
-            try out.write(renderManifest(v).getBytes(StandardCharsets.UTF_8))
+            try out.write(renderManifestDoc(doc).getBytes(StandardCharsets.UTF_8))
             finally out.close()
-            cacheManifest(mPath.toString, v)
+            cacheSegment(mPath.toString, doc)
+            cacheResolved(mPath.toString, v)
             n
           }
         p -> name
@@ -307,10 +387,27 @@ object LogMetadata {
   }
 
   private[log] def renderManifest(files: Vector[FileEntry]): String =
-    files.map(f =>
+    renderManifestDoc(ManifestDoc(None, 0, files))
+
+  private[log] def renderManifestDoc(doc: ManifestDoc): String = {
+    val head = doc.parent match {
+      case Some(p) => s"""{"parent":"$p","depth":${doc.depth},"files":["""
+      case None => """{"files":["""
+    }
+    doc.files.map(f =>
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
         s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax}]""")
-      .mkString("""{"files":[""", ",", "]}")
+      .mkString(head, ",", "]}")
+  }
+
+  private[log] def parseManifestDoc(s: String): ManifestDoc = {
+    val parent = """"parent"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    val depth = """"depth"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    // segment entry order is the append order — do NOT sort here; the
+    // chain resolver sorts the concatenated result once
+    ManifestDoc(parent, depth, FileEntryRe.findAllMatchIn(s).map(entryOf).toVector)
+  }
 
   private def entryOf(m: scala.util.matching.Regex.Match): FileEntry =
     FileEntry(m.group(1).toInt, m.group(2), m.group(3).toLong,

@@ -326,7 +326,9 @@ object PolarLog {
     // doc they loaded moments ago
     val mdir = new Path(LogMetadata.manifestDir(cfg))
     if (fs.exists(mdir)) {
-      val live = meta.manifestNames.values.toSet
+      // live = the heads PLUS their full tail-append parent chains — a
+      // chain segment is as load-bearing as the head that references it
+      val live = LogMetadata.liveManifestNames(cfg, meta)
       fs.listStatus(mdir).foreach { f =>
         if (f.isFile && !live.contains(f.getPath.getName) &&
             f.getModificationTime < nowMs - manifestGraceMs) {

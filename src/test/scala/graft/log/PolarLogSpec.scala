@@ -312,4 +312,62 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.manifestNames === m.manifestNames)
     assert(back.version === 9L)
   }
+
+  test("manifest segment docs round-trip parent pointers and depth") {
+    val seg = LogMetadata.ManifestDoc(Some("part-00000-v3-aaaa1111.json"), 5,
+      Vector(FileEntry(0, "c.parquet", 20, 29, 10, 400, 1700000000002L)))
+    val back = LogMetadata.parseManifestDoc(LogMetadata.renderManifestDoc(seg))
+    assert(back === seg)
+    // a full snapshot has no parent and depth 0 — also what every legacy
+    // manifest parses as
+    val full = LogMetadata.parseManifestDoc(
+      LogMetadata.renderManifest(Vector(FileEntry(1, "d.parquet", 0, 0, 1, 10, 1L))))
+    assert(full.parent === None && full.depth === 0)
+  }
+
+  test("commits write O(delta) manifest bytes; chains resolve and cap") {
+    val cfg = TopicConfig(root, "chain_bytes")
+    val mdir = new java.io.File(LogMetadata.manifestDir(cfg))
+    def entry(i: Long) = FileEntry(0, f"f$i%06d.parquet", i * 10, i * 10 + 9,
+      10, 1000, 1700000000000L + i)
+    def manifests: Map[String, Long] =
+      Option(mdir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".json")) // skip ChecksumFs .crc sidecars
+        .map(f => f.getName -> f.length()).toMap
+    // seed: one commit registering 2000 files (the big-partition state)
+    LogMetadata.write(cfg, LogMetadata.empty(cfg))
+    var cur = LogMetadata.read(cfg)
+    cur = LogMetadata.compareAndSet(cfg, cur)(
+      _.appendFiles((0L until 2000L).map(entry)))
+    val seeded = manifests
+    val fullBytes = seeded.values.max // the 2000-entry snapshot
+    // a single-file commit writes one NEW manifest of O(1-entry) size
+    cur = LogMetadata.compareAndSet(cfg, cur)(_.appendFiles(Seq(entry(2000L))))
+    val delta = (manifests -- seeded.keys).values
+    assert(delta.size === 1)
+    assert(delta.head < fullBytes / 100,
+      s"delta commit wrote ${delta.head}B vs full snapshot ${fullBytes}B")
+    // resolution includes the whole chain, from a COLD cache too
+    LogMetadata.clearManifestCachesForTest()
+    assert(LogMetadata.read(cfg).filesOf(0).size === 2001)
+    // many more single-file commits: depth caps, reads stay exact
+    (2001L until 2040L).foreach { i =>
+      cur = LogMetadata.compareAndSet(cfg, cur)(_.appendFiles(Seq(entry(i))))
+    }
+    LogMetadata.clearManifestCachesForTest()
+    val resolved = LogMetadata.read(cfg).filesOf(0)
+    assert(resolved.size === 2040)
+    assert(resolved.map(_.minOffset) === resolved.map(_.minOffset).sorted)
+    // a REMOVAL (retention/compaction shape) forces a full snapshot and
+    // still reads back exactly
+    cur = LogMetadata.compareAndSet(cfg, cur)(m =>
+      m.copy(filesByPart = m.filesByPart.updated(0, m.filesOf(0).drop(2))))
+    LogMetadata.clearManifestCachesForTest()
+    assert(LogMetadata.read(cfg).filesOf(0).size === 2038)
+    // vacuum keeps every live chain segment: a post-vacuum cold read works
+    graft.log.PolarLog.vacuum(cfg, manifestGraceMs = 0L,
+      nowMs = System.currentTimeMillis() + 10000)
+    LogMetadata.clearManifestCachesForTest()
+    assert(LogMetadata.read(cfg).filesOf(0).size === 2038)
+  }
 }
