@@ -308,7 +308,8 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
-      smallGraphMaxPairs: Long = 4000000L): DataFrame = {
+      smallGraphMaxPairs: Long = 4000000L,
+      skewSaltFactor: Int = 8): DataFrame = {
     val spark = pairs.sparkSession
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint()
@@ -327,14 +328,15 @@ object Dedup {
       // concurrent query on the same session plans with its own width.
       val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val width = math.max(1L, math.min(2 * nPairs / 2000000L + 1, sessionWidth.toLong)).toInt
-      starComponents(e0, width, maxIter)
+      starComponents(e0, width, maxIter, skewSaltFactor)
     }
   }
 
   /** Alternating large-star/small-star CC over canonical (u > v) edges —
     * see [[connectedComponents]]. Returns (id, cluster_id) for every node
     * of `e0`, including nodes isolated by self-loop removal. */
-  private def starComponents(e0: DataFrame, width: Int, maxIter: Int): DataFrame = {
+  private def starComponents(
+      e0: DataFrame, width: Int, maxIter: Int, saltFactor: Int = 8): DataFrame = {
     val nodes = e0.na.drop()
       .select(col("src").as("id")).union(e0.na.drop().select(col("dst").as("id")))
       .distinct().localCheckpoint()
@@ -344,21 +346,34 @@ object Dedup {
         .distinct()
     def directed(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
-    // per-node minimum over the CLOSED neighborhood (self included)
+    // per-node minimum over the CLOSED neighborhood (self included).
+    // Skew note: the groupBy itself is safe under a mega-component —
+    // Spark's hash aggregate combines min MAP-SIDE, so each task emits at
+    // most one row per key into the shuffle (the "salted min then re-min"
+    // fanout is built into partial aggregation).
     def mins(n: DataFrame): DataFrame =
       n.repartition(width, col("u")).groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // The residual hot spot is the (edges ⋈ mins) JOIN: once a
+    // mega-component collapses toward its root, nearly every directed
+    // edge carries the root's u and lands in ONE task. Salting spreads
+    // each key over `saltFactor` tasks (mins is one row per node, so the
+    // ×salt explode on that side is cheap); exact same rows as the plain
+    // join, verified by the power-law property test.
+    def joinMins(n: DataFrame, m: DataFrame): DataFrame =
+      if (saltFactor <= 1) n.join(m, "u")
+      else SkewJoin.saltedInnerJoin(n, m, "u", saltFactor)
     // large-star: each node's HIGHER-id neighbors rewire to its min
     def largeStar(e: DataFrame): DataFrame = {
       val n = directed(e)
-      canon(n.join(mins(n), "u").filter(col("v") > col("u"))
+      canon(joinMins(n, mins(n)).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
     }
     // small-star: each node and its LOWER-id neighbors rewire to its min
     def smallStar(e: DataFrame): DataFrame = {
       val n = directed(e)
       val m = mins(n)
-      canon(n.join(m, "u").filter(col("v") < col("u"))
+      canon(joinMins(n, m).filter(col("v") < col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(m.select(col("u"), col("m").as("v"))))
     }

@@ -57,13 +57,42 @@ class StarComponentsPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the operator contract excludes self-pairs (near-dup pairs always
       // have id_a < id_b) but the algorithm must tolerate them anyway
       val df = edges.toDF("id_a", "id_b")
+      // skewSaltFactor = 1: the random-shape cases guard the contraction
+      // algebra; the salted join path has its own dedicated case below
+      // (salting multiplies per-round stage overhead — prohibitive across
+      // 12 cases × ~15 rounds of tiny data)
       val got = Dedup.connectedComponents(df, "id_a", "id_b",
-          maxIter = 30, smallGraphMaxPairs = 0L)
+          maxIter = 30, smallGraphMaxPairs = 0L, skewSaltFactor = 1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == truth(edges)
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("power-law mega-component: salted star loop matches union-find at scale") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial skew: 80% of 20k nodes hang directly off hub 0 (the
+    // mega-component whose root key floods one join task without
+    // salting), the rest form chain strands into the same component,
+    // plus a disjoint ring that must stay separate
+    val n = 4000
+    val edges: Seq[(Long, Long)] =
+      (1 until n).map { i =>
+        if (i % 5 == 0) (i.toLong, math.max(0, i - 5).toLong)
+        else (i.toLong, 0L)
+      } ++ (0 until 200).map(i => ((n + i).toLong, (n + (i + 1) % 200).toLong))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        "id_a", "id_b", maxIter = 40, smallGraphMaxPairs = 0L,
+        skewSaltFactor = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = truth(edges)
+    assert(got.size === expect.size)
+    assert(got === expect)
+    // the mega-component's label is the hub, the ring's is its min id
+    assert(got(1L) === 0L && got((n - 1).toLong) === 0L)
+    assert(got((n + 100).toLong) === n.toLong)
   }
 }
