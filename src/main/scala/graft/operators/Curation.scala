@@ -228,8 +228,25 @@ object Curation {
       df: DataFrame,
       domainCol: String,
       keyCol: String,
-      alpha: Double): DataFrame = {
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      alpha: Double): DataFrame =
+    mixtureSampleBy(df, domainCol, keyCol, alpha, lit(1L))
+
+  /**
+   * [[mixtureSample]] with domain sizes measured by an arbitrary WEIGHT
+   * column — most usefully a token count, the "mix by token budget" knob
+   * every multi-source training corpus actually tunes (a domain of few
+   * huge documents should count by its tokens, not its doc count). Same
+   * bit-reproducible rate arithmetic over the weighted totals, same
+   * content-hash membership; one weighted count-aggregation (collected —
+   * domains are few) then a pure filter.
+   */
+  def mixtureSampleBy(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      alpha: Double,
+      weight: Column): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(sum(weight).cast("long").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val rates = temperatureRates(counts, alpha)
     // integer threshold of 10k buckets: round once, compare in integers

@@ -645,6 +645,125 @@ object Similarity {
         transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
 
+  /**
+   * Linear probe scoring — the deployment shape of every
+   * fasttext/linear-head quality filter: `score = sigmoid(w·x + b)` with
+   * the weight vector broadcast as a literal. One codegen'd projection
+   * over the corpus (a single native dot per row), embarrassingly
+   * parallel at any scale; train the head anywhere (e.g.
+   * [[classCentroidsLong]] difference-of-centroids, or an external
+   * model's exported weights) and drop it in.
+   */
+  def linearProbe(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      weights: Seq[Double],
+      bias: Double = 0.0): DataFrame =
+    df.select(col(idCol).as("id"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(dot(col(vecCol), typedLit(weights)) + lit(bias)))), 6).as("score"))
+
+  /** Difference-of-centroids weights for [[linearProbe]]: w = c(pos) −
+    * c(neg) over the integer-exact per-label means — the nearest-centroid
+    * binary classifier in linear-head form, deterministic and
+    * oracle-replayable. */
+  def centroidProbeWeights(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      negLabel: Int,
+      posLabel: Int): Seq[Double] = {
+    val cents = classCentroidsLong(df.filter(col(labelCol).isin(negLabel, posLabel)),
+        vecCol, labelCol)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val dim = cents.map(_._2).max + 1
+    val c = Map(negLabel -> new Array[Double](dim), posLabel -> new Array[Double](dim))
+    cents.foreach { case (l, p, m) => c(l)(p) = m }
+    (0 until dim).map(i => c(posLabel)(i) - c(negLabel)(i))
+  }
+
+  /**
+   * Long-form embedding covariance: one row per (i, j), i ≤ j — the
+   * input to PCA/whitening (the preprocessing step before semantic dedup
+   * or low-rank ANN). Components quantize to a 2^-10 grid first so every
+   * aggregate is an INTEGER sum (order-independent, oracle-exact); the
+   * final covariance is assembled from those sums in a fixed double-op
+   * order. The per-row upper-triangle explode happens inside one
+   * generator projection (q computed once per row, no self-join): the
+   * only shuffle is the (i, j) hash-aggregate, whose partial phase
+   * collapses each task to ≤ dim(dim+3)/2 rows — at 100 TB the reduction
+   * state is a dim² matrix per task, nothing more.
+   */
+  def covarianceLong(df: DataFrame, vecCol: String): DataFrame = {
+    val dim = df.select(col(vecCol)).head()
+      .getAs[scala.collection.Seq[Float]](0).length
+    val qv = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1024.0)).cast("long"))
+    // upper-triangle products plus (j = -1) sentinel rows carrying the
+    // linear sums — both aggregates come out of ONE corpus pass
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      concat(
+        array(struct(i.cast("int").as("i"), lit(-1).as("j"),
+          element_at(col("q"), i + 1).as("p"))),
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
+            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p"))))))
+    val agg = df.select(qv.as("q"))
+      .select(explode(pairs).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+    val lin = agg.filter(col("j") === -1)
+    val quad = agg.filter(col("j") =!= -1)
+    quad
+      .join(lin.select(col("i"), col("s").as("sx_i")), "i")
+      .join(lin.select(col("i").as("j"), col("s").as("sx_j")), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        // + 0.0 canonicalizes IEEE negative zero (engines disagree on
+        // round's zero sign, and -0.0 vs 0.0 breaks value hashing)
+        (round(((col("s").cast("double") / col("n")) -
+          (col("sx_i").cast("double") / col("n")) *
+            (col("sx_j").cast("double") / col("n"))) / lit(1048576.0), 6) +
+          lit(0.0)).as("cov"))
+  }
+
+  /**
+   * Top-k principal components by power iteration with deflation over
+   * the COLLECTED covariance matrix — dim² doubles on the driver, the
+   * same bounded-matrix budget as the centroid/codebook pulls; the
+   * corpus-sized work is [[covarianceLong]]'s single pass. Deterministic:
+   * fixed all-ones init, fixed iteration count. Returns (eigenvalue,
+   * eigenvector) pairs, largest first.
+   */
+  def principalComponents(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 50): Seq[(Double, Seq[Double])] = {
+    val rows = covarianceLong(df, vecCol).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val dim = rows.map(_._2).max + 1
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Double])]
+    val c = cov.map(_.clone())
+    for (_ <- 0 until k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j)))
+        val n = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+        if (n > 0) { v = w.map(_ / n); lambda = n }
+      }
+      comps += ((lambda, v.toSeq))
+      // deflate: C -= λ v vᵀ
+      for (i <- 0 until dim; j <- 0 until dim) c(i)(j) -= lambda * v(i) * v(j)
+    }
+    comps.toSeq
+  }
+
   /** Exact all-pairs cosine ≥ threshold (quadratic baseline). */
   def exactCosinePairs(
       df: DataFrame,

@@ -947,6 +947,41 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY d.lang""")),
 
     QueryDef(
+      "pipeline_token_mixture",
+      // the "mix by token budget" knob: domain sizes measured in TOKENS
+      // (a domain of few huge docs counts by its tokens, not its doc
+      // count), same bit-reproducible α=0.5 rate chain over the weighted
+      // totals, same content-hash membership
+      (s, dir) => {
+        import graft.operators.{Curation, TextAnalysis}
+        val docs = Tables.documents(s, dir)
+        Curation.mixtureSampleBy(docs, "lang", "doc_id", 0.5,
+            TextAnalysis.subwordCount(col("text")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(TextAnalysis.subwordCount(col("text"))).as("tokens_kept"))
+      },
+      Some(s"""
+        WITH counts AS (
+          SELECT lang,
+                 CAST(SUM(CAST(len(regexp_extract_all(text, '[^ ]+'))
+                          + floor(length(text) / 16) AS BIGINT)) AS DOUBLE) AS n
+          FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n) AS total FROM counts),
+        w AS (SELECT lang, n, sqrt(n / total) AS wt FROM counts, tot),
+        z AS (SELECT list_reduce(list(wt ORDER BY lang), (a,b) -> a+b) AS zz FROM w),
+        shares AS (SELECT lang, n, wt / zz AS share FROM w, z),
+        kk AS (SELECT MIN(n / share) AS k FROM shares),
+        rates AS (SELECT lang, LEAST(1.0, share * k / n) AS rate FROM shares, kk),
+        th AS (SELECT lang, CAST(floor(rate*10000 + 0.5) AS BIGINT) AS t FROM rates)
+        SELECT d.lang, COUNT(*) AS n_kept,
+               CAST(SUM(CAST(len(regexp_extract_all(d.text, '[^ ]+'))
+                        + floor(length(d.text) / 16) AS BIGINT)) AS BIGINT) AS tokens_kept
+        FROM documents d JOIN th ON d.lang = th.lang
+        WHERE ${OracleSql.md5Hash60("doc_id")} % 10000 < th.t
+        GROUP BY d.lang""")),
+
+    QueryDef(
       "text_pii",
       // PII scrubbing. The synthetic corpus carries no PII, so the gate
       // deterministically plants emails/phones/IPs derived from doc_id on
@@ -1135,6 +1170,66 @@ object PipelineQueries extends QueryRegistry {
                FROM enc GROUP BY vec_id)
         SELECT vec_id AS id, round(((s0 + s1) + s2) + s3, 6) AS score
         FROM sc ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "sim_linear_probe",
+      // linear-head quality filtering, the deployment shape of every
+      // fasttext-style classifier gate: w = difference of the
+      // integer-exact label-0/label-1 centroids (nearest-centroid
+      // classifier in linear form), score = sigmoid(w·x) as ONE codegen'd
+      // dot per row. Weights train anywhere; scoring never shuffles.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val w = Similarity.centroidProbeWeights(emb, "embedding", "label", 0, 1)
+        Similarity.linearProbe(emb, "embedding", "vec_id", w)
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+      },
+      Some("""
+        WITH x AS (
+          SELECT label, i - 1 AS pos,
+                 CAST(floor(v[i] * 1048576) AS BIGINT) AS q
+          FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE label IN (0, 1)),
+               (SELECT unnest(generate_series(1, 64)) AS i) t),
+        m AS (
+          SELECT label, pos,
+                 round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576, 6) AS m
+          FROM x GROUP BY label, pos),
+        w AS (
+          SELECT pos, SUM(CASE WHEN label = 1 THEN m ELSE -m END) AS w
+          FROM m GROUP BY pos),
+        wv AS (SELECT list(w ORDER BY pos) AS wl FROM w),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id AS id,
+               round(1.0 / (1.0 + exp(-list_dot_product(e.v, wv.wl))), 6) AS score
+        FROM e, wv ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "sim_embed_cov",
+      // embedding covariance in long form — the PCA/whitening input.
+      // Components quantize to a 2^-10 grid so all aggregates are
+      // integer sums (order-independent); the upper-triangle explode and
+      // the linear-sum sentinel rows come out of ONE generator pass, and
+      // the only shuffle is the (i, j) hash-aggregate.
+      (s, dir) => Similarity.covarianceLong(Tables.embeddings(s, dir), "embedding"),
+      Some("""
+        WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+                   FROM embeddings),
+        p AS (
+          SELECT a.i - 1 AS i, b.j - 1 AS j, q[a.i] * q[b.j] AS p
+          FROM e, (SELECT unnest(generate_series(1, 64)) AS i) a,
+               (SELECT unnest(generate_series(1, 64)) AS j) b
+          WHERE b.j >= a.i),
+        s AS (SELECT i, j, SUM(p) AS s, COUNT(*) AS n FROM p GROUP BY i, j),
+        l AS (SELECT i - 1 AS i, SUM(q[i]) AS sx
+              FROM e, (SELECT unnest(generate_series(1, 64)) AS i) t GROUP BY 1)
+        SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+               round((CAST(s.s AS DOUBLE) / n -
+                      (CAST(li.sx AS DOUBLE) / n) * (CAST(lj.sx AS DOUBLE) / n))
+                     / 1048576.0, 6) + 0.0 AS cov
+        FROM s JOIN l li ON li.i = s.i JOIN l lj ON lj.i = s.j""")),
 
     QueryDef(
       "text_logprob",

@@ -622,6 +622,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pqAdc.size === 20 && pqReranked.size === 20)
   }
 
+  test("principal components: Cv = λv residual small, components orthogonal, λ ordered") {
+    val comps = Similarity.principalComponents(embs, "embedding", k = 2, iters = 500)
+    val Seq((l1, v1), (l2, v2)) = comps.toList
+    assert(l1 >= l2 && l2 > 0, s"eigenvalues out of order: $l1, $l2")
+    // rebuild C from the same operator output and check the eigen residual
+    val rows = Similarity.covarianceLong(embs, "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val dim = v1.size
+    val c = Array.ofDim[Double](dim, dim)
+    rows.foreach { case (i, j, x) => c(i)(j) = x; c(j)(i) = x }
+    def residual(l: Double, v: Seq[Double]): Double = {
+      val cv = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j)))
+      math.sqrt((0 until dim).foldLeft(0.0)((a, i) =>
+        a + math.pow(cv(i) - l * v(i), 2)))
+    }
+    // near-flat spectra (synthetic embeddings) converge slowly: accept a
+    // small relative residual rather than machine precision
+    assert(residual(l1, v1) < 5e-3 * math.max(l1, 1e-12), s"r1=${residual(l1, v1)}")
+    assert(residual(l2, v2) < 2e-2 * math.max(l1, 1e-12), s"r2=${residual(l2, v2)}")
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-3, s"components not orthogonal: $dot12")
+  }
+
+  test("linear probe separates its own training labels") {
+    val w = Similarity.centroidProbeWeights(embs, "embedding", "label", 0, 1)
+    val scored = Similarity.linearProbe(embs, "embedding", "vec_id", w)
+      .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+      .filter(col("label").isin(0, 1))
+      .collect().map(r => r.getInt(2) -> r.getDouble(1))
+    val m1 = scored.filter(_._1 == 1).map(_._2)
+    val m0 = scored.filter(_._1 == 0).map(_._2)
+    assert(m1.nonEmpty && m0.nonEmpty)
+    // the difference-of-centroids direction must score its positive class
+    // higher on average — the minimal sanity a trained head must satisfy
+    assert(m1.sum / m1.size > m0.sum / m0.size,
+      s"probe failed to separate: ${m1.sum / m1.size} vs ${m0.sum / m0.size}")
+  }
+
   test("classCentroids packs classCentroidsLong per label in dimension order") {
     val long = Similarity.classCentroidsLong(embs, "embedding", "label")
       .collect().map(r => (r.get(0), r.getAs[Int]("pos"), r.getAs[Double]("m")))
