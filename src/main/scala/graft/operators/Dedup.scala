@@ -444,6 +444,77 @@ object Dedup {
       df(idCol) === col("__dup_id"), "left_anti")
 
   /**
+   * Incremental exact dedup — the production shape: dedup a NEW batch
+   * against the EXISTING corpus without reprocessing the corpus. Returns
+   * the increment rows that survive: not present in the corpus (by
+   * normalized content) and first occurrence within the increment
+   * itself. The corpus contributes only its distinct key set (one
+   * projection + distinct — at 100 TB you'd persist that key set and
+   * anti-join against it per increment; the increment side is one
+   * left-anti join + one min_by aggregate, both keyed on the content).
+   */
+  def exactIncrement(
+      corpus: DataFrame,
+      increment: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val seen = corpus.select(normalizedContent(col(textCol)).as("k")).distinct()
+    increment
+      .select(col(idCol).as("keep_id"), normalizedContent(col(textCol)).as("k"))
+      .join(seen, Seq("k"), "left_anti")
+      .groupBy(col("k"))
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+  }
+
+  /**
+   * Incremental near-dup pairs: MinHash+LSH banding of the INCREMENT
+   * joined against the banding of the CORPUS — every (new, old) pair
+   * above `threshold`, without re-pairing the corpus against itself.
+   * Returns (id_new, id_old, sim). Same md5 hash family and band-value
+   * bucketing as [[md5MinhashLshPairs]] (a corpus's banded signature set
+   * is exactly what a production dedup INDEX persists between
+   * increments; the increment never sees corpus text — only matching
+   * band buckets, then the shingle verify on the candidate ids).
+   */
+  def md5MinhashIncrementPairs(
+      corpus: DataFrame,
+      increment: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    val seeds = xorSeeds(numHashes)
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+        .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
+          transform(col("sh"), x => md5Hash60(x)), seeds))
+        .localCheckpoint()
+    def band(df: DataFrame): DataFrame =
+      df.select(col("id"), col("sig")).withColumn("band",
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band_idx"),
+              slice(col("sig"), b * rows + 1, lit(rows)).as("band_val")))))
+        .select(col("id"), col("band.band_idx"), col("band.band_val"))
+    val inc = prep(increment)
+    val cor = prep(corpus)
+    val candidates = band(inc).as("a").join(band(cor).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_old"))
+      .dropDuplicates("id_new", "id_old")
+    candidates
+      .join(inc.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(cor.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
+      .withColumn("sim", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("sim"), 6).as("sim"))
+  }
+
+  /**
    * Paragraph explode: one row per (doc, paragraph) with the paragraph's
    * 0-based position, split on the literal `delim` (CCNet/Gopher pipelines
    * split on newline). Paragraphs that normalize to empty (runs of

@@ -352,6 +352,30 @@ object PipelineQueries extends QueryRegistry {
         FROM cand WHERE bit_count(xor(ha, hb)) <= 8""")),
 
     QueryDef(
+      "dedup_incremental",
+      // the production dedup shape: today's increment (doc_id % 3 = 0)
+      // deduped against the standing corpus (the rest) — corpus
+      // contributes only its distinct key set, the increment pays one
+      // anti-join + one aggregate; the corpus is never re-paired
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.exactIncrement(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id")
+      },
+      Some("""
+        WITH seen AS (
+          SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+          FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM inc WHERE k NOT IN (SELECT k FROM seen)
+        GROUP BY k""")),
+
+    QueryDef(
       "dedup_paragraph",
       // CCNet/Gopher paragraph-granularity dedup: every paragraph keyed by
       // normalized content, first occurrence (min doc_id, para_idx) wins.

@@ -537,6 +537,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grams.toSeq === Seq(("the quick brown fox", 2L)))
   }
 
+  test("incremental minhash pairs = cross-set slice of the full pair set") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    val incremental = Dedup.md5MinhashIncrementPairs(corpus, inc, "text", "doc_id",
+        shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: full-corpus pairs restricted to (new, old) across the
+    // split — the increment path must find exactly these, reoriented
+    val full = Dedup.md5MinhashLshPairs(docs, "text", "doc_id",
+        shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.flatMap { case (a, b, s) =>
+      if (a % 3 == 0 && b % 3 != 0) Some((a, b, s))
+      else if (b % 3 == 0 && a % 3 != 0) Some((b, a, s))
+      else None
+    }.toSet
+    assert(incremental === expected)
+    assert(incremental.nonEmpty, "expected cross-set near-dups at sf0.001")
+  }
+
   test("paragraph dedup: first occurrence wins, rebuild preserves order, empty docs vanish") {
     val sp = spark; import sp.implicits._
     val df = Seq(
