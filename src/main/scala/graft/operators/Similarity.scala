@@ -683,6 +683,72 @@ object Similarity {
     (0 until dim).map(i => c(posLabel)(i) - c(negLabel)(i))
   }
 
+  /** Per-subspace PQ code columns for [[pqIndexWrite]] (same argmin as
+    * [[pqTopK]]'s inline encode). */
+  private def pqCodes(codebooks: Array[Array[Array[Double]]], v: Column): Seq[Column] = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    (0 until m).map { j =>
+      codebooks(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
+        case ((bestI, bestD), (c, i)) =>
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          val d = lit(cc) - lit(2.0) *
+            dot(slice(v, j * sub + 1, sub), typedLit(c.toSeq))
+          (when(d < bestD, lit(i)).otherwise(bestI), least(d, bestD))
+      }._1.as(s"c$j")
+    }
+  }
+
+  /**
+   * Persist a PQ CODE index: encode once, store only (id, m small code
+   * columns) — the ~20×-smaller corpus every subsequent [[pqIndexProbe]]
+   * scans instead of the float vectors. The encode pass is the only time
+   * the vectors are read; at 100 TB this is the difference between
+   * scanning 100 TB of floats per query and scanning a few TB of codes.
+   * Codebooks are the caller's to persist alongside (they are a tiny
+   * driver-side matrix, like IVF centroids).
+   */
+  def pqIndexWrite(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    val vn = transform(col(vecCol).cast("array<double>"),
+      x => x / norm(col(vecCol)))
+    val unit = df.select(col(idCol).as("id"), vn.as("v")).localCheckpoint()
+    unit.select(col("id") +: pqCodes(codebooks, col("v")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe a persisted [[pqIndexWrite]] layout: ADC-score the code
+    * columns (m table lookups + m−1 adds per row, zero vector reads),
+    * identical scores to [[pqTopK]]'s inline path on the same codebooks. */
+  def pqIndexProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Seq[Float],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val qn = {
+      val nrm = math.sqrt(queryVec.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      queryVec.map(_.toDouble / nrm)
+    }
+    val tables: Array[Seq[Double]] = Array.tabulate(m) { j =>
+      val qs = qn.slice(j * sub, (j + 1) * sub)
+      codebooks(j).map(c => qs.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)).toSeq
+    }
+    val score = (0 until m).map(j =>
+      element_at(typedLit(tables(j)), col(s"c$j") + 1)).reduce(_ + _)
+    spark.read.parquet(path)
+      .select(col("id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /**
    * Long-form embedding covariance: one row per (i, j), i ≤ j — the
    * input to PCA/whitening (the preprocessing step before semantic dedup

@@ -681,6 +681,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe failed to separate: ${m1.sum / m1.size} vs ${m0.sum / m0.size}")
   }
 
+  test("persisted PQ code index probes identically to inline pqTopK") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val cbs = Similarity.pqSampledCodebooks(corpus, "embedding", "vec_id", 4, 8)
+    val path = java.nio.file.Files.createTempDirectory("pq_index").toString + "/idx"
+    Similarity.pqIndexWrite(corpus, "embedding", "vec_id", cbs, path)
+    val probed = Similarity.pqIndexProbe(spark, path, cbs, qv, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.pqTopK(corpus, "embedding", "vec_id", qv, 20, cbs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed === inline)
+    // the index stores only id + m small code columns — no vectors
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.sorted.toSeq === Seq("c0", "c1", "c2", "c3", "id"))
+  }
+
   test("classCentroids packs classCentroidsLong per label in dimension order") {
     val long = Similarity.classCentroidsLong(embs, "embedding", "label")
       .collect().map(r => (r.get(0), r.getAs[Int]("pos"), r.getAs[Double]("m")))
