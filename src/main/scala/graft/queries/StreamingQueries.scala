@@ -149,6 +149,37 @@ object StreamingQueries extends QueryRegistry {
         FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "stream_dedup_corpus",
+      (s, dir) => withStatePartitions(s, 4) {
+        // INCREMENTAL ingest on the stream: records whose (key, value)
+        // already live in the standing corpus are dropped by a
+        // stream-static anti (left-outer + null filter) BEFORE any state;
+        // the remaining stream then passes the watermarked dedup. The
+        // corpus side is a key projection — its text never moves.
+        val root = Files.createTempDirectory("graft_stream_ic").toString
+        val cfg = TopicConfig(root, "events")
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(records, cfg)
+        val corpus = records.filter(col("partitionKey").cast("long") % 3 =!= 0)
+        val q = graft.streaming.StreamAnalytics.dedupAgainstCorpus(
+            PolarStream.read(s, cfg, startingOffsets = "earliest")
+              .select(col("partitionKey"), col("timestamp"), col("value")),
+            corpus, keyCols = Seq("partitionKey", "value"), watermark = "60 days")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_dedup_corpus").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_dedup_corpus")
+          .groupBy(col("partitionKey")).agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey, COUNT(*) AS n
+        FROM events WHERE user_id % 3 = 0 GROUP BY user_id""")),
+
+    QueryDef(
       "stream_sessionize",
       (s, dir) => withStatePartitions(s, 4) {
         // stateful sessionization (flatMapGroupsWithState) replayed over the

@@ -65,6 +65,32 @@ object StreamAnalytics {
         .dropDuplicates(keyCols :+ "timestamp")
     else events.dropDuplicates(keyCols :+ "timestamp")
 
+  /**
+   * Streaming INCREMENTAL dedup: drop stream records whose `keyCols`
+   * already exist in a STATIC corpus (the persisted key set a production
+   * pipeline keeps between ingests — [[graft.operators.Dedup.exactIncrement]]
+   * on the stream), then watermark-bounded within-stream dedup for
+   * cross-batch duplicates. Stream-static anti is expressed as the
+   * supported left-outer join + null filter; the corpus side is a key
+   * projection that Spark broadcasts or re-reads per micro-batch, never
+   * state. At 100 TB the corpus key set is a compact parquet of hashes
+   * and the per-batch join is broadcast (small increment) or
+   * shuffle-on-key (big backfill) — either way corpus text never moves.
+   */
+  def dedupAgainstCorpus(
+      stream: DataFrame,
+      corpusKeys: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame = {
+    val marked = corpusKeys
+      .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+      .withColumn("__seen", lit(1))
+    val fresh = stream.join(marked, keyCols, "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__seen")
+    dedupStream(fresh, keyCols, watermark)
+  }
+
   /** Session assembly with a gap timeout: events of a key within
     * `gapSeconds` of each other belong to one session; a quiet gap (or
     * end-of-stream) closes it. State is per-key and bounded by the timeout. */
