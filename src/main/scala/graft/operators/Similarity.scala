@@ -830,6 +830,19 @@ object Similarity {
     comps.toSeq
   }
 
+  /** Project embeddings onto principal components (the application half
+    * of [[principalComponents]] — dimensionality reduction / whitening
+    * before semantic dedup or low-dimensional ANN): one codegen'd dot
+    * per component per row, components broadcast as literals, no
+    * shuffle. Returns (id, proj: array<double> of k coordinates). */
+  def projectComponents(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      components: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      array(components.map(c => dot(col(vecCol), typedLit(c))): _*).as("proj"))
+
   /** Exact all-pairs cosine ≥ threshold (quadratic baseline). */
   def exactCosinePairs(
       df: DataFrame,

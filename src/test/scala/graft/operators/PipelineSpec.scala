@@ -666,6 +666,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(dot12) < 1e-3, s"components not orthogonal: $dot12")
   }
 
+  test("PCA projection: coordinate variances match eigenvalues in order") {
+    val comps = Similarity.principalComponents(embs, "embedding", k = 2, iters = 500)
+    val proj = Similarity.projectComponents(embs, "embedding", "vec_id",
+        comps.map(_._2))
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("proj"))
+    def varOf(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = varOf(proj.map(_(0)).toSeq)
+    val v1 = varOf(proj.map(_(1)).toSeq)
+    assert(v0 >= v1, s"first component must carry more variance: $v0 < $v1")
+    // the projected variance is the eigenvalue of the (quantized)
+    // covariance — allow the quantization grid + convergence slack
+    assert(math.abs(v0 - comps(0)._1) < 0.05 * comps(0)._1 + 1e-4,
+      s"var $v0 vs eigenvalue ${comps(0)._1}")
+  }
+
   test("linear probe separates its own training labels") {
     val w = Similarity.centroidProbeWeights(embs, "embedding", "label", 0, 1)
     val scored = Similarity.linearProbe(embs, "embedding", "vec_id", w)
