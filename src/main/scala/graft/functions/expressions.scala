@@ -175,4 +175,12 @@ object GraftFunctions {
   /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
   def hll60(hash: Column): Column =
     GraftShims.column(Hll60(GraftShims.expression(hash)).toAggregateExpression())
+
+  /** BPE piece count of a document under a fixed merge list. */
+  def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpeCount(GraftShims.expression(text), merges))
+
+  /** BPE pieces of a document in order, under a fixed merge list. */
+  def bpe_pieces(text: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpePieces(GraftShims.expression(text), merges))
 }

@@ -179,6 +179,31 @@ object Curation {
     scored.crossJoin(broadcast(th)).filter(col("score") >= col("threshold"))
   }
 
+  /**
+   * Per-domain frequency cap: keep at most `maxPerDomain` documents per
+   * domain, best-first — the standard web-pipeline guard against a single
+   * host flooding the corpus (C4/RefinedWeb-style "docs per domain" caps).
+   * Ranking is (score desc, id) so the cut is deterministic; output keeps
+   * the rank as `rnk`.
+   *
+   * Scale shape: ONE shuffle keyed by domain. The `row_number ≤ cap`
+   * filter is rewritten by Spark to WindowGroupLimit, which prunes each
+   * task's groups to their top `maxPerDomain` BEFORE the exchange — a
+   * mega-domain ships cap-bounded rows per task, not its full volume.
+   */
+  def domainCap(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      scoreCol: Column,
+      maxPerDomain: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(scoreCol.desc, col(idCol))
+    df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxPerDomain)
+  }
+
   // -------------------------------------------------------------- mixture
 
   /**

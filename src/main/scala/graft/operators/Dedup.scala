@@ -588,6 +588,114 @@ object Dedup {
         (col("n_paras") - col("n_kept")).as("n_dropped"))
   }
 
+  /**
+   * Edit-distance near-dup pairs with blocking — the entity-resolution
+   * dedup shape (OCR noise, typo variants) that token-set methods miss.
+   * Semantics: pairs in the SAME block with `levenshtein ≤ maxDistance`
+   * over the normalized text; the default block key is the normalized
+   * length bucket (levenshtein ≥ |len_a − len_b|, so same-bucket blocking
+   * with bucket ≥ maxDistance misses only bucket-boundary straddlers —
+   * the standard ER recall/cost trade, stated in the contract rather than
+   * hidden). Returns (id_a, id_b, dist), id_a < id_b.
+   *
+   * Scale shape: ONE equi-join on the block key — never all-pairs; the
+   * quadratic term is bounded per block, and levenshtein runs codegen'd
+   * inside the join. At 100 TB you'd tighten blocks (e.g. length bucket ×
+   * simhash chunk) via `blockKey`.
+   */
+  def editDistancePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDistance: Int,
+      blockKey: Column => Column = c => floor(length(c) / lit(32)).cast("long")): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      normalizedContent(col(textCol)).as("t"))
+      .withColumn("blk", blockKey(col("t")))
+    docs.as("a").join(docs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.t"), col("b.t")).as("dist"))
+      .filter(col("dist") <= maxDistance)
+  }
+
+  /** Word k-gram instances of every document with their 0-based start
+    * positions: (doc_id, start_idx, gram) over lowercased tokens. Docs
+    * shorter than k words emit nothing. A pure generator projection. */
+  def ngramInstances(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val words = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(when(size(words) >= k,
+          transform(sequence(lit(0), size(words) - k),
+            i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+          .otherwise(array()))
+          .as(Seq("start_idx", "gram")))
+      .select(col("doc_id"), col("start_idx").cast("long").as("start_idx"), col("gram"))
+  }
+
+  /**
+   * Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — the suffix-array
+   * ExactSubstr pass, re-expressed relationally at word-k-gram
+   * granularity): every k-gram instance whose gram occurs in MORE THAN ONE
+   * document. Returns (doc_id, start_idx, gram, n_docs).
+   *
+   * Scale shape: one explode + one hash-aggregate keyed by the gram (the
+   * df count), one semi-join back — partial aggregation collapses each
+   * task's gram stream before the shuffle, and the duplicated-gram set is
+   * tiny next to the corpus, so the join back broadcasts.
+   */
+  def duplicatedSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val inst = ngramInstances(df, textCol, idCol, k)
+    val dup = inst.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    inst.join(broadcast(dup), "gram")
+      .select(col("doc_id"), col("start_idx"), col("gram"), col("n_docs"))
+  }
+
+  /**
+   * Remove duplicated spans, keeping ONE copy corpus-wide: the FIRST
+   * instance of each duplicated gram — minimum (doc_id, start_idx) —
+   * survives; every word covered by any OTHER duplicated-gram instance is
+   * dropped, and each document's surviving words are reassembled in
+   * order. Returns (doc_id, text, n_kept, n_dropped); documents keep a row
+   * even when everything was cut (text = '').
+   *
+   * Covered positions are a bounded explode of the non-winner instances
+   * (×k rows on the duplicated spans only — never the corpus), distinct'd,
+   * then one anti-join against the word stream; the rebuild is the same
+   * per-doc bounded collect_list as [[paragraphDedupRebuild]].
+   */
+  def removeDuplicatedSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    val spans = duplicatedSpans(df, textCol, idCol, k)
+    val winners = spans.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("start_idx"))).as("w"))
+      .select(col("gram"), col("w.doc_id").as("w_doc"), col("w.start_idx").as("w_start"))
+    val covered = spans.join(winners, Seq("gram"))
+      .filter(!(col("doc_id") === col("w_doc") && col("start_idx") === col("w_start")))
+      .select(col("doc_id"),
+        explode(sequence(col("start_idx"), col("start_idx") + (k - 1))).as("pos"))
+      .distinct()
+    words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ").as("text"))
+      .join(words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** SimHash fingerprints of documents. */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -192,6 +192,69 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Top-k TF-IDF terms per document — the standard keyword-extraction /
+    * doc-representation signal (what a quality router or topic bucketing
+    * step keys on). Plan shape: the corpus is exploded ONCE; per-(doc,term)
+    * tf and per-term df come from two aggregates over that stream (the df
+    * side is vocabulary-sized, so its join back broadcasts); the per-doc
+    * top-k is a rank filter Spark rewrites to WindowGroupLimit — pruned
+    * BELOW the exchange, so only k rows per doc reach the final shuffle.
+    * Deterministic: score rounded to 6, ties break on the term itself. */
+  def tfidfTopTerms(
+      docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------- BPE
+
+  /**
+   * Train a BPE merge table from the corpus: ONE distributed word-count
+   * (partial aggregation collapses each task's token stream before the
+   * shuffle), a bounded top-`maxWords` pull (vocabularies are
+   * corpus-scale-independent — the same bounded-driver-pull rationale as a
+   * broadcast join's small side), then the classic merge loop on the
+   * driver ([[graft.functions.Bpe.learnMerges]]). Deterministic: the word
+   * table is ordered (count desc, word), merge ties break
+   * lexicographically.
+   */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 65536): Seq[(String, String)] = {
+    val wordCounts = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.functions.Bpe.learnMerges(wordCounts, numMerges)
+  }
+
+  /** Real-tokenizer `tokenCounter`: BPE piece count under `merges` — drops
+    * into [[stats]], [[Curation.packDocuments]], [[Curation.quantileFilter]]
+    * in place of [[subwordCount]]. One native codegen'd expression. */
+  def bpeCount(merges: Seq[(String, String)])(text: Column): Column =
+    graft.functions.GraftFunctions.bpe_count(text, merges)
+
+  /** BPE pieces of a document in order (subword vocab building). */
+  def bpePieces(merges: Seq[(String, String)])(text: Column): Column =
+    graft.functions.GraftFunctions.bpe_pieces(text, merges)
+
   /** Boilerplate mining: word n-grams shared by more than `minDocs`
     * distinct documents (navigation chrome, license headers, template
     * text — the spans an exact-substring dedup pass would cut). Shingles

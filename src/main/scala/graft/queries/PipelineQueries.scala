@@ -1399,5 +1399,185 @@ object PipelineQueries extends QueryRegistry {
         FROM (SELECT lang, ${OracleSql.md5Hash60("doc_id")} % 100 AS b FROM documents)
         WHERE b < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
                             WHEN 'es' THEN 50 WHEN 'zh' THEN 25 ELSE 0 END
-        GROUP BY lang""")))
+        GROUP BY lang""")),
+
+    QueryDef(
+      "pipeline_domain_cap",
+      // per-domain frequency cap (C4/RefinedWeb-style): at most 5 docs per
+      // source, best-quality-first. ONE shuffle keyed by domain; the
+      // row_number<=cap filter rewrites to WindowGroupLimit so each task
+      // ships cap-bounded rows per domain into the exchange.
+      (s, dir) => graft.operators.Curation.domainCap(
+          Tables.documents(s, dir), "source", "doc_id",
+          TextAnalysis.qualityScore(col("text")), 5)
+        .select(col("source"), col("doc_id"), col("rnk").cast("long").as("rnk")),
+      Some(s"""
+        WITH scored AS (
+          SELECT source, doc_id, $QualityExprSql AS q FROM documents),
+        r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rnk
+          FROM scored)
+        SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""")),
+
+    QueryDef(
+      "text_tfidf",
+      // top-3 TF-IDF terms per doc: corpus exploded once, tf + df from two
+      // aggregates over that stream, vocabulary-sized df side broadcast
+      // back, per-doc top-k pruned below the exchange (WindowGroupLimit).
+      // Scores rounded to 6 BEFORE ranking; term is the tiebreaker.
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, dir), "text", "doc_id", 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rnk").cast("long").as("rnk")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($WordsSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        s AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+          FROM tf JOIN df USING (term), n),
+        r AS (
+          SELECT doc_id, term, tf, df, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM s)
+        SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3""")),
+
+    QueryDef(
+      "dedup_edit_distance",
+      // blocked edit-distance near-dup join (the ER dedup shape): pairs in
+      // the same normalized-length bucket with levenshtein <= 30. One
+      // equi-join on the block key — never all-pairs; levenshtein runs
+      // codegen'd inside the join.
+      (s, dir) => Dedup.editDistancePairs(
+        Tables.documents(s, dir), "text", "doc_id", maxDistance = 30)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id AND length(a.t) // 32 = length(b.t) // 32
+        WHERE levenshtein(a.t, b.t) <= 30""")),
+
+    QueryDef(
+      "dedup_substring_spans",
+      // exact-substring duplicate spans (Lee et al. ExactSubstr at word-8-gram
+      // granularity): every 8-gram instance whose gram occurs in >1 document.
+      // One explode + one gram-keyed aggregate + broadcast semi-join back.
+      (s, dir) => Dedup.duplicatedSpans(
+        Tables.documents(s, dir), "text", "doc_id", k = 8),
+      Some(s"""
+        WITH $SpanInstCtes,
+        dup AS (
+          SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+          FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT g.doc_id, g.start_idx, g.gram, dup.n_docs
+        FROM g JOIN dup USING (gram)""")),
+
+    QueryDef(
+      "dedup_substring_rebuild",
+      // remove duplicated spans keeping one copy corpus-wide (first
+      // instance by (doc_id, start_idx)), reassemble surviving words in
+      // order. The covered-position explode is bounded by the duplicated
+      // spans (x8 rows on spans only — never the corpus).
+      (s, dir) => Dedup.removeDuplicatedSpans(
+        Tables.documents(s, dir), "text", "doc_id", k = 8),
+      Some(s"""
+        WITH $SpanInstCtes,
+        words AS (
+          SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, ws[p] AS word
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS p) t),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        inst AS (
+          SELECT g.doc_id, g.start_idx, g.gram FROM g JOIN dup USING (gram)),
+        ranked AS (
+          SELECT doc_id, start_idx,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, start_idx) AS rn
+          FROM inst),
+        covered AS (
+          SELECT DISTINCT doc_id, start_idx + off AS pos
+          FROM ranked, LATERAL (SELECT unnest(generate_series(0, 7)) AS off) o
+          WHERE rn > 1),
+        kept AS (
+          SELECT words.doc_id, words.pos, words.word
+          FROM words LEFT JOIN covered
+            ON words.doc_id = covered.doc_id AND words.pos = covered.pos
+          WHERE covered.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY pos) AS text
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id)
+        SELECT tot.doc_id, COALESCE(agg.text, '') AS text,
+               CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(tot.n_words - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM tot LEFT JOIN agg USING (doc_id)""")),
+
+    QueryDef(
+      "text_bpe_count",
+      // REAL BPE tokenizer through the gate: piece counts under a fixed
+      // 32-merge table (trained once on this corpus by TextAnalysis.bpeTrain
+      // — deterministic, see R5BpeProbe). The native bpe_count expression
+      // applies merges in rank order with a left-to-right scan; the oracle
+      // replays the identical semantics as a per-merge global replace over
+      // a double-space-separated symbol string.
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeCount(GateBpeMerges)(col("text")).as("n_bpe")),
+      Some(s"""
+        WITH wds AS (
+          SELECT doc_id, unnest($WordsSql) AS w FROM documents)
+        SELECT doc_id,
+               CAST(sum(len(string_split(trim($BpeFoldSql, ' '), '  '))) AS BIGINT) AS n_bpe
+        FROM wds GROUP BY doc_id""")))
+
+  /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
+    * the curation oracles). */
+  private val QualityExprSql: String =
+    """round(
+         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+         least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|it|for|on)\b')) AS DOUBLE)
+               / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+         (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6)"""
+
+  /** Word-8-gram instance CTEs shared by the substring-span oracles:
+    * `w(doc_id, ws)` and `g(doc_id, start_idx, gram)` (0-based start, docs
+    * shorter than 8 words emit nothing). */
+  private val SpanInstCtes: String = s"""
+        w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+        g AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_idx,
+                 array_to_string(ws[i:i+7], ' ') AS gram
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t
+          WHERE len(ws) >= 8)"""
+
+  /** The gate's fixed BPE merge table: TextAnalysis.bpeTrain(documents,
+    * numMerges=32) on sf0.01 (deterministic — ordered word table,
+    * lexicographic tie-breaks; regenerate with tools.R5BpeProbe). Static so
+    * the Spark query and the DuckDB oracle share one artifact. */
+  private[graft] val GateBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"), ("at", "c"),
+    ("atc", "h"), ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"),
+    ("c", "o"), ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("cu", "st"), ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"))
+
+  /** One-line DuckDB expression: BPE piece string of word `w` under
+    * [[GateBpeMerges]] — chars double-space-separated, each merge one
+    * global replace in rank order (exactly [[graft.functions.BpeEncoder]]'s
+    * left-to-right non-overlapping scan). */
+  private lazy val BpeFoldSql: String =
+    GateBpeMerges.foldLeft("' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '") {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
 }
