@@ -282,4 +282,44 @@ object Curation {
     df.filter(Sampling.hashBucket(col(keyCol), 10000) <
       element_at(thMap, col(domainCol)))
   }
+
+  // ------------------------------------------------------------- chunking
+
+  /**
+   * Overlapping word-window chunking — the context-window preparation step
+   * of RAG / long-context training pipelines: each document becomes
+   * `ceil(max(0, n − chunkSize) / stride) + 1` chunks of up to `chunkSize`
+   * words, adjacent chunks sharing `overlap` words (stride = chunkSize −
+   * overlap). Output: (id, chunk_id, chunk_text, n_words), chunk ids dense
+   * from 0 in document order; the tail chunk is never empty (its start is
+   * always ≤ n), and word-empty documents yield no chunks.
+   *
+   * Plan shape: split → sequence → explode → slice, all narrow codegen'd
+   * column expressions — zero shuffle, so at 100 TB the cost is the scan
+   * plus the ~chunkSize/stride output amplification, which is the floor
+   * for this operator.
+   */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val start = (col("chunk_id") * stride + 1).cast("int")
+    df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__w"),
+        // last chunk index: ceil(max(0, n - chunkSize) / stride)
+        explode(sequence(lit(0L),
+          ceil(greatest(col("__n") - chunkSize, lit(0)).cast("double") / stride)
+            .cast("long"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__w"), start, lit(chunkSize)), " ").as("chunk_text"),
+        size(slice(col("__w"), start, lit(chunkSize))).cast("long").as("n_words"))
+  }
 }

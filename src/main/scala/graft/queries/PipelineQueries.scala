@@ -1537,7 +1537,62 @@ object PipelineQueries extends QueryRegistry {
           SELECT doc_id, unnest($WordsSql) AS w FROM documents)
         SELECT doc_id,
                CAST(sum(len(string_split(trim($BpeFoldSql, ' '), '  '))) AS BIGINT) AS n_bpe
-        FROM wds GROUP BY doc_id""")))
+        FROM wds GROUP BY doc_id""")),
+
+    QueryDef(
+      "pipeline_chunk",
+      // RAG/long-context chunking: 16-word windows, 8-word overlap. Zero
+      // shuffle — split → sequence → explode → slice, all codegen'd.
+      (s, dir) => graft.operators.Curation.chunkDocuments(
+        Tables.documents(s, dir), "text", "doc_id",
+        chunkSize = 16, overlap = 8),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws
+          FROM documents),
+        c AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+        g AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0,
+                   CAST(ceil(greatest(n - 16, 0) / 8.0) AS BIGINT))) AS chunk_id
+          FROM c)
+        SELECT doc_id, chunk_id,
+               array_to_string(ws[chunk_id*8+1 : chunk_id*8+16], ' ') AS chunk_text,
+               CAST(len(ws[chunk_id*8+1 : chunk_id*8+16]) AS BIGINT) AS n_words
+        FROM g""")),
+
+    QueryDef(
+      "pipeline_tokenize",
+      // The real BPE tokenizer's full piece STREAM (not just counts):
+      // (doc_id, pos, piece) rows in document order — what a tokenize step
+      // actually hands to sequence packing. One native codegen'd
+      // bpe_pieces scan + posexplode; no shuffle. The oracle replays the
+      // replace-chain formulation per word and re-derives global positions
+      // by (word index, piece index).
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.bpePieces(GateBpeMerges)(col("text")))
+            .as(Seq("pos", "piece")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("piece")),
+      Some(s"""
+        WITH wds AS (
+          SELECT doc_id, unnest($WordsSql) AS w,
+                 unnest(generate_series(1, len($WordsSql))) AS wpos
+          FROM documents WHERE doc_id % 5 = 0),
+        pieces AS (
+          SELECT doc_id, wpos,
+                 string_split(trim($BpeFoldSql, ' '), '  ') AS ps
+          FROM wds),
+        flat AS (
+          SELECT doc_id, wpos, unnest(ps) AS piece,
+                 unnest(generate_series(1, len(ps))) AS ppos
+          FROM pieces)
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY wpos, ppos) - 1 AS pos,
+               piece
+        FROM flat""")))
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

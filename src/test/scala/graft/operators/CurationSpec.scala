@@ -155,4 +155,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept1 === kept2) // partitioning-independent
     assert(kept1.nonEmpty && kept1.size < 300)
   }
+
+  test("chunkDocuments: windows, overlap, tail, and empty-doc semantics") {
+    val sp = spark; import sp.implicits._
+    val words = (1 to 23).map(i => s"w$i")
+    val df = Seq(
+      (1L, words.mkString(" ")),  // 23 words: chunks of 10/5 -> 4 chunks
+      (2L, "a b c"),              // shorter than one window -> 1 chunk
+      (3L, "   "),                // word-empty -> no chunks
+      (4L, "  x   y  ")           // ragged whitespace -> 1 chunk "x y"
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "text", "doc_id", chunkSize = 10, overlap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+    val d1 = out.filter(_._1 == 1L)
+    // ceil((23-10)/5) + 1 = 4 chunks at starts 0,5,10,15
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(d1(0)._3 === (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(d1(1)._3 === (6 to 15).map(i => s"w$i").mkString(" "))
+    assert(d1(3)._3 === (16 to 23).map(i => s"w$i").mkString(" ")) // 8-word tail
+    assert(d1.map(_._4).toSeq === Seq(10L, 10L, 10L, 8L))
+    // every word appears in some chunk; adjacent chunks share `overlap` words
+    assert(d1.flatMap(_._3.split(" ")).toSet === words.toSet)
+    assert(d1(0)._3.split(" ").takeRight(5).toSeq === d1(1)._3.split(" ").take(5).toSeq)
+
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b c", 3L)))
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0L, "x y", 2L)))
+  }
+
+  test("chunkDocuments rejects overlap >= chunkSize") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+  }
 }
