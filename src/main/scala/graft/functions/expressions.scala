@@ -183,4 +183,24 @@ object GraftFunctions {
   /** BPE pieces of a document in order, under a fixed merge list. */
   def bpe_pieces(text: Column, merges: Seq[(String, String)]): Column =
     GraftShims.column(BpePieces(GraftShims.expression(text), merges))
+
+  /** Bloom-filter aggregate over xxhash64(c) — Spark's own runtime-filter
+    * sketch (`org.apache.spark.util.sketch.BloomFilter`) surfaced as a
+    * library aggregate; the build side of a hand-rolled semi-join filter. */
+  def bloom_agg(c: Column, expectedItems: Long, numBits: Long): Column =
+    GraftShims.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(GraftShims.expression(c)), 42L),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits), 0, 0)
+      .toAggregateExpression())
+
+  /** Membership probe against a [[bloom_agg]] sketch (no false negatives). */
+  def bloom_might_contain(bloom: Column, v: Column): Column =
+    GraftShims.column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(
+        GraftShims.expression(bloom),
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(GraftShims.expression(v)), 42L)))
 }

@@ -54,6 +54,54 @@ object Curation {
         round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /**
+   * [[contamination]] for the case where the test side is TOO BIG TO
+   * BROADCAST: a Bloom filter of the test n-grams (fixed `numBits` bytes —
+   * corpus-size-independent, unlike the gram set itself) prefilters the
+   * exploded train stream BEFORE the gram shuffle, and a shuffled exact
+   * join confirms the survivors. Bloom filters have no false negatives, so
+   * the result is IDENTICAL to [[contamination]] — false positives cost
+   * only a wasted probe row, removed by the confirm join. This is Spark's
+   * own runtime-filter design ([[org.apache.spark.sql.catalyst.optimizer
+   * .InjectRuntimeFilter]]) applied by hand where the optimizer can't see
+   * it (the explode breaks its creation-side pattern).
+   *
+   * At 100 TB: per-doc totals come from a map-side partial aggregation of
+   * the un-filtered gram stream (no join), while the expensive gram-keyed
+   * shuffle moves only the bloom-surviving sliver of the corpus.
+   */
+  def contaminationBloom(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    val testGrams = test
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    // the sketch is numBits/8 bytes REGARDLESS of test-corpus size — pulling
+    // it to the driver and re-literalizing is exactly what Spark's runtime
+    // filters do across an exchange (might_contain requires a constant or
+    // scalar-subquery build side)
+    val bloomBytes = testGrams
+      .agg(bloom_agg(col("gram"), expectedItems, numBits).as("__bloom"))
+      .head().getAs[Array[Byte]]("__bloom")
+    val grams = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val totals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val confirmed = grams
+      .filter(bloom_might_contain(lit(bloomBytes), col("gram")))
+      .join(testGrams, Seq("gram")) // exact confirm: kills false positives
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    confirmed.join(totals, Seq(idCol))
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+      .select(col(idCol), col("n_grams"), col("n_hit"), col("overlap"))
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** All word n-grams of a document IN ORDER (repeats kept — the counting

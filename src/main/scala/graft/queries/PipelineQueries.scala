@@ -876,6 +876,40 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY t.doc_id, t.n_grams""")),
 
     QueryDef(
+      "decontaminate_bloom",
+      // the same decontamination CONTRACT when the test split is too big
+      // to broadcast: a fixed-size Bloom sketch of the test grams
+      // prefilters the exploded train stream before the gram shuffle, an
+      // exact join confirms. No false negatives -> bit-identical output,
+      // so the oracle is decontaminate's, verbatim.
+      (s, dir) => {
+        val tagged = Tables.documents(s, dir).withColumn("split",
+          graft.operators.Sampling.splitTag(col("doc_id"), 90, 5))
+        graft.operators.Curation.contaminationBloom(
+            tagged.filter(col("split") === "train"),
+            tagged.filter(col("split") === "test"),
+            "text", "doc_id", n = 3,
+            expectedItems = 1L << 16, numBits = 1L << 20)
+          .select(col("doc_id"), col("n_grams"), col("n_hit"), col("overlap"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $WordsSql AS words,
+                 ${OracleSql.md5Hash60("doc_id")} % 100 AS b
+          FROM documents),
+        grams AS (
+          SELECT doc_id, b, ${shinglesSql("words")} AS grams FROM toks),
+        test_grams AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE b >= 95),
+        train AS (
+          SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+          FROM grams WHERE b < 90)
+        SELECT t.doc_id, t.n_grams, COUNT(*) AS n_hit,
+               round(COUNT(*)::DOUBLE / n_grams, 6) AS overlap
+        FROM train t JOIN test_grams g ON t.gram = g.gram
+        GROUP BY t.doc_id, t.n_grams""")),
+
+    QueryDef(
       "text_repetition",
       // Gopher-family repetition signals, all inside codegen: duplicate
       // word fraction, top-2-gram char share, repeated-2-gram char share

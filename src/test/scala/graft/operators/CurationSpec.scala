@@ -185,6 +185,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0L, "x y", 2L)))
   }
 
+  test("contaminationBloom equals exact contamination; prefilter is in the plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 10 < 8)
+    val test_ = docs.filter(col("doc_id") % 10 >= 8)
+    val exact = Curation.contamination(train, test_, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomDf = Curation.contaminationBloom(train, test_, "text", "doc_id",
+      n = 3, expectedItems = 1L << 14, numBits = 1L << 18)
+    // no false negatives + confirm join -> bit-identical result set
+    assert(bloomDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === exact)
+    // and the bloom probe actually prefilters the gram stream
+    assert(bloomDf.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("chunkDocuments rejects overlap >= chunkSize") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
