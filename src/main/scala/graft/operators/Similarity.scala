@@ -927,4 +927,60 @@ object Similarity {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  // --------------------------------------------- binary quantization (BQ)
+
+  /** Sign bits of `vec`'s first `dim` components packed into
+    * ceil(dim/64) longs (bit i of word w = component w·64+i ≥ 0) — a
+    * 32× compression of a float corpus. Static bit-OR chain: stays in
+    * whole-stage codegen, no higher-order functions in the hot path. */
+  def bqWords(vec: Column, dim: Int): Seq[Column] =
+    (0 until (dim + 63) / 64).map { w =>
+      val hi = math.min(63, dim - w * 64 - 1)
+      (0 to hi).map { i =>
+        when(element_at(vec, w * 64 + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+
+  /**
+   * ANN top-k by BINARY QUANTIZATION — the 1-bit rung below [[pqTopK]] /
+   * [[sq8TopK]] on the compression ladder: each vector is its sign
+   * bitmask (dim bits), distance is the Hamming distance of the masks
+   * (XOR + popcount — integer-exact, bit-reproducible). Ties break to the
+   * lowest id. With `rerank > k`, BQ shortlists `rerank` candidates from
+   * the bit scan and only those get exact cosine — the standard two-stage
+   * retrieval. At 100 TB the corpus scan touches dim/8 bytes per vector
+   * inside one codegen'd loop; nothing shuffles (TakeOrdered collects
+   * per-partition top-k only).
+   */
+  def bqTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      rerank: Int = 0): DataFrame = {
+    val dim = queryVec.length
+    val qWords: Seq[Long] = (0 until (dim + 63) / 64).map { w =>
+      val hi = math.min(63, dim - w * 64 - 1)
+      (0 to hi).foldLeft(0L) { (acc, i) =>
+        if (queryVec(w * 64 + i) >= 0) acc | (1L << i) else acc
+      }
+    }
+    val ham = bqWords(col(vecCol), dim).zip(qWords).map { case (wrd, q) =>
+      bit_count(wrd.bitwiseXOR(lit(q)))
+    }.reduce(_ + _).cast("long")
+    val byHamming = df.select(col(idCol).as("id"), ham.as("hamming"))
+      .orderBy(col("hamming"), col("id"))
+    if (rerank <= k) byHamming.limit(k)
+    else {
+      val shortlist = byHamming.limit(rerank).collect().map(_.getLong(0))
+      val q = typedLit(queryVec)
+      df.filter(col(idCol).isin(shortlist.map(Long.box): _*))
+        .select(col(idCol).as("id"),
+          round(cosine(col(vecCol), q), 6).as("sim"))
+        .orderBy(col("sim").desc, col("id"))
+        .limit(k)
+    }
+  }
 }

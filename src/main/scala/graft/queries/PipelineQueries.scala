@@ -1180,6 +1180,27 @@ object PipelineQueries extends QueryRegistry {
         FROM dq, qq ORDER BY score DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_bq",
+      // 1-bit rung of the compression ladder (PQ -> SQ8 -> BQ): sign-bit
+      // masks packed into longs, Hamming scoring by XOR + popcount — a
+      // 32x-smaller corpus scanned in one codegen'd loop, integer-exact.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.bqTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20)
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CASE WHEN (embedding[i] >= 0) <> (qv[i] >= 0)
+                           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY hamming, id LIMIT 20""")),
+
+    QueryDef(
       "sim_ann_pq",
       // product quantization (Jégou et al. 2011), the compression rung
       // above SQ8: vectors stored as 4 codes of 8 sampled centroids per

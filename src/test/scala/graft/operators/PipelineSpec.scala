@@ -367,6 +367,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rescored === first)
   }
 
+  test("bq sign-bit packing and hamming top-k; rerank recovers exact neighbors") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    // packed-long hamming equals a direct per-component sign comparison
+    val direct = corpus.select(col("vec_id"),
+      (0 until qv.length).map { i =>
+        when((element_at(col("embedding"), i + 1) >= 0) =!= lit(qv(i) >= 0), 1)
+          .otherwise(0)
+      }.reduce(_ + _).cast("long").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = Similarity.bqTopK(corpus, "embedding", "vec_id", qv, 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed.forall { case (id, h) => direct(id) == h })
+    // 1-bit scan keeps some neighborhood; exact re-rank of a 50-candidate
+    // shortlist recovers most of the true top-10
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = Similarity.bqTopK(corpus, "embedding", "vec_id", qv, 10, rerank = 50)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = rr.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"rerank overlap $overlap ($rr vs $exact)")
+  }
+
   test("bm25 ranks term-dense short docs above sparse long ones") {
     val sp = spark; import sp.implicits._
     val df = Seq(
