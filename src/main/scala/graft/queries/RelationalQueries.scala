@@ -857,6 +857,46 @@ object RelationalQueries extends QueryRegistry {
             AS n_users_converted""")),
 
     QueryDef(
+      "q_sessionize_batch",
+      // batch gaps-and-islands sessionization (the offline mirror of
+      // stream_sessionize): 30-min-gap flags via lag, session ids via a
+      // running sum, then one per-session aggregate. Both windows and the
+      // aggregate share the user_id hash partitioning — ONE shuffle total.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("__new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        f AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+          SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM f)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM g GROUP BY user_id, session_id""")),
+
+    QueryDef(
       "q_bucketed_join",
       // co-located join: both sides written bucketed by the join key, so
       // the sort-merge join plans with ZERO exchanges (the shuffle is paid
