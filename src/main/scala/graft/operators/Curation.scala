@@ -331,6 +331,49 @@ object Curation {
       element_at(thMap, col(domainCol)))
   }
 
+  /**
+   * Composite Gopher-style quality gate (Rae et al. 2021, "Scaling
+   * Language Models" §A1.1 rule family): word-count bounds, mean-word-
+   * length bounds, duplicate-word fraction, and minimum distinct-stopword
+   * presence, evaluated in one pass with a machine-auditable `reasons`
+   * column (comma-joined names of the failed rules, fixed order) — the
+   * shape a real curation pipeline logs so drops are attributable. Pure
+   * codegen'd column expressions over each document; no shuffle, no UDF.
+   */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Int = 20,
+      maxWords: Int = 1000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxDupFrac: Double = 0.6,
+      minStopwords: Int = 2): DataFrame = {
+    val words = TextAnalysis.tokens(col(textCol))
+    val n = size(words).cast("long")
+    val meanLen = when(n > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
+        n.cast("double")).otherwise(lit(0.0))
+    val dup = dupWordFrac(col(textCol))
+    val stops = size(filter(
+      typedLit(Seq("the", "a", "of", "to", "and", "in")),
+      s => array_contains(words, s)))
+    val checks: Seq[(String, Column)] = Seq(
+      "dup_words" -> (dup > maxDupFrac),
+      "mean_word_len" -> (meanLen < minMeanLen || meanLen > maxMeanLen),
+      "stopwords" -> (stops < minStopwords),
+      "too_long" -> (n > maxWords),
+      "too_short" -> (n < minWords))
+    val reasonArr = array(checks.map { case (nm, fail) =>
+      when(fail, lit(nm)).otherwise(lit(null).cast("string"))
+    }: _*)
+    df.select(col(idCol), n.as("n_words"),
+        array_join(filter(reasonArr, x => x.isNotNull), ",").as("reasons"))
+      .withColumn("keep", col("reasons") === "")
+      .select(col(idCol), col("n_words"), col("keep"), col("reasons"))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /**

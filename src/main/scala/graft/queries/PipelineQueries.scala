@@ -945,6 +945,35 @@ object PipelineQueries extends QueryRegistry {
         FROM c""")),
 
     QueryDef(
+      "quality_gopher",
+      // composite Gopher-rule gate: every doc judged in one codegen'd
+      // pass, drops attributable via the ordered failed-rule list
+      (s, dir) => graft.operators.Curation.gopherFilter(
+        Tables.documents(s, dir), "text", "doc_id"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $WordsSql AS words FROM documents),
+        sig AS (
+          SELECT doc_id, len(words) AS n,
+            CASE WHEN len(words) > 0
+                 THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words)
+                 ELSE 0.0 END AS mean_len,
+            round((len(words) - len(list_distinct(words)))::DOUBLE
+                  / greatest(len(words), 1), 6) AS dup_frac,
+            len(list_filter(['the','a','of','to','and','in'],
+                s -> list_contains(words, s))) AS n_stop
+          FROM toks),
+        r AS (
+          SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+            coalesce(array_to_string(list_filter([
+              CASE WHEN dup_frac > 0.6 THEN 'dup_words' END,
+              CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len' END,
+              CASE WHEN n_stop < 2 THEN 'stopwords' END,
+              CASE WHEN n > 1000 THEN 'too_long' END,
+              CASE WHEN n < 20 THEN 'too_short' END], x -> x IS NOT NULL), ','), '') AS reasons
+          FROM sig)
+        SELECT doc_id, n_words, reasons = '' AS keep, reasons FROM r""")),
+
+    QueryDef(
       "pipeline_pack",
       // sequence packing: content-hash-shuffled docs laid end-to-end into
       // 2048-token context windows, sharded (8) so packing parallelizes —

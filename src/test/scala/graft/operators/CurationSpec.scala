@@ -200,6 +200,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloomDf.queryExecution.executedPlan.toString.contains("might_contain"))
   }
 
+  test("gopherFilter: rule outcomes and ordered reasons on hand-built docs") {
+    val sp = spark; import sp.implicits._
+    val good = ("the cat sat of the mat and a dog ran to town " +
+      "with many other fine distinct words making quality prose here").trim
+    val df = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "the a of to and in words more words words here pad pad2 pad3 " +
+        "pad4 pad5 pad6 pad7 pad8 pad9"),          // dup ok, 20 words, keeps
+      (3L, "x " * 30),                             // dup + mean len + stopwords
+      (4L, "the of unique small words")            // too_short only... plus count
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(out(1L) === ((true, "")))
+    assert(out(2L) === ((true, "")))
+    // doc 3: 30 copies of "x" -> dup_frac ~0.97, mean len 1, no stopwords
+    assert(out(3L) === ((false, "dup_words,mean_word_len,stopwords")))
+    // doc 4: 5 words with 2 stopwords, mean len fine -> only too_short
+    assert(out(4L) === ((false, "too_short")))
+  }
+
   test("chunkDocuments rejects overlap >= chunkSize") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
