@@ -97,6 +97,7 @@ object GraftFunctions {
     "word_ngrams" -> ((args: Seq[Expression]) => WordNgrams(args.head, intArg(args(1)))),
     "vec_dot" -> ((args: Seq[Expression]) => VecDot(args(0), args(1))),
     "vec_cosine" -> ((args: Seq[Expression]) => VecCosine(args(0), args(1))),
+    "morton2" -> ((args: Seq[Expression]) => Morton2(args(0), args(1))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
@@ -183,6 +184,10 @@ object GraftFunctions {
   /** BPE pieces of a document in order, under a fixed merge list. */
   def bpe_pieces(text: Column, merges: Seq[(String, String)]): Column =
     GraftShims.column(BpePieces(GraftShims.expression(text), merges))
+
+  /** Morton (Z-order) interleave of two longs' low 32 bits. */
+  def morton2(a: Column, b: Column): Column =
+    GraftShims.column(Morton2(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** Bloom-filter aggregate over xxhash64(c) — Spark's own runtime-filter
     * sketch (`org.apache.spark.util.sketch.BloomFilter`) surfaced as a

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Bucketed (pre-shuffled) tables for co-located joins: write both sides
@@ -40,4 +41,27 @@ object Bucketing {
       rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /**
+   * Z-ORDER layout: range-partition + sort by the Morton interleave of two
+   * columns' low 32 bits, so rows close in EITHER dimension land in the
+   * same few files and per-file min/max stats prune scans filtered on
+   * either column — a single-column sort only ever serves one predicate.
+   * This is the layout step (one range shuffle, paid once at write time,
+   * amortized over every subsequent scan — same economics as
+   * [[writeBucketed]]); `ZOrderSpec` measures the pruning effect by
+   * comparing per-partition value spans against a one-column sort.
+   */
+  def zorderLayout(
+      df: DataFrame,
+      colA: Column,
+      colB: Column,
+      numFiles: Int): DataFrame = {
+    val z = graft.functions.GraftFunctions.morton2(
+      colA.cast("long"), colB.cast("long"))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

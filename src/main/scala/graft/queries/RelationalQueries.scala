@@ -897,6 +897,31 @@ object RelationalQueries extends QueryRegistry {
         FROM g GROUP BY user_id, session_id""")),
 
     QueryDef(
+      "q_zorder_key",
+      // the Morton interleave kernel behind Bucketing.zorderLayout,
+      // verified bit-for-bit: 16-bit (user_id, floor(value*10)) pairs ->
+      // space-filling-curve keys (the multi-dimensional layout that lets
+      // per-file min/max stats prune on EITHER predicate at 100 TB)
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.functions.GraftFunctions.morton2(
+            col("user_id") % 65536,
+            floor(col("value") * 10).cast("long") % 65536).as("zkey"))
+        .orderBy(col("zkey"), col("event_id")).limit(500),
+      Some("""
+        WITH k AS (
+          SELECT event_id,
+                 user_id % 65536 AS a,
+                 CAST(floor(value * 10) AS BIGINT) % 65536 AS b
+          FROM events)
+        SELECT event_id,
+               CAST(list_sum(list_transform(generate_series(0, 15), i ->
+                 ((a // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i)) +
+                 ((b // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))))
+                 AS BIGINT) AS zkey
+        FROM k ORDER BY zkey, event_id LIMIT 500""")),
+
+    QueryDef(
       "q_bucketed_join",
       // co-located join: both sides written bucketed by the join key, so
       // the sort-merge join plans with ZERO exchanges (the shuffle is paid
