@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/**
+ * Warehouse-analytics operators over event/fact tables: cohort retention,
+ * RFM segmentation, SCD2 interval construction, column profiling, and
+ * fixed-iteration PageRank. These are the query shapes the reference's
+ * users run downstream of the log (its docs position topics as the feed
+ * for exactly this kind of product analytics); each is declared as one
+ * declarative plan with a minimal shuffle count, and each documents its
+ * 100 TB posture inline.
+ */
+object Analytics {
+
+  /**
+   * Weekly cohort retention matrix: cohort = ISO week of a user's first
+   * activity, cell (cohort_week, week_offset) = how many of that cohort's
+   * users were active `offset` weeks later.
+   *
+   * Plan shape: ONE wide shuffle keyed by user (groupBy user collects the
+   * user's distinct active weeks — bounded by the calendar, not the data),
+   * then a tiny (cohort, offset) aggregate. The naive 3-shuffle form
+   * (distinct user-weeks, first-week agg, join back) is deliberately
+   * avoided: at 100 TB the user-keyed pass dominates and doing it once is
+   * the difference.
+   */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("u"), date_trunc("week", col(tsCol)).as("wk"))
+      .groupBy(col("u"))
+      .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
+    perUser
+      .select(col("cohort"), explode(col("wks")).as("wk"))
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / lit(7)).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
+   * RFM segmentation: per customer recency (days since last order, against
+   * the dataset's max date), frequency (order count), monetary (exact
+   * decimal sum), each scored into quartiles (4 = best), concatenated into
+   * the classic 3-digit segment.
+   *
+   * The quartile scores use global `ntile` windows — a total order, so the
+   * gate shape runs them on one partition with (metric, key) tiebreakers
+   * for determinism. At 100 TB the same operator takes the cut-point path:
+   * compute the three quartile boundaries with a one-row aggregate and
+   * assign scores via a broadcast CASE — no global sort; the gate keeps
+   * ntile because its exact rank semantics are what DuckDB mirrors
+   * bit-for-bit.
+   */
+  def rfm(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String): DataFrame = {
+    val base = orders.groupBy(col(custCol)).agg(
+      max(col(dateCol)).as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCol).cast("decimal(18,2)")).cast("double").as("monetary"))
+    val maxDate = orders.agg(max(col(dateCol)).as("__max_date"))
+    val withR = base
+      .crossJoin(broadcast(maxDate))
+      .withColumn("recency_days", datediff(col("__max_date"), col("last_order")))
+      .drop("__max_date", "last_order")
+    // best = 4 on every axis: low recency, high frequency, high monetary
+    val rW = Window.orderBy(col("recency_days").desc, col(custCol))
+    val fW = Window.orderBy(col("frequency").asc, col(custCol))
+    val mW = Window.orderBy(col("monetary").asc, col(custCol))
+    withR
+      .withColumn("r_score", ntile(4).over(rW))
+      .withColumn("f_score", ntile(4).over(fW))
+      .withColumn("m_score", ntile(4).over(mW))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  /**
+   * SCD2 interval build from a change stream: collapse consecutive equal
+   * values of `attrCol` per entity, emitting [valid_from, valid_to)
+   * validity intervals with an is_current flag — the slowly-changing-
+   * dimension snapshot every warehouse derives from a CDC/event feed.
+   *
+   * Plan shape: both windows and the change filter share ONE hash
+   * partitioning on the entity key — a single shuffle regardless of data
+   * size, and the per-entity sort is the only per-key cost.
+   */
+  def scd2Intervals(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      attrCol: String,
+      tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreakCol))
+    val changes = events
+      .select(col(entityCol), col(tsCol), col(tieBreakCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    val w2 = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreakCol))
+    changes
+      .withColumn("valid_to_ts", lead(col(tsCol), 1).over(w2))
+      .select(
+        col(entityCol),
+        col(attrCol),
+        date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          lit("9999-12-31 00:00:00.000000")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
+  /**
+   * Column profiler: for every column, (rows, non-null count, exact
+   * distinct count, min, max) rendered canonically — the data-quality
+   * summary a pipeline runs before trusting a new drop of data.
+   *
+   * All columns profile in ONE aggregation job; Catalyst plans the
+   * multiple COUNT(DISTINCT)s as a single Expand + two-stage aggregate
+   * (data inflates ×ncols in the map stage but never re-scans). At 100 TB
+   * swap the exact distinct for [[graft.functions]]' `hll60` sketch — same
+   * operator shape, no Expand; the gate keeps exact counts because that is
+   * what DuckDB can mirror.
+   */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // min/max run on the TYPED column (string min of "10.00" < "9.00" would
+    // be wrong); only the aggregated 1-row result is rendered canonically
+    def canon(name: String, c: Column): Column =
+      df.schema(name).dataType match {
+        case DoubleType | FloatType =>
+          c.cast("decimal(18,2)").cast("string")
+        case TimestampType =>
+          date_format(c, "yyyy-MM-dd HH:mm:ss")
+        case _ => c.cast("string")
+      }
+    val aggs = cols.flatMap { name =>
+      Seq(
+        count(col(name)).as(s"__nn_$name"),
+        count_distinct(col(name)).as(s"__nd_$name"),
+        canon(name, min(col(name))).as(s"__min_$name"),
+        canon(name, max(col(name))).as(s"__max_$name"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val perCol = cols.map { name =>
+      struct(
+        lit(name).as("col_name"),
+        col("__rows").as("n_rows"),
+        col(s"__nn_$name").as("n_nonnull"),
+        col(s"__nd_$name").as("n_distinct"),
+        col(s"__min_$name").as("min_value"),
+        col(s"__max_$name").as("max_value"))
+    }
+    wide
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+  }
+
+  /**
+   * Fixed-iteration PageRank with damping, over an edge list. Rank sums
+   * are quantized to a 2^-30 grid (BIGINT) before aggregation so the
+   * result is independent of partitioning/aggregation order — the same
+   * integer-exactness device the centroid/covariance operators use — and
+   * each iteration is one join (edges ⋈ ranks on src) plus one aggregate
+   * keyed by dst.
+   *
+   * At 100 TB the edge list is the big side: ranks and edges share the
+   * src hash partitioning across iterations, so each round shuffles only
+   * the (dst, contribution) pairs; dangling mass is folded in via the
+   * standard uniform redistribution term.
+   */
+  def pageRank(
+      edges: DataFrame, // (src, dst)
+      iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val Q = 1L << 30
+    def quant(c: Column): Column = floor(c * lit(Q.toDouble)).cast("long")
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nNodes = nodes.count() // one bounded scalar job, reused every round
+    val e = edges.join(outDeg, "src")
+    var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), quant(col("rank") / col("deg")).as("qc"))
+        .groupBy(col("node"))
+        .agg(sum(col("qc")).as("qsum"))
+      // dangling mass (nodes with no out-edges) redistributes uniformly —
+      // a 1-row aggregate broadcast into the update, so total rank mass is
+      // conserved up to the 2^-30 quantization loss
+      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(quant(col("rank"))), lit(0L)).as("qdang"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / nNodes) +
+            lit(damping) * ((coalesce(col("qsum"), lit(0L)).cast("double") / lit(Q.toDouble)) +
+              (col("qdang").cast("double") / lit(Q.toDouble)) / lit(nNodes.toDouble)))
+            .as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+  }
+}

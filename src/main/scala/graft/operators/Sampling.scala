@@ -88,4 +88,34 @@ object Sampling {
     }
     spark.createDataFrame(rdd, out)
   }
+
+  /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
+   * row draws a deterministic uniform u from its key's content hash and
+   * gets priority ln(u)/w — taking the top-k by priority IS a weighted
+   * sample without replacement. Because u is a pure function of the key,
+   * the sample is reproducible across runs/engines/partitionings, like
+   * everything else in this object.
+   *
+   * Plan shape: one codegen'd projection + TakeOrderedAndProject — each
+   * partition keeps its local top-k and only k rows reach the driver-side
+   * merge; no global sort, no shuffle of the corpus. Selection orders by
+   * the priority ROUNDED to 9 digits with the key as tiebreaker so the
+   * cross-engine float gap (JVM vs libm `ln`, ≤1 ulp) cannot flip an
+   * ordering decision.
+   */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val u = (Dedup.md5Hash60(col(keyCol).cast("string")) + lit(1L)).cast("double") /
+      lit(math.pow(2, 60))
+    df.withColumn("__pri", round(log(u) / col(weightCol), 9))
+      .orderBy(col("__pri").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col(weightCol),
+        // + 0.0 folds a rounded −0.0 to 0.0 (cross-engine repr parity)
+        (round(col("__pri"), 6) + lit(0.0)).as("priority"))
+  }
 }

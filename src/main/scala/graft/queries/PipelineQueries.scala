@@ -1676,7 +1676,26 @@ object PipelineQueries extends QueryRegistry {
         SELECT doc_id,
                row_number() OVER (PARTITION BY doc_id ORDER BY wpos, ppos) - 1 AS pos,
                piece
-        FROM flat""")))
+        FROM flat""")),
+
+    QueryDef(
+      "sample_weighted",
+      // weighted sampling without replacement (Efraimidis–Spirakis): the
+      // top-100 orders by deterministic priority ln(u)/w where u comes
+      // from the key's md5 — reproducible membership like every sampler
+      // here, and the plan is one projection + TakeOrderedAndProject (no
+      // shuffle of the corpus). Selection orders by the 9-digit-rounded
+      // priority so a ≤1-ulp JVM/libm `ln` gap cannot flip an ordering.
+      (s, dir) => graft.operators.Sampling.weightedSample(
+        Tables.orders(s, dir), "o_orderkey", "o_totalprice", k = 100),
+      Some(s"""
+        WITH h AS (
+          SELECT o_orderkey, o_totalprice,
+                 round(ln((${OracleSql.md5Hash60("o_orderkey")} + 1)::DOUBLE /
+                          CAST(1152921504606846976 AS DOUBLE)) / o_totalprice, 9) AS pri
+          FROM orders)
+        SELECT o_orderkey, o_totalprice, round(pri, 6) + 0.0 AS priority
+        FROM h ORDER BY pri DESC, o_orderkey LIMIT 100""")))
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

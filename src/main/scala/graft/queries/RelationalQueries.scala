@@ -947,6 +947,197 @@ object RelationalQueries extends QueryRegistry {
         SELECT c_mktsegment, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment"""))
+        GROUP BY c_mktsegment""")),
+
+    QueryDef(
+      "q_recursive_cte",
+      // WITH RECURSIVE over the supplier heap-tree (parent = key DIV 2):
+      // Spark 4.1's UnionLoop executes O(depth) = O(log n) join steps, each
+      // a hash join of the (small) frontier against the supplier table —
+      // the iterative-closure shape that needs no driver loop at 100 TB.
+      // The path column makes the output genuinely recursive (not
+      // derivable from the key alone).
+      (s, dir) => {
+        Tables.supplier(s, dir).createOrReplaceTempView("gate_supplier_rec")
+        s.sql("""
+          WITH RECURSIVE walk(s_suppkey, depth, path) AS (
+            SELECT s_suppkey, 0, CAST(s_suppkey AS STRING)
+            FROM gate_supplier_rec WHERE s_suppkey = 1
+            UNION ALL
+            SELECT s.s_suppkey, w.depth + 1,
+                   CONCAT(w.path, '/', CAST(s.s_suppkey AS STRING))
+            FROM gate_supplier_rec s JOIN walk w ON s.s_suppkey DIV 2 = w.s_suppkey
+            WHERE s.s_suppkey > 1)
+          SELECT s_suppkey, depth, path FROM walk""")
+      },
+      Some("""
+        WITH RECURSIVE walk(s_suppkey, depth, path) AS (
+          SELECT s_suppkey, 0, CAST(s_suppkey AS VARCHAR)
+          FROM supplier WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, w.depth + 1,
+                 w.path || '/' || CAST(s.s_suppkey AS VARCHAR)
+          FROM supplier s JOIN walk w ON s.s_suppkey // 2 = w.s_suppkey
+          WHERE s.s_suppkey > 1)
+        SELECT s_suppkey, depth, path FROM walk""")),
+
+    QueryDef(
+      "events_cohort_retention",
+      // weekly cohort retention matrix: ONE user-keyed shuffle collects
+      // each user's distinct active weeks (bounded by the calendar), then
+      // a tiny (cohort, offset) aggregate — see Analytics.cohortRetention
+      (s, dir) => graft.operators.Analytics.cohortRetention(
+        Tables.events(s, dir), "user_id", "ts"),
+      Some("""
+        WITH pu AS (
+          SELECT user_id AS u, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+          FROM events GROUP BY 1, 2),
+        f AS (
+          SELECT u, MIN(wk) AS cohort FROM pu GROUP BY 1)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(pu.wk AS DATE)) // 7
+                 AS INTEGER) AS week_offset,
+               COUNT(*) AS n_users
+        FROM pu JOIN f USING (u)
+        GROUP BY 1, 2""")),
+
+    QueryDef(
+      "q_rfm",
+      // RFM segmentation over orders; quartile scores via exact-rank ntile
+      // with key tiebreakers (the gate shape); the operator documents the
+      // broadcast cut-point variant used at scale
+      (s, dir) => graft.operators.Analytics.rfm(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_totalprice"),
+      Some("""
+        WITH base AS (
+          SELECT o_custkey,
+                 MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          FROM orders GROUP BY 1),
+        m AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+        r AS (
+          SELECT o_custkey, frequency, monetary,
+                 CAST(date_diff('day', CAST(last_order AS DATE), CAST(max_date AS DATE))
+                   AS INTEGER) AS recency_days
+          FROM base, m),
+        sc AS (
+          SELECT o_custkey, recency_days, frequency, monetary,
+                 ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+                 ntile(4) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+                 ntile(4) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+          FROM r)
+        SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+                 CAST(m_score AS VARCHAR) AS segment
+        FROM sc""")),
+
+    QueryDef(
+      "events_scd2",
+      // SCD2 validity intervals from the event stream: collapse consecutive
+      // equal event_types per user into [valid_from, valid_to) rows; both
+      // windows and the change filter share ONE user-hash shuffle
+      (s, dir) => graft.operators.Analytics.scd2Intervals(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        c AS (
+          SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM e),
+        ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+        iv AS (
+          SELECT user_id, event_type, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+          FROM ch)
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               COALESCE(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                 '9999-12-31 00:00:00.000000') AS valid_to,
+               valid_to_ts IS NULL AS is_current
+        FROM iv""")),
+
+    QueryDef(
+      "profile_columns",
+      // data-quality column profiler: every lineitem column's (rows,
+      // non-nulls, exact distinct, canonical min/max) in ONE aggregation
+      // job (Expand + two-stage agg); hll60 replaces the exact distinct at
+      // 100 TB — see Analytics.profileColumns
+      (s, dir) => graft.operators.Analytics.profileColumns(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+          "l_shipdate")),
+      Some {
+        val longCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        def sel(name: String, minMax: String => String) =
+          s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+              COUNT($name) AS n_nonnull, COUNT(DISTINCT $name) AS n_distinct,
+              ${minMax(s"MIN($name)")} AS min_value,
+              ${minMax(s"MAX($name)")} AS max_value FROM lineitem"""
+        val parts =
+          longCols.map(c => sel(c, e => s"CAST($e AS VARCHAR)")) ++
+          dblCols.map(c => sel(c, e => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)")) ++
+          strCols.map(c => sel(c, e => s"CAST($e AS VARCHAR)")) ++
+          Seq(sel("l_shipdate", e => s"strftime($e, '%Y-%m-%d %H:%M:%S')"))
+        parts.mkString(" UNION ALL ")
+      }),
+
+    QueryDef(
+      "graph_pagerank",
+      // 3-iteration damped PageRank over the supplier heap-tree (child →
+      // parent edges). Contributions are quantized to a 2^-30 BIGINT grid
+      // before each SUM so the ranks are independent of aggregation order
+      // — the oracle replays the identical double arithmetic as chained
+      // CTEs. Each iteration = one frontier join + one dst-keyed aggregate.
+      (s, dir) => {
+        val edges = Tables.supplier(s, dir)
+          .filter(col("s_suppkey") > 1)
+          .select(col("s_suppkey").cast("long").as("src"),
+            expr("CAST(s_suppkey DIV 2 AS BIGINT)").as("dst"))
+        graft.operators.Analytics.pageRank(edges, iterations = 3, damping = 0.85)
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS src, CAST(s_suppkey // 2 AS BIGINT) AS dst
+          FROM supplier WHERE s_suppkey > 1),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        n AS (SELECT COUNT(*) AS cnt FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM n) AS rank FROM nodes),
+        c1 AS (SELECT e.dst AS node,
+                      SUM(CAST(floor((r.rank / deg.deg) * CAST(1073741824 AS DOUBLE)) AS BIGINT)) AS qsum
+               FROM e JOIN deg USING (src) JOIN r0 r ON e.src = r.node GROUP BY 1),
+        d1 AS (SELECT COALESCE(SUM(CAST(floor(rank * CAST(1073741824 AS DOUBLE)) AS BIGINT)), 0) AS qdang
+               FROM r0 WHERE node NOT IN (SELECT src FROM e)),
+        r1 AS (SELECT nodes.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT cnt FROM n)) +
+                      CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(qsum, 0) AS DOUBLE) / CAST(1073741824 AS DOUBLE)) +
+                        (CAST(qdang AS DOUBLE) / CAST(1073741824 AS DOUBLE)) / (SELECT cnt FROM n)) AS rank
+               FROM nodes LEFT JOIN c1 USING (node), d1),
+        c2 AS (SELECT e.dst AS node,
+                      SUM(CAST(floor((r.rank / deg.deg) * CAST(1073741824 AS DOUBLE)) AS BIGINT)) AS qsum
+               FROM e JOIN deg USING (src) JOIN r1 r ON e.src = r.node GROUP BY 1),
+        d2 AS (SELECT COALESCE(SUM(CAST(floor(rank * CAST(1073741824 AS DOUBLE)) AS BIGINT)), 0) AS qdang
+               FROM r1 WHERE node NOT IN (SELECT src FROM e)),
+        r2 AS (SELECT nodes.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT cnt FROM n)) +
+                      CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(qsum, 0) AS DOUBLE) / CAST(1073741824 AS DOUBLE)) +
+                        (CAST(qdang AS DOUBLE) / CAST(1073741824 AS DOUBLE)) / (SELECT cnt FROM n)) AS rank
+               FROM nodes LEFT JOIN c2 USING (node), d2),
+        c3 AS (SELECT e.dst AS node,
+                      SUM(CAST(floor((r.rank / deg.deg) * CAST(1073741824 AS DOUBLE)) AS BIGINT)) AS qsum
+               FROM e JOIN deg USING (src) JOIN r2 r ON e.src = r.node GROUP BY 1),
+        d3 AS (SELECT COALESCE(SUM(CAST(floor(rank * CAST(1073741824 AS DOUBLE)) AS BIGINT)), 0) AS qdang
+               FROM r2 WHERE node NOT IN (SELECT src FROM e)),
+        r3 AS (SELECT nodes.node,
+                      ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT cnt FROM n)) +
+                      CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(qsum, 0) AS DOUBLE) / CAST(1073741824 AS DOUBLE)) +
+                        (CAST(qdang AS DOUBLE) / CAST(1073741824 AS DOUBLE)) / (SELECT cnt FROM n)) AS rank
+               FROM nodes LEFT JOIN c3 USING (node), d3)
+        SELECT node, round(rank, 9) AS rank FROM r3"""))
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Invariants for the warehouse-analytics operators (cohort retention, RFM,
+  * SCD2, profiler, PageRank) and the weighted sampler. */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("cohortRetention: offset-0 cell counts every cohort member exactly once") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val m = Analytics.cohortRetention(ev, "user_id", "ts")
+    val zero = m.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).as[Long](spark.implicits.newLongEncoder).head()
+    val users = ev.select(col("user_id")).distinct().count()
+    // every user is active in their own first week by construction
+    assert(zero === users)
+    // no cell can exceed its cohort's size
+    val cohortSizes = m.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("size"))
+    val bad = m.join(cohortSizes, "cohort_week")
+      .filter(col("n_users") > col("size")).count()
+    assert(bad === 0)
+  }
+
+  test("rfm: scores are quartiles 1..4 and segment matches the digits") {
+    val r = Analytics.rfm(graft.Tables.orders(spark, sfDir),
+      "o_custkey", "o_orderdate", "o_totalprice")
+    assert(r.filter(col("r_score") < 1 || col("r_score") > 4 ||
+      col("f_score") < 1 || col("f_score") > 4 ||
+      col("m_score") < 1 || col("m_score") > 4).count() === 0)
+    assert(r.filter(col("segment") =!=
+      concat(col("r_score"), col("f_score"), col("m_score"))).count() === 0)
+    // quartile buckets differ by at most 1 in size
+    val sizes = r.groupBy(col("m_score")).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("scd2Intervals: intervals tile each user's change history") {
+    val iv = Analytics.scd2Intervals(graft.Tables.events(spark, sfDir),
+      "user_id", "ts", "event_type", "event_id")
+    // exactly one open (current) interval per user
+    val perUser = iv.groupBy(col("user_id"))
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("open"))
+    assert(perUser.filter(col("open") =!= 1).count() === 0)
+    // no adjacent intervals with the same attribute value (they'd be merged)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val dup = iv.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev") === col("event_type")).count()
+    assert(dup === 0)
+    // each closed interval's valid_to equals the next interval's valid_from
+    val chain = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull)
+      .filter(col("valid_to") =!= col("next_from")).count()
+    assert(chain === 0)
+  }
+
+  test("profileColumns: counts are exact and min <= max") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val p = Analytics.profileColumns(li, Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    val rows = li.count()
+    val byCol = p.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol.keySet === Set("l_orderkey", "l_quantity", "l_returnflag"))
+    byCol.values.foreach { r =>
+      assert(r.getLong(1) === rows)           // n_rows
+      assert(r.getLong(2) <= rows)            // n_nonnull
+      assert(r.getLong(3) <= r.getLong(2))    // n_distinct <= n_nonnull
+    }
+    val flag = byCol("l_returnflag")
+    assert(flag.getString(4) <= flag.getString(5)) // min_value <= max_value
+    val nd = li.select(col("l_returnflag")).distinct().count()
+    assert(flag.getLong(3) === nd)
+  }
+
+  test("pageRank: ranks are positive and total mass is conserved (~1)") {
+    val edges = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") > 1)
+      .select(col("s_suppkey").cast("long").as("src"),
+        expr("CAST(s_suppkey DIV 2 AS BIGINT)").as("dst"))
+    val pr = Analytics.pageRank(edges, iterations = 3)
+    val ranks = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.values.forall(_ > 0))
+    // dangling redistribution conserves total mass up to quantization loss
+    val total = ranks.values.sum
+    assert(math.abs(total - 1.0) < 1e-4, s"total=$total")
+    val leafMax = ranks.filter { case (k, _) => !ranks.contains(k * 2) }.values.max
+    assert(ranks(1L) > leafMax)
+  }
+
+  test("pageRank result is invariant under input repartitioning") {
+    val edges = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") > 1)
+      .select(col("s_suppkey").cast("long").as("src"),
+        expr("CAST(s_suppkey DIV 2 AS BIGINT)").as("dst"))
+    val a = Analytics.pageRank(edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = Analytics.pageRank(edges.repartition(7), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("weightedSample: deterministic, k rows, and biased toward weight") {
+    val ord = graft.Tables.orders(spark, sfDir)
+    val s1 = Sampling.weightedSample(ord, "o_orderkey", "o_totalprice", k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(ord.repartition(13), "o_orderkey", "o_totalprice", k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2) // pure function of keys, not of layout
+    assert(s1.size === 50)
+    // weighted sample's mean weight should exceed the population mean
+    val sampled = ord.filter(col("o_orderkey").isin(s1: _*))
+      .agg(avg(col("o_totalprice"))).head().getDouble(0)
+    val popMean = ord.agg(avg(col("o_totalprice"))).head().getDouble(0)
+    assert(sampled > popMean)
+  }
+}
