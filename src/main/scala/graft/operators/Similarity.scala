@@ -983,4 +983,170 @@ object Similarity {
         .limit(k)
     }
   }
+
+  /**
+   * IVF-PQ (IVFADC — Jégou et al. 2011 §IV): the coarse inverted file of
+   * [[ivfTopK]] composed with RESIDUAL product quantization. Every vector
+   * is assigned to its nearest coarse centroid, and what gets PQ-encoded
+   * is the residual r = v̂ − ĉ(cell) — residuals concentrate near the
+   * origin, which is why IVFADC quantizes them instead of the raw vectors.
+   * Scoring uses the linearity of the dot product:
+   * dot(q̂, v̂) = dot(q̂, ĉ) + dot(q̂, r) ≈ qdotc[cell] + Σⱼ T[j][code_j]
+   * — one table lookup per subspace plus one per-cell constant, all inside
+   * codegen.
+   *
+   * Determinism: coarse centroids are the nCells lowest-id vectors,
+   * codebook seeds the NEXT kCodes lowest-id vectors' residuals (the
+   * centroids' own residuals are zero — using them would degenerate the
+   * codebooks); encode/probe argmins break ties to the lowest index; every
+   * fold is left-to-right IEEE, so the oracle replays the whole index.
+   *
+   * At 100 TB: cell is a partition column (probe = partition prune, as
+   * [[ivfIndexWrite]] materializes), codes are ~20× smaller than floats,
+   * and a query scans nProbe/nCells of the codes with m lookups per row.
+   */
+  def ivfPqTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 4,
+      kCodes: Int = 8,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
+    def unitD(a: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+      a.map(_ / n)
+    }
+    val head = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nCells + kCodes).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble))
+    val cents = head.take(nCells)
+    val centUnits = cents.map(unitD)
+    val dim = cents.head.length
+    val sub = dim / m
+    def cellOfD(v: Seq[Double]): Int =
+      cents.zipWithIndex.foldLeft((-1, Double.MinValue)) {
+        case ((bi, bs), (c, i)) =>
+          val s = cosSimD(v, c)
+          if (s > bs) (i, s) else (bi, bs)
+      }._1
+    // codebooks: residuals of the next kCodes lowest-id vectors, sliced
+    val cbs: Array[Array[Array[Double]]] = {
+      val res = head.drop(nCells).map { s =>
+        val vn = unitD(s)
+        val cu = centUnits(cellOfD(s))
+        vn.zip(cu).map { case (a, b) => a - b }.toArray
+      }
+      Array.tabulate(m)(j => res.map(_.slice(j * sub, (j + 1) * sub)))
+    }
+    val qn = unitD(queryVec.map(_.toDouble))
+    val qdotc: Seq[Double] = centUnits.map(c =>
+      qn.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2))
+    val tables: Array[Seq[Double]] = Array.tabulate(m) { j =>
+      val qs = qn.slice(j * sub, (j + 1) * sub)
+      cbs(j).map(c => qs.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)).toSeq
+    }
+    // probe the nProbe cells nearest the query (raw-vector cosine, lowest
+    // index on ties — same rule as ivfTopK)
+    val qCells = cents.zipWithIndex
+      .map { case (c, i) => i -> cosSimD(queryVec.map(_.toDouble), c) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+
+    val vn = transform(col(vecCol).cast("array<double>"),
+      x => x / norm(col(vecCol)))
+    val baseAll = df
+      .select(col(idCol).as("id"), vn.as("vn"),
+        cellOf(cents.map(_.toSeq))(col(vecCol)).as("cell"))
+      .withColumn("r", zip_with(col("vn"),
+        element_at(typedLit(centUnits.map(_.toSeq).toSeq), col("cell") + 1),
+        (a, b) => a - b))
+    // same size-gated materialization barrier as pqTopK (projection
+    // collapse would inline the norm into every residual element)
+    val base =
+      if (df.count() <= materializeMaxRows) baseAll.localCheckpoint()
+      else baseAll.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def codeOf(j: Int): Column =
+      cbs(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
+        case ((bestI, bestD), (c, i)) =>
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          val d = lit(cc) - lit(2.0) *
+            dot(slice(col("r"), j * sub + 1, sub), typedLit(c.toSeq))
+          (when(d < bestD, lit(i)).otherwise(bestI), least(d, bestD))
+      }._1
+    val adcScore = element_at(typedLit(qdotc), col("cell") + 1) +
+      (0 until m).map(j => element_at(typedLit(tables(j)), codeOf(j) + 1)).reduce(_ + _)
+    base
+      .filter(col("cell").isin(qCells: _*))
+      .select(col("id"), round(adcScore, 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /**
+   * Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998): pick k
+   * results that balance relevance to the query against redundancy with
+   * what's already picked — score(i) = λ·rel(i) − (1−λ)·maxⱼ sim(i, sⱼ).
+   *
+   * Greedy MMR is inherently sequential, so the scale shape is the one
+   * implemented: the CLUSTER does one top-`shortlist` relevance pass
+   * (codegen scan + TakeOrdered — the same shape as [[bruteForceTopK]]);
+   * the greedy loop then runs on the driver over that bounded shortlist
+   * (shortlist × dim doubles — the same class of bounded pull as a
+   * centroid matrix). Selection ties break to the lowest id; every dot
+   * product is the sequential fold the oracle's `list_dot_product`
+   * mirrors, so the whole selection is engine-reproducible.
+   */
+  def mmrSelect(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      shortlist: Int = 50,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    val qn = {
+      val q = queryVec.map(_.toDouble)
+      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+      q.map(_ / n)
+    }
+    val vn = transform(col(vecCol).cast("array<double>"),
+      x => x / norm(col(vecCol)))
+    val cand = df
+      .select(col(idCol).as("id"), vn.as("vn"),
+        dot(vn, typedLit(qn)).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    for (rank <- 1 to math.min(k, cand.length)) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val score =
+          if (chosen.isEmpty) rel
+          else lambda * rel -
+            (1.0 - lambda) * chosen.map(c => dotD(v, c)).max
+        (id, v, score)
+      }
+      val best = scored.minBy { case (id, _, s) => (-s, id) }
+      selected += ((rank, best._1, best._3))
+      chosen += best._2
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.map { case (r, id, s) =>
+      // + 0.0 folds −0.0 (cross-engine repr parity)
+      (r, id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }.toDF("sel_rank", "id", "mmr")
+  }
 }

@@ -1280,6 +1280,126 @@ object PipelineQueries extends QueryRegistry {
         FROM sc ORDER BY score DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_mmr_select",
+      // Maximal Marginal Relevance diversity selection (λ=0.7, k=3) over
+      // the top-50 relevance shortlist: greedy score λ·rel − (1−λ)·max
+      // sim-to-selected, ties to lowest id. The cluster does the
+      // shortlist pass; the driver runs the bounded greedy loop — the
+      // oracle unrolls all three selection steps with scalar subqueries.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.mmrSelect(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, k = 3, shortlist = 50, lambda = 0.7)
+      },
+      Some("""
+        WITH q AS (
+          SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))) AS qn
+          FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))) AS vn
+              FROM embeddings WHERE vec_id <> 0),
+        rel AS (SELECT vec_id, vn, list_dot_product(vn, qn) AS rel
+                FROM e, q ORDER BY rel DESC, vec_id LIMIT 50),
+        s1 AS (SELECT vec_id, vn, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+        c2 AS (SELECT r.vec_id, r.vn, r.rel,
+                      CAST(0.7 AS DOUBLE) * r.rel -
+                      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                        list_dot_product(r.vn, s1.vn) AS score
+               FROM rel r, s1 WHERE r.vec_id <> s1.vec_id),
+        s2 AS (SELECT vec_id, vn, score FROM c2 ORDER BY score DESC, vec_id LIMIT 1),
+        c3 AS (SELECT r.vec_id, r.rel,
+                      CAST(0.7 AS DOUBLE) * r.rel -
+                      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                        greatest(list_dot_product(r.vn, s1.vn),
+                                 list_dot_product(r.vn, s2.vn)) AS score
+               FROM rel r, s1, s2 WHERE r.vec_id <> s1.vec_id AND r.vec_id <> s2.vec_id),
+        s3 AS (SELECT vec_id, score FROM c3 ORDER BY score DESC, vec_id LIMIT 1)
+        SELECT 1 AS sel_rank, s1.vec_id AS id, round(s1.rel, 6) + 0.0 AS mmr FROM s1
+        UNION ALL SELECT 2, s2.vec_id, round(s2.score, 6) + 0.0 FROM s2
+        UNION ALL SELECT 3, s3.vec_id, round(s3.score, 6) + 0.0 FROM s3""")),
+
+    QueryDef(
+      "sim_ann_ivfpq",
+      // IVF-PQ (IVFADC): coarse cells + RESIDUAL product quantization,
+      // scored via dot(q,v) = dot(q,c_cell) + ADC(residual codes). The
+      // whole index is deterministic (centroids = 8 lowest ids, codebook
+      // seeds = the NEXT 8 ids' residuals, lowest-index tiebreaks), so
+      // the oracle rebuilds coarse assignment, residuals, codebooks,
+      // encoding and the probe —  the full compression ladder's top rung.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.ivfPqTopK(corpus, "embedding", "vec_id", qv, 20,
+          nCells = 8, nProbe = 2, m = 4, kCodes = 8)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qraw,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))) AS qn
+          FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8),
+        cu AS (SELECT ci, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cun
+               FROM c),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))) AS vn
+              FROM embeddings WHERE vec_id <> 0),
+        assign AS (
+          SELECT e.vec_id, e.vn,
+                 (SELECT ci FROM c
+                  ORDER BY list_dot_product(e.v, c.cv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           ci ASC LIMIT 1) AS cell
+          FROM e),
+        res AS (
+          SELECT a.vec_id, a.cell,
+                 list_transform(generate_series(1, len(a.vn)), i -> a.vn[i] - cu.cun[i]) AS r
+          FROM assign a JOIN cu ON cu.ci = a.cell),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sc, r
+          FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 8 OFFSET 8)),
+        cb AS (SELECT j, sc, r[j*16+1 : (j+1)*16] AS ctr
+               FROM seeds, (SELECT unnest(generate_series(0, 3)) AS j) t),
+        dist AS (
+          SELECT res.vec_id, res.cell, cb.j, cb.sc,
+                 list_dot_product(cb.ctr, cb.ctr)
+                   - 2.0 * list_dot_product(res.r[cb.j*16+1 : (cb.j+1)*16], cb.ctr) AS d,
+                 list_dot_product(q.qn[cb.j*16+1 : (cb.j+1)*16], cb.ctr) AS t
+          FROM res, cb, q),
+        enc AS (SELECT vec_id, cell, j, t FROM (
+                  SELECT vec_id, cell, j, t,
+                         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, sc) AS rn
+                  FROM dist) WHERE rn = 1),
+        qdc AS (SELECT cu.ci, list_dot_product(q.qn, cu.cun) AS qdotc FROM cu, q),
+        qcells AS (SELECT ci FROM c, q
+                   ORDER BY list_dot_product(q.qraw, c.cv) /
+                            (sqrt(list_dot_product(q.qraw, q.qraw)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            ci ASC LIMIT 2),
+        sums AS (SELECT vec_id, cell,
+                        SUM(CASE WHEN j = 0 THEN t END) AS s0,
+                        SUM(CASE WHEN j = 1 THEN t END) AS s1,
+                        SUM(CASE WHEN j = 2 THEN t END) AS s2,
+                        SUM(CASE WHEN j = 3 THEN t END) AS s3
+                 FROM enc GROUP BY vec_id, cell)
+        SELECT s.vec_id AS id, round(qdc.qdotc + (((s0 + s1) + s2) + s3), 6) AS score
+        FROM sums s JOIN qdc ON qdc.ci = s.cell
+        WHERE s.cell IN (SELECT ci FROM qcells)
+        ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
       "sim_linear_probe",
       // linear-head quality filtering, the deployment shape of every
       // fasttext-style classifier gate: w = difference of the

@@ -1086,6 +1086,28 @@ object RelationalQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "q_lateral_topk",
+      // correlated LATERAL subquery with per-row LIMIT — "top-N per group"
+      // expressed as the dependent join Spark 4 plans as a
+      // DomainJoin/rewritten window; identical SQL text runs in DuckDB
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("gate_lat_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("gate_lat_customer")
+        s.sql("""
+          SELECT n.n_name, t.c_name, t.c_acctbal
+          FROM gate_lat_nation n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM gate_lat_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) t""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON TRUE""")),
+
+    QueryDef(
       "graph_pagerank",
       // 3-iteration damped PageRank over the supplier heap-tree (child →
       // parent edges). Contributions are quantized to a 2^-30 BIGINT grid

@@ -37,6 +37,20 @@ object RecursiveCteProbe {
       df.explain("formatted")
     } catch { case e: Throwable => println("PROBE tree FAILED: " + e.getMessage.take(500)) }
 
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .createOrReplaceTempView("nation")
+      spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .createOrReplaceTempView("customer")
+      val df = spark.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM nation n JOIN LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+      println("PROBE lateral rows: " + df.count())
+    } catch { case e: Throwable => println("PROBE lateral FAILED: " + e.getMessage.take(400)) }
+
     spark.stop()
   }
 }

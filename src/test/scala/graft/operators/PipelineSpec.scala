@@ -754,4 +754,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(centroid.toSeq === expect)
     }
   }
+
+  test("ivfPqTopK: probed-cell subset, ADC approximates exact cosine, layout-invariant") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = embs.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", qv, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfpq = Similarity.ivfPqTopK(rest, "embedding", "vec_id", qv, 20,
+      nCells = 8, nProbe = 4).collect()
+    assert(ivfpq.nonEmpty)
+    // ADC = dot(q,c) + quantized-residual correction. With 8 sampled
+    // codebook seeds on this tiny corpus the per-id quantization error is
+    // coarse, so bound the MEAN error (approximation sanity), not each id
+    val errs = ivfpq.map(r => math.abs(brute(r.getLong(0)) - r.getDouble(1)))
+    assert(errs.max < 1.5, s"ADC error blew past score scale: ${errs.max}")
+    assert(errs.sum / errs.length < 0.6, s"mean ADC error ${errs.sum / errs.length}")
+    // deterministic: invariant under input layout
+    val again = Similarity.ivfPqTopK(rest.repartition(7), "embedding", "vec_id", qv, 20,
+      nCells = 8, nProbe = 4).collect()
+    assert(ivfpq.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("mmrSelect: first pick is argmax relevance, picks diversify, deterministic") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = embs.filter(col("vec_id") =!= 0)
+    val sel = Similarity.mmrSelect(rest, "embedding", "vec_id", qv, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.map(_._1).toSeq === Seq(1, 2, 3, 4, 5))
+    val top1 = Similarity.bruteForceTopK(rest, "embedding", "vec_id", qv, 1)
+      .head().getLong(0)
+    assert(sel.head._2 === top1)
+    assert(sel.map(_._2).distinct.length === 5) // without replacement
+    // λ<1 penalizes redundancy: each later pick scores no higher than rank 1
+    assert(sel.tail.forall(_._3 <= sel.head._3))
+    val again = Similarity.mmrSelect(rest.repartition(9), "embedding", "vec_id", qv, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.toSeq === again.toSeq)
+  }
 }
