@@ -98,6 +98,8 @@ object GraftFunctions {
     "vec_dot" -> ((args: Seq[Expression]) => VecDot(args(0), args(1))),
     "vec_cosine" -> ((args: Seq[Expression]) => VecCosine(args(0), args(1))),
     "morton2" -> ((args: Seq[Expression]) => Morton2(args(0), args(1))),
+    "levenshtein_bounded" -> ((args: Seq[Expression]) =>
+      LevenshteinBounded(args(0), args(1), intArg(args(2)))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
@@ -168,6 +170,11 @@ object GraftFunctions {
   /** One-pass dot product of two float/double arrays. */
   def vec_dot(a: Column, b: Column): Column =
     GraftShims.column(VecDot(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Banded early-exit Levenshtein: distance if ≤ max, else -1. */
+  def levenshtein_bounded(a: Column, b: Column, max: Int): Column =
+    GraftShims.column(LevenshteinBounded(
+      GraftShims.expression(a), GraftShims.expression(b), max))
 
   /** One-pass cosine similarity of two float/double arrays. */
   def vec_cosine(a: Column, b: Column): Column =

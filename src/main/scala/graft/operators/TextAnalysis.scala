@@ -122,6 +122,47 @@ object TextAnalysis {
     * the SAME aggregate as an exact distinct-doc count because the explode
     * emits each (doc, token) pair once per occurrence but tokens() output
     * feeds count_distinct(doc_id) — no second pass over the corpus. */
+  /**
+   * Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): a d × w
+   * counter grid over the md5 hash family estimates any term's frequency
+   * as minⱼ counter[j][hⱼ(term)] — always an OVERestimate, within εN with
+   * probability 1−δ for w = e/ε, d = ln(1/δ). Returns the exact top-k
+   * terms with both their exact count and the sketch estimate, making the
+   * overestimate property itself verifiable (est ≥ cnt).
+   *
+   * Plan shape: the token aggregate is the only corpus-sized shuffle (the
+   * same one-shuffle word-count as [[vocabulary]]); the counter grid is
+   * d·w rows built from it and every later join is broadcast-tiny. At
+   * 100 TB the grid is what you SHIP (a few KB summarizes the corpus
+   * frequency structure — mergeable across shards by addition), and the
+   * md5 hash family means any engine can probe it.
+   */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      d: Int = 4,
+      w: Int = 1024,
+      k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    def bucket(word: Column, j: Column): Column =
+      pmod(Dedup.md5Hash60(concat(j.cast("string"), lit(":"), word)),
+        lit(w.toLong))
+    val js = explode(typedLit((0 until d).toList)).as("j")
+    val counters = words
+      .select(col("word"), col("cnt"), js)
+      .select(col("j"), bucket(col("word"), col("j")).as("b"), col("cnt"))
+      .groupBy(col("j"), col("b")).agg(sum(col("cnt")).as("s"))
+    val cand = words.orderBy(col("cnt").desc, col("word")).limit(k)
+    cand
+      .select(col("word"), col("cnt"), js)
+      .withColumn("b", bucket(col("word"), col("j")))
+      .join(counters, Seq("j", "b"))
+      .groupBy(col("word"), col("cnt"))
+      .agg(min(col("s")).as("cms_est"))
+  }
+
   def vocabulary(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))

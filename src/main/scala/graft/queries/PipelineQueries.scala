@@ -1125,6 +1125,31 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY token ORDER BY tf DESC, token LIMIT 30""")),
 
     QueryDef(
+      "text_heavy_hitters",
+      // count-min-sketch frequency estimation over the md5 hash family:
+      // the exact top-20 terms carry both their true count and the d×w
+      // grid's min-counter estimate (always ≥ the truth); the grid is the
+      // few-KB mergeable summary you ship at 100 TB, and the oracle
+      // rebuilds every counter cell
+      (s, dir) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, dir), "text"),
+      Some(s"""
+        WITH words AS (
+          SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest($WordsSql) AS word FROM documents) GROUP BY word),
+        js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        counters AS (
+          SELECT js.j,
+                 ${OracleSql.md5Hash60("CAST(js.j AS VARCHAR) || ':' || w2.word")} % 1024 AS b,
+                 SUM(w2.cnt) AS s
+          FROM words w2, js GROUP BY 1, 2),
+        cand AS (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT 20)
+        SELECT c.word, c.cnt, MIN(ct.s) AS cms_est
+        FROM cand c, js, counters ct
+        WHERE ct.j = js.j
+          AND ct.b = ${OracleSql.md5Hash60("CAST(js.j AS VARCHAR) || ':' || c.word")} % 1024
+        GROUP BY c.word, c.cnt""")),
+
+    QueryDef(
       "text_boilerplate",
       // boilerplate mining: 5-gram spans shared across documents (shingles
       // are distinct per doc, so count = doc frequency)

@@ -221,6 +221,38 @@ object StreamingQueries extends QueryRegistry {
         GROUP BY user_id""")),
 
     QueryDef(
+      "stream_scd2",
+      (s, dir) => withStatePartitions(s, 4) {
+        // streaming SCD2 change capture: O(1) state per key (last attr),
+        // change rows appended as they stream; pacing forces multi-batch
+        // state carry. Oracle = the batch change-point query.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_scd2").toString
+        val changes = graft.streaming.StreamAnalytics.scd2Stream(
+          PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+          attr = get_json_object(col("value").cast("string"), "$.k").cast("int") % 4)
+        val q = changes.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_scd2").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_scd2")
+          .select(col("partitionKey"), col("attr"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+                 CAST(ts AS TIMESTAMP) AS tsv, props,
+                 CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS VARCHAR) AS attr
+          FROM events),
+        c AS (SELECT *, lag(attr) OVER (PARTITION BY partitionKey ORDER BY tsv, props) AS prev
+              FROM e)
+        SELECT partitionKey, attr, strftime(tsv, '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+        FROM c WHERE prev IS NULL OR prev <> attr""")),
+
+    QueryDef(
       "stream_join",
       (s, dir) => withStatePartitions(s, 4) {
         // stream-stream interval join: "trigger" events (k<20) matched to

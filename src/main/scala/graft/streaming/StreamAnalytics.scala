@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -17,6 +17,11 @@ private final case class SessionState(
 
 /** One packed document: shard, assigned context-window id, token count. */
 final case class PackedDoc(shard: Long, window: Long, doc_id: Long, nt: Long)
+
+final case class Scd2Change(
+    partitionKey: String, attr: String, valid_from: java.sql.Timestamp)
+
+private final case class Scd2State(lastAttr: String)
 
 private final case class PackState(cum: Long)
 
@@ -189,6 +194,47 @@ object StreamAnalytics {
               PackedDoc(shard, win, id, nt)
           }
           state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming SCD2 change capture: emit a change row whenever a key's
+   * tracked attribute differs from its previous value — the incremental
+   * form of [[graft.operators.Analytics.scd2Intervals]], maintained ON THE
+   * STREAM. State per key is O(1): just the last attribute value; change
+   * rows append immediately, so downstream interval assembly (the lead()
+   * window over change rows) stays a cheap batch view over the captured
+   * log.
+   *
+   * Cross-batch ordering: per log partition the source delivers offset
+   * order, which the shared-topic produce made (timestamp, value) order —
+   * so only WITHIN a micro-batch does the group need sorting (batch
+   * replay delivers unordered; sort key mirrors the produce order).
+   *
+   * `events` needs (partitionKey, timestamp, value); `attr` is the tracked
+   * attribute expression (compared as a string).
+   */
+  def scd2Stream(events: DataFrame, attr: Column): Dataset[Scd2Change] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("partitionKey").cast("string"), col("timestamp"),
+        col("value").cast("string"), attr.cast("string"))
+      .as[(String, java.sql.Timestamp, String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Change](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy { case (_, ts, v, _) =>
+            (ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L, v)
+          }
+          var last = state.getOption.map(_.lastAttr)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Change]
+          sorted.foreach { case (_, ts, _, a) =>
+            if (!last.contains(a)) { out += Scd2Change(key, a, ts); last = Some(a) }
+          }
+          last.foreach(a => state.update(Scd2State(a)))
           out.iterator
       }
   }

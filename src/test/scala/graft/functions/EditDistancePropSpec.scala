@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property guard for the banded Levenshtein kernel: for every pair,
+ * [[EditDistance.bounded]] must equal the classic full DP when the true
+ * distance is ≤ max, and return -1 when it exceeds max — the edit-distance
+ * dedup join's correctness rests on the band/early-exit never changing a
+ * reported distance or dropping a true match.
+ */
+class EditDistancePropSpec extends AnyFunSuite {
+
+  /** Reference: textbook full DP on codepoints. */
+  private def refLev(a: String, b: String): Int = {
+    val s = a.codePoints().toArray
+    val t = b.codePoints().toArray
+    val dp = Array.tabulate(s.length + 1)(i => i)
+    for (j <- 1 to t.length) {
+      var prevDiag = dp(0)
+      dp(0) = j
+      for (i <- 1 to s.length) {
+        val tmp = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prevDiag + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        prevDiag = tmp
+      }
+    }
+    dp(s.length)
+  }
+
+  private val alphabet = Gen.oneOf("ab".toSeq) // small alphabet → many near-dups
+  private val word: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    cs <- Gen.listOfN(n, alphabet)
+  } yield cs.mkString
+
+  // unicode strings too (codepoint semantics, incl. astral plane)
+  private val uniWord: Gen[String] = for {
+    n <- Gen.chooseNum(0, 20)
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "é", "中", "😀"))
+  } yield cs.mkString
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("bounded == full DP below the cap, -1 above, across random pairs and caps") {
+    check("ascii", Prop.forAll(word, word, Gen.chooseNum(0, 45)) { (a, b, max) =>
+      val full = refLev(a, b)
+      val got = EditDistance.bounded(a, b, max)
+      if (full <= max) got == full else got == -1
+    })
+    check("unicode", Prop.forAll(uniWord, uniWord, Gen.chooseNum(0, 25)) { (a, b, max) =>
+      val full = refLev(a, b)
+      val got = EditDistance.bounded(a, b, max)
+      if (full <= max) got == full else got == -1
+    })
+  }
+
+  test("kernel agrees with Spark's builtin levenshtein on sample docs") {
+    val docs = Seq(
+      "the quick brown fox", "the quick brown fx", "a completely different text",
+      "", "x", "the quick brown fox jumps over the lazy dog")
+    for (a <- docs; b <- docs) {
+      val full = refLev(a, b)
+      val got = EditDistance.bounded(a, b, 30)
+      assert(if (full <= 30) got == full else got == -1, s"'$a' vs '$b'")
+    }
+  }
+}

@@ -116,6 +116,39 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.sameElements(b))
   }
 
+  test("scd2Stream batch replay matches the batch change-point operator") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "a"),
+      ("u1", ts("2024-01-01 10:05:00"), "a"),
+      ("u1", ts("2024-01-01 10:10:00"), "b"),
+      ("u1", ts("2024-01-01 10:15:00"), "a"),
+      ("u2", ts("2024-01-01 09:00:00"), "x"))
+      .toDF("partitionKey", "timestamp", "value")
+    val changes = graft.streaming.StreamAnalytics
+      .scd2Stream(df, attr = col("value"))
+      .collect().map(c => (c.partitionKey, c.attr)).sortBy(t => (t._1, t._2))
+    // u1: a -> b -> a (3 change points), u2: x
+    assert(changes.count(_._1 == "u1") === 3)
+    assert(changes.count(_._1 == "u2") === 1)
+  }
+
+  test("cmsHeavyHitters: estimates dominate exact counts, top word agrees") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val hh = TextAnalysis.cmsHeavyHitters(docs, "text", d = 4, w = 1024, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length === 20)
+    hh.foreach { case (w, cnt, est) =>
+      assert(est >= cnt, s"CMS must overestimate: $w $est < $cnt")
+    }
+    val top = TextAnalysis.vocabulary(docs, "text", "doc_id", 1)
+      .head().getString(0)
+    assert(hh.maxBy(t => (t._2, t._1))._1 === top)
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
   test("weightedSample: deterministic, k rows, and biased toward weight") {
     val ord = graft.Tables.orders(spark, sfDir)
     val s1 = Sampling.weightedSample(ord, "o_orderkey", "o_totalprice", k = 50)
