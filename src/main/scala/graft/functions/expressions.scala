@@ -100,6 +100,10 @@ object GraftFunctions {
     "morton2" -> ((args: Seq[Expression]) => Morton2(args(0), args(1))),
     "levenshtein_bounded" -> ((args: Seq[Expression]) =>
       LevenshteinBounded(args(0), args(1), intArg(args(2)))),
+    "char_qgram_hist" -> ((args: Seq[Expression]) =>
+      CharQgramHist(args(0), intArg(args(1)), intArg(args(2)))),
+    "qgram_common_upper" -> ((args: Seq[Expression]) =>
+      QgramCommonUpper(args(0), args(1))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
@@ -175,6 +179,15 @@ object GraftFunctions {
   def levenshtein_bounded(a: Column, b: Column, max: Int): Column =
     GraftShims.column(LevenshteinBounded(
       GraftShims.expression(a), GraftShims.expression(b), max))
+
+  /** Hashed q-gram histogram of a string (see [[QGramFilter.hist]]). */
+  def char_qgram_hist(c: Column, q: Int, buckets: Int): Column =
+    GraftShims.column(CharQgramHist(GraftShims.expression(c), q, buckets))
+
+  /** Upper bound on two docs' common-q-gram count from their histograms. */
+  def qgram_common_upper(a: Column, b: Column): Column =
+    GraftShims.column(QgramCommonUpper(
+      GraftShims.expression(a), GraftShims.expression(b)))
 
   /** One-pass cosine similarity of two float/double arrays. */
   def vec_cosine(a: Column, b: Column): Column =

@@ -609,34 +609,42 @@ object Dedup {
       idCol: String,
       maxDistance: Int,
       blockKey: Column => Column = c => floor(length(c) / lit(32)).cast("long")): DataFrame = {
-    // Two provable lower bounds prune the block's candidate pairs BEFORE
-    // any levenshtein runs (each is ≤ the true distance, so no true match
-    // is ever dropped and the result set is bit-identical):
-    //   1. |len(a) − len(b)|  (every edit changes length by ≤ 1);
-    //   2. Σ_c |count_a(c) − count_b(c)| / 2 over a 27-char bag
-    //      (each edit perturbs the counted multiset by ≤ 2).
-    // Without them a corpus whose lengths cluster into few blocks goes
-    // quadratic in FULL O(L²) levenshtein calls — measured 1487 s at
-    // sf0.1; with them the survivors are essentially the true near-dups.
-    // The survivors then run the BANDED O(L·maxDistance) levenshtein
-    // (threshold form returns −1 above the cap).
-    val bagChars = ('a' to 'z').mkString + " "
-    def bag(t: Column): Column =
-      array(bagChars.map(ch =>
-        length(t) - length(translate(t, ch.toString, ""))): _*)
+    // Two provable prunes run INSIDE the block join, BEFORE any
+    // levenshtein (each can never drop a pair with true distance ≤ max,
+    // so the result set is bit-identical):
+    //   1. |len(a) − len(b)| ≤ max  (every edit changes length by ≤ 1);
+    //   2. the q-gram COUNT FILTER (Gravano et al.): ed ≤ d implies the
+    //      docs share ≥ max(len) − q + 1 − q·d q-grams, and the hashed-
+    //      histogram min-sum (native `qgram_common_upper` kernel) only
+    //      OVERestimates the common count — see QGramFilter's scaladoc.
+    // The count filter is sequence-sensitive where a character-histogram
+    // bound is not: on a small-vocabulary corpus every same-length pair
+    // has near-identical char counts (a bag prune left 243k of 244k
+    // block pairs standing at sf0.1), but near-dup-level q-gram sharing
+    // is rare. q is a measured choice: the floor max(len)−(q−1)−q·d
+    // tightens as q SHRINKS for short docs (median 295 chars here), and
+    // at q=3 the exact filter passes 23% of block pairs vs 43% at q=8
+    // (larger q also adds nothing on top: q3∧q8 = q3). 4096 buckets +
+    // avalanche mixing keep the hashed min-sum within ~1% of the exact
+    // count. Survivors then run the BANDED O(L·maxDistance) levenshtein
+    // (threshold form, −1 above the cap); full O(L²) levenshtein on
+    // unpruned blocks measured 1487 s at sf0.1.
+    val q = 3
+    val histBuckets = 4096
     val docs = df.select(col(idCol).as("id"),
       normalizedContent(col(textCol)).as("t"))
       .withColumn("blk", blockKey(col("t")))
       .withColumn("len", length(col("t")))
-      .withColumn("bag", bag(col("t")))
-    val bagGap = aggregate(
-      zip_with(col("a.bag"), col("b.bag"), (x, y) => abs(x - y)),
-      lit(0), (acc, x) => acc + x)
+      .withColumn("qh", graft.functions.GraftFunctions
+        .char_qgram_hist(col("t"), q, histBuckets))
+    val commonFloor =
+      greatest(col("a.len"), col("b.len")) - lit(q - 1 + q * maxDistance)
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     docs.as("a").join(docs.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDistance &&
-          bagGap <= 2 * maxDistance)
+          graft.functions.GraftFunctions
+            .qgram_common_upper(col("a.qh"), col("b.qh")) >= commonFloor)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.t").as("ta"), col("b.t").as("tb"))
       // the join key (blk) has FEW distinct values, so the DP would run on

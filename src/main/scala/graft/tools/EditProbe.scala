@@ -18,23 +18,21 @@ object EditProbe {
       r
     }
 
-    // stage 1: normalized + blocked + bag, pair count after bag filter
-    val bagChars = ('a' to 'z').mkString + " "
-    def bag(t: org.apache.spark.sql.Column) =
-      array(bagChars.map(ch => length(t) - length(translate(t, ch.toString, ""))): _*)
+    // stage 1: normalized + blocked + q-gram hist, count after count-filter
     val d = docs.select(col("doc_id").as("id"),
         Dedup.normalizedContent(col("text")).as("t"))
       .withColumn("blk", floor(length(col("t")) / lit(32)).cast("long"))
       .withColumn("len", length(col("t")))
-      .withColumn("bag", bag(col("t")))
+      .withColumn("qh", graft.functions.GraftFunctions
+        .char_qgram_hist(col("t"), 3, 4096))
       .localCheckpoint()
-    val bagGap = aggregate(
-      zip_with(col("a.bag"), col("b.bag"), (x, y) => abs(x - y)),
-      lit(0), (acc, x) => acc + x)
+    val commonFloor = greatest(col("a.len"), col("b.len")) - lit(2 + 3 * 30)
     val joined = d.as("a").join(d.as("b"),
       col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
-        abs(col("a.len") - col("b.len")) <= 30 && bagGap <= 60)
-    timed("bag-filtered pair count")(println("pairs=" + joined.count()))
+        abs(col("a.len") - col("b.len")) <= 30 &&
+        graft.functions.GraftFunctions
+          .qgram_common_upper(col("a.qh"), col("b.qh")) >= commonFloor)
+    timed("qgram-filtered pair count")(println("pairs=" + joined.count()))
     timed("banded levenshtein over survivors") {
       println("matches=" + joined
         .select(levenshtein(col("a.t"), col("b.t"), 30).as("dist"))

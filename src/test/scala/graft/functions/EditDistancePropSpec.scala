@@ -36,10 +36,22 @@ class EditDistancePropSpec extends AnyFunSuite {
     cs <- Gen.listOfN(n, alphabet)
   } yield cs.mkString
 
+  // long enough to cross the bit-parallel kernel's 64-cell word boundary
+  private val longWord: Gen[String] = for {
+    n <- Gen.chooseNum(0, 200)
+    cs <- Gen.listOfN(n, Gen.oneOf("abc ".toSeq))
+  } yield cs.mkString
+
   // unicode strings too (codepoint semantics, incl. astral plane)
   private val uniWord: Gen[String] = for {
     n <- Gen.chooseNum(0, 20)
     cs <- Gen.listOfN(n, Gen.oneOf("a", "é", "中", "😀"))
+  } yield cs.mkString
+
+  // multi-word unicode: crosses the word boundary with non-ASCII Peq slots
+  private val longUniWord: Gen[String] = for {
+    n <- Gen.chooseNum(0, 150)
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "é", "😀"))
   } yield cs.mkString
 
   private def check(name: String, p: Prop): Unit = {
@@ -57,6 +69,39 @@ class EditDistancePropSpec extends AnyFunSuite {
       val full = refLev(a, b)
       val got = EditDistance.bounded(a, b, max)
       if (full <= max) got == full else got == -1
+    })
+    check("multi-word", Prop.forAll(longWord, longWord, Gen.chooseNum(0, 210)) { (a, b, max) =>
+      val full = refLev(a, b)
+      val got = EditDistance.bounded(a, b, max)
+      if (full <= max) got == full else got == -1
+    })
+    check("multi-word-unicode", Prop.forAll(longUniWord, longUniWord, Gen.chooseNum(0, 160)) { (a, b, max) =>
+      val full = refLev(a, b)
+      val got = EditDistance.bounded(a, b, max)
+      if (full <= max) got == full else got == -1
+    })
+  }
+
+  test("q-gram count filter never prunes a pair within the distance cap") {
+    // the join's safety invariant: for ANY pair, the hashed min-sum is
+    // ≥ max(|a|,|b|) − q + 1 − q·ed(a,b) — so a pair with ed ≤ max always
+    // clears the filter's floor computed with d = max ≥ ed
+    val q = 8
+    check("count-filter", Prop.forAll(word, word) { (a, b) =>
+      val ed = refLev(a, b)
+      val upper = QGramFilter.minSum(
+        QGramFilter.hist(org.apache.spark.unsafe.types.UTF8String.fromString(a), q, 64),
+        QGramFilter.hist(org.apache.spark.unsafe.types.UTF8String.fromString(b), q, 64))
+      upper >= math.max(a.length, b.length) - (q - 1) - q.toLong * ed
+    })
+    check("count-filter-unicode", Prop.forAll(uniWord, uniWord) { (a, b) =>
+      val ed = refLev(a, b)
+      val la = a.codePointCount(0, a.length)
+      val lb = b.codePointCount(0, b.length)
+      val upper = QGramFilter.minSum(
+        QGramFilter.hist(org.apache.spark.unsafe.types.UTF8String.fromString(a), q, 64),
+        QGramFilter.hist(org.apache.spark.unsafe.types.UTF8String.fromString(b), q, 64))
+      upper >= math.max(la, lb) - (q - 1) - q.toLong * ed
     })
   }
 
