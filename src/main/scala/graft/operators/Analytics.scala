@@ -210,4 +210,53 @@ object Analytics {
     }
     ranks.select(col("node"), round(col("rank"), 9).as("rank"))
   }
+
+  /**
+   * Per-node triangle counts via degree orientation (Schank & Wagner's
+   * forward algorithm): orient every undirected edge {u,v} from its
+   * lower-(degree, id) endpoint to the higher one, enumerate wedges only
+   * at each edge-pair's shared SOURCE, and close them against the
+   * oriented edge set. Orientation is what makes this survive skew: total
+   * wedge count is bounded by O(m^{3/2}) regardless of degree
+   * distribution — a celebrity node generates no wedges because its edges
+   * all point INTO it, so there is no quadratic blow-up on the hub's
+   * partition (the failure mode of the naive "join on either endpoint"
+   * formulation at 100 TB).
+   *
+   * Plan shape: one distinct (canonical edges), one aggregate (degrees),
+   * two broadcast-or-shuffle joins to attach degrees, one self-join on
+   * src (wedges), one equi-join on both endpoints (closure), one final
+   * count aggregate. Every join key is data-sized, never all-pairs.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedges (x, y) at pivot src, ordered by the SAME total order the
+    // orientation uses, so the closing edge is exactly x→y
+    val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("src").as("pivot"), col("x"), col("y"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    closed
+      .select(explode(array(col("pivot"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

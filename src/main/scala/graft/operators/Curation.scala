@@ -413,4 +413,51 @@ object Curation {
         array_join(slice(col("__w"), start, lit(chunkSize)), " ").as("chunk_text"),
         size(slice(col("__w"), start, lit(chunkSize))).cast("long").as("n_words"))
   }
+
+  // ------------------------------------------------------------- DSIR
+
+  /**
+   * DSIR-style importance weighting (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", 2023): score every doc by
+   * how much more likely its hashed-n-gram features are under the TARGET
+   * domain's unigram feature model than under the raw corpus's — the
+   * standard way to select in-domain training data from a web-scale pool.
+   * log w(x) = Σ_f∈x [ln p̂_target(f) − ln p̂_source(f)] with add-1
+   * smoothing over `buckets` hashed features.
+   *
+   * Determinism device: each bucket's log-ratio is rounded once onto a
+   * 1e-6 grid and summed as BIGINT, so a doc's log-weight is independent
+   * of aggregation order (same device as the centroid/PageRank sums).
+   *
+   * Plan shape at 100 TB: two feature-count aggregates over the token
+   * stream (target side filters the same scan), then the corpus joins a
+   * ≤`buckets`-row log-ratio table — explicitly broadcast — and
+   * aggregates once keyed by doc. The corpus shuffles exactly once (the
+   * per-doc sum); the model is a few KB that ships to every executor.
+   */
+  def dsirLogWeights(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val feats = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(Dedup.md5Hash60(col("w")), lit(buckets.toLong)).as("b"))
+    val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("scnt"))
+    val tgtCnt = feats.filter(col("tgt")).groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
+    // two bounded scalar pulls (total token counts) — reused as literals
+    val sTot = feats.count()
+    val tTot = feats.filter(col("tgt")).count()
+    val lr = srcCnt.join(tgtCnt, Seq("b"), "left").select(col("b"),
+      round(
+        (log((coalesce(col("tcnt"), lit(0L)) + lit(1.0)) / lit((tTot + buckets).toDouble)) -
+          log((col("scnt") + lit(1.0)) / lit((sTot + buckets).toDouble))) * lit(1000000.0),
+        0).cast("long").as("qlr"))
+    feats.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qlr")).as("qsum"), count(lit(1)).as("n_feats"))
+  }
 }

@@ -1150,6 +1150,38 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY c.word, c.cnt""")),
 
     QueryDef(
+      "pipeline_dsir",
+      // DSIR importance weighting: select the 50 docs whose hashed-unigram
+      // features look most like the target domain (lang='en') relative to
+      // the whole corpus. Per-bucket log-ratios are rounded onto a 1e-6
+      // grid and summed as BIGINT so the ranking is aggregation-order-
+      // independent; the oracle replays every bucket's smoothed ratio.
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Curation
+          .dsirLogWeights(d, "text", "doc_id", col("lang") === "en")
+          .orderBy(col("qsum").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"),
+            (round(col("qsum") / lit(1000000.0), 6) + lit(0.0)).as("log_weight"),
+            col("n_feats"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, lang = 'en' AS tgt, ${OracleSql.md5Hash60("w")} % 4096 AS b
+          FROM (SELECT doc_id, lang, unnest($WordsSql) AS w FROM documents)),
+        src AS (SELECT b, COUNT(*) AS scnt FROM f GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS tcnt FROM f WHERE tgt GROUP BY b),
+        tot AS (SELECT COUNT(*) AS s, COUNT(*) FILTER (WHERE tgt) AS t FROM f),
+        lr AS (SELECT s2.b,
+                 CAST(round((ln((COALESCE(t2.tcnt, 0) + 1.0) / ((SELECT t FROM tot) + 4096)) -
+                             ln((s2.scnt + 1.0) / ((SELECT s FROM tot) + 4096))) * 1000000.0, 0) AS BIGINT) AS qlr
+               FROM src s2 LEFT JOIN tgt t2 USING (b)),
+        w AS (SELECT f.doc_id, SUM(qlr) AS qsum, COUNT(*) AS n_feats
+              FROM f JOIN lr USING (b) GROUP BY f.doc_id)
+        SELECT doc_id, round(qsum / 1000000.0, 6) + 0.0 AS log_weight, n_feats
+        FROM w ORDER BY qsum DESC, doc_id LIMIT 50""")),
+
+    QueryDef(
       "text_boilerplate",
       // boilerplate mining: 5-gram spans shared across documents (shingles
       // are distinct per doc, so count = doc frequency)

@@ -1160,6 +1160,37 @@ object RelationalQueries extends QueryRegistry {
                       CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(qsum, 0) AS DOUBLE) / CAST(1073741824 AS DOUBLE)) +
                         (CAST(qdang AS DOUBLE) / CAST(1073741824 AS DOUBLE)) / (SELECT cnt FROM n)) AS rank
                FROM nodes LEFT JOIN c3 USING (node), d3)
-        SELECT node, round(rank, 9) AS rank FROM r3"""))
+        SELECT node, round(rank, 9) AS rank FROM r3""")),
+
+    QueryDef(
+      "graph_triangles",
+      // per-node triangle counts on the part co-purchase graph (parts
+      // co-occurring in an order, projected to 500 node ids for density).
+      // The Spark side runs the degree-ORIENTED wedge enumeration (skew-
+      // proof at scale: a hub's edges all point into it, so it pivots no
+      // wedges); the oracle counts each triangle once from its canonical
+      // u<v<w form — identical per-node counts by symmetry.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), (col("l_partkey") % 500).as("pk"))
+        val edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Analytics.triangleCounts(edges)
+      },
+      Some("""
+        WITH pr AS (
+          SELECT x.l_partkey % 500 AS a, y.l_partkey % 500 AS b
+          FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey),
+        e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM pr WHERE a <> b),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        n AS (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        SELECT node, COUNT(*) AS triangles FROM n GROUP BY node"""))
   )
 }

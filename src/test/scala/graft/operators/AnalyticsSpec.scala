@@ -149,6 +149,37 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
+  test("triangleCounts matches brute-force enumeration and ignores direction/dupes") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + duplicate
+    // and reversed edges that must not change counts
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (1L, 2L), // dupes/reversals
+      (4L, 5L))
+      .toDF("src", "dst")
+    val got = Analytics.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got === Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // invariant under input repartitioning
+    val got2 = Analytics.triangleCounts(edges.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got2 === got)
+  }
+
+  test("dsirLogWeights: target-domain docs score higher on average") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = Curation.dsirLogWeights(docs, "text", "doc_id", col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang") === "en", col("qsum"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val tgtMean = w.filter(_._1).map(_._2.toDouble).sum / w.count(_._1)
+    val otherMean = w.filterNot(_._1).map(_._2.toDouble).sum / w.count(!_._1)
+    assert(tgtMean > otherMean,
+      s"target mean $tgtMean should exceed non-target mean $otherMean")
+  }
+
   test("weightedSample: deterministic, k rows, and biased toward weight") {
     val ord = graft.Tables.orders(spark, sfDir)
     val s1 = Sampling.weightedSample(ord, "o_orderkey", "o_totalprice", k = 50)
