@@ -102,6 +102,10 @@ object GraftFunctions {
       LevenshteinBounded(args(0), args(1), intArg(args(2)))),
     "char_qgram_hist" -> ((args: Seq[Expression]) =>
       CharQgramHist(args(0), intArg(args(1)), intArg(args(2)))),
+    "cdc_chunk_fps" -> ((args: Seq[Expression]) =>
+      CdcChunkFps(args(0), intArg(args(1)), intArg(args(2)))),
+    "cdc_chunk_lens" -> ((args: Seq[Expression]) =>
+      CdcChunkLens(args(0), intArg(args(1)), intArg(args(2)))),
     "qgram_common_upper" -> ((args: Seq[Expression]) =>
       QgramCommonUpper(args(0), args(1))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
@@ -179,6 +183,14 @@ object GraftFunctions {
   def levenshtein_bounded(a: Column, b: Column, max: Int): Column =
     GraftShims.column(LevenshteinBounded(
       GraftShims.expression(a), GraftShims.expression(b), max))
+
+  /** Content-defined chunk fingerprints (see [[Cdc.chunkFps]]). */
+  def cdc_chunk_fps(c: Column, window: Int, divisor: Int): Column =
+    GraftShims.column(CdcChunkFps(GraftShims.expression(c), window, divisor))
+
+  /** Content-defined chunk byte lengths (see [[Cdc.chunkLens]]). */
+  def cdc_chunk_lens(c: Column, window: Int, divisor: Int): Column =
+    GraftShims.column(CdcChunkLens(GraftShims.expression(c), window, divisor))
 
   /** Hashed q-gram histogram of a string (see [[QGramFilter.hist]]). */
   def char_qgram_hist(c: Column, q: Int, buckets: Int): Column =

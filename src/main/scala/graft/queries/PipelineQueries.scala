@@ -1743,6 +1743,47 @@ object PipelineQueries extends QueryRegistry {
         FROM g JOIN dup USING (gram)""")),
 
     QueryDef(
+      "dedup_cdc",
+      // content-defined chunk dedup: cuts where the 16-byte rolling hash
+      // has its low 6 bits zero, chunk identity = (base-257 fold, len);
+      // every duplicated chunk with occurrence/doc counts. The oracle
+      // replays both hashes in HUGEINT (mod 2^64) arithmetic and the cut
+      // rule on the unsigned low bits.
+      (s, dir) => Dedup.cdcDuplicatedChunks(
+        Tables.documents(s, dir), "text", "doc_id", window = 16, divisor = 64),
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, list_transform(generate_series(1, length(hx)//2),
+                   i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS bs
+          FROM b),
+        cuts AS (
+          SELECT doc_id, list_sort(list(i)) AS cl
+          FROM v, LATERAL (SELECT unnest(generate_series(16, len(bs))) AS i) t
+          WHERE list_reduce(list_prepend(0::HUGEINT, bs[i-15:i]),
+                  (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) % 64 = 0
+          GROUP BY doc_id),
+        ranges AS (
+          SELECT v.doc_id, v.bs,
+                 list_prepend(1, list_transform(COALESCE(cuts.cl, []), c -> c + 1)) AS ss,
+                 list_append(COALESCE(cuts.cl, []), len(v.bs)) AS es
+          FROM v LEFT JOIN cuts USING (doc_id)),
+        chunks AS (
+          SELECT doc_id, bs, ss[k] AS s, es[k] AS e
+          FROM ranges, LATERAL (SELECT unnest(generate_series(1, len(ss))) AS k) t
+          WHERE ss[k] <= es[k]),
+        fps AS (
+          SELECT doc_id, CAST(e - s + 1 AS BIGINT) AS len,
+                 (SELECT h FROM (SELECT list_reduce(list_prepend(0::HUGEINT, bs[s:e]),
+                    (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) AS h)) AS hu
+          FROM chunks)
+        SELECT CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS fp,
+               len, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS n_docs
+        FROM fps GROUP BY 1, 2 HAVING COUNT(*) > 1""")),
+
+    QueryDef(
       "dedup_substring_rebuild",
       // remove duplicated spans keeping one copy corpus-wide (first
       // instance by (doc_id, start_idx)), reassemble surviving words in

@@ -221,6 +221,35 @@ object StreamingQueries extends QueryRegistry {
         GROUP BY user_id""")),
 
     QueryDef(
+      "stream_cms",
+      (s, dir) => withStatePartitions(s, 4) {
+        // count-min sketch maintained ON the stream: d×w bounded state
+        // across micro-batches (pacing forces several), drained with
+        // AvailableNow; the oracle rebuilds every counter cell from the
+        // raw table — streaming merge ≡ batch grid, cell for cell
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_cms").toString
+        val q = graft.streaming.StreamAnalytics.cmsCells(
+            PolarStream.read(s, cfg, startingOffsets = "earliest",
+              maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+            term = get_json_object(col("value").cast("string"), "$.k"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_cms").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_cms").select(col("j"), col("b"), col("s"))
+      },
+      Some(s"""
+        WITH t AS (SELECT json_extract_string(props, '$$.k') AS term FROM events),
+        js AS (SELECT unnest(generate_series(0, 3)) AS j)
+        SELECT js.j,
+               ${OracleSql.md5Hash60("CAST(js.j AS VARCHAR) || ':' || t.term")} % 256 AS b,
+               COUNT(*) AS s
+        FROM t, js GROUP BY 1, 2""")),
+
+    QueryDef(
       "stream_scd2",
       (s, dir) => withStatePartitions(s, 4) {
         // streaming SCD2 change capture: O(1) state per key (last attr),

@@ -215,6 +215,26 @@ object StreamAnalytics {
    * `events` needs (partitionKey, timestamp, value); `attr` is the tracked
    * attribute expression (compared as a string).
    */
+  /**
+   * Streaming count-min sketch: maintain the d×w counter grid of
+   * [[graft.operators.TextAnalysis.cmsHeavyHitters]] incrementally across
+   * micro-batches — the textbook "sketch the stream" deployment. State is
+   * BOUNDED at d·w counter groups no matter how much flows through the
+   * topic (this is the whole point of sketching: the multi-TB stream
+   * compresses to a few KB of mergeable cells), so complete-mode output
+   * is safe and every cell is exactly the batch grid's value once the
+   * stream drains — which is precisely what the oracle checks.
+   */
+  def cmsCells(events: DataFrame, term: Column, d: Int = 4, w: Int = 256): DataFrame =
+    events
+      .select(term.cast("string").as("term"),
+        explode(typedLit((0 until d).toList)).as("j"))
+      .select(col("j"),
+        pmod(graft.operators.Dedup.md5Hash60(
+          concat(col("j").cast("string"), lit(":"), col("term"))), lit(w.toLong)).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("s"))
+
   def scd2Stream(events: DataFrame, attr: Column): Dataset[Scd2Change] = {
     val spark = events.sparkSession
     import spark.implicits._
