@@ -75,6 +75,19 @@ object Cdc {
     while (i < out.length) { out(i) = (r(2 * i + 1) - r(2 * i)).toLong; i += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  def chunkTexts(u: UTF8String, window: Int, mask: Long): ArrayData = {
+    val bytes = u.getBytes
+    val r = ranges(bytes, window, mask)
+    val out = new Array[Any](r.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, r(2 * i), r(2 * i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 sealed abstract class CdcExpression extends UnaryExpression {
@@ -110,6 +123,26 @@ case class CdcChunkFps(child: Expression, window: Int, divisor: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Cdc.chunkFps($c, $window, ${mask}L)")
   override protected def withNewChildInternal(c: Expression): CdcChunkFps =
+    copy(child = c)
+}
+
+/** `cdc_chunk_texts(string, window, divisor) -> array<string>` — the
+  * chunks themselves as byte slices, in document order. Cuts are BYTE
+  * positions (CDC is a byte-level algorithm), so a slice of multi-byte
+  * UTF-8 can land mid-codepoint; concatenating the array always restores
+  * the exact original bytes. */
+case class CdcChunkTexts(child: Expression, window: Int, divisor: Int)
+    extends CdcExpression {
+  require(window >= 1, s"cdc_chunk_texts needs window >= 1, got $window")
+  require(divisor >= 1 && (divisor & (divisor - 1)) == 0,
+    s"cdc_chunk_texts needs a power-of-two divisor, got $divisor")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_texts"
+  override def nullSafeEval(v: Any): Any =
+    Cdc.chunkTexts(v.asInstanceOf[UTF8String], window, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Cdc.chunkTexts($c, $window, ${mask}L)")
+  override protected def withNewChildInternal(c: Expression): CdcChunkTexts =
     copy(child = c)
 }
 

@@ -106,6 +106,9 @@ object GraftFunctions {
       CdcChunkFps(args(0), intArg(args(1)), intArg(args(2)))),
     "cdc_chunk_lens" -> ((args: Seq[Expression]) =>
       CdcChunkLens(args(0), intArg(args(1)), intArg(args(2)))),
+    "cdc_chunk_texts" -> ((args: Seq[Expression]) =>
+      CdcChunkTexts(args(0), intArg(args(1)), intArg(args(2)))),
+    "ahash64" -> ((args: Seq[Expression]) => AHash64(args.head)),
     "qgram_common_upper" -> ((args: Seq[Expression]) =>
       QgramCommonUpper(args(0), args(1))),
     "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
@@ -191,6 +194,14 @@ object GraftFunctions {
   /** Content-defined chunk byte lengths (see [[Cdc.chunkLens]]). */
   def cdc_chunk_lens(c: Column, window: Int, divisor: Int): Column =
     GraftShims.column(CdcChunkLens(GraftShims.expression(c), window, divisor))
+
+  /** Content-defined chunk texts (see [[Cdc.chunkTexts]]). */
+  def cdc_chunk_texts(c: Column, window: Int, divisor: Int): Column =
+    GraftShims.column(CdcChunkTexts(GraftShims.expression(c), window, divisor))
+
+  /** Average-hash perceptual fingerprint of a binary payload. */
+  def ahash64(c: Column): Column =
+    GraftShims.column(AHash64(GraftShims.expression(c)))
 
   /** Hashed q-gram histogram of a string (see [[QGramFilter.hist]]). */
   def char_qgram_hist(c: Column, q: Int, buckets: Int): Column =

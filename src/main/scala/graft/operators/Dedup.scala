@@ -708,6 +708,54 @@ object Dedup {
       .filter(col("occ") > 1)
 
   /**
+   * Chunk-level dedup REBUILD: remove duplicated chunks keeping ONE copy
+   * corpus-wide — the first occurrence by (doc_id, chunk_idx) of each
+   * duplicated (fp, len) identity survives, every other occurrence is cut,
+   * and each document's surviving chunks are reassembled in order (chunks
+   * tile the document, so concatenation is exact byte restoration minus the
+   * cuts). Returns (doc_id, text, n_kept, n_dropped); every input document
+   * keeps a row even when all its chunks were cut.
+   *
+   * Scale shape: the drop DECISION runs on the text-free (fp, len) chunk
+   * stream — winner selection is one min-struct hash-aggregate, and the
+   * non-winner positions that come back are only the duplicated tail, tiny
+   * next to the corpus. Chunk text moves through exactly ONE shuffle, the
+   * per-document reassembly groupBy it would need under any design.
+   */
+  def cdcRebuild(
+      df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, divisor: Int = 64): DataFrame = {
+    val ids = cdcChunks(df, textCol, idCol, window, divisor)
+    val winners = ids.groupBy(col("fp"), col("len"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val drops = ids.join(winners, Seq("fp", "len"))
+      .filter(!(col("doc_id") === col("w.doc_id") &&
+        col("chunk_idx") === col("w.chunk_idx")))
+      .select(col("doc_id"), col("chunk_idx"))
+    val chunkText = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .cdc_chunk_texts(col(textCol), window, divisor))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+    chunkText.join(drops, Seq("doc_id", "chunk_idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s.getField("chunk")), "").as("text"))
+      .join(chunkText.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks")),
+        Seq("doc_id"), "right")
+      .join(df.select(col(idCol).as("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_chunks"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /**
    * Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
    * Training Data Makes Language Models Better" — the suffix-array
    * ExactSubstr pass, re-expressed relationally at word-k-gram

@@ -845,6 +845,75 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY doc_id""")),
 
     QueryDef(
+      "multimodal_phash",
+      // perceptual average-hash of each media payload: 64 positional byte
+      // cells, bit j set iff cell j beats the payload mean (integer-exact
+      // acc*64 > total). Oracle replays the fold from the hex-decoded
+      // bytes in HUGEINT arithmetic.
+      (s, dir) => Multimodal.phashes(
+        Multimodal.asMedia(Tables.documents(s, dir)).toDF()),
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, list_transform(generate_series(1, length(hx)//2),
+                   i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS bs
+          FROM b),
+        cells AS (
+          SELECT doc_id, (t.i-1) % 64 AS cell, SUM(bs[t.i]) AS acc
+          FROM v, LATERAL (SELECT unnest(generate_series(1, len(bs))) AS i) t
+          GROUP BY 1, 2),
+        tot AS (SELECT doc_id, SUM(acc) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.acc*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+                 0) AS phash
+        FROM documents d LEFT JOIN hu USING (doc_id)""")),
+
+    QueryDef(
+      "multimodal_phash_pairs",
+      // multimodal near-dup: payload pairs within hamming 3 of each other's
+      // perceptual hash, found by exact 16-bit chunk banding (never all
+      // pairs). The oracle CAN afford all pairs at gate scale, which is
+      // precisely what makes it a sound check of the banded retrieval.
+      (s, dir) => Multimodal.phashPairs(
+        Multimodal.asMedia(Tables.documents(s, dir)).toDF(), maxDistance = 3),
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, list_transform(generate_series(1, length(hx)//2),
+                   i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS bs
+          FROM b),
+        cells AS (
+          SELECT doc_id, (t.i-1) % 64 AS cell, SUM(bs[t.i]) AS acc
+          FROM v, LATERAL (SELECT unnest(generate_series(1, len(bs))) AS i) t
+          GROUP BY 1, 2),
+        tot AS (SELECT doc_id, SUM(acc) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.acc*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1),
+        ph AS (
+          SELECT d.doc_id,
+                 COALESCE(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+                   0) AS phash
+          FROM documents d LEFT JOIN hu USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS dist
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3""")),
+
+    QueryDef(
       "decontaminate",
       // train/test decontamination: per train doc, its distinct 3-gram
       // overlap with the WHOLE test split's n-gram set — test grams
@@ -1782,6 +1851,63 @@ object PipelineQueries extends QueryRegistry {
                          THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS fp,
                len, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS n_docs
         FROM fps GROUP BY 1, 2 HAVING COUNT(*) > 1""")),
+
+    QueryDef(
+      "dedup_cdc_rebuild",
+      // chunk-level keep-one-copy: first occurrence by (doc_id, chunk_idx)
+      // of each duplicated chunk identity survives, documents reassembled
+      // from surviving chunks in order (chunks tile the text, so the
+      // rebuild is exact). Oracle replays the same cut rule + fold, ranks
+      // occurrences with a window, and string_aggs the kept chunks —
+      // byte positions equal char positions on this corpus (pure ASCII,
+      // asserted via octet_length == length at both SFs).
+      (s, dir) => Dedup.cdcRebuild(
+        Tables.documents(s, dir), "text", "doc_id", window = 16, divisor = 64),
+      Some("""
+        WITH b AS (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, text, list_transform(generate_series(1, length(hx)//2),
+                   i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS bs
+          FROM b),
+        cuts AS (
+          SELECT doc_id, list_sort(list(i)) AS cl
+          FROM v, LATERAL (SELECT unnest(generate_series(16, len(bs))) AS i) t
+          WHERE list_reduce(list_prepend(0::HUGEINT, bs[i-15:i]),
+                  (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) % 64 = 0
+          GROUP BY doc_id),
+        ranges AS (
+          SELECT v.doc_id, v.text, v.bs,
+                 list_prepend(1, list_transform(COALESCE(cuts.cl, []), c -> c + 1)) AS ss,
+                 list_append(COALESCE(cuts.cl, []), len(v.bs)) AS es
+          FROM v LEFT JOIN cuts USING (doc_id)),
+        chunks AS (
+          SELECT doc_id, text, bs, k, ss[k] AS s, es[k] AS e
+          FROM ranges, LATERAL (SELECT unnest(generate_series(1, len(ss))) AS k) t
+          WHERE ss[k] <= es[k]),
+        fps AS (
+          SELECT doc_id, k, substr(text, s, e - s + 1) AS chunk,
+                 CAST(e - s + 1 AS BIGINT) AS len,
+                 list_reduce(list_prepend(0::HUGEINT, bs[s:e]),
+                   (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) AS hu
+          FROM chunks),
+        marked AS (
+          SELECT doc_id, k, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY hu, len ORDER BY doc_id, k) AS rn,
+                 COUNT(*) OVER (PARTITION BY hu, len) AS occ
+          FROM fps),
+        kept AS (SELECT doc_id, k, chunk FROM marked WHERE occ = 1 OR rn = 1),
+        per_doc AS (
+          SELECT doc_id, string_agg(chunk, '' ORDER BY k) AS text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM fps GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(p.text, '') AS text,
+               COALESCE(p.n_kept, 0) AS n_kept,
+               COALESCE(t.n_chunks, 0) - COALESCE(p.n_kept, 0) AS n_dropped
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN totals t USING (doc_id)""")),
 
     QueryDef(
       "dedup_substring_rebuild",

@@ -250,6 +250,37 @@ object StreamingQueries extends QueryRegistry {
         FROM t, js GROUP BY 1, 2""")),
 
     QueryDef(
+      "stream_hll",
+      (s, dir) => withStatePartitions(s, 4) {
+        // HyperLogLog registers maintained ON the stream: per-bucket
+        // max(rho) across micro-batches — 4096 register groups of bounded
+        // state; the oracle rebuilds every register from the raw table, so
+        // the check is streaming merge ≡ batch sketch, register for
+        // register
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_hll").toString
+        val q = graft.streaming.StreamAnalytics.hllRegisters(
+            PolarStream.read(s, cfg, startingOffsets = "earliest",
+              maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+            key = get_json_object(col("value").cast("string"), "$.k"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_hll").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_hll").select(col("bucket"), col("mj"))
+      },
+      Some(s"""
+        WITH t AS (SELECT json_extract_string(props, '$$.k') AS term FROM events),
+        h AS (SELECT ${OracleSql.md5Hash60("term")} AS h FROM t),
+        r AS (SELECT CAST(h & 4095 AS BIGINT) AS bucket,
+               COALESCE(1 + list_min(list_filter(generate_series(0, 47),
+                 j -> ((h >> 12) >> j) & 1 = 1)), 49) AS rho
+              FROM h)
+        SELECT bucket, CAST(MAX(rho) AS INTEGER) AS mj FROM r GROUP BY 1""")),
+
+    QueryDef(
       "stream_scd2",
       (s, dir) => withStatePartitions(s, 4) {
         // streaming SCD2 change capture: O(1) state per key (last attr),

@@ -235,6 +235,29 @@ object StreamAnalytics {
       .groupBy(col("j"), col("b"))
       .agg(count(lit(1)).as("s"))
 
+  /**
+   * Streaming HyperLogLog registers: maintain the 4096-register sketch of
+   * [[graft.functions.Hll60]] incrementally — per-bucket MAX(rho) across
+   * micro-batches, the other textbook stream sketch next to [[cmsCells]].
+   * State is bounded at 4096 register groups regardless of stream volume,
+   * max is order-insensitive and mergeable, and the drained registers are
+   * exactly the batch sketch's (the oracle rebuilds every register from
+   * the raw table). rho is computed with pure integer bit ops
+   * (`1 + bit_count(lowestSetBit - 1)` = trailing zeros + 1) so no float
+   * can disagree across engines.
+   */
+  def hllRegisters(events: DataFrame, key: Column): DataFrame = {
+    val h = graft.operators.Dedup.md5Hash60(key.cast("string"))
+    events.select(h.as("h"))
+      .select(col("h").bitwiseAND(lit(4095L)).as("bucket"),
+        shiftright(col("h"), 12).as("x"))
+      .select(col("bucket"),
+        when(col("x") === 0L, lit(49))
+          .otherwise(bit_count(col("x").bitwiseAND(-col("x")) - 1) + 1).as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+  }
+
   def scd2Stream(events: DataFrame, attr: Column): Dataset[Scd2Change] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -38,6 +38,23 @@ class CdcSpec extends AnyFunSuite {
     assert(a.length >= 10, "test corpus should produce many chunks")
   }
 
+  test("chunk texts tile the input and concatenate back to it exactly") {
+    def texts(s: String): Seq[String] = {
+      val a = Cdc.chunkTexts(UTF8String.fromString(s), 16, 63L)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    }
+    assert(texts(base).mkString === base)
+    assert(texts(base).map(_.length.toLong) === lens(base))
+    // byte-positioned cuts on multi-byte UTF-8 still round-trip: compare
+    // the raw byte concatenation, not per-chunk string validity
+    val uni = "héllo wörld ünïcode " * 40
+    val u = UTF8String.fromString(uni)
+    val arr = Cdc.chunkTexts(u, 16, 63L)
+    val joined = (0 until arr.numElements())
+      .flatMap(i => arr.getUTF8String(i).getBytes.toSeq)
+    assert(joined === u.getBytes.toSeq)
+  }
+
   test("chunk fingerprint equals the whole-string fold for each chunk") {
     // reconstruct chunk boundaries from lens, fold each chunk with the
     // shared rollingFingerprint kernel, compare
