@@ -708,6 +708,63 @@ object Dedup {
       .filter(col("occ") > 1)
 
   /**
+   * Incremental chunk-level dedup — dedup the DELTA against the standing
+   * corpus's chunk identity set, never re-chunking the corpus into pairs:
+   * per increment document, how many of its content-defined chunks (and
+   * bytes) are NOVEL vs already present anywhere in the corpus. This is
+   * the production ingest shape: the corpus contributes only its distinct
+   * (fp, len) set (8+8 bytes per unique chunk — the persistable "chunk
+   * index"), the increment pays one anti-join + one aggregate.
+   * Returns (doc_id, n_chunks, total_bytes, n_novel, novel_bytes) for
+   * every increment document that produced at least one chunk.
+   */
+  def cdcIncrement(
+      corpus: DataFrame, increment: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, divisor: Int = 64): DataFrame = {
+    val seen = cdcChunks(corpus, textCol, idCol, window, divisor)
+      .select(col("fp"), col("len")).distinct()
+    val inc = cdcChunks(increment, textCol, idCol, window, divisor)
+    val novel = inc.join(seen, Seq("fp", "len"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"), sum(col("len")).as("novel_bytes"))
+    inc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_bytes"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("total_bytes"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novel_bytes"), lit(0L)).as("novel_bytes"))
+  }
+
+  /**
+   * Directed containment pairs: (id_a, id_b, containment) where
+   * containment = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold
+   * and A ≠ B — the asymmetric cousin of Jaccard that catches a document
+   * CONTAINED in a larger one (quote-expansion, boilerplate wrapping,
+   * near-supersets), which symmetric similarity misses when sizes differ.
+   *
+   * Scale shape: inverted-index equi-join on the shingle (never all
+   * pairs), partial-aggregated (a, b) intersection counts, then one
+   * broadcast-sized join against per-doc set sizes. Hot shingles fan out
+   * like any set-similarity join; the standard prefix-filter/minhash
+   * candidate prune composes in front of this when the corpus demands it.
+   */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK)).as("sh"))
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    sets.as("a").join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .withColumn("containment", col("inter") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /**
    * Chunk-level dedup REBUILD: remove duplicated chunks keeping ONE copy
    * corpus-wide — the first occurrence by (doc_id, chunk_idx) of each
    * duplicated (fp, len) identity survives, every other occurrence is cut,

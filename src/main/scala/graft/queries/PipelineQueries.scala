@@ -376,6 +376,80 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY k""")),
 
     QueryDef(
+      "dedup_cdc_incremental",
+      // incremental chunk dedup: today's increment (doc_id % 3 = 0) chunked
+      // and anti-joined against the corpus's distinct chunk identity set —
+      // per increment doc, novel chunk/byte counts. The corpus is never
+      // re-paired; its contribution is the persistable (fp, len) index.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.cdcIncrement(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id", window = 16, divisor = 64)
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, list_transform(generate_series(1, length(hx)//2),
+                   i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS bs
+          FROM b),
+        cuts AS (
+          SELECT doc_id, list_sort(list(i)) AS cl
+          FROM v, LATERAL (SELECT unnest(generate_series(16, len(bs))) AS i) t
+          WHERE list_reduce(list_prepend(0::HUGEINT, bs[i-15:i]),
+                  (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) % 64 = 0
+          GROUP BY doc_id),
+        ranges AS (
+          SELECT v.doc_id, v.bs,
+                 list_prepend(1, list_transform(COALESCE(cuts.cl, []), c -> c + 1)) AS ss,
+                 list_append(COALESCE(cuts.cl, []), len(v.bs)) AS es
+          FROM v LEFT JOIN cuts USING (doc_id)),
+        chunks AS (
+          SELECT doc_id, bs, ss[k] AS s, es[k] AS e
+          FROM ranges, LATERAL (SELECT unnest(generate_series(1, len(ss))) AS k) t
+          WHERE ss[k] <= es[k]),
+        fps AS (
+          SELECT doc_id, CAST(e - s + 1 AS BIGINT) AS len,
+                 list_reduce(list_prepend(0::HUGEINT, bs[s:e]),
+                   (a, x) -> (a*257 + x + 1) % 18446744073709551616::HUGEINT) AS hu
+          FROM chunks),
+        seen AS (SELECT DISTINCT hu, len FROM fps WHERE doc_id % 3 <> 0),
+        inc AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
+        j AS (
+          SELECT inc.doc_id, inc.len, (seen.hu IS NOT NULL) AS dup
+          FROM inc LEFT JOIN seen ON seen.hu = inc.hu AND seen.len = inc.len)
+        SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(len) AS BIGINT) AS total_bytes,
+               COUNT(CASE WHEN NOT dup THEN 1 END) AS n_novel,
+               CAST(COALESCE(SUM(CASE WHEN NOT dup THEN len END), 0) AS BIGINT)
+                 AS novel_bytes
+        FROM j GROUP BY doc_id""")),
+
+    QueryDef(
+      "dedup_containment",
+      // directed containment: |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 over word
+      // 3-gram shingle sets — catches a doc CONTAINED in a larger one,
+      // which symmetric Jaccard misses when sizes differ. Inverted-index
+      // equi-join on the shingle, never all pairs.
+      (s, dir) => Dedup.containmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", shingleK = 3, threshold = 0.8),
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, ${shinglesSql(WordsSql)} AS sh
+          FROM documents WHERE doc_id % 4 = 0),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM docs)
+        SELECT id_a, id_b, round(i * 1.0 / sz.n, 6) AS containment
+        FROM inter JOIN sz ON sz.doc_id = id_a
+        WHERE i * 1.0 / sz.n >= 0.8""")),
+
+    QueryDef(
       "dedup_paragraph",
       // CCNet/Gopher paragraph-granularity dedup: every paragraph keyed by
       // normalized content, first occurrence (min doc_id, para_idx) wins.
@@ -912,6 +986,62 @@ object PipelineQueries extends QueryRegistry {
                CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS dist
         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 3""")),
+
+    QueryDef(
+      "multimodal_dedup_keep",
+      // the terminal multimodal dedup step: phash near-dup pairs →
+      // connected components → keep each cluster's min-id representative.
+      // Same CC + anti-join machinery as dedup_keep, driven by the
+      // perceptual hash instead of minhash.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Multimodal.phashPairs(
+          Multimodal.asMedia(docs).toDF(), maxDistance = 3)
+        val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.keepRepresentatives(docs, "doc_id", clusters)
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""
+        WITH RECURSIVE b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        v AS (
+          SELECT doc_id, list_transform(generate_series(1, length(hx)//2),
+                   i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)) AS bs
+          FROM b),
+        cells AS (
+          SELECT doc_id, (t.i-1) % 64 AS cell, SUM(bs[t.i]) AS acc
+          FROM v, LATERAL (SELECT unnest(generate_series(1, len(bs))) AS i) t
+          GROUP BY 1, 2),
+        tot AS (SELECT doc_id, SUM(acc) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.acc*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1),
+        ph AS (
+          SELECT d.doc_id,
+                 COALESCE(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+                   0) AS phash
+          FROM documents d LEFT JOIN hu USING (doc_id)),
+        prs AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM ph a JOIN ph b2 ON a.doc_id < b2.doc_id
+          WHERE bit_count(xor(a.phash, b2.phash)) <= 3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION
+          SELECT r.node, e2.dst AS peer
+          FROM reach r JOIN edges e2 ON e2.src = r.peer),
+        cc AS (SELECT node AS id, least(node, min(peer)) AS cid
+               FROM reach GROUP BY node),
+        dropped AS (SELECT id FROM cc WHERE id <> cid)
+        SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
 
     QueryDef(
       "decontaminate",
