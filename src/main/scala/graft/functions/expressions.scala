@@ -102,6 +102,10 @@ object GraftFunctions {
       LevenshteinBounded(args(0), args(1), intArg(args(2)))),
     "char_qgram_hist" -> ((args: Seq[Expression]) =>
       CharQgramHist(args(0), intArg(args(1)), intArg(args(2)))),
+    "char_qgram_sketch" -> ((args: Seq[Expression]) =>
+      CharQgramSketch(args(0), intArg(args(1)))),
+    "qgram_common_upper_sorted" -> ((args: Seq[Expression]) =>
+      QgramCommonUpperSorted(args(0), args(1))),
     "cdc_chunk_fps" -> ((args: Seq[Expression]) =>
       CdcChunkFps(args(0), intArg(args(1)), intArg(args(2)))),
     "cdc_chunk_lens" -> ((args: Seq[Expression]) =>
@@ -206,6 +210,15 @@ object GraftFunctions {
   /** Hashed q-gram histogram of a string (see [[QGramFilter.hist]]). */
   def char_qgram_hist(c: Column, q: Int, buckets: Int): Column =
     GraftShims.column(CharQgramHist(GraftShims.expression(c), q, buckets))
+
+  /** Sparse sorted q-gram sketch (see [[QGramFilter.sketch]]). */
+  def char_qgram_sketch(c: Column, q: Int): Column =
+    GraftShims.column(CharQgramSketch(GraftShims.expression(c), q))
+
+  /** Sorted-merge common-q-gram upper bound (see [[QGramFilter.minSumSorted]]). */
+  def qgram_common_upper_sorted(a: Column, b: Column): Column =
+    GraftShims.column(QgramCommonUpperSorted(
+      GraftShims.expression(a), GraftShims.expression(b)))
 
   /** Upper bound on two docs' common-q-gram count from their histograms. */
   def qgram_common_upper(a: Column, b: Column): Column =

