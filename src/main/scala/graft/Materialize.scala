@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Ownership registry for operator-internal materializations.
+ *
+ * Operators materialize intermediates (fingerprints, unit vectors, vocab
+ * tables, canonical edge sets) with `localCheckpoint` or `persist` so two
+ * consumers don't recompute the producing pipeline. Each such block set
+ * needs an OWNER: in a long-lived session (the driver's 156-query bench,
+ * a notebook, a streaming job) unowned blocks accumulate in the
+ * CacheManager / BlockManager for the life of the JVM — measured as a ~5×
+ * session-level slowdown across the round-5 bench. Every operator
+ * materialization goes through here, and the harness (`Bench`, `Verify`,
+ * or any caller) invokes [[release]] once a query's output has been fully
+ * consumed.
+ *
+ * `release` is safe ONLY at a consumption boundary: dropping a persisted
+ * dataset's blocks merely forces recompute, but a `localCheckpoint`
+ * truncates lineage, so its blocks are unrecoverable once dropped — the
+ * same contract as Spark's own `ContextCleaner`, made deterministic
+ * instead of GC-timed.
+ */
+object Materialize {
+
+  private val ownedDs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val ownedRdds = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  /** Persist with registry ownership. Lineage is KEPT: losing an executor
+    * recomputes blocks instead of failing, and an early [[release]] only
+    * costs recompute. */
+  def persist(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    ownedDs.add(p)
+    p
+  }
+
+  /** Eager localCheckpoint with registry ownership: the checkpointed
+    * internal RDD (the actual block holder — `Dataset.unpersist` never
+    * sees it) is captured for deterministic reclamation. */
+  def localCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
+    }.foreach(ownedRdds.add)
+    cp
+  }
+
+  /** Immediately drop a frame's blocks — for intermediates an operator
+    * itself owns and has finished with (e.g. the previous iteration of a
+    * contraction loop). The frame must not be read again if it was
+    * checkpointed. */
+  def drop(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
+    }.foreach { r => try r.unpersist(blocking = false) catch { case _: Throwable => () } }
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+  }
+
+  /** Drop every owned block. Call once per query, after its result has
+    * been fully consumed (counted, written, collected). */
+  def release(): Unit = {
+    var ds = ownedDs.poll()
+    while (ds != null) {
+      try ds.unpersist(blocking = false) catch { case _: Throwable => () }
+      ds = ownedDs.poll()
+    }
+    var r = ownedRdds.poll()
+    while (r != null) {
+      try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      r = ownedRdds.poll()
+    }
+  }
+
+  /** Outstanding owned materializations (spec hook). */
+  def ownedCount: Int = ownedDs.size() + ownedRdds.size()
+
+  /** Harness-side session sweep: owned blocks, stray SQL-cache entries,
+    * finished memory-sink tables, and lingering streams. One call per
+    * query keeps a multi-hundred-query session at fresh-JVM speed. */
+  def sweep(spark: SparkSession): Unit = {
+    release()
+    try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    try {
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("gate_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    } catch { case _: Throwable => () }
+  }
+}

@@ -2,17 +2,22 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Loaders for the harness tables (`/root/testdata/sf*`).
  *
- * `events.parquet` carries a nanosecond-precision timestamp, which Spark 4's
- * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is on;
- * with it on, `ts` arrives as a long of epoch nanos. We normalize to the
- * engine's native micros precision (the reference's envelope precision,
- * `/root/reference/internal/producing/models.go:146-150`) — `ts` becomes a
- * proper TimestampType truncated to micros, matching DuckDB's
- * `CAST(ts AS TIMESTAMP)` on the same file.
+ * `events.parquet` has shipped with two `ts` encodings across fixture
+ * generations: TIMESTAMP(NANOS) (which Spark 4 reads as a long of epoch
+ * nanos under `spark.sql.legacy.parquet.nanosAsLong`) and plain
+ * TIMESTAMP(MICROS) (read as TimestampType or TimestampNTZType). The loader
+ * adapts to whichever the file carries and normalizes to the engine's native
+ * micros-precision TimestampType (the reference's envelope precision,
+ * `/root/reference/internal/producing/models.go:146-150`), matching DuckDB's
+ * `CAST(ts AS TIMESTAMP)` on the same file. NTZ→Timestamp is wall-clock
+ * reinterpretation in the session timezone; the engine pins the session to
+ * UTC (GraftSession) so this equals DuckDB's TZ-naive read — `events()`
+ * enforces the pin on sessions the engine did not build.
  */
 object Tables {
 
@@ -20,10 +25,19 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        // `div` = exact integer division: `/` would go through DOUBLE, and
-        // epoch NANOS (~1.7e18) exceed double precision — rounding some
-        // micros by ±1 vs DuckDB's truncating CAST(ts AS TIMESTAMP)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.schema("ts").dataType match {
+          case LongType =>
+            // nanos-as-long fixtures: `div` = exact integer division — `/`
+            // would go through DOUBLE, and epoch NANOS (~1.7e18) exceed
+            // double precision, rounding some micros by ±1 vs DuckDB's
+            // truncating CAST(ts AS TIMESTAMP)
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampType => df
+          case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+          case other =>
+            throw new IllegalStateException(
+              s"unexpected events.ts type $other in $sfDir — fixture contract changed")
+        }
       case _ => df
     }
   }
@@ -31,9 +45,12 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // the nanos flag is consulted by read TASKS via the session conf, so it
     // cannot be scoped to one read; GraftSession sets it at build time and
-    // this guards sessions the engine did not build (the driver's)
+    // this guards sessions the engine did not build (the driver's). Same for
+    // the UTC pin: NTZ fixtures reinterpret in the session timezone.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     load(spark, sfDir, "events")
   }
 

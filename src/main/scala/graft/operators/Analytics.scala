@@ -224,39 +224,38 @@ object Analytics {
    * formulation at 100 TB).
    *
    * Plan shape (adjacency-intersection form): one distinct (canonical
-   * edges, persisted WITH lineage — the set feeds degrees, orientation,
-   * and adjacency, and recomputing the upstream edge derivation per
-   * consumer measured as half the query), one aggregate (degrees), one
-   * aggregate (out-adjacency arrays), two joins attaching the endpoint
-   * adjacency arrays to each oriented edge, then `array_intersect` per
-   * edge. The O(m^{3/2}) wedge work happens INSIDE the per-edge array
-   * intersection — it is never materialized as a row stream, which
-   * measured 2.5× over the wedge-join formulation (20M wedge rows +
-   * closure join + 60M-row explode collapsed to m rows with native
-   * array ops). Per-node counts: an edge (u,v) with k common forward
-   * neighbors contributes k to u and v and 1 to each common neighbor —
-   * two m-row aggregates plus one explode of the (triangle-count-sized)
-   * intersection lists. Below `broadcastMaxEdges` the degree and
-   * adjacency sides broadcast; above, they fall back to data-sized
-   * shuffle joins, never all-pairs.
+   * edges), one aggregate (degrees), one aggregate (out-adjacency
+   * arrays), two joins attaching the endpoint adjacency arrays to each
+   * oriented edge, then `array_intersect` per edge. The O(m^{3/2}) wedge
+   * work happens INSIDE the per-edge array intersection — it is never
+   * materialized as a row stream, which measured 2.5× over the
+   * wedge-join formulation (20M wedge rows + closure join + 60M-row
+   * explode collapsed to m rows with native array ops). Per-node counts:
+   * an edge (u,v) with k common forward neighbors contributes k to u and
+   * v and 1 to each common neighbor — two m-row aggregates plus one
+   * explode of the (triangle-count-sized) intersection lists.
+   *
+   * Fully declarative, ONE action: the canonical edge set feeds degrees,
+   * orientation, and adjacency as identical subtrees, which Spark's
+   * ReuseExchange (and AQE stage reuse) computes once — replacing the
+   * round-5 `persist` + driver-side `count()` (an extra job, plus blocks
+   * someone must own). Broadcast-vs-shuffle for the degree/adjacency
+   * joins is AQE's runtime call from MEASURED sizes: small graphs
+   * broadcast, billion-node graphs stay shuffle joins with AQE skew
+   * splitting — no static edge-count threshold to mis-guess at 100 TB.
    */
-  def triangleCounts(
-      edges: DataFrame, broadcastMaxEdges: Long = 10000000L): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = und.count()
-    def maybeBc(df: DataFrame): DataFrame =
-      if (m <= broadcastMaxEdges) broadcast(df) else df
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = und
-      .join(maybeBc(deg.select(col("node").as("u"), col("deg").as("du"))), Seq("u"))
-      .join(maybeBc(deg.select(col("node").as("v"), col("deg").as("dv"))), Seq("v"))
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
@@ -269,8 +268,8 @@ object Analytics {
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
     val ws = oriented
-      .join(maybeBc(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
-      .join(maybeBc(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
         Seq("dst"), "left")
       .select(col("src"), col("dst"),
         array_intersect(col("nu"), coalesce(col("nv"), array())).as("ws"))

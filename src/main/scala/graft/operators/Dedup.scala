@@ -97,7 +97,7 @@ object Dedup {
     // the full shingle set neither shuffles nor persists (candidate sets
     // are the near-dup graph — a tiny fraction of the corpus).
     val small = df.count() <= materializeMaxRows
-    val docs = if (small) base.localCheckpoint() else base
+    val docs = if (small) graft.Materialize.localCheckpoint(base) else base
     // band hash: xxhash64 over the band's signature slice (+ band index so
     // buckets from different bands never collide). Bands carry ONLY
     // (id, band_idx, band_hash): shuffling the shingle arrays through the
@@ -181,7 +181,7 @@ object Dedup {
       .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
         transform(col("sh"), x => md5Hash60(x)), seeds))
     val small = df.count() <= materializeMaxRows
-    val docs = if (small) base.localCheckpoint() else base
+    val docs = if (small) graft.Materialize.localCheckpoint(base) else base
     val banded = docs.select(col("id"), col("sig")).withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
@@ -238,8 +238,8 @@ object Dedup {
     val baseFps = df.select(col(idCol).as("id"),
       md5Simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
     val fps =
-      if (df.count() <= materializeMaxRows) baseFps.localCheckpoint()
-      else baseFps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(baseFps)
+      else graft.Materialize.persist(baseFps)
     // One join key: band index folded into the high bits of the 15-bit
     // chunk value. Hamming is computed and filtered BEFORE the distinct so
     // the aggregate sees only true near-dup rows (candidates collapse ~10×
@@ -311,8 +311,8 @@ object Dedup {
       smallGraphMaxPairs: Long = 4000000L,
       skewSaltFactor: Int = 8): DataFrame = {
     val spark = pairs.sparkSession
-    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint()
+    val e0 = graft.Materialize.localCheckpoint(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     val nPairs = e0.count()
     // Near-dup pair graphs are a tiny fraction of the corpus even at 100 TB.
     // Below the cap (≤64 MB of edge longs — the same bounded-driver-pull
@@ -337,9 +337,9 @@ object Dedup {
     * of `e0`, including nodes isolated by self-loop removal. */
   private def starComponents(
       e0: DataFrame, width: Int, maxIter: Int, saltFactor: Int = 8): DataFrame = {
-    val nodes = e0.na.drop()
+    val nodes = graft.Materialize.localCheckpoint(e0.na.drop()
       .select(col("src").as("id")).union(e0.na.drop().select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct())
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -377,20 +377,23 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(m.select(col("u"), col("m").as("v"))))
     }
-    var edges = canon(e0.na.drop()
+    var edges = graft.Materialize.localCheckpoint(canon(e0.na.drop()
       .select(col("src").as("u"), col("dst").as("v")))
-      .repartition(width, col("u")).localCheckpoint()
+      .repartition(width, col("u")))
     var prevCount = edges.count()
     var converged = prevCount == 0L
     var i = 0
     while (i < maxIter && !converged) {
-      val next = smallStar(largeStar(edges))
-        .repartition(width, col("u")).localCheckpoint()
+      val next = graft.Materialize.localCheckpoint(smallStar(largeStar(edges))
+        .repartition(width, col("u")))
       val nextCount = next.count()
       // exact fixpoint test: canonical sets are equal iff same size and
       // empty difference (one bounded anti-join per round)
       converged = nextCount == prevCount &&
         next.except(edges).limit(1).count() == 0L
+      // the superseded round's blocks are never read again — reclaim now
+      // instead of letting them stack across O(log²) rounds
+      graft.Materialize.drop(edges)
       edges = next
       prevCount = nextCount
       if (!converged) i += 1
@@ -489,10 +492,10 @@ object Dedup {
     val rows = numHashes / bands
     val seeds = xorSeeds(numHashes)
     def prep(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-        .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
-          transform(col("sh"), x => md5Hash60(x)), seeds))
-        .localCheckpoint()
+      graft.Materialize.localCheckpoint(
+        df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+          .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
+            transform(col("sh"), x => md5Hash60(x)), seeds)))
     def band(df: DataFrame): DataFrame =
       df.select(col("id"), col("sig")).withColumn("band",
           explode(transform(sequence(lit(0), lit(bands - 1)),

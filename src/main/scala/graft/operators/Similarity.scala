@@ -565,8 +565,8 @@ object Similarity {
       x => x / norm(col(vecCol)))
     val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
     val unit =
-      if (df.count() <= materializeMaxRows) unitBase.localCheckpoint()
-      else unitBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(unitBase)
+      else graft.Materialize.persist(unitBase)
     def codeOf(j: Int): Column =
       codebooks(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
         case ((bestI, bestD), (c, i)) =>
@@ -716,7 +716,8 @@ object Similarity {
       path: String): Unit = {
     val vn = transform(col(vecCol).cast("array<double>"),
       x => x / norm(col(vecCol)))
-    val unit = df.select(col(idCol).as("id"), vn.as("v")).localCheckpoint()
+    val unit = graft.Materialize.localCheckpoint(
+      df.select(col(idCol).as("id"), vn.as("v")))
     unit.select(col("id") +: pqCodes(codebooks, col("v")): _*)
       .write.mode("overwrite").parquet(path)
   }
@@ -902,8 +903,8 @@ object Similarity {
       x => x / norm(col(vecCol)))
     val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
     val unit =
-      if (df.count() <= materializeMaxRows) unitBase.localCheckpoint()
-      else unitBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(unitBase)
+      else graft.Materialize.persist(unitBase)
     // one scalar stat: the corpus-wide max |component| (max is exact, so
     // partial-agg order cannot change it — safe bounded driver pull)
     val maxAbs = unit.agg(
@@ -1066,8 +1067,8 @@ object Similarity {
     // same size-gated materialization barrier as pqTopK (projection
     // collapse would inline the norm into every residual element)
     val base =
-      if (df.count() <= materializeMaxRows) baseAll.localCheckpoint()
-      else baseAll.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(baseAll)
+      else graft.Materialize.persist(baseAll)
     def codeOf(j: Int): Column =
       cbs(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
         case ((bestI, bestD), (c, i)) =>

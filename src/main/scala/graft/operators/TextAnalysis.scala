@@ -187,8 +187,8 @@ object TextAnalysis {
     // read it (without the cut each consumer re-runs the explode+aggregate
     // over the corpus); unigram vocabularies are bounded far below corpus
     // scale, so the checkpoint is cheap even at 100 TB
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val vocab = graft.Materialize.localCheckpoint(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cnt")))
     val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
     toks.join(vocab, "token")
       .crossJoin(broadcast(total))
@@ -217,8 +217,8 @@ object TextAnalysis {
     // project-collapse — measured 10× slower at sf0.1
     val bg = graft.functions.GraftFunctions.word_ngrams(col(textCol), 2)
     val bgs = docs.select(col(idCol).as("doc_id"), explode(bg).as("bigram"))
-    val counts = bgs.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+    val counts = graft.Materialize.localCheckpoint(
+      bgs.groupBy(col("bigram")).agg(count(lit(1)).as("c12")))
     val ctx = counts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))

@@ -1339,10 +1339,10 @@ object PipelineQueries extends QueryRegistry {
         counters AS (
           SELECT js.j,
                  ${OracleSql.md5Hash60("CAST(js.j AS VARCHAR) || ':' || w2.word")} % 1024 AS b,
-                 SUM(w2.cnt) AS s
+                 CAST(SUM(w2.cnt) AS BIGINT) AS s
           FROM words w2, js GROUP BY 1, 2),
         cand AS (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT 20)
-        SELECT c.word, c.cnt, MIN(ct.s) AS cms_est
+        SELECT c.word, c.cnt, CAST(MIN(ct.s) AS BIGINT) AS cms_est
         FROM cand c, js, counters ct
         WHERE ct.j = js.j
           AND ct.b = ${OracleSql.md5Hash60("CAST(js.j AS VARCHAR) || ':' || c.word")} % 1024

@@ -1164,24 +1164,37 @@ object RelationalQueries extends QueryRegistry {
 
     QueryDef(
       "graph_triangles",
-      // per-node triangle counts on the part co-purchase graph (parts
-      // co-occurring in an order, projected to 500 node ids for density).
-      // The Spark side runs the degree-ORIENTED wedge enumeration (skew-
-      // proof at scale: a hub's edges all point into it, so it pivots no
-      // wedges); the oracle counts each triangle once from its canonical
-      // u<v<w form — identical per-node counts by symmetry.
+      // per-node triangle counts on the part co-purchase graph: parts
+      // ADJACENT in an order's line sequence (consecutive l_linenumber),
+      // over the full unprojected part-key space. Two deliberate choices
+      // after round 5 measured the old %500 projection yielding a
+      // near-complete 500-node graph (~2.1e7 triangles exploding from
+      // 1.5 MB of input): the full key space keeps density ~0.6% so the
+      // gate measures the oriented enumeration, and consecutive-line
+      // adjacency builds the edge list with ONE equi-join instead of the
+      // O(k²)-per-order self-join (the all-pairs build alone cost 8s at
+      // sf0.1 — more than the operator). The Spark side runs the degree-
+      // ORIENTED wedge enumeration (skew-proof at scale: a hub's edges all
+      // point into it, so it pivots no wedges); the oracle counts each
+      // triangle once from its canonical u<v<w form — identical per-node
+      // counts by symmetry.
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), (col("l_partkey") % 500).as("pk"))
-        val edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("y.l_linenumber") === col("x.l_linenumber") + 1)
           .select(col("x.pk").as("src"), col("y.pk").as("dst"))
           .filter(col("src") =!= col("dst"))
         graft.operators.Analytics.triangleCounts(edges)
       },
       Some("""
         WITH pr AS (
-          SELECT x.l_partkey % 500 AS a, y.l_partkey % 500 AS b
-          FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey),
+          SELECT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+           AND y.l_linenumber = x.l_linenumber + 1),
         e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
               FROM pr WHERE a <> b),
         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
