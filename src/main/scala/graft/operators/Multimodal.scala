@@ -19,18 +19,30 @@ final case class MediaFeatures(
     thumb_h: Int,
     features: Array[Float])
 
+/** Output of the real-codec path: container kind from magic bytes, true
+  * decoded dimensions (image w×h; audio sampleRate×frames), perceptual
+  * hash over the decoded 64-cell grid, normalized cell features. */
+final case class DecodedMedia(
+    doc_id: Long,
+    kind: String,
+    width: Long,
+    height: Long,
+    phash: Long,
+    features: Array[Float])
+
 /**
  * Multimodal column plumbing: opaque `binary` payloads with typed metadata,
  * decoded/featurized in batched partition passes.
  *
  * The Spark-side shape is real and load-bearing: typed `Dataset[MediaRecord]`
- * with case-class encoders, `mapPartitions` so a real decoder would amortize
- * model/codec initialization per partition and process in batches (the same
- * contract as `mapInPandas` batch iteration), and partition sizing left to
- * the scan. The DECODE ITSELF IS A STUB — this container has no image/audio
- * codecs — replaced by a deterministic transform of the bytes, clearly
- * marked below; swapping `stubDecode` for a JNI/codec call changes no
- * plumbing.
+ * with case-class encoders, `mapPartitions` so decoder/codec initialization
+ * amortizes per partition and processes in batches (the same contract as
+ * `mapInPandas` batch iteration), and partition sizing left to the scan.
+ * Decoding is REAL for media the JDK ships codecs for — PNG/JPEG/BMP/GIF
+ * via `javax.imageio`, WAV PCM via `javax.sound.sampled` (see
+ * [[MediaCodec]]) — selected by magic-byte sniffing. Payloads no codec
+ * claims fall back to a deterministic byte-fold so every path remains
+ * oracle-verifiable.
  */
 object Multimodal {
 
@@ -49,11 +61,11 @@ object Multimodal {
   }
 
   /**
-   * Batched decode + feature extraction.
-   *
-   * STUB: a real implementation decodes `media` with an image/audio codec
-   * and runs a feature model per batch. Here the "features" are a
-   * deterministic fold of the payload bytes so results are verifiable.
+   * Batched decode + feature extraction (metadata-shaped output): real
+   * image payloads decode through the JDK codec and carry their TRUE
+   * thumbnail dims; opaque payloads keep the metadata-derived dims and
+   * byte-fold features (which is what the SQL oracle replays for the
+   * text-as-bytes gate corpus).
    */
   def decodeAndFeaturize(
       ds: Dataset[MediaRecord],
@@ -62,11 +74,67 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // per-partition init happens here (codec/model load in a real impl)
+      // per-partition init happens here (codec warm-up, model load)
       it.grouped(batchSize).flatMap { batch =>
-        batch.map(m => stubDecode(m, featureDim))
+        batch.map { m =>
+          MediaCodec.decodeImage(m.media) match {
+            case Some(img) if MediaCodec.sniff(m.media) != "raw" =>
+              val (tw, th) = thumb(img.width, img.height)
+              MediaFeatures(m.doc_id, m.media.length, tw, th,
+                img.luma.map(_ / 255.0f))
+            case _ => byteFoldDecode(m, featureDim)
+          }
+        }
       }
     }
+  }
+
+  /**
+   * Real-codec decode: sniff the container from magic bytes, decode with
+   * the JDK codec (images → 8×8 box-averaged luma grid; WAV → 64-cell
+   * mean-|amplitude| envelope), and emit the decoded shape, a perceptual
+   * hash over the REAL cell grid, and normalized features. Undecodable
+   * payloads degrade to `kind='opaque'` with byte-fold cells — same hash
+   * rule, so downstream banding/dedup consumes every kind uniformly.
+   */
+  def decode(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMedia] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          (MediaCodec.sniff(m.media) match {
+            case "wav" =>
+              MediaCodec.decodeWav(m.media).map(a =>
+                DecodedMedia(m.doc_id, "audio", a.sampleRate.toLong, a.frames,
+                  MediaCodec.cellHash64(a.cells), a.cells.map(_ / 255.0f)))
+            case "raw" => None
+            case _ =>
+              MediaCodec.decodeImage(m.media).map(img =>
+                DecodedMedia(m.doc_id, "image", img.width.toLong, img.height.toLong,
+                  MediaCodec.cellHash64(img.luma), img.luma.map(_ / 255.0f)))
+          }).getOrElse {
+            val cells = byteFoldCells(m.media)
+            DecodedMedia(m.doc_id, "opaque", m.width.toLong, m.height.toLong,
+              MediaCodec.cellHash64(cells), cells.map(_ / 255.0f))
+          }
+        }
+      }
+    }
+  }
+
+  /** 64 positional byte-fold cells clamped to 0..255 — the opaque-payload
+    * fallback grid (mean byte value per positional cell). */
+  private def byteFoldCells(bytes: Array[Byte]): Array[Int] = {
+    val acc = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % 64) += (bytes(i) & 0xff)
+      cnt(i % 64) += 1
+      i += 1
+    }
+    Array.tabulate(64)(j => if (cnt(j) == 0) 0 else (acc(j) / cnt(j)).toInt)
   }
 
   /** Thumbnail rule: cap the long edge at 256, preserving aspect by integer
@@ -77,8 +145,9 @@ object Multimodal {
     else (w * 256 / long, h * 256 / long)
   }
 
-  // STUB decode: deterministic byte-fold "features"; a real decoder goes here.
-  private def stubDecode(m: MediaRecord, featureDim: Int): MediaFeatures = {
+  // opaque-payload fallback: deterministic byte-fold "features" (the SQL
+  // oracle replays this path for the text-as-bytes gate corpus)
+  private def byteFoldDecode(m: MediaRecord, featureDim: Int): MediaFeatures = {
     val acc = new Array[Long](featureDim)
     var i = 0
     while (i < m.media.length) {

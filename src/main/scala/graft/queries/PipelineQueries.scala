@@ -1044,6 +1044,131 @@ object PipelineQueries extends QueryRegistry {
         FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
 
     QueryDef(
+      "multimodal_codec",
+      // REAL codec round-trip, end to end on executors: build a genuine
+      // 8×8 gray PNG per document (cell j = byte at position j mod len —
+      // encoded with the JDK's PNG writer, so the payload is actual
+      // compressed IDAT data, not a fake), then decode it back through
+      // `javax.imageio`, box-average to the luma grid, and hash. PNG is
+      // lossless and gray luma is integer-exact (luma(g,g,g)=g), so the
+      // oracle replays the decoded grid — and therefore the whole
+      // encode→decode→featurize chain — bit for bit from the text bytes.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val cells = Array.tabulate(64)(j => bytes(j % bytes.length) & 0xff)
+              graft.operators.MediaRecord(id, graft.operators.MediaCodec.encodeGrayPng(cells, 8, 8),
+                "image/png", 8, 8)
+            }
+          }
+        Multimodal.decode(media).toDF()
+          .select(col("doc_id"), col("kind"), col("width"), col("height"),
+            col("phash"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT doc_id, t.j AS cell,
+                 ord(substr(text, CAST(t.j % length(text) AS INT) + 1, 1)) AS g
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+        tot AS (SELECT doc_id, SUM(g) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.g*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1)
+        SELECT doc_id, 'image' AS kind, CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+                 AS phash
+        FROM hu""")),
+
+    QueryDef(
+      "multimodal_codec_audio",
+      // WAV PCM round-trip: synthesize a deterministic 16-bit mono
+      // waveform per document (sample k = a linear-congruential step
+      // seeded by doc_id — integer-exact, no trig), write a REAL RIFF/WAVE
+      // container through `javax.sound.sampled`, decode it back, and
+      // reduce to the 64-cell mean-|amplitude| envelope. The oracle
+      // replays the LCG and the bucket arithmetic; rates/frames check the
+      // container header survived the trip.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val n = 256 + (nChars % 256).toInt
+              val samples = new Array[Short](n)
+              var x = id * 2654435761L + 1
+              var k = 0
+              while (k < n) {
+                x = x * 6364136223846793005L + 1442695040888963407L
+                samples(k) = ((x >>> 48) - 32768L).toShort
+                k += 1
+              }
+              graft.operators.MediaRecord(id, graft.operators.MediaCodec.encodeWav16(samples, 8000),
+                "audio/wav", 0, 0)
+            }
+          }
+        Multimodal.decode(media).toDF()
+          .select(col("doc_id"), col("kind"), col("width").as("sample_rate"),
+            col("height").as("frames"), col("phash"))
+      },
+      // the LCG and the envelope both replay exactly in SQL: DuckDB's
+      // HUGEINT carries the 64-bit multiply mod 2^64 via bitwise AND; the
+      // LCG has no closed form without mod-2^64 powers, so a recursive
+      // CTE steps it (n ≤ 512 steps/doc)
+      Some("""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, 256 + CAST(n_chars % 256 AS INT) AS n,
+                 ((doc_id::HUGEINT * 2654435761 + 1)
+                   & 18446744073709551615::HUGEINT) AS x0
+          FROM documents),
+        it(doc_id, n, k, x) AS (
+          SELECT doc_id, n, 0,
+                 ((x0 * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+                   & 18446744073709551615::HUGEINT)
+          FROM base
+          UNION ALL
+          SELECT doc_id, n, k + 1,
+                 ((x * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+                   & 18446744073709551615::HUGEINT)
+          FROM it WHERE k + 1 < n),
+        samples AS (
+          SELECT doc_id, n, k,
+                 CAST((x >> 48) - 32768 AS BIGINT) AS s
+          FROM it),
+        buckets AS (
+          SELECT doc_id, CAST((k::BIGINT * 64) // n AS INT) AS cell,
+                 SUM(ABS(s)) AS sumabs, COUNT(*) AS cnt
+          FROM samples GROUP BY 1, 2),
+        cells AS (
+          SELECT doc_id, cell, CAST((sumabs // cnt) >> 7 AS BIGINT) AS v
+          FROM buckets),
+        tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.v*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1)
+        SELECT b.doc_id, 'audio' AS kind, CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(b.n AS BIGINT) AS frames,
+               COALESCE(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), 0)
+                 AS phash
+        FROM base b LEFT JOIN hu USING (doc_id)""")),
+
+    QueryDef(
       "decontaminate",
       // train/test decontamination: per train doc, its distinct 3-gram
       // overlap with the WHOLE test split's n-gram set — test grams
