@@ -215,7 +215,7 @@ class PolarHttpServer(
     respondBytes(ex, status, body.getBytes(UTF_8), contentType)
 
   private def respondBytes(
-      ex: HttpExchange, status: Int, body: Array[Byte], contentType: String): Unit = {
+      ex: HttpExchange, status: Int, body0: Array[Byte], contentType: String): Unit = {
     // The JDK server resets the connection if a response is sent while
     // request-body bytes remain unread (the oversize-reject path); drain a
     // bounded amount so the client actually receives the 4xx.
@@ -226,12 +226,48 @@ class PolarHttpServer(
       var n = 0
       while (drained < (8L << 20) && { n = in.read(buf); n >= 0 }) drained += n
     } catch { case _: java.io.IOException => }
+    // content negotiation: gzip success bodies when the client advertises
+    // it and the payload clears one MTU-ish floor (tiny bodies get larger)
+    val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-encoding"))
+      .exists(_.toLowerCase.split(",").exists(_.trim.takeWhile(_ != ';') == "gzip"))
+    val body =
+      if (acceptsGzip && status == 200 && body0.length >= 512) {
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream(body0.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(body0); gz.close()
+        bos.toByteArray
+      } else body0
     ex.getResponseHeaders.set("Content-Type", contentType)
     if (status == 204 || body.isEmpty) ex.sendResponseHeaders(status, -1)
     else {
       ex.sendResponseHeaders(status, body.length.toLong)
       val os = ex.getResponseBody
       try os.write(body) finally os.close()
+    }
+  }
+
+  /** Bounded gunzip of a request body: a payload whose DECOMPRESSED size
+    * exceeds `max` is a 400, same as an oversize plain body — never trust
+    * a compression ratio (zip-bomb guard). */
+  private def gunzipBounded(compressed: Array[Byte], max: Int): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(compressed))
+      val out = new java.io.ByteArrayOutputStream(math.min(max, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > max) throw HttpError(400, "Body exceeds max message size")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case e: HttpError => throw e
+      case _: java.io.IOException => throw HttpError(400, "Malformed gzip body")
     }
   }
 
@@ -246,7 +282,16 @@ class PolarHttpServer(
       throw HttpError(400,
         s"Content length must be defined (HTTP/1.1 chunked not supported), " +
           s"greater than 0 and less than $maxMessageSize bytes")
-    val body = ex.getRequestBody.readAllBytes()
+    val raw = ex.getRequestBody.readAllBytes()
+    // transport decompression before size accounting: the limit is on the
+    // record payload the log stores, not the wire bytes
+    val body = Option(ex.getRequestHeaders.getFirst("Content-encoding"))
+      .map(_.trim.toLowerCase) match {
+      case Some("gzip") => gunzipBounded(raw, maxMessageSize)
+      case Some(other) if other.nonEmpty && other != "identity" =>
+        throw HttpError(400, s"Unsupported Content-Encoding: $other")
+      case _ => raw
+    }
     if (body.length > maxMessageSize) throw HttpError(400, "Body exceeds max message size")
     val q = query(ex)
     val partitionKey = q.get("partitionKey").flatMap(_.headOption).filter(_.nonEmpty)

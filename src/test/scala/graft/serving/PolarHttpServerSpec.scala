@@ -375,4 +375,58 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // metadata versions advanced once per flush, not once per request
     assert(LogMetadata.read(TopicConfig(root, topic)).version <= flushes + 1)
   }
+
+  test("gzip produce bodies decompress before the log; gzip polls negotiate") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close(); bos.toByteArray
+    }
+    def gunzip(b: Array[Byte]): Array[Byte] =
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b)).readAllBytes()
+
+    val topic = "gztop"
+    val pad = "x" * 40
+    val lines = (0 until 30).map(i => s"""{"i":$i,"pad":"$pad"}""").mkString("\n")
+    val r = post(s"/v1/topic/$topic/messages?partitionKey=a",
+      gzip(lines.getBytes(UTF_8)),
+      Seq("Content-Type" -> "application/x-ndjson", "Content-Encoding" -> "gzip"))
+    assert(r.statusCode() === 200, r.body())
+    // records landed DECOMPRESSED and split: the wire encoding is
+    // transport-only, never stored
+    Thread.sleep(100)
+    assert(PolarLog.consume(spark, TopicConfig(root, topic)).count() === 30)
+
+    // poll with Accept-Encoding: gzip → compressed response over the wire
+    put(s"/v1/consumer/register?consumerId=gz1&group=gzg&topic=$topic&onNewGroup=startFromEarliest")
+    val req = HttpRequest.newBuilder(URI.create(s"$base/v1/consumer/poll?consumerId=gz1"))
+      .POST(BodyPublishers.noBody())
+      .header("Accept", "application/json")
+      .header("Accept-Encoding", "gzip")
+      .build()
+    val poll = client.send(req, BodyHandlers.ofByteArray())
+    assert(poll.statusCode() === 200)
+    assert(poll.headers().firstValue("Content-Encoding").orElse("") === "gzip")
+    val bodyStr = new String(gunzip(poll.body()), UTF_8)
+    assert(bodyStr.contains("\"i\":0") || bodyStr.contains("\\\"i\\\":0"), bodyStr)
+
+    // zip bomb: tiny wire bytes, oversize decompressed payload → clean 400
+    val bomb = gzip(new Array[Byte](PolarLog.DefaultMaxMessageSize + 1))
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=a", bomb,
+      Seq("Content-Type" -> "application/json", "Content-Encoding" -> "gzip"))
+      .statusCode() === 400)
+    // malformed gzip → 400, not a 500
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=a",
+      "not gzip at all".getBytes(UTF_8),
+      Seq("Content-Type" -> "application/json", "Content-Encoding" -> "gzip"))
+      .statusCode() === 400)
+    // unknown encodings are rejected, identity passes through
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=a", "{}".getBytes(UTF_8),
+      Seq("Content-Type" -> "application/json", "Content-Encoding" -> "br"))
+      .statusCode() === 400)
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=a", "{}".getBytes(UTF_8),
+      Seq("Content-Type" -> "application/json", "Content-Encoding" -> "identity"))
+      .statusCode() === 200)
+  }
 }
