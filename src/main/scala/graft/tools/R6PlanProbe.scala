@@ -1,0 +1,19 @@
+package graft.tools
+
+import graft.SparkEntry
+
+/** Round-6 plan audit: the reworked triangle plan (exchange reuse + AQE
+  * runtime broadcast, no driver-side count) and the real-codec gates
+  * (input for PLANS.md). NOT part of the shipped library. */
+object R6PlanProbe {
+  val R6 = Seq("graph_triangles", "multimodal_codec", "multimodal_codec_audio")
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.get()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    R6.foreach { name =>
+      println(s"===== $name =====")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
