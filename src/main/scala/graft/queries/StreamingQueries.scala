@@ -221,6 +221,66 @@ object StreamingQueries extends QueryRegistry {
         GROUP BY user_id""")),
 
     QueryDef(
+      "stream_session_window",
+      (s, dir) => withStatePartitions(s, 4) {
+        // Spark's NATIVE session_window aggregation — the codegen'd,
+        // state-store-backed sibling of stream_sessionize's
+        // flatMapGroupsWithState path (both live in the engine: the native
+        // operator when gap-only sessions suffice, custom state when the
+        // session carries bespoke logic). Windows merge while event gaps
+        // are STRICTLY under 30 min (half-open interval overlap), so the
+        // oracle breaks on `>= 30 MINUTE` — the one semantic difference
+        // from the gaps-and-islands formulation. Pacing forces several
+        // micro-batches, so cross-batch session MERGING in the state store
+        // is what the gate actually exercises; window end = last event +
+        // gap, subtracted back out so the oracle compares active spans.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_sw").toString
+        val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1)))
+          .select(col("partitionKey"), col("timestamp"))
+          .groupBy(col("partitionKey"),
+            session_window(col("timestamp"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_session_window").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_session_window")
+          .groupBy(col("partitionKey"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            sum(unix_micros(col("w.end")) - unix_micros(col("w.start"))
+              - lit(1800000000L)).as("sum_active_us"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv,
+                 CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                        OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        numbered AS (
+          SELECT user_id, tsv,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY tsv
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+          FROM marked),
+        per_session AS (
+          SELECT user_id, sid, COUNT(*) AS cnt,
+                 epoch_us(MAX(tsv)) - epoch_us(MIN(tsv)) AS active_us
+          FROM numbered GROUP BY 1, 2)
+        SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               CAST(SUM(active_us) AS BIGINT) AS sum_active_us
+        FROM per_session GROUP BY user_id""")),
+
+    QueryDef(
       "stream_cms",
       (s, dir) => withStatePartitions(s, 4) {
         // count-min sketch maintained ON the stream: d×w bounded state
