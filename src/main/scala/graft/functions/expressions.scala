@@ -115,7 +115,9 @@ object GraftFunctions {
     "ahash64" -> ((args: Seq[Expression]) => AHash64(args.head)),
     "qgram_common_upper" -> ((args: Seq[Expression]) =>
       QgramCommonUpper(args(0), args(1))),
-    "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)))
+    "hll60" -> ((args: Seq[Expression]) => Hll60(args.head)),
+    "vec_outer_sum" -> ((args: Seq[Expression]) =>
+      VecOuterSum(args(0), intArg(args(1)))))
 
   /** SparkSessionExtensions hook — wired by [[graft.GraftSession]]. */
   def install(ext: SparkSessionExtensions): Unit =
@@ -232,6 +234,12 @@ object GraftFunctions {
   /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
   def hll60(hash: Column): Column =
     GraftShims.column(Hll60(GraftShims.expression(hash)).toAggregateExpression())
+
+  /** One-pass second-moment sums of quantized vectors (aggregate):
+    * `[n, linear sums, upper-triangle products]` as one array<long>. */
+  def vec_outer_sum(q: Column, dim: Int): Column =
+    GraftShims.column(
+      VecOuterSum(GraftShims.expression(q), dim).toAggregateExpression())
 
   /** BPE piece count of a document under a fixed merge list. */
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =

@@ -767,31 +767,33 @@ object Similarity {
       .getAs[scala.collection.Seq[Float]](0).length
     val qv = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(1024.0)).cast("long"))
-    // upper-triangle products plus (j = -1) sentinel rows carrying the
-    // linear sums — both aggregates come out of ONE corpus pass
-    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      concat(
-        array(struct(i.cast("int").as("i"), lit(-1).as("j"),
-          element_at(col("q"), i + 1).as("p"))),
-        transform(sequence(i, lit(dim - 1)), j =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"),
-            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p"))))))
-    val agg = df.select(qv.as("q"))
-      .select(explode(pairs).as("pr"))
-      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
-    val lin = agg.filter(col("j") === -1)
-    val quad = agg.filter(col("j") =!= -1)
-    quad
-      .join(lin.select(col("i"), col("s").as("sx_i")), "i")
-      .join(lin.select(col("i").as("j"), col("s").as("sx_j")), "j")
+    // ONE corpus pass through the native second-moment aggregate
+    // ([[graft.functions.VecOuterSum]]): each task folds its vectors into
+    // a single [n | linear sums | upper-triangle products] long buffer,
+    // partials merge element-wise, and the shuffled state is one ~17 KiB
+    // array per task regardless of corpus size. The former long-form
+    // explode (dim(dim+1)/2 rows PER VECTOR through a 2144-key shuffle)
+    // measured 3.2 s vs 0.4 s at sf0.1 — a ~2000× row amplification that
+    // only worsens with scale. The (i, j) long form the oracle compares
+    // against is then generated from the ONE result row.
+    val s = df.select(qv.as("q"))
+      .agg(graft.functions.GraftFunctions.vec_outer_sum(col("q"), dim).as("s"))
+    // upper-triangle offset of (i, j): rows before i occupy
+    // Σ_{r<i}(dim−r) = i·(2·dim−i+1)/2 cells; element_at is 1-based and
+    // the triangle starts after the count + dim linear cells
+    val quadIdx = (i: Column, j: Column) =>
+      lit(2 + dim) + (i * (lit(2 * dim) - i + 1)) / 2 + (j - i)
+    s.select(col("s"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("s"), col("i"), explode(sequence(col("i"), lit(dim - 1))).as("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         // + 0.0 canonicalizes IEEE negative zero (engines disagree on
         // round's zero sign, and -0.0 vs 0.0 breaks value hashing)
-        (round(((col("s").cast("double") / col("n")) -
-          (col("sx_i").cast("double") / col("n")) *
-            (col("sx_j").cast("double") / col("n"))) / lit(1048576.0), 6) +
+        (round(((element_at(col("s"), quadIdx(col("i"), col("j")).cast("int"))
+            .cast("double") / element_at(col("s"), 1)) -
+          (element_at(col("s"), col("i").cast("int") + 2).cast("double") /
+            element_at(col("s"), 1)) *
+            (element_at(col("s"), col("j").cast("int") + 2).cast("double") /
+              element_at(col("s"), 1))) / lit(1048576.0), 6) +
           lit(0.0)).as("cov"))
   }
 
