@@ -109,10 +109,17 @@ class PolarHttpServer(
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** h2c (HTTP/2 cleartext, prior knowledge) listener over the same router —
+    * the reference's consumer API terminates h2c identically via the Go
+    * h2c wrapper (`internal/consuming/server.go:116,163`). */
+  val h2c = new H2cServer(boundPort)
+  def h2cPort: Int = h2c.boundPort
+
   def start(): this.type = {
     server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
     server.start()
+    h2c.start()
     retention.start()
     this
   }
@@ -120,6 +127,7 @@ class PolarHttpServer(
   def stop(): Unit = {
     retention.close()
     coalescer.stop()
+    h2c.stop()
     server.stop(0)
     pool.shutdown()
   }
@@ -135,7 +143,7 @@ class PolarHttpServer(
           respond(ex, 200, "OK")
         case ("GET", "/v1/brokers") =>
           respond(ex, 200,
-            s"""{"length":1,"names":["127.0.0.1"],"producerPort":$boundPort,"consumerPort":$boundPort}""",
+            s"""{"length":1,"names":["127.0.0.1"],"producerPort":$boundPort,"consumerPort":$boundPort,"h2cPort":$h2cPort}""",
             "application/json")
         case ("GET", "/metrics") =>
           // the reference's Prometheus surface (A34) in text exposition,
