@@ -1152,4 +1152,71 @@ object Similarity {
       (r, id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
     }.toDF("sel_rank", "id", "mmr")
   }
+
+  /**
+   * Integer-exact Lloyd k-means assignment — the oracle-verifiable twin of
+   * [[kmeansCentroids]] (whose float `avg` update is aggregation-order
+   * nondeterministic and therefore only spec-checkable). Every quantity
+   * lives on the 2^-20 grid as BIGINT:
+   *
+   *  - init: the `k` lowest-id vectors, quantized (`floor(x * 2^20)`) —
+   *    no randomness;
+   *  - assignment: squared-L2 in grid units, all-integer; ties resolve to
+   *    the lowest cluster index via `array_min` over `(dist, cl)` structs
+   *    (lexicographic struct order = argmin with deterministic tie-break);
+   *  - update: per-(cluster, dim) BIGINT sum → `floor(sum / n)` back onto
+   *    the grid. The sum is order-independent (integer addition commutes),
+   *    so the whole trajectory is bit-reproducible under ANY partitioning —
+   *    and replayable in DuckDB SQL.
+   *
+   * Scale shape: each round is one codegen'd assignment scan plus one
+   * posexplode aggregation whose map-side partials reduce to
+   * `k × dim × partitions` rows; only the `k × dim` centroid matrix ever
+   * reaches the driver. Empty clusters drop out of the update (both
+   * engines agree: no rows, no centroid) — the standard Lloyd degeneracy,
+   * handled identically on replay.
+   */
+  def kmeansAssignQ(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1048576d)).cast("long")).as("qv"))
+
+    // init: k lowest ids — a driver pull of k vectors, bounded like every
+    // other centroid matrix in this file
+    var cents: Seq[(Int, Array[Long])] = pts.orderBy(col("id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1).toArray }.toSeq
+
+    def assign(): DataFrame = {
+      val scored = cents.map { case (cl, c) =>
+        struct(
+          aggregate(
+            zip_with(col("qv"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v).as("d"),
+          lit(cl).as("cl"))
+      }
+      pts.withColumn("best", array_min(array(scored: _*)))
+        .select(col("id"), col("qv"),
+          col("best.cl").as("cluster"), col("best.d").as("dist"))
+    }
+
+    for (_ <- 0 until iters) {
+      val upd = assign()
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
+        cl -> rows.sortBy(_.getInt(1))
+          .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+          .toArray
+      }
+    }
+    assign().select(col("id").as("vec_id"), col("cluster"), col("dist"))
+  }
 }

@@ -682,6 +682,50 @@ object PipelineQueries extends QueryRegistry {
         FROM x GROUP BY label, pos""")),
 
     QueryDef(
+      "sim_kmeans",
+      // integer-exact Lloyd clustering on the 2^-20 grid: init = k lowest
+      // ids, two update rounds, final assignment. All-BIGINT distances and
+      // floor-div centroid updates make the whole trajectory
+      // aggregation-order independent, so the oracle replays every round
+      // bit-for-bit (the float-avg kmeansCentroids twin powering IVF can
+      // only be spec-checked; this gate gives the clustering family a
+      // hash-verifiable row).
+      (s, dir) =>
+        Similarity.kmeansAssignQ(Tables.embeddings(s, dir),
+          "embedding", "vec_id", k = 8, iters = 2),
+      Some("""
+        WITH pts AS (
+          SELECT vec_id AS id, i - 1 AS pos,
+                 CAST(floor(v[i] * 1048576) AS BIGINT) AS q
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               (SELECT unnest(generate_series(1, 64)) AS i) t),
+        init AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
+          FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 8)),
+        c0 AS (SELECT init.cl, p.pos, p.q AS c FROM pts p JOIN init ON p.id = init.id),
+        d1 AS (SELECT p.id, c.cl, SUM((p.q - c.c) * (p.q - c.c)) AS dist
+               FROM pts p JOIN c0 c ON p.pos = c.pos GROUP BY p.id, c.cl),
+        a1 AS (SELECT id, cl FROM (
+                 SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1 AS (SELECT a.cl, p.pos,
+                      CAST(floor(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+               FROM pts p JOIN a1 a ON p.id = a.id GROUP BY a.cl, p.pos),
+        d2 AS (SELECT p.id, c.cl, SUM((p.q - c.c) * (p.q - c.c)) AS dist
+               FROM pts p JOIN c1 c ON p.pos = c.pos GROUP BY p.id, c.cl),
+        a2 AS (SELECT id, cl FROM (
+                 SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+                 FROM d2) WHERE rn = 1),
+        c2 AS (SELECT a.cl, p.pos,
+                      CAST(floor(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+               FROM pts p JOIN a2 a ON p.id = a.id GROUP BY a.cl, p.pos),
+        d3 AS (SELECT p.id, c.cl, SUM((p.q - c.c) * (p.q - c.c)) AS dist
+               FROM pts p JOIN c2 c ON p.pos = c.pos GROUP BY p.id, c.cl)
+        SELECT id AS vec_id, cl AS cluster, dist FROM (
+          SELECT id, cl, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+          FROM d3) WHERE rn = 1""")),
+
+    QueryDef(
       "sim_ann_lsh",
       // data-derived hyperplanes (lowest-id vectors as normals) make the
       // whole index deterministic and oracle-replayable; the murmur-seeded
