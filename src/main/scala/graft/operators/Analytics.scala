@@ -282,4 +282,53 @@ object Analytics {
     perEndpoint.unionAll(perWitness)
       .groupBy(col("node")).agg(sum(col("n")).as("triangles"))
   }
+
+  /**
+   * Bounded-round k-core peel: repeatedly drop nodes whose degree in the
+   * surviving subgraph is < k, up to `maxRounds` rounds, returning each
+   * surviving node with its final core degree. With enough rounds this IS
+   * the k-core (the classic peeling fixpoint); the round bound is what
+   * makes it both distributable and oracle-replayable — each round is one
+   * degree aggregate plus one semi-join restriction, the vertex-centric
+   * formulation every BSP graph system uses for coreness.
+   *
+   * Scale shape: per round, one map-side-combined `groupBy(src).count()`
+   * (never skew-bound — partial aggregation emits one row per key per
+   * task) and two broadcast-or-shuffle semi-joins against the ≤|V| node
+   * list. The edge frame is `localCheckpoint`ed each round (registry-owned)
+   * so the plan stays one round deep instead of compounding; the previous
+   * round's blocks are dropped as soon as its successor materializes.
+   * Early exit at the true fixpoint: a round that removes nothing ends the
+   * loop (the remaining rounds are provable no-ops, so a converged run
+   * equals the fixed-round oracle replay).
+   *
+   * Input `edges` is directed-symmetrized (both (u,v) and (v,u) present),
+   * self-loop-free, and deduplicated — [[kCoreGate]]-style callers build it
+   * with one DISTINCT over canonical pairs then a union of both directions.
+   */
+  def kCore(
+      edges: DataFrame, // (src, dst), symmetrized
+      k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    var e = graft.Materialize.localCheckpoint(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    var n = e.count() / 2 // directed rows / 2 = undirected edges
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged && n > 0) {
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val next = graft.Materialize.localCheckpoint(
+        e.join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      val nNext = next.count() / 2
+      converged = nNext == n
+      graft.Materialize.drop(e)
+      e = next
+      n = nNext
+      round += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

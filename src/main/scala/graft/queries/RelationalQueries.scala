@@ -1204,6 +1204,54 @@ object RelationalQueries extends QueryRegistry {
         n AS (SELECT a AS node FROM tri
               UNION ALL SELECT b FROM tri
               UNION ALL SELECT c FROM tri)
-        SELECT node, COUNT(*) AS triangles FROM n GROUP BY node"""))
+        SELECT node, COUNT(*) AS triangles FROM n GROUP BY node""")),
+
+    QueryDef(
+      "graph_kcore",
+      // k-core of the co-purchase graph (k=18, the measured median-degree
+      // band where peeling actually cascades: rounds remove nodes whose
+      // survivors' degree drops below k in turn — 6 rounds to fixpoint at
+      // sf0.01, 7 at sf0.1, both inside the 8-round bound, so the gate IS
+      // the true core). The oracle replays all 8 peel rounds mechanically;
+      // the operator early-exits at the fixpoint, where the remaining
+      // rounds are provable no-ops.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("pk"))
+        val raw = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("y.l_linenumber") === col("x.l_linenumber") + 1)
+          .filter(col("x.pk") =!= col("y.pk"))
+          .select(least(col("x.pk"), col("y.pk")).as("a"),
+            greatest(col("x.pk"), col("y.pk")).as("b"))
+          .distinct()
+        val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(raw.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Analytics.kCore(edges, k = 18, maxRounds = 8)
+      },
+      Some {
+        // every eN/nN is referenced twice downstream — MATERIALIZED stops
+        // DuckDB's CTE inlining from expanding the plan 2^rounds-fold
+        // (measured: the inlined form exhausts file handles re-scanning
+        // lineitem hundreds of times)
+        val peel = (1 to 8).map { i =>
+          val p = i - 1
+          s"""n$i AS MATERIALIZED (SELECT src AS node FROM e$p GROUP BY src HAVING COUNT(*) >= 18),
+             |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e$p e
+             |        JOIN n$i a ON e.src = a.node JOIN n$i b ON e.dst = b.node)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH raw AS MATERIALIZED (
+          SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                          greatest(x.l_partkey, y.l_partkey) AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+           AND y.l_linenumber = x.l_linenumber + 1
+          WHERE x.l_partkey <> y.l_partkey),
+        e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM raw UNION ALL SELECT b, a FROM raw),
+        $peel
+        SELECT src AS node, COUNT(*) AS deg FROM e8 GROUP BY src"""
+      })
   )
 }
