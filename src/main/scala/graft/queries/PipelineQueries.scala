@@ -191,6 +191,35 @@ object PipelineQueries extends QueryRegistry {
               (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8""")),
 
     QueryDef(
+      "dedup_sorted_neighbors",
+      // sorted-neighborhood method: candidates from ORDER LOCALITY on a
+      // normalized-prefix blocking key (window 5), confirmed with exact
+      // word-shingle Jaccard — the ER-classic complement to LSH banding;
+      // exactly window·n candidate pairs regardless of how hot any block
+      // is. The oracle replays the total order with one row_number window.
+      (s, dir) => Dedup.sortedNeighborPairs(
+        Tables.documents(s, dir), "text", "doc_id",
+        window = 5, prefixLen = 24, shingleK = 1, threshold = 0.8),
+      Some(s"""
+        WITH d0 AS (
+          SELECT doc_id AS id,
+                 substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 24) AS bk,
+                 CASE WHEN len($WordsSql) < 1 THEN ['']
+                      ELSE list_distinct($WordsSql) END AS sh
+          FROM documents),
+        r AS (SELECT id, sh, row_number() OVER (ORDER BY bk, id) - 1 AS pos FROM d0),
+        cand AS (SELECT a.id AS ia, a.sh AS sha, b.id AS ib, b.sh AS shb
+                 FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + 5),
+        sims AS (SELECT ia, ib,
+                 CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+                 (CAST(len(sha) + len(shb) AS DOUBLE) -
+                  CAST(len(list_intersect(sha, shb)) AS DOUBLE)) AS sim
+                 FROM cand)
+        SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+               round(sim, 6) AS sim
+        FROM sims WHERE sim >= 0.8""")),
+
+    QueryDef(
       "dedup_char_jaccard",
       (s, dir) => {
         // character-set Jaccard vs a reference doc per source group — the
