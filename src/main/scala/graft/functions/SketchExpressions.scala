@@ -130,6 +130,25 @@ object Sketches {
     s
   }
 
+  /** Integer squared L2 distance over two `array<bigint>` — the quantized
+    * k-means assignment kernel. All-integer, so bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces under ANY evaluation
+    * order (unlike the float kernels, where only matching left-to-right
+    * accumulation preserves hashes). */
+  def l2sqLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Cosine similarity in one pass (dot + both norms in the same loop),
     * bit-identical to `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` over
     * the fold above. */
@@ -377,6 +396,30 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryExpressi
     Sketches.dotProd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       floatElem(left), floatElem(right))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** `vec_l2sq_long(array<bigint>, array<bigint>) -> bigint` — integer
+  * squared L2 distance (see [[Sketches.l2sqLong]]). */
+case class VecL2SqLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2sq_long"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vec_l2sq_long requires two array<bigint> inputs, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.l2sqLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => s"""
+      java.lang.Long r$$ = graft.functions.Sketches.l2sqLong($c1, $c2);
+      if (r$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = r$$.longValue(); }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2SqLong =
     copy(left = l, right = r)
 }
 

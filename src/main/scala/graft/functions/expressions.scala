@@ -97,6 +97,7 @@ object GraftFunctions {
     "word_ngrams" -> ((args: Seq[Expression]) => WordNgrams(args.head, intArg(args(1)))),
     "vec_dot" -> ((args: Seq[Expression]) => VecDot(args(0), args(1))),
     "vec_cosine" -> ((args: Seq[Expression]) => VecCosine(args(0), args(1))),
+    "vec_l2sq_long" -> ((args: Seq[Expression]) => VecL2SqLong(args(0), args(1))),
     "morton2" -> ((args: Seq[Expression]) => Morton2(args(0), args(1))),
     "levenshtein_bounded" -> ((args: Seq[Expression]) =>
       LevenshteinBounded(args(0), args(1), intArg(args(2)))),
@@ -230,6 +231,11 @@ object GraftFunctions {
   /** One-pass cosine similarity of two float/double arrays. */
   def vec_cosine(a: Column, b: Column): Column =
     GraftShims.column(VecCosine(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Integer squared L2 distance of two array<bigint> (quantized k-means
+    * assignment kernel). */
+  def vec_l2sq_long(a: Column, b: Column): Column =
+    GraftShims.column(VecL2SqLong(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** HLL distinct-count estimate of pre-hashed 60-bit values (aggregate). */
   def hll60(hash: Column): Column =

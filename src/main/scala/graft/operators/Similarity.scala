@@ -1193,11 +1193,12 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Long](1).toArray }.toSeq
 
     def assign(): DataFrame = {
+      // native codegen'd kernel — all-integer, so bit-identical to the
+      // aggregate(zip_with(...)) fold under any evaluation order
       val scored = cents.map { case (cl, c) =>
         struct(
-          aggregate(
-            zip_with(col("qv"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v).as("d"),
+          graft.functions.GraftFunctions.vec_l2sq_long(
+            col("qv"), typedLit(c.toSeq)).as("d"),
           lit(cl).as("cl"))
       }
       pts.withColumn("best", array_min(array(scored: _*)))
