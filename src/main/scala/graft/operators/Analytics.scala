@@ -284,6 +284,50 @@ object Analytics {
   }
 
   /**
+   * Time-series resample + gap-fill: bucket events into fixed windows per
+   * series, materialize the FULL bucket grid between each series' first
+   * and last observation, and forward-fill empty buckets with the last
+   * observed bucket mean (LOCF — the standard telemetry/feature-store
+   * resample). Bucket means are quantized-sum exact (1e-6-grid BIGINT, the
+   * same device as the centroid/PageRank sums) so the aggregate is
+   * order-independent and the oracle replays it.
+   *
+   * Scale shape: ONE keyed aggregation over the raw events (map-side
+   * combined into at most |series| × |buckets| cells), then everything
+   * downstream — grid explode, gap left-join, LOCF window — operates on
+   * the bucket GRID, whose size is time-range / bucket-width per series,
+   * independent of event volume. The window partitions by series, so its
+   * state is one series' grid, never the corpus.
+   */
+  def resampleLocf(
+      events: DataFrame,
+      tsCol: String,
+      seriesCol: String,
+      valCol: String,
+      bucketMicros: Long): DataFrame = {
+    val qv = floor(col(valCol) * lit(1000000d)).cast("long")
+    val bucket = expr(s"unix_micros($tsCol) div ${bucketMicros}L")
+    val ag = events
+      .groupBy(col(seriesCol).as("series"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(qv).as("qs"))
+    val grid = ag.groupBy(col("series"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("series"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    // bucket mean STAYS on the 1e-6 integer grid (floor of the exact sum
+    // over n): a decimal re-round here would sit exactly on .5 decimal
+    // boundaries where engines' double→decimal rounding legitimately
+    // differs — the same reason the k-means update floor-divides
+    val joined = grid.join(ag, Seq("series", "bucket"), "left")
+      .select(col("series"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        floor(col("qs").cast("double") / col("n_events")).cast("long").as("vavg_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined.withColumn("filled_q", last(col("vavg_q"), ignoreNulls = true).over(w))
+  }
+
+  /**
    * Bounded-round k-core peel: repeatedly drop nodes whose degree in the
    * surviving subgraph is < k, up to `maxRounds` rounds, returning each
    * surviving node with its final core degree. With enough rounds this IS

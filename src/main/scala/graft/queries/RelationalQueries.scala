@@ -1002,6 +1002,39 @@ object RelationalQueries extends QueryRegistry {
         GROUP BY 1, 2""")),
 
     QueryDef(
+      "events_resample",
+      // 15-minute resample of event values per type with LOCF gap-fill:
+      // one map-side-combined aggregation reduces 100k events to the
+      // ~2880-bucket grid, and the fill window runs over the GRID (time
+      // range / bucket width), never the event volume. Bucket means are
+      // 1e-6-grid BIGINT sums — order-independent, oracle-replayable.
+      (s, dir) => graft.operators.Analytics.resampleLocf(
+          Tables.events(s, dir), "ts", "event_type", "value",
+          bucketMicros = 900000000L)
+        .select(col("series").as("event_type"), col("bucket"),
+          col("n_events"), col("vavg_q"), col("filled_q")),
+      Some("""
+        WITH ag AS (
+          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bucket,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(floor(value * 1000000) AS BIGINT)) AS qs
+          FROM events GROUP BY 1, 2),
+        sp AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+               FROM ag GROUP BY 1),
+        grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
+                 FROM sp),
+        j AS (SELECT g.event_type, g.bucket,
+                     coalesce(a.n_events, 0) AS n_events,
+                     CAST(floor(CAST(a.qs AS DOUBLE) / a.n_events) AS BIGINT) AS vavg_q
+              FROM grid g LEFT JOIN ag a
+                ON g.event_type = a.event_type AND g.bucket = a.bucket)
+        SELECT event_type, bucket, n_events, vavg_q,
+               last_value(vavg_q IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_q
+        FROM j""")),
+
+    QueryDef(
       "q_rfm",
       // RFM segmentation over orders; quartile scores via exact-rank ntile
       // with key tiebreakers (the gate shape); the operator documents the
