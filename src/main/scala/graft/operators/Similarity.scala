@@ -1154,6 +1154,46 @@ object Similarity {
   }
 
   /**
+   * ANN quality evaluation: recall@k of the LSH index against exact
+   * brute-force ground truth — the metric every vector-store deployment
+   * tracks before trusting an approximate index. Both rankings use the
+   * same deterministic order (round-6 cosine desc, id asc), so the whole
+   * evaluation — ground truth, index answer, and the recall fractions —
+   * is oracle-replayable.
+   *
+   * Scale shape: ground truth is one TakeOrderedAndProject (per-partition
+   * top-k, k rows to the driver-side merge — never a global sort of the
+   * corpus); the index answer scans only the query's LSH bucket. The
+   * rank-window and the k-grid join run on ≤ max(ks) rows. Evaluating on
+   * a sampled query set at 100 TB is this same plan per query, fanned out.
+   */
+  def annRecallAtK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      ks: Seq[Int],
+      numPlanes: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val kmax = ks.max
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("id")) // ≤ kmax rows: bounded window
+    val brute = bruteForceTopK(df, vecCol, idCol, queryVec, kmax)
+      .withColumn("rk_b", row_number().over(w))
+    val approx = dataPlaneLshTopK(df, vecCol, idCol, queryVec, kmax, numPlanes)
+      .withColumn("rk_l", row_number().over(w))
+    import spark.implicits._
+    val grid = ks.toDF("k")
+    brute.join(approx.select(col("id"), col("rk_l")), Seq("id"))
+      .crossJoin(grid)
+      .filter(col("rk_b") <= col("k") && col("rk_l") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
+  }
+
+  /**
    * Integer-exact Lloyd k-means assignment — the oracle-verifiable twin of
    * [[kmeansCentroids]] (whose float `avg` update is aggregation-order
    * nondeterministic and therefore only spec-checkable). Every quantity
