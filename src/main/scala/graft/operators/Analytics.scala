@@ -307,9 +307,13 @@ object Analytics {
       bucketMicros: Long): DataFrame = {
     val qv = floor(col(valCol) * lit(1000000d)).cast("long")
     val bucket = expr(s"unix_micros($tsCol) div ${bucketMicros}L")
-    val ag = events
+    // materialize the bucket cells once (registry-owned): the grid-span
+    // aggregate and the gap join both consume them, and the cell frame is
+    // bounded by |series| x |buckets| — without this the events scan runs
+    // twice (once per consumer subtree)
+    val ag = graft.Materialize.localCheckpoint(events
       .groupBy(col(seriesCol).as("series"), bucket.as("bucket"))
-      .agg(count(lit(1)).as("n_events"), sum(qv).as("qs"))
+      .agg(count(lit(1)).as("n_events"), sum(qv).as("qs")))
     val grid = ag.groupBy(col("series"))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
       .select(col("series"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
