@@ -220,6 +220,50 @@ object PipelineQueries extends QueryRegistry {
         FROM sims WHERE sim >= 0.8""")),
 
     QueryDef(
+      "dedup_lsh_eval",
+      // the dedup twin of sim_ann_recall: score the MinHash-LSH pair set
+      // against exhaustive exact-Jaccard ground truth on the same subset.
+      // Precision is 1.0 BY CONSTRUCTION (LSH candidates are exact-confirm
+      // filtered — the gate states that property as data); recall < 1
+      // measures true pairs whose signatures never collided in any band,
+      // the number you tune bands/hashes against before trusting the
+      // sketch at corpus scale. One full-outer join of two bounded pair
+      // sets, one 1-row aggregate.
+      (s, dir) => {
+        val subset = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        val truth = Dedup.exactJaccardPairs(subset, "text", "doc_id",
+            shingleK = 1, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+        val pred = Dedup.md5MinhashLshPairs(subset, "text", "doc_id",
+            shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1L).as("p"))
+        truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+          .agg(sum(col("t")).as("n_true"), sum(col("p")).as("n_pred"),
+            sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("n_hits"))
+          .select(col("n_true"), col("n_pred"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_pred"), 6).as("precision"),
+            round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+      },
+      Some(s"""
+        WITH $MinhashPairsCtes,
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM docs a, docs b
+          WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (CAST(len(a.sh) + len(b.sh) AS DOUBLE) -
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8),
+        m AS (SELECT id_a, id_b FROM pairs),
+        c AS (SELECT
+                (SELECT COUNT(*) FROM truth) AS n_true,
+                (SELECT COUNT(*) FROM m) AS n_pred,
+                (SELECT COUNT(*) FROM truth JOIN m USING (id_a, id_b)) AS n_hits)
+        SELECT n_true, n_pred, n_hits,
+               round(CAST(n_hits AS DOUBLE) / n_pred, 6) AS precision,
+               round(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
+        FROM c""")),
+
+    QueryDef(
       "dedup_char_jaccard",
       (s, dir) => {
         // character-set Jaccard vs a reference doc per source group — the
