@@ -332,6 +332,56 @@ object Analytics {
   }
 
   /**
+   * Robust anomaly detection over the resampled grid: flag buckets whose
+   * value deviates from the series' median by more than `k` times the
+   * median absolute deviation. Median/MAD (not mean/stddev) because one
+   * anomaly in the window inflates a stddev enough to hide the next one —
+   * the standard robust-statistics argument for telemetry.
+   *
+   * Everything is integer-exact: bucket values come from [[resampleLocf]]'s
+   * 1e-6 grid, and both medians are the LOWER median — the element at rank
+   * `(n+1) div 2` in (value, bucket) order — so the whole decision
+   * replays in SQL with two rank windows and no float quantile semantics
+   * to reconcile between engines.
+   *
+   * Scale shape: both rank windows partition by series over the bucket
+   * GRID (time-range / bucket-width rows per series, independent of event
+   * volume); the median frames join back as broadcasts (one row per
+   * series).
+   */
+  def anomaliesMad(
+      events: DataFrame,
+      tsCol: String,
+      seriesCol: String,
+      valCol: String,
+      bucketMicros: Long,
+      k: Long = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = resampleLocf(events, tsCol, seriesCol, valCol, bucketMicros)
+      .filter(col("n_events") > 0)
+      .select(col("series"), col("bucket"), col("vavg_q"))
+    val wv = Window.partitionBy(col("series")).orderBy(col("vavg_q"), col("bucket"))
+    val wc = Window.partitionBy(col("series"))
+    val med = cells
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("series"), col("vavg_q").as("med"))
+    val dev = cells.join(broadcast(med), "series")
+      .withColumn("dev", abs(col("vavg_q") - col("med")))
+    val wd = Window.partitionBy(col("series")).orderBy(col("dev"), col("bucket"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("series"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "series")
+      .select(col("series"), col("bucket"), col("vavg_q"),
+        col("med"), col("dev"), col("mad"),
+        (col("dev") > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
+  /**
    * Bounded-round k-core peel: repeatedly drop nodes whose degree in the
    * surviving subgraph is < k, up to `maxRounds` rounds, returning each
    * surviving node with its final core degree. With enough rounds this IS

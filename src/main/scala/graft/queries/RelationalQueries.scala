@@ -1035,6 +1035,47 @@ object RelationalQueries extends QueryRegistry {
         FROM j""")),
 
     QueryDef(
+      "events_anomaly",
+      // robust outlier flags on the resampled grid: |value − median| >
+      // k·MAD per series. Median/MAD, not mean/stddev — one anomaly in the
+      // window inflates a stddev enough to mask the next (the robust-stats
+      // argument every telemetry pipeline makes). Both medians are the
+      // LOWER median (rank (n+1) div 2 in (value, bucket) order) on the
+      // 1e-6 integer grid, so the entire decision — ranks, deviations,
+      // flags — replays exactly in SQL. k=3 flags ~10% of this corpus's
+      // heavy-tailed bucket means (measured max dev/MAD 10–19 per series).
+      (s, dir) => graft.operators.Analytics.anomaliesMad(
+          Tables.events(s, dir), "ts", "event_type", "value",
+          bucketMicros = 900000000L, k = 3)
+        .select(col("series").as("event_type"), col("bucket"),
+          col("vavg_q"), col("med"), col("dev"), col("mad"), col("is_anomaly")),
+      Some("""
+        WITH ag AS (
+          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bucket,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(floor(value * 1000000) AS BIGINT)) AS qs
+          FROM events GROUP BY 1, 2),
+        cells AS (SELECT event_type AS series, bucket,
+                         CAST(floor(CAST(qs AS DOUBLE) / n_events) AS BIGINT) AS vavg_q
+                  FROM ag),
+        r1 AS (SELECT series, bucket, vavg_q,
+                      row_number() OVER (PARTITION BY series ORDER BY vavg_q, bucket) AS rn,
+                      COUNT(*) OVER (PARTITION BY series) AS cnt
+               FROM cells),
+        med AS (SELECT series, vavg_q AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+        d AS (SELECT c.series, c.bucket, c.vavg_q, m.med,
+                     abs(c.vavg_q - m.med) AS dev
+              FROM cells c JOIN med m USING (series)),
+        r2 AS (SELECT series, bucket, vavg_q, med, dev,
+                      row_number() OVER (PARTITION BY series ORDER BY dev, bucket) AS rn,
+                      COUNT(*) OVER (PARTITION BY series) AS cnt
+               FROM d),
+        mad AS (SELECT series, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+        SELECT d.series AS event_type, d.bucket, d.vavg_q, d.med, d.dev, m2.mad,
+               d.dev > 3 * m2.mad AS is_anomaly
+        FROM d JOIN mad m2 USING (series)""")),
+
+    QueryDef(
       "q_rfm",
       // RFM segmentation over orders; quartile scores via exact-rank ntile
       // with key tiebreakers (the gate shape); the operator documents the
