@@ -113,6 +113,55 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Multi-probe variant of [[dataPlaneLshTopK]]: additionally scans every
+   * bucket at Hamming distance ≤ `flips` from the query's bucket (flip
+   * each hyperplane sign bit in turn — the points most likely to be near
+   * misses sit just across ONE hyperplane, the multi-probe LSH insight of
+   * Lv et al., VLDB'07). Probing 1+numPlanes buckets of one table buys
+   * the recall that would otherwise cost numPlanes independent hash
+   * tables — i.e., numPlanes× the index storage. [[annRecallAtK]] is the
+   * gate that measures exactly this trade.
+   *
+   * Scale shape: identical to single-probe — one codegen'd bucket
+   * projection, one `IN` filter over 1+numPlanes bucket ids (partition-
+   * prunable under the IVF-style persisted layout), top-k via
+   * TakeOrdered. The candidate set grows (numPlanes+1)/2^numPlanes of the
+   * corpus in expectation, still never all-pairs.
+   */
+  def dataPlaneLshTopKMultiProbe(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      numPlanes: Int = 6,
+      flips: Int = 1): DataFrame = {
+    require(flips <= 1, "only 1-flip probing implemented")
+    val planes = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(numPlanes)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("v").toSeq)
+    def bucketOf(vec: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = queryVec.zip(p).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      if (d >= 0) 1L << j else 0L
+    }.sum
+    val probed: Seq[Long] =
+      if (flips == 0) Seq(qBucket)
+      else qBucket +: planes.indices.map(j => qBucket ^ (1L << j))
+    val q = typedLit(queryVec)
+    df.withColumn("bucket", bucketOf(col(vecCol)))
+      .filter(col("bucket").isin(probed: _*))
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** [[cosinePairs]] with DATA-DERIVED planes (lowest-id vectors as
     * normals, like [[dataPlaneLshTopK]]): deterministic bucketing, so the
     * whole near-dup pass — buckets, candidate pairs, scores — is

@@ -836,6 +836,45 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_lsh_multiprobe",
+      // multi-probe LSH (Lv et al.): also scan the numPlanes buckets one
+      // hyperplane-flip away — near misses sit just across ONE plane, so
+      // probing 1+numPlanes buckets of a single table buys the recall that
+      // would otherwise cost numPlanes independent hash tables of storage.
+      // The oracle's probe set is `hamming(bucket, qbucket) <= 1`.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.dataPlaneLshTopKMultiProbe(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20, numPlanes = 6, flips = 1)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj,
+                 CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 6),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        qb AS (
+          SELECT CAST(SUM(CASE WHEN list_dot_product(q.qv, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM q, p)
+        SELECT vec_id AS id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM b, q, qb WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1
+        ORDER BY sim DESC, id LIMIT 20""")),
+
+    QueryDef(
       "sim_ann_recall",
       // the evaluation harness every ANN deployment needs before trusting
       // an approximate index: recall@k of the LSH answer against exact
