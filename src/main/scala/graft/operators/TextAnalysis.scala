@@ -46,6 +46,35 @@ object TextAnalysis {
 
   def punctCount(text: Column): Column = regexp_count(text, lit("[.,;:!?]"))
 
+  /**
+   * Flesch reading-ease readability: 206.835 − 1.015·(words/sentences) −
+   * 84.6·(syllables/words), with the classic vowel-group syllable
+   * heuristic (runs of [aeiouy], min 1 per word — the standard
+   * dictionary-free approximation). All inputs are integer counts; the
+   * score is emitted floor-quantized to 1e-4 (`flesch_q`) so there is no
+   * decimal re-round for engines to disagree on. One codegen'd
+   * projection, no shuffle — the same pure-column-expression shape as
+   * [[stats]], composable as a `scorer` into the quality-gating
+   * operators.
+   */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val nWords = greatest(lit(1L), size(words).cast("long"))
+    val nSentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    // vowel-group runs over the whole text + one per all-consonant word
+    // (per-word minimum of 1) — avoids a per-word interpreted loop
+    val nSyllables =
+      (regexp_count(lower(col(textCol)), lit("[aeiouy]+")) +
+        size(filter(words, w => !w.rlike("[aeiouy]")))).cast("long")
+    val score = lit(206.835) -
+      lit(1.015) * (nWords.cast("double") / nSentences.cast("double")) -
+      lit(84.6) * (nSyllables.cast("double") / nWords.cast("double"))
+    df.select(col(idCol), nWords.as("n_words"), nSentences.as("n_sentences"),
+      nSyllables.as("n_syllables"),
+      floor(score * lit(10000d)).cast("long").as("flesch_q"))
+  }
+
   private val EnStopwords = "(the|and|of|to|in|a|is|it|for|on)"
 
   def stopwordCount(text: Column): Column =

@@ -122,6 +122,29 @@ object PipelineQueries extends QueryRegistry {
         FROM documents""")),
 
     QueryDef(
+      "text_readability",
+      // Flesch reading ease with the dictionary-free vowel-group syllable
+      // heuristic (min 1 per word); integer counts in, 1e-4-floor-quantized
+      // score out — no decimal re-round for engines to disagree on. One
+      // codegen'd projection; the score drops into the quality gates as a
+      // scorer column like everything else in this family.
+      (s, dir) => TextAnalysis.readability(Tables.documents(s, dir), "text", "doc_id"),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, $WordsSql AS words, text FROM documents),
+        c AS (
+          SELECT doc_id,
+                 greatest(1, len(words)) AS n_words,
+                 greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+                 len(list_filter(words, x -> NOT regexp_matches(x, '[aeiouy]'))) AS n_syllables
+          FROM w)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 10000) AS BIGINT) AS flesch_q
+        FROM c""")),
+
+    QueryDef(
       "text_langid",
       (s, dir) => Tables.documents(s, dir)
         .select(TextAnalysis.langId(col("text")).as("lang_pred"))
