@@ -1222,15 +1222,19 @@ object Similarity {
       idCol: String,
       queryVec: Seq[Float],
       ks: Seq[Int],
-      numPlanes: Int = 6): DataFrame = {
+      numPlanes: Int = 6,
+      multiProbe: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val kmax = ks.max
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("sim").desc, col("id")) // ≤ kmax rows: bounded window
     val brute = bruteForceTopK(df, vecCol, idCol, queryVec, kmax)
       .withColumn("rk_b", row_number().over(w))
-    val approx = dataPlaneLshTopK(df, vecCol, idCol, queryVec, kmax, numPlanes)
-      .withColumn("rk_l", row_number().over(w))
+    val answer =
+      if (multiProbe)
+        dataPlaneLshTopKMultiProbe(df, vecCol, idCol, queryVec, kmax, numPlanes)
+      else dataPlaneLshTopK(df, vecCol, idCol, queryVec, kmax, numPlanes)
+    val approx = answer.withColumn("rk_l", row_number().over(w))
     import spark.implicits._
     val grid = ks.toDF("k")
     brute.join(approx.select(col("id"), col("rk_l")), Seq("id"))

@@ -959,6 +959,62 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY k""")),
 
     QueryDef(
+      "sim_ann_recall_multiprobe",
+      // the eval loop closed: sim_ann_recall measured single-probe recall,
+      // multi-probe was the prescribed fix, this gate re-measures with
+      // 1-flip probing on the SAME setup — the improvement is data, not a
+      // claim (3-plane single-probe vs 3-plane+flips on this corpus).
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.annRecallAtK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, ks = Seq(1, 5, 10, 20), numPlanes = 3,
+          multiProbe = true)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        sims AS (
+          SELECT vec_id AS id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+          FROM e, q),
+        brute AS (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rk_b
+          FROM sims ORDER BY sim DESC, id LIMIT 20),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj,
+                 CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 3),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        qb AS (
+          SELECT CAST(SUM(CASE WHEN list_dot_product(q.qv, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM q, p),
+        lsh0 AS (
+          SELECT vec_id AS id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+          FROM b, q, qb WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1),
+        lsh AS (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rk_l
+          FROM lsh0 ORDER BY sim DESC, id LIMIT 20),
+        ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+        SELECT k, COUNT(*) AS n_hits,
+               round(CAST(COUNT(*) AS DOUBLE) / k, 6) AS recall
+        FROM brute JOIN lsh USING (id), ks
+        WHERE rk_b <= k AND rk_l <= k
+        GROUP BY k""")),
+
+    QueryDef(
       "sim_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
