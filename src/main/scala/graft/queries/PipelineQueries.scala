@@ -1133,6 +1133,57 @@ object PipelineQueries extends QueryRegistry {
               FROM documents)""")),
 
     QueryDef(
+      "pipeline_dataset_card",
+      // the one-row release artifact every curated corpus ships with:
+      // volume (docs/tokens/chars), provenance breadth (langs/sources),
+      // exact-duplicate rate, and mean quality — every number either an
+      // exact integer count or floor-quantized on the 1e-6 grid, so the
+      // whole card replays. ONE aggregation job (Catalyst plans the
+      // multiple count-distincts as a single Expand + two-stage agg; at
+      // 100 TB swap exact distincts for hll60 — same shape, no Expand).
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val d = Tables.documents(s, dir)
+        d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+          sum(length(col("text"))).as("n_chars"),
+          count_distinct(col("text")).as("n_distinct_text"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          sum(floor(TextAnalysis.qualityScore(col("text")) * lit(1e6)).cast("long"))
+            .as("qsum"))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"),
+          floor(lit(1e6) * (col("n_docs") - col("n_distinct_text")).cast("double") /
+            col("n_docs")).cast("long").as("dup_rate_q"),
+          floor(col("qsum").cast("double") / col("n_docs")).cast("long")
+            .as("mean_quality_q"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n_docs,
+                 SUM(len(regexp_extract_all(text, '[^ ]+'))) AS n_tokens,
+                 SUM(length(text)) AS n_chars,
+                 COUNT(DISTINCT text) AS n_distinct_text,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 COUNT(DISTINCT source) AS n_sources,
+                 SUM(CAST(floor(round(
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+                   least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|it|for|on)\b')) AS DOUBLE)
+                         / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+                   (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                          / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) * 1000000.0) AS BIGINT)) AS qsum
+          FROM documents)
+        SELECT n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               n_langs, n_sources,
+               CAST(floor(1000000.0 * CAST(n_docs - n_distinct_text AS DOUBLE) / n_docs) AS BIGINT) AS dup_rate_q,
+               CAST(floor(CAST(qsum AS DOUBLE) / n_docs) AS BIGINT) AS mean_quality_q
+        FROM a""")),
+
+    QueryDef(
       "pipeline_curate",
       // the canonical curation pipeline as ONE declarative query: quality
       // gate -> language filter -> exact dedup (keep lowest id) -> stable
