@@ -429,4 +429,49 @@ object Analytics {
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /**
+   * Synchronous label propagation (Raghavan–Albert–Kumara 2007), made
+   * deterministic: round 0 seeds every node with its own id; each round
+   * every node adopts the most frequent label among its neighbors, ties
+   * broken to the SMALLEST label. Synchronous + total tie-break means the
+   * run is a pure function of the edge set — replayable round-for-round by
+   * a SQL oracle, unlike the randomized-order original.
+   *
+   * Scale shape per round: one map-side-combined (node, label) count
+   * aggregate over the edge⨝label join and one argmax — expressed as
+   * `max(struct(c, -lbl))` so it folds inside the same aggregate, no
+   * window, no second shuffle. The label frame (≤|V| rows) is
+   * `localCheckpoint`ed each round (registry-owned, predecessor dropped on
+   * materialize) so the visible plan stays one round deep. The edge frame
+   * is checkpointed ONCE and re-read each round — at 100 TB that read is
+   * the per-round floor, same as any BSP graph step.
+   *
+   * Output: one row per surviving community `(community, sz, min_node)`.
+   * Input `edges` must be symmetrized, self-loop-free, deduplicated.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.Materialize.localCheckpoint(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    var labels = graft.Materialize.localCheckpoint(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    var r = 0
+    while (r < rounds) {
+      val next = graft.Materialize.localCheckpoint(
+        e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("src").as("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("node"), (-col("m.neg")).as("lbl")))
+      graft.Materialize.drop(labels)
+      labels = next
+      r += 1
+    }
+    val out = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("sz"), min(col("node")).cast("long").as("min_node"))
+    graft.Materialize.drop(e)
+    out
+  }
 }

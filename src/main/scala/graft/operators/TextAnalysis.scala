@@ -262,6 +262,45 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Top-k PMI collocations — corpus-level multiword-expression mining
+    * (Church–Hanks 1990 pointwise mutual information): bigrams whose joint
+    * count beats the independence expectation, `ln(c12·N / (c1·c2))`,
+    * restricted to `c12 >= minCount` so rare-pair noise (PMI's known
+    * failure mode) is gated out. The signal a tokenizer-vocab builder or
+    * phrase-normalizer runs over a corpus before training.
+    *
+    * Scale shape: the corpus is scanned twice (one unigram aggregate, one
+    * bigram aggregate via the codegen'd `word_ngrams` kernel) and NEVER
+    * shuffled as documents — both count frames are vocabulary-sized, all
+    * joins happen between them, and the top-k is a TakeOrderedAndProject
+    * (k rows to the driver merge, no global sort). Determinism: PMI is
+    * computed from exact BIGINT products ratio'd in double, rounded to 6;
+    * ordering ties break on the bigram itself. */
+  def collocations(
+      docs: DataFrame, textCol: String, idCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    val uni = graft.Materialize.localCheckpoint(
+      docs.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c")))
+    val total = uni.agg(sum(col("c")).cast("long").as("n_total"))
+    val big = docs.select(
+        explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+          .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    big
+      .join(uni.select(col("token").as("w1"), col("c").as("c1")),
+        substring_index(col("bigram"), " ", 1) === col("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")),
+        substring_index(col("bigram"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c12"),
+        round(log((col("c12") * col("n_total")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Top-k TF-IDF terms per document — the standard keyword-extraction /
     * doc-representation signal (what a quality router or topic bucketing
     * step keys on). Plan shape: the corpus is exploded ONCE; per-(doc,term)

@@ -2232,6 +2232,34 @@ object PipelineQueries extends QueryRegistry {
         FROM lp GROUP BY doc_id""")),
 
     QueryDef(
+      "text_collocations",
+      // corpus-level PMI collocation mining (multiword expressions a vocab
+      // builder would protect before BPE training): exact-count PMI with a
+      // min-count gate, top-k with total tie-break. Corpus scanned twice,
+      // never shuffled; count frames are vocab-sized; top-k is
+      // TakeOrderedAndProject.
+      (s, dir) => TextAnalysis.collocations(
+        Tables.documents(s, dir), "text", "doc_id", minCount = 5, k = 50),
+      Some(s"""
+        WITH toks AS (SELECT unnest($WordsSql) AS token FROM documents),
+        uni AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+        t AS (SELECT $WordsSql AS w FROM documents),
+        bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                              for i in generate_series(1, len(w)-1)]) AS bigram
+               FROM t),
+        big AS (SELECT bigram, COUNT(*) AS c12 FROM bg
+                GROUP BY bigram HAVING COUNT(*) >= 5)
+        SELECT bigram, c12,
+               round(ln(CAST(c12 * n_total AS DOUBLE) /
+                        CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        FROM big
+        JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.token
+        JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.token
+        CROSS JOIN tot
+        ORDER BY pmi DESC, bigram LIMIT 50""")),
+
+    QueryDef(
       "pipeline_semantic_curate",
       // TEXT-quality × EMBEDDING-space curation across both tables: keep
       // documents that pass the quality gate AND whose embedding survives

@@ -1326,6 +1326,140 @@ object RelationalQueries extends QueryRegistry {
         e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM raw UNION ALL SELECT b, a FROM raw),
         $peel
         SELECT src AS node, COUNT(*) AS deg FROM e8 GROUP BY src"""
+      }),
+
+    QueryDef(
+      "q_window_distribution",
+      // distribution window functions (ntile / percent_rank / cume_dist)
+      // over one shared single-shuffle window. All three are exact
+      // rationals of (rank, n) computed identically in IEEE double by both
+      // engines; the ORDER BY carries o_orderkey so ranks are total.
+      (s, dir) => {
+        val ord = Tables.orders(s, dir).filter(col("o_custkey") <= 200)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        ord.select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+               round(CUME_DIST() OVER w, 9) AS cume
+        FROM orders
+        WHERE o_custkey <= 200
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)""")),
+
+    QueryDef(
+      "q_merge_upsert",
+      // MERGE INTO semantics (lakehouse table maintenance) expressed as one
+      // full-outer join: base = orders, changes = a derived CDC batch
+      // (updates reprice 'F'-status orders, deletes every 97th key, inserts
+      // shifted keys). Plan shape at 100 TB: ONE shuffle of each side on
+      // the merge key — no driver loop, no per-row lookups; with a bucketed
+      // base table the shuffle drops entirely (same layout contract as
+      // q_bucketed_join). Decimal reprice keeps arithmetic exact.
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+        val changes = base
+          .filter(col("o_custkey") <= 300)
+          .select(
+            when(col("o_orderkey") % 97 === 0, lit("D"))
+              .when(col("o_orderstatus") === "F", lit("U"))
+              .otherwise(lit("I")).as("op"),
+            when(col("o_orderstatus") === "F" && col("o_orderkey") % 97 =!= 0,
+              col("o_orderkey"))
+              .otherwise(col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("o_custkey"),
+            (dec(col("o_totalprice")) * dec(lit(1.10))).cast("double")
+              .as("o_totalprice"))
+        val merged = base.as("b").join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+          .filter(coalesce(col("c.op"), lit("K")) =!= "D")
+          .select(col("o_orderkey"),
+            coalesce(col("c.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+            coalesce(col("c.o_totalprice"), col("b.o_totalprice")).as("o_totalprice"))
+        // scale-4 operands: the reprice is exact at 4 decimals; a scale-2
+        // re-round would hit half-even vs half-up tie divergence at .005
+        merged.agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("price_sum"))
+      },
+      Some("""
+        WITH changes AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+                      WHEN o_orderstatus = 'F' THEN 'U'
+                      ELSE 'I' END AS op,
+                 CASE WHEN o_orderstatus = 'F' AND o_orderkey % 97 <> 0
+                      THEN o_orderkey ELSE o_orderkey + 10000000 END AS o_orderkey,
+                 o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+                      CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+          FROM orders WHERE o_custkey <= 300),
+        merged AS (
+          SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+                 COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+          FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+          WHERE COALESCE(c.op, 'K') <> 'D')
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+        FROM merged""")),
+
+    QueryDef(
+      "graph_label_prop",
+      // community detection: synchronous label propagation (Raghavan et al.
+      // 2007) made deterministic — each round every node adopts its
+      // neighborhood's most frequent label, ties to the SMALLEST label, so
+      // the result is replayable by the oracle round for round. 4 rounds on
+      // the co-purchase graph. Scale shape per round: one (node,label)
+      // count aggregate over the edge join (map-side combined) + one
+      // argmax — labels re-enter each round as a bounded materialized
+      // frame, so the visible plan stays one round deep, like graph_kcore.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("pk"))
+        val raw = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("y.l_linenumber") === col("x.l_linenumber") + 1)
+          .filter(col("x.pk") =!= col("y.pk"))
+          .select(least(col("x.pk"), col("y.pk")).as("a"),
+            greatest(col("x.pk"), col("y.pk")).as("b"))
+          .distinct()
+        val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(raw.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Analytics.labelPropagation(edges, rounds = 4)
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          val p = i - 1
+          s"""c$i AS MATERIALIZED (
+             |  SELECT e.src AS node, l.lbl, COUNT(*) AS c
+             |  FROM e0 e JOIN l$p l ON e.dst = l.node GROUP BY e.src, l.lbl),
+             |l$i AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT node, lbl,
+             |           row_number() OVER (PARTITION BY node
+             |                              ORDER BY c DESC, lbl) AS rk
+             |    FROM c$i) WHERE rk = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH raw AS MATERIALIZED (
+          SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                          greatest(x.l_partkey, y.l_partkey) AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+           AND y.l_linenumber = x.l_linenumber + 1
+          WHERE x.l_partkey <> y.l_partkey),
+        e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM raw UNION ALL SELECT b, a FROM raw),
+        l0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM e0 GROUP BY src),
+        $rounds
+        SELECT lbl AS community, COUNT(*) AS sz, CAST(MIN(node) AS BIGINT) AS min_node
+        FROM l4 GROUP BY lbl"""
       })
   )
 }
