@@ -1438,6 +1438,55 @@ object PipelineQueries extends QueryRegistry {
         FROM hu""")),
 
     QueryDef(
+      "multimodal_resize",
+      // REAL image resize through the codec: a 16×16 gray PNG per document
+      // (pixel p = byte p mod len), decoded and box-averaged down to the
+      // 8×8 grid — each output cell is floor(mean of its 2×2 source
+      // block), integer-exact because gray luma is identity. The oracle
+      // replays the downsample arithmetic per cell from the text bytes,
+      // so the check covers encode→decode→resize→hash end to end. Same
+      // mapPartitions batch shape as every codec path: decoder init
+      // amortizes per partition, payload bytes never shuffle.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val cells = Array.tabulate(256)(j => bytes(j % bytes.length) & 0xff)
+              graft.operators.MediaRecord(id,
+                graft.operators.MediaCodec.encodeGrayPng(cells, 16, 16),
+                "image/png", 16, 16)
+            }
+          }
+        Multimodal.decode(media).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("phash"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT doc_id, t.c AS cell,
+                 (ord(substr(text, CAST((((t.c // 8) * 2    ) * 16 + (t.c % 8) * 2    ) % length(text) AS INT) + 1, 1)) +
+                  ord(substr(text, CAST((((t.c // 8) * 2    ) * 16 + (t.c % 8) * 2 + 1) % length(text) AS INT) + 1, 1)) +
+                  ord(substr(text, CAST((((t.c // 8) * 2 + 1) * 16 + (t.c % 8) * 2    ) % length(text) AS INT) + 1, 1)) +
+                  ord(substr(text, CAST((((t.c // 8) * 2 + 1) * 16 + (t.c % 8) * 2 + 1) % length(text) AS INT) + 1, 1))) // 4 AS g
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(0, 63)) AS c) t),
+        tot AS (SELECT doc_id, SUM(g) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.g*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1)
+        SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+                 AS phash
+        FROM hu""")),
+
+    QueryDef(
       "multimodal_codec_audio",
       // WAV PCM round-trip: synthesize a deterministic 16-bit mono
       // waveform per document (sample k = a linear-congruential step

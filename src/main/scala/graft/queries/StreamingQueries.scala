@@ -373,6 +373,49 @@ object StreamingQueries extends QueryRegistry {
         FROM c WHERE prev IS NULL OR prev <> attr""")),
 
     QueryDef(
+      "stream_anomaly",
+      (s, dir) => withStatePartitions(s, 4) {
+        // ONLINE per-key anomaly flags on the stream: each event judged
+        // against the exact integer running (n, Σx, Σx²) of everything
+        // before it — O(1) state per key, pacing forces the state to carry
+        // across micro-batches. The oracle replays the same prefix test
+        // with window sums over the raw table.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_anom").toString
+        val flags = graft.streaming.StreamAnalytics.anomalyStream(
+          PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+          measure = get_json_object(col("value").cast("string"), "$.k").cast("long"))
+        val q = flags.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_anomaly").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_anomaly")
+          .select(col("partitionKey"), col("x"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("n_prev"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+                 CAST(ts AS TIMESTAMP) AS tsv, props,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS x
+          FROM events),
+        w AS (SELECT partitionKey, tsv, x,
+                     COUNT(*) OVER win AS n,
+                     COALESCE(SUM(x) OVER win, 0) AS s,
+                     COALESCE(SUM(x * x) OVER win, 0) AS q
+              FROM e
+              WINDOW win AS (PARTITION BY partitionKey ORDER BY tsv, props
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT partitionKey, x,
+               strftime(tsv, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               n AS n_prev
+        FROM w
+        WHERE n >= 8 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)""")),
+
+    QueryDef(
       "stream_join",
       (s, dir) => withStatePartitions(s, 4) {
         // stream-stream interval join: "trigger" events (k<20) matched to

@@ -23,6 +23,13 @@ final case class Scd2Change(
 
 private final case class Scd2State(lastAttr: String)
 
+/** One flagged event: its key, measure, time, and how many prior events
+  * the flagging statistics were built from. */
+final case class AnomalyFlag(
+    partitionKey: String, x: Long, ts: java.sql.Timestamp, n_prev: Long)
+
+private final case class ZScoreState(n: Long, s: Long, q: Long)
+
 private final case class PackState(cum: Long)
 
 /**
@@ -256,6 +263,56 @@ object StreamAnalytics {
           .otherwise(bit_count(col("x").bitwiseAND(-col("x")) - 1) + 1).as("rho"))
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("mj"))
+  }
+
+  /**
+   * Streaming ONLINE anomaly detection: per-key running z-score with
+   * integer-exact state. Each event is judged against the mean/variance of
+   * everything BEFORE it (the online-detector contract — no lookahead), so
+   * the run is a pure fold over the per-key event order and the batch
+   * oracle replays it with prefix-window sums. The z-test is evaluated in
+   * exact integer arithmetic — `(n·x − s)² > k²·(n·q − s²)` over the raw
+   * running sums — so there is no float threshold to diverge on.
+   *
+   * State per key is three longs (n, Σx, Σx²) — O(1), watermark-free,
+   * mergeable; at 100 TB the state store holds |keys|×24 bytes, and the
+   * same fold shape would take a decayed/windowed variant without changing
+   * the plan. Within a micro-batch the group is sorted by (event-time,
+   * payload) — the produce order of the topic — and across batches offset
+   * order preserves per-key event-time order, same contract as
+   * [[scd2Stream]].
+   */
+  def anomalyStream(
+      events: DataFrame,
+      measure: Column,
+      k2: Long = 9,
+      minPrev: Long = 8): Dataset[AnomalyFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("partitionKey").cast("string"), col("timestamp"),
+        col("value").cast("string"), measure.cast("long"))
+      .as[(String, java.sql.Timestamp, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[ZScoreState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[ZScoreState]) =>
+          val sorted = rows.toSeq.sortBy { case (_, ts, v, _) =>
+            (ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L, v)
+          }
+          var st = state.getOption.getOrElse(ZScoreState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+          sorted.foreach { case (_, ts, _, x) =>
+            if (st.n >= minPrev) {
+              val lhs = (BigInt(st.n) * x - st.s).pow(2)
+              val rhs = BigInt(k2) * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+              if (lhs > rhs) out += AnomalyFlag(key, x, ts, st.n)
+            }
+            st = ZScoreState(st.n + 1, st.s + x, st.q + x * x)
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   def scd2Stream(events: DataFrame, attr: Column): Dataset[Scd2Change] = {
