@@ -451,27 +451,34 @@ object Analytics {
    * Input `edges` must be symmetrized, self-loop-free, deduplicated.
    */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
     val e = graft.Materialize.localCheckpoint(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
-    var labels = graft.Materialize.localCheckpoint(
-      e.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")))
-    var r = 0
+    // round 1 degenerates: neighbor labels are the (distinct) neighbor ids,
+    // every count is 1, so "most frequent, ties to smallest" = min(dst) —
+    // one aggregate instead of seed-checkpoint + join + two aggregates
+    def step(prev: DataFrame): DataFrame =
+      e.join(prev.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+    var labels: DataFrame =
+      e.groupBy(col("src").as("node")).agg(min(col("dst")).as("lbl"))
+    // checkpoint only frames a later step re-reads; the final round's
+    // expression stays lazy and folds straight into the closing aggregate,
+    // reading the last checkpoint's blocks (registry-owned until sweep)
+    var owned: Option[DataFrame] = None
+    var r = 1
     while (r < rounds) {
-      val next = graft.Materialize.localCheckpoint(
-        e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("src").as("node"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
-          .select(col("node"), (-col("m.neg")).as("lbl")))
-      graft.Materialize.drop(labels)
-      labels = next
+      val cp = graft.Materialize.localCheckpoint(labels)
+      owned.foreach(graft.Materialize.drop) // predecessor, now safe
+      owned = Some(cp)
+      labels = step(cp)
       r += 1
     }
-    val out = labels.groupBy(col("lbl").as("community"))
+    labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("sz"), min(col("node")).cast("long").as("min_node"))
-    graft.Materialize.drop(e)
-    out
   }
 }

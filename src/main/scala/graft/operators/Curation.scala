@@ -460,4 +460,38 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(col("qlr")).as("qsum"), count(lit(1)).as("n_feats"))
   }
+
+  /**
+   * Deterministic weighted interleave — the FIXED MIXING SCHEDULE that
+   * serializes a multi-source corpus into one training order (the step
+   * after [[mixtureSample]] decides rates: a source with weight w
+   * contributes every position where its stride `(rn−1)·L/w` is due, L =
+   * lcm of the weights, ties by source name). Pure arithmetic on exact
+   * integers: any two engines produce the identical order, which is the
+   * property a reproducible-training-run manifest needs.
+   *
+   * Plan shape: ONE shuffle (per-source row_number), then a global
+   * TakeOrderedAndProject for the `take`-row prefix — k rows to the
+   * driver merge, never a global sort; the final position window runs on
+   * the bounded prefix only. At 100 TB the schedule is written
+   * range-partitioned by key instead of prefixed — same two stages.
+   */
+  def interleaveSchedule(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weight: Column, // integer weights; key stride uses lcm 6 (w ∈ 1..3)
+      take: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wrn = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val keyed = docs
+      .select(col(idCol), col(sourceCol), weight.as("wt"))
+      .withColumn("rn", row_number().over(wrn))
+      .withColumn("key", (col("rn") - 1) * expr("6 div wt"))
+    val prefix = keyed.orderBy(col("key"), col(sourceCol), col("rn")).limit(take)
+    prefix
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("key"), col(sourceCol), col("rn"))))
+      .select(col("pos"), col(sourceCol), col(idCol))
+  }
 }

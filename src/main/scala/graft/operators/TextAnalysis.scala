@@ -301,6 +301,22 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hashed n-gram features (the "hashing trick", Weinberger et al. 2009):
+    * each document's bigrams fold into a fixed `dim`-bucket space via the
+    * md5-family hash — the fixed-width sparse representation fast linear
+    * classifiers and DSIR-style importance models consume, with NO
+    * vocabulary table to build, broadcast, or keep consistent across a
+    * 100 TB corpus. Emitted long-form `(doc_id, idx, c)`; one aggregate
+    * over the exploded n-gram stream, no joins at all. */
+  def hashedFeatures(
+      docs: DataFrame, textCol: String, idCol: String, dim: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+          .as("bigram"))
+      .groupBy(col("doc_id"),
+        (Dedup.md5Hash60(col("bigram")) % dim).as("idx"))
+      .agg(count(lit(1)).as("c"))
+
   /** Top-k TF-IDF terms per document — the standard keyword-extraction /
     * doc-representation signal (what a quality router or topic bucketing
     * step keys on). Plan shape: the corpus is exploded ONCE; per-(doc,term)

@@ -2281,6 +2281,45 @@ object PipelineQueries extends QueryRegistry {
         FROM lp GROUP BY doc_id""")),
 
     QueryDef(
+      "pipeline_interleave",
+      // deterministic weighted interleave: the fixed mixing schedule that
+      // serializes sources into one reproducible training order. Exact
+      // integer stride keys -> identical order in any engine; one shuffle
+      // + a TakeOrdered prefix.
+      (s, dir) => graft.operators.Curation.interleaveSchedule(
+        Tables.documents(s, dir), "source", "doc_id",
+        weight = substring(col("source"), 4, 10).cast("int") % 3 + 1,
+        take = 500),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+                 CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+          FROM documents),
+        k AS (SELECT doc_id, source, rn, (rn - 1) * (6 // wt) AS key FROM w),
+        s AS (SELECT * FROM k ORDER BY key, source, rn LIMIT 500)
+        SELECT row_number() OVER (ORDER BY key, source, rn) AS pos, source, doc_id
+        FROM s""")),
+
+    QueryDef(
+      "text_hashed_features",
+      // hashing-trick bigram features: fixed 512-bucket space via the
+      // md5-family hash, long-form output; one aggregate over the exploded
+      // n-gram stream, zero joins, no vocabulary state.
+      (s, dir) => TextAnalysis.hashedFeatures(
+        Tables.documents(s, dir), "text", "doc_id", dim = 512),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $WordsSql AS w FROM documents),
+        bg AS (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                 for i in generate_series(1, len(w)-1)]) AS bigram
+          FROM t)
+        SELECT doc_id,
+               ${OracleSql.md5Hash60("bigram")} % 512 AS idx,
+               COUNT(*) AS c
+        FROM bg GROUP BY 1, 2""")),
+
+    QueryDef(
       "text_collocations",
       // corpus-level PMI collocation mining (multiword expressions a vocab
       // builder would protect before BPE training): exact-count PMI with a
