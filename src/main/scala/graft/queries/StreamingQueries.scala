@@ -373,6 +373,74 @@ object StreamingQueries extends QueryRegistry {
         FROM c WHERE prev IS NULL OR prev <> attr""")),
 
     QueryDef(
+      "stream_ivf",
+      (s, dir) => withStatePartitions(s, 4) {
+        // IVF index maintenance ON the stream: vectors arrive through the
+        // topic (quantized to the 2^-20 BIGINT grid for the trip — long →
+        // text → long is exact), each is assigned to its nearest seed
+        // centroid by the codegen'd integer-L2 kernel (a per-row
+        // projection, NO shuffle), and the per-list registry (count +
+        // Σdist) is a k-row streaming aggregate in complete mode — the
+        // bounded state a 100 TB IVF index keeps per inverted list as
+        // vectors stream in. Pacing forces the registry to merge across
+        // micro-batches; the oracle replays the assignment in batch.
+        val emb = Tables.embeddings(s, dir)
+        def quantize(c: org.apache.spark.sql.Column) =
+          transform(c, x => floor(x.cast("double") * lit(1048576d)).cast("long"))
+        val seeds = emb.orderBy(col("vec_id")).limit(8)
+          .select(quantize(col("embedding")).as("qv"))
+          .collect().zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Long](0).toSeq }
+        val root = Files.createTempDirectory("graft_stream_ivf").toString
+        val cfg = TopicConfig(root, "emb")
+        val n = PolarLog.produce(
+          emb.select(
+            col("vec_id").cast("string").as("partitionKey"),
+            timestamp_micros(col("vec_id")).as("timestamp"),
+            concat_ws(",", quantize(col("embedding"))).cast("binary").as("value")),
+          cfg, orderBy = Seq(col("timestamp"), col("value"))).recordsWritten
+        val scored = seeds.map { case (cl, c) =>
+          struct(
+            graft.functions.GraftFunctions.vec_l2sq_long(
+              col("qv"), typedLit(c)).as("d"),
+            lit(cl).as("cl"))
+        }
+        val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF()
+          .select(split(col("value").cast("string"), ",")
+            .cast("array<long>").as("qv"))
+          .withColumn("best", array_min(array(scored: _*)))
+          .groupBy(col("best.cl").as("cluster"))
+          .agg(count(lit(1)).as("n"), sum(col("best.d")).as("sum_dist"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_ivf").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_ivf")
+          .select(col("cluster"), col("n"), col("sum_dist"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT vec_id AS id, i - 1 AS pos,
+                 CAST(floor(v[i] * 1048576) AS BIGINT) AS q
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               (SELECT unnest(generate_series(1, 64)) AS i) t),
+        init AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
+          FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 8)),
+        c0 AS (SELECT init.cl, p.pos, p.q AS c FROM pts p JOIN init ON p.id = init.id),
+        d1 AS (SELECT p.id, c.cl, SUM((p.q - c.c) * (p.q - c.c)) AS dist
+               FROM pts p JOIN c0 c ON p.pos = c.pos GROUP BY p.id, c.cl),
+        a1 AS (SELECT id, cl, dist FROM (
+                 SELECT id, cl, dist,
+                        row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+                 FROM d1) WHERE rn = 1)
+        SELECT cl AS cluster, COUNT(*) AS n, CAST(SUM(dist) AS BIGINT) AS sum_dist
+        FROM a1 GROUP BY cl""")),
+
+    QueryDef(
       "stream_anomaly",
       (s, dir) => withStatePartitions(s, 4) {
         // ONLINE per-key anomaly flags on the stream: each event judged
