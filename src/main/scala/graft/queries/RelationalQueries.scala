@@ -1354,6 +1354,44 @@ object RelationalQueries extends QueryRegistry {
                      ORDER BY o_totalprice, o_orderkey)""")),
 
     QueryDef(
+      "q_approx_percentile",
+      // MERGEABLE histogram-sketch percentiles — the 100 TB path where
+      // q_percentile's exact form needs a global sort: ONE map-side-
+      // combined bucket aggregate (the sketch, bounded-size and mergeable
+      // across partitions/days), then the quantile walk runs on the
+      // bucket frame only. The windows below iterate the ~1000-row sketch,
+      // never the data — that bounded frame is the point of the sketch.
+      // Deterministic: integer buckets, estimates are exact bucket bounds.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val hist = li
+          .groupBy(floor(col("l_extendedprice") / 100).cast("long").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = hist.select(col("b"), col("c"),
+          sum(col("c")).over(w).as("cum"),
+          sum(col("c")).over(Window.partitionBy()).as("n"))
+        def est(p: Double) =
+          min(when(col("cum") >= ceil(lit(p) * col("n")), (col("b") + 1) * 100))
+            .cast("long")
+        t.agg(max(col("n")).as("n"),
+          est(0.5).as("p50_ub"), est(0.95).as("p95_ub"), est(0.99).as("p99_ub"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS b, COUNT(*) AS c
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT b, c,
+                     SUM(c) OVER (ORDER BY b) AS cum,
+                     SUM(c) OVER () AS n
+              FROM h)
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum >= ceil(0.5  * n) THEN (b + 1) * 100 END) AS BIGINT) AS p50_ub,
+               CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN (b + 1) * 100 END) AS BIGINT) AS p95_ub,
+               CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN (b + 1) * 100 END) AS BIGINT) AS p99_ub
+        FROM t""")),
+
+    QueryDef(
       "q_merge_upsert",
       // MERGE INTO semantics (lakehouse table maintenance) expressed as one
       // full-outer join: base = orders, changes = a derived CDC batch

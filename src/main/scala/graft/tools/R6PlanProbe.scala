@@ -12,7 +12,8 @@ object R6PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    R6.foreach { name =>
+    val names = if (args.nonEmpty) args.toSeq else R6
+    names.foreach { name =>
       println(s"===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
