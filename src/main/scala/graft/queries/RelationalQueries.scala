@@ -1448,6 +1448,47 @@ object RelationalQueries extends QueryRegistry {
         FROM merged""")),
 
     QueryDef(
+      "events_twa",
+      // time-weighted average of a gauge per user — the metrics-pipeline
+      // aggregate where each reading holds until the next one (Δt-weighted
+      // mean). ONE keyed shuffle shared by the lead() window and the
+      // aggregate; weights are exact micros BIGINTs, products held in
+      // DECIMAL so the sum is order-independent, ratio surfaced as a
+      // rounded double. Last reading of a user carries no interval.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("tus"),
+            lead(unix_micros(col("ts")), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .select(col("user_id"),
+            (round(col("value"), 6).cast("decimal(18,6)") *
+              (col("nxt") - col("tus")).cast("decimal(20,0)")).as("wv"),
+            (col("nxt") - col("tus")).as("dt"))
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("wv")).cast("double") /
+            sum(col("dt")).cast("double"), 6).as("twa"),
+            count(lit(1)).as("n_intervals"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                 lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        d AS (
+          SELECT user_id,
+                 CAST(round(value, 6) AS DECIMAL(18,6)) *
+                   CAST(nxt - tus AS DECIMAL(20,0)) AS wv,
+                 nxt - tus AS dt
+          FROM e WHERE nxt IS NOT NULL)
+        SELECT user_id,
+               round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa,
+               COUNT(*) AS n_intervals
+        FROM d GROUP BY user_id""")),
+
+    QueryDef(
       "graph_label_prop",
       // community detection: synchronous label propagation (Raghavan et al.
       // 2007) made deterministic — each round every node adopts its
