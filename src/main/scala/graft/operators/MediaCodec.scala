@@ -138,6 +138,30 @@ object MediaCodec {
       Some(DecodedAudio(fmt.getSampleRate.toInt, channels, frames, cells))
     } catch { case _: Throwable => None }
 
+  /** Decode mono 16-bit PCM WAV to its raw sample array — the producer
+    * side of resample round trips (decimate/transform, then re-encode
+    * through [[encodeWav16]]). Returns (sampleRate, samples). */
+  def decodeWavSamples16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) { ais.close(); return None }
+      val data = ais.readAllBytes()
+      ais.close()
+      val n = data.length / 2
+      val out = new Array[Short](n)
+      val bigEndian = fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (bigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+          else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      Some((fmt.getSampleRate.toInt, out))
+    } catch { case _: Throwable => None }
+
   /** Average-hash over 64 integer cells: bit j set iff `cell(j)*64 >
     * total` — the exact rule of [[graft.functions.MediaHash.ahash64]],
     * applied to a REAL luma/energy grid instead of raw bytes. */

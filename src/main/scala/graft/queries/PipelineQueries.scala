@@ -1565,6 +1565,85 @@ object PipelineQueries extends QueryRegistry {
         FROM base b LEFT JOIN hu USING (doc_id)""")),
 
     QueryDef(
+      "multimodal_resample_audio",
+      // REAL audio resample through the codec: synthesize the LCG
+      // waveform at 8 kHz, write a genuine RIFF/WAVE container, decode
+      // it BACK to raw samples, decimate by 2 (the deterministic
+      // nearest-sample downsample, the audio analogue of the NN image
+      // resize), re-encode at 4 kHz, and decode again for the envelope —
+      // decode→transform→encode→decode, all through javax.sound. The
+      // oracle replays the LCG keeping even-index samples only.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val n = 256 + (nChars % 256).toInt
+              val samples = new Array[Short](n)
+              var x = id * 2654435761L + 1
+              var k = 0
+              while (k < n) {
+                x = x * 6364136223846793005L + 1442695040888963407L
+                samples(k) = ((x >>> 48) - 32768L).toShort
+                k += 1
+              }
+              val wav8k = graft.operators.MediaCodec.encodeWav16(samples, 8000)
+              val (rate, s0) =
+                graft.operators.MediaCodec.decodeWavSamples16(wav8k).get
+              val dec = Array.tabulate((s0.length + 1) / 2)(j => s0(2 * j))
+              graft.operators.MediaRecord(id,
+                graft.operators.MediaCodec.encodeWav16(dec, rate / 2),
+                "audio/wav", 0, 0)
+            }
+          }
+        Multimodal.decode(media).toDF()
+          .select(col("doc_id"), col("width").as("sample_rate"),
+            col("height").as("frames"), col("phash"))
+      },
+      Some("""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, 256 + CAST(n_chars % 256 AS INT) AS n,
+                 ((doc_id::HUGEINT * 2654435761 + 1)
+                   & 18446744073709551615::HUGEINT) AS x0
+          FROM documents),
+        it(doc_id, n, k, x) AS (
+          SELECT doc_id, n, 0,
+                 ((x0 * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+                   & 18446744073709551615::HUGEINT)
+          FROM base
+          UNION ALL
+          SELECT doc_id, n, k + 1,
+                 ((x * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+                   & 18446744073709551615::HUGEINT)
+          FROM it WHERE k + 1 < n),
+        keep AS (
+          SELECT doc_id, (n + 1) // 2 AS n2, k // 2 AS j,
+                 CAST((x >> 48) - 32768 AS BIGINT) AS s
+          FROM it WHERE k % 2 = 0),
+        buckets AS (
+          SELECT doc_id, n2, CAST((j::BIGINT * 64) // n2 AS INT) AS cell,
+                 SUM(ABS(s)) AS sumabs, COUNT(*) AS cnt
+          FROM keep GROUP BY 1, 2, 3),
+        cells AS (
+          SELECT doc_id, cell, CAST((sumabs // cnt) >> 7 AS BIGINT) AS v
+          FROM buckets),
+        tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY 1),
+        hu AS (
+          SELECT c.doc_id,
+                 COALESCE(SUM(CASE WHEN c.v*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY 1)
+        SELECT b.doc_id, CAST(4000 AS BIGINT) AS sample_rate,
+               CAST((b.n + 1) // 2 AS BIGINT) AS frames,
+               COALESCE(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), 0)
+                 AS phash
+        FROM base b LEFT JOIN hu USING (doc_id)""")),
+
+    QueryDef(
       "decontaminate",
       // train/test decontamination: per train doc, its distinct 3-gram
       // overlap with the WHOLE test split's n-gram set — test grams

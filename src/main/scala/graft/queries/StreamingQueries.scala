@@ -373,6 +373,49 @@ object StreamingQueries extends QueryRegistry {
         FROM c WHERE prev IS NULL OR prev <> attr""")),
 
     QueryDef(
+      "stream_quantile",
+      (s, dir) => withStatePartitions(s, 4) {
+        // quantile sketch maintained ON the stream: the same mergeable
+        // bucket histogram as q_approx_percentile, kept as bounded
+        // complete-mode state across micro-batches; the p50/p90 walk runs
+        // in batch over the final bucket frame only. The streaming state
+        // IS the sketch — at 100 TB this is how percentile dashboards are
+        // fed without ever sorting the stream.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_q8").toString
+        val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF()
+          .select((get_json_object(col("value").cast("string"), "$.k")
+            .cast("long") / 8).cast("long").as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_quantile").start()
+        q.awaitTermination(300000)
+        val w = org.apache.spark.sql.expressions.Window
+        val walk = s.table("gate_stream_quantile").select(col("b"), col("c"),
+          sum(col("c")).over(w.orderBy(col("b"))
+            .rowsBetween(Long.MinValue, 0)).as("cum"),
+          sum(col("c")).over(w.partitionBy()).as("n"))
+        def est(p: Double) =
+          min(when(col("cum") >= ceil(lit(p) * col("n")), (col("b") + 1) * 8))
+            .cast("long")
+        walk.agg(max(col("n")).as("n"),
+          est(0.5).as("p50_ub"), est(0.9).as("p90_ub"))
+      },
+      Some("""
+        WITH t AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 8 AS b
+                   FROM events),
+        h AS (SELECT b, COUNT(*) AS c FROM t GROUP BY 1),
+        w AS (SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h)
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN (b + 1) * 8 END) AS BIGINT) AS p50_ub,
+               CAST(MIN(CASE WHEN cum >= ceil(0.9 * n) THEN (b + 1) * 8 END) AS BIGINT) AS p90_ub
+        FROM w""")),
+
+    QueryDef(
       "stream_ivf",
       (s, dir) => withStatePartitions(s, 4) {
         // IVF index maintenance ON the stream: vectors arrive through the
