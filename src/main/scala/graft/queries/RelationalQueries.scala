@@ -1448,6 +1448,32 @@ object RelationalQueries extends QueryRegistry {
         FROM merged""")),
 
     QueryDef(
+      "q_table_checksum",
+      // order/partition-independent table content fingerprint — the
+      // migration-verification primitive (exactly what this engine's own
+      // correctness gate hashes, exposed as an operator): every row folds
+      // to one md5-family hash, reduced modulo a prime and SUMMED, so any
+      // two copies of the table agree regardless of layout, partitioning,
+      // or read order. ONE map-side-combined aggregate, no shuffle beyond
+      // the 1-row combine — the cheapest possible full-table verify at
+      // 100 TB, and mergeable across table shards/days by addition.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val rowHash = graft.operators.Dedup.md5Hash60(
+          concat_ws("|", col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber"), col("l_returnflag"), col("l_linestatus")))
+        li.agg(count(lit(1)).as("n_rows"),
+          sum(rowHash % 1000000007L).as("checksum"))
+      },
+      Some(s"""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(${OracleSql.md5Hash60(
+                 "l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' || " +
+                 "l_linenumber || '|' || l_returnflag || '|' || l_linestatus")}
+                 % 1000000007) AS BIGINT) AS checksum
+        FROM lineitem""")),
+
+    QueryDef(
       "events_twa",
       // time-weighted average of a gauge per user — the metrics-pipeline
       // aggregate where each reading holds until the next one (Δt-weighted
