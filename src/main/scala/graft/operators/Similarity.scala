@@ -54,6 +54,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine RANGE query: every vector with `sim ≥ threshold` — the
+    * vector-store range API beside [[bruteForceTopK]]'s top-k. One
+    * embarrassingly parallel scan with the predicate on the codegen'd
+    * cosine — no shuffle, no global sort, output size set by the data.
+    * At 100 TB the LSH/IVF bucket prefilters in this file bound the
+    * scanned candidates the same way they do for top-k (recall traded,
+    * sized by the `sim_ann_recall` evals). */
+  def rangeSearch(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      threshold: Double): DataFrame = {
+    val q = typedLit(queryVec)
+    df.select(col(idCol).as("id"),
+        round(cosine(col(vecCol), q), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** ANN top-k: only vectors sharing the query's LSH bucket are scored.
     * `numPlanes` trades recall (fewer planes) against candidate-set size. */
   def lshTopK(

@@ -301,6 +301,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DEFLATE compression ratio — the classic redundancy signal of the
+    * Gopher/RefinedWeb quality family: repetitive or templated text
+    * compresses far below natural prose, gibberish barely compresses at
+    * all. Computed in a batched partition pass with ONE `Deflater`
+    * instance reused per partition (the mapPartitions amortization
+    * contract, same as the codec paths); level pinned so output length is
+    * deterministic for a given zlib. Not SQL-replayable — the gate carries
+    * the rows-only check, invariants are spec-verified. */
+  def compressionRatio(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var comp = 0L
+          while (!deflater.finished()) comp += deflater.deflate(buf)
+          (id, raw.length.toLong, comp,
+            math.floor(comp.toDouble / math.max(raw.length, 1) * 1e6) / 1e6)
+        }
+      }
+      .toDF("doc_id", "raw_len", "comp_len", "ratio")
+  }
+
   /** Hashed n-gram features (the "hashing trick", Weinberger et al. 2009):
     * each document's bigrams fold into a fixed `dim`-bucket space via the
     * md5-family hash — the fixed-width sparse representation fast linear

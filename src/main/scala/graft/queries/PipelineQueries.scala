@@ -627,6 +627,41 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_range_search",
+      // exact cosine RANGE query (the vector-store API beside top-k): one
+      // parallel scan, predicate on the codegen'd cosine, no shuffle; the
+      // LSH/IVF prefilters bound candidates at scale exactly as for top-k
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.rangeSearch(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, threshold = 0.15)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+          AND round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                     sqrt(list_dot_product(qv, qv))), 6) >= 0.15""")),
+
+    QueryDef(
+      "text_compression_ratio",
+      // DEFLATE redundancy signal (Gopher/RefinedWeb family): repetitive
+      // text compresses far below prose. zlib output is not replayable in
+      // SQL — no oracle; driver records the rows-only check, invariants
+      // are spec-verified (CompressionRatioSpec).
+      (s, dir) => TextAnalysis.compressionRatio(
+        Tables.documents(s, dir), "text", "doc_id"),
+      None),
+
+    QueryDef(
       "sim_pairs",
       // %5 sample bounds the quadratic pair count at bench scale
       (s, dir) => Similarity.exactCosinePairs(
