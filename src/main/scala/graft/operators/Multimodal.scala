@@ -22,6 +22,9 @@ final case class MediaFeatures(
 /** Output of the real-codec path: container kind from magic bytes, true
   * decoded dimensions (image w×h; audio sampleRate×frames), perceptual
   * hash over the decoded 64-cell grid, normalized cell features. */
+/** One sampled, decoded video frame: its index and perceptual hash. */
+final case class FrameHash(doc_id: Long, frame_idx: Int, phash: Long)
+
 final case class DecodedMedia(
     doc_id: Long,
     kind: String,
@@ -119,6 +122,42 @@ object Multimodal {
               MediaCodec.cellHash64(cells), cells.map(_ / 255.0f))
           }
         }
+      }
+    }
+  }
+
+  /**
+   * REAL-codec video frame sampling: the payload is a length-prefixed
+   * frame container (4-byte big-endian length + encoded image, repeated —
+   * the minimal opaque "video" framing; real containers differ only in
+   * header bookkeeping), every `stride`-th frame is decoded through the
+   * JDK image codec and hashed. The decode work scales with SAMPLED
+   * frames only — the skip path never touches the codec, which is the
+   * property that makes frame sampling affordable over petabytes of
+   * video. Same mapPartitions batch shape as every codec path.
+   */
+  def sampleVideoFrames(
+      ds: Dataset[MediaRecord], stride: Int): Dataset[FrameHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.media)
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        while (buf.remaining() >= 4) {
+          val len = buf.getInt()
+          if (len < 0 || len > buf.remaining()) { buf.position(buf.limit()) }
+          else {
+            val b = new Array[Byte](len)
+            buf.get(b)
+            frames += b
+          }
+        }
+        frames.zipWithIndex.collect {
+          case (bytes, idx) if idx % stride == 0 =>
+            MediaCodec.decodeImage(bytes).map(img =>
+              FrameHash(m.doc_id, idx, MediaCodec.cellHash64(img.luma)))
+        }.flatten
       }
     }
   }

@@ -1600,6 +1600,59 @@ object PipelineQueries extends QueryRegistry {
         FROM base b LEFT JOIN hu USING (doc_id)""")),
 
     QueryDef(
+      "multimodal_video_sample",
+      // REAL-codec video frame sampling: 4 genuine 8×8 gray PNG frames per
+      // document in a length-prefixed container (frame f, cell j = byte
+      // (j + 16·f) mod len), every 2nd frame decoded through javax.imageio
+      // and hashed — the skip path never touches the codec, which is what
+      // makes frame sampling affordable over petabytes of video. The
+      // oracle replays the sampled frames' grids from the text bytes.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val out = new java.io.ByteArrayOutputStream()
+              val dos = new java.io.DataOutputStream(out)
+              (0 until 4).foreach { f =>
+                val cells = Array.tabulate(64)(j =>
+                  bytes((j + 16 * f) % bytes.length) & 0xff)
+                val png = graft.operators.MediaCodec.encodeGrayPng(cells, 8, 8)
+                dos.writeInt(png.length)
+                dos.write(png)
+              }
+              graft.operators.MediaRecord(id, out.toByteArray, "video/x-framed", 8, 8)
+            }
+          }
+        Multimodal.sampleVideoFrames(media, stride = 2).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("phash"))
+      },
+      Some("""
+        WITH f AS (SELECT unnest([0, 2]) AS frame_idx),
+        cells AS (
+          SELECT doc_id, f.frame_idx, t.j AS cell,
+                 ord(substr(text,
+                   CAST((t.j + 16 * f.frame_idx) % length(text) AS INT) + 1, 1)) AS g
+          FROM documents, f,
+               LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+        tot AS (SELECT doc_id, frame_idx, SUM(g) AS total
+                FROM cells GROUP BY 1, 2),
+        hu AS (
+          SELECT c.doc_id, c.frame_idx,
+                 COALESCE(SUM(CASE WHEN c.g*64 > t.total
+                   THEN 1::HUGEINT << c.cell END), 0::HUGEINT) AS h
+          FROM cells c JOIN tot t USING (doc_id, frame_idx)
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+                 AS phash
+        FROM hu""")),
+
+    QueryDef(
       "multimodal_resample_audio",
       // REAL audio resample through the codec: synthesize the LCG
       // waveform at 8 kHz, write a genuine RIFF/WAVE container, decode
