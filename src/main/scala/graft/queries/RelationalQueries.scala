@@ -1448,6 +1448,44 @@ object RelationalQueries extends QueryRegistry {
         FROM merged""")),
 
     QueryDef(
+      "events_changepoint",
+      // CUSUM level-shift detection per series (Page 1954): cumulative sum
+      // of deviations from the series mean, flagged where |S| crosses the
+      // band — the changepoint complement to events_anomaly's point
+      // outliers. Exact integers end to end: values on the 1e-3 grid,
+      // floor'd mean, BIGINT running sums — no float trajectory to
+      // diverge. ONE keyed shuffle shared by the mean aggregate (broadcast
+      // back) and the prefix window.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("x3"))
+        val means = ev.groupBy(col("user_id"))
+          .agg(floor(sum(col("x3")).cast("double") / count(lit(1)))
+            .cast("long").as("mq"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(broadcast(means), "user_id")
+          .select(col("user_id"), col("event_id"),
+            sum(col("x3") - col("mq")).over(w).as("cusum"))
+          .filter(abs(col("cusum")) > 400000L)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x3
+          FROM events),
+        m AS (SELECT user_id,
+                     CAST(floor(SUM(x3) / COUNT(*)) AS BIGINT) AS mq
+              FROM e GROUP BY 1),
+        c AS (SELECT e.user_id, e.event_id,
+                     SUM(e.x3 - m.mq) OVER (PARTITION BY e.user_id
+                       ORDER BY e.ts, e.event_id) AS cusum
+              FROM e JOIN m USING (user_id))
+        SELECT user_id, event_id, cusum FROM c WHERE ABS(cusum) > 400000""")),
+
+    QueryDef(
       "q_table_checksum",
       // order/partition-independent table content fingerprint — the
       // migration-verification primitive (exactly what this engine's own
