@@ -813,6 +813,53 @@ object PipelineQueries extends QueryRegistry {
         FROM x GROUP BY label, pos""")),
 
     QueryDef(
+      "sim_drift",
+      // embedding DRIFT monitor: per-label centroid of the reference half
+      // (even vec_ids) vs the current half (odd) and the squared distance
+      // between them — the production check that a corpus refresh or a new
+      // encoder hasn't moved the embedding space. Centroids on the 2^-20
+      // grid with floor-div means, drift summed in BIGINT: integer-exact,
+      // order-independent. The shuffle carries (label, half, dim) scalar
+      // rows, never vectors; output is labels-sized.
+      (s, dir) => {
+        val pts = Tables.embeddings(s, dir).select(
+          col("label"), (col("vec_id") % 2 === 0).as("ref"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1048576d)).cast("long")))
+            .as(Seq("pos", "q")))
+        val cents = pts.groupBy(col("label"), col("ref"), col("pos"))
+          .agg(floor(sum(col("q")).cast("double") / count(lit(1)))
+            .cast("long").as("c"),
+            count(lit(1)).as("n"))
+        val ref = cents.filter(col("ref")).select(col("label"), col("pos"),
+          col("c").as("cr"), col("n").as("nr"))
+        val cur = cents.filter(!col("ref")).select(col("label"), col("pos"),
+          col("c").as("cc"), col("n").as("nc"))
+        ref.join(cur, Seq("label", "pos"))
+          .groupBy(col("label"))
+          .agg(max(col("nr")).cast("long").as("n_ref"),
+            max(col("nc")).cast("long").as("n_cur"),
+            sum((col("cr") - col("cc")) * (col("cr") - col("cc"))).as("drift"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT label, vec_id % 2 = 0 AS ref, i - 1 AS pos,
+                 CAST(floor(v[i] * 1048576) AS BIGINT) AS q
+          FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               (SELECT unnest(generate_series(1, 64)) AS i) t),
+        c AS (SELECT label, ref, pos,
+                     CAST(floor(SUM(q) / COUNT(*)) AS BIGINT) AS c,
+                     COUNT(*) AS n
+              FROM x GROUP BY 1, 2, 3),
+        r AS (SELECT label, pos, c AS cr, n AS nr FROM c WHERE ref),
+        u AS (SELECT label, pos, c AS cc, n AS nc FROM c WHERE NOT ref)
+        SELECT label,
+               CAST(MAX(nr) AS BIGINT) AS n_ref,
+               CAST(MAX(nc) AS BIGINT) AS n_cur,
+               CAST(SUM((cr - cc) * (cr - cc)) AS BIGINT) AS drift
+        FROM r JOIN u USING (label, pos) GROUP BY label""")),
+
+    QueryDef(
       "sim_kmeans",
       // integer-exact Lloyd clustering on the 2^-20 grid: init = k lowest
       // ids, two update rounds, final assignment. All-BIGINT distances and
