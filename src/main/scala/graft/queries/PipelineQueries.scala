@@ -2900,6 +2900,34 @@ object PipelineQueries extends QueryRegistry {
         FROM wds GROUP BY doc_id""")),
 
     QueryDef(
+      "text_fertility",
+      // tokenizer FERTILITY by language (pieces per word — the standard
+      // tokenizer-evaluation metric; a language far above 1.0 is being
+      // over-segmented and undertrained): the real BPE encoder's piece
+      // counts aggregated per language against whitespace word counts.
+      // One language-keyed aggregate over per-doc codegen'd counts — the
+      // corpus never shuffles as text.
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          sum(TextAnalysis.bpeCount(GateBpeMerges)(col("text"))).cast("long")
+            .as("n_pieces"),
+          sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n_words"))
+        .withColumn("fertility",
+          round(col("n_pieces").cast("double") / col("n_words"), 6)),
+      Some(s"""
+        WITH wds AS (
+          SELECT doc_id, lang, unnest($WordsSql) AS w FROM documents),
+        pcs AS (
+          SELECT lang, len(string_split(trim($BpeFoldSql, ' '), '  ')) AS p
+          FROM wds)
+        SELECT lang,
+               CAST(SUM(p) AS BIGINT) AS n_pieces,
+               COUNT(*) AS n_words,
+               round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS fertility
+        FROM pcs GROUP BY lang""")),
+
+    QueryDef(
       "pipeline_chunk",
       // RAG/long-context chunking: 16-word windows, 8-word overlap. Zero
       // shuffle — split → sequence → explode → slice, all codegen'd.
