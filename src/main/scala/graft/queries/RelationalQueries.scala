@@ -1448,6 +1448,37 @@ object RelationalQueries extends QueryRegistry {
         FROM merged""")),
 
     QueryDef(
+      "q_partitioned_prune",
+      // partition-pruned layout: events written PARTITIONED BY day (the
+      // third leg of the layout family beside bucketing and z-order), read
+      // back with a partition-key predicate. The filter resolves at
+      // PLANNING time against directory names — PartitionFilters in the
+      // scan, zero data files of other days opened — which at 100 TB is
+      // the difference between scanning one day and scanning three years.
+      // Oracle computes the same day's aggregate from the raw table.
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_part_prune").toString
+        val ev = Tables.events(s, dir)
+        ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("day").parquet(root)
+        val day0 = ev.agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd"))
+          .head().getString(0)
+        s.read.parquet(root)
+          .filter(col("day") === day0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+      },
+      Some("""
+        WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events, d0
+        WHERE CAST(ts AS DATE) = d
+        GROUP BY event_type""")),
+
+    QueryDef(
       "events_changepoint",
       // CUSUM level-shift detection per series (Page 1954): cumulative sum
       // of deviations from the series mean, flagged where |S| crosses the
