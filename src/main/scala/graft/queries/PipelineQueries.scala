@@ -2900,6 +2900,37 @@ object PipelineQueries extends QueryRegistry {
         FROM wds GROUP BY doc_id""")),
 
     QueryDef(
+      "text_ngram_novelty",
+      // per-document n-gram NOVELTY: the fraction of a doc's distinct
+      // 3-gram shingles that appear in NO other document — the
+      // memorization/leakage proxy (a low-novelty doc is mostly made of
+      // corpus-shared phrasing; a near-1.0 doc is fresh text). Two
+      // shuffles of the codegen'd shingle stream: one document-frequency
+      // aggregate, one join back + per-doc aggregate — the same shape at
+      // any corpus size, gram frame bounded by the shingle vocabulary.
+      (s, dir) => {
+        val grams = Tables.documents(s, dir).select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.word_shingles(col("text"), 3))
+            .as("g"))
+        val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        grams.join(dfreq, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            round(col("n_unique").cast("double") / col("n_grams"), 6))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $WordsSql AS w FROM documents),
+        g AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS g FROM t),
+        d AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                     COUNT(*), 6) AS novelty
+        FROM g JOIN d USING (g) GROUP BY doc_id""")),
+
+    QueryDef(
       "text_fertility",
       // tokenizer FERTILITY by language (pieces per word — the standard
       // tokenizer-evaluation metric; a language far above 1.0 is being
