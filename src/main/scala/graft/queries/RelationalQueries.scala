@@ -1543,6 +1543,76 @@ object RelationalQueries extends QueryRegistry {
         FROM lineitem""")),
 
     QueryDef(
+      "q_snapshot_diff",
+      // snapshot DIFF — the reconciliation partner of q_table_checksum:
+      // when two table versions' checksums disagree, this says WHAT moved
+      // (added / removed / changed / same), as one full-outer join on the
+      // key with column comparison — one shuffle per side, counts only in
+      // the output. v2 is derived from v1 by the same CDC rules as
+      // q_merge_upsert, so the expected deltas are known quantities.
+      (s, dir) => {
+        val v1 = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val changes = Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 300)
+          .select(
+            when(col("o_orderkey") % 97 === 0, lit("D"))
+              .when(col("o_orderstatus") === "F", lit("U"))
+              .otherwise(lit("I")).as("op"),
+            when(col("o_orderstatus") === "F" && col("o_orderkey") % 97 =!= 0,
+              col("o_orderkey"))
+              .otherwise(col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("o_custkey"),
+            (dec(col("o_totalprice")) * dec(lit(1.10))).cast("double")
+              .as("o_totalprice"))
+        val v2 = v1.as("b").join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+          .filter(coalesce(col("c.op"), lit("K")) =!= "D")
+          .select(col("o_orderkey"),
+            coalesce(col("c.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+            coalesce(col("c.o_totalprice"), col("b.o_totalprice")).as("o_totalprice"))
+        v1.as("x").join(v2.as("y"), Seq("o_orderkey"), "full_outer")
+          .agg(
+            sum(when(col("x.o_custkey").isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("y.o_custkey").isNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("x.o_custkey").isNotNull && col("y.o_custkey").isNotNull &&
+              (col("x.o_custkey") =!= col("y.o_custkey") ||
+                col("x.o_totalprice") =!= col("y.o_totalprice")), 1L)
+              .otherwise(0L)).as("n_changed"),
+            sum(when(col("x.o_custkey").isNotNull && col("y.o_custkey").isNotNull &&
+              col("x.o_custkey") === col("y.o_custkey") &&
+              col("x.o_totalprice") === col("y.o_totalprice"), 1L)
+              .otherwise(0L)).as("n_same"))
+      },
+      Some("""
+        WITH changes AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+                      WHEN o_orderstatus = 'F' THEN 'U'
+                      ELSE 'I' END AS op,
+                 CASE WHEN o_orderstatus = 'F' AND o_orderkey % 97 <> 0
+                      THEN o_orderkey ELSE o_orderkey + 10000000 END AS o_orderkey,
+                 o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+                      CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+          FROM orders WHERE o_custkey <= 300),
+        v2 AS (
+          SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+                 COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+          FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+          WHERE COALESCE(c.op, 'K') <> 'D')
+        SELECT
+          CAST(SUM(CASE WHEN x.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+          CAST(SUM(CASE WHEN y.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          CAST(SUM(CASE WHEN x.o_custkey IS NOT NULL AND y.o_custkey IS NOT NULL
+                    AND (x.o_custkey <> y.o_custkey OR x.o_totalprice <> y.o_totalprice)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(SUM(CASE WHEN x.o_custkey IS NOT NULL AND y.o_custkey IS NOT NULL
+                    AND x.o_custkey = y.o_custkey AND x.o_totalprice = y.o_totalprice
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) x
+        FULL OUTER JOIN v2 y USING (o_orderkey)""")),
+
+    QueryDef(
       "events_twa",
       // time-weighted average of a gauge per user — the metrics-pipeline
       // aggregate where each reading holds until the next one (Δt-weighted
