@@ -860,6 +860,53 @@ object PipelineQueries extends QueryRegistry {
         FROM r JOIN u USING (label, pos) GROUP BY label""")),
 
     QueryDef(
+      "sim_outliers",
+      // label-OUTLIER detection (mislabel candidates): the 5 vectors
+      // farthest from their own class centroid, per label — the standard
+      // data-quality sweep before training a classifier on labeled
+      // embeddings. Centroids on the 2^-20 grid via floor-div means; the
+      // distance pass is a (label,pos) join + per-vector aggregate (no
+      // driver pull — scales to any label count); the per-label top-5 is
+      // a rank filter Spark rewrites to WindowGroupLimit below the
+      // exchange. All-integer distances: both engines rank identically.
+      (s, dir) => {
+        val pts = Tables.embeddings(s, dir).select(
+          col("label"), col("vec_id"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1048576d)).cast("long")))
+            .as(Seq("pos", "q")))
+        val cents = pts.groupBy(col("label"), col("pos"))
+          .agg(floor(sum(col("q")).cast("double") / count(lit(1)))
+            .cast("long").as("c"))
+        val d2 = pts.join(cents, Seq("label", "pos"))
+          .groupBy(col("label"), col("vec_id"))
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))
+          .orderBy(col("d2").desc, col("vec_id"))
+        d2.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("label"), col("vec_id"), col("d2"), col("rk"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT label, vec_id, i - 1 AS pos,
+                 CAST(floor(v[i] * 1048576) AS BIGINT) AS q
+          FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               (SELECT unnest(generate_series(1, 64)) AS i) t),
+        c AS (SELECT label, pos,
+                     CAST(floor(SUM(q) / COUNT(*)) AS BIGINT) AS c
+              FROM x GROUP BY 1, 2),
+        d AS (SELECT x.label, x.vec_id,
+                     SUM((x.q - c.c) * (x.q - c.c)) AS d2
+              FROM x JOIN c USING (label, pos) GROUP BY 1, 2)
+        SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2, rk FROM (
+          SELECT label, vec_id, d2,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY d2 DESC, vec_id) AS rk
+          FROM d) WHERE rk <= 5""")),
+
+    QueryDef(
       "sim_kmeans",
       // integer-exact Lloyd clustering on the 2^-20 grid: init = k lowest
       // ids, two update rounds, final assignment. All-BIGINT distances and
