@@ -1654,6 +1654,73 @@ object RelationalQueries extends QueryRegistry {
         FROM d GROUP BY user_id""")),
 
     QueryDef(
+      "graph_link_pred",
+      // link prediction by common-neighbor Jaccard (Liben-Nowell–Kleinberg):
+      // for non-adjacent low-degree pairs, |N(a)∩N(b)| / |N(a)∪N(b)|,
+      // top-20. Hubs are pruned FIRST (deg ≤ 30) — the production trick
+      // that bounds the wedge join at cap²·|V| instead of Σdeg² (a single
+      // hub otherwise mints millions of candidate pairs); the union size
+      // folds from capped degrees without a second neighborhood pass.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("pk"))
+        val raw = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("y.l_linenumber") === col("x.l_linenumber") + 1)
+          .filter(col("x.pk") =!= col("y.pk"))
+          .select(least(col("x.pk"), col("y.pk")).as("a"),
+            greatest(col("x.pk"), col("y.pk")).as("b"))
+          .distinct()
+        val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(raw.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val small = deg.filter(col("deg") <= 30)
+        val e = edges
+          .join(small.select(col("src")), Seq("src"), "left_semi")
+          .join(small.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        val wedges = e.as("p").join(e.as("q"), col("p.src") === col("q.src"))
+          .filter(col("p.dst") < col("q.dst"))
+          .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
+          .agg(count(lit(1)).as("common"))
+        val degS = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        wedges
+          .join(raw.withColumn("adj", lit(1)), Seq("a", "b"), "left_anti")
+          .join(degS.select(col("src").as("a"), col("d").as("da")), Seq("a"))
+          .join(degS.select(col("src").as("b"), col("d").as("db")), Seq("b"))
+          .select(col("a"), col("b"), col("common"),
+            round(col("common").cast("double") /
+              (col("da") + col("db") - col("common")), 6).as("jac"))
+          .orderBy(col("jac").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""
+        WITH raw AS MATERIALIZED (
+          SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                          greatest(x.l_partkey, y.l_partkey) AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+           AND y.l_linenumber = x.l_linenumber + 1
+          WHERE x.l_partkey <> y.l_partkey),
+        ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM raw UNION ALL SELECT b, a FROM raw),
+        dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+        sm AS (SELECT src FROM dg WHERE deg <= 30),
+        e AS MATERIALIZED (
+          SELECT ed.src, ed.dst FROM ed
+          JOIN sm s1 ON ed.src = s1.src JOIN sm s2 ON ed.dst = s2.src),
+        w AS (
+          SELECT p.dst AS a, q.dst AS b, COUNT(*) AS common
+          FROM e p JOIN e q ON p.src = q.src AND p.dst < q.dst
+          GROUP BY 1, 2),
+        ds AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+        SELECT w.a, w.b, w.common,
+               round(CAST(w.common AS DOUBLE) / (da.d + db.d - w.common), 6) AS jac
+        FROM w
+        JOIN ds da ON w.a = da.src JOIN ds db ON w.b = db.src
+        WHERE NOT EXISTS (SELECT 1 FROM raw r WHERE r.a = w.a AND r.b = w.b)
+        ORDER BY jac DESC, w.a, w.b LIMIT 20""")),
+
+    QueryDef(
       "graph_label_prop",
       // community detection: synchronous label propagation (Raghavan et al.
       // 2007) made deterministic — each round every node adopts its
