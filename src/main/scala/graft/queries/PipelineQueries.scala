@@ -170,6 +170,36 @@ object PipelineQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "text_langid_eval",
+      // language-ID CONFUSION MATRIX: the classifier's prediction crossed
+      // with the corpus's ground-truth lang column — the eval that says
+      // whether the n-gram heuristic is trustworthy before routing on it
+      // (same eval→trust loop as sim_ann_recall and dedup_lsh_eval). One
+      // aggregate; cells are (truth, predicted, count).
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n")),
+      Some {
+        val scores = Seq(
+          "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+          "es" -> "\\b(el|la|los|las|de|que|y|es)\\b",
+          "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
+          "fr" -> "\\b(le|les|des|et|est|une|dans)\\b",
+          "zh" -> "[\\x{4e00}-\\x{9fff}]")
+        val defs = scores.map { case (l, re) =>
+          s"len(regexp_extract_all(lower(text), '$re')) AS s_$l"
+        }.mkString(", ")
+        val maxExpr = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
+        val caseExpr = scores.map { case (l, _) =>
+          s"WHEN s_$l > 0 AND s_$l = $maxExpr THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT lang, lang_pred, COUNT(*) AS n FROM (
+              SELECT lang, CASE $caseExpr ELSE 'und' END AS lang_pred
+              FROM (SELECT lang, $defs FROM documents))
+            GROUP BY lang, lang_pred"""
+      }),
+
+    QueryDef(
       "dedup_exact",
       (s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
         .select(md5(col("text").cast("binary")).as("text_hash"),
