@@ -1543,6 +1543,49 @@ object RelationalQueries extends QueryRegistry {
         FROM lineitem""")),
 
     QueryDef(
+      "events_ewma",
+      // exponentially-decayed engagement score per user: a 16-tap EWMA
+      // kernel over the last events, weights 2^-(k+1). Every term is an
+      // exact dyadic rational (integer·2^-16 after the 1e-3 value grid),
+      // so the sum is EXACT and order-independent — no float trajectory,
+      // both engines agree bit for bit, unlike a recursive α-fold which
+      // has no closed form under rounding. One keyed shuffle shared by
+      // the lag window and the per-user last-row rank.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("x3"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val taps = (0 until 16).map { k =>
+          coalesce(lag(col("x3"), k).over(w), lit(0L)).cast("double") /
+            math.pow(2.0, k + 1)
+        }.reduce(_ + _)
+        val scored = ev.withColumn("ewma", taps)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+        scored.filter(col("rk") === 1)
+          .select(col("user_id"), col("event_id"), col("ewma"))
+      },
+      Some {
+        val taps = (0 until 16).map { k =>
+          s"COALESCE(lag(x3, $k) OVER win, 0) / ${math.pow(2.0, k + 1)}"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x3
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, $taps AS ewma,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rk
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, event_id, ewma FROM s WHERE rk = 1"""
+      }),
+
+    QueryDef(
       "q_snapshot_diff",
       // snapshot DIFF — the reconciliation partner of q_table_checksum:
       // when two table versions' checksums disagree, this says WHAT moved
