@@ -373,6 +373,48 @@ object StreamingQueries extends QueryRegistry {
         FROM c WHERE prev IS NULL OR prev <> attr""")),
 
     QueryDef(
+      "stream_restart",
+      (s, dir) => withStatePartitions(s, 4) {
+        // state recovery ACROSS RESTARTS: produce half the log, drain it
+        // with one AvailableNow query, append the other half, then start
+        // a NEW query on the SAME checkpoint — it must resume from the
+        // committed offsets, process only the appendix, and surface the
+        // union state. This is the exactly-once-across-restarts contract
+        // (offset log + state store both recovered); the oracle is the
+        // batch aggregate over the whole table.
+        val ev = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"),
+          col("props").as("value"),
+          (col("user_id") % 2 === 0).as("even"))
+        val root = Files.createTempDirectory("graft_stream_rs").toString
+        val cfg = TopicConfig(root, "ev")
+        PolarLog.produce(ev.filter(col("even")).drop("even"), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        def drain(): Unit = {
+          val q = PolarStream.read(s, cfg, startingOffsets = "earliest")
+            .select(get_json_object(col("value").cast("string"), "$.k")
+              .cast("long").as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("n"))
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode("complete")
+            .format("memory").queryName("gate_stream_restart").start()
+          q.awaitTermination(300000)
+        }
+        drain()
+        PolarLog.produce(ev.filter(!col("even")).drop("even"), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        drain()
+        s.table("gate_stream_restart").select(col("k"), col("n"))
+      },
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n
+        FROM events GROUP BY 1""")),
+
+    QueryDef(
       "stream_quantile",
       (s, dir) => withStatePartitions(s, 4) {
         // quantile sketch maintained ON the stream: the same mergeable
