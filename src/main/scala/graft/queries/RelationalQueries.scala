@@ -1517,6 +1517,58 @@ object RelationalQueries extends QueryRegistry {
         SELECT user_id, event_id, cusum FROM c WHERE ABS(cusum) > 400000""")),
 
     QueryDef(
+      "q_constraint_check",
+      // data-CONTRACT validation (the dbt-test / CHECK-constraint sweep a
+      // pipeline runs before publishing a table): key uniqueness,
+      // referential integrity, and value-range rules, each as ONE
+      // scan-plus-aggregate (FKs as anti joins — broadcast when the
+      // parent side is dimension-sized), unioned into a constraint ×
+      // violation-count report. At 100 TB each rule stays a single pass
+      // and the report is metadata-sized.
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        val li = Tables.lineitem(s, dir)
+        def row(name: String, c: org.apache.spark.sql.DataFrame) =
+          c.select(lit(name).as("constraint_name"),
+            col("n_violations").cast("long").as("n_violations"))
+        row("lineitem_fk_orders",
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n_violations")))
+          .unionAll(row("lineitem_qty_range",
+            li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+              .agg(count(lit(1)).as("n_violations"))))
+          .unionAll(row("orders_fk_customer",
+            ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")
+              .agg(count(lit(1)).as("n_violations"))))
+          .unionAll(row("orders_pk_unique",
+            ord.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+              .as("n_violations"))))
+          .unionAll(row("orders_price_positive",
+            ord.filter(col("o_totalprice") <= 0)
+              .agg(count(lit(1)).as("n_violations"))))
+      },
+      Some("""
+        SELECT 'lineitem_fk_orders' AS constraint_name,
+               CAST(COUNT(*) AS BIGINT) AS n_violations
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        UNION ALL
+        SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_price_positive', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_totalprice <= 0""")),
+
+    QueryDef(
       "q_table_checksum",
       // order/partition-independent table content fingerprint — the
       // migration-verification primitive (exactly what this engine's own
