@@ -2011,6 +2011,57 @@ object PipelineQueries extends QueryRegistry {
         FROM c GROUP BY shard, win""")),
 
     QueryDef(
+      "pipeline_e2e",
+      // the WHOLE corpus pipeline as ONE declarative plan — exact-norm
+      // dedup → quality gate → sequence packing — the composition a real
+      // pretraining run executes, end to end, with every stage's
+      // arithmetic already individually oracle-verified. Catalyst fuses
+      // the dedup semi-join and the quality filter into the packing
+      // scan's input; the corpus text crosses the wire once (the packing
+      // shard shuffle), exactly as it must at 100 TB.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val winners = Dedup.exactNormalized(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val surviving = docs
+          .join(winners, Seq("doc_id"), "left_semi")
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        graft.operators.Curation.packDocuments(
+            surviving, "text", "doc_id", 2048, shards = 8)
+          .groupBy(col("shard"), col("window").as("win"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      },
+      Some(s"""
+        WITH keep AS (
+          SELECT MIN(doc_id) AS doc_id
+          FROM documents
+          GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+        q AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN keep USING (doc_id)
+          WHERE round(
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+              least(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is|it|for|on)\\b')) AS DOUBLE)
+                    / (CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) + 1.0) * 5.0, 1.0) * 0.3 +
+              (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                     / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.2, 6) >= 0.5),
+        t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[^ ]+'))
+                      + floor(length(text) / 16) AS BIGINT) AS nt,
+                 ${OracleSql.md5Hash60("doc_id")} % 8 AS shard,
+                 ${OracleSql.md5Hash60("doc_id")} AS h
+          FROM q),
+        c AS (
+          SELECT doc_id, nt, shard,
+                 SUM(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum
+          FROM t)
+        SELECT shard, CAST(floor(cum / 2048) AS BIGINT) AS win,
+               COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM c GROUP BY shard, win""")),
+
+    QueryDef(
       "pipeline_mixture",
       // temperature-based (α=0.5) domain mixture over the lang column:
       // per-domain sampling rates follow the α-scaled distribution (IEEE
