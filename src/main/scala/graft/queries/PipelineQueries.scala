@@ -657,6 +657,33 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_filtered",
+      // FILTERED vector search (the metadata-predicate + top-k composition
+      // every vector store exposes): brute-force cosine top-k restricted
+      // to one label. The predicate evaluates in the SAME scan as the
+      // scoring projection — pushdown makes pre- vs post-filter moot here;
+      // at index scale the same predicate gates which IVF lists/buckets
+      // are opened. Plan: scan → filter+score → TakeOrderedAndProject.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0 && col("label") === 3),
+          "embedding", "vec_id", qv, 10)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label = 3
+        ORDER BY sim DESC, id LIMIT 10""")),
+
+    QueryDef(
       "sim_range_search",
       // exact cosine RANGE query (the vector-store API beside top-k): one
       // parallel scan, predicate on the codegen'd cosine, no shuffle; the

@@ -373,6 +373,35 @@ object StreamingQueries extends QueryRegistry {
         FROM c WHERE prev IS NULL OR prev <> attr""")),
 
     QueryDef(
+      "stream_topk",
+      (s, dir) => withStatePartitions(s, 4) {
+        // trending items ON the stream: per-key counts as bounded
+        // complete-mode state (key space = the k-value domain), the top-10
+        // walk in batch over the final frame — the heavy-hitters dashboard
+        // shape; the exact-count twin of stream_cms's sketch.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_tk").toString
+        val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF()
+          .select(get_json_object(col("value").cast("string"), "$.k")
+            .cast("long").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_topk").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_topk")
+          .orderBy(col("n").desc, col("k")).limit(10)
+      },
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+        ORDER BY n DESC, k LIMIT 10""")),
+
+    QueryDef(
       "stream_restart",
       (s, dir) => withStatePartitions(s, 4) {
         // state recovery ACROSS RESTARTS: produce half the log, drain it
