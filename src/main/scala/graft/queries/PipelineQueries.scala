@@ -763,6 +763,56 @@ object PipelineQueries extends QueryRegistry {
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3""")),
 
     QueryDef(
+      "sim_pairs_eval",
+      // pair-RECALL eval for the bucketed near-dup path: the LSH pair set
+      // scored against the exact pair set on the same sample — closes the
+      // eval→trust loop for semantic dedup exactly as sim_ann_recall does
+      // for top-k and dedup_lsh_eval for MinHash. One row: exact pairs,
+      // bucketed pairs, hits, recall.
+      (s, dir) => {
+        val sample = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+        val exact = Similarity.exactCosinePairs(sample, "embedding", "vec_id", 0.3)
+          .select(col("id_a"), col("id_b"))
+        val lsh = Similarity.dataPlaneCosinePairs(sample, "embedding", "vec_id",
+            0.3, numPlanes = 4)
+          .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+        exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0),
+        ex AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id
+            AND list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj, v AS pv
+          FROM e ORDER BY vec_id LIMIT 4),
+        bk AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        ls AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3)
+        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+               (SELECT COUNT(*) FROM ls) AS n_lsh,
+               (SELECT COUNT(*) FROM ex JOIN ls USING (id_a, id_b)) AS n_hit,
+               round(CAST((SELECT COUNT(*) FROM ex JOIN ls USING (id_a, id_b)) AS DOUBLE) /
+                     (SELECT COUNT(*) FROM ex), 6) AS recall""")),
+
+    QueryDef(
       "sim_knn_join",
       // ANN as a JOIN: every vector gets its top-3 bucket-local neighbors
       // in one pass — the batch shape ("attach near neighbors to every
