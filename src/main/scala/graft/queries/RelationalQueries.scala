@@ -1460,7 +1460,12 @@ object RelationalQueries extends QueryRegistry {
         val root = java.nio.file.Files
           .createTempDirectory("graft_part_prune").toString
         val ev = Tables.events(s, dir)
+        // repartition on the partition column first: ONE writer (and one
+        // file) per day instead of tasks × days small files — the layout
+        // shape that keeps a 100 TB partitioned write from minting
+        // millions of tiny objects
         ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(col("day"))
           .write.mode("overwrite").partitionBy("day").parquet(root)
         val day0 = ev.agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd"))
           .head().getString(0)
