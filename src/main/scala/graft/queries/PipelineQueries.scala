@@ -3105,6 +3105,33 @@ object PipelineQueries extends QueryRegistry {
         FROM wds GROUP BY doc_id""")),
 
     QueryDef(
+      "text_templates",
+      // boilerplate TEMPLATE MINING at paragraph granularity (the Drain-
+      // style log-clustering shape): digit-masked normalized paragraphs
+      // that repeat across the corpus are instances of one generator —
+      // the signal a boilerplate stripper keys on. One hash-aggregate
+      // over the exploded paragraph stream (the normalize/mask projection
+      // is free), top-20 repeated templates with total tie-break.
+      (s, dir) => paragraphedDocs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("para"))
+        .groupBy(regexp_replace(
+          trim(regexp_replace(lower(col("para")), "\\s+", " ")),
+          "[0-9]+", "#").as("template"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("n_copies").desc, col("template"))
+        .limit(20),
+      Some(s"""
+        WITH $ParagraphCtes
+        SELECT regexp_replace(k, '[0-9]+', '#', 'g') AS template,
+               COUNT(*) AS n_copies,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM d
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY n_copies DESC, template LIMIT 20""")),
+
+    QueryDef(
       "text_ngram_novelty",
       // per-document n-gram NOVELTY: the fraction of a doc's distinct
       // 3-gram shingles that appear in NO other document — the

@@ -1600,6 +1600,32 @@ object RelationalQueries extends QueryRegistry {
         FROM lineitem""")),
 
     QueryDef(
+      "events_markov",
+      // user-journey TRANSITION MATRIX (first-order Markov counts — the
+      // attribution/flow-analysis primitive): per user, consecutive
+      // event-type pairs in event-time order, aggregated corpus-wide.
+      // One keyed shuffle for the lag window; the matrix aggregate is
+      // |types|²-sized — metadata, not data.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2""")),
+
+    QueryDef(
       "events_ewma",
       // exponentially-decayed engagement score per user: a 16-tap EWMA
       // kernel over the last events, weights 2^-(k+1). Every term is an
