@@ -3105,6 +3105,61 @@ object PipelineQueries extends QueryRegistry {
         FROM wds GROUP BY doc_id""")),
 
     QueryDef(
+      "text_summarize",
+      // EXTRACTIVE summarization (Luhn 1958): each document's top-2
+      // sentences by summed corpus word frequency — the classic
+      // preprocessing summarizer. The corpus frequency side is ONE
+      // vocab-sized aggregate broadcast back; sentences explode once;
+      // the per-doc top-2 is a rank filter Spark rewrites to
+      // WindowGroupLimit below the exchange. Deterministic: integer
+      // scores, ties to sentence position.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val freq = graft.Materialize.localCheckpoint(
+          docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+            .groupBy(col("token")).agg(count(lit(1)).as("f")))
+        val sents = docs.select(col("doc_id"),
+            posexplode(split(col("text"), "[.!?]+")).as(Seq("idx", "sent")))
+          .withColumn("sent", trim(col("sent")))
+          .filter(length(col("sent")) > 0)
+        val scored = sents
+          .select(col("doc_id"), col("idx"), col("sent"),
+            explode(TextAnalysis.tokens(col("sent"))).as("token"))
+          .join(freq, Seq("token"))
+          .groupBy(col("doc_id"), col("idx"), col("sent"))
+          .agg(sum(col("f")).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("idx"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("doc_id"), col("rk"), col("idx"), col("score"))
+      },
+      Some(s"""
+        WITH freq AS (
+          SELECT token, COUNT(*) AS f FROM (
+            SELECT unnest($WordsSql) AS token FROM documents) GROUP BY 1),
+        sp AS (
+          SELECT doc_id, string_split_regex(text, '[.!?]+') AS ss FROM documents),
+        sen AS (
+          SELECT doc_id, i - 1 AS idx, trim(ss[i]) AS sent
+          FROM sp, LATERAL (SELECT unnest(generate_series(1, len(ss))) AS i) t
+          WHERE len(trim(ss[i])) > 0),
+        toks AS (
+          SELECT doc_id, idx, sent,
+                 unnest(list_filter(string_split_regex(lower(sent), '\\s+'),
+                                    w -> len(w) > 0)) AS token
+          FROM sen),
+        sc AS (
+          SELECT doc_id, idx, sent, CAST(SUM(f) AS BIGINT) AS score
+          FROM toks JOIN freq USING (token)
+          GROUP BY 1, 2, 3)
+        SELECT doc_id, rk, idx, score FROM (
+          SELECT doc_id, idx, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, idx) AS rk
+          FROM sc) WHERE rk <= 2""")),
+
+    QueryDef(
       "text_templates",
       // boilerplate TEMPLATE MINING at paragraph granularity (the Drain-
       // style log-clustering shape): digit-masked normalized paragraphs
