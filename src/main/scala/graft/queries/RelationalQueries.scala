@@ -1600,6 +1600,31 @@ object RelationalQueries extends QueryRegistry {
         FROM lineitem""")),
 
     QueryDef(
+      "events_seasonality",
+      // seasonality profile: activity by hour-of-day × event type, with
+      // each cell's share of its type's total — the daily-rhythm heatmap
+      // every events dashboard opens with. One aggregate; the share
+      // derives from a type-total window over the 24×|types| cell frame,
+      // never the data.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(hour(col("ts")).as("hod"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+        cells.withColumn("share",
+          round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+                 event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT hod, event_type, n,
+               round(CAST(n AS DOUBLE) /
+                     SUM(n) OVER (PARTITION BY event_type), 6) AS share
+        FROM cells""")),
+
+    QueryDef(
       "events_markov",
       // user-journey TRANSITION MATRIX (first-order Markov counts — the
       // attribution/flow-analysis primitive): per user, consecutive

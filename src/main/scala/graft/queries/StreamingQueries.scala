@@ -373,6 +373,44 @@ object StreamingQueries extends QueryRegistry {
         FROM c WHERE prev IS NULL OR prev <> attr""")),
 
     QueryDef(
+      "stream_markov",
+      (s, dir) => withStatePartitions(s, 4) {
+        // transition extraction ON the stream: per-key (prev, next) state
+        // pairs with O(1) carried state — pacing forces transitions to
+        // SPAN micro-batch boundaries, which is the property under test;
+        // the |states|²-sized matrix aggregate runs over the appended
+        // pairs. Oracle replays with a lag window per user.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_mk").toString
+        val pairs = graft.streaming.StreamAnalytics.transitionStream(
+          PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+          state = get_json_object(col("value").cast("string"), "$.k").cast("int") % 4)
+        val q = pairs.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_markov").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_markov")
+          .groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, props, ts,
+                 CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS VARCHAR)
+                   AS st
+          FROM events),
+        t AS (
+          SELECT st AS next_type,
+                 lag(st) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), props)
+                   AS prev_type
+          FROM e)
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2""")),
+
+    QueryDef(
       "stream_topk",
       (s, dir) => withStatePartitions(s, 4) {
         // trending items ON the stream: per-key counts as bounded

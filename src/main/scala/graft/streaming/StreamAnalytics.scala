@@ -30,6 +30,11 @@ final case class AnomalyFlag(
 
 private final case class ZScoreState(n: Long, s: Long, q: Long)
 
+/** One extracted state transition of a key. */
+final case class Transition(partitionKey: String, prev_type: String, next_type: String)
+
+private final case class LastState(t: String)
+
 private final case class PackState(cum: Long)
 
 /**
@@ -311,6 +316,39 @@ object StreamAnalytics {
             st = ZScoreState(st.n + 1, st.s + x, st.q + x * x)
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming TRANSITION extraction (the Markov-chain feed): per key,
+   * every consecutive (prev, next) state pair in event-time order —
+   * O(1) state per key (the last state only), pairs appended as they
+   * stream, cross-batch continuity guaranteed by the carried state. The
+   * downstream transition-matrix aggregate is |states|²-sized whether it
+   * runs on the stream or in batch over the appended pairs.
+   */
+  def transitionStream(events: DataFrame, state: Column): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("partitionKey").cast("string"), col("timestamp"),
+        col("value").cast("string"), state.cast("string"))
+      .as[(String, java.sql.Timestamp, String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, st: GroupState[LastState]) =>
+          val sorted = rows.toSeq.sortBy { case (_, ts, v, _) =>
+            (ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L, v)
+          }
+          var last = st.getOption.map(_.t)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          sorted.foreach { case (_, _, _, t) =>
+            last.foreach(p => out += Transition(key, p, t))
+            last = Some(t)
+          }
+          last.foreach(t => st.update(LastState(t)))
           out.iterator
       }
   }
