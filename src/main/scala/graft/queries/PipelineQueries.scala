@@ -2739,6 +2739,48 @@ object PipelineQueries extends QueryRegistry {
         FROM bg GROUP BY 1, 2""")),
 
     QueryDef(
+      "text_embed_hash",
+      // MODEL-FREE document embeddings: hashed-bigram counts projected
+      // through a deterministic ±1 matrix (signs from the md5 family) to
+      // 16 dims — the classic random-projection text embedding that needs
+      // no trained model and no vocabulary, yet feeds the whole sim_*
+      // family downstream. The projection matrix is a GENERATED 256×16
+      // frame (broadcast); the doc side is one aggregate over the
+      // exploded n-gram stream. All-integer — exact in both engines.
+      (s, dir) => {
+        val feats = TextAnalysis.hashedFeatures(
+          Tables.documents(s, dir), "text", "doc_id", dim = 256)
+        val proj = s.range(256).select(col("id").as("idx"))
+          .crossJoin(s.range(16).select(col("id").as("dim")))
+          .select(col("idx"), col("dim"),
+            (graft.operators.Dedup.md5Hash60(
+              (col("idx") * 16 + col("dim")).cast("string")) % 2 * 2 - 1)
+              .as("sign"))
+        feats.join(broadcast(proj), Seq("idx"))
+          .groupBy(col("doc_id"), col("dim"))
+          .agg(sum(col("c") * col("sign")).as("v"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $WordsSql AS w FROM documents),
+        bg AS (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                 for i in generate_series(1, len(w)-1)]) AS bigram
+          FROM t),
+        f AS (
+          SELECT doc_id, ${OracleSql.md5Hash60("bigram")} % 256 AS idx,
+                 COUNT(*) AS c
+          FROM bg GROUP BY 1, 2),
+        proj AS (
+          SELECT b.b AS idx, d.d AS dim,
+                 ${OracleSql.md5Hash60("CAST(b.b * 16 + d.d AS VARCHAR)")} % 2 * 2 - 1
+                   AS sign
+          FROM (SELECT unnest(generate_series(0, 255)) AS b) b,
+               (SELECT unnest(generate_series(0, 15)) AS d) d)
+        SELECT doc_id, dim, CAST(SUM(c * sign) AS BIGINT) AS v
+        FROM f JOIN proj USING (idx)
+        GROUP BY 1, 2""")),
+
+    QueryDef(
       "text_collocations",
       // corpus-level PMI collocation mining (multiword expressions a vocab
       // builder would protect before BPE training): exact-count PMI with a
