@@ -1933,6 +1933,74 @@ object PipelineQueries extends QueryRegistry {
         FROM base b LEFT JOIN hu USING (doc_id)""")),
 
     QueryDef(
+      "decontaminate_fuzzy",
+      // FUZZY decontamination: n-gram-exact decontamination (the gate
+      // below) misses paraphrased benchmark leakage; this one flags train
+      // docs whose MinHash bands collide with a TEST doc and whose exact
+      // Jaccard confirms ≥ 0.8 — the near-duplicate leak detector. Same
+      // banded shuffle economics as the dedup family; test membership
+      // attaches as a broadcast of test ids.
+      (s, dir) => {
+        val tagged = Tables.documents(s, dir)
+          .withColumn("split",
+            graft.operators.Sampling.splitTag(col("doc_id"), 90, 5))
+          .filter(col("split") =!= "val")
+        val pairs = Dedup.md5MinhashLshPairs(tagged, "text", "doc_id",
+          shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8)
+        val testIds = tagged.filter(col("split") === "test").select(col("doc_id"))
+        pairs
+          .join(broadcast(testIds.select(col("doc_id").as("id_a"),
+            lit(1).as("a_test"))), Seq("id_a"), "left_outer")
+          .join(broadcast(testIds.select(col("doc_id").as("id_b"),
+            lit(1).as("b_test"))), Seq("id_b"), "left_outer")
+          .filter(coalesce(col("a_test"), lit(0)) =!= coalesce(col("b_test"), lit(0)))
+          .select(
+            when(col("a_test").isNotNull, col("id_b")).otherwise(col("id_a"))
+              .as("train_id"),
+            when(col("a_test").isNotNull, col("id_a")).otherwise(col("id_b"))
+              .as("test_id"),
+            col("sim"))
+      },
+      Some {
+        val rlist = Dedup.xorSeeds(32).map(_.toString + "::BIGINT").mkString(",")
+        s"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN len($WordsSql) < 1 THEN ['']
+                      ELSE list_distinct($WordsSql) END AS sh,
+                 ${OracleSql.md5Hash60("doc_id")} % 100 AS bkt
+          FROM documents),
+        split AS (SELECT doc_id, sh, bkt FROM docs WHERE bkt < 90 OR bkt >= 95),
+        hashed AS (
+          SELECT doc_id, sh, bkt, list_transform(sh, s -> ${hex15ToInt("md5(s)")}) AS hs
+          FROM split),
+        sigs AS (
+          SELECT doc_id, sh, bkt, [ list_min([xor(h, r) for h in hs]) for r in [$rlist] ] AS sig
+          FROM hashed),
+        banded AS (
+          SELECT doc_id, sh, bkt, b, sig[2*b+1 : 2*b+2] AS bv
+          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sh AS sh_a, b.sh AS sh_b,
+                          a.bkt AS bkt_a, b.bkt AS bkt_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b, bkt_a, bkt_b,
+                 round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                       (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)), 6) AS sim
+          FROM cand
+          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) >= 0.8)
+        SELECT CASE WHEN bkt_a >= 95 THEN id_b ELSE id_a END AS train_id,
+               CASE WHEN bkt_a >= 95 THEN id_a ELSE id_b END AS test_id,
+               sim
+        FROM pairs
+        WHERE (bkt_a >= 95) <> (bkt_b >= 95)"""
+      }),
+
+    QueryDef(
       "decontaminate",
       // train/test decontamination: per train doc, its distinct 3-gram
       // overlap with the WHOLE test split's n-gram set — test grams
