@@ -431,6 +431,52 @@ object Analytics {
   }
 
   /**
+   * Multi-source BFS distances (frontier-only relaxation — the Pregel/
+   * Beamer top-down step): round k expands ONLY the nodes first reached at
+   * distance k-1, so total work across all rounds is O(|E|) regardless of
+   * hop count — the re-relax-everything formulation (join the FULL distance
+   * table every round) does O(rounds·|E|) and is the shape that drowns at
+   * 100 TB. Each round is one edge⨝frontier join, one DISTINCT over the
+   * candidate set, and one anti-join against the settled set; the settled
+   * and frontier frames are `localCheckpoint`ed per round (registry-owned,
+   * predecessors dropped) so the visible plan stays one round deep and the
+   * per-round floor is the edge-frame read, same as any BSP step. Early
+   * exit on an empty frontier makes a converged run equal the fixed-round
+   * oracle replay (remaining rounds are provable no-ops).
+   *
+   * Input `edges` must be symmetrized, self-loop-free, deduplicated (the
+   * [[kCore]] contract); `seeds` is one `node` column. Output: `(node,
+   * dist)` for every node within `maxHops` of any seed.
+   */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"bfsDistances needs maxHops >= 1, got $maxHops")
+    val e = graft.Materialize.localCheckpoint(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    var settled = graft.Materialize.localCheckpoint(
+      seeds.select(col("node").cast("long")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier: DataFrame = settled.select(col("node"))
+    var hop = 1L
+    var done = false
+    while (hop <= maxHops && !done) {
+      val cand = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = graft.Materialize.localCheckpoint(
+        cand.join(settled, Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop)))
+      done = fresh.isEmpty
+      val next = graft.Materialize.localCheckpoint(settled.unionAll(fresh))
+      graft.Materialize.drop(settled)
+      graft.Materialize.drop(fresh)
+      settled = next
+      frontier = settled.filter(col("dist") === hop).select(col("node"))
+      hop += 1
+    }
+    graft.Materialize.drop(e)
+    settled
+  }
+
+  /**
    * Synchronous label propagation (Raghavan–Albert–Kumara 2007), made
    * deterministic: round 0 seeds every node with its own id; each round
    * every node adopts the most frequent label among its neighbors, ties

@@ -183,7 +183,9 @@ object Curation {
     val w = Window.partitionBy(col("shard"))
       .orderBy(order.as("h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(keyCol), col(nTokensCol), shard)
+    // keep the caller's columns (mask spans, labels) — they ride the same
+    // shard shuffle; the window assignment itself reads only (key, tokens)
+    df.withColumn("shard", shard)
       .withColumn("__cum", sum(col(nTokensCol)).over(w) - col(nTokensCol))
       .withColumn("window", floor(col("__cum") / contextLen))
       .drop("__cum")
@@ -206,6 +208,30 @@ object Curation {
       tokenCounter: Column => Column = TextAnalysis.subwordCount): DataFrame =
     packSequences(
       df.select(col(keyCol), tokenCounter(col(textCol)).as("n_tokens")),
+      keyCol, "n_tokens", contextLen, shards)
+
+  /**
+   * SFT-style packing with LOSS MASKS: each document's first
+   * `promptTokens` tokens (capped at its length) form the prompt span,
+   * excluded from the loss; the remainder is the completion span. Packing
+   * is [[packSequences]] unchanged — the mask counts ride the same shard
+   * shuffle as extra integer columns, so the per-window loss-token density
+   * (what an SFT dataloader actually schedules by) folds into the same
+   * (shard, window) aggregate as the token counts, at zero extra shuffles.
+   * Output: (key, n_tokens, n_prompt, n_loss, shard, window).
+   */
+  def packWithLossMask(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      contextLen: Int,
+      promptTokens: Int,
+      shards: Int = 64,
+      tokenCounter: Column => Column = TextAnalysis.subwordCount): DataFrame =
+    packSequences(
+      df.select(col(keyCol), tokenCounter(col(textCol)).as("n_tokens"))
+        .withColumn("n_prompt", least(col("n_tokens"), lit(promptTokens.toLong)))
+        .withColumn("n_loss", col("n_tokens") - col("n_prompt")),
       keyCol, "n_tokens", contextLen, shards)
 
   /**

@@ -3427,7 +3427,115 @@ object PipelineQueries extends QueryRegistry {
                           CAST(1152921504606846976 AS DOUBLE)) / o_totalprice, 9) AS pri
           FROM orders)
         SELECT o_orderkey, o_totalprice, round(pri, 6) + 0.0 AS priority
-        FROM h ORDER BY pri DESC, o_orderkey LIMIT 100""")))
+        FROM h ORDER BY pri DESC, o_orderkey LIMIT 100""")),
+
+    QueryDef(
+      "feature_target_encode",
+      // leave-one-out target encoding of a categorical against a numeric
+      // target (the classic tabular-feature primitive, LOO so a row never
+      // sees its own label — the leakage guard). Category sums are exact
+      // BIGINT cents; the per-row encode joins the metadata-sized category
+      // frame back (AQE broadcasts it), so the fact table never shuffles.
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val g = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        o.join(broadcast(g), Seq("o_orderpriority"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("n"),
+            when(col("n") > 1,
+              round((col("s") - col("cents")).cast("double") /
+                (col("n") - 1).cast("double") / 100.0, 4))
+              .as("te"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        g AS (SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+              FROM o GROUP BY 1)
+        SELECT o.o_orderkey, o.o_orderpriority, g.n,
+               CASE WHEN g.n > 1 THEN
+                 round(CAST(g.s - o.cents AS DOUBLE) / CAST(g.n - 1 AS DOUBLE) / 100.0, 4)
+               END AS te
+        FROM o JOIN g USING (o_orderpriority)""")),
+
+    QueryDef(
+      "pipeline_pref_pairs",
+      // preference-pair construction (the DPO/RLHF data primitive): per
+      // source group, pair the best- and worst-scoring documents as
+      // (chosen, rejected) with their margin. Score here is the distinct-
+      // token count; any column scorer drops in. ONE aggregate keyed by
+      // group — argmax/argmin fold into the same pass as packed
+      // (score·10^6 + id) BIGINTs, so ties are deterministic in both
+      // engines and there is no window, no second shuffle.
+      (s, dir) => {
+        val sc = Tables.documents(s, dir).select(
+          col("source"), col("doc_id"),
+          size(array_distinct(filter(split(lower(col("text")), "\\s+"),
+            w => length(w) > 0))).cast("long").as("score"))
+        val packed = col("score") * 1000000L + col("doc_id")
+        sc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(packed).as("mx"), min(packed).as("mn"))
+          .filter(col("n_docs") >= 2)
+          .select(col("source"), col("n_docs"),
+            (col("mx") % 1000000L).as("chosen_id"),
+            floor(col("mx") / 1000000L).cast("long").as("chosen_score"),
+            (col("mn") % 1000000L).as("rejected_id"),
+            floor(col("mn") / 1000000L).cast("long").as("rejected_score"),
+            (floor(col("mx") / 1000000L) - floor(col("mn") / 1000000L))
+              .cast("long").as("margin"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT source, doc_id,
+                 CAST(len(list_distinct($WordsSql)) AS BIGINT) AS score
+          FROM documents),
+        a AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 MAX(score * 1000000 + doc_id) AS mx,
+                 MIN(score * 1000000 + doc_id) AS mn
+          FROM sc GROUP BY 1)
+        SELECT source, n_docs,
+               mx % 1000000 AS chosen_id, mx // 1000000 AS chosen_score,
+               mn % 1000000 AS rejected_id, mn // 1000000 AS rejected_score,
+               mx // 1000000 - mn // 1000000 AS margin
+        FROM a WHERE n_docs >= 2""")),
+
+    QueryDef(
+      "pipeline_pack_masked",
+      // SFT packing with loss masks: prompt span = first 32 tokens of each
+      // doc (excluded from the loss), completion = the rest; same
+      // content-hash-shuffled 2048-token windows as pipeline_pack, with
+      // the per-window LOSS-token density folding into the same
+      // (shard, window) aggregate — zero extra shuffles over plain packing.
+      (s, dir) => graft.operators.Curation.packWithLossMask(
+          Tables.documents(s, dir), "text", "doc_id", 2048,
+          promptTokens = 32, shards = 8)
+        .groupBy(col("shard"), col("window").as("win"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_loss")).as("n_loss")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[^ ]+'))
+                      + floor(length(text) / 16) AS BIGINT) AS nt,
+                 ${OracleSql.md5Hash60("doc_id")} % 8 AS shard,
+                 ${OracleSql.md5Hash60("doc_id")} AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, nt, shard,
+                 nt - least(nt, 32) AS loss,
+                 SUM(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum
+          FROM t)
+        SELECT shard, CAST(floor(cum / 2048) AS BIGINT) AS win,
+               COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(loss) AS BIGINT) AS n_loss
+        FROM c GROUP BY shard, win""")))
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

@@ -1927,6 +1927,105 @@ object RelationalQueries extends QueryRegistry {
         $rounds
         SELECT lbl AS community, COUNT(*) AS sz, CAST(MIN(node) AS BIGINT) AS min_node
         FROM l4 GROUP BY lbl"""
-      })
+      }),
+
+    QueryDef(
+      "graph_bfs",
+      // multi-source BFS distances over the co-purchase graph: hop count
+      // from the seed set (part keys ≡ 0 mod 500) within 3 hops.
+      // Frontier-only relaxation — each round expands only the nodes first
+      // reached last round, so total work is O(|E|) across all rounds (the
+      // re-relax-everything form pays rounds×|E| — the shape that drowns
+      // at 100 TB). Oracle replays the rounds as chained frontier CTEs.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("pk"))
+        val raw = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("y.l_linenumber") === col("x.l_linenumber") + 1)
+          .filter(col("x.pk") =!= col("y.pk"))
+          .select(least(col("x.pk"), col("y.pk")).as("a"),
+            greatest(col("x.pk"), col("y.pk")).as("b"))
+          .distinct()
+        val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(raw.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = edges.select(col("src").as("node"))
+          .filter(col("node") % 500 === 0).distinct()
+        graft.operators.Analytics.bfsDistances(edges, seeds, maxHops = 3)
+      },
+      Some("""
+        WITH raw AS MATERIALIZED (
+          SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                          greatest(x.l_partkey, y.l_partkey) AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+           AND y.l_linenumber = x.l_linenumber + 1
+          WHERE x.l_partkey <> y.l_partkey),
+        e AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM raw UNION ALL SELECT b, a FROM raw),
+        d0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, 0 AS dist FROM e WHERE src % 500 = 0),
+        f1 AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)),
+        d1 AS MATERIALIZED (
+          SELECT node, dist FROM d0 UNION ALL SELECT node, 1 FROM f1),
+        f2 AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+          WHERE e.dst NOT IN (SELECT node FROM d1)),
+        d2 AS MATERIALIZED (
+          SELECT node, dist FROM d1 UNION ALL SELECT node, 2 FROM f2),
+        f3 AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+          WHERE e.dst NOT IN (SELECT node FROM d2)),
+        d3 AS (SELECT node, dist FROM d2 UNION ALL SELECT node, 3 FROM f3)
+        SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        FROM d3""")),
+
+    QueryDef(
+      "events_acf",
+      // autocorrelation of the hourly event-count series at lags 1..12 —
+      // the periodicity detector behind seasonality-aware anomaly
+      // thresholds. The series is ONE aggregate (≤ |hours| rows —
+      // metadata, not data); mean-centering is exact in integers by
+      // scaling through N (c_t = N·x_t − S), so num/den are BIGINT sums
+      // independent of aggregation order, and only the final ratio is a
+      // double. Lag pairing self-joins the tiny centered frame.
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val stats = hourly.agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"))
+        val c = hourly.crossJoin(broadcast(stats))
+          .select(col("h"), (col("nn") * col("x") - col("ss")).as("c0"))
+          .withColumn("t", row_number().over(Window.orderBy(col("h"))))
+        val den = c.agg(sum(col("c0") * col("c0")).as("den"))
+        val lagFrame = c.sparkSession.range(1, 13).select(col("id").as("lag"))
+        val a = c.select(col("t").as("ta"), col("c0").as("ca"))
+        val b = c.select(col("t").as("tb"), col("c0").as("cb"))
+        a.crossJoin(broadcast(lagFrame))
+          .join(b, col("tb") === col("ta") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(sum(col("ca") * col("cb")).as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("num"), col("den"),
+            round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS x
+          FROM events GROUP BY 1),
+        st AS (SELECT COUNT(*) AS nn, CAST(SUM(x) AS BIGINT) AS ss FROM hourly),
+        c AS (SELECT nn * x - ss AS c0,
+                     row_number() OVER (ORDER BY h) AS t
+              FROM hourly, st),
+        d AS (SELECT CAST(SUM(c0 * c0) AS BIGINT) AS den FROM c),
+        l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 13)),
+        n AS (SELECT l.lag, CAST(SUM(a.c0 * b.c0) AS BIGINT) AS num
+              FROM l, c a, c b WHERE b.t = a.t + l.lag GROUP BY 1)
+        SELECT n.lag, n.num, d.den,
+               round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+        FROM n, d"""))
   )
 }

@@ -411,6 +411,50 @@ object StreamingQueries extends QueryRegistry {
         GROUP BY 1, 2""")),
 
     QueryDef(
+      "stream_funnel",
+      (s, dir) => withStatePartitions(s, 4) {
+        // funnel detection ON the stream: per-key sequential stage machine
+        // (stages 0→1→2 derived from the payload), O(1) carried state (the
+        // stage pointer), one conversion row per key on completing the last
+        // stage. Pacing forces funnels to span micro-batch boundaries; the
+        // oracle replays greedy first-match with nested first-occurrence
+        // seeks over the per-key (ts, value) order.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_fn").toString
+        val conv = graft.streaming.StreamAnalytics.funnelStream(
+          PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+          stage = get_json_object(col("value").cast("string"), "$.k").cast("int") % 3,
+          stages = Seq("0", "1", "2"))
+        val q = conv.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_funnel").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_funnel")
+          .select(col("partitionKey"),
+            date_format(col("converted_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("converted_at"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(user_id AS VARCHAR) AS partitionKey,
+                 CAST(ts AS TIMESTAMP) AS tsv, props,
+                 CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 AS VARCHAR) AS st,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), props) AS seq
+          FROM events),
+        s0 AS (SELECT partitionKey, MIN(seq) AS q FROM e WHERE st = '0' GROUP BY 1),
+        s1 AS (SELECT e.partitionKey, MIN(seq) AS q
+               FROM e JOIN s0 ON e.partitionKey = s0.partitionKey
+               WHERE e.st = '1' AND e.seq > s0.q GROUP BY 1),
+        s2 AS (SELECT e.partitionKey, MIN(seq) AS q
+               FROM e JOIN s1 ON e.partitionKey = s1.partitionKey
+               WHERE e.st = '2' AND e.seq > s1.q GROUP BY 1)
+        SELECT e.partitionKey,
+               strftime(e.tsv, '%Y-%m-%d %H:%M:%S.%f') AS converted_at
+        FROM e JOIN s2 ON e.partitionKey = s2.partitionKey AND e.seq = s2.q""")),
+
+    QueryDef(
       "stream_topk",
       (s, dir) => withStatePartitions(s, 4) {
         // trending items ON the stream: per-key counts as bounded

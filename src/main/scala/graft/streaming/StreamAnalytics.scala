@@ -35,6 +35,13 @@ final case class Transition(partitionKey: String, prev_type: String, next_type: 
 
 private final case class LastState(t: String)
 
+/** One completed funnel conversion: the key and the timestamp of the event
+  * that closed the final stage. */
+final case class FunnelConversion(
+    partitionKey: String, converted_at: java.sql.Timestamp)
+
+private final case class FunnelState(stage: Int)
+
 private final case class PackState(cum: Long)
 
 /**
@@ -349,6 +356,49 @@ object StreamAnalytics {
             last = Some(t)
           }
           last.foreach(t => st.update(LastState(t)))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming FUNNEL detection: per key, a sequential state machine over
+   * `stages` — the pointer advances when the current event's stage token
+   * equals the next expected stage, and on completing the last stage emits
+   * one [[FunnelConversion]] carrying that event's timestamp, then absorbs
+   * (first conversion only). State is O(1) per key (the stage pointer —
+   * an Int, not the event history), so state size is bounded by live keys
+   * exactly like the reference's per-group reader state. Greedy
+   * first-match semantics make the run a pure function of the per-key
+   * (event-time, value) order, which is the log's per-partition produce
+   * order — so the batch oracle replays it with nested first-occurrence
+   * seeks. Pacing forces funnels to span micro-batch boundaries; the
+   * carried pointer is the property under test.
+   */
+  def funnelStream(
+      events: DataFrame, stage: Column, stages: Seq[String]): Dataset[FunnelConversion] = {
+    require(stages.nonEmpty, "funnelStream needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("partitionKey").cast("string"), col("timestamp"),
+        col("value").cast("string"), stage.cast("string"))
+      .as[(String, java.sql.Timestamp, String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelConversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, st: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy { case (_, ts, v, _) =>
+            (ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L, v)
+          }
+          var stagePtr = st.getOption.map(_.stage).getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConversion]
+          sorted.foreach { case (_, ts, _, tok) =>
+            if (stagePtr < stages.length && tok == stages(stagePtr)) {
+              stagePtr += 1
+              if (stagePtr == stages.length) out += FunnelConversion(key, ts)
+            }
+          }
+          st.update(FunnelState(stagePtr))
           out.iterator
       }
   }
