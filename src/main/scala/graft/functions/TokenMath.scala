@@ -32,6 +32,16 @@ object TokenMath {
   /** (brokerIndex, rangeIndex) owning `token` — the placement function
     * (`token.go:49-66`). */
   def primaryTokenIndex(token: Long, clusterSize: Int, rangesPerToken: Int): (Int, Int) = {
+    if (clusterSize == 1) {
+      // dev-mode single broker: the general formula's rangeSize
+      // (ChunkSizeUnit · ringFactor(1)) wraps past 2^64 and goes negative —
+      // placement must use the same float64-stepped even split as the
+      // consume ranges (rangeDevMode), or produce computes a negative
+      // partition id. Walk the (≤ rangesPerToken) range bounds instead.
+      var i = 0
+      while (i < rangesPerToken - 1 && token >= rangeDevMode(i, rangesPerToken)._2) i += 1
+      return (0, i)
+    }
     // sort.Search: smallest i in [0, clusterSize) with tokenAtIndex(i) > token
     var lo = 0
     var hi = clusterSize

@@ -1235,6 +1235,36 @@ object Similarity {
    * rank-window and the k-grid join run on ≤ max(ks) rows. Evaluating on
    * a sampled query set at 100 TB is this same plan per query, fanned out.
    */
+  /**
+   * Rank-aware ANN evaluation — the MRR companion of [[annRecallAtK]]
+   * (recall says IF the truth was retrieved; this says WHERE it landed):
+   * each brute-force ground-truth top-`k` item carries its rank in the
+   * approximate answer (`rk_l`, null if the index missed it) and an EXACT
+   * reciprocal-rank numerator `rr2520` = 2520/rk_l (2520 = lcm(1..10),
+   * so every reciprocal is an integer for k ≤ 10 — MRR =
+   * avg(rr2520)/2520 with zero float accumulation). Same bounded shapes
+   * as recall: ground truth is a k-row TakeOrdered, the index answer
+   * scans one bucket, the join touches ≤ k rows.
+   */
+  def annRankEval(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      numPlanes: Int = 6): DataFrame = {
+    require(k <= 10, s"rr2520 is exact only for ranks <= 10, got k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("id")) // ≤ k rows: bounded window
+    val brute = bruteForceTopK(df, vecCol, idCol, queryVec, k)
+      .withColumn("rk_b", row_number().over(w))
+    val approx = dataPlaneLshTopK(df, vecCol, idCol, queryVec, k, numPlanes)
+      .withColumn("rk_l", row_number().over(w))
+    brute.join(approx.select(col("id"), col("rk_l")), Seq("id"), "left")
+      .select(col("id"), col("rk_b").cast("long"), col("rk_l").cast("long"),
+        coalesce(expr("CAST(2520 div rk_l AS BIGINT)"), lit(0L)).as("rr2520"))
+  }
+
   def annRecallAtK(
       df: DataFrame,
       vecCol: String,

@@ -3535,7 +3535,60 @@ object PipelineQueries extends QueryRegistry {
         SELECT shard, CAST(floor(cum / 2048) AS BIGINT) AS win,
                COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
                CAST(SUM(loss) AS BIGINT) AS n_loss
-        FROM c GROUP BY shard, win""")))
+        FROM c GROUP BY shard, win""")),
+
+    QueryDef(
+      "sim_ann_rankeval",
+      // rank-aware ANN eval: WHERE each brute-force top-10 truth item
+      // lands in the LSH answer (null = missed), with an exact integer
+      // reciprocal-rank numerator (2520 = lcm(1..10)) so MRR needs no
+      // float accumulation — recall says if the index found the truth,
+      // this says how deep the user must scroll for it.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.annRankEval(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, k = 10, numPlanes = 3)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        sims AS (
+          SELECT vec_id AS id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+          FROM e, q),
+        brute AS (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rk_b
+          FROM sims ORDER BY sim DESC, id LIMIT 10),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pj,
+                 CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 3),
+        b AS (
+          SELECT e.vec_id, e.v,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, p GROUP BY e.vec_id, e.v),
+        qb AS (
+          SELECT CAST(SUM(CASE WHEN list_dot_product(q.qv, p.pv) >= 0
+                               THEN (1::BIGINT << pj) ELSE 0 END) AS BIGINT) AS bucket
+          FROM q, p),
+        lsh0 AS (
+          SELECT vec_id AS id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+          FROM b, q, qb WHERE b.bucket = qb.bucket),
+        lsh AS (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rk_l
+          FROM lsh0 ORDER BY sim DESC, id LIMIT 10)
+        SELECT brute.id, brute.rk_b, lsh.rk_l,
+               COALESCE(2520 // lsh.rk_l, 0) AS rr2520
+        FROM brute LEFT JOIN lsh USING (id)""")))
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

@@ -2026,6 +2026,48 @@ object RelationalQueries extends QueryRegistry {
               FROM l, c a, c b WHERE b.t = a.t + l.lag GROUP BY 1)
         SELECT n.lag, n.num, d.den,
                round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
-        FROM n, d"""))
+        FROM n, d""")),
+
+    QueryDef(
+      "events_forecast_snaive",
+      // seasonal-naive backtest — the forecasting floor every model must
+      // beat: predict each hour of the LAST day with the same hour of the
+      // previous day, score per-hour absolute error. All-integer; the
+      // day×hour count frame is ONE aggregate (metadata-sized), the
+      // actual/forecast split is two filters of it joined over the
+      // broadcast 24-hour grid.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), hour(col("ts")).cast("long").as("hod"))
+        val cnt = ev.groupBy(col("d"), col("hod")).agg(count(lit(1)).as("n"))
+        val last = cnt.agg(max(col("d")).as("dl"))
+          .select(col("dl"), date_sub(col("dl"), 1).as("dp"))
+        val a = cnt.crossJoin(broadcast(last)).filter(col("d") === col("dl"))
+          .select(col("hod"), col("n").as("actual"))
+        val f = cnt.crossJoin(broadcast(last)).filter(col("d") === col("dp"))
+          .select(col("hod"), col("n").as("forecast"))
+        s.range(0, 24).select(col("id").as("hod"))
+          .join(a, Seq("hod"), "left").join(f, Seq("hod"), "left")
+          .select(col("hod"),
+            coalesce(col("actual"), lit(0L)).as("actual"),
+            coalesce(col("forecast"), lit(0L)).as("forecast"),
+            abs(coalesce(col("actual"), lit(0L)) -
+              coalesce(col("forecast"), lit(0L))).as("abs_err"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod
+          FROM events),
+        c AS (SELECT d, hod, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        l AS (SELECT MAX(d) AS dl, MAX(d) - 1 AS dp FROM c),
+        a AS (SELECT hod, n FROM c, l WHERE d = dl),
+        f AS (SELECT hod, n FROM c, l WHERE d = dp),
+        g AS (SELECT CAST(range AS BIGINT) AS hod FROM range(0, 24))
+        SELECT g.hod,
+               COALESCE(a.n, 0) AS actual,
+               COALESCE(f.n, 0) AS forecast,
+               abs(COALESCE(a.n, 0) - COALESCE(f.n, 0)) AS abs_err
+        FROM g LEFT JOIN a USING (hod) LEFT JOIN f USING (hod)"""))
   )
 }

@@ -455,6 +455,79 @@ object StreamingQueries extends QueryRegistry {
         FROM e JOIN s2 ON e.partitionKey = s2.partitionKey AND e.seq = s2.q""")),
 
     QueryDef(
+      "stream_late_drop",
+      (s, dir) => withStatePartitions(s, 4) {
+        // WATERMARK LATE-DATA ACCOUNTING — the semantics everyone gets
+        // wrong: a deliberately disordered single-partition topic (days in
+        // order, hours shuffled within each day) drained in fixed-size
+        // micro-batches, so the 2-hour watermark trails each day's
+        // mid-stream maximum and genuinely DROPS late rows. Every term is
+        // deterministic: produce order is a total order, admission fills
+        // exactly `pace` records per trigger, and the watermark trajectory
+        // is a pure function of batch maxima — so the oracle replays the
+        // whole run: batch assignment, running-max watermark, the late
+        // filter, and append-mode emission (windows closed by the final
+        // watermark, which AvailableNow's trailing no-data batch flushes).
+        // CALIBRATED (two arrival orders, exact multiset match): the late
+        // INPUT filter in batch b uses the watermark lagged ONE batch
+        // behind eviction — max(event time over batches ≤ b−2) − delay —
+        // because the filter is planned from the previous batch's
+        // committed watermark while StateStoreSave evicts with the
+        // current one; a row dropped by that filter can never split an
+        // already-emitted window, so per-window counts stay single-row.
+        val root = Files.createTempDirectory("graft_stream_late").toString
+        val cfg = TopicConfig(root, "late", clusterSize = 1, rangesPerToken = 1)
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        val res = PolarLog.produce(records, cfg,
+          orderBy = Seq(date_trunc("day", col("timestamp")), col("value"),
+            col("timestamp")))
+        val pace = math.max(res.recordsWritten / 6, 1L)
+        val agg = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(pace)).toDF()
+          .withWatermark("timestamp", "2 hours")
+          .groupBy(window(col("timestamp"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("n"))
+        val q = agg.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .format("memory").queryName("gate_stream_late").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_late")
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("n"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT CAST(ts AS TIMESTAMP) AS tsv,
+                 row_number() OVER (ORDER BY date_trunc('day', CAST(ts AS TIMESTAMP)),
+                                             props, CAST(ts AS TIMESTAMP)) - 1 AS off
+          FROM events),
+        pace AS (SELECT GREATEST(COUNT(*) // 6, 1) AS p FROM r),
+        b AS (SELECT tsv, off // p AS batch FROM r, pace),
+        bm AS (SELECT batch, MAX(epoch_us(tsv)) AS mx FROM b GROUP BY 1),
+        wm AS (SELECT batch,
+                      MAX(mx) OVER (ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS prevmax
+               FROM bm),
+        keep AS (
+          SELECT b.tsv FROM b JOIN wm USING (batch)
+          WHERE wm.prevmax IS NULL
+             OR epoch_us(date_trunc('hour', b.tsv)) // 1000 + 3600000
+                  > wm.prevmax // 1000 - 7200000),
+        agg AS (
+          SELECT date_trunc('hour', tsv) AS ws, COUNT(*) AS n
+          FROM keep GROUP BY 1),
+        fin AS (
+          SELECT MAX(epoch_us(tsv)) // 1000 - 7200000 AS fwm FROM r)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, n
+        FROM agg, fin
+        WHERE epoch_us(ws) // 1000 + 3600000 <= fwm""")),
+
+    QueryDef(
       "stream_topk",
       (s, dir) => withStatePartitions(s, 4) {
         // trending items ON the stream: per-key counts as bounded

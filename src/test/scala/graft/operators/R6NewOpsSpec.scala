@@ -111,6 +111,57 @@ class R6NewOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acf.forall(_.getAs[Long]("den") > 0))
   }
 
+  test("partitionForToken: dev-mode single broker maps into [0, rangesPerToken)") {
+    import graft.functions.TokenMath
+    val rnd = new scala.util.Random(11)
+    val tokens = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue) ++
+      Seq.fill(2000)(rnd.nextLong())
+    for (rpt <- Seq(1, 2, 4, 8); t <- tokens) {
+      val p = TokenMath.partitionForToken(t, 1, rpt)
+      assert(p >= 0 && p < rpt, s"token=$t rpt=$rpt -> $p")
+      // placement agrees with the consume ranges: the token falls inside
+      // the [start, end) of the range it was placed in
+      val (lo, hi) = TokenMath.rangeByTokenAndClusterSize(t, p, rpt, 1)
+      assert(t >= lo && (t < hi || hi == Long.MaxValue && t == Long.MaxValue))
+    }
+  }
+
+  test("events_forecast_snaive: full 24-hour grid with exact absolute errors") {
+    val fc = SparkEntry.queries("events_forecast_snaive")(spark, sfDir).collect()
+    assert(fc.length === 24)
+    assert(fc.forall(r => r.getAs[Long]("abs_err") ===
+      math.abs(r.getAs[Long]("actual") - r.getAs[Long]("forecast"))))
+  }
+
+  test("sim_ann_rankeval: dense truth ranks, exact reciprocal-rank numerators") {
+    val re = SparkEntry.queries("sim_ann_rankeval")(spark, "/root/testdata/sf0.01").collect()
+    assert(re.map(_.getAs[Long]("rk_b")).sorted.toSeq === (1L to 10L))
+    re.foreach { r =>
+      val rkl = Option(r.getAs[java.lang.Long]("rk_l")).map(_.toLong)
+      val rr = r.getAs[Long]("rr2520")
+      rkl match {
+        case Some(k) => assert(rr === 2520L / k && 2520L % k === 0L)
+        case None => assert(rr === 0L)
+      }
+    }
+  }
+
+  test("stream_late_drop: emitted counts never exceed the batch-complete counts") {
+    val late = SparkEntry.queries("stream_late_drop")(spark, sfDir)
+    val full = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+        .as("window_start"))
+      .agg(count(lit(1)).as("n_full"))
+    val joined = late.join(full, "window_start")
+    assert(joined.count() === late.count(), "every emitted window exists in the log")
+    assert(joined.filter(col("n") > col("n_full")).count() === 0)
+    // the disordered arrival + trailing watermark must actually drop or
+    // hold back SOMETHING, or the gate tests nothing
+    val emitted = late.agg(sum(col("n"))).head().getLong(0)
+    val total = Tables.events(spark, sfDir).count()
+    assert(emitted < total)
+  }
+
   test("funnelStream: paced stream equals the batch nested-first-occurrence replay") {
     val root = Files.createTempDirectory("r6_funnel").toString
     val cfg = TopicConfig(root, "funnel")
