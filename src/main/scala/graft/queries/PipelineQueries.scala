@@ -3588,7 +3588,53 @@ object PipelineQueries extends QueryRegistry {
           FROM lsh0 ORDER BY sim DESC, id LIMIT 10)
         SELECT brute.id, brute.rk_b, lsh.rk_l,
                COALESCE(2520 // lsh.rk_l, 0) AS rr2520
-        FROM brute LEFT JOIN lsh USING (id)""")))
+        FROM brute LEFT JOIN lsh USING (id)""")),
+
+    QueryDef(
+      "profile_psi",
+      // population stability index — the production drift monitor for
+      // tabular features: per-bucket (p−q)·ln(p/q) between a reference
+      // and a current split (here the deterministic A/B key-hash halves,
+      // whose correct reading is "no drift"). Counts are exact BIGINTs
+      // over a fixed-width bucket grid; only the final per-bucket term is
+      // a double, rounded. One aggregate over the fact table; the totals
+      // row broadcasts back over the 10-row bucket frame.
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          least(floor(col("o_totalprice") / 20000), lit(9)).cast("long").as("bucket"),
+          (col("o_orderkey") % 2 === 0).as("isref"))
+        val agg = o.groupBy(col("bucket")).agg(
+          sum(when(col("isref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("isref"), 1L).otherwise(0L)).as("n_cur"))
+        val tot = agg.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_ref"), col("n_cur"),
+            when(col("n_ref") > 0 && col("n_cur") > 0,
+              round(
+                (col("n_ref").cast("double") / col("t_ref") -
+                  col("n_cur").cast("double") / col("t_cur")) *
+                log((col("n_ref").cast("double") / col("t_ref")) /
+                  (col("n_cur").cast("double") / col("t_cur"))), 6))
+              .as("psi_term"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT LEAST(CAST(floor(o_totalprice / 20000) AS BIGINT), 9) AS bucket,
+                 o_orderkey % 2 = 0 AS isref
+          FROM orders),
+        a AS (SELECT bucket,
+                CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                CAST(SUM(CASE WHEN NOT isref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+              FROM o GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                     CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM a)
+        SELECT bucket, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                 round((CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur) *
+                       ln((CAST(n_ref AS DOUBLE) / t_ref) /
+                          (CAST(n_cur AS DOUBLE) / t_cur)), 6)
+               END AS psi_term
+        FROM a, t""")))
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

@@ -916,6 +916,58 @@ object StreamingQueries extends QueryRegistry {
         FROM c GROUP BY shard, win""")),
 
     QueryDef(
+      "stream_backfill_union",
+      (s, dir) => {
+        // the LAMBDA-ARCHITECTURE KILL: one log serves both legs. Batch
+        // backfill reads history (ts < cut) through the DSv2 BATCH scan —
+        // the pushed timestamp window prunes segments by registry ts
+        // stats; the live tail STREAMS from the same topic with
+        // startingTimestamp=cut (segment-granular seek; the ts >= cut
+        // filter is the contract, the seek is the optimization). Their
+        // union must equal the raw table exactly — no seam, no loss, no
+        // duplication at the cut.
+        val (cfg, _) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_backfill").toString
+        val cutTs = lit("2024-01-20 00:00:00").cast("timestamp")
+        val cutMicros = java.time.Instant.parse("2024-01-20T00:00:00Z")
+          .getEpochSecond * 1000L // startingTimestamp epoch-millis form
+        val backfill = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .filter(col("timestamp") < cutTs)
+        val q = s.readStream.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic)
+          .option("startingTimestamp", cutMicros.toString)
+          .load()
+          .filter(col("timestamp") >= cutTs)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_backfill_tail").start()
+        q.awaitTermination(300000)
+        val tail = s.table("gate_backfill_tail")
+        backfill.select(lit("backfill").as("segment"),
+            col("timestamp"), col("partitionKey"))
+          .unionAll(tail.select(lit("tail").as("segment"),
+            col("timestamp"), col("partitionKey")))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("partitionKey")).as("n_keys"),
+            date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("first_ts"),
+            date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS tsv, CAST(user_id AS VARCHAR) AS pk,
+                 CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+                      THEN 'backfill' ELSE 'tail' END AS segment
+          FROM events)
+        SELECT segment, COUNT(*) AS n, COUNT(DISTINCT pk) AS n_keys,
+               strftime(MIN(tsv), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(MAX(tsv), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM e GROUP BY segment""")),
+
+    QueryDef(
       "stream_ts_seek",
       (s, dir) => {
         // event-time seek on the stream: startingTimestamp resolves each

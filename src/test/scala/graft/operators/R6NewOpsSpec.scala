@@ -162,6 +162,27 @@ class R6NewOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted < total)
   }
 
+  test("stream_backfill_union: the two legs tile the log exactly") {
+    val r = SparkEntry.queries("stream_backfill_union")(spark, sfDir).collect()
+    assert(r.map(_.getAs[String]("segment")).toSet === Set("backfill", "tail"))
+    val total = r.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.events(spark, sfDir).count())
+    val bypart = r.map(x => x.getAs[String]("segment") -> x).toMap
+    assert(bypart("backfill").getAs[String]("last_ts") < "2024-01-20 00:00:00")
+    assert(bypart("tail").getAs[String]("first_ts") >= "2024-01-20 00:00:00")
+  }
+
+  test("profile_psi: terms are symmetric-positive and zero iff shares tie") {
+    val psi = SparkEntry.queries("profile_psi")(spark, sfDir).collect()
+    assert(psi.nonEmpty && psi.length <= 10)
+    psi.foreach { r =>
+      Option(r.getAs[java.lang.Double]("psi_term")).foreach { t =>
+        // (p-q)ln(p/q) >= 0 always (both factors share a sign)
+        assert(t >= -1e-9, s"bucket ${r.getAs[Long]("bucket")} term $t")
+      }
+    }
+  }
+
   test("funnelStream: paced stream equals the batch nested-first-occurrence replay") {
     val root = Files.createTempDirectory("r6_funnel").toString
     val cfg = TopicConfig(root, "funnel")
