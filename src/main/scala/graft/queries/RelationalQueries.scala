@@ -2068,6 +2068,343 @@ object RelationalQueries extends QueryRegistry {
                COALESCE(a.n, 0) AS actual,
                COALESCE(f.n, 0) AS forecast,
                abs(COALESCE(a.n, 0) - COALESCE(f.n, 0)) AS abs_err
-        FROM g LEFT JOIN a USING (hod) LEFT JOIN f USING (hod)"""))
+        FROM g LEFT JOIN a USING (hod) LEFT JOIN f USING (hod)""")),
+
+    QueryDef(
+      "events_attribution",
+      // multi-touch attribution — credit each purchase's preceding touch
+      // events (everything since the prior purchase) under three models at
+      // once: first-touch, last-touch, linear. The journey key is a single
+      // backward-looking window over the per-user timeline (count of
+      // purchases at-or-after each event), so the whole assignment costs
+      // ONE shuffle by user. Linear credit is held in exact integers as
+      // 1000000 div n (ppm of a journey, truncating division — identical
+      // in Spark `div` and DuckDB `//` for positive operands), so the
+      // per-type sums are order-independent BIGINTs, never floats.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        val wAfter = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val tagged = ev.withColumn("j",
+          count(when(col("event_type") === "purchase", lit(1))).over(wAfter))
+        val touches = tagged
+          .filter(col("event_type") =!= "purchase" && col("j") > 0)
+        val wj = Window.partitionBy(col("user_id"), col("j"))
+          .orderBy(col("ts"), col("event_id"))
+        val wjd = Window.partitionBy(col("user_id"), col("j"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val marked = touches
+          .withColumn("rna", row_number().over(wj))
+          .withColumn("rnd", row_number().over(wjd))
+        val sizes = touches.groupBy(col("user_id"), col("j"))
+          .agg(count(lit(1)).as("n"))
+        val perType = touches.groupBy(col("user_id"), col("j"), col("event_type"))
+          .agg(count(lit(1)).as("k"))
+        val lin = perType.join(sizes, Seq("user_id", "j"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k") * expr("1000000 div n")).as("linear_ppm"))
+        val ft = marked.filter(col("rna") === 1)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("first_touch"))
+        val lt = marked.filter(col("rnd") === 1)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("last_touch"))
+        touches.select(col("event_type")).distinct()
+          .join(ft, Seq("event_type"), "left")
+          .join(lt, Seq("event_type"), "left")
+          .join(lin, Seq("event_type"), "left")
+          .select(col("event_type"),
+            coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+            coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+            coalesce(col("linear_ppm"), lit(0L)).as("linear_ppm"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events),
+        t AS (
+          SELECT *, COUNT(*) FILTER (WHERE event_type = 'purchase')
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS j
+          FROM ev),
+        tou AS (SELECT * FROM t WHERE event_type <> 'purchase' AND j > 0),
+        m AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY user_id, j ORDER BY ts, event_id) AS rna,
+            row_number() OVER (PARTITION BY user_id, j ORDER BY ts DESC, event_id DESC) AS rnd
+          FROM tou),
+        sz AS (SELECT user_id, j, COUNT(*) AS n FROM tou GROUP BY 1, 2),
+        k AS (SELECT user_id, j, event_type, COUNT(*) AS k FROM tou GROUP BY 1, 2, 3),
+        lin AS (
+          SELECT k.event_type,
+                 CAST(SUM(k.k * (1000000 // sz.n)) AS BIGINT) AS linear_ppm
+          FROM k JOIN sz USING (user_id, j) GROUP BY 1),
+        ft AS (SELECT event_type, COUNT(*) AS first_touch FROM m WHERE rna = 1 GROUP BY 1),
+        lt AS (SELECT event_type, COUNT(*) AS last_touch FROM m WHERE rnd = 1 GROUP BY 1),
+        ty AS (SELECT DISTINCT event_type FROM tou)
+        SELECT ty.event_type,
+               CAST(COALESCE(ft.first_touch, 0) AS BIGINT) AS first_touch,
+               CAST(COALESCE(lt.last_touch, 0) AS BIGINT) AS last_touch,
+               CAST(COALESCE(lin.linear_ppm, 0) AS BIGINT) AS linear_ppm
+        FROM ty LEFT JOIN ft USING (event_type)
+                LEFT JOIN lt USING (event_type)
+                LEFT JOIN lin USING (event_type)""")),
+
+    QueryDef(
+      "events_ccf",
+      // cross-correlation of the hourly click series against the hourly
+      // purchase series at lags -12..+12 — the lead/lag detector behind
+      // "which signal moves first" questions. Same exact-integer centering
+      // as events_acf (c_t = N·x_t − S on the shared hour frame), so
+      // numerators and both denominators are order-independent BIGINT
+      // sums; the only doubles are the final sqrt/divide from exact
+      // integers (deterministic IEEE ops in both engines).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        val hours = ev.select(col("h")).distinct()
+        val a = ev.filter(col("event_type") === "click")
+          .groupBy(col("h")).agg(count(lit(1)).as("a"))
+        val b = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("h")).agg(count(lit(1)).as("b"))
+        val f = hours.join(a, Seq("h"), "left").join(b, Seq("h"), "left")
+          .select(col("h"),
+            coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+        val st = f.agg(count(lit(1)).as("nn"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+        val c = f.crossJoin(broadcast(st))
+          .select(col("h"),
+            (col("nn") * col("a") - col("sa")).as("ca"),
+            (col("nn") * col("b") - col("sb")).as("cb"))
+          .withColumn("t", row_number().over(Window.orderBy(col("h"))))
+        val den = c.agg(sum(col("ca") * col("ca")).as("dena"),
+          sum(col("cb") * col("cb")).as("denb"))
+        val lags = s.range(-12, 13).select(col("id").as("lag"))
+        val x = c.select(col("t").as("ta"), col("ca"))
+        val y = c.select(col("t").as("tb"), col("cb"))
+        x.crossJoin(broadcast(lags))
+          .join(y, col("tb") === col("ta") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(sum(col("ca") * col("cb")).as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("num"), col("dena"), col("denb"),
+            round(col("num").cast("double") /
+              (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double"))), 6)
+              .as("ccf"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type
+          FROM events),
+        hours AS (SELECT DISTINCT h FROM ev),
+        a AS (SELECT h, COUNT(*) AS a FROM ev WHERE event_type = 'click' GROUP BY 1),
+        b AS (SELECT h, COUNT(*) AS b FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        f AS (SELECT hours.h, COALESCE(a.a, 0) AS a, COALESCE(b.b, 0) AS b
+              FROM hours LEFT JOIN a USING (h) LEFT JOIN b USING (h)),
+        st AS (SELECT COUNT(*) AS nn, CAST(SUM(a) AS BIGINT) AS sa,
+                      CAST(SUM(b) AS BIGINT) AS sb FROM f),
+        c AS (SELECT nn * a - sa AS ca, nn * b - sb AS cb,
+                     row_number() OVER (ORDER BY h) AS t
+              FROM f, st),
+        d AS (SELECT CAST(SUM(ca * ca) AS BIGINT) AS dena,
+                     CAST(SUM(cb * cb) AS BIGINT) AS denb FROM c),
+        l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-12, 13)),
+        n AS (SELECT l.lag, CAST(SUM(x.ca * y.cb) AS BIGINT) AS num
+              FROM l, c x, c y WHERE y.t = x.t + l.lag GROUP BY 1)
+        SELECT n.lag, n.num, d.dena, d.denb,
+               round(CAST(n.num AS DOUBLE) /
+                 (sqrt(CAST(d.dena AS DOUBLE)) * sqrt(CAST(d.denb AS DOUBLE))), 6) AS ccf
+        FROM n, d""")),
+
+    QueryDef(
+      "events_trend_ols",
+      // per-type linear trend over daily counts — closed-form OLS where
+      // every moment (n, Σx, Σy, Σxy, Σxx) is an exact BIGINT over the
+      // observed days (x = days since the global first event), so slope
+      // and intercept are single divisions of exact integers. The daily
+      // frame is ONE aggregate; everything after is metadata-sized.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("event_type"))
+        val d0 = ev.agg(min(col("d")).as("d0"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("y"))
+          .crossJoin(broadcast(d0))
+          .select(col("event_type"), datediff(col("d"), col("d0")).cast("long").as("x"),
+            col("y"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+            (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+          .select(col("event_type"), col("n"), col("slope_num"), col("den"),
+            round(col("slope_num").cast("double") / col("den").cast("double"), 6)
+              .as("slope"),
+            round(col("icept_num").cast("double") / col("den").cast("double"), 6)
+              .as("intercept"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type FROM events),
+        d0 AS (SELECT MIN(d) AS d0 FROM ev),
+        daily AS (
+          SELECT event_type, CAST(ev.d - d0.d0 AS BIGINT) AS x, COUNT(*) AS y
+          FROM ev, d0 GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM daily GROUP BY 1)
+        SELECT event_type, n,
+               n * sxy - sx * sy AS slope_num,
+               n * sxx - sx * sx AS den,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+        FROM m""")),
+
+    QueryDef(
+      "events_hazard",
+      // discrete-time hazard table (the Kaplan–Meier ingredients): users
+      // enter at their first event day, exit at their last; exits on the
+      // corpus's final day are right-censored. For each lifetime day t:
+      // n_t = users still at risk (lifetime ≥ t), d_t = uncensored exits
+      // at exactly t, hazard in ppm by truncating integer division — no
+      // float survival product anywhere, so the table is exactly
+      // replayable. One shuffle (per-user min/max), then a tiny
+      // grid × users broadcast range-join.
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .groupBy(col("user_id"))
+          .agg(min(col("d")).as("b"), max(col("d")).as("e"))
+        val m = u.agg(max(col("e")).as("mx"))
+        val life = u.crossJoin(broadcast(m))
+          .select(col("user_id"),
+            datediff(col("e"), col("b")).cast("long").as("life"),
+            (col("e") === col("mx")).as("cens"))
+        val grid = life.agg(max(col("life")).as("ml"))
+          .select(explode(sequence(lit(0L), col("ml"))).as("t"))
+        broadcast(grid).join(life, col("life") >= col("t"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("at_risk"),
+            count(when(!col("cens") && col("life") === col("t"), lit(1))).as("deaths"))
+          .select(col("t"), col("at_risk"), col("deaths"),
+            expr("deaths * 1000000 div at_risk").as("hazard_ppm"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS b,
+                 MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS e
+          FROM events GROUP BY 1),
+        mx AS (SELECT MAX(e) AS mx FROM u),
+        life AS (
+          SELECT user_id, CAST(e - b AS BIGINT) AS life, e = mx.mx AS cens
+          FROM u, mx),
+        grid AS (
+          SELECT CAST(range AS BIGINT) AS t FROM range(0, 100000)
+          WHERE range <= (SELECT MAX(life) FROM life))
+        SELECT grid.t, COUNT(*) AS at_risk,
+               CAST(COUNT(*) FILTER (WHERE NOT cens AND life = t) AS BIGINT) AS deaths,
+               CAST(COUNT(*) FILTER (WHERE NOT cens AND life = t) AS BIGINT) * 1000000
+                 // COUNT(*) AS hazard_ppm
+        FROM grid JOIN life ON life.life >= grid.t
+        GROUP BY 1""")),
+
+    QueryDef(
+      "q_skyline",
+      // 2-D Pareto frontier over part (minimize price, maximize size) —
+      // the multi-objective "best tradeoffs" operator. Scale shape: a
+      // coarse price-bucket aggregate (metadata-sized) broadcasts a
+      // running max-size prefix, pruning every row dominated across
+      // bucket boundaries BEFORE any sort — the classic distributed
+      // prefix-max skyline; the exact windows then run over the tiny
+      // surviving candidate set only. Prices are held as exact cents.
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("cents"),
+            col("p_size").cast("long").as("p_size"))
+        val withB = p.withColumn("bk", expr("cents div 10000"))
+        val bmax = withB.groupBy(col("bk")).agg(max(col("p_size")).as("bsz"))
+          .withColumn("prevmax",
+            max(col("bsz")).over(Window.orderBy(col("bk"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+        val pruned = withB.join(broadcast(bmax.select(col("bk"), col("prevmax"))), Seq("bk"))
+          .filter(col("prevmax").isNull || col("p_size") > col("prevmax"))
+        val wLt = Window.orderBy(col("cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy(col("cents"))
+        pruned
+          .withColumn("mlt", max(col("p_size")).over(wLt))
+          .withColumn("meq", max(col("p_size")).over(wEq))
+          .filter((col("mlt").isNull || col("mlt") < col("p_size")) &&
+            col("meq") <= col("p_size"))
+          .select(col("p_partkey"), col("cents"), col("p_size"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                 CAST(p_size AS BIGINT) AS p_size
+          FROM part)
+        SELECT a.p_partkey, a.cents, a.p_size
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+            AND (b.cents < a.cents OR b.p_size > a.p_size))""")),
+
+    QueryDef(
+      "q_basket_rules",
+      // association-rule mining over order baskets (support, directed
+      // confidence, lift) — items are part classes so pair support is
+      // dense enough to rank. One distinct-shuffle builds the baskets;
+      // the pair join is WITHIN an order key (bounded by basket size, no
+      // quadratic blowup at scale); item marginals and the basket count
+      // broadcast into the final projection. Confidence and lift are
+      // truncating-integer ppm — order-independent, no floats.
+      (s, dir) => {
+        val baskets = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), (col("l_partkey") % 100).as("item"))
+          .distinct()
+        val nOrders = baskets.agg(countDistinct(col("o")).as("no"))
+        val itemCnt = baskets.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+        val a = baskets.select(col("o"), col("item").as("ia"))
+        val b = baskets.select(col("o"), col("item").as("ib"))
+        val pairs = a.join(b, Seq("o")).filter(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("nab"))
+        pairs
+          .join(broadcast(itemCnt.select(col("item").as("ia"), col("ni").as("na"))), Seq("ia"))
+          .join(broadcast(itemCnt.select(col("item").as("ib"), col("ni").as("nb"))), Seq("ib"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("ia"), col("ib"), col("nab"), col("na"), col("nb"),
+            expr("nab * 1000000 div na").as("conf_ab_ppm"),
+            expr("nab * 1000000 div nb").as("conf_ba_ppm"),
+            expr("nab * no * 1000000 div (na * nb)").as("lift_ppm"))
+          .orderBy(col("nab").desc, col("ia"), col("ib"))
+          .limit(30)
+      },
+      Some("""
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey % 100 AS item FROM lineitem),
+        no AS (SELECT COUNT(DISTINCT o) AS no FROM baskets),
+        ic AS (SELECT item, COUNT(*) AS ni FROM baskets GROUP BY 1),
+        pr AS (
+          SELECT a.item AS ia, b.item AS ib, COUNT(*) AS nab
+          FROM baskets a JOIN baskets b ON a.o = b.o AND a.item < b.item
+          GROUP BY 1, 2)
+        SELECT pr.ia, pr.ib, pr.nab, ca.ni AS na, cb.ni AS nb,
+               pr.nab * 1000000 // ca.ni AS conf_ab_ppm,
+               pr.nab * 1000000 // cb.ni AS conf_ba_ppm,
+               pr.nab * no.no * 1000000 // (ca.ni * cb.ni) AS lift_ppm
+        FROM pr JOIN ic ca ON pr.ia = ca.item
+                JOIN ic cb ON pr.ib = cb.item, no
+        ORDER BY pr.nab DESC, pr.ia, pr.ib
+        LIMIT 30"""))
   )
 }
