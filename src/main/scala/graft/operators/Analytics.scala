@@ -527,4 +527,39 @@ object Analytics {
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("sz"), min(col("node")).cast("long").as("min_node"))
   }
+
+  /**
+   * Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
+   * hyperlinked environment") over a directed edge set: hub scores live on
+   * `src` nodes, authority scores on `dst` nodes. Each half-iteration is one
+   * frontier join + one keyed aggregate (the PageRank shuffle shape);
+   * normalization divides by the round's max on a 2^20 integer grid with
+   * truncating division, so every score in every round is an
+   * order-independent BIGINT — the oracle replays the rounds as unrolled
+   * CTEs with identical integer arithmetic. At 100 TB the per-round cost is
+   * two shuffles keyed by node id; the max is a 1-row broadcast.
+   *
+   * Returns (side, node, score) with side ∈ {auth, hub}.
+   */
+  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    val Q = 1L << 20
+    val e = edges.select(col("src"), col("dst")).distinct()
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(Q))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("mx"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("dst").as("node"), expr(s"raw * $Q div mx").as("a"))
+      val hraw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("mx"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("src").as("node"), expr(s"raw * $Q div mx").as("h"))
+    }
+    auth.select(lit("auth").as("side"), col("node"), col("a").as("score"))
+      .unionAll(hub.select(lit("hub").as("side"), col("node"), col("h").as("score")))
+  }
 }

@@ -423,4 +423,45 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(k)
+
+  /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+   * the MOSS scheme): hash every k-char gram, slide a w-gram window, and
+   * select each window's minimal hash, breaking ties by the RIGHTMOST
+   * position (the paper's robust-winnowing rule). Guarantees every match
+   * of length ≥ k+w−1 shares a fingerprint while keeping density ~2/(w+1).
+   *
+   * The select step packs (hash, position) into one lexicographic string
+   * key — zero-padded lowercase hex + zero-padded (999999 − pos) — so the
+   * rightmost-minimum rule is a plain `min` over a sliding row frame, an
+   * aggregate both engines order identically (binary string compare).
+   * Plan: one gram explode + one per-doc window + distinct — per-document
+   * work only, embarrassingly parallel at 100 TB; no corpus-wide shuffle
+   * beyond the doc-keyed window sort.
+   */
+  def winnowingFingerprints(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"),
+        col(textCol).as("t"))
+      .select(col(idCol), col("i"),
+        Dedup.md5Hash60(expr(s"substring(t, i, $k)")).as("h"))
+    val packed = grams.select(col(idCol), col("i"),
+      concat(format_string("%015x", col("h")),
+        format_string("%06d", lit(999999) - col("i"))).as("pk"))
+    packed
+      .withColumn("g", count(lit(1)).over(win.partitionBy(col(idCol))))
+      .withColumn("mn", min(col("pk")).over(
+        win.partitionBy(col(idCol)).orderBy(col("i"))
+          .rowsBetween(win.currentRow, w - 1)))
+      .filter(col("i") <= col("g") - (w - 1))
+      .select(col(idCol), col("mn")).distinct()
+      .select(col(idCol),
+        expr("CAST(999999 - CAST(substring(mn, 16, 6) AS BIGINT) AS BIGINT)").as("pos"),
+        expr("CAST(conv(substring(mn, 1, 15), 16, 10) AS BIGINT)").as("fp"))
+  }
 }

@@ -3634,7 +3634,43 @@ object PipelineQueries extends QueryRegistry {
                        ln((CAST(n_ref AS DOUBLE) / t_ref) /
                           (CAST(n_cur AS DOUBLE) / t_cur)), 6)
                END AS psi_term
-        FROM a, t""")))
+        FROM a, t""")),
+
+    QueryDef(
+      "text_winnowing",
+      // MOSS winnowing fingerprints (k=8-char grams, window w=4, rightmost
+      // minimal hash per window) — the guaranteed-recall local
+      // fingerprinting scheme for code/plagiarism-style matching: any
+      // shared substring of length ≥ k+w−1 yields a shared (pos-free)
+      // fingerprint, at ~2/(w+1) selection density. See
+      // TextAnalysis.winnowingFingerprints for the packed-key min trick
+      // that makes the tie-break a plain window MIN in both engines.
+      (s, dir) => TextAnalysis.winnowingFingerprints(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", k = 8, w = 4),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 5 = 0 AND length(text) >= 11),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 ${OracleSql.md5Hash60("substr(text, CAST(i AS INTEGER), 8)")} AS h
+          FROM d, LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) t),
+        p AS (
+          SELECT doc_id, i,
+                 printf('%015x', h) || printf('%06d', 999999 - i) AS pk
+          FROM g),
+        s AS (
+          SELECT doc_id, i,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS gcnt,
+                 MIN(pk) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+          FROM p),
+        u AS (SELECT DISTINCT doc_id, mn FROM s WHERE i <= gcnt - 3)
+        SELECT doc_id,
+               CAST(999999 - CAST(substr(mn, 16, 6) AS BIGINT) AS BIGINT) AS pos,
+               ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
+        FROM u""")))
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

@@ -2405,6 +2405,46 @@ object RelationalQueries extends QueryRegistry {
         FROM pr JOIN ic ca ON pr.ia = ca.item
                 JOIN ic cb ON pr.ib = cb.item, no
         ORDER BY pr.nab DESC, pr.ia, pr.ib
-        LIMIT 30"""))
+        LIMIT 30""")),
+
+    QueryDef(
+      "graph_hits",
+      // 2-iteration HITS over the customer→part-class purchase bipartite
+      // graph: hub scores rank the broad buyers, authority scores the
+      // widely-bought item classes. All-integer rounds on a 2^20 grid
+      // (max-normalized with truncating division) — the oracle unrolls
+      // the identical arithmetic as chained CTEs. See Analytics.hits for
+      // the per-round shuffle accounting.
+      (s, dir) => {
+        val edges = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_partkey") % 500).as("dst"))
+        graft.operators.Analytics.hits(edges, iterations = 2)
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS src, l_partkey % 500 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS (SELECT DISTINCT src AS node, CAST(1048576 AS BIGINT) AS h FROM e),
+        a1r AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS raw
+                FROM e JOIN h0 ON e.src = h0.node GROUP BY 1),
+        a1 AS (SELECT dst AS node, raw * 1048576 // (SELECT MAX(raw) FROM a1r) AS a
+               FROM a1r),
+        h1r AS (SELECT src, CAST(SUM(a) AS BIGINT) AS raw
+                FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        h1 AS (SELECT src AS node, raw * 1048576 // (SELECT MAX(raw) FROM h1r) AS h
+               FROM h1r),
+        a2r AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS raw
+                FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        a2 AS (SELECT dst AS node, raw * 1048576 // (SELECT MAX(raw) FROM a2r) AS a
+               FROM a2r),
+        h2r AS (SELECT src, CAST(SUM(a) AS BIGINT) AS raw
+                FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+        h2 AS (SELECT src AS node, raw * 1048576 // (SELECT MAX(raw) FROM h2r) AS h
+               FROM h2r)
+        SELECT 'auth' AS side, node, a AS score FROM a2
+        UNION ALL
+        SELECT 'hub' AS side, node, h AS score FROM h2"""))
   )
 }
