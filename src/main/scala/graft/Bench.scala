@@ -62,9 +62,17 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emission order matters: stdout capture keeps the TAIL, and the full
+    // per-query map (~7 KB at 229 queries) has been front-truncated before
+    // (BENCH_r04 lost its tail, BENCH_r06 parsed null). Full line first,
+    // then a compact summary (total + slowest 10) LAST, so any tail window
+    // contains a parseable line with the verdict-critical numbers.
     println(json)
-    // belt-and-braces: stdout capture has truncated long runs before
-    // (BENCH_r04 lost its tail) — the same line always lands in a file
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    // belt-and-braces: the full line always lands in a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_last.json")),

@@ -36,6 +36,14 @@ object Verify {
       sinceGc += 1
       if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
     }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleJson(only))
+    spark.stop()
+  }
+
+  /** The oracle map rendered as one JSON object (shared with
+    * OracleDtypeSpec, which feeds it to the DuckDB dtype guard). */
+  def oracleJson(only: Option[Set[String]] = None): String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,10 +56,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

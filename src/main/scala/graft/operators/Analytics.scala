@@ -548,16 +548,22 @@ object Analytics {
       .withColumn("h", lit(Q))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // raw ≤ degree·2^20, so raw·Q passes int64 once a node's weighted
+      // degree exceeds 2^43 (in-degree ~8.4M) — reachable at large SFs.
+      // The product runs in DECIMAL(38,0) (headroom to ~2^105 of raw);
+      // integral div lands the ppm-grid score back in BIGINT exactly.
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
       val amax = araw.agg(max(col("raw")).as("mx"))
       auth = araw.crossJoin(broadcast(amax))
-        .select(col("dst").as("node"), expr(s"raw * $Q div mx").as("a"))
+        .select(col("dst").as("node"),
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("a"))
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("raw"))
       val hmax = hraw.agg(max(col("raw")).as("mx"))
       hub = hraw.crossJoin(broadcast(hmax))
-        .select(col("src").as("node"), expr(s"raw * $Q div mx").as("h"))
+        .select(col("src").as("node"),
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("h"))
     }
     auth.select(lit("auth").as("side"), col("node"), col("a").as("score"))
       .unionAll(hub.select(lit("hub").as("side"), col("node"), col("h").as("score")))

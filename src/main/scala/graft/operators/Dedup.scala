@@ -846,6 +846,41 @@ object Dedup {
   }
 
   /**
+   * Winnowing near-dup pairs (the MOSS decision step over
+   * [[TextAnalysis.winnowingFingerprints]]): documents sharing at least
+   * `minShared` distinct selected fingerprints, ranked by the share count.
+   * Winnowing guarantees any common substring of length ≥ k+w−1 shares a
+   * fingerprint, so this catches long verbatim overlap (quotes, mirrored
+   * passages) that set-similarity misses on otherwise-different documents.
+   *
+   * Scale shape: inverted-index equi-join on `fp` — never all-pairs.
+   * Fingerprints appearing in more than `maxDf` documents are dropped
+   * before the join (the MOSS common-code rule): ubiquitous boilerplate
+   * fingerprints carry no matching signal and are exactly the keys whose
+   * buckets would explode quadratically. The fingerprint frame is
+   * (id, fp) longs only — size-gated pin (localCheckpoint below the cap,
+   * resilient persist above) since three plan legs read it.
+   */
+  def winnowPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4, minShared: Long = 2, maxDf: Long = 10,
+      materializeMaxRows: Long = 2000000L): DataFrame = {
+    val fps0 = TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val fps =
+      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(fps0)
+      else graft.Materialize.persist(fps0)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val pruned = fps.join(rare, Seq("fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Chunk-level dedup REBUILD: remove duplicated chunks keeping ONE copy
    * corpus-wide — the first occurrence by (doc_id, chunk_idx) of each
    * duplicated (fp, len) identity survives, every other occurrence is cut,

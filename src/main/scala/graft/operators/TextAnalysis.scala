@@ -410,6 +410,39 @@ object TextAnalysis {
   def bpePieces(merges: Seq[(String, String)])(text: Column): Column =
     graft.functions.GraftFunctions.bpe_pieces(text, merges)
 
+  /**
+   * Duplicated-n-gram character mass per document (the Gopher redundancy
+   * family, Rae et al. 2021 §A1.1): of all word-n-gram instance characters
+   * in a document, the ppm carried by grams occurring ≥ 2 times. The
+   * hash-verifiable sibling of the zlib compression-ratio signal — exact
+   * integer arithmetic end-to-end, so the oracle replays it bit-for-bit.
+   *
+   * Unlike the scalar [[Curation.repeatedNgramCharFrac]] (per-row list
+   * scan — O(distinct·instances) per document), this is the corpus-scale
+   * formulation: one explode + two keyed aggregates, so a pathological
+   * 100 MB document costs O(grams) distributed work, not a quadratic
+   * single-row kernel. Documents with fewer than `n` words carry no gram
+   * instances and are excluded (no redundancy evidence either way).
+   */
+  def dupNgramMass(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+          .as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(when(col("c") >= 2, length(col("gram")) * col("c"))
+          .otherwise(0L)).as("dup_chars"),
+        sum(length(col("gram")) * col("c")).as("total_chars"))
+      // dup_chars ≤ ~n× document length; ×1e6 stays under int64 up to
+      // ~3 TB single documents — no wide decimal needed
+      .select(col(idCol), col("n_grams"), col("dup_chars"), col("total_chars"),
+        expr("dup_chars * 1000000 div total_chars").as("dup_ppm"))
+
   /** Boilerplate mining: word n-grams shared by more than `minDocs`
     * distinct documents (navigation chrome, license headers, template
     * text — the spans an exact-substring dedup pass would cut). Shingles
@@ -450,9 +483,13 @@ object TextAnalysis {
         col(textCol).as("t"))
       .select(col(idCol), col("i"),
         Dedup.md5Hash60(expr(s"substring(t, i, $k)")).as("h"))
+    // position pad must cover the longest representable document: %09d
+    // against base 999999999 stays 9 chars (and lexicographically ordered)
+    // up to 1e9-char documents, where %06d/999999 went negative-and-7-wide
+    // past ~1M chars and corrupted both the tie-break and the pos decode
     val packed = grams.select(col(idCol), col("i"),
       concat(format_string("%015x", col("h")),
-        format_string("%06d", lit(999999) - col("i"))).as("pk"))
+        format_string("%09d", lit(999999999) - col("i"))).as("pk"))
     packed
       .withColumn("g", count(lit(1)).over(win.partitionBy(col(idCol))))
       .withColumn("mn", min(col("pk")).over(
@@ -461,7 +498,7 @@ object TextAnalysis {
       .filter(col("i") <= col("g") - (w - 1))
       .select(col(idCol), col("mn")).distinct()
       .select(col(idCol),
-        expr("CAST(999999 - CAST(substring(mn, 16, 6) AS BIGINT) AS BIGINT)").as("pos"),
+        expr("CAST(999999999 - CAST(substring(mn, 16, 9) AS BIGINT) AS BIGINT)").as("pos"),
         expr("CAST(conv(substring(mn, 1, 15), 16, 10) AS BIGINT)").as("fp"))
   }
 }

@@ -1053,7 +1053,7 @@ object PipelineQueries extends QueryRegistry {
                FROM pts p JOIN a2 a ON p.id = a.id GROUP BY a.cl, p.pos),
         d3 AS (SELECT p.id, c.cl, SUM((p.q - c.c) * (p.q - c.c)) AS dist
                FROM pts p JOIN c2 c ON p.pos = c.pos GROUP BY p.id, c.cl)
-        SELECT id AS vec_id, cl AS cluster, dist FROM (
+        SELECT id AS vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist FROM (
           SELECT id, cl, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
           FROM d3) WHERE rn = 1""")),
 
@@ -1940,13 +1940,18 @@ object PipelineQueries extends QueryRegistry {
       // Jaccard confirms ≥ 0.8 — the near-duplicate leak detector. Same
       // banded shuffle economics as the dedup family; test membership
       // attaches as a broadcast of test ids.
+      // Banding: word-3-gram shingles, 64 hashes in 16 bands of r=4 —
+      // s* = (1/16)^(1/4) ≈ 0.5, so a random pair at unigram-level noise
+      // similarity almost never collides. (r6 shipped shingleK=1 with r=2:
+      // P[collide] ≈ 0.48 even at s=0.2, measured 83.8M band collisions
+      // from 5k docs — the candidate set degenerated to all-pairs.)
       (s, dir) => {
         val tagged = Tables.documents(s, dir)
           .withColumn("split",
             graft.operators.Sampling.splitTag(col("doc_id"), 90, 5))
           .filter(col("split") =!= "val")
         val pairs = Dedup.md5MinhashLshPairs(tagged, "text", "doc_id",
-          shingleK = 1, numHashes = 32, bands = 16, threshold = 0.8)
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
         val testIds = tagged.filter(col("split") === "test").select(col("doc_id"))
         pairs
           .join(broadcast(testIds.select(col("doc_id").as("id_a"),
@@ -1962,12 +1967,11 @@ object PipelineQueries extends QueryRegistry {
             col("sim"))
       },
       Some {
-        val rlist = Dedup.xorSeeds(32).map(_.toString + "::BIGINT").mkString(",")
+        val rlist = Dedup.xorSeeds(64).map(_.toString + "::BIGINT").mkString(",")
         s"""
         WITH docs AS (
           SELECT doc_id,
-                 CASE WHEN len($WordsSql) < 1 THEN ['']
-                      ELSE list_distinct($WordsSql) END AS sh,
+                 ${shinglesSql(WordsSql)} AS sh,
                  ${OracleSql.md5Hash60("doc_id")} % 100 AS bkt
           FROM documents),
         split AS (SELECT doc_id, sh, bkt FROM docs WHERE bkt < 90 OR bkt >= 95),
@@ -1978,7 +1982,7 @@ object PipelineQueries extends QueryRegistry {
           SELECT doc_id, sh, bkt, [ list_min([xor(h, r) for h in hs]) for r in [$rlist] ] AS sig
           FROM hashed),
         banded AS (
-          SELECT doc_id, sh, bkt, b, sig[2*b+1 : 2*b+2] AS bv
+          SELECT doc_id, sh, bkt, b, sig[4*b+1 : 4*b+4] AS bv
           FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3649,7 +3653,68 @@ object PipelineQueries extends QueryRegistry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         "text", "doc_id", k = 8, w = 4),
       Some(s"""
-        WITH d AS (
+        WITH $WinnowCtes
+        SELECT doc_id,
+               CAST(999999999 - CAST(substr(mn, 16, 9) AS BIGINT) AS BIGINT) AS pos,
+               ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
+        FROM u""")),
+
+    QueryDef(
+      "dedup_winnow_pairs",
+      // the MOSS decision step: documents sharing ≥ 2 distinct winnowing
+      // fingerprints, via an inverted-index join on fp with ubiquitous
+      // fingerprints (df > 10) dropped first — both the common-code rule
+      // and the quadratic-bucket guard. Same sample as text_winnowing.
+      (s, dir) => Dedup.winnowPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", k = 8, w = 4, minShared = 2, maxDf = 10),
+      Some(s"""
+        WITH $WinnowCtes,
+        fp AS (
+          SELECT DISTINCT doc_id,
+                 ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
+          FROM u),
+        rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 10),
+        f2 AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
+
+    QueryDef(
+      "text_dup_ngram_mass",
+      // corpus-scale Gopher redundancy: per-doc duplicated word-3-gram
+      // character mass in exact integer ppm — the hash-verifiable gate
+      // beside the (zlib, rows-only) compression-ratio signal. Explode +
+      // two keyed aggregates: a pathological giant document costs
+      // O(grams) distributed work, unlike the per-row scalar kernel in
+      // text_repetition.
+      (s, dir) => TextAnalysis.dupNgramMass(
+        Tables.documents(s, dir), "text", "doc_id", n = 3),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $WordsSql AS words FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest([array_to_string(words[i:i+2], ' ')
+                         for i in generate_series(1, len(words)-2)]) AS gram
+          FROM toks WHERE len(words) >= 3),
+        c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c >= 2 THEN len(gram) * c ELSE 0 END)
+                 AS BIGINT) AS dup_chars,
+               CAST(SUM(len(gram) * c) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN c >= 2 THEN len(gram) * c ELSE 0 END)
+                 * 1000000 // SUM(len(gram) * c) AS BIGINT) AS dup_ppm
+        FROM c GROUP BY 1""")))
+
+  /** Winnowing CTE chain shared by `text_winnowing` and
+    * `dedup_winnow_pairs`: the doc_id%5 sample → 8-char gram hashes →
+    * packed (hash, pad-inverted pos) keys → per-window MIN with the
+    * rightmost-tie rule → `u(doc_id, mn)`, the distinct selected keys.
+    * Mirrors [[graft.operators.TextAnalysis.winnowingFingerprints]]. */
+  private val WinnowCtes: String = s"""
+        d AS (
           SELECT doc_id, text FROM documents
           WHERE doc_id % 5 = 0 AND length(text) >= 11),
         g AS (
@@ -3658,7 +3723,7 @@ object PipelineQueries extends QueryRegistry {
           FROM d, LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) t),
         p AS (
           SELECT doc_id, i,
-                 printf('%015x', h) || printf('%06d', 999999 - i) AS pk
+                 printf('%015x', h) || printf('%09d', 999999999 - i) AS pk
           FROM g),
         s AS (
           SELECT doc_id, i,
@@ -3666,11 +3731,7 @@ object PipelineQueries extends QueryRegistry {
                  MIN(pk) OVER (PARTITION BY doc_id ORDER BY i
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
           FROM p),
-        u AS (SELECT DISTINCT doc_id, mn FROM s WHERE i <= gcnt - 3)
-        SELECT doc_id,
-               CAST(999999 - CAST(substr(mn, 16, 6) AS BIGINT) AS BIGINT) AS pos,
-               ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
-        FROM u""")))
+        u AS (SELECT DISTINCT doc_id, mn FROM s WHERE i <= gcnt - 3)"""
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

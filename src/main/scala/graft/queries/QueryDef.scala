@@ -29,9 +29,12 @@ object OracleSql {
   /** First 15 hex chars of a lowercase hex expression as a BIGINT — the
     * DuckDB mirror of [[graft.operators.Dedup.md5Hash60]]. */
   def hex15ToInt(hexExpr: String): String =
+    // lambda params use reserved __-prefixed names: a caller's $hexExpr may
+    // itself reference outer columns (e.g. a LATERAL position `i`), and a
+    // plain `i` here would shadow them — the r6 text_winnowing oracle bug
     s"""list_reduce(list_transform(generate_series(1, 15),
-        i -> CAST(strpos('0123456789abcdef', substr($hexExpr, i, 1)) - 1 AS BIGINT)),
-        (a, b) -> a * 16 + b)"""
+        __hx -> CAST(strpos('0123456789abcdef', substr($hexExpr, __hx, 1)) - 1 AS BIGINT)),
+        (__ha, __hb) -> __ha * 16 + __hb)"""
 
   /** md5Hash60 of a column rendered as VARCHAR. */
   def md5Hash60(colExpr: String): String =

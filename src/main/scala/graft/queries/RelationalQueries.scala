@@ -890,7 +890,7 @@ object RelationalQueries extends QueryRegistry {
           SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
           FROM f)
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -1519,7 +1519,8 @@ object RelationalQueries extends QueryRegistry {
                      SUM(e.x3 - m.mq) OVER (PARTITION BY e.user_id
                        ORDER BY e.ts, e.event_id) AS cusum
               FROM e JOIN m USING (user_id))
-        SELECT user_id, event_id, cusum FROM c WHERE ABS(cusum) > 400000""")),
+        SELECT user_id, event_id, CAST(cusum AS BIGINT) AS cusum
+        FROM c WHERE ABS(cusum) > 400000""")),
 
     QueryDef(
       "q_constraint_check",
@@ -2307,8 +2308,8 @@ object RelationalQueries extends QueryRegistry {
           SELECT user_id, CAST(e - b AS BIGINT) AS life, e = mx.mx AS cens
           FROM u, mx),
         grid AS (
-          SELECT CAST(range AS BIGINT) AS t FROM range(0, 100000)
-          WHERE range <= (SELECT MAX(life) FROM life))
+          SELECT CAST(unnest(generate_series(0,
+                   (SELECT MAX(life) FROM life))) AS BIGINT) AS t)
         SELECT grid.t, COUNT(*) AS at_risk,
                CAST(COUNT(*) FILTER (WHERE NOT cens AND life = t) AS BIGINT) AS deaths,
                CAST(COUNT(*) FILTER (WHERE NOT cens AND life = t) AS BIGINT) * 1000000
@@ -2385,7 +2386,13 @@ object RelationalQueries extends QueryRegistry {
           .select(col("ia"), col("ib"), col("nab"), col("na"), col("nb"),
             expr("nab * 1000000 div na").as("conf_ab_ppm"),
             expr("nab * 1000000 div nb").as("conf_ba_ppm"),
-            expr("nab * no * 1000000 div (na * nb)").as("lift_ppm"))
+            // lift numerator is nab*no*1e6 ≤ no²·1e6 — overflows int64 once
+            // order counts pass ~3e9 (silent wrap in non-ANSI Spark, error
+            // in DuckDB), so the intermediates go through DECIMAL(38,0);
+            // the quotient is ppm-scale and lands back in BIGINT exactly
+            expr("""CAST(CAST(nab AS DECIMAL(38,0)) * no * 1000000
+                    div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)""")
+              .as("lift_ppm"))
           .orderBy(col("nab").desc, col("ia"), col("ib"))
           .limit(30)
       },
@@ -2401,7 +2408,8 @@ object RelationalQueries extends QueryRegistry {
         SELECT pr.ia, pr.ib, pr.nab, ca.ni AS na, cb.ni AS nb,
                pr.nab * 1000000 // ca.ni AS conf_ab_ppm,
                pr.nab * 1000000 // cb.ni AS conf_ba_ppm,
-               pr.nab * no.no * 1000000 // (ca.ni * cb.ni) AS lift_ppm
+               CAST(CAST(pr.nab AS HUGEINT) * no.no * 1000000
+                    // (CAST(ca.ni AS HUGEINT) * cb.ni) AS BIGINT) AS lift_ppm
         FROM pr JOIN ic ca ON pr.ia = ca.item
                 JOIN ic cb ON pr.ib = cb.item, no
         ORDER BY pr.nab DESC, pr.ia, pr.ib
@@ -2429,19 +2437,27 @@ object RelationalQueries extends QueryRegistry {
         h0 AS (SELECT DISTINCT src AS node, CAST(1048576 AS BIGINT) AS h FROM e),
         a1r AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS raw
                 FROM e JOIN h0 ON e.src = h0.node GROUP BY 1),
-        a1 AS (SELECT dst AS node, raw * 1048576 // (SELECT MAX(raw) FROM a1r) AS a
+        a1 AS (SELECT dst AS node,
+                      CAST(CAST(raw AS HUGEINT) * 1048576
+                           // (SELECT MAX(raw) FROM a1r) AS BIGINT) AS a
                FROM a1r),
         h1r AS (SELECT src, CAST(SUM(a) AS BIGINT) AS raw
                 FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
-        h1 AS (SELECT src AS node, raw * 1048576 // (SELECT MAX(raw) FROM h1r) AS h
+        h1 AS (SELECT src AS node,
+                      CAST(CAST(raw AS HUGEINT) * 1048576
+                           // (SELECT MAX(raw) FROM h1r) AS BIGINT) AS h
                FROM h1r),
         a2r AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS raw
                 FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
-        a2 AS (SELECT dst AS node, raw * 1048576 // (SELECT MAX(raw) FROM a2r) AS a
+        a2 AS (SELECT dst AS node,
+                      CAST(CAST(raw AS HUGEINT) * 1048576
+                           // (SELECT MAX(raw) FROM a2r) AS BIGINT) AS a
                FROM a2r),
         h2r AS (SELECT src, CAST(SUM(a) AS BIGINT) AS raw
                 FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
-        h2 AS (SELECT src AS node, raw * 1048576 // (SELECT MAX(raw) FROM h2r) AS h
+        h2 AS (SELECT src AS node,
+                      CAST(CAST(raw AS HUGEINT) * 1048576
+                           // (SELECT MAX(raw) FROM h2r) AS BIGINT) AS h
                FROM h2r)
         SELECT 'auth' AS side, node, a AS score FROM a2
         UNION ALL
