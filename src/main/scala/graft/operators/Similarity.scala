@@ -522,6 +522,57 @@ object Similarity {
       .withColumn("cell", cellOf(centroids)(col("v")))
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /**
+   * Compact a persisted [[ivfIndexWrite]] layout: within each cell
+   * directory, merge every group of ≥ `minRun` files smaller than
+   * `smallBytes` into one file. [[ivfIndexAppend]] leaves one file per
+   * append micro-batch per cell; at vector-store ingest rates that long
+   * tail of tiny files inflates open-file counts and object-store request
+   * rates on every probe — the same pathology
+   * [[graft.sources.PolarCompaction]] fixes for log segments, minus the
+   * registry (a plain partitioned-parquet layout has no metadata CAS, so
+   * the swap is not atomic: the merged file lands FIRST, then the
+   * originals are deleted — a probe planned exactly across the swap can
+   * transiently double-count the compacted tail; run in the ingest
+   * maintenance window, like every filesystem-table compactor).
+   *
+   * Row content, cell assignment and probe results are byte-preserved —
+   * only the file layout changes. Returns the number of cells compacted.
+   */
+  def ivfIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      smallBytes: Long = 64L << 20,
+      minRun: Int = 2): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    var compacted = 0
+    cellDirs.foreach { cd =>
+      val small = fs.listStatus(cd.getPath).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".") && f.getLen < smallBytes
+      }
+      if (small.length >= minRun) {
+        val suffix = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new Path(root, s".compact_tmp-$suffix")
+        spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        fs.rename(part, new Path(cd.getPath, s"compact-$suffix.parquet"))
+        small.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(tmp, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Probe a persisted [[ivfIndexWrite]] layout: rank centroids by query
     * cosine, scan only the `nProbe` nearest cells' directories. Same
     * probe semantics as [[ivfTopK]] (stable tie-break to the lower cell

@@ -472,6 +472,31 @@ object TextAnalysis {
    * work only, embarrassingly parallel at 100 TB; no corpus-wide shuffle
    * beyond the doc-keyed window sort.
    */
+  /**
+   * Per-row winnowing fingerprint SET (`array<long>`): same scheme and
+   * tie-break as [[winnowingFingerprints]] — k-char gram md5-60 hashes,
+   * w-window minimum, rightmost tie win — but formulated as one column
+   * expression (sequence/transform/slice/array_min over (h, −pos)
+   * structs), so it runs on a STREAM, where the batch formulation's
+   * per-document window sort is not allowed. Struct ordering is
+   * lexicographic, so min over (h asc, −pos asc) IS the robust-winnowing
+   * rule. Documents shorter than k+w−1 chars yield an empty array.
+   * Per-row O(grams·w) work, no shuffle at all — the streaming-ingest
+   * novelty path; the batch path stays [[winnowingFingerprints]]
+   * (identical output, spec-checked).
+   */
+  def winnowFpSet(text: Column, k: Int, w: Int): Column = {
+    val nGrams = length(text) - (k - 1)
+    val grams = transform(sequence(lit(1), nGrams),
+      i => struct(Dedup.md5Hash60(text.substr(i, lit(k))).as("h"),
+        (-i).as("ni")))
+    val fps = array_distinct(transform(
+      sequence(lit(1), nGrams - (w - 1)),
+      i => array_min(slice(grams, i, lit(w))).getField("h")))
+    when(length(text) >= k + w - 1, fps)
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   def winnowingFingerprints(
       docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {

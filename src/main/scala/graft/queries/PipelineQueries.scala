@@ -1339,6 +1339,61 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_ivf_compact",
+      // index MAINTENANCE: initial write + two incremental appends (each
+      // leaving its own small files per cell, the vector-store ingest
+      // tail), then ivfIndexCompact merges the small-file runs per cell.
+      // The probe answer must be byte-identical to sim_ann_ivf_indexed's
+      // — compaction changes file layout, never content — so the same
+      // oracle replays it; the layout claim (fewer files, same rows) is
+      // asserted by IvfCompactSpec.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val centroids = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+          .orderBy(col("id")).limit(8).collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble)).toSeq
+        val root = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
+        Similarity.ivfIndexWrite(corpus.filter(col("vec_id") % 3 === 1),
+          "embedding", "vec_id", centroids, s"$root/ivf")
+        Similarity.ivfIndexAppend(corpus.filter(col("vec_id") % 3 === 2),
+          "embedding", "vec_id", centroids, s"$root/ivf")
+        Similarity.ivfIndexAppend(corpus.filter(col("vec_id") % 3 === 0),
+          "embedding", "vec_id", centroids, s"$root/ivf")
+        Similarity.ivfIndexCompact(s, s"$root/ivf")
+        Similarity.ivfIndexProbe(s, s"$root/ivf", centroids, qv, 20, nProbe = 2)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        assign AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT ci FROM c
+                  ORDER BY list_dot_product(e.v, c.cv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           ci ASC LIMIT 1) AS cell
+          FROM e),
+        qcells AS (
+          SELECT ci FROM c, q
+          ORDER BY list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                   ci ASC LIMIT 2)
+        SELECT vec_id AS id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM assign, q WHERE cell IN (SELECT ci FROM qcells)
+        ORDER BY sim DESC, id LIMIT 20""")),
+
+    QueryDef(
       "pipeline_sample_split",
       // reproducible corpus splitting: hash-bucket membership is a pure
       // function of doc_id, identical in any engine / partitioning / run
@@ -3708,30 +3763,9 @@ object PipelineQueries extends QueryRegistry {
                  * 1000000 // SUM(len(gram) * c) AS BIGINT) AS dup_ppm
         FROM c GROUP BY 1""")))
 
-  /** Winnowing CTE chain shared by `text_winnowing` and
-    * `dedup_winnow_pairs`: the doc_id%5 sample → 8-char gram hashes →
-    * packed (hash, pad-inverted pos) keys → per-window MIN with the
-    * rightmost-tie rule → `u(doc_id, mn)`, the distinct selected keys.
-    * Mirrors [[graft.operators.TextAnalysis.winnowingFingerprints]]. */
-  private val WinnowCtes: String = s"""
-        d AS (
-          SELECT doc_id, text FROM documents
-          WHERE doc_id % 5 = 0 AND length(text) >= 11),
-        g AS (
-          SELECT doc_id, CAST(i AS BIGINT) AS i,
-                 ${OracleSql.md5Hash60("substr(text, CAST(i AS INTEGER), 8)")} AS h
-          FROM d, LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) t),
-        p AS (
-          SELECT doc_id, i,
-                 printf('%015x', h) || printf('%09d', 999999999 - i) AS pk
-          FROM g),
-        s AS (
-          SELECT doc_id, i,
-                 COUNT(*) OVER (PARTITION BY doc_id) AS gcnt,
-                 MIN(pk) OVER (PARTITION BY doc_id ORDER BY i
-                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
-          FROM p),
-        u AS (SELECT DISTINCT doc_id, mn FROM s WHERE i <= gcnt - 3)"""
+  /** The doc_id%5-sample winnowing CTE chain shared by `text_winnowing`
+    * and `dedup_winnow_pairs` (see [[OracleSql.winnowCtes]]). */
+  private val WinnowCtes: String = OracleSql.winnowCtes("doc_id % 5 = 0")
 
   /** Quality-score SQL mirror of [[TextAnalysis.qualityScore]] (shared by
     * the curation oracles). */

@@ -40,6 +40,32 @@ object OracleSql {
   def md5Hash60(colExpr: String): String =
     hex15ToInt(s"md5(CAST($colExpr AS VARCHAR))")
 
+  /** Winnowing CTE chain over `documents` rows matching `where`
+    * (k=8, w=4): gram hashes → packed (hash, pad-inverted pos) keys →
+    * per-window MIN with the rightmost-tie rule → `u(doc_id, mn)`, the
+    * distinct selected keys. Mirrors
+    * `graft.operators.TextAnalysis.winnowingFingerprints`; shared by the
+    * batch winnowing gates and `stream_winnow`. */
+  def winnowCtes(where: String): String = s"""
+        d AS (
+          SELECT doc_id, text FROM documents
+          WHERE ($where) AND length(text) >= 11),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 ${md5Hash60("substr(text, CAST(i AS INTEGER), 8)")} AS h
+          FROM d, LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) t),
+        p AS (
+          SELECT doc_id, i,
+                 printf('%015x', h) || printf('%09d', 999999999 - i) AS pk
+          FROM g),
+        s AS (
+          SELECT doc_id, i,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS gcnt,
+                 MIN(pk) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+          FROM p),
+        u AS (SELECT DISTINCT doc_id, mn FROM s WHERE i <= gcnt - 3)"""
+
   /**
    * Cassandra-variant murmur3 x64-128 H1 of SHORT keys (≤ 8 UTF-8 bytes:
    * only the k1 tail block + finalization run), replayed in DuckDB HUGEINT

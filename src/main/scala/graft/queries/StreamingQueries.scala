@@ -916,6 +916,48 @@ object StreamingQueries extends QueryRegistry {
         FROM c GROUP BY shard, win""")),
 
     QueryDef(
+      "stream_winnow",
+      (s, dir) => withStatePartitions(s, 4) {
+        // winnowing fingerprint NOVELTY on the stream: documents stream
+        // from a topic in paced micro-batches, each row computes its
+        // fingerprint set with the per-row winnowFpSet expression (the
+        // stream-safe formulation — no per-doc window sort), and
+        // cross-batch dropDuplicates state emits each fingerprint exactly
+        // ONCE, at first sight. The novel-fp set is winner-independent
+        // (whichever document arrives first, the fp value is the same),
+        // so the output is deterministic and the oracle replays it as
+        // the batch DISTINCT over the same sample.
+        import graft.operators.TextAnalysis
+        val root = Files.createTempDirectory("graft_stream_w").toString
+        val cfg = TopicConfig(root, "docs")
+        val records = Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 === 0)
+          .select(
+            col("doc_id").cast("string").as("partitionKey"),
+            timestamp_seconds(col("doc_id") + 86400).as("timestamp"),
+            col("text").as("value"))
+        PolarLog.produce(records, cfg)
+        val n = records.count()
+        val novel = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1)))
+          .select(col("timestamp"),
+            explode(TextAnalysis.winnowFpSet(
+              col("value").cast("string"), k = 8, w = 4)).as("fp"))
+          .withWatermark("timestamp", "60 days")
+          .dropDuplicates("fp")
+        val q = novel.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_winnow").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_winnow").select(col("fp"))
+      },
+      Some(s"""
+        WITH ${OracleSql.winnowCtes("doc_id % 5 = 0")}
+        SELECT DISTINCT ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
+        FROM u""")),
+
+    QueryDef(
       "stream_backfill_union",
       (s, dir) => {
         // the LAMBDA-ARCHITECTURE KILL: one log serves both legs. Batch
