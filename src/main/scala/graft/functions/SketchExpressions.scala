@@ -278,6 +278,66 @@ object Sketches {
 
   def md5Hash60Utf8(s: UTF8String): Long = md5Hash60(s.getBytes)
 
+  /** Winnowing fingerprint set (Schleimer–Wilkerson–Aiken 2003): md5-60
+    * hashes of the k-char grams, sliding w-window minimum with the
+    * RIGHTMOST tie win (robust winnowing), distinct winners. One pass:
+    * a monotonic deque gives O(grams) total window-min work, vs the
+    * declarative slice+array_min formulation's O(grams·w) interpreted
+    * lambdas and per-window allocations (measured 86 s → sub-second on
+    * the stream_winnow corpus at sf0.1). Char-offset walk keeps gram
+    * boundaries code-point-exact, matching `substring(text, i, k)`.
+    * Fewer than k+w−1 chars → empty array. */
+  def winnowFpSet(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val offs = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      offs(nChars) = i
+      val b = bytes(i) & 0xff
+      i += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      nChars += 1
+    }
+    offs(nChars) = nBytes
+    if (nChars < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val g = nChars - k + 1
+    val h = new Array[Long](g)
+    val d = md5Local.get()
+    var gi = 0
+    while (gi < g) {
+      d.reset()
+      d.update(bytes, offs(gi), offs(gi + k) - offs(gi))
+      val dig = d.digest()
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      h(gi) = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      gi += 1
+    }
+    // deque of indices, h strictly increasing front→back; pushing pops
+    // every back with h ≥ h(j), so the surviving minimum is the rightmost
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < g) {
+      while (tail > head && h(deque(tail - 1)) >= h(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      val lo = j - w + 1
+      while (deque(head) < lo) head += 1
+      if (j >= w - 1) set.add(h(deque(head)))
+      j += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash over [[md5Hash60]] token hashes — the native kernel
     * behind `md5_simhash60` (bit-identical to the higher-order-function
     * formulation, ~100× less allocation: one digest + 60 counter updates
@@ -452,6 +512,25 @@ case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.wordNgrams($c, $k)")
   override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+}
+
+/** `winnow_fp_set(string, k, w) -> array<long>` — per-row winnowing
+  * fingerprint set, one codegen'd pass (see [[Sketches.winnowFpSet]]). */
+case class WinnowFpSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_fp_set needs k, w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fp_set"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp_set requires string input, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.winnowFpSet(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.winnowFpSet($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFpSet = copy(child = c)
 }
 
 /** `md5_hash60(string|binary) -> long` — engine-neutral 60-bit content hash

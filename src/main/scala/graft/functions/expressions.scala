@@ -185,6 +185,10 @@ object GraftFunctions {
   def word_ngrams(text: Column, k: Int): Column =
     GraftShims.column(WordNgrams(GraftShims.expression(text), k))
 
+  /** Winnowing fingerprint set of a document, one codegen'd pass. */
+  def winnow_fp_set(text: Column, k: Int, w: Int): Column =
+    GraftShims.column(WinnowFpSet(GraftShims.expression(text), k, w))
+
   /** One-pass dot product of two float/double arrays. */
   def vec_dot(a: Column, b: Column): Column =
     GraftShims.column(VecDot(GraftShims.expression(a), GraftShims.expression(b)))

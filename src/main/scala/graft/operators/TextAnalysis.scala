@@ -423,6 +423,11 @@ object TextAnalysis {
    * 100 MB document costs O(grams) distributed work, not a quadratic
    * single-row kernel. Documents with fewer than `n` words carry no gram
    * instances and are excluded (no redundancy evidence either way).
+   *
+   * The gram-count shuffle is keyed on ([[Dedup.md5Hash60]](gram),
+   * length(gram)), never the gram text — ~3× fewer shuffle bytes at
+   * n-gram widths, and both engines hash identically so the (negligible,
+   * within-document, 60-bit) collision behavior is mirrored exactly.
    */
   def dupNgramMass(
       docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
@@ -430,14 +435,16 @@ object TextAnalysis {
       .select(col(idCol),
         explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
           .as("gram"))
-      .groupBy(col(idCol), col("gram"))
+      .select(col(idCol), Dedup.md5Hash60(col("gram")).as("h"),
+        length(col("gram")).as("len"))
+      .groupBy(col(idCol), col("h"), col("len"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(
         sum(col("c")).as("n_grams"),
-        sum(when(col("c") >= 2, length(col("gram")) * col("c"))
+        sum(when(col("c") >= 2, col("len") * col("c"))
           .otherwise(0L)).as("dup_chars"),
-        sum(length(col("gram")) * col("c")).as("total_chars"))
+        sum(col("len") * col("c")).as("total_chars"))
       // dup_chars ≤ ~n× document length; ×1e6 stays under int64 up to
       // ~3 TB single documents — no wide decimal needed
       .select(col(idCol), col("n_grams"), col("dup_chars"), col("total_chars"),
@@ -475,27 +482,18 @@ object TextAnalysis {
   /**
    * Per-row winnowing fingerprint SET (`array<long>`): same scheme and
    * tie-break as [[winnowingFingerprints]] — k-char gram md5-60 hashes,
-   * w-window minimum, rightmost tie win — but formulated as one column
-   * expression (sequence/transform/slice/array_min over (h, −pos)
-   * structs), so it runs on a STREAM, where the batch formulation's
-   * per-document window sort is not allowed. Struct ordering is
-   * lexicographic, so min over (h asc, −pos asc) IS the robust-winnowing
-   * rule. Documents shorter than k+w−1 chars yield an empty array.
-   * Per-row O(grams·w) work, no shuffle at all — the streaming-ingest
-   * novelty path; the batch path stays [[winnowingFingerprints]]
-   * (identical output, spec-checked).
+   * w-window minimum, rightmost tie win — as ONE native codegen'd kernel
+   * ([[graft.functions.Sketches.winnowFpSet]]: monotonic-deque window
+   * min, O(grams) total), so it runs on a STREAM, where the batch
+   * formulation's per-document window sort is not allowed. The
+   * declarative sequence/transform/slice/array_min form it replaced ran
+   * O(grams·w) interpreted lambdas — measured 86 s for the sf0.1
+   * stream_winnow corpus vs sub-second native. Documents shorter than
+   * k+w−1 chars yield an empty array. Identical output to the batch
+   * path, spec-checked.
    */
-  def winnowFpSet(text: Column, k: Int, w: Int): Column = {
-    val nGrams = length(text) - (k - 1)
-    val grams = transform(sequence(lit(1), nGrams),
-      i => struct(Dedup.md5Hash60(text.substr(i, lit(k))).as("h"),
-        (-i).as("ni")))
-    val fps = array_distinct(transform(
-      sequence(lit(1), nGrams - (w - 1)),
-      i => array_min(slice(grams, i, lit(w))).getField("h")))
-    when(length(text) >= k + w - 1, fps)
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def winnowFpSet(text: Column, k: Int, w: Int): Column =
+    graft.functions.GraftFunctions.winnow_fp_set(text, k, w)
 
   def winnowingFingerprints(
       docs: DataFrame, textCol: String, idCol: String,

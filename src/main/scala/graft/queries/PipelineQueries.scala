@@ -1909,6 +1909,57 @@ object PipelineQueries extends QueryRegistry {
         FROM hu""")),
 
     QueryDef(
+      "multimodal_scene_cut",
+      // shot-boundary detection through the REAL codec: the same framed
+      // PNG container as multimodal_video_sample, every consecutive frame
+      // pair diffed on the decoded 8×8 luma grid, cuts flagged where the
+      // summed absolute difference exceeds the threshold — the segmenting
+      // primitive a video curation pipeline runs before per-shot dedup.
+      // The oracle replays the grids from the text bytes (gray PNG
+      // round-trips the cells exactly).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val out = new java.io.ByteArrayOutputStream()
+              val dos = new java.io.DataOutputStream(out)
+              (0 until 4).foreach { f =>
+                val cells = Array.tabulate(64)(j =>
+                  bytes((j + 16 * f) % bytes.length) & 0xff)
+                val png = graft.operators.MediaCodec.encodeGrayPng(cells, 8, 8)
+                dos.writeInt(png.length)
+                dos.write(png)
+              }
+              graft.operators.MediaRecord(id, out.toByteArray, "video/x-framed", 8, 8)
+            }
+          }
+        Multimodal.sceneCuts(media, threshold = 1500L).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("diff_sum"), col("is_cut"))
+      },
+      Some("""
+        WITH f AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+        cells AS (
+          SELECT doc_id, f.frame_idx, t.j AS cell,
+                 ord(substr(text,
+                   CAST((t.j + 16 * f.frame_idx) % length(text) AS INT) + 1, 1)) AS g
+          FROM documents, f,
+               LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+        d AS (
+          SELECT a.doc_id, a.frame_idx, SUM(ABS(a.g - b.g)) AS diff_sum
+          FROM cells a JOIN cells b
+            ON a.doc_id = b.doc_id AND a.cell = b.cell
+               AND b.frame_idx = a.frame_idx - 1
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(diff_sum AS BIGINT) AS diff_sum,
+               CAST(CASE WHEN diff_sum > 1500 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        FROM d""")),
+
+    QueryDef(
       "multimodal_resample_audio",
       // REAL audio resample through the codec: synthesize the LCG
       // waveform at 8 kHz, write a genuine RIFF/WAVE container, decode
@@ -3753,14 +3804,16 @@ object PipelineQueries extends QueryRegistry {
                  unnest([array_to_string(words[i:i+2], ' ')
                          for i in generate_series(1, len(words)-2)]) AS gram
           FROM toks WHERE len(words) >= 3),
-        c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        c AS (SELECT doc_id, ${hex15ToInt("md5(gram)")} AS h,
+                     len(gram) AS l, COUNT(*) AS c
+              FROM g GROUP BY 1, 2, 3)
         SELECT doc_id,
                CAST(SUM(c) AS BIGINT) AS n_grams,
-               CAST(SUM(CASE WHEN c >= 2 THEN len(gram) * c ELSE 0 END)
+               CAST(SUM(CASE WHEN c >= 2 THEN l * c ELSE 0 END)
                  AS BIGINT) AS dup_chars,
-               CAST(SUM(len(gram) * c) AS BIGINT) AS total_chars,
-               CAST(SUM(CASE WHEN c >= 2 THEN len(gram) * c ELSE 0 END)
-                 * 1000000 // SUM(len(gram) * c) AS BIGINT) AS dup_ppm
+               CAST(SUM(l * c) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN c >= 2 THEN l * c ELSE 0 END)
+                 * 1000000 // SUM(l * c) AS BIGINT) AS dup_ppm
         FROM c GROUP BY 1""")))
 
   /** The doc_id%5-sample winnowing CTE chain shared by `text_winnowing`

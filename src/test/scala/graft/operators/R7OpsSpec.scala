@@ -110,6 +110,23 @@ class R7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count() > 0)
   }
 
+  test("sceneCuts: flags exactly the frame pairs whose luma diff crosses the threshold") {
+    val sp = spark; import sp.implicits._
+    // 3 frames: flat 10s, flat 10s (no cut), flat 200s (cut: 64*190 = 12160)
+    val grids = Seq(Array.fill(64)(10), Array.fill(64)(10), Array.fill(64)(200))
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    grids.foreach { g =>
+      val png = MediaCodec.encodeGrayPng(g, 8, 8)
+      dos.writeInt(png.length); dos.write(png)
+    }
+    val media = Seq(graft.operators.MediaRecord(
+      7L, out.toByteArray, "video/x-framed", 8, 8)).toDS()
+    val cuts = Multimodal.sceneCuts(media, threshold = 1500L).collect()
+      .map(c => c.frame_idx -> (c.diff_sum, c.is_cut)).toMap
+    assert(cuts === Map(1 -> (0L, 0L), 2 -> (64L * 190, 1L)))
+  }
+
   test("dupNgramMass: exact ppm on a hand-checked document") {
     val sp = spark; import sp.implicits._
     // words: a b c a b c a b -> 3-grams: "a b c","b c a","c a b","a b c",
