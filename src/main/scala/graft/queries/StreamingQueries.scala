@@ -958,6 +958,47 @@ object StreamingQueries extends QueryRegistry {
         FROM u""")),
 
     QueryDef(
+      "stream_domain_cap",
+      (s, dir) => withStatePartitions(s, 4) {
+        // per-domain quota ADMISSION at the log (ingest-time twin of
+        // pipeline_domain_cap): each domain admits its first 10 documents
+        // in event-time order, O(1) counter state spanning the paced
+        // micro-batches. Timestamps are strictly increasing per domain and
+        // produce orders offsets by timestamp, so the admitted set is
+        // exactly the lowest-10 doc_ids per domain — the oracle's
+        // row_number cap.
+        val root = Files.createTempDirectory("graft_stream_q").toString
+        val cfg = TopicConfig(root, "docs")
+        val records = Tables.documents(s, dir).select(
+          (col("doc_id") % 20).cast("string").as("partitionKey"),
+          timestamp_seconds(col("doc_id") + 86400).as("timestamp"),
+          col("doc_id").cast("string").as("value"))
+        PolarLog.produce(records, cfg)
+        val n = records.count()
+        val admitted = graft.streaming.StreamAnalytics.quotaAdmit(
+          PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 5, 1))).toDF(),
+          cap = 10)
+        val q = admitted.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_domain_cap").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_domain_cap").select(
+          col("partitionKey").cast("long").as("domain"),
+          col("value").cast("long").as("doc_id"),
+          col("seq"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id % 20 AS domain, doc_id,
+                 row_number() OVER (PARTITION BY doc_id % 20
+                                    ORDER BY doc_id) AS seq
+          FROM documents)
+        SELECT domain, doc_id, CAST(seq AS BIGINT) AS seq
+        FROM r WHERE seq <= 10""")),
+
+    QueryDef(
       "stream_backfill_union",
       (s, dir) => {
         // the LAMBDA-ARCHITECTURE KILL: one log serves both legs. Batch

@@ -44,6 +44,12 @@ private final case class FunnelState(stage: Int)
 
 private final case class PackState(cum: Long)
 
+/** One admitted record of a quota-capped key: the key, the record's value,
+  * and its 1-based admission rank within the key. */
+final case class AdmittedRecord(partitionKey: String, value: String, seq: Long)
+
+private final case class QuotaState(n: Long)
+
 /**
  * Event-time analytics over the polar stream — the Structured Streaming
  * layer the reference leaves to its consumers (SURVEY §2 Table B
@@ -399,6 +405,44 @@ object StreamAnalytics {
             }
           }
           st.update(FunnelState(stagePtr))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming per-key quota ADMISSION (the ingest-time twin of
+   * `Curation.domainCap`): each key admits its first `cap` records in
+   * event-time order and drops the rest — the C4/RefinedWeb per-domain
+   * frequency cap enforced AT THE LOG, before dropped documents ever cost
+   * downstream compute or storage. State is O(1) per key (the admission
+   * counter), carried across micro-batch boundaries, so a key that fills
+   * its quota in batch 1 admits nothing in batch 9. Deterministic when
+   * per-key event times are strictly increasing (produce orders offsets
+   * by timestamp within a partition), which lets the batch oracle replay
+   * the admitted set as a row_number cap.
+   */
+  def quotaAdmit(events: DataFrame, cap: Long): Dataset[AdmittedRecord] = {
+    require(cap >= 0, s"quotaAdmit needs cap >= 0, got $cap")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("partitionKey").cast("string"), col("timestamp"),
+        col("value").cast("string"))
+      .as[(String, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, AdmittedRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, st: GroupState[QuotaState]) =>
+          val sorted = rows.toSeq.sortBy { case (_, ts, v) =>
+            (ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L, v)
+          }
+          var n = st.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedRecord]
+          sorted.iterator.takeWhile(_ => n < cap).foreach { case (_, _, v) =>
+            n += 1
+            out += AdmittedRecord(key, v, n)
+          }
+          st.update(QuotaState(n))
           out.iterator
       }
   }
