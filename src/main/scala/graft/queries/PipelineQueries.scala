@@ -1394,6 +1394,45 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_index_stats",
+      // index HEALTH report: per-cell vector counts and id ranges read
+      // back from the persisted layout — the list-size balance check a
+      // vector store runs to decide when centroids need retraining
+      // (skewed cells = degraded probe pruning). Proves the directory
+      // layout holds exactly the assignment the centroid rule dictates.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val centroids = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+          .orderBy(col("id")).limit(8).collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("v").toSeq.map(_.toDouble)).toSeq
+        val root = java.nio.file.Files.createTempDirectory("graft_ivf_st").toString
+        Similarity.ivfIndexWrite(corpus, "embedding", "vec_id", centroids, s"$root/ivf")
+        s.read.parquet(s"$root/ivf")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+        assign AS (
+          SELECT e.vec_id,
+                 (SELECT ci FROM c
+                  ORDER BY list_dot_product(e.v, c.cv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           ci ASC LIMIT 1) AS cell
+          FROM e)
+        SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vecs,
+               MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        FROM assign GROUP BY 1""")),
+
+    QueryDef(
       "pipeline_sample_split",
       // reproducible corpus splitting: hash-bucket membership is a pure
       // function of doc_id, identical in any engine / partitioning / run
@@ -2548,6 +2587,86 @@ object PipelineQueries extends QueryRegistry {
         FROM s, stats
         WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
         ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    QueryDef(
+      "rank_fusion",
+      // HYBRID retrieval (Cormack–Clarke–Buettcher reciprocal rank
+      // fusion): the BM25 lexical top-20 and the cosine vector top-20
+      // fused by integer RRF — contribution floor(1e9/(60+rank)) per leg,
+      // exact in both engines, no float fusion arithmetic. The modern
+      // RAG retrieval stack in one declarative plan: both legs are
+      // corpus-scan + TakeOrdered (never a corpus shuffle), the fusion
+      // joins two 20-row frames.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        def ranked(leg: org.apache.spark.sql.DataFrame, score: String) = leg.select(
+          col("id"),
+          row_number().over(
+            Window.orderBy(col(score).desc, col("id"))).cast("long").as("r"))
+        val lex = ranked(graft.operators.Ranking.bm25TopK(
+            docs, "text", "doc_id", terms = Seq("spark", "query", "stream"),
+            k = 20).select(col("doc_id").as("id"), col("score")), "score")
+        val vec = ranked(Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv, 20), "sim")
+        lex.select(col("id"), col("r").as("lex_rank"))
+          .join(vec.select(col("id"), col("r").as("vec_rank")), Seq("id"), "full_outer")
+          .select(col("id"), col("lex_rank"), col("vec_rank"),
+            (coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+             coalesce(expr("1000000000 div (60 + vec_rank)"), lit(0L))).as("fused"))
+          .orderBy(col("fused").desc, col("id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $WordsSql AS toks FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 SUM(CAST(len(toks) AS DOUBLE)) AS sum_dl,
+                 SUM(CASE WHEN len(list_filter(toks, x -> x = 'spark')) > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+                 SUM(CASE WHEN len(list_filter(toks, x -> x = 'query')) > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+                 SUM(CASE WHEN len(list_filter(toks, x -> x = 'stream')) > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+          FROM t),
+        sc AS (
+          SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                 CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+                 CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf_1,
+                 CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf_2
+          FROM t),
+        bm AS (
+          SELECT doc_id, round(
+              ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+                / (tf_0 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+            + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+                / (tf_1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+            + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+                / (tf_2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 6) AS score
+          FROM sc, stats
+          WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+          ORDER BY score DESC, doc_id LIMIT 20),
+        lex AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM bm),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT vec_id AS id,
+                 round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                       (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS sim
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY sim DESC, id LIMIT 20),
+        vec AS (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM sims),
+        f AS (
+          SELECT COALESCE(l.id, v.id) AS id, l.r AS lr, v.r AS vr
+          FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+        SELECT id, CAST(lr AS BIGINT) AS lex_rank, CAST(vr AS BIGINT) AS vec_rank,
+               CAST(COALESCE(1000000000 // (60 + lr), 0)
+                    + COALESCE(1000000000 // (60 + vr), 0) AS BIGINT) AS fused
+        FROM f ORDER BY fused DESC, id LIMIT 10""")),
 
     QueryDef(
       "sim_ann_sq8",

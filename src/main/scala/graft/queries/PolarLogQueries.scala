@@ -629,6 +629,59 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_vacuum",
+      (s, dir) => {
+        // ORPHAN RECLAMATION: compaction with deleteOriginals=false leaves
+        // the superseded segments on disk as unregistered orphans (safe
+        // for in-flight readers that planned pre-compaction); vacuum with
+        // an expired grace deletes exactly those files and nothing
+        // registered. The gate asserts files were merged AND reclaimed,
+        // then replays the consume aggregate — registry-planned reads are
+        // byte-identical before and after the reclaim.
+        val root = Files.createTempDirectory("graft_polar_vac").toString
+        val cfg = TopicConfig(root, "vac")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(4)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        (0 until 4).foreach(r => PolarLog.produce(slice(r), cfg,
+          orderBy = Seq(col("timestamp"), col("value"))))
+        val merged = graft.sources.PolarCompaction.compact(s, cfg,
+          smallBytes = 1L << 30, minRun = 2, deleteOriginals = false)
+        require(merged > 0, "compaction merged nothing")
+        val deleted = PolarLog.vacuum(cfg, dataGraceMs = 0L)
+        require(deleted > 0, "vacuum reclaimed no orphaned segments")
+        val meta = LogMetadata.read(cfg)
+        // every on-disk parquet must now be registered (no orphans left)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(cfg.dir), s.sparkContext.hadoopConfiguration)
+        val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet
+        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.dir))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
+          .flatMap(p => fs.listStatus(p.getPath))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
+          .toSet
+        require(onDisk == registered,
+          s"orphans remain or registered files missing: ${onDisk.diff(registered)}")
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
+            min(col("offset")).as("min_off"))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) AS n, COUNT(*) AS off_span,
+               CAST(0 AS BIGINT) AS min_off
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),
