@@ -364,7 +364,49 @@ object LogMetadata {
     try out.write(render(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     fc.rename(tmp, rootPath, Options.Rename.OVERWRITE)
+    // Retained root snapshot: a write-once copy of the root doc keyed by
+    // version — the TIME-TRAVEL anchor ([[readAt]]). Snapshots live in the
+    // manifest dir, unreferenced by any live chain, so vacuum reclaims
+    // them past manifestGraceMs: as-of reads are guaranteed within the
+    // vacuum grace window, exactly like Delta's version retention. Tiny
+    // (one JSON doc per commit); failure to write it never fails the
+    // commit itself — the head stays authoritative.
+    try {
+      val snapName = f"root-v${next.version}%011d-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".json"
+      val sPath = new Path(s"${manifestDir(cfg)}/$snapName")
+      val sOut = fc.create(sPath,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+        Options.CreateOpts.createParent())
+      try sOut.write(render(next).getBytes(StandardCharsets.UTF_8))
+      finally sOut.close()
+    } catch { case _: java.io.IOException => /* snapshot is best-effort */ }
     next
+  }
+
+  /** Read the topic's metadata AS OF `version` (time travel): resolves the
+    * retained root snapshot that [[publish]] wrote for that commit, then
+    * its manifest chains. Fails if the snapshot has been vacuumed past the
+    * manifest grace window (or predates the feature) — and a read may
+    * still fail later if retention/compaction physically removed that
+    * version's data files, the same contract as any snapshot-isolated
+    * table format. */
+  def readAt(cfg: TopicConfig, version: Long): LogMetadata = {
+    val dir = new Path(manifestDir(cfg))
+    val fc = FileContext.getFileContext(dir.toUri, hadoopConf)
+    val prefix = f"root-v$version%011d-"
+    val candidates =
+      if (!fc.util().exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fc.util().listStatus(dir).filter(f =>
+        f.isFile && f.getPath.getName.startsWith(prefix))
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"version $version of topic ${cfg.topic} is not retained " +
+          "(vacuumed past the manifest grace window, or never committed)")
+    // topic re-creation at the same path can leave same-version snapshots:
+    // the newest one belongs to the current topic incarnation
+    val snap = candidates.maxBy(_.getModificationTime).getPath
+    resolveManifests(cfg, fc, parse(readText(fc, snap)))
   }
 
   // -- tiny hand-rolled JSON (flat schema; avoids depending on jackson API

@@ -682,6 +682,42 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_time_travel",
+      (s, dir) => {
+        // TIME TRAVEL: two produces, one version capture in between. The
+        // versionAsOf batch read plans against the retained root snapshot
+        // (commit-versioned, reclaimed by vacuum past the manifest grace)
+        // and must see EXACTLY the first produce; the head read sees
+        // both. Snapshot isolation over the tail-append registry — the
+        // lakehouse counterpart of the reference's versioned ownership
+        // doc (SURVEY §2 A11/A27).
+        val root = Files.createTempDirectory("graft_polar_tt").toString
+        val cfg = TopicConfig(root, "tt")
+        def slice(cond: org.apache.spark.sql.Column) = Tables.events(s, dir)
+          .filter(cond)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(pmod(col("event_id"), lit(3)) === 0), cfg)
+        val v1 = LogMetadata.read(cfg).version
+        PolarLog.produce(slice(pmod(col("event_id"), lit(3)) =!= 0), cfg)
+        def rd(asOf: Option[Long]) = {
+          val r = s.read.format("polar")
+            .option("root", cfg.root).option("topic", cfg.topic)
+          asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load()
+        }
+        rd(Some(v1)).select(lit("asof").as("snapshot"), col("partitionKey"))
+          .unionAll(rd(None).select(lit("head").as("snapshot"), col("partitionKey")))
+          .groupBy(col("snapshot"), col("partitionKey").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT 'asof' AS snapshot, user_id, COUNT(*) AS n
+        FROM events WHERE event_id % 3 = 0 GROUP BY 2
+        UNION ALL
+        SELECT 'head' AS snapshot, user_id, COUNT(*) AS n
+        FROM events GROUP BY 2""")),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),

@@ -123,7 +123,8 @@ object PolarSource {
           val i = java.time.Instant.parse(s)
           i.getEpochSecond * 1000000L + i.getNano / 1000L
         }
-      })
+      },
+      versionAsOf = opt("versionAsOf").map(_.trim.toLong))
   }
 }
 
@@ -134,7 +135,8 @@ final case class PolarSourceConfig(
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
-    startingTimestampMicros: Option[Long] = None) {
+    startingTimestampMicros: Option[Long] = None,
+    versionAsOf: Option[Long] = None) {
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -300,7 +302,13 @@ class PolarScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val metas = cfg.topics.map(c => c.topic -> LogMetadata.read(c)).toMap
+      // versionAsOf plans against the retained root snapshot (time
+      // travel); offsets/tails come from that version's doc, so the scan
+      // is a consistent point-in-time view of the log
+      val metas = cfg.topics.map(c => c.topic -> (cfg.versionAsOf match {
+        case Some(v) => LogMetadata.readAt(c, v)
+        case None => LogMetadata.read(c)
+      })).toMap
       val start = PolarOffsets(cfg.topics.flatMap(c =>
         (0 until c.numPartitions).map(p => (c.topic, p) -> bounds.minOffset)).toMap)
       val end = PolarOffsets(metas.flatMap { case (t, m) =>
@@ -317,8 +325,11 @@ class PolarScan(
       new PolarReaderFactory(required, columnar = true)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (cfg.versionAsOf.isDefined) throw new UnsupportedOperationException(
+      "versionAsOf is a batch time-travel option; a stream always follows the live head")
     new PolarMicroBatchStream(cfg)
+  }
 }
 
 /** Streaming offsets: next-offset-to-read per (topic, log partition), as
