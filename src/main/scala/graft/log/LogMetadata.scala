@@ -409,6 +409,30 @@ object LogMetadata {
     resolveManifests(cfg, fc, parse(readText(fc, snap)))
   }
 
+  /** The newest retained commit version whose root snapshot landed at or
+    * before `tsMicros` (epoch micros) — `TIMESTAMP AS OF` resolution.
+    * Commit time is the snapshot file's modification time: coarse
+    * (filesystem-millis) but monotone with version order per incarnation. */
+  def versionAt(cfg: TopicConfig, tsMicros: Long): Long = {
+    val dir = new Path(manifestDir(cfg))
+    val fc = FileContext.getFileContext(dir.toUri, hadoopConf)
+    val SnapRe = """root-v(\d+)-.*\.json""".r
+    val versions =
+      if (!fc.util().exists(dir)) Array.empty[(Long, Long)]
+      else fc.util().listStatus(dir).flatMap(f => f.getPath.getName match {
+        case SnapRe(v) if f.isFile =>
+          Some(v.toLong -> f.getModificationTime * 1000L)
+        case _ => None
+      })
+    val eligible = versions.filter(_._2 <= tsMicros)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"no retained commit of topic ${cfg.topic} at or before " +
+          s"timestamp $tsMicros (earliest retained: " +
+          s"${if (versions.isEmpty) "none" else versions.minBy(_._2)._2.toString})")
+    eligible.maxBy(v => (v._1, v._2))._1
+  }
+
   // -- tiny hand-rolled JSON (flat schema; avoids depending on jackson API
   //    stability across Spark versions) ------------------------------------
 

@@ -100,6 +100,31 @@ class PolarCatalog extends TableCatalog {
     new PolarTable(PolarSourceConfig(cfg, "latest", None), null, sqlInsertable = true)
   }
 
+  /** SQL time travel: `SELECT … FROM cat.topic VERSION AS OF n` — the
+    * catalog face of the DSv2 `versionAsOf` read option (retained root
+    * snapshots; see [[graft.log.LogMetadata.readAt]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    requireTopLevel(ident.namespace())
+    val probe = TopicConfig(root, ident.name())
+    if (!exists(probe)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"polar VERSION AS OF takes a commit version number, got '$version'"))
+    val meta = LogMetadata.readAt(probe, v)
+    val cfg = TopicConfig(root, ident.name(), meta.clusterSize, meta.rangesPerToken)
+    new PolarTable(
+      PolarSourceConfig(Seq(cfg), "latest", None, versionAsOf = Some(v)))
+  }
+
+  /** SQL time travel: `… TIMESTAMP AS OF t` (micros since epoch) — the
+    * newest retained commit whose snapshot landed at or before `t`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    requireTopLevel(ident.namespace())
+    val probe = TopicConfig(root, ident.name())
+    if (!exists(probe)) throw new NoSuchTableException(ident)
+    loadTable(ident, LogMetadata.versionAt(probe, timestamp).toString)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -70,6 +70,28 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(causes(err).exists(_.isInstanceOf[UnsupportedOperationException]))
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF through the catalog") {
+    val root = Files.createTempDirectory("graft_tt_cat").toString
+    spark.conf.set("spark.sql.catalog.tt_cat",
+      classOf[graft.sources.PolarCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tt_cat.root", root)
+    val cfg = TopicConfig(root, "ttsql")
+    PolarLog.produce(recordsDf(0 until 7), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    Thread.sleep(1100) // snapshot mtime is second-granular on some FSes
+    val cutMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(1100)
+    PolarLog.produce(recordsDf(7 until 12), cfg)
+    assert(spark.sql(s"SELECT * FROM tt_cat.ttsql VERSION AS OF $v1").count() === 7)
+    assert(spark.sql("SELECT * FROM tt_cat.ttsql").count() === 12)
+    // timestamp resolution lands on the commit at-or-before the cut
+    assert(LogMetadata.versionAt(cfg, cutMicros) === v1)
+    val lit = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochMilli(cutMicros / 1000L)).toString
+    assert(spark.sql(
+      s"SELECT * FROM tt_cat.ttsql TIMESTAMP AS OF '$lit'").count() === 7)
+  }
+
   test("vacuum past the manifest grace is the retention boundary") {
     val cfg = freshTopic()
     PolarLog.produce(recordsDf(0 until 5), cfg)
