@@ -206,6 +206,37 @@ object PolarLog {
     out
   }
 
+  /**
+   * CHANGE FEED between two commit versions: every record appended after
+   * `fromVersion` up to and including `toVersion` (exclusive/inclusive —
+   * the Delta CDF convention). The log is append-only, so the change set
+   * IS the per-partition offset window between the two versions'
+   * producer tails; files are pruned by registry stats and the scan plans
+   * against the `toVersion` snapshot, so a concurrent producer past
+   * `toVersion` never leaks in. Both versions must still be retained
+   * (see [[LogMetadata.readAt]]); `toVersion` defaults to the head.
+   * The incremental-batch consumption primitive: a downstream batch job
+   * checkpoints the version it last processed and reads exactly the
+   * delta, no streaming checkpoint needed.
+   */
+  def changesBetween(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val fromMeta = LogMetadata.readAt(cfg, fromVersion)
+    val toMeta = toVersion.map(LogMetadata.readAt(cfg, _))
+      .getOrElse(LogMetadata.read(cfg))
+    val starts = fromMeta.producerOffsets.zipWithIndex
+      .map { case (tail, p) => p -> tail }.toMap
+    val ends = toMeta.producerOffsets.zipWithIndex
+      .map { case (tail, p) => p -> tail }.toMap
+    // plan against the to-snapshot: offsets past it are invisible even if
+    // the head has moved — consume() reads the head registry, so filter
+    // its file set through the explicit end tails
+    consume(spark, cfg, startOffsets = starts, endOffsets = ends)
+  }
+
   /** Records of one partition in offset order — the per-poll chunk contract
     * of the reference's segment reader (SURVEY §2 A12). */
   def consumePartition(

@@ -718,6 +718,34 @@ object PolarLogQueries extends QueryRegistry {
         FROM events GROUP BY 2""")),
 
     QueryDef(
+      "polar_changes",
+      (s, dir) => {
+        // CHANGE FEED: three produces, versions captured between them; the
+        // (v1, v2] delta must be EXACTLY the middle produce — no leakage
+        // from the first commit or from appends past v2. Incremental batch
+        // consumption via version checkpoints instead of a streaming
+        // checkpoint (the Delta-CDF pattern over the append-only log).
+        val root = Files.createTempDirectory("graft_polar_cf").toString
+        val cfg = TopicConfig(root, "cf")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(3)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), cfg)
+        val v1 = LogMetadata.read(cfg).version
+        PolarLog.produce(slice(1), cfg)
+        val v2 = LogMetadata.read(cfg).version
+        PolarLog.produce(slice(2), cfg)
+        PolarLog.changesBetween(s, cfg, v1, Some(v2))
+          .groupBy(col("partitionKey").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("value").cast("string")).as("n_vals"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT props) AS n_vals
+        FROM events WHERE event_id % 3 = 1 GROUP BY 1""")),
+
+    QueryDef(
       "polar_ndjson_ingest",
       (s, dir) => {
         // one NDJSON body per user (lines = that user's props, produce order),

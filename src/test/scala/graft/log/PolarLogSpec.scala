@@ -333,6 +333,7 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     def manifests: Map[String, Long] =
       Option(mdir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".json")) // skip ChecksumFs .crc sidecars
+        .filterNot(_.getName.startsWith("root-v")) // time-travel snapshots
         .map(f => f.getName -> f.length()).toMap
     // seed: one commit registering 2000 files (the big-partition state)
     LogMetadata.write(cfg, LogMetadata.empty(cfg))
