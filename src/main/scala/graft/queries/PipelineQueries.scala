@@ -3907,6 +3907,52 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
     QueryDef(
+      "dedup_winnow_keep",
+      // the winnowing family's TERMINAL step (dedup_keep's shape on
+      // fingerprint evidence): shared-fingerprint pairs → connected
+      // components → drop every cluster member except its min-id
+      // representative. Verbatim-overlap dedup end-to-end: pairs by
+      // inverted-index join, components over the tiny edge set, survivors
+      // via one left-anti join.
+      (s, dir) => {
+        val sample = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        val pairs = Dedup.winnowPairs(sample, "text", "doc_id",
+          k = 8, w = 4, minShared = 2, maxDf = 10)
+        val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.keepRepresentatives(sample, "doc_id", clusters)
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+      },
+      Some(s"""
+        WITH RECURSIVE $WinnowCtes,
+        fp AS (
+          SELECT DISTINCT doc_id,
+                 ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
+          FROM u),
+        rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 10),
+        f2 AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+        prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs),
+        reach AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION
+          SELECT r.node, e.dst AS peer
+          FROM reach r JOIN edges e ON e.src = r.peer),
+        cc AS (
+          SELECT node AS id, least(node, min(peer)) AS cid
+          FROM reach GROUP BY node),
+        dropped AS (SELECT id FROM cc WHERE id <> cid)
+        SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id FROM dropped)""")),
+
+    QueryDef(
       "text_dup_ngram_mass",
       // corpus-scale Gopher redundancy: per-doc duplicated word-3-gram
       // character mass in exact integer ppm — the hash-verifiable gate
