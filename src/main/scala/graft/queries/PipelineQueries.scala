@@ -3907,6 +3907,67 @@ object PipelineQueries extends QueryRegistry {
         GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
     QueryDef(
+      "dedup_winnow_eval",
+      // the winnowing TRUST LOOP: score the shared-fingerprint pair set
+      // (minShared=1, no df cap — the raw scheme) against exhaustive
+      // ground truth "shares a common substring of length ≥ k+w−1 = 11".
+      // The Schleimer–Wilkerson–Aiken guarantee says recall is EXACTLY
+      // 1.0 — this gate states the paper's theorem as data; precision < 1
+      // measures pairs sharing only an 8-gram (selected in both docs)
+      // without an 11-char match. Evals run on a small sample by design —
+      // the exhaustive truth join is the quadratic baseline.
+      (s, dir) => {
+        val sample = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+        val grams = sample.filter(length(col("text")) >= 11)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("text")) - 10)).as("i"),
+            col("text").as("t"))
+          .select(col("doc_id"),
+            md5(expr("substring(t, i, 11)").cast("binary")).as("g"))
+          .distinct()
+        val truth = grams.as("a").join(grams.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+          .withColumn("t", lit(1L))
+        val pred = Dedup.winnowPairs(sample, "text", "doc_id",
+            k = 8, w = 4, minShared = 1, maxDf = Long.MaxValue)
+          .select(col("id_a"), col("id_b"), lit(1L).as("p"))
+        truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+          .agg(sum(col("t")).as("n_true"), sum(col("p")).as("n_pred"),
+            sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("n_hits"))
+          .select(col("n_true"), col("n_pred"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_pred"), 6).as("precision"),
+            round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+      },
+      Some(s"""
+        WITH ${OracleSql.winnowCtes("doc_id % 25 = 0")},
+        fp AS (
+          SELECT DISTINCT doc_id,
+                 ${OracleSql.hex15ToInt("substr(mn, 1, 15)")} AS fp
+          FROM u),
+        prs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        d2 AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 25 = 0 AND length(text) >= 11),
+        g2 AS (
+          SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INTEGER), 11)) AS g
+          FROM d2, LATERAL (SELECT unnest(generate_series(1, length(text) - 10)) AS i) t),
+        truth AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id),
+        c AS (SELECT
+                (SELECT COUNT(*) FROM truth) AS n_true,
+                (SELECT COUNT(*) FROM prs) AS n_pred,
+                (SELECT COUNT(*) FROM truth JOIN prs USING (id_a, id_b)) AS n_hits)
+        SELECT n_true, n_pred, n_hits,
+               round(CAST(n_hits AS DOUBLE) / n_pred, 6) AS precision,
+               round(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
+        FROM c""")),
+
+    QueryDef(
       "dedup_winnow_keep",
       // the winnowing family's TERMINAL step (dedup_keep's shape on
       // fingerprint evidence): shared-fingerprint pairs → connected
