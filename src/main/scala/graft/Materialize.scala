@@ -51,6 +51,25 @@ object Materialize {
     cp
   }
 
+  /** Size-gated pin for multi-consumer intermediates: `localCheckpoint`
+    * (lineage cut, memory blocks) when a BOUNDED probe of `gate` finds at
+    * most `maxRows` rows, resilient `persist` otherwise. The probe is
+    * `limit(maxRows+1).count()` — `LocalLimit` short-circuits every task
+    * at the cap, so the gate costs O(maxRows) rows scanned even on a
+    * 100 TB frame, where a full `count()` gate re-scans the entire input
+    * once per operator call. */
+  def pinBySize(toPin: DataFrame, gate: DataFrame, maxRows: Long): DataFrame =
+    if (atMostRows(gate, maxRows)) localCheckpoint(toPin) else persist(toPin)
+
+  /** Bounded row-count probe: true iff `df` holds at most `maxRows` rows,
+    * scanning at most `maxRows + 1` of them (the [[pinBySize]] gate, also
+    * used directly by the dual-path dedup operators whose plan SHAPE
+    * changes with corpus size). */
+  def atMostRows(df: DataFrame, maxRows: Long): Boolean = {
+    val cap = math.min(maxRows, Int.MaxValue - 2L).toInt
+    df.limit(cap + 1).count() <= maxRows
+  }
+
   /** Immediately drop a frame's blocks — for intermediates an operator
     * itself owns and has finished with (e.g. the previous iteration of a
     * contraction loop). The frame must not be read again if it was

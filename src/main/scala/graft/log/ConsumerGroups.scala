@@ -181,6 +181,30 @@ object ConsumerGroups {
     Poll(records, end)
   }
 
+  /** One partition's lag row: committed next-offset, producer tail, and
+    * the records pending between them. */
+  final case class GroupLag(part: Int, committed: Long, tail: Long, lag: Long)
+
+  /** Per-partition lag of a registered group — (committed, tail, lag) for
+    * every partition, the first operational surface every log operator
+    * asks for (the `--describe` view of Kafka's group tooling; the
+    * reference's consumers derive it from their offset state +
+    * `maxProducedOffset`, `internal/consuming/offset_state.go`). Pure
+    * driver-side metadata arithmetic: the group's committed doc plus the
+    * topic's producer tails — no file I/O, no scan. Unregistered groups
+    * fail loudly (a silent all-zero answer would read as "caught up"). */
+  def groupLag(cfg: TopicConfig, group: String): Seq[GroupLag] = {
+    val comm = committed(cfg, group).getOrElse(
+      throw new IllegalArgumentException(
+        s"group '$group' is not registered on topic ${cfg.topic}"))
+    val tails = PolarLog.tails(cfg)
+    (0 until cfg.numPartitions).map { p =>
+      val c = comm.getOrElse(p, 0L)
+      val t = tails.getOrElse(p, 0L)
+      GroupLag(p, c, t, math.max(t - c, 0L))
+    }
+  }
+
   /** Merge-commit a member's partitions into the group document (the other
     * members' offsets are preserved). */
   def commitPartial(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =

@@ -86,6 +86,12 @@ final case class FileEntry(
  *
  * `producerOffsets(p)` is the next offset to be assigned in partition p
  * (= number of records ever produced there; offsets are dense from 0).
+ *
+ * `commitMs` is the wall-clock time [[LogMetadata.publish]] stamped into
+ * the rendered doc — the `TIMESTAMP AS OF` anchor. It lives IN the
+ * document (the Delta commit-timestamp model) so it survives copy/rsync/
+ * object-store migration, unlike file mtimes; 0 marks pre-commitMs legacy
+ * docs, resolved by mtime fallback.
  */
 final case class LogMetadata(
     version: Long,
@@ -94,7 +100,8 @@ final case class LogMetadata(
     producerOffsets: Vector[Long],
     filesByPart: Map[Int, Vector[FileEntry]] = Map.empty,
     sinkCommits: Map[String, Long] = Map.empty,
-    manifestNames: Map[Int, String] = Map.empty) {
+    manifestNames: Map[Int, String] = Map.empty,
+    commitMs: Long = 0L) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order — O(1) lookup, the
@@ -351,7 +358,8 @@ object LogMetadata {
           }
         p -> name
     }
-    val next = next0.copy(manifestNames = names)
+    val next = next0.copy(manifestNames = names,
+      commitMs = System.currentTimeMillis())
     // manifests are durable before the root rename makes them reachable; a
     // crash in between leaves unreferenced manifests for vacuum. The tmp
     // name is unique per publish so no two writers ever share one.
@@ -380,7 +388,12 @@ object LogMetadata {
         Options.CreateOpts.createParent())
       try sOut.write(render(next).getBytes(StandardCharsets.UTF_8))
       finally sOut.close()
-    } catch { case _: java.io.IOException => /* snapshot is best-effort */ }
+    } catch {
+      // best-effort contract: NOTHING a snapshot write throws may fail the
+      // commit itself (exotic FileContexts surface RuntimeException /
+      // UnsupportedOperationException, not just IOException)
+      case scala.util.control.NonFatal(_) => ()
+    }
     next
   }
 
@@ -409,28 +422,53 @@ object LogMetadata {
     resolveManifests(cfg, fc, parse(readText(fc, snap)))
   }
 
-  /** The newest retained commit version whose root snapshot landed at or
-    * before `tsMicros` (epoch micros) — `TIMESTAMP AS OF` resolution.
-    * Commit time is the snapshot file's modification time: coarse
-    * (filesystem-millis) but monotone with version order per incarnation. */
+  /** The newest retained commit version whose commit time is at or before
+    * `tsMicros` (epoch micros) — `TIMESTAMP AS OF` resolution. Commit time
+    * comes from the `commitMs` field INSIDE the snapshot doc (stamped by
+    * [[publish]]), so resolution survives copy/rsync/object-store
+    * migration where file mtimes are rewritten; the mtime is only the
+    * fallback for legacy pre-commitMs snapshots. Commit times are monotone
+    * with version order per topic incarnation, so the lookup binary-
+    * searches the version-sorted snapshot list and reads O(log n) tiny
+    * docs, never the whole retained set. */
   def versionAt(cfg: TopicConfig, tsMicros: Long): Long = {
     val dir = new Path(manifestDir(cfg))
     val fc = FileContext.getFileContext(dir.toUri, hadoopConf)
     val SnapRe = """root-v(\d+)-.*\.json""".r
-    val versions =
-      if (!fc.util().exists(dir)) Array.empty[(Long, Long)]
+    val snaps =
+      if (!fc.util().exists(dir)) Array.empty[(Long, org.apache.hadoop.fs.FileStatus)]
       else fc.util().listStatus(dir).flatMap(f => f.getPath.getName match {
-        case SnapRe(v) if f.isFile =>
-          Some(v.toLong -> f.getModificationTime * 1000L)
+        case SnapRe(v) if f.isFile => Some(v.toLong -> f)
         case _ => None
       })
-    val eligible = versions.filter(_._2 <= tsMicros)
-    if (eligible.isEmpty)
+    if (snaps.isEmpty)
+      throw new IllegalArgumentException(
+        s"no retained commit of topic ${cfg.topic} at or before " +
+          s"timestamp $tsMicros (earliest retained: none)")
+    // topic re-creation at the same path can leave same-version snapshots:
+    // the newest mtime belongs to the current incarnation (readAt's rule)
+    val byVersion = snaps.groupBy(_._1).map { case (v, fs) =>
+      v -> fs.maxBy(_._2.getModificationTime)._2
+    }.toArray.sortBy(_._1)
+    def commitMicros(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val ms = try parse(readText(fc, st.getPath)).commitMs
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      (if (ms > 0) ms else st.getModificationTime) * 1000L
+    }
+    var lo = 0
+    var hi = byVersion.length - 1
+    var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitMicros(byVersion(mid)._2) <= tsMicros) { found = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (found < 0)
       throw new IllegalArgumentException(
         s"no retained commit of topic ${cfg.topic} at or before " +
           s"timestamp $tsMicros (earliest retained: " +
-          s"${if (versions.isEmpty) "none" else versions.minBy(_._2)._2.toString})")
-    eligible.maxBy(v => (v._1, v._2))._1
+          s"${commitMicros(byVersion(0)._2)})")
+    byVersion(found)._1
   }
 
   // -- tiny hand-rolled JSON (flat schema; avoids depending on jackson API
@@ -447,6 +485,7 @@ object LogMetadata {
     }.mkString(",")
     s"""{"version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
+      s""""commitMs":${m.commitMs},""" +
       s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
       s""""sinkCommits":[$sinks],""" +
       s""""manifests":[$manifests]}"""
@@ -538,8 +577,13 @@ object LogMetadata {
         (files.groupBy(_.part).map { case (p, v) => p -> v.sortBy(_.minOffset) },
           Map.empty[Int, String])
     }
+    // commitMs is a round-8 addition: absent in older docs → 0 (legacy,
+    // mtime fallback in versionAt)
+    val commitMs = """"commitMs"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
     LogMetadata(longField("version"), longField("clusterSize").toInt,
-      longField("rangesPerToken").toInt, offsets, byPart, sinks, names)
+      longField("rangesPerToken").toInt, offsets, byPart, sinks, names,
+      commitMs)
   }
 }
 

@@ -178,8 +178,19 @@ object PolarLog {
       spark: SparkSession,
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
+      endOffsets: Map[Int, Long] = Map.empty): DataFrame =
+    consumeAt(spark, cfg, LogMetadata.read(cfg), startOffsets, endOffsets)
+
+  /** [[consume]] planned against an EXPLICIT metadata document (a retained
+    * snapshot for time travel / change feeds, or the pre-read head) instead
+    * of re-reading the head registry — files past the snapshot are invisible
+    * even when the head has moved. */
+  private[graft] def consumeAt(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      meta: LogMetadata,
+      startOffsets: Map[Int, Long] = Map.empty,
       endOffsets: Map[Int, Long] = Map.empty): DataFrame = {
-    val meta = LogMetadata.read(cfg)
     if (meta.filesEmpty) return emptyLog(spark, cfg)
     // prune files by the requested offset windows before Spark ever sees
     // them — registry stats replace footer reads
@@ -211,10 +222,13 @@ object PolarLog {
    * `fromVersion` up to and including `toVersion` (exclusive/inclusive —
    * the Delta CDF convention). The log is append-only, so the change set
    * IS the per-partition offset window between the two versions'
-   * producer tails; files are pruned by registry stats and the scan plans
-   * against the `toVersion` snapshot, so a concurrent producer past
-   * `toVersion` never leaks in. Both versions must still be retained
-   * (see [[LogMetadata.readAt]]); `toVersion` defaults to the head.
+   * producer tails; the scan PLANS AGAINST the `toVersion` snapshot's own
+   * file registry (the versionAsOf path), so a concurrent producer past
+   * `toVersion` never leaks in — and the registry is validated to cover
+   * every requested offset window, so a retention/compaction sweep that
+   * dropped segments inside (from, to] fails LOUDLY instead of silently
+   * returning a partial feed (the [[LogMetadata.readAt]] contract). Both
+   * versions must still be retained; `toVersion` defaults to the head.
    * The incremental-batch consumption primitive: a downstream batch job
    * checkpoints the version it last processed and reads exactly the
    * delta, no streaming checkpoint needed.
@@ -231,10 +245,25 @@ object PolarLog {
       .map { case (tail, p) => p -> tail }.toMap
     val ends = toMeta.producerOffsets.zipWithIndex
       .map { case (tail, p) => p -> tail }.toMap
-    // plan against the to-snapshot: offsets past it are invisible even if
-    // the head has moved — consume() reads the head registry, so filter
-    // its file set through the explicit end tails
-    consume(spark, cfg, startOffsets = starts, endOffsets = ends)
+    // coverage check: walk each partition's (offset-sorted) registered
+    // files and require the [start, end) window to be densely covered —
+    // pure driver-side metadata arithmetic, no file I/O
+    val gaps = ends.toSeq.sorted.flatMap { case (p, end) =>
+      val start = starts.getOrElse(p, 0L)
+      if (end <= start) None
+      else {
+        var pos = start
+        toMeta.filesOf(p).foreach { f =>
+          if (f.minOffset <= pos && f.maxOffset >= pos) pos = f.maxOffset + 1
+        }
+        if (pos < end) Some(s"partition $p offsets [$pos, $end)") else None
+      }
+    }
+    if (gaps.nonEmpty) throw new IllegalStateException(
+      s"change feed ($fromVersion, ${toVersion.getOrElse(toMeta.version)}] of " +
+        s"topic ${cfg.topic} is no longer fully retained — missing " +
+        gaps.mkString("; "))
+    consumeAt(spark, cfg, toMeta, startOffsets = starts, endOffsets = ends)
   }
 
   /** Records of one partition in offset order — the per-poll chunk contract

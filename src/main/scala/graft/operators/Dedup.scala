@@ -96,7 +96,7 @@ object Dedup {
     // RECOMPUTED behind a broadcast semi-join of the candidate ids, so
     // the full shingle set neither shuffles nor persists (candidate sets
     // are the near-dup graph — a tiny fraction of the corpus).
-    val small = df.count() <= materializeMaxRows
+    val small = graft.Materialize.atMostRows(df, materializeMaxRows)
     val docs = if (small) graft.Materialize.localCheckpoint(base) else base
     // band hash: xxhash64 over the band's signature slice (+ band index so
     // buckets from different bands never collide). Bands carry ONLY
@@ -180,7 +180,7 @@ object Dedup {
       // the md5 child per lane (32× the hash work)
       .withColumn("sig", graft.functions.GraftFunctions.xor_minhash(
         transform(col("sh"), x => md5Hash60(x)), seeds))
-    val small = df.count() <= materializeMaxRows
+    val small = graft.Materialize.atMostRows(df, materializeMaxRows)
     val docs = if (small) graft.Materialize.localCheckpoint(base) else base
     val banded = docs.select(col("id"), col("sig")).withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -237,9 +237,7 @@ object Dedup {
     // checkpoint-truncated RDD cannot be rebuilt).
     val baseFps = df.select(col(idCol).as("id"),
       md5Simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
-    val fps =
-      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(baseFps)
-      else graft.Materialize.persist(baseFps)
+    val fps = graft.Materialize.pinBySize(baseFps, df, materializeMaxRows)
     // One join key: band index folded into the high bits of the 15-bit
     // chunk value. Hamming is computed and filtered BEFORE the distinct so
     // the aggregate sees only true near-dup rows (candidates collapse ~10×
@@ -867,9 +865,9 @@ object Dedup {
       materializeMaxRows: Long = 2000000L): DataFrame = {
     val fps0 = TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w)
       .select(col(idCol).as("id"), col("fp")).distinct()
-    val fps =
-      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(fps0)
-      else graft.Materialize.persist(fps0)
+    // bounded-probe size gate: never a full corpus scan just to pick the
+    // pin strategy (limit short-circuits at the cap)
+    val fps = graft.Materialize.pinBySize(fps0, df, materializeMaxRows)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("fp"))
     val pruned = fps.join(rare, Seq("fp"))

@@ -191,14 +191,20 @@ object Multimodal {
             frames += b
           }
         }
-        val grids = frames.flatMap(b => MediaCodec.decodeImage(b).map(_.luma))
-        grids.sliding(2).zipWithIndex.collect {
-          case (pair, i) if pair.length == 2 =>
+        // container frame index is captured BEFORE decode: an undecodable
+        // frame must not shift later frames' positions, and a diff is only
+        // "consecutive" when the indices are adjacent — pairs spanning a
+        // failed decode are skipped, never misattributed
+        val grids = frames.zipWithIndex.flatMap { case (b, idx) =>
+          MediaCodec.decodeImage(b).map(img => (idx, img.luma))
+        }
+        grids.sliding(2).collect {
+          case pair if pair.length == 2 && pair(1)._1 == pair(0)._1 + 1 =>
             var d = 0L
             var j = 0
-            val n = math.min(pair(0).length, pair(1).length)
-            while (j < n) { d += math.abs(pair(0)(j) - pair(1)(j)); j += 1 }
-            FrameCut(m.doc_id, i + 1, d, if (d > threshold) 1L else 0L)
+            val n = math.min(pair(0)._2.length, pair(1)._2.length)
+            while (j < n) { d += math.abs(pair(0)._2(j) - pair(1)._2(j)); j += 1 }
+            FrameCut(m.doc_id, pair(1)._1, d, if (d > threshold) 1L else 0L)
         }
       }
     }

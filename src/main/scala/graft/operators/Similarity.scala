@@ -133,6 +133,57 @@ object Similarity {
   }
 
   /**
+   * ANN top-k over a PARTITIONED SMALL-WORLD GRAPH — the HNSW family
+   * (Malkov–Yashunin 2016), completing the ANN ladder beside brute/LSH/
+   * IVF/PQ/BQ: each Spark partition builds a [[HnswIndex]] over its
+   * vectors (insertion in ascending-id order, hash-derived levels — fully
+   * deterministic, see the kernel's scaladoc), beam-searches it with
+   * `efSearch`, and the per-partition top-k merge is one
+   * `TakeOrderedAndProject`. Zero shuffle of the corpus; graph memory is
+   * executor-local O(n·M) per partition, the sharded-HNSW layout every
+   * production vector store uses.
+   *
+   * Recall: exact when `efSearch` covers the partition (the gate regime —
+   * the DuckDB oracle verifies equality with brute force end-to-end);
+   * sub-linear beam search with measured recall below that (HnswSpec
+   * pins the recall floor in the true ANN regime). Similarities are the
+   * same fold as the codegen'd cosine kernel and rounded HALF_UP to 6,
+   * so scores merge exactly with the column-side operators.
+   */
+  def hnswTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 128,
+      efSearch: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = queryVec.toArray
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pts = it.toArray.sortBy(_._1)
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val idx = new HnswIndex(m, efConstruction)
+          pts.foreach { case (id, v) => idx.add(id, v) }
+          idx.searchKnn(q, math.max(efSearch, k), k).iterator.map {
+            case (id, sim) =>
+              (id, BigDecimal(sim)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+      .toDF("id", "sim")
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /**
    * Multi-probe variant of [[dataPlaneLshTopK]]: additionally scans every
    * bucket at Hamming distance ≤ `flips` from the query's bucket (flip
    * each hyperplane sign bit in turn — the points most likely to be near
@@ -564,7 +615,22 @@ object Similarity {
         val part = fs.listStatus(tmp)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .head.getPath
-        fs.rename(part, new Path(cd.getPath, s"compact-$suffix.parquet"))
+        val dest = new Path(cd.getPath, s"compact-$suffix.parquet")
+        // HDFS/object-store rename signals failure by returning FALSE, not
+        // by throwing — deleting the originals after an unchecked rename
+        // would lose the cell's vectors (merged file still inside tmp, then
+        // removed with it). Originals are only deleted once the merged file
+        // is confirmed in place.
+        val renamed =
+          try fs.rename(part, dest)
+          catch { case scala.util.control.NonFatal(e) =>
+            fs.delete(tmp, true); throw e }
+        if (!renamed) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"ivfIndexCompact: rename $part -> $dest failed; " +
+              "cell left untouched (originals preserved)")
+        }
         small.foreach(f => fs.delete(f.getPath, false))
         fs.delete(tmp, true)
         compacted += 1
@@ -683,9 +749,7 @@ object Similarity {
     val vn = transform(col(vecCol).cast("array<double>"),
       x => x / norm(col(vecCol)))
     val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
-    val unit =
-      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(unitBase)
-      else graft.Materialize.persist(unitBase)
+    val unit = graft.Materialize.pinBySize(unitBase, df, materializeMaxRows)
     def codeOf(j: Int): Column =
       codebooks(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
         case ((bestI, bestD), (c, i)) =>
@@ -1023,9 +1087,7 @@ object Similarity {
     val vn = transform(col(vecCol).cast("array<double>"),
       x => x / norm(col(vecCol)))
     val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
-    val unit =
-      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(unitBase)
-      else graft.Materialize.persist(unitBase)
+    val unit = graft.Materialize.pinBySize(unitBase, df, materializeMaxRows)
     // one scalar stat: the corpus-wide max |component| (max is exact, so
     // partial-agg order cannot change it — safe bounded driver pull)
     val maxAbs = unit.agg(
@@ -1187,9 +1249,7 @@ object Similarity {
         (a, b) => a - b))
     // same size-gated materialization barrier as pqTopK (projection
     // collapse would inline the norm into every residual element)
-    val base =
-      if (df.count() <= materializeMaxRows) graft.Materialize.localCheckpoint(baseAll)
-      else graft.Materialize.persist(baseAll)
+    val base = graft.Materialize.pinBySize(baseAll, df, materializeMaxRows)
     def codeOf(j: Int): Column =
       cbs(j).zipWithIndex.foldLeft((lit(-1), lit(Double.MaxValue))) {
         case ((bestI, bestD), (c, i)) =>

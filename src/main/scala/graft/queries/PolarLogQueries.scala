@@ -186,6 +186,35 @@ object PolarLogQueries extends QueryRegistry {
         FROM membered GROUP BY member""")),
 
     QueryDef(
+      "polar_group_lag",
+      (s, dir) => {
+        // CONSUMER LAG SURFACE: a group registered at earliest commits
+        // exactly HALF of every partition; groupLag must then report
+        // (committed = n/2, tail = n, lag = n - n/2) per partition — all
+        // three replayable from the raw table through the placement
+        // kernel. The group name is unique per invocation (idempotence).
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val group = "lag-" + java.util.UUID.randomUUID().toString
+        ConsumerGroups.startingOffsets(cfg, group, ConsumerGroups.Earliest)
+        val half = PolarLog.tails(cfg).map { case (p, t) => p -> t / 2 }
+        ConsumerGroups.commit(cfg, group, half)
+        val rows = ConsumerGroups.groupLag(cfg, group)
+          .filter(_.tail > 0)
+          .map(l => (l.part, l.committed, l.tail, l.lag))
+        s.createDataFrame(rows).toDF("part", "committed", "tail", "lag")
+      },
+      Some(s"""
+        WITH recs AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) // 2 AS committed, COUNT(*) AS tail,
+               COUNT(*) - COUNT(*) // 2 AS lag
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
       "polar_tokens",
       // the placement kernel exercised directly through the gate: token and
       // flat partition for every event key. Keys here are ≤ 8 UTF-8 bytes,
@@ -718,6 +747,49 @@ object PolarLogQueries extends QueryRegistry {
         FROM events GROUP BY 2""")),
 
     QueryDef(
+      "polar_time_travel_compact",
+      (s, dir) => {
+        // COMPACTION × TIME TRAVEL: compaction (originals kept) supersedes
+        // v1's data files in the head registry but leaves them on disk —
+        // the data grace window — so an as-of read of v1 still succeeds
+        // and must see EXACTLY the first produce (materialized pre-vacuum).
+        // After vacuum reclaims the orphans, the same as-of read fails
+        // LOUDLY at scan, never silently partial — the snapshot-isolation
+        // contract every table format documents for vacuumed versions.
+        val root = Files.createTempDirectory("graft_polar_ttc").toString
+        val cfg = TopicConfig(root, "ttc")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(2)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), cfg)
+        val v1 = LogMetadata.read(cfg).version
+        PolarLog.produce(slice(1), cfg)
+        val merged = graft.sources.PolarCompaction.compact(s, cfg,
+          smallBytes = 1L << 30, minRun = 2, deleteOriginals = false)
+        require(merged > 0, "compaction merged nothing")
+        def asof = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic)
+          .option("versionAsOf", v1.toString).load()
+        val asofRows = asof
+          .groupBy(col("partitionKey").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val reclaimed = PolarLog.vacuum(cfg, dataGraceMs = 0L)
+        require(reclaimed > 0, "vacuum reclaimed no superseded segments")
+        require(PolarLog.consume(s, cfg).count() ==
+          asofRows.map(_._2).sum + slice(1).count(), "head read perturbed")
+        // the probe must touch DATA: a bare count(*) is answered from the
+        // registry's dense offset stats without file I/O (and stays right)
+        val failsLoud = scala.util.Try(asof.select(col("value")).collect()).isFailure
+        s.createDataFrame(asofRows).toDF("user_id", "n")
+          .withColumn("fails_after_vacuum", lit(failsLoud))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n, TRUE AS fails_after_vacuum
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1""")),
+
+    QueryDef(
       "polar_changes",
       (s, dir) => {
         // CHANGE FEED: three produces, versions captured between them; the
@@ -744,6 +816,57 @@ object PolarLogQueries extends QueryRegistry {
       Some("""
         SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT props) AS n_vals
         FROM events WHERE event_id % 3 = 1 GROUP BY 1""")),
+
+    QueryDef(
+      "pipeline_dataset_card_log",
+      (s, dir) => {
+        // DATASET CARD WITH LOG PROVENANCE — the reproducibility story
+        // time travel exists to serve: a corpus release is cut FROM a
+        // topic snapshot, and its card records WHICH snapshot (commit
+        // version), the physical layout it shipped with (post-compaction
+        // segment count), and the registry-retained record count,
+        // alongside the content stats. Two produces + one compaction CAS
+        // give a deterministic version; compaction leaves exactly one
+        // segment per data-bearing partition, which the oracle replays
+        // through the placement kernel.
+        val root = Files.createTempDirectory("graft_polar_card").toString
+        val cfg = TopicConfig(root, "corpus")
+        def half(rem: Int) = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(2)) === rem)
+          .select(col("doc_id").cast("string").as("partitionKey"),
+            col("text").cast("binary").as("value"))
+        PolarLog.produce(half(0), cfg)
+        PolarLog.produce(half(1), cfg)
+        require(graft.sources.PolarCompaction.compact(s, cfg,
+          smallBytes = 1L << 30, minRun = 2) > 0, "compaction merged nothing")
+        val meta = LogMetadata.read(cfg)
+        PolarLog.consume(s, cfg)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("value").cast("string"))).as("n_chars"),
+            count_distinct(col("value").cast("string")).as("n_distinct"))
+          .select(col("n_docs"), col("n_chars"),
+            floor(lit(1e6) * (col("n_docs") - col("n_distinct")).cast("double") /
+              col("n_docs")).cast("long").as("dup_rate_q"),
+            lit(meta.version).as("snapshot_version"),
+            lit(meta.files.size.toLong).as("n_segments"),
+            lit(meta.files.map(_.count).sum).as("n_registered"))
+      },
+      Some(s"""
+        WITH keys AS (
+          SELECT DISTINCT CAST(doc_id AS VARCHAR) AS pk FROM documents),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT k2.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM keys k2 JOIN murmur_tok t ON k2.pk = t.pk)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(floor(1000000.0 *
+                 CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) /
+                 COUNT(*)) AS BIGINT) AS dup_rate_q,
+               CAST(3 AS BIGINT) AS snapshot_version,
+               (SELECT COUNT(DISTINCT part) FROM placed) AS n_segments,
+               COUNT(*) AS n_registered
+        FROM documents""")),
 
     QueryDef(
       "polar_ndjson_ingest",

@@ -62,6 +62,50 @@ object StreamingQueries extends QueryRegistry {
         FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "stream_changes",
+      (s, dir) => {
+        // STREAMING CHANGE FEED (the streaming twin of polar_changes):
+        // three produces with the version captured after the first; a
+        // startingVersion=v1 stream drained with AvailableNow must deliver
+        // EXACTLY the (v1, head] window — the last two produces, nothing
+        // from the first — and must equal the batch changesBetween plan
+        // record-for-record (asserted in-gate; the oracle replays the
+        // aggregate from the raw table).
+        val root = Files.createTempDirectory("graft_stream_cf").toString
+        val cfg = TopicConfig(root, "cf")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(3)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), cfg)
+        val v1 = graft.log.LogMetadata.read(cfg).version
+        PolarLog.produce(slice(1), cfg)
+        PolarLog.produce(slice(2), cfg)
+        val q = PolarStream.readChanges(s, cfg, startingVersion = v1,
+            maxRecordsPerTrigger = Some(500L))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_stream_changes").start()
+        q.awaitTermination(300000)
+        val drained = s.table("gate_stream_changes")
+        val batchFeed = PolarLog.changesBetween(s, cfg, v1)
+        // drained == changesBetween exactly (offset-identified records)
+        val onlyStream = drained.select(col("part"), col("offset"))
+          .exceptAll(batchFeed.select(col("part"), col("offset"))).count()
+        val onlyBatch = batchFeed.select(col("part"), col("offset"))
+          .exceptAll(drained.select(col("part"), col("offset"))).count()
+        require(onlyStream == 0 && onlyBatch == 0,
+          s"stream/batch change feeds diverge: +$onlyStream/-$onlyBatch records")
+        drained.groupBy(col("partitionKey").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("value").cast("string")).as("n_vals"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT props) AS n_vals
+        FROM events WHERE event_id % 3 <> 0 GROUP BY 1""")),
+
+    QueryDef(
       "stream_pipe",
       (s, dir) => {
         // stream-consume from one topic, stream-produce into another

@@ -124,7 +124,10 @@ object PolarSource {
           i.getEpochSecond * 1000000L + i.getNano / 1000L
         }
       },
-      versionAsOf = opt("versionAsOf").map(_.trim.toLong))
+      versionAsOf = opt("versionAsOf").map(_.trim.toLong),
+      // change-feed start: first batch = the (v, head] version window,
+      // then the stream follows the live head
+      startingVersion = opt("startingVersion").map(_.trim.toLong))
   }
 }
 
@@ -136,7 +139,10 @@ final case class PolarSourceConfig(
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
     startingTimestampMicros: Option[Long] = None,
-    versionAsOf: Option[Long] = None) {
+    versionAsOf: Option[Long] = None,
+    startingVersion: Option[Long] = None) {
+  require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
+    "specify either 'startingVersion' or 'startingTimestamp', not both")
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -302,6 +308,9 @@ class PolarScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
+      if (cfg.startingVersion.isDefined) throw new UnsupportedOperationException(
+        "startingVersion is a streaming change-feed option; batch readers " +
+          "use versionAsOf or PolarLog.changesBetween")
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
       // is a consistent point-in-time view of the log
@@ -374,7 +383,26 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       m.producerOffsets.zipWithIndex.map { case (tail, p) => (t, p) -> tail }
     }.toMap)
 
-  override def initialOffset(): Offset = cfg.startingTimestampMicros match {
+  override def initialOffset(): Offset = cfg.startingVersion match {
+    // STREAMING CHANGE FEED (the streaming twin of
+    // [[graft.log.PolarLog.changesBetween]]): start at version v's
+    // producer tails — resolved from the retained root snapshot, so a
+    // vacuumed-away version fails loudly instead of silently starting
+    // elsewhere — and follow the live head from there. The first
+    // micro-batch is exactly the (v, head] version window; a downstream
+    // job that checkpointed a processed version resumes with zero loss
+    // and zero replay, the way the reference's consumers resume from
+    // committed offsets (`internal/consuming/offset_state.go:103-236`).
+    case Some(v) =>
+      PolarOffsets(topics.flatMap { c =>
+        LogMetadata.readAt(c, v).producerOffsets.zipWithIndex.map {
+          case (tail, p) => (c.topic, p) -> tail
+        }
+      }.toMap)
+    case None => initialOffsetByTimeOrPolicy()
+  }
+
+  private def initialOffsetByTimeOrPolicy(): Offset = cfg.startingTimestampMicros match {
     // event-time seek from registry ts stats: per partition, start at the
     // first file (offset order) that can contain ts >= T — file-granular,
     // like Kafka's offsetsForTimes over segment indexes; records earlier

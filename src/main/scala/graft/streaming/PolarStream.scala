@@ -49,6 +49,28 @@ object PolarStream {
     r.load()
   }
 
+  /** Streaming CHANGE FEED: the stream's first micro-batch is exactly the
+    * records appended after commit `startingVersion` (the (v, head] version
+    * window), and the query then follows the live head — the streaming twin
+    * of [[PolarLog.changesBetween]], Delta's `readChangeFeed`/
+    * `startingVersion` shape over the append-only log. The version must
+    * still be retained (vacuum grace window); a reclaimed version fails
+    * loudly at stream start instead of silently starting elsewhere. */
+  def readChanges(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      startingVersion: Long,
+      maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("polar")
+      .option("root", cfg.root)
+      .option("topic", cfg.topic)
+      .option("clusterSize", cfg.clusterSize)
+      .option("rangesPerToken", cfg.rangesPerToken)
+      .option("startingVersion", startingVersion)
+    maxRecordsPerTrigger.foreach(n => r = r.option("maxRecordsPerTrigger", n))
+    r.load()
+  }
+
   /** Streaming consume of SEVERAL topics in one query — the reference's
     * consumers register for topic lists
     * (`/root/reference/internal/types/models.go:34-39`). All topics must

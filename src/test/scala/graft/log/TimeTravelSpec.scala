@@ -92,6 +92,79 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT * FROM tt_cat.ttsql TIMESTAMP AS OF '$lit'").count() === 7)
   }
 
+  test("TIMESTAMP AS OF resolves from in-doc commitMs, surviving mtime rewrites") {
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 6), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    Thread.sleep(20)
+    val cutMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(20)
+    PolarLog.produce(recordsDf(6 until 10), cfg)
+    val v2 = LogMetadata.read(cfg).version
+    // simulate a copy/rsync/object-store migration: every snapshot's mtime
+    // rewritten to a garbage instant far in the future — resolution must
+    // come from the commitMs stamped inside the docs, not the filesystem
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cfg.dir), spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(LogMetadata.manifestDir(cfg))
+    fs.listStatus(mdir).filter(_.getPath.getName.startsWith("root-v"))
+      .foreach(f => fs.setTimes(f.getPath, 4102444800000L, -1))
+    assert(LogMetadata.versionAt(cfg, cutMicros) === v1)
+    assert(LogMetadata.versionAt(cfg,
+      System.currentTimeMillis() * 1000L) === v2)
+    // before the first commit: loud, not silently version 1
+    intercept[IllegalArgumentException](LogMetadata.versionAt(cfg, 1000L))
+  }
+
+  test("compaction x time travel: grace protects as-of reads; past grace fails loud") {
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 6), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    PolarLog.produce(recordsDf(6 until 10), cfg)
+    val merged = graft.sources.PolarCompaction.compact(spark, cfg,
+      smallBytes = 1L << 30, minRun = 2, deleteOriginals = false)
+    assert(merged > 0)
+    def asof = spark.read.format("polar").option("root", cfg.root)
+      .option("topic", cfg.topic).option("versionAsOf", v1.toString).load()
+    // originals are unregistered orphans but still on disk (the data grace
+    // window): the as-of read planned from v1's registry still succeeds
+    assert(asof.count() === 6)
+    assert(PolarLog.vacuum(cfg, dataGraceMs = 0L) > 0)
+    // head reads are untouched; an as-of read that touches DATA past the
+    // grace fails LOUDLY at scan (missing file), never silently partial.
+    // (A bare count(*) still succeeds — the registry's dense offset stats
+    // answer it without file I/O, and they remain correct.)
+    assert(PolarLog.consume(spark, cfg).count() === 10)
+    assert(asof.count() === 6)
+    intercept[Exception](asof.select(col("value")).collect())
+  }
+
+  test("streaming change feed: startingVersion drains the (v, head] window") {
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 8), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    PolarLog.produce(recordsDf(8 until 13), cfg)
+    val ck = Files.createTempDirectory("tt_cf_ck").toString
+    val q = graft.streaming.PolarStream.readChanges(spark, cfg, v1)
+      .writeStream.format("memory").queryName("tt_cf")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val vals = spark.table("tt_cf").select(col("value").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(vals === (8 until 13).map(i => s"payload-$i").toSet)
+    // batch readers must reject the streaming-only option loudly
+    val err = intercept[Exception] {
+      spark.read.format("polar")
+        .option("root", cfg.root).option("topic", cfg.topic)
+        .option("startingVersion", v1.toString).load().count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.isInstanceOf[UnsupportedOperationException]))
+  }
+
   test("vacuum past the manifest grace is the retention boundary") {
     val cfg = freshTopic()
     PolarLog.produce(recordsDf(0 until 5), cfg)
