@@ -657,6 +657,32 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_hnsw",
+      // HNSW graph ANN (the partitioned small-world shape missing from the
+      // brute/LSH/IVF/PQ/BQ ladder): per-partition deterministic HNSW +
+      // beam search + one TakeOrdered merge. At gate scale efSearch covers
+      // every partition, so the graph walk must reproduce brute-force
+      // top-k EXACTLY — the oracle verifies the whole build+search path
+      // end-to-end against DuckDB's exact cosine ranking; HnswSpec pins
+      // the recall floor in the true sub-linear ANN regime.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        Similarity.hnswTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qv, 20)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, id LIMIT 20""")),
+
+    QueryDef(
       "sim_ann_filtered",
       // FILTERED vector search (the metadata-predicate + top-k composition
       // every vector store exposes): brute-force cosine top-k restricted

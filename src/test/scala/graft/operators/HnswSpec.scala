@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** HNSW contract: exact when the beam covers the partition, measured
+  * recall in the true ANN regime, full determinism (hash-derived levels,
+  * id-ordered insertion, (dist, idx) tie-breaks), partitioning-invariant
+  * results at covering ef. */
+class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Deterministic pseudo-vectors: dims from a SplitMix-style hash of
+    * (id, dim) — no RNG state, reproducible across runs. */
+  private def vecOf(id: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim) { j =>
+      var z = id * 1000003L + j * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      ((z % 2000L) / 1000.0f) - 1.0f
+    }
+
+  private def bruteTopK(
+      n: Int, dim: Int, q: Array[Float], k: Int): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (1 to n).map(i => (i.toLong, cos(vecOf(i, dim), q)))
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+  }
+
+  test("kernel: covering ef reproduces exact top-k; graph stays connected") {
+    val dim = 16
+    val idx = new HnswIndex(8, 64)
+    (1 to 500).foreach(i => idx.add(i.toLong, vecOf(i, dim)))
+    val q = vecOf(9999L, dim)
+    val got = idx.searchKnn(q, ef = 500, k = 10).map(_._1)
+    assert(got === bruteTopK(500, dim, q, 10))
+    // covering-beam search reaches every node → the graph is connected
+    assert(idx.searchKnn(q, ef = 500, k = 500).size === 500)
+  }
+
+  test("kernel: recall@10 >= 0.8 in the sub-linear beam regime") {
+    val dim = 16
+    val idx = new HnswIndex(12, 96)
+    (1 to 2000).foreach(i => idx.add(i.toLong, vecOf(i, dim)))
+    val queries = Seq(5001L, 5002L, 5003L, 5004L, 5005L)
+    val recalls = queries.map { qid =>
+      val q = vecOf(qid, dim)
+      val truth = bruteTopK(2000, dim, q, 10).toSet
+      val got = idx.searchKnn(q, ef = 64, k = 10).map(_._1).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
+  }
+
+  test("operator: partitioning-invariant exact top-k at covering ef") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16
+    val df = (1 to 600).map(i => (i.toLong, vecOf(i, dim))).toDF("vec_id", "embedding")
+    val q = vecOf(7777L, dim).toSeq
+    def run(parts: Int) = Similarity.hnswTopK(
+        df.repartition(parts), "embedding", "vec_id", q, 15,
+        m = 8, efConstruction = 64, efSearch = 600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = run(1)
+    val b = run(7)
+    assert(a === b)
+    assert(a.map(_._1) === bruteTopK(600, dim, q.toArray, 15))
+  }
+}
