@@ -471,6 +471,30 @@ object LogMetadata {
     byVersion(found)._1
   }
 
+  /** Retained commit history, oldest first: the parsed root snapshot DOC
+    * of every version `readAt`/`versionAt` can still resolve — the
+    * `DESCRIBE HISTORY` surface of the table formats, bounding exactly
+    * what time travel can reach. Header-only parse (manifest chains are
+    * NOT resolved), so the cost is O(retained snapshots) tiny doc reads —
+    * the same set vacuum bounds with its grace window. Duplicate versions
+    * from topic re-creation resolve to the newest incarnation (the
+    * [[readAt]] rule). */
+  def history(cfg: TopicConfig): Seq[LogMetadata] = {
+    val dir = new Path(manifestDir(cfg))
+    val fc = FileContext.getFileContext(dir.toUri, hadoopConf)
+    val SnapRe = """root-v(\d+)-.*\.json""".r
+    val snaps =
+      if (!fc.util().exists(dir)) Array.empty[(Long, org.apache.hadoop.fs.FileStatus)]
+      else fc.util().listStatus(dir).flatMap(f => f.getPath.getName match {
+        case SnapRe(v) if f.isFile => Some(v.toLong -> f)
+        case _ => None
+      })
+    snaps.groupBy(_._1).toSeq
+      .map { case (_, fs) => fs.maxBy(_._2.getModificationTime)._2 }
+      .flatMap(st => scala.util.Try(parse(readText(fc, st.getPath))).toOption)
+      .sortBy(_.version)
+  }
+
   // -- tiny hand-rolled JSON (flat schema; avoids depending on jackson API
   //    stability across Spark versions) ------------------------------------
 

@@ -818,6 +818,36 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE event_id % 3 = 1 GROUP BY 1""")),
 
     QueryDef(
+      "polar_history",
+      (s, dir) => {
+        // COMMIT HISTORY (DESCRIBE HISTORY): three produces leave three
+        // retained versions whose cumulative record counts the oracle
+        // replays from the raw table; in-doc commit times must be
+        // monotone with version order (the versionAt binary-search
+        // invariant, asserted in-gate — wall times aren't replayable).
+        val root = Files.createTempDirectory("graft_polar_h").toString
+        val cfg = TopicConfig(root, "hist")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(3)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        (0 until 3).foreach(r => PolarLog.produce(slice(r), cfg))
+        val hist = LogMetadata.history(cfg)
+        require(hist.map(_.commitMs) == hist.map(_.commitMs).sorted &&
+          hist.forall(_.commitMs > 0), "commit times not monotone with versions")
+        s.createDataFrame(hist.map(m => (m.version, m.producerOffsets.sum)))
+          .toDF("version", "n_records")
+      },
+      Some("""
+        WITH c AS (SELECT
+          CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN event_id % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          COUNT(*) AS nall FROM events)
+        SELECT CAST(1 AS BIGINT) AS version, n0 AS n_records FROM c
+        UNION ALL SELECT CAST(2 AS BIGINT), n01 FROM c
+        UNION ALL SELECT CAST(3 AS BIGINT), nall FROM c""")),
+
+    QueryDef(
       "pipeline_dataset_card_log",
       (s, dir) => {
         // DATASET CARD WITH LOG PROVENANCE — the reproducibility story

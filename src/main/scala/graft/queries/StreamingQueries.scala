@@ -81,8 +81,13 @@ object StreamingQueries extends QueryRegistry {
         val v1 = graft.log.LogMetadata.read(cfg).version
         PolarLog.produce(slice(1), cfg)
         PolarLog.produce(slice(2), cfg)
+        // pace the drain into ~3 micro-batches (batch-boundary coverage)
+        // scaled to the window size — a FIXED cap turns into hundreds of
+        // trigger rounds at bench SF, pure scheduling overhead
+        val windowN = PolarLog.tails(cfg).values.sum -
+          graft.log.LogMetadata.readAt(cfg, v1).producerOffsets.sum
         val q = PolarStream.readChanges(s, cfg, startingVersion = v1,
-            maxRecordsPerTrigger = Some(500L))
+            maxRecordsPerTrigger = Some(math.max(windowN / 3, 1L)))
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ckpt")

@@ -173,6 +173,19 @@ class PolarHttpServer(
                |polar_retention_sweeps ${retention.sweeps}
                |polar_segments_merged ${compactionsRun.get + retention.merged}
                |""".stripMargin + lagLines.map(_ + "\n").mkString)
+        case ("GET", "/v1/admin/history") =>
+          // DESCRIBE HISTORY for a topic: every retained commit version
+          // with its in-doc commit time and cumulative record count — the
+          // catalog of what VERSION/TIMESTAMP AS OF can still resolve
+          val t = query(ex).get("topic").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "topic is required"))
+          if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+          val hist = graft.log.LogMetadata.history(cfgOf(t))
+          respond(ex, 200, hist.map(m =>
+            s"""{"version":${m.version},"commitMs":${m.commitMs},""" +
+              s""""records":${m.producerOffsets.sum}}""")
+            .mkString("""{"history":[""", ",", "]}"),
+            "application/json")
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()

@@ -116,6 +116,22 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](LogMetadata.versionAt(cfg, 1000L))
   }
 
+  test("history lists exactly the retained versions, shrinking with vacuum") {
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 4), cfg)
+    PolarLog.produce(recordsDf(4 until 9), cfg)
+    val h = LogMetadata.history(cfg)
+    assert(h.map(_.version) === Seq(1L, 2L))
+    assert(h.map(_.producerOffsets.sum) === Seq(4L, 9L))
+    assert(h.map(_.commitMs) === h.map(_.commitMs).sorted)
+    assert(h.forall(_.commitMs > 0))
+    // vacuum past the grace reclaims the snapshots → history shrinks to
+    // what readAt can still serve (nothing), head untouched
+    PolarLog.vacuum(cfg, manifestGraceMs = -1000L)
+    assert(LogMetadata.history(cfg).isEmpty)
+    assert(PolarLog.consume(spark, cfg).count() === 9)
+  }
+
   test("compaction x time travel: grace protects as-of reads; past grace fails loud") {
     val cfg = freshTopic()
     PolarLog.produce(recordsDf(0 until 6), cfg)

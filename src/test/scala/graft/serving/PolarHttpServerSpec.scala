@@ -86,6 +86,29 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(server.retention.sweeps >= 1)
   }
 
+  test("admin history endpoint lists retained versions with commit times") {
+    val topic = "histep"
+    (0 until 4).foreach { i =>
+      val r = post(s"/v1/topic/$topic/messages?partitionKey=h$i&timestamp=${1000000L * i}",
+        s"""{"h":$i}""".getBytes(UTF_8), Seq("Content-Type" -> "application/json"))
+      assert(r.statusCode() === 200)
+    }
+    assert(get("/v1/admin/history").statusCode() === 400) // topic required
+    val resp = get(s"/v1/admin/history?topic=$topic")
+    assert(resp.statusCode() === 200)
+    val body = resp.body()
+    assert(body.startsWith("""{"history":["""))
+    // at least one retained commit, each carrying version/commitMs/records
+    assert(""""version":(\d+)""".r.findAllMatchIn(body).nonEmpty)
+    val commits = """"commitMs":(\d+)""".r.findAllMatchIn(body)
+      .map(_.group(1).toLong).toSeq
+    assert(commits.nonEmpty && commits.forall(_ > 0))
+    assert(commits === commits.sorted)
+    val records = """"records":(\d+)""".r.findAllMatchIn(body)
+      .map(_.group(1).toLong).toSeq
+    assert(records.last === 4L)
+  }
+
   test("json produce + register + poll + commit + goodbye flow") {
     val topic = "flow"
     (0 until 6).foreach { i =>
