@@ -157,4 +157,51 @@ final class HnswIndex(m: Int, efConstruction: Int) {
     searchLayer(q, ep, math.max(ef, k), 0)
       .take(k).map { case (d, n) => (ids(n), -d) }.toSeq
   }
+
+  /** Serialized view of the graph, one row per node: (id, vector, level,
+    * neighbor IDS per level 0..level) — what [[Similarity.hnswIndexWrite]]
+    * persists. Neighbor references are by id (stable across reloads), not
+    * by in-memory index. */
+  def exportNodes(): Iterator[(Long, Array[Float], Int, Seq[Seq[Long]])] =
+    (0 until size).iterator.map { n =>
+      (ids(n), vecs(n), nodeLevel(n),
+        neighbors(n).toSeq.map(_.toSeq.map(ids(_))))
+    }
+
+  private[operators] def loadNode(id: Long, v: Array[Float], lvl: Int): Unit = {
+    ids += id; vecs += v; nodeLevel += lvl
+    neighbors += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+  }
+
+  private[operators] def loadEdges(node: Int, nbrs: Seq[Seq[Int]]): Unit =
+    nbrs.zipWithIndex.foreach { case (ns, l) => neighbors(node)(l) ++= ns }
+
+  private[operators] def finalizeLoad(): Unit = if (ids.nonEmpty) {
+    topLevel = nodeLevel.max
+    // the builder's entry is the FIRST node (insertion order) to attain
+    // the final top level — i.e. the lowest index at that level
+    entry = nodeLevel.indexOf(topLevel)
+  }
+}
+
+object HnswIndex {
+  /** Reconstruct a graph from its serialized adjacency — `rows` MUST be
+    * one COMPLETE shard (neighbor ids resolve within it). Deterministic:
+    * nodes re-enter in ascending-id order (the build order) and the entry
+    * point is re-derived by the builder's own rule, so a reloaded graph
+    * answers every search exactly like the one that was exported. */
+  def fromAdjacency(
+      m: Int,
+      efConstruction: Int,
+      rows: Seq[(Long, Array[Float], Int, Seq[Seq[Long]])]): HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction)
+    val sorted = rows.sortBy(_._1)
+    val pos = sorted.iterator.map(_._1).zipWithIndex.toMap
+    sorted.foreach { case (id, v, lvl, _) => idx.loadNode(id, v, lvl) }
+    sorted.iterator.zipWithIndex.foreach { case ((_, _, _, nbrs), n) =>
+      idx.loadEdges(n, nbrs.map(_.map(pos)))
+    }
+    idx.finalizeLoad()
+    idx
+  }
 }

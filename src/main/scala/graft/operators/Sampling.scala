@@ -33,6 +33,44 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /**
+   * LEAKAGE-SAFE corpus split: assign train/val/test so that documents
+   * connected by duplicate / near-duplicate edges NEVER span splits —
+   * the split discipline behind every serious eval (a test document
+   * whose near-dup sits in train is contamination by construction;
+   * splitting i.i.d. by document hash leaks exactly those pairs). The
+   * unit of assignment is the duplicate CLUSTER: every doc maps to its
+   * cluster representative (component-minimum id via
+   * [[Dedup.connectedComponents]] over `pairs` — any of the dedup
+   * family's pair outputs plugs in), the representative's content hash
+   * draws the split, and every member inherits it. Docs in no pair are
+   * their own singleton representative, so clean docs split exactly as
+   * [[splitTag]] on their representative id.
+   *
+   * Scale shape: the pair graph is a tiny fraction of the corpus even at
+   * 100 TB, and CC over it is the salted star contraction (O(log²)
+   * rounds); attaching representatives is ONE left join of the ≤|pairs|
+   * mapping onto the corpus (broadcast when small, shuffle otherwise);
+   * the split itself is a pure column expression of the representative.
+   * Returns `df` plus (`cluster_rep`, `split`).
+   */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val rep = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_id"))
+    df.join(rep, Seq(idCol), "left")
+      .withColumn("cluster_rep",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .drop("cluster_id")
+      .withColumn("split", splitTag(col("cluster_rep"), trainPct, valPct))
+  }
+
   /** Stratified reproducible sampling: each stratum keeps its own
     * percentage of rows (the data-mixture knob when strata are
     * languages/domains/sources). The per-stratum rate resolves to a pure

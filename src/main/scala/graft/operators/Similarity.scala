@@ -184,6 +184,81 @@ object Similarity {
   }
 
   /**
+   * Persist a sharded HNSW index: vectors shard by a stable content hash
+   * of the id, each shard builds its deterministic [[HnswIndex]] on the
+   * executor, and the graph is serialized as plain parquet rows
+   * `(shard, id, v, level, nbrs)` with neighbor references BY ID — the
+   * build-once/serve-many layout ([[ivfIndexWrite]]'s HNSW sibling).
+   * Rebuilding on ingest is the expensive step of any graph ANN index;
+   * persisting the adjacency makes every probe reconstruction-only (no
+   * distance computations, no graph construction).
+   */
+  def hnswIndexWrite(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      shards: Int = 16,
+      m: Int = 16,
+      efConstruction: Int = 128): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"),
+        pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(shards.toLong))
+          .cast("int").as("shard"))
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val idx = new HnswIndex(m, efConstruction)
+        it.toArray.sortBy(_._1).foreach { case (id, v, _) => idx.add(id, v) }
+        idx.exportNodes().map { case (id, v, lvl, nbrs) =>
+          (shard, id, v, lvl, nbrs)
+        }
+      }
+      .toDF("shard", "id", "v", "level", "nbrs")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /**
+   * Probe a persisted [[hnswIndexWrite]] layout: each shard's adjacency is
+   * reconstructed (id → index remap, entry re-derived by the builder's
+   * rule — byte-identical search behavior to the exported graph, spec'd)
+   * and beam-searched; the per-shard top-k merge is one TakeOrdered.
+   * Every shard is probed — HNSW sharding is hash-split, not
+   * centroid-routed like IVF — but each probe is sub-linear beam work,
+   * and shards probe in parallel across executors.
+   */
+  def hnswIndexProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryVec: Seq[Float],
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 128,
+      efSearch: Int = 512): DataFrame = {
+    import spark.implicits._
+    val q = queryVec.toArray
+    spark.read.parquet(path)
+      .select(col("shard").cast("int"), col("id"), col("v"),
+        col("level").cast("int"), col("nbrs"))
+      .as[(Int, Long, Array[Float], Int, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(r => (r._2, r._3, r._4, r._5)).toSeq
+        val idx = HnswIndex.fromAdjacency(m, efConstruction, rows)
+        idx.searchKnn(q, math.max(efSearch, k), k).iterator.map {
+          case (id, sim) =>
+            (id, BigDecimal(sim)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("id", "sim")
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /**
    * Multi-probe variant of [[dataPlaneLshTopK]]: additionally scans every
    * bucket at Hamming distance ≤ `flips` from the query's bucket (flip
    * each hyperplane sign bit in turn — the points most likely to be near

@@ -683,6 +683,33 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_ann_hnsw_indexed",
+      // PERSISTED HNSW: write the sharded graph index (adjacency by id,
+      // plain parquet), reload it shard-by-shard, and probe — the
+      // build-once/serve-many path. At covering efSearch the reloaded
+      // graphs must reproduce exact brute-force top-k, oracle-verified;
+      // reload-equivalence with the in-memory build is spec'd.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_hnsw_idx").toString
+        Similarity.hnswIndexWrite(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", path, shards = 8)
+        Similarity.hnswIndexProbe(s, path, qv, 10)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, id LIMIT 10""")),
+
+    QueryDef(
       "sim_ann_filtered",
       // FILTERED vector search (the metadata-predicate + top-k composition
       // every vector store exposes): brute-force cosine top-k restricted
@@ -1471,6 +1498,43 @@ object PipelineQueries extends QueryRegistry {
                     ELSE 'test' END AS split, COUNT(*) AS n
         FROM (SELECT ${OracleSql.md5Hash60("doc_id")} % 100 AS b FROM documents)
         GROUP BY 1""")),
+
+    QueryDef(
+      "pipeline_split_leakage_safe",
+      // LEAKAGE-SAFE SPLIT: duplicate clusters never span train/val/test
+      // (the contamination-by-construction an i.i.d. doc-hash split
+      // produces). Edges here are exact-text duplicates so the oracle can
+      // replay the clustering; any near-dup pair family plugs into the
+      // same operator. The no-span invariant is asserted in-gate; the
+      // per-split doc/cluster counts replay through the md5 bucket mirror.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val rep = docs.select(col("doc_id"),
+          min(col("doc_id")).over(Window.partitionBy(col("text"))).as("rep"))
+        val pairs = rep.filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+        val split = graft.operators.Sampling.leakageSafeSplit(
+          docs, "doc_id", pairs)
+        require(split.groupBy(col("cluster_rep"))
+          .agg(countDistinct(col("split")).as("k"))
+          .filter(col("k") > 1).isEmpty, "a duplicate cluster spans splits")
+        split.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_rep")).as("n_clusters"))
+      },
+      Some(s"""
+        WITH rep AS (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep
+          FROM documents),
+        tag AS (
+          SELECT doc_id, rep,
+                 CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, rep, ${OracleSql.md5Hash60("rep")} % 100 AS b
+                FROM rep))
+        SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_clusters
+        FROM tag GROUP BY 1""")),
 
     QueryDef(
       "pipeline_shuffle",

@@ -74,6 +74,47 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("persisted index: reload answers exactly like the in-memory build") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16
+    val df = (1 to 400).map(i => (i.toLong, vecOf(i, dim))).toDF("vec_id", "embedding")
+    val q = vecOf(8888L, dim).toSeq
+    val path = java.nio.file.Files.createTempDirectory("hnsw_idx_spec").toString
+    Similarity.hnswIndexWrite(df, "embedding", "vec_id", path,
+      shards = 4, m = 8, efConstruction = 64)
+    def probe() = Similarity.hnswIndexProbe(sp, path, q, 12,
+        m = 8, efConstruction = 64, efSearch = 400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = probe()
+    // covering ef → exact, and a second reload is byte-identical
+    assert(a.map(_._1) === bruteTopK(400, dim, q.toArray, 12))
+    assert(probe() === a)
+    // sub-linear regime: the RELOADED graph walks like the exported one —
+    // per matching shard, beam results agree with a fresh in-memory build
+    val byShard = (1 to 400).groupBy(i =>
+      java.lang.Math.floorMod(graft.functions.Sketches.md5Hash60(
+        i.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 4L))
+    val loaded = sp.read.parquet(path)
+      .select(col("shard").cast("int"), col("id"), col("v"),
+        col("level").cast("int"), col("nbrs"))
+      .collect().groupBy(_.getInt(0))
+    byShard.foreach { case (shard, members) =>
+      val mem = new HnswIndex(8, 64)
+      members.sorted.foreach(i => mem.add(i.toLong, vecOf(i, dim)))
+      val rows = loaded(shard.toInt).toSeq.map { r =>
+        (r.getLong(1),
+          r.getAs[scala.collection.Seq[Float]](2).toArray,
+          r.getInt(3),
+          r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](4)
+            .map(_.toSeq).toSeq)
+      }
+      val re = HnswIndex.fromAdjacency(8, 64, rows)
+      assert(re.searchKnn(q.toArray, 24, 8) === mem.searchKnn(q.toArray, 24, 8),
+        s"shard $shard reload diverged")
+    }
+  }
+
   test("operator: partitioning-invariant exact top-k at covering ef") {
     val sp = spark
     import sp.implicits._
