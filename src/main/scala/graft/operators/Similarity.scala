@@ -221,6 +221,61 @@ object Similarity {
   }
 
   /**
+   * Incremental insert into a persisted [[hnswIndexWrite]] layout: new
+   * vectors shard by the SAME id hash, each touched shard's graph is
+   * reconstructed and the new nodes are INSERTED — HNSW insertion is
+   * online, so there is no global rebuild — and only the touched shard
+   * partitions are rewritten (dynamic partition overwrite). Untouched
+   * shards are never read or written: append cost is O(touched shards),
+   * the [[ivfIndexAppend]] contract with the graph maintained instead of
+   * a file dropped in a cell. Probes see the new vectors immediately.
+   */
+  def hnswIndexAppend(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      shards: Int = 16,
+      m: Int = 16,
+      efConstruction: Int = 128): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // level = -1 marks fresh vectors (graph rows are always >= 0)
+    val fresh = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"),
+        pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(shards.toLong))
+          .cast("int").as("shard"),
+        lit(-1).as("level"),
+        typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
+    val touched = fresh.select(col("shard")).distinct()
+      .as[Int].collect().toSeq // bounded: at most `shards` values
+    val existing = spark.read.parquet(path)
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .select(col("id"), col("v"), col("shard").cast("int").as("shard"),
+        col("level").cast("int").as("level"), col("nbrs"))
+    val all = existing
+      .unionByName(fresh.select("id", "v", "shard", "level", "nbrs"))
+      .as[(Long, Array[Float], Int, Int, Seq[Seq[Long]])]
+    val rebuilt = all.groupByKey(_._3).flatMapGroups { (shard, it) =>
+      val rows = it.toArray
+      val (old, add) = rows.partition(_._4 >= 0)
+      val idx = HnswIndex.fromAdjacency(m, efConstruction,
+        old.map(r => (r._1, r._2, r._4, r._5)).toSeq)
+      add.sortBy(_._1).foreach(r => idx.add(r._1, r._2))
+      idx.exportNodes().map { case (id, v, lvl, nbrs) =>
+        (shard, id, v, lvl, nbrs)
+      }
+    }.toDF("shard", "id", "v", "level", "nbrs")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /**
    * Probe a persisted [[hnswIndexWrite]] layout: each shard's adjacency is
    * reconstructed (id → index remap, entry re-derived by the builder's
    * rule — byte-identical search behavior to the exported graph, spec'd)

@@ -710,6 +710,36 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 10""")),
 
     QueryDef(
+      "sim_ann_hnsw_append",
+      // HNSW INGEST PATH: index the even vec_ids, APPEND the odd ones
+      // (online insertion into reconstructed shard graphs, only touched
+      // partitions rewritten), then probe — the merged index must rank
+      // the FULL corpus exactly like brute force at covering ef, proving
+      // appended nodes are first-class graph citizens, not a side table.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_hnsw_app").toString
+        val rest = emb.filter(col("vec_id") =!= 0)
+        Similarity.hnswIndexWrite(rest.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", "vec_id", path, shards = 8)
+        Similarity.hnswIndexAppend(rest.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", "vec_id", path, shards = 8)
+        Similarity.hnswIndexProbe(s, path, qv, 10)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, id LIMIT 10""")),
+
+    QueryDef(
       "sim_ann_filtered",
       // FILTERED vector search (the metadata-predicate + top-k composition
       // every vector store exposes): brute-force cosine top-k restricted

@@ -115,6 +115,27 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("persisted index: append inserts online, untouched shards unread") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16
+    val base = (1 to 300).map(i => (i.toLong, vecOf(i, dim)))
+    val extra = (301 to 450).map(i => (i.toLong, vecOf(i, dim)))
+    val path = java.nio.file.Files.createTempDirectory("hnsw_app_spec").toString
+    Similarity.hnswIndexWrite(base.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    Similarity.hnswIndexAppend(extra.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    val q = vecOf(6666L, dim).toSeq
+    val got = Similarity.hnswIndexProbe(sp, path, q, 12,
+        m = 8, efConstruction = 64, efSearch = 450)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === bruteTopK(450, dim, q.toArray, 12))
+    // every vector is a graph citizen exactly once
+    assert(sp.read.parquet(path).count() === 450)
+    assert(sp.read.parquet(path).select("id").distinct().count() === 450)
+  }
+
   test("operator: partitioning-invariant exact top-k at covering ef") {
     val sp = spark
     import sp.implicits._
