@@ -314,6 +314,50 @@ object Similarity {
   }
 
   /**
+   * BATCH probe of a persisted [[hnswIndexWrite]] layout: top-k for MANY
+   * query vectors in one pass. Each shard's graph is reconstructed ONCE
+   * and beam-searched for every query — the per-probe reconstruction
+   * cost of [[hnswIndexProbe]] amortizes across the whole query batch,
+   * which is the realistic serving shape (rerank candidates, offline
+   * kNN joins, eval sweeps). Per-query global top-k is a rank window
+   * over the ≤ shards·k per-query candidates (WindowGroupLimit prunes
+   * below the exchange). Returns (query_id, id, sim).
+   */
+  def hnswIndexProbeBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 128,
+      efSearch: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qArr = queries.map { case (qid, v) => (qid, v.toArray) }
+    spark.read.parquet(path)
+      .select(col("shard").cast("int"), col("id"), col("v"),
+        col("level").cast("int"), col("nbrs"))
+      .as[(Int, Long, Array[Float], Int, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(r => (r._2, r._3, r._4, r._5)).toSeq
+        val idx = HnswIndex.fromAdjacency(m, efConstruction, rows)
+        qArr.iterator.flatMap { case (qid, q) =>
+          idx.searchKnn(q, math.max(efSearch, k), k).iterator.map {
+            case (id, sim) =>
+              (qid, id, BigDecimal(sim)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+      .toDF("query_id", "id", "sim")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id"), col("sim"))
+  }
+
+  /**
    * Multi-probe variant of [[dataPlaneLshTopK]]: additionally scans every
    * bucket at Hamming distance ≤ `flips` from the query's bucket (flip
    * each hyperplane sign bit in turn — the points most likely to be near

@@ -740,6 +740,42 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 10""")),
 
     QueryDef(
+      "sim_ann_hnsw_batch",
+      // BATCH SERVING over the persisted HNSW index: two query vectors
+      // answered in one pass — each shard graph reconstructed once for
+      // the whole batch (the amortization that makes graph-index serving
+      // economical). Exact per-query brute-force ranking at covering ef,
+      // replayed by the oracle as a rank window over the cross join.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id").isin(0, 1))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0),
+            r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+          .toSeq.sortBy(_._1)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_hnsw_b").toString
+        Similarity.hnswIndexWrite(emb.filter(!col("vec_id").isin(0, 1)),
+          "embedding", "vec_id", path, shards = 8)
+        Similarity.hnswIndexProbeBatch(s, path, qs, 5)
+      },
+      Some("""
+        WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (0, 1)),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                       (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+          FROM embeddings e, qs q WHERE e.vec_id NOT IN (0, 1)),
+        ranked AS (
+          SELECT query_id, id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, id) AS rk
+          FROM scored)
+        SELECT query_id, id, sim FROM ranked WHERE rk <= 5""")),
+
+    QueryDef(
       "sim_ann_filtered",
       // FILTERED vector search (the metadata-predicate + top-k composition
       // every vector store exposes): brute-force cosine top-k restricted
