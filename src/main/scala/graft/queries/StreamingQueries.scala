@@ -691,6 +691,65 @@ object StreamingQueries extends QueryRegistry {
         FROM w""")),
 
     QueryDef(
+      "stream_hnsw",
+      (s, dir) => {
+        // HNSW maintenance ON the stream: vectors arrive through the
+        // topic in paced micro-batches, each batch lands in the persisted
+        // sharded index via foreachBatch (first nonempty batch writes,
+        // the rest APPEND online into reconstructed shard graphs — only
+        // touched partitions rewritten). The post-drain probe must rank
+        // the full streamed corpus exactly like brute force: appended-
+        // while-streaming nodes are first-class graph citizens. Float
+        // values ride the log as shortest-round-trip decimal strings
+        // (string→float is exact both ways), so scores match the batch
+        // family bit-for-bit.
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val root = Files.createTempDirectory("graft_stream_hnsw").toString
+        val cfg = TopicConfig(root, "embh")
+        val n = PolarLog.produce(
+          emb.filter(col("vec_id") =!= 0).select(
+            col("vec_id").cast("string").as("partitionKey"),
+            timestamp_micros(col("vec_id")).as("timestamp"),
+            concat_ws(",", col("embedding")).cast("binary").as("value")),
+          cfg, orderBy = Seq(col("timestamp"), col("value"))).recordsWritten
+        val path = s"$root/hnsw_idx"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        val q = PolarStream.read(s, cfg, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 4, 1))).toDF()
+          .select(col("partitionKey").cast("long").as("vec_id"),
+            split(col("value").cast("string"), ",")
+              .cast("array<float>").as("embedding"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+                graft.operators.Similarity.hnswIndexWrite(
+                  b, "embedding", "vec_id", path, shards = 8)
+              else
+                graft.operators.Similarity.hnswIndexAppend(
+                  b, "embedding", "vec_id", path, shards = 8)
+            }
+          }
+          .start()
+        q.awaitTermination(300000)
+        graft.operators.Similarity.hnswIndexProbe(s, path, qv, 10)
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, id LIMIT 10""")),
+
+    QueryDef(
       "stream_ivf",
       (s, dir) => withStatePartitions(s, 4) {
         // IVF index maintenance ON the stream: vectors arrive through the
