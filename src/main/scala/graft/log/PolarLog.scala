@@ -353,11 +353,15 @@ object PolarLog {
 
   /** Delete data files present on disk but absent from the registry —
     * aborted-produce orphans (never visible to readers; this is pure space
-    * reclamation, the analog of the reference recycling failed chunks). */
+    * reclamation, the analog of the reference recycling failed chunks).
+    * `dryRun = true` reports what WOULD be reclaimed without touching
+    * anything — the operational preflight every table format's VACUUM
+    * ships (run it before choosing the grace windows). */
   def vacuum(cfg: TopicConfig,
       manifestGraceMs: Long = 10L * 60 * 1000,
       nowMs: Long = System.currentTimeMillis(),
-      dataGraceMs: Long = 0L): Int = {
+      dataGraceMs: Long = 0L,
+      dryRun: Boolean = false): Int = {
     val meta = LogMetadata.read(cfg)
     val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet
     val fs = fileSystem(cfg)
@@ -375,7 +379,7 @@ object PolarLog {
               // (<= so the grace-0 default deletes same-millisecond files,
               // exactly the pre-grace behavior)
               f.getModificationTime <= nowMs - dataGraceMs) {
-            fs.delete(f.getPath, false)
+            if (!dryRun) fs.delete(f.getPath, false)
             deleted += 1
           }
         }
@@ -392,7 +396,7 @@ object PolarLog {
       fs.listStatus(mdir).foreach { f =>
         if (f.isFile && !live.contains(f.getPath.getName) &&
             f.getModificationTime < nowMs - manifestGraceMs) {
-          fs.delete(f.getPath, false)
+          if (!dryRun) fs.delete(f.getPath, false)
           deleted += 1
         }
       }

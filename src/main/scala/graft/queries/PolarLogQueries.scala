@@ -711,6 +711,65 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_vacuum_dry",
+      (s, dir) => {
+        // VACUUM DRY RUN (the preflight every table format's VACUUM
+        // ships): compaction with originals kept leaves exactly 2
+        // superseded segments per data-bearing partition (two produces,
+        // one file each, merged to one); the dry run must COUNT them
+        // without deleting anything — asserted by re-listing — and the
+        // real vacuum must then reclaim exactly the dry-run's number.
+        val root = Files.createTempDirectory("graft_polar_dry").toString
+        val cfg = TopicConfig(root, "dry")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(2)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        PolarLog.produce(slice(1), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        require(graft.sources.PolarCompaction.compact(s, cfg,
+          smallBytes = 1L << 30, minRun = 2, deleteOriginals = false) > 0,
+          "compaction merged nothing")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(cfg.dir), s.sparkContext.hadoopConfiguration)
+        def onDisk(): Long = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.dir))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
+          .map(p => fs.listStatus(p.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong)
+          .sum
+        val before = onDisk()
+        val wouldReclaim = PolarLog.vacuum(cfg, dataGraceMs = 0L,
+          manifestGraceMs = Long.MaxValue / 2, dryRun = true)
+        require(onDisk() == before, "dry run deleted files")
+        val reclaimed = PolarLog.vacuum(cfg, dataGraceMs = 0L,
+          manifestGraceMs = Long.MaxValue / 2)
+        require(reclaimed == wouldReclaim,
+          s"dry run promised $wouldReclaim, vacuum reclaimed $reclaimed")
+        s.createDataFrame(Seq((wouldReclaim.toLong, onDisk())))
+          .toDF("n_reclaimable", "n_files_after")
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 2 AS rem
+          FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, r.rem, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+        pp AS (
+          SELECT part,
+                 MAX(CASE WHEN rem = 0 THEN 1 ELSE 0 END) AS h0,
+                 MAX(CASE WHEN rem = 1 THEN 1 ELSE 0 END) AS h1
+          FROM placed GROUP BY part)
+        SELECT CAST(2 * SUM(CASE WHEN h0 = 1 AND h1 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_reclaimable,
+               COUNT(*) AS n_files_after
+        FROM pp""")),
+
+    QueryDef(
       "polar_time_travel",
       (s, dir) => {
         // TIME TRAVEL: two produces, one version capture in between. The

@@ -45,6 +45,40 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("offsets=[3,10)") && plan.contains("parts=Set(5)"), plan)
   }
 
+  test("scan reports exact registry statistics; filters narrow them") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("root", cfg.root, "topic", cfg.topic))
+    def statsFor(bounds: PolarScanBounds) = {
+      val scan = new PolarScan(PolarSource.configFrom(
+        Map("root" -> cfg.root, "topic" -> cfg.topic)), bounds)
+      scan.estimateStatistics()
+    }
+    val total = PolarLog.consume(spark, cfg).count()
+    val full = statsFor(PolarScanBounds())
+    assert(full.numRows().getAsLong === total)
+    assert(full.sizeInBytes().getAsLong > 0)
+    // an offset window narrows rows EXACTLY (offsets are dense)
+    val windowed = statsFor(PolarScanBounds(minOffset = 2, maxOffsetExclusive = 5))
+    val expect = PolarLog.consume(spark, cfg)
+      .filter(col("offset") >= 2 && col("offset") < 5).count()
+    assert(windowed.numRows().getAsLong === expect)
+    assert(windowed.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+    // a partition set narrows to that partition's rows
+    val onePart = statsFor(PolarScanBounds(parts = Some(Set(5))))
+    val expectP = PolarLog.consume(spark, cfg).filter(col("part") === 5).count()
+    assert(onePart.numRows().getAsLong === expectP)
+    // and Catalyst actually consumes them: a join against the tiny topic
+    // plans the polar side as the BROADCAST build side
+    val dim = read.select(col("partitionKey"), col("offset"))
+    val fact = spark.range(100000L)
+      .select((col("id") % 50).cast("string").as("partitionKey"), col("id"))
+    val joined = fact.join(dim, Seq("partitionKey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
+
   test("timestamp window prunes whole segments from registry ts stats") {
     // a second topic written in two produces with DISJOINT time ranges →
     // per partition, distinct segments with distinct [tsMin, tsMax]
