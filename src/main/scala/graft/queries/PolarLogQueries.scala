@@ -711,6 +711,40 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_key_pushdown",
+      // key-equality data skipping: partitionKey IN (...) plans only the
+      // owning partitions (placement is deterministic), asserted from the
+      // executed plan's scan description; the VALUES are verified against
+      // the raw table — so both the pruning and its exactness are gated.
+      // At 100 TB this is the point-lookup path: 3 keys → ≤3 of 12
+      // partitions' files planned, zero I/O on the rest.
+      (s, dir) => {
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val keys = Seq("1", "2", "3")
+        val df = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .filter(col("partitionKey").isin(keys: _*))
+        val owners = keys.map(k => graft.functions.TokenMath.partitionForToken(
+          graft.functions.Murmur3.hashString(k),
+          cfg.clusterSize, cfg.rangesPerToken)).toSet
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("parts=Set("), s"no partition pruning in plan:\n$plan")
+        require(owners.forall(p => plan.contains(p.toString)) &&
+          !plan.contains("parts=all"),
+          s"expected owners $owners pruned into the scan:\n$plan")
+        df.groupBy(col("partitionKey").as("pk"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("value").cast("string")).as("n_vals"),
+            date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n,
+               COUNT(DISTINCT props) AS n_vals,
+               strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1""")),
+
+    QueryDef(
       "polar_vacuum_dry",
       (s, dir) => {
         // VACUUM DRY RUN (the preflight every table format's VACUUM

@@ -240,6 +240,19 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     case _ => None
   }
 
+  /** Narrow the partition set to the owners of `keys` — union across keys
+    * and (for multi-topic subscriptions with differing ring sizes) across
+    * topics; the per-topic file pruner intersects with each topic's own
+    * partitions, so a union is always a sound superset. An empty key list
+    * (e.g. `IN (NULL)`) matches nothing → empty partition set. */
+  private def pushKeyParts(keys: Seq[String]): Unit = {
+    val ps = (for (t <- cfg.topics; k <- keys) yield
+      graft.functions.TokenMath.partitionForToken(
+        graft.functions.Murmur3.hashString(k), t.clusterSize, t.rangesPerToken)
+    ).toSet
+    bounds = bounds.copy(parts = Some(bounds.parts.fold(ps)(_ intersect ps)))
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
       case GreaterThanOrEqual("offset", v) => asLong(v).exists { n =>
@@ -260,6 +273,20 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
         val s = Set(n.toInt)
         bounds = bounds.copy(parts = Some(bounds.parts.fold(s)(_ intersect s)))
         true }
+      // key-equality data skipping: placement is deterministic (key →
+      // murmur3 token → owning partition — the reference's leader routing,
+      // `discoverer.go`), so records with partitionKey = k can ONLY live in
+      // k's owning partition. A point lookup over a 100 TB topic plans
+      // 1/numPartitions of the data with zero file I/O; the exact predicate
+      // stays residual, so null-key records (placed by synthetic token,
+      // possibly in the same partition) never leak through.
+      case EqualTo("partitionKey", v: String) => pushKeyParts(Seq(v)); true
+      case EqualNullSafe("partitionKey", v: String) => pushKeyParts(Seq(v)); true
+      case In("partitionKey", vs) if vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        // null elements never match under IN's three-valued semantics —
+        // pruning by the non-null keys' owners is exact
+        pushKeyParts(vs.collect { case s: String => s }.toSeq)
+        true
       case In("part", vs) =>
         val ns = vs.flatMap(asLong).map(_.toInt).toSet
         bounds = bounds.copy(parts = Some(bounds.parts.fold(ns)(_ intersect ns)))

@@ -45,6 +45,37 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("offsets=[3,10)") && plan.contains("parts=Set(5)"), plan)
   }
 
+  test("partitionKey equality prunes to the owning partition via placement") {
+    import graft.functions.{Murmur3, TokenMath}
+    val key = PolarLog.consume(spark, cfg)
+      .select(col("partitionKey")).filter(col("partitionKey").isNotNull)
+      .first().getString(0)
+    val owner = TokenMath.partitionForToken(
+      Murmur3.hashString(key), cfg.clusterSize, cfg.rangesPerToken)
+    val filtered = read.filter(col("partitionKey") === key)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains(s"parts=Set($owner)"), plan)
+    // exact: the residual re-applies the predicate, so only that key's rows
+    val got = filtered.select(col("offset")).collect().map(_.getLong(0)).sorted
+    val expected = PolarLog.consume(spark, cfg)
+      .filter(col("partitionKey") === key)
+      .select(col("offset")).collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.toSeq === expected.toSeq)
+    // IN over two keys plans the union of their owners; results exact
+    val key2 = PolarLog.consume(spark, cfg)
+      .select(col("partitionKey")).filter(col("partitionKey").isNotNull)
+      .distinct().orderBy(col("partitionKey").desc).first().getString(0)
+    val owners = Set(key, key2).map(k => TokenMath.partitionForToken(
+      Murmur3.hashString(k), cfg.clusterSize, cfg.rangesPerToken))
+    val in = read.filter(col("partitionKey").isin(key, key2))
+    val inPlan = in.queryExecution.executedPlan.toString
+    owners.foreach(p => assert(inPlan.contains(p.toString), inPlan))
+    val gotIn = in.count()
+    val expIn = PolarLog.consume(spark, cfg)
+      .filter(col("partitionKey").isin(key, key2)).count()
+    assert(gotIn === expIn && gotIn > 0)
+  }
+
   test("scan reports exact registry statistics; filters narrow them") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val opts = new CaseInsensitiveStringMap(
