@@ -84,6 +84,43 @@ object PolarLog {
    * commit (files land first but are unregistered until then, so readers
    * never see a torn produce).
    */
+  /** The producer-schema → envelope projection shared by [[produce]] and
+    * [[produceStream]]: default key/timestamp columns, the oversize-value
+    * rejection, token + placement, and the arrival order materialized as
+    * `__oN` columns (the DSv2 write requires a LOCAL sort on (part, __o*):
+    * spillable, no window buffer). Pure column ops — valid on batch and
+    * streaming frames alike. */
+  private def envelope(
+      df: DataFrame,
+      cfg: TopicConfig,
+      orderBy: Seq[Column],
+      maxMessageSize: Int): DataFrame = {
+    val withKey =
+      if (df.columns.contains("partitionKey")) df
+      else df.withColumn("partitionKey", lit(null).cast(StringType))
+    val withTs =
+      if (withKey.columns.contains("timestamp")) withKey
+      else withKey.withColumn("timestamp", current_timestamp())
+    // oversize-value rejection inline in the projection (codegen'd, zero
+    // cost unless violated — the produce-path 400 of the reference,
+    // `internal/producing/server.go:146-151`)
+    val sized = withTs.withColumn("value",
+      when(length(col("value").cast(BinaryType)) <= maxMessageSize,
+        col("value").cast(BinaryType))
+        .otherwise(raise_error(concat(
+          lit(s"record value exceeds maxMessageSize=$maxMessageSize bytes: "),
+          length(col("value").cast(BinaryType)).cast(StringType)))
+          .cast(BinaryType)))
+    val order = if (orderBy.nonEmpty) orderBy
+      else Seq(col("timestamp"), xxhash64(col("value")))
+    val orderCols = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    sized
+      .withColumn("token", murmur3_h1(col("partitionKey")))
+      .withColumn("part", placementExpr(cfg))
+      .select(Seq(col("partitionKey"), col("token"), col("part"),
+        col("timestamp"), col("value")) ++ orderCols: _*)
+  }
+
   def produce(
       df: DataFrame,
       cfg: TopicConfig,
@@ -100,38 +137,7 @@ object PolarLog {
       m
     }
 
-    val in0 = df
-    val withKey =
-      if (in0.columns.contains("partitionKey")) in0
-      else in0.withColumn("partitionKey", lit(null).cast(StringType))
-    val withTs =
-      if (withKey.columns.contains("timestamp")) withKey
-      else withKey.withColumn("timestamp", current_timestamp())
-    // oversize-value rejection inline in the projection (codegen'd, zero
-    // cost unless violated — the produce-path 400 of the reference,
-    // `internal/producing/server.go:146-151`)
-    val sized = withTs.withColumn("value",
-      when(length(col("value").cast(BinaryType)) <= maxMessageSize,
-        col("value").cast(BinaryType))
-        .otherwise(raise_error(concat(
-          lit(s"record value exceeds maxMessageSize=$maxMessageSize bytes: "),
-          length(col("value").cast(BinaryType)).cast(StringType)))
-          .cast(BinaryType)))
-
-    val token = murmur3_h1(col("partitionKey"))
-    val partExpr = placementExpr(cfg)
-
-    // arrival order materialized as __oN columns — the DSv2 write requires
-    // a LOCAL sort on (part, __o*): spillable, no window buffer
-    val order = if (orderBy.nonEmpty) orderBy
-      else Seq(col("timestamp"), xxhash64(col("value")))
-    val orderCols = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
-
-    val enveloped = sized
-      .withColumn("token", token)
-      .withColumn("part", partExpr)
-      .select(Seq(col("partitionKey"), col("token"), col("part"),
-        col("timestamp"), col("value")) ++ orderCols: _*)
+    val enveloped = envelope(df, cfg, orderBy, maxMessageSize)
 
     var writer = enveloped.write
       .format("polar")
@@ -151,6 +157,34 @@ object PolarLog {
     val newTails = after.producerOffsets.zipWithIndex.map(_.swap).toMap
     val written = newTails.map { case (p, t) => t - meta0.producerOffsets(p) }.sum
     ProduceResult(written, oldTails, newTails)
+  }
+
+  /** Streaming produce — the native sink twin of [[produce]]:
+    * {{{ PolarLog.produceStream(df, cfg)
+    *       .option("checkpointLocation", dir).start() }}}
+    * Each micro-batch commits through the same metadata CAS with an
+    * idempotent (queryId, epochId) txn recorded in `sinkCommits`, so an
+    * epoch replayed after a crash registers nothing twice — exactly-once
+    * visibility end-to-end, the streaming analog of the reference's
+    * committed-offset resume (`internal/consuming/offset_state.go`).
+    * Offsets are assigned by the writers from the tails current at each
+    * epoch, never client-supplied. */
+  def produceStream(
+      df: DataFrame,
+      cfg: TopicConfig,
+      orderBy: Seq[Column] = Nil,
+      maxMessageSize: Int = DefaultMaxMessageSize,
+      maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    graft.GraftSession.ensureFunctions(df.sparkSession)
+    envelope(df, cfg, orderBy, maxMessageSize).writeStream
+      .format("polar")
+      .option("root", cfg.root)
+      .option("topic", cfg.topic)
+      .option("clusterSize", cfg.clusterSize.toString)
+      .option("rangesPerToken", cfg.rangesPerToken.toString)
+      .option("maxFileBytes", maxFileBytes.toString)
+      .outputMode("append")
   }
 
   /** NDJSON multi-record ingestion (SURVEY §2 A4): one request row with an

@@ -21,21 +21,9 @@ object PolarLogQueries extends QueryRegistry {
   // queries — mutating queries (groups/ndjson/repartition) build their own.
   private val produced = scala.collection.concurrent.TrieMap.empty[(String, String), TopicConfig]
 
-  /** Flat partition id from a signed `token` column, 3-broker ring × 4
-    * ranges — the SQL mirror of `polar_partition(token, 3, 4)` (diffs in
-    * HUGEINT so top-of-range tokens don't overflow BIGINT). */
-  private lazy val part34Sql: String = {
-    val t1 = graft.functions.TokenMath.tokenAtIndex(3, 1) // -3074457345618259968
-    val t2 = graft.functions.TokenMath.tokenAtIndex(3, 2) // 3074457345618255872
-    val rangeSize = graft.functions.TokenMath.ChunkSizeUnit *
-      graft.functions.TokenMath.ringFactor(3) / 4
-    def rix(base: Long): String =
-      s"""(CASE WHEN (token::HUGEINT - ($base)::HUGEINT) // $rangeSize >= 4 THEN 0
-                ELSE (token::HUGEINT - ($base)::HUGEINT) // $rangeSize END)"""
-    s"""(CASE WHEN token >= $t2 THEN 8 + ${rix(t2)}
-              WHEN token >= $t1 THEN 4 + ${rix(t1)}
-              ELSE ${rix(Long.MinValue)} END)"""
-  }
+  /** SQL mirror of `polar_partition(token, 3, 4)` — shared via
+    * [[OracleSql.part34Sql]]. */
+  private lazy val part34Sql: String = OracleSql.part34Sql
 
   /** Produce events into a per-sfDir topic once and return the consumed log. */
   private def roundtrip(s: SparkSession, dir: String): DataFrame = {

@@ -133,6 +133,48 @@ object StreamingQueries extends QueryRegistry {
         FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "stream_sink",
+      (s, dir) => {
+        // NATIVE streaming sink (writeStream.format("polar")): multi-epoch
+        // drain into a fresh topic, then assert the exactly-once
+        // bookkeeping (the stream's stable id is in sinkCommits at the CAS
+        // authority) and emit per-partition counts + dense-offset evidence
+        // — tail and distinct-offset count must both equal the row count,
+        // across epoch boundaries. All placement-replayable in DuckDB.
+        val (src, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_sink").toString
+        val dst = TopicConfig(root, "dst")
+        val pipe = PolarStream.read(s, src, startingOffsets = "earliest",
+            maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
+          .select(col("partitionKey"), col("timestamp"), col("value"))
+        val q = graft.log.PolarLog.produceStream(pipe, dst,
+            orderBy = Seq(col("timestamp"), col("value")))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.awaitTermination(300000)
+        val meta = graft.log.LogMetadata.read(dst)
+        require(meta.sinkCommits.contains(q.id.toString),
+          s"streaming query id not in sinkCommits: ${meta.sinkCommits.keySet}")
+        require(meta.sinkCommits(q.id.toString) >= 1L,
+          s"expected >=2 epochs, sinkCommits=${meta.sinkCommits}")
+        PolarLog.consume(s, dst)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("offset")) + 1).as("tail"),
+            countDistinct(col("offset")).as("n_off"))
+      },
+      Some(s"""
+        WITH recs AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST(${OracleSql.part34Sql} AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) AS n, COUNT(*) AS tail, COUNT(*) AS n_off
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
       "stream_windowed_agg",
       (s, dir) => withStatePartitions(s, 4) {
         // watermarked tumbling-window aggregation over the polar stream,

@@ -170,6 +170,12 @@ class PolarTable(
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+    // native streaming sink for ENVELOPE-schema writes (PolarLog
+    // .produceStream builds the envelope; a producer-schema writeStream has
+    // no part column to cluster by, and gets a clear capability error
+    // pointing there instead of a V1 path that cannot stream)
+    if (schema().fieldNames.contains("part"))
+      caps.add(TableCapability.STREAMING_WRITE)
     // producer-schema writes (no `part`) route through the V1 sugar shim;
     // declaring V1_BATCH_WRITE unconditionally would force EVERY write —
     // including the envelope BatchWrite — down the V1 path

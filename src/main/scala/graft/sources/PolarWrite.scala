@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
@@ -49,7 +50,8 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
   override def build(): Write = {
     val schema = info.schema()
     if (schema.fieldNames.contains("part"))
-      new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn)
+      new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn,
+        queryId = info.queryId())
     else
       // producer-schema sugar (`df.write.format("polar")` with only
       // value[/partitionKey/timestamp]): route through PolarLog.produce,
@@ -73,7 +75,8 @@ class PolarWrite(
     cfg: TopicConfig,
     schema: StructType,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -90,6 +93,56 @@ class PolarWrite(
   }
 
   override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema, maxFileBytes, txn)
+
+  /** `writeStream.format("polar")` (micro-batch). Spark applies the same
+    * clustered-by-part distribution + local (part, __o*) sort per batch, so
+    * epoch writes reuse the batch writer machinery unchanged; the commit is
+    * idempotent on (streaming queryId, epochId) via `sinkCommits` — the
+    * Delta txn-version pattern — giving exactly-once visibility across
+    * failure/replay. The stable queryId survives restarts (it is the
+    * checkpointed stream id), so a replayed epoch after recovery is dropped
+    * at the CAS authority, not re-registered. */
+  override def toStreaming: StreamingWrite =
+    new PolarStreamingWrite(cfg, schema, maxFileBytes,
+      if (queryId == null) "" else queryId)
+}
+
+class PolarStreamingWrite(
+    cfg: TopicConfig,
+    schema: StructType,
+    maxFileBytes: Long,
+    queryId: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new PolarStreamingWriterFactory(cfg, schema, maxFileBytes)
+
+  // micro-batch epochs are serial: by commit time the previous epoch's CAS
+  // has landed, so a fresh PolarBatchWrite's plan-time snapshot IS the
+  // current tails; a concurrent external producer is absorbed by the same
+  // rebase-and-retry as any batch produce
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    new PolarBatchWrite(cfg, schema, maxFileBytes, Some((queryId, epochId)))
+      .commit(messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    new PolarBatchWrite(cfg, schema, maxFileBytes, Some((queryId, epochId)))
+      .abort(messages)
+}
+
+/** Per-epoch writers read the topic tails ON THE EXECUTOR at open: one tiny
+  * metadata-doc read per task per epoch (object-store friendly), yielding
+  * offset bases that are current as of the previous epoch's commit — no
+  * driver round-trip, no factory re-serialization per batch. */
+class PolarStreamingWriterFactory(
+    cfg: TopicConfig,
+    schema: StructType,
+    maxFileBytes: Long) extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val bases = LogMetadata.read(cfg).producerOffsets.toArray
+    new PolarDataWriter(cfg.dir, schema, bases, taskId, maxFileBytes)
+  }
 }
 
 object PolarWrite {

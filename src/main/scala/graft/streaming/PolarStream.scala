@@ -105,11 +105,11 @@ object PolarStream {
       cfg: TopicConfig,
       checkpointLocation: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    df.writeStream
+    // native DSv2 streaming sink ([[graft.sources.PolarStreamingWrite]]):
+    // per-epoch clustered write + idempotent (queryId, epochId) CAS commit —
+    // exactly-once without a driver-side foreachBatch detour
+    PolarLog.produceStream(df, cfg)
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        PolarLog.produce(batch, cfg, txn = Some((checkpointLocation, batchId))): Unit
-      }
       .start()
 }

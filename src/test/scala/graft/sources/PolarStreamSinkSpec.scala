@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.log.{FileEntry, LogMetadata, PolarLog, TopicConfig}
+import graft.streaming.PolarStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** The native DSv2 streaming sink (`writeStream.format("polar")` via
+  * [[graft.log.PolarLog.produceStream]]): per-epoch clustered writes with
+  * executor-side offset bases, idempotent (queryId, epochId) CAS commits. */
+class PolarStreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_stream_sink").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def records(from: Int, until: Int) = graft.Tables.events(spark, sfDir)
+    .filter(col("event_id") >= from && col("event_id") < until)
+    .select(col("user_id").cast("string").as("partitionKey"),
+      col("ts").as("timestamp"), col("props").as("value"))
+
+  private def pipe(src: TopicConfig, dst: TopicConfig, ckpt: String,
+      perTrigger: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    val in = PolarStream.read(spark, src, startingOffsets = "earliest",
+        maxRecordsPerTrigger = Some(perTrigger))
+      .select(col("partitionKey"), col("timestamp"), col("value"))
+    val q = PolarLog.produceStream(in, dst,
+        orderBy = Seq(col("timestamp"), col("value")))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination(120000)
+    q
+  }
+
+  test("multi-epoch native sink: no loss/dup, dense offsets, commits recorded") {
+    val src = TopicConfig(root, "sink_src")
+    val dst = TopicConfig(root, "sink_dst")
+    PolarLog.produce(records(0, 600), src)
+    val q = pipe(src, dst, s"$root/ckpt1", perTrigger = 150) // ≥4 epochs
+
+    val out = PolarLog.consume(spark, dst)
+    assert(out.count() === 600)
+    // multiset of (key, value) survives the pipe exactly
+    val a = records(0, 600).select(col("partitionKey"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val b = out.select(col("partitionKey"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(a.toSeq === b.toSeq)
+    // dense offsets per partition ACROSS epoch boundaries
+    val dens = out.groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("tail"),
+        countDistinct(col("offset")).as("nd"))
+      .collect()
+    dens.foreach(r => assert(r.getLong(1) === r.getLong(2) &&
+      r.getLong(1) === r.getLong(3), r))
+    // exactly-once bookkeeping: the stream's STABLE id at the CAS authority,
+    // with multiple epochs committed
+    val meta = LogMetadata.read(dst)
+    assert(meta.sinkCommits.get(q.id.toString).exists(_ >= 2L),
+      meta.sinkCommits)
+  }
+
+  test("a replayed epoch is dropped at the CAS authority, not re-registered") {
+    val src = TopicConfig(root, "replay_src")
+    val dst = TopicConfig(root, "replay_dst")
+    PolarLog.produce(records(0, 200), src)
+    val q = pipe(src, dst, s"$root/ckpt_replay", perTrigger = 100)
+    val before = LogMetadata.read(dst)
+    val lastEpoch = before.sinkCommits(q.id.toString)
+    // simulate a post-crash epoch replay: same (queryId, epochId) arrives
+    // again with freshly-written files — the commit must register NOTHING
+    val schema = PolarLog.ValueSchema
+      .add(org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val bw = new PolarBatchWrite(dst, schema,
+      txn = Some((q.id.toString, lastEpoch)))
+    bw.commit(Array(PolarCommitMessage(Seq(
+      FileEntry(0, "ghost.parquet", before.producerOffsets(0),
+        before.producerOffsets(0), 1, 10, System.currentTimeMillis())))))
+    val after = LogMetadata.read(dst)
+    assert(after.producerOffsets === before.producerOffsets)
+    assert(after.files.map(_.name).toSet === before.files.map(_.name).toSet)
+  }
+
+  test("checkpoint resume appends only new records (restart safety)") {
+    val src = TopicConfig(root, "resume_src")
+    val dst = TopicConfig(root, "resume_dst")
+    val ckpt = s"$root/ckpt_resume"
+    PolarLog.produce(records(0, 300), src)
+    pipe(src, dst, ckpt, perTrigger = 100)
+    assert(PolarLog.consume(spark, dst).count() === 300)
+    // new source data, SAME checkpoint: only the delta lands
+    PolarLog.produce(records(300, 500), src)
+    pipe(src, dst, ckpt, perTrigger = 100)
+    assert(PolarLog.consume(spark, dst).count() === 500)
+    val dens = PolarLog.consume(spark, dst).groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("tail")).collect()
+    dens.foreach(r => assert(r.getLong(1) === r.getLong(2), r))
+  }
+}
