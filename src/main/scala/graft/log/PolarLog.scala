@@ -104,8 +104,12 @@ object PolarLog {
     // oversize-value rejection inline in the projection (codegen'd, zero
     // cost unless violated — the produce-path 400 of the reference,
     // `internal/producing/server.go:146-151`)
+    // null values pass: they are legal records (and the compacted view's
+    // tombstones); length(NULL) <= max is NULL, which would otherwise fall
+    // through to the error branch
     val sized = withTs.withColumn("value",
-      when(length(col("value").cast(BinaryType)) <= maxMessageSize,
+      when(col("value").isNull ||
+          length(col("value").cast(BinaryType)) <= maxMessageSize,
         col("value").cast(BinaryType))
         .otherwise(raise_error(concat(
           lit(s"record value exceeds maxMessageSize=$maxMessageSize bytes: "),
@@ -214,6 +218,27 @@ object PolarLog {
       startOffsets: Map[Int, Long] = Map.empty,
       endOffsets: Map[Int, Long] = Map.empty): DataFrame =
     consumeAt(spark, cfg, LogMetadata.read(cfg), startOffsets, endOffsets)
+
+  /** The COMPACTED view of a topic — Kafka's log-compaction / Kafka
+    * Streams KTable semantics as a declarative query instead of a physical
+    * segment rewrite: the latest record per non-null key, with null-value
+    * records acting as tombstones (the key disappears from the view).
+    * "Latest" is by offset, the log's authoritative order; a key's records
+    * all live in one partition (placement), so per-key max-offset is
+    * globally unambiguous. One keyed shuffle with map-side partial
+    * `max_by`; the log itself is never rewritten, so every offset stays
+    * addressable for replay/time travel — the same reason Kafka keeps
+    * compaction out of the fetch path. */
+  def consumeCompacted(spark: SparkSession, cfg: TopicConfig): DataFrame = {
+    val log = consume(spark, cfg).filter(col("partitionKey").isNotNull)
+    log.groupBy(col("partitionKey"))
+      .agg(max_by(struct(col("token"), col("part"), col("offset"),
+        col("timestamp"), col("value")), col("offset")).as("__r"))
+      .select(col("partitionKey"), col("__r.token").as("token"),
+        col("__r.part").as("part"), col("__r.offset").as("offset"),
+        col("__r.timestamp").as("timestamp"), col("__r.value").as("value"))
+      .filter(col("value").isNotNull)
+  }
 
   /** [[consume]] planned against an EXPLICIT metadata document (a retained
     * snapshot for time travel / change feeds, or the pre-read head) instead

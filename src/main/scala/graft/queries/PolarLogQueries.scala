@@ -699,6 +699,32 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_compacted_view",
+      // KTable/log-compaction semantics as a query: latest record per key
+      // by offset. The shared topic was produced in (timestamp, value)
+      // order, so within a key max-offset == max (timestamp, value) — the
+      // oracle replays that argmax from the raw table without needing the
+      // placement hash. n_versions cross-checks no loss before compaction.
+      (s, dir) => {
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val compacted = PolarLog.consumeCompacted(s, cfg)
+          .select(col("partitionKey").as("pk"),
+            col("value").cast("string").as("last_value"))
+        val versions = PolarLog.consume(s, cfg)
+          .filter(col("partitionKey").isNotNull)
+          .groupBy(col("partitionKey").as("pk"))
+          .agg(count(lit(1)).as("n_versions"))
+        compacted.join(versions, "pk")
+      },
+      Some("""
+        SELECT pk, last_value, n_versions FROM (
+          SELECT CAST(user_id AS VARCHAR) AS pk, props AS last_value,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, props DESC) AS rn
+          FROM events) WHERE rn = 1""")),
+
+    QueryDef(
       "polar_key_pushdown",
       // key-equality data skipping: partitionKey IN (...) plans only the
       // owning partitions (placement is deterministic), asserted from the

@@ -371,4 +371,37 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     LogMetadata.clearManifestCachesForTest()
     assert(LogMetadata.read(cfg).filesOf(0).size === 2038)
   }
+
+  test("compacted view: latest per key, tombstones remove, nulls-keys excluded") {
+    val s = spark
+    import s.implicits._
+    val cfg = TopicConfig(root, "t_ktable")
+    def rec(k: String, sec: Long, v: String) = (k, sec, v)
+    // three versions of k1, two of k2, one null-key record
+    val r1 = Seq(rec("k1", 10, "a"), rec("k2", 11, "x"), rec("k1", 12, "b"))
+    val r2 = Seq(rec("k1", 20, "c"), rec("k2", 21, "y"))
+    def produce(rows: Seq[(String, Long, String)]) =
+      PolarLog.produce(rows.toDF("partitionKey", "sec", "v")
+        .select(col("partitionKey"), timestamp_seconds(col("sec")).as("timestamp"),
+          col("v").cast("binary").as("value")), cfg,
+        orderBy = Seq(col("timestamp")))
+    produce(r1); produce(r2)
+    PolarLog.produce(Seq((null: String, 30L, "orphan")).toDF("partitionKey", "sec", "v")
+      .select(col("partitionKey"), timestamp_seconds(col("sec")).as("timestamp"),
+        col("v").cast("binary").as("value")), cfg, orderBy = Seq(col("timestamp")))
+    val view1 = PolarLog.consumeCompacted(spark, cfg)
+      .select(col("partitionKey"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(view1.toSeq === Seq(("k1", "c"), ("k2", "y")))
+    // tombstone for k1 → key disappears; k2 unaffected
+    PolarLog.produce(Seq(("k1", 40L)).toDF("partitionKey", "sec")
+      .select(col("partitionKey"), timestamp_seconds(col("sec")).as("timestamp"),
+        lit(null).cast("binary").as("value")), cfg, orderBy = Seq(col("timestamp")))
+    val view2 = PolarLog.consumeCompacted(spark, cfg)
+      .select(col("partitionKey"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(view2.toSeq === Seq(("k2", "y")))
+    // the log itself is untouched: every version still addressable
+    assert(PolarLog.consume(spark, cfg).count() === 7)
+  }
 }
