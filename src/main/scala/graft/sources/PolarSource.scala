@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetInputFormat
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming._
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
@@ -329,10 +329,49 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
 
 class PolarScan(
     cfg: PolarSourceConfig,
-    bounds: PolarScanBounds = PolarScanBounds(),
+    private var bounds: PolarScanBounds = PolarScanBounds(),
     required: StructType = PolarSource.FullSchema)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** Runtime (dynamic) partition pruning: a join whose key is `part` or
+    * `partitionKey` delivers its build-side values here before this scan
+    * plans — IN-sets on `part` intersect the planned partitions directly;
+    * IN-sets on `partitionKey` map through the placement kernel to the
+    * owning partitions (same soundness as the static pushdown: placement
+    * is total, the join re-filters rows). Best-effort by contract, so
+    * unrecognized runtime predicates are ignored, never wrong. At 100 TB
+    * this is the fact-side prune for star joins against a topic: only the
+    * partitions holding the dimension's matched keys are read. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only attributes surviving column pruning: Spark resolves these
+    // against the scan OUTPUT, and an unresolvable ref is an analysis
+    // error, not a skipped optimization
+    Array("part", "partitionKey").filter(required.fieldNames.contains)
+      .map(Expressions.column)
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def narrow(ps: Set[Int]): Unit =
+      bounds = bounds.copy(parts = Some(bounds.parts.fold(ps)(_ intersect ps)))
+    def keyParts(keys: Seq[String]): Set[Int] =
+      (for (t <- cfg.topics; k <- keys) yield
+        graft.functions.TokenMath.partitionForToken(
+          graft.functions.Murmur3.hashString(k),
+          t.clusterSize, t.rangesPerToken)).toSet
+    filters.foreach {
+      case In("part", vs) =>
+        narrow(vs.collect { case n: Number => n.intValue() }.toSet)
+      case EqualTo("part", n: Number) => narrow(Set(n.intValue()))
+      case In("partitionKey", vs) if vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        narrow(keyParts(vs.collect { case s: String => s }.toSeq))
+      case EqualTo("partitionKey", s: String) => narrow(keyParts(Seq(s)))
+      case _ => () // best-effort: unpruned partitions are join-filtered anyway
+    }
+  }
 
   /** EXACT statistics from the registry — rows are dense offsets, bytes
     * are per-file stats, both narrowed to the pushed offset/timestamp/

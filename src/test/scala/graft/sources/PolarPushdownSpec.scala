@@ -110,6 +110,37 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan)
   }
 
+  test("runtime filters narrow the planned partitions (DPP contract)") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import graft.functions.{Murmur3, TokenMath}
+    def scan() = new PolarScan(PolarSource.configFrom(
+      Map("root" -> cfg.root, "topic" -> cfg.topic)))
+    val all = scan().toBatch.planInputPartitions().length
+    // runtime IN on partitionKey → placement-mapped partition prune
+    val s1 = scan()
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("partitionKey", Array[Any]("1", "2"))))
+    val owners = Set("1", "2").map(k => TokenMath.partitionForToken(
+      Murmur3.hashString(k), cfg.clusterSize, cfg.rangesPerToken))
+    assert(s1.description().contains(owners.toString.replace("HashSet", "Set")) ||
+      owners.forall(p => s1.description().contains(p.toString)))
+    val p1 = s1.toBatch.planInputPartitions().length
+    assert(p1 < all && p1 > 0)
+    // runtime EqualTo on part intersects directly
+    val s2 = scan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("part", Integer.valueOf(5))))
+    assert(s2.toBatch.planInputPartitions().length <= all)
+    assert(s2.description().contains("parts=Set(5)"), s2.description())
+    // unknown runtime predicates are ignored (best-effort contract)
+    val s3 = scan()
+    s3.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("value", "x")))
+    assert(s3.toBatch.planInputPartitions().length === all)
+    // stats narrow with the runtime filter too (AQE sees the pruned size)
+    val full = scan().estimateStatistics().numRows().getAsLong
+    assert(s1.estimateStatistics().numRows().getAsLong < full)
+  }
+
   test("timestamp window prunes whole segments from registry ts stats") {
     // a second topic written in two produces with DISJOINT time ranges →
     // per partition, distinct segments with distinct [tsMin, tsMax]
