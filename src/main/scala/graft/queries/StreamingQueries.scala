@@ -175,6 +175,38 @@ object StreamingQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "stream_compacted",
+      (s, dir) => withStatePartitions(s, 4) {
+        // continuously-maintained KTable: the streaming twin of
+        // PolarLog.consumeCompacted — latest record per key by offset,
+        // upserted across micro-batches (complete mode emits the final
+        // table after the AvailableNow drain). State is O(keys), one row
+        // per key, the Kafka Streams table materialization shape.
+        val (cfg, n) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_stream_kt").toString
+        val in = PolarStream.read(s, cfg, startingOffsets = "earliest",
+          maxRecordsPerTrigger = Some(math.max(n / 3, 1)))
+        val q = in.filter(col("partitionKey").isNotNull)
+          .groupBy(col("partitionKey").as("pk"))
+          .agg(max_by(col("value"), col("offset")).as("last"))
+          .filter(col("last").isNotNull)
+          .select(col("pk"), col("last").cast("string").as("last_value"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("complete")
+          .format("memory").queryName("gate_stream_compacted").start()
+        q.awaitTermination(300000)
+        s.table("gate_stream_compacted")
+      },
+      Some("""
+        SELECT pk, last_value FROM (
+          SELECT CAST(user_id AS VARCHAR) AS pk, props AS last_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, props DESC) AS rn
+          FROM events) WHERE rn = 1""")),
+
+    QueryDef(
       "stream_windowed_agg",
       (s, dir) => withStatePartitions(s, 4) {
         // watermarked tumbling-window aggregation over the polar stream,
