@@ -699,6 +699,42 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_idempotent_producer",
+      // transactional produce: the SAME (producerId, seq) delivered twice
+      // registers once — the engine's producer-side exactly-once (the
+      // streaming sink's sinkCommits machinery, exposed for batch retries:
+      // a job that crashes between produce and its own bookkeeping can
+      // blindly re-run). Counts replayed through the placement kernel.
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_polar_idem").toString
+        val cfg = TopicConfig(root, "idem")
+        val recs = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        val txn = Some(("producer-A", 0L))
+        PolarLog.produce(recs, cfg,
+          orderBy = Seq(col("timestamp"), col("value")), txn = txn)
+        val r2 = PolarLog.produce(recs, cfg,
+          orderBy = Seq(col("timestamp"), col("value")), txn = txn)
+        require(r2.recordsWritten == 0L,
+          s"replayed txn wrote ${r2.recordsWritten} records")
+        // a NEW sequence from the same producer appends normally
+        PolarLog.produce(recs.limit(0), cfg, txn = Some(("producer-A", 1L)))
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("offset")).as("n_off"))
+      },
+      Some(s"""
+        WITH recs AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) AS n, COUNT(*) AS n_off
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
       "polar_compacted_view",
       // KTable/log-compaction semantics as a query: latest record per key
       // by offset. The shared topic was produced in (timestamp, value)
