@@ -206,6 +206,7 @@ class PolarHttpServer(
         case ("POST", TopicMessages(topic)) => handleProduce(ex, topic)
         case ("GET", "/v1/consumer/groups") => handleGroups(ex)
         case ("GET", "/v1/consumer/groups/describe") => handleGroupDescribe(ex)
+        case ("GET", "/v1/consumer/groups/lag") => handleGroupLag(ex)
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
         case ("POST", "/v1/consumer/poll") => handlePoll(ex)
         case ("POST", "/v1/consumer/commit") => handleCommit(ex)
@@ -438,6 +439,27 @@ class PolarHttpServer(
     respond(ex, 200,
       s"""{"name":"$g","members":[${ids.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""topics":$topicJson}""",
+      "application/json")
+  }
+
+  /** `GET /v1/consumer/groups/lag?group=g&topic=t` — the `--describe` lag
+    * view over the DURABLE group document (works for groups with no live
+    * member on this façade, unlike describe which reflects registered
+    * consumers): per-partition committed/tail/lag from pure metadata. */
+  private def handleGroupLag(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    val g = q.get("group").flatMap(_.headOption)
+      .getOrElse(throw HttpError(400, "group is required"))
+    val t = q.get("topic").flatMap(_.headOption)
+      .getOrElse(throw HttpError(400, "topic is required"))
+    val rows =
+      try ConsumerGroups.groupLag(cfgOf(t), g)
+      catch { case e: IllegalArgumentException =>
+        throw HttpError(404, e.getMessage) }
+    val body = rows.map(l =>
+      s"""{"partition":${l.part},"committed":${l.committed},""" +
+        s""""tail":${l.tail},"lag":${l.lag}}""").mkString("[", ",", "]")
+    respond(ex, 200, s"""{"group":"$g","topic":"$t","partitions":$body}""",
       "application/json")
   }
 

@@ -312,6 +312,16 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.group(1).toLong).sum
     assert(perPartLag === 8L, desc)
     assert(get("/v1/consumer/groups/describe?group=nope").statusCode() === 404)
+    // the DURABLE lag endpoint answers from the group document (no live
+    // member required) and its per-partition lags sum to the same backlog
+    val lag = get("/v1/consumer/groups/lag?group=gadmin&topic=admint").body()
+    assert(lag.contains(""""group":"gadmin""""), lag)
+    val lagSum = """"lag":(\d+)\}""".r.findAllMatchIn(lag)
+      .map(_.group(1).toLong).sum
+    assert(lagSum === 8L, lag)
+    assert(get("/v1/consumer/groups/lag?group=nope&topic=admint")
+      .statusCode() === 404)
+    assert(get("/v1/consumer/groups/lag?group=gadmin").statusCode() === 400)
   }
 
   test("inactive consumers are evicted and their partitions rebalance") {
