@@ -89,17 +89,37 @@ object PolarSource {
     // (/root/reference/internal/types/models.go:34-39); cluster topology
     // (clusterSize × rangesPerToken) is global there, so one partitioning
     // applies to every subscribed topic here too
-    val names = (opt("topic"), opt("topics")) match {
-      case (Some(t), None) => Seq(t)
-      case (None, Some(ts)) =>
+    val names = (opt("topic"), opt("topics"), opt("topicPattern")) match {
+      case (Some(t), None, None) => Seq(t)
+      case (None, Some(ts), None) =>
         val parsed = ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (parsed.isEmpty) throw new IllegalArgumentException(
           "option 'topics' must name at least one topic")
         parsed
-      case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "specify either 'topic' or 'topics', not both")
-      case (None, None) => throw new IllegalArgumentException(
-        "polar source requires option 'topic' (or 'topics')")
+      // Kafka's pattern subscription: topics under `root` whose FULL name
+      // matches the regex, resolved at load from the directories carrying a
+      // metadata doc (one listing of `root`, not of any data). Resolution
+      // is load-time — a topic created later needs a re-load, same as
+      // Kafka's metadata-refresh granularity.
+      case (None, None, Some(pattern)) =>
+        val re = pattern.r
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(graft.log.HadoopConf.shared)
+        val matched =
+          if (!fs.exists(rootPath)) Seq.empty
+          else fs.listStatus(rootPath).toSeq
+            .filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(n => re.pattern.matcher(n).matches())
+            .filter(n => fs.exists(new Path(s"$root/$n/_polar_metadata.json")))
+            .sorted
+        if (matched.isEmpty) throw new IllegalArgumentException(
+          s"topicPattern '$pattern' matches no topic under $root")
+        matched
+      case (None, None, None) => throw new IllegalArgumentException(
+        "polar source requires option 'topic' (or 'topics'/'topicPattern')")
+      case _ => throw new IllegalArgumentException(
+        "specify exactly one of 'topic', 'topics', 'topicPattern'")
     }
     PolarSourceConfig(
       names.map(t => TopicConfig(root, t,
@@ -215,10 +235,18 @@ final case class PolarScanBounds(
     maxOffsetExclusive: Long = Long.MaxValue,
     parts: Option[Set[Int]] = None,
     tsMin: Long = Long.MinValue,
-    tsMax: Long = Long.MaxValue)
+    tsMax: Long = Long.MaxValue,
+    // LIMIT pushdown: per-partition planned-row cap. Sound because any
+    // `limit` rows satisfy a global LIMIT and Spark keeps the Limit node
+    // (partial push): capping every partition's window at minOffset+limit
+    // still leaves ≥ limit rows whenever the topic has them. Spark only
+    // offers the push when no post-scan filters sit under the Limit, so
+    // residual predicates can never starve it.
+    limit: Option[Int] = None)
 
 class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private var bounds = PolarScanBounds()
@@ -244,6 +272,16 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     case i: java.time.Instant =>
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
+  }
+
+  /** LIMIT n over a topic plans O(n) rows per partition instead of the
+    * whole log — `SELECT * FROM polar.t LIMIT 10` on a 100 TB topic reads
+    * one file's head per partition. Partial push (returns false): Spark
+    * keeps the global Limit, we only shrink what gets planned. */
+  override def pushLimit(limit: Int): Boolean = {
+    bounds = bounds.copy(limit = Some(
+      bounds.limit.fold(limit)(math.min(_, limit))))
+    false
   }
 
   /** Narrow the partition set to the owners of `keys` — union across keys
@@ -332,8 +370,35 @@ class PolarScan(
     private var bounds: PolarScanBounds = PolarScanBounds(),
     required: StructType = PolarSource.FullSchema)
     extends Scan with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
+
+  /** The scan's output IS clustered by `part` (one split per log
+    * partition, `HasPartitionKey` on every split): with
+    * `spark.sql.sources.v2.bucketing.enabled` Spark keeps part-keyed
+    * aggregations and co-partitioned topic⋈topic joins exchange-free —
+    * the storage-partitioned-join shape. Only reported when `part`
+    * survives column pruning (the key must resolve in the scan output). */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (!required.fieldNames.contains("part"))
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    // distinct planned (part) groups under the current bounds — metadata
+    // arithmetic only, consistent with planInputPartitions
+    val n = cfg.topics.iterator.flatMap { c =>
+      val meta = cfg.versionAsOf match {
+        case Some(v) => LogMetadata.readAt(c, v)
+        case None => LogMetadata.read(c)
+      }
+      meta.filesByPart.collect {
+        case (p, files) if bounds.parts.forall(_.contains(p)) &&
+          files.nonEmpty => p
+      }
+    }.toSet.size
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(Expressions.identity("part")), math.max(n, 1))
+  }
 
   /** Runtime (dynamic) partition pruning: a join whose key is `part` or
     * `partitionKey` delivers its build-side values here before this scan
@@ -380,6 +445,15 @@ class PolarScan(
     * instead of shuffling the fact side) at zero I/O cost: no listing,
     * no footer reads, no sampling — the payoff of keeping exact stats in
     * the metadata log. */
+  /** `maxOffsetExclusive` with the pushed LIMIT cap applied (saturating). */
+  private def cappedMaxOffset: Long = bounds.limit match {
+    case Some(l) =>
+      val hi = if (bounds.minOffset > Long.MaxValue - l) Long.MaxValue
+        else bounds.minOffset + l
+      math.min(bounds.maxOffsetExclusive, hi)
+    case None => bounds.maxOffsetExclusive
+  }
+
   override def estimateStatistics(): Statistics = {
     var rows = 0L
     var bytes = 0L
@@ -391,7 +465,7 @@ class PolarScan(
       meta.filesByPart.foreach { case (p, files) =>
         if (bounds.parts.forall(_.contains(p))) files.foreach { f =>
           val lo = math.max(bounds.minOffset, f.minOffset)
-          val hi = math.min(bounds.maxOffsetExclusive - 1, f.maxOffset)
+          val hi = math.min(cappedMaxOffset - 1, f.maxOffset)
           if (lo <= hi && f.tsMax >= bounds.tsMin && f.tsMin <= bounds.tsMax) {
             val n = hi - lo + 1
             rows += n
@@ -414,6 +488,7 @@ class PolarScan(
     s"PolarScan(${cfg.topics.map(_.dir).mkString(",")}, offsets=[${bounds.minOffset}," +
       s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")}, " +
       s"ts=[${bounds.tsMin},${bounds.tsMax}], " +
+      bounds.limit.fold("")(l => s"limit=$l, ") +
       s"ReadSchema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
@@ -432,7 +507,7 @@ class PolarScan(
         (0 until c.numPartitions).map(p => (c.topic, p) -> bounds.minOffset)).toMap)
       val end = PolarOffsets(metas.flatMap { case (t, m) =>
         m.producerOffsets.zipWithIndex.map {
-          case (tail, p) => (t, p) -> math.min(tail, bounds.maxOffsetExclusive)
+          case (tail, p) => (t, p) -> math.min(tail, cappedMaxOffset)
         }
       }.toMap)
       PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,
@@ -670,7 +745,12 @@ final case class PolarInputPartition(
     part: Int,
     files: Seq[PolarFileSlice],
     startOffset: Long,
-    endOffset: Long) extends InputPartition
+    endOffset: Long) extends InputPartition with HasPartitionKey {
+  // storage-partitioned reads: the split IS one log partition, so exposing
+  // `part` as the partition key lets Spark group splits and skip the
+  // exchange for part-keyed aggregations and co-partitioned topic joins
+  override def partitionKey(): InternalRow = InternalRow(part)
+}
 
 class PolarReaderFactory(
     required: StructType,

@@ -110,6 +110,36 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan)
   }
 
+  test("storage-partitioned read: part-keyed aggregation plans no exchange") {
+    val agg = read.groupBy(col("part")).count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val got = agg.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exp = PolarLog.consume(spark, cfg).groupBy(col("part")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === exp && got.values.sum === 1000L)
+  }
+
+  test("LIMIT pushdown caps planned rows per partition; residuals block it") {
+    val limited = read.limit(5)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=5"), plan)
+    assert(limited.count() === 5)
+    assert(limited.collect().length === 5)
+    // a residual predicate under the Limit must block the push (Spark-side
+    // contract) — otherwise the filter could starve the limit
+    val guarded = read.filter(col("partitionKey").isNotNull).limit(5)
+    val gplan = guarded.queryExecution.executedPlan.toString
+    assert(!gplan.contains("limit=5"), gplan)
+    assert(guarded.count() === 5)
+    // the capped scan's exact stats are bounded by limit × partitions
+    val capped = new PolarScan(PolarSource.configFrom(
+      Map("root" -> cfg.root, "topic" -> cfg.topic)),
+      PolarScanBounds(limit = Some(5)))
+    assert(capped.estimateStatistics().numRows().getAsLong <=
+      5L * cfg.numPartitions)
+  }
+
   test("runtime filters narrow the planned partitions (DPP contract)") {
     import org.apache.spark.sql.sources.{EqualTo, In}
     import graft.functions.{Murmur3, TokenMath}

@@ -49,6 +49,31 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     catch { case _: Exception => 0L } // no batches emitted -> dir absent
   }
 
+  test("topicPattern subscription resolves matching topics at load") {
+    PolarLog.produce(records(0, 100), TopicConfig(root, "pat_a1"))
+    PolarLog.produce(records(100, 250), TopicConfig(root, "pat_a2"))
+    PolarLog.produce(records(250, 300), TopicConfig(root, "pat_b"))
+    val matched = spark.read.format("polar")
+      .option("root", root).option("topicPattern", "pat_a.*").load()
+    assert(matched.count() === 250)
+    assert(matched.select("topic").distinct().collect().map(_.getString(0)).sorted
+      === Array("pat_a1", "pat_a2"))
+    // a non-topic directory (no metadata doc) never matches
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "pat_a9"))
+    assert(spark.read.format("polar")
+      .option("root", root).option("topicPattern", "pat_a.*").load()
+      .count() === 250)
+    // no match is loud, and pattern is exclusive with topic/topics
+    intercept[IllegalArgumentException] {
+      spark.read.format("polar")
+        .option("root", root).option("topicPattern", "nope_.*").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("polar").option("root", root)
+        .option("topic", "pat_a1").option("topicPattern", "pat_.*").load()
+    }
+  }
+
   test("earliest replays the whole log; checkpoint resumes with only new records") {
     val cfg = TopicConfig(root, "s_basic")
     PolarLog.produce(records(0, 600), cfg)
