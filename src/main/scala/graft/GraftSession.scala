@@ -31,6 +31,10 @@ object GraftSession {
       // this lets Spark group the splits and drop the exchange for
       // part-keyed aggregations and co-partitioned topic joins
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // joins key on (part, partitionKey) while the scan clusters on part
+      // alone — co-partitioning on the subset is still exchange-free and
+      // correct (same part ⇒ same split), so don't demand every join key
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // Streaming state store stays the default (HDFS-backed, on-heap): at
       // harness state sizes it benches 25% faster than RocksDB (10.3s vs
       // 13.0s warm on stream_dedup — JNI + disk overhead dominates small

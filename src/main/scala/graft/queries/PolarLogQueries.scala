@@ -699,6 +699,59 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_copartition_join",
+      // STORAGE-PARTITIONED JOIN: two topics share the placement layout,
+      // so a join on (part, partitionKey) runs with NO exchange under the
+      // join — each log partition joins against its twin in place (the
+      // Iceberg SPJ shape; at 100 TB this removes both full-topic
+      // shuffles). Plan asserted exchange-free below the join; pair
+      // counts per key hash-verified against the raw table.
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_polar_spj").toString
+        def half(rem: Int, name: String): TopicConfig = {
+          val c = TopicConfig(root, name)
+          PolarLog.produce(Tables.events(s, dir)
+            .filter(pmod(col("event_id"), lit(10)) === rem)
+            .select(col("user_id").cast("string").as("partitionKey"),
+              col("ts").as("timestamp"), col("props").as("value")), c,
+            orderBy = Seq(col("timestamp"), col("value")))
+          c
+        }
+        val (ca, cb) = (half(0, "ja"), half(1, "jb"))
+        def rd(c: TopicConfig) = s.read.format("polar")
+          .option("root", c.root).option("topic", c.topic).load()
+          .select(col("part"), col("partitionKey"))
+        // the SPJ confs GraftSession sets for deployments, pinned locally so
+        // the gate is self-contained under any harness session
+        val pins = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+        val prev = pins.map { case (k, _) =>
+          k -> scala.util.Try(s.conf.get(k)).toOption }
+        try {
+          pins.foreach { case (k, v) => s.conf.set(k, v) }
+          val j = rd(ca).join(rd(cb), Seq("part", "partitionKey"))
+          val plan = j.queryExecution.executedPlan.toString
+          val at = plan.indexOf("SortMergeJoin")
+          require(at >= 0 && !plan.substring(at).contains("Exchange"),
+            s"expected exchange-free storage-partitioned join:\n$plan")
+          j.groupBy(col("partitionKey").as("pk"))
+            .agg(count(lit(1)).as("n_pairs"))
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH h0 AS (SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1),
+             h1 AS (SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n
+                    FROM events WHERE event_id % 10 = 1 GROUP BY 1)
+        SELECT h0.pk AS pk, h0.n * h1.n AS n_pairs
+        FROM h0 JOIN h1 ON h0.pk = h1.pk""")),
+
+    QueryDef(
       "polar_idempotent_producer",
       // transactional produce: the SAME (producerId, seq) delivered twice
       // registers once — the engine's producer-side exactly-once (the

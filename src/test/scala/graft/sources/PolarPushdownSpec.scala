@@ -120,6 +120,27 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === exp && got.values.sum === 1000L)
   }
 
+  test("co-partitioned topic join on (part, key) plans no shuffle under the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = read.select(col("part"), col("partitionKey"), col("offset"))
+      val b = read.select(col("part"), col("partitionKey"),
+        col("offset").as("o2"))
+      val j = a.join(b, Seq("part", "partitionKey"))
+      val plan = j.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, plan)
+      // everything below the join node is its children: both legs must be
+      // bare scans (storage-partitioned join), not exchanges
+      assert(!plan.substring(joinAt).contains("Exchange"), plan)
+      val expect = PolarLog.consume(spark, cfg)
+        .groupBy("partitionKey").count()
+        .collect().map(r => r.getLong(1) * r.getLong(1)).sum
+      assert(j.count() === expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("LIMIT pushdown caps planned rows per partition; residuals block it") {
     val limited = read.limit(5)
     val plan = limited.queryExecution.executedPlan.toString
