@@ -297,6 +297,21 @@ object PolarLog {
       cfg: TopicConfig,
       fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
+    val (toMeta, starts, ends) = changeWindow(cfg, fromVersion, toVersion)
+    consumeAt(spark, cfg, toMeta, startOffsets = starts, endOffsets = ends)
+  }
+
+  /** Resolve a (fromVersion, toVersion] change window: the `toVersion`
+    * snapshot's metadata plus per-partition [start, end) offsets, with the
+    * registry validated to DENSELY cover every window — a retention or
+    * compaction sweep that dropped segments inside the window fails loudly
+    * instead of yielding a silently partial feed. Pure driver-side
+    * metadata arithmetic, no file I/O. Shared by [[changesBetween]] and
+    * the DSv2 batch `startingVersion`/`endingVersion` read options. */
+  private[graft] def changeWindow(
+      cfg: TopicConfig,
+      fromVersion: Long,
+      toVersion: Option[Long]): (LogMetadata, Map[Int, Long], Map[Int, Long]) = {
     val fromMeta = LogMetadata.readAt(cfg, fromVersion)
     val toMeta = toVersion.map(LogMetadata.readAt(cfg, _))
       .getOrElse(LogMetadata.read(cfg))
@@ -304,9 +319,6 @@ object PolarLog {
       .map { case (tail, p) => p -> tail }.toMap
     val ends = toMeta.producerOffsets.zipWithIndex
       .map { case (tail, p) => p -> tail }.toMap
-    // coverage check: walk each partition's (offset-sorted) registered
-    // files and require the [start, end) window to be densely covered —
-    // pure driver-side metadata arithmetic, no file I/O
     val gaps = ends.toSeq.sorted.flatMap { case (p, end) =>
       val start = starts.getOrElse(p, 0L)
       if (end <= start) None
@@ -322,7 +334,7 @@ object PolarLog {
       s"change feed ($fromVersion, ${toVersion.getOrElse(toMeta.version)}] of " +
         s"topic ${cfg.topic} is no longer fully retained — missing " +
         gaps.mkString("; "))
-    consumeAt(spark, cfg, toMeta, startOffsets = starts, endOffsets = ends)
+    (toMeta, starts, ends)
   }
 
   /** Records of one partition in offset order — the per-poll chunk contract

@@ -699,6 +699,41 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_changes_batch",
+      // BATCH CHANGE FEED through read options (Delta CDF parity):
+      // four produces; the (v1, v3] window via startingVersion +
+      // endingVersion must return exactly produces 2 and 3 — excluding
+      // both the base (≤ v1) and the post-window produce (> v3). Counts
+      // per key hash-verified from the raw table.
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_polar_cdf").toString
+        val cfg = TopicConfig(root, "cdf")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(4)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        def produce(rem: Int): Long = {
+          PolarLog.produce(slice(rem), cfg,
+            orderBy = Seq(col("timestamp"), col("value")))
+          LogMetadata.read(cfg).version
+        }
+        val v1 = produce(0)
+        produce(1)
+        val v3 = produce(2)
+        produce(3)
+        s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic)
+          .option("startingVersion", v1.toString)
+          .option("endingVersion", v3.toString)
+          .load()
+          .groupBy(col("partitionKey").as("pk"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n
+        FROM events WHERE event_id % 4 IN (1, 2) GROUP BY 1""")),
+
+    QueryDef(
       "polar_copartition_join",
       // STORAGE-PARTITIONED JOIN: two topics share the placement layout,
       // so a join on (part, partitionKey) runs with NO exchange under the

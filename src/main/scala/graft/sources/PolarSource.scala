@@ -147,7 +147,8 @@ object PolarSource {
       versionAsOf = opt("versionAsOf").map(_.trim.toLong),
       // change-feed start: first batch = the (v, head] version window,
       // then the stream follows the live head
-      startingVersion = opt("startingVersion").map(_.trim.toLong))
+      startingVersion = opt("startingVersion").map(_.trim.toLong),
+      endingVersion = opt("endingVersion").map(_.trim.toLong))
   }
 }
 
@@ -160,9 +161,14 @@ final case class PolarSourceConfig(
     txn: Option[(String, Long)] = None,
     startingTimestampMicros: Option[Long] = None,
     versionAsOf: Option[Long] = None,
-    startingVersion: Option[Long] = None) {
+    startingVersion: Option[Long] = None,
+    endingVersion: Option[Long] = None) {
   require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
     "specify either 'startingVersion' or 'startingTimestamp', not both")
+  require(endingVersion.isEmpty || startingVersion.isDefined,
+    "'endingVersion' requires 'startingVersion'")
+  require(endingVersion.isEmpty || versionAsOf.isEmpty,
+    "specify either a change window or 'versionAsOf', not both")
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -458,14 +464,21 @@ class PolarScan(
     var rows = 0L
     var bytes = 0L
     cfg.topics.foreach { c =>
-      val meta = cfg.versionAsOf match {
+      // change-window reads narrow to the (from, to] per-partition offset
+      // windows — the stats stay EXACT for CDF batches too
+      val window: Option[(LogMetadata, Map[Int, Long], Map[Int, Long])] =
+        cfg.startingVersion.map(v =>
+          PolarLog.changeWindow(c, v, cfg.endingVersion))
+      val meta = window.map(_._1).getOrElse(cfg.versionAsOf match {
         case Some(v) => LogMetadata.readAt(c, v)
         case None => LogMetadata.read(c)
-      }
+      })
       meta.filesByPart.foreach { case (p, files) =>
+        val winLo = window.fold(Long.MinValue)(_._2.getOrElse(p, 0L))
+        val winHi = window.fold(Long.MaxValue)(_._3.getOrElse(p, 0L))
         if (bounds.parts.forall(_.contains(p))) files.foreach { f =>
-          val lo = math.max(bounds.minOffset, f.minOffset)
-          val hi = math.min(cappedMaxOffset - 1, f.maxOffset)
+          val lo = math.max(math.max(bounds.minOffset, winLo), f.minOffset)
+          val hi = math.min(math.min(cappedMaxOffset, winHi) - 1, f.maxOffset)
           if (lo <= hi && f.tsMax >= bounds.tsMin && f.tsMin <= bounds.tsMax) {
             val n = hi - lo + 1
             rows += n
@@ -493,9 +506,25 @@ class PolarScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      if (cfg.startingVersion.isDefined) throw new UnsupportedOperationException(
-        "startingVersion is a streaming change-feed option; batch readers " +
-          "use versionAsOf or PolarLog.changesBetween")
+      // BATCH CHANGE FEED (Delta CDF parity): `startingVersion`
+      // [+ `endingVersion`] plans exactly the (from, to] per-partition
+      // offset windows against the toVersion snapshot's own registry,
+      // with dense coverage validated (a swept window fails loudly) —
+      // `PolarLog.changesBetween` as read options
+      if (cfg.startingVersion.isDefined) {
+        if (cfg.topics.size > 1) throw new UnsupportedOperationException(
+          "startingVersion batch reads target exactly one topic " +
+            "(versions are per-topic)")
+        val c = cfg.topics.head
+        val (toMeta, startsM, endsM) = PolarLog.changeWindow(
+          c, cfg.startingVersion.get, cfg.endingVersion)
+        val start = PolarOffsets(startsM.map { case (p, o) =>
+          (c.topic, p) -> math.max(o, bounds.minOffset) })
+        val end = PolarOffsets(endsM.map { case (p, o) =>
+          (c.topic, p) -> math.min(o, cappedMaxOffset) })
+        return PolarMicroBatchStream.plan(cfg.byName, Map(c.topic -> toMeta),
+          start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)))
+      }
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
       // is a consistent point-in-time view of the log
@@ -522,6 +551,9 @@ class PolarScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (cfg.versionAsOf.isDefined) throw new UnsupportedOperationException(
       "versionAsOf is a batch time-travel option; a stream always follows the live head")
+    if (cfg.endingVersion.isDefined) throw new UnsupportedOperationException(
+      "endingVersion is a batch change-feed option; a stream always follows " +
+        "the live head (use startingVersion alone)")
     new PolarMicroBatchStream(cfg)
   }
 }

@@ -170,11 +170,51 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vals = spark.table("tt_cf").select(col("value").cast("string"))
       .collect().map(_.getString(0)).toSet
     assert(vals === (8 until 13).map(i => s"payload-$i").toSet)
-    // batch readers must reject the streaming-only option loudly
-    val err = intercept[Exception] {
-      spark.read.format("polar")
+    // batch readers accept the same option (the CDF batch read): the open
+    // (v, head] window is the identical record set
+    assert(spark.read.format("polar")
+      .option("root", cfg.root).option("topic", cfg.topic)
+      .option("startingVersion", v1.toString).load().count() === 5)
+  }
+
+  test("batch change feed via startingVersion/endingVersion read options") {
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 10), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    PolarLog.produce(recordsDf(10 until 25), cfg)
+    val v2 = LogMetadata.read(cfg).version
+    PolarLog.produce(recordsDf(25 until 30), cfg)
+    def rd(from: Long, to: Option[Long]) = {
+      val r = spark.read.format("polar")
         .option("root", cfg.root).option("topic", cfg.topic)
-        .option("startingVersion", v1.toString).load().count()
+        .option("startingVersion", from.toString)
+      to.fold(r)(v => r.option("endingVersion", v.toString)).load()
+    }
+    // bounded window == changesBetween exactly, record for record
+    val opts = rd(v1, Some(v2)).select(col("partitionKey"), col("offset"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val api = PolarLog.changesBetween(spark, cfg, v1, Some(v2))
+      .select(col("partitionKey"), col("offset"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(opts.toSeq === api.toSeq && opts.length === 15)
+    // open window follows the head
+    assert(rd(v1, None).count() === 20)
+    // exact stats for the window (AQE sees the delta, not the topic)
+    val scan = new graft.sources.PolarScan(graft.sources.PolarSource.configFrom(
+      Map("root" -> cfg.root, "topic" -> cfg.topic,
+        "startingVersion" -> v1.toString, "endingVersion" -> v2.toString)))
+    assert(scan.estimateStatistics().numRows().getAsLong === 15L)
+    // endingVersion is batch-only: the stream fails loudly at start
+    val err = intercept[Exception] {
+      spark.readStream.format("polar")
+        .option("root", cfg.root).option("topic", cfg.topic)
+        .option("startingVersion", v1.toString)
+        .option("endingVersion", v2.toString).load()
+        .writeStream.format("memory").queryName("tt_cdf_should_fail")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_cdf_ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
