@@ -1021,6 +1021,39 @@ object Similarity {
       round(lit(1.0) / (lit(1.0) +
         exp(-(dot(col(vecCol), typedLit(weights)) + lit(bias)))), 6).as("score"))
 
+  /** Reliability (calibration) table for a linear probe — the eval→trust
+    * loop before a classifier gates a corpus: 6-dp scores over labeled
+    * vectors bucketed into `bins` fixed-width bins, each emitting
+    * (n, n_pos, mean_score_ppm, pos_rate_ppm). A well-calibrated probe has
+    * pos_rate ≈ mean_score per bin; systematic gaps say the threshold
+    * chosen from scores will not deliver the precision it promises.
+    * All outputs are exact integers (`div`), so the table is
+    * order-independent and oracle-replayable; one scan + one ≤`bins`-row
+    * aggregate, scoring never shuffles the corpus. */
+  def probeCalibration(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      weights: Seq[Double],
+      posLabel: Int,
+      bins: Int = 10): DataFrame = {
+    val score = round(lit(1.0) / (lit(1.0) +
+      exp(-dot(col(vecCol), typedLit(weights)))), 6)
+    df.filter(col(labelCol).isNotNull)
+      .select(score.as("score"),
+        (col(labelCol) === posLabel).cast("long").as("pos"))
+      // binning on the ROUNDED score keeps the bin edge deterministic
+      // across engines (the probe gate pins round-6 score equality)
+      .withColumn("bin",
+        least(floor(col("score") * bins).cast("int"), lit(bins - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(round(col("score") * 1e6).cast("long")).as("__sppm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__sppm div n").as("mean_score_ppm"),
+        expr("(n_pos * 1000000) div n").as("pos_rate_ppm"))
+  }
+
   /** Difference-of-centroids weights for [[linearProbe]]: w = c(pos) −
     * c(neg) over the integer-exact per-label means — the nearest-centroid
     * binary classifier in linear-head form, deterministic and

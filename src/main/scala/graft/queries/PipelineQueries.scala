@@ -3083,6 +3083,46 @@ object PipelineQueries extends QueryRegistry {
         FROM e, wv ORDER BY score DESC, id LIMIT 20""")),
 
     QueryDef(
+      "sim_probe_calibration",
+      // reliability table for the centroid probe: per decile of the 6-dp
+      // score, observed positive rate vs mean score in exact integer ppm —
+      // the calibration eval run before trusting probe-score thresholds.
+      // Labels >1 exist in the table, so this also exercises the probe on
+      // out-of-training-class vectors (their rate is whatever it is; the
+      // gate pins it as data).
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val w = Similarity.centroidProbeWeights(emb, "embedding", "label", 0, 1)
+        Similarity.probeCalibration(emb, "embedding", "label", w, posLabel = 1)
+      },
+      Some("""
+        WITH x AS (
+          SELECT label, i - 1 AS pos,
+                 CAST(floor(v[i] * 1048576) AS BIGINT) AS q
+          FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE label IN (0, 1)),
+               (SELECT unnest(generate_series(1, 64)) AS i) t),
+        m AS (
+          SELECT label, pos,
+                 round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576, 6) AS m
+          FROM x GROUP BY label, pos),
+        w AS (
+          SELECT pos, SUM(CASE WHEN label = 1 THEN m ELSE -m END) AS w
+          FROM m GROUP BY pos),
+        wv AS (SELECT list(w ORDER BY pos) AS wl FROM w),
+        scored AS (
+          SELECT round(1.0 / (1.0 + exp(-list_dot_product(
+                   CAST(e.embedding AS DOUBLE[]), wv.wl))), 6) AS score,
+                 CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS pos
+          FROM embeddings e, wv)
+        SELECT LEAST(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+               COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(round(score * 1000000) AS BIGINT)) // COUNT(*)
+                 AS BIGINT) AS mean_score_ppm,
+               CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+        FROM scored GROUP BY 1""")),
+
+    QueryDef(
       "sim_embed_cov",
       // embedding covariance in long form — the PCA/whitening input.
       // Components quantize to a 2^-10 grid so all aggregates are
