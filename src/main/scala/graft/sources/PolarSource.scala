@@ -504,6 +504,15 @@ class PolarScan(
       bounds.limit.fold("")(l => s"limit=$l, ") +
       s"ReadSchema=${required.fieldNames.mkString(",")})"
 
+  /** SQL-UI observability: per-scan totals of registry files planned and
+    * dense-offset rows admitted — the numbers an operator reads to confirm
+    * pruning actually pruned (a key-pushdown point lookup should show
+    * files ≈ 1/numPartitions of the topic). Zero-cost: both are metadata
+    * already carried by every input partition. */
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PolarFilesPlannedMetric, new PolarRowsPlannedMetric)
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       // BATCH CHANGE FEED (Delta CDF parity): `startingVersion`
@@ -784,6 +793,51 @@ final case class PolarInputPartition(
   override def partitionKey(): InternalRow = InternalRow(part)
 }
 
+class PolarFilesPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "polarFilesPlanned"
+  override def description(): String = "registry files planned"
+}
+
+class PolarRowsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "polarRowsPlanned"
+  override def description(): String = "offset-window rows planned"
+}
+
+object PolarReaderFactory {
+  /** Per-task metric values for a split — pure registry arithmetic. */
+  private[sources] def taskMetrics(p: PolarInputPartition)
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val rows = p.files.iterator.map { f =>
+      val lo = math.max(p.startOffset, f.minOffset)
+      val hi = math.min(p.endOffset - 1, f.maxOffset)
+      hi - lo + 1
+    }.filter(_ > 0).sum
+    def m(n: String, v: Long) =
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }
+    Array(m("polarFilesPlanned", p.files.size.toLong),
+      m("polarRowsPlanned", rows))
+  }
+
+  /** Attach the custom task metrics to a reader without touching its
+    * decode path. */
+  private[sources] def withMetrics[T](r: PartitionReader[T],
+      p: PolarInputPartition): PartitionReader[T] =
+    new PartitionReader[T] {
+      private val metrics = taskMetrics(p)
+      override def next(): Boolean = r.next()
+      override def get(): T = r.get()
+      override def close(): Unit = r.close()
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        metrics
+    }
+}
+
 class PolarReaderFactory(
     required: StructType,
     columnar: Boolean) extends PartitionReaderFactory {
@@ -822,16 +876,17 @@ class PolarReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PolarInputPartition]
-    new PolarRowReader(
+    PolarReaderFactory.withMetrics(new PolarRowReader(
       new PolarVectorReader(p, fileSchema, partitionSchema),
-      required.fieldIndex("offset"), p.startOffset, p.endOffset)
+      required.fieldIndex("offset"), p.startOffset, p.endOffset), p)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[PolarInputPartition]
-    if (required.isEmpty) countOnly(p)
-    else new PolarColumnarReader(
-      new PolarVectorReader(p, fileSchema, partitionSchema))
+    PolarReaderFactory.withMetrics(
+      if (required.isEmpty) countOnly(p)
+      else new PolarColumnarReader(
+        new PolarVectorReader(p, fileSchema, partitionSchema)), p)
   }
 }
 

@@ -192,6 +192,26 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.estimateStatistics().numRows().getAsLong < full)
   }
 
+  test("scan custom metrics: files and rows planned, from registry arithmetic") {
+    val scan = new PolarScan(PolarSource.configFrom(
+      Map("root" -> cfg.root, "topic" -> cfg.topic)))
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ===
+      Set("polarFilesPlanned", "polarRowsPlanned"))
+    val batch = scan.toBatch
+    val parts = batch.planInputPartitions()
+    val factory = batch.createReaderFactory()
+    val vals = parts.map { ip =>
+      val r = factory.createColumnarReader(ip)
+      val m = r.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+      r.close()
+      m
+    }
+    // planned rows over all splits == the topic's record count (offsets
+    // dense, full window); at least one file per planned split
+    assert(vals.map(_("polarRowsPlanned")).sum === 1000L)
+    assert(vals.forall(_("polarFilesPlanned") >= 1L))
+  }
+
   test("timestamp window prunes whole segments from registry ts stats") {
     // a second topic written in two produces with DISJOINT time ranges →
     // per partition, distinct segments with distinct [tsMin, tsMax]
