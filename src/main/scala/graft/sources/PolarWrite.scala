@@ -257,6 +257,15 @@ class PolarBatchWrite(
     // per-partition coalescer serializes arrivals; here the metadata CAS is
     // the serialization point and arrival interleaving is batch-granular.
     var expected = meta0
+    // streaming epochs bake offsets from EXECUTOR-side base reads taken at
+    // writer open; an external producer landing between that read and this
+    // commit leaves the entries behind the snapshot's tails while the CAS
+    // expectation is already current — the CAS would SUCCEED and the
+    // density require abort the query instead of retrying. Rebase onto the
+    // snapshot up front (no-op whenever bases match, i.e. every batch
+    // produce); the retry loop below then only handles races newer than
+    // `expected`.
+    entries = rebase(entries, expected)
     var attempt = 0
     var committed = false
     while (!committed) {

@@ -98,6 +98,39 @@ class PolarStreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.files.map(_.name).toSet === before.files.map(_.name).toSet)
   }
 
+  test("external producer racing the stream: rebase keeps offsets dense, no loss") {
+    val src = TopicConfig(root, "race_src")
+    val dst = TopicConfig(root, "race_dst")
+    PolarLog.produce(records(0, 400), src)
+    // external producer thread fires batch produces into dst WHILE the
+    // stream commits epochs — every CAS loser rebases its own files onto
+    // the new tails; nothing is lost, offsets stay dense
+    val external = new Thread(() => {
+      (0 until 5).foreach { i =>
+        PolarLog.produce(records(400 + i * 20, 400 + (i + 1) * 20), dst)
+        Thread.sleep(50)
+      }
+    })
+    external.start()
+    val in = PolarStream.read(spark, src, startingOffsets = "earliest",
+        maxRecordsPerTrigger = Some(50L))
+      .select(col("partitionKey"), col("timestamp"), col("value"))
+    val q = PolarLog.produceStream(in, dst,
+        orderBy = Seq(col("timestamp"), col("value")))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt_race")
+      .start()
+    q.awaitTermination(180000)
+    external.join(60000)
+    val out = PolarLog.consume(spark, dst)
+    assert(out.count() === 500)
+    val dens = out.groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("tail"),
+        countDistinct(col("offset")).as("nd")).collect()
+    dens.foreach(r => assert(r.getLong(1) === r.getLong(2) &&
+      r.getLong(1) === r.getLong(3), r))
+  }
+
   test("checkpoint resume appends only new records (restart safety)") {
     val src = TopicConfig(root, "resume_src")
     val dst = TopicConfig(root, "resume_dst")
