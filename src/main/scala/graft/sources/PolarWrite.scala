@@ -94,6 +94,14 @@ class PolarWrite(
 
   override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema, maxFileBytes, txn)
 
+  /** SQL-UI observability for produces: segments sealed and records
+    * written per task — the write twin of the scan's planned-files/rows
+    * metrics (an operator confirms the size-bounded roll produced sane
+    * segment counts without listing anything). */
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PolarSegmentsWrittenMetric, new PolarRecordsWrittenMetric)
+
   /** `writeStream.format("polar")` (micro-batch). Spark applies the same
     * clustered-by-part distribution + local (part, __o*) sort per batch, so
     * epoch writes reuse the batch writer machinery unchanged; the commit is
@@ -214,6 +222,18 @@ object PolarBatchWrite {
 }
 
 final case class PolarCommitMessage(files: Seq[FileEntry]) extends WriterCommitMessage
+
+class PolarSegmentsWrittenMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "polarSegmentsWritten"
+  override def description(): String = "log segments sealed"
+}
+
+class PolarRecordsWrittenMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "polarRecordsWritten"
+  override def description(): String = "records appended"
+}
 
 class PolarBatchWrite(
     cfg: TopicConfig,
@@ -457,6 +477,22 @@ class PolarDataWriter(
       (if (key == null) 0 else key.numBytes()) +
       (if (value == null) 0 else value.length)
     if (seg.approxBytes >= maxFileBytes) st.roll()
+  }
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    var segs = 0L
+    var recs = 0L
+    states.values.foreach { st =>
+      segs += st.sealedSegs.length + (if (st.segment.count > 0) 1 else 0)
+      recs += st.sealedSegs.iterator.map(_.count).sum + st.segment.count
+    }
+    def m(n: String, v: Long) =
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }
+    Array(m("polarSegmentsWritten", segs), m("polarRecordsWritten", recs))
   }
 
   override def commit(): WriterCommitMessage = {

@@ -45,6 +45,33 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaWriter.values.sum === records.count())
   }
 
+  test("writer custom metrics count sealed segments and appended records") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("polar_write_metrics").toString
+    val cfg = TopicConfig(root, "wm")
+    val w = new PolarWrite(cfg, PolarLog.ValueSchema
+      .add(StructField("part", IntegerType, nullable = false)))
+    assert(w.supportedCustomMetrics().map(_.name()).toSet ===
+      Set("polarSegmentsWritten", "polarRecordsWritten"))
+    val writer = new PolarDataWriter(cfg.dir, PolarLog.ValueSchema
+      .add(StructField("part", IntegerType, nullable = false)),
+      Array.fill(12)(0L), taskId = 1L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(6)
+    (0 until 7).foreach { i =>
+      row.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(s"k$i"))
+      row.update(1, i.toLong)   // token
+      row.update(2, 0L)         // offset placeholder (writer assigns)
+      row.update(3, 1000000L)   // timestamp micros
+      row.update(4, Array[Byte](1, 2, 3))
+      row.update(5, i % 3)      // part
+      writer.write(row)
+    }
+    val m = writer.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+    assert(m("polarRecordsWritten") === 7L)
+    assert(m("polarSegmentsWritten") === 3L) // three live parts, one open seg each
+    writer.commit()
+  }
+
   test("append twice extends offsets; overwrite is rejected") {
     val root = Files.createTempDirectory("polar_write_spec3").toString
     val few = records.limit(50)
