@@ -393,10 +393,7 @@ class PolarScan(
     // distinct planned (part) groups under the current bounds — metadata
     // arithmetic only, consistent with planInputPartitions
     val n = cfg.topics.iterator.flatMap { c =>
-      val meta = cfg.versionAsOf match {
-        case Some(v) => LogMetadata.readAt(c, v)
-        case None => LogMetadata.read(c)
-      }
+      val meta = metasSnapshot(c.topic)
       meta.filesByPart.collect {
         case (p, files) if bounds.parts.forall(_.contains(p)) &&
           files.nonEmpty => p
@@ -451,6 +448,23 @@ class PolarScan(
     * instead of shuffling the fact side) at zero I/O cost: no listing,
     * no footer reads, no sampling — the payoff of keeping exact stats in
     * the metadata log. */
+  /** ONE metadata snapshot per scan: statistics, output partitioning and
+    * the planned splits all answer from the SAME version — no coherence
+    * gap between what AQE was told and what gets read, and an object
+    * store sees one metadata GET per topic, not one per planner hook. */
+  private lazy val metasSnapshot: Map[String, LogMetadata] =
+    cfg.topics.map(c => c.topic -> (cfg.versionAsOf match {
+      case Some(v) => LogMetadata.readAt(c, v)
+      case None => LogMetadata.read(c)
+    })).toMap
+
+  /** The resolved change window per topic (startingVersion reads),
+    * memoized for the same reason. */
+  private lazy val windowSnapshot
+      : Option[(LogMetadata, Map[Int, Long], Map[Int, Long])] =
+    cfg.startingVersion.map(v =>
+      PolarLog.changeWindow(cfg.topics.head, v, cfg.endingVersion))
+
   /** `maxOffsetExclusive` with the pushed LIMIT cap applied (saturating). */
   private def cappedMaxOffset: Long = bounds.limit match {
     case Some(l) =>
@@ -466,13 +480,8 @@ class PolarScan(
     cfg.topics.foreach { c =>
       // change-window reads narrow to the (from, to] per-partition offset
       // windows — the stats stay EXACT for CDF batches too
-      val window: Option[(LogMetadata, Map[Int, Long], Map[Int, Long])] =
-        cfg.startingVersion.map(v =>
-          PolarLog.changeWindow(c, v, cfg.endingVersion))
-      val meta = window.map(_._1).getOrElse(cfg.versionAsOf match {
-        case Some(v) => LogMetadata.readAt(c, v)
-        case None => LogMetadata.read(c)
-      })
+      val window = windowSnapshot
+      val meta = window.map(_._1).getOrElse(metasSnapshot(c.topic))
       meta.filesByPart.foreach { case (p, files) =>
         val winLo = window.fold(Long.MinValue)(_._2.getOrElse(p, 0L))
         val winHi = window.fold(Long.MaxValue)(_._3.getOrElse(p, 0L))
@@ -525,8 +534,7 @@ class PolarScan(
           "startingVersion batch reads target exactly one topic " +
             "(versions are per-topic)")
         val c = cfg.topics.head
-        val (toMeta, startsM, endsM) = PolarLog.changeWindow(
-          c, cfg.startingVersion.get, cfg.endingVersion)
+        val (toMeta, startsM, endsM) = windowSnapshot.get
         val start = PolarOffsets(startsM.map { case (p, o) =>
           (c.topic, p) -> math.max(o, bounds.minOffset) })
         val end = PolarOffsets(endsM.map { case (p, o) =>
@@ -537,10 +545,7 @@ class PolarScan(
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
       // is a consistent point-in-time view of the log
-      val metas = cfg.topics.map(c => c.topic -> (cfg.versionAsOf match {
-        case Some(v) => LogMetadata.readAt(c, v)
-        case None => LogMetadata.read(c)
-      })).toMap
+      val metas = metasSnapshot
       val start = PolarOffsets(cfg.topics.flatMap(c =>
         (0 until c.numPartitions).map(p => (c.topic, p) -> bounds.minOffset)).toMap)
       val end = PolarOffsets(metas.flatMap { case (t, m) =>
