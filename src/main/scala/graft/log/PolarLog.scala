@@ -229,8 +229,17 @@ object PolarLog {
     * `max_by`; the log itself is never rewritten, so every offset stays
     * addressable for replay/time travel — the same reason Kafka keeps
     * compaction out of the fetch path. */
-  def consumeCompacted(spark: SparkSession, cfg: TopicConfig): DataFrame = {
-    val log = consume(spark, cfg).filter(col("partitionKey").isNotNull)
+  def consumeCompacted(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    // time travel composes: the compacted view AS OF a retained version is
+    // the table the topic materialized to at that commit
+    val base = versionAsOf match {
+      case Some(v) => consumeAt(spark, cfg, LogMetadata.readAt(cfg, v))
+      case None => consume(spark, cfg)
+    }
+    val log = base.filter(col("partitionKey").isNotNull)
     log.groupBy(col("partitionKey"))
       .agg(max_by(struct(col("token"), col("part"), col("offset"),
         col("timestamp"), col("value")), col("offset")).as("__r"))

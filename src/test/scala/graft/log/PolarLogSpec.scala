@@ -403,5 +403,12 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(view2.toSeq === Seq(("k2", "y")))
     // the log itself is untouched: every version still addressable
     assert(PolarLog.consume(spark, cfg).count() === 7)
+    // and the view composes with time travel: as of the pre-tombstone
+    // commit, k1 is still materialized with its then-latest value
+    val vPre = LogMetadata.read(cfg).version - 1
+    val viewAt = PolarLog.consumeCompacted(spark, cfg, Some(vPre))
+      .select(col("partitionKey"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(viewAt.toSeq === Seq(("k1", "c"), ("k2", "y")))
   }
 }
