@@ -18,6 +18,8 @@ import org.apache.spark.sql.SparkSessionExtensions
  * `spark.sql.catalog.polar=graft.sources.PolarCatalog` for topics-as-tables).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.install(ext)
+    graft.sources.PolarTvf.install(ext)
+  }
 }

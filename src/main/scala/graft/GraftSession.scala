@@ -21,6 +21,7 @@ object GraftSession {
       .master(master)
       .appName("graft")
       .withExtensions(graft.functions.GraftFunctions.install)
+      .withExtensions(graft.sources.PolarTvf.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -58,6 +59,8 @@ object GraftSession {
 
   /** Ensure graft functions exist on a session we did not build (the driver's
     * Verify/Bench sessions): idempotent SQL-level registration. */
-  def ensureFunctions(spark: SparkSession): Unit =
+  def ensureFunctions(spark: SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    graft.sources.PolarTvf.register(spark)
+  }
 }

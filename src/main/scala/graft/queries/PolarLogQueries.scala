@@ -734,6 +734,51 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE event_id % 4 IN (1, 2) GROUP BY 1""")),
 
     QueryDef(
+      "polar_sql_tvf",
+      // pure-SQL lakehouse reads (table-valued functions): polar_changes
+      // replays the (v1, v3] window and polar_compacted the KTable view —
+      // both from ONE SQL statement, answers identical to the library API
+      // by construction (the TVF embeds its analyzed plan). Window counts
+      // and latest-per-key values hash-verified against the raw table.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        val root = Files.createTempDirectory("graft_polar_tvf").toString
+        val cfg = TopicConfig(root, "tvf")
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(3)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        val v1 = LogMetadata.read(cfg).version
+        PolarLog.produce(slice(1), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        PolarLog.produce(slice(2), cfg,
+          orderBy = Seq(col("timestamp"), col("value")))
+        s.sql(s"""
+          SELECT c.pk, c.n_changed, k.last_value FROM
+            (SELECT partitionKey AS pk, COUNT(*) AS n_changed
+             FROM polar_changes('$root', 'tvf', $v1) GROUP BY 1) c
+          JOIN
+            (SELECT partitionKey AS pk, CAST(value AS STRING) AS last_value
+             FROM polar_compacted('$root', 'tvf')) k
+          USING (pk)""")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n_changed
+          FROM events WHERE event_id % 3 IN (1, 2) GROUP BY 1),
+        last AS (
+          SELECT pk, last_value FROM (
+            SELECT CAST(user_id AS VARCHAR) AS pk, props AS last_value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY event_id % 3 DESC,
+                              CAST(ts AS TIMESTAMP) DESC, props DESC) AS rn
+            FROM events) WHERE rn = 1)
+        SELECT ch.pk AS pk, ch.n_changed, last.last_value
+        FROM ch JOIN last ON ch.pk = last.pk""")),
+
+    QueryDef(
       "polar_copartition_join",
       // STORAGE-PARTITIONED JOIN: two topics share the placement layout,
       // so a join on (part, partitionKey) runs with NO exchange under the

@@ -33,4 +33,29 @@ object GraftShims {
     classic.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name), info, builder)
   }
+
+  def tableFunctionExists(spark: SparkSession, name: String): Boolean = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.tableFunctionRegistry
+      .functionExists(FunctionIdentifier(name))
+  }
+
+  /** Table-valued function registration (FROM clause) on a built session —
+    * the seam `injectTableFunction` uses at extension time. */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      info: ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.tableFunctionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+  }
+
+  /** The analyzed plan of a frame — embeddable into another query during
+    * analysis (what a TVF builder must return). */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

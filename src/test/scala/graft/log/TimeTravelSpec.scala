@@ -221,6 +221,21 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(causes(err).exists(_.isInstanceOf[UnsupportedOperationException]))
   }
 
+  test("SQL TVFs polar_changes / polar_compacted resolve via extensions") {
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 6), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    PolarLog.produce(recordsDf(6 until 9), cfg)
+    def one(sql: String): Long = spark.sql(sql).first().getLong(0)
+    assert(one(s"SELECT count(*) FROM polar_changes('${cfg.root}', 't', $v1)") === 3)
+    assert(one(s"SELECT count(*) FROM polar_compacted('${cfg.root}', 't')") === 9)
+    assert(one(s"SELECT count(*) FROM polar_compacted('${cfg.root}', 't', $v1)") === 6)
+    // literal-argument contract is loud
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM polar_changes('${cfg.root}', 't')").collect()
+    }
+  }
+
   test("vacuum past the manifest grace is the retention boundary") {
     val cfg = freshTopic()
     PolarLog.produce(recordsDf(0 until 5), cfg)
