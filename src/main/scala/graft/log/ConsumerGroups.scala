@@ -32,8 +32,17 @@ object ConsumerGroups {
 
   final case class Poll(records: DataFrame, nextOffsets: Map[Int, Long])
 
-  private def groupPath(cfg: TopicConfig, group: String): Path =
+  /** Group names become file names under `{topic}/_groups/` — the same
+    * path-safety rule as topics (no separators, no traversal), minus the
+    * reserved-prefix restriction (an `_`-prefixed group is harmless). */
+  def validGroupName(name: String): Boolean =
+    name.nonEmpty && name.length <= 255 &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
+
+  private def groupPath(cfg: TopicConfig, group: String): Path = {
+    require(validGroupName(group), s"Invalid group name: '$group'")
     new Path(s"${cfg.groupsDir}/$group.json")
+  }
 
   def committed(cfg: TopicConfig, group: String): Option[Map[Int, Long]] = {
     val path = groupPath(cfg, group)

@@ -450,24 +450,54 @@ object LogMetadata {
     val byVersion = snaps.groupBy(_._1).map { case (v, fs) =>
       v -> fs.maxBy(_._2.getModificationTime)._2
     }.toArray.sortBy(_._1)
-    def commitMicros(st: org.apache.hadoop.fs.FileStatus): Long = {
-      val ms = try parse(readText(fc, st.getPath)).commitMs
-        catch { case scala.util.control.NonFatal(_) => 0L }
-      (if (ms > 0) ms else st.getModificationTime) * 1000L
+    // (commitMicros, isLegacy) per index, memoized — the binary search
+    // reads O(log n) docs, the legacy fallback at most all of them once
+    val cache = new java.util.HashMap[Int, (Long, Boolean)]()
+    def at(i: Int): (Long, Boolean) = {
+      val hit = cache.get(i)
+      if (hit != null) hit
+      else {
+        val st = byVersion(i)._2
+        val ms = try parse(readText(fc, st.getPath)).commitMs
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        val r = ((if (ms > 0) ms else st.getModificationTime) * 1000L, ms == 0L)
+        cache.put(i, r)
+        r
+      }
     }
-    var lo = 0
-    var hi = byVersion.length - 1
-    var found = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (commitMicros(byVersion(mid)._2) <= tsMicros) { found = mid; lo = mid + 1 }
-      else hi = mid - 1
-    }
+    // The binary search needs commit times MONOTONE with version order.
+    // In-doc commitMs guarantees that; the MTIME fallback for legacy
+    // (commitMs=0) snapshots does not — an rsync/copy migration rewrites
+    // legacy mtimes to "now", putting huge times at LOW versions. Legacy
+    // docs predate commitMs, so they form a version PREFIX: if the lowest
+    // retained version is non-legacy, every doc is non-legacy and the
+    // search is safe; otherwise fall back to the linear filter+max the
+    // pre-binary-search code used (reads every doc once, still tiny).
+    val found =
+      if (byVersion.nonEmpty && at(0)._2) {
+        var best = -1
+        var i = 0
+        while (i < byVersion.length) {
+          if (at(i)._1 <= tsMicros && (best < 0 ||
+              byVersion(i)._1 > byVersion(best)._1)) best = i
+          i += 1
+        }
+        best
+      } else {
+        var lo = 0
+        var hi = byVersion.length - 1
+        var f = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (at(mid)._1 <= tsMicros) { f = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        f
+      }
     if (found < 0)
       throw new IllegalArgumentException(
         s"no retained commit of topic ${cfg.topic} at or before " +
-          s"timestamp $tsMicros (earliest retained: " +
-          s"${commitMicros(byVersion(0)._2)})")
+          s"timestamp $tsMicros (earliest retained: ${at(0)._1})")
     byVersion(found)._1
   }
 

@@ -261,7 +261,16 @@ object Similarity {
       val (old, add) = rows.partition(_._4 >= 0)
       val idx = HnswIndex.fromAdjacency(m, efConstruction,
         old.map(r => (r._1, r._2, r._4, r._5)).toSeq)
-      add.sortBy(_._1).foreach(r => idx.add(r._1, r._2))
+      // IDEMPOTENT insert: ids already in the graph are skipped (and the
+      // batch itself dedups by id). The documented streaming-maintenance
+      // path is foreachBatch — at-least-once — so a replayed epoch
+      // re-appends every vector of that batch; without the skip each
+      // replay would insert DUPLICATE graph nodes and skew probes.
+      // (Append is insert-if-absent; changing an id's vector is a
+      // delete + re-append.)
+      val present = old.iterator.map(_._1).toSet
+      add.filter(r => !present.contains(r._1)).sortBy(_._1)
+        .distinctBy(_._1).foreach(r => idx.add(r._1, r._2))
       idx.exportNodes().map { case (id, v, lvl, nbrs) =>
         (shard, id, v, lvl, nbrs)
       }

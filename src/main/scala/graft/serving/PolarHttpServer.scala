@@ -359,6 +359,8 @@ class PolarHttpServer(
     val q = query(ex)
     val consumerId = consumerIdOf(ex)
     val group = q.get("group").flatMap(_.headOption).getOrElse("default")
+    if (!ConsumerGroups.validGroupName(group))
+      throw HttpError(400, "Invalid group")
     val topics = q.getOrElse("topic", Seq.empty).filter(_.nonEmpty)
     if (topics.isEmpty) throw HttpError(400, "topic is required")
     topics.find(!TopicConfig.validTopicName(_))
@@ -452,6 +454,11 @@ class PolarHttpServer(
       .getOrElse(throw HttpError(400, "group is required"))
     val t = q.get("topic").flatMap(_.headOption)
       .getOrElse(throw HttpError(400, "topic is required"))
+    // validate BEFORE interpolating into the response: an unvalidated
+    // topic would 500 inside cfgOf, and a group name carrying a quote or
+    // backslash would otherwise produce malformed JSON (a reflected-
+    // injection surface, unlike the topic-validated admin endpoints)
+    if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
     val rows =
       try ConsumerGroups.groupLag(cfgOf(t), g)
       catch { case e: IllegalArgumentException =>
@@ -459,7 +466,8 @@ class PolarHttpServer(
     val body = rows.map(l =>
       s"""{"partition":${l.part},"committed":${l.committed},""" +
         s""""tail":${l.tail},"lag":${l.lag}}""").mkString("[", ",", "]")
-    respond(ex, 200, s"""{"group":"$g","topic":"$t","partitions":$body}""",
+    respond(ex, 200,
+      s"""{"group":${PolarHttpServer.jsonStr(g)},"topic":"$t","partitions":$body}""",
       "application/json")
   }
 
@@ -581,6 +589,19 @@ object PolarHttpServer {
       topics: Seq[String],
       policy: ConsumerGroups.ResetPolicy,
       pending: Map[String, Map[Int, Long]])
+
+  /** Minimal JSON string escaping for user-supplied values interpolated
+    * into hand-rolled response bodies (quotes, backslashes, controls). */
+  private[serving] def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   private[serving] def hexToBytes(h: String): Array[Byte] = {
     val out = new Array[Byte](h.length / 2)

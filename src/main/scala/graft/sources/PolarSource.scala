@@ -169,6 +169,8 @@ final case class PolarSourceConfig(
     "'endingVersion' requires 'startingVersion'")
   require(endingVersion.isEmpty || versionAsOf.isEmpty,
     "specify either a change window or 'versionAsOf', not both")
+  require(startingVersion.isEmpty || versionAsOf.isEmpty,
+    "specify either a change window ('startingVersion') or 'versionAsOf', not both")
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -390,6 +392,14 @@ class PolarScan(
     if (!required.fieldNames.contains("part"))
       return new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
+    // multi-topic subscriptions contribute DISTINCT splits with the SAME
+    // part key (one per topic); Spark only groups duplicate partition keys
+    // under v2.bucketing, and the co-partitioned-join gate exercises
+    // single-topic scans — report unknown rather than a clustering claim
+    // the splits don't honor
+    if (cfg.topics.size > 1)
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
     // distinct planned (part) groups under the current bounds — metadata
     // arithmetic only, consistent with planInputPartitions
     val n = cfg.topics.iterator.flatMap { c =>
@@ -465,14 +475,27 @@ class PolarScan(
     cfg.startingVersion.map(v =>
       PolarLog.changeWindow(cfg.topics.head, v, cfg.endingVersion))
 
-  /** `maxOffsetExclusive` with the pushed LIMIT cap applied (saturating). */
-  private def cappedMaxOffset: Long = bounds.limit match {
-    case Some(l) =>
-      val hi = if (bounds.minOffset > Long.MaxValue - l) Long.MaxValue
-        else bounds.minOffset + l
-      math.min(bounds.maxOffsetExclusive, hi)
-    case None => bounds.maxOffsetExclusive
+  /** The pushed LIMIT cap ANCHORED AT a partition's actual planned start
+    * offset (saturating). Planned windows need not start at 0 — a
+    * `startingVersion` change feed starts at the from-version tails, and
+    * retention leaves surviving segments with min offsets > 0 — so a cap
+    * anchored at the global pushed `minOffset` (usually 0) could fall
+    * BELOW the window start and plan zero rows for a topic that has
+    * plenty. Capping at `start + limit` per partition is always sound:
+    * any `limit` rows satisfy a global LIMIT (Spark keeps the Limit
+    * node — partial push). */
+  private def limitCapFrom(start: Long): Long = bounds.limit match {
+    case Some(l) => if (start > Long.MaxValue - l) Long.MaxValue else start + l
+    case None => Long.MaxValue
   }
+
+  /** First actual row offset at or after `base` in offset-sorted `files` —
+    * the anchor for the per-partition LIMIT cap (dense offsets inside
+    * files; gaps only before the first surviving file after retention). */
+  private def firstRowAtOrAfter(
+      files: Vector[graft.log.FileEntry], base: Long): Long =
+    files.find(_.maxOffset >= base)
+      .map(f => math.max(base, f.minOffset)).getOrElse(base)
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -485,9 +508,14 @@ class PolarScan(
       meta.filesByPart.foreach { case (p, files) =>
         val winLo = window.fold(Long.MinValue)(_._2.getOrElse(p, 0L))
         val winHi = window.fold(Long.MaxValue)(_._3.getOrElse(p, 0L))
+        // the LIMIT cap anchors at this partition's first actual row, the
+        // same rule planInputPartitions applies (stats == plan)
+        val effStart = firstRowAtOrAfter(files,
+          math.max(bounds.minOffset, winLo))
+        val effEnd = math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart))
         if (bounds.parts.forall(_.contains(p))) files.foreach { f =>
           val lo = math.max(math.max(bounds.minOffset, winLo), f.minOffset)
-          val hi = math.min(math.min(cappedMaxOffset, winHi) - 1, f.maxOffset)
+          val hi = math.min(math.min(effEnd, winHi) - 1, f.maxOffset)
           if (lo <= hi && f.tsMax >= bounds.tsMin && f.tsMin <= bounds.tsMax) {
             val n = hi - lo + 1
             rows += n
@@ -535,10 +563,15 @@ class PolarScan(
             "(versions are per-topic)")
         val c = cfg.topics.head
         val (toMeta, startsM, endsM) = windowSnapshot.get
-        val start = PolarOffsets(startsM.map { case (p, o) =>
-          (c.topic, p) -> math.max(o, bounds.minOffset) })
+        // the LIMIT cap anchors at each partition's window start (the
+        // from-version tail), NOT at the global pushed minOffset: a
+        // change feed's windows start far from 0
+        val starts = startsM.map { case (p, o) =>
+          p -> math.max(o, bounds.minOffset) }
+        val start = PolarOffsets(starts.map { case (p, o) => (c.topic, p) -> o })
         val end = PolarOffsets(endsM.map { case (p, o) =>
-          (c.topic, p) -> math.min(o, cappedMaxOffset) })
+          (c.topic, p) -> math.min(o, math.min(bounds.maxOffsetExclusive,
+            limitCapFrom(starts.getOrElse(p, 0L)))) })
         return PolarMicroBatchStream.plan(cfg.byName, Map(c.topic -> toMeta),
           start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)))
       }
@@ -548,9 +581,14 @@ class PolarScan(
       val metas = metasSnapshot
       val start = PolarOffsets(cfg.topics.flatMap(c =>
         (0 until c.numPartitions).map(p => (c.topic, p) -> bounds.minOffset)).toMap)
+      // the LIMIT cap anchors at each partition's FIRST SURVIVING row (a
+      // retention-trimmed topic's offsets start past 0), never at the
+      // global pushed minOffset
       val end = PolarOffsets(metas.flatMap { case (t, m) =>
-        m.producerOffsets.zipWithIndex.map {
-          case (tail, p) => (t, p) -> math.min(tail, cappedMaxOffset)
+        m.producerOffsets.zipWithIndex.map { case (tail, p) =>
+          val effStart = firstRowAtOrAfter(m.filesOf(p), bounds.minOffset)
+          (t, p) -> math.min(tail,
+            math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart)))
         }
       }.toMap)
       PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,

@@ -116,6 +116,43 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](LogMetadata.versionAt(cfg, 1000L))
   }
 
+  test("legacy (commitMs=0) snapshots with migrated mtimes resolve linearly") {
+    // the r8 ADVICE scenario: pre-commitMs snapshots whose mtimes an
+    // rsync/copy rewrote to "now" put HUGE commit times at LOW versions —
+    // the binary search's monotonicity premise breaks and it would throw
+    // "no retained commit" for a timestamp the linear filter+max resolves
+    val cfg = freshTopic()
+    PolarLog.produce(recordsDf(0 until 5), cfg)
+    val v1 = LogMetadata.read(cfg).version
+    Thread.sleep(20)
+    PolarLog.produce(recordsDf(5 until 9), cfg)
+    val v2 = LogMetadata.read(cfg).version
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cfg.dir), spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(LogMetadata.manifestDir(cfg))
+    // turn v1's snapshot legacy (commitMs -> 0) and "migrate" its mtime to
+    // the far future; v2 keeps its in-doc commitMs
+    val snap1 = fs.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith(f"root-v$v1%011d-")).head.getPath
+    val txt = {
+      val in = fs.open(snap1)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val legacy = txt.replaceAll(""""commitMs":\d+""", """"commitMs":0""")
+    val out = fs.create(snap1, true)
+    try out.write(legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.setTimes(snap1, 4102444800000L, -1) // year 2100
+    // a timestamp after v2's commit must resolve to v2, not throw
+    assert(LogMetadata.versionAt(cfg,
+      System.currentTimeMillis() * 1000L + 1000000L) === v2)
+    // and a timestamp before every real commit still fails loudly (v1's
+    // fake future mtime must not capture it)
+    intercept[IllegalArgumentException](LogMetadata.versionAt(cfg, 1000L))
+  }
+
   test("history lists exactly the retained versions, shrinking with vacuum") {
     val cfg = freshTopic()
     PolarLog.produce(recordsDf(0 until 4), cfg)

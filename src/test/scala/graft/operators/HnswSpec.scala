@@ -136,6 +136,34 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sp.read.parquet(path).select("id").distinct().count() === 450)
   }
 
+  test("persisted index: append is idempotent under at-least-once replay") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16
+    val base = (1 to 200).map(i => (i.toLong, vecOf(i, dim)))
+    val extra = (201 to 300).map(i => (i.toLong, vecOf(i, dim)))
+    val path = java.nio.file.Files.createTempDirectory("hnsw_idem_spec").toString
+    Similarity.hnswIndexWrite(base.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    // foreachBatch replays the SAME epoch after a crash: the second append
+    // must insert nothing (no duplicate graph nodes, probes unskewed)
+    Similarity.hnswIndexAppend(extra.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    val once = sp.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    Similarity.hnswIndexAppend(extra.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    assert(sp.read.parquet(path).count() === 300)
+    val twice = sp.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(twice === once)
+    val q = vecOf(5555L, dim).toSeq
+    val got = Similarity.hnswIndexProbe(sp, path, q, 10,
+        m = 8, efConstruction = 64, efSearch = 300)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === bruteTopK(300, dim, q.toArray, 10))
+  }
+
   test("operator: partitioning-invariant exact top-k at covering ef") {
     val sp = spark
     import sp.implicits._
