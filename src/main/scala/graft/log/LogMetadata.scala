@@ -101,7 +101,13 @@ final case class LogMetadata(
     filesByPart: Map[Int, Vector[FileEntry]] = Map.empty,
     sinkCommits: Map[String, Long] = Map.empty,
     manifestNames: Map[Int, String] = Map.empty,
-    commitMs: Long = 0L) {
+    commitMs: Long = 0L,
+    // wall-clock of each sink id's LAST txn commit — what bounds the
+    // sinkCommits registry: entries idle past the txn retention window are
+    // expired at commit time (Delta's txn-version retention model), so
+    // ad-hoc streaming-query churn cannot grow the root doc forever.
+    // Absent for pre-r9 entries (stamped lazily at the next pruning pass).
+    sinkCommitMs: Map[String, Long] = Map.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order — O(1) lookup, the
@@ -533,9 +539,13 @@ object LogMetadata {
       s"""[$p,"$n"]"""
     }.mkString(",")
     // sink ids are checkpoint paths: hex-encode so the hand-rolled JSON
-    // stays escape-free
+    // stays escape-free; the optional third element is the entry's last
+    // commit wall-clock (txn-retention pruning anchor)
     val sinks = m.sinkCommits.toSeq.sorted.map { case (id, b) =>
-      s"""["${hexEncode(id)}",$b]"""
+      m.sinkCommitMs.get(id) match {
+        case Some(ms) => s"""["${hexEncode(id)}",$b,$ms]"""
+        case None => s"""["${hexEncode(id)}",$b]"""
+      }
     }.mkString(",")
     s"""{"version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
@@ -597,7 +607,7 @@ object LogMetadata {
   private val FileEntryRe =
     """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+))?\]""".r
 
-  private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)\]""".r
+  private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)(?:,(\d+))?\]""".r
 
   private val ManifestRe = """\[(\d+),"([^"]+)"\]""".r
 
@@ -613,9 +623,11 @@ object LogMetadata {
     val offsets =
       if (arr.isEmpty) Vector.empty[Long]
       else arr.split(",").map(_.trim.toLong).toVector
-    val sinks = SinkCommitRe.findAllMatchIn(s).map { m =>
-      hexDecode(m.group(1)) -> m.group(2).toLong
-    }.toMap
+    val sinkTuples = SinkCommitRe.findAllMatchIn(s).map { m =>
+      (hexDecode(m.group(1)), m.group(2).toLong, Option(m.group(3)).map(_.toLong))
+    }.toVector
+    val sinks = sinkTuples.map { case (id, b, _) => id -> b }.toMap
+    val sinkMs = sinkTuples.collect { case (id, _, Some(ms)) => id -> ms }.toMap
     // current docs point at per-partition manifests; legacy docs (pre
     // manifest-list) carry [part,"name",min,max,count,bytes,createdMs]
     // file tuples inline — read both, publish always writes the new shape
@@ -637,7 +649,7 @@ object LogMetadata {
       .map(_.group(1).toLong).getOrElse(0L)
     LogMetadata(longField("version"), longField("clusterSize").toInt,
       longField("rangesPerToken").toInt, offsets, byPart, sinks, names,
-      commitMs)
+      commitMs, sinkMs)
   }
 }
 

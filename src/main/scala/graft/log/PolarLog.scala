@@ -131,7 +131,9 @@ object PolarLog {
       orderBy: Seq[Column] = Nil,
       maxMessageSize: Int = DefaultMaxMessageSize,
       maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes,
-      txn: Option[(String, Long)] = None): ProduceResult = {
+      txn: Option[(String, Long)] = None,
+      txnRetentionMs: Long = graft.sources.PolarWrite.DefaultTxnRetentionMs)
+      : ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
     val meta0 = {
@@ -153,6 +155,7 @@ object PolarLog {
     txn.foreach { case (sinkId, batchId) =>
       writer = writer.option("txnSinkId", sinkId)
         .option("txnBatchId", batchId.toString)
+        .option("txnRetentionMs", txnRetentionMs.toString)
     }
     writer.mode("append").save()
 
@@ -394,6 +397,54 @@ object PolarLog {
   /** Current tail offsets (next offset per partition). */
   def tails(cfg: TopicConfig): Map[Int, Long] =
     LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap
+
+  /**
+   * RECORD-EXACT event-time seek — Kafka's `offsetsForTimes`: per
+   * partition, the offset of the FIRST record (offset order) with
+   * `timestamp >= tsMicros`, or the tail when nothing at/after T exists.
+   * Two-phase: the registry's per-file ts stats pick each partition's
+   * candidate file (the first whose tsMax can hold a qualifying record —
+   * with real stats that file is guaranteed to contain the partition's
+   * first hit), then ONE bounded spark job reads just those files and
+   * takes `min(offset) where ts >= T`. Cost: one small row-group read per
+   * partition at seek time, never a topic scan; legacy sentinel-stat
+   * files fall through to the next candidate in a further round.
+   */
+  def offsetsForTimestamp(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      tsMicros: Long): Map[Int, Long] = {
+    val meta = LogMetadata.read(cfg)
+    val tails = meta.producerOffsets
+    var result = Map.empty[Int, Long]
+    var pending: Map[Int, Vector[FileEntry]] =
+      (0 until cfg.numPartitions).map { p =>
+        p -> meta.filesOf(p).filter(_.tsMax >= tsMicros)
+      }.toMap
+    result ++= pending.collect { case (p, v) if v.isEmpty =>
+      p -> tails.lift(p).getOrElse(0L) }
+    pending = pending.filter(_._2.nonEmpty)
+    while (pending.nonEmpty) {
+      val heads = pending.values.map(_.head.path(cfg)).toSeq
+      val found = spark.read
+        .schema(ValueSchema.add(StructField("part", IntegerType)))
+        .option("basePath", cfg.dir)
+        .parquet(heads: _*)
+        .filter(unix_micros(col("timestamp")) >= tsMicros)
+        .groupBy(col("part")).agg(min(col("offset")).as("o"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      result ++= found
+      // unresolved partitions (sentinel-stat file held no hit): advance to
+      // the next candidate; exhausted partitions seek to tail
+      val rest = pending.collect {
+        case (p, v) if !found.contains(p) => p -> v.tail
+      }
+      result ++= rest.collect { case (p, v) if v.isEmpty =>
+        p -> tails.lift(p).getOrElse(0L) }
+      pending = rest.filter(_._2.nonEmpty)
+    }
+    result
+  }
 
   /** The placement function over the envelope columns: keyed records route
     * by their murmur3 token; null-key records by a synthetic content-hash

@@ -1273,6 +1273,103 @@ object StreamingQueries extends QueryRegistry {
         WHERE event_id >= (SELECT CAST(floor(COUNT(*) / 2) AS BIGINT) FROM events)""")),
 
     QueryDef(
+      "stream_ts_seek_exact",
+      (s, dir) => {
+        // RECORD-EXACT startingTimestamp (Kafka offsetsForTimes parity):
+        // the cut falls MID-FILE in every partition (the shared topic is
+        // one produce, per-partition ts-ordered), so a file-granular seek
+        // would deliver pre-T records; the record-exact seek must deliver
+        // none WITHOUT a compensating filter. Zero pre-T rows is asserted
+        // in-gate; the oracle replays the cut over the raw table.
+        val (cfg, _) = sharedTopic(s, dir)
+        val root = Files.createTempDirectory("graft_ts_exact").toString
+        val cutIso = "2024-01-15T00:00:00Z"
+        val q = s.readStream.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic)
+          .option("startingTimestamp", cutIso)
+          .load()
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_ts_exact").start()
+        q.awaitTermination(300000)
+        val drained = s.table("gate_ts_exact")
+        val preT = drained.filter(
+          col("timestamp") < lit("2024-01-15 00:00:00").cast("timestamp")).count()
+        require(preT == 0, s"record-exact seek delivered $preT pre-cut records")
+        drained.agg(count(lit(1)).as("n"),
+          countDistinct(col("partitionKey")).as("n_keys"),
+          date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("first_ts"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_keys,
+               strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'""")),
+
+    QueryDef(
+      "stream_pattern_discovery",
+      (s, dir) => {
+        // LIVE pattern subscription (Kafka subscribePattern parity, the
+        // reference's live topic registration): a `pdisc\d` stream starts
+        // on topic pdisc0; pdisc1 is CREATED MID-STREAM and must join the
+        // subscription automatically (admitted from offset 0); pdisc2 is
+        // created after the stream stops and must be picked up by the
+        // CHECKPOINT-RESUMED query (round-trip: nothing re-delivered,
+        // nothing lost). Output: per-topic delivery counts over all three
+        // phases; the oracle replays the 3-way split from the raw table.
+        val root = Files.createTempDirectory("graft_stream_pd").toString
+        def slice(rem: Int) = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(3)) === rem)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(slice(0), TopicConfig(root, "pdisc0"))
+        val stream = PolarStream.readPattern(s, root, "pdisc\\d",
+          startingOffsets = "earliest")
+        val q = stream.writeStream
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName("gate_pdisc_live").start()
+        q.processAllAvailable()
+        // a matching topic born while the query runs: the next trigger's
+        // pattern refresh must admit it — no restart, no re-load
+        PolarLog.produce(slice(1), TopicConfig(root, "pdisc1"))
+        q.processAllAvailable()
+        q.stop()
+        val live = s.table("gate_pdisc_live")
+          .select(col("topic"), col("partitionKey")).collect()
+        // a topic born between runs: the checkpoint-resumed query discovers
+        // it at restart and delivers ONLY its records (offsets round-trip)
+        PolarLog.produce(slice(2), TopicConfig(root, "pdisc2"))
+        // memory sinks cannot recover a checkpoint — resume via foreachBatch
+        val resumed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+        val q2 = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select(col("topic"), col("partitionKey")).collect()
+              .foreach(r => resumed.add((r.getString(0), r.getString(1))))
+          }.start()
+        q2.awaitTermination(300000)
+        import scala.jdk.CollectionConverters._
+        require(resumed.asScala.forall(_._1 == "pdisc2"),
+          "checkpoint resume must not re-deliver discovered topics")
+        import s.implicits._
+        (live.toSeq.map(r => (r.getString(0), r.getString(1))) ++
+            resumed.asScala)
+          .toDF("topic", "partitionKey")
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("partitionKey")).as("n_keys"))
+      },
+      Some("""
+        SELECT 'pdisc' || CAST(event_id % 3 AS VARCHAR) AS topic,
+               COUNT(*) AS n,
+               COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_keys
+        FROM events GROUP BY 1""")),
+
+    QueryDef(
       "stream_multi_topic",
       (s, dir) => {
         // one streaming query subscribed to TWO topics (the reference's

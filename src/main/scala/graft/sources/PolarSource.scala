@@ -78,6 +78,23 @@ object PolarSource {
     .add(StructField("part", IntegerType, nullable = false))
     .add(StructField("topic", StringType, nullable = false))
 
+  /** Topic names under `root` whose FULL name matches `pattern` and that
+    * carry a metadata doc — one listing of `root`, no data I/O, sorted for
+    * determinism. Shared by load-time resolution and the streaming
+    * per-trigger refresh. */
+  def resolvePattern(root: String, pattern: String): Seq[String] = {
+    val re = pattern.r
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(graft.log.HadoopConf.shared)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => re.pattern.matcher(n).matches())
+      .filter(n => fs.exists(new Path(s"$root/$n/_polar_metadata.json")))
+      .sorted
+  }
+
   def configFrom(opts: Map[String, String]): PolarSourceConfig = {
     def opt(k: String) = opts.collectFirst {
       case (key, v) if key.equalsIgnoreCase(k) => v
@@ -98,21 +115,14 @@ object PolarSource {
         parsed
       // Kafka's pattern subscription: topics under `root` whose FULL name
       // matches the regex, resolved at load from the directories carrying a
-      // metadata doc (one listing of `root`, not of any data). Resolution
-      // is load-time — a topic created later needs a re-load, same as
-      // Kafka's metadata-refresh granularity.
+      // metadata doc (one listing of `root`, not of any data). Batch scans
+      // stay load-time; STREAMS re-resolve the pattern every trigger
+      // ([[PolarMicroBatchStream.refreshTopics]]) and admit topics created
+      // mid-stream from offset 0 — Kafka's metadata-refresh parity, the
+      // reference's live group registration
+      // (`/root/reference/internal/consuming/server.go:203-291`).
       case (None, None, Some(pattern)) =>
-        val re = pattern.r
-        val rootPath = new Path(root)
-        val fs = rootPath.getFileSystem(graft.log.HadoopConf.shared)
-        val matched =
-          if (!fs.exists(rootPath)) Seq.empty
-          else fs.listStatus(rootPath).toSeq
-            .filter(_.isDirectory)
-            .map(_.getPath.getName)
-            .filter(n => re.pattern.matcher(n).matches())
-            .filter(n => fs.exists(new Path(s"$root/$n/_polar_metadata.json")))
-            .sorted
+        val matched = resolvePattern(root, pattern)
         if (matched.isEmpty) throw new IllegalArgumentException(
           s"topicPattern '$pattern' matches no topic under $root")
         matched
@@ -133,6 +143,8 @@ object PolarSource {
       txn = opt("txnSinkId").map(id => id -> opt("txnBatchId")
         .getOrElse(throw new IllegalArgumentException(
           "txnSinkId requires txnBatchId")).toLong),
+      txnRetentionMs = opt("txnRetentionMs").map(_.trim.toLong)
+        .getOrElse(PolarWrite.DefaultTxnRetentionMs),
       // epoch millis (Kafka's startingTimestamp unit) or an ISO-8601
       // instant; overrides startingOffsets when present
       startingTimestampMicros = opt("startingTimestamp").map { s =>
@@ -148,7 +160,8 @@ object PolarSource {
       // change-feed start: first batch = the (v, head] version window,
       // then the stream follows the live head
       startingVersion = opt("startingVersion").map(_.trim.toLong),
-      endingVersion = opt("endingVersion").map(_.trim.toLong))
+      endingVersion = opt("endingVersion").map(_.trim.toLong),
+      topicPattern = opt("topicPattern"))
   }
 }
 
@@ -159,10 +172,15 @@ final case class PolarSourceConfig(
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
     startingTimestampMicros: Option[Long] = None,
     versionAsOf: Option[Long] = None,
     startingVersion: Option[Long] = None,
-    endingVersion: Option[Long] = None) {
+    endingVersion: Option[Long] = None,
+    // the live-subscription regex (when the source was opened with
+    // `topicPattern`): streams re-resolve it per trigger to discover
+    // topics created mid-stream; `topics` is the load-time resolution
+    topicPattern: Option[String] = None) {
   require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
     "specify either 'startingVersion' or 'startingTimestamp', not both")
   require(endingVersion.isEmpty || startingVersion.isDefined,
@@ -642,8 +660,27 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private val topics = cfg.topics
+  // LIVE subscription set: starts at the load-time resolution; a pattern
+  // subscription re-resolves per trigger ([[refreshTopics]]) and admits
+  // topics created mid-stream FROM OFFSET 0 (everything in a brand-new
+  // topic postdates the subscription) — Kafka's metadata-refresh behavior,
+  // the reference's live topic registration on a running group
+  // (`internal/consuming/server.go:203-291`). Only ever grows; a deleted
+  // topic simply stops contributing offsets.
+  @volatile private var topics: Seq[TopicConfig] = cfg.topics
   @volatile private var availableNowCap: Option[PolarOffsets] = None
+
+  /** One root listing per trigger when pattern-subscribed; no data I/O. */
+  private def refreshTopics(): Unit = cfg.topicPattern.foreach { pattern =>
+    val t0 = cfg.topics.head
+    val known = topics.map(_.topic).toSet
+    val fresh = PolarSource.resolvePattern(t0.root, pattern)
+      .filterNot(known.contains)
+    if (fresh.nonEmpty)
+      topics = (topics ++ fresh.map(n =>
+        TopicConfig(t0.root, n, t0.clusterSize, t0.rangesPerToken)))
+        .sortBy(_.topic)
+  }
 
   private def currentMetas: Map[String, LogMetadata] =
     topics.map(c => c.topic -> LogMetadata.read(c)).toMap
@@ -672,19 +709,16 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   }
 
   private def initialOffsetByTimeOrPolicy(): Offset = cfg.startingTimestampMicros match {
-    // event-time seek from registry ts stats: per partition, start at the
-    // first file (offset order) that can contain ts >= T — file-granular,
-    // like Kafka's offsetsForTimes over segment indexes; records earlier
-    // than T inside that file are delivered (compose with a filter for
-    // record exactness). Partitions with nothing at/after T start at tail.
+    // RECORD-EXACT event-time seek (Kafka's offsetsForTimes): the registry
+    // ts stats pick each partition's candidate file, one bounded read at
+    // stream start refines to the first record with ts >= T — no
+    // compensating filter needed downstream. Partitions with nothing
+    // at/after T start at tail.
     case Some(t) =>
-      val metas = currentMetas
+      val spark = org.apache.spark.sql.SparkSession.active
       PolarOffsets(topics.flatMap { c =>
-        val m = metas(c.topic)
-        (0 until c.numPartitions).map { p =>
-          val start = m.filesOf(p).find(_.tsMax >= t).map(_.minOffset)
-            .getOrElse(m.producerOffsets.lift(p).getOrElse(0L))
-          (c.topic, p) -> start
+        PolarLog.offsetsForTimestamp(spark, c, t).map {
+          case (p, o) => (c.topic, p) -> o
         }
       }.toMap)
     case None => cfg.startingOffsets match {
@@ -699,8 +733,12 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     cfg.maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n))
       .getOrElse(ReadLimit.allAvailable())
 
-  override def prepareForTriggerAvailableNow(): Unit =
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // re-resolve the pattern before snapshotting the drain cap: an
+    // AvailableNow restart picks up topics created since the last run
+    refreshTopics()
     availableNowCap = Some(tailsOf(currentMetas))
+  }
 
   override def reportLatestOffset(): Offset = tailsOf(currentMetas)
 
@@ -708,6 +746,7 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    refreshTopics()
     val from = start.asInstanceOf[PolarOffsets]
     val metas = currentMetas
     val target = availableNowCap.getOrElse(tailsOf(metas))
@@ -770,7 +809,10 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    PolarMicroBatchStream.plan(cfg.byName, currentMetas,
+    // the LIVE topic map, not cfg.byName: pattern-discovered topics must
+    // resolve here too
+    PolarMicroBatchStream.plan(topics.map(c => c.topic -> c).toMap,
+      currentMetas,
       start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets], None)
 
   // streaming delivers ROWS off the vectorized decode: a trigger's window

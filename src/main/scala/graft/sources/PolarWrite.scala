@@ -51,7 +51,7 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
     val schema = info.schema()
     if (schema.fieldNames.contains("part"))
       new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn,
-        queryId = info.queryId())
+        queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs)
     else
       // producer-schema sugar (`df.write.format("polar")` with only
       // value[/partitionKey/timestamp]): route through PolarLog.produce,
@@ -76,7 +76,8 @@ class PolarWrite(
     schema: StructType,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
-    queryId: String = "")
+    queryId: String = "",
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -92,7 +93,8 @@ class PolarWrite(
       .toArray
   }
 
-  override def toBatch: BatchWrite = new PolarBatchWrite(cfg, schema, maxFileBytes, txn)
+  override def toBatch: BatchWrite =
+    new PolarBatchWrite(cfg, schema, maxFileBytes, txn, txnRetentionMs)
 
   /** SQL-UI observability for produces: segments sealed and records
     * written per task — the write twin of the scan's planned-files/rows
@@ -112,45 +114,54 @@ class PolarWrite(
     * at the CAS authority, not re-registered. */
   override def toStreaming: StreamingWrite =
     new PolarStreamingWrite(cfg, schema, maxFileBytes,
-      if (queryId == null) "" else queryId)
+      if (queryId == null) "" else queryId, txnRetentionMs)
 }
 
 class PolarStreamingWrite(
     cfg: TopicConfig,
     schema: StructType,
     maxFileBytes: Long,
-    queryId: String) extends StreamingWrite {
+    queryId: String,
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs)
+    extends StreamingWrite {
 
+  // ONE metadata read per EPOCH, on the driver: Spark calls this factory
+  // hook once per micro-batch (MicroBatchWrite.createBatchWriterFactory),
+  // so the offset bases ride the serialized factory to every task — at
+  // 1,000 partitions × 1 s triggers this is 1 object-store GET/s instead
+  // of 1,000/s of the same document. Epochs are serial, so the bases are
+  // current as of the previous epoch's commit; an external producer
+  // landing mid-epoch is absorbed by the commit-time rebase, exactly as
+  // before.
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new PolarStreamingWriterFactory(cfg, schema, maxFileBytes)
+    new PolarStreamingWriterFactory(cfg, schema, maxFileBytes,
+      LogMetadata.read(cfg).producerOffsets.toArray)
 
   // micro-batch epochs are serial: by commit time the previous epoch's CAS
   // has landed, so a fresh PolarBatchWrite's plan-time snapshot IS the
   // current tails; a concurrent external producer is absorbed by the same
   // rebase-and-retry as any batch produce
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    new PolarBatchWrite(cfg, schema, maxFileBytes, Some((queryId, epochId)))
-      .commit(messages)
+    new PolarBatchWrite(cfg, schema, maxFileBytes, Some((queryId, epochId)),
+      txnRetentionMs).commit(messages)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     new PolarBatchWrite(cfg, schema, maxFileBytes, Some((queryId, epochId)))
       .abort(messages)
 }
 
-/** Per-epoch writers read the topic tails ON THE EXECUTOR at open: one tiny
-  * metadata-doc read per task per epoch (object-store friendly), yielding
-  * offset bases that are current as of the previous epoch's commit — no
-  * driver round-trip, no factory re-serialization per batch. */
+/** Per-epoch writer factory carrying the epoch's offset bases (read once
+  * on the driver by [[PolarStreamingWrite.createStreamingWriterFactory]]);
+  * tasks open writers with zero metadata I/O. */
 class PolarStreamingWriterFactory(
     cfg: TopicConfig,
     schema: StructType,
-    maxFileBytes: Long) extends StreamingDataWriterFactory {
+    maxFileBytes: Long,
+    bases: Array[Long]) extends StreamingDataWriterFactory {
   override def createWriter(
-      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
-    val bases = LogMetadata.read(cfg).producerOffsets.toArray
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new PolarDataWriter(cfg.dir, schema, bases, taskId, maxFileBytes)
-  }
 }
 
 object PolarWrite {
@@ -159,11 +170,23 @@ object PolarWrite {
     * role (bounded segments are what make retention granular and planning
     * parallel at 100 TB). */
   val DefaultMaxFileBytes: Long = 1L << 30
+
+  /** How long an idle `sinkCommits` txn entry stays replayable before the
+    * next txn commit expires it (Delta's txn-version retention role) —
+    * far beyond any live stream's replay horizon at 7 days. */
+  val DefaultTxnRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 }
 
 object PolarBatchWrite {
   /** Bound on rebase-and-retry rounds under concurrent-producer churn. */
   val MaxCommitRetries = 5
+
+  private val RebasedRe = "^(?:rb[0-9a-f]{8}-)+w\\d+.*".r
+
+  /** True iff `name` is a rebase-rewritten segment (rb-prefixed original
+    * writer name) — the files a failed commit must reclaim itself. */
+  private[sources] def isRebased(name: String): Boolean =
+    RebasedRe.pattern.matcher(name).matches()
 
   /** Rewrite one baked segment with its offset column shifted by `delta`,
     * through the SAME parquet write support + conf as the original produce
@@ -239,7 +262,8 @@ class PolarBatchWrite(
     cfg: TopicConfig,
     schema: StructType,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
-    txn: Option[(String, Long)] = None) extends BatchWrite {
+    txn: Option[(String, Long)] = None,
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs) extends BatchWrite {
 
   // plan-time snapshot: offset bases ship to the writers; the version is the
   // CAS expectation at commit (concurrent-producer guard)
@@ -285,39 +309,82 @@ class PolarBatchWrite(
     // snapshot up front (no-op whenever bases match, i.e. every batch
     // produce); the retry loop below then only handles races newer than
     // `expected`.
-    entries = rebase(entries, expected)
-    var attempt = 0
-    var committed = false
-    while (!committed) {
-      try {
-        LogMetadata.compareAndSet(cfg, expected) { cur =>
-          val tails = cur.producerOffsets.toArray
-          entries.groupBy(_.part).foreach { case (p, fs) =>
-            val sorted = fs.sortBy(_.minOffset)
-            require(sorted.head.minOffset == tails(p),
-              s"offset gap in partition $p: file starts at ${sorted.head.minOffset}, " +
-                s"tail is ${tails(p)}")
-            sorted.foreach { f =>
-              require(f.minOffset == tails(p) && f.maxOffset - f.minOffset + 1 == f.count,
-                s"non-dense file entry $f at tail ${tails(p)}")
-              tails(p) = f.maxOffset + 1
+    // Rebase rewrites produce rb*-prefixed replacement files and DELETE the
+    // originals — so if this commit ultimately fails, Spark's abort (which
+    // receives the ORIGINAL commit messages) cannot reclaim them. Track the
+    // rewritten names and delete them ourselves on the terminal failure
+    // path; until then they are unregistered and invisible to readers.
+    try {
+      entries = rebase(entries, expected)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        try {
+          LogMetadata.compareAndSet(cfg, expected) { cur =>
+            val tails = cur.producerOffsets.toArray
+            entries.groupBy(_.part).foreach { case (p, fs) =>
+              val sorted = fs.sortBy(_.minOffset)
+              require(sorted.head.minOffset == tails(p),
+                s"offset gap in partition $p: file starts at ${sorted.head.minOffset}, " +
+                  s"tail is ${tails(p)}")
+              sorted.foreach { f =>
+                require(f.minOffset == tails(p) && f.maxOffset - f.minOffset + 1 == f.count,
+                  s"non-dense file entry $f at tail ${tails(p)}")
+                tails(p) = f.maxOffset + 1
+              }
+            }
+            val next = cur.appendFiles(entries.toSeq)
+              .copy(producerOffsets = tails.toVector)
+            txn match {
+              case None => next
+              case Some((sinkId, batchId)) =>
+                // register this txn AND expire idle ones: entries whose
+                // last commit predates the retention window can no longer
+                // be replayed by a live stream (Spark replays at most the
+                // last unacknowledged epoch, not months-old ones), so
+                // dropping them keeps the root doc bounded under ad-hoc
+                // queryId churn — Delta's txn-retention model. Pre-r9
+                // entries carry no timestamp; they are stamped "now" here
+                // and age out one window later.
+                val now = System.currentTimeMillis()
+                val stamped = cur.sinkCommits.keysIterator
+                  .map(id => id -> cur.sinkCommitMs.getOrElse(id, now)).toMap
+                val live = stamped.collect {
+                  case (id, ms) if ms >= now - txnRetentionMs => id
+                }.toSet
+                next.copy(
+                  sinkCommits = cur.sinkCommits.view
+                    .filterKeys(live).toMap + (sinkId -> batchId),
+                  sinkCommitMs = stamped.view
+                    .filterKeys(live).toMap + (sinkId -> now))
             }
           }
-          cur.appendFiles(entries.toSeq)
-            .copy(producerOffsets = tails.toVector,
-              sinkCommits = txn.fold(cur.sinkCommits) { case (sinkId, batchId) =>
-                cur.sinkCommits + (sinkId -> batchId)
-              })
+          committed = true
+        } catch {
+          case e: graft.log.ConcurrentMetadataException =>
+            attempt += 1
+            if (attempt > PolarBatchWrite.MaxCommitRetries) throw e
+            val cur = LogMetadata.read(cfg)
+            entries = rebase(entries, cur)
+            expected = cur
         }
-        committed = true
-      } catch {
-        case e: graft.log.ConcurrentMetadataException =>
-          attempt += 1
-          if (attempt > PolarBatchWrite.MaxCommitRetries) throw e
-          val cur = LogMetadata.read(cfg)
-          entries = rebase(entries, cur)
-          expected = cur
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        deleteRebased(entries)
+        throw e
+    }
+  }
+
+  /** Best-effort delete of rebase-rewritten (rb*) files after a terminal
+    * commit failure — the originals they replaced are already gone, and
+    * Spark's abort only knows the original names. */
+  private def deleteRebased(entries: Array[FileEntry]): Unit = {
+    val conf = graft.log.HadoopConf.shared
+    entries.filter(f => PolarBatchWrite.isRebased(f.name)).foreach { f =>
+      val p = new Path(f.path(cfg))
+      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+      catch { case _: java.io.IOException => () }
     }
   }
 

@@ -99,6 +99,32 @@ object PolarStream {
     r.load()
   }
 
+  /** Streaming consume by TOPIC-NAME PATTERN — Kafka's `subscribePattern`:
+    * topics under `root` whose full name matches the regex. The pattern is
+    * re-resolved against the root listing EVERY trigger, so a matching
+    * topic created mid-stream joins the subscription automatically (from
+    * offset 0 — everything in a brand-new topic postdates the
+    * subscription); the reference's live topic registration on a running
+    * consumer group (`internal/consuming/server.go:203-291`). At least one
+    * topic must match at start. */
+  def readPattern(
+      spark: SparkSession,
+      root: String,
+      pattern: String,
+      startingOffsets: String = "latest",
+      maxRecordsPerTrigger: Option[Long] = None,
+      clusterSize: Int = 3,
+      rangesPerToken: Int = 4): DataFrame = {
+    var r = spark.readStream.format("polar")
+      .option("root", root)
+      .option("topicPattern", pattern)
+      .option("clusterSize", clusterSize)
+      .option("rangesPerToken", rangesPerToken)
+      .option("startingOffsets", startingOffsets)
+    maxRecordsPerTrigger.foreach(n => r = r.option("maxRecordsPerTrigger", n))
+    r.load()
+  }
+
   /** Streaming produce into a topic (micro-batched appends). */
   def write(
       df: DataFrame,

@@ -79,6 +79,22 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(violations === 0L, "offset order must respect produce order per partition")
   }
 
+  test("metadata doc round-trips sink txn timestamps; legacy 2-tuple entries parse") {
+    // pre-r9 docs carry ["hex",batch] sink entries (no timestamp): they
+    // must parse with an empty sinkCommitMs and be stamped lazily later
+    val legacy = """{"version":1,"clusterSize":3,"rangesPerToken":4,""" +
+      """"commitMs":5,"producerOffsets":[0,0,0,0,0,0,0,0,0,0,0,0],""" +
+      """"sinkCommits":[["6162",3]],"manifests":[]}"""
+    val m = LogMetadata.parse(legacy)
+    assert(m.sinkCommits === Map("ab" -> 3L))
+    assert(m.sinkCommitMs.isEmpty)
+    // current render carries the timestamp and round-trips exactly
+    val stamped = m.copy(sinkCommitMs = Map("ab" -> 42L))
+    val back = LogMetadata.parse(LogMetadata.render(stamped))
+    assert(back.sinkCommits === stamped.sinkCommits)
+    assert(back.sinkCommitMs === stamped.sinkCommitMs)
+  }
+
   test("second produce continues offsets (append, not restart)") {
     val cfg = TopicConfig(root, "t_append")
     val firstHalf = eventsAsRecords.filter(col("event_id") <= 500).drop("event_id")

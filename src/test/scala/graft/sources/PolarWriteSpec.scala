@@ -145,6 +145,68 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, cfg).count() === 3 * records.count())
   }
 
+  test("sinkCommits registry is pruned by txn retention (bounded under churn)") {
+    val root = Files.createTempDirectory("polar_txn_prune").toString
+    val cfg = TopicConfig(root, "w")
+    val few = records.limit(20)
+    // ad-hoc queryId churn: distinct sink ids, each commit expiring idle
+    // entries older than the (tiny) retention window
+    (0 until 4).foreach { i =>
+      PolarLog.produce(few, cfg, txn = Some((s"churn-$i", 0L)),
+        txnRetentionMs = 100L)
+      Thread.sleep(250)
+    }
+    val meta = graft.log.LogMetadata.read(cfg)
+    assert(meta.sinkCommits.keySet === Set("churn-3"),
+      s"stale txn entries must expire, got ${meta.sinkCommits.keySet}")
+    assert(meta.sinkCommitMs.contains("churn-3"))
+    // a replay of a RETAINED txn still drops (idempotence inside the window)
+    val r = PolarLog.produce(few, cfg, txn = Some(("churn-3", 0L)),
+      txnRetentionMs = 100L)
+    assert(r.recordsWritten === 0)
+    assert(PolarLog.consume(spark, cfg).count() === 4 * few.count())
+  }
+
+  test("a terminally failed commit reclaims its rebase-rewritten files") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val root = Files.createTempDirectory("polar_rb_orphans").toString
+    val cfg = TopicConfig(root, "rb")
+    PolarLog.produce(records.limit(30), cfg)
+    val total = PolarLog.consume(spark, cfg).count()
+    // a partition that already has data, so the stale-based batch MUST
+    // rebase (rewriteShifted deletes the original and writes an rb* file)
+    val busyPart = PolarLog.consume(spark, cfg).groupBy(col("part")).count()
+      .orderBy(col("count").desc).first().getInt(0)
+    val schema = PolarLog.ValueSchema
+      .add(StructField("part", IntegerType, nullable = false))
+    val writer = new PolarDataWriter(cfg.dir, schema,
+      Array.fill(cfg.numPartitions)(0L), taskId = 9L)
+    val row = new GenericInternalRow(6)
+    (0 until 5).foreach { i =>
+      row.update(0, UTF8String.fromString(s"k$i"))
+      row.update(1, i.toLong)
+      row.update(2, 0L)
+      row.update(3, 1000000L)
+      row.update(4, Array[Byte](1, 2))
+      row.update(5, busyPart)
+      writer.write(row)
+    }
+    val msg = writer.commit().asInstanceOf[PolarCommitMessage]
+    // tamper the entry so the post-rebase density check fails TERMINALLY
+    // (count != offset span): the commit rebases first — creating the rb*
+    // replacement and deleting the original — then throws
+    val bad = PolarCommitMessage(msg.files.map(f => f.copy(count = f.count + 1)))
+    val bw = new PolarBatchWrite(cfg, schema)
+    intercept[IllegalArgumentException] { bw.commit(Array(bad)) }
+    // the failure path must have reclaimed the rb* file (the original is
+    // gone — Spark's abort only knows the original names): zero orphans
+    assert(PolarLog.vacuum(cfg, dryRun = true) === 0)
+    // and the topic is untouched
+    assert(PolarLog.consume(spark, cfg).count() === total)
+  }
+
   test("segments roll at maxFileBytes: bounded files, dense offset chains") {
     val root = Files.createTempDirectory("polar_write_roll").toString
     records.write.format("polar")
