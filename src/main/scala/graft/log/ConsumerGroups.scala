@@ -214,6 +214,63 @@ object ConsumerGroups {
     }
   }
 
+  /** Offset-reset modes — `kafka-consumer-groups --reset-offsets` parity:
+    * to-earliest / to-latest / to-timestamp / shift-by. */
+  sealed trait ResetMode
+  case object ToEarliest extends ResetMode
+  case object ToLatest extends ResetMode
+  /** First record with event time >= tsMicros (record-exact, the
+    * [[PolarLog.offsetsForTimestamp]] seek). */
+  final case class ToTimestamp(tsMicros: Long) extends ResetMode
+  /** committed + n per partition, clamped to [earliest, tail]. */
+  final case class ShiftBy(n: Long) extends ResetMode
+
+  /** The log-start offset per partition: the first surviving segment's
+    * min offset (retention can trim the head), or the tail when the
+    * partition holds nothing. Pure registry arithmetic. */
+  def earliestOffsets(cfg: TopicConfig): Map[Int, Long] = {
+    val meta = LogMetadata.read(cfg)
+    (0 until cfg.numPartitions).map { p =>
+      p -> meta.filesOf(p).headOption.map(_.minOffset)
+        .getOrElse(meta.producerOffsets.lift(p).getOrElse(0L))
+    }.toMap
+  }
+
+  /**
+   * Reset a REGISTERED group's committed offsets (`kafka-consumer-groups
+   * --reset-offsets` parity) and persist the new positions; returns them.
+   * Unregistered groups fail loudly — resetting a group into existence
+   * would silently bypass the reset-policy registration contract. All
+   * modes are driver-side metadata arithmetic except `ToTimestamp`, which
+   * runs the bounded record-exact seek (one candidate-file read per
+   * partition). The caller is responsible for quiescing live members — the
+   * same contract as Kafka's tool (which requires the group inactive).
+   */
+  def resetOffsets(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      group: String,
+      mode: ResetMode): Map[Int, Long] = {
+    val current = committed(cfg, group).getOrElse(
+      throw new IllegalArgumentException(
+        s"group '$group' is not registered on topic ${cfg.topic}"))
+    val tails = PolarLog.tails(cfg)
+    val next: Map[Int, Long] = mode match {
+      case ToEarliest => earliestOffsets(cfg)
+      case ToLatest => tails
+      case ToTimestamp(ts) => PolarLog.offsetsForTimestamp(spark, cfg, ts)
+      case ShiftBy(n) =>
+        val lo = earliestOffsets(cfg)
+        (0 until cfg.numPartitions).map { p =>
+          val c = current.getOrElse(p, 0L) + n
+          p -> math.max(lo.getOrElse(p, 0L),
+            math.min(c, tails.getOrElse(p, 0L)))
+        }.toMap
+    }
+    commit(cfg, group, next)
+    next
+  }
+
   /** Merge-commit a member's partitions into the group document (the other
     * members' offsets are preserved). */
   def commitPartial(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =

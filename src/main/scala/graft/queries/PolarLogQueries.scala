@@ -203,6 +203,52 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_group_reset",
+      (s, dir) => {
+        // kafka-consumer-groups --reset-offsets parity over the durable
+        // group doc: to-timestamp (record-exact seek), shift-by (clamped),
+        // to-earliest, to-latest — each reset followed by a poll whose
+        // delivery the oracle replays; lag reflects every reset.
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val group = "reset-" + java.util.UUID.randomUUID().toString
+        val p0 = ConsumerGroups.poll(s, cfg, group, ConsumerGroups.Earliest)
+        ConsumerGroups.commit(cfg, group, p0.nextOffsets)
+        require(ConsumerGroups.groupLag(cfg, group).map(_.lag).sum == 0L)
+        // to-timestamp: the next poll is exactly the ts >= cut suffix
+        // (the shared topic is per-partition ts-ordered)
+        val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        ConsumerGroups.resetOffsets(s, cfg, group,
+          ConsumerGroups.ToTimestamp(cut.getEpochSecond * 1000000L))
+        val lagAfter = ConsumerGroups.groupLag(cfg, group).map(_.lag).sum
+        val p1 = ConsumerGroups.poll(s, cfg, group)
+        val tsCount = p1.records.count()
+        require(lagAfter == tsCount,
+          s"lag $lagAfter must equal the pending records $tsCount after reset")
+        ConsumerGroups.commit(cfg, group, p1.nextOffsets)
+        // shift-by: committed + n, clamped to [earliest, tail]
+        val before = ConsumerGroups.committed(cfg, group).get
+        val shifted = ConsumerGroups.resetOffsets(s, cfg, group,
+          ConsumerGroups.ShiftBy(-3))
+        before.foreach { case (p, c) =>
+          require(shifted(p) == math.max(0L, c - 3),
+            s"shift-by clamp broke at partition $p") }
+        // to-earliest replays everything; to-latest drains to nothing
+        ConsumerGroups.resetOffsets(s, cfg, group, ConsumerGroups.ToEarliest)
+        val full = ConsumerGroups.poll(s, cfg, group).records.count()
+        ConsumerGroups.resetOffsets(s, cfg, group, ConsumerGroups.ToLatest)
+        val empty = ConsumerGroups.poll(s, cfg, group).records.count()
+        s.createDataFrame(Seq(
+          ("earliest", full), ("latest", empty), ("ts", tsCount)))
+          .toDF("phase", "n")
+      },
+      Some("""
+        SELECT 'earliest' AS phase, COUNT(*) AS n FROM events
+        UNION ALL SELECT 'latest' AS phase, CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT 'ts' AS phase, COUNT(*) AS n FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'""")),
+
+    QueryDef(
       "polar_tokens",
       // the placement kernel exercised directly through the gate: token and
       // flat partition for every event key. Keys here are ≤ 8 UTF-8 bytes,

@@ -207,6 +207,7 @@ class PolarHttpServer(
         case ("GET", "/v1/consumer/groups") => handleGroups(ex)
         case ("GET", "/v1/consumer/groups/describe") => handleGroupDescribe(ex)
         case ("GET", "/v1/consumer/groups/lag") => handleGroupLag(ex)
+        case ("POST", "/v1/admin/groups/reset") => handleGroupReset(ex)
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
         case ("POST", "/v1/consumer/poll") => handlePoll(ex)
         case ("POST", "/v1/consumer/commit") => handleCommit(ex)
@@ -468,6 +469,51 @@ class PolarHttpServer(
         s""""tail":${l.tail},"lag":${l.lag}}""").mkString("[", ",", "]")
     respond(ex, 200,
       s"""{"group":${PolarHttpServer.jsonStr(g)},"topic":"$t","partitions":$body}""",
+      "application/json")
+  }
+
+  /** `POST /v1/admin/groups/reset?group=g&topic=t&mode=to-earliest|
+    * to-latest|to-timestamp|shift-by[&timestamp=..][&shift=..]` — the
+    * `kafka-consumer-groups --reset-offsets` admin surface over
+    * [[ConsumerGroups.resetOffsets]]; `timestamp` takes epoch millis or an
+    * ISO-8601 instant (the startingTimestamp convention). Responds with
+    * the group's new per-partition positions; the lag endpoint reflects
+    * them immediately. */
+  private def handleGroupReset(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    def param(k: String) = q.get(k).flatMap(_.headOption)
+    val g = param("group").getOrElse(throw HttpError(400, "group is required"))
+    val t = param("topic").getOrElse(throw HttpError(400, "topic is required"))
+    if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+    if (!ConsumerGroups.validGroupName(g)) throw HttpError(400, "Invalid group")
+    val mode = param("mode").getOrElse(throw HttpError(400, "mode is required")) match {
+      case "to-earliest" => ConsumerGroups.ToEarliest
+      case "to-latest" => ConsumerGroups.ToLatest
+      case "to-timestamp" =>
+        val ts = param("timestamp").getOrElse(
+          throw HttpError(400, "mode=to-timestamp requires timestamp"))
+        val micros = scala.util.Try(ts.trim.toLong).map(_ * 1000L).getOrElse {
+          try {
+            val i = java.time.Instant.parse(ts)
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          } catch { case _: java.time.format.DateTimeParseException =>
+            throw HttpError(400, "timestamp must be epoch millis or ISO-8601") }
+        }
+        ConsumerGroups.ToTimestamp(micros)
+      case "shift-by" =>
+        val n = param("shift").getOrElse(
+          throw HttpError(400, "mode=shift-by requires shift"))
+        scala.util.Try(n.trim.toLong).map(ConsumerGroups.ShiftBy.apply)
+          .getOrElse(throw HttpError(400, "shift must be an integer"))
+      case other => throw HttpError(400, s"unknown mode '$other'")
+    }
+    val next =
+      try ConsumerGroups.resetOffsets(spark, cfgOf(t), g, mode)
+      catch { case e: IllegalArgumentException => throw HttpError(404, e.getMessage) }
+    val body = next.toSeq.sorted
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    respond(ex, 200,
+      s"""{"group":${PolarHttpServer.jsonStr(g)},"topic":"$t","offsets":$body}""",
       "application/json")
   }
 

@@ -109,6 +109,52 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(records.last === 4L)
   }
 
+  test("admin group reset: to-earliest/to-latest/to-timestamp/shift-by, lag reflects") {
+    val topic = "resetep"
+    (0 until 8).foreach { i =>
+      val r = post(s"/v1/topic/$topic/messages?partitionKey=r$i&timestamp=${1000000000L + 1000L * i}",
+        s"""{"r":$i}""".getBytes(UTF_8), Seq("Content-Type" -> "application/json"))
+      assert(r.statusCode() === 200, r.body())
+    }
+    // register + drain + auto-commit so the group doc exists at tail
+    put(s"/v1/consumer/register?consumerId=rc&group=rg&topic=$topic&onNewGroup=startFromEarliest")
+    assert(post("/v1/consumer/poll?consumerId=rc", Array.empty,
+      Seq("Accept" -> "application/json")).statusCode() === 200)
+    assert(post("/v1/consumer/commit?consumerId=rc", Array.empty).statusCode() === 204)
+    def totalLag(): Long =
+      """"lag":(\d+)""".r.findAllMatchIn(
+        get(s"/v1/consumer/groups/lag?group=rg&topic=$topic").body())
+        .map(_.group(1).toLong).sum
+    assert(totalLag() === 0L)
+    // validation
+    assert(post(s"/v1/admin/groups/reset?group=rg&topic=$topic", Array.empty)
+      .statusCode() === 400) // mode required
+    assert(post(s"/v1/admin/groups/reset?group=rg&topic=$topic&mode=to-timestamp",
+      Array.empty).statusCode() === 400) // timestamp required
+    assert(post(s"/v1/admin/groups/reset?group=nope&topic=$topic&mode=to-earliest",
+      Array.empty).statusCode() === 404) // unregistered group
+    // to-earliest: everything pending again
+    val rEarliest = post(s"/v1/admin/groups/reset?group=rg&topic=$topic&mode=to-earliest",
+      Array.empty)
+    assert(rEarliest.statusCode() === 200, rEarliest.body())
+    assert(rEarliest.body().contains("\"offsets\":{"))
+    assert(totalLag() === 8L)
+    // to-timestamp (epoch millis): the two newest records remain pending
+    val cutMs = 1000000000L + 1000L * 6 // ts of record 6, in micros
+    val rTs = post(s"/v1/admin/groups/reset?group=rg&topic=$topic&mode=to-timestamp" +
+      s"&timestamp=${cutMs / 1000L}", Array.empty)
+    assert(rTs.statusCode() === 200, rTs.body())
+    assert(totalLag() === 2L)
+    // shift-by rewinds from the current positions, clamped at earliest
+    assert(post(s"/v1/admin/groups/reset?group=rg&topic=$topic&mode=shift-by&shift=-100",
+      Array.empty).statusCode() === 200)
+    assert(totalLag() === 8L)
+    // to-latest: caught up
+    assert(post(s"/v1/admin/groups/reset?group=rg&topic=$topic&mode=to-latest",
+      Array.empty).statusCode() === 200)
+    assert(totalLag() === 0L)
+  }
+
   test("json produce + register + poll + commit + goodbye flow") {
     val topic = "flow"
     (0 until 6).foreach { i =>
