@@ -145,8 +145,14 @@ final class HnswIndex(m: Int, efConstruction: Int) {
     if (lvl > topLevel) { topLevel = lvl; entry = node }
   }
 
-  /** Top-k by cosine similarity: (id, sim) best-first, ties to lower id. */
-  def searchKnn(q: Array[Float], ef: Int, k: Int): Seq[(Long, Double)] = {
+  /** Top-k by cosine similarity: (id, sim) best-first, ties to lower id.
+    * `excluded` ids are FILTERED FROM THE RESULTS but still traversed —
+    * the standard tombstone-delete treatment for graph ANN (removing
+    * nodes would tear the small-world connectivity; a periodic rebuild
+    * compacts instead, [[Similarity.hnswIndexCompact]]). */
+  def searchKnn(
+      q: Array[Float], ef: Int, k: Int,
+      excluded: Long => Boolean = _ => false): Seq[(Long, Double)] = {
     if (entry < 0) return Seq.empty
     var ep = Seq(entry)
     var lc = topLevel
@@ -155,6 +161,7 @@ final class HnswIndex(m: Int, efConstruction: Int) {
       lc -= 1
     }
     searchLayer(q, ep, math.max(ef, k), 0)
+      .iterator.filterNot { case (_, n) => excluded(ids(n)) }
       .take(k).map { case (d, n) => (ids(n), -d) }.toSeq
   }
 

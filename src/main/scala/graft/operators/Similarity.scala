@@ -282,6 +282,90 @@ object Similarity {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // re-appending a TOMBSTONED id resurrects it: drop it from the side
+    // table (bounded — the tombstone set is deletes-since-compaction)
+    val dead = hnswTombstones(spark, path)
+    if (dead.nonEmpty) {
+      val res = fresh.filter(col("id").isin(dead.toSeq.map(Long.box): _*))
+        .select(col("id")).distinct().as[Long].collect().toSet
+      if (res.nonEmpty) {
+        val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(t, true)
+        val remaining = (dead -- res).toSeq
+        if (remaining.nonEmpty) hnswIndexDelete(spark, path, remaining)
+      }
+    }
+  }
+
+  /**
+   * DELETE ids from a persisted [[hnswIndexWrite]] layout — tombstones,
+   * not graph surgery: removing nodes would tear the small-world
+   * connectivity, so deletes append to a `_tombstones/` side table
+   * (underscore-prefixed: invisible to the index scan) and probes filter
+   * them from the beam OUTPUT while still traversing them — the standard
+   * mark-delete treatment of every production graph-ANN store.
+   * [[hnswIndexCompact]] physically rebuilds once tombstones accumulate.
+   * Idempotent (re-deleting is a no-op at probe time); unknown ids are
+   * harmless.
+   */
+  def hnswIndexDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF("id").write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** The index's live tombstone set — bounded by deletes since the last
+    * compaction (compaction clears it); ships to executors inside the
+    * probe closures. */
+  private def hnswTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[Long] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).select(col("id").cast("long"))
+      .as[Long].collect().toSet
+  }
+
+  /**
+   * COMPACT a persisted HNSW index: rebuild every shard's graph WITHOUT
+   * the tombstoned ids (fresh deterministic insertion — levels are
+   * id-derived, so the result equals an index never containing them),
+   * overwrite the layout, and clear the tombstone table. Run it once
+   * tombstones pass a deployment's threshold (e.g. 10–20% of the index);
+   * until then probes pay only the result-filter. The rebuilt rows are
+   * localCheckpoint-materialized before the overwrite so the write never
+   * reads the files it is replacing.
+   */
+  def hnswIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int = 16,
+      efConstruction: Int = 128): Unit = {
+    import spark.implicits._
+    val dead = hnswTombstones(spark, path)
+    val rebuilt = spark.read.parquet(path)
+      .select(col("shard").cast("int"), col("id"), col("v"))
+      .as[(Int, Long, Array[Float])]
+      .filter(r => !dead.contains(r._2))
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val idx = new HnswIndex(m, efConstruction)
+        it.toArray.sortBy(_._2).foreach { case (_, id, v) => idx.add(id, v) }
+        idx.exportNodes().map { case (id, v, lvl, nbrs) =>
+          (shard, id, v, lvl, nbrs)
+        }
+      }
+      .toDF("shard", "id", "v", "level", "nbrs")
+      .localCheckpoint(true)
+    rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path)
+    val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   /**
@@ -291,7 +375,8 @@ object Similarity {
    * and beam-searched; the per-shard top-k merge is one TakeOrdered.
    * Every shard is probed — HNSW sharding is hash-split, not
    * centroid-routed like IVF — but each probe is sub-linear beam work,
-   * and shards probe in parallel across executors.
+   * and shards probe in parallel across executors. Tombstoned ids
+   * ([[hnswIndexDelete]]) are excluded from the beam output exactly.
    */
   def hnswIndexProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -303,6 +388,7 @@ object Similarity {
       efSearch: Int = 512): DataFrame = {
     import spark.implicits._
     val q = queryVec.toArray
+    val dead = hnswTombstones(spark, path)
     spark.read.parquet(path)
       .select(col("shard").cast("int"), col("id"), col("v"),
         col("level").cast("int"), col("nbrs"))
@@ -311,7 +397,7 @@ object Similarity {
       .flatMapGroups { (_, it) =>
         val rows = it.map(r => (r._2, r._3, r._4, r._5)).toSeq
         val idx = HnswIndex.fromAdjacency(m, efConstruction, rows)
-        idx.searchKnn(q, math.max(efSearch, k), k).iterator.map {
+        idx.searchKnn(q, math.max(efSearch, k), k, dead.contains).iterator.map {
           case (id, sim) =>
             (id, BigDecimal(sim)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -343,6 +429,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val qArr = queries.map { case (qid, v) => (qid, v.toArray) }
+    val dead = hnswTombstones(spark, path)
     spark.read.parquet(path)
       .select(col("shard").cast("int"), col("id"), col("v"),
         col("level").cast("int"), col("nbrs"))
@@ -352,7 +439,7 @@ object Similarity {
         val rows = it.map(r => (r._2, r._3, r._4, r._5)).toSeq
         val idx = HnswIndex.fromAdjacency(m, efConstruction, rows)
         qArr.iterator.flatMap { case (qid, q) =>
-          idx.searchKnn(q, math.max(efSearch, k), k).iterator.map {
+          idx.searchKnn(q, math.max(efSearch, k), k, dead.contains).iterator.map {
             case (id, sim) =>
               (qid, id, BigDecimal(sim)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -740,6 +740,52 @@ object PipelineQueries extends QueryRegistry {
         ORDER BY sim DESC, id LIMIT 10""")),
 
     QueryDef(
+      "sim_ann_hnsw_delete",
+      // HNSW DELETE lifecycle: tombstone a deterministic slice of the
+      // indexed corpus (mark-delete — graph surgery would tear small-world
+      // connectivity), probe → deleted ids excluded EXACTLY (oracle ranks
+      // the surviving corpus); then COMPACT (physical rebuild without the
+      // tombstoned nodes, side table cleared) and re-probe → identical
+      // ranking, asserted in-gate. Completes the index story:
+      // build → append → delete → compact.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_hnsw_del").toString
+        Similarity.hnswIndexWrite(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", path, shards = 8)
+        val doomed = emb.filter(col("vec_id") =!= 0 &&
+            pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+        Similarity.hnswIndexDelete(s, path, doomed)
+        val probed = Similarity.hnswIndexProbe(s, path, qv, 10)
+        val rows = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        require(rows.map(_._1).toSet.intersect(doomed.toSet).isEmpty,
+          "tombstoned ids leaked into the probe")
+        // compaction: rebuilt index must answer identically, side table gone
+        Similarity.hnswIndexCompact(s, path)
+        val after = Similarity.hnswIndexProbe(s, path, qv, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        require(after == rows,
+          s"compacted index diverged: $after vs $rows")
+        val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        require(!t.getFileSystem(s.sparkContext.hadoopConfiguration).exists(t),
+          "compaction must clear the tombstone table")
+        s.createDataFrame(rows).toDF("id", "sim")
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0 AND vec_id % 7 <> 3
+        ORDER BY sim DESC, id LIMIT 10""")),
+
+    QueryDef(
       "sim_ann_hnsw_batch",
       // BATCH SERVING over the persisted HNSW index: two query vectors
       // answered in one pass — each shard graph reconstructed once for

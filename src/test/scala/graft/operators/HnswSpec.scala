@@ -164,6 +164,45 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === bruteTopK(300, dim, q.toArray, 10))
   }
 
+  test("persisted index: tombstone delete, resurrection on re-append, compaction") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16
+    val path = java.nio.file.Files.createTempDirectory("hnsw_del_spec").toString
+    val all = (1 to 300).map(i => (i.toLong, vecOf(i, dim)))
+    Similarity.hnswIndexWrite(all.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    val q = vecOf(4444L, dim)
+    def bruteWithout(dead: Set[Long]): Seq[Long] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { val x = a(i).toDouble; val y = b(i).toDouble
+          d += x * y; na += x * x; nb += y * y; i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      (1 to 300).map(_.toLong).filterNot(dead.contains)
+        .map(id => (id, cos(vecOf(id, dim), q)))
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    }
+    def probe(): Seq[Long] = Similarity.hnswIndexProbe(sp, path, q.toSeq, 10,
+      m = 8, efConstruction = 64, efSearch = 300).collect().map(_.getLong(0)).toSeq
+    // delete the current top-3: the probe must surface the next ranks
+    val doomed = bruteTopK(300, dim, q, 10).take(3)
+    Similarity.hnswIndexDelete(sp, path, doomed)
+    assert(probe() === bruteWithout(doomed.toSet))
+    // re-appending one deleted id resurrects it
+    val back = doomed.head
+    Similarity.hnswIndexAppend(Seq((back, vecOf(back, dim))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", path, shards = 4, m = 8, efConstruction = 64)
+    assert(probe() === bruteWithout(doomed.toSet - back))
+    // compaction rebuilds without the remaining tombstones and clears them
+    Similarity.hnswIndexCompact(sp, path, m = 8, efConstruction = 64)
+    assert(probe() === bruteWithout(doomed.toSet - back))
+    assert(sp.read.parquet(path).count() === 300 - (doomed.size - 1))
+    val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    assert(!t.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(t))
+  }
+
   test("operator: partitioning-invariant exact top-k at covering ef") {
     val sp = spark
     import sp.implicits._
