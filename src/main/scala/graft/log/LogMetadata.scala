@@ -247,7 +247,13 @@ object LogMetadata {
     * immediate-empty fast path. */
   private val MaxReadRetries = 5
 
+  /** Root-doc read counter (diagnostics/specs): one increment per
+    * [[read]] call — the number an object store would bill as GETs of
+    * the topic doc. Monotone, JVM-wide; tests snapshot-and-diff. */
+  val rootReads = new java.util.concurrent.atomic.AtomicLong()
+
   def read(cfg: TopicConfig): LogMetadata = {
+    rootReads.incrementAndGet()
     val path = new Path(cfg.metadataPath)
     val fc = FileContext.getFileContext(path.toUri, hadoopConf)
     var attempt = 0

@@ -613,22 +613,22 @@ object PolarLogQueries extends QueryRegistry {
         // off_span / min_off are all oracle-computable from `events` plus
         // the placement mirror, proving the cut deleted a dense prefix and
         // nothing else.
-        val root = Files.createTempDirectory("graft_polar_ret").toString
-        val cfg = TopicConfig(root, "ret")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(2)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(0), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
-        Thread.sleep(600) // separate the two commits' createdMs
-        PolarLog.produce(slice(1), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
+        // clone the shared 4-commit fixture (mutating gate); a sweep whose
+        // window lands between commits 2 and 3 must delete exactly the
+        // first two slices' segments
+        val (shared, versions) = SharedTopics.segmentedEvents(s, dir)
+        val cfg = SharedTopics.cloneTopic(shared)
         val meta = LogMetadata.read(cfg)
-        val cutoff = (meta.files.map(_.createdMs).min +
-          meta.files.map(_.createdMs).max) / 2
+        val v2files = LogMetadata.readAt(cfg, versions(1)).files
+          .map(f => (f.part, f.name)).toSet
+        val older = meta.files.filter(f => v2files.contains((f.part, f.name)))
+          .map(_.createdMs).max
+        val newer = meta.files.filterNot(f => v2files.contains((f.part, f.name)))
+          .map(_.createdMs).min
+        require(older < newer, "fixture commits lack a createdMs gap")
+        val cutoff = (older + newer) / 2
         val now = System.currentTimeMillis()
-        new RetentionScheduler(root, retentionMs = now - cutoff).sweep(now)
+        new RetentionScheduler(cfg.root, retentionMs = now - cutoff).sweep(now)
         PolarLog.consume(s, cfg)
           .groupBy(col("part"))
           .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
@@ -636,18 +636,18 @@ object PolarLogQueries extends QueryRegistry {
       },
       Some(s"""
         WITH recs AS (
-          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 2 AS rem FROM events),
+          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 4 AS rem FROM events),
         keys AS (SELECT DISTINCT pk FROM recs),
         ${OracleSql.murmur3H1ShortKeyCtes},
         placed AS (
           SELECT r.pk, r.rem, CAST($part34Sql AS INTEGER) AS part
           FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
         SELECT part,
-               CAST(SUM(CASE WHEN rem = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n,
                COUNT(*) AS off_span,
-               CAST(SUM(CASE WHEN rem = 0 THEN 1 ELSE 0 END) AS BIGINT) AS min_off
+               CAST(SUM(CASE WHEN rem < 2 THEN 1 ELSE 0 END) AS BIGINT) AS min_off
         FROM placed GROUP BY part
-        HAVING SUM(CASE WHEN rem = 1 THEN 1 ELSE 0 END) > 0""")),
+        HAVING SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) > 0""")),
 
     QueryDef(
       "polar_compact",
@@ -658,14 +658,9 @@ object PolarLogQueries extends QueryRegistry {
         // rows preserved exactly (the consume aggregate replays from
         // `events`), and the oracle-checkable n_files column proves every
         // data-bearing partition ended at ONE registered file.
-        val root = Files.createTempDirectory("graft_polar_cp").toString
-        val cfg = TopicConfig(root, "cmp")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(4)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        (0 until 4).foreach(r => PolarLog.produce(slice(r), cfg,
-          orderBy = Seq(col("timestamp"), col("value"))))
+        // clone the shared 4-commit fixture (mutating gate): four small
+        // segments per data-bearing partition, compacted to one
+        val cfg = SharedTopics.cloneTopic(SharedTopics.segmentedEvents(s, dir)._1)
         val merged = graft.sources.PolarCompaction.compact(s, cfg,
           smallBytes = 1L << 30, minRun = 2)
         require(merged > 0, "compaction merged nothing")
@@ -701,14 +696,8 @@ object PolarLogQueries extends QueryRegistry {
         // registered. The gate asserts files were merged AND reclaimed,
         // then replays the consume aggregate — registry-planned reads are
         // byte-identical before and after the reclaim.
-        val root = Files.createTempDirectory("graft_polar_vac").toString
-        val cfg = TopicConfig(root, "vac")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(4)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        (0 until 4).foreach(r => PolarLog.produce(slice(r), cfg,
-          orderBy = Seq(col("timestamp"), col("value"))))
+        // clone the shared 4-commit fixture (mutating gate)
+        val cfg = SharedTopics.cloneTopic(SharedTopics.segmentedEvents(s, dir)._1)
         val merged = graft.sources.PolarCompaction.compact(s, cfg,
           smallBytes = 1L << 30, minRun = 2, deleteOriginals = false)
         require(merged > 0, "compaction merged nothing")
@@ -752,25 +741,13 @@ object PolarLogQueries extends QueryRegistry {
       // both the base (≤ v1) and the post-window produce (> v3). Counts
       // per key hash-verified from the raw table.
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_polar_cdf").toString
-        val cfg = TopicConfig(root, "cdf")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(4)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        def produce(rem: Int): Long = {
-          PolarLog.produce(slice(rem), cfg,
-            orderBy = Seq(col("timestamp"), col("value")))
-          LogMetadata.read(cfg).version
-        }
-        val v1 = produce(0)
-        produce(1)
-        val v3 = produce(2)
-        produce(3)
+        // reads the SHARED segmented fixture in place (4 commits of the
+        // %4 slices): the (v1, v3] window must be exactly slices 1 and 2
+        val (cfg, versions) = SharedTopics.segmentedEvents(s, dir)
         s.read.format("polar")
           .option("root", cfg.root).option("topic", cfg.topic)
-          .option("startingVersion", v1.toString)
-          .option("endingVersion", v3.toString)
+          .option("startingVersion", versions(0).toString)
+          .option("endingVersion", versions(2).toString)
           .load()
           .groupBy(col("partitionKey").as("pk"))
           .agg(count(lit(1)).as("n"))
@@ -788,37 +765,29 @@ object PolarLogQueries extends QueryRegistry {
       // and latest-per-key values hash-verified against the raw table.
       (s, dir) => {
         graft.GraftSession.ensureFunctions(s)
-        val root = Files.createTempDirectory("graft_polar_tvf").toString
-        val cfg = TopicConfig(root, "tvf")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(3)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(0), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
-        val v1 = LogMetadata.read(cfg).version
-        PolarLog.produce(slice(1), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
-        PolarLog.produce(slice(2), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
+        // read-only over the shared 4-commit fixture: polar_changes replays
+        // the (v1, head] window (slices 1-3), polar_compacted the latest
+        // record per key across all four commits
+        val (cfg, versions) = SharedTopics.segmentedEvents(s, dir)
         s.sql(s"""
           SELECT c.pk, c.n_changed, k.last_value FROM
             (SELECT partitionKey AS pk, COUNT(*) AS n_changed
-             FROM polar_changes('$root', 'tvf', $v1) GROUP BY 1) c
+             FROM polar_changes('${cfg.root}', '${cfg.topic}', ${versions(0)})
+             GROUP BY 1) c
           JOIN
             (SELECT partitionKey AS pk, CAST(value AS STRING) AS last_value
-             FROM polar_compacted('$root', 'tvf')) k
+             FROM polar_compacted('${cfg.root}', '${cfg.topic}')) k
           USING (pk)""")
       },
       Some("""
         WITH ch AS (
           SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n_changed
-          FROM events WHERE event_id % 3 IN (1, 2) GROUP BY 1),
+          FROM events WHERE event_id % 4 IN (1, 2, 3) GROUP BY 1),
         last AS (
           SELECT pk, last_value FROM (
             SELECT CAST(user_id AS VARCHAR) AS pk, props AS last_value,
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                     ORDER BY event_id % 3 DESC,
+                     ORDER BY event_id % 4 DESC,
                               CAST(ts AS TIMESTAMP) DESC, props DESC) AS rn
             FROM events) WHERE rn = 1)
         SELECT ch.pk AS pk, ch.n_changed, last.last_value
@@ -982,16 +951,9 @@ object PolarLogQueries extends QueryRegistry {
         // one file each, merged to one); the dry run must COUNT them
         // without deleting anything — asserted by re-listing — and the
         // real vacuum must then reclaim exactly the dry-run's number.
-        val root = Files.createTempDirectory("graft_polar_dry").toString
-        val cfg = TopicConfig(root, "dry")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(2)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(0), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
-        PolarLog.produce(slice(1), cfg,
-          orderBy = Seq(col("timestamp"), col("value")))
+        // clone the shared 4-commit fixture (mutating gate): up to four
+        // superseded originals per data-bearing partition
+        val cfg = SharedTopics.cloneTopic(SharedTopics.segmentedEvents(s, dir)._1)
         require(graft.sources.PolarCompaction.compact(s, cfg,
           smallBytes = 1L << 30, minRun = 2, deleteOriginals = false) > 0,
           "compaction merged nothing")
@@ -1015,7 +977,7 @@ object PolarLogQueries extends QueryRegistry {
       },
       Some(s"""
         WITH recs AS (
-          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 2 AS rem
+          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 4 AS rem
           FROM events),
         keys AS (SELECT DISTINCT pk FROM recs),
         ${OracleSql.murmur3H1ShortKeyCtes},
@@ -1023,11 +985,8 @@ object PolarLogQueries extends QueryRegistry {
           SELECT r.pk, r.rem, CAST($part34Sql AS INTEGER) AS part
           FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
         pp AS (
-          SELECT part,
-                 MAX(CASE WHEN rem = 0 THEN 1 ELSE 0 END) AS h0,
-                 MAX(CASE WHEN rem = 1 THEN 1 ELSE 0 END) AS h1
-          FROM placed GROUP BY part)
-        SELECT CAST(2 * SUM(CASE WHEN h0 = 1 AND h1 = 1 THEN 1 ELSE 0 END)
+          SELECT part, COUNT(DISTINCT rem) AS nf FROM placed GROUP BY part)
+        SELECT CAST(SUM(CASE WHEN nf >= 2 THEN nf ELSE 0 END)
                  AS BIGINT) AS n_reclaimable,
                COUNT(*) AS n_files_after
         FROM pp""")),
@@ -1042,28 +1001,23 @@ object PolarLogQueries extends QueryRegistry {
         // both. Snapshot isolation over the tail-append registry — the
         // lakehouse counterpart of the reference's versioned ownership
         // doc (SURVEY §2 A11/A27).
-        val root = Files.createTempDirectory("graft_polar_tt").toString
-        val cfg = TopicConfig(root, "tt")
-        def slice(cond: org.apache.spark.sql.Column) = Tables.events(s, dir)
-          .filter(cond)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(pmod(col("event_id"), lit(3)) === 0), cfg)
-        val v1 = LogMetadata.read(cfg).version
-        PolarLog.produce(slice(pmod(col("event_id"), lit(3)) =!= 0), cfg)
+        // read-only over the shared 4-commit fixture: as-of v1 sees slice
+        // 0 exactly, the head sees all four
+        val (cfg, versions) = SharedTopics.segmentedEvents(s, dir)
         def rd(asOf: Option[Long]) = {
           val r = s.read.format("polar")
             .option("root", cfg.root).option("topic", cfg.topic)
           asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load()
         }
-        rd(Some(v1)).select(lit("asof").as("snapshot"), col("partitionKey"))
+        rd(Some(versions(0)))
+          .select(lit("asof").as("snapshot"), col("partitionKey"))
           .unionAll(rd(None).select(lit("head").as("snapshot"), col("partitionKey")))
           .groupBy(col("snapshot"), col("partitionKey").cast("long").as("user_id"))
           .agg(count(lit(1)).as("n"))
       },
       Some("""
         SELECT 'asof' AS snapshot, user_id, COUNT(*) AS n
-        FROM events WHERE event_id % 3 = 0 GROUP BY 2
+        FROM events WHERE event_id % 4 = 0 GROUP BY 2
         UNION ALL
         SELECT 'head' AS snapshot, user_id, COUNT(*) AS n
         FROM events GROUP BY 2""")),
@@ -1078,15 +1032,12 @@ object PolarLogQueries extends QueryRegistry {
         // After vacuum reclaims the orphans, the same as-of read fails
         // LOUDLY at scan, never silently partial — the snapshot-isolation
         // contract every table format documents for vacuumed versions.
-        val root = Files.createTempDirectory("graft_polar_ttc").toString
-        val cfg = TopicConfig(root, "ttc")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(2)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(0), cfg)
-        val v1 = LogMetadata.read(cfg).version
-        PolarLog.produce(slice(1), cfg)
+        // clone the shared 4-commit fixture (mutating gate): as-of v1 is
+        // slice 0, materialized before vacuum reclaims its segments
+        val (shared, versions) = SharedTopics.segmentedEvents(s, dir)
+        val cfg = SharedTopics.cloneTopic(shared)
+        val v1 = versions(0)
+        val headCount = LogMetadata.read(cfg).producerOffsets.sum
         val merged = graft.sources.PolarCompaction.compact(s, cfg,
           smallBytes = 1L << 30, minRun = 2, deleteOriginals = false)
         require(merged > 0, "compaction merged nothing")
@@ -1099,8 +1050,8 @@ object PolarLogQueries extends QueryRegistry {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val reclaimed = PolarLog.vacuum(cfg, dataGraceMs = 0L)
         require(reclaimed > 0, "vacuum reclaimed no superseded segments")
-        require(PolarLog.consume(s, cfg).count() ==
-          asofRows.map(_._2).sum + slice(1).count(), "head read perturbed")
+        require(PolarLog.consume(s, cfg).count() == headCount,
+          "head read perturbed")
         // the probe must touch DATA: a bare count(*) is answered from the
         // registry's dense offset stats without file I/O (and stays right)
         val failsLoud = scala.util.Try(asof.select(col("value")).collect()).isFailure
@@ -1109,7 +1060,7 @@ object PolarLogQueries extends QueryRegistry {
       },
       Some("""
         SELECT user_id, COUNT(*) AS n, TRUE AS fails_after_vacuum
-        FROM events WHERE event_id % 2 = 0 GROUP BY 1""")),
+        FROM events WHERE event_id % 4 = 0 GROUP BY 1""")),
 
     QueryDef(
       "polar_changes",
@@ -1119,25 +1070,17 @@ object PolarLogQueries extends QueryRegistry {
         // from the first commit or from appends past v2. Incremental batch
         // consumption via version checkpoints instead of a streaming
         // checkpoint (the Delta-CDF pattern over the append-only log).
-        val root = Files.createTempDirectory("graft_polar_cf").toString
-        val cfg = TopicConfig(root, "cf")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(3)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(0), cfg)
-        val v1 = LogMetadata.read(cfg).version
-        PolarLog.produce(slice(1), cfg)
-        val v2 = LogMetadata.read(cfg).version
-        PolarLog.produce(slice(2), cfg)
-        PolarLog.changesBetween(s, cfg, v1, Some(v2))
+        // read-only over the shared 4-commit fixture: the (v1, v2] delta
+        // is exactly slice 1 — no leakage from the base or later commits
+        val (cfg, versions) = SharedTopics.segmentedEvents(s, dir)
+        PolarLog.changesBetween(s, cfg, versions(0), Some(versions(1)))
           .groupBy(col("partitionKey").cast("long").as("user_id"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("value").cast("string")).as("n_vals"))
       },
       Some("""
         SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT props) AS n_vals
-        FROM events WHERE event_id % 3 = 1 GROUP BY 1""")),
+        FROM events WHERE event_id % 4 = 1 GROUP BY 1""")),
 
     QueryDef(
       "polar_history",
@@ -1147,13 +1090,9 @@ object PolarLogQueries extends QueryRegistry {
         // replays from the raw table; in-doc commit times must be
         // monotone with version order (the versionAt binary-search
         // invariant, asserted in-gate — wall times aren't replayable).
-        val root = Files.createTempDirectory("graft_polar_h").toString
-        val cfg = TopicConfig(root, "hist")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(3)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        (0 until 3).foreach(r => PolarLog.produce(slice(r), cfg))
+        // read-only over the shared 4-commit fixture: four retained
+        // versions with cumulative %4-slice record counts
+        val (cfg, _) = SharedTopics.segmentedEvents(s, dir)
         val hist = LogMetadata.history(cfg)
         require(hist.map(_.commitMs) == hist.map(_.commitMs).sorted &&
           hist.forall(_.commitMs > 0), "commit times not monotone with versions")
@@ -1162,12 +1101,14 @@ object PolarLogQueries extends QueryRegistry {
       },
       Some("""
         WITH c AS (SELECT
-          CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-          CAST(SUM(CASE WHEN event_id % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN event_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(SUM(CASE WHEN event_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n012,
           COUNT(*) AS nall FROM events)
         SELECT CAST(1 AS BIGINT) AS version, n0 AS n_records FROM c
         UNION ALL SELECT CAST(2 AS BIGINT), n01 FROM c
-        UNION ALL SELECT CAST(3 AS BIGINT), nall FROM c""")),
+        UNION ALL SELECT CAST(3 AS BIGINT), n012 FROM c
+        UNION ALL SELECT CAST(4 AS BIGINT), nall FROM c""")),
 
     QueryDef(
       "pipeline_dataset_card_log",

@@ -19,6 +19,9 @@ object SharedTopics {
   private val map =
     scala.collection.concurrent.TrieMap.empty[(String, String), (TopicConfig, Long)]
 
+  private val segMap =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (TopicConfig, Seq[Long])]
+
   /** The shared props-valued events topic, produced on first use. */
   def eventsProps(s: SparkSession, dir: String): (TopicConfig, Long) =
     map.getOrElseUpdate((s.sparkContext.applicationId, dir), {
@@ -36,4 +39,43 @@ object SharedTopics {
         orderBy = Seq(col("timestamp"), col("value")))
       (cfg, res.recordsWritten)
     })
+
+  /** The shared SEGMENTED fixture: the events table sliced by
+    * `event_id % 4`, each slice its own commit (versions 1..4, distinct
+    * createdMs — a short sleep separates commits so retention cutoffs are
+    * unambiguous), ordered by (timestamp, value) within each commit.
+    * Read-only gates (change feeds, history, time travel, TVFs) read it IN
+    * PLACE — many consumers of one log is the reference's own model;
+    * mutating gates (retention / compaction / vacuum) [[cloneTopic]] it
+    * first. Returns (cfg, commit versions). Produced once per (session,
+    * sfDir): one produce + three clones replace ~26 per-gate produce jobs
+    * across the battery. */
+  def segmentedEvents(s: SparkSession, dir: String): (TopicConfig, Seq[Long]) =
+    segMap.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val root = Files.createTempDirectory("graft_shared_seg").toString
+      val cfg = TopicConfig(root, "segev")
+      val versions = (0 until 4).map { r =>
+        if (r > 0) Thread.sleep(150)
+        PolarLog.produce(Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(4)) === r)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value")),
+          cfg, orderBy = Seq(col("timestamp"), col("value")))
+        graft.log.LogMetadata.read(cfg).version
+      }
+      (cfg, versions.toSeq)
+    })
+
+  /** Copy a topic's directory tree (data + manifests + root doc — the
+    * layout is location-independent, file registries carry relative
+    * names) into a fresh temp root: the cheap way for a MUTATING gate to
+    * get a private fixture instead of re-producing one. */
+  def cloneTopic(cfg: TopicConfig): TopicConfig = {
+    val root2 = Files.createTempDirectory("graft_clone").toString
+    val src = new org.apache.hadoop.fs.Path(cfg.dir)
+    val dst = new org.apache.hadoop.fs.Path(s"$root2/${cfg.topic}")
+    val fs = src.getFileSystem(graft.log.HadoopConf.shared)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, fs.getConf)
+    TopicConfig(root2, cfg.topic, cfg.clusterSize, cfg.rangesPerToken)
+  }
 }

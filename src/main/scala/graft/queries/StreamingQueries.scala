@@ -71,16 +71,13 @@ object StreamingQueries extends QueryRegistry {
         // from the first — and must equal the batch changesBetween plan
         // record-for-record (asserted in-gate; the oracle replays the
         // aggregate from the raw table).
+        // read-only over the SHARED 4-commit fixture: a startingVersion=v1
+        // stream drained with AvailableNow must deliver exactly the
+        // (v1, head] window — slices 1..3, nothing from the base commit —
+        // and must equal the batch changesBetween plan record-for-record.
+        val (cfg, versions) = SharedTopics.segmentedEvents(s, dir)
+        val v1 = versions(0)
         val root = Files.createTempDirectory("graft_stream_cf").toString
-        val cfg = TopicConfig(root, "cf")
-        def slice(rem: Int) = Tables.events(s, dir)
-          .filter(pmod(col("event_id"), lit(3)) === rem)
-          .select(col("user_id").cast("string").as("partitionKey"),
-            col("ts").as("timestamp"), col("props").as("value"))
-        PolarLog.produce(slice(0), cfg)
-        val v1 = graft.log.LogMetadata.read(cfg).version
-        PolarLog.produce(slice(1), cfg)
-        PolarLog.produce(slice(2), cfg)
         // pace the drain into ~3 micro-batches (batch-boundary coverage)
         // scaled to the window size — a FIXED cap turns into hundreds of
         // trigger rounds at bench SF, pure scheduling overhead
@@ -108,7 +105,7 @@ object StreamingQueries extends QueryRegistry {
       },
       Some("""
         SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT props) AS n_vals
-        FROM events WHERE event_id % 3 <> 0 GROUP BY 1""")),
+        FROM events WHERE event_id % 4 <> 0 GROUP BY 1""")),
 
     QueryDef(
       "stream_pipe",

@@ -76,6 +76,31 @@ class PolarStreamSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       meta.sinkCommits)
   }
 
+  test("sink metadata reads scale with epochs, not tasks (per-epoch bases)") {
+    val dst = TopicConfig(root, "meta_dst")
+    PolarLog.produce(records(0, 50), dst) // topic exists with real tails
+    val schema = PolarLog.ValueSchema
+      .add(org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val w = new PolarStreamingWrite(dst, schema,
+      PolarWrite.DefaultMaxFileBytes, "qid-meta")
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 8
+    }
+    // the per-EPOCH factory hook reads the doc exactly once (driver-side)…
+    val before = LogMetadata.rootReads.get()
+    val factory = w.createStreamingWriterFactory(info)
+    assert(LogMetadata.rootReads.get() - before === 1L)
+    // …and the per-TASK writer opens read ZERO metadata (was 1 per task
+    // per epoch — 1,000 GETs/s of the same doc at 1,000-partition × 1 s
+    // triggers); the bases ride the serialized factory instead
+    val atFactory = LogMetadata.rootReads.get()
+    val writers = (0 until 8).map(i => factory.createWriter(i, i.toLong, 0L))
+    assert(LogMetadata.rootReads.get() === atFactory,
+      "task-side writer open read the topic doc")
+    writers.foreach(_.abort())
+  }
+
   test("a replayed epoch is dropped at the CAS authority, not re-registered") {
     val src = TopicConfig(root, "replay_src")
     val dst = TopicConfig(root, "replay_dst")
