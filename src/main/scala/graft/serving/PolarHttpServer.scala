@@ -208,6 +208,29 @@ class PolarHttpServer(
         case ("GET", "/v1/consumer/groups/describe") => handleGroupDescribe(ex)
         case ("GET", "/v1/consumer/groups/lag") => handleGroupLag(ex)
         case ("POST", "/v1/admin/groups/reset") => handleGroupReset(ex)
+        case ("GET", "/v1/admin/offsets-for-times") =>
+          // Kafka's ListOffsets-by-timestamp API: per partition, the
+          // offset of the first record with event time >= T (record-exact
+          // seek; tail where nothing qualifies) — what a client uses to
+          // seek manually instead of a full group reset
+          val q2 = query(ex)
+          val t = q2.get("topic").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "topic is required"))
+          if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+          val ts = q2.get("timestamp").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "timestamp is required"))
+          val micros = scala.util.Try(ts.trim.toLong).map(_ * 1000L).getOrElse {
+            try {
+              val i = java.time.Instant.parse(ts)
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            } catch { case _: java.time.format.DateTimeParseException =>
+              throw HttpError(400, "timestamp must be epoch millis or ISO-8601") }
+          }
+          val offs = graft.log.PolarLog.offsetsForTimestamp(spark, cfgOf(t), micros)
+          respond(ex, 200, offs.toSeq.sorted
+            .map { case (p, o) => s""""$p":$o""" }
+            .mkString(s"""{"topic":"$t","offsets":{""", ",", "}}"),
+            "application/json")
         case ("PUT", "/v1/consumer/register") => handleRegister(ex)
         case ("POST", "/v1/consumer/poll") => handlePoll(ex)
         case ("POST", "/v1/consumer/commit") => handleCommit(ex)

@@ -137,6 +137,9 @@ object PolarSource {
         opt("rangesPerToken").map(_.toInt).getOrElse(4))),
       startingOffsets = opt("startingOffsets").getOrElse("latest").toLowerCase,
       maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong),
+      minRecordsPerTrigger = opt("minRecordsPerTrigger").map(_.toLong),
+      maxTriggerDelayMs = opt("maxTriggerDelayMs").map(_.toLong)
+        .getOrElse(15L * 60 * 1000),
       maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong),
       maxFileBytes = opt("maxFileBytes").map(_.toLong)
         .getOrElse(PolarWrite.DefaultMaxFileBytes),
@@ -169,6 +172,15 @@ final case class PolarSourceConfig(
     topics: Seq[TopicConfig],
     startingOffsets: String,
     maxRecordsPerTrigger: Option[Long],
+    // batch-efficiency floor (Kafka's minOffsetsPerTrigger/maxTriggerDelay):
+    // a trigger with fewer than minRecordsPerTrigger pending SKIPS the
+    // batch — at 1,000-partition scale this prevents storms of tiny
+    // micro-batches, each paying full task-launch overhead for a handful
+    // of records — unless maxTriggerDelayMs has elapsed since the last
+    // emitted batch (liveness floor). Ignored under Trigger.AvailableNow
+    // (drain semantics), exactly like Kafka's source.
+    minRecordsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15L * 60 * 1000,
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
@@ -730,8 +742,17 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   }
 
   override def getDefaultReadLimit: ReadLimit =
-    cfg.maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n))
-      .getOrElse(ReadLimit.allAvailable())
+    (cfg.minRecordsPerTrigger, cfg.maxRecordsPerTrigger) match {
+      case (Some(min), Some(max)) => ReadLimit.compositeLimit(Array(
+        ReadLimit.minRows(min, cfg.maxTriggerDelayMs), ReadLimit.maxRows(max)))
+      case (Some(min), None) => ReadLimit.minRows(min, cfg.maxTriggerDelayMs)
+      case (None, Some(max)) => ReadLimit.maxRows(max)
+      case (None, None) => ReadLimit.allAvailable()
+    }
+
+  // liveness anchor for the min-rows floor: wall time of the last EMITTED
+  // batch (Kafka's maxTriggerDelay semantics)
+  @volatile private var lastBatchMs = System.currentTimeMillis()
 
   override def prepareForTriggerAvailableNow(): Unit = {
     // re-resolve the pattern before snapshotting the drain cap: an
@@ -750,8 +771,25 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     val from = start.asInstanceOf[PolarOffsets]
     val metas = currentMetas
     val target = availableNowCap.getOrElse(tailsOf(metas))
-    val rowCapped = limit match {
-      case rows: ReadMaxRows =>
+    // min-rows floor (Kafka minOffsetsPerTrigger): too little pending →
+    // skip the batch (return `start` unchanged) unless the liveness delay
+    // has elapsed. AvailableNow drains ignore the floor (Kafka parity —
+    // a drain must terminate).
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case x => Seq(x)
+    }
+    val limits = flatten(limit)
+    val minFloor = limits.collectFirst { case m: ReadMinRows => m }
+    if (minFloor.isDefined && availableNowCap.isEmpty) {
+      val m = minFloor.get
+      val pending = target.totalFrom(from)
+      val overdue =
+        System.currentTimeMillis() - lastBatchMs >= m.maxTriggerDelayMs()
+      if (pending < m.minRows() && !overdue) return from
+    }
+    val rowCapped = limits.collectFirst { case r: ReadMaxRows => r } match {
+      case Some(rows) =>
         // greedy fill across (topic, partition) in key order — the group
         // read queue's round-robin-until-threshold, collapsed to one pass
         var budget = rows.maxRows()
@@ -761,12 +799,14 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
           budget -= math.max(take, 0L)
           k -> (cur + math.max(take, 0L))
         }.toMap)
-      case _ => target
+      case None => target
     }
-    cfg.maxBytesPerTrigger match {
+    val out = cfg.maxBytesPerTrigger match {
       case Some(byteCap) => byteCapped(metas, from, rowCapped, byteCap)
       case None => rowCapped
     }
+    if (out.totalFrom(from) > 0) lastBatchMs = System.currentTimeMillis()
+    out
   }
 
   /** Byte-bounded admission (`ConsumerReadThreshold`, 2 MiB default in the

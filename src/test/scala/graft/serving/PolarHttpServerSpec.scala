@@ -155,6 +155,29 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalLag() === 0L)
   }
 
+  test("offsets-for-times endpoint returns record-exact per-partition seeks") {
+    val topic = "offtimes"
+    (0 until 6).foreach { i =>
+      val r = post(s"/v1/topic/$topic/messages?partitionKey=o$i&timestamp=${2000000000L + 1000L * i}",
+        s"""{"o":$i}""".getBytes(UTF_8), Seq("Content-Type" -> "application/json"))
+      assert(r.statusCode() === 200, r.body())
+    }
+    assert(get(s"/v1/admin/offsets-for-times?topic=$topic").statusCode() === 400)
+    // cut at record 4's event time (epoch millis form): partitions holding
+    // records 4/5 seek to them; all others seek to their tails
+    val cutMs = (2000000000L + 4000L) / 1000L
+    val resp = get(s"/v1/admin/offsets-for-times?topic=$topic&timestamp=$cutMs")
+    assert(resp.statusCode() === 200, resp.body())
+    val offs = """"(\d+)":(\d+)""".r.findAllMatchIn(resp.body())
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    val cfg = TopicConfig(root, topic)
+    val tails = PolarLog.tails(cfg)
+    assert(offs.keySet === tails.keySet)
+    // total pending after the seek == records at/after the cut (2 of 6)
+    val pending = offs.map { case (p, o) => tails(p) - o }.sum
+    assert(pending === 2L, s"expected 2 pending after cut, got $pending ($offs)")
+  }
+
   test("json produce + register + poll + commit + goodbye flow") {
     val topic = "flow"
     (0 until 6).foreach { i =>

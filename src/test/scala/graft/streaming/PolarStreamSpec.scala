@@ -145,6 +145,40 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       batches.map(_.numInputRows).mkString(","))
   }
 
+  test("minRecordsPerTrigger floor skips starved triggers until the delay elapses") {
+    import graft.sources.{PolarMicroBatchStream, PolarSource, PolarOffsets}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val cfg = TopicConfig(root, "minrows")
+    PolarLog.produce(records(0, 10), cfg)
+    def stream(minRows: Long, delayMs: Long) = new PolarMicroBatchStream(
+      PolarSource.configFrom(Map(
+        "root" -> cfg.root, "topic" -> cfg.topic,
+        "minRecordsPerTrigger" -> minRows.toString,
+        "maxTriggerDelayMs" -> delayMs.toString)))
+    // 10 pending < floor of 100, delay not yet elapsed -> batch SKIPPED
+    val s1 = stream(100, 60 * 60 * 1000L)
+    val zero = PolarOffsets.zeros(Seq(cfg))
+    val lim = s1.getDefaultReadLimit
+    assert(s1.latestOffset(zero, lim) === zero)
+    // produce past the floor -> the batch fires with everything pending
+    PolarLog.produce(records(10, 200), cfg)
+    val fired = s1.latestOffset(zero, lim).asInstanceOf[PolarOffsets]
+    assert(fired.totalFrom(zero) === 200L)
+    // delay elapsed -> even a starved trigger fires (liveness floor)
+    val s2 = stream(1000000, 0L)
+    val fired2 = s2.latestOffset(zero, s2.getDefaultReadLimit)
+      .asInstanceOf[PolarOffsets]
+    assert(fired2.totalFrom(zero) === 200L)
+    // composite: the min floor gates, then the max cap paces
+    val s3 = new PolarMicroBatchStream(PolarSource.configFrom(Map(
+      "root" -> cfg.root, "topic" -> cfg.topic,
+      "minRecordsPerTrigger" -> "10", "maxTriggerDelayMs" -> "3600000",
+      "maxRecordsPerTrigger" -> "50")))
+    val capped = s3.latestOffset(zero, s3.getDefaultReadLimit)
+      .asInstanceOf[PolarOffsets]
+    assert(capped.totalFrom(zero) === 50L)
+  }
+
   test("maxBytesPerTrigger paces batches by registry byte stats") {
     val cfg = TopicConfig(root, "s_bytes")
     PolarLog.produce(records(0, 1000), cfg)
