@@ -203,6 +203,32 @@ object PolarLogQueries extends QueryRegistry {
         FROM placed GROUP BY part""")),
 
     QueryDef(
+      "polar_agg_pushdown",
+      (s, dir) => {
+        // COMPLETE aggregate pushdown: count(*) / min / max(timestamp)
+        // answered from the metadata registry with ZERO file I/O — the
+        // plan is asserted to be the pushed-aggregate scan (a full-topic
+        // scan collapsed to one metadata read at 100 TB); values replayed
+        // by the oracle from the raw table.
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val agg = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .agg(count(lit(1)).as("n"),
+            date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("first_ts"),
+            date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"))
+        require(agg.queryExecution.executedPlan.toString.contains("PolarAggScan"),
+          "aggregate was not pushed into the scan")
+        agg
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM events""")),
+
+    QueryDef(
       "polar_group_reset",
       (s, dir) => {
         // kafka-consumer-groups --reset-offsets parity over the durable

@@ -282,14 +282,98 @@ final case class PolarScanBounds(
     // residual predicates can never starve it.
     limit: Option[Int] = None)
 
+/** An aggregate the registry can answer exactly with ZERO file I/O. */
+private[sources] sealed trait PolarAggSpec
+private[sources] case object AggCountStar extends PolarAggSpec
+private[sources] case object AggMinOffset extends PolarAggSpec
+private[sources] case object AggMaxOffset extends PolarAggSpec
+private[sources] case object AggMinTs extends PolarAggSpec
+private[sources] case object AggMaxTs extends PolarAggSpec
+
 class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var bounds = PolarScanBounds()
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = PolarSource.FullSchema
+  private var aggSpecs: Option[(Boolean, Seq[PolarAggSpec])] = None
+
+  /**
+   * AGGREGATE PUSHDOWN — the registry answers these exactly, no file I/O:
+   * `COUNT(*)` from dense offsets, `MIN/MAX(offset)` from the registry's
+   * per-file offset bounds, `MIN/MAX(timestamp)` from per-file event-time
+   * stats (exact over non-null values — exactly SQL min/max semantics).
+   * `SELECT count(*), max(timestamp) FROM polar.topic` over a 100 TB
+   * topic becomes one metadata read. COMPLETE pushdown: the scan emits
+   * the single final row. Only offered for unfiltered, un-narrowed scans
+   * (our filters always stay residual, which already blocks Spark's
+   * aggregate push when any filter exists) and only when every candidate
+   * file carries real ts stats (legacy sentinel-stat files refuse the
+   * timestamp aggregates rather than answer wrong).
+   */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggSpecs = some; true
+      case None => false
+    }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Boolean, Seq[PolarAggSpec])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    // global, or grouped by the log partition (the per-partition ops view:
+    // one registry-derived row per partition)
+    val byPart = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(g) if fieldOf(g).contains("part") => true
+      case _ => return None
+    }
+    // change windows / narrowed bounds keep the ordinary scan (belt and
+    // braces: residual filters already block the push upstream)
+    if (cfg.startingVersion.isDefined || bounds != PolarScanBounds()) return None
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => AggCountStar
+      case m: Min => fieldOf(m.column()) match {
+        case Some("offset") => AggMinOffset
+        case Some("timestamp") => AggMinTs
+        case _ => return None
+      }
+      case m: Max => fieldOf(m.column()) match {
+        case Some("offset") => AggMaxOffset
+        case Some("timestamp") => AggMaxTs
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (specs.isEmpty) return None
+    // ts aggregates need REAL stats on every file that has rows
+    if (specs.exists(s => s == AggMinTs || s == AggMaxTs)) {
+      val metas = cfg.topics.map(c => cfg.versionAsOf match {
+        case Some(v) => LogMetadata.readAt(c, v)
+        case None => LogMetadata.read(c)
+      })
+      val sentinel = metas.exists(_.files.exists(f => f.count > 0 &&
+        (f.tsMin == Long.MinValue || f.tsMax == Long.MaxValue)))
+      if (sentinel) return None
+    }
+    Some((byPart, specs))
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the canonical field order: file columns first, then the
@@ -400,8 +484,89 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new PolarScan(cfg, bounds, required)
+  override def build(): Scan = aggSpecs match {
+    case Some((byPart, specs)) => new PolarAggScan(cfg, byPart, specs)
+    case None => new PolarScan(cfg, bounds, required)
+  }
 }
+
+/** The completely-pushed-aggregate scan: metadata-derived rows (one
+  * global row, or one per log partition under GROUP BY part), zero file
+  * I/O, zero shuffles — the physical plan for `SELECT count(*),
+  * min/max(offset), min/max(timestamp) FROM topic [GROUP BY part]`. */
+class PolarAggScan(
+    cfg: PolarSourceConfig,
+    byPart: Boolean,
+    specs: Seq[PolarAggSpec]) extends Scan {
+
+  override def readSchema(): StructType = {
+    val aggFields = specs.zipWithIndex.map {
+      case (AggCountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+      case (AggMinOffset | AggMaxOffset, i) => StructField(s"agg$i", LongType)
+      case (AggMinTs | AggMaxTs, i) => StructField(s"agg$i", TimestampType)
+    }
+    StructType(
+      (if (byPart) Seq(StructField("part", IntegerType, nullable = false))
+       else Seq.empty) ++ aggFields)
+  }
+
+  override def description(): String =
+    s"PolarAggScan(${cfg.topics.map(_.dir).mkString(",")}, " +
+      (if (byPart) "groupBy=part, " else "") + s"pushed=${specs.mkString(",")})"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val metas = cfg.topics.map(c => cfg.versionAsOf match {
+        case Some(v) => LogMetadata.readAt(c, v)
+        case None => LogMetadata.read(c)
+      })
+      def rowFor(files: Seq[graft.log.FileEntry]): Array[java.lang.Long] = {
+        // READABLE rows (registry file counts) — NOT producer tails, which
+        // also count retention-trimmed rows no scan would return
+        def opt(vs: Seq[Long], max: Boolean): java.lang.Long =
+          if (vs.isEmpty) null
+          else java.lang.Long.valueOf(if (max) vs.max else vs.min)
+        specs.map {
+          case AggCountStar => java.lang.Long.valueOf(files.map(_.count).sum)
+          case AggMinOffset => opt(files.map(_.minOffset), max = false)
+          case AggMaxOffset => opt(files.map(_.maxOffset), max = true)
+          case AggMinTs => opt(files.map(_.tsMin), max = false)
+          case AggMaxTs => opt(files.map(_.tsMax), max = true)
+        }.toArray
+      }
+      val all = metas.flatMap(_.files).filter(_.count > 0)
+      if (byPart)
+        // only partitions with READABLE rows form groups (a group with no
+        // rows does not exist in SQL semantics)
+        Array(PolarAggPartition(all.groupBy(_.part).toSeq.sortBy(_._1).map {
+          case (p, fs) => (Integer.valueOf(p), rowFor(fs))
+        }))
+      else Array(PolarAggPartition(Seq((null, rowFor(all)))))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private val it = p.asInstanceOf[PolarAggPartition].rows.iterator
+            private var current: InternalRow = _
+            override def next(): Boolean = it.hasNext && {
+              val (part, vals) = it.next()
+              val longs = vals.map(v =>
+                if (v == null) null else v.longValue(): Any)
+              current = new GenericInternalRow(
+                if (part == null) longs
+                else (part.intValue(): Any) +: longs)
+              true
+            }
+            override def get(): InternalRow = current
+            override def close(): Unit = ()
+          }
+      }
+  }
+}
+
+final case class PolarAggPartition(
+    rows: Seq[(Integer, Array[java.lang.Long])]) extends InputPartition
 
 class PolarScan(
     cfg: PolarSourceConfig,

@@ -316,6 +316,59 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pruned=$prunedCount full=$fullCount")
   }
 
+  test("aggregate pushdown: count/min/max answered from the registry, zero file I/O") {
+    val agg = read.agg(
+      count(lit(1)).as("n"),
+      min(col("offset")).as("min_o"), max(col("offset")).as("max_o"),
+      min(col("timestamp")).as("min_ts"), max(col("timestamp")).as("max_ts"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PolarAggScan"), plan)
+    val row = agg.collect().head
+    val exp = PolarLog.consume(spark, cfg).agg(
+      count(lit(1)), min(col("offset")), max(col("offset")),
+      min(col("timestamp")), max(col("timestamp"))).collect().head
+    assert(row.toSeq === exp.toSeq)
+    // GROUP BY part: one registry-derived row per partition (ops view)
+    val perPart = read.groupBy(col("part")).agg(count(lit(1)).as("n"),
+      max(col("offset")).as("mx"))
+    assert(perPart.queryExecution.executedPlan.toString.contains("PolarAggScan"),
+      perPart.queryExecution.executedPlan.toString)
+    val gotP = perPart.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val expP = PolarLog.consume(spark, cfg).groupBy(col("part"))
+      .agg(count(lit(1)), max(col("offset")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(gotP.toSeq === expP.toSeq)
+    // a filter blocks the push (residual contract) — values stay exact
+    val filtered = read.filter(col("part") === 5).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PolarAggScan"))
+    assert(filtered.collect().head.getLong(0) ===
+      PolarLog.consume(spark, cfg).filter(col("part") === 5).count())
+    // retention-trimmed topic: COUNT(*) counts READABLE rows, min(offset)
+    // starts at the surviving segments
+    val root2 = Files.createTempDirectory("polar_agg_trim").toString
+    val cfg2 = TopicConfig(root2, "aggtrim")
+    def recs(lo: Int, hi: Int) =
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs(0, 500), cfg2)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    PolarLog.produce(recs(500, 1000), cfg2)
+    PolarLog.cleanRetention(cfg2, retentionMs = System.currentTimeMillis() - mid)
+    val r2 = spark.read.format("polar")
+      .option("root", root2).option("topic", "aggtrim").load()
+    val a2 = r2.agg(count(lit(1)).as("n"), min(col("offset")).as("mo"))
+    assert(a2.queryExecution.executedPlan.toString.contains("PolarAggScan"))
+    val got2 = a2.collect().head
+    val exp2 = PolarLog.consume(spark, cfg2)
+      .agg(count(lit(1)), min(col("offset"))).collect().head
+    assert(got2.toSeq === exp2.toSeq)
+    assert(got2.getLong(0) === 500L)
+  }
+
   test("contradictory bounds plan an empty scan") {
     assert(read.filter(col("offset") >= 100000 && col("offset") < 5).count() === 0)
   }
