@@ -53,7 +53,10 @@ object TopicConfig {
   * the registry analog of parquet column stats, letting time-range scans
   * prune whole segments without footer reads; the full-range sentinel
   * `(Long.MinValue, Long.MaxValue)` means "unknown, never prune" (legacy
-  * manifests, all-null files). */
+  * manifests, all-null files). `tsNulls` counts the file's NULL
+  * timestamps (-1 = unknown, pre-r9 manifests): order-based pruning
+  * (top-N by event time) is only sound over files PROVEN null-free,
+  * because null timestamps live outside the min/max stats range. */
 final case class FileEntry(
     part: Int,
     name: String,
@@ -63,7 +66,8 @@ final case class FileEntry(
     bytes: Long,
     createdMs: Long,
     tsMin: Long = Long.MinValue,
-    tsMax: Long = Long.MaxValue) {
+    tsMax: Long = Long.MaxValue,
+    tsNulls: Long = -1L) {
   def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
 }
 
@@ -571,7 +575,7 @@ object LogMetadata {
     }
     doc.files.map(f =>
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
-        s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax}]""")
+        s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax},${f.tsNulls}]""")
       .mkString(head, ",", "]}")
   }
 
@@ -589,9 +593,12 @@ object LogMetadata {
       m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
       m.group(7).toLong,
       // ts stats are a round-4 addition: absent in older manifests →
-      // full-range sentinel (never prune)
+      // full-range sentinel (never prune); the null count is round-9 —
+      // absent → -1 (unknown: min/max pruning stays sound, order-based
+      // pruning refuses)
       if (m.group(8) == null) Long.MinValue else m.group(8).toLong,
-      if (m.group(9) == null) Long.MaxValue else m.group(9).toLong)
+      if (m.group(9) == null) Long.MaxValue else m.group(9).toLong,
+      if (m.group(10) == null) -1L else m.group(10).toLong)
 
   private[log] def parseManifest(s: String): Vector[FileEntry] =
     FileEntryRe.findAllMatchIn(s).map(entryOf).toVector.sortBy(_.minOffset)
@@ -611,7 +618,7 @@ object LogMetadata {
   }
 
   private val FileEntryRe =
-    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+))?\]""".r
+    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+))?)?\]""".r
 
   private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)(?:,(\d+))?\]""".r
 

@@ -229,6 +229,113 @@ object PolarLogQueries extends QueryRegistry {
         FROM events""")),
 
     QueryDef(
+      "polar_agg_pushdown_part",
+      (s, dir) => {
+        // GROUP BY part aggregate pushdown — the per-partition ops view
+        // (row counts + latest event time per log partition) as ONE
+        // metadata read, zero file I/O; the oracle replays placement
+        // through the murmur3 SQL mirror.
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val agg = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"),
+            date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"))
+        require(agg.queryExecution.executedPlan.toString.contains("PolarAggScan"),
+          "grouped aggregate was not pushed into the scan")
+        agg
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, CAST(ts AS TIMESTAMP) AS tsv
+          FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.tsv, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, COUNT(*) AS n,
+               strftime(MAX(tsv), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM placed GROUP BY part""")),
+
+    QueryDef(
+      "polar_log_window_nosort",
+      (s, dir) => {
+        // Sessionization with ZERO sort: the scan REPORTS (part, offset)
+        // ordering (a split is one log partition read in offset order) and
+        // storage-partitioned clustering, so the per-partition window
+        // needs neither exchange nor sort — the plan is asserted
+        // Sort-free. Session breaks (gap > 1h between consecutive events
+        // of a partition) are order-deterministic because the per-
+        // partition timestamp SEQUENCE is just its sorted timestamps.
+        import org.apache.spark.sql.expressions.Window
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val w = Window.partitionBy("part").orderBy("offset")
+        val seq = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .select(col("part"), col("offset"), col("timestamp"))
+          .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+        require(seq.queryExecution.executedPlan.collect {
+          case so: org.apache.spark.sql.execution.SortExec => so }.isEmpty,
+          "per-partition log window planned a Sort")
+        seq.agg(count(lit(1)).as("n"),
+          sum(when(unix_micros(col("timestamp")) - unix_micros(col("prev_ts"))
+            > 3600L * 1000000L, 1).otherwise(0)).cast("long")
+            .as("session_breaks"))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, CAST(ts AS TIMESTAMP) AS tsv,
+                 props
+          FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.tsv, r.props, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+        seq AS (
+          SELECT part, tsv,
+                 lag(tsv) OVER (PARTITION BY part ORDER BY tsv, props) AS prev_ts
+          FROM placed)
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN epoch_us(tsv) - epoch_us(prev_ts) > 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS session_breaks
+        FROM seq""")),
+
+    QueryDef(
+      "polar_topn_pushdown",
+      (s, dir) => {
+        // TOP-N pushdown: ORDER BY timestamp DESC LIMIT n prunes the
+        // planned files through the registry's ts stats (sound cut: ≥ n
+        // rows provably at-or-above it) — "latest n records" on a 100 TB
+        // topic reads tail segments, not the log. Partial push: Spark
+        // keeps the TakeOrdered for exact order; the aggregate folds the
+        // top-n multiset so boundary ties (rows equal in BOTH sort keys)
+        // cannot perturb the hash.
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val top = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .orderBy(col("timestamp").desc, col("value")).limit(40)
+        require(top.queryExecution.executedPlan.toString
+          .contains("topn=40 by timestamp desc"),
+          "top-n was not pushed into the scan")
+        top.agg(count(lit(1)).as("n"),
+          date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("min_ts"),
+          date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("max_ts"),
+          sum(length(col("value"))).cast("long").as("value_bytes"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               strftime(MIN(tsv), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+               strftime(MAX(tsv), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+               CAST(SUM(strlen(props)) AS BIGINT) AS value_bytes
+        FROM (SELECT CAST(ts AS TIMESTAMP) AS tsv, props FROM events
+              ORDER BY tsv DESC, props LIMIT 40)""")),
+
+    QueryDef(
       "polar_group_reset",
       (s, dir) => {
         // kafka-consumer-groups --reset-offsets parity over the durable

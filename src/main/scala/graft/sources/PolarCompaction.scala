@@ -60,8 +60,10 @@ object PolarCompaction {
         (p, run) -> FileEntry(p, name, run.head.minOffset, run.last.maxOffset,
           run.map(_.count).sum, bytes, System.currentTimeMillis(),
           // ts stats merge conservatively: any unknown member (MinValue
-          // sentinel) keeps the merged file unprunable
-          run.map(_.tsMin).min, run.map(_.tsMax).max)
+          // sentinel) keeps the merged file unprunable, any unknown null
+          // count keeps the merged count unknown
+          run.map(_.tsMin).min, run.map(_.tsMax).max,
+          if (run.exists(_.tsNulls < 0)) -1L else run.map(_.tsNulls).sum)
     }
 
     // 2) swap runs for merged entries — only where every member is still

@@ -280,7 +280,16 @@ final case class PolarScanBounds(
     // still leaves ≥ limit rows whenever the topic has them. Spark only
     // offers the push when no post-scan filters sit under the Limit, so
     // residual predicates can never starve it.
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    // TOP-N pushdown (partial: Spark keeps the TakeOrdered node, we only
+    // shrink what gets PLANNED): `ORDER BY offset|timestamp [DESC] LIMIT n`
+    topN: Option[PolarTopN] = None)
+
+/** A pushed `ORDER BY <primary> [, …] LIMIT n`, pruned by the PRIMARY sort
+  * column alone — sound for any lexicographic tie-break suffix, because
+  * every row of the true top-N has a primary value no worse than the N-th
+  * best primary value (rows strictly worse can never be admitted). */
+final case class PolarTopN(byTimestamp: Boolean, desc: Boolean, n: Int)
 
 /** An aggregate the registry can answer exactly with ZERO file I/O. */
 private[sources] sealed trait PolarAggSpec
@@ -292,7 +301,7 @@ private[sources] case object AggMaxTs extends PolarAggSpec
 
 class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit
+    with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
@@ -405,6 +414,61 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
       bounds.limit.fold(limit)(math.min(_, limit))))
     false
   }
+
+  /**
+   * TOP-N pushdown — `ORDER BY offset|timestamp [DESC] [, tiebreaks] LIMIT
+   * n` shrinks the PLANNED read instead of scanning the topic:
+   *
+   *  - `offset` order: offsets are dense per partition, so each partition
+   *    plans only its first (ASC) or last (DESC) `n` rows — "latest n
+   *    records" on a 100 TB topic reads tail segments only, pure window
+   *    arithmetic.
+   *  - `timestamp` order: registry ts stats yield a sound cut — sort files
+   *    by tsMin (DESC; tsMax for ASC), accumulate row counts to `n`; the
+   *    N-th best timestamp can be no worse than the cut, so files wholly
+   *    on the wrong side of it cannot contribute and are never planned.
+   *    Only offered when EVERY non-empty file proves zero null
+   *    timestamps (`tsNulls == 0`): nulls live outside the stats range,
+   *    and a legacy/unknown file refuses the push rather than risk it.
+   *
+   * Pruning uses the PRIMARY sort column only (sound for any tie-break
+   * suffix — see [[PolarTopN]]); the push is PARTIAL, Spark keeps the
+   * TakeOrdered node for exact global order. Offered only on pristine
+   * bounds (residual filters already block the offer) and head scans
+   * (change feeds keep the ordinary window plan).
+   */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (cfg.startingVersion.isDefined || bounds != PolarScanBounds() ||
+      orders.isEmpty || limit <= 0) return false
+    val primary = orders.head.expression() match {
+      case n: NamedReference if n.fieldNames().length == 1 => n.fieldNames()(0)
+      case _ => return false
+    }
+    val desc = orders.head.direction() == SortDirection.DESCENDING
+    primary match {
+      case "offset" =>
+        bounds = bounds.copy(topN = Some(PolarTopN(byTimestamp = false, desc, limit)))
+        true
+      case "timestamp" =>
+        val provenNullFree = cfg.topics.forall { c =>
+          val meta = cfg.versionAsOf match {
+            case Some(v) => LogMetadata.readAt(c, v)
+            case None => LogMetadata.read(c)
+          }
+          meta.filesByPart.valuesIterator.flatten.forall(f =>
+            f.count == 0 || (f.tsNulls == 0 && f.tsMin != Long.MinValue))
+        }
+        if (!provenNullFree) return false
+        bounds = bounds.copy(topN = Some(PolarTopN(byTimestamp = true, desc, limit)))
+        true
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Narrow the partition set to the owners of `keys` — union across keys
     * and (for multi-topic subscriptions with differing ring sizes) across
@@ -573,8 +637,30 @@ class PolarScan(
     private var bounds: PolarScanBounds = PolarScanBounds(),
     required: StructType = PolarSource.FullSchema)
     extends Scan with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
   override def readSchema(): StructType = required
+
+  /** The scan's output IS sorted `(part, offset)` within every split: a
+    * split is ONE log partition (`part` constant), its files are planned
+    * in minOffset order and read sequentially, and offsets are dense and
+    * ascending inside files — so any per-partition log computation
+    * (window lag/lead/session reconstruction OVER (PARTITION BY part
+    * ORDER BY offset)) plans with NO SortExec at all when the
+    * storage-partitioned clustering is in play: at 100 TB the sort that
+    * usually dominates sessionization simply disappears. Only reported
+    * when both columns survive pruning (the orders must resolve in the
+    * scan output). */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("part") &&
+      required.fieldNames.contains("offset"))
+      Array(
+        Expressions.sort(Expressions.column("part"),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("offset"),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   /** The scan's output IS clustered by `part` (one split per log
     * partition, `HasPartitionKey` on every split): with
@@ -692,33 +778,109 @@ class PolarScan(
     files.find(_.maxOffset >= base)
       .map(f => math.max(base, f.minOffset)).getOrElse(base)
 
+  /** Head-scan per-partition offset windows plus the effective event-time
+    * window, with the pushed LIMIT and TOP-N folded in — ONE computation
+    * feeding both statistics and planning (stats == plan).
+    * Offset-ordered TOP-N turns into window arithmetic on the dense
+    * offsets (ASC: first `n` past each partition's first surviving row;
+    * DESC: the last `n` before the tail); timestamp-ordered TOP-N turns
+    * into a tightened ts window from [[tsCutFrom]]. */
+  private def headWindows(metas: Map[String, LogMetadata])
+      : (Map[(String, Int), (Long, Long)], (Long, Long)) = {
+    def satAdd(a: Long, b: Int): Long =
+      if (a > Long.MaxValue - b) Long.MaxValue else a + b
+    val wins = metas.flatMap { case (t, m) =>
+      m.producerOffsets.zipWithIndex.map { case (tail, p) =>
+        val effStart = firstRowAtOrAfter(m.filesOf(p), bounds.minOffset)
+        var lo = bounds.minOffset
+        var hi = math.min(tail,
+          math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart)))
+        bounds.topN match {
+          case Some(PolarTopN(false, false, n)) =>
+            hi = math.min(hi, satAdd(effStart, n))
+          case Some(PolarTopN(false, true, n)) =>
+            lo = math.max(lo, hi - n)
+          case _ => ()
+        }
+        (t, p) -> (lo, hi)
+      }
+    }
+    val tsWin = bounds.topN match {
+      case Some(PolarTopN(true, desc, n)) => tsCutFrom(metas, desc, n) match {
+        case Some(c) if desc => (math.max(bounds.tsMin, c), bounds.tsMax)
+        case Some(c) => (bounds.tsMin, math.min(bounds.tsMax, c))
+        case None => (bounds.tsMin, bounds.tsMax)
+      }
+      case _ => (bounds.tsMin, bounds.tsMax)
+    }
+    (wins, tsWin)
+  }
+
+  /** The sound timestamp cut for an order-based prune: sort files by their
+    * WORST guaranteed value in the query's direction (tsMin for DESC,
+    * tsMax for ASC — every file proved null-free at push time), accumulate
+    * row counts to `n`, return that file's bound. At least `n` rows
+    * provably at-or-better than the cut exist, so the N-th best timestamp
+    * is at-or-better too — a file wholly past the cut can never reach the
+    * top-N and is never planned. None = the log holds fewer than `n` rows
+    * (no prune). */
+  private def tsCutFrom(
+      metas: Map[String, LogMetadata], desc: Boolean, n: Int): Option[Long] = {
+    val admitted = (for {
+      m <- metas.valuesIterator
+      (p, fs) <- m.filesByPart.iterator
+      if bounds.parts.forall(_.contains(p))
+      f <- fs if f.count > 0
+    } yield f).toVector
+    val sorted =
+      if (desc) admitted.sortBy(f => -f.tsMin) else admitted.sortBy(_.tsMax)
+    var acc = 0L
+    sorted.iterator.map { f => acc += f.count; (f, acc) }
+      .collectFirst { case (f, a) if a >= n =>
+        if (desc) f.tsMin else f.tsMax }
+  }
+
   override def estimateStatistics(): Statistics = {
     var rows = 0L
     var bytes = 0L
-    cfg.topics.foreach { c =>
+    def admit(f: graft.log.FileEntry, lo0: Long, hiExclusive: Long,
+        tsLo: Long, tsHi: Long): Unit = {
+      val lo = math.max(lo0, f.minOffset)
+      val hi = math.min(hiExclusive - 1, f.maxOffset)
+      if (lo <= hi && f.tsMax >= tsLo && f.tsMin <= tsHi) {
+        val n = hi - lo + 1
+        rows += n
+        // pro-rate bytes by the admitted offset span of the file
+        bytes += math.max(1L, f.bytes * n / math.max(1L, f.count))
+      }
+    }
+    windowSnapshot match {
       // change-window reads narrow to the (from, to] per-partition offset
       // windows — the stats stay EXACT for CDF batches too
-      val window = windowSnapshot
-      val meta = window.map(_._1).getOrElse(metasSnapshot(c.topic))
-      meta.filesByPart.foreach { case (p, files) =>
-        val winLo = window.fold(Long.MinValue)(_._2.getOrElse(p, 0L))
-        val winHi = window.fold(Long.MaxValue)(_._3.getOrElse(p, 0L))
-        // the LIMIT cap anchors at this partition's first actual row, the
-        // same rule planInputPartitions applies (stats == plan)
-        val effStart = firstRowAtOrAfter(files,
-          math.max(bounds.minOffset, winLo))
-        val effEnd = math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart))
-        if (bounds.parts.forall(_.contains(p))) files.foreach { f =>
-          val lo = math.max(math.max(bounds.minOffset, winLo), f.minOffset)
-          val hi = math.min(math.min(effEnd, winHi) - 1, f.maxOffset)
-          if (lo <= hi && f.tsMax >= bounds.tsMin && f.tsMin <= bounds.tsMax) {
-            val n = hi - lo + 1
-            rows += n
-            // pro-rate bytes by the admitted offset span of the file
-            bytes += math.max(1L, f.bytes * n / math.max(1L, f.count))
+      case Some((meta, startsM, endsM)) =>
+        meta.filesByPart.foreach { case (p, files) =>
+          if (bounds.parts.forall(_.contains(p))) {
+            val winLo = math.max(bounds.minOffset, startsM.getOrElse(p, 0L))
+            val winHi = endsM.getOrElse(p, 0L)
+            // the LIMIT cap anchors at this partition's first actual row,
+            // the same rule planInputPartitions applies (stats == plan)
+            val effStart = firstRowAtOrAfter(files, winLo)
+            val hiEx = math.min(winHi,
+              math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart)))
+            files.foreach(admit(_, winLo, hiEx, bounds.tsMin, bounds.tsMax))
           }
         }
-      }
+      case None =>
+        val metas = metasSnapshot
+        val (wins, (tsLo, tsHi)) = headWindows(metas)
+        metas.foreach { case (t, m) =>
+          m.filesByPart.foreach { case (p, files) =>
+            if (bounds.parts.forall(_.contains(p))) {
+              val (lo, hiEx) = wins((t, p))
+              files.foreach(admit(_, lo, hiEx, tsLo, tsHi))
+            }
+          }
+        }
     }
     val r = rows
     val b = bytes
@@ -734,6 +896,9 @@ class PolarScan(
       s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")}, " +
       s"ts=[${bounds.tsMin},${bounds.tsMax}], " +
       bounds.limit.fold("")(l => s"limit=$l, ") +
+      bounds.topN.fold("")(t => s"topn=${t.n} by " +
+        (if (t.byTimestamp) "timestamp" else "offset") +
+        (if (t.desc) " desc, " else ", ")) +
       s"ReadSchema=${required.fieldNames.mkString(",")})"
 
   /** SQL-UI observability: per-scan totals of registry files planned and
@@ -772,22 +937,16 @@ class PolarScan(
       }
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
-      // is a consistent point-in-time view of the log
+      // is a consistent point-in-time view of the log. The per-partition
+      // windows fold in the LIMIT cap (anchored at each partition's FIRST
+      // SURVIVING row, never the global pushed minOffset) and any pushed
+      // TOP-N — the same arithmetic estimateStatistics used.
       val metas = metasSnapshot
-      val start = PolarOffsets(cfg.topics.flatMap(c =>
-        (0 until c.numPartitions).map(p => (c.topic, p) -> bounds.minOffset)).toMap)
-      // the LIMIT cap anchors at each partition's FIRST SURVIVING row (a
-      // retention-trimmed topic's offsets start past 0), never at the
-      // global pushed minOffset
-      val end = PolarOffsets(metas.flatMap { case (t, m) =>
-        m.producerOffsets.zipWithIndex.map { case (tail, p) =>
-          val effStart = firstRowAtOrAfter(m.filesOf(p), bounds.minOffset)
-          (t, p) -> math.min(tail,
-            math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart)))
-        }
-      }.toMap)
+      val (wins, tsWin) = headWindows(metas)
+      val start = PolarOffsets(wins.map { case (k, (lo, _)) => k -> lo })
+      val end = PolarOffsets(wins.map { case (k, (_, hi)) => k -> hi })
       PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,
-        tsWindow = Some((bounds.tsMin, bounds.tsMax)))
+        tsWindow = Some(tsWin))
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction

@@ -495,6 +495,7 @@ class PolarDataWriter(
     // file-pruning analog of parquet column stats
     var tsMin: Long = Long.MaxValue
     var tsMax: Long = Long.MinValue
+    var tsNulls: Long = 0L
     def seal(createdMs: Long): FileEntry = {
       writer.close()
       val bytes = path.getFileSystem(conf).getFileStatus(path).getLen
@@ -502,7 +503,7 @@ class PolarDataWriter(
         if (tsMin > tsMax) (Long.MinValue, Long.MaxValue) // all-null: unknown
         else (tsMin, tsMax)
       FileEntry(part, name, base, base + count - 1, count, bytes, createdMs,
-        lo, hi)
+        lo, hi, tsNulls)
     }
   }
 
@@ -530,7 +531,7 @@ class PolarDataWriter(
     buf.update(0, key)
     buf.update(1, if (row.isNullAt(tokenIdx)) null else row.getLong(tokenIdx))
     buf.update(2, seg.base + seg.count)
-    if (row.isNullAt(tsIdx)) buf.update(3, null)
+    if (row.isNullAt(tsIdx)) { seg.tsNulls += 1; buf.update(3, null) }
     else {
       val ts = row.getLong(tsIdx)
       if (ts < seg.tsMin) seg.tsMin = ts

@@ -369,8 +369,134 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.getLong(0) === 500L)
   }
 
+  test("TOP-N pushdown: offset order plans head/tail windows, ts order prunes files") {
+    // offset DESC with a unique tie-break — "latest n records": each
+    // partition plans only its last 7 offsets
+    val tail7 = read.orderBy(col("offset").desc, col("part")).limit(7)
+    val plan7 = tail7.queryExecution.executedPlan.toString
+    assert(plan7.contains("topn=7 by offset desc"), plan7)
+    val gotTail = tail7.select("offset", "part").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val expTail = PolarLog.consume(spark, cfg)
+      .orderBy(col("offset").desc, col("part")).limit(7)
+      .select("offset", "part").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(gotTail === expTail && gotTail.size === 7)
+    // planned rows are bounded by n × partitions (stats == plan)
+    val bounded = new PolarScan(PolarSource.configFrom(
+      Map("root" -> cfg.root, "topic" -> cfg.topic)),
+      PolarScanBounds(topN = Some(PolarTopN(byTimestamp = false, desc = true, n = 7))))
+    assert(bounded.estimateStatistics().numRows().getAsLong <=
+      7L * cfg.numPartitions)
+    // offset ASC mirrors (head window)
+    val head5 = read.orderBy(col("offset"), col("part")).limit(5)
+    assert(head5.queryExecution.executedPlan.toString.contains("topn=5 by offset, "))
+    assert(head5.select("offset").collect().map(_.getLong(0)).forall(_ < 5))
+
+    // timestamp order: three ts-disjoint produces → per-partition files
+    // with disjoint ts ranges; top-n by ts desc must never plan the old
+    // slices
+    val root3 = Files.createTempDirectory("polar_topn_ts").toString
+    val cfg3 = TopicConfig(root3, "tsorder")
+    def slice(lo: String, hi: String) =
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .select(col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(slice("2000-01-01", "2024-01-10"), cfg3)
+    PolarLog.produce(slice("2024-01-10", "2024-01-20"), cfg3)
+    PolarLog.produce(slice("2024-01-20", "2100-01-01"), cfg3)
+    val read3 = spark.read.format("polar")
+      .option("root", root3).option("topic", "tsorder").load()
+    val top = read3.orderBy(col("timestamp").desc, col("part"), col("offset"))
+      .limit(5)
+    val planT = top.queryExecution.executedPlan.toString
+    assert(planT.contains("topn=5 by timestamp desc"), planT)
+    val gotT = top.select("timestamp", "part", "offset").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSeq
+    val expT = PolarLog.consume(spark, cfg3)
+      .orderBy(col("timestamp").desc, col("part"), col("offset")).limit(5)
+      .select("timestamp", "part", "offset").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(gotT === expT && gotT.size === 5)
+    // pruning evidence: the ts cut plans strictly fewer files than the log
+    // holds (the two older slices are wholly past the cut)
+    val meta3 = graft.log.LogMetadata.read(cfg3)
+    val totalFiles = meta3.filesByPart.valuesIterator.map(_.size).sum
+    val scanT = new PolarScan(PolarSource.configFrom(
+      Map("root" -> root3, "topic" -> "tsorder")),
+      PolarScanBounds(topN = Some(PolarTopN(byTimestamp = true, desc = true, n = 5))))
+    val plannedFiles = scanT.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[PolarInputPartition].files.size).sum
+    assert(plannedFiles < totalFiles,
+      s"planned=$plannedFiles total=$totalFiles")
+    // ASC mirrors: earliest-n plans only the oldest slice's side of the cut
+    val bot = read3.orderBy(col("timestamp"), col("part"), col("offset")).limit(5)
+    assert(bot.queryExecution.executedPlan.toString
+      .contains("topn=5 by timestamp, "))
+    val gotB = bot.select("offset", "part").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val expB = PolarLog.consume(spark, cfg3)
+      .orderBy(col("timestamp"), col("part"), col("offset")).limit(5)
+      .select("offset", "part").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(gotB === expB)
+
+    // a topic holding NULL timestamps REFUSES the ts push (nulls live
+    // outside the stats range) — values stay exact via the plain TakeOrdered
+    val root4 = Files.createTempDirectory("polar_topn_null").toString
+    val cfg4 = TopicConfig(root4, "nullts")
+    PolarLog.produce(
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("user_id").cast("string").as("partitionKey"),
+          when(col("event_id") % 10 === 0, lit(null))
+            .otherwise(col("ts")).cast("timestamp").as("timestamp"),
+          col("props").as("value")), cfg4)
+    val read4 = spark.read.format("polar")
+      .option("root", root4).option("topic", "nullts").load()
+    val top4 = read4.orderBy(col("timestamp").desc, col("part"), col("offset"))
+      .limit(5)
+    val plan4 = top4.queryExecution.executedPlan.toString
+    assert(!plan4.contains("topn="), plan4)
+    val got4 = top4.select("part", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val exp4 = PolarLog.consume(spark, cfg4)
+      .orderBy(col("timestamp").desc, col("part"), col("offset")).limit(5)
+      .select("part", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got4 === exp4)
+    // …but the offset ordering still pushes there (offsets are never null)
+    assert(read4.orderBy(col("offset").desc, col("part")).limit(3)
+      .queryExecution.executedPlan.toString.contains("topn=3 by offset desc"))
+  }
+
   test("contradictory bounds plan an empty scan") {
     assert(read.filter(col("offset") >= 100000 && col("offset") < 5).count() === 0)
+  }
+
+  test("reported (part, offset) ordering: per-partition log window plans no Sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.SortExec
+    // a split IS one log partition read in offset order, and the scan
+    // REPORTS that — so sessionization-style windows over
+    // (PARTITION BY part ORDER BY offset) need neither exchange (SPJ
+    // clustering) nor sort (reported ordering)
+    val w = Window.partitionBy("part").orderBy("offset")
+    val df = read.select(col("part"), col("offset"), col("partitionKey"))
+      .withColumn("prev_key", lag(col("partitionKey"), 1).over(w))
+    val sorts = df.queryExecution.executedPlan.collect { case s: SortExec => s }
+    assert(sorts.isEmpty,
+      s"expected no SortExec, got:\n${df.queryExecution.executedPlan}")
+    // values exact vs the same window computed the ordinary way
+    val exp = PolarLog.consume(spark, cfg)
+      .select(col("part"), col("offset"), col("partitionKey"))
+      .withColumn("prev_key", lag(col("partitionKey"), 1).over(w))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).sortBy(t => (t._1, t._2))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+      Option(r.getString(3)))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === exp.toSeq && got.nonEmpty)
   }
 
   test("unfiltered scan == consume (no pruning regressions)") {
