@@ -229,6 +229,34 @@ object PolarLogQueries extends QueryRegistry {
         FROM events""")),
 
     QueryDef(
+      "polar_min_partitions",
+      (s, dir) => {
+        // Kafka-parity `minPartitions`: the 4-commit segmented fixture
+        // (≈4 files per log partition) fans out over >12 file-granular
+        // splits; values must stay EXACTLY the whole log (no dup, no
+        // loss at sub-split seams). countDistinct blocks the aggregate
+        // push, so the fanned read path itself is what's hashed.
+        val (cfg, _) = SharedTopics.segmentedEvents(s, dir)
+        val df = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic)
+          .option("minPartitions", "48").load()
+        require(df.rdd.getNumPartitions > cfg.numPartitions,
+          s"minPartitions planned only ${df.rdd.getNumPartitions} splits")
+        df.agg(count(lit(1)).as("n"),
+          countDistinct(col("partitionKey")).as("n_keys"),
+          date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("first_ts"),
+          date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("last_ts"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_keys,
+               strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM events""")),
+
+    QueryDef(
       "polar_agg_pushdown_part",
       (s, dir) => {
         // GROUP BY part aggregate pushdown — the per-partition ops view

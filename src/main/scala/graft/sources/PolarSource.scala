@@ -38,6 +38,9 @@ import scala.jdk.CollectionConverters._
  *    `ConsumerReadThreshold` admission control (2 MiB default,
  *    `internal/consuming/group_read_queue.go:87-170`,
  *    `internal/conf/config.go:278-280`);
+ *  - `minPartitions` ≈ the Kafka source's option of the same name: hot
+ *    log partitions fan out over multiple read tasks (file-granular),
+ *    trading the storage-partitioned clustering claim for parallelism;
  *  - planning is PURE METADATA: the topic's file registry carries exact
  *    per-file offset/byte stats, so each trigger plans with zero directory
  *    listings and zero footer reads — the sparse-index seek
@@ -164,7 +167,8 @@ object PolarSource {
       // then the stream follows the live head
       startingVersion = opt("startingVersion").map(_.trim.toLong),
       endingVersion = opt("endingVersion").map(_.trim.toLong),
-      topicPattern = opt("topicPattern"))
+      topicPattern = opt("topicPattern"),
+      minPartitions = opt("minPartitions").map(_.trim.toInt))
   }
 }
 
@@ -192,7 +196,14 @@ final case class PolarSourceConfig(
     // the live-subscription regex (when the source was opened with
     // `topicPattern`): streams re-resolve it per trigger to discover
     // topics created mid-stream; `topics` is the load-time resolution
-    topicPattern: Option[String] = None) {
+    topicPattern: Option[String] = None,
+    // Kafka-source parity: split hot log partitions into multiple Spark
+    // splits (file-granular) until at least this many are planned — a
+    // 100 GB backlog on one partition stops being a single-task straggler.
+    // Costs the storage-partitioned clustering and ordering claims (a
+    // split is no longer one whole partition), which is exactly the
+    // trade the option's presence opts into.
+    minPartitions: Option[Int] = None) {
   require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
     "specify either 'startingVersion' or 'startingTimestamp', not both")
   require(endingVersion.isEmpty || startingVersion.isDefined,
@@ -651,6 +662,8 @@ class PolarScan(
     * usually dominates sessionization simply disappears. Only reported
     * when both columns survive pruning (the orders must resolve in the
     * scan output). */
+  // NOTE: the ordering claim survives `minPartitions` — a sub-split is a
+  // contiguous offset run of one partition, still (part, offset) sorted.
   override def outputOrdering(): Array[
       org.apache.spark.sql.connector.expressions.SortOrder] =
     if (required.fieldNames.contains("part") &&
@@ -679,6 +692,12 @@ class PolarScan(
     // single-topic scans — report unknown rather than a clustering claim
     // the splits don't honor
     if (cfg.topics.size > 1)
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    // `minPartitions` splits a log partition across MULTIPLE splits — the
+    // one-split-per-part claim (and with it SPJ) is exactly what the
+    // option trades away for read parallelism
+    if (cfg.minPartitions.isDefined)
       return new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
     // distinct planned (part) groups under the current bounds — metadata
@@ -933,7 +952,8 @@ class PolarScan(
           (c.topic, p) -> math.min(o, math.min(bounds.maxOffsetExclusive,
             limitCapFrom(starts.getOrElse(p, 0L)))) })
         return PolarMicroBatchStream.plan(cfg.byName, Map(c.topic -> toMeta),
-          start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)))
+          start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)),
+          minPartitions = cfg.minPartitions)
       }
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
@@ -946,7 +966,7 @@ class PolarScan(
       val start = PolarOffsets(wins.map { case (k, (lo, _)) => k -> lo })
       val end = PolarOffsets(wins.map { case (k, (_, hi)) => k -> hi })
       PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,
-        tsWindow = Some(tsWin))
+        tsWindow = Some(tsWin), minPartitions = cfg.minPartitions)
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction
@@ -1177,7 +1197,8 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     // resolve here too
     PolarMicroBatchStream.plan(topics.map(c => c.topic -> c).toMap,
       currentMetas,
-      start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets], None)
+      start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets], None,
+      minPartitions = cfg.minPartitions)
 
   // streaming delivers ROWS off the vectorized decode: a trigger's window
   // can cut through a file, and exact [start,end) trimming is the reader's
@@ -1204,9 +1225,11 @@ object PolarMicroBatchStream {
       start: PolarOffsets,
       end: PolarOffsets,
       parts: Option[Set[Int]],
-      tsWindow: Option[(Long, Long)] = None): Array[InputPartition] = {
+      tsWindow: Option[(Long, Long)] = None,
+      minPartitions: Option[Int] = None): Array[InputPartition] = {
     val (tsLo, tsHi) = tsWindow.getOrElse((Long.MinValue, Long.MaxValue))
-    end.tails.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
+    val base: Array[InputPartition] =
+      end.tails.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
       val startOff = start.tails.getOrElse((t, p), 0L)
       if (endOff <= startOff || !parts.forall(_.contains(p))) None
       else {
@@ -1222,6 +1245,65 @@ object PolarMicroBatchStream {
           startOff, endOff))
       }
     }.toArray
+    minPartitions.filter(_ > base.length).fold(base)(subdivide(base, _))
+  }
+
+  /** Kafka's `minPartitions`: split the planned reads FILE-GRANULARLY until
+    * at least `target` splits exist, so one hot partition's backlog fans
+    * out over many tasks instead of one straggler. File granularity keeps
+    * exactness trivial — every file lands in exactly ONE sub-split, whole,
+    * with the parent's offset window clamping only the outer edges — at
+    * the cost of never splitting inside a single file (segments roll at
+    * `maxFileBytes`, so files are bounded and the fan-out is real
+    * wherever a backlog is). Sub-splits are apportioned by file count
+    * (files roll at a byte bound, so count tracks bytes), largest
+    * backlogs split first. */
+  private def subdivide(
+      base: Array[InputPartition], target: Int): Array[InputPartition] = {
+    val splits = base.map(_.asInstanceOf[PolarInputPartition])
+    def weight(s: PolarInputPartition): Long = s.files.size.toLong
+    val extra = target - splits.length
+    if (extra <= 0 || splits.isEmpty) return base
+    // distribute extra sub-splits proportionally to file counts (every
+    // file is an indivisible unit, so file count bounds a split's fan-out)
+    val totalW = math.max(1L, splits.map(weight).sum)
+    val pieces = splits.map { s =>
+      val want = 1 + ((extra * weight(s)) / totalW).toInt
+      math.min(s.files.size, math.max(1, want))
+    }
+    // round up the largest splits until the target is met (or every file
+    // is its own split)
+    var have = pieces.sum
+    val order = splits.indices.sortBy(i => -weight(splits(i)))
+    var oi = 0
+    while (have < target && oi < order.length) {
+      val i = order(oi)
+      if (pieces(i) < splits(i).files.size) { pieces(i) += 1; have += 1 }
+      else oi += 1
+    }
+    splits.zip(pieces).flatMap { case (s, n) =>
+      if (n <= 1) Seq(s)
+      else {
+        val runs = chunkEvenly(s.files, n)
+        runs.zipWithIndex.map { case (run, i) =>
+          val lo = if (i == 0) s.startOffset
+            else math.max(s.startOffset, run.head.minOffset)
+          val hi = if (i == runs.length - 1) s.endOffset
+            else math.min(s.endOffset, run.last.maxOffset + 1)
+          s.copy(files = run, startOffset = lo, endOffset = hi)
+        }
+      }
+    }.toArray[InputPartition]
+  }
+
+  /** `files` into `n` contiguous non-empty runs of near-equal size. */
+  private def chunkEvenly(
+      files: Seq[PolarFileSlice], n: Int): Seq[Seq[PolarFileSlice]] = {
+    val k = math.min(n, files.size)
+    val per = files.size.toDouble / k
+    (0 until k).map(i =>
+      files.slice(math.round(i * per).toInt, math.round((i + 1) * per).toInt))
+      .filter(_.nonEmpty)
   }
 }
 

@@ -475,6 +475,53 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.filter(col("offset") >= 100000 && col("offset") < 5).count() === 0)
   }
 
+  test("minPartitions fans partitions out file-granularly, exact and claim-free") {
+    val root5 = Files.createTempDirectory("polar_fanout").toString
+    val cfg5 = TopicConfig(root5, "fanout")
+    def recs(lo: Int, hi: Int) =
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs(0, 333), cfg5)
+    PolarLog.produce(recs(333, 666), cfg5)
+    PolarLog.produce(recs(666, 1000), cfg5)
+    def readFan(opts: (String, String)*) = {
+      val r = spark.read.format("polar")
+        .option("root", root5).option("topic", "fanout")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    val plain = readFan()
+    val basePartitions = plain.rdd.getNumPartitions
+    val totalFiles = graft.log.LogMetadata.read(cfg5)
+      .filesByPart.valuesIterator.map(_.size).sum
+    assert(totalFiles > basePartitions) // 3 commits → ~3 files per partition
+    val target = math.min(totalFiles, basePartitions * 2)
+    val fan = readFan("minPartitions" -> target.toString)
+    assert(fan.rdd.getNumPartitions >= target,
+      s"planned ${fan.rdd.getNumPartitions}, wanted >= $target (files=$totalFiles)")
+    // exact: every row exactly once (file-granular split = no straddling)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("part"), col("offset")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(sig(fan) === sig(plain) && sig(fan).nonEmpty)
+    // offset filters still prune within the fanned splits
+    assert(readFan("minPartitions" -> target.toString)
+      .filter(col("offset") >= 1 && col("offset") < 3).count() ===
+      plain.filter(col("offset") >= 1 && col("offset") < 3).count())
+    // the trade: the one-split-per-part claim is dropped, so a part-keyed
+    // aggregation pays an exchange instead of mis-grouping sub-splits
+    val agg = fan.groupBy(col("part"))
+      .agg(countDistinct(col("partitionKey")).as("u"))
+    assert(agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      agg.queryExecution.executedPlan.toString)
+    val exp = plain.groupBy(col("part"))
+      .agg(countDistinct(col("partitionKey")).as("u"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toMap === exp)
+  }
+
   test("reported (part, offset) ordering: per-partition log window plans no Sort") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.execution.SortExec
