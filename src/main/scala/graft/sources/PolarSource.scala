@@ -302,6 +302,33 @@ final case class PolarScanBounds(
   * best primary value (rows strictly worse can never be admitted). */
 final case class PolarTopN(byTimestamp: Boolean, desc: Boolean, n: Int)
 
+private[sources] object TopNPruning {
+  /** The sound timestamp cut for an order-based prune: sort files by their
+    * WORST guaranteed value in the query's direction (tsMin for DESC,
+    * tsMax for ASC — every file proved null-free at push time), accumulate
+    * row counts to `n`, return that file's bound. At least `n` rows
+    * provably at-or-better than the cut exist, so the N-th best timestamp
+    * is at-or-better too — a file wholly past the cut can never reach the
+    * top-N and is never planned. None = the log holds fewer than `n` rows
+    * (no prune). */
+  def tsCut(
+      files: Seq[graft.log.FileEntry], desc: Boolean, n: Int): Option[Long] = {
+    val admitted = files.filter(_.count > 0)
+    val sorted =
+      if (desc) admitted.sortBy(f => -f.tsMin) else admitted.sortBy(_.tsMax)
+    var acc = 0L
+    sorted.iterator.map { f => acc += f.count; (f, acc) }
+      .collectFirst { case (f, a) if a >= n =>
+        if (desc) f.tsMin else f.tsMax }
+  }
+
+  /** True iff a file could still hold top-N rows given the cut — the same
+    * predicate `plan()`'s ts-window filter applies after the cut tightens
+    * the window. */
+  def survives(f: graft.log.FileEntry, desc: Boolean, cut: Long): Boolean =
+    if (desc) f.tsMax >= cut else f.tsMin <= cut
+}
+
 /** An aggregate the registry can answer exactly with ZERO file I/O. */
 private[sources] sealed trait PolarAggSpec
 private[sources] case object AggCountStar extends PolarAggSpec
@@ -835,29 +862,15 @@ class PolarScan(
     (wins, tsWin)
   }
 
-  /** The sound timestamp cut for an order-based prune: sort files by their
-    * WORST guaranteed value in the query's direction (tsMin for DESC,
-    * tsMax for ASC — every file proved null-free at push time), accumulate
-    * row counts to `n`, return that file's bound. At least `n` rows
-    * provably at-or-better than the cut exist, so the N-th best timestamp
-    * is at-or-better too — a file wholly past the cut can never reach the
-    * top-N and is never planned. None = the log holds fewer than `n` rows
-    * (no prune). */
   private def tsCutFrom(
-      metas: Map[String, LogMetadata], desc: Boolean, n: Int): Option[Long] = {
-    val admitted = (for {
-      m <- metas.valuesIterator
-      (p, fs) <- m.filesByPart.iterator
-      if bounds.parts.forall(_.contains(p))
-      f <- fs if f.count > 0
-    } yield f).toVector
-    val sorted =
-      if (desc) admitted.sortBy(f => -f.tsMin) else admitted.sortBy(_.tsMax)
-    var acc = 0L
-    sorted.iterator.map { f => acc += f.count; (f, acc) }
-      .collectFirst { case (f, a) if a >= n =>
-        if (desc) f.tsMin else f.tsMax }
-  }
+      metas: Map[String, LogMetadata], desc: Boolean, n: Int): Option[Long] =
+    TopNPruning.tsCut(
+      (for {
+        m <- metas.valuesIterator
+        (p, fs) <- m.filesByPart.iterator
+        if bounds.parts.forall(_.contains(p))
+        f <- fs
+      } yield f).toVector, desc, n)
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
