@@ -36,12 +36,34 @@ import java.util
  * Ring geometry comes from catalog options (`clusterSize`,
  * `rangesPerToken`) with per-table overrides via `TBLPROPERTIES`.
  */
-class PolarCatalog extends TableCatalog {
+class PolarCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
   private var defaultClusterSize = 3
   private var defaultRangesPerToken = 4
+
+  /** `CALL polar.system.<proc>(...)` — the SQL maintenance surface
+    * (compact / clean_retention / vacuum / history / reset_offsets);
+    * Iceberg's stored-procedure shape over the engine's own APIs. */
+  private lazy val procedures
+      : Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    PolarProcedures.all(root, defaultClusterSize, defaultRangesPerToken)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system"))))
+      throw new NoSuchNamespaceException(ident.namespace())
+    procedures.getOrElse(ident.name(), throw new RuntimeException(
+      s"undefined procedure: system.${ident.name()} " +
+        s"(available: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

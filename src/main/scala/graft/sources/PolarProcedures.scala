@@ -1,0 +1,161 @@
+package graft.sources
+
+import graft.log.{ConsumerGroups, LogMetadata, PolarLog, TopicConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/**
+ * SQL maintenance surface — Iceberg's stored-procedure shape
+ * (`CALL polar.system.compact(topic => 'events')`) over the engine's own
+ * maintenance APIs, so an operator can run every upkeep task from pure
+ * SQL (SURVEY §2 A25/A32: retention cleaner, compaction, vacuum, history,
+ * group offset reset — the reference's admin endpoints,
+ * `/root/reference/internal/consuming/server.go`):
+ *
+ * {{{
+ *   CALL polar.system.compact(topic => 'events')
+ *   CALL polar.system.clean_retention(topic => 'events', retention_ms => 604800000)
+ *   CALL polar.system.vacuum(topic => 'events', dry_run => true)
+ *   CALL polar.system.history(topic => 'events')
+ *   CALL polar.system.reset_offsets(group_id => 'etl', topic => 'events',
+ *                                   mode => 'to-timestamp', value => '2024-01-10T00:00:00Z')
+ * }}}
+ *
+ * Each call returns its result as rows (a driver-side [[LocalScan]] — the
+ * outputs are O(partitions) or O(versions), never data-sized). All
+ * procedures execute driver-side metadata CAS operations exactly like
+ * their library twins; `compact` runs the segment copies as Spark jobs.
+ */
+private[sources] abstract class PolarProcedure(
+    procName: String,
+    params: Seq[ProcedureParameter],
+    outSchema: StructType) extends UnboundProcedure { self =>
+
+  /** Execute with the CALL's resolved argument row (parameter order). */
+  def run(spark: SparkSession, args: InternalRow): Seq[InternalRow]
+
+  override def name(): String = procName
+  override def description(): String = s"polar maintenance procedure $procName"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = self.name()
+    override def description(): String = self.description()
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    // maintenance mutates the log — never constant-folded or re-run
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // NB: named so the LocalScan's own `rows()` cannot shadow it
+      val produced = run(SparkSession.active, input).toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = produced
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"polar.system.${self.name()}"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object PolarProcedures {
+  import ProcedureParameter.in
+
+  /** All procedures for a catalog rooted at `root` with default ring
+    * geometry — one instance per catalog. */
+  def all(root: String, clusterSize: Int, rangesPerToken: Int)
+      : Map[String, UnboundProcedure] = {
+    def cfgOf(args: InternalRow, idx: Int): TopicConfig =
+      TopicConfig(root, args.getUTF8String(idx).toString,
+        clusterSize, rangesPerToken)
+
+    val compact = new PolarProcedure(
+      "compact",
+      Seq(in("topic", StringType).build(),
+        in("small_bytes", LongType).defaultValue((64L << 20).toString).build(),
+        in("min_run", IntegerType).defaultValue("2").build()),
+      StructType(Seq(StructField("merged_runs", IntegerType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](PolarCompaction.compact(
+          spark, cfgOf(a, 0), smallBytes = a.getLong(1), minRun = a.getInt(2)))))
+    }
+
+    val cleanRetention = new PolarProcedure(
+      "clean_retention",
+      Seq(in("topic", StringType).build(),
+        in("retention_ms", LongType).build()),
+      StructType(Seq(StructField("deleted_files", IntegerType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](
+          PolarLog.cleanRetention(cfgOf(a, 0), retentionMs = a.getLong(1)))))
+    }
+
+    val vacuum = new PolarProcedure(
+      "vacuum",
+      Seq(in("topic", StringType).build(),
+        in("dry_run", BooleanType).defaultValue("false").build(),
+        in("manifest_grace_ms", LongType)
+          .defaultValue((10L * 60 * 1000).toString).build(),
+        in("data_grace_ms", LongType).defaultValue("0").build()),
+      StructType(Seq(StructField("reclaimed_files", IntegerType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](PolarLog.vacuum(cfgOf(a, 0),
+          manifestGraceMs = a.getLong(2), dataGraceMs = a.getLong(3),
+          dryRun = a.getBoolean(1)))))
+    }
+
+    val history = new PolarProcedure(
+      "history",
+      Seq(in("topic", StringType).build()),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("commit_ms", LongType, nullable = false),
+        StructField("files", IntegerType, nullable = false),
+        StructField("records", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+        LogMetadata.history(cfgOf(a, 0)).map(m => new GenericInternalRow(Array[Any](
+          m.version, m.commitMs, m.files.size, m.producerOffsets.sum)))
+    }
+
+    val resetOffsets = new PolarProcedure(
+      "reset_offsets",
+      Seq(in("group_id", StringType).build(),
+        in("topic", StringType).build(),
+        in("mode", StringType)
+          .comment("earliest | latest | to-timestamp | shift-by").build(),
+        in("value", StringType).defaultValue("CAST(NULL AS STRING)").build()),
+      StructType(Seq(
+        StructField("part", IntegerType, nullable = false),
+        StructField("offset", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        def value: String = {
+          if (a.isNullAt(3)) throw new IllegalArgumentException(
+            s"mode '${a.getUTF8String(2)}' requires 'value'")
+          a.getUTF8String(3).toString.trim
+        }
+        val mode = a.getUTF8String(2).toString.toLowerCase match {
+          case "earliest" | "to-earliest" => ConsumerGroups.ToEarliest
+          case "latest" | "to-latest" => ConsumerGroups.ToLatest
+          case "to-timestamp" => ConsumerGroups.ToTimestamp(
+            // epoch-millis or an ISO-8601 instant, like `startingTimestamp`
+            scala.util.Try(value.toLong).map(_ * 1000L).getOrElse {
+              val i = java.time.Instant.parse(value)
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            })
+          case "shift-by" => ConsumerGroups.ShiftBy(value.toLong)
+          case other => throw new IllegalArgumentException(
+            s"unknown reset mode '$other' " +
+              "(earliest | latest | to-timestamp | shift-by)")
+        }
+        ConsumerGroups.resetOffsets(spark, cfgOf(a, 1),
+            a.getUTF8String(0).toString, mode)
+          .toSeq.sortBy(_._1)
+          .map { case (p, o) => new GenericInternalRow(Array[Any](p, o)) }
+      }
+    }
+
+    Seq(compact, cleanRetention, vacuum, history, resetOffsets)
+      .map(p => p.name() -> (p: UnboundProcedure)).toMap
+  }
+}

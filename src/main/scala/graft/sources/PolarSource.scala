@@ -1027,7 +1027,7 @@ object PolarOffsets {
 
 class PolarMicroBatchStream(cfg: PolarSourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   // LIVE subscription set: starts at the load-time resolution; a pattern
   // subscription re-resolves per trigger ([[refreshTopics]]) and admits
@@ -1123,11 +1123,41 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
+  // tails as of the last planning trigger — feeds the progress-report lag
+  // metrics without paying an extra metadata read per progress event
+  @volatile private var lastKnownTails: Option[PolarOffsets] = None
+
+  /** Streaming-progress lag metrics (Kafka's `offsetsBehindLatest` shape):
+    * records behind the last-known producer tails, total / worst partition
+    * / partitions still behind — the numbers an operator alarms on.
+    * Computed against the tails snapshot of the LAST trigger (no extra
+    * metadata I/O at report time). */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    val consumed: Option[PolarOffsets] =
+      if (!latestConsumed.isPresent) None
+      else latestConsumed.get() match {
+        case p: PolarOffsets => Some(p)
+        case o => Some(PolarOffsets.parse(o.json(), topics.head.topic))
+      }
+    for (c <- consumed; tails <- lastKnownTails) {
+      val lags = tails.tails.map { case (k, tail) =>
+        math.max(0L, tail - c.tails.getOrElse(k, 0L)) }
+      out.put("recordsBehindLatest", lags.sum.toString)
+      out.put("maxRecordsBehindLatest",
+        (if (lags.isEmpty) 0L else lags.max).toString)
+      out.put("partitionsBehind", lags.count(_ > 0L).toString)
+    }
+    out
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     refreshTopics()
     val from = start.asInstanceOf[PolarOffsets]
     val metas = currentMetas
     val target = availableNowCap.getOrElse(tailsOf(metas))
+    lastKnownTails = Some(tailsOf(metas))
     // min-rows floor (Kafka minOffsetsPerTrigger): too little pending →
     // skip the batch (return `start` unchanged) unless the liveness delay
     // has elapsed. AvailableNow drains ignore the floor (Kafka parity —

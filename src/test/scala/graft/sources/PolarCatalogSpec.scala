@@ -25,6 +25,72 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("CALL polar.system.* — the SQL maintenance surface") {
+    import graft.log.{PolarLog, TopicConfig}
+    import org.apache.spark.sql.functions._
+    val cfg = TopicConfig(root, "maint", 3, 4)
+    def recs(lo: Int, hi: Int) =
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs(0, 200), cfg)
+    PolarLog.produce(recs(200, 400), cfg)
+    PolarLog.produce(recs(400, 600), cfg)
+
+    // history: one row per retained commit, records cumulative
+    val hist = spark.sql("CALL polar.system.history(topic => 'maint')").collect()
+    assert(hist.length === 3)
+    assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(hist.last.getLong(3) === 600L)
+
+    // compact: small segments merge; the log stays byte-identical
+    val before = PolarLog.consume(spark, cfg).count()
+    val merged = spark.sql("CALL polar.system.compact(topic => 'maint')")
+      .head().getInt(0)
+    assert(merged > 0)
+    assert(PolarLog.consume(spark, cfg).count() === before)
+
+    // vacuum: plant an unregistered orphan; dry-run counts it without
+    // touching it, the real pass reclaims it
+    val orphan = java.nio.file.Paths.get(root, "maint", "part=0",
+      "orphan-abandoned.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val dry = spark.sql(
+      "CALL polar.system.vacuum(topic => 'maint', dry_run => true, data_grace_ms => 0)")
+      .head().getInt(0)
+    assert(java.nio.file.Files.exists(orphan))
+    val wet = spark.sql(
+      "CALL polar.system.vacuum(topic => 'maint', data_grace_ms => 0)")
+      .head().getInt(0)
+    assert(dry === wet && wet > 0)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(PolarLog.consume(spark, cfg).count() === before)
+
+    // reset_offsets: registered group snaps to earliest then shifts
+    graft.log.ConsumerGroups.commit(cfg, "etl",
+      PolarLog.tails(cfg)) // register by committing, parked at tail
+    val toEarliest = spark.sql(
+      "CALL polar.system.reset_offsets(group_id => 'etl', topic => 'maint', mode => 'earliest')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(toEarliest.values.forall(_ === 0L))
+    val shifted = spark.sql(
+      "CALL polar.system.reset_offsets(group_id => 'etl', topic => 'maint', mode => 'shift-by', value => '3')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(shifted.values.forall(o => o >= 0L && o <= 3L))
+
+    // clean_retention with a huge window removes nothing
+    assert(spark.sql(
+      "CALL polar.system.clean_retention(topic => 'maint', retention_ms => 864000000)")
+      .head().getInt(0) === 0)
+
+    // unknown procedure is loud
+    val err = intercept[Exception] {
+      spark.sql("CALL polar.system.nope(topic => 'maint')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("create / insert / select / drop round trip in pure SQL") {
     spark.sql("CREATE TABLE polar.clicks")
     assert(spark.sql("SHOW TABLES IN polar").collect().map(_.getString(1))

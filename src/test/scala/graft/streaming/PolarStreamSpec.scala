@@ -49,6 +49,26 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     catch { case _: Exception => 0L } // no batches emitted -> dir absent
   }
 
+  test("streaming progress reports source lag metrics (records behind tails)") {
+    val cfg = TopicConfig(root, "lag_metrics")
+    PolarLog.produce(records(0, 200), cfg)
+    val q = spark.readStream.format("polar")
+      .option("root", root).option("topic", "lag_metrics")
+      .option("startingOffsets", "earliest").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("lag_ckpt").toString)
+      .format("noop").start()
+    q.awaitTermination(120000)
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty)
+    val m = progresses.last.sources(0).metrics
+    // the drain consumed everything the trigger knew about
+    assert(m.get("recordsBehindLatest") === "0", m.toString)
+    assert(m.get("maxRecordsBehindLatest") === "0", m.toString)
+    assert(m.get("partitionsBehind") === "0", m.toString)
+  }
+
   test("topicPattern subscription resolves matching topics at load") {
     PolarLog.produce(records(0, 100), TopicConfig(root, "pat_a1"))
     PolarLog.produce(records(100, 250), TopicConfig(root, "pat_a2"))
