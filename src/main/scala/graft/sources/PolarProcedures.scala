@@ -155,7 +155,16 @@ private[sources] object PolarProcedures {
       }
     }
 
-    Seq(compact, cleanRetention, vacuum, history, resetOffsets)
+    val analyze = new PolarProcedure(
+      "analyze",
+      Seq(in("topic", StringType).build()),
+      StructType(Seq(StructField("updated_files", IntegerType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](
+          PolarAnalyze.analyzeTsStats(spark, cfgOf(a, 0)))))
+    }
+
+    Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

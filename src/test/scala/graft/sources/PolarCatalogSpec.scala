@@ -91,6 +91,44 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("CALL polar.system.analyze backfills legacy ts stats, unlocking the ts top-N push") {
+    import graft.log.{LogMetadata, PolarLog, TopicConfig}
+    import org.apache.spark.sql.functions._
+    val cfg = TopicConfig(root, "legacy", 3, 4)
+    PolarLog.produce(graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value")), cfg)
+    val fresh = LogMetadata.read(cfg)
+    val freshStats = fresh.files.map(f =>
+      (f.part, f.name) -> (f.tsMin, f.tsMax, f.tsNulls)).toMap
+    assert(freshStats.values.forall(_._3 === 0L))
+    // simulate a pre-stats manifest: strip every entry to the legacy shape
+    LogMetadata.compareAndSet(cfg, fresh)(cur => cur.copy(
+      filesByPart = cur.filesByPart.map { case (p, fs) =>
+        p -> fs.map(_.copy(tsMin = Long.MinValue, tsMax = Long.MaxValue,
+          tsNulls = -1L))
+      }))
+    def topnPlan = spark.read.format("polar")
+      .option("root", root).option("topic", "legacy").load()
+      .orderBy(col("timestamp").desc, col("part"), col("offset")).limit(5)
+      .queryExecution.executedPlan.toString
+    // a legacy log cannot prove null-freedom → the ts push is refused
+    assert(!topnPlan.contains("topn="), topnPlan)
+
+    val updated = spark.sql("CALL polar.system.analyze(topic => 'legacy')")
+      .head().getInt(0)
+    assert(updated === fresh.files.count(_.count > 0))
+    // the backfilled stats are EXACTLY the write path's own
+    val after = LogMetadata.read(cfg).files.map(f =>
+      (f.part, f.name) -> (f.tsMin, f.tsMax, f.tsNulls)).toMap
+    assert(after === freshStats)
+    // and the order-based push is now offered
+    assert(topnPlan.contains("topn=5 by timestamp desc"), topnPlan)
+    // idempotent: nothing left to analyze
+    assert(spark.sql("CALL polar.system.analyze(topic => 'legacy')")
+      .head().getInt(0) === 0)
+  }
+
   test("create / insert / select / drop round trip in pure SQL") {
     spark.sql("CREATE TABLE polar.clicks")
     assert(spark.sql("SHOW TABLES IN polar").collect().map(_.getString(1))
