@@ -1104,6 +1104,40 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1""")),
 
     QueryDef(
+      "polar_key_file_skip",
+      // the SECOND pruning tier of a point lookup: beyond the owning-
+      // partition skip, the pushed keys ride into every split and become a
+      // parquet stats/dictionary/bloom predicate, so segments of the owning
+      // partition that provably don't hold the keys never decode. Gated
+      // over the 4-commit fixture (four segments per partition) so the
+      // pushed predicate must stay exact ACROSS segment boundaries; the
+      // plan must carry the keys into the scan; values replay exactly.
+      (s, dir) => {
+        val (cfg, _) = SharedTopics.segmentedEvents(s, dir)
+        val keys = Seq("7", "11", "23")
+        val df = s.read.format("polar")
+          .option("root", cfg.root).option("topic", cfg.topic).load()
+          .filter(col("partitionKey").isin(keys: _*))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("keys=3,"),
+          s"pushed keys missing from the scan:\n$plan")
+        require(plan.contains("parts=Set("), s"no partition pruning:\n$plan")
+        df.groupBy(col("partitionKey").as("pk"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("value").cast("string")).as("n_vals"),
+            date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("first_ts"),
+            date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"))
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n,
+               COUNT(DISTINCT props) AS n_vals,
+               strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+               strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM events WHERE user_id IN (7, 11, 23) GROUP BY 1""")),
+
+    QueryDef(
       "polar_vacuum_dry",
       (s, dir) => {
         // VACUUM DRY RUN (the preflight every table format's VACUUM

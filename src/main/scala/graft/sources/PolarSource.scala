@@ -294,7 +294,13 @@ final case class PolarScanBounds(
     limit: Option[Int] = None,
     // TOP-N pushdown (partial: Spark keeps the TakeOrdered node, we only
     // shrink what gets PLANNED): `ORDER BY offset|timestamp [DESC] LIMIT n`
-    topN: Option[PolarTopN] = None)
+    topN: Option[PolarTopN] = None,
+    // pushed `partitionKey` equality/IN values — beyond narrowing the
+    // partition set, these ride into every split so the parquet reader can
+    // drop row groups whose stats/dictionary/bloom exclude all the keys
+    // (the second pruning tier of a point lookup: partition-level skip from
+    // placement, then file-internal skip from parquet metadata)
+    keys: Option[Set[String]] = None)
 
 /** A pushed `ORDER BY <primary> [, …] LIMIT n`, pruned by the PRIMARY sort
   * column alone — sound for any lexicographic tie-break suffix, because
@@ -518,7 +524,11 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
       graft.functions.TokenMath.partitionForToken(
         graft.functions.Murmur3.hashString(k), t.clusterSize, t.rangesPerToken)
     ).toSet
-    bounds = bounds.copy(parts = Some(bounds.parts.fold(ps)(_ intersect ps)))
+    val ks = keys.toSet
+    bounds = bounds.copy(
+      parts = Some(bounds.parts.fold(ps)(_ intersect ps)),
+      // ANDed key predicates intersect: a row can only satisfy both
+      keys = Some(bounds.keys.fold(ks)(_ intersect ks)))
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -927,6 +937,7 @@ class PolarScan(
     s"PolarScan(${cfg.topics.map(_.dir).mkString(",")}, offsets=[${bounds.minOffset}," +
       s"${bounds.maxOffsetExclusive}), parts=${bounds.parts.getOrElse("all")}, " +
       s"ts=[${bounds.tsMin},${bounds.tsMax}], " +
+      bounds.keys.fold("")(ks => s"keys=${ks.size}, ") +
       bounds.limit.fold("")(l => s"limit=$l, ") +
       bounds.topN.fold("")(t => s"topn=${t.n} by " +
         (if (t.byTimestamp) "timestamp" else "offset") +
@@ -940,7 +951,8 @@ class PolarScan(
     * already carried by every input partition. */
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new PolarFilesPlannedMetric, new PolarRowsPlannedMetric)
+    Array(new PolarFilesPlannedMetric, new PolarRowsPlannedMetric,
+      new PolarRowsDecodedMetric)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -966,7 +978,7 @@ class PolarScan(
             limitCapFrom(starts.getOrElse(p, 0L)))) })
         return PolarMicroBatchStream.plan(cfg.byName, Map(c.topic -> toMeta),
           start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)),
-          minPartitions = cfg.minPartitions)
+          minPartitions = cfg.minPartitions, keys = bounds.keys)
       }
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
@@ -979,7 +991,8 @@ class PolarScan(
       val start = PolarOffsets(wins.map { case (k, (lo, _)) => k -> lo })
       val end = PolarOffsets(wins.map { case (k, (_, hi)) => k -> hi })
       PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,
-        tsWindow = Some(tsWin), minPartitions = cfg.minPartitions)
+        tsWindow = Some(tsWin), minPartitions = cfg.minPartitions,
+        keys = bounds.keys)
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction
@@ -1269,7 +1282,8 @@ object PolarMicroBatchStream {
       end: PolarOffsets,
       parts: Option[Set[Int]],
       tsWindow: Option[(Long, Long)] = None,
-      minPartitions: Option[Int] = None): Array[InputPartition] = {
+      minPartitions: Option[Int] = None,
+      keys: Option[Set[String]] = None): Array[InputPartition] = {
     val (tsLo, tsHi) = tsWindow.getOrElse((Long.MinValue, Long.MaxValue))
     val base: Array[InputPartition] =
       end.tails.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
@@ -1285,7 +1299,7 @@ object PolarMicroBatchStream {
         if (files.isEmpty) None
         else Some(PolarInputPartition(t, cfgs(t).dir, p,
           files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset)),
-          startOff, endOff))
+          startOff, endOff, keys))
       }
     }.toArray
     minPartitions.filter(_ > base.length).fold(base)(subdivide(base, _))
@@ -1360,7 +1374,10 @@ final case class PolarInputPartition(
     part: Int,
     files: Seq[PolarFileSlice],
     startOffset: Long,
-    endOffset: Long) extends InputPartition with HasPartitionKey {
+    endOffset: Long,
+    // pushed partitionKey values, for parquet row-group/dictionary/bloom
+    // skipping inside the owning partition (exactness from residuals)
+    keys: Option[Set[String]] = None) extends InputPartition with HasPartitionKey {
   // storage-partitioned reads: the split IS one log partition, so exposing
   // `part` as the partition key lets Spark group splits and skip the
   // exchange for part-keyed aggregations and co-partitioned topic joins
@@ -1377,6 +1394,15 @@ class PolarRowsPlannedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "polarRowsPlanned"
   override def description(): String = "offset-window rows planned"
+}
+
+/** Rows actually DECODED from parquet (post row-group/page/dictionary/
+  * bloom skipping) — read alongside `polarRowsPlanned` to see how much of
+  * the planned window the in-file pruning tier dropped before decode. */
+class PolarRowsDecodedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "polarRowsDecoded"
+  override def description(): String = "parquet rows decoded"
 }
 
 object PolarReaderFactory {
@@ -1397,18 +1423,34 @@ object PolarReaderFactory {
       m("polarRowsPlanned", rows))
   }
 
-  /** Attach the custom task metrics to a reader without touching its
-    * decode path. */
+  /** Attach the custom task metrics to a reader; decode counting is one
+    * add per delivered batch (or row), off the per-value hot path. */
   private[sources] def withMetrics[T](r: PartitionReader[T],
-      p: PolarInputPartition): PartitionReader[T] =
+      p: PolarInputPartition,
+      // false for the registry-only count(*) reader: its batches are
+      // metadata arithmetic, no parquet row is ever decoded
+      countDecoded: Boolean = true): PartitionReader[T] =
     new PartitionReader[T] {
-      private val metrics = taskMetrics(p)
-      override def next(): Boolean = r.next()
+      private val planned = taskMetrics(p)
+      private var decoded = 0L
+      override def next(): Boolean = {
+        val has = r.next()
+        if (has && countDecoded) r.get() match {
+          case b: ColumnarBatch => decoded += b.numRows()
+          case _ => decoded += 1
+        }
+        has
+      }
       override def get(): T = r.get()
       override def close(): Unit = r.close()
       override def currentMetricsValues()
-          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-        metrics
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        val d = decoded
+        planned :+ (new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "polarRowsDecoded"
+          override def value(): Long = d
+        })
+      }
     }
 }
 
@@ -1457,10 +1499,10 @@ class PolarReaderFactory(
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[PolarInputPartition]
-    PolarReaderFactory.withMetrics(
-      if (required.isEmpty) countOnly(p)
-      else new PolarColumnarReader(
-        new PolarVectorReader(p, fileSchema, partitionSchema)), p)
+    if (required.isEmpty) PolarReaderFactory.withMetrics(countOnly(p), p,
+      countDecoded = false)
+    else PolarReaderFactory.withMetrics(new PolarColumnarReader(
+      new PolarVectorReader(p, fileSchema, partitionSchema)), p)
   }
 }
 
@@ -1493,13 +1535,34 @@ private[sources] class PolarVectorReader(
     // emits nothing when it isn't projected. An offset-less projection only
     // happens when no offset predicate survived — the window is the whole
     // log and pruning would be a no-op anyway.
-    if (fileSchema.fieldNames.contains("offset") &&
-        (p.startOffset > 0L || p.endOffset < Long.MaxValue)) {
-      val hi = if (p.endOffset == Long.MaxValue) Long.MaxValue else p.endOffset - 1
-      ParquetInputFormat.setFilterPredicate(c,
-        FilterApi.and(
+    val offsetPred =
+      if (fileSchema.fieldNames.contains("offset") &&
+          (p.startOffset > 0L || p.endOffset < Long.MaxValue)) {
+        val hi = if (p.endOffset == Long.MaxValue) Long.MaxValue else p.endOffset - 1
+        Some(FilterApi.and(
           FilterApi.gtEq(FilterApi.longColumn("offset"), java.lang.Long.valueOf(p.startOffset)),
           FilterApi.ltEq(FilterApi.longColumn("offset"), java.lang.Long.valueOf(hi))))
+      } else None
+    // pushed partitionKey values → parquet stats/dictionary/bloom filter:
+    // within the owning partition, a segment (or page) whose metadata
+    // excludes every sought key is skipped without decoding — the file-
+    // internal tier of a point lookup. Sound under the residual contract
+    // (rows with NULL or other keys are excluded by the predicate exactly
+    // as the re-applied `partitionKey = k` would exclude them).
+    val keyPred = p.keys.filter(_.nonEmpty &&
+        fileSchema.fieldNames.contains("partitionKey")).map { ks =>
+      ks.toSeq.sorted.map(k => FilterApi.eq(
+          FilterApi.binaryColumn("partitionKey"),
+          org.apache.parquet.io.api.Binary.fromString(k))
+        : org.apache.parquet.filter2.predicate.FilterPredicate)
+        .reduce(FilterApi.or)
+    }
+    (offsetPred, keyPred) match {
+      case (Some(o), Some(k)) =>
+        ParquetInputFormat.setFilterPredicate(c, FilterApi.and(o, k))
+      case (Some(o), None) => ParquetInputFormat.setFilterPredicate(c, o)
+      case (None, Some(k)) => ParquetInputFormat.setFilterPredicate(c, k)
+      case _ =>
     }
     c
   }

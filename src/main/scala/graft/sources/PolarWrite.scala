@@ -459,6 +459,16 @@ object PolarDataWriter {
     new RowWriterBuilder(path)
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.ZSTD)
+      // point-lookup insurance: a bloom filter on partitionKey lets the
+      // read path's pushed key predicate drop row groups even when the
+      // column overflows dictionary encoding (high-cardinality segments —
+      // exactly the 100 TB case). Adaptive sizing picks the smallest
+      // candidate bloom that fits the group's true NDV; fully-dictionary-
+      // encoded chunks skip the bloom (the dictionary already filters
+      // exactly). Capped well below the 1 MiB parquet default.
+      .withBloomFilterEnabled("partitionKey", true)
+      .withAdaptiveBloomFilterEnabled(true)
+      .withMaxBloomFilterBytes(128 * 1024)
       .build()
 }
 
