@@ -610,6 +610,61 @@ object PolarLogQueries extends QueryRegistry {
         FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "polar_sql_delete",
+      // the LOG-NATIVE DELETE: `DELETE FROM polar.t WHERE partitionKey IN
+      // (...)` appends ONE TOMBSTONE per key (a Kafka producer's delete
+      // marker), so the compacted (KTable) view drops the keys while the
+      // raw log keeps every prior offset addressable — deletion is a fact
+      // appended to the log, never an in-place rewrite. Gated: survivors'
+      // raw-history counts replay exactly; history retention and the
+      // non-key-predicate refusal are required inline.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        if (!s.conf.getOption("spark.sql.catalog.polar_gate").isDefined) {
+          s.conf.set("spark.sql.catalog.polar_gate",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set("spark.sql.catalog.polar_gate.root",
+            Files.createTempDirectory("graft_polar_sql").toString)
+        }
+        val root = s.conf.get("spark.sql.catalog.polar_gate.root")
+        val topic = "sqldel-" + java.util.UUID.randomUUID().toString.take(12)
+        s.sql(s"CREATE TABLE polar_gate.`$topic`")
+        Tables.events(s, dir).createOrReplaceTempView("events_del_src")
+        s.sql(s"""
+          INSERT INTO polar_gate.`$topic`
+          SELECT CAST(user_id AS STRING) AS partitionKey, ts AS timestamp,
+                 CAST(props AS BINARY) AS value
+          FROM events_del_src""")
+        def compactedKeys() = s.sql(
+          s"SELECT partitionKey FROM polar_compacted('$root', '$topic')")
+          .collect().map(_.getString(0)).toSet
+        require(Set("3", "5", "8").subsetOf(compactedKeys()),
+          "fixture must hold the keys being deleted")
+        s.sql(s"DELETE FROM polar_gate.`$topic` " +
+          "WHERE partitionKey IN ('3', '5', '8')")
+        // the keys vanish from the VIEW but their history stays in the LOG
+        require((compactedKeys() & Set("3", "5", "8")).isEmpty,
+          "deleted keys still visible in the compacted view")
+        require(s.sql(s"SELECT count(*) FROM polar_gate.`$topic` " +
+            "WHERE partitionKey = '3' AND value IS NOT NULL")
+          .head().getLong(0) > 0, "raw log must keep the deleted history")
+        // non-key predicates are refused (a DELETE must not hide a scan)
+        val err = scala.util.Try(
+          s.sql(s"DELETE FROM polar_gate.`$topic` WHERE offset > 5"))
+        require(err.isFailure, "non-key DELETE predicate must be refused")
+        // survivors with their full raw history, hash-verified
+        s.sql(s"""
+          SELECT k.partitionKey AS pk, count(*) AS n_raw
+          FROM polar_compacted('$root', '$topic') k
+          JOIN polar_gate.`$topic` r USING (partitionKey)
+          WHERE r.value IS NOT NULL
+          GROUP BY 1""")
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n_raw
+        FROM events WHERE user_id NOT IN (3, 5, 8) GROUP BY 1""")),
+
+    QueryDef(
       "polar_http_roundtrip",
       (s, dir) => {
         // the full HTTP serving surface (A1/A15/A19/A32) driven end-to-end:

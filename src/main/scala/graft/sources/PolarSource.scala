@@ -231,7 +231,8 @@ class PolarTable(
     externalSchema: StructType = null,
     sqlInsertable: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"polar:${cfg.topics.map(_.topic).mkString(",")}"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
@@ -261,6 +262,51 @@ class PolarTable(
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PolarScanBuilder(cfg)
+
+  /** `DELETE FROM polar.t WHERE partitionKey = 'k' | IN (...)` — the
+    * log-native delete: ONE TOMBSTONE (null-value record) is appended per
+    * key, exactly a Kafka producer's delete marker. The compacted (KTable)
+    * view drops the keys immediately; the raw log keeps every prior offset
+    * addressable (replay / time travel are unaffected) until retention or
+    * compaction purges them — deletion is a fact appended to the log, not
+    * an in-place rewrite, which is what keeps the dense-offset planning
+    * arithmetic and O(delta) commits intact at any scale. Non-key
+    * predicates are refused loudly (enumerating their keys would be a full
+    * scan hidden inside a DELETE). */
+  private def tombstoneKeys(f: org.apache.spark.sql.sources.Filter)
+      : Option[Set[String]] = f match {
+    case org.apache.spark.sql.sources.EqualTo("partitionKey", s: String) =>
+      Some(Set(s))
+    case org.apache.spark.sql.sources.EqualNullSafe("partitionKey", s: String) =>
+      Some(Set(s))
+    case org.apache.spark.sql.sources.In("partitionKey", vs)
+        if vs.forall(v => v == null || v.isInstanceOf[String]) =>
+      // NULL elements never match under IN's three-valued semantics
+      Some(vs.collect { case s: String => s }.toSet)
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    cfg.topics.size == 1 && filters.nonEmpty && filters.forall(tombstoneKeys(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      "polar DELETE supports only partitionKey = '<k>' / IN (...) predicates " +
+        "(a tombstone per key); rewrite other predicates as key sets, or use " +
+        "retention for age-based removal")
+    // ANDed predicates intersect; an empty intersection deletes nothing
+    val keys = filters.map(tombstoneKeys(_).get).reduce(_ intersect _)
+    if (keys.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    graft.log.PolarLog.produce(
+      keys.toSeq.sorted.toDF("partitionKey").select(
+        org.apache.spark.sql.functions.col("partitionKey"),
+        org.apache.spark.sql.functions.current_timestamp().as("timestamp"),
+        org.apache.spark.sql.functions.lit(null).cast("binary").as("value")),
+      cfg.topics.head)
+  }
 
   /** `df.write.format("polar")` — envelope schemas get the real DSv2
     * BatchWrite (commit-time offsets); producer schemas route through

@@ -129,6 +129,32 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getInt(0) === 0)
   }
 
+  test("DELETE tombstones: ANDed key predicates intersect, empty set is a no-op") {
+    spark.sql("CREATE TABLE polar.deltest")
+    spark.sql("""
+      INSERT INTO polar.deltest SELECT * FROM VALUES
+        ('a', TIMESTAMP '2026-01-01 00:00:00', CAST('v1' AS BINARY)),
+        ('b', TIMESTAMP '2026-01-01 00:00:01', CAST('v2' AS BINARY)),
+        ('c', TIMESTAMP '2026-01-01 00:00:02', CAST('v3' AS BINARY))
+        AS t(partitionKey, timestamp, value)""")
+    def raw() = spark.sql("SELECT partitionKey, value FROM polar.deltest").collect()
+    val before = raw().length
+    // AND of EqualTo and In → intersection {'a'}: exactly one tombstone
+    spark.sql("DELETE FROM polar.deltest " +
+      "WHERE partitionKey = 'a' AND partitionKey IN ('a', 'b')")
+    assert(raw().length === before + 1)
+    assert(raw().count(r => r.getString(0) == "a" && r.isNullAt(1)) === 1)
+    // contradictory keys → empty intersection: NOTHING appended
+    spark.sql("DELETE FROM polar.deltest " +
+      "WHERE partitionKey = 'a' AND partitionKey = 'b'")
+    assert(raw().length === before + 1)
+    // non-key predicate refused loudly
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM polar.deltest WHERE offset > 0"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    spark.sql("DROP TABLE polar.deltest")
+  }
+
   test("create / insert / select / drop round trip in pure SQL") {
     spark.sql("CREATE TABLE polar.clicks")
     assert(spark.sql("SHOW TABLES IN polar").collect().map(_.getString(1))
