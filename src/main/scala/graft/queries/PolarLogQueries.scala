@@ -665,6 +665,49 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE user_id NOT IN (3, 5, 8) GROUP BY 1""")),
 
     QueryDef(
+      "polar_meta_tables",
+      // Iceberg-style metadata tables: `polar.<topic>.files | partitions |
+      // history` surface the registry as SQL relations (driver-side
+      // LocalScan, zero file I/O). Gated over the shared 4-commit fixture:
+      // the three views' record arithmetic must agree with each other AND
+      // replay against the raw table — files covers per-segment counts,
+      // partitions the tails, history the commit ledger.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        val (cfg, versions) = SharedTopics.segmentedEvents(s, dir)
+        // one catalog per fixture root (catalog instances are cached by
+        // name after first load, so the name carries the root)
+        val cat = "polar_meta_" +
+          java.lang.Integer.toHexString(cfg.root.hashCode & 0x7fffffff)
+        if (!s.conf.getOption(s"spark.sql.catalog.$cat").isDefined) {
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", cfg.root)
+        }
+        val t = cfg.topic
+        // write-path ts stats always land: provable in pure SQL
+        require(s.sql(s"SELECT count(*) FROM $cat.`$t`.files " +
+            "WHERE ts_nulls IS NULL OR ts_nulls > 0").head().getLong(0) == 0L,
+          "fixture files must carry exact null-free ts stats")
+        require(s.sql(s"SELECT count(*) FROM $cat.`$t`.history").head()
+          .getLong(0).toInt == versions.length,
+          "history must list one row per commit")
+        s.sql(s"""
+          SELECT 'files' AS src, sum(records) AS records FROM $cat.`$t`.files
+          UNION ALL
+          SELECT 'partitions', sum(records) FROM $cat.`$t`.partitions
+          UNION ALL
+          SELECT 'history_head', max(records) FROM $cat.`$t`.history
+          UNION ALL
+          SELECT 'versions', count(*) FROM $cat.`$t`.history""")
+      },
+      Some("""
+        SELECT 'files' AS src, COUNT(*) AS records FROM events
+        UNION ALL SELECT 'partitions', COUNT(*) FROM events
+        UNION ALL SELECT 'history_head', COUNT(*) FROM events
+        UNION ALL SELECT 'versions', 4""")),
+
+    QueryDef(
       "polar_http_roundtrip",
       (s, dir) => {
         // the full HTTP serving surface (A1/A15/A19/A32) driven end-to-end:

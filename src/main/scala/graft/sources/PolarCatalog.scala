@@ -112,6 +112,17 @@ class PolarCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables: `polar.<topic>.files|history|partitions` — the
+    // one-level "namespace" is the topic, the leaf the registry view
+    if (ident.namespace().length == 1 &&
+        PolarMetaTables.Names.contains(ident.name().toLowerCase)) {
+      val probe = TopicConfig(root, ident.namespace()(0))
+      if (exists(probe)) {
+        val meta = LogMetadata.read(probe)
+        return PolarMetaTables(TopicConfig(root, probe.topic,
+          meta.clusterSize, meta.rangesPerToken), ident.name().toLowerCase)
+      }
+    }
     requireTopLevel(ident.namespace())
     // geometry from the persisted metadata, not the catalog defaults — a
     // topic resized to another ring keeps reading correctly

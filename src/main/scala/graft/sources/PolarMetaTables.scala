@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.log.{LogMetadata, TopicConfig}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Iceberg-style METADATA TABLES: `SELECT * FROM polar.<topic>.files |
+ * history | partitions` — the registry surfaced as queryable relations, so
+ * an operator inspects layout/commit state in pure SQL instead of the
+ * library API (the SQL face of the reference's admin/status endpoints,
+ * `/root/reference/internal/consuming/server.go`).
+ *
+ * Rows are computed DRIVER-SIDE from the metadata registry at scan build
+ * time (fresh per query, O(files) / O(versions) / O(partitions) — never
+ * data-sized) and delivered through a [[LocalScan]]: no executors, no file
+ * I/O, exactly the planning arithmetic every real scan already does.
+ */
+private[sources] object PolarMetaTables {
+
+  val Names: Set[String] = Set("files", "history", "partitions")
+
+  def apply(cfg: TopicConfig, kind: String): Table = kind match {
+    case "files" => table(cfg, "files", FilesSchema) { meta =>
+      meta.files.map { f =>
+        new GenericInternalRow(Array[Any](
+          f.part, UTF8String.fromString(f.name), f.minOffset, f.maxOffset,
+          f.count, f.bytes, f.createdMs,
+          if (f.tsMin == Long.MinValue) null else f.tsMin,
+          if (f.tsMax == Long.MaxValue) null else f.tsMax,
+          if (f.tsNulls < 0) null else f.tsNulls))
+      }
+    }
+    case "history" => table(cfg, "history", HistorySchema) { _ =>
+      LogMetadata.history(cfg).map(m => new GenericInternalRow(Array[Any](
+        m.version, m.commitMs, m.files.size, m.producerOffsets.sum)))
+    }
+    case "partitions" => table(cfg, "partitions", PartitionsSchema) { meta =>
+      (0 until meta.numPartitions).map { p =>
+        val fs = meta.filesOf(p)
+        new GenericInternalRow(Array[Any](
+          p, fs.size, fs.map(_.count).sum, fs.map(_.bytes).sum,
+          meta.producerOffsets(p)))
+      }
+    }
+  }
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("part", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("min_offset", LongType, nullable = false),
+    StructField("max_offset", LongType, nullable = false),
+    StructField("records", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("created_ms", LongType, nullable = false),
+    // null = unknown (legacy pre-stats manifest entries / all-null files)
+    StructField("ts_min", LongType, nullable = true),
+    StructField("ts_max", LongType, nullable = true),
+    StructField("ts_nulls", LongType, nullable = true)))
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("commit_ms", LongType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("records", LongType, nullable = false)))
+
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("part", IntegerType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("records", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("tail_offset", LongType, nullable = false)))
+
+  private def table(cfg: TopicConfig, kind: String, outSchema: StructType)(
+      render: LogMetadata => Seq[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = s"polar:${cfg.topic}.$kind"
+      override def schema(): StructType = outSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = {
+            // head registry read at BUILD time: every query sees a fresh,
+            // single-snapshot view (one doc read + cached manifests).
+            // NB: named so the LocalScan's own `rows()` cannot shadow it
+            // (a `rows` val here becomes an infinite self-call)
+            val rendered = render(LogMetadata.read(cfg)).toArray
+            new LocalScan {
+              override def rows(): Array[InternalRow] = rendered
+              override def readSchema(): StructType = outSchema
+              override def description(): String = s"polar:${cfg.topic}.$kind"
+            }
+          }
+        }
+    }
+}
