@@ -665,6 +665,42 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE user_id NOT IN (3, 5, 8) GROUP BY 1""")),
 
     QueryDef(
+      "polar_batch_offsets",
+      // Kafka BATCH parity: explicit per-partition offset windows via the
+      // startingOffsets / endingOffsets JSON options (sentinels -2/-1 =
+      // earliest/tail). Single-partition topic so the window's exact
+      // CONTENTS are oracle-replayable: offsets are the global
+      // (timestamp, value, key) order, and the read must return precisely
+      // rows [5, tail-3) — both edges, not just counts, hash-verified.
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_batch_off").toString
+        val cfg = TopicConfig(root, "bo", 1, 1)
+        val recs = Tables.events(s, dir).filter(col("event_id") < 400)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        val n = PolarLog.produce(recs, cfg,
+          orderBy = Seq(col("timestamp"), col("value"), col("partitionKey")))
+          .recordsWritten
+        require(n > 10, s"fixture too small: $n")
+        s.read.format("polar")
+          .option("root", root).option("topic", "bo")
+          .option("startingOffsets", """{"0": 5}""")
+          .option("endingOffsets", s"""{"0": ${n - 3}}""")
+          .load()
+          .select(col("offset").as("off"), col("partitionKey").as("pk"),
+            col("value").cast("string").as("val"))
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), props,
+                   CAST(user_id AS VARCHAR)) - 1 AS off,
+                 CAST(user_id AS VARCHAR) AS pk, props AS val,
+                 COUNT(*) OVER () AS total
+          FROM events WHERE event_id < 400)
+        SELECT off, pk, val FROM ordered
+        WHERE off >= 5 AND off < total - 3""")),
+
+    QueryDef(
       "polar_meta_tables",
       // Iceberg-style metadata tables: `polar.<topic>.files | partitions |
       // history` surface the registry as SQL relations (driver-side

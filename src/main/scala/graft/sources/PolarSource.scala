@@ -162,6 +162,7 @@ object PolarSource {
           i.getEpochSecond * 1000000L + i.getNano / 1000L
         }
       },
+      endingOffsets = opt("endingOffsets").map(_.trim),
       versionAsOf = opt("versionAsOf").map(_.trim.toLong),
       // change-feed start: first batch = the (v, head] version window,
       // then the stream follows the live head
@@ -190,6 +191,10 @@ final case class PolarSourceConfig(
     txn: Option[(String, Long)] = None,
     txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
     startingTimestampMicros: Option[Long] = None,
+    // Kafka BATCH parity: an explicit per-partition end window,
+    // `{"part":offset,...}` (or `{"topic/part":offset}`), sentinel -1 =
+    // that partition's tail. Batch-only — a stream always follows the head.
+    endingOffsets: Option[String] = None,
     versionAsOf: Option[Long] = None,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
@@ -212,6 +217,15 @@ final case class PolarSourceConfig(
     "specify either a change window or 'versionAsOf', not both")
   require(startingVersion.isEmpty || versionAsOf.isEmpty,
     "specify either a change window ('startingVersion') or 'versionAsOf', not both")
+  require(endingOffsets.isEmpty || startingVersion.isEmpty,
+    "a change window is version-addressed; 'endingOffsets' applies to head/snapshot batch reads")
+  /** Explicit per-partition batch windows in play — pushes whose
+    * arithmetic assumes the full head window (registry-stat aggregates,
+    * ts-ordered top-N cuts) must refuse, and the batch reader must trim
+    * rows exactly (no residual predicate exists to re-apply). */
+  def hasExplicitOffsetWindows: Boolean =
+    startingOffsets.trim.startsWith("{") ||
+      endingOffsets.exists(_.trim.startsWith("{"))
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -443,9 +457,12 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
       case Seq(g) if fieldOf(g).contains("part") => true
       case _ => return None
     }
-    // change windows / narrowed bounds keep the ordinary scan (belt and
-    // braces: residual filters already block the push upstream)
-    if (cfg.startingVersion.isDefined || bounds != PolarScanBounds()) return None
+    // change windows / explicit batch windows / narrowed bounds keep the
+    // ordinary scan (belt and braces: residual filters already block the
+    // push upstream; option windows have no residual at all, so a stats
+    // answer would silently ignore them)
+    if (cfg.startingVersion.isDefined || cfg.hasExplicitOffsetWindows ||
+      bounds != PolarScanBounds()) return None
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => AggCountStar
       case m: Min => fieldOf(m.column()) match {
@@ -539,6 +556,10 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     }
     val desc = orders.head.direction() == SortDirection.DESCENDING
     primary match {
+      // the ts cut accumulates WHOLE-FILE counts toward n; rows an explicit
+      // batch window excludes would still be counted, making the cut too
+      // aggressive — the offset variant is window-anchored and stays sound
+      case "timestamp" if cfg.hasExplicitOffsetWindows => false
       case "offset" =>
         bounds = bounds.copy(topN = Some(PolarTopN(byTimestamp = false, desc, limit)))
         true
@@ -872,6 +893,24 @@ class PolarScan(
     case None => Long.MaxValue
   }
 
+  // Kafka BATCH parity: explicit per-partition windows. `startingOffsets`
+  // shapes a batch scan only as an explicit JSON map — the "latest" stream
+  // default would make every batch read empty, so policy words keep their
+  // stream meaning and batch defaults to the full log. Per-partition
+  // sentinels: -2 = earliest, -1 = that partition's tail. Partitions the
+  // map doesn't name keep the default (earliest start / tail end).
+  private lazy val startOverride: Map[(String, Int), Long] =
+    if (cfg.startingOffsets.trim.startsWith("{"))
+      PolarOffsets.parse(cfg.startingOffsets, cfg.topics.head.topic).tails
+    else Map.empty
+  private lazy val endOverride: Map[(String, Int), Long] =
+    cfg.endingOffsets.map(_.trim).filter(_.startsWith("{"))
+      .map(PolarOffsets.parse(_, cfg.topics.head.topic).tails)
+      .getOrElse(Map.empty)
+  private def resolveSentinel(o: Long, tail: Long): Long =
+    if (o == -2L) 0L else if (o == -1L) tail
+    else { require(o >= 0, s"offset must be >= 0 or a -1/-2 sentinel, got $o"); o }
+
   /** First actual row offset at or after `base` in offset-sorted `files` —
     * the anchor for the per-partition LIMIT cap (dense offsets inside
     * files; gaps only before the first surviving file after retention). */
@@ -893,10 +932,17 @@ class PolarScan(
       if (a > Long.MaxValue - b) Long.MaxValue else a + b
     val wins = metas.flatMap { case (t, m) =>
       m.producerOffsets.zipWithIndex.map { case (tail, p) =>
-        val effStart = firstRowAtOrAfter(m.filesOf(p), bounds.minOffset)
-        var lo = bounds.minOffset
-        var hi = math.min(tail,
-          math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart)))
+        // explicit batch windows clamp BEFORE the limit anchor: the
+        // per-partition LIMIT cap must count from the window's own first
+        // surviving row, not the global pushed minOffset
+        val loBase = math.max(bounds.minOffset,
+          startOverride.get((t, p)).map(resolveSentinel(_, tail)).getOrElse(0L))
+        val effStart = firstRowAtOrAfter(m.filesOf(p), loBase)
+        var lo = loBase
+        var hi = math.min(tail, math.min(
+          endOverride.get((t, p)).map(resolveSentinel(_, tail))
+            .getOrElse(Long.MaxValue),
+          math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart))))
         bounds.topN match {
           case Some(PolarTopN(false, false, n)) =>
             hi = math.min(hi, satAdd(effStart, n))
@@ -1011,6 +1057,9 @@ class PolarScan(
         if (cfg.topics.size > 1) throw new UnsupportedOperationException(
           "startingVersion batch reads target exactly one topic " +
             "(versions are per-topic)")
+        require(startOverride.isEmpty,
+          "a change window is version-addressed; explicit 'startingOffsets' " +
+            "maps apply to head/snapshot batch reads")
         val c = cfg.topics.head
         val (toMeta, startsM, endsM) = windowSnapshot.get
         // the LIMIT cap anchors at each partition's window start (the
@@ -1043,12 +1092,20 @@ class PolarScan(
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolarReaderFactory(required, columnar = true)
+      if (!cfg.hasExplicitOffsetWindows)
+        new PolarReaderFactory(required, columnar = true)
+      else
+        // explicit windows cut mid-file with NO residual predicate for
+        // Spark to re-apply — deliver rows trimmed exactly to the split's
+        // [start, end) instead of whole row groups
+        new PolarTrimmingReaderFactory(required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (cfg.versionAsOf.isDefined) throw new UnsupportedOperationException(
       "versionAsOf is a batch time-travel option; a stream always follows the live head")
+    if (cfg.endingOffsets.isDefined) throw new UnsupportedOperationException(
+      "endingOffsets is a batch option; a stream always follows the live head")
     if (cfg.endingVersion.isDefined) throw new UnsupportedOperationException(
       "endingVersion is a batch change-feed option; a stream always follows " +
         "the live head (use startingVersion alone)")
@@ -1071,7 +1128,7 @@ final case class PolarOffsets(tails: Map[(String, Int), Long]) extends Offset {
 
 object PolarOffsets {
   def parse(json: String, defaultTopic: String): PolarOffsets =
-    PolarOffsets(""""([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(json).map { m =>
+    PolarOffsets(""""([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(json).map { m =>
       val k = m.group(1)
       val slash = k.lastIndexOf('/')
       val key =
@@ -1498,6 +1555,44 @@ object PolarReaderFactory {
         })
       }
     }
+}
+
+/** Row-delivery factory for EXPLICIT batch windows (`startingOffsets` /
+  * `endingOffsets` JSON): each row is trimmed to the split's
+  * [startOffset, endOffset) by its offset — read internally even when the
+  * projection dropped the column, then projected away — because an
+  * option-derived window has no residual predicate Spark could re-apply.
+  * Window-free scans keep the columnar fast path. */
+private[sources] class PolarTrimmingReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  private val augmented: StructType =
+    if (required.fieldNames.contains("offset")) required
+    else StructType(required.fields :+
+      PolarSource.FullSchema("offset"))
+  private val partitionSchema = StructType(
+    augmented.fields.filter(f => f.name == "part" || f.name == "topic"))
+  private val fileSchema = StructType(
+    augmented.fields.filterNot(f => f.name == "part" || f.name == "topic"))
+  // delivered row layout: file columns first, then the appended constants
+  private val batchSchema = StructType(fileSchema.fields ++ partitionSchema.fields)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PolarInputPartition]
+    val base: PartitionReader[InternalRow] = new PolarRowReader(
+      new PolarVectorReader(p, fileSchema, partitionSchema),
+      batchSchema.fieldIndex("offset"), p.startOffset, p.endOffset)
+    val reader =
+      if (augmented eq required) base
+      else new PartitionReader[InternalRow] {
+        private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          required,
+          required.fieldNames.map(batchSchema.fieldIndex).toIndexedSeq)
+        override def next(): Boolean = base.next()
+        override def get(): InternalRow = { proj.project(base.get()); proj }
+        override def close(): Unit = base.close()
+      }
+    PolarReaderFactory.withMetrics(reader, p)
+  }
 }
 
 class PolarReaderFactory(

@@ -253,11 +253,42 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.estimateStatistics().numRows().getAsLong < full)
   }
 
+  test("explicit batch windows: exact mid-file trim, unsound pushes refuse") {
+    val df = spark.read.format("polar")
+      .option("root", cfg.root).option("topic", cfg.topic)
+      .option("startingOffsets", """{"5": 1}""").load()
+    val full = PolarLog.consume(spark, cfg).count()
+    val p5 = PolarLog.consume(spark, cfg).filter(col("part") === 5).count()
+    assert(p5 >= 2, "fixture needs rows in part 5")
+    // exactly one row (part 5, offset 0) is cut; unnamed partitions default
+    // to the full window — and count() must NOT be answered from registry
+    // stats (the aggregate push is refused under explicit windows)
+    assert(df.count() === full - 1)
+    val aggPlan = df.groupBy().agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("PolarAggScan"), aggPlan)
+    // ts-ordered top-N refuses (the cut counts whole files, the window
+    // does not); offset-ordered stays window-anchored and is offered
+    val tsPlan = df.orderBy(col("timestamp").desc).limit(3)
+      .queryExecution.executedPlan.toString
+    assert(!tsPlan.contains("topn=3 by timestamp"), tsPlan)
+    val offPlan = df.orderBy(col("offset")).limit(3)
+      .queryExecution.executedPlan.toString
+    assert(offPlan.contains("topn=3 by offset"), offPlan)
+    // a stream refuses the batch-only endingOffsets loudly
+    val e = intercept[UnsupportedOperationException](
+      new PolarScan(PolarSource.configFrom(Map(
+        "root" -> cfg.root, "topic" -> cfg.topic,
+        "endingOffsets" -> """{"0": 4}""")))
+        .toMicroBatchStream(Files.createTempDirectory("bo_ck").toString))
+    assert(e.getMessage.contains("endingOffsets"), e.getMessage)
+  }
+
   test("scan custom metrics: files and rows planned, from registry arithmetic") {
     val scan = new PolarScan(PolarSource.configFrom(
       Map("root" -> cfg.root, "topic" -> cfg.topic)))
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ===
-      Set("polarFilesPlanned", "polarRowsPlanned"))
+      Set("polarFilesPlanned", "polarRowsPlanned", "polarRowsDecoded"))
     val batch = scan.toBatch
     val parts = batch.planInputPartitions()
     val factory = batch.createReaderFactory()
