@@ -399,6 +399,53 @@ object PolarLog {
     LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap
 
   /**
+   * OFFSET-ADDRESSED log trim — `kafka-delete-records` parity: per
+   * partition, unregister and delete every segment wholly below the
+   * cutoff (`maxOffset < beforeOffset`), exactly the retention cleaner's
+   * move keyed by offset instead of age. Producer offsets are untouched:
+   * new records keep their dense positions, readers simply find the log
+   * starting at the first surviving file (the same post-retention shape
+   * every read/planning path already handles).
+   *
+   * File-granular, like the reference's retention sweep: records below
+   * the cutoff INSIDE the first surviving segment stay readable until a
+   * later trim/compaction rolls them out (documented divergence from
+   * Kafka's logStartOffset, which hides them immediately — compose with
+   * `WHERE offset >= c` for an exact cut at zero extra cost: the filter
+   * is pushed to the same file arithmetic).
+   *
+   * A cutoff past the tail is clamped (Kafka errors there; clamping keeps
+   * `truncate = trim-to-tail` total). Returns deleted segment count.
+   */
+  def deleteRecords(cfg: TopicConfig, beforeOffsets: Map[Int, Long]): Int = {
+    val meta = LogMetadata.read(cfg)
+    def cut(p: Int): Long =
+      math.min(beforeOffsets.getOrElse(p, 0L), meta.producerOffsets(p))
+    val doomed = meta.files.filter(f => f.maxOffset < cut(f.part))
+    if (doomed.isEmpty) return 0
+    LogMetadata.compareAndSet(cfg, meta) { cur =>
+      cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+        val kept = v.filter(_.maxOffset >= cut(p))
+        p -> (if (kept.length == v.length) v else kept)
+      })
+    }
+    val conf = HadoopConf.shared
+    doomed.foreach { f =>
+      val p = new Path(f.path(cfg))
+      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+      catch { case _: java.io.IOException => () }
+    }
+    doomed.size
+  }
+
+  /** Trim EVERYTHING: `TRUNCATE TABLE` / delete-records-to-tail. All
+    * segments drop, producer offsets stay — the next produce continues the
+    * dense numbering, so replayed consumers never see an offset reused. */
+  def truncate(cfg: TopicConfig): Int =
+    deleteRecords(cfg,
+      LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap)
+
+  /**
    * RECORD-EXACT event-time seek — Kafka's `offsetsForTimes`: per
    * partition, the offset of the FIRST record (offset order) with
    * `timestamp >= tsMicros`, or the tail when nothing at/after T exists.

@@ -665,6 +665,51 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE user_id NOT IN (3, 5, 8) GROUP BY 1""")),
 
     QueryDef(
+      "polar_truncate",
+      // TRUNCATE TABLE = delete-records-to-tail (kafka-delete-records at
+      // the tail): every segment drops, producer offsets STAY, so the next
+      // produce continues the dense numbering — replayed consumers and
+      // checkpoints never see an offset reused. Gated: post-truncate
+      // emptiness and offset continuity required inline; the re-inserted
+      // half replays exactly against the oracle.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        if (!s.conf.getOption("spark.sql.catalog.polar_gate").isDefined) {
+          s.conf.set("spark.sql.catalog.polar_gate",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set("spark.sql.catalog.polar_gate.root",
+            Files.createTempDirectory("graft_polar_sql").toString)
+        }
+        val topic = "trunc-" + java.util.UUID.randomUUID().toString.take(12)
+        s.sql(s"CREATE TABLE polar_gate.`$topic`")
+        Tables.events(s, dir).createOrReplaceTempView("events_trunc_src")
+        def insert(parity: Int): Unit = s.sql(s"""
+          INSERT INTO polar_gate.`$topic`
+          SELECT CAST(user_id AS STRING) AS partitionKey, ts AS timestamp,
+                 CAST(props AS BINARY) AS value
+          FROM events_trunc_src WHERE event_id % 2 = $parity""")
+        insert(0)
+        val before = s.sql(s"SELECT count(*) FROM polar_gate.`$topic`")
+          .head().getLong(0)
+        require(before > 0, "fixture produced nothing")
+        s.sql(s"TRUNCATE TABLE polar_gate.`$topic`")
+        require(s.sql(s"SELECT count(*) FROM polar_gate.`$topic`")
+          .head().getLong(0) == 0L, "truncate left rows behind")
+        insert(1)
+        // offsets CONTINUE past the truncated history: nothing restarts at 0
+        require(s.sql(s"SELECT min(offset) FROM polar_gate.`$topic`")
+          .head().getLong(0) > 0L, "offsets restarted after truncate")
+        s.sql(s"""
+          SELECT partitionKey AS pk, count(*) AS n,
+                 count(DISTINCT CAST(value AS STRING)) AS n_vals
+          FROM polar_gate.`$topic` GROUP BY 1""")
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n,
+               COUNT(DISTINCT props) AS n_vals
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1""")),
+
+    QueryDef(
       "polar_batch_offsets",
       // Kafka BATCH parity: explicit per-partition offset windows via the
       // startingOffsets / endingOffsets JSON options (sentinels -2/-1 =

@@ -155,6 +155,35 @@ private[sources] object PolarProcedures {
       }
     }
 
+    val deleteRecords = new PolarProcedure(
+      "delete_records",
+      // one global cutoff, or a per-partition JSON map ('{"part":offset}',
+      // -1 = that partition's tail) — the kafka-delete-records CLI shape
+      Seq(in("topic", StringType).build(),
+        in("before_offset", StringType)
+          .comment("offset, or '{\"part\":offset,...}' (-1 = tail)").build()),
+      StructType(Seq(StructField("deleted_files", IntegerType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val cfg = cfgOf(a, 0)
+        val arg = a.getUTF8String(1).toString.trim
+        val tails = PolarLog.tails(cfg)
+        val cuts: Map[Int, Long] =
+          if (arg.startsWith("{"))
+            """"(\d+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(arg).map { m =>
+              val p = m.group(1).toInt
+              val o = m.group(2).toLong
+              p -> (if (o == -1L) tails.getOrElse(p, 0L) else o)
+            }.toMap
+          else {
+            val o = arg.toLong
+            tails.keys.map(p => p ->
+              (if (o == -1L) tails(p) else o)).toMap
+          }
+        Seq(new GenericInternalRow(Array[Any](
+          PolarLog.deleteRecords(cfg, cuts))))
+      }
+    }
+
     val analyze = new PolarProcedure(
       "analyze",
       Seq(in("topic", StringType).build()),
@@ -164,7 +193,8 @@ private[sources] object PolarProcedures {
           PolarAnalyze.analyzeTsStats(spark, cfgOf(a, 0)))))
     }
 
-    Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze)
+    Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze,
+        deleteRecords)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

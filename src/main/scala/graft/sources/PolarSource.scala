@@ -304,6 +304,16 @@ class PolarTable(
       : Boolean =
     cfg.topics.size == 1 && filters.nonEmpty && filters.forall(tombstoneKeys(_).isDefined)
 
+  /** `TRUNCATE TABLE polar.t` — delete-records-to-tail (Kafka
+    * `kafka-delete-records` at the tail): every segment drops, producer
+    * offsets stay, so the next produce continues the dense numbering and
+    * consumer groups / replayed checkpoints never see an offset reused. */
+  override def truncateTable(): Boolean = {
+    require(cfg.topics.size == 1, "TRUNCATE targets exactly one topic")
+    graft.log.PolarLog.truncate(cfg.topics.head)
+    true
+  }
+
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(canDeleteWhere(filters),
       "polar DELETE supports only partitionKey = '<k>' / IN (...) predicates " +

@@ -201,6 +201,42 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE polar.metaview")
   }
 
+  test("delete_records: offset-addressed trim, clamped sentinels, survivors exact") {
+    import graft.log.{LogMetadata, PolarLog, TopicConfig}
+    spark.sql("CREATE TABLE polar.delrec")
+    def insert(tag: String): Unit = spark.sql(s"""
+      INSERT INTO polar.delrec SELECT * FROM VALUES
+        ('k1', TIMESTAMP '2026-01-01 00:00:00', CAST('$tag-1' AS BINARY)),
+        ('k2', TIMESTAMP '2026-01-01 00:00:01', CAST('$tag-2' AS BINARY))
+        AS t(partitionKey, timestamp, value)""")
+    insert("a"); insert("b"); insert("c")   // 3 segments per touched partition
+    val cfg = TopicConfig(root, "delrec")
+    val meta = LogMetadata.read(cfg)
+    // trim each partition below its SECOND segment's start: exactly the
+    // first segment of every 3-file partition drops
+    val cuts = meta.filesByPart.collect {
+      case (p, fs) if fs.length == 3 => p -> fs(1).minOffset
+    }
+    assert(cuts.nonEmpty)
+    val deleted = PolarLog.deleteRecords(cfg, cuts.toMap)
+    assert(deleted === cuts.size)
+    val left = spark.sql(
+      "SELECT CAST(value AS STRING) FROM polar.delrec").collect()
+      .map(_.getString(0)).sorted
+    assert(!left.exists(_.startsWith("a-")) &&
+      left.count(_.startsWith("b-")) === 2 && left.count(_.startsWith("c-")) === 2)
+    // the SQL procedure face: -1 = tail → everything goes, offsets survive
+    val n = spark.sql(
+      "CALL polar.system.delete_records(topic => 'delrec', before_offset => '-1')")
+      .head().getInt(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT count(*) FROM polar.delrec").head().getLong(0) === 0L)
+    assert(LogMetadata.read(cfg).producerOffsets.sum === 6L)
+    // past-the-tail cutoffs clamp (Kafka errors; trim-to-tail stays total)
+    assert(PolarLog.deleteRecords(cfg, Map(0 -> Long.MaxValue)) === 0)
+    spark.sql("DROP TABLE polar.delrec")
+  }
+
   test("create / insert / select / drop round trip in pure SQL") {
     spark.sql("CREATE TABLE polar.clicks")
     assert(spark.sql("SHOW TABLES IN polar").collect().map(_.getString(1))
