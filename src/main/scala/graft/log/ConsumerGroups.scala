@@ -192,6 +192,20 @@ object ConsumerGroups {
 
   /** One partition's lag row: committed next-offset, producer tail, and
     * the records pending between them. */
+  /** Registered consumer groups of a topic — one directory listing of the
+    * group docs (the `--list` view of Kafka's group tooling). */
+  def listGroups(cfg: TopicConfig): Seq[String] = {
+    val dir = new Path(cfg.groupsDir)
+    val fs = dir.getFileSystem(HadoopConf.shared)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json"))
+      .filter(validGroupName)
+      .toSeq.sorted
+  }
+
   final case class GroupLag(part: Int, committed: Long, tail: Long, lag: Long)
 
   /** Per-partition lag of a registered group — (committed, tail, lag) for

@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Iceberg-style METADATA TABLES: `SELECT * FROM polar.<topic>.files |
- * history | partitions` — the registry surfaced as queryable relations, so
+ * history | partitions | groups` — the registry surfaced as queryable
+ * relations, so
  * an operator inspects layout/commit state in pure SQL instead of the
  * library API (the SQL face of the reference's admin/status endpoints,
  * `/root/reference/internal/consuming/server.go`).
@@ -23,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 private[sources] object PolarMetaTables {
 
-  val Names: Set[String] = Set("files", "history", "partitions")
+  val Names: Set[String] = Set("files", "history", "partitions", "groups")
 
   def apply(cfg: TopicConfig, kind: String): Table = kind match {
     case "files" => table(cfg, "files", FilesSchema) { meta =>
@@ -48,6 +49,15 @@ private[sources] object PolarMetaTables {
           meta.producerOffsets(p)))
       }
     }
+    // the `--list` + `--describe` view of Kafka's group tooling in one
+    // relation: every registered group × partition with committed/tail/lag
+    case "groups" => table(cfg, "groups", GroupsSchema) { _ =>
+      graft.log.ConsumerGroups.listGroups(cfg).flatMap { g =>
+        graft.log.ConsumerGroups.groupLag(cfg, g).map(l =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(g), l.part, l.committed, l.tail, l.lag)))
+      }
+    }
   }
 
   val FilesSchema: StructType = StructType(Seq(
@@ -68,6 +78,13 @@ private[sources] object PolarMetaTables {
     StructField("commit_ms", LongType, nullable = false),
     StructField("files", IntegerType, nullable = false),
     StructField("records", LongType, nullable = false)))
+
+  val GroupsSchema: StructType = StructType(Seq(
+    StructField("group_id", StringType, nullable = false),
+    StructField("part", IntegerType, nullable = false),
+    StructField("committed", LongType, nullable = false),
+    StructField("tail", LongType, nullable = false),
+    StructField("lag", LongType, nullable = false)))
 
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("part", IntegerType, nullable = false),

@@ -133,4 +133,61 @@ class PlanPruningPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("explicit batch windows: planned coverage is exactly the window, any layout") {
+    // planning is pure metadata — write only the registry doc, never data
+    for (trial <- 1 to 150) {
+      val nParts = 1 + rnd.nextInt(5)
+      val chains = (0 until nParts).map { p =>
+        p -> randomChain(p, rnd.nextInt(4).toLong, 1 + rnd.nextInt(40))
+      }.toMap
+      val root = java.nio.file.Files.createTempDirectory("prop_bo").toString
+      val cfg = TopicConfig(root, "t", clusterSize = 1, rangesPerToken = nParts)
+      val meta = LogMetadata(
+        version = 1, clusterSize = 1, rangesPerToken = nParts,
+        producerOffsets = Vector.tabulate(nParts)(p =>
+          chains(p)._1.last.maxOffset + 1),
+        filesByPart = chains.map { case (p, (fs, _)) => p -> fs })
+      LogMetadata.write(cfg, meta)
+      def randomEdge(p: Int): Long = rnd.nextInt(5) match {
+        case 0 => -2L
+        case 1 => -1L
+        case _ =>
+          // anywhere from below the head gap to past the tail
+          rnd.nextLong(meta.producerOffsets(p) + 3)
+      }
+      // partitions may be named in one map, both, or neither
+      val startOv = (0 until nParts).filter(_ => rnd.nextBoolean())
+        .map(p => p -> randomEdge(p)).toMap
+      val endOv = (0 until nParts).filter(_ => rnd.nextBoolean())
+        .map(p => p -> randomEdge(p)).toMap
+      def json(m: Map[Int, Long]) =
+        m.map { case (p, o) => s""""$p": $o""" }.mkString("{", ",", "}")
+      var opts = Map("root" -> root, "topic" -> "t",
+        "clusterSize" -> "1", "rangesPerToken" -> nParts.toString)
+      if (startOv.nonEmpty) opts += ("startingOffsets" -> json(startOv))
+      if (endOv.nonEmpty) opts += ("endingOffsets" -> json(endOv))
+      val scan = new PolarScan(PolarSource.configFrom(opts))
+      val covered = scan.toBatch.planInputPartitions().flatMap { ip =>
+        val s = ip.asInstanceOf[PolarInputPartition]
+        s.files.flatMap(f =>
+          (math.max(s.startOffset, f.minOffset) to
+            math.min(s.endOffset - 1, f.maxOffset)).map(o => (s.part, o)))
+      }.toSeq.sorted
+      val expected = (0 until nParts).flatMap { p =>
+        val tail = meta.producerOffsets(p)
+        def res(o: Long) = if (o == -2L) 0L else if (o == -1L) tail else o
+        val lo = startOv.get(p).map(res).getOrElse(0L)
+        val hi = math.min(endOv.get(p).map(res).getOrElse(tail), tail)
+        chains(p)._2.map(_._1).filter(o => o >= lo && o < hi).map(o => (p, o))
+      }.sorted
+      assert(covered == expected,
+        s"trial $trial: window coverage diverged (got ${covered.size}, " +
+          s"exp ${expected.size}; startOv=$startOv endOv=$endOv)")
+      assert(covered.distinct.size == covered.size, s"trial $trial: dup rows")
+      // statistics agree with the plan (stats == plan invariant)
+      assert(scan.estimateStatistics().numRows().getAsLong == expected.size,
+        s"trial $trial: stats diverged from plan")
+    }
+  }
 }

@@ -195,6 +195,19 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         AS t(partitionKey, timestamp, value)""")
     assert(spark.sql("SELECT sum(records) FROM polar.metaview.partitions")
       .head().getLong(0) === 4L)
+    // groups view: register a group (commit) → one row per partition with
+    // committed/tail/lag; empty before any group exists
+    assert(spark.sql("SELECT count(*) FROM polar.metaview.groups")
+      .head().getLong(0) === 0L)
+    graft.log.ConsumerGroups.commit(
+      TopicConfig(root, "metaview"), "etl", Map(0 -> 1L))
+    val g = spark.sql("SELECT group_id, sum(committed), sum(lag) " +
+      "FROM polar.metaview.groups GROUP BY 1").collect()
+    assert(g.length === 1 && g(0).getString(0) === "etl")
+    val tails = graft.log.PolarLog.tails(TopicConfig(root, "metaview"))
+    val expLag = tails.map { case (p, t) =>
+      math.max(t - (if (p == 0) 1L else 0L), 0L) }.sum
+    assert(g(0).getLong(1) === 1L && g(0).getLong(2) === expLag)
     // a real topic named like a metadata table still resolves as a topic
     val e = intercept[Exception](spark.sql("SELECT * FROM polar.nosuch.files"))
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
