@@ -186,6 +186,24 @@ class PolarHttpServer(
               s""""records":${m.producerOffsets.sum}}""")
             .mkString("""{"history":[""", ",", "]}"),
             "application/json")
+        case ("POST", "/v1/admin/delete-records") =>
+          // kafka-delete-records parity: trim a topic's log below an
+          // offset — `?topic=t&before=o` (one global cutoff; -1 = tail,
+          // i.e. truncate). File-granular, clamped, offsets preserved —
+          // the HTTP face of PolarLog.deleteRecords / TRUNCATE TABLE.
+          val t = query(ex).get("topic").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "topic is required"))
+          if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+          val before = query(ex).get("before").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "before is required"))
+            .trim.toLong
+          val cfg = cfgOf(t)
+          val tails = graft.log.PolarLog.tails(cfg)
+          val cuts = tails.keys.map(p =>
+            p -> (if (before == -1L) tails(p) else before)).toMap
+          val n = graft.log.PolarLog.deleteRecords(cfg, cuts)
+          respond(ex, 200, s"""{"topic":"$t","deletedFiles":$n}""",
+            "application/json")
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()

@@ -109,6 +109,35 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(records.last === 4L)
   }
 
+  test("admin delete-records: trims below the cutoff; -1 truncates, offsets survive") {
+    val topic = "delrecep"
+    def produce(tag: Int): Unit = (0 until 3).foreach { i =>
+      val r = post(s"/v1/topic/$topic/messages?partitionKey=d$i",
+        s"""{"t":$tag,"i":$i}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+      assert(r.statusCode() === 200)
+    }
+    produce(0); produce(1)
+    assert(post("/v1/admin/delete-records", Array.emptyByteArray)
+      .statusCode() === 400) // topic required
+    // -1 = truncate: every segment drops, the next produce continues offsets
+    val resp = post(s"/v1/admin/delete-records?topic=$topic&before=-1",
+      Array.emptyByteArray)
+    assert(resp.statusCode() === 200)
+    val n = """"deletedFiles":(\d+)""".r.findFirstMatchIn(resp.body())
+      .map(_.group(1).toInt).get
+    assert(n > 0)
+    import graft.log.{LogMetadata, TopicConfig}
+    val cfg = TopicConfig(root, topic)
+    assert(LogMetadata.read(cfg).filesEmpty)
+    assert(LogMetadata.read(cfg).producerOffsets.sum === 6L)
+    produce(2)
+    val meta = LogMetadata.read(cfg)
+    assert(meta.producerOffsets.sum === 9L)
+    // surviving files all start past the truncated history
+    assert(meta.files.forall(f => f.minOffset >= 1L))
+  }
+
   test("admin group reset: to-earliest/to-latest/to-timestamp/shift-by, lag reflects") {
     val topic = "resetep"
     (0 until 8).foreach { i =>
