@@ -190,8 +190,6 @@ object ConsumerGroups {
     Poll(records, end)
   }
 
-  /** One partition's lag row: committed next-offset, producer tail, and
-    * the records pending between them. */
   /** Registered consumer groups of a topic — one directory listing of the
     * group docs (the `--list` view of Kafka's group tooling). */
   def listGroups(cfg: TopicConfig): Seq[String] = {
@@ -206,6 +204,8 @@ object ConsumerGroups {
       .toSeq.sorted
   }
 
+  /** One partition's lag row: committed next-offset, producer tail, and
+    * the records pending between them. */
   final case class GroupLag(part: Int, committed: Long, tail: Long, lag: Long)
 
   /** Per-partition lag of a registered group — (committed, tail, lag) for

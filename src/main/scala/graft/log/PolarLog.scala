@@ -415,12 +415,18 @@ object PolarLog {
    * is pushed to the same file arithmetic).
    *
    * A cutoff past the tail is clamped (Kafka errors there; clamping keeps
-   * `truncate = trim-to-tail` total). Returns deleted segment count.
+   * `truncate = trim-to-tail` total); `-1` IS that partition's tail (the
+   * kafka-delete-records sentinel), so every caller shares one resolution.
+   * Returns deleted segment count.
    */
   def deleteRecords(cfg: TopicConfig, beforeOffsets: Map[Int, Long]): Int = {
     val meta = LogMetadata.read(cfg)
-    def cut(p: Int): Long =
-      math.min(beforeOffsets.getOrElse(p, 0L), meta.producerOffsets(p))
+    beforeOffsets.values.foreach(o => require(o >= 0 || o == -1L,
+      s"cutoff must be >= 0 or the -1 tail sentinel, got $o"))
+    def cut(p: Int): Long = beforeOffsets.getOrElse(p, 0L) match {
+      case -1L => meta.producerOffsets(p)
+      case o => math.min(o, meta.producerOffsets(p))
+    }
     val doomed = meta.files.filter(f => f.maxOffset < cut(f.part))
     if (doomed.isEmpty) return 0
     LogMetadata.compareAndSet(cfg, meta) { cur =>
@@ -442,8 +448,10 @@ object PolarLog {
     * segments drop, producer offsets stay — the next produce continues the
     * dense numbering, so replayed consumers never see an offset reused. */
   def truncate(cfg: TopicConfig): Int =
+    // partition count from the PERSISTED doc (a caller's cfg may carry
+    // default geometry), so every partition is named
     deleteRecords(cfg,
-      LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap)
+      (0 until LogMetadata.read(cfg).numPartitions).map(_ -> -1L).toMap)
 
   /**
    * RECORD-EXACT event-time seek — Kafka's `offsetsForTimes`: per

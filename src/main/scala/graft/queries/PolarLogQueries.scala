@@ -692,13 +692,20 @@ object PolarLogQueries extends QueryRegistry {
         val before = s.sql(s"SELECT count(*) FROM polar_gate.`$topic`")
           .head().getLong(0)
         require(before > 0, "fixture produced nothing")
+        val gateCfg = graft.log.TopicConfig(
+          s.conf.get("spark.sql.catalog.polar_gate.root"), topic)
+        val preTails = graft.log.PolarLog.tails(gateCfg)
         s.sql(s"TRUNCATE TABLE polar_gate.`$topic`")
         require(s.sql(s"SELECT count(*) FROM polar_gate.`$topic`")
           .head().getLong(0) == 0L, "truncate left rows behind")
         insert(1)
-        // offsets CONTINUE past the truncated history: nothing restarts at 0
-        require(s.sql(s"SELECT min(offset) FROM polar_gate.`$topic`")
-          .head().getLong(0) > 0L, "offsets restarted after truncate")
+        // offsets CONTINUE past the truncated history, per partition (a
+        // partition untouched by the first insert legitimately starts at 0)
+        val restarts = s.sql(
+          s"SELECT part, min(offset) FROM polar_gate.`$topic` GROUP BY 1")
+          .collect().filter(r => r.getLong(1) < preTails(r.getInt(0)))
+        require(restarts.isEmpty,
+          s"offsets restarted after truncate: ${restarts.mkString(",")}")
         s.sql(s"""
           SELECT partitionKey AS pk, count(*) AS n,
                  count(DISTINCT CAST(value AS STRING)) AS n_vals

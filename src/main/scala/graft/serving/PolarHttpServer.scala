@@ -194,13 +194,16 @@ class PolarHttpServer(
           val t = query(ex).get("topic").flatMap(_.headOption)
             .getOrElse(throw HttpError(400, "topic is required"))
           if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
-          val before = query(ex).get("before").flatMap(_.headOption)
+          val raw = query(ex).get("before").flatMap(_.headOption)
             .getOrElse(throw HttpError(400, "before is required"))
-            .trim.toLong
+          val before = scala.util.Try(raw.trim.toLong).getOrElse(
+            throw HttpError(400, s"before must be an offset or -1, got '$raw'"))
+          if (before < -1L) throw HttpError(400,
+            s"before must be >= 0 or the -1 tail sentinel, got $before")
           val cfg = cfgOf(t)
-          val tails = graft.log.PolarLog.tails(cfg)
-          val cuts = tails.keys.map(p =>
-            p -> (if (before == -1L) tails(p) else before)).toMap
+          // deleteRecords resolves -1 = tail natively
+          val cuts = graft.log.PolarLog.tails(cfg).keys
+            .map(_ -> before).toMap
           val n = graft.log.PolarLog.deleteRecords(cfg, cuts)
           respond(ex, 200, s"""{"topic":"$t","deletedFiles":$n}""",
             "application/json")

@@ -35,10 +35,20 @@ object PolarAnalyze {
     val targets = meta.files.filter(stale)
     if (targets.isEmpty) return 0
 
-    // one read over exactly the stale files; per-file stats map-side
+    // one read over exactly the stale files; per-file stats map-side.
+    // ignoreMissingFiles: a file deleted between the metadata read and the
+    // scan (racing retention/delete-records) is SKIPPED — the CAS below
+    // matches by (part, name), so the meanwhile-unregistered entry is
+    // simply left alone, per the contract in the header doc
     val byPath = targets.map(f => f.path(cfg) -> (f.part, f.name)).toMap
+    val fs = new org.apache.hadoop.fs.Path(cfg.dir)
+      .getFileSystem(graft.log.HadoopConf.shared)
+    val present = byPath.keys.toSeq.filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (present.isEmpty) return 0
     val rows = spark.read.schema(PolarLog.ValueSchema)
-      .parquet(byPath.keys.toSeq: _*)
+      .option("ignoreMissingFiles", "true")
+      .parquet(present: _*)
       .select(input_file_name().as("file"), col("timestamp"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n"), count(col("timestamp")).as("n_ts"),

@@ -166,19 +166,13 @@ private[sources] object PolarProcedures {
       override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
         val cfg = cfgOf(a, 0)
         val arg = a.getUTF8String(1).toString.trim
-        val tails = PolarLog.tails(cfg)
+        // deleteRecords resolves -1 = tail natively; this only parses
         val cuts: Map[Int, Long] =
           if (arg.startsWith("{"))
-            """"(\d+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(arg).map { m =>
-              val p = m.group(1).toInt
-              val o = m.group(2).toLong
-              p -> (if (o == -1L) tails.getOrElse(p, 0L) else o)
-            }.toMap
-          else {
-            val o = arg.toLong
-            tails.keys.map(p => p ->
-              (if (o == -1L) tails(p) else o)).toMap
-          }
+            """"(\d+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(arg).map(m =>
+              m.group(1).toInt -> m.group(2).toLong).toMap
+          else
+            PolarLog.tails(cfg).keys.map(_ -> arg.toLong).toMap
         Seq(new GenericInternalRow(Array[Any](
           PolarLog.deleteRecords(cfg, cuts))))
       }

@@ -219,6 +219,15 @@ final case class PolarSourceConfig(
     "specify either a change window ('startingVersion') or 'versionAsOf', not both")
   require(endingOffsets.isEmpty || startingVersion.isEmpty,
     "a change window is version-addressed; 'endingOffsets' applies to head/snapshot batch reads")
+  // malformed values must refuse, not silently read the full log
+  require(startingOffsets == "earliest" || startingOffsets == "latest" ||
+      startingOffsets.trim.startsWith("{"),
+    s"startingOffsets must be 'earliest', 'latest' or a " +
+      s"""{"part":offset} JSON map, got '$startingOffsets'""")
+  require(endingOffsets.forall(v =>
+      v.trim.startsWith("{") || v.trim.equalsIgnoreCase("latest")),
+    s"""endingOffsets must be 'latest' or a {"part":offset} JSON map, """ +
+      s"got '${endingOffsets.getOrElse("")}'")
   /** Explicit per-partition batch windows in play — pushes whose
     * arithmetic assumes the full head window (registry-stat aggregates,
     * ts-ordered top-N cuts) must refuse, and the batch reader must trim
@@ -1101,14 +1110,23 @@ class PolarScan(
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction
-    override def createReaderFactory(): PartitionReaderFactory =
-      if (!cfg.hasExplicitOffsetWindows)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // explicit windows cut mid-file with NO residual predicate for Spark
+      // to re-apply — those need row-level trimming. But Spark requires
+      // every split of one scan to agree on columnar-ness, so the decision
+      // is scan-wide: when every planned window happens to align with its
+      // file boundaries (sentinels, whole-file cutoffs), whole-file
+      // columnar delivery is already exact and the fast path is kept.
+      def aligned = planInputPartitions().forall { ip =>
+        val s = ip.asInstanceOf[PolarInputPartition]
+        s.files.isEmpty || (s.startOffset <= s.files.head.minOffset &&
+          s.endOffset > s.files.last.maxOffset)
+      }
+      if (!cfg.hasExplicitOffsetWindows || aligned)
         new PolarReaderFactory(required, columnar = true)
       else
-        // explicit windows cut mid-file with NO residual predicate for
-        // Spark to re-apply — deliver rows trimmed exactly to the split's
-        // [start, end) instead of whole row groups
         new PolarTrimmingReaderFactory(required)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -1220,7 +1238,18 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       case "earliest" => PolarOffsets.zeros(topics)
       case "latest" => tailsOf(currentMetas)
       // explicit {"topic/p":offset,...} (bare "p" keys → the first topic)
-      case other => PolarOffsets.parse(other, topics.head.topic)
+      // explicit {"topic/p":offset,...} (bare "p" keys → the first topic);
+      // Kafka's per-partition sentinels resolve here too: -2 = earliest,
+      // -1 = that partition's CURRENT tail (latest)
+      case other =>
+        val tails = tailsOf(currentMetas).tails
+        PolarOffsets(PolarOffsets.parse(other, topics.head.topic).tails.map {
+          case (k, -2L) => k -> 0L
+          case (k, -1L) => k -> tails.getOrElse(k, 0L)
+          case (k, o) =>
+            require(o >= 0, s"offset must be >= 0 or a -1/-2 sentinel, got $o")
+            k -> o
+        })
     }
   }
 
@@ -1540,17 +1569,20 @@ object PolarReaderFactory {
     * add per delivered batch (or row), off the per-value hot path. */
   private[sources] def withMetrics[T](r: PartitionReader[T],
       p: PolarInputPartition,
-      // false for the registry-only count(*) reader: its batches are
-      // metadata arithmetic, no parquet row is ever decoded
-      countDecoded: Boolean = true): PartitionReader[T] =
+      // None for the registry-only count(*) reader (its batches are
+      // metadata arithmetic, no parquet row is ever decoded); row-based
+      // readers pass the vector reader's own counter so rows TRIMMED after
+      // decode still count as decoded (the metric's honest meaning)
+      decodedFrom: Option[() => Long]): PartitionReader[T] =
     new PartitionReader[T] {
       private val planned = taskMetrics(p)
-      private var decoded = 0L
+      private var delivered = 0L
       override def next(): Boolean = {
         val has = r.next()
-        if (has && countDecoded) r.get() match {
-          case b: ColumnarBatch => decoded += b.numRows()
-          case _ => decoded += 1
+        // columnar delivery: delivered batches ARE the decoded rows
+        if (has && decodedFrom.isEmpty) r.get() match {
+          case b: ColumnarBatch => delivered += b.numRows()
+          case _ => ()
         }
         has
       }
@@ -1558,7 +1590,7 @@ object PolarReaderFactory {
       override def close(): Unit = r.close()
       override def currentMetricsValues()
           : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-        val d = decoded
+        val d = decodedFrom.map(_()).getOrElse(delivered)
         planned :+ (new org.apache.spark.sql.connector.metric.CustomTaskMetric {
           override def name(): String = "polarRowsDecoded"
           override def value(): Long = d
@@ -1588,9 +1620,9 @@ private[sources] class PolarTrimmingReaderFactory(required: StructType)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PolarInputPartition]
+    val vec = new PolarVectorReader(p, fileSchema, partitionSchema)
     val base: PartitionReader[InternalRow] = new PolarRowReader(
-      new PolarVectorReader(p, fileSchema, partitionSchema),
-      batchSchema.fieldIndex("offset"), p.startOffset, p.endOffset)
+      vec, batchSchema.fieldIndex("offset"), p.startOffset, p.endOffset)
     val reader =
       if (augmented eq required) base
       else new PartitionReader[InternalRow] {
@@ -1601,7 +1633,8 @@ private[sources] class PolarTrimmingReaderFactory(required: StructType)
         override def get(): InternalRow = { proj.project(base.get()); proj }
         override def close(): Unit = base.close()
       }
-    PolarReaderFactory.withMetrics(reader, p)
+    PolarReaderFactory.withMetrics(reader, p,
+      decodedFrom = Some(() => vec.decodedRows))
   }
 }
 
@@ -1643,17 +1676,19 @@ class PolarReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PolarInputPartition]
+    val vec = new PolarVectorReader(p, fileSchema, partitionSchema)
     PolarReaderFactory.withMetrics(new PolarRowReader(
-      new PolarVectorReader(p, fileSchema, partitionSchema),
-      required.fieldIndex("offset"), p.startOffset, p.endOffset), p)
+      vec, required.fieldIndex("offset"), p.startOffset, p.endOffset), p,
+      decodedFrom = Some(() => vec.decodedRows))
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[PolarInputPartition]
     if (required.isEmpty) PolarReaderFactory.withMetrics(countOnly(p), p,
-      countDecoded = false)
+      decodedFrom = Some(() => 0L))
     else PolarReaderFactory.withMetrics(new PolarColumnarReader(
-      new PolarVectorReader(p, fileSchema, partitionSchema)), p)
+      new PolarVectorReader(p, fileSchema, partitionSchema)), p,
+      decodedFrom = None)
   }
 }
 
@@ -1730,6 +1765,10 @@ private[sources] class PolarVectorReader(
   private val fileIter = p.files.iterator
   private var reader: VectorizedParquetRecordReader = _
 
+  // rows DECODED from parquet (post row-group skipping, PRE any offset
+  // trimming) — the honest source for the polarRowsDecoded metric
+  private[sources] var decodedRows: Long = 0L
+
   private def nextReader(): Boolean = {
     close()
     if (!fileIter.hasNext) return false
@@ -1751,7 +1790,7 @@ private[sources] class PolarVectorReader(
       if (reader == null && !nextReader()) return null
       if (reader.nextKeyValue()) {
         val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-        if (b.numRows() > 0) return b
+        if (b.numRows() > 0) { decodedRows += b.numRows(); return b }
       } else if (!nextReader()) return null
     }
     null

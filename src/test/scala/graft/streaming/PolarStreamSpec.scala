@@ -108,6 +108,43 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       ckpt, s"$root/out_basic_2") === 400)
   }
 
+  test("startingOffsets JSON sentinels: -1 starts a partition at its tail, -2 at earliest") {
+    val cfg = TopicConfig(root, "s_sentinel")
+    PolarLog.produce(records(0, 300), cfg)
+    val tails = PolarLog.tails(cfg)
+    val dataParts = tails.filter(_._2 > 0).keys.toSeq.sorted
+    assert(dataParts.size >= 2, "fixture must populate at least two partitions")
+    val (tailPart, earliestPart) = (dataParts.head, dataParts(1))
+    // tailPart pinned to its CURRENT tail (-1), earliestPart replays all
+    // (-2), every unnamed partition defaults to the earliest policy
+    val df = spark.readStream.format("polar")
+      .option("root", root).option("topic", "s_sentinel")
+      .option("startingOffsets",
+        s"""{"$tailPart": -1, "$earliestPart": -2}""")
+      .load()
+    val got = runCollect(df,
+      Files.createTempDirectory("sent_ckpt").toString, s"$root/out_sentinel")
+    // unnamed partitions default to offset 0 (planInputPartitions treats
+    // a missing start as the log head), so everything replays except the
+    // tail-pinned partition's backlog
+    val expected = tails.map { case (p, t) =>
+      if (p == tailPart) 0L else t }.sum
+    assert(got === expected, s"tails=$tails tailPart=$tailPart")
+    // a plain negative offset that is not a sentinel refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("polar")
+        .option("root", root).option("topic", "s_sentinel")
+        .option("startingOffsets", """{"0": -7}""").load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("sent_bad").toString)
+        .format("noop").start().awaitTermination(60000)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("sentinel"), msgs(e))
+  }
+
   test("startingTimestamp seeks to the first segment that can hold ts >= T") {
     val cfg = TopicConfig(root, "s_tseek")
     // two produces with disjoint, widely separated event-time ranges →
