@@ -1735,7 +1735,11 @@ private[sources] class PolarVectorReader(
     // internal tier of a point lookup. Sound under the residual contract
     // (rows with NULL or other keys are excluded by the predicate exactly
     // as the re-applied `partitionKey = k` would exclude them).
-    val keyPred = p.keys.filter(_.nonEmpty &&
+    // capped: an OR over thousands of IN-list keys costs O(keys) per
+    // row-group/dictionary check and rides the task conf — past the cap
+    // the partition-level skip alone carries the lookup (still sound,
+    // residuals exact either way)
+    val keyPred = p.keys.filter(ks => ks.nonEmpty && ks.size <= 128 &&
         fileSchema.fieldNames.contains("partitionKey")).map { ks =>
       ks.toSeq.sorted.map(k => FilterApi.eq(
           FilterApi.binaryColumn("partitionKey"),
