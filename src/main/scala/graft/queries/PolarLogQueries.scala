@@ -753,6 +753,52 @@ object PolarLogQueries extends QueryRegistry {
         WHERE off >= 5 AND off < total - 3""")),
 
     QueryDef(
+      "polar_batch_ts_start",
+      // batch `startingTimestamp` (Kafka parity, record-exact): the
+      // registry ts stats pick each partition's candidate file, one
+      // bounded read refines to the FIRST record with ts >= T, and the
+      // scan starts exactly there — no compensating filter. Single
+      // partition + ts-ordered produce make the cut oracle-replayable as
+      // a plain WHERE; the aggregate/ts-top-N pushes refuse under the
+      // seek (asserted via the plan).
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_batch_ts").toString
+        val cfg = TopicConfig(root, "bts", 1, 1)
+        val recs = Tables.events(s, dir).filter(col("event_id") < 400)
+          .select(col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(recs, cfg,
+          orderBy = Seq(col("timestamp"), col("value"), col("partitionKey")))
+        // the median event time = a mid-log cut
+        val cut = Tables.events(s, dir).filter(col("event_id") < 400)
+          .select(unix_micros(col("ts"))).sort(col("unix_micros(ts)"))
+          .collect().map(_.getLong(0)).apply(199)
+        // ISO-8601 carries the full micros precision (epoch-millis would
+        // truncate and admit records just under the cut)
+        val cutIso = java.time.Instant.ofEpochSecond(
+          cut / 1000000L, (cut % 1000000L) * 1000L).toString
+        val df = s.read.format("polar")
+          .option("root", root).option("topic", "bts")
+          .option("startingTimestamp", cutIso)
+          .load()
+        val aggPlan = df.groupBy().agg(count(lit(1)))
+          .queryExecution.executedPlan.toString
+        require(!aggPlan.contains("PolarAggScan"),
+          s"aggregate push must refuse under a ts seek:\n$aggPlan")
+        df.select(col("offset").as("off"), col("partitionKey").as("pk"),
+          col("value").cast("string").as("val"))
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), props,
+                   CAST(user_id AS VARCHAR)) - 1 AS off,
+                 CAST(user_id AS VARCHAR) AS pk, props AS val, ts
+          FROM events WHERE event_id < 400),
+        cut AS (
+          SELECT ts AS c FROM ordered ORDER BY ts LIMIT 1 OFFSET 199)
+        SELECT off, pk, val FROM ordered WHERE ts >= (SELECT c FROM cut)""")),
+
+    QueryDef(
       "polar_meta_tables",
       // Iceberg-style metadata tables: `polar.<topic>.files | partitions |
       // history` surface the registry as SQL relations (driver-side

@@ -219,6 +219,9 @@ final case class PolarSourceConfig(
     "specify either a change window ('startingVersion') or 'versionAsOf', not both")
   require(endingOffsets.isEmpty || startingVersion.isEmpty,
     "a change window is version-addressed; 'endingOffsets' applies to head/snapshot batch reads")
+  require(startingTimestampMicros.isEmpty || versionAsOf.isEmpty,
+    "'startingTimestamp' seeks the LIVE head; combine with 'versionAsOf' " +
+      "is ambiguous — use a timestamp filter inside the snapshot instead")
   // malformed values must refuse, not silently read the full log
   require(startingOffsets == "earliest" || startingOffsets == "latest" ||
       startingOffsets.trim.startsWith("{"),
@@ -231,10 +234,13 @@ final case class PolarSourceConfig(
   /** Explicit per-partition batch windows in play — pushes whose
     * arithmetic assumes the full head window (registry-stat aggregates,
     * ts-ordered top-N cuts) must refuse, and the batch reader must trim
-    * rows exactly (no residual predicate exists to re-apply). */
+    * rows exactly (no residual predicate exists to re-apply). A batch
+    * `startingTimestamp` resolves to record-exact start offsets, so it is
+    * a window too. */
   def hasExplicitOffsetWindows: Boolean =
     startingOffsets.trim.startsWith("{") ||
-      endingOffsets.exists(_.trim.startsWith("{"))
+      endingOffsets.exists(_.trim.startsWith("{")) ||
+      startingTimestampMicros.isDefined
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -921,7 +927,21 @@ class PolarScan(
   private lazy val startOverride: Map[(String, Int), Long] =
     if (cfg.startingOffsets.trim.startsWith("{"))
       PolarOffsets.parse(cfg.startingOffsets, cfg.topics.head.topic).tails
-    else Map.empty
+    else cfg.startingTimestampMicros match {
+      // batch `startingTimestamp` (Kafka parity): the record-exact seek —
+      // registry ts stats pick each partition's candidate file, ONE
+      // bounded read refines to the first record with ts >= T; the same
+      // kernel the stream's initial offset uses, here as the scan's
+      // per-partition start window (exact via the trimming reader)
+      case Some(t) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        cfg.topics.flatMap { c =>
+          graft.log.PolarLog.offsetsForTimestamp(spark, c, t).map {
+            case (p, o) => (c.topic, p) -> o
+          }
+        }.toMap
+      case None => Map.empty
+    }
   private lazy val endOverride: Map[(String, Int), Long] =
     cfg.endingOffsets.map(_.trim).filter(_.startsWith("{"))
       .map(PolarOffsets.parse(_, cfg.topics.head.topic).tails)
