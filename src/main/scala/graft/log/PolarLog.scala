@@ -132,7 +132,11 @@ object PolarLog {
       maxMessageSize: Int = DefaultMaxMessageSize,
       maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes,
       txn: Option[(String, Long)] = None,
-      txnRetentionMs: Long = graft.sources.PolarWrite.DefaultTxnRetentionMs)
+      txnRetentionMs: Long = graft.sources.PolarWrite.DefaultTxnRetentionMs,
+      // atomic replace (INSERT OVERWRITE): one CAS unregisters every
+      // pre-existing segment while registering this produce's; offsets
+      // still continue from the tails
+      replaceAll: Boolean = false)
       : ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
@@ -157,6 +161,7 @@ object PolarLog {
         .option("txnBatchId", batchId.toString)
         .option("txnRetentionMs", txnRetentionMs.toString)
     }
+    if (replaceAll) writer = writer.option("replaceAll", "true")
     writer.mode("append").save()
 
     val after = LogMetadata.read(cfg)

@@ -665,6 +665,50 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE user_id NOT IN (3, 5, 8) GROUP BY 1""")),
 
     QueryDef(
+      "polar_insert_overwrite",
+      // ATOMIC REPLACE: INSERT OVERWRITE unregisters every pre-existing
+      // segment and registers the new produce in ONE metadata CAS —
+      // readers see the old topic or the new one, never a mix; offsets
+      // still continue from the tails (dense numbering is the log's
+      // identity, so checkpoints/groups never see a reuse). Gated: the
+      // replaced contents replay exactly; offset continuity and the
+      // no-stale-segments invariant are required inline.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        if (!s.conf.getOption("spark.sql.catalog.polar_gate").isDefined) {
+          s.conf.set("spark.sql.catalog.polar_gate",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set("spark.sql.catalog.polar_gate.root",
+            Files.createTempDirectory("graft_polar_sql").toString)
+        }
+        val topic = "ovw-" + java.util.UUID.randomUUID().toString.take(12)
+        s.sql(s"CREATE TABLE polar_gate.`$topic`")
+        Tables.events(s, dir).createOrReplaceTempView("events_ovw_src")
+        def sel(parity: Int) = s"""
+          SELECT CAST(user_id AS STRING) AS partitionKey, ts AS timestamp,
+                 CAST(props AS BINARY) AS value
+          FROM events_ovw_src WHERE event_id % 2 = $parity"""
+        s.sql(s"INSERT INTO polar_gate.`$topic` ${sel(0)}")
+        val gateCfg = graft.log.TopicConfig(
+          s.conf.get("spark.sql.catalog.polar_gate.root"), topic)
+        val preTails = graft.log.PolarLog.tails(gateCfg)
+        require(preTails.values.sum > 0, "fixture produced nothing")
+        s.sql(s"INSERT OVERWRITE polar_gate.`$topic` ${sel(1)}")
+        // only the overwrite's own segments remain, offsets continued
+        val meta = graft.log.LogMetadata.read(gateCfg)
+        require(meta.files.forall(f => f.minOffset >= preTails(f.part)),
+          "a pre-overwrite segment survived the replace")
+        s.sql(s"""
+          SELECT partitionKey AS pk, count(*) AS n,
+                 count(DISTINCT CAST(value AS STRING)) AS n_vals
+          FROM polar_gate.`$topic` GROUP BY 1""")
+      },
+      Some("""
+        SELECT CAST(user_id AS VARCHAR) AS pk, COUNT(*) AS n,
+               COUNT(DISTINCT props) AS n_vals
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1""")),
+
+    QueryDef(
       "polar_truncate",
       // TRUNCATE TABLE = delete-records-to-tail (kafka-delete-records at
       // the tail): every segment drops, producer offsets STAY, so the next

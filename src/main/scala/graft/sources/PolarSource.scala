@@ -151,6 +151,7 @@ object PolarSource {
           "txnSinkId requires txnBatchId")).toLong),
       txnRetentionMs = opt("txnRetentionMs").map(_.trim.toLong)
         .getOrElse(PolarWrite.DefaultTxnRetentionMs),
+      replaceAll = opt("replaceAll").exists(_.trim.toBoolean),
       // epoch millis (Kafka's startingTimestamp unit) or an ISO-8601
       // instant; overrides startingOffsets when present
       startingTimestampMicros = opt("startingTimestamp").map { s =>
@@ -190,6 +191,8 @@ final case class PolarSourceConfig(
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
     txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
+    // write option: atomic replace (INSERT OVERWRITE's internal relay)
+    replaceAll: Boolean = false,
     startingTimestampMicros: Option[Long] = None,
     // Kafka BATCH parity: an explicit per-partition end window,
     // `{"part":offset,...}` (or `{"topic/part":offset}`), sentinel -1 =
@@ -287,6 +290,9 @@ class PolarTable(
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
       caps.add(TableCapability.V1_BATCH_WRITE)
     }
+    // INSERT OVERWRITE / mode("overwrite"): atomic replace through the
+    // commit CAS (the builder's SupportsTruncate)
+    caps.add(TableCapability.TRUNCATE)
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

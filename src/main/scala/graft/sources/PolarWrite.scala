@@ -46,12 +46,21 @@ import org.apache.spark.sql.types._
  * is the routing exchange itself.
  */
 class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  // `INSERT OVERWRITE` / `df.write.mode("overwrite")`: Spark signals the
+  // replace-everything contract here; the commit's CAS makes it atomic
+  private var truncateAll = false
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+
   override def build(): Write = {
     val schema = info.schema()
+    val replace = truncateAll || cfg.replaceAll
     if (schema.fieldNames.contains("part"))
       new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn,
-        queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs)
+        queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs,
+        replaceAll = replace)
     else
       // producer-schema sugar (`df.write.format("polar")` with only
       // value[/partitionKey/timestamp]): route through PolarLog.produce,
@@ -62,10 +71,9 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
         override def toInsertableRelation
             : org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              "the polar log is append-only (reference semantics); use mode(\"append\")")
             PolarLog.produce(data, cfg.topic,
-              maxFileBytes = cfg.maxFileBytes, txn = cfg.txn): Unit
+              maxFileBytes = cfg.maxFileBytes, txn = cfg.txn,
+              replaceAll = overwrite || replace): Unit
           }
       }
   }
@@ -77,7 +85,8 @@ class PolarWrite(
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
     queryId: String = "",
-    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs)
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
+    replaceAll: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -94,7 +103,8 @@ class PolarWrite(
   }
 
   override def toBatch: BatchWrite =
-    new PolarBatchWrite(cfg, schema, maxFileBytes, txn, txnRetentionMs)
+    new PolarBatchWrite(cfg, schema, maxFileBytes, txn, txnRetentionMs,
+      replaceAll)
 
   /** SQL-UI observability for produces: segments sealed and records
     * written per task — the write twin of the scan's planned-files/rows
@@ -112,9 +122,12 @@ class PolarWrite(
     * failure/replay. The stable queryId survives restarts (it is the
     * checkpointed stream id), so a replayed epoch after recovery is dropped
     * at the CAS authority, not re-registered. */
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    require(!replaceAll,
+      "a stream appends to the log; overwrite is a batch INSERT OVERWRITE")
     new PolarStreamingWrite(cfg, schema, maxFileBytes,
       if (queryId == null) "" else queryId, txnRetentionMs)
+  }
 }
 
 class PolarStreamingWrite(
@@ -263,7 +276,13 @@ class PolarBatchWrite(
     schema: StructType,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
     txn: Option[(String, Long)] = None,
-    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs) extends BatchWrite {
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
+    // INSERT OVERWRITE / mode("overwrite"): the commit's CAS atomically
+    // unregisters every pre-existing segment while registering this
+    // batch's — readers see the old topic or the new one, never a mix.
+    // Offsets still CONTINUE from the tails (dense numbering is the log's
+    // identity), so checkpoints and consumer groups never see a reuse.
+    replaceAll: Boolean = false) extends BatchWrite {
 
   // plan-time snapshot: offset bases ship to the writers; the version is the
   // CAS expectation at commit (concurrent-producer guard)
@@ -314,6 +333,11 @@ class PolarBatchWrite(
     // receives the ORIGINAL commit messages) cannot reclaim them. Track the
     // rewritten names and delete them ourselves on the terminal failure
     // path; until then they are unregistered and invisible to readers.
+    // replace-all: files unregistered by the winning CAS attempt — deleted
+    // only after the commit lands (readers of the old snapshot race the
+    // delete exactly like retention; the registry is the visibility
+    // authority)
+    var doomed: Vector[FileEntry] = Vector.empty
     try {
       entries = rebase(entries, expected)
       var attempt = 0
@@ -321,6 +345,7 @@ class PolarBatchWrite(
       while (!committed) {
         try {
           LogMetadata.compareAndSet(cfg, expected) { cur =>
+            if (replaceAll) doomed = cur.files
             val tails = cur.producerOffsets.toArray
             entries.groupBy(_.part).foreach { case (p, fs) =>
               val sorted = fs.sortBy(_.minOffset)
@@ -333,7 +358,10 @@ class PolarBatchWrite(
                 tails(p) = f.maxOffset + 1
               }
             }
-            val next = cur.appendFiles(entries.toSeq)
+            val base = if (!replaceAll) cur else cur.copy(
+              filesByPart = cur.filesByPart.map { case (p, _) =>
+                p -> Vector.empty[FileEntry] })
+            val next = base.appendFiles(entries.toSeq)
               .copy(producerOffsets = tails.toVector)
             txn match {
               case None => next
@@ -367,6 +395,16 @@ class PolarBatchWrite(
             val cur = LogMetadata.read(cfg)
             entries = rebase(entries, cur)
             expected = cur
+        }
+      }
+      // the replaced segments are unregistered; reclaim them now (a crash
+      // here leaves orphans for vacuum, never dangling registry entries)
+      if (replaceAll) {
+        val conf = graft.log.HadoopConf.shared
+        doomed.foreach { f =>
+          val p = new Path(f.path(cfg))
+          try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+          catch { case _: java.io.IOException => () }
         }
       }
     } catch {

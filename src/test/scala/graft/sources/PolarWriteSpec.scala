@@ -72,14 +72,15 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     writer.commit()
   }
 
-  test("append twice extends offsets; overwrite is rejected") {
+  test("append twice extends offsets; overwrite replaces atomically, offsets continue") {
     val root = Files.createTempDirectory("polar_write_spec3").toString
     val few = records.limit(50)
     few.write.format("polar").option("root", root).option("topic", "w")
       .mode("append").save()
     few.write.format("polar").option("root", root).option("topic", "w")
       .mode("append").save()
-    val log = PolarLog.consume(spark, TopicConfig(root, "w"))
+    val cfg = TopicConfig(root, "w")
+    val log = PolarLog.consume(spark, cfg)
     assert(log.count() === 100)
     // offsets stay dense across appends
     val dense = log.groupBy(col("part"))
@@ -87,11 +88,20 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("n") =!= col("span")).count()
     assert(dense === 0)
 
-    val ex = intercept[Exception] {
-      few.write.format("polar").option("root", root).option("topic", "w")
-        .mode("overwrite").save()
-    }
-    assert(ex.getMessage != null)
+    // mode("overwrite") = atomic replace: one CAS drops every prior
+    // segment and registers the new produce; offsets never reset
+    val preTails = PolarLog.tails(cfg)
+    few.write.format("polar").option("root", root).option("topic", "w")
+      .mode("overwrite").save()
+    val after = PolarLog.consume(spark, cfg)
+    assert(after.count() === 50)
+    val minOffsets = after.groupBy(col("part"))
+      .agg(min(col("offset")).as("lo")).collect()
+    assert(minOffsets.forall(r => r.getLong(1) >= preTails(r.getInt(0))),
+      "offsets restarted after overwrite")
+    // the replaced segments are gone from disk (reclaimed post-CAS)
+    val meta = graft.log.LogMetadata.read(cfg)
+    assert(meta.files.forall(f => f.minOffset >= preTails(f.part)))
   }
 
   test("oversize record values are rejected (MaxMessageSize parity)") {
