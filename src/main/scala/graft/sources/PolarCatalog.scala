@@ -137,6 +137,21 @@ class PolarCatalog extends TableCatalog
     * catalog face of the DSv2 `versionAsOf` read option (retained root
     * snapshots; see [[graft.log.LogMetadata.readAt]]). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // time-traveled metadata views: the layout the topic HAD at a commit
+    // (`SELECT * FROM polar.t.files VERSION AS OF 3`)
+    if (ident.namespace().length == 1 &&
+        PolarMetaTables.Names.contains(ident.name().toLowerCase)) {
+      val probe = TopicConfig(root, ident.namespace()(0))
+      if (exists(probe)) {
+        val v = scala.util.Try(version.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"polar VERSION AS OF takes a commit version number, got '$version'"))
+        val meta = LogMetadata.readAt(probe, v)
+        return PolarMetaTables(TopicConfig(root, probe.topic,
+          meta.clusterSize, meta.rangesPerToken),
+          ident.name().toLowerCase, Some(v))
+      }
+    }
     requireTopLevel(ident.namespace())
     val probe = TopicConfig(root, ident.name())
     if (!exists(probe)) throw new NoSuchTableException(ident)

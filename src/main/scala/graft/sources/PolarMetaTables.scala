@@ -26,8 +26,26 @@ private[sources] object PolarMetaTables {
 
   val Names: Set[String] = Set("files", "history", "partitions", "groups")
 
-  def apply(cfg: TopicConfig, kind: String): Table = kind match {
-    case "files" => table(cfg, "files", FilesSchema) { meta =>
+  def apply(cfg: TopicConfig, kind: String): Table = apply(cfg, kind, None)
+
+  /** `versionAsOf` renders the view from that RETAINED snapshot — the
+    * layout/partition state the topic had at the commit (`SELECT * FROM
+    * polar.t.files VERSION AS OF 3`); `history` and `groups` are
+    * version-independent ledgers and refuse rather than mislead. */
+  def apply(cfg: TopicConfig, kind: String, versionAsOf: Option[Long]): Table = {
+    require(versionAsOf.isEmpty || kind == "files" || kind == "partitions",
+      s"VERSION AS OF applies to the files/partitions views, not '$kind' " +
+        "(history IS the version ledger; groups are live state)")
+    def snap(): LogMetadata = versionAsOf match {
+      case Some(v) => LogMetadata.readAt(cfg, v)
+      case None => LogMetadata.read(cfg)
+    }
+    render(cfg, kind, snap)
+  }
+
+  private def render(
+      cfg: TopicConfig, kind: String, snap: () => LogMetadata): Table = kind match {
+    case "files" => table(cfg, "files", FilesSchema, snap) { meta =>
       meta.files.map { f =>
         new GenericInternalRow(Array[Any](
           f.part, UTF8String.fromString(f.name), f.minOffset, f.maxOffset,
@@ -37,11 +55,11 @@ private[sources] object PolarMetaTables {
           if (f.tsNulls < 0) null else f.tsNulls))
       }
     }
-    case "history" => table(cfg, "history", HistorySchema) { _ =>
+    case "history" => table(cfg, "history", HistorySchema, snap) { _ =>
       LogMetadata.history(cfg).map(m => new GenericInternalRow(Array[Any](
         m.version, m.commitMs, m.files.size, m.producerOffsets.sum)))
     }
-    case "partitions" => table(cfg, "partitions", PartitionsSchema) { meta =>
+    case "partitions" => table(cfg, "partitions", PartitionsSchema, snap) { meta =>
       (0 until meta.numPartitions).map { p =>
         val fs = meta.filesOf(p)
         new GenericInternalRow(Array[Any](
@@ -51,7 +69,7 @@ private[sources] object PolarMetaTables {
     }
     // the `--list` + `--describe` view of Kafka's group tooling in one
     // relation: every registered group × partition with committed/tail/lag
-    case "groups" => table(cfg, "groups", GroupsSchema) { _ =>
+    case "groups" => table(cfg, "groups", GroupsSchema, snap) { _ =>
       graft.log.ConsumerGroups.listGroups(cfg).flatMap { g =>
         graft.log.ConsumerGroups.groupLag(cfg, g).map(l =>
           new GenericInternalRow(Array[Any](
@@ -93,7 +111,8 @@ private[sources] object PolarMetaTables {
     StructField("bytes", LongType, nullable = false),
     StructField("tail_offset", LongType, nullable = false)))
 
-  private def table(cfg: TopicConfig, kind: String, outSchema: StructType)(
+  private def table(cfg: TopicConfig, kind: String, outSchema: StructType,
+      snap: () => LogMetadata)(
       render: LogMetadata => Seq[InternalRow]): Table =
     new Table with SupportsRead {
       override def name(): String = s"polar:${cfg.topic}.$kind"
@@ -107,7 +126,7 @@ private[sources] object PolarMetaTables {
             // single-snapshot view (one doc read + cached manifests).
             // NB: named so the LocalScan's own `rows()` cannot shadow it
             // (a `rows` val here becomes an infinite self-call)
-            val rendered = render(LogMetadata.read(cfg)).toArray
+            val rendered = render(snap()).toArray
             new LocalScan {
               override def rows(): Array[InternalRow] = rendered
               override def readSchema(): StructType = outSchema

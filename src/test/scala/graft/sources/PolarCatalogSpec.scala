@@ -208,6 +208,17 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expLag = tails.map { case (p, t) =>
       math.max(t - (if (p == 0) 1L else 0L), 0L) }.sum
     assert(g(0).getLong(1) === 1L && g(0).getLong(2) === expLag)
+    // time travel: the files view AS OF the first commit shows 3 records,
+    // not 4; history/groups refuse VERSION AS OF (they ARE ledgers)
+    val v1 = spark.sql(
+      "SELECT min(version) FROM polar.metaview.history WHERE records = 3")
+      .head().getLong(0)
+    assert(spark.sql(
+      s"SELECT sum(records) FROM polar.metaview.files VERSION AS OF $v1")
+      .head().getLong(0) === 3L)
+    val tt = intercept[Exception](spark.sql(
+      s"SELECT * FROM polar.metaview.history VERSION AS OF $v1").collect())
+    assert(tt.getMessage.contains("ledger"), tt.getMessage)
     // a real topic named like a metadata table still resolves as a topic
     val e = intercept[Exception](spark.sql("SELECT * FROM polar.nosuch.files"))
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
