@@ -152,6 +152,7 @@ object PolarSource {
       txnRetentionMs = opt("txnRetentionMs").map(_.trim.toLong)
         .getOrElse(PolarWrite.DefaultTxnRetentionMs),
       replaceAll = opt("replaceAll").exists(_.trim.toBoolean),
+      failOnDataLoss = opt("failOnDataLoss").forall(_.trim.toBoolean),
       // epoch millis (Kafka's startingTimestamp unit) or an ISO-8601
       // instant; overrides startingOffsets when present
       startingTimestampMicros = opt("startingTimestamp").map { s =>
@@ -193,6 +194,10 @@ final case class PolarSourceConfig(
     txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
     // write option: atomic replace (INSERT OVERWRITE's internal relay)
     replaceAll: Boolean = false,
+    // Kafka parity: fail the stream when its start offsets point below
+    // the log start (head trimmed past unconsumed records); false =
+    // resume from the log start and accept the gap
+    failOnDataLoss: Boolean = true,
     startingTimestampMicros: Option[Long] = None,
     // Kafka BATCH parity: an explicit per-partition end window,
     // `{"part":offset,...}` (or `{"topic/part":offset}`), sentinel -1 =
@@ -1261,7 +1266,15 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
         }
       }.toMap)
     case None => cfg.startingOffsets match {
-      case "earliest" => PolarOffsets.zeros(topics)
+      // the TRUE log start per partition (first surviving segment after
+      // retention/delete-records trims), not offset 0 — Kafka's earliest
+      // resolves to logStartOffset for exactly this reason: a trimmed
+      // head is not data loss
+      case "earliest" => PolarOffsets(topics.flatMap { c =>
+        graft.log.ConsumerGroups.earliestOffsets(c).map {
+          case (p, o) => (c.topic, p) -> o
+        }
+      }.toMap)
       case "latest" => tailsOf(currentMetas)
       // explicit {"topic/p":offset,...} (bare "p" keys → the first topic)
       // explicit {"topic/p":offset,...} (bare "p" keys → the first topic);
@@ -1416,13 +1429,30 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     PolarOffsets(capped)
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // the LIVE topic map, not cfg.byName: pattern-discovered topics must
     // resolve here too
+    val metas = currentMetas
+    val from = start.asInstanceOf[PolarOffsets]
+    // Kafka's failOnDataLoss: a checkpointed/explicit start below the
+    // log-start offset means retention or delete-records trimmed records
+    // this stream never consumed — fail LOUDLY by default instead of
+    // silently skipping to the first surviving segment
+    if (cfg.failOnDataLoss) from.tails.foreach { case ((t, p), o) =>
+      metas.get(t).foreach { m =>
+        val logStart = m.filesOf(p).headOption.map(_.minOffset)
+          .getOrElse(m.producerOffsets.lift(p).getOrElse(0L))
+        if (o < logStart) throw new IllegalStateException(
+          s"data loss detected: $t/$p starts at $o but the log begins at " +
+            s"$logStart (records trimmed by retention/delete-records were " +
+            "never consumed). Set the source option failOnDataLoss=false " +
+            "to resume from the log start and accept the gap.")
+      }
+    }
     PolarMicroBatchStream.plan(topics.map(c => c.topic -> c).toMap,
-      currentMetas,
-      start.asInstanceOf[PolarOffsets], end.asInstanceOf[PolarOffsets], None,
+      metas, from, end.asInstanceOf[PolarOffsets], None,
       minPartitions = cfg.minPartitions)
+  }
 
   // streaming delivers ROWS off the vectorized decode: a trigger's window
   // can cut through a file, and exact [start,end) trimming is the reader's

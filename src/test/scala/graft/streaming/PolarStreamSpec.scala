@@ -145,6 +145,39 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).contains("sentinel"), msgs(e))
   }
 
+  test("failOnDataLoss: trimmed-past-checkpoint fails loudly; opt-out resumes at log start") {
+    val cfg = TopicConfig(root, "s_loss")
+    PolarLog.produce(records(0, 200), cfg)
+    val ckpt = Files.createTempDirectory("loss_ckpt").toString
+    def read(opts: Map[String, String] = Map.empty) = {
+      var r = spark.readStream.format("polar")
+        .option("root", root).option("topic", "s_loss")
+        .option("startingOffsets", "earliest")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    assert(runCollect(read(), ckpt, s"$root/out_loss_1") === 200L)
+    // records produced AFTER the checkpoint drain, then trimmed away
+    // before the stream sees them = genuine data loss
+    PolarLog.produce(records(200, 300), cfg)
+    assert(PolarLog.truncate(cfg) > 0)
+    val e = intercept[Exception](
+      runCollect(read(), ckpt, s"$root/out_loss_2"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("data loss"), msgs(e))
+    // opt-out: the same checkpoint resumes at the log start, skips the
+    // gap, and keeps consuming new records
+    PolarLog.produce(records(300, 350), cfg)
+    val expected = PolarLog.consume(spark, cfg).count()
+    assert(runCollect(read(Map("failOnDataLoss" -> "false")),
+      ckpt, s"$root/out_loss_3") === expected)
+    // a FRESH earliest stream on a trimmed topic is NOT data loss:
+    // earliest resolves to the log start, not offset 0
+    assert(runCollect(read(), Files.createTempDirectory("loss_ckpt2").toString,
+      s"$root/out_loss_4") === expected)
+  }
+
   test("startingTimestamp seeks to the first segment that can hold ts >= T") {
     val cfg = TopicConfig(root, "s_tseek")
     // two produces with disjoint, widely separated event-time ranges →
