@@ -95,4 +95,59 @@ class PolarChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, cfg).count() === total)
     assert(reads >= 0 && mergedRuns >= 0) // raced activity completed sanely
   }
+
+  test("overwrite vs producer race: replace is atomic, offsets dense, no dangling files") {
+    val root = Files.createTempDirectory("polar_chaos_ovw").toString
+    val cfg = TopicConfig(root, "ovw")
+    val events = graft.Tables.events(spark, sfDir)
+    def slice(rem: Int, of: Int) = events
+      .filter(pmod(col("event_id"), lit(of)) === rem)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(slice(0, 4), cfg)
+
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // a producer appending while an overwrite replaces: whichever CAS
+    // lands second decides — the append's records either got replaced
+    // (landed first) or survive whole (landed after)
+    val appender = Future { PolarLog.produce(slice(1, 4), cfg) }
+    val replacer = Future {
+      PolarLog.produce(slice(2, 4), cfg, replaceAll = true) }
+    Await.result(appender, 4.minutes)
+    Await.result(replacer, 4.minutes)
+    pool.shutdown()
+
+    val rows = PolarLog.consume(spark, cfg)
+    val overwriteN = events.filter(pmod(col("event_id"), lit(4)) === 2).count()
+    val appendN = events.filter(pmod(col("event_id"), lit(4)) === 1).count()
+    // all-or-nothing: the overwrite slice is always fully present; the
+    // appended slice is fully present or fully replaced, never partial
+    val n = rows.count()
+    assert(n === overwriteN || n === overwriteN + appendN, s"n=$n")
+    // dense per-partition offsets over whatever survived is NOT expected —
+    // replace trims the head; what MUST hold: registered files exist on
+    // disk, offsets within each file are dense, and no registered range
+    // overlaps another
+    val meta = LogMetadata.read(cfg)
+    val fs = new org.apache.hadoop.fs.Path(cfg.dir)
+      .getFileSystem(graft.log.HadoopConf.shared)
+    meta.files.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f.path(cfg))),
+        s"registered file missing: ${f.name}")
+      assert(f.maxOffset - f.minOffset + 1 === f.count)
+    }
+    meta.filesByPart.values.foreach { files =>
+      files.sliding(2).foreach {
+        case Vector(a, b) => assert(a.maxOffset < b.minOffset)
+        case _ => ()
+      }
+    }
+    // consumed offsets match the registry exactly (no phantom rows)
+    assert(rows.count() === meta.files.map(_.count).sum)
+    // vacuum reports nothing dangling beyond the replaced originals it
+    // may still find; after vacuum, disk state == registry state
+    PolarLog.vacuum(cfg, dataGraceMs = 0L)
+    assert(PolarLog.consume(spark, cfg).count() === n)
+  }
 }
