@@ -813,17 +813,21 @@ object PolarLogQueries extends QueryRegistry {
             col("ts").as("timestamp"), col("props").as("value"))
         PolarLog.produce(recs, cfg,
           orderBy = Seq(col("timestamp"), col("value"), col("partitionKey")))
-        // the median event time = a mid-log cut
-        val cut = Tables.events(s, dir).filter(col("event_id") < 400)
+        // a mid-log window: median start, 87th-percentile EXCLUSIVE end
+        val sorted = Tables.events(s, dir).filter(col("event_id") < 400)
           .select(unix_micros(col("ts"))).sort(col("unix_micros(ts)"))
-          .collect().map(_.getLong(0)).apply(199)
+          .collect().map(_.getLong(0))
+        val (cut, cutEnd) = (sorted(199), sorted(349))
         // ISO-8601 carries the full micros precision (epoch-millis would
         // truncate and admit records just under the cut)
-        val cutIso = java.time.Instant.ofEpochSecond(
-          cut / 1000000L, (cut % 1000000L) * 1000L).toString
+        def iso(t: Long) = java.time.Instant.ofEpochSecond(
+          t / 1000000L, (t % 1000000L) * 1000L).toString
         val df = s.read.format("polar")
           .option("root", root).option("topic", "bts")
-          .option("startingTimestamp", cutIso)
+          .option("startingTimestamp", iso(cut))
+          // exclusive end: the window stops at the first record with
+          // ts >= T2 (Kafka endingTimestamp)
+          .option("endingTimestamp", iso(cutEnd))
           .load()
         val aggPlan = df.groupBy().agg(count(lit(1)))
           .queryExecution.executedPlan.toString
@@ -839,8 +843,11 @@ object PolarLogQueries extends QueryRegistry {
                  CAST(user_id AS VARCHAR) AS pk, props AS val, ts
           FROM events WHERE event_id < 400),
         cut AS (
-          SELECT ts AS c FROM ordered ORDER BY ts LIMIT 1 OFFSET 199)
-        SELECT off, pk, val FROM ordered WHERE ts >= (SELECT c FROM cut)""")),
+          SELECT ts AS c FROM ordered ORDER BY ts LIMIT 1 OFFSET 199),
+        cut2 AS (
+          SELECT ts AS c FROM ordered ORDER BY ts LIMIT 1 OFFSET 349)
+        SELECT off, pk, val FROM ordered
+        WHERE ts >= (SELECT c FROM cut) AND ts < (SELECT c FROM cut2)""")),
 
     QueryDef(
       "polar_meta_tables",

@@ -165,6 +165,12 @@ object PolarSource {
         }
       },
       endingOffsets = opt("endingOffsets").map(_.trim),
+      endingTimestampMicros = opt("endingTimestamp").map { s =>
+        scala.util.Try(s.trim.toLong).map(_ * 1000L).getOrElse {
+          val i = java.time.Instant.parse(s)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+      },
       versionAsOf = opt("versionAsOf").map(_.trim.toLong),
       // change-feed start: first batch = the (v, head] version window,
       // then the stream follows the live head
@@ -203,6 +209,10 @@ final case class PolarSourceConfig(
     // `{"part":offset,...}` (or `{"topic/part":offset}`), sentinel -1 =
     // that partition's tail. Batch-only — a stream always follows the head.
     endingOffsets: Option[String] = None,
+    // Kafka BATCH parity: exclusive event-time end — the window stops at
+    // each partition's FIRST record with ts >= T (the same record-exact
+    // seek as startingTimestamp). Batch-only.
+    endingTimestampMicros: Option[Long] = None,
     versionAsOf: Option[Long] = None,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
@@ -230,6 +240,16 @@ final case class PolarSourceConfig(
   require(startingTimestampMicros.isEmpty || versionAsOf.isEmpty,
     "'startingTimestamp' seeks the LIVE head; combine with 'versionAsOf' " +
       "is ambiguous — use a timestamp filter inside the snapshot instead")
+  require(endingTimestampMicros.isEmpty || versionAsOf.isEmpty,
+    "'endingTimestamp' seeks the LIVE head; combine with 'versionAsOf' " +
+      "is ambiguous — use a timestamp filter inside the snapshot instead")
+  require(endingTimestampMicros.isEmpty || startingVersion.isEmpty,
+    "a change window is version-addressed; 'endingTimestamp' applies to head batch reads")
+  require(endingTimestampMicros.isEmpty || endingOffsets.isEmpty,
+    "specify either 'endingOffsets' or 'endingTimestamp', not both")
+  require(endingTimestampMicros.isEmpty || startingTimestampMicros.isEmpty ||
+      startingTimestampMicros.get <= endingTimestampMicros.get,
+    "'startingTimestamp' must be <= 'endingTimestamp'")
   // malformed values must refuse, not silently read the full log
   require(startingOffsets == "earliest" || startingOffsets == "latest" ||
       startingOffsets.trim.startsWith("{"),
@@ -248,7 +268,8 @@ final case class PolarSourceConfig(
   def hasExplicitOffsetWindows: Boolean =
     startingOffsets.trim.startsWith("{") ||
       endingOffsets.exists(_.trim.startsWith("{")) ||
-      startingTimestampMicros.isDefined
+      startingTimestampMicros.isDefined ||
+      endingTimestampMicros.isDefined
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -956,7 +977,19 @@ class PolarScan(
   private lazy val endOverride: Map[(String, Int), Long] =
     cfg.endingOffsets.map(_.trim).filter(_.startsWith("{"))
       .map(PolarOffsets.parse(_, cfg.topics.head.topic).tails)
-      .getOrElse(Map.empty)
+      .getOrElse(cfg.endingTimestampMicros match {
+        // exclusive event-time END: the window stops at each partition's
+        // first record with ts >= T — the same seek kernel, used as
+        // maxOffsetExclusive (Kafka's endingTimestamp semantics)
+        case Some(t) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          cfg.topics.flatMap { c =>
+            graft.log.PolarLog.offsetsForTimestamp(spark, c, t).map {
+              case (p, o) => (c.topic, p) -> o
+            }
+          }.toMap
+        case None => Map.empty
+      })
   private def resolveSentinel(o: Long, tail: Long): Long =
     if (o == -2L) 0L else if (o == -1L) tail
     else { require(o >= 0, s"offset must be >= 0 or a -1/-2 sentinel, got $o"); o }
@@ -1165,6 +1198,8 @@ class PolarScan(
       "versionAsOf is a batch time-travel option; a stream always follows the live head")
     if (cfg.endingOffsets.isDefined) throw new UnsupportedOperationException(
       "endingOffsets is a batch option; a stream always follows the live head")
+    if (cfg.endingTimestampMicros.isDefined) throw new UnsupportedOperationException(
+      "endingTimestamp is a batch option; a stream always follows the live head")
     if (cfg.endingVersion.isDefined) throw new UnsupportedOperationException(
       "endingVersion is a batch change-feed option; a stream always follows " +
         "the live head (use startingVersion alone)")
