@@ -173,6 +173,18 @@ class PolarHttpServer(
                |polar_retention_sweeps ${retention.sweeps}
                |polar_segments_merged ${compactionsRun.get + retention.merged}
                |""".stripMargin + lagLines.map(_ + "\n").mkString)
+        case ("GET", "/v1/admin/topics") =>
+          // topic inventory with registry stats — the admin `--list`
+          // (per topic: partitions, files, records, bytes, version), pure
+          // metadata arithmetic over the root listing
+          val rows = retention.topics().sortBy(_.topic).map { cfg =>
+            val m = graft.log.LogMetadata.read(cfg)
+            s"""{"topic":"${cfg.topic}","partitions":${m.numPartitions},""" +
+              s""""files":${m.files.size},"records":${m.producerOffsets.sum},""" +
+              s""""bytes":${m.files.map(_.bytes).sum},"version":${m.version}}"""
+          }
+          respond(ex, 200, rows.mkString("""{"topics":[""", ",", "]}"),
+            "application/json")
         case ("GET", "/v1/admin/history") =>
           // DESCRIBE HISTORY for a topic: every retained commit version
           // with its in-doc commit time and cumulative record count — the

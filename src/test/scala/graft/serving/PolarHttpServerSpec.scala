@@ -109,6 +109,19 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(records.last === 4L)
   }
 
+  test("admin topics inventory lists every topic with registry stats") {
+    val topic = "invep"
+    (0 until 3).foreach { i =>
+      assert(post(s"/v1/topic/$topic/messages?partitionKey=i$i",
+        s"""{"i":$i}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json")).statusCode() === 200)
+    }
+    val body = get("/v1/admin/topics").body()
+    assert(body.startsWith("""{"topics":["""))
+    val row = s""""topic":"$topic","partitions":12,"files":(\\d+),"records":3""".r
+    assert(row.findFirstIn(body).isDefined, body)
+  }
+
   test("admin delete-records: trims below the cutoff; -1 truncates, offsets survive") {
     val topic = "delrecep"
     def produce(tag: Int): Unit = (0 until 3).foreach { i =>
