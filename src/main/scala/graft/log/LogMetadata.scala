@@ -256,6 +256,16 @@ object LogMetadata {
     * the topic doc. Monotone, JVM-wide; tests snapshot-and-diff. */
   val rootReads = new java.util.concurrent.atomic.AtomicLong()
 
+  /** [[read]] only when the topic's root doc is on disk — `None` for a
+    * topic that was never produced to. Callers that must not fabricate an
+    * empty-topic view (e.g. geometry resolution with catalog-default
+    * fallback) use this instead of probing `exists` + `read` twice. */
+  def readIfExists(cfg: TopicConfig): Option[LogMetadata] = {
+    val path = new Path(cfg.metadataPath)
+    val fc = FileContext.getFileContext(path.toUri, hadoopConf)
+    if (fc.util().exists(path)) Some(read(cfg)) else None
+  }
+
   def read(cfg: TopicConfig): LogMetadata = {
     rootReads.incrementAndGet()
     val path = new Path(cfg.metadataPath)
@@ -557,7 +567,8 @@ object LogMetadata {
         case None => s"""["${hexEncode(id)}",$b]"""
       }
     }.mkString(",")
-    s"""{"version":${m.version},"clusterSize":${m.clusterSize},""" +
+    s"""{"format":$CurrentFormat,""" +
+      s""""version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""commitMs":${m.commitMs},""" +
       s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
@@ -570,8 +581,9 @@ object LogMetadata {
 
   private[log] def renderManifestDoc(doc: ManifestDoc): String = {
     val head = doc.parent match {
-      case Some(p) => s"""{"parent":"$p","depth":${doc.depth},"files":["""
-      case None => """{"files":["""
+      case Some(p) =>
+        s"""{"format":$CurrentFormat,"parent":"$p","depth":${doc.depth},"files":["""
+      case None => s"""{"format":$CurrentFormat,"files":["""
     }
     doc.files.map(f =>
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
@@ -579,7 +591,27 @@ object LogMetadata {
       .mkString(head, ",", "]}")
   }
 
+  /** Highest metadata/manifest doc shape this reader understands. Bumped
+    * whenever a tuple gains a field (the round-9 tsNulls/sinkCommitMs
+    * additions taught us that regex parsers FAIL SILENT on unknown shapes
+    * — zero matches reads as an empty topic). Writers stamp it; readers
+    * refuse anything newer instead of fabricating an empty view. Docs with
+    * no "format" field predate the stamp and parse as before (their tuple
+    * shapes are all <= format 2). */
+  private[log] val CurrentFormat = 2
+
+  private def checkFormat(s: String, what: String): Unit = {
+    """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      .filter(_ > CurrentFormat)
+      .foreach { v =>
+        throw new IllegalStateException(
+          s"$what uses metadata format $v; this reader supports <= " +
+            s"$CurrentFormat. Upgrade the reader before consuming this topic.")
+      }
+  }
+
   private[log] def parseManifestDoc(s: String): ManifestDoc = {
+    checkFormat(s, "manifest doc")
     val parent = """"parent"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
     val depth = """"depth"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
@@ -625,6 +657,7 @@ object LogMetadata {
   private val ManifestRe = """\[(\d+),"([^"]+)"\]""".r
 
   private[log] def parse(s: String): LogMetadata = {
+    checkFormat(s, "topic root doc")
     def longField(name: String): Long = {
       val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
         .getOrElse(throw new IllegalArgumentException(s"missing $name in metadata: $s"))

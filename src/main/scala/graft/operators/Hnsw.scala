@@ -160,9 +160,21 @@ final class HnswIndex(m: Int, efConstruction: Int) {
       ep = Seq(searchLayer(q, ep, 1, lc).head._2)
       lc -= 1
     }
-    searchLayer(q, ep, math.max(ef, k), 0)
-      .iterator.filterNot { case (_, n) => excluded(ids(n)) }
-      .take(k).map { case (d, n) => (ids(n), -d) }.toSeq
+    // Tombstones are filtered from the beam OUTPUT, so an ef-sized beam
+    // can yield < k live results even when the shard holds >= k live
+    // nodes. Widen and re-search until k survive or the beam provably
+    // covered every reachable node (beam smaller than requested ef, or
+    // ef >= shard size).
+    var curEf = math.max(ef, k)
+    while (true) {
+      val beam = searchLayer(q, ep, curEf, 0)
+      val live = beam.iterator.filterNot { case (_, n) => excluded(ids(n)) }
+        .take(k).map { case (d, n) => (ids(n), -d) }.toSeq
+      if (live.length >= k || beam.length < curEf || curEf >= size)
+        return live
+      curEf = math.min(math.max(curEf * 2, curEf + k), size)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Serialized view of the graph, one row per node: (id, vector, level,

@@ -177,9 +177,18 @@ class PolarHttpServer(
           // topic inventory with registry stats — the admin `--list`
           // (per topic: partitions, files, records, bytes, version), pure
           // metadata arithmetic over the root listing
+          // produce enforces validTopicName, but the listing is a raw
+          // directory scan — an out-of-band directory (spaces, quotes)
+          // must not corrupt the JSON envelope, so escape defensively
+          def esc(s: String) = s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
           val rows = retention.topics().sortBy(_.topic).map { cfg =>
             val m = graft.log.LogMetadata.read(cfg)
-            s"""{"topic":"${cfg.topic}","partitions":${m.numPartitions},""" +
+            s"""{"topic":"${esc(cfg.topic)}","partitions":${m.numPartitions},""" +
               s""""files":${m.files.size},"records":${m.producerOffsets.sum},""" +
               s""""bytes":${m.files.map(_.bytes).sum},"version":${m.version}}"""
           }

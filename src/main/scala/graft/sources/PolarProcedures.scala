@@ -66,9 +66,22 @@ private[sources] object PolarProcedures {
     * geometry — one instance per catalog. */
   def all(root: String, clusterSize: Int, rangesPerToken: Int)
       : Map[String, UnboundProcedure] = {
-    def cfgOf(args: InternalRow, idx: Int): TopicConfig =
-      TopicConfig(root, args.getUTF8String(idx).toString,
+    // Geometry from the PERSISTED metadata, exactly as loadTable does —
+    // a topic created with TBLPROPERTIES overrides (or resized) must not
+    // be enumerated with the catalog-default partition count: reset_offsets
+    // would cover the wrong partitions and the group-doc REPLACE would drop
+    // committed offsets for the rest. Catalog defaults apply only to topics
+    // with no metadata yet (nothing to enumerate there anyway).
+    def cfgOf(args: InternalRow, idx: Int): TopicConfig = {
+      val probe = TopicConfig(root, args.getUTF8String(idx).toString,
         clusterSize, rangesPerToken)
+      LogMetadata.readIfExists(probe) match {
+        case Some(meta) =>
+          probe.copy(clusterSize = meta.clusterSize,
+            rangesPerToken = meta.rangesPerToken)
+        case None => probe
+      }
+    }
 
     val compact = new PolarProcedure(
       "compact",

@@ -535,17 +535,25 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
       case _ => return None
     }
     if (specs.isEmpty) return None
-    // ts aggregates need REAL stats on every file that has rows
-    if (specs.exists(s => s == AggMinTs || s == AggMaxTs)) {
-      val metas = cfg.topics.map(c => cfg.versionAsOf match {
-        case Some(v) => LogMetadata.readAt(c, v)
-        case None => LogMetadata.read(c)
-      })
-      val sentinel = metas.exists(_.files.exists(f => f.count > 0 &&
-        (f.tsMin == Long.MinValue || f.tsMax == Long.MaxValue)))
-      if (sentinel) return None
-    }
+    // ts aggregates need REAL stats on every file that has rows (memoized:
+    // Spark probes supportCompletePushDown then pushAggregation on the
+    // same builder — one registry read, not one per planner probe)
+    if (specs.exists(s => s == AggMinTs || s == AggMaxTs) && !tsStatsClean)
+      return None
     Some((byPart, specs))
+  }
+
+  /** True iff every candidate file with rows carries non-sentinel ts
+    * stats at push time. Execution re-validates against ITS snapshot
+    * ([[PolarAggScan.planInputPartitions]]) — a sentinel commit landing
+    * between push and execution must fail loudly, not emit sentinels. */
+  private lazy val tsStatsClean: Boolean = {
+    val metas = cfg.topics.map(c => cfg.versionAsOf match {
+      case Some(v) => LogMetadata.readAt(c, v)
+      case None => LogMetadata.read(c)
+    })
+    !metas.exists(_.files.exists(f => f.count > 0 &&
+      (f.tsMin == Long.MinValue || f.tsMax == Long.MaxValue)))
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -771,6 +779,18 @@ class PolarAggScan(
         }.toArray
       }
       val all = metas.flatMap(_.files).filter(_.count > 0)
+      // re-validate the push-time no-sentinel invariant against THIS
+      // snapshot: planInputPartitions re-reads the registry, and a commit
+      // with sentinel ts stats (e.g. a legacy writer) landing between push
+      // and execution would otherwise surface Long.MinValue/MaxValue as
+      // real timestamps — fail loudly instead
+      if (specs.exists(s => s == AggMinTs || s == AggMaxTs) &&
+          all.exists(f => f.tsMin == Long.MinValue || f.tsMax == Long.MaxValue))
+        throw new IllegalStateException(
+          "pushed min/max(timestamp) aggregate hit a file with sentinel ts " +
+            "stats committed after planning; re-run the query (the push " +
+            "will be refused) or CALL polar.system.analyze(topic) to " +
+            "backfill stats")
       if (byPart)
         // only partitions with READABLE rows form groups (a group with no
         // rows does not exist in SQL semantics)
@@ -1168,9 +1188,20 @@ class PolarScan(
       val (wins, tsWin) = headWindows(metas)
       val start = PolarOffsets(wins.map { case (k, (lo, _)) => k -> lo })
       val end = PolarOffsets(wins.map { case (k, (_, hi)) => k -> hi })
-      PolarMicroBatchStream.plan(cfg.byName, metas, start, end, bounds.parts,
-        tsWindow = Some(tsWin), minPartitions = cfg.minPartitions,
+      val planned = PolarMicroBatchStream.plan(cfg.byName, metas, start, end,
+        bounds.parts, tsWindow = Some(tsWin), minPartitions = cfg.minPartitions,
         keys = bounds.keys)
+      // outputPartitioning claims one split per part key (KeyGrouped) only
+      // for single-topic, non-fanned-out scans — assert the invariant the
+      // claim rests on, so a future sub-splitting path cannot silently
+      // break storage-partitioned joins
+      if (cfg.topics.size == 1 && cfg.minPartitions.isEmpty) {
+        val parts = planned.map(_.asInstanceOf[PolarInputPartition].part)
+        require(parts.distinct.length == parts.length,
+          s"duplicate part keys across splits under a KeyGrouped claim: " +
+            parts.mkString(","))
+      }
+      planned
     }
     // batch scans deliver COLUMNAR: bounds are residual-filtered by Spark,
     // so row-group-granular delivery is exact by construction

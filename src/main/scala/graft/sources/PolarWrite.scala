@@ -397,20 +397,23 @@ class PolarBatchWrite(
             expected = cur
         }
       }
-      // the replaced segments are unregistered; reclaim them now (a crash
-      // here leaves orphans for vacuum, never dangling registry entries)
-      if (replaceAll) {
-        val conf = graft.log.HadoopConf.shared
-        doomed.foreach { f =>
-          val p = new Path(f.path(cfg))
-          try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-          catch { case _: java.io.IOException => () }
-        }
-      }
     } catch {
+      // scoped to the PRE-commit region: once the CAS lands the rebased
+      // files are registered, and deleting them on a later failure would
+      // leave registry entries pointing at missing data
       case scala.util.control.NonFatal(e) =>
         deleteRebased(entries)
         throw e
+    }
+    // the replaced segments are unregistered; reclaim them now (a crash
+    // here leaves orphans for vacuum, never dangling registry entries)
+    if (replaceAll) {
+      val conf = graft.log.HadoopConf.shared
+      doomed.foreach { f =>
+        val p = new Path(f.path(cfg))
+        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 

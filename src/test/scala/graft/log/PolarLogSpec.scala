@@ -294,6 +294,34 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerGroups.parseOffsets(ConsumerGroups.render(o)) === o)
   }
 
+  test("format-versioned docs: current stamp round-trips, newer formats refuse loudly") {
+    val m = LogMetadata(7L, 3, 4, Vector.tabulate(12)(_.toLong * 5))
+    val doc = LogMetadata.render(m)
+    // writers stamp the current format; readers accept it
+    assert(doc.contains(s""""format":${LogMetadata.CurrentFormat}"""))
+    assert(LogMetadata.parse(doc) === m)
+    // a FUTURE format (new tuple shapes this reader's regexes would
+    // silently zero-match) must refuse, never fabricate an empty topic
+    val future = doc.replaceFirst(
+      s""""format":${LogMetadata.CurrentFormat}""",
+      s""""format":${LogMetadata.CurrentFormat + 1}""")
+    val e = intercept[IllegalStateException](LogMetadata.parse(future))
+    assert(e.getMessage.contains("format"))
+    // manifest docs carry the same stamp and the same refusal
+    val man = LogMetadata.renderManifest(
+      Vector(FileEntry(0, "a.parquet", 0, 1, 2, 100, 1L)))
+    assert(man.contains(s""""format":${LogMetadata.CurrentFormat}"""))
+    val futureMan = man.replaceFirst(
+      s""""format":${LogMetadata.CurrentFormat}""",
+      s""""format":${LogMetadata.CurrentFormat + 9}""")
+    intercept[IllegalStateException](LogMetadata.parseManifestDoc(futureMan))
+    // pre-stamp docs (no "format" field) keep parsing — all their tuple
+    // shapes are <= the current format by construction
+    val unstamped = doc.replaceFirst(
+      s""""format":${LogMetadata.CurrentFormat},""", "")
+    assert(LogMetadata.parse(unstamped) === m)
+  }
+
   test("legacy inline-files metadata docs still parse") {
     val doc = """{"version":3,"clusterSize":3,"rangesPerToken":4,""" +
       """"producerOffsets":[2,0,0,0,0,0,0,0,0,0,0,1],"sinkCommits":[],""" +

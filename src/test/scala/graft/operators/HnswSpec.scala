@@ -59,6 +59,27 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.searchKnn(q, ef = 500, k = 500).size === 500)
   }
 
+  test("kernel: tombstone-heavy shard still yields k live results at small ef") {
+    val dim = 16
+    val idx = new HnswIndex(8, 64)
+    (1 to 400).foreach(i => idx.add(i.toLong, vecOf(i, dim)))
+    val q = vecOf(9999L, dim)
+    // tombstone the brute-force top 60: a non-widening ef=16 beam would be
+    // dominated by excluded nodes and return fewer than k live survivors —
+    // the beam must widen until k live results (or provable exhaustion)
+    val dead = bruteTopK(400, dim, q, 60).toSet
+    val got = idx.searchKnn(q, ef = 16, k = 10, excluded = dead.contains)
+    assert(got.size === 10, s"beam did not widen past tombstones: $got")
+    assert(got.forall { case (id, _) => !dead(id) })
+    // and the widened answer stays exact when the beam covers the shard
+    val exact = bruteTopK(400, dim, q, 70).filterNot(dead).take(10)
+    val exactAtFullEf =
+      idx.searchKnn(q, ef = 400, k = 10, excluded = dead.contains).map(_._1)
+    assert(exactAtFullEf === exact)
+    // excluding EVERYTHING is provable exhaustion, not an infinite loop
+    assert(idx.searchKnn(q, ef = 4, k = 10, excluded = _ => true).isEmpty)
+  }
+
   test("kernel: recall@10 >= 0.8 in the sub-linear beam regime") {
     val dim = 16
     val idx = new HnswIndex(12, 96)

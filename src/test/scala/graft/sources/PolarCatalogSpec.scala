@@ -323,6 +323,36 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE polar.wide")
   }
 
+  test("procedures resolve persisted geometry, not catalog defaults") {
+    import graft.log.{ConsumerGroups, TopicConfig}
+    // a 6-broker ring (24 partitions) vs the catalog default of 3 (12):
+    // reset_offsets must enumerate the PERSISTED partition count, or the
+    // group-doc replace silently drops commits on partitions >= 12
+    spark.sql("CREATE TABLE polar.wide_reset TBLPROPERTIES ('clusterSize'='6')")
+    spark.sql("""
+      INSERT INTO polar.wide_reset
+      SELECT CAST(id AS STRING) AS partitionKey, current_timestamp() AS timestamp,
+             CAST('x' AS BINARY) AS value FROM range(200)""")
+    val cfg = TopicConfig(root, "wide_reset", 6, 4)
+    val highParts = graft.log.LogMetadata.read(cfg).files.map(_.part)
+      .filter(_ >= 12).distinct
+    assert(highParts.nonEmpty, "fixture must populate partitions >= 12")
+    // register the group with a commit on a HIGH partition — the exact
+    // offsets the default-geometry enumeration used to drop
+    ConsumerGroups.commit(cfg, "g",
+      highParts.map(_ -> 1L).toMap + (0 -> 1L))
+    val rows = spark.sql(
+      "CALL polar.system.reset_offsets(group_id => 'g', topic => 'wide_reset', mode => 'shift-by', value => '0')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size === 24, s"expected all 24 ring partitions, got ${rows.size}")
+    assert(highParts.forall(p => rows(p) === 1L),
+      s"high partitions lost their offsets: $rows")
+    // committed view agrees — nothing was dropped by the doc replace
+    val committed = ConsumerGroups.committed(cfg, "g").get
+    assert(committed.size === 24 && highParts.forall(p => committed(p) === 1L))
+    spark.sql("DROP TABLE polar.wide_reset")
+  }
+
   test("rename keeps data; geometry read from persisted metadata") {
     spark.sql("CREATE TABLE polar.before")
     spark.sql("""
