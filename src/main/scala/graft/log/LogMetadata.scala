@@ -30,6 +30,21 @@ final case class TopicConfig(
   def groupsDir: String = s"$dir/_groups"
 }
 
+/** Root + ring geometry WITHOUT a topic name — what a row-routed produce
+  * (per-row `topic` column, no single destination) shares across every
+  * topic it touches. Topology is global in the reference
+  * (`/root/reference/internal/types/models.go`), so one geometry for all
+  * routed topics is the faithful contract. */
+final case class RingTemplate(
+    root: String,
+    clusterSize: Int = 3,
+    rangesPerToken: Int = 4) {
+  require(graft.functions.TokenMath.validRingLength(clusterSize) || clusterSize == 1,
+    s"clusterSize must be 1 or 3*2^n, got $clusterSize")
+  def topicConfig(topic: String): TopicConfig =
+    TopicConfig(root, topic, clusterSize, rangesPerToken)
+}
+
 object TopicConfig {
   /** Topic-name validation — the storage-layer analog of the reference's
     * 400 "Invalid topic" on the produce path

@@ -94,7 +94,19 @@ object PolarLog {
       df: DataFrame,
       cfg: TopicConfig,
       orderBy: Seq[Column],
-      maxMessageSize: Int): DataFrame = {
+      maxMessageSize: Int): DataFrame =
+    envelope(df, cfg.clusterSize, cfg.rangesPerToken, orderBy, maxMessageSize,
+      keepTopic = false)
+
+  private def envelope(
+      df: DataFrame,
+      clusterSize: Int,
+      rangesPerToken: Int,
+      orderBy: Seq[Column],
+      maxMessageSize: Int,
+      // row-routed produce: keep the per-row `topic` column in the
+      // envelope (the routed write clusters and commits by it)
+      keepTopic: Boolean): DataFrame = {
     val withKey =
       if (df.columns.contains("partitionKey")) df
       else df.withColumn("partitionKey", lit(null).cast(StringType))
@@ -120,9 +132,10 @@ object PolarLog {
     val orderCols = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
     sized
       .withColumn("token", murmur3_h1(col("partitionKey")))
-      .withColumn("part", placementExpr(cfg))
-      .select(Seq(col("partitionKey"), col("token"), col("part"),
-        col("timestamp"), col("value")) ++ orderCols: _*)
+      .withColumn("part", placementExpr(clusterSize, rangesPerToken))
+      .select((if (keepTopic) Seq(col("topic").cast(StringType)) else Nil) ++
+        Seq(col("partitionKey"), col("token"), col("part"),
+          col("timestamp"), col("value")) ++ orderCols: _*)
   }
 
   def produce(
@@ -169,6 +182,58 @@ object PolarLog {
     val newTails = after.producerOffsets.zipWithIndex.map(_.swap).toMap
     val written = newTails.map { case (p, t) => t - meta0.producerOffsets(p) }.sum
     ProduceResult(written, oldTails, newTails)
+  }
+
+  /** Row-routed produce (Kafka writer parity): each row's `topic` column
+    * names its destination; one pass over the data, one exchange clustered
+    * by (topic, part), one CAS commit per topic. All routed topics share
+    * `template`'s root and ring geometry (topology is global in the
+    * reference, `/root/reference/internal/types/models.go`). The DSv2
+    * sugar `df.write.format("polar").option("root", r).save()` with a
+    * `topic` column lands here too. */
+  def produceRouted(
+      df: DataFrame,
+      template: RingTemplate,
+      orderBy: Seq[Column] = Nil,
+      maxMessageSize: Int = DefaultMaxMessageSize,
+      maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes): Unit = {
+    val spark = df.sparkSession
+    graft.GraftSession.ensureFunctions(spark)
+    require(df.columns.contains("topic"),
+      "row-routed produce requires a 'topic' column")
+    envelope(df, template.clusterSize, template.rangesPerToken, orderBy,
+      maxMessageSize, keepTopic = true)
+      .write
+      .format("polar")
+      .option("root", template.root)
+      .option("clusterSize", template.clusterSize.toString)
+      .option("rangesPerToken", template.rangesPerToken.toString)
+      .option("maxFileBytes", maxFileBytes.toString)
+      .mode("append").save()
+  }
+
+  /** Streaming twin of [[produceRouted]]: per-epoch, per-topic idempotent
+    * commits — a replayed epoch registers nothing on topics whose CAS
+    * already recorded it. */
+  def produceStreamRouted(
+      df: DataFrame,
+      template: RingTemplate,
+      orderBy: Seq[Column] = Nil,
+      maxMessageSize: Int = DefaultMaxMessageSize,
+      maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    graft.GraftSession.ensureFunctions(df.sparkSession)
+    require(df.columns.contains("topic"),
+      "row-routed produce requires a 'topic' column")
+    envelope(df, template.clusterSize, template.rangesPerToken, orderBy,
+      maxMessageSize, keepTopic = true)
+      .writeStream
+      .format("polar")
+      .option("root", template.root)
+      .option("clusterSize", template.clusterSize.toString)
+      .option("rangesPerToken", template.rangesPerToken.toString)
+      .option("maxFileBytes", maxFileBytes.toString)
+      .outputMode("append")
   }
 
   /** Streaming produce — the native sink twin of [[produce]]:
@@ -514,11 +579,13 @@ object PolarLog {
     * token space means EVERY record's partition is a token range, so ring
     * resizes keep strict range containment for all records — the property
     * the A22 offset projection relies on. */
-  def placementExpr(cfg: TopicConfig): Column = {
+  def placementExpr(cfg: TopicConfig): Column =
+    placementExpr(cfg.clusterSize, cfg.rangesPerToken)
+
+  def placementExpr(clusterSize: Int, rangesPerToken: Int): Column = {
     val token = murmur3_h1(col("partitionKey"))
     val syntheticToken = xxhash64(col("value"), col("timestamp"))
-    polar_partition(coalesce(token, syntheticToken),
-      cfg.clusterSize, cfg.rangesPerToken)
+    polar_partition(coalesce(token, syntheticToken), clusterSize, rangesPerToken)
   }
 
   /** Typed facade over the envelope (`Dataset[PolarRecord]`) for callers who

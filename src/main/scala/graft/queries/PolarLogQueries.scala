@@ -709,6 +709,41 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE event_id % 2 = 1 GROUP BY 1""")),
 
     QueryDef(
+      "polar_topic_routing",
+      // PER-ROW TOPIC ROUTING (Kafka writer parity, reference produce is
+      // per-record-topic — internal/producing/server.go:126-132): ONE
+      // frame with a `topic` column and NO topic option fans out to its
+      // topics in one pass (one exchange clustered by (topic, part), one
+      // CAS per topic). Gated: every routed topic's drained content is
+      // hash-verified against the oracle's per-topic split.
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_polar_routed").toString
+        Tables.events(s, dir).select(
+            concat(lit("rt"), (col("event_id") % 3).cast("string")).as("topic"),
+            col("user_id").cast("string").as("partitionKey"),
+            col("ts").as("timestamp"),
+            to_json(struct(col("event_id"), col("event_type"))).as("value"))
+          .write.format("polar").option("root", root).mode("append").save()
+        // read the three topics back through one subscription and verify
+        // per-topic counts, key spread and the event-id checksum
+        val back = s.read.format("polar")
+          .option("root", root).option("topics", "rt0,rt1,rt2").load()
+        back
+          .withColumn("event_id",
+            get_json_object(col("value").cast("string"), "$.event_id").cast("long"))
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("partitionKey")).as("n_keys"),
+            sum(col("event_id")).as("sum_ids"))
+      },
+      Some("""
+        SELECT 'rt' || CAST(event_id % 3 AS VARCHAR) AS topic,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        FROM events GROUP BY 1""")),
+
+    QueryDef(
       "polar_truncate",
       // TRUNCATE TABLE = delete-records-to-tail (kafka-delete-records at
       // the tail): every segment drops, producer offsets STAY, so the next

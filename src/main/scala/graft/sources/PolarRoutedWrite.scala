@@ -1,0 +1,217 @@
+package graft.sources
+
+import graft.log.{FileEntry, LogMetadata, RingTemplate, TopicConfig}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Per-row `topic` routing for the sink (SURVEY §2 A1/A8) — the Kafka
+ * writer contract: when no `topic` option is set and the frame carries a
+ * `topic` column, each row is produced to ITS topic, in one pass over the
+ * data. The reference's produce path is per-record-topic the same way
+ * (`/root/reference/internal/producing/server.go:126-132` — the topic is
+ * an URL parameter per request, and one producer fans out across topics).
+ *
+ * Shape (the routed twin of [[PolarWrite]]):
+ *
+ *  1. CLUSTERED by `(topic, part)` + locally SORTED by `(topic, part,
+ *     __o*)` — every (topic, partition) pair lands wholly in one task, so
+ *     the single-writer-per-partition offset assignment holds per topic
+ *     exactly as it does for a single-topic produce.
+ *  2. Each task opens one [[PolarDataWriter]] per topic it encounters,
+ *     reading that topic's offset bases from its root doc ON FIRST
+ *     ENCOUNTER (executor-side, one GET per topic per task — the topic
+ *     set is data-dependent, so there is nothing for the driver to read
+ *     up front). Offsets baked from a stale base are absorbed by the
+ *     commit-time rebase, the same mechanism that already covers
+ *     streaming epochs and concurrent producers.
+ *  3. The driver groups commit messages BY TOPIC and commits each topic
+ *     through its own [[PolarBatchWrite]] CAS — per-topic atomicity, the
+ *     multi-topic produce being a sequence of independent topic commits
+ *     (the reference has no cross-topic transaction either). An abort
+ *     after a partial commit reclaims only the UNCOMMITTED topics' files;
+ *     committed topics stay (their CAS landed — they are the log now).
+ *
+ * Streaming epochs commit with the (queryId, epochId) txn per topic, so a
+ * replayed epoch is idempotent PER TOPIC: topics that committed before a
+ * crash drop the replay, topics that did not register it now.
+ *
+ * At 100 TB: one exchange routes rows to (topic, partition) owners — the
+ * same shuffle a single-topic produce pays — and metadata I/O is
+ * O(topics), not O(rows) or O(tasks × partitions).
+ */
+class PolarRoutedWrite(
+    template: RingTemplate,
+    schema: StructType,
+    maxFileBytes: Long,
+    queryId: String = "",
+    txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      Expressions.identity("topic"), Expressions.identity("part")))
+
+  override def requiredOrdering(): Array[VSortOrder] = {
+    val orderCols = schema.fieldNames.filter(_.startsWith("__o"))
+      .sortBy(_.stripPrefix("__o").toInt)
+    ("topic" +: "part" +: orderCols.toSeq)
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
+  }
+
+  override def toBatch: BatchWrite =
+    new PolarRoutedBatchWrite(template, schema, maxFileBytes, None,
+      txnRetentionMs)
+
+  override def toStreaming: StreamingWrite =
+    new PolarRoutedStreamingWrite(template, schema, maxFileBytes,
+      if (queryId == null) "" else queryId, txnRetentionMs)
+
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PolarSegmentsWrittenMetric, new PolarRecordsWrittenMetric)
+}
+
+/** Commit message of a routed task: that task's sealed segments, grouped
+  * by the topic they belong to. */
+final case class PolarRoutedCommitMessage(topicFiles: Map[String, Seq[FileEntry]])
+  extends WriterCommitMessage
+
+class PolarRoutedBatchWrite(
+    template: RingTemplate,
+    schema: StructType,
+    maxFileBytes: Long,
+    txn: Option[(String, Long)],
+    txnRetentionMs: Long) extends BatchWrite {
+
+  // topics whose CAS landed — an abort after a partial multi-topic commit
+  // must not reclaim THEIR files (they are registered log segments now)
+  private val committedTopics = scala.collection.mutable.Set.empty[String]
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PolarRoutedWriterFactory(template, schema, maxFileBytes)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val byTopic: Map[String, Array[FileEntry]] = messages.flatMap {
+      case PolarRoutedCommitMessage(m) => m.toSeq
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }.groupBy(_._1).map { case (t, vs) => t -> vs.flatMap(_._2) }
+    // deterministic commit order; each topic is one independent CAS with
+    // the full rebase/retry/idempotence machinery of a single-topic produce
+    byTopic.toSeq.sortBy(_._1).foreach { case (t, files) =>
+      new PolarBatchWrite(template.topicConfig(t), schema, maxFileBytes,
+        txn, txnRetentionMs).commit(Array(PolarCommitMessage(files.toSeq)))
+      committedTopics += t
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = graft.log.HadoopConf.shared
+    messages.foreach {
+      case PolarRoutedCommitMessage(m) =>
+        m.foreach { case (t, files) =>
+          if (!committedTopics.contains(t)) files.foreach { f =>
+            val p = new Path(s"${template.topicConfig(t).dir}/part=${f.part}/${f.name}")
+            try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      case _ => ()
+    }
+  }
+}
+
+/** Streaming twin: each epoch commits per topic with the (queryId,
+  * epochId) txn, so replays are dropped per topic at each CAS authority —
+  * exactly-once visibility per topic across failure/replay. */
+class PolarRoutedStreamingWrite(
+    template: RingTemplate,
+    schema: StructType,
+    maxFileBytes: Long,
+    queryId: String,
+    txnRetentionMs: Long) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new PolarRoutedWriterFactory(template, schema, maxFileBytes)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    new PolarRoutedBatchWrite(template, schema, maxFileBytes,
+      Some((queryId, epochId)), txnRetentionMs).commit(messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    new PolarRoutedBatchWrite(template, schema, maxFileBytes,
+      Some((queryId, epochId)), txnRetentionMs).abort(messages)
+}
+
+class PolarRoutedWriterFactory(
+    template: RingTemplate,
+    schema: StructType,
+    maxFileBytes: Long)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PolarRoutedDataWriter(template, schema, taskId, maxFileBytes)
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new PolarRoutedDataWriter(template, schema, taskId, maxFileBytes)
+}
+
+/** One [[PolarDataWriter]] per topic this task encounters; bases read from
+  * each topic's root doc on first encounter (a new topic reads as empty —
+  * bases all 0 — and is created by the commit). */
+class PolarRoutedDataWriter(
+    template: RingTemplate,
+    schema: StructType,
+    taskId: Long,
+    maxFileBytes: Long) extends DataWriter[InternalRow] {
+
+  private val topicIdx = schema.fieldIndex("topic")
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, PolarDataWriter]
+
+  override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(topicIdx)) throw new IllegalArgumentException(
+      "row-routed produce: the 'topic' column must not be null " +
+        "(set a 'topic' write option for a single-topic default)")
+    val t = row.getUTF8String(topicIdx).toString
+    writers.getOrElseUpdate(t, {
+      if (!TopicConfig.validTopicName(t)) throw new IllegalArgumentException(
+        s"Invalid topic name in 'topic' column: '$t'")
+      val cfg = template.topicConfig(t)
+      val meta = LogMetadata.read(cfg)
+      require(meta.clusterSize == cfg.clusterSize &&
+          meta.rangesPerToken == cfg.rangesPerToken,
+        s"topic $t exists with different ring layout")
+      new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
+        taskId, maxFileBytes)
+    }).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    PolarRoutedCommitMessage(writers.map { case (t, w) =>
+      t -> w.commit().asInstanceOf[PolarCommitMessage].files
+    }.toMap)
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+
+  override def close(): Unit = writers.values.foreach(_.close())
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val per = writers.values.map(_.currentMetricsValues())
+    def sum(n: String) = per.iterator.flatten.filter(_.name() == n).map(_.value()).sum
+    def m(n: String, v: Long) =
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }
+    Array(m("polarSegmentsWritten", sum("polarSegmentsWritten")),
+      m("polarRecordsWritten", sum("polarRecordsWritten")))
+  }
+}

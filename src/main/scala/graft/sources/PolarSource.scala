@@ -129,15 +129,17 @@ object PolarSource {
         if (matched.isEmpty) throw new IllegalArgumentException(
           s"topicPattern '$pattern' matches no topic under $root")
         matched
-      case (None, None, None) => throw new IllegalArgumentException(
-        "polar source requires option 'topic' (or 'topics'/'topicPattern')")
+      // no subscription at all: READS refuse (at scan build, with the
+      // original message); WRITES route per row by a `topic` column —
+      // the Kafka writer contract (topic option as default, else column)
+      case (None, None, None) => Seq.empty
       case _ => throw new IllegalArgumentException(
         "specify exactly one of 'topic', 'topics', 'topicPattern'")
     }
+    val clusterSize = opt("clusterSize").map(_.toInt).getOrElse(3)
+    val rangesPerToken = opt("rangesPerToken").map(_.toInt).getOrElse(4)
     PolarSourceConfig(
-      names.map(t => TopicConfig(root, t,
-        opt("clusterSize").map(_.toInt).getOrElse(3),
-        opt("rangesPerToken").map(_.toInt).getOrElse(4))),
+      names.map(t => TopicConfig(root, t, clusterSize, rangesPerToken)),
       startingOffsets = opt("startingOffsets").getOrElse("latest").toLowerCase,
       maxRecordsPerTrigger = opt("maxRecordsPerTrigger").map(_.toLong),
       minRecordsPerTrigger = opt("minRecordsPerTrigger").map(_.toLong),
@@ -177,7 +179,12 @@ object PolarSource {
       startingVersion = opt("startingVersion").map(_.trim.toLong),
       endingVersion = opt("endingVersion").map(_.trim.toLong),
       topicPattern = opt("topicPattern"),
-      minPartitions = opt("minPartitions").map(_.trim.toInt))
+      minPartitions = opt("minPartitions").map(_.trim.toInt),
+      // template carrying (root, ring geometry) for row-routed writes —
+      // the only state a per-row-topic write needs before rows arrive
+      routedTemplate =
+        if (names.isEmpty) Some(graft.log.RingTemplate(root, clusterSize, rangesPerToken))
+        else None)
   }
 }
 
@@ -226,7 +233,11 @@ final case class PolarSourceConfig(
     // Costs the storage-partitioned clustering and ordering claims (a
     // split is no longer one whole partition), which is exactly the
     // trade the option's presence opts into.
-    minPartitions: Option[Int] = None) {
+    minPartitions: Option[Int] = None,
+    // row-routed WRITES (no 'topic' option, a per-row `topic` column):
+    // `topics` is empty and this carries the root + ring geometry every
+    // routed topic must share. Never set for reads.
+    routedTemplate: Option[graft.log.RingTemplate] = None) {
   require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
     "specify either 'startingVersion' or 'startingTimestamp', not both")
   require(endingVersion.isEmpty || startingVersion.isDefined,
@@ -291,7 +302,9 @@ class PolarTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  override def name(): String = s"polar:${cfg.topics.map(_.topic).mkString(",")}"
+  override def name(): String =
+    if (cfg.topics.isEmpty) "polar:<row-routed>"
+    else s"polar:${cfg.topics.map(_.topic).mkString(",")}"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else PolarSource.FullSchema
@@ -321,8 +334,12 @@ class PolarTable(
     caps.add(TableCapability.TRUNCATE)
     caps
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (cfg.topics.isEmpty) throw new IllegalArgumentException(
+      "polar reads require option 'topic' (or 'topics'/'topicPattern'); " +
+        "only writes may omit it and route rows by a 'topic' column")
     new PolarScanBuilder(cfg)
+  }
 
   /** `DELETE FROM polar.t WHERE partitionKey = 'k' | IN (...)` — the
     * log-native delete: ONE TOMBSTONE (null-value record) is appended per
@@ -387,7 +404,8 @@ class PolarTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     if (cfg.topics.size > 1) throw new UnsupportedOperationException(
-      "polar writes target exactly one topic; 'topics' is a consume-side subscription")
+      "polar writes target exactly one topic (or none, routing by a per-row " +
+        "'topic' column); 'topics' is a consume-side subscription")
     new PolarWriteBuilder(cfg, info)
   }
 }

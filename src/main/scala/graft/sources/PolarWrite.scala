@@ -57,6 +57,36 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
   override def build(): Write = {
     val schema = info.schema()
     val replace = truncateAll || cfg.replaceAll
+    // row-routed writes: no 'topic' option — each row names its topic
+    // (Kafka writer parity). The envelope path is the one-pass routed
+    // BatchWrite; producer schemas route through PolarLog.produceRouted,
+    // which builds the envelope (keeping `topic`) and re-enters here.
+    if (cfg.topics.isEmpty) {
+      val tpl = cfg.routedTemplate.get
+      if (!schema.fieldNames.contains("topic"))
+        throw new IllegalArgumentException(
+          "polar write needs a target: set the 'topic' option, or carry a " +
+            "per-row 'topic' column")
+      require(!replace,
+        "INSERT OVERWRITE requires an explicit 'topic' option — a row-routed " +
+          "write cannot scope the replace")
+      require(cfg.txn.isEmpty,
+        "explicit txnSinkId produces target one topic; routed streaming " +
+          "epochs carry their own per-topic txn")
+      if (schema.fieldNames.contains("part"))
+        return new PolarRoutedWrite(tpl, schema, cfg.maxFileBytes,
+          queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs)
+      return new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              "INSERT OVERWRITE requires an explicit 'topic' option")
+            PolarLog.produceRouted(data, tpl,
+              maxFileBytes = cfg.maxFileBytes): Unit
+          }
+      }
+    }
     if (schema.fieldNames.contains("part"))
       new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn,
         queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs,

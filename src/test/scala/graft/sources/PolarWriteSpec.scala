@@ -45,6 +45,124 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaWriter.values.sum === records.count())
   }
 
+  test("row-routed write: a per-row topic column fans one frame out to its topics") {
+    val root = Files.createTempDirectory("polar_routed").toString
+    // route by event_type into 3 topics; no 'topic' option anywhere
+    val routed = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 600)
+      .select(
+        concat(lit("t"), (col("event_id") % 3).cast("string")).as("topic"),
+        col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    routed.write.format("polar").option("root", root).mode("append").save()
+
+    // each topic's drained content == the per-topic split of the source
+    (0 until 3).foreach { i =>
+      val t = s"t$i"
+      val got = PolarLog.consume(spark, TopicConfig(root, t))
+        .select(col("partitionKey"), col("value")).collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1)))).sorted
+      val want = routed.filter(col("topic") === t)
+        .select(col("partitionKey"), col("value").cast("binary")).collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1)))).sorted
+      assert(got.length > 0 && got.toSeq === want.toSeq, s"topic $t content")
+      // offsets dense per partition — the routed writer kept the
+      // single-writer counter invariant per (topic, part)
+      val m = graft.log.LogMetadata.read(TopicConfig(root, t))
+      m.filesByPart.foreach { case (p, files) =>
+        val sorted = files.sortBy(_.minOffset)
+        assert(sorted.head.minOffset === 0L)
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(b.minOffset === a.maxOffset + 1)
+          case _ => ()
+        }
+        assert(sorted.last.maxOffset + 1 === m.producerOffsets(p))
+      }
+    }
+    // a second routed produce APPENDS (offsets continue per topic)
+    routed.filter(col("topic") === "t0").limit(10)
+      .write.format("polar").option("root", root).mode("append").save()
+    val t0 = graft.log.LogMetadata.read(TopicConfig(root, "t0"))
+    assert(t0.version === 2L)
+
+    // null topic refuses; invalid topic name refuses; overwrite refuses
+    val spark2 = spark; import spark2.implicits._
+    val bad = Seq(("k", Array[Byte](1))).toDF("partitionKey", "value")
+      .withColumn("timestamp", current_timestamp())
+    intercept[Exception] {
+      bad.withColumn("topic", lit(null).cast("string"))
+        .write.format("polar").option("root", root).mode("append").save()
+    }
+    intercept[Exception] {
+      bad.withColumn("topic", lit("no/slashes"))
+        .write.format("polar").option("root", root).mode("append").save()
+    }
+    val e = intercept[Exception] {
+      bad.withColumn("topic", lit("t0"))
+        .write.format("polar").option("root", root).mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("topic"), e.getMessage)
+    // no topic option AND no topic column: instructive refusal
+    val none = intercept[Exception] {
+      bad.write.format("polar").option("root", root).mode("append").save()
+    }
+    assert(none.getMessage.contains("topic"), none.getMessage)
+  }
+
+  test("row-routed streaming sink: per-topic epoch idempotence") {
+    val root = Files.createTempDirectory("polar_routed_stream").toString
+    val ckpt = Files.createTempDirectory("polar_routed_ckpt").toString
+    val src = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 300)
+      .select(
+        concat(lit("s"), (col("event_id") % 2).cast("string")).as("topic"),
+        col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    // drive through a rate-less one-shot: a memory-backed batch df via
+    // AvailableNow over a parquet dir the test stages
+    val stage = Files.createTempDirectory("polar_routed_src").toString
+    src.write.parquet(stage + "/d")
+    val stream = spark.readStream.schema(src.schema).parquet(stage + "/d")
+    val q = PolarLog.produceStreamRouted(stream, graft.log.RingTemplate(root))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val counts0 = (0 until 2).map { i =>
+      PolarLog.consume(spark, TopicConfig(root, s"s$i")).count()
+    }
+    assert(counts0.sum === 300L, s"per-topic counts $counts0")
+    // both topics recorded the stream's (queryId, epoch) txn
+    val epochs = (0 until 2).map { i =>
+      graft.log.LogMetadata.read(TopicConfig(root, s"s$i"))
+        .sinkCommits(q.id.toString)
+    }
+    assert(epochs.forall(_ >= 0L))
+    // simulate a post-crash replay of the SAME epoch with fresh files —
+    // EACH topic's CAS must drop it independently
+    val schema = PolarLog.ValueSchema
+      .add(org.apache.spark.sql.types.StructField("topic",
+        org.apache.spark.sql.types.StringType, nullable = false))
+      .add(org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val before = (0 until 2).map(i =>
+      graft.log.LogMetadata.read(TopicConfig(root, s"s$i")))
+    val rbw = new PolarRoutedBatchWrite(graft.log.RingTemplate(root), schema,
+      PolarWrite.DefaultMaxFileBytes, Some((q.id.toString, epochs.max)),
+      PolarWrite.DefaultTxnRetentionMs)
+    rbw.commit(Array(PolarRoutedCommitMessage((0 until 2).map { i =>
+      s"s$i" -> Seq(graft.log.FileEntry(0, "ghost.parquet",
+        before(i).producerOffsets(0), before(i).producerOffsets(0), 1, 10,
+        System.currentTimeMillis()))
+    }.toMap)))
+    (0 until 2).foreach { i =>
+      val after = graft.log.LogMetadata.read(TopicConfig(root, s"s$i"))
+      assert(after.producerOffsets === before(i).producerOffsets,
+        s"topic s$i re-registered a replayed epoch")
+      assert(after.files.map(_.name).toSet === before(i).files.map(_.name).toSet)
+    }
+  }
+
   test("writer custom metrics count sealed segments and appended records") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("polar_write_metrics").toString
