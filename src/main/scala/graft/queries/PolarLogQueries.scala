@@ -709,6 +709,50 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE event_id % 2 = 1 GROUP BY 1""")),
 
     QueryDef(
+      "polar_assign",
+      // Kafka `assign` mode: an explicit (topic → partitions) map replaces
+      // the subscription — ONLY the named partitions are planned (required
+      // inline from the physical scan: zero files from any other
+      // partition), and whole-topic answers (registry-stat aggregates)
+      // refuse. The oracle replays the placement kernel and filters to the
+      // same partition set, hash-verifying the assigned-only contents.
+      (s, dir) => {
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val df = s.read.format("polar")
+          .option("root", cfg.root)
+          .option("assign", s"""{"${cfg.topic}":[0,2,5,7,11]}""")
+          .load()
+        val assigned = Set(0, 2, 5, 7, 11)
+        val plannedParts = df.queryExecution.executedPlan.collectLeaves()
+          .collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+          }.get.batch.planInputPartitions().map {
+            case p: graft.sources.PolarInputPartition => p.part
+            case _ => -1
+          }.toSet
+        require(plannedParts.nonEmpty && plannedParts.subsetOf(assigned),
+          s"assign leaked unassigned partitions into the plan: $plannedParts")
+        // a registry-stat aggregate must NOT answer for the whole topic
+        val cnt = df.groupBy().count()
+        require(!cnt.queryExecution.executedPlan.toString.contains("PolarAggScan"),
+          "agg pushdown answered a narrowed (assign) scan from the registry")
+        df.groupBy(col("part"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("partitionKey")).as("n_keys"))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_keys
+        FROM placed WHERE part IN (0, 2, 5, 7, 11) GROUP BY part""")),
+
+    QueryDef(
       "polar_topic_routing",
       // PER-ROW TOPIC ROUTING (Kafka writer parity, reference produce is
       // per-record-topic — internal/producing/server.go:126-132): ONE

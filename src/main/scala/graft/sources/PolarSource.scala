@@ -109,7 +109,24 @@ object PolarSource {
     // (/root/reference/internal/types/models.go:34-39); cluster topology
     // (clusterSize × rangesPerToken) is global there, so one partitioning
     // applies to every subscribed topic here too
+    // Kafka's `assign` mode: an explicit (topic → partitions) map replaces
+    // the subscription — only the named partitions are ever planned
+    val assign: Option[Map[String, Set[Int]]] = opt("assign").map { s =>
+      val m = """"([^"]+)"\s*:\s*\[([0-9,\s]*)\]""".r.findAllMatchIn(s).map { g =>
+        g.group(1) -> g.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toSet
+      }.toMap
+      require(m.nonEmpty && m.values.forall(_.nonEmpty),
+        s"""assign must be a {"topic":[part,...]} map with at least one """ +
+          s"partition per topic, got '$s'")
+      m
+    }
     val names = (opt("topic"), opt("topics"), opt("topicPattern")) match {
+      case (None, None, None) if assign.isDefined =>
+        assign.get.keys.toSeq.sorted
+      case _ if assign.isDefined => throw new IllegalArgumentException(
+        "'assign' replaces the subscription; do not combine it with " +
+          "'topic'/'topics'/'topicPattern'")
       case (Some(t), None, None) => Seq(t)
       case (None, Some(ts), None) =>
         val parsed = ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -184,7 +201,8 @@ object PolarSource {
       // the only state a per-row-topic write needs before rows arrive
       routedTemplate =
         if (names.isEmpty) Some(graft.log.RingTemplate(root, clusterSize, rangesPerToken))
-        else None)
+        else None,
+      assign = assign)
   }
 }
 
@@ -237,7 +255,11 @@ final case class PolarSourceConfig(
     // row-routed WRITES (no 'topic' option, a per-row `topic` column):
     // `topics` is empty and this carries the root + ring geometry every
     // routed topic must share. Never set for reads.
-    routedTemplate: Option[graft.log.RingTemplate] = None) {
+    routedTemplate: Option[graft.log.RingTemplate] = None,
+    // Kafka `assign` mode: explicit (topic → partitions); only these
+    // partitions are planned, counted against read limits, or carried in
+    // checkpoints. Whole-topic answers (registry-stat aggregates) refuse.
+    assign: Option[Map[String, Set[Int]]] = None) {
   require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
     "specify either 'startingVersion' or 'startingTimestamp', not both")
   require(endingVersion.isEmpty || startingVersion.isDefined,
@@ -281,6 +303,9 @@ final case class PolarSourceConfig(
       endingOffsets.exists(_.trim.startsWith("{")) ||
       startingTimestampMicros.isDefined ||
       endingTimestampMicros.isDefined
+  /** True iff (topic, part) is inside the assignment (or no assignment). */
+  def assigned(t: String, p: Int): Boolean =
+    assign.forall(_.get(t).exists(_.contains(p)))
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -538,6 +563,9 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     // answer would silently ignore them)
     if (cfg.startingVersion.isDefined || cfg.hasExplicitOffsetWindows ||
       bounds != PolarScanBounds()) return None
+    // an assignment narrows the readable rows; a registry-stat answer
+    // would count the WHOLE topic
+    if (cfg.assign.isDefined) return None
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => AggCountStar
       case m: Min => fieldOf(m.column()) match {
@@ -905,7 +933,7 @@ class PolarScan(
       val meta = metasSnapshot(c.topic)
       meta.filesByPart.collect {
         case (p, files) if bounds.parts.forall(_.contains(p)) &&
-          files.nonEmpty => p
+          cfg.assigned(c.topic, p) && files.nonEmpty => p
       }
     }.toSet.size
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -995,9 +1023,17 @@ class PolarScan(
   // sentinels: -2 = earliest, -1 = that partition's tail. Partitions the
   // map doesn't name keep the default (earliest start / tail end).
   private lazy val startOverride: Map[(String, Int), Long] =
-    if (cfg.startingOffsets.trim.startsWith("{"))
-      PolarOffsets.parse(cfg.startingOffsets, cfg.topics.head.topic).tails
-    else cfg.startingTimestampMicros match {
+    if (cfg.startingOffsets.trim.startsWith("{")) {
+      val explicit = PolarOffsets.parse(cfg.startingOffsets, cfg.topics.head.topic).tails
+      cfg.assign.foreach { a =>
+        val outside = explicit.keys.filterNot {
+          case (t, p) => a.get(t).exists(_.contains(p)) }
+        require(outside.isEmpty,
+          s"startingOffsets names partitions outside 'assign': " +
+            outside.map { case (t, p) => s"$t/$p" }.mkString(","))
+      }
+      explicit
+    } else cfg.startingTimestampMicros match {
       // batch `startingTimestamp` (Kafka parity): the record-exact seek —
       // registry ts stats pick each partition's candidate file, ONE
       // bounded read refines to the first record with ts >= T; the same
@@ -1052,7 +1088,9 @@ class PolarScan(
     def satAdd(a: Long, b: Int): Long =
       if (a > Long.MaxValue - b) Long.MaxValue else a + b
     val wins = metas.flatMap { case (t, m) =>
-      m.producerOffsets.zipWithIndex.map { case (tail, p) =>
+      m.producerOffsets.zipWithIndex
+        .filter { case (_, p) => cfg.assigned(t, p) }
+        .map { case (tail, p) =>
         // explicit batch windows clamp BEFORE the limit anchor: the
         // per-partition LIMIT cap must count from the window's own first
         // surviving row, not the global pushed minOffset
@@ -1089,9 +1127,9 @@ class PolarScan(
       metas: Map[String, LogMetadata], desc: Boolean, n: Int): Option[Long] =
     TopNPruning.tsCut(
       (for {
-        m <- metas.valuesIterator
+        (t, m) <- metas.iterator
         (p, fs) <- m.filesByPart.iterator
-        if bounds.parts.forall(_.contains(p))
+        if bounds.parts.forall(_.contains(p)) && cfg.assigned(t, p)
         f <- fs
       } yield f).toVector, desc, n)
 
@@ -1130,10 +1168,11 @@ class PolarScan(
         val (wins, (tsLo, tsHi)) = headWindows(metas)
         metas.foreach { case (t, m) =>
           m.filesByPart.foreach { case (p, files) =>
-            if (bounds.parts.forall(_.contains(p))) {
-              val (lo, hiEx) = wins((t, p))
-              files.foreach(admit(_, lo, hiEx, tsLo, tsHi))
-            }
+            // wins carries only assigned partitions — absent key = skip
+            if (bounds.parts.forall(_.contains(p)))
+              wins.get((t, p)).foreach { case (lo, hiEx) =>
+                files.foreach(admit(_, lo, hiEx, tsLo, tsHi))
+              }
           }
         }
     }
@@ -1194,7 +1233,8 @@ class PolarScan(
             limitCapFrom(starts.getOrElse(p, 0L)))) })
         return PolarMicroBatchStream.plan(cfg.byName, Map(c.topic -> toMeta),
           start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)),
-          minPartitions = cfg.minPartitions, keys = bounds.keys)
+          minPartitions = cfg.minPartitions, keys = bounds.keys,
+          assign = cfg.assign)
       }
       // versionAsOf plans against the retained root snapshot (time
       // travel); offsets/tails come from that version's doc, so the scan
@@ -1208,7 +1248,7 @@ class PolarScan(
       val end = PolarOffsets(wins.map { case (k, (_, hi)) => k -> hi })
       val planned = PolarMicroBatchStream.plan(cfg.byName, metas, start, end,
         bounds.parts, tsWindow = Some(tsWin), minPartitions = cfg.minPartitions,
-        keys = bounds.keys)
+        keys = bounds.keys, assign = cfg.assign)
       // outputPartitioning claims one split per part key (KeyGrouped) only
       // for single-topic, non-fanned-out scans — assert the invariant the
       // claim rests on, so a future sub-splitting path cannot silently
@@ -1312,10 +1352,22 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
 
   private def currentMetas: Map[String, LogMetadata] =
     topics.map(c => c.topic -> LogMetadata.read(c)).toMap
+
+  /** `assign` mode: drop unassigned (topic, part) keys from every offset
+    * map the stream produces — so read limits never count unassigned
+    * backlog, checkpoints carry only the assignment, and planning (which
+    * iterates the end offsets) touches nothing outside it. */
+  private def restrict(o: PolarOffsets): PolarOffsets = cfg.assign match {
+    case None => o
+    case Some(a) => PolarOffsets(o.tails.filter {
+      case ((t, p), _) => a.get(t).exists(_.contains(p))
+    })
+  }
+
   private def tailsOf(metas: Map[String, LogMetadata]): PolarOffsets =
-    PolarOffsets(metas.flatMap { case (t, m) =>
+    restrict(PolarOffsets(metas.flatMap { case (t, m) =>
       m.producerOffsets.zipWithIndex.map { case (tail, p) => (t, p) -> tail }
-    }.toMap)
+    }.toMap))
 
   override def initialOffset(): Offset = cfg.startingVersion match {
     // STREAMING CHANGE FEED (the streaming twin of
@@ -1328,11 +1380,11 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     // and zero replay, the way the reference's consumers resume from
     // committed offsets (`internal/consuming/offset_state.go:103-236`).
     case Some(v) =>
-      PolarOffsets(topics.flatMap { c =>
+      restrict(PolarOffsets(topics.flatMap { c =>
         LogMetadata.readAt(c, v).producerOffsets.zipWithIndex.map {
           case (tail, p) => (c.topic, p) -> tail
         }
-      }.toMap)
+      }.toMap))
     case None => initialOffsetByTimeOrPolicy()
   }
 
@@ -1344,21 +1396,21 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     // at/after T start at tail.
     case Some(t) =>
       val spark = org.apache.spark.sql.SparkSession.active
-      PolarOffsets(topics.flatMap { c =>
+      restrict(PolarOffsets(topics.flatMap { c =>
         PolarLog.offsetsForTimestamp(spark, c, t).map {
           case (p, o) => (c.topic, p) -> o
         }
-      }.toMap)
+      }.toMap))
     case None => cfg.startingOffsets match {
       // the TRUE log start per partition (first surviving segment after
       // retention/delete-records trims), not offset 0 — Kafka's earliest
       // resolves to logStartOffset for exactly this reason: a trimmed
       // head is not data loss
-      case "earliest" => PolarOffsets(topics.flatMap { c =>
+      case "earliest" => restrict(PolarOffsets(topics.flatMap { c =>
         graft.log.ConsumerGroups.earliestOffsets(c).map {
           case (p, o) => (c.topic, p) -> o
         }
-      }.toMap)
+      }.toMap))
       case "latest" => tailsOf(currentMetas)
       // explicit {"topic/p":offset,...} (bare "p" keys → the first topic)
       // explicit {"topic/p":offset,...} (bare "p" keys → the first topic);
@@ -1366,7 +1418,17 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       // -1 = that partition's CURRENT tail (latest)
       case other =>
         val tails = tailsOf(currentMetas).tails
-        PolarOffsets(PolarOffsets.parse(other, topics.head.topic).tails.map {
+        val explicit = PolarOffsets.parse(other, topics.head.topic)
+        // naming a partition outside the assignment is a user error, not
+        // something to silently drop
+        cfg.assign.foreach { a =>
+          val outside = explicit.tails.keys.filterNot {
+            case (t, p) => a.get(t).exists(_.contains(p)) }
+          require(outside.isEmpty,
+            s"startingOffsets names partitions outside 'assign': " +
+              outside.map { case (t, p) => s"$t/$p" }.mkString(","))
+        }
+        PolarOffsets(explicit.tails.map {
           case (k, -2L) => k -> 0L
           case (k, -1L) => k -> tails.getOrElse(k, 0L)
           case (k, o) =>
@@ -1535,7 +1597,7 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     }
     PolarMicroBatchStream.plan(topics.map(c => c.topic -> c).toMap,
       metas, from, end.asInstanceOf[PolarOffsets], None,
-      minPartitions = cfg.minPartitions)
+      minPartitions = cfg.minPartitions, assign = cfg.assign)
   }
 
   // streaming delivers ROWS off the vectorized decode: a trigger's window
@@ -1565,12 +1627,17 @@ object PolarMicroBatchStream {
       parts: Option[Set[Int]],
       tsWindow: Option[(Long, Long)] = None,
       minPartitions: Option[Int] = None,
-      keys: Option[Set[String]] = None): Array[InputPartition] = {
+      keys: Option[Set[String]] = None,
+      // `assign` mode: per-topic explicit partition sets — only these
+      // are ever planned (streams also restrict their OFFSETS, so this
+      // is belt-and-braces there; batch head/change windows rely on it)
+      assign: Option[Map[String, Set[Int]]] = None): Array[InputPartition] = {
     val (tsLo, tsHi) = tsWindow.getOrElse((Long.MinValue, Long.MaxValue))
     val base: Array[InputPartition] =
       end.tails.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
       val startOff = start.tails.getOrElse((t, p), 0L)
-      if (endOff <= startOff || !parts.forall(_.contains(p))) None
+      if (endOff <= startOff || !parts.forall(_.contains(p)) ||
+          !assign.forall(_.get(t).exists(_.contains(p)))) None
       else {
         val files = metas(t).filesOf(p)
           .filter(f => f.maxOffset >= startOff && f.minOffset < endOff)

@@ -108,6 +108,58 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       ckpt, s"$root/out_basic_2") === 400)
   }
 
+  test("assign mode: only named partitions stream; checkpoint keeps the assignment") {
+    val cfg = TopicConfig(root, "s_assign")
+    PolarLog.produce(records(0, 600), cfg)
+    val dataParts = PolarLog.tails(cfg).filter(_._2 > 0).keys.toSeq.sorted
+    assert(dataParts.size >= 3, s"fixture too narrow: $dataParts")
+    val mine = dataParts.take(2)
+    val assignJson = s"""{"${cfg.topic}":[${mine.mkString(",")}]}"""
+    def assigned = spark.readStream.format("polar")
+      .option("root", cfg.root).option("assign", assignJson)
+      .option("startingOffsets", "earliest").load()
+    val ckpt = s"$root/ckpt_assign"
+    val out = s"$root/out_assign_1"
+    val expect = PolarLog.consume(spark, cfg)
+      .filter(col("part").isin(mine.map(Integer.valueOf): _*)).count()
+    assert(runCollect(assigned, ckpt, out) === expect)
+    assert(spark.read.parquet(out).select("part").distinct()
+      .collect().map(_.getInt(0)).toSet === mine.toSet)
+    // checkpointed offsets carry ONLY the assignment
+    val offsetFile = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    val json = new String(java.nio.file.Files.readAllBytes(offsetFile.toPath))
+    dataParts.filterNot(mine.contains).foreach { p =>
+      assert(!json.contains(s""""${cfg.topic}/$p""""),
+        s"unassigned partition $p leaked into the checkpoint: $json")
+    }
+    // restart with new data: delta arrives only from assigned partitions
+    PolarLog.produce(records(600, 1000), cfg)
+    val expectDelta = PolarLog.consume(spark, cfg)
+      .filter(col("part").isin(mine.map(Integer.valueOf): _*)).count() - expect
+    assert(runCollect(assigned, ckpt, s"$root/out_assign_2") === expectDelta)
+    // combining assign with a subscription refuses
+    val e = intercept[Exception] {
+      spark.readStream.format("polar")
+        .option("root", cfg.root).option("topic", cfg.topic)
+        .option("assign", assignJson).load()
+    }
+    assert(e.getMessage.contains("assign"), e.getMessage)
+    // batch read honors the same assignment
+    val batch = spark.read.format("polar")
+      .option("root", cfg.root).option("assign", assignJson).load()
+    assert(batch.count() === expect + expectDelta)
+    // explicit starting offsets outside the assignment refuse
+    val off = intercept[Exception] {
+      spark.read.format("polar")
+        .option("root", cfg.root).option("assign", assignJson)
+        .option("startingOffsets",
+          s"""{"${cfg.topic}/${dataParts.filterNot(mine.contains).head}":0}""")
+        .load().count()
+    }
+    assert(off.getMessage.contains("assign"), off.getMessage)
+  }
+
   test("startingOffsets JSON sentinels: -1 starts a partition at its tail, -2 at earliest") {
     val cfg = TopicConfig(root, "s_sentinel")
     PolarLog.produce(records(0, 300), cfg)
