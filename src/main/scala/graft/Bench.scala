@@ -57,6 +57,26 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // PINNED CONTROL SET, benched FIRST in every run: five long-stable
+    // gates spanning distinct shapes (hash agg, sort+limit, shuffle dedup,
+    // vector math, window function). Their times ride in the final summary
+    // line as `control:{...}`, so cross-round comparisons can normalize
+    // out ambient host drift (this VM swings ±30% run-to-run) against
+    // in-file evidence instead of guessing. Keep this list frozen — its
+    // value IS its history.
+    val controlGates =
+      Seq("q1_agg", "q_sort_limit", "dedup_exact", "sim_topk", "q_window_rank")
+    val control = controlGates.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] control $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Materialize.sweep(spark)
+      name -> dt
+    }
+
     // Session hygiene between queries: a 156-query single-JVM run measured
     // ~5× slower in round 5 purely from accumulated state — never-released
     // operator materializations, memory-sink tables, lingering streams,
@@ -80,8 +100,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val controlQs = control
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","control":$controlQs,"queries":$qs,"sf":"$sfDir"}"""
     // Emission order matters: stdout capture keeps the TAIL, and the full
     // per-query map (~7 KB at 229 queries) has been front-truncated before
     // (BENCH_r04 lost its tail, BENCH_r06 parsed null). Full line first,
@@ -91,7 +113,10 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    val controlJson = control
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"control":$controlJson,"slowest":$slowest,"sf":"$sfDir"}""")
     // belt-and-braces: the full line always lands in a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

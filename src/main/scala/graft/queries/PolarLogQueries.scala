@@ -709,6 +709,70 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE event_id % 2 = 1 GROUP BY 1""")),
 
     QueryDef(
+      "polar_merge_upsert",
+      // LOG-NATIVE MERGE (Delta MERGE shape over KTable semantics): the
+      // compacted view is the table; matched-update / not-matched-insert
+      // append records, matched-delete appends a tombstone — the raw log
+      // keeps every prior offset addressable (required inline). Gated: the
+      // post-merge compacted view hash-matches the oracle's full-outer
+      // apply of the change set onto the base.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        if (!s.conf.getOption("spark.sql.catalog.polar_gate").isDefined) {
+          s.conf.set("spark.sql.catalog.polar_gate",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set("spark.sql.catalog.polar_gate.root",
+            Files.createTempDirectory("graft_polar_sql").toString)
+        }
+        val root = s.conf.get("spark.sql.catalog.polar_gate.root")
+        val topic = "mrg-" + java.util.UUID.randomUUID().toString.take(12)
+        s.sql(s"CREATE TABLE polar_gate.`$topic`")
+        Tables.events(s, dir).createOrReplaceTempView("events_mrg_src")
+        // base table: one record per key from the even half
+        s.sql(s"""
+          INSERT INTO polar_gate.`$topic`
+          SELECT CAST(user_id AS STRING) AS partitionKey,
+                 MAX(ts) AS timestamp, CAST(MAX(props) AS BINARY) AS value
+          FROM events_mrg_src WHERE event_id % 2 = 0 GROUP BY user_id""")
+        // change set from the odd half: every 5th key a delete intent
+        // (NULL value), the rest upserts; keys absent from the base are
+        // not-matched inserts
+        s.sql("""
+          SELECT CAST(user_id AS STRING) AS partitionKey,
+                 MAX(ts) AS timestamp,
+                 CASE WHEN user_id % 5 = 0 THEN CAST(NULL AS BINARY)
+                      ELSE CAST('u:' || MIN(props) AS BINARY) END AS value
+          FROM events_mrg_src WHERE event_id % 2 = 1 GROUP BY user_id""")
+          .createOrReplaceTempView("mrg_changes")
+        val appended = s.sql(s"CALL polar_gate.system.merge(" +
+          s"topic => '$topic', source => 'mrg_changes')").head().getLong(0)
+        require(appended > 0, "merge appended nothing")
+        // history stays addressable: an updated key keeps its base record
+        val updated = s.sql(s"""
+          SELECT partitionKey, count(*) AS n
+          FROM polar_gate.`$topic` WHERE value IS NOT NULL
+          GROUP BY 1 HAVING count(*) >= 2""").count()
+        require(updated > 0, "merge must append, never rewrite history")
+        s.sql(s"""
+          SELECT partitionKey AS pk, CAST(value AS STRING) AS v
+          FROM polar_compacted('$root', '$topic')""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, MAX(props) AS v
+          FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        chg AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk,
+                 CASE WHEN user_id % 5 = 0 THEN NULL
+                      ELSE 'u:' || MIN(props) END AS v,
+                 TRUE AS t
+          FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+        SELECT COALESCE(c.pk, b.pk) AS pk,
+               CASE WHEN c.t THEN c.v ELSE b.v END AS v
+        FROM base b FULL OUTER JOIN chg c ON b.pk = c.pk
+        WHERE CASE WHEN c.t THEN c.v ELSE b.v END IS NOT NULL""")),
+
+    QueryDef(
       "polar_assign",
       // Kafka `assign` mode: an explicit (topic → partitions) map replaces
       // the subscription — ONLY the named partitions are planned (required

@@ -191,6 +191,29 @@ private[sources] object PolarProcedures {
       }
     }
 
+    val merge = new PolarProcedure(
+      "merge",
+      // the SQL face of PolarLog.merge — `MERGE INTO polar.t` itself
+      // refuses (engine-assigned offset/token/part make SQL MERGE's
+      // column-assignment contract unsound); this procedure carries the
+      // same clause matrix with the log's append semantics
+      Seq(in("topic", StringType).build(),
+        in("source", StringType)
+          .comment("table/view with (partitionKey, value[, timestamp]); NULL value = delete").build(),
+        in("matched_update", BooleanType).defaultValue("true").build(),
+        in("matched_delete", BooleanType).defaultValue("true").build(),
+        in("not_matched_insert", BooleanType).defaultValue("true").build()),
+      StructType(Seq(StructField("appended", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val res = PolarLog.merge(spark, cfgOf(a, 0),
+          spark.table(a.getUTF8String(1).toString),
+          matchedUpdate = a.getBoolean(2),
+          matchedDelete = a.getBoolean(3),
+          notMatchedInsert = a.getBoolean(4))
+        Seq(new GenericInternalRow(Array[Any](res.recordsWritten)))
+      }
+    }
+
     val analyze = new PolarProcedure(
       "analyze",
       Seq(in("topic", StringType).build()),
@@ -201,7 +224,7 @@ private[sources] object PolarProcedures {
     }
 
     Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze,
-        deleteRecords)
+        deleteRecords, merge)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -403,6 +403,18 @@ class PolarTable(
     true
   }
 
+  // `MERGE INTO polar.t` / `UPDATE polar.t` are NOT implemented as DSv2
+  // row-level operations DELIBERATELY: (a) the SQL contract requires
+  // column assignments for offset/token/part, which are ENGINE-assigned
+  // facts of the append — honoring them would be a lie, ignoring them a
+  // silent surprise; (b) mixing in SupportsRowLevelOperations would hijack
+  // the working metadata DELETE path (RewriteDeleteFromTable prefers the
+  // row-level rewrite over SupportsDelete). Spark's capability error on
+  // MERGE/UPDATE is the refusal; the same semantics (compacted view = the
+  // table, updates/inserts = produces, deletes = tombstones, history stays
+  // addressable) live in `CALL polar.system.merge(topic => 't', source =>
+  // 'view')` and [[graft.log.PolarLog.merge]].
+
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(canDeleteWhere(filters),
       "polar DELETE supports only partitionKey = '<k>' / IN (...) predicates " +

@@ -323,6 +323,58 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE polar.wide")
   }
 
+  test("merge procedure: clause flags gate update/delete/insert independently") {
+    import graft.log.{PolarLog, TopicConfig}
+    val spark2 = spark; import spark2.implicits._
+    def view(name: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value")
+        .createOrReplaceTempView(name)
+    def compacted(topic: String): Map[String, String] = {
+      PolarLog.consumeCompacted(spark, TopicConfig(root, topic))
+        .selectExpr("partitionKey", "CAST(value AS STRING)")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    spark.sql("CREATE TABLE polar.mrgflags")
+    view("mrg_base", Seq("a" -> "1", "b" -> "2", "c" -> "3"))
+    spark.sql("INSERT INTO polar.mrgflags SELECT * FROM mrg_base")
+    // deletes need a NULL value row
+    Seq(("a", Some("a2")), ("b", None), ("d", Some("d1")))
+      .toDF("partitionKey", "v")
+      .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+        "CAST(v AS BINARY) AS value")
+      .createOrReplaceTempView("mrg_chg")
+    // not_matched_insert off: 'd' must NOT appear; update+delete apply
+    spark.sql("CALL polar.system.merge(topic => 'mrgflags', " +
+      "source => 'mrg_chg', not_matched_insert => false)")
+    assert(compacted("mrgflags") === Map("a" -> "a2", "c" -> "3"))
+    // matched_update off, insert on: existing keys unchanged, new key lands
+    spark.sql("CREATE TABLE polar.mrgflags2")
+    spark.sql("INSERT INTO polar.mrgflags2 SELECT * FROM mrg_base")
+    spark.sql("CALL polar.system.merge(topic => 'mrgflags2', " +
+      "source => 'mrg_chg', matched_update => false, matched_delete => false)")
+    assert(compacted("mrgflags2") ===
+      Map("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "d1"))
+    // resurrection: a tombstoned key is NOT matched — it re-enters as an
+    // insert even when matched_update is off
+    view("mrg_res", Seq("b" -> "b9"))
+    spark.sql("CALL polar.system.merge(topic => 'mrgflags', " +
+      "source => 'mrg_res', matched_update => false)")
+    assert(compacted("mrgflags") === Map("a" -> "a2", "b" -> "b9", "c" -> "3"))
+    // MERGE INTO itself refuses (capability error) — the procedure is the
+    // SQL surface for row-level changes on a log
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO polar.mrgflags t USING mrg_chg s " +
+        "ON t.partitionKey = s.partitionKey " +
+        "WHEN MATCHED THEN UPDATE SET t.value = s.value")
+    }
+    assert(e.getMessage.toLowerCase.contains("row-level")
+      || e.getMessage.toLowerCase.contains("merge"), e.getMessage)
+    spark.sql("DROP TABLE polar.mrgflags")
+    spark.sql("DROP TABLE polar.mrgflags2")
+  }
+
   test("procedures resolve persisted geometry, not catalog defaults") {
     import graft.log.{ConsumerGroups, TopicConfig}
     // a 6-broker ring (24 partitions) vs the catalog default of 3 (12):
