@@ -108,6 +108,28 @@ class PolarStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       ckpt, s"$root/out_basic_2") === 400)
   }
 
+  test("Trigger.Continuous refuses with a clear capability error") {
+    // DELIBERATE refusal (documented in docs/USAGE.md §Triggers): continuous
+    // processing trades exactly-once for at-least-once and pins one
+    // long-running task per partition polling the registry — against an
+    // object-store-backed log the poll IS a metadata read either way, so
+    // micro-batches (1 GET per trigger, exactly-once sink commits) strictly
+    // dominate. The capability error names the alternative.
+    val cfg = TopicConfig(root, "s_cont")
+    PolarLog.produce(records(0, 50), cfg)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("polar")
+        .option("root", cfg.root).option("topic", cfg.topic).load()
+        .writeStream.format("console")
+        .trigger(Trigger.Continuous("1 second"))
+        .option("checkpointLocation", s"$root/ckpt_cont")
+        .start()
+      q.awaitTermination(30000)
+      q.stop()
+    }
+    assert(e.getMessage.toLowerCase.contains("continuous"), e.getMessage)
+  }
+
   test("assign mode: only named partitions stream; checkpoint keeps the assignment") {
     val cfg = TopicConfig(root, "s_assign")
     PolarLog.produce(records(0, 600), cfg)
