@@ -100,6 +100,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // one rendering, reused by the full line AND the summary line — the
+    // two must never disagree on the control numbers
     val controlQs = control
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val json =
@@ -113,10 +115,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val controlJson = control
-      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"control":$controlJson,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"control":$controlQs,"slowest":$slowest,"sf":"$sfDir"}""")
     // belt-and-braces: the full line always lands in a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -278,7 +278,19 @@ object LogMetadata {
   def readIfExists(cfg: TopicConfig): Option[LogMetadata] = {
     val path = new Path(cfg.metadataPath)
     val fc = FileContext.getFileContext(path.toUri, hadoopConf)
-    if (fc.util().exists(path)) Some(read(cfg)) else None
+    // same transient-IOException discipline as read(): a blip on the
+    // exists probe must not fail the caller where read() would retry
+    var attempt = 0
+    while (true) {
+      try return if (fc.util().exists(path)) Some(read(cfg)) else None
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= MaxReadRetries) throw e
+          attempt += 1
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def read(cfg: TopicConfig): LogMetadata = {

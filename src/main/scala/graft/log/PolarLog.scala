@@ -230,6 +230,17 @@ object PolarLog {
         .otherwise(raise_error(lit("merge requires a non-null partitionKey"))
           .cast(StringType)).as("partitionKey"),
       col("timestamp"), col("value").cast(BinaryType).as("value"))
+    // SQL MERGE (and Delta, the model here) error on duplicate source
+    // matches — two rows for one key would make the post-merge view
+    // depend on an arbitrary tie-break, so refuse loudly instead. One
+    // bounded aggregation over the CHANGE SET (not the topic).
+    val dup = src.groupBy(col("partitionKey")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has ${dup.head.getLong(1)} rows for key " +
+        s"'${dup.head.getString(0)}'; deduplicate the source (e.g. latest " +
+        "per key) before merging — SQL MERGE semantics forbid multiple " +
+        "source rows per target key")
     val applied =
       if (matchedUpdate && matchedDelete && notMatchedInsert) src
       else {

@@ -180,12 +180,7 @@ class PolarHttpServer(
           // produce enforces validTopicName, but the listing is a raw
           // directory scan — an out-of-band directory (spaces, quotes)
           // must not corrupt the JSON envelope, so escape defensively
-          def esc(s: String) = s.flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          }
+          def esc(s: String) = graft.functions.JsonText.escape(s)
           val rows = retention.topics().sortBy(_.topic).map { cfg =>
             val m = graft.log.LogMetadata.read(cfg)
             s"""{"topic":"${esc(cfg.topic)}","partitions":${m.numPartitions},""" +

@@ -137,17 +137,31 @@ class PolarRoutedStreamingWrite(
     queryId: String,
     txnRetentionMs: Long) extends StreamingWrite {
 
+  // ONE delegate per epoch, shared by commit and abort: after a partially
+  // failed multi-topic commit (topic a's CAS landed, topic b threw) the
+  // abort MUST see the same committedTopics the commit populated — a
+  // fresh delegate would delete topic a's now-REGISTERED segments
+  private val delegates =
+    scala.collection.concurrent.TrieMap.empty[Long, PolarRoutedBatchWrite]
+  private def delegate(epochId: Long): PolarRoutedBatchWrite =
+    delegates.getOrElseUpdate(epochId, new PolarRoutedBatchWrite(
+      template, schema, maxFileBytes, Some((queryId, epochId)), txnRetentionMs))
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new PolarRoutedWriterFactory(template, schema, maxFileBytes)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    new PolarRoutedBatchWrite(template, schema, maxFileBytes,
-      Some((queryId, epochId)), txnRetentionMs).commit(messages)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // a throw skips the removal, so the delegate (with its committedTopics)
+    // is still there when Spark calls abort for this epoch
+    delegate(epochId).commit(messages)
+    delegates.remove(epochId): Unit
+  }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    new PolarRoutedBatchWrite(template, schema, maxFileBytes,
-      Some((queryId, epochId)), txnRetentionMs).abort(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    delegate(epochId).abort(messages)
+    delegates.remove(epochId): Unit
+  }
 }
 
 class PolarRoutedWriterFactory(

@@ -1062,7 +1062,19 @@ class PolarScan(
     }
   private lazy val endOverride: Map[(String, Int), Long] =
     cfg.endingOffsets.map(_.trim).filter(_.startsWith("{"))
-      .map(PolarOffsets.parse(_, cfg.topics.head.topic).tails)
+      .map { s =>
+        val explicit = PolarOffsets.parse(s, cfg.topics.head.topic).tails
+        // same refusal as startOverride: a bound on an unassigned
+        // partition must not be silently dropped
+        cfg.assign.foreach { a =>
+          val outside = explicit.keys.filterNot {
+            case (t, p) => a.get(t).exists(_.contains(p)) }
+          require(outside.isEmpty,
+            s"endingOffsets names partitions outside 'assign': " +
+              outside.map { case (t, p) => s"$t/$p" }.mkString(","))
+        }
+        explicit
+      }
       .getOrElse(cfg.endingTimestampMicros match {
         // exclusive event-time END: the window stops at each partition's
         // first record with ts >= T — the same seek kernel, used as

@@ -362,6 +362,13 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CALL polar.system.merge(topic => 'mrgflags', " +
       "source => 'mrg_res', matched_update => false)")
     assert(compacted("mrgflags") === Map("a" -> "a2", "b" -> "b9", "c" -> "3"))
+    // duplicate source keys refuse (SQL MERGE semantics: multiple source
+    // rows per target key make the result ill-defined)
+    view("mrg_dup", Seq("a" -> "x", "a" -> "y"))
+    val dup = intercept[Exception] {
+      spark.sql("CALL polar.system.merge(topic => 'mrgflags', source => 'mrg_dup')")
+    }
+    assert(dup.getMessage.contains("deduplicate"), dup.getMessage)
     // MERGE INTO itself refuses (capability error) — the procedure is the
     // SQL surface for row-level changes on a log
     val e = intercept[Exception] {

@@ -163,6 +163,42 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("routed streaming abort after a partial commit spares committed topics' files") {
+    import graft.log.{FileEntry, LogMetadata, RingTemplate}
+    val root = Files.createTempDirectory("polar_routed_abort").toString
+    val template = RingTemplate(root)
+    // topic 'b' pre-exists with DIFFERENT geometry: its per-topic commit
+    // throws AFTER topic 'a' (sorted order) already landed its CAS
+    val spark2 = spark; import spark2.implicits._
+    PolarLog.produce(Seq(("k", Array[Byte](1))).toDF("partitionKey", "value")
+      .withColumn("timestamp", current_timestamp()),
+      TopicConfig(root, "b", clusterSize = 6))
+    def plant(topic: String, name: String): java.nio.file.Path = {
+      val dir = java.nio.file.Paths.get(root, topic, "part=0")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(name), Array[Byte](1, 2, 3))
+    }
+    val fa = plant("a", "seg-a.parquet")
+    val fb = plant("b", "seg-b.parquet")
+    val schema = PolarLog.ValueSchema
+    val now = System.currentTimeMillis()
+    val msg = PolarRoutedCommitMessage(Map(
+      "a" -> Seq(FileEntry(0, "seg-a.parquet", 0, 0, 1, 3, now)),
+      "b" -> Seq(FileEntry(0, "seg-b.parquet", 0, 0, 1, 3, now))))
+    val w = new PolarRoutedStreamingWrite(template, schema,
+      PolarWrite.DefaultMaxFileBytes, "qid-abort", PolarWrite.DefaultTxnRetentionMs)
+    val e = intercept[Exception](w.commit(0L, Array(msg)))
+    assert(e.getMessage.contains("ring layout"), e.getMessage)
+    // topic a's CAS landed — its file is REGISTERED log data now
+    assert(LogMetadata.read(TopicConfig(root, "a")).files.map(_.name)
+      === Vector("seg-a.parquet"))
+    w.abort(0L, Array(msg))
+    assert(java.nio.file.Files.exists(fa),
+      "abort deleted a REGISTERED file of an already-committed topic")
+    assert(!java.nio.file.Files.exists(fb),
+      "abort must reclaim the uncommitted topic's file")
+  }
+
   test("writer custom metrics count sealed segments and appended records") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("polar_write_metrics").toString
