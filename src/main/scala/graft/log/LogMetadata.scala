@@ -45,6 +45,36 @@ final case class RingTemplate(
     TopicConfig(root, topic, clusterSize, rangesPerToken)
 }
 
+/** Per-topic configuration keys (the Kafka topic-config names) persisted
+  * in the root doc's `props` field. Validation lives here so every SQL /
+  * admin surface enforces the same contract and the hand-rolled JSON
+  * stays escape-free. */
+object TopicProps {
+  val RetentionMs = "retention.ms"
+  val CleanupPolicy = "cleanup.policy"
+  val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy)
+
+  /** Validate one recognized (key, value); throws on a malformed value.
+    * Returns false for unrecognized keys (callers decide refuse/ignore). */
+  def validate(key: String, value: String): Boolean = key match {
+    case RetentionMs =>
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ > 0L),
+        s"$RetentionMs must be a positive integer of milliseconds, got '$value'")
+      true
+    case CleanupPolicy =>
+      require(value == "delete" || value == "compact",
+        s"$CleanupPolicy must be 'delete' or 'compact', got '$value'")
+      true
+    case _ => false
+  }
+
+  /** The recognized-and-validated subset of `given` (SQL TBLPROPERTIES
+    * carry engine/geometry/Spark-reserved keys too — those pass through
+    * their own paths and are not persisted here). */
+  def recognized(given: Map[String, String]): Map[String, String] =
+    given.filter { case (k, v) => validate(k, v) }
+}
+
 object TopicConfig {
   /** Topic-name validation — the storage-layer analog of the reference's
     * 400 "Invalid topic" on the produce path
@@ -126,7 +156,15 @@ final case class LogMetadata(
     // expired at commit time (Delta's txn-version retention model), so
     // ad-hoc streaming-query churn cannot grow the root doc forever.
     // Absent for pre-r9 entries (stamped lazily at the next pruning pass).
-    sinkCommitMs: Map[String, Long] = Map.empty) {
+    sinkCommitMs: Map[String, Long] = Map.empty,
+    // per-topic configuration overrides (Kafka topic configs): the
+    // RECOGNIZED keys are `retention.ms` (overrides the scheduler's global
+    // window) and `cleanup.policy` (`delete` | `compact`; compact topics
+    // are exempt from time-based deletion — their keys must survive).
+    // Values are validated at the SQL surface, so the hand-rolled JSON
+    // stays escape-free. A field-keyed addition, not a tuple-shape change
+    // — older readers ignore the field, no format bump needed.
+    props: Map[String, String] = Map.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order — O(1) lookup, the
@@ -594,12 +632,16 @@ object LogMetadata {
         case None => s"""["${hexEncode(id)}",$b]"""
       }
     }.mkString(",")
+    val props = m.props.toSeq.sorted.map { case (k, v) =>
+      s""""${graft.functions.JsonText.escape(k)}":"${graft.functions.JsonText.escape(v)}""""
+    }.mkString(",")
     s"""{"format":$CurrentFormat,""" +
       s""""version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""commitMs":${m.commitMs},""" +
       s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
       s""""sinkCommits":[$sinks],""" +
+      (if (m.props.isEmpty) "" else s""""props":{$props},""") +
       s""""manifests":[$manifests]}"""
   }
 
@@ -720,9 +762,15 @@ object LogMetadata {
     // mtime fallback in versionAt)
     val commitMs = """"commitMs"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(0L)
+    // per-topic config overrides (r10): values are surface-validated to an
+    // escape-free charset, so the non-nested object match is exact
+    val props = """"props"\s*:\s*\{([^{}]*)\}""".r.findFirstMatchIn(s)
+      .map(m => """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2)).toMap)
+      .getOrElse(Map.empty[String, String])
     LogMetadata(longField("version"), longField("clusterSize").toInt,
       longField("rangesPerToken").toInt, offsets, byPart, sinks, names,
-      commitMs, sinkMs)
+      commitMs, sinkMs, props)
   }
 }
 

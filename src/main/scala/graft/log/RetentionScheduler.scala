@@ -83,8 +83,19 @@ final class RetentionScheduler(
   def sweep(nowMs: Long = System.currentTimeMillis()): Map[String, RetentionScheduler.Sweep] =
     synchronized {
       val res = topics().map { cfg =>
+        // per-topic overrides (Kafka topic configs, persisted in the root
+        // doc): `retention.ms` replaces the global window for this topic;
+        // `cleanup.policy=compact` exempts it from time-based deletion
+        // entirely — a compacted topic's keys must survive, exactly
+        // Kafka's semantics (vacuum and segment merge still run)
+        val props =
+          try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty[String, String] }
+        val window = props.get(TopicProps.RetentionMs).map(_.toLong)
+          .getOrElse(retentionMs)
+        val compactPolicy = props.get(TopicProps.CleanupPolicy).contains("compact")
         val aged =
-          try PolarLog.cleanRetention(cfg, retentionMs, nowMs)
+          if (compactPolicy) 0
+          else try PolarLog.cleanRetention(cfg, window, nowMs)
           catch { case NonFatal(_) => 0 }
         // dataGraceMs = periodMs makes reclamation MODIFICATION-TIME
         // gated, not ordering-gated: a superseded original survives at

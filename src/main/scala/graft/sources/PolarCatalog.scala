@@ -130,7 +130,8 @@ class PolarCatalog extends TableCatalog
     if (!exists(probe)) throw new NoSuchTableException(ident)
     val meta = LogMetadata.read(probe)
     val cfg = TopicConfig(root, ident.name(), meta.clusterSize, meta.rangesPerToken)
-    new PolarTable(PolarSourceConfig(cfg, "latest", None), null, sqlInsertable = true)
+    new PolarTable(PolarSourceConfig(cfg, "latest", None), null,
+      sqlInsertable = true, tableProps = meta.props)
   }
 
   /** SQL time travel: `SELECT … FROM cat.topic VERSION AS OF n` — the
@@ -185,15 +186,47 @@ class PolarCatalog extends TableCatalog
     require(partitions == null || partitions.isEmpty,
       "polar topics are partitioned by the token ring, not by CREATE TABLE clauses")
     import scala.jdk.CollectionConverters._
-    val cfg = cfgOf(ident, properties.asScala.toMap)
+    val given = properties.asScala.toMap
+    val cfg = cfgOf(ident, given)
     if (exists(cfg)) throw new TableAlreadyExistsException(ident)
-    LogMetadata.write(cfg, LogMetadata.empty(cfg))
+    // persist recognized per-topic configs (Kafka topic-config names:
+    // retention.ms, cleanup.policy) in the root doc; geometry rides its
+    // own doc fields, Spark-reserved keys pass through unpersisted
+    LogMetadata.write(cfg, LogMetadata.empty(cfg)
+      .copy(props = graft.log.TopicProps.recognized(given)))
     new PolarTable(PolarSourceConfig(cfg, "latest", None), null, sqlInsertable = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "polar topics have an engine-owned schema; use TopicOps.repartitionTopic for ring changes")
+  /** `ALTER TABLE polar.t SET/UNSET TBLPROPERTIES` for the recognized
+    * per-topic configs (retention.ms, cleanup.policy) — one metadata CAS;
+    * schema/ring changes stay refused (engine-owned / TopicOps). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireTopLevel(ident.namespace())
+    val probe = TopicConfig(root, ident.name())
+    if (!exists(probe)) throw new NoSuchTableException(ident)
+    val meta0 = LogMetadata.read(probe)
+    val cfg = TopicConfig(root, ident.name(),
+      meta0.clusterSize, meta0.rangesPerToken)
+    val updates: Seq[Map[String, String] => Map[String, String]] = changes.map {
+      case set: TableChange.SetProperty =>
+        require(graft.log.TopicProps.validate(set.property(), set.value()),
+          s"unsupported table property '${set.property()}' (recognized: " +
+            s"${graft.log.TopicProps.Recognized.toSeq.sorted.mkString(", ")}; " +
+            "ring geometry is fixed at creation — use TopicOps.repartitionTopic)")
+        (p: Map[String, String]) => p + (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        require(graft.log.TopicProps.Recognized.contains(rm.property()),
+          s"unsupported table property '${rm.property()}'")
+        (p: Map[String, String]) => p - rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"polar topics have an engine-owned schema; $other is not supported " +
+          "(use TopicOps.repartitionTopic for ring changes)")
+    }
+    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg)) { cur =>
+      cur.copy(props = updates.foldLeft(cur.props)((p, f) => f(p)))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     requireTopLevel(ident.namespace())

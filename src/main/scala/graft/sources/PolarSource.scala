@@ -323,13 +323,20 @@ object PolarSourceConfig {
 class PolarTable(
     cfg: PolarSourceConfig,
     externalSchema: StructType = null,
-    sqlInsertable: Boolean = false)
+    sqlInsertable: Boolean = false,
+    // persisted per-topic configs (retention.ms, cleanup.policy) — what
+    // SHOW TBLPROPERTIES reports; catalog loadTable threads them in
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     if (cfg.topics.isEmpty) "polar:<row-routed>"
     else s"polar:${cfg.topics.map(_.topic).mkString(",")}"
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    tableProps.asJava
+  }
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else PolarSource.FullSchema

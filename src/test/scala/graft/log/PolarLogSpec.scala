@@ -292,6 +292,10 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LogMetadata.parse(LogMetadata.render(m)) === m)
     val o = Map(0 -> 5L, 3 -> 11L)
     assert(ConsumerGroups.parseOffsets(ConsumerGroups.render(o)) === o)
+    // per-topic config props round-trip; absent props parse as empty
+    val withProps = m.copy(props = Map(
+      "retention.ms" -> "3600000", "cleanup.policy" -> "compact"))
+    assert(LogMetadata.parse(LogMetadata.render(withProps)) === withProps)
   }
 
   test("format-versioned docs: current stamp round-trips, newer formats refuse loudly") {

@@ -30,6 +30,34 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     .select(col("user_id").cast("string").as("partitionKey"),
       col("ts").as("timestamp"), col("props").as("value"))
 
+  test("per-topic retention.ms overrides the global window; cleanup.policy=compact exempts") {
+    // three topics, identical aged data; a wide global window that keeps
+    // everything — only the topic with a SHORT retention.ms loses files,
+    // and a compact-policy topic with the same short override loses none
+    val short = TopicConfig(root, "ret_short")
+    val plain = TopicConfig(root, "ret_plain")
+    val kt = TopicConfig(root, "ret_compacted")
+    Seq(short, plain, kt).foreach(c => PolarLog.produce(records(0, 300), c))
+    Thread.sleep(200)
+    val now = System.currentTimeMillis()
+    def setProps(c: TopicConfig, ps: Map[String, String]): Unit =
+      LogMetadata.compareAndSet(c, LogMetadata.read(c))(m => m.copy(props = ps))
+    setProps(short, Map(TopicProps.RetentionMs -> "50"))
+    setProps(kt, Map(TopicProps.RetentionMs -> "50",
+      TopicProps.CleanupPolicy -> "compact"))
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000)
+    val res = sched.sweep(now)
+    assert(res("ret_short").agedDeleted > 0,
+      "short retention.ms override must delete the aged files")
+    assert(res("ret_plain").agedDeleted === 0,
+      "the global window keeps the un-overridden topic intact")
+    assert(res("ret_compacted").agedDeleted === 0,
+      "cleanup.policy=compact exempts the topic from time deletion")
+    assert(PolarLog.consume(spark, short).count() === 0)
+    assert(PolarLog.consume(spark, plain).count() === 300)
+    assert(PolarLog.consume(spark, kt).count() === 300)
+  }
+
   test("sweep deletes aged segments, keeps young ones, preserves surviving offsets") {
     val cfg = TopicConfig(root, "ret_age")
     val nA = PolarLog.produce(records(0, 400), cfg).recordsWritten

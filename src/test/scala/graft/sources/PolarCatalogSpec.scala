@@ -323,6 +323,39 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE polar.wide")
   }
 
+  test("per-topic configs: TBLPROPERTIES persist, ALTER SET/UNSET, bad values refuse") {
+    import graft.log.{LogMetadata, TopicConfig}
+    spark.sql("CREATE TABLE polar.cfgd TBLPROPERTIES " +
+      "('retention.ms'='3600000', 'cleanup.policy'='compact')")
+    val cfg = TopicConfig(root, "cfgd")
+    assert(LogMetadata.read(cfg).props ===
+      Map("retention.ms" -> "3600000", "cleanup.policy" -> "compact"))
+    // SHOW TBLPROPERTIES reads them back through the table
+    val shown = spark.sql("SHOW TBLPROPERTIES polar.cfgd").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("retention.ms").contains("3600000"))
+    assert(shown.get("cleanup.policy").contains("compact"))
+    // ALTER SET updates via one CAS; UNSET removes
+    spark.sql("ALTER TABLE polar.cfgd SET TBLPROPERTIES ('retention.ms'='60000')")
+    assert(LogMetadata.read(cfg).props("retention.ms") === "60000")
+    spark.sql("ALTER TABLE polar.cfgd UNSET TBLPROPERTIES ('cleanup.policy')")
+    assert(LogMetadata.read(cfg).props === Map("retention.ms" -> "60000"))
+    // props survive an unrelated produce commit (CAS preserves the field)
+    spark.sql("""
+      INSERT INTO polar.cfgd
+      SELECT 'k' AS partitionKey, current_timestamp() AS timestamp,
+             CAST('v' AS BINARY) AS value""")
+    assert(LogMetadata.read(cfg).props === Map("retention.ms" -> "60000"))
+    // malformed values and unknown keys refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE polar.cfgd SET TBLPROPERTIES ('retention.ms'='-5')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE polar.cfgd SET TBLPROPERTIES ('cleanup.policy'='banana')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE polar.cfgd SET TBLPROPERTIES ('clusterSize'='6')"))
+    spark.sql("DROP TABLE polar.cfgd")
+  }
+
   test("merge procedure: clause flags gate update/delete/insert independently") {
     import graft.log.{PolarLog, TopicConfig}
     val spark2 = spark; import spark2.implicits._
