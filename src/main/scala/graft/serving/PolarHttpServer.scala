@@ -223,6 +223,47 @@ class PolarHttpServer(
           val n = graft.log.PolarLog.deleteRecords(cfg, cuts)
           respond(ex, 200, s"""{"topic":"$t","deletedFiles":$n}""",
             "application/json")
+        case ("GET", "/v1/admin/topics/config") =>
+          // per-topic config view: the persisted overrides (retention.ms,
+          // cleanup.policy) — the HTTP face of SHOW TBLPROPERTIES
+          val t = query(ex).get("topic").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "topic is required"))
+          if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+          val props = graft.log.LogMetadata.read(cfgOf(t)).props
+          respond(ex, 200, props.toSeq.sorted.map { case (k, v) =>
+            s""""${graft.functions.JsonText.escape(k)}":"${graft.functions.JsonText.escape(v)}""""
+          }.mkString(s"""{"topic":"$t","config":{""", ",", "}}"),
+            "application/json")
+        case ("POST", "/v1/admin/topics/config") =>
+          // set/unset one config key: `?topic=t&key=retention.ms&value=…`
+          // (no value = unset) — the kafka-configs --alter shape, one CAS
+          val t = query(ex).get("topic").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "topic is required"))
+          if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+          val key = query(ex).get("key").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "key is required"))
+          val value = query(ex).get("value").flatMap(_.headOption)
+          value match {
+            case Some(v) =>
+              val ok = try graft.log.TopicProps.validate(key, v)
+                catch { case e: IllegalArgumentException =>
+                  throw HttpError(400, e.getMessage) }
+              if (!ok) throw HttpError(400,
+                s"unsupported config '$key' (recognized: " +
+                  s"${graft.log.TopicProps.Recognized.toSeq.sorted.mkString(", ")})")
+            case None =>
+              if (!graft.log.TopicProps.Recognized.contains(key))
+                throw HttpError(400, s"unsupported config '$key'")
+          }
+          val cfg = cfgOf(t)
+          graft.log.LogMetadata.compareAndSet(cfg, graft.log.LogMetadata.read(cfg)) {
+            cur => cur.copy(props = value match {
+              case Some(v) => cur.props + (key -> v)
+              case None => cur.props - key
+            })
+          }
+          respond(ex, 200, s"""{"topic":"$t","key":"$key","applied":true}""",
+            "application/json")
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()

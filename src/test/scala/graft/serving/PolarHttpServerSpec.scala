@@ -122,6 +122,28 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.findFirstIn(body).isDefined, body)
   }
 
+  test("admin topic config: set, read back, unset; bad keys/values are 400") {
+    val topic = "cfgep"
+    assert(post(s"/v1/topic/$topic/messages?partitionKey=k",
+      """{"x":1}""".getBytes(UTF_8),
+      Seq("Content-Type" -> "application/json")).statusCode() === 200)
+    // set retention.ms, read it back
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=retention.ms&value=3600000",
+      Array.emptyByteArray).statusCode() === 200)
+    val body = get(s"/v1/admin/topics/config?topic=$topic").body()
+    assert(body.contains(""""retention.ms":"3600000""""), body)
+    // unset removes it
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=retention.ms",
+      Array.emptyByteArray).statusCode() === 200)
+    assert(get(s"/v1/admin/topics/config?topic=$topic").body()
+      .contains(""""config":{}"""))
+    // malformed value / unknown key refuse
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=retention.ms&value=-1",
+      Array.emptyByteArray).statusCode() === 400)
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=nope&value=1",
+      Array.emptyByteArray).statusCode() === 400)
+  }
+
   test("admin delete-records: trims below the cutoff; -1 truncates, offsets survive") {
     val topic = "delrecep"
     def produce(tag: Int): Unit = (0 until 3).foreach { i =>
