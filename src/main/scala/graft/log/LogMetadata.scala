@@ -114,6 +114,12 @@ final case class FileEntry(
     tsMax: Long = Long.MaxValue,
     tsNulls: Long = -1L) {
   def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
+  /** Offset-dense: one row at EVERY offset of [minOffset, maxOffset] —
+    * true for every produced segment; false after key compaction removes
+    * superseded rows (offsets are preserved, so survivors are sparse).
+    * Row-count arithmetic (LIMIT caps, offset top-N cuts) must check this
+    * before equating offset spans with row counts. */
+  def dense: Boolean = count == maxOffset - minOffset + 1
 }
 
 /**

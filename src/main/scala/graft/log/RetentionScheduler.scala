@@ -37,7 +37,16 @@ final class RetentionScheduler(
     // optional per-topic segment compactor (e.g. PolarCompaction.compact
     // with deleteOriginals = false) — injected as a function so the
     // metadata plane stays independent of the Spark execution layer
-    compactor: Option[TopicConfig => Int] = None) extends AutoCloseable {
+    compactor: Option[TopicConfig => Int] = None,
+    // optional KEY cleaner (PolarLogCleaner.cleanKeys) for
+    // cleanup.policy=compact topics — the Kafka log-cleaner loop. Runs
+    // only when the topic's version advanced since its last cleaning
+    // (the cheap dirty check: no new commits = nothing new to supersede).
+    keyCleaner: Option[TopicConfig => Long] = None) extends AutoCloseable {
+
+  // topic -> registry version as of its last key-cleaning pass
+  private val lastCleanedVersion =
+    scala.collection.mutable.Map.empty[String, Long]
 
   @volatile private var sweepsDone: Long = 0L
   @volatile private var mergedDone: Long = 0L
@@ -88,8 +97,9 @@ final class RetentionScheduler(
         // `cleanup.policy=compact` exempts it from time-based deletion
         // entirely — a compacted topic's keys must survive, exactly
         // Kafka's semantics (vacuum and segment merge still run)
-        val props =
-          try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty[String, String] }
+        val head =
+          try Some(LogMetadata.read(cfg)) catch { case NonFatal(_) => None }
+        val props = head.map(_.props).getOrElse(Map.empty[String, String])
         val window = props.get(TopicProps.RetentionMs).map(_.toLong)
           .getOrElse(retentionMs)
         val compactPolicy = props.get(TopicProps.CleanupPolicy).contains("compact")
@@ -97,6 +107,17 @@ final class RetentionScheduler(
           if (compactPolicy) 0
           else try PolarLog.cleanRetention(cfg, window, nowMs)
           catch { case NonFatal(_) => 0 }
+        // the Kafka log-cleaner loop: compact-policy topics get their
+        // clean regions rewritten to latest-per-key — but only when the
+        // registry advanced since the last pass (no new commits = nothing
+        // newly superseded, so the full-region read is skipped)
+        if (compactPolicy)
+          for (c <- keyCleaner; m <- head)
+            if (!lastCleanedVersion.get(cfg.topic).contains(m.version)) {
+              try { c(cfg); () } catch { case NonFatal(_) => () }
+              lastCleanedVersion(cfg.topic) =
+                try LogMetadata.read(cfg).version catch { case NonFatal(_) => m.version }
+            }
         // dataGraceMs = periodMs makes reclamation MODIFICATION-TIME
         // gated, not ordering-gated: a superseded original survives at
         // least one full period after its last write regardless of when

@@ -709,6 +709,87 @@ object PolarLogQueries extends QueryRegistry {
         FROM events WHERE event_id % 2 = 1 GROUP BY 1""")),
 
     QueryDef(
+      "polar_log_cleaner",
+      // THE LOG CLEANER (Kafka cleanup.policy=compact physical cleaning):
+      // clean-region segments rewrite to latest-per-key with ORIGINAL
+      // offsets (survivors sparse — FileEntry.dense false), the head
+      // segment untouched, latest tombstones retained in the raw log.
+      // Gated: the compacted view is UNCHANGED by cleaning and
+      // hash-matches the oracle; removed-record count, sparsity, tombstone
+      // retention and post-clean LIMIT correctness required inline.
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_polar_kc").toString
+        val cfg = TopicConfig(root, "kc")
+        Tables.events(s, dir).createOrReplaceTempView("events_kc_src")
+        def keyed(sel: String) = s.sql(
+          s"SELECT CAST(user_id AS STRING) AS partitionKey, MAX(ts) AS timestamp, " +
+            s"$sel FROM events_kc_src GROUP BY user_id")
+        // v1, v2: whole keyset; v3 touches only PART of it (odd keys
+        // upsert, every 14th key a tombstone), so v2's file keeps an
+        // INTERLEAVED subset — genuine offset sparsity after cleaning
+        PolarLog.produce(keyed("CAST('v1:' || MAX(props) AS BINARY) AS value"), cfg)
+        PolarLog.produce(keyed("CAST('v2:' || MAX(props) AS BINARY) AS value"), cfg)
+        PolarLog.produce(s.sql("""
+          SELECT CAST(user_id AS STRING) AS partitionKey, MAX(ts) AS timestamp,
+                 CASE WHEN user_id % 14 = 0 THEN CAST(NULL AS BINARY)
+                      ELSE CAST('v3:' || MAX(props) AS BINARY) END AS value
+          FROM events_kc_src WHERE user_id % 2 = 1 OR user_id % 14 = 0
+          GROUP BY user_id"""), cfg)
+        // a 4th commit seals the head, so v3 sits in the CLEAN region
+        PolarLog.produce(s.sql("""
+          SELECT CAST(user_id + 1000000 AS STRING) AS partitionKey,
+                 MAX(ts) AS timestamp, CAST('seal' AS BINARY) AS value
+          FROM events_kc_src GROUP BY user_id"""), cfg)
+        val Array(keys, touched) = s.sql(
+          """SELECT count(DISTINCT user_id),
+                    count(DISTINCT CASE WHEN user_id % 2 = 1 OR user_id % 14 = 0
+                                        THEN user_id END)
+             FROM events_kc_src""").head() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        val viewBefore = PolarLog.consumeCompacted(s, cfg)
+          .selectExpr("partitionKey", "CAST(value AS STRING)")
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        val removed = graft.sources.PolarLogCleaner.cleanKeys(s, cfg)
+        // v1 drops for EVERY key; v2 additionally drops for v3-touched keys
+        require(removed == keys + touched,
+          s"removed $removed, expected ${keys + touched}")
+        val meta = LogMetadata.read(cfg)
+        require(meta.files.exists(f => !f.dense && f.count > 0),
+          "cleaning must leave offset-sparse survivors")
+        // a latest tombstone survives in the raw log (the delete fact)
+        val tombKey = s.sql(
+          "SELECT CAST(user_id AS STRING) FROM events_kc_src WHERE user_id % 14 = 0 LIMIT 1")
+          .head().getString(0)
+        val tombRows = PolarLog.consume(s, cfg)
+          .filter(col("partitionKey") === tombKey).collect()
+        require(tombRows.length == 1 && tombRows.head.isNullAt(
+            tombRows.head.fieldIndex("value")),
+          s"tombstone for $tombKey must survive as the key's only raw record")
+        // sparse topics keep LIMIT correct (the planner falls back to
+        // uncapped windows instead of equating offsets with rows)
+        require(s.read.format("polar").option("root", root).option("topic", "kc")
+          .load().limit(7).count() == 7L, "LIMIT over a sparse topic")
+        // the compacted view is UNCHANGED by cleaning...
+        val viewAfter = PolarLog.consumeCompacted(s, cfg)
+          .selectExpr("partitionKey", "CAST(value AS STRING)")
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        require(viewAfter == viewBefore, "cleaning changed the compacted view")
+        // ...and hash-matches the oracle
+        PolarLog.consumeCompacted(s, cfg)
+          .selectExpr("partitionKey AS pk", "CAST(value AS STRING) AS v")
+      },
+      Some("""
+        WITH u AS (SELECT user_id, MAX(props) AS mp FROM events GROUP BY user_id)
+        SELECT CAST(user_id AS VARCHAR) AS pk, 'v3:' || mp AS v
+        FROM u WHERE user_id % 2 = 1 AND user_id % 14 <> 0
+        UNION ALL
+        SELECT CAST(user_id AS VARCHAR) AS pk, 'v2:' || mp AS v
+        FROM u WHERE user_id % 2 = 0 AND user_id % 14 <> 0
+        UNION ALL
+        SELECT CAST(user_id + 1000000 AS VARCHAR) AS pk, 'seal' AS v FROM u""")),
+
+    QueryDef(
       "polar_merge_upsert",
       // LOG-NATIVE MERGE (Delta MERGE shape over KTable semantics): the
       // compacted view is the table; matched-update / not-matched-insert

@@ -103,7 +103,9 @@ class PolarHttpServer(
   val retention = new RetentionScheduler(
     root, retentionMs, retentionSweepMs, clusterSize, rangesPerToken,
     compactor = Some(cfg => graft.sources.PolarCompaction.compact(
-      spark, cfg, deleteOriginals = false)))
+      spark, cfg, deleteOriginals = false)),
+    keyCleaner = Some(cfg =>
+      graft.sources.PolarLogCleaner.cleanKeys(spark, cfg)))
 
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 

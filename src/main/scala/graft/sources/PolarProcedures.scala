@@ -214,6 +214,20 @@ private[sources] object PolarProcedures {
       }
     }
 
+    val cleanKeys = new PolarProcedure(
+      "clean_keys",
+      // the Kafka log cleaner: physically rewrite clean-region segments of
+      // a compacted topic keeping latest-per-key (offsets preserved,
+      // survivors sparse); the scheduler runs this automatically for
+      // cleanup.policy=compact topics — this is the manual trigger
+      Seq(in("topic", StringType).build(),
+        in("drop_tombstones", BooleanType).defaultValue("false").build()),
+      StructType(Seq(StructField("removed_records", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](PolarLogCleaner.cleanKeys(
+          spark, cfgOf(a, 0), dropTombstones = a.getBoolean(1)))))
+    }
+
     val analyze = new PolarProcedure(
       "analyze",
       Seq(in("topic", StringType).build()),
@@ -224,7 +238,7 @@ private[sources] object PolarProcedures {
     }
 
     Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze,
-        deleteRecords, merge)
+        deleteRecords, merge, cleanKeys)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -1128,15 +1128,23 @@ class PolarScan(
         val loBase = math.max(bounds.minOffset,
           startOverride.get((t, p)).map(resolveSentinel(_, tail)).getOrElse(0L))
         val effStart = firstRowAtOrAfter(m.filesOf(p), loBase)
+        // row-COUNT arithmetic (LIMIT cap, offset-ordered TOP-N) equates
+        // offsets with rows — only valid while every file is offset-DENSE.
+        // Key compaction (cleanup.policy=compact) leaves sparse survivors,
+        // where "first n offsets" can hold fewer than n rows; fall back to
+        // the uncapped window there (Spark keeps the Limit/TakeOrdered
+        // node, so looser planning is never wrong, only bigger)
+        val dense = m.filesOf(p).forall(_.dense)
         var lo = loBase
         var hi = math.min(tail, math.min(
           endOverride.get((t, p)).map(resolveSentinel(_, tail))
             .getOrElse(Long.MaxValue),
-          math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart))))
+          math.min(bounds.maxOffsetExclusive,
+            if (dense) limitCapFrom(effStart) else Long.MaxValue)))
         bounds.topN match {
-          case Some(PolarTopN(false, false, n)) =>
+          case Some(PolarTopN(false, false, n)) if dense =>
             hi = math.min(hi, satAdd(effStart, n))
-          case Some(PolarTopN(false, true, n)) =>
+          case Some(PolarTopN(false, true, n)) if dense =>
             lo = math.max(lo, hi - n)
           case _ => ()
         }
@@ -1190,7 +1198,9 @@ class PolarScan(
             // the same rule planInputPartitions applies (stats == plan)
             val effStart = firstRowAtOrAfter(files, winLo)
             val hiEx = math.min(winHi,
-              math.min(bounds.maxOffsetExclusive, limitCapFrom(effStart)))
+              math.min(bounds.maxOffsetExclusive,
+                if (files.forall(_.dense)) limitCapFrom(effStart)
+                else Long.MaxValue))
             files.foreach(admit(_, winLo, hiEx, bounds.tsMin, bounds.tsMax))
           }
         }
@@ -1261,7 +1271,9 @@ class PolarScan(
         val start = PolarOffsets(starts.map { case (p, o) => (c.topic, p) -> o })
         val end = PolarOffsets(endsM.map { case (p, o) =>
           (c.topic, p) -> math.min(o, math.min(bounds.maxOffsetExclusive,
-            limitCapFrom(starts.getOrElse(p, 0L)))) })
+            if (toMeta.filesOf(p).forall(_.dense))
+              limitCapFrom(starts.getOrElse(p, 0L))
+            else Long.MaxValue)) })
         return PolarMicroBatchStream.plan(cfg.byName, Map(c.topic -> toMeta),
           start, end, bounds.parts, tsWindow = Some((bounds.tsMin, bounds.tsMax)),
           minPartitions = cfg.minPartitions, keys = bounds.keys,

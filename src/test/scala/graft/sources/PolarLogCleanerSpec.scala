@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.log.{LogMetadata, PolarLog, RetentionScheduler, TopicConfig, TopicProps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The log cleaner (Kafka cleanup.policy=compact physical cleaning):
+  * latest-per-key rewrite with preserved offsets, tombstone lifecycle,
+  * scheduler integration, and sparse-file planner correctness. */
+class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_cleaner_spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def produceKeyed(cfg: TopicConfig, tag: String,
+      keys: Seq[Int], tombstones: Set[Int] = Set.empty): Unit = {
+    val spark2 = spark; import spark2.implicits._
+    PolarLog.produce(
+      keys.map(k => (k.toString,
+        if (tombstones(k)) null else s"$tag:$k")).toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value"),
+      cfg)
+  }
+
+  private def compacted(cfg: TopicConfig): Map[String, String] =
+    PolarLog.consumeCompacted(spark, cfg)
+      .selectExpr("partitionKey", "CAST(value AS STRING)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("dropTombstones expires delete markers from the clean region") {
+    val cfg = TopicConfig(root, "kc_tomb")
+    produceKeyed(cfg, "v1", 0 until 40)
+    produceKeyed(cfg, "v2", 0 until 40, tombstones = (0 until 40 by 4).toSet)
+    produceKeyed(cfg, "seal", 1000 until 1200) // wide: every partition gets a head file
+    val removed = PolarLogCleaner.cleanKeys(spark, cfg, dropTombstones = true)
+    // v1 drops for all 40 keys; the 10 tombstones drop too
+    assert(removed === 50L)
+    val raw = PolarLog.consume(spark, cfg)
+    assert(raw.filter(col("value").isNull).count() === 0L,
+      "expired tombstones must leave the raw log")
+    // the view: non-tombstoned keys keep v2, tombstoned keys are gone
+    val view = compacted(cfg)
+    assert(view("1") === "v2:1" && !view.contains("0"))
+  }
+
+  test("SQL procedure + scheduler clean compact-policy topics on new commits only") {
+    val cfg = TopicConfig(root, "kc_auto")
+    produceKeyed(cfg, "v1", 0 until 30)
+    produceKeyed(cfg, "v2", 0 until 30)
+    produceKeyed(cfg, "seal", 2000 until 2200)
+    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg))(m =>
+      m.copy(props = Map(TopicProps.CleanupPolicy -> "compact")))
+    val viewBefore = compacted(cfg)
+    var cleanerCalls = 0
+    val sched = new RetentionScheduler(root, retentionMs = 1L,
+      keyCleaner = Some { c =>
+        cleanerCalls += 1
+        PolarLogCleaner.cleanKeys(spark, c)
+      })
+    sched.sweep()
+    // compact policy: exempt from the 1 ms retention window, cleaned once
+    assert(PolarLog.consume(spark, cfg).count() > 0,
+      "compact policy must exempt the topic from time retention")
+    val callsAfterFirst = cleanerCalls
+    assert(callsAfterFirst >= 1)
+    assert(compacted(cfg) === viewBefore, "cleaning must not change the view")
+    // idle sweep: version unchanged -> the cleaner is NOT re-run
+    sched.sweep()
+    assert(cleanerCalls === callsAfterFirst,
+      "an idle topic must not be re-read every sweep")
+    // a new commit re-arms the cleaner
+    produceKeyed(cfg, "v3", 0 until 30)
+    sched.sweep()
+    assert(cleanerCalls === callsAfterFirst + 1)
+    // the SQL face reports the removed count
+    spark.conf.set("spark.sql.catalog.polar_kc",
+      classOf[PolarCatalog].getName)
+    spark.conf.set("spark.sql.catalog.polar_kc.root", root)
+    val viaSql = spark.sql(
+      "CALL polar_kc.system.clean_keys(topic => 'kc_auto')").head().getLong(0)
+    assert(viaSql >= 0L)
+  }
+
+  test("sparse survivors: offset top-N and LIMIT stay correct; agg pushdown stays exact") {
+    val cfg = TopicConfig(root, "kc_sparse")
+    produceKeyed(cfg, "v1", 0 until 60)
+    // v2 touches the odd keys only -> v1's file keeps an interleaved half
+    produceKeyed(cfg, "v2", (1 until 60 by 2))
+    produceKeyed(cfg, "seal", 3000 until 3200)
+    assert(PolarLogCleaner.cleanKeys(spark, cfg) === 30L)
+    val meta = LogMetadata.read(cfg)
+    assert(meta.files.exists(f => f.count > 0 && !f.dense),
+      "interleaved supersession must leave a sparse file")
+    val df = spark.read.format("polar")
+      .option("root", root).option("topic", "kc_sparse").load()
+    val total = df.count()
+    // count(*) from the registry is EXACT for sparse files (counts are real)
+    assert(total === 60L + 200L)
+    // LIMIT and offset-ordered top-N fall back to uncapped windows —
+    // results match a full collect
+    assert(df.limit(10).count() === 10L)
+    // deterministic tie-break: offsets repeat across partitions
+    val topAsc = df.orderBy(col("offset"), col("part")).limit(5)
+      .select(col("offset"), col("part")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val fullAsc = df.select(col("offset"), col("part")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.take(5)
+    assert(topAsc.toSeq === fullAsc.toSeq)
+    val topDesc = df.orderBy(col("offset").desc, col("part").desc).limit(5)
+      .select(col("offset"), col("part")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val fullDesc = df.select(col("offset"), col("part")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.takeRight(5)
+    assert(topDesc.toSeq === fullDesc.toSeq)
+  }
+}
