@@ -244,10 +244,10 @@ object ConsumerGroups {
     * partition holds nothing. Pure registry arithmetic. */
   def earliestOffsets(cfg: TopicConfig): Map[Int, Long] = {
     val meta = LogMetadata.read(cfg)
-    (0 until cfg.numPartitions).map { p =>
-      p -> meta.filesOf(p).headOption.map(_.minOffset)
-        .getOrElse(meta.producerOffsets.lift(p).getOrElse(0L))
-    }.toMap
+    // Kafka's earliest = logStartOffset: below it was trimmed with intent;
+    // at/above it offsets may be sparse (compaction) — starting there reads
+    // every survivor
+    (0 until cfg.numPartitions).map(p => p -> meta.logStart(p)).toMap
   }
 
   /**

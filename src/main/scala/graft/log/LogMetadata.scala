@@ -170,7 +170,14 @@ final case class LogMetadata(
     // Values are validated at the SQL surface, so the hand-rolled JSON
     // stays escape-free. A field-keyed addition, not a tuple-shape change
     // — older readers ignore the field, no format bump needed.
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    // Kafka's logStartOffset, per partition: advanced ONLY by the trim
+    // paths (retention, delete-records, truncate) — never by key
+    // compaction, whose sparse survivors may start above the first file's
+    // minOffset without any record having been LOST. Empty (legacy docs /
+    // never-trimmed topics until the first clean materializes it) falls
+    // back to the first registered file's minOffset, the pre-r10 rule.
+    logStarts: Vector[Long] = Vector.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order — O(1) lookup, the
@@ -185,6 +192,27 @@ final case class LogMetadata(
 
   /** True iff no partition has a registered file. */
   def filesEmpty: Boolean = filesByPart.valuesIterator.forall(_.isEmpty)
+
+  /** The partition's log start (Kafka logStartOffset): everything below it
+    * was TRIMMED with intent; offsets at/above it may still be sparse
+    * (compaction). Explicit when stamped; legacy fallback = the first
+    * registered file's minOffset (or the tail for an empty partition). */
+  def logStart(p: Int): Long =
+    logStarts.lift(p).getOrElse(filesOf(p).headOption.map(_.minOffset)
+      .getOrElse(producerOffsets.lift(p).getOrElse(0L)))
+
+  /** [[logStarts]] materialized for every partition (what the cleaner
+    * persists BEFORE its swap, so the sparse survivors cannot re-derive a
+    * higher start). */
+  def materializedLogStarts: Vector[Long] =
+    Vector.tabulate(numPartitions)(logStart)
+
+  /** The readable floor derived from the FILES alone — what a trim
+    * advances the log start to (the explicit vector may be staler than
+    * the post-trim registry; compaction keeps it deliberately low). */
+  def derivedLogStart(p: Int): Long =
+    filesOf(p).headOption.map(_.minOffset)
+      .getOrElse(producerOffsets.lift(p).getOrElse(0L))
 
   /** Append freshly committed entries to their partitions. Untouched
     * partitions keep their Vector INSTANCE — publish diffs by `eq` to
@@ -648,6 +676,8 @@ object LogMetadata {
       s""""producerOffsets":[${m.producerOffsets.mkString(",")}],""" +
       s""""sinkCommits":[$sinks],""" +
       (if (m.props.isEmpty) "" else s""""props":{$props},""") +
+      (if (m.logStarts.isEmpty) ""
+       else s""""logStarts":[${m.logStarts.mkString(",")}],""") +
       s""""manifests":[$manifests]}"""
   }
 
@@ -774,9 +804,13 @@ object LogMetadata {
       .map(m => """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(m.group(1))
         .map(p => p.group(1) -> p.group(2)).toMap)
       .getOrElse(Map.empty[String, String])
+    val logStarts = """"logStarts"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toLong).toVector)
+      .getOrElse(Vector.empty[Long])
     LogMetadata(longField("version"), longField("clusterSize").toInt,
       longField("rangesPerToken").toInt, offsets, byPart, sinks, names,
-      commitMs, sinkMs, props)
+      commitMs, sinkMs, props, logStarts)
   }
 }
 

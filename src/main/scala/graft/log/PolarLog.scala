@@ -529,10 +529,15 @@ object PolarLog {
     LogMetadata.compareAndSet(cfg, meta) { cur =>
       // partitions with nothing aged keep their vector INSTANCE, so their
       // manifests are not rewritten (publish diffs by eq)
-      cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
         val kept = v.filter(_.createdMs >= cutoff)
         p -> (if (kept.length == v.length) v else kept)
       })
+      // trimming ADVANCES the log start (Kafka logStartOffset semantics —
+      // records below it were removed with intent; compaction never moves
+      // this, so failOnDataLoss can tell loss from sparsity)
+      next.copy(logStarts = Vector.tabulate(next.numPartitions)(p =>
+        math.max(cur.logStart(p), next.derivedLogStart(p))))
     }
     val conf = HadoopConf.shared
     aged.foreach { f =>
@@ -579,10 +584,15 @@ object PolarLog {
     val doomed = meta.files.filter(f => f.maxOffset < cut(f.part))
     if (doomed.isEmpty) return 0
     LogMetadata.compareAndSet(cfg, meta) { cur =>
-      cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
         val kept = v.filter(_.maxOffset >= cut(p))
         p -> (if (kept.length == v.length) v else kept)
       })
+      // advance the log start (see cleanRetention) — file-granular like
+      // the trim itself, so in-file records below the cutoff stay both
+      // readable AND inside [logStart, tail)
+      next.copy(logStarts = Vector.tabulate(next.numPartitions)(p =>
+        math.max(cur.logStart(p), next.derivedLogStart(p))))
     }
     val conf = HadoopConf.shared
     doomed.foreach { f =>

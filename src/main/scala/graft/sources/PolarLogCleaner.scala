@@ -160,16 +160,23 @@ object PolarLogCleaner {
       val base = LogMetadata.read(cfg)
       try {
         LogMetadata.compareAndSet(cfg, base) { cur =>
-          cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
-            needy.get(p) match {
-              case Some(run) if run.map(_.name).forall(n => v.exists(_.name == n)) =>
-                val names = run.map(_.name).toSet
-                val kept = v.filterNot(f => names(f.name))
-                p -> (entries.get(p).map(kept :+ _).getOrElse(kept)
-                  .sortBy(_.minOffset))
-              case _ => p -> v
-            }
-          })
+          // MATERIALIZE the log starts BEFORE the swap: compaction must
+          // never advance them (survivors may start above the first
+          // file's old minOffset without anything having been lost), and
+          // the legacy derive-from-files fallback would do exactly that
+          val starts = cur.materializedLogStarts
+          cur.copy(
+            filesByPart = cur.filesByPart.map { case (p, v) =>
+              needy.get(p) match {
+                case Some(run) if run.map(_.name).forall(n => v.exists(_.name == n)) =>
+                  val names = run.map(_.name).toSet
+                  val kept = v.filterNot(f => names(f.name))
+                  p -> (entries.get(p).map(kept :+ _).getOrElse(kept)
+                    .sortBy(_.minOffset))
+                case _ => p -> v
+              }
+            },
+            logStarts = starts)
         }
         swapped = true
       } catch { case _: graft.log.ConcurrentMetadataException => attempts += 1 }

@@ -1629,8 +1629,10 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
     // silently skipping to the first surviving segment
     if (cfg.failOnDataLoss) from.tails.foreach { case ((t, p), o) =>
       metas.get(t).foreach { m =>
-        val logStart = m.filesOf(p).headOption.map(_.minOffset)
-          .getOrElse(m.producerOffsets.lift(p).getOrElse(0L))
+        // the EXPLICIT log start: advanced only by trims — a compacted-away
+        // offset is NOT loss (the reader just sees the next survivor),
+        // exactly Kafka's logStartOffset distinction
+        val logStart = m.logStart(p)
         if (o < logStart) throw new IllegalStateException(
           s"data loss detected: $t/$p starts at $o but the log begins at " +
             s"$logStart (records trimmed by retention/delete-records were " +

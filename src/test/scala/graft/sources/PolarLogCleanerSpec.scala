@@ -96,6 +96,59 @@ class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql >= 0L)
   }
 
+  test("compaction is not data loss: failOnDataLoss distinguishes cleaning from trims") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cfg = TopicConfig(root, "kc_loss")
+    produceKeyed(cfg, "v1", 0 until 40)
+    val ckpt = s"$root/ckpt_kc_loss"
+    // checkpoint a stream at EARLIEST (offset 0 everywhere), drain fully
+    def run(): Long = {
+      val q = spark.readStream.format("polar")
+        .option("root", root).option("topic", "kc_loss")
+        .option("startingOffsets", "earliest").load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(): Unit
+        }.start()
+      q.awaitTermination(120000)
+      0L
+    }
+    run()
+    // supersede everything below a fresh head, then clean: the first
+    // survivors start ABOVE many checkpointed positions — NOT loss
+    produceKeyed(cfg, "v2", 0 until 40)
+    produceKeyed(cfg, "seal", 4000 until 4200)
+    assert(PolarLogCleaner.cleanKeys(spark, cfg) > 0L)
+    val meta = LogMetadata.read(cfg)
+    assert((0 until meta.numPartitions).forall(p => meta.logStart(p) === 0L),
+      "cleaning must not advance the log start")
+    run() // resumes cleanly — no failOnDataLoss trip
+    // a REAL trim advances the log start and trips a stale checkpoint
+    PolarLog.deleteRecords(cfg,
+      PolarLog.tails(cfg).map { case (p, t) => p -> t })
+    val metaAfter = LogMetadata.read(cfg)
+    assert((0 until metaAfter.numPartitions).exists(p => metaAfter.logStart(p) > 0L))
+    // reset the checkpointed source offsets by deleting the checkpoint and
+    // simulating the stale position through a fresh explicit start below
+    // the trimmed log start
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("polar")
+        .option("root", root).option("topic", "kc_loss")
+        .option("startingOffsets",
+          s"""{"${metaAfter.logStarts.indexWhere(_ > 0L)}":0}""")
+        .load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_kc_loss2")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(): Unit
+        }.start()
+      q.awaitTermination(120000)
+      if (q.exception.isDefined) throw q.exception.get
+    }
+    assert(e.getMessage.contains("data loss"), e.getMessage)
+  }
+
   test("sparse survivors: offset top-N and LIMIT stay correct; agg pushdown stays exact") {
     val cfg = TopicConfig(root, "kc_sparse")
     produceKeyed(cfg, "v1", 0 until 60)
