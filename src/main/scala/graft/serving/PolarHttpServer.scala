@@ -105,7 +105,11 @@ class PolarHttpServer(
     compactor = Some(cfg => graft.sources.PolarCompaction.compact(
       spark, cfg, deleteOriginals = false)),
     keyCleaner = Some(cfg =>
-      graft.sources.PolarLogCleaner.cleanKeys(spark, cfg)))
+      // deferred deletes: superseded segments survive as orphans for one
+      // sweep period (the in-flight-reader grace), reclaimed by the next
+      // sweep's vacuum — same discipline as the scheduled compactor
+      graft.sources.PolarLogCleaner.cleanKeys(spark, cfg,
+        deleteOriginals = false)))
 
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 

@@ -41,11 +41,19 @@ import org.apache.spark.sql.functions._
 object PolarLogCleaner {
 
   /** Clean every partition whose clean region holds superseded records.
-    * Returns the number of records physically removed. */
+    * Returns the number of records physically removed.
+    *
+    * `deleteOriginals = false` leaves superseded segments on disk as
+    * UNREGISTERED orphans — invisible to new planners but still readable
+    * by long-running queries that planned pre-clean; a later
+    * `PolarLog.vacuum(cfg, dataGraceMs = maxQueryDuration)` reclaims them
+    * (the scheduler path uses this, same grace discipline as segment
+    * compaction). The default deletes immediately. */
   def cleanKeys(
       spark: SparkSession,
       cfg: TopicConfig,
-      dropTombstones: Boolean = false): Long = {
+      dropTombstones: Boolean = false,
+      deleteOriginals: Boolean = true): Long = {
     val meta = LogMetadata.read(cfg)
     // clean region per partition: all files below the head (last) segment
     val regions: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
@@ -199,7 +207,7 @@ object PolarLogCleaner {
       }
       if (landed) {
         removedApplied += run.map(_.count).sum - survivorCounts.getOrElse(p, 0L)
-        run.foreach(f => rm(f.path(cfg)))
+        if (deleteOriginals) run.foreach(f => rm(f.path(cfg)))
       } else entries.get(p).foreach(e => rm(e.path(cfg)))
     }
     removedApplied min removed

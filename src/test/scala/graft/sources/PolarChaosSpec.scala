@@ -96,6 +96,66 @@ class PolarChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reads >= 0 && mergedRuns >= 0) // raced activity completed sanely
   }
 
+  test("cleaner vs producer race: view converges to latest-per-key, nothing lost") {
+    val root = Files.createTempDirectory("polar_chaos_kc").toString
+    val cfg = TopicConfig(root, "chaoskc")
+    val spark2 = spark; import spark2.implicits._
+    def produceRound(tag: Int): Unit = PolarLog.produce(
+      (0 until 80).map(k => (k.toString, s"r$tag:$k")).toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value"),
+      cfg)
+    produceRound(0)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var producing = true
+    val producer = Future {
+      (1 until 8).foreach { r => produceRound(r); Thread.sleep(15) }
+      producing = false
+    }
+    val cleaner = Future {
+      var removed = 0L
+      while (producing) {
+        // deferred deletes: pre-clean planners stay readable
+        removed += PolarLogCleaner.cleanKeys(spark, cfg,
+          deleteOriginals = false)
+        Thread.sleep(25)
+      }
+      removed
+    }
+    Await.result(producer, 300.seconds)
+    val removedRaced = Await.result(cleaner, 300.seconds)
+    pool.shutdown()
+    // convergence: a final clean + the compacted view == last round's values
+    PolarLogCleaner.cleanKeys(spark, cfg, deleteOriginals = false)
+    val view = PolarLog.consumeCompacted(spark, cfg)
+      .selectExpr("partitionKey", "CAST(value AS STRING)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view.size === 80)
+    (0 until 80).foreach(k => assert(view(k.toString) === s"r7:$k"))
+    // registry is sane: every registered file on disk, ranges disjoint,
+    // tails untouched by cleaning (8 rounds x 80 records)
+    val meta = LogMetadata.read(cfg)
+    assert(meta.producerOffsets.sum === 640L)
+    meta.filesByPart.foreach { case (p, files) =>
+      val sorted = files.sortBy(_.minOffset)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a.maxOffset < b.minOffset,
+          s"overlapping ranges in partition $p: $a / $b")
+        case _ => ()
+      }
+      files.foreach { f =>
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(f.path(cfg))),
+          s"registered file missing on disk: ${f.name}")
+      }
+    }
+    // vacuum reclaims the deferred originals; the data is unchanged
+    PolarLog.vacuum(cfg, dataGraceMs = 0L)
+    assert(PolarLog.consumeCompacted(spark, cfg).count() === 80L)
+    assert(removedRaced >= 0L)
+  }
+
   test("overwrite vs producer race: replace is atomic, offsets dense, no dangling files") {
     val root = Files.createTempDirectory("polar_chaos_ovw").toString
     val cfg = TopicConfig(root, "ovw")
