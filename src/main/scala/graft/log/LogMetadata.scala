@@ -68,11 +68,16 @@ object TopicProps {
     case _ => false
   }
 
-  /** The recognized-and-validated subset of `given` (SQL TBLPROPERTIES
-    * carry engine/geometry/Spark-reserved keys too — those pass through
-    * their own paths and are not persisted here). */
+  /** Canonical (persisted) form of a validated value — validate() accepts
+    * padded numerics, so writers must store the trimmed form or readers
+    * parsing the raw value would throw. */
+  def normalize(key: String, value: String): String = value.trim
+
+  /** The recognized-validated-NORMALIZED subset of `given` (SQL
+    * TBLPROPERTIES carry engine/geometry/Spark-reserved keys too — those
+    * pass through their own paths and are not persisted here). */
   def recognized(given: Map[String, String]): Map[String, String] =
-    given.filter { case (k, v) => validate(k, v) }
+    given.collect { case (k, v) if validate(k, v) => k -> normalize(k, v) }
 }
 
 object TopicConfig {
@@ -363,6 +368,27 @@ object LogMetadata {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Update ONLY the per-topic props via CAS-with-retry: a props change
+    * commutes with produces (their CAS copies `props` through), so losing
+    * a version race to a concurrent producer is never a real conflict —
+    * re-read and replay, like `kafka-configs --alter` which never fails
+    * because someone is producing. */
+  def updateProps(cfg: TopicConfig, maxAttempts: Int = 5)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    var attempt = 0
+    while (true) {
+      try {
+        compareAndSet(cfg, read(cfg))(cur => cur.copy(props = f(cur.props)))
+        return
+      } catch {
+        case e: ConcurrentMetadataException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
   }
 
   def read(cfg: TopicConfig): LogMetadata = {
@@ -669,7 +695,7 @@ object LogMetadata {
     val props = m.props.toSeq.sorted.map { case (k, v) =>
       s""""${graft.functions.JsonText.escape(k)}":"${graft.functions.JsonText.escape(v)}""""
     }.mkString(",")
-    s"""{"format":$CurrentFormat,""" +
+    s"""{"format":$DenseFormat,""" +
       s""""version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""commitMs":${m.commitMs},""" +
@@ -685,10 +711,13 @@ object LogMetadata {
     renderManifestDoc(ManifestDoc(None, 0, files))
 
   private[log] def renderManifestDoc(doc: ManifestDoc): String = {
+    val fmt =
+      if (doc.files.exists(f => f.count > 0 && !f.dense)) CurrentFormat
+      else DenseFormat
     val head = doc.parent match {
       case Some(p) =>
-        s"""{"format":$CurrentFormat,"parent":"$p","depth":${doc.depth},"files":["""
-      case None => s"""{"format":$CurrentFormat,"files":["""
+        s"""{"format":$fmt,"parent":"$p","depth":${doc.depth},"files":["""
+      case None => s"""{"format":$fmt,"files":["""
     }
     doc.files.map(f =>
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
@@ -699,11 +728,20 @@ object LogMetadata {
   /** Highest metadata/manifest doc shape this reader understands. Bumped
     * whenever a tuple gains a field (the round-9 tsNulls/sinkCommitMs
     * additions taught us that regex parsers FAIL SILENT on unknown shapes
-    * — zero matches reads as an empty topic). Writers stamp it; readers
+    * — zero matches reads as an empty topic) OR whenever existing fields
+    * change SEMANTICS an older reader relies on. Writers stamp it; readers
     * refuse anything newer instead of fabricating an empty view. Docs with
     * no "format" field predate the stamp and parse as before (their tuple
-    * shapes are all <= format 2). */
-  private[log] val CurrentFormat = 2
+    * shapes are all <= format 2).
+    *
+    * Format 3 = offset-SPARSE file entries (key compaction): the tuple
+    * shape is unchanged, but a pre-r10 reader would equate offset spans
+    * with row counts (LIMIT caps, top-N cuts) and return SHORT results
+    * silently, and would mis-derive the log start. Only manifests that
+    * actually CONTAIN a sparse entry stamp 3 — dense topics stay readable
+    * by older binaries. */
+  private[log] val CurrentFormat = 3
+  private[log] val DenseFormat = 2
 
   private def checkFormat(s: String, what: String): Unit = {
     """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)

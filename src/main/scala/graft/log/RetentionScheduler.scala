@@ -100,7 +100,10 @@ final class RetentionScheduler(
         val head =
           try Some(LogMetadata.read(cfg)) catch { case NonFatal(_) => None }
         val props = head.map(_.props).getOrElse(Map.empty[String, String])
-        val window = props.get(TopicProps.RetentionMs).map(_.toLong)
+        // defensive parse: a malformed persisted value must degrade to the
+        // global window for THIS topic, never abort the sweep for all
+        val window = props.get(TopicProps.RetentionMs)
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
           .getOrElse(retentionMs)
         val compactPolicy = props.get(TopicProps.CleanupPolicy).contains("compact")
         val aged =
@@ -114,9 +117,16 @@ final class RetentionScheduler(
         if (compactPolicy)
           for (c <- keyCleaner; m <- head)
             if (!lastCleanedVersion.get(cfg.topic).contains(m.version)) {
-              try { c(cfg); () } catch { case NonFatal(_) => () }
-              lastCleanedVersion(cfg.topic) =
-                try LogMetadata.read(cfg).version catch { case NonFatal(_) => m.version }
+              // record the POST-clean version, and only on SUCCESS: a
+              // failed pass must retry next sweep (an idle topic with a
+              // dirty region would otherwise stay uncompacted forever).
+              // A produce landing DURING the clean is folded into the
+              // recorded version and gets cleaned one commit later —
+              // eventual, like Kafka's cleaner passes.
+              try {
+                c(cfg)
+                lastCleanedVersion(cfg.topic) = LogMetadata.read(cfg).version
+              } catch { case NonFatal(_) => () }
             }
         // dataGraceMs = periodMs makes reclamation MODIFICATION-TIME
         // gated, not ordering-gated: a superseded original survives at

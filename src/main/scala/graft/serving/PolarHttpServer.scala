@@ -235,7 +235,10 @@ class PolarHttpServer(
           val t = query(ex).get("topic").flatMap(_.headOption)
             .getOrElse(throw HttpError(400, "topic is required"))
           if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
-          val props = graft.log.LogMetadata.read(cfgOf(t)).props
+          val cfgG = cfgOf(t)
+          if (graft.log.LogMetadata.readIfExists(cfgG).isEmpty)
+            throw HttpError(404, s"Unknown topic: $t")
+          val props = graft.log.LogMetadata.read(cfgG).props
           respond(ex, 200, props.toSeq.sorted.map { case (k, v) =>
             s""""${graft.functions.JsonText.escape(k)}":"${graft.functions.JsonText.escape(v)}""""
           }.mkString(s"""{"topic":"$t","config":{""", ",", "}}"),
@@ -262,12 +265,14 @@ class PolarHttpServer(
                 throw HttpError(400, s"unsupported config '$key'")
           }
           val cfg = cfgOf(t)
-          graft.log.LogMetadata.compareAndSet(cfg, graft.log.LogMetadata.read(cfg)) {
-            cur => cur.copy(props = value match {
-              case Some(v) => cur.props + (key -> v)
-              case None => cur.props - key
-            })
-          }
+          // altering config must never materialize a phantom topic
+          if (graft.log.LogMetadata.readIfExists(cfg).isEmpty)
+            throw HttpError(404, s"Unknown topic: $t")
+          // CAS-with-retry: a props change commutes with produces
+          graft.log.LogMetadata.updateProps(cfg)(p => value match {
+            case Some(v) => p + (key -> graft.log.TopicProps.normalize(key, v))
+            case None => p - key
+          })
           respond(ex, 200, s"""{"topic":"$t","key":"$key","applied":true}""",
             "application/json")
         case ("POST", "/v1/admin/retention/sweep") =>

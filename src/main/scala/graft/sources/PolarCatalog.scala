@@ -213,7 +213,8 @@ class PolarCatalog extends TableCatalog
           s"unsupported table property '${set.property()}' (recognized: " +
             s"${graft.log.TopicProps.Recognized.toSeq.sorted.mkString(", ")}; " +
             "ring geometry is fixed at creation — use TopicOps.repartitionTopic)")
-        (p: Map[String, String]) => p + (set.property() -> set.value())
+        (p: Map[String, String]) => p + (set.property() ->
+          graft.log.TopicProps.normalize(set.property(), set.value()))
       case rm: TableChange.RemoveProperty =>
         require(graft.log.TopicProps.Recognized.contains(rm.property()),
           s"unsupported table property '${rm.property()}'")
@@ -222,9 +223,7 @@ class PolarCatalog extends TableCatalog
         s"polar topics have an engine-owned schema; $other is not supported " +
           "(use TopicOps.repartitionTopic for ring changes)")
     }
-    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg)) { cur =>
-      cur.copy(props = updates.foldLeft(cur.props)((p, f) => f(p)))
-    }
+    LogMetadata.updateProps(cfg)(p => updates.foldLeft(p)((acc, f) => f(acc)))
     loadTable(ident)
   }
 

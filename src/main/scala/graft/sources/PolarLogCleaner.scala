@@ -53,7 +53,8 @@ object PolarLogCleaner {
       spark: SparkSession,
       cfg: TopicConfig,
       dropTombstones: Boolean = false,
-      deleteOriginals: Boolean = true): Long = {
+      deleteOriginals: Boolean = true,
+      maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes): Long = {
     val meta = LogMetadata.read(cfg)
     // clean region per partition: all files below the head (last) segment
     val regions: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
@@ -83,6 +84,11 @@ object PolarLogCleaner {
     if (dropTombstones)
       survivors = survivors.filter(
         col("value").isNotNull || col("partitionKey").isNull)
+    // the survivors plan (full scan + winner aggregate + semi-join) feeds
+    // BOTH the dirty check and the rewrite — persist so the dominant cost
+    // is paid once per pass, not twice
+    survivors.persist()
+    try {
 
     // only partitions that actually drop records get rewritten
     val survivorCounts = survivors.groupBy(col("part")).count()
@@ -94,12 +100,13 @@ object PolarLogCleaner {
     val removed = needy.map { case (p, files) =>
       files.map(_.count).sum - survivorCounts.getOrElse(p, 0L) }.sum
 
-    // 1) write one cleaned segment per needy partition (invisible until
+    // 1) write the cleaned segments per needy partition (invisible until
     //    the CAS); survivors keep their offsets — the task writes rows in
-    //    (part, offset) order, rolling to a new writer at part boundaries
+    //    (part, offset) order, rolling at part boundaries AND at the same
+    //    maxFileBytes size bound every other write path honors
     val needySet = needy.keySet
     val dir = cfg.dir
-    val entries: Map[Int, FileEntry] = survivors
+    val entries: Map[Int, Vector[FileEntry]] = survivors
       .filter(col("part").isInCollection(needySet.map(Integer.valueOf)))
       .select(col("partitionKey"), col("token"), col("offset"),
         col("timestamp"), col("value"), col("part"))
@@ -114,6 +121,7 @@ object PolarLogCleaner {
           org.apache.spark.sql.catalyst.InternalRow] = null
         var name: String = null
         var lo = 0L; var hi = 0L; var n = 0L
+        var approxBytes = 0L
         var tsMin = Long.MaxValue; var tsMax = Long.MinValue; var tsNulls = 0L
         val buf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
         def seal(): Unit = if (writer != null) {
@@ -121,18 +129,23 @@ object PolarLogCleaner {
           out += ((part, name, lo, hi, n, tsMin, tsMax, tsNulls))
           writer = null
         }
+        def open(p: Int, firstOffset: Long): Unit = {
+          part = p
+          name = f"kc$firstOffset%011d-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+          writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf)
+          lo = firstOffset; n = 0L; approxBytes = 0L
+          tsMin = Long.MaxValue; tsMax = Long.MinValue; tsNulls = 0L
+        }
         it.foreach { row =>
           val p = row.getInt(5)
-          if (p != part) {
+          if (p != part || approxBytes >= maxFileBytes) {
             seal()
-            part = p
-            name = f"kc${row.getLong(2)}%011d-" +
-              s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-            writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf)
-            lo = row.getLong(2); n = 0L
-            tsMin = Long.MaxValue; tsMax = Long.MinValue; tsNulls = 0L
+            open(p, row.getLong(2))
           }
-          buf.update(0, if (row.isNullAt(0)) null else row.getUTF8String(0))
+          val key = if (row.isNullAt(0)) null else row.getUTF8String(0)
+          val value = if (row.isNullAt(4)) null else row.getBinary(4)
+          buf.update(0, key)
           buf.update(1, if (row.isNullAt(1)) null else row.getLong(1))
           buf.update(2, row.getLong(2))
           if (row.isNullAt(3)) { tsNulls += 1; buf.update(3, null) }
@@ -142,9 +155,12 @@ object PolarLogCleaner {
             if (ts > tsMax) tsMax = ts
             buf.update(3, ts)
           }
-          buf.update(4, if (row.isNullAt(4)) null else row.getBinary(4))
+          buf.update(4, value)
           writer.write(buf)
           hi = row.getLong(2); n += 1
+          approxBytes += 24L +
+            (if (key == null) 0 else key.numBytes()) +
+            (if (value == null) 0 else value.length)
         }
         seal()
         out.iterator
@@ -154,9 +170,9 @@ object PolarLogCleaner {
           .getFileStatus(path).getLen
         val (tLo, tHi) =
           if (tsMin > tsMax) (Long.MinValue, Long.MaxValue) else (tsMin, tsMax)
-        p -> FileEntry(p, name, lo, hi, n, bytes,
+        FileEntry(p, name, lo, hi, n, bytes,
           System.currentTimeMillis(), tLo, tHi, tsNulls)
-      }.toMap
+      }.groupBy(_.part).map { case (p, fs) => p -> fs.toVector.sortBy(_.minOffset) }
 
     // 2) swap each partition's clean region for its cleaned segment — only
     //    where every member is still registered (retention may race); an
@@ -179,8 +195,8 @@ object PolarLogCleaner {
                 case Some(run) if run.map(_.name).forall(n => v.exists(_.name == n)) =>
                   val names = run.map(_.name).toSet
                   val kept = v.filterNot(f => names(f.name))
-                  p -> (entries.get(p).map(kept :+ _).getOrElse(kept)
-                    .sortBy(_.minOffset))
+                  p -> (kept ++ entries.getOrElse(p, Vector.empty))
+                    .sortBy(_.minOffset)
                 case _ => p -> v
               }
             },
@@ -201,15 +217,16 @@ object PolarLogCleaner {
       } catch { case _: java.io.IOException => () }
     var removedApplied = 0L
     needy.foreach { case (p, run) =>
-      val landed = entries.get(p) match {
-        case Some(e) => after.filesOf(p).exists(_.name == e.name)
-        case None => run.forall(f => !after.filesOf(p).exists(_.name == f.name))
-      }
+      val mine = entries.getOrElse(p, Vector.empty)
+      val landed =
+        if (mine.nonEmpty) mine.forall(e => after.filesOf(p).exists(_.name == e.name))
+        else run.forall(f => !after.filesOf(p).exists(_.name == f.name))
       if (landed) {
         removedApplied += run.map(_.count).sum - survivorCounts.getOrElse(p, 0L)
         if (deleteOriginals) run.foreach(f => rm(f.path(cfg)))
-      } else entries.get(p).foreach(e => rm(e.path(cfg)))
+      } else mine.foreach(e => rm(e.path(cfg)))
     }
     removedApplied min removed
+    } finally survivors.unpersist()
   }
 }

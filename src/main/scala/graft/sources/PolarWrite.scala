@@ -391,8 +391,16 @@ class PolarBatchWrite(
             val base = if (!replaceAll) cur else cur.copy(
               filesByPart = cur.filesByPart.map { case (p, _) =>
                 p -> Vector.empty[FileEntry] })
-            val next = base.appendFiles(entries.toSeq)
+            val next0 = base.appendFiles(entries.toSeq)
               .copy(producerOffsets = tails.toVector)
+            // an overwrite DELETES everything below the new files with
+            // intent — advance the explicit log start like the trim paths
+            // do, or a stale (low) materialized vector would defeat the
+            // failOnDataLoss guard for checkpoints inside the replaced
+            // range
+            val next = if (!replaceAll) next0 else next0.copy(
+              logStarts = Vector.tabulate(next0.numPartitions)(p =>
+                math.max(cur.logStart(p), next0.derivedLogStart(p))))
             txn match {
               case None => next
               case Some((sinkId, batchId)) =>

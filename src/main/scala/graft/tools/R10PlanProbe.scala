@@ -19,12 +19,6 @@ object R10PlanProbe {
       .select(concat(lit("t"), (col("event_id") % 3).cast("string")).as("topic"),
         col("user_id").cast("string").as("partitionKey"),
         col("ts").as("timestamp"), col("props").as("value"))
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      val shuffles = new java.util.concurrent.atomic.AtomicInteger()
-      override def onStageSubmitted(
-          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = ()
-    }
-    spark.sparkContext.addSparkListener(listener)
     // capture the physical plan via the QueryExecutionListener
     @volatile var writePlan: String = ""
     val qel = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -38,9 +32,11 @@ object R10PlanProbe {
     spark.listenerManager.register(qel)
     routed.write.format("polar").option("root", root).mode("append").save()
     Thread.sleep(1500) // listener delivery is async
-    val exchanges = "Exchange".r.findAllIn(writePlan).size
-    val sorts = "Sort".r.findAllIn(writePlan).size
-    println(s"PROBE routed_write exchanges=$exchanges sorts=$sorts")
+    // exact node matches (a plan string under AQE prints initial+final,
+    // so counts are per-print; substring hits like SortAggregate excluded)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(writePlan).size
+    val sorts = """\*?\(?\d*\)? ?Sort \[""".r.findAllIn(writePlan).size
+    println(s"PROBE routed_write exchange_nodes=$exchanges sort_nodes=$sorts (x2: AQE prints initial+final)")
     println(writePlan.linesIterator.take(8).map("PROBE   " + _).mkString("\n"))
 
     // --- assign scan: planned partitions subset; no residual filter node

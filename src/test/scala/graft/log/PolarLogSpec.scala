@@ -301,28 +301,36 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("format-versioned docs: current stamp round-trips, newer formats refuse loudly") {
     val m = LogMetadata(7L, 3, 4, Vector.tabulate(12)(_.toLong * 5))
     val doc = LogMetadata.render(m)
-    // writers stamp the current format; readers accept it
-    assert(doc.contains(s""""format":${LogMetadata.CurrentFormat}"""))
+    // root docs and dense manifests stamp the DENSE format (older readers
+    // handle them correctly); readers accept anything <= CurrentFormat
+    assert(doc.contains(s""""format":${LogMetadata.DenseFormat}"""))
     assert(LogMetadata.parse(doc) === m)
     // a FUTURE format (new tuple shapes this reader's regexes would
     // silently zero-match) must refuse, never fabricate an empty topic
     val future = doc.replaceFirst(
-      s""""format":${LogMetadata.CurrentFormat}""",
+      s""""format":${LogMetadata.DenseFormat}""",
       s""""format":${LogMetadata.CurrentFormat + 1}""")
     val e = intercept[IllegalStateException](LogMetadata.parse(future))
     assert(e.getMessage.contains("format"))
-    // manifest docs carry the same stamp and the same refusal
+    // dense manifests stay at the dense stamp...
     val man = LogMetadata.renderManifest(
       Vector(FileEntry(0, "a.parquet", 0, 1, 2, 100, 1L)))
-    assert(man.contains(s""""format":${LogMetadata.CurrentFormat}"""))
+    assert(man.contains(s""""format":${LogMetadata.DenseFormat}"""))
+    // ...but a manifest holding an offset-SPARSE entry (key compaction)
+    // stamps the CURRENT format: a pre-r10 reader would silently return
+    // short LIMIT/top-N answers over it, so it must refuse instead
+    val sparse = LogMetadata.renderManifest(
+      Vector(FileEntry(0, "kc.parquet", 0, 9, 4, 100, 1L)))
+    assert(sparse.contains(s""""format":${LogMetadata.CurrentFormat}"""))
+    assert(LogMetadata.parseManifestDoc(sparse).files.head.count === 4)
     val futureMan = man.replaceFirst(
-      s""""format":${LogMetadata.CurrentFormat}""",
+      s""""format":${LogMetadata.DenseFormat}""",
       s""""format":${LogMetadata.CurrentFormat + 9}""")
     intercept[IllegalStateException](LogMetadata.parseManifestDoc(futureMan))
     // pre-stamp docs (no "format" field) keep parsing — all their tuple
     // shapes are <= the current format by construction
     val unstamped = doc.replaceFirst(
-      s""""format":${LogMetadata.CurrentFormat},""", "")
+      s""""format":${LogMetadata.DenseFormat},""", "")
     assert(LogMetadata.parse(unstamped) === m)
   }
 

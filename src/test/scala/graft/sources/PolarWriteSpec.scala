@@ -256,6 +256,14 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the replaced segments are gone from disk (reclaimed post-CAS)
     val meta = graft.log.LogMetadata.read(cfg)
     assert(meta.files.forall(f => f.minOffset >= preTails(f.part)))
+    // an overwrite DELETES the old range with intent: the explicit log
+    // start advances to the new files' floor, so a checkpoint inside the
+    // replaced range trips failOnDataLoss (it would otherwise be silently
+    // skipped when a stale materialized logStarts vector sat below)
+    preTails.filter(_._2 > 0).keys.foreach { p =>
+      assert(meta.logStart(p) >= preTails(p),
+        s"logStart(${p}) did not advance past the replaced range")
+    }
   }
 
   test("oversize record values are rejected (MaxMessageSize parity)") {
