@@ -41,8 +41,14 @@ final class RetentionScheduler(
     // optional KEY cleaner (PolarLogCleaner.cleanKeys) for
     // cleanup.policy=compact topics — the Kafka log-cleaner loop. Runs
     // only when the topic's version advanced since its last cleaning
-    // (the cheap dirty check: no new commits = nothing new to supersede).
-    keyCleaner: Option[TopicConfig => Long] = None) extends AutoCloseable {
+    // (no new commits = nothing new to supersede) AND the dirty ratio —
+    // computed by the injected function from registry bytes alone —
+    // reaches `minDirtyRatio` (Kafka's min.cleanable.dirty.ratio): a
+    // full-region rewrite per commit would be O(region) work per produce;
+    // the ratio amortizes it to O(region) per region-doubling.
+    keyCleaner: Option[TopicConfig => Long] = None,
+    dirtyRatioOf: Option[LogMetadata => Double] = None,
+    minDirtyRatio: Double = 0.5) extends AutoCloseable {
 
   // topic -> registry version as of its last key-cleaning pass
   private val lastCleanedVersion =
@@ -116,7 +122,8 @@ final class RetentionScheduler(
         // newly superseded, so the full-region read is skipped)
         if (compactPolicy)
           for (c <- keyCleaner; m <- head)
-            if (!lastCleanedVersion.get(cfg.topic).contains(m.version)) {
+            if (!lastCleanedVersion.get(cfg.topic).contains(m.version) &&
+                dirtyRatioOf.forall(f => f(m) >= minDirtyRatio)) {
               // record the POST-clean version, and only on SUCCESS: a
               // failed pass must retry next sweep (an idle topic with a
               // dirty region would otherwise stay uncompacted forever).

@@ -109,7 +109,8 @@ class PolarHttpServer(
       // sweep period (the in-flight-reader grace), reclaimed by the next
       // sweep's vacuum — same discipline as the scheduled compactor
       graft.sources.PolarLogCleaner.cleanKeys(spark, cfg,
-        deleteOriginals = false)))
+        deleteOriginals = false)),
+    dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio))
 
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 

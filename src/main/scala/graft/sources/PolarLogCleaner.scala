@@ -40,6 +40,22 @@ import org.apache.spark.sql.functions._
  */
 object PolarLogCleaner {
 
+  /** Kafka's `min.cleanable.dirty.ratio` (default 0.5): the scheduler
+    * cleans only when the UNCLEANED portion of the clean region is at
+    * least this fraction of it by bytes — pure registry arithmetic, no
+    * data reads. Cleaned segments are recognizable by their `kc` prefix,
+    * so dirty = clean-region bytes in non-kc files. A full-region rewrite
+    * per produce would be O(region) work per commit; the ratio amortizes
+    * it to O(region) per region-doubling, Kafka's exact cost model. */
+  def dirtyRatio(meta: graft.log.LogMetadata): Double = {
+    val regions = meta.filesByPart.valuesIterator
+      .filter(_.size >= 2).map(_.sortBy(_.minOffset).init).toVector
+    val total = regions.iterator.flatten.map(_.bytes).sum
+    if (total == 0L) 0.0
+    else regions.iterator.flatten
+      .filterNot(_.name.startsWith("kc")).map(_.bytes).sum.toDouble / total
+  }
+
   /** Clean every partition whose clean region holds superseded records.
     * Returns the number of records physically removed.
     *

@@ -96,6 +96,80 @@ class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql >= 0L)
   }
 
+  test("dirty-ratio guard: a mostly-clean region is not re-read every commit") {
+    val cfg = TopicConfig(root, "kc_ratio")
+    produceKeyed(cfg, "v1", 0 until 50)
+    produceKeyed(cfg, "v2", 0 until 50)
+    produceKeyed(cfg, "seal", 5000 until 5200)
+    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg))(m =>
+      m.copy(props = Map(TopicProps.CleanupPolicy -> "compact")))
+    // before any clean: the whole region is dirty
+    assert(PolarLogCleaner.dirtyRatio(LogMetadata.read(cfg)) === 1.0)
+    var calls = 0
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000,
+      keyCleaner = Some { c => calls += 1; PolarLogCleaner.cleanKeys(spark, c) },
+      dirtyRatioOf = Some(PolarLogCleaner.dirtyRatio))
+    sched.sweep()
+    assert(calls === 1)
+    // post-clean the region is kc-dominated; one tiny produce rolls the
+    // old head into the region, but dirty/total stays far below 0.5 —
+    // the guard skips even though the version advanced
+    produceKeyed(cfg, "v3", 0 until 2)
+    val ratio = PolarLogCleaner.dirtyRatio(LogMetadata.read(cfg))
+    assert(ratio > 0.0 && ratio < 0.5, s"ratio $ratio")
+    sched.sweep()
+    assert(calls === 1, "a mostly-clean region must not be re-read")
+    // churn past the threshold re-arms the cleaner
+    produceKeyed(cfg, "v4", 0 until 50)
+    produceKeyed(cfg, "v5", 0 until 50)
+    produceKeyed(cfg, "v6", 0 until 50)
+    assert(PolarLogCleaner.dirtyRatio(LogMetadata.read(cfg)) >= 0.5)
+    sched.sweep()
+    assert(calls === 2)
+  }
+
+  test("key-churn property: after any produce/clean interleaving the view is latest-per-key") {
+    val cfg = TopicConfig(root, "kc_churn")
+    val rnd = new scala.util.Random(42)
+    val expected = scala.collection.mutable.Map.empty[String, Option[String]]
+    var round = 0
+    val spark2 = spark; import spark2.implicits._
+    def produceRound(): Unit = {
+      round += 1
+      // each round: a random subset of 120 keys, ~15% tombstones
+      val keys = (0 until 120).filter(_ => rnd.nextBoolean())
+      val rows = keys.map { k =>
+        val v = if (rnd.nextInt(100) < 15) None else Some(s"r$round:$k")
+        expected(k.toString) = v
+        (k.toString, v.orNull)
+      }
+      if (rows.nonEmpty) PolarLog.produce(
+        rows.toDF("partitionKey", "v")
+          .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+            "CAST(v AS BINARY) AS value"), cfg)
+    }
+    produceRound(); produceRound()
+    (0 until 6).foreach { i =>
+      produceRound()
+      if (i % 2 == 0) PolarLogCleaner.cleanKeys(spark, cfg)
+      val want = expected.collect { case (k, Some(v)) => k -> v }.toMap
+      assert(compacted(cfg) === want, s"view diverged after round $round")
+    }
+    // final deep clean (tombstones expire) and the invariant still holds
+    PolarLogCleaner.cleanKeys(spark, cfg, dropTombstones = true)
+    val want = expected.collect { case (k, Some(v)) => k -> v }.toMap
+    assert(compacted(cfg) === want)
+    // registry sanity after the whole interleaving
+    val meta = LogMetadata.read(cfg)
+    meta.filesByPart.foreach { case (p, files) =>
+      files.sortBy(_.minOffset).sliding(2).foreach {
+        case Seq(a, b) => assert(a.maxOffset < b.minOffset,
+          s"overlap in partition $p")
+        case _ => ()
+      }
+    }
+  }
+
   test("compaction is not data loss: failOnDataLoss distinguishes cleaning from trims") {
     import org.apache.spark.sql.streaming.Trigger
     val cfg = TopicConfig(root, "kc_loss")
