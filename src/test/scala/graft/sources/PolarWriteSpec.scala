@@ -163,6 +163,39 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("routing equivalence property: routed produce == per-topic produces") {
+    // over random key→topic assignments, ONE routed write must leave every
+    // topic byte-identical (content AND per-partition placement/order) to
+    // producing its slice separately — the law the one-pass fan-out claims
+    val rnd = new scala.util.Random(7)
+    val spark2 = spark; import spark2.implicits._
+    val rows = (0 until 400).map { i =>
+      (s"t${rnd.nextInt(4)}", s"k${rnd.nextInt(60)}", s"v$i")
+    }
+    def frame(rs: Seq[(String, String, String)]) = rs
+      .toDF("topic", "partitionKey", "v")
+      .selectExpr("topic", "partitionKey",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,CAST(SUBSTRING(v,2) AS INT)) AS timestamp",
+        "CAST(v AS BINARY) AS value")
+    val rootA = Files.createTempDirectory("polar_route_prop_a").toString
+    val rootB = Files.createTempDirectory("polar_route_prop_b").toString
+    frame(rows).write.format("polar").option("root", rootA)
+      .mode("append").save()
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      PolarLog.produce(frame(rs).drop("topic"), TopicConfig(rootB, t))
+    }
+    (0 until 4).foreach { i =>
+      val t = s"t$i"
+      def dump(root: String) = PolarLog.consume(spark, TopicConfig(root, t))
+        .selectExpr("part", "offset", "partitionKey", "CAST(value AS STRING)")
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(dump(rootA).toSeq === dump(rootB).toSeq,
+        s"topic $t diverged between routed and per-topic produces")
+    }
+  }
+
   test("routed streaming abort after a partial commit spares committed topics' files") {
     import graft.log.{FileEntry, LogMetadata, RingTemplate}
     val root = Files.createTempDirectory("polar_routed_abort").toString
