@@ -52,18 +52,44 @@ final case class RingTemplate(
 object TopicProps {
   val RetentionMs = "retention.ms"
   val CleanupPolicy = "cleanup.policy"
-  val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy)
+  /** How long the cleaner RETAINS latest-per-key tombstones after their
+    * segment's commit age, so slow consumers still observe the delete fact
+    * (Kafka's `delete.retention.ms`, default 24 h). */
+  val DeleteRetentionMs = "delete.retention.ms"
+  /** Per-topic floor for the scheduled cleaner's dirty ratio (Kafka's
+    * `min.cleanable.dirty.ratio`, default 0.5). */
+  val MinCleanableDirtyRatio = "min.cleanable.dirty.ratio"
+  /** Per-topic produce-side record size cap (Kafka's `max.message.bytes`). */
+  val MaxMessageBytes = "max.message.bytes"
+  val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy,
+    DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes)
 
   /** Validate one recognized (key, value); throws on a malformed value.
     * Returns false for unrecognized keys (callers decide refuse/ignore). */
   def validate(key: String, value: String): Boolean = key match {
     case RetentionMs =>
-      require(scala.util.Try(value.trim.toLong).toOption.exists(_ > 0L),
-        s"$RetentionMs must be a positive integer of milliseconds, got '$value'")
+      // -1 is Kafka's "retention disabled" sentinel (kafka-configs accepts
+      // it); the scheduler skips time-based deletion for such topics
+      require(scala.util.Try(value.trim.toLong).toOption.exists(v => v > 0L || v == -1L),
+        s"$RetentionMs must be a positive integer of milliseconds or -1 " +
+          s"(retention disabled), got '$value'")
       true
     case CleanupPolicy =>
       require(value == "delete" || value == "compact",
         s"$CleanupPolicy must be 'delete' or 'compact', got '$value'")
+      true
+    case DeleteRetentionMs =>
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0L),
+        s"$DeleteRetentionMs must be a non-negative integer of milliseconds, got '$value'")
+      true
+    case MinCleanableDirtyRatio =>
+      require(scala.util.Try(value.trim.toDouble).toOption
+          .exists(v => v >= 0.0 && v <= 1.0),
+        s"$MinCleanableDirtyRatio must be a ratio in [0, 1], got '$value'")
+      true
+    case MaxMessageBytes =>
+      require(scala.util.Try(value.trim.toInt).toOption.exists(_ > 0),
+        s"$MaxMessageBytes must be a positive integer of bytes, got '$value'")
       true
     case _ => false
   }

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.util.control.NonFatal
+
 /**
  * The partitioned, offset-addressed event log — the data plane of the engine
  * (SURVEY.md §7.1).
@@ -73,6 +75,17 @@ object PolarLog {
     * (`/root/reference/internal/conf/config.go:252-254`): oversize values
     * fail the produce like the reference's 400 response. */
   val DefaultMaxMessageSize: Int = 1 << 20
+
+  /** The produce-path record size cap for a topic: its `max.message.bytes`
+    * prop when configured (topic config is authoritative, Kafka semantics),
+    * else the caller's server-level value. Malformed persisted values
+    * degrade to the fallback — a bad config must never brick produces. */
+  private def effectiveMaxMessageSize(
+      props: Map[String, String], fallback: Int): Int =
+    props.get(TopicProps.MaxMessageBytes)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(fallback)
 
   /**
    * Append records to a topic. Input needs a `value` column (binary or
@@ -160,7 +173,11 @@ object PolarLog {
       m
     }
 
-    val enveloped = envelope(df, cfg, orderBy, maxMessageSize)
+    // Kafka's `max.message.bytes`: the topic's own cap, when configured,
+    // overrides the server-level default the caller passed — the topic
+    // config is authoritative at the broker, exactly kafka-configs
+    val enveloped = envelope(df, cfg, orderBy,
+      effectiveMaxMessageSize(meta0.props, maxMessageSize))
 
     var writer = enveloped.write
       .format("polar")
@@ -333,7 +350,13 @@ object PolarLog {
       maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     graft.GraftSession.ensureFunctions(df.sparkSession)
-    envelope(df, cfg, orderBy, maxMessageSize).writeStream
+    // per-topic max.message.bytes resolved once at stream-build time (the
+    // size check is compiled into the plan); a later config change takes
+    // effect on query restart, same as a Kafka producer's metadata refresh
+    val cap = effectiveMaxMessageSize(
+      try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty },
+      maxMessageSize)
+    envelope(df, cfg, orderBy, cap).writeStream
       .format("polar")
       .option("root", cfg.root)
       .option("topic", cfg.topic)
@@ -437,6 +460,23 @@ object PolarLog {
     out
   }
 
+  /** [[consumeAt]] over an EXPLICIT registry file subset — the log
+    * cleaner's access path: it plans whole-file reads (regions are file
+    * vectors), so scoping the scan to exactly the files a pass needs (dirty
+    * region vs cleaned region) is pure registry arithmetic, no offset
+    * filters. Callers own the subset's semantics. */
+  private[graft] def consumeFiles(
+      spark: SparkSession,
+      cfg: TopicConfig,
+      wanted: Seq[FileEntry]): DataFrame = {
+    if (wanted.isEmpty) return emptyLog(spark, cfg)
+    spark.read
+      .schema(ValueSchema.add(StructField("part", IntegerType)))
+      .option("basePath", cfg.dir)
+      .parquet(wanted.map(_.path(cfg)): _*)
+      .withColumn("topic", lit(cfg.topic))
+  }
+
   /**
    * CHANGE FEED between two commit versions: every record appended after
    * `fromVersion` up to and including `toVersion` (exclusive/inclusive —
@@ -522,6 +562,10 @@ object PolarLog {
     * is garbage collection. Returns deleted file count. */
   def cleanRetention(cfg: TopicConfig, retentionMs: Long,
       nowMs: Long = System.currentTimeMillis()): Int = {
+    // a negative window is the "retention disabled" sentinel (-1): deleting
+    // with cutoff > now would trim the ENTIRE topic — refuse loudly rather
+    // than honor a window that can only be a configuration mistake here
+    if (retentionMs < 0) return 0
     val cutoff = nowMs - retentionMs
     val meta = LogMetadata.read(cfg)
     val aged = meta.files.filter(_.createdMs < cutoff)
@@ -536,8 +580,7 @@ object PolarLog {
       // trimming ADVANCES the log start (Kafka logStartOffset semantics —
       // records below it were removed with intent; compaction never moves
       // this, so failOnDataLoss can tell loss from sparsity)
-      next.copy(logStarts = Vector.tabulate(next.numPartitions)(p =>
-        math.max(cur.logStart(p), next.derivedLogStart(p))))
+      next.copy(logStarts = advancedLogStarts(cur, next))
     }
     val conf = HadoopConf.shared
     aged.foreach { f =>
@@ -547,6 +590,23 @@ object PolarLog {
     }
     aged.size
   }
+
+  /** Post-trim log starts: advance ONLY the partitions whose file vector
+    * lost its HEAD file(s) in this trim — everything else keeps its pin
+    * verbatim. A key-compacted partition pins `logStart` BELOW its sparse
+    * survivors' first offset (compaction is not loss); re-deriving
+    * `max(cur, derived)` for partitions the trim never touched would
+    * silently promote that pin to the first file's minOffset, making
+    * `failOnDataLoss` kill streams checkpointed at compacted-away offsets.
+    * Head-loss is the only event that removes records with intent from the
+    * FRONT of a log, which is the only thing logStartOffset describes. */
+  private def advancedLogStarts(cur: LogMetadata, next: LogMetadata): Vector[Long] =
+    Vector.tabulate(next.numPartitions) { p =>
+      val headBefore = cur.filesOf(p).headOption.map(_.name)
+      val headAfter = next.filesOf(p).headOption.map(_.name)
+      if (headAfter == headBefore) cur.logStart(p)
+      else math.max(cur.logStart(p), next.derivedLogStart(p))
+    }
 
   /** Current tail offsets (next offset per partition). */
   def tails(cfg: TopicConfig): Map[Int, Long] =
@@ -591,8 +651,7 @@ object PolarLog {
       // advance the log start (see cleanRetention) — file-granular like
       // the trim itself, so in-file records below the cutoff stay both
       // readable AND inside [logStart, tail)
-      next.copy(logStarts = Vector.tabulate(next.numPartitions)(p =>
-        math.max(cur.logStart(p), next.derivedLogStart(p))))
+      next.copy(logStarts = advancedLogStarts(cur, next))
     }
     val conf = HadoopConf.shared
     doomed.foreach { f =>

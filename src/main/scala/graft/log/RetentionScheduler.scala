@@ -112,18 +112,27 @@ final class RetentionScheduler(
           .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
           .getOrElse(retentionMs)
         val compactPolicy = props.get(TopicProps.CleanupPolicy).contains("compact")
+        // retention.ms = -1 is Kafka's "retention disabled" sentinel: the
+        // topic is exempt from time-based deletion without flipping its
+        // cleanup policy (vacuum and segment merge still run)
         val aged =
-          if (compactPolicy) 0
+          if (compactPolicy || window == -1L) 0
           else try PolarLog.cleanRetention(cfg, window, nowMs)
           catch { case NonFatal(_) => 0 }
         // the Kafka log-cleaner loop: compact-policy topics get their
         // clean regions rewritten to latest-per-key — but only when the
         // registry advanced since the last pass (no new commits = nothing
         // newly superseded, so the full-region read is skipped)
+        // per-topic min.cleanable.dirty.ratio overrides the scheduler-wide
+        // floor (kafka-configs semantics); malformed values degrade to it
+        val topicMinDirty = props.get(TopicProps.MinCleanableDirtyRatio)
+          .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+          .filter(r => r >= 0.0 && r <= 1.0)
+          .getOrElse(minDirtyRatio)
         if (compactPolicy)
           for (c <- keyCleaner; m <- head)
             if (!lastCleanedVersion.get(cfg.topic).contains(m.version) &&
-                dirtyRatioOf.forall(f => f(m) >= minDirtyRatio)) {
+                dirtyRatioOf.forall(f => f(m) >= topicMinDirty)) {
               // record the POST-clean version, and only on SUCCESS: a
               // failed pass must retry next sweep (an idle topic with a
               // dirty region would otherwise stay uncompacted forever).

@@ -53,12 +53,17 @@ object PolarCompaction {
     val merged: Seq[((Int, Vector[FileEntry]), FileEntry)] = plans.map {
       case (p, run) =>
         val suffix = java.util.UUID.randomUUID().toString.take(8)
-        val name = f"cp${run.head.minOffset}%011d-$suffix.parquet"
+        val name = f"${mergedPrefix(run)}${run.head.minOffset}%011d-$suffix.parquet"
         val destPath = s"${cfg.dir}/part=$p/$name"
         val bytes = PolarBatchWrite.copySegments(
           spark, run.map(_.path(cfg)), destPath, delta = 0L)
         (p, run) -> FileEntry(p, name, run.head.minOffset, run.last.maxOffset,
-          run.map(_.count).sum, bytes, System.currentTimeMillis(),
+          run.map(_.count).sum, bytes,
+          // carry the NEWEST source commit age forward: the merged file
+          // holds the same records, so age-based retention must see the
+          // original commit time, not the merge time — a now() stamp would
+          // grant old records up to a full extra retention window
+          run.map(_.createdMs).max,
           // ts stats merge conservatively: any unknown member (MinValue
           // sentinel) keeps the merged file unprunable, any unknown null
           // count keeps the merged count unknown
@@ -112,6 +117,13 @@ object PolarCompaction {
     }
     applied
   }
+
+  /** A merge of ALL-cleaned (`kc`) segments is still cleaned — keep the
+    * marker, or the log cleaner's dirty-ratio guard would read the merged
+    * run as dirty forever and rescan a region with nothing left to remove
+    * on every version advance. Any dirty member makes the merge dirty. */
+  private[sources] def mergedPrefix(run: Seq[FileEntry]): String =
+    if (run.forall(_.name.startsWith("kc"))) "kc" else "cp"
 
   /** Maximal runs of adjacent entries all below `smallBytes`, split so a
     * run's total stays under `maxBytes`, keeping only runs of ≥ `minRun`. */

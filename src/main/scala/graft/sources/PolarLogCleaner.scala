@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
  * (invisible), then ONE metadata CAS swaps each partition's clean-region
  * files for its cleaned segment (skipped if membership changed —
  * retention raced it), then superseded files are deleted. The winner
- * computation is one map-side-combinable aggregate plus one semi-join,
- * both keyed (part, key) — keys are partition-local, so at scale this
- * shuffles each key group once and nothing else.
+ * computation is one map-side-combinable aggregate over the DIRTY region
+ * + heads only (Kafka's offset-map shape — see [[planPass]]), one
+ * semi-join for dirty survivors and one anti-join for cleaned-region
+ * survivors, all keyed (part, key) — keys are partition-local, so at
+ * scale this shuffles each key group once, and re-passing an
+ * already-clean region never re-aggregates it.
  */
 object PolarLogCleaner {
 
@@ -56,6 +59,40 @@ object PolarLogCleaner {
       .filterNot(_.name.startsWith("kc")).map(_.bytes).sum.toDouble / total
   }
 
+  /** Kafka's `delete.retention.ms` default (24 h): how long a latest-per-key
+    * tombstone outlives its segment's commit age before the cleaner may
+    * physically drop it. */
+  val DefaultDeleteRetentionMs: Long = 24L * 3600 * 1000
+
+  /**
+   * Registry-only pass planning — (clean regions by partition, dirty
+   * region files, cleaned region files, head files).
+   *
+   * Kafka's cleaner builds its offset map from the DIRTY region only and
+   * streams the cleaned region against it — same shape here, decided from
+   * the registry alone: `kc`-named files are a previous pass's output, and
+   * within a partition every kc offset sits BELOW every dirty offset (a
+   * pass rewrites the whole region, appends land above; segment compaction
+   * preserves the marker only for all-kc runs). So the winner aggregate
+   * scans dirty files + heads only, a kc record is superseded iff ANY
+   * dirty record shares its key, and a pass over an already-clean region
+   * costs one bounded kc read instead of a full re-aggregate.
+   */
+  private[sources] def planPass(meta: LogMetadata)
+      : (Map[Int, Vector[FileEntry]], Vector[FileEntry],
+         Vector[FileEntry], Vector[FileEntry]) = {
+    val regions: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
+      case (p, files) if files.size >= 2 => p -> files.sortBy(_.minOffset).init
+    }
+    def isCleaned(f: FileEntry): Boolean = f.name.startsWith("kc")
+    (regions,
+      regions.valuesIterator.flatten.filterNot(isCleaned).toVector,
+      regions.valuesIterator.flatten.filter(isCleaned).toVector,
+      meta.filesByPart.collect {
+        case (_, files) if files.size >= 2 => files.sortBy(_.minOffset).last
+      }.toVector)
+  }
+
   /** Clean every partition whose clean region holds superseded records.
     * Returns the number of records physically removed.
     *
@@ -70,39 +107,63 @@ object PolarLogCleaner {
       cfg: TopicConfig,
       dropTombstones: Boolean = false,
       deleteOriginals: Boolean = true,
-      maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes): Long = {
+      maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
+      // tombstone retention window (Kafka's `delete.retention.ms`): None
+      // resolves the topic's prop, else the 24 h default. `dropTombstones`
+      // remains the expire-everything-now override.
+      deleteRetentionMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis()): Long = {
     val meta = LogMetadata.read(cfg)
-    // clean region per partition: all files below the head (last) segment
-    val regions: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
-      case (p, files) if files.size >= 2 => p -> files.sortBy(_.minOffset).init
-    }
+    val (regions, regionDirty, regionKc, heads) = planPass(meta)
     if (regions.isEmpty) return 0L
-    val headMin: Map[Int, Long] = meta.filesByPart.collect {
-      case (p, files) if files.size >= 2 =>
-        p -> files.sortBy(_.minOffset).last.minOffset
-    }
 
-    val full = PolarLog.consumeAt(spark, cfg, meta)
-    // per-partition clean-region bound as a literal map — no UDF, codegen'd
-    val boundExpr = element_at(
-      map(headMin.toSeq.sortBy(_._1).flatMap { case (p, b) =>
-        Seq(lit(p), lit(b)) }: _*), col("part"))
-    val cleanRows = full.filter(boundExpr.isNotNull && col("offset") < boundExpr)
-    val winners = full.filter(col("partitionKey").isNotNull)
+    val dirtyRegionRows = PolarLog.consumeFiles(spark, cfg, regionDirty)
+    val kcRows = PolarLog.consumeFiles(spark, cfg, regionKc)
+    val winners = PolarLog.consumeFiles(spark, cfg, regionDirty ++ heads)
+      .filter(col("partitionKey").isNotNull)
       .groupBy(col("part").as("wp"), col("partitionKey").as("wk"))
       .agg(max(col("offset")).as("wo"))
-    var survivors = cleanRows.join(winners,
-      cleanRows("part") === col("wp") &&
-        cleanRows("partitionKey") === col("wk") &&
-        cleanRows("offset") === col("wo"),
+    var survivors = dirtyRegionRows.join(winners,
+      dirtyRegionRows("part") === col("wp") &&
+        dirtyRegionRows("partitionKey") === col("wk") &&
+        dirtyRegionRows("offset") === col("wo"),
       "leftsemi")
-      .unionAll(cleanRows.filter(col("partitionKey").isNull))
+      .unionAll(dirtyRegionRows.filter(col("partitionKey").isNull))
+      // kc survivors: key absent from the dirty map (null keys never match
+      // the anti condition, so they survive here too — as they must)
+      .unionAll(kcRows.join(winners,
+        kcRows("part") === col("wp") && kcRows("partitionKey") === col("wk"),
+        "leftanti"))
     if (dropTombstones)
       survivors = survivors.filter(
         col("value").isNotNull || col("partitionKey").isNull)
-    // the survivors plan (full scan + winner aggregate + semi-join) feeds
-    // BOTH the dirty check and the rewrite — persist so the dominant cost
-    // is paid once per pass, not twice
+    else {
+      // delete.retention.ms: a latest-per-key tombstone propagates the
+      // delete fact to slow consumers for the window, then expires. Age is
+      // segment-granular (Kafka's model): the per-partition offset bound
+      // covers region files committed before the horizon, and only
+      // tombstones inside that bound drop.
+      val window = deleteRetentionMs
+        .orElse(meta.props.get(graft.log.TopicProps.DeleteRetentionMs)
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption))
+        .getOrElse(DefaultDeleteRetentionMs)
+      val horizon = nowMs - math.max(window, 0L)
+      val expiredBound: Seq[(Int, Long)] = regions.toSeq.collect {
+        case (p, v) if v.exists(_.createdMs < horizon) =>
+          p -> v.filter(_.createdMs < horizon).map(_.maxOffset).max
+      }
+      if (expiredBound.nonEmpty) {
+        val boundExpr = element_at(
+          map(expiredBound.sortBy(_._1).flatMap { case (p, b) =>
+            Seq(lit(p), lit(b)) }: _*), col("part"))
+        survivors = survivors.filter(
+          col("value").isNotNull || col("partitionKey").isNull ||
+            boundExpr.isNull || col("offset") > boundExpr)
+      }
+    }
+    // the survivors plan (dirty scan + winner aggregate + joins) feeds BOTH
+    // the dirty check and the rewrite — persist so the dominant cost is
+    // paid once per pass, not twice
     survivors.persist()
     try {
 
@@ -186,8 +247,14 @@ object PolarLogCleaner {
           .getFileStatus(path).getLen
         val (tLo, tHi) =
           if (tsMin > tsMax) (Long.MinValue, Long.MaxValue) else (tsMin, tsMax)
-        FileEntry(p, name, lo, hi, n, bytes,
-          System.currentTimeMillis(), tLo, tHi, tsNulls)
+        // createdMs carries the NEWEST source segment's commit age forward
+        // (never the clean-pass time): survivors are old records, and
+        // age-based retention — should the topic's policy later flip to
+        // delete — must see their original commit age, not grant them up
+        // to a full extra retention window
+        val srcAge = needy.get(p).map(_.map(_.createdMs).max)
+          .getOrElse(System.currentTimeMillis())
+        FileEntry(p, name, lo, hi, n, bytes, srcAge, tLo, tHi, tsNulls)
       }.groupBy(_.part).map { case (p, fs) => p -> fs.toVector.sortBy(_.minOffset) }
 
     // 2) swap each partition's clean region for its cleaned segment — only

@@ -270,6 +270,34 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, cfg).count() === 5)
   }
 
+  test("per-topic max.message.bytes caps the produce path (topic config wins)") {
+    val cfg = TopicConfig(root, "t_maxmsg")
+    val df = spark.createDataFrame(Seq(("k1", "0123456789")))
+      .toDF("partitionKey", "value")
+    // no prop: the 10-byte value passes under the server default
+    PolarLog.produce(df, cfg)
+    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg))(m =>
+      m.copy(props = Map(TopicProps.MaxMessageBytes -> "4")))
+    // the topic prop overrides the (wider) caller value — Kafka semantics
+    val e = intercept[Exception] {
+      PolarLog.produce(df, cfg, maxMessageSize = 1 << 20)
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")) ++ Iterator("")).mkString(" ")
+    assert(rootMsg(e).contains("maxMessageSize=4"), rootMsg(e))
+    // nothing half-registered
+    assert(PolarLog.consume(spark, cfg).count() === 1)
+    // a value inside the cap still produces
+    PolarLog.produce(spark.createDataFrame(Seq(("k2", "ok")))
+      .toDF("partitionKey", "value"), cfg)
+    assert(PolarLog.consume(spark, cfg).count() === 2)
+    // validator guards the SQL/admin faces
+    intercept[IllegalArgumentException] {
+      TopicProps.validate(TopicProps.MaxMessageBytes, "0")
+    }
+  }
+
   test("unicode and empty-string keys route deterministically") {
     val cfg = TopicConfig(root, "t_unicode")
     val df = spark.createDataFrame(Seq(

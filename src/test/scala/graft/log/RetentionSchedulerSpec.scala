@@ -58,6 +58,75 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, kt).count() === 300)
   }
 
+  test("retention.ms = -1 disables time-based deletion (kafka-configs sentinel)") {
+    val inf = TopicConfig(root, "ret_infinite")
+    PolarLog.produce(records(0, 200), inf)
+    Thread.sleep(100)
+    LogMetadata.compareAndSet(inf, LogMetadata.read(inf))(m =>
+      m.copy(props = Map(TopicProps.RetentionMs -> "-1")))
+    // the validator accepts the sentinel and rejects other negatives
+    assert(TopicProps.validate(TopicProps.RetentionMs, "-1"))
+    intercept[IllegalArgumentException] {
+      TopicProps.validate(TopicProps.RetentionMs, "-2")
+    }
+    // a zero global window would delete everything — the sentinel exempts
+    val sched = new RetentionScheduler(root, retentionMs = 0L)
+    val res = sched.sweep(System.currentTimeMillis() + 10000)
+    assert(res("ret_infinite").agedDeleted === 0)
+    assert(PolarLog.consume(spark, inf).count() === 200)
+    // a direct call with a negative window refuses rather than trimming all
+    assert(PolarLog.cleanRetention(inf, -1L) === 0)
+    assert(PolarLog.consume(spark, inf).count() === 200)
+  }
+
+  test("per-topic min.cleanable.dirty.ratio overrides the scheduler floor") {
+    val t = TopicConfig(root, "ret_dirty_floor")
+    // keys disjoint from the seal range, so the head never supersedes the
+    // whole region (which would leave nothing cleaned to measure)
+    def keyed(tag: String, keys: Range): Unit = {
+      val spark2 = spark; import spark2.implicits._
+      PolarLog.produce(keys.map(k => (k.toString, s"$tag:$k"))
+        .toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value"), t)
+    }
+    keyed("v1", 0 until 50)
+    keyed("v2", 0 until 50)
+    keyed("seal", 5000 until 5200) // head files everywhere
+    LogMetadata.compareAndSet(t, LogMetadata.read(t))(m =>
+      m.copy(props = Map(TopicProps.CleanupPolicy -> "compact",
+        TopicProps.MinCleanableDirtyRatio -> "0.6")))
+    var calls = 0
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000,
+      // scope to this test's topic: the shared root carries other
+      // compact-policy topics from earlier tests
+      keyCleaner = Some { c =>
+        if (c.topic != "ret_dirty_floor") 0L
+        else { calls += 1; graft.sources.PolarLogCleaner.cleanKeys(spark, c) } },
+      dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio),
+      // a scheduler-wide floor of 0: WITHOUT the per-topic override every
+      // version advance would re-clean
+      minDirtyRatio = 0.0)
+    // fully dirty region (ratio 1.0) passes the 0.6 per-topic floor
+    sched.sweep()
+    assert(calls === 1)
+    // a tiny produce advances the version but leaves the region mostly kc:
+    // the per-topic 0.6 floor gates the pass the scheduler-wide 0.0 would run
+    keyed("v3", 0 until 2)
+    val ratio = graft.sources.PolarLogCleaner.dirtyRatio(LogMetadata.read(t))
+    assert(ratio < 0.6, s"ratio $ratio")
+    sched.sweep()
+    assert(calls === 1, "the per-topic floor must gate the pass")
+    // malformed persisted ratio degrades to the scheduler floor (0.0 -> runs)
+    LogMetadata.compareAndSet(t, LogMetadata.read(t))(m =>
+      m.copy(props = m.props.updated(TopicProps.MinCleanableDirtyRatio, "1.1")))
+    intercept[IllegalArgumentException] {
+      TopicProps.validate(TopicProps.MinCleanableDirtyRatio, "1.1")
+    }
+    sched.sweep()
+    assert(calls === 2, "malformed per-topic ratio must degrade to the floor")
+  }
+
   test("sweep deletes aged segments, keeps young ones, preserves surviving offsets") {
     val cfg = TopicConfig(root, "ret_age")
     val nA = PolarLog.produce(records(0, 400), cfg).recordsWritten

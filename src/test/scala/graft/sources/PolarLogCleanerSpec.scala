@@ -223,6 +223,107 @@ class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("data loss"), e.getMessage)
   }
 
+  test("delete.retention.ms: tombstones survive inside the window, expire after it") {
+    val cfg = TopicConfig(root, "kc_delret")
+    val now = System.currentTimeMillis()
+    produceKeyed(cfg, "v1", 0 until 30)
+    produceKeyed(cfg, "v2", 0 until 30, tombstones = (0 until 30 by 3).toSet)
+    produceKeyed(cfg, "seal", 6000 until 6200)
+    // the topic prop is the default window (set via the SQL face — the
+    // ALTER TABLE round-trip IS part of the contract)
+    spark.conf.set("spark.sql.catalog.polar_dr", classOf[PolarCatalog].getName)
+    spark.conf.set("spark.sql.catalog.polar_dr.root", root)
+    spark.sql("ALTER TABLE polar_dr.kc_delret SET TBLPROPERTIES " +
+      "('delete.retention.ms' = '86400000')")
+    assert(LogMetadata.read(cfg).props(TopicProps.DeleteRetentionMs) === "86400000")
+    // pass 1, inside the window: v1 predecessors drop, tombstones SURVIVE
+    val removed1 = PolarLogCleaner.cleanKeys(spark, cfg, nowMs = now)
+    assert(removed1 === 30L, s"removed $removed1")
+    val raw1 = PolarLog.consume(spark, cfg)
+    assert(raw1.filter(col("value").isNull).count() === 10L,
+      "tombstones inside delete.retention.ms must survive")
+    // pass 2, clocked past the window: the cleaned segment carries the
+    // SOURCE commit age forward, so the horizon sees the original age and
+    // the tombstones expire
+    val removed2 = PolarLogCleaner.cleanKeys(spark, cfg,
+      nowMs = now + 2L * 86400000L)
+    assert(removed2 === 10L, s"removed $removed2")
+    assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 0L)
+    // the non-tombstoned keys are untouched throughout
+    assert(compacted(cfg)("1") === "v2:1")
+  }
+
+  test("a pass after a clean pass reads only dirty bytes; compaction keeps the kc marker and age") {
+    val cfg = TopicConfig(root, "kc_dirtyonly")
+    produceKeyed(cfg, "v1", 0 until 40)
+    produceKeyed(cfg, "v2", 0 until 40)
+    produceKeyed(cfg, "seal", 7000 until 7200)
+    val regionAges = LogMetadata.read(cfg).filesByPart.collect {
+      case (p, fs) if fs.size >= 2 => p -> fs.sortBy(_.minOffset).init.map(_.createdMs).max
+    }
+    assert(PolarLogCleaner.cleanKeys(spark, cfg) === 40L)
+    val meta = LogMetadata.read(cfg)
+    // cleaned segments carry the newest SOURCE age, not the clean-pass time
+    meta.filesByPart.foreach { case (p, fs) =>
+      fs.filter(_.name.startsWith("kc")).foreach { f =>
+        assert(f.createdMs === regionAges(p),
+          s"part $p cleaned segment must carry the source commit age") }
+    }
+    // the next pass's winner map plans ZERO cleaned-region files: dirty
+    // input is empty (or heads only), kc files are anti-join tested only
+    val (_, dirty, kc, heads) = PolarLogCleaner.planPass(meta)
+    assert(kc.nonEmpty, "the region must be kc after a clean pass")
+    assert(dirty.isEmpty,
+      s"a cleaned region must contribute nothing to the winner map, got $dirty")
+    assert(heads.forall(h => !h.name.startsWith("kc")))
+    // segment compaction keeps the cleaned marker for all-kc runs only —
+    // any dirty member makes the merge dirty (so the dirty-ratio guard
+    // never reads a merged cleaned run as dirty forever, and never reads
+    // genuinely dirty bytes as clean)
+    val kcA = kc.head; val kcB = kcA.copy(name = "kc00000000042-x.parquet")
+    val dirtyF = kcA.copy(name = "f00000000050-x.parquet")
+    assert(PolarCompaction.mergedPrefix(Seq(kcA, kcB)) === "kc")
+    assert(PolarCompaction.mergedPrefix(Seq(kcA, dirtyF)) === "cp")
+    // a real merge (kc + head here) carries the newest source age forward
+    val agesByPart = meta.filesByPart.map { case (p, fs) =>
+      p -> fs.map(_.createdMs).max }
+    if (PolarCompaction.compact(spark, cfg, smallBytes = 1L << 30) > 0) {
+      val after = LogMetadata.read(cfg)
+      after.filesByPart.foreach { case (p, fs) =>
+        fs.filter(_.name.startsWith("cp")).foreach(f =>
+          assert(f.createdMs === agesByPart(p),
+            s"part $p merged segment must carry the source commit age"))
+      }
+    }
+    // and the cleaned data is exactly latest-per-key either way
+    assert(compacted(cfg)("3") === "v2:3")
+  }
+
+  test("a trim on one partition never advances another partition's compacted logStart pin") {
+    val cfg = TopicConfig(root, "kc_pin")
+    produceKeyed(cfg, "v1", 0 until 40)
+    produceKeyed(cfg, "v2", 0 until 40)
+    produceKeyed(cfg, "seal", 8000 until 8200)
+    assert(PolarLogCleaner.cleanKeys(spark, cfg) > 0L)
+    val meta = LogMetadata.read(cfg)
+    // pick a partition whose sparse survivors start ABOVE its pinned start
+    val pinned = (0 until meta.numPartitions).find(p =>
+      meta.logStart(p) === 0L && meta.derivedLogStart(p) > 0L)
+    assert(pinned.nonEmpty, "need a compacted partition with a low pin")
+    val p0 = pinned.get
+    val other = (0 until meta.numPartitions).find(p =>
+      p != p0 && meta.filesOf(p).nonEmpty).get
+    // trim the OTHER partition to its tail; p0 is untouched by this trim
+    PolarLog.deleteRecords(cfg, Map(other -> -1L))
+    val after = LogMetadata.read(cfg)
+    assert(after.logStart(other) > 0L, "the trimmed partition must advance")
+    assert(after.logStart(p0) === 0L,
+      "an untouched compacted partition must keep its pin verbatim")
+    // age-based retention that removes nothing from p0's head keeps it too
+    PolarLog.cleanRetention(cfg, retentionMs = 365L * 24 * 3600 * 1000)
+    assert(LogMetadata.read(cfg).logStart(p0) === 0L)
+  }
+
   test("sparse survivors: offset top-N and LIMIT stay correct; agg pushdown stays exact") {
     val cfg = TopicConfig(root, "kc_sparse")
     produceKeyed(cfg, "v1", 0 until 60)
