@@ -12,7 +12,10 @@ object Verify {
         System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
         sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 8 (was 4): the battery is wall-clock-bounded by its slowest
+    // multi-stage gates (graph BSP rounds, the log cleaner's fixture),
+    // which parallelize; the per-gate scheduling overhead doesn't grow
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,23 +24,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle map FIRST: if the harness kills this JVM mid-battery (round-10
+    // shipped an empty correctness artifact that way), the driver still
+    // finds the oracle SQL and can grade every gate dumped so far
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleJson(only))
+    val t0 = System.nanoTime()
     var sinceGc = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val s0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same session hygiene as Bench: 156 sequential queries in one JVM
-      // must not accumulate operator materializations or sink tables
+      // same session hygiene as Bench: the full sequential battery in one
+      // JVM must not accumulate operator materializations or sink tables
       Materialize.sweep(spark)
       sinceGc += 1
       if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
+      System.err.println(f"[verify] $name done in " +
+        f"${(System.nanoTime() - s0) / 1e9}%.1fs " +
+        f"(total ${(System.nanoTime() - t0) / 1e9}%.0fs)")
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      oracleJson(only))
     spark.stop()
   }
 

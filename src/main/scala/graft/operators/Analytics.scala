@@ -64,15 +64,7 @@ object Analytics {
       custCol: String,
       dateCol: String,
       amountCol: String): DataFrame = {
-    val base = orders.groupBy(col(custCol)).agg(
-      max(col(dateCol)).as("last_order"),
-      count(lit(1)).as("frequency"),
-      sum(col(amountCol).cast("decimal(18,2)")).cast("double").as("monetary"))
-    val maxDate = orders.agg(max(col(dateCol)).as("__max_date"))
-    val withR = base
-      .crossJoin(broadcast(maxDate))
-      .withColumn("recency_days", datediff(col("__max_date"), col("last_order")))
-      .drop("__max_date", "last_order")
+    val withR = rfmBase(orders, custCol, dateCol, amountCol)
     // best = 4 on every axis: low recency, high frequency, high monetary
     val rW = Window.orderBy(col("recency_days").desc, col(custCol))
     val fW = Window.orderBy(col("frequency").asc, col(custCol))
@@ -81,6 +73,68 @@ object Analytics {
       .withColumn("r_score", ntile(4).over(rW))
       .withColumn("f_score", ntile(4).over(fW))
       .withColumn("m_score", ntile(4).over(mW))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  /** Per-customer (recency_days, frequency, monetary) — the shared first
+    * stage of both RFM variants: one keyed aggregate + a broadcast max-date. */
+  private def rfmBase(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String): DataFrame = {
+    val base = orders.groupBy(col(custCol)).agg(
+      max(col(dateCol)).as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCol).cast("decimal(18,2)")).cast("double").as("monetary"))
+    val maxDate = orders.agg(max(col(dateCol)).as("__max_date"))
+    base
+      .crossJoin(broadcast(maxDate))
+      .withColumn("recency_days", datediff(col("__max_date"), col("last_order")))
+      .drop("__max_date", "last_order")
+  }
+
+  /**
+   * The 100 TB RFM plan: quartile CUT-POINTS from one bounded aggregate
+   * (`percentile_approx`, 3 quantiles × 3 metrics in a single reduce),
+   * broadcast back as one row, scores assigned by a codegen'd CASE — no
+   * global window, no single-partition sort, the customer dimension never
+   * leaves its hash partitioning. This is the variant [[rfm]]'s header
+   * documents; the exact-rank ntile gate remains the oracle twin because
+   * its boundary semantics are what DuckDB mirrors bit-for-bit.
+   *
+   * Boundary semantics: a metric value sitting exactly ON a cut-point
+   * scores with the LOWER tile (`v > q` comparisons), where ntile breaks
+   * rank ties by the key tiebreaker — so the two variants agree everywhere
+   * except within quartile-boundary ties ([[graft.operators]] RfmSpec
+   * asserts exact agreement away from them).
+   */
+  def rfmAtScale(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val withR = rfmBase(orders, custCol, dateCol, amountCol)
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val cuts = withR.agg(
+      percentile_approx(col("recency_days"), qs, lit(accuracy)).as("__rq"),
+      percentile_approx(col("frequency"), qs, lit(accuracy)).as("__fq"),
+      percentile_approx(col("monetary"), qs, lit(accuracy)).as("__mq"))
+    // ascending score: 1 + one point per cut-point strictly exceeded;
+    // recency inverts (low recency = best = 4)
+    def asc(v: Column, q: Column): Column =
+      lit(1) +
+        when(v > q.getItem(0), 1).otherwise(0) +
+        when(v > q.getItem(1), 1).otherwise(0) +
+        when(v > q.getItem(2), 1).otherwise(0)
+    withR.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(5) - asc(col("recency_days"), col("__rq")))
+      .withColumn("f_score", asc(col("frequency"), col("__fq")))
+      .withColumn("m_score", asc(col("monetary"), col("__mq")))
+      .drop("__rq", "__fq", "__mq")
       .withColumn("segment",
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")))

@@ -104,22 +104,34 @@ object Curation {
 
   // ----------------------------------------------------------- repetition
 
+  /** Evaluate `arr` ONCE per row and feed it to `body` through a lambda
+    * variable — the let-binding the Column API lacks. Catalyst INLINES a
+    * Column expression tree at every reference, and higher-order functions
+    * re-evaluate their argument per element; a tokenize+n-gram input
+    * referenced inside nested transform/filter lambdas therefore
+    * re-tokenizes per comparison, turning O(g) kernels into
+    * O(g² · tokenize) (measured: the repetition gate dropped ~100× with
+    * this binding). `transform` over a one-element array evaluates the
+    * element once and binds it. */
+  private def bindOnce(arr: Column)(body: Column => Column): Column =
+    element_at(transform(array(arr), body), 1)
+
   /** All word n-grams of a document IN ORDER (repeats kept — the counting
     * unit for repetition signals; distinct+sorted would erase them). */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val words = TextAnalysis.tokens(text)
-    when(size(words) < n, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+  def ngramsAll(text: Column, n: Int): Column =
+    bindOnce(TextAnalysis.tokens(text)) { words =>
+      when(size(words) < n, array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
 
   /** Fraction of word occurrences beyond each word's first — 0 for a
     * document of all-distinct words, →1 as it degenerates to repetition. */
-  def dupWordFrac(text: Column): Column = {
-    val words = TextAnalysis.tokens(text)
-    round((size(words) - size(array_distinct(words))).cast("double") /
-      greatest(size(words), lit(1)).cast("double"), 6)
-  }
+  def dupWordFrac(text: Column): Column =
+    bindOnce(TextAnalysis.tokens(text)) { words =>
+      round((size(words) - size(array_distinct(words))).cast("double") /
+        greatest(size(words), lit(1)).cast("double"), 6)
+    }
 
   /** The most frequent n-gram's share of the document's characters
     * (count × gram length / doc length) — the Gopher "top n-gram character
@@ -130,29 +142,29 @@ object Curation {
     * for natural documents (bounded length); a pipeline facing book-length
     * outliers should pre-truncate (`substring`) the signal input, which is
     * what production quality filters do anyway. */
-  def topNgramCharFrac(text: Column, n: Int): Column = {
-    val grams = ngramsAll(text, n)
-    val counts = transform(array_distinct(grams),
-      g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g")))
-    val top = array_max(counts)
-    round(when(length(text) === 0, lit(0.0)).otherwise(
-      (top.getField("c") * length(top.getField("g"))).cast("double") /
-        length(text).cast("double")), 6)
-  }
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    bindOnce(ngramsAll(text, n)) { grams =>
+      val counts = transform(array_distinct(grams),
+        g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g")))
+      val top = array_max(counts)
+      round(when(length(text) === 0, lit(0.0)).otherwise(
+        (top.getField("c") * length(top.getField("g"))).cast("double") /
+          length(text).cast("double")), 6)
+    }
 
   /** Character share of n-grams that occur more than once (each occurrence
     * counted) — the Gopher "duplicated n-gram character fraction" family. */
-  def repeatedNgramCharFrac(text: Column, n: Int): Column = {
-    val grams = ngramsAll(text, n)
-    val repeatedChars = aggregate(
-      transform(array_distinct(grams),
-        g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g"))),
-      lit(0L),
-      (acc, s) => acc + when(s.getField("c") > 1,
-        (s.getField("c") * length(s.getField("g"))).cast("long")).otherwise(0L))
-    round(when(length(text) === 0, lit(0.0)).otherwise(
-      repeatedChars.cast("double") / length(text).cast("double")), 6)
-  }
+  def repeatedNgramCharFrac(text: Column, n: Int): Column =
+    bindOnce(ngramsAll(text, n)) { grams =>
+      val repeatedChars = aggregate(
+        transform(array_distinct(grams),
+          g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g"))),
+        lit(0L),
+        (acc, s) => acc + when(s.getField("c") > 1,
+          (s.getField("c") * length(s.getField("g"))).cast("long")).otherwise(0L))
+      round(when(length(text) === 0, lit(0.0)).otherwise(
+        repeatedChars.cast("double") / length(text).cast("double")), 6)
+    }
 
   // -------------------------------------------------------------- packing
 

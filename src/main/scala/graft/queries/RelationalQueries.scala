@@ -1107,6 +1107,53 @@ object RelationalQueries extends QueryRegistry {
         FROM sc""")),
 
     QueryDef(
+      "q_rfm_scale",
+      // the 100 TB RFM plan: quartile cut-points from ONE bounded
+      // percentile aggregate broadcast back as a single row, scores via a
+      // codegen'd CASE — no global window, no single-partition sort. The
+      // gate pins accuracy above the sf's customer count so the summary is
+      // exact and DuckDB's quantile_disc mirrors the cut-points
+      // bit-for-bit; at production scale the default accuracy trades that
+      // exactness for bounded memory, same operator.
+      (s, dir) => graft.operators.Analytics.rfmAtScale(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_totalprice",
+        accuracy = 100000),
+      Some("""
+        WITH base AS (
+          SELECT o_custkey,
+                 MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          FROM orders GROUP BY 1),
+        m AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+        r AS (
+          SELECT o_custkey, frequency, monetary,
+                 CAST(date_diff('day', CAST(last_order AS DATE), CAST(max_date AS DATE))
+                   AS INTEGER) AS recency_days
+          FROM base, m),
+        c AS (
+          SELECT quantile_disc(recency_days, [0.25, 0.5, 0.75]) AS rq,
+                 quantile_disc(frequency, [0.25, 0.5, 0.75]) AS fq,
+                 quantile_disc(monetary, [0.25, 0.5, 0.75]) AS mq
+          FROM r),
+        sc AS (
+          SELECT o_custkey, recency_days, frequency, monetary,
+                 5 - (1 + CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END
+                        + CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END
+                        + CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END) AS r_score,
+                 1 + CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END AS f_score,
+                 1 + CASE WHEN monetary > mq[1] THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END AS m_score
+          FROM r, c)
+        SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+                 CAST(m_score AS VARCHAR) AS segment
+        FROM sc""")),
+
+    QueryDef(
       "events_scd2",
       // SCD2 validity intervals from the event stream: collapse consecutive
       // equal event_types per user into [valid_from, valid_to) rows; both

@@ -1314,7 +1314,7 @@ class PolarScan(
       // file boundaries (sentinels, whole-file cutoffs), whole-file
       // columnar delivery is already exact and the fast path is kept.
       def aligned = planInputPartitions().forall { ip =>
-        val s = ip.asInstanceOf[PolarInputPartition]
+        val s = PolarInputPartition.unwrap(ip)
         s.files.isEmpty || (s.startOffset <= s.files.head.minOffset &&
           s.endOffset > s.files.last.maxOffset)
       }
@@ -1741,7 +1741,9 @@ object PolarMicroBatchStream {
             else math.max(s.startOffset, run.head.minOffset)
           val hi = if (i == runs.length - 1) s.endOffset
             else math.min(s.endOffset, run.last.maxOffset + 1)
-          s.copy(files = run, startOffset = lo, endOffset = hi)
+          // sub-splits of one part must NOT carry its partition key
+          PolarFanoutPartition(
+            s.copy(files = run, startOffset = lo, endOffset = hi))
         }
       }
     }.toArray[InputPartition]
@@ -1777,6 +1779,25 @@ final case class PolarInputPartition(
   // exchange for part-keyed aggregations and co-partitioned topic joins
   override def partitionKey(): InternalRow = InternalRow(part)
 }
+
+object PolarInputPartition {
+  /** The carried read split, whichever wrapper delivered it. */
+  def unwrap(partition: InputPartition): PolarInputPartition = partition match {
+    case f: PolarFanoutPartition => f.inner
+    case p: PolarInputPartition => p
+  }
+}
+
+/** A `minPartitions` fan-out sub-split: the identical read contract, but
+  * with NO `HasPartitionKey` claim — several sub-splits of ONE log
+  * partition would each claim key `part`, and a key-grouped plan over them
+  * would silently treat each as the whole partition. The scan already
+  * reports `UnknownPartitioning` while fan-out is active; this wrapper
+  * makes the invariant STRUCTURAL: should a grouped plan ever meet fan-out
+  * splits, Spark's all-partitions-keyed check fails loudly instead of
+  * mis-grouping (the strip half of strip-or-assert). */
+final case class PolarFanoutPartition(inner: PolarInputPartition)
+    extends InputPartition
 
 class PolarFilesPlannedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
@@ -1871,7 +1892,7 @@ private[sources] class PolarTrimmingReaderFactory(required: StructType)
   private val batchSchema = StructType(fileSchema.fields ++ partitionSchema.fields)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PolarInputPartition]
+    val p = PolarInputPartition.unwrap(partition)
     val vec = new PolarVectorReader(p, fileSchema, partitionSchema)
     val base: PartitionReader[InternalRow] = new PolarRowReader(
       vec, batchSchema.fieldIndex("offset"), p.startOffset, p.endOffset)
@@ -1927,7 +1948,7 @@ class PolarReaderFactory(
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PolarInputPartition]
+    val p = PolarInputPartition.unwrap(partition)
     val vec = new PolarVectorReader(p, fileSchema, partitionSchema)
     PolarReaderFactory.withMetrics(new PolarRowReader(
       vec, required.fieldIndex("offset"), p.startOffset, p.endOffset), p,
@@ -1935,7 +1956,7 @@ class PolarReaderFactory(
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[PolarInputPartition]
+    val p = PolarInputPartition.unwrap(partition)
     if (required.isEmpty) PolarReaderFactory.withMetrics(countOnly(p), p,
       decodedFrom = Some(() => 0L))
     else PolarReaderFactory.withMetrics(new PolarColumnarReader(

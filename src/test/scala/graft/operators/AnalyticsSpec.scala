@@ -52,6 +52,52 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("rfmAtScale: broadcast cut-point scores agree with ntile away from boundaries") {
+    val spark2 = spark; import spark2.implicits._
+    // 16 customers, ranks aligned on all three axes: customer i has the
+    // i-th best recency (100-i days), frequency (i+1 orders) and monetary.
+    // Distinct values, n divisible by 4 -> ntile tiles are exactly the
+    // rank quarters; the only fragile customers are the tile-boundary
+    // elements themselves (ranks 4/5, 8/12 edges), which are excluded.
+    val rows = (0 until 16).flatMap { i =>
+      // last-order dates ascend with i, so the dataset max date is customer
+      // 15's and recency_days(i) = 15 - i — distinct, monotone, no anchor
+      val last = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2026, 1, 1).plusDays(i.toLong))
+      // i+1 orders; the last one dated `last`, earlier ones well before;
+      // amounts sum to a strictly increasing monetary
+      (0 to i).map { j =>
+        val d = if (j == i) last
+          else java.sql.Date.valueOf("2020-01-01")
+        (i.toLong, d, if (j == i) 1000.0 * (i + 1) else 10.0)
+      }
+    }
+    val orders = rows.toDF("cust", "odate", "amount")
+    def segs(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select(col("cust"), col("segment")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exact = segs(Analytics.rfm(orders, "cust", "odate", "amount"))
+    val scaled = segs(Analytics.rfmAtScale(orders, "cust", "odate", "amount"))
+    val boundary = Set(3L, 4L, 7L, 8L, 11L, 12L)
+    (0L until 16L).filterNot(boundary).foreach { i =>
+      assert(scaled(i) === exact(i), s"customer $i: ${scaled(i)} vs ${exact(i)}")
+    }
+    // scores are monotone in the aligned rank on every axis
+    val sc = Analytics.rfmAtScale(orders, "cust", "odate", "amount")
+      .filter(col("cust") < 16).orderBy(col("cust"))
+      .select(col("r_score"), col("f_score"), col("m_score")).collect()
+    sc.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getInt(0) <= b.getInt(0) && a.getInt(1) <= b.getInt(1) &&
+          a.getInt(2) <= b.getInt(2))
+      case _ => ()
+    }
+    // the plan has NO window exchange: nothing sorts globally
+    val plan = Analytics.rfmAtScale(orders, "cust", "odate", "amount")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rfmAtScale must not plan a window")
+  }
+
   test("scd2Intervals: intervals tile each user's change history") {
     val iv = Analytics.scd2Intervals(graft.Tables.events(spark, sfDir),
       "user_id", "ts", "event_type", "event_id")

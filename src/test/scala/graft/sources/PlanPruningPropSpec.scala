@@ -70,7 +70,7 @@ class PlanPruningPropSpec extends AnyFunSuite {
       def coveredRows(splits: Array[org.apache.spark.sql.connector.read.InputPartition])
           : Seq[(Int, Long)] =
         splits.flatMap { ip =>
-          val s = ip.asInstanceOf[PolarInputPartition]
+          val s = PolarInputPartition.unwrap(ip)
           s.files.flatMap(f =>
             (math.max(s.startOffset, f.minOffset) to
               math.min(s.endOffset - 1, f.maxOffset)).map(o => (s.part, o)))
@@ -90,6 +90,15 @@ class PlanPruningPropSpec extends AnyFunSuite {
         val maxSplits = basePlan.map(_.asInstanceOf[PolarInputPartition].files.size).sum
         assert(fanned.length >= math.min(target, maxSplits) || fanned.length >= basePlan.length,
           s"target=$target: planned only ${fanned.length} of $maxSplits possible")
+        // strip-or-assert: sub-splits carry NO HasPartitionKey claim — the
+        // splits still claiming a key must be unique per part, so Spark's
+        // key grouping can never treat one sub-split as a whole partition
+        val keyed = fanned.collect {
+          case p: org.apache.spark.sql.connector.read.HasPartitionKey =>
+            p.asInstanceOf[PolarInputPartition].part
+        }
+        assert(keyed.distinct.length === keyed.length,
+          s"target=$target: duplicate partition-key claims: ${keyed.mkString(",")}")
       }
     }
   }

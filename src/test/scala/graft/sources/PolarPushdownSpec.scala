@@ -336,10 +336,8 @@ class PolarPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }.get
-      scan.batch.planInputPartitions().map {
-        case p: PolarInputPartition => p.files.size
-        case _ => 0
-      }.sum
+      scan.batch.planInputPartitions()
+        .map(PolarInputPartition.unwrap(_).files.size).sum
     }
     val prunedCount = plannedFiles(early)
     val fullCount = plannedFiles(r2)
