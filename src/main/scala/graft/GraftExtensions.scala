@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.install(ext)
     graft.sources.PolarTvf.install(ext)
+    graft.plans.PolarMergeRewrite.install(ext)
   }
 }

@@ -22,6 +22,7 @@ object GraftSession {
       .appName("graft")
       .withExtensions(graft.functions.GraftFunctions.install)
       .withExtensions(graft.sources.PolarTvf.install)
+      .withExtensions(graft.plans.PolarMergeRewrite.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -18,6 +18,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the SQL rewrite rules (MERGE INTO → log merge) must be present at
+      // session build; functions/TVFs alone can be installed lazily
+      .withExtensions(new graft.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,144 @@
+package graft.plans
+
+import graft.log.{PolarLog, TopicConfig}
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+/**
+ * `MERGE INTO polar.t USING src ON t.partitionKey = src.partitionKey` —
+ * the SQL-text face of [[PolarLog.merge]] (Delta's MERGE shape over KTable
+ * semantics), closing the syntax gap behind the engine's refusal: offsets,
+ * tokens and placement are ENGINE-assigned facts of the append, so the
+ * general SQL MERGE column-assignment contract cannot be honored soundly —
+ * but the STAR clause set needs no column assignments at all. The rule
+ * rewrites exactly that shape:
+ *
+ *  - `WHEN MATCHED THEN UPDATE SET *` (unconditioned) — upsert intent; a
+ *    NULL source `value` updates the key to a tombstone, i.e. deletes it
+ *    from the compacted view (so this maps to matchedUpdate AND
+ *    matchedDelete in [[PolarLog.merge]]'s clause matrix);
+ *  - `WHEN NOT MATCHED THEN INSERT *` (unconditioned) — insert intent;
+ *  - the ON condition must be target.partitionKey = source.partitionKey
+ *    (the log's merge key is the partition key, nothing else matches the
+ *    placement contract).
+ *
+ * With both clauses on, the merge is ONE produce of the source — no read
+ * of the current view (the 100 TB shape); a single enabled clause costs
+ * one key-set read of the compacted view, as documented on the operator.
+ * Any other MERGE shape (conditioned clauses, explicit assignments,
+ * NOT MATCHED BY SOURCE, schema evolution) falls through untouched to the
+ * engine's existing refusal, which points at `CALL polar.system.merge`.
+ */
+object PolarMergeRewrite {
+  /** SparkSessionExtensions hook — wired by [[graft.GraftSession]] and
+    * [[graft.GraftExtensions]]. */
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => new PolarMergeRewrite)
+}
+
+class PolarMergeRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable =>
+      if (sys.env.contains("GRAFT_MERGE_TRACE"))
+        System.err.println(s"[merge-trace] saw MergeIntoTable, rewrite=${rewrite(m).isDefined}")
+      rewrite(m).getOrElse(m)
+  }
+
+  private def unwrapTarget(plan: LogicalPlan): Option[DataSourceV2Relation] =
+    plan match {
+      case r: DataSourceV2Relation => Some(r)
+      case SubqueryAlias(_, child) => unwrapTarget(child)
+      case _ => None
+    }
+
+  /** Bare column name of an attribute-shaped expression, if it is one. */
+  private def attrName(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = e match {
+    // UnresolvedAttribute IS an Attribute whose `name` keeps the qualifier
+    // ("t.partitionKey") — match it first and take the bare last part
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(u.nameParts.last)
+    case a: Attribute => Some(a.name)
+    case _ => None
+  }
+
+  private def rewrite(m: MergeIntoTable): Option[PolarMergeIntoCommand] = {
+    // structural gates first — anything unsupported falls through to the
+    // engine's refusal rather than a half-honored MERGE
+    if (m.withSchemaEvolution) return None
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    val matchedOk = m.matchedActions match {
+      case Seq() => true
+      case Seq(UpdateStarAction(None)) => true
+      case _ => false
+    }
+    val notMatchedOk = m.notMatchedActions match {
+      case Seq() => true
+      case Seq(InsertStarAction(None)) => true
+      case _ => false
+    }
+    if (!matchedOk || !notMatchedOk) return None
+    if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty) return None
+    // the merge key must be partitionKey = partitionKey
+    val keyOk = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        Seq(l, r).flatMap(attrName)
+          .map(_.toLowerCase) == Seq("partitionkey", "partitionkey")
+      case _ => false
+    }
+    if (!keyOk) return None
+    val rel = unwrapTarget(m.targetTable) match {
+      case Some(r) => r
+      case None => return None
+    }
+    val cfg = rel.table match {
+      case t: graft.sources.PolarTable => t.singleTopic match {
+        case Some(c) => c
+        case None => return None
+      }
+      case _ => return None
+    }
+    // the source must be resolved and carry the producer shape the log
+    // merge consumes; star expansion never runs (no assignments survive)
+    if (!m.sourceTable.resolved) return None
+    val srcCols = m.sourceTable.output.map(_.name.toLowerCase)
+    if (!srcCols.contains("partitionkey") || !srcCols.contains("value"))
+      return None
+    Some(PolarMergeIntoCommand(cfg, m.sourceTable,
+      matchedUpdate = m.matchedActions.nonEmpty,
+      notMatchedInsert = m.notMatchedActions.nonEmpty))
+  }
+}
+
+/** The planned form of the rewritten MERGE: executes eagerly as a command
+  * (one produce through the metadata CAS) and returns the appended-record
+  * count, mirroring `CALL polar.system.merge`'s result row. */
+case class PolarMergeIntoCommand(
+    cfg: TopicConfig,
+    source: LogicalPlan,
+    matchedUpdate: Boolean,
+    notMatchedInsert: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("appended", LongType, nullable = false)())
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshims.GraftShims.ofRows(spark, source)
+    val res = PolarLog.merge(spark, cfg, src,
+      matchedUpdate = matchedUpdate,
+      // SQL UPDATE SET * carries NULL source values into the view —
+      // tombstones — so the star clause enables both matched intents
+      matchedDelete = matchedUpdate,
+      notMatchedInsert = notMatchedInsert)
+    Seq(Row(res.recordsWritten))
+  }
+}

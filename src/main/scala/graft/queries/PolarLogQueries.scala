@@ -854,6 +854,72 @@ object PolarLogQueries extends QueryRegistry {
         WHERE CASE WHEN c.t THEN c.v ELSE b.v END IS NOT NULL""")),
 
     QueryDef(
+      "polar_merge_sql",
+      // SQL-TEXT MERGE (r11): `MERGE INTO polar.t USING src ON
+      // t.partitionKey = src.partitionKey WHEN MATCHED THEN UPDATE SET *
+      // WHEN NOT MATCHED THEN INSERT *` rewrites to the log merge via a
+      // resolution rule — the star clause set needs no column assignments,
+      // so the engine-assigned-columns refusal doesn't apply to it. Same
+      // change-set/oracle as polar_merge_upsert, driven through SQL text;
+      // the one-produce append contract required inline.
+      (s, dir) => {
+        graft.GraftSession.ensureFunctions(s)
+        if (!s.conf.getOption("spark.sql.catalog.polar_gate").isDefined) {
+          s.conf.set("spark.sql.catalog.polar_gate",
+            classOf[graft.sources.PolarCatalog].getName)
+          s.conf.set("spark.sql.catalog.polar_gate.root",
+            Files.createTempDirectory("graft_polar_sql").toString)
+        }
+        val root = s.conf.get("spark.sql.catalog.polar_gate.root")
+        val topic = "mrgsql-" + java.util.UUID.randomUUID().toString.take(12)
+        s.sql(s"CREATE TABLE polar_gate.`$topic`")
+        Tables.events(s, dir).createOrReplaceTempView("events_mrgsql_src")
+        s.sql(s"""
+          INSERT INTO polar_gate.`$topic`
+          SELECT CAST(user_id AS STRING) AS partitionKey,
+                 MAX(ts) AS timestamp, CAST(MAX(props) AS BINARY) AS value
+          FROM events_mrgsql_src WHERE event_id % 2 = 0 GROUP BY user_id""")
+        s.sql("""
+          SELECT CAST(user_id AS STRING) AS partitionKey,
+                 MAX(ts) AS timestamp,
+                 CASE WHEN user_id % 5 = 0 THEN CAST(NULL AS BINARY)
+                      ELSE CAST('u:' || MIN(props) AS BINARY) END AS value
+          FROM events_mrgsql_src WHERE event_id % 2 = 1 GROUP BY user_id""")
+          .createOrReplaceTempView("mrgsql_changes")
+        val changeRows = s.table("mrgsql_changes").count()
+        val before = PolarLog.consume(s,
+          graft.log.TopicConfig(root, topic)).count()
+        val appended = s.sql(s"""
+          MERGE INTO polar_gate.`$topic` t USING mrgsql_changes src
+          ON t.partitionKey = src.partitionKey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+        // full star clause set = ONE produce of the change set verbatim —
+        // no view read, no history rewrite
+        require(appended == changeRows,
+          s"star merge must append the whole change set: $appended/$changeRows")
+        require(PolarLog.consume(s, graft.log.TopicConfig(root, topic)).count()
+          == before + changeRows, "merge must append, never rewrite")
+        s.sql(s"""
+          SELECT partitionKey AS pk, CAST(value AS STRING) AS v
+          FROM polar_compacted('$root', '$topic')""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, MAX(props) AS v
+          FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        chg AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk,
+                 CASE WHEN user_id % 5 = 0 THEN NULL
+                      ELSE 'u:' || MIN(props) END AS v,
+                 TRUE AS t
+          FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+        SELECT COALESCE(c.pk, b.pk) AS pk,
+               CASE WHEN c.t THEN c.v ELSE b.v END AS v
+        FROM base b FULL OUTER JOIN chg c ON b.pk = c.pk
+        WHERE CASE WHEN c.t THEN c.v ELSE b.v END IS NOT NULL""")),
+
+    QueryDef(
       "polar_assign",
       // Kafka `assign` mode: an explicit (topic → partitions) map replaces
       // the subscription — ONLY the named partitions are planned (required

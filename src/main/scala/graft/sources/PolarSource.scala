@@ -333,6 +333,10 @@ class PolarTable(
   override def name(): String =
     if (cfg.topics.isEmpty) "polar:<row-routed>"
     else s"polar:${cfg.topics.map(_.topic).mkString(",")}"
+  /** The one topic this table addresses, when it addresses exactly one —
+    * what single-topic SQL rewrites (MERGE INTO) resolve against. */
+  private[graft] def singleTopic: Option[graft.log.TopicConfig] =
+    if (cfg.topics.size == 1) Some(cfg.topics.head) else None
   override def properties(): util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
     tableProps.asJava

@@ -58,4 +58,14 @@ object GraftShims {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** A DataFrame over an already-analyzed logical plan — the inverse seam:
+    * a rewritten SQL command (MERGE INTO → log merge) hands its resolved
+    * source subtree back to the DataFrame API at execution time. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

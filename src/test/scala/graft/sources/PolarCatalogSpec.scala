@@ -402,8 +402,9 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("CALL polar.system.merge(topic => 'mrgflags', source => 'mrg_dup')")
     }
     assert(dup.getMessage.contains("deduplicate"), dup.getMessage)
-    // MERGE INTO itself refuses (capability error) — the procedure is the
-    // SQL surface for row-level changes on a log
+    // MERGE INTO with EXPLICIT ASSIGNMENTS refuses (engine-assigned
+    // offset/token/part make the column-assignment contract unsound);
+    // only the star clause set rewrites to the log merge (PolarMergeSqlSpec)
     val e = intercept[Exception] {
       spark.sql("MERGE INTO polar.mrgflags t USING mrg_chg s " +
         "ON t.partitionKey = s.partitionKey " +
