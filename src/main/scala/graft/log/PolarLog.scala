@@ -234,11 +234,15 @@ object PolarLog {
       matchedUpdate: Boolean = true,
       matchedDelete: Boolean = true,
       notMatchedInsert: Boolean = true): ProduceResult = {
-    require(source.columns.contains("partitionKey") &&
-        source.columns.contains("value"),
+    // case-insensitive like Spark's default resolver — a PARTITIONKEY
+    // source must behave exactly as partitionKey (col() below resolves
+    // case-insensitively; the guard must agree with it)
+    def has(name: String): Boolean =
+      source.columns.exists(_.equalsIgnoreCase(name))
+    require(has("partitionKey") && has("value"),
       "merge source needs (partitionKey, value[, timestamp]); NULL value = delete")
     val withTs =
-      if (source.columns.contains("timestamp")) source
+      if (has("timestamp")) source
       else source.withColumn("timestamp", current_timestamp())
     // a merge key must be non-null — a null key cannot match anything and
     // would otherwise spread via the null-key placement

@@ -44,10 +44,7 @@ object PolarMergeRewrite {
 class PolarMergeRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case m: MergeIntoTable =>
-      if (sys.env.contains("GRAFT_MERGE_TRACE"))
-        System.err.println(s"[merge-trace] saw MergeIntoTable, rewrite=${rewrite(m).isDefined}")
-      rewrite(m).getOrElse(m)
+    case m: MergeIntoTable => rewrite(m).getOrElse(m)
   }
 
   private def unwrapTarget(plan: LogicalPlan): Option[DataSourceV2Relation] =
@@ -57,15 +54,20 @@ class PolarMergeRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Bare column name of an attribute-shaped expression, if it is one. */
-  private def attrName(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Option[String] = e match {
-    // UnresolvedAttribute IS an Attribute whose `name` keeps the qualifier
-    // ("t.partitionKey") — match it first and take the bare last part
+  /** True iff `e` resolves to a column named partitionKey IN `plan` —
+    * by name-parts resolution while unresolved (qualifiers honored), by
+    * exprId membership once resolved. */
+  private def resolvesToKey(
+      plan: LogicalPlan,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+    // UnresolvedAttribute IS an Attribute — match it first
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-      Some(u.nameParts.last)
-    case a: Attribute => Some(a.name)
-    case _ => None
+      plan.resolve(u.nameParts,
+        org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
+        .exists(_.name.equalsIgnoreCase("partitionKey"))
+    case a: Attribute =>
+      a.name.equalsIgnoreCase("partitionKey") && plan.outputSet.contains(a)
+    case _ => false
   }
 
   private def rewrite(m: MergeIntoTable): Option[PolarMergeIntoCommand] = {
@@ -85,11 +87,20 @@ class PolarMergeRewrite extends Rule[LogicalPlan] {
     }
     if (!matchedOk || !notMatchedOk) return None
     if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty) return None
-    // the merge key must be partitionKey = partitionKey
+    // the merge key must be TARGET.partitionKey = SOURCE.partitionKey —
+    // each side must resolve to partitionKey against exactly ONE of the
+    // two children, and the two sides against different ones. A same-side
+    // tautology (t.pk = t.pk) or an ambiguous unqualified pair would
+    // otherwise silently execute a semantically different statement.
     val keyOk = m.mergeCondition match {
       case EqualTo(l, r) =>
-        Seq(l, r).flatMap(attrName)
-          .map(_.toLowerCase) == Seq("partitionkey", "partitionkey")
+        def sides(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          (resolvesToKey(m.targetTable, e), resolvesToKey(m.sourceTable, e))
+        (sides(l), sides(r)) match {
+          case ((true, false), (false, true)) => true
+          case ((false, true), (true, false)) => true
+          case _ => false
+        }
       case _ => false
     }
     if (!keyOk) return None

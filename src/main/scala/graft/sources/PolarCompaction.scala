@@ -53,7 +53,14 @@ object PolarCompaction {
     val merged: Seq[((Int, Vector[FileEntry]), FileEntry)] = plans.map {
       case (p, run) =>
         val suffix = java.util.UUID.randomUUID().toString.take(8)
-        val name = f"${mergedPrefix(run)}${run.head.minOffset}%011d-$suffix.parquet"
+        val pfx = mergedPrefix(run)
+        // an all-kc merge keeps a delete-horizon anchor: the NEWEST member
+        // clean time (tombstones retained longest — the safe direction)
+        val horizon =
+          if (pfx == "kc")
+            s"c${run.map(PolarLogCleaner.cleanedMs).max}-"
+          else ""
+        val name = f"$pfx${run.head.minOffset}%011d-$horizon$suffix.parquet"
         val destPath = s"${cfg.dir}/part=$p/$name"
         val bytes = PolarBatchWrite.copySegments(
           spark, run.map(_.path(cfg)), destPath, delta = 0L)

@@ -60,9 +60,26 @@ object PolarLogCleaner {
   }
 
   /** Kafka's `delete.retention.ms` default (24 h): how long a latest-per-key
-    * tombstone outlives its segment's commit age before the cleaner may
-    * physically drop it. */
+    * tombstone must remain visible AFTER ITS SEGMENT WAS FIRST CLEANED
+    * before the cleaner may physically drop it (KIP-534's delete-horizon
+    * model — anchoring at the produce age instead would let the first pass
+    * over an old tombstone drop it immediately, and a consumer only
+    * minutes behind would never observe the delete fact). */
   val DefaultDeleteRetentionMs: Long = 24L * 3600 * 1000
+
+  /** First-cleaning time of a cleaned segment — the KIP-534 delete-horizon
+    * anchor. Encoded in the `kc` file NAME (`kc<offset>-c<ms>-<uuid>`), so
+    * `createdMs` stays the source commit age that age-based retention
+    * needs. Legacy kc names (pre-r11) fall back to `createdMs`, which
+    * those builds stamped AT clean time — the same anchor. -1 for files
+    * that were never cleaned (their tombstones always survive the pass
+    * that first cleans them). */
+  private[sources] def cleanedMs(f: FileEntry): Long =
+    if (!f.name.startsWith("kc")) -1L
+    else CleanedMsRe.findFirstMatchIn(f.name).map(_.group(1).toLong)
+      .getOrElse(f.createdMs)
+
+  private val CleanedMsRe = "-c(\\d+)-".r
 
   /**
    * Registry-only pass planning — (clean regions by partition, dirty
@@ -81,16 +98,17 @@ object PolarLogCleaner {
   private[sources] def planPass(meta: LogMetadata)
       : (Map[Int, Vector[FileEntry]], Vector[FileEntry],
          Vector[FileEntry], Vector[FileEntry]) = {
-    val regions: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
-      case (p, files) if files.size >= 2 => p -> files.sortBy(_.minOffset).init
+    // one sorted pass per partition yields region AND head — a split
+    // derivation could silently diverge under a future edit
+    val sortedByPart: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
+      case (p, files) if files.size >= 2 => p -> files.sortBy(_.minOffset)
     }
+    val regions = sortedByPart.map { case (p, v) => p -> v.init }
     def isCleaned(f: FileEntry): Boolean = f.name.startsWith("kc")
     (regions,
       regions.valuesIterator.flatten.filterNot(isCleaned).toVector,
       regions.valuesIterator.flatten.filter(isCleaned).toVector,
-      meta.filesByPart.collect {
-        case (_, files) if files.size >= 2 => files.sortBy(_.minOffset).last
-      }.toVector)
+      sortedByPart.valuesIterator.map(_.last).toVector)
   }
 
   /** Clean every partition whose clean region holds superseded records.
@@ -138,19 +156,24 @@ object PolarLogCleaner {
       survivors = survivors.filter(
         col("value").isNotNull || col("partitionKey").isNull)
     else {
-      // delete.retention.ms: a latest-per-key tombstone propagates the
-      // delete fact to slow consumers for the window, then expires. Age is
-      // segment-granular (Kafka's model): the per-partition offset bound
-      // covers region files committed before the horizon, and only
-      // tombstones inside that bound drop.
+      // delete.retention.ms (KIP-534): a latest-per-key tombstone survives
+      // its FIRST cleaning unconditionally, then expires once the window
+      // has passed since that cleaning. Age is segment-granular: only
+      // already-cleaned (kc) region files whose first-cleaning time is
+      // older than the horizon contribute to the per-partition offset
+      // bound; dirty-region tombstones are never expired by the pass that
+      // first cleans them. A re-clean restamps the segment's clean time,
+      // so tombstones may outlive Kafka's exact horizon under churn —
+      // conservative in the safe (retain-longer) direction.
       val window = deleteRetentionMs
         .orElse(meta.props.get(graft.log.TopicProps.DeleteRetentionMs)
           .flatMap(v => scala.util.Try(v.trim.toLong).toOption))
         .getOrElse(DefaultDeleteRetentionMs)
       val horizon = nowMs - math.max(window, 0L)
       val expiredBound: Seq[(Int, Long)] = regions.toSeq.collect {
-        case (p, v) if v.exists(_.createdMs < horizon) =>
-          p -> v.filter(_.createdMs < horizon).map(_.maxOffset).max
+        case (p, v) if v.exists(f => cleanedMs(f) >= 0 && cleanedMs(f) < horizon) =>
+          p -> v.filter(f => cleanedMs(f) >= 0 && cleanedMs(f) < horizon)
+            .map(_.maxOffset).max
       }
       if (expiredBound.nonEmpty) {
         val boundExpr = element_at(
@@ -208,7 +231,9 @@ object PolarLogCleaner {
         }
         def open(p: Int, firstOffset: Long): Unit = {
           part = p
-          name = f"kc$firstOffset%011d-" +
+          // `-c<nowMs>-` = this pass's clean time, the KIP-534 tombstone
+          // delete-horizon anchor (see cleanedMs)
+          name = f"kc$firstOffset%011d-c$nowMs-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
           writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf)
           lo = firstOffset; n = 0L; approxBytes = 0L

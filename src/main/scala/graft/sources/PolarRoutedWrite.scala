@@ -186,15 +186,22 @@ class PolarRoutedDataWriter(
     maxFileBytes: Long) extends DataWriter[InternalRow] {
 
   private val topicIdx = schema.fieldIndex("topic")
+  private val valueIdx = schema.fieldIndex("value")
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, PolarDataWriter]
+  // per-topic max.message.bytes, resolved from the same root-doc read that
+  // supplies the offset bases (-1 = uncapped, the common case — then the
+  // per-row check is one integer compare). The routed path cannot bake the
+  // cap into the envelope like a single-topic produce (destinations are
+  // data-dependent), so this is the broker-side append check, per Kafka.
+  private val caps = scala.collection.mutable.HashMap.empty[String, Int]
 
   override def write(row: InternalRow): Unit = {
     if (row.isNullAt(topicIdx)) throw new IllegalArgumentException(
       "row-routed produce: the 'topic' column must not be null " +
         "(set a 'topic' write option for a single-topic default)")
     val t = row.getUTF8String(topicIdx).toString
-    writers.getOrElseUpdate(t, {
+    val w = writers.getOrElseUpdate(t, {
       if (!TopicConfig.validTopicName(t)) throw new IllegalArgumentException(
         s"Invalid topic name in 'topic' column: '$t'")
       val cfg = template.topicConfig(t)
@@ -202,9 +209,17 @@ class PolarRoutedDataWriter(
       require(meta.clusterSize == cfg.clusterSize &&
           meta.rangesPerToken == cfg.rangesPerToken,
         s"topic $t exists with different ring layout")
+      caps(t) = meta.props.get(graft.log.TopicProps.MaxMessageBytes)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ > 0).getOrElse(-1)
       new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
         taskId, maxFileBytes)
-    }).write(row)
+    })
+    val cap = caps.getOrElse(t, -1)
+    if (cap >= 0 && !row.isNullAt(valueIdx) && row.getBinary(valueIdx).length > cap)
+      throw new IllegalArgumentException(
+        s"record value exceeds topic '$t' max.message.bytes=$cap")
+    w.write(row)
   }
 
   override def commit(): WriterCommitMessage =

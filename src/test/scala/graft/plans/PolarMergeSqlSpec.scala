@@ -125,7 +125,37 @@ class PolarMergeSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       ON t.value = s.value
       WHEN MATCHED THEN UPDATE SET *""") }
     assert(e3.getMessage != null)
-    // and the view is untouched by all three refusals
+    // same-side tautologies must NOT rewrite: under real MERGE semantics
+    // they match every source row against every target row — silently
+    // running the keyed upsert instead would execute a different statement
+    val e4 = intercept[Exception] { spark.sql("""
+      MERGE INTO polar.msql4 t USING chg5_src s
+      ON t.partitionKey = t.partitionKey
+      WHEN MATCHED THEN UPDATE SET *""") }
+    assert(e4.getMessage != null)
+    val e5 = intercept[Exception] { spark.sql("""
+      MERGE INTO polar.msql4 t USING chg5_src s
+      ON s.partitionKey = s.partitionKey
+      WHEN MATCHED THEN UPDATE SET *""") }
+    assert(e5.getMessage != null)
+    // and the view is untouched by all five refusals
     assert(view("msql4") === Map("a" -> "1"))
+  }
+
+  test("source column casing follows the resolver: PARTITIONKEY/VALUE merges fine") {
+    spark.sql("CREATE TABLE polar.msql5")
+    mkSource("base5_src", Seq("a" -> "1"))
+    spark.sql("INSERT INTO polar.msql5 SELECT * FROM base5_src")
+    val spark2 = spark; import spark2.implicits._
+    Seq(("a", "2"), ("b", "2")).toDF("PARTITIONKEY", "v")
+      .selectExpr("PARTITIONKEY", "current_timestamp() AS TIMESTAMP",
+        "CAST(v AS BINARY) AS VALUE")
+      .createOrReplaceTempView("chg6_src")
+    spark.sql("""
+      MERGE INTO polar.msql5 t USING chg6_src s
+      ON t.partitionKey = s.PARTITIONKEY
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(view("msql5") === Map("a" -> "2", "b" -> "2"))
   }
 }

@@ -236,18 +236,24 @@ class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE polar_dr.kc_delret SET TBLPROPERTIES " +
       "('delete.retention.ms' = '86400000')")
     assert(LogMetadata.read(cfg).props(TopicProps.DeleteRetentionMs) === "86400000")
-    // pass 1, inside the window: v1 predecessors drop, tombstones SURVIVE
-    val removed1 = PolarLogCleaner.cleanKeys(spark, cfg, nowMs = now)
+    // pass 1, clocked PAST the window already: tombstones still SURVIVE —
+    // KIP-534 anchors the horizon at the segment's FIRST CLEANING, never
+    // the produce age, so the pass that first cleans a tombstone can't
+    // drop it (a consumer minutes behind must observe the delete fact)
+    val removed1 = PolarLogCleaner.cleanKeys(spark, cfg,
+      nowMs = now + 2L * 86400000L)
     assert(removed1 === 30L, s"removed $removed1")
     val raw1 = PolarLog.consume(spark, cfg)
     assert(raw1.filter(col("value").isNull).count() === 10L,
-      "tombstones inside delete.retention.ms must survive")
-    // pass 2, clocked past the window: the cleaned segment carries the
-    // SOURCE commit age forward, so the horizon sees the original age and
-    // the tombstones expire
+      "a tombstone must survive the pass that first cleans it")
+    // pass 2, still inside the window SINCE CLEANING: survive again
     val removed2 = PolarLogCleaner.cleanKeys(spark, cfg,
-      nowMs = now + 2L * 86400000L)
-    assert(removed2 === 10L, s"removed $removed2")
+      nowMs = now + 2L * 86400000L + 1000L)
+    assert(removed2 === 0L, s"removed $removed2")
+    // pass 3, past the window since cleaning: the tombstones expire
+    val removed3 = PolarLogCleaner.cleanKeys(spark, cfg,
+      nowMs = now + 4L * 86400000L)
+    assert(removed3 === 10L, s"removed $removed3")
     assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 0L)
     // the non-tombstoned keys are untouched throughout
     assert(compacted(cfg)("1") === "v2:1")

@@ -319,6 +319,35 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, cfg).count() === 1)
   }
 
+  test("row-routed write honors per-topic max.message.bytes at the append") {
+    import graft.log.{LogMetadata, RingTemplate, TopicProps}
+    val root = Files.createTempDirectory("polar_routed_max").toString
+    val s = spark
+    import s.implicits._
+    // pre-create the capped topic and set its prop; 'wide' stays uncapped
+    val capped = TopicConfig(root, "cap4")
+    PolarLog.produce(Seq(("seed", "x")).toDF("partitionKey", "value"), capped)
+    LogMetadata.compareAndSet(capped, LogMetadata.read(capped))(m =>
+      m.copy(props = Map(TopicProps.MaxMessageBytes -> "4")))
+    val rows = Seq(("cap4", "k1", "0123456789"), ("wide", "k2", "0123456789"))
+      .toDF("topic", "partitionKey", "value")
+    val ex = intercept[Exception] {
+      PolarLog.produceRouted(rows, RingTemplate(root))
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("max.message.bytes")),
+      chain(ex).mkString("; "))
+    // nothing from the failed produce became visible on the capped topic
+    assert(PolarLog.consume(spark, capped).count() === 1)
+    // rows within every destination's cap route fine
+    PolarLog.produceRouted(
+      Seq(("cap4", "k1", "ok"), ("wide", "k2", "0123456789"))
+        .toDF("topic", "partitionKey", "value"), RingTemplate(root))
+    assert(PolarLog.consume(spark, capped).count() === 2)
+    assert(PolarLog.consume(spark, TopicConfig(root, "wide")).count() === 1)
+  }
+
   test("invalid topic names are rejected at config time") {
     for (bad <- Seq("", "a/b", "_reserved", ".hidden", "sp ace")) {
       intercept[IllegalArgumentException] {
