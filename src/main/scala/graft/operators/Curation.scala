@@ -113,7 +113,7 @@ object Curation {
     * O(g² · tokenize) (measured: the repetition gate dropped ~100× with
     * this binding). `transform` over a one-element array evaluates the
     * element once and binds it. */
-  private def bindOnce(arr: Column)(body: Column => Column): Column =
+  private[operators] def bindOnce(arr: Column)(body: Column => Column): Column =
     element_at(transform(array(arr), body), 1)
 
   /** All word n-grams of a document IN ORDER (repeats kept — the counting
@@ -388,26 +388,34 @@ object Curation {
       maxMeanLen: Double = 10.0,
       maxDupFrac: Double = 0.6,
       minStopwords: Int = 2): DataFrame = {
-    val words = TextAnalysis.tokens(col(textCol))
-    val n = size(words).cast("long")
-    val meanLen = when(n > 0,
-      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
-        n.cast("double")).otherwise(lit(0.0))
-    val dup = dupWordFrac(col(textCol))
-    val stops = size(filter(
-      typedLit(Seq("the", "a", "of", "to", "and", "in")),
-      s => array_contains(words, s)))
-    val checks: Seq[(String, Column)] = Seq(
-      "dup_words" -> (dup > maxDupFrac),
-      "mean_word_len" -> (meanLen < minMeanLen || meanLen > maxMeanLen),
-      "stopwords" -> (stops < minStopwords),
-      "too_long" -> (n > maxWords),
-      "too_short" -> (n < minWords))
-    val reasonArr = array(checks.map { case (nm, fail) =>
-      when(fail, lit(nm)).otherwise(lit(null).cast("string"))
-    }: _*)
-    df.select(col(idCol), n.as("n_words"),
+    // every rule reads the SAME token array — bound once per row (a bare
+    // `tokens(text)` reference per rule would re-tokenize ~9x: size,
+    // mean-length aggregate, dup fraction, 6 stopword containment probes)
+    val sig = bindOnce(TextAnalysis.tokens(col(textCol))) { words =>
+      val n = size(words).cast("long")
+      val meanLen = when(n > 0,
+        aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
+          n.cast("double")).otherwise(lit(0.0))
+      // same formula as dupWordFrac, over the bound array
+      val dup = round((size(words) - size(array_distinct(words))).cast("double") /
+        greatest(size(words), lit(1)).cast("double"), 6)
+      val stops = size(filter(
+        typedLit(Seq("the", "a", "of", "to", "and", "in")),
+        s => array_contains(words, s)))
+      val checks: Seq[(String, Column)] = Seq(
+        "dup_words" -> (dup > maxDupFrac),
+        "mean_word_len" -> (meanLen < minMeanLen || meanLen > maxMeanLen),
+        "stopwords" -> (stops < minStopwords),
+        "too_long" -> (n > maxWords),
+        "too_short" -> (n < minWords))
+      val reasonArr = array(checks.map { case (nm, fail) =>
+        when(fail, lit(nm)).otherwise(lit(null).cast("string"))
+      }: _*)
+      struct(n.as("n"),
         array_join(filter(reasonArr, x => x.isNotNull), ",").as("reasons"))
+    }
+    df.select(col(idCol), sig.getField("n").as("n_words"),
+        sig.getField("reasons").as("reasons"))
       .withColumn("keep", col("reasons") === "")
       .select(col(idCol), col("n_words"), col("keep"), col("reasons"))
   }

@@ -113,9 +113,15 @@ object TextAnalysis {
 
   def langId(text: Column): Column = {
     val scores = langScores(text)
-    val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(s > 0 && s === maxScore, lit(lang)).otherwise(els)
+    // bind the five marker counts ONCE per row: referencing each score in
+    // both the max and its own comparison would re-run every regexp_count
+    // ~3x (Catalyst inlines per reference — see Curation.bindOnce)
+    Curation.bindOnce(array(scores.map(_._2): _*)) { arr =>
+      val maxScore = array_max(arr)
+      scores.zipWithIndex.foldRight(lit("und")) { case (((lang, _), i), els) =>
+        val s = element_at(arr, i + 1)
+        when(s > 0 && s === maxScore, lit(lang)).otherwise(els)
+      }
     }
   }
 
