@@ -37,6 +37,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** `transform(vec, x => x / nrm)` with the O(dim) norm BOUND once per
+    * row — written inline in the lambda, Catalyst re-evaluates the norm
+    * per element (O(dim²) per row at encode time; at real embedding
+    * widths the quadratic IS the encode cost). Value-identical to the
+    * inline form, including null/zero-vector behavior. */
+  private def divByNormOnce(vec: Column, nrm: Column): Column =
+    Curation.bindOnce(nrm)(n => transform(vec, x => x / n))
+
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.vec_cosine(a, b)
 
@@ -977,8 +985,8 @@ object Similarity {
     // full-vector normalization (cast back to float for the kmeans
     // reader) so trained centroids live on the same unit scale the
     // encoder compares against
-    val vn = transform(col(vecCol),
-      x => (x.cast("double") / norm(col(vecCol))).cast("float"))
+    val vn = Curation.bindOnce(norm(col(vecCol)))(n =>
+      transform(col(vecCol), x => (x.cast("double") / n).cast("float")))
     Array.tabulate(m) { j =>
       val projected = df.select(col(idCol),
         slice(vn, j * sub + 1, sub).as("__sub"))
@@ -1016,8 +1024,7 @@ object Similarity {
     // unit vectors, materialized behind the same size-gated barrier as
     // [[sq8TopK]] (without the cut, projection collapse inlines the norm
     // into every per-element division — O(dim²) per encode probe)
-    val vn = transform(col(vecCol).cast("array<double>"),
-      x => x / norm(col(vecCol)))
+    val vn = divByNormOnce(col(vecCol).cast("array<double>"), norm(col(vecCol)))
     val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
     val unit = graft.Materialize.pinBySize(unitBase, df, materializeMaxRows)
     def codeOf(j: Int): Column =
@@ -1200,8 +1207,7 @@ object Similarity {
       idCol: String,
       codebooks: Array[Array[Array[Double]]],
       path: String): Unit = {
-    val vn = transform(col(vecCol).cast("array<double>"),
-      x => x / norm(col(vecCol)))
+    val vn = divByNormOnce(col(vecCol).cast("array<double>"), norm(col(vecCol)))
     val unit = graft.Materialize.localCheckpoint(
       df.select(col(idCol).as("id"), vn.as("v")))
     unit.select(col("id") +: pqCodes(codebooks, col("v")): _*)
@@ -1387,8 +1393,7 @@ object Similarity {
     // InMemoryRelation is the same projection barrier but KEEPS lineage,
     // so an executor loss recomputes its blocks (and spills to disk past
     // memory) instead of failing on a truncated RDD.
-    val vn = transform(col(vecCol).cast("array<double>"),
-      x => x / norm(col(vecCol)))
+    val vn = divByNormOnce(col(vecCol).cast("array<double>"), norm(col(vecCol)))
     val unitBase = df.select(col(idCol).as("id"), vn.as("v"))
     val unit = graft.Materialize.pinBySize(unitBase, df, materializeMaxRows)
     // one scalar stat: the corpus-wide max |component| (max is exact, so
@@ -1542,8 +1547,7 @@ object Similarity {
       .map { case (c, i) => i -> cosSimD(queryVec.map(_.toDouble), c) }
       .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
 
-    val vn = transform(col(vecCol).cast("array<double>"),
-      x => x / norm(col(vecCol)))
+    val vn = divByNormOnce(col(vecCol).cast("array<double>"), norm(col(vecCol)))
     val baseAll = df
       .select(col(idCol).as("id"), vn.as("vn"),
         cellOf(cents.map(_.toSeq))(col(vecCol)).as("cell"))
@@ -1598,8 +1602,7 @@ object Similarity {
       val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
       q.map(_ / n)
     }
-    val vn = transform(col(vecCol).cast("array<double>"),
-      x => x / norm(col(vecCol)))
+    val vn = divByNormOnce(col(vecCol).cast("array<double>"), norm(col(vecCol)))
     val cand = df
       .select(col(idCol).as("id"), vn.as("vn"),
         dot(vn, typedLit(qn)).as("rel"))
