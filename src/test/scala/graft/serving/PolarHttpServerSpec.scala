@@ -137,8 +137,19 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array.emptyByteArray).statusCode() === 200)
     assert(get(s"/v1/admin/topics/config?topic=$topic").body()
       .contains(""""config":{}"""))
-    // malformed value / unknown key refuse
+    // -1 is the VALID retention-disabled sentinel (kafka-configs parity)
     assert(post(s"/v1/admin/topics/config?topic=$topic&key=retention.ms&value=-1",
+      Array.emptyByteArray).statusCode() === 200)
+    assert(get(s"/v1/admin/topics/config?topic=$topic").body()
+      .contains(""""retention.ms":"-1""""))
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=retention.ms",
+      Array.emptyByteArray).statusCode() === 200)
+    // malformed value / unknown key refuse
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=retention.ms&value=-2",
+      Array.emptyByteArray).statusCode() === 400)
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=delete.retention.ms&value=-5",
+      Array.emptyByteArray).statusCode() === 400)
+    assert(post(s"/v1/admin/topics/config?topic=$topic&key=max.message.bytes&value=0",
       Array.emptyByteArray).statusCode() === 400)
     assert(post(s"/v1/admin/topics/config?topic=$topic&key=nope&value=1",
       Array.emptyByteArray).statusCode() === 400)
