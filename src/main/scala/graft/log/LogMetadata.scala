@@ -61,8 +61,11 @@ object TopicProps {
   val MinCleanableDirtyRatio = "min.cleanable.dirty.ratio"
   /** Per-topic produce-side record size cap (Kafka's `max.message.bytes`). */
   val MaxMessageBytes = "max.message.bytes"
+  /** Per-topic segment roll size (Kafka's `segment.bytes`): writers seal a
+    * data file when it reaches this size; also caps compaction run sizes. */
+  val SegmentBytes = "segment.bytes"
   val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy,
-    DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes)
+    DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes, SegmentBytes)
 
   /** Validate one recognized (key, value); throws on a malformed value.
     * Returns false for unrecognized keys (callers decide refuse/ignore). */
@@ -90,6 +93,10 @@ object TopicProps {
     case MaxMessageBytes =>
       require(scala.util.Try(value.trim.toInt).toOption.exists(_ > 0),
         s"$MaxMessageBytes must be a positive integer of bytes, got '$value'")
+      true
+    case SegmentBytes =>
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ > 0L),
+        s"$SegmentBytes must be a positive integer of bytes, got '$value'")
       true
     case _ => false
   }

@@ -87,6 +87,16 @@ object PolarLog {
       .filter(_ > 0)
       .getOrElse(fallback)
 
+  /** The segment roll size for a topic: its `segment.bytes` prop when
+    * configured, else the caller's value — same authority rule as
+    * [[effectiveMaxMessageSize]]. */
+  private[graft] def effectiveMaxFileBytes(
+      props: Map[String, String], fallback: Long): Long =
+    props.get(TopicProps.SegmentBytes)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0L)
+      .getOrElse(fallback)
+
   /**
    * Append records to a topic. Input needs a `value` column (binary or
    * string); `partitionKey` (string) and `timestamp` are optional.
@@ -185,7 +195,8 @@ object PolarLog {
       .option("topic", cfg.topic)
       .option("clusterSize", cfg.clusterSize.toString)
       .option("rangesPerToken", cfg.rangesPerToken.toString)
-      .option("maxFileBytes", maxFileBytes.toString)
+      .option("maxFileBytes",
+        effectiveMaxFileBytes(meta0.props, maxFileBytes).toString)
     txn.foreach { case (sinkId, batchId) =>
       writer = writer.option("txnSinkId", sinkId)
         .option("txnBatchId", batchId.toString)
@@ -354,19 +365,21 @@ object PolarLog {
       maxFileBytes: Long = graft.sources.PolarWrite.DefaultMaxFileBytes)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     graft.GraftSession.ensureFunctions(df.sparkSession)
-    // per-topic max.message.bytes resolved once at stream-build time (the
-    // size check is compiled into the plan); a later config change takes
-    // effect on query restart, same as a Kafka producer's metadata refresh
-    val cap = effectiveMaxMessageSize(
-      try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty },
-      maxMessageSize)
-    envelope(df, cfg, orderBy, cap).writeStream
+    // per-topic max.message.bytes / segment.bytes resolved once at
+    // stream-build time (the size check is compiled into the plan); a
+    // later config change takes effect on query restart, same as a Kafka
+    // producer's metadata refresh
+    val props =
+      try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty[String, String] }
+    envelope(df, cfg, orderBy, effectiveMaxMessageSize(props, maxMessageSize))
+      .writeStream
       .format("polar")
       .option("root", cfg.root)
       .option("topic", cfg.topic)
       .option("clusterSize", cfg.clusterSize.toString)
       .option("rangesPerToken", cfg.rangesPerToken.toString)
-      .option("maxFileBytes", maxFileBytes.toString)
+      .option("maxFileBytes",
+        effectiveMaxFileBytes(props, maxFileBytes).toString)
       .outputMode("append")
   }
 

@@ -43,8 +43,10 @@ object PolarCompaction {
       deleteOriginals: Boolean = true): Int = {
     val meta = LogMetadata.read(cfg)
     val plans = meta.filesByPart.toSeq.sortBy(_._1).flatMap { case (p, files) =>
+      // merged runs cap at the topic's segment.bytes when configured
       runsOf(files.sortBy(_.minOffset), smallBytes, minRun,
-          PolarWrite.DefaultMaxFileBytes)
+          graft.log.PolarLog.effectiveMaxFileBytes(
+            meta.props, PolarWrite.DefaultMaxFileBytes))
         .map(run => p -> run)
     }
     if (plans.isEmpty) return 0

@@ -134,6 +134,8 @@ object PolarLogCleaner {
     val meta = LogMetadata.read(cfg)
     val (regions, regionDirty, regionKc, heads) = planPass(meta)
     if (regions.isEmpty) return 0L
+    // cleaned segments roll at the topic's own segment.bytes when set
+    val rollBytes = PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)
 
     val dirtyRegionRows = PolarLog.consumeFiles(spark, cfg, regionDirty)
     val kcRows = PolarLog.consumeFiles(spark, cfg, regionKc)
@@ -241,7 +243,7 @@ object PolarLogCleaner {
         }
         it.foreach { row =>
           val p = row.getInt(5)
-          if (p != part || approxBytes >= maxFileBytes) {
+          if (p != part || approxBytes >= rollBytes) {
             seal()
             open(p, row.getLong(2))
           }

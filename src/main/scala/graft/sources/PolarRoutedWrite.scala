@@ -212,8 +212,9 @@ class PolarRoutedDataWriter(
       caps(t) = meta.props.get(graft.log.TopicProps.MaxMessageBytes)
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
         .filter(_ > 0).getOrElse(-1)
+      // per-topic segment.bytes governs this destination's roll size
       new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
-        taskId, maxFileBytes)
+        taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes))
     })
     val cap = caps.getOrElse(t, -1)
     if (cap >= 0 && !row.isNullAt(valueIdx) && row.getBinary(valueIdx).length > cap)

@@ -470,6 +470,36 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0)
   }
 
+  test("per-topic segment.bytes governs the roll size on direct and routed produces") {
+    import graft.log.{LogMetadata, RingTemplate, TopicProps}
+    val root = Files.createTempDirectory("polar_segbytes").toString
+    val cfg = TopicConfig(root, "segb")
+    // padded values so every partition holds several roll units
+    val fat = records.withColumn("value",
+      rpad(col("value").cast("string"), 512, "x").cast("binary"))
+    // create, then configure a tiny roll size on the TOPIC (no write option)
+    PolarLog.produce(fat.limit(1), cfg)
+    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg))(m =>
+      m.copy(props = Map(TopicProps.SegmentBytes -> "4096")))
+    PolarLog.produce(fat, cfg) // default maxFileBytes, prop must win
+    val perPart = LogMetadata.read(cfg).files.groupBy(_.part)
+    assert(perPart.values.exists(_.size > 2),
+      s"prop roll size ignored: ${perPart.view.mapValues(_.size).toMap}")
+    assert(PolarLog.consume(spark, cfg).count() === fat.count() + 1)
+    // the routed path resolves the same prop per destination
+    val routedRoot = Files.createTempDirectory("polar_segbytes_r").toString
+    val rCfg = TopicConfig(routedRoot, "segr")
+    PolarLog.produce(fat.limit(1), rCfg)
+    LogMetadata.compareAndSet(rCfg, LogMetadata.read(rCfg))(m =>
+      m.copy(props = Map(TopicProps.SegmentBytes -> "4096")))
+    PolarLog.produceRouted(
+      fat.withColumn("topic", lit("segr")), RingTemplate(routedRoot))
+    val routedPerPart = LogMetadata.read(rCfg).files.groupBy(_.part)
+    assert(routedPerPart.values.exists(_.size > 2),
+      s"routed roll ignored: ${routedPerPart.view.mapValues(_.size).toMap}")
+    assert(PolarLog.consume(spark, rCfg).count() === fat.count() + 1)
+  }
+
   test("planning is metadata-only: unregistered files are invisible; vacuum reclaims them") {
     val root = Files.createTempDirectory("polar_write_orphan").toString
     val cfg = TopicConfig(root, "w")
