@@ -130,9 +130,22 @@ object PolarLog {
       // row-routed produce: keep the per-row `topic` column in the
       // envelope (the routed write clusters and commits by it)
       keepTopic: Boolean): DataFrame = {
+    // resolver-consistent intake: `withColumn` below REPLACES an existing
+    // column case-insensitively (Spark's default resolver), so a frame
+    // carrying PARTITIONKEY/TIMESTAMP would otherwise pass the exact-case
+    // `contains` checks as "absent" and get its keys silently NULLed (and
+    // its event times replaced with wall clock). Normalize the producer
+    // column names first, then the exact-case logic is sound — and the
+    // byte-layout writers (fieldIndex is case-SENSITIVE) see the
+    // canonical spelling.
+    val canonical = Seq("partitionKey", "timestamp", "value", "topic")
+      .foldLeft(df) { (d, name) =>
+        d.columns.find(c => c != name && c.equalsIgnoreCase(name))
+          .map(c => d.withColumnRenamed(c, name)).getOrElse(d)
+      }
     val withKey =
-      if (df.columns.contains("partitionKey")) df
-      else df.withColumn("partitionKey", lit(null).cast(StringType))
+      if (canonical.columns.contains("partitionKey")) canonical
+      else canonical.withColumn("partitionKey", lit(null).cast(StringType))
     val withTs =
       if (withKey.columns.contains("timestamp")) withKey
       else withKey.withColumn("timestamp", current_timestamp())
@@ -142,14 +155,19 @@ object PolarLog {
     // null values pass: they are legal records (and the compacted view's
     // tombstones); length(NULL) <= max is NULL, which would otherwise fall
     // through to the error branch
-    val sized = withTs.withColumn("value",
-      when(col("value").isNull ||
-          length(col("value").cast(BinaryType)) <= maxMessageSize,
-        col("value").cast(BinaryType))
-        .otherwise(raise_error(concat(
-          lit(s"record value exceeds maxMessageSize=$maxMessageSize bytes: "),
-          length(col("value").cast(BinaryType)).cast(StringType)))
-          .cast(BinaryType)))
+    val sized =
+      if (maxMessageSize == Int.MaxValue)
+        // routed produce: per-destination caps are enforced at the append
+        // (a topic prop may be wider than any single inline bound)
+        withTs.withColumn("value", col("value").cast(BinaryType))
+      else withTs.withColumn("value",
+        when(col("value").isNull ||
+            length(col("value").cast(BinaryType)) <= maxMessageSize,
+          col("value").cast(BinaryType))
+          .otherwise(raise_error(concat(
+            lit(s"record value exceeds maxMessageSize=$maxMessageSize bytes: "),
+            length(col("value").cast(BinaryType)).cast(StringType)))
+            .cast(BinaryType)))
     val order = if (orderBy.nonEmpty) orderBy
       else Seq(col("timestamp"), xxhash64(col("value")))
     val orderCols = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
@@ -261,7 +279,10 @@ object PolarLog {
       when(col("partitionKey").isNotNull, col("partitionKey").cast(StringType))
         .otherwise(raise_error(lit("merge requires a non-null partitionKey"))
           .cast(StringType)).as("partitionKey"),
-      col("timestamp"), col("value").cast(BinaryType).as("value"))
+      // alias: col() resolves a case-variant source column but would keep
+      // its spelling, and the produce envelope must see the canonical name
+      col("timestamp").as("timestamp"),
+      col("value").cast(BinaryType).as("value"))
     // SQL MERGE (and Delta, the model here) error on duplicate source
     // matches — two rows for one key would make the post-merge view
     // depend on an arbitrary tie-break, so refuse loudly instead. One
@@ -312,14 +333,19 @@ object PolarLog {
     graft.GraftSession.ensureFunctions(spark)
     require(df.columns.contains("topic"),
       "row-routed produce requires a 'topic' column")
+    // destinations are data-dependent, so the record-size cap CANNOT be
+    // baked into the envelope (a topic prop may be wider OR narrower than
+    // the server default) — the routed writer enforces it per destination
+    // at the append; Int.MaxValue disables the envelope-level check
     envelope(df, template.clusterSize, template.rangesPerToken, orderBy,
-      maxMessageSize, keepTopic = true)
+      Int.MaxValue, keepTopic = true)
       .write
       .format("polar")
       .option("root", template.root)
       .option("clusterSize", template.clusterSize.toString)
       .option("rangesPerToken", template.rangesPerToken.toString)
       .option("maxFileBytes", maxFileBytes.toString)
+      .option("maxMessageSize", maxMessageSize.toString)
       .mode("append").save()
   }
 
@@ -336,14 +362,16 @@ object PolarLog {
     graft.GraftSession.ensureFunctions(df.sparkSession)
     require(df.columns.contains("topic"),
       "row-routed produce requires a 'topic' column")
+    // per-destination caps enforced at the append (see produceRouted)
     envelope(df, template.clusterSize, template.rangesPerToken, orderBy,
-      maxMessageSize, keepTopic = true)
+      Int.MaxValue, keepTopic = true)
       .writeStream
       .format("polar")
       .option("root", template.root)
       .option("clusterSize", template.clusterSize.toString)
       .option("rangesPerToken", template.rangesPerToken.toString)
       .option("maxFileBytes", maxFileBytes.toString)
+      .option("maxMessageSize", maxMessageSize.toString)
       .outputMode("append")
   }
 

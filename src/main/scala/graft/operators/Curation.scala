@@ -125,13 +125,16 @@ object Curation {
           i => concat_ws(" ", slice(words, i + 1, lit(n)))))
     }
 
+  /** [[dupWordFrac]] over an already-bound token array — the one formula
+    * both the standalone metric and the Gopher gate score with. */
+  private def dupFracOfTokens(words: Column): Column =
+    round((size(words) - size(array_distinct(words))).cast("double") /
+      greatest(size(words), lit(1)).cast("double"), 6)
+
   /** Fraction of word occurrences beyond each word's first — 0 for a
     * document of all-distinct words, →1 as it degenerates to repetition. */
   def dupWordFrac(text: Column): Column =
-    bindOnce(TextAnalysis.tokens(text)) { words =>
-      round((size(words) - size(array_distinct(words))).cast("double") /
-        greatest(size(words), lit(1)).cast("double"), 6)
-    }
+    bindOnce(TextAnalysis.tokens(text))(dupFracOfTokens)
 
   /** The most frequent n-gram's share of the document's characters
     * (count × gram length / doc length) — the Gopher "top n-gram character
@@ -396,9 +399,7 @@ object Curation {
       val meanLen = when(n > 0,
         aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
           n.cast("double")).otherwise(lit(0.0))
-      // same formula as dupWordFrac, over the bound array
-      val dup = round((size(words) - size(array_distinct(words))).cast("double") /
-        greatest(size(words), lit(1)).cast("double"), 6)
+      val dup = dupFracOfTokens(words)
       val stops = size(filter(
         typedLit(Seq("the", "a", "of", "to", "and", "in")),
         s => array_contains(words, s)))

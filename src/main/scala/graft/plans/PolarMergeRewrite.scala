@@ -56,17 +56,18 @@ class PolarMergeRewrite extends Rule[LogicalPlan] {
 
   /** True iff `e` resolves to a column named partitionKey IN `plan` —
     * by name-parts resolution while unresolved (qualifiers honored), by
-    * exprId membership once resolved. */
+    * exprId membership once resolved. Uses the SESSION resolver, so under
+    * spark.sql.caseSensitive=true the rewrite only fires on conditions
+    * vanilla analysis would also resolve. */
   private def resolvesToKey(
       plan: LogicalPlan,
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
     // UnresolvedAttribute IS an Attribute — match it first
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-      plan.resolve(u.nameParts,
-        org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
-        .exists(_.name.equalsIgnoreCase("partitionKey"))
+      plan.resolve(u.nameParts, conf.resolver)
+        .exists(a => conf.resolver(a.name, "partitionKey"))
     case a: Attribute =>
-      a.name.equalsIgnoreCase("partitionKey") && plan.outputSet.contains(a)
+      conf.resolver(a.name, "partitionKey") && plan.outputSet.contains(a)
     case _ => false
   }
 
@@ -118,8 +119,9 @@ class PolarMergeRewrite extends Rule[LogicalPlan] {
     // the source must be resolved and carry the producer shape the log
     // merge consumes; star expansion never runs (no assignments survive)
     if (!m.sourceTable.resolved) return None
-    val srcCols = m.sourceTable.output.map(_.name.toLowerCase)
-    if (!srcCols.contains("partitionkey") || !srcCols.contains("value"))
+    val srcCols = m.sourceTable.output.map(_.name)
+    if (!srcCols.exists(conf.resolver(_, "partitionKey")) ||
+        !srcCols.exists(conf.resolver(_, "value")))
       return None
     Some(PolarMergeIntoCommand(cfg, m.sourceTable,
       matchedUpdate = m.matchedActions.nonEmpty,

@@ -208,6 +208,18 @@ object PolarLogCleaner {
     //    maxFileBytes size bound every other write path honors
     val needySet = needy.keySet
     val dir = cfg.dir
+    // KIP-534 horizon preservation across re-cleans: rows sourced from an
+    // EARLIER pass's kc files (offsets below the partition's first dirty
+    // offset) keep that pass's clean time; only newly cleaned rows get
+    // stamped with this pass's. A single whole-region stamp would reset
+    // every tombstone's delete horizon on each re-clean, and a topic
+    // cleaned more often than delete.retention.ms would retain its
+    // tombstones FOREVER. The writer force-rolls at the kc/dirty boundary
+    // so the two stamps never share a file.
+    val dirtyBoundary: Map[Int, Long] = regionDirty.groupBy(_.part)
+      .map { case (p, fs) => p -> fs.map(_.minOffset).min }
+    val kcStamp: Map[Int, Long] = regionKc.groupBy(_.part)
+      .map { case (p, fs) => p -> fs.map(cleanedMs).min }
     val entries: Map[Int, Vector[FileEntry]] = survivors
       .filter(col("part").isInCollection(needySet.map(Integer.valueOf)))
       .select(col("partitionKey"), col("token"), col("offset"),
@@ -224,6 +236,7 @@ object PolarLogCleaner {
         var name: String = null
         var lo = 0L; var hi = 0L; var n = 0L
         var approxBytes = 0L
+        var belowBoundary = false
         var tsMin = Long.MaxValue; var tsMax = Long.MinValue; var tsNulls = 0L
         val buf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
         def seal(): Unit = if (writer != null) {
@@ -233,9 +246,13 @@ object PolarLogCleaner {
         }
         def open(p: Int, firstOffset: Long): Unit = {
           part = p
-          // `-c<nowMs>-` = this pass's clean time, the KIP-534 tombstone
-          // delete-horizon anchor (see cleanedMs)
-          name = f"kc$firstOffset%011d-c$nowMs-" +
+          // `-c<ms>-` = the segment's delete-horizon anchor (see cleanedMs):
+          // the PREVIOUS pass's clean time for kc-sourced rows, this
+          // pass's for newly cleaned ones
+          belowBoundary =
+            firstOffset < dirtyBoundary.getOrElse(p, Long.MaxValue)
+          val stamp = if (belowBoundary) kcStamp.getOrElse(p, nowMs) else nowMs
+          name = f"kc$firstOffset%011d-c$stamp-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
           writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf)
           lo = firstOffset; n = 0L; approxBytes = 0L
@@ -243,7 +260,9 @@ object PolarLogCleaner {
         }
         it.foreach { row =>
           val p = row.getInt(5)
-          if (p != part || approxBytes >= rollBytes) {
+          if (p != part || approxBytes >= rollBytes ||
+              (belowBoundary &&
+                row.getLong(2) >= dirtyBoundary.getOrElse(p, Long.MaxValue))) {
             seal()
             open(p, row.getLong(2))
           }

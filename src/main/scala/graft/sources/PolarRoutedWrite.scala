@@ -49,6 +49,10 @@ class PolarRoutedWrite(
     template: RingTemplate,
     schema: StructType,
     maxFileBytes: Long,
+    // server-level record-size cap, the fallback where a destination has
+    // no max.message.bytes prop — enforced at the append (the routed
+    // envelope cannot bake a per-destination cap: topics are data-dependent)
+    defaultMaxMessageSize: Int = graft.log.PolarLog.DefaultMaxMessageSize,
     queryId: String = "",
     txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs)
     extends Write with RequiresDistributionAndOrdering {
@@ -66,12 +70,13 @@ class PolarRoutedWrite(
   }
 
   override def toBatch: BatchWrite =
-    new PolarRoutedBatchWrite(template, schema, maxFileBytes, None,
-      txnRetentionMs)
+    new PolarRoutedBatchWrite(template, schema, maxFileBytes,
+      defaultMaxMessageSize, None, txnRetentionMs)
 
   override def toStreaming: StreamingWrite =
     new PolarRoutedStreamingWrite(template, schema, maxFileBytes,
-      if (queryId == null) "" else queryId, txnRetentionMs)
+      defaultMaxMessageSize, if (queryId == null) "" else queryId,
+      txnRetentionMs)
 
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -87,6 +92,7 @@ class PolarRoutedBatchWrite(
     template: RingTemplate,
     schema: StructType,
     maxFileBytes: Long,
+    defaultMaxMessageSize: Int,
     txn: Option[(String, Long)],
     txnRetentionMs: Long) extends BatchWrite {
 
@@ -95,7 +101,8 @@ class PolarRoutedBatchWrite(
   private val committedTopics = scala.collection.mutable.Set.empty[String]
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PolarRoutedWriterFactory(template, schema, maxFileBytes)
+    new PolarRoutedWriterFactory(template, schema, maxFileBytes,
+      defaultMaxMessageSize)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val byTopic: Map[String, Array[FileEntry]] = messages.flatMap {
@@ -134,6 +141,7 @@ class PolarRoutedStreamingWrite(
     template: RingTemplate,
     schema: StructType,
     maxFileBytes: Long,
+    defaultMaxMessageSize: Int,
     queryId: String,
     txnRetentionMs: Long) extends StreamingWrite {
 
@@ -145,11 +153,13 @@ class PolarRoutedStreamingWrite(
     scala.collection.concurrent.TrieMap.empty[Long, PolarRoutedBatchWrite]
   private def delegate(epochId: Long): PolarRoutedBatchWrite =
     delegates.getOrElseUpdate(epochId, new PolarRoutedBatchWrite(
-      template, schema, maxFileBytes, Some((queryId, epochId)), txnRetentionMs))
+      template, schema, maxFileBytes, defaultMaxMessageSize,
+      Some((queryId, epochId)), txnRetentionMs))
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new PolarRoutedWriterFactory(template, schema, maxFileBytes)
+    new PolarRoutedWriterFactory(template, schema, maxFileBytes,
+      defaultMaxMessageSize)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // a throw skips the removal, so the delegate (with its committedTopics)
@@ -167,13 +177,16 @@ class PolarRoutedStreamingWrite(
 class PolarRoutedWriterFactory(
     template: RingTemplate,
     schema: StructType,
-    maxFileBytes: Long)
+    maxFileBytes: Long,
+    defaultMaxMessageSize: Int)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PolarRoutedDataWriter(template, schema, taskId, maxFileBytes)
+    new PolarRoutedDataWriter(template, schema, taskId, maxFileBytes,
+      defaultMaxMessageSize)
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new PolarRoutedDataWriter(template, schema, taskId, maxFileBytes)
+    new PolarRoutedDataWriter(template, schema, taskId, maxFileBytes,
+      defaultMaxMessageSize)
 }
 
 /** One [[PolarDataWriter]] per topic this task encounters; bases read from
@@ -183,25 +196,29 @@ class PolarRoutedDataWriter(
     template: RingTemplate,
     schema: StructType,
     taskId: Long,
-    maxFileBytes: Long) extends DataWriter[InternalRow] {
+    maxFileBytes: Long,
+    defaultMaxMessageSize: Int = graft.log.PolarLog.DefaultMaxMessageSize)
+    extends DataWriter[InternalRow] {
 
   private val topicIdx = schema.fieldIndex("topic")
   private val valueIdx = schema.fieldIndex("value")
-  private val writers =
-    scala.collection.mutable.LinkedHashMap.empty[String, PolarDataWriter]
-  // per-topic max.message.bytes, resolved from the same root-doc read that
-  // supplies the offset bases (-1 = uncapped, the common case — then the
-  // per-row check is one integer compare). The routed path cannot bake the
-  // cap into the envelope like a single-topic produce (destinations are
-  // data-dependent), so this is the broker-side append check, per Kafka.
-  private val caps = scala.collection.mutable.HashMap.empty[String, Int]
+  // one entry per destination: (writer, record-size cap). The cap is the
+  // topic's max.message.bytes prop when set, else the server-level
+  // default — resolved from the same root-doc read that supplies the
+  // offset bases. The routed path cannot bake a per-destination cap into
+  // the envelope like a single-topic produce (destinations are
+  // data-dependent), so this is the broker-side append check, per Kafka —
+  // and a topic cap WIDER than the server default is honored here too,
+  // matching the single-topic authority rule.
+  private val writers = scala.collection.mutable
+    .LinkedHashMap.empty[String, (PolarDataWriter, Int)]
 
   override def write(row: InternalRow): Unit = {
     if (row.isNullAt(topicIdx)) throw new IllegalArgumentException(
       "row-routed produce: the 'topic' column must not be null " +
         "(set a 'topic' write option for a single-topic default)")
     val t = row.getUTF8String(topicIdx).toString
-    val w = writers.getOrElseUpdate(t, {
+    val (w, cap) = writers.getOrElseUpdate(t, {
       if (!TopicConfig.validTopicName(t)) throw new IllegalArgumentException(
         s"Invalid topic name in 'topic' column: '$t'")
       val cfg = template.topicConfig(t)
@@ -209,32 +226,31 @@ class PolarRoutedDataWriter(
       require(meta.clusterSize == cfg.clusterSize &&
           meta.rangesPerToken == cfg.rangesPerToken,
         s"topic $t exists with different ring layout")
-      caps(t) = meta.props.get(graft.log.TopicProps.MaxMessageBytes)
-        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-        .filter(_ > 0).getOrElse(-1)
       // per-topic segment.bytes governs this destination's roll size
-      new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
-        taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes))
+      (new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
+        taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)),
+        meta.props.get(graft.log.TopicProps.MaxMessageBytes)
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .filter(_ > 0).getOrElse(defaultMaxMessageSize))
     })
-    val cap = caps.getOrElse(t, -1)
-    if (cap >= 0 && !row.isNullAt(valueIdx) && row.getBinary(valueIdx).length > cap)
+    if (!row.isNullAt(valueIdx) && row.getBinary(valueIdx).length > cap)
       throw new IllegalArgumentException(
         s"record value exceeds topic '$t' max.message.bytes=$cap")
     w.write(row)
   }
 
   override def commit(): WriterCommitMessage =
-    PolarRoutedCommitMessage(writers.map { case (t, w) =>
+    PolarRoutedCommitMessage(writers.map { case (t, (w, _)) =>
       t -> w.commit().asInstanceOf[PolarCommitMessage].files
     }.toMap)
 
-  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def abort(): Unit = writers.values.foreach(_._1.abort())
 
-  override def close(): Unit = writers.values.foreach(_.close())
+  override def close(): Unit = writers.values.foreach(_._1.close())
 
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val per = writers.values.map(_.currentMetricsValues())
+    val per = writers.values.map(_._1.currentMetricsValues())
     def sum(n: String) = per.iterator.flatten.filter(_.name() == n).map(_.value()).sum
     def m(n: String, v: Long) =
       new org.apache.spark.sql.connector.metric.CustomTaskMetric {

@@ -165,6 +165,8 @@ object PolarSource {
       maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong),
       maxFileBytes = opt("maxFileBytes").map(_.toLong)
         .getOrElse(PolarWrite.DefaultMaxFileBytes),
+      maxMessageSize = opt("maxMessageSize").map(_.toInt)
+        .getOrElse(graft.log.PolarLog.DefaultMaxMessageSize),
       txn = opt("txnSinkId").map(id => id -> opt("txnBatchId")
         .getOrElse(throw new IllegalArgumentException(
           "txnSinkId requires txnBatchId")).toLong),
@@ -221,6 +223,10 @@ final case class PolarSourceConfig(
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
     maxBytesPerTrigger: Option[Long] = None,
     maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
+    // write option: the server-level record-size cap a routed write falls
+    // back to for topics without a max.message.bytes prop (single-topic
+    // produces bake the cap into the envelope instead)
+    maxMessageSize: Int = graft.log.PolarLog.DefaultMaxMessageSize,
     txn: Option[(String, Long)] = None,
     txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
     // write option: atomic replace (INSERT OVERWRITE's internal relay)

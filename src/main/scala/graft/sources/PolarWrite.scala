@@ -75,6 +75,7 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
           "epochs carry their own per-topic txn")
       if (schema.fieldNames.contains("part"))
         return new PolarRoutedWrite(tpl, schema, cfg.maxFileBytes,
+          defaultMaxMessageSize = cfg.maxMessageSize,
           queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs)
       return new V1Write {
         override def toInsertableRelation

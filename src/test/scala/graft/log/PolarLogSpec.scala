@@ -298,6 +298,32 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("case-variant producer columns keep their keys and timestamps (resolver parity)") {
+    val cfg = TopicConfig(root, "t_casing")
+    val ts = java.sql.Timestamp.valueOf("2020-03-04 05:06:07")
+    val df = spark.createDataFrame(Seq(("k1", ts, "v1"), ("k2", ts, "v2")))
+      .toDF("PARTITIONKEY", "TIMESTAMP", "VALUE")
+    // pre-fix, withColumn's case-insensitive replace silently NULLed every
+    // key and swapped the event times for wall clock
+    PolarLog.produce(df, cfg)
+    val rows = PolarLog.consume(spark, cfg)
+      .selectExpr("partitionKey", "timestamp", "CAST(value AS STRING)")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getString(0) != null), "keys must survive casing")
+    assert(rows.forall(_.getTimestamp(1) === ts), "event times must survive casing")
+    // and the merge path preserves a case-variant source timestamp
+    val mcfg = TopicConfig(root, "t_casing_m")
+    PolarLog.produce(df.limit(1), mcfg)
+    PolarLog.merge(spark, mcfg, spark.createDataFrame(Seq(("k9", ts, "v9")))
+      .toDF("PARTITIONKEY", "TIMESTAMP", "VALUE")
+      .selectExpr("PARTITIONKEY", "TIMESTAMP", "CAST(VALUE AS BINARY) AS VALUE"))
+    val merged = PolarLog.consume(spark, mcfg)
+      .filter(col("partitionKey") === "k9").head()
+    assert(merged.getTimestamp(merged.fieldIndex("timestamp")) === ts,
+      "merge must carry the source event time, not wall clock")
+  }
+
   test("unicode and empty-string keys route deterministically") {
     val cfg = TopicConfig(root, "t_unicode")
     val df = spark.createDataFrame(Seq(

@@ -250,10 +250,21 @@ class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val removed2 = PolarLogCleaner.cleanKeys(spark, cfg,
       nowMs = now + 2L * 86400000L + 1000L)
     assert(removed2 === 0L, s"removed $removed2")
-    // pass 3, past the window since cleaning: the tombstones expire
-    val removed3 = PolarLogCleaner.cleanKeys(spark, cfg,
-      nowMs = now + 4L * 86400000L)
-    assert(removed3 === 10L, s"removed $removed3")
+    // a RE-CLEAN with fresh churn (disjoint keys) must NOT reset the
+    // tombstones' delete horizon: kc-sourced rows keep the FIRST-cleaning
+    // stamp (the writer force-rolls at the kc/dirty boundary), else a
+    // busy topic would retain its tombstones forever
+    produceKeyed(cfg, "d1", 7000 until 7040)
+    produceKeyed(cfg, "seal2", 6000 until 6200) // supersedes seal -> needy
+    val recleanAt = now + 2L * 86400000L + 7200000L // first clean + 2h
+    assert(PolarLogCleaner.cleanKeys(spark, cfg, nowMs = recleanAt) > 0L)
+    assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 10L,
+      "a re-clean inside the window must keep the tombstones")
+    // pass 4: past the window since the FIRST cleaning, inside it since
+    // the re-clean — the preserved horizon expires the tombstones
+    val removed4 = PolarLogCleaner.cleanKeys(spark, cfg,
+      nowMs = now + 2L * 86400000L + 25L * 3600000L)
+    assert(removed4 === 10L, s"removed $removed4")
     assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 0L)
     // the non-tombstoned keys are untouched throughout
     assert(compacted(cfg)("1") === "v2:1")

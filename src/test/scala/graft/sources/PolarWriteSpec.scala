@@ -148,8 +148,8 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = (0 until 2).map(i =>
       graft.log.LogMetadata.read(TopicConfig(root, s"s$i")))
     val rbw = new PolarRoutedBatchWrite(graft.log.RingTemplate(root), schema,
-      PolarWrite.DefaultMaxFileBytes, Some((q.id.toString, epochs.max)),
-      PolarWrite.DefaultTxnRetentionMs)
+      PolarWrite.DefaultMaxFileBytes, PolarLog.DefaultMaxMessageSize,
+      Some((q.id.toString, epochs.max)), PolarWrite.DefaultTxnRetentionMs)
     rbw.commit(Array(PolarRoutedCommitMessage((0 until 2).map { i =>
       s"s$i" -> Seq(graft.log.FileEntry(0, "ghost.parquet",
         before(i).producerOffsets(0), before(i).producerOffsets(0), 1, 10,
@@ -219,7 +219,8 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a" -> Seq(FileEntry(0, "seg-a.parquet", 0, 0, 1, 3, now)),
       "b" -> Seq(FileEntry(0, "seg-b.parquet", 0, 0, 1, 3, now))))
     val w = new PolarRoutedStreamingWrite(template, schema,
-      PolarWrite.DefaultMaxFileBytes, "qid-abort", PolarWrite.DefaultTxnRetentionMs)
+      PolarWrite.DefaultMaxFileBytes, PolarLog.DefaultMaxMessageSize,
+      "qid-abort", PolarWrite.DefaultTxnRetentionMs)
     val e = intercept[Exception](w.commit(0L, Array(msg)))
     assert(e.getMessage.contains("ring layout"), e.getMessage)
     // topic a's CAS landed — its file is REGISTERED log data now
@@ -346,6 +347,25 @@ class PolarWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("topic", "partitionKey", "value"), RingTemplate(root))
     assert(PolarLog.consume(spark, capped).count() === 2)
     assert(PolarLog.consume(spark, TopicConfig(root, "wide")).count() === 1)
+    // a topic cap WIDER than the server-level value is honored too — the
+    // routed path must match single-topic authority (topic config wins),
+    // not merely tighten
+    val up = TopicConfig(root, "cap1k")
+    PolarLog.produce(Seq(("seed", "x")).toDF("partitionKey", "value"), up)
+    LogMetadata.compareAndSet(up, LogMetadata.read(up))(m =>
+      m.copy(props = Map(TopicProps.MaxMessageBytes -> "1024")))
+    PolarLog.produceRouted(
+      Seq(("cap1k", "k3", "0123456789")).toDF("topic", "partitionKey", "value"),
+      RingTemplate(root), maxMessageSize = 4)
+    assert(PolarLog.consume(spark, up).count() === 2)
+    // while an un-propped destination still enforces the server value
+    val e2 = intercept[Exception] {
+      PolarLog.produceRouted(
+        Seq(("plain", "k4", "0123456789")).toDF("topic", "partitionKey", "value"),
+        RingTemplate(root), maxMessageSize = 4)
+    }
+    assert(chain(e2).exists(_.contains("max.message.bytes")),
+      chain(e2).mkString("; "))
   }
 
   test("invalid topic names are rejected at config time") {
