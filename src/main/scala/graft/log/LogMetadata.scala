@@ -78,8 +78,13 @@ object TopicProps {
           s"(retention disabled), got '$value'")
       true
     case CleanupPolicy =>
-      require(value == "delete" || value == "compact",
-        s"$CleanupPolicy must be 'delete' or 'compact', got '$value'")
+      // Kafka accepts the combined policy too: "compact,delete" keeps
+      // latest-per-key cleaning AND time-based deletion active at once
+      val parts = value.split(",").map(_.trim).filter(_.nonEmpty)
+      require(parts.nonEmpty && parts.distinct.length == parts.length &&
+          parts.forall(p => p == "delete" || p == "compact"),
+        s"$CleanupPolicy must be 'delete', 'compact', or 'compact,delete', " +
+          s"got '$value'")
       true
     case DeleteRetentionMs =>
       require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0L),
@@ -103,8 +108,19 @@ object TopicProps {
 
   /** Canonical (persisted) form of a validated value — validate() accepts
     * padded numerics, so writers must store the trimmed form or readers
-    * parsing the raw value would throw. */
-  def normalize(key: String, value: String): String = value.trim
+    * parsing the raw value would throw. The combined cleanup policy
+    * canonicalizes to "compact,delete" regardless of spelling order. */
+  def normalize(key: String, value: String): String =
+    if (key == CleanupPolicy)
+      value.split(",").map(_.trim).filter(_.nonEmpty).distinct.sorted
+        .mkString(",")
+    else value.trim
+
+  /** Policy membership helpers — `contains("compact")` alone would also
+    * match a future policy NAME containing the substring; split first. */
+  def policyHas(props: Map[String, String], which: String): Boolean =
+    props.get(CleanupPolicy).toSeq
+      .flatMap(_.split(",")).map(_.trim).contains(which)
 
   /** The recognized-validated-NORMALIZED subset of `given` (SQL
     * TBLPROPERTIES carry engine/geometry/Spark-reserved keys too — those

@@ -111,12 +111,18 @@ final class RetentionScheduler(
         val window = props.get(TopicProps.RetentionMs)
           .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
           .getOrElse(retentionMs)
-        val compactPolicy = props.get(TopicProps.CleanupPolicy).contains("compact")
+        // cleanup.policy may name BOTH cleaners ("compact,delete" —
+        // Kafka's combined policy): each runs iff its name is present;
+        // an absent prop defaults to delete-only, compact-only topics are
+        // exempt from time deletion (their keys must survive)
+        val compactPolicy = TopicProps.policyHas(props, "compact")
+        val deletePolicy = !props.contains(TopicProps.CleanupPolicy) ||
+          TopicProps.policyHas(props, "delete")
         // retention.ms = -1 is Kafka's "retention disabled" sentinel: the
         // topic is exempt from time-based deletion without flipping its
         // cleanup policy (vacuum and segment merge still run)
         val aged =
-          if (compactPolicy || window == -1L) 0
+          if (!deletePolicy || window == -1L) 0
           else try PolarLog.cleanRetention(cfg, window, nowMs)
           catch { case NonFatal(_) => 0 }
         // the Kafka log-cleaner loop: compact-policy topics get their

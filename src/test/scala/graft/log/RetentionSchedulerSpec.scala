@@ -127,6 +127,55 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(calls === 2, "malformed per-topic ratio must degrade to the floor")
   }
 
+  test("cleanup.policy=compact,delete runs BOTH cleaners (Kafka combined policy)") {
+    val t = TopicConfig(root, "ret_both")
+    def keyed2(tag: String, keys: Range): Unit = {
+      val spark2 = spark; import spark2.implicits._
+      PolarLog.produce(keys.map(k => (k.toString, s"$tag:$k"))
+        .toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value"), t)
+    }
+    keyed2("v1", 0 until 40)
+    Thread.sleep(400)
+    keyed2("v2", 0 until 40)
+    keyed2("seal", 5000 until 5100)
+    // any spelling order canonicalizes
+    assert(TopicProps.normalize(TopicProps.CleanupPolicy, "delete, compact")
+      === "compact,delete")
+    intercept[IllegalArgumentException] {
+      TopicProps.validate(TopicProps.CleanupPolicy, "compact,nope")
+    }
+    // cutoff strictly between the v1 batch and the v2/seal batches, from
+    // the REAL file stamps (wall-clock windows are too fragile under
+    // multi-second produce jobs): age v1 only, via an explicit sweep clock
+    val stamps = LogMetadata.read(t).files.map(_.createdMs).sorted
+    val gapAt = stamps.sliding(2).toSeq.maxBy { case Seq(a, b) => b - a }
+    val cutoff = (gapAt.head + gapAt.last) / 2
+    val window = 1000000L
+    LogMetadata.compareAndSet(t, LogMetadata.read(t))(m =>
+      m.copy(props = Map(
+        TopicProps.CleanupPolicy ->
+          TopicProps.normalize(TopicProps.CleanupPolicy, "delete,compact"),
+        TopicProps.RetentionMs -> window.toString)))
+    var cleaned = 0
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000,
+      keyCleaner = Some { c =>
+        if (c.topic != "ret_both") 0L
+        else { cleaned += 1; graft.sources.PolarLogCleaner.cleanKeys(spark, c) } })
+    val res = sched.sweep(nowMs = cutoff + window)
+    // delete half: the aged v1 files fell to the 250 ms window
+    assert(res("ret_both").agedDeleted > 0,
+      "combined policy must keep time-based deletion active")
+    // compact half: the key cleaner ran on the same sweep
+    assert(cleaned === 1, "combined policy must keep key cleaning active")
+    // and the compacted view is the latest per key regardless
+    val view = PolarLog.consumeCompacted(spark, t)
+      .selectExpr("partitionKey", "CAST(value AS STRING)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view("3") === "v2:3")
+  }
+
   test("sweep deletes aged segments, keeps young ones, preserves surviving offsets") {
     val cfg = TopicConfig(root, "ret_age")
     val nA = PolarLog.produce(records(0, 400), cfg).recordsWritten
