@@ -94,6 +94,12 @@ object OracleSql {
    * constant into 32-bit limbs so products stay under 2^127; xor works on
    * 32-bit halves (DuckDB xor is BIGINT-only).
    */
+  // Every stage is AS MATERIALIZED: DuckDB INLINES single-reference CTEs,
+  // and xs33/mulC reference their input 2-3x each — 15 stacked stages
+  // inline to a ~3^15-node expression tree (measured: 13 MINUTES for the
+  // polar_assign oracle at sf0.01; 0.06 s materialized). The driver's
+  // correctness harness runs these oracles under a timeout, so the hint is
+  // load-bearing, not cosmetic.
   def murmur3H1ShortKeyCtes: String = {
     val M64 = "18446744073709551616::HUGEINT"
     def mulC(a: String, c: BigInt): String = {
@@ -113,32 +119,32 @@ object OracleSql {
     val c2 = BigInt("4cf5ad432745937f", 16)
     val f1 = BigInt("ff51afd7ed558ccd", 16)
     val f2 = BigInt("c4ceb9fe1a85ec53", 16)
-    s"""mm_b AS (SELECT pk, hex(encode(pk)) AS hx FROM keys),
-      mm_k0 AS (
+    s"""mm_b AS MATERIALIZED (SELECT pk, hex(encode(pk)) AS hx FROM keys),
+      mm_k0 AS MATERIALIZED (
         SELECT pk, CAST(length(hx)//2 AS BIGINT) AS len,
                COALESCE(list_sum(list_transform(generate_series(0, length(hx)//2 - 1),
                  i -> CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)
                            + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1) AS HUGEINT)
                       * (1::HUGEINT << (8*i)))), 0)::HUGEINT AS k1
         FROM mm_b),
-      mm_k1m AS (SELECT pk, len, ${mulC("k1", c1)} AS k1 FROM mm_k0),
-      mm_k1r AS (SELECT pk, len, ${rotl31("k1")} AS k1 FROM mm_k1m),
-      mm_k1f AS (SELECT pk, len, ${mulC("k1", c2)} AS k1 FROM mm_k1r),
-      mm_hl AS (SELECT pk, ${xorLo("k1", "len")} AS h1, len::HUGEINT AS h2 FROM mm_k1f),
-      mm_s1 AS (SELECT pk, ${add("h1", "h2")} AS h1, h2 FROM mm_hl),
-      mm_s2 AS (SELECT pk, h1, ${add("h2", "h1")} AS h2 FROM mm_s1),
-      mm_f1a AS (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_s2),
-      mm_f1b AS (SELECT pk, ${mulC("h1", f1)} AS h1, h2 FROM mm_f1a),
-      mm_f1c AS (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_f1b),
-      mm_f1d AS (SELECT pk, ${mulC("h1", f2)} AS h1, h2 FROM mm_f1c),
-      mm_f1e AS (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_f1d),
-      mm_f2a AS (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f1e),
-      mm_f2b AS (SELECT pk, h1, ${mulC("h2", f1)} AS h2 FROM mm_f2a),
-      mm_f2c AS (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f2b),
-      mm_f2d AS (SELECT pk, h1, ${mulC("h2", f2)} AS h2 FROM mm_f2c),
-      mm_f2e AS (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f2d),
-      mm_fin AS (SELECT pk, ${add("h1", "h2")} AS u FROM mm_f2e),
-      murmur_tok AS (
+      mm_k1m AS MATERIALIZED (SELECT pk, len, ${mulC("k1", c1)} AS k1 FROM mm_k0),
+      mm_k1r AS MATERIALIZED (SELECT pk, len, ${rotl31("k1")} AS k1 FROM mm_k1m),
+      mm_k1f AS MATERIALIZED (SELECT pk, len, ${mulC("k1", c2)} AS k1 FROM mm_k1r),
+      mm_hl AS MATERIALIZED (SELECT pk, ${xorLo("k1", "len")} AS h1, len::HUGEINT AS h2 FROM mm_k1f),
+      mm_s1 AS MATERIALIZED (SELECT pk, ${add("h1", "h2")} AS h1, h2 FROM mm_hl),
+      mm_s2 AS MATERIALIZED (SELECT pk, h1, ${add("h2", "h1")} AS h2 FROM mm_s1),
+      mm_f1a AS MATERIALIZED (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_s2),
+      mm_f1b AS MATERIALIZED (SELECT pk, ${mulC("h1", f1)} AS h1, h2 FROM mm_f1a),
+      mm_f1c AS MATERIALIZED (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_f1b),
+      mm_f1d AS MATERIALIZED (SELECT pk, ${mulC("h1", f2)} AS h1, h2 FROM mm_f1c),
+      mm_f1e AS MATERIALIZED (SELECT pk, ${xs33("h1")} AS h1, h2 FROM mm_f1d),
+      mm_f2a AS MATERIALIZED (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f1e),
+      mm_f2b AS MATERIALIZED (SELECT pk, h1, ${mulC("h2", f1)} AS h2 FROM mm_f2a),
+      mm_f2c AS MATERIALIZED (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f2b),
+      mm_f2d AS MATERIALIZED (SELECT pk, h1, ${mulC("h2", f2)} AS h2 FROM mm_f2c),
+      mm_f2e AS MATERIALIZED (SELECT pk, h1, ${xs33("h2")} AS h2 FROM mm_f2d),
+      mm_fin AS MATERIALIZED (SELECT pk, ${add("h1", "h2")} AS u FROM mm_f2e),
+      murmur_tok AS MATERIALIZED (
         SELECT pk, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
                              THEN u - $M64 ELSE u END AS BIGINT) AS token
         FROM mm_fin)"""
