@@ -64,8 +64,28 @@ object TopicProps {
   /** Per-topic segment roll size (Kafka's `segment.bytes`): writers seal a
     * data file when it reaches this size; also caps compaction run sizes. */
   val SegmentBytes = "segment.bytes"
+  /** Size-based retention (Kafka's `retention.bytes`): per PARTITION, the
+    * sweep deletes whole head segments while the partition's registered
+    * bytes would stay at or above the cap without them. -1 (the default)
+    * disables the size cap. */
+  val RetentionBytes = "retention.bytes"
+  /** Kafka's `min.compaction.lag.ms`: how long a record is guaranteed to
+    * stay UNCOMPACTED after its segment's commit — the cleaner excludes
+    * younger dirty segments from its pass and from its winner map. */
+  val MinCompactionLagMs = "min.compaction.lag.ms"
+  /** Kafka's `max.compaction.lag.ms`: the deadline after which a dirty
+    * segment MUST get a cleaning pass even below the dirty-ratio floor —
+    * what bounds tombstone/PII latency on low-churn topics. */
+  val MaxCompactionLagMs = "max.compaction.lag.ms"
+  /** Kafka's `message.timestamp.type`: `CreateTime` (default) stores the
+    * producer-supplied event time; `LogAppendTime` forces the broker-side
+    * append wall-clock — changing what ts-seek, time-window reads and
+    * watermarks key on. */
+  val MessageTimestampType = "message.timestamp.type"
   val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy,
-    DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes, SegmentBytes)
+    DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes, SegmentBytes,
+    RetentionBytes, MinCompactionLagMs, MaxCompactionLagMs,
+    MessageTimestampType)
 
   /** Validate one recognized (key, value); throws on a malformed value.
     * Returns false for unrecognized keys (callers decide refuse/ignore). */
@@ -102,6 +122,29 @@ object TopicProps {
     case SegmentBytes =>
       require(scala.util.Try(value.trim.toLong).toOption.exists(_ > 0L),
         s"$SegmentBytes must be a positive integer of bytes, got '$value'")
+      true
+    case RetentionBytes =>
+      // -1 is Kafka's default: no size cap (time retention still applies)
+      require(scala.util.Try(value.trim.toLong).toOption.exists(v => v > 0L || v == -1L),
+        s"$RetentionBytes must be a positive integer of bytes or -1 " +
+          s"(no size cap), got '$value'")
+      true
+    case MinCompactionLagMs =>
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0L),
+        s"$MinCompactionLagMs must be a non-negative integer of " +
+          s"milliseconds, got '$value'")
+      true
+    case MaxCompactionLagMs =>
+      // Kafka requires >= 1 (Long.MaxValue default = effectively disabled)
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 1L),
+        s"$MaxCompactionLagMs must be a positive integer of milliseconds, " +
+          s"got '$value'")
+      true
+    case MessageTimestampType =>
+      val v = value.trim
+      require(v == "CreateTime" || v == "LogAppendTime",
+        s"$MessageTimestampType must be 'CreateTime' or 'LogAppendTime', " +
+          s"got '$value'")
       true
     case _ => false
   }
@@ -166,7 +209,13 @@ final case class FileEntry(
     createdMs: Long,
     tsMin: Long = Long.MinValue,
     tsMax: Long = Long.MaxValue,
-    tsNulls: Long = -1L) {
+    tsNulls: Long = -1L,
+    // FIRST-cleaning wall-clock of a key-cleaned (`kc`) segment — the
+    // KIP-534 delete-horizon anchor, STRUCTURAL since r12 (previously only
+    // encoded in the `kc<off>-c<ms>-` file name, an invariant that any
+    // rename/merge path could silently drop). -1 = never cleaned / legacy
+    // manifest (readers fall back to the name parse, then createdMs).
+    cleanedMs: Long = -1L) {
   def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
   /** Offset-dense: one row at EVERY offset of [minOffset, maxOffset] —
     * true for every produced segment; false after key compaction removes
@@ -761,17 +810,19 @@ object LogMetadata {
 
   private[log] def renderManifestDoc(doc: ManifestDoc): String = {
     val fmt =
-      if (doc.files.exists(f => f.count > 0 && !f.dense)) CurrentFormat
+      if (doc.files.exists(_.cleanedMs >= 0)) CleanedFormat
+      else if (doc.files.exists(f => f.count > 0 && !f.dense)) SparseFormat
       else DenseFormat
     val head = doc.parent match {
       case Some(p) =>
         s"""{"format":$fmt,"parent":"$p","depth":${doc.depth},"files":["""
       case None => s"""{"format":$fmt,"files":["""
     }
-    doc.files.map(f =>
+    doc.files.map { f =>
+      val tail = if (f.cleanedMs >= 0) s",${f.cleanedMs}" else ""
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
-        s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax},${f.tsNulls}]""")
-      .mkString(head, ",", "]}")
+        s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax},${f.tsNulls}$tail]"""
+    }.mkString(head, ",", "]}")
   }
 
   /** Highest metadata/manifest doc shape this reader understands. Bumped
@@ -788,8 +839,16 @@ object LogMetadata {
     * with row counts (LIMIT caps, top-N cuts) and return SHORT results
     * silently, and would mis-derive the log start. Only manifests that
     * actually CONTAIN a sparse entry stamp 3 — dense topics stay readable
-    * by older binaries. */
-  private[log] val CurrentFormat = 3
+    * by older binaries.
+    *
+    * Format 4 = structural `cleanedMs` (11th tuple element, rendered only
+    * on entries that carry one): a pre-r12 reader's entry regex would not
+    * match the longer tuple and read the manifest as EMPTY — fail-silent,
+    * so the stamp refuses it loudly. Manifests with no cleaned entry keep
+    * stamping 2/3, readable by older binaries. */
+  private[log] val CurrentFormat = 4
+  private[log] val CleanedFormat = 4
+  private[log] val SparseFormat = 3
   private[log] val DenseFormat = 2
 
   private def checkFormat(s: String, what: String): Unit = {
@@ -822,7 +881,10 @@ object LogMetadata {
       // pruning refuses)
       if (m.group(8) == null) Long.MinValue else m.group(8).toLong,
       if (m.group(9) == null) Long.MaxValue else m.group(9).toLong,
-      if (m.group(10) == null) -1L else m.group(10).toLong)
+      if (m.group(10) == null) -1L else m.group(10).toLong,
+      // cleanedMs is a round-12 addition: absent → -1 (never cleaned /
+      // legacy — the cleaner falls back to the kc-name parse)
+      if (m.group(11) == null) -1L else m.group(11).toLong)
 
   private[log] def parseManifest(s: String): Vector[FileEntry] =
     FileEntryRe.findAllMatchIn(s).map(entryOf).toVector.sortBy(_.minOffset)
@@ -842,7 +904,7 @@ object LogMetadata {
   }
 
   private val FileEntryRe =
-    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+))?)?\]""".r
+    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+)(?:,(-?\d+))?)?)?\]""".r
 
   private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)(?:,(\d+))?\]""".r
 

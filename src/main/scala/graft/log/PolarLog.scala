@@ -97,6 +97,16 @@ object PolarLog {
       .filter(_ > 0L)
       .getOrElse(fallback)
 
+  /** Kafka's `message.timestamp.type=LogAppendTime`: the topic forces the
+    * stored timestamp to the APPEND wall-clock, discarding any
+    * producer-supplied event time — so ts-seek, time-window reads and
+    * watermarks key on broker time. Default (absent / `CreateTime`) keeps
+    * the producer's timestamp, the reference's only behavior
+    * (`/root/reference/internal/producing/server.go:178-183`). */
+  private[graft] def logAppendTime(props: Map[String, String]): Boolean =
+    props.get(TopicProps.MessageTimestampType)
+      .exists(_.trim == "LogAppendTime")
+
   /**
    * Append records to a topic. Input needs a `value` column (binary or
    * string); `partitionKey` (string) and `timestamp` are optional.
@@ -117,9 +127,10 @@ object PolarLog {
       df: DataFrame,
       cfg: TopicConfig,
       orderBy: Seq[Column],
-      maxMessageSize: Int): DataFrame =
+      maxMessageSize: Int,
+      appendTime: Boolean): DataFrame =
     envelope(df, cfg.clusterSize, cfg.rangesPerToken, orderBy, maxMessageSize,
-      keepTopic = false)
+      keepTopic = false, appendTime = appendTime)
 
   private def envelope(
       df: DataFrame,
@@ -129,7 +140,11 @@ object PolarLog {
       maxMessageSize: Int,
       // row-routed produce: keep the per-row `topic` column in the
       // envelope (the routed write clusters and commits by it)
-      keepTopic: Boolean): DataFrame = {
+      keepTopic: Boolean,
+      // message.timestamp.type=LogAppendTime: override any producer
+      // timestamp with the append wall-clock (query-constant, like the
+      // broker stamping one batch)
+      appendTime: Boolean = false): DataFrame = {
     // resolver-consistent intake: `withColumn` below REPLACES an existing
     // column case-insensitively (Spark's default resolver), so a frame
     // carrying PARTITIONKEY/TIMESTAMP would otherwise pass the exact-case
@@ -140,14 +155,25 @@ object PolarLog {
     // canonical spelling.
     val canonical = Seq("partitionKey", "timestamp", "value", "topic")
       .foldLeft(df) { (d, name) =>
-        d.columns.find(c => c != name && c.equalsIgnoreCase(name))
+        val variants = d.columns.filter(_.equalsIgnoreCase(name))
+        // two case-variants of one envelope column (e.g. partitionKey AND
+        // PARTITIONKEY) have no sound resolution — renaming either would
+        // leave two same-named columns that fail later with a generic
+        // ambiguous-reference error; refuse with a produce-shaped message.
+        // A frame already carrying the exact-case name alone needs nothing.
+        if (variants.length > 1)
+          throw new IllegalArgumentException(
+            s"producer frame has ${variants.length} case-variants of the " +
+              s"'$name' column (${variants.mkString(", ")}); keep exactly one")
+        variants.headOption.filter(_ != name)
           .map(c => d.withColumnRenamed(c, name)).getOrElse(d)
       }
     val withKey =
       if (canonical.columns.contains("partitionKey")) canonical
       else canonical.withColumn("partitionKey", lit(null).cast(StringType))
     val withTs =
-      if (withKey.columns.contains("timestamp")) withKey
+      if (appendTime) withKey.withColumn("timestamp", current_timestamp())
+      else if (withKey.columns.contains("timestamp")) withKey
       else withKey.withColumn("timestamp", current_timestamp())
     // oversize-value rejection inline in the projection (codegen'd, zero
     // cost unless violated — the produce-path 400 of the reference,
@@ -203,9 +229,11 @@ object PolarLog {
 
     // Kafka's `max.message.bytes`: the topic's own cap, when configured,
     // overrides the server-level default the caller passed — the topic
-    // config is authoritative at the broker, exactly kafka-configs
+    // config is authoritative at the broker, exactly kafka-configs;
+    // `message.timestamp.type=LogAppendTime` likewise forces broker time
     val enveloped = envelope(df, cfg, orderBy,
-      effectiveMaxMessageSize(meta0.props, maxMessageSize))
+      effectiveMaxMessageSize(meta0.props, maxMessageSize),
+      appendTime = logAppendTime(meta0.props))
 
     var writer = enveloped.write
       .format("polar")
@@ -399,7 +427,8 @@ object PolarLog {
     // producer's metadata refresh
     val props =
       try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty[String, String] }
-    envelope(df, cfg, orderBy, effectiveMaxMessageSize(props, maxMessageSize))
+    envelope(df, cfg, orderBy, effectiveMaxMessageSize(props, maxMessageSize),
+      appendTime = logAppendTime(props))
       .writeStream
       .format("polar")
       .option("root", cfg.root)
@@ -607,9 +636,10 @@ object PolarLog {
     * is garbage collection. Returns deleted file count. */
   def cleanRetention(cfg: TopicConfig, retentionMs: Long,
       nowMs: Long = System.currentTimeMillis()): Int = {
-    // a negative window is the "retention disabled" sentinel (-1): deleting
-    // with cutoff > now would trim the ENTIRE topic — refuse loudly rather
-    // than honor a window that can only be a configuration mistake here
+    // a negative window is the "retention disabled" sentinel (-1): the
+    // scheduler skips such topics upstream, and a direct caller gets the
+    // same no-op — deleting with cutoff > now would trim the ENTIRE
+    // topic, so disabled-means-keep is the only safe reading
     if (retentionMs < 0) return 0
     val cutoff = nowMs - retentionMs
     val meta = LogMetadata.read(cfg)
@@ -634,6 +664,44 @@ object PolarLog {
       catch { case _: java.io.IOException => () }
     }
     aged.size
+  }
+
+  /** Size-based retention (Kafka's `retention.bytes`, per PARTITION):
+    * delete whole segments from the HEAD of each partition while the
+    * partition's registered bytes would stay at or above `capBytes`
+    * without them — Kafka's exact predicate (`diff - segment.size >= 0`),
+    * which structurally never deletes the last (active) segment. Pure
+    * registry arithmetic riding the same unregister-then-delete trim path
+    * as [[cleanRetention]], so `logStarts` advance identically. Returns
+    * deleted file count. */
+  def cleanRetentionBytes(cfg: TopicConfig, capBytes: Long): Int = {
+    if (capBytes < 0) return 0
+    val meta = LogMetadata.read(cfg)
+    val doomed: Set[(Int, String)] = meta.filesByPart.toSeq.flatMap {
+      case (p, v) =>
+        val sorted = v.sortBy(_.minOffset)
+        var remaining = sorted.map(_.bytes).sum
+        sorted.takeWhile { f =>
+          val keep = remaining - f.bytes >= capBytes
+          if (keep) remaining -= f.bytes
+          keep
+        }.map(f => p -> f.name)
+    }.toSet
+    if (doomed.isEmpty) return 0
+    LogMetadata.compareAndSet(cfg, meta) { cur =>
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+        val kept = v.filterNot(f => doomed((p, f.name)))
+        p -> (if (kept.length == v.length) v else kept)
+      })
+      next.copy(logStarts = advancedLogStarts(cur, next))
+    }
+    val conf = HadoopConf.shared
+    meta.files.filter(f => doomed((f.part, f.name))).foreach { f =>
+      val p = new Path(f.path(cfg))
+      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+      catch { case _: java.io.IOException => () }
+    }
+    doomed.size
   }
 
   /** Post-trim log starts: advance ONLY the partitions whose file vector

@@ -48,7 +48,16 @@ final class RetentionScheduler(
     // the ratio amortizes it to O(region) per region-doubling.
     keyCleaner: Option[TopicConfig => Long] = None,
     dirtyRatioOf: Option[LogMetadata => Double] = None,
-    minDirtyRatio: Double = 0.5) extends AutoCloseable {
+    minDirtyRatio: Double = 0.5,
+    // `max.compaction.lag.ms` support: the age of the oldest DIRTY
+    // clean-region segment (PolarLogCleaner.oldestDirtyMs, injected to
+    // keep the metadata plane Spark-free) and the FORCED cleaner variant
+    // (cleanKeys with forceRewriteDirty = true) the deadline invokes —
+    // forced passes kc-stamp removal-free dirty regions, so a breached
+    // topic is cleaned ONCE and the deadline disarms until new dirt lands
+    oldestDirtyOf: Option[LogMetadata => Option[Long]] = None,
+    forcedKeyCleaner: Option[TopicConfig => Long] = None)
+    extends AutoCloseable {
 
   // topic -> registry version as of its last key-cleaning pass
   private val lastCleanedVersion =
@@ -125,6 +134,16 @@ final class RetentionScheduler(
           if (!deletePolicy || window == -1L) 0
           else try PolarLog.cleanRetention(cfg, window, nowMs)
           catch { case NonFatal(_) => 0 }
+        // retention.bytes (size-based retention, per partition): same
+        // delete-policy gate — compact-only topics keep their keys
+        val sizeCap = props.get(TopicProps.RetentionBytes)
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          .filter(_ > 0L)
+        val agedBySize =
+          if (!deletePolicy) 0
+          else sizeCap.map(cap =>
+            try PolarLog.cleanRetentionBytes(cfg, cap)
+            catch { case NonFatal(_) => 0 }).getOrElse(0)
         // the Kafka log-cleaner loop: compact-policy topics get their
         // clean regions rewritten to latest-per-key — but only when the
         // registry advanced since the last pass (no new commits = nothing
@@ -136,9 +155,20 @@ final class RetentionScheduler(
           .filter(r => r >= 0.0 && r <= 1.0)
           .getOrElse(minDirtyRatio)
         if (compactPolicy)
-          for (c <- keyCleaner; m <- head)
-            if (!lastCleanedVersion.get(cfg.topic).contains(m.version) &&
-                dirtyRatioOf.forall(f => f(m) >= topicMinDirty)) {
+          for (c <- keyCleaner; m <- head) {
+            // max.compaction.lag.ms: once the oldest dirty segment is past
+            // the deadline, a pass runs even below the dirty-ratio floor
+            // and even at an unadvanced version (min-lag may have excluded
+            // the segment from the pass that recorded that version) — the
+            // Kafka bound on tombstone/PII latency for low-churn topics
+            val lagBreached = props.get(TopicProps.MaxCompactionLagMs)
+              .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+              .filter(_ >= 1L)
+              .exists(lag => oldestDirtyOf.flatMap(f => f(m))
+                .exists(oldest => nowMs - oldest > lag))
+            if (lagBreached ||
+                (!lastCleanedVersion.get(cfg.topic).contains(m.version) &&
+                  dirtyRatioOf.forall(f => f(m) >= topicMinDirty))) {
               // record the POST-clean version, and only on SUCCESS: a
               // failed pass must retry next sweep (an idle topic with a
               // dirty region would otherwise stay uncompacted forever).
@@ -146,10 +176,11 @@ final class RetentionScheduler(
               // recorded version and gets cleaned one commit later —
               // eventual, like Kafka's cleaner passes.
               try {
-                c(cfg)
+                if (lagBreached) forcedKeyCleaner.getOrElse(c)(cfg) else c(cfg)
                 lastCleanedVersion(cfg.topic) = LogMetadata.read(cfg).version
               } catch { case NonFatal(_) => () }
             }
+          }
         // dataGraceMs = periodMs makes reclamation MODIFICATION-TIME
         // gated, not ordering-gated: a superseded original survives at
         // least one full period after its last write regardless of when
@@ -165,7 +196,7 @@ final class RetentionScheduler(
         // LATER sweep's vacuum passes their grace window
         val mer = compactor.map(c =>
           try c(cfg) catch { case NonFatal(_) => 0 }).getOrElse(0)
-        cfg.topic -> RetentionScheduler.Sweep(aged, orphans, mer)
+        cfg.topic -> RetentionScheduler.Sweep(aged + agedBySize, orphans, mer)
       }.toMap
       mergedDone += res.valuesIterator.map(_.merged.toLong).sum
       sweepsDone += 1

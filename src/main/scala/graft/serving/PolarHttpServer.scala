@@ -110,7 +110,13 @@ class PolarHttpServer(
       // sweep's vacuum — same discipline as the scheduled compactor
       graft.sources.PolarLogCleaner.cleanKeys(spark, cfg,
         deleteOriginals = false)),
-    dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio))
+    dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio),
+    oldestDirtyOf = Some(graft.sources.PolarLogCleaner.oldestDirtyMs),
+    forcedKeyCleaner = Some(cfg =>
+      // max.compaction.lag deadline: kc-stamp removal-free dirty regions
+      // too, so the breached topic disarms after one forced pass
+      graft.sources.PolarLogCleaner.cleanKeys(spark, cfg,
+        deleteOriginals = false, forceRewriteDirty = true)))
 
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 

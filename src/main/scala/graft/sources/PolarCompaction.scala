@@ -57,11 +57,13 @@ object PolarCompaction {
         val suffix = java.util.UUID.randomUUID().toString.take(8)
         val pfx = mergedPrefix(run)
         // an all-kc merge keeps a delete-horizon anchor: the NEWEST member
-        // clean time (tombstones retained longest — the safe direction)
+        // clean time (tombstones retained longest — the safe direction).
+        // Carried BOTH structurally (FileEntry.cleanedMs, authoritative)
+        // and in the name (legibility + legacy parsers).
+        val mergedCleanedMs =
+          if (pfx == "kc") run.map(PolarLogCleaner.cleanedMs).max else -1L
         val horizon =
-          if (pfx == "kc")
-            s"c${run.map(PolarLogCleaner.cleanedMs).max}-"
-          else ""
+          if (mergedCleanedMs >= 0) s"c$mergedCleanedMs-" else ""
         val name = f"$pfx${run.head.minOffset}%011d-$horizon$suffix.parquet"
         val destPath = s"${cfg.dir}/part=$p/$name"
         val bytes = PolarBatchWrite.copySegments(
@@ -77,7 +79,8 @@ object PolarCompaction {
           // sentinel) keeps the merged file unprunable, any unknown null
           // count keeps the merged count unknown
           run.map(_.tsMin).min, run.map(_.tsMax).max,
-          if (run.exists(_.tsNulls < 0)) -1L else run.map(_.tsNulls).sum)
+          if (run.exists(_.tsNulls < 0)) -1L else run.map(_.tsNulls).sum,
+          cleanedMs = mergedCleanedMs)
     }
 
     // 2) swap runs for merged entries — only where every member is still

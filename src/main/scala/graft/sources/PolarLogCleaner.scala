@@ -68,14 +68,17 @@ object PolarLogCleaner {
   val DefaultDeleteRetentionMs: Long = 24L * 3600 * 1000
 
   /** First-cleaning time of a cleaned segment — the KIP-534 delete-horizon
-    * anchor. Encoded in the `kc` file NAME (`kc<offset>-c<ms>-<uuid>`), so
-    * `createdMs` stays the source commit age that age-based retention
-    * needs. Legacy kc names (pre-r11) fall back to `createdMs`, which
-    * those builds stamped AT clean time — the same anchor. -1 for files
+    * anchor. STRUCTURAL since r12: the manifest's `FileEntry.cleanedMs`
+    * field is authoritative (format-4 stamped), so the invariant no longer
+    * lives in a file name; `createdMs` stays the source commit age that
+    * age-based retention needs. Legacy entries (-1 field) fall back to the
+    * `kc<offset>-c<ms>-<uuid>` name parse, then to `createdMs` (pre-r11
+    * builds stamped that AT clean time — the same anchor). -1 for files
     * that were never cleaned (their tombstones always survive the pass
     * that first cleans them). */
   private[sources] def cleanedMs(f: FileEntry): Long =
-    if (!f.name.startsWith("kc")) -1L
+    if (f.cleanedMs >= 0) f.cleanedMs
+    else if (!f.name.startsWith("kc")) -1L
     else CleanedMsRe.findFirstMatchIn(f.name).map(_.group(1).toLong)
       .getOrElse(f.createdMs)
 
@@ -95,7 +98,14 @@ object PolarLogCleaner {
    * dirty record shares its key, and a pass over an already-clean region
    * costs one bounded kc read instead of a full re-aggregate.
    */
-  private[sources] def planPass(meta: LogMetadata)
+  private[sources] def planPass(
+      meta: LogMetadata,
+      // Kafka's `min.compaction.lag.ms` floor: dirty segments committed at
+      // or after this wall-clock are NOT yet cleanable — they (and, to keep
+      // the region a contiguous prefix, everything above them) stay out of
+      // the pass, so a record is guaranteed at least the lag uncompacted.
+      // MaxValue (the default) excludes nothing.
+      uncleanableFromMs: Long = Long.MaxValue)
       : (Map[Int, Vector[FileEntry]], Vector[FileEntry],
          Vector[FileEntry], Vector[FileEntry]) = {
     // one sorted pass per partition yields region AND head — a split
@@ -103,12 +113,30 @@ object PolarLogCleaner {
     val sortedByPart: Map[Int, Vector[FileEntry]] = meta.filesByPart.collect {
       case (p, files) if files.size >= 2 => p -> files.sortBy(_.minOffset)
     }
-    val regions = sortedByPart.map { case (p, v) => p -> v.init }
     def isCleaned(f: FileEntry): Boolean = f.name.startsWith("kc")
+    val regions = sortedByPart.map { case (p, v) =>
+      val region = v.init
+      // min-lag cut: appends are committed in offset order, so the first
+      // too-young dirty file starts the uncleanable suffix (kc files are
+      // a previous pass's output and always below the dirty ones)
+      val cut = region.indexWhere(f =>
+        !isCleaned(f) && f.createdMs >= uncleanableFromMs)
+      p -> (if (cut >= 0) region.take(cut) else region)
+    }
     (regions,
       regions.valuesIterator.flatten.filterNot(isCleaned).toVector,
       regions.valuesIterator.flatten.filter(isCleaned).toVector,
       sortedByPart.valuesIterator.map(_.last).toVector)
+  }
+
+  /** Commit age of the OLDEST dirty (never-cleaned) clean-region segment —
+    * what the scheduler's `max.compaction.lag.ms` deadline is measured
+    * against. Pure registry arithmetic; None when nothing is dirty. */
+  def oldestDirtyMs(meta: LogMetadata): Option[Long] = {
+    val ages = meta.filesByPart.valuesIterator
+      .filter(_.size >= 2).flatMap(_.sortBy(_.minOffset).init)
+      .filterNot(_.name.startsWith("kc")).map(_.createdMs)
+    if (ages.isEmpty) None else Some(ages.min)
   }
 
   /** Clean every partition whose clean region holds superseded records.
@@ -130,16 +158,35 @@ object PolarLogCleaner {
       // resolves the topic's prop, else the 24 h default. `dropTombstones`
       // remains the expire-everything-now override.
       deleteRetentionMs: Option[Long] = None,
+      // Kafka's `min.compaction.lag.ms`: None resolves the topic's prop
+      // (default 0). With a positive lag, dirty segments younger than it
+      // are excluded from the pass AND from the winner map — a young
+      // record neither gets compacted nor supersedes its predecessors
+      // until the lag elapses, so a consumer reading within the lag still
+      // observes the full intermediate history (Kafka's exact guarantee;
+      // with lag 0 the map includes the heads, our long-standing default).
+      minCompactionLagMs: Option[Long] = None,
+      // scheduler max-lag deadline support: rewrite in-scope dirty regions
+      // even when nothing is superseded, so their segments get kc-stamped
+      // and tombstones START their delete-retention clock (Kafka advances
+      // its cleaner checkpoint the same way on a removal-free pass)
+      forceRewriteDirty: Boolean = false,
       nowMs: Long = System.currentTimeMillis()): Long = {
     val meta = LogMetadata.read(cfg)
-    val (regions, regionDirty, regionKc, heads) = planPass(meta)
+    val minLag = minCompactionLagMs
+      .orElse(meta.props.get(graft.log.TopicProps.MinCompactionLagMs)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption))
+      .filter(_ > 0L)
+    val (regions, regionDirty, regionKc, heads) =
+      planPass(meta, minLag.map(nowMs - _).getOrElse(Long.MaxValue))
     if (regions.isEmpty) return 0L
     // cleaned segments roll at the topic's own segment.bytes when set
     val rollBytes = PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)
 
     val dirtyRegionRows = PolarLog.consumeFiles(spark, cfg, regionDirty)
     val kcRows = PolarLog.consumeFiles(spark, cfg, regionKc)
-    val winners = PolarLog.consumeFiles(spark, cfg, regionDirty ++ heads)
+    val winners = PolarLog.consumeFiles(spark, cfg,
+        if (minLag.isDefined) regionDirty else regionDirty ++ heads)
       .filter(col("partitionKey").isNotNull)
       .groupBy(col("part").as("wp"), col("partitionKey").as("wk"))
       .agg(max(col("offset")).as("wo"))
@@ -192,11 +239,13 @@ object PolarLogCleaner {
     survivors.persist()
     try {
 
-    // only partitions that actually drop records get rewritten
+    // only partitions that actually drop records get rewritten — unless a
+    // max-lag deadline forces kc-stamping of removal-free dirty regions
     val survivorCounts = survivors.groupBy(col("part")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val needy = regions.filter { case (p, files) =>
-      survivorCounts.getOrElse(p, 0L) < files.map(_.count).sum
+      survivorCounts.getOrElse(p, 0L) < files.map(_.count).sum ||
+        (forceRewriteDirty && files.exists(f => !f.name.startsWith("kc")))
     }
     if (needy.isEmpty) return 0L
     val removed = needy.map { case (p, files) =>
@@ -208,18 +257,35 @@ object PolarLogCleaner {
     //    maxFileBytes size bound every other write path honors
     val needySet = needy.keySet
     val dir = cfg.dir
-    // KIP-534 horizon preservation across re-cleans: rows sourced from an
-    // EARLIER pass's kc files (offsets below the partition's first dirty
-    // offset) keep that pass's clean time; only newly cleaned rows get
-    // stamped with this pass's. A single whole-region stamp would reset
-    // every tombstone's delete horizon on each re-clean, and a topic
-    // cleaned more often than delete.retention.ms would retain its
-    // tombstones FOREVER. The writer force-rolls at the kc/dirty boundary
-    // so the two stamps never share a file.
-    val dirtyBoundary: Map[Int, Long] = regionDirty.groupBy(_.part)
-      .map { case (p, fs) => p -> fs.map(_.minOffset).min }
-    val kcStamp: Map[Int, Long] = regionKc.groupBy(_.part)
-      .map { case (p, fs) => p -> fs.map(cleanedMs).min }
+    // KIP-534 horizon preservation across re-cleans: every row sourced
+    // from an EARLIER pass's kc file keeps THAT FILE's own clean time;
+    // only newly cleaned rows get stamped with this pass's. A single
+    // whole-region stamp would reset every tombstone's delete horizon on
+    // each re-clean (retain forever under churn); collapsing coexisting kc
+    // generations to one stamp would either under-retain (min: a tombstone
+    // first cleaned at t2 restamped t1 expires a window too early — the
+    // KIP-534 violation) or over-retain (max). The writer force-rolls at
+    // every stamp change, so no output file ever mixes horizons.
+    // Breakpoints per partition, offset-ascending: each kc file's
+    // (minOffset, its cleanedMs), then (first dirty offset, this pass's
+    // nowMs) — a survivor's stamp is the greatest breakpoint at or below
+    // its offset.
+    val stampBreaks: Map[Int, Array[(Long, Long)]] = regions.map {
+      case (p, files) =>
+        val kcPts = files.filter(_.name.startsWith("kc"))
+          .map(f => f.minOffset -> cleanedMs(f))
+        val dirtyStart = files.filterNot(_.name.startsWith("kc"))
+          .map(_.minOffset).minOption
+        p -> (kcPts ++ dirtyStart.map(_ -> nowMs)).sortBy(_._1).toArray
+    }
+    def stampFor(p: Int, offset: Long): Long = {
+      val breaks = stampBreaks.getOrElse(p, Array.empty)
+      var i = breaks.length - 1
+      while (i >= 0 && breaks(i)._1 > offset) i -= 1
+      // no breakpoint at/below the offset cannot happen for a region
+      // survivor; fall back to this pass's stamp (the retain-longer side)
+      if (i < 0) nowMs else breaks(i)._2
+    }
     val entries: Map[Int, Vector[FileEntry]] = survivors
       .filter(col("part").isInCollection(needySet.map(Integer.valueOf)))
       .select(col("partitionKey"), col("token"), col("offset"),
@@ -229,29 +295,28 @@ object PolarLogCleaner {
       .queryExecution.toRdd.mapPartitions { it =>
         val conf = PolarDataWriter.writeConf()
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, String, Long, Long, Long, Long, Long, Long)]
+          .empty[(Int, String, Long, Long, Long, Long, Long, Long, Long)]
         var part = -1
         var writer: org.apache.parquet.hadoop.ParquetWriter[
           org.apache.spark.sql.catalyst.InternalRow] = null
         var name: String = null
         var lo = 0L; var hi = 0L; var n = 0L
         var approxBytes = 0L
-        var belowBoundary = false
+        var stamp = -1L
         var tsMin = Long.MaxValue; var tsMax = Long.MinValue; var tsNulls = 0L
         val buf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
         def seal(): Unit = if (writer != null) {
           writer.close()
-          out += ((part, name, lo, hi, n, tsMin, tsMax, tsNulls))
+          out += ((part, name, lo, hi, n, tsMin, tsMax, tsNulls, stamp))
           writer = null
         }
         def open(p: Int, firstOffset: Long): Unit = {
           part = p
-          // `-c<ms>-` = the segment's delete-horizon anchor (see cleanedMs):
-          // the PREVIOUS pass's clean time for kc-sourced rows, this
-          // pass's for newly cleaned ones
-          belowBoundary =
-            firstOffset < dirtyBoundary.getOrElse(p, Long.MaxValue)
-          val stamp = if (belowBoundary) kcStamp.getOrElse(p, nowMs) else nowMs
+          stamp = stampFor(p, firstOffset)
+          // the `-c<ms>-` name stamp mirrors the structural cleanedMs (the
+          // manifest field is authoritative; the name keeps passes legible
+          // and legacy parsers working): each source kc file's OWN horizon
+          // for kc-sourced rows, this pass's for newly cleaned ones
           name = f"kc$firstOffset%011d-c$stamp-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
           writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf)
@@ -260,9 +325,11 @@ object PolarLogCleaner {
         }
         it.foreach { row =>
           val p = row.getInt(5)
+          // roll on partition change, size, and EVERY horizon change — two
+          // stamps never share a file, so no row's delete horizon can be
+          // collapsed into a neighbor generation's
           if (p != part || approxBytes >= rollBytes ||
-              (belowBoundary &&
-                row.getLong(2) >= dirtyBoundary.getOrElse(p, Long.MaxValue))) {
+              stampFor(p, row.getLong(2)) != stamp) {
             seal()
             open(p, row.getLong(2))
           }
@@ -287,7 +354,7 @@ object PolarLogCleaner {
         }
         seal()
         out.iterator
-      }.collect().map { case (p, name, lo, hi, n, tsMin, tsMax, tsNulls) =>
+      }.collect().map { case (p, name, lo, hi, n, tsMin, tsMax, tsNulls, stamp) =>
         val path = new Path(s"$dir/part=$p/$name")
         val bytes = path.getFileSystem(HadoopConf.shared)
           .getFileStatus(path).getLen
@@ -297,10 +364,12 @@ object PolarLogCleaner {
         // (never the clean-pass time): survivors are old records, and
         // age-based retention — should the topic's policy later flip to
         // delete — must see their original commit age, not grant them up
-        // to a full extra retention window
+        // to a full extra retention window. cleanedMs is the structural
+        // KIP-534 horizon (same value the name's -c stamp carries).
         val srcAge = needy.get(p).map(_.map(_.createdMs).max)
           .getOrElse(System.currentTimeMillis())
-        FileEntry(p, name, lo, hi, n, bytes, srcAge, tLo, tHi, tsNulls)
+        FileEntry(p, name, lo, hi, n, bytes, srcAge, tLo, tHi, tsNulls,
+          cleanedMs = stamp)
       }.groupBy(_.part).map { case (p, fs) => p -> fs.toVector.sortBy(_.minOffset) }
 
     // 2) swap each partition's clean region for its cleaned segment — only

@@ -202,23 +202,29 @@ class PolarRoutedDataWriter(
 
   private val topicIdx = schema.fieldIndex("topic")
   private val valueIdx = schema.fieldIndex("value")
-  // one entry per destination: (writer, record-size cap). The cap is the
-  // topic's max.message.bytes prop when set, else the server-level
-  // default — resolved from the same root-doc read that supplies the
-  // offset bases. The routed path cannot bake a per-destination cap into
-  // the envelope like a single-topic produce (destinations are
-  // data-dependent), so this is the broker-side append check, per Kafka —
-  // and a topic cap WIDER than the server default is honored here too,
-  // matching the single-topic authority rule.
+  private val tsIdx = schema.fieldIndex("timestamp")
+  // LogAppendTime destinations stamp every record with THIS task's append
+  // wall-clock — one stamp per writer, like the broker stamping a batch
+  private val appendMicros = System.currentTimeMillis() * 1000L
+  // one entry per destination: (writer, record-size cap, appendTime). The
+  // cap is the topic's max.message.bytes prop when set, else the
+  // server-level default — resolved from the same root-doc read that
+  // supplies the offset bases. The routed path cannot bake a
+  // per-destination cap into the envelope like a single-topic produce
+  // (destinations are data-dependent), so this is the broker-side append
+  // check, per Kafka — and a topic cap WIDER than the server default is
+  // honored here too, matching the single-topic authority rule.
+  // message.timestamp.type resolves the same way: per destination, at the
+  // append.
   private val writers = scala.collection.mutable
-    .LinkedHashMap.empty[String, (PolarDataWriter, Int)]
+    .LinkedHashMap.empty[String, (PolarDataWriter, Int, Boolean)]
 
   override def write(row: InternalRow): Unit = {
     if (row.isNullAt(topicIdx)) throw new IllegalArgumentException(
       "row-routed produce: the 'topic' column must not be null " +
         "(set a 'topic' write option for a single-topic default)")
     val t = row.getUTF8String(topicIdx).toString
-    val (w, cap) = writers.getOrElseUpdate(t, {
+    val (w, cap, appendTime) = writers.getOrElseUpdate(t, {
       if (!TopicConfig.validTopicName(t)) throw new IllegalArgumentException(
         s"Invalid topic name in 'topic' column: '$t'")
       val cfg = template.topicConfig(t)
@@ -231,16 +237,22 @@ class PolarRoutedDataWriter(
         taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)),
         meta.props.get(graft.log.TopicProps.MaxMessageBytes)
           .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-          .filter(_ > 0).getOrElse(defaultMaxMessageSize))
+          .filter(_ > 0).getOrElse(defaultMaxMessageSize),
+        graft.log.PolarLog.logAppendTime(meta.props))
     })
     if (!row.isNullAt(valueIdx) && row.getBinary(valueIdx).length > cap)
       throw new IllegalArgumentException(
         s"record value exceeds topic '$t' max.message.bytes=$cap")
+    if (appendTime) row match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        u.setNotNullAt(tsIdx); u.setLong(tsIdx, appendMicros)
+      case r => r.update(tsIdx, appendMicros)
+    }
     w.write(row)
   }
 
   override def commit(): WriterCommitMessage =
-    PolarRoutedCommitMessage(writers.map { case (t, (w, _)) =>
+    PolarRoutedCommitMessage(writers.map { case (t, (w, _, _)) =>
       t -> w.commit().asInstanceOf[PolarCommitMessage].files
     }.toMap)
 

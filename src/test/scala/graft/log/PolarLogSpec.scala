@@ -371,12 +371,26 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Vector(FileEntry(0, "a.parquet", 0, 1, 2, 100, 1L)))
     assert(man.contains(s""""format":${LogMetadata.DenseFormat}"""))
     // ...but a manifest holding an offset-SPARSE entry (key compaction)
-    // stamps the CURRENT format: a pre-r10 reader would silently return
+    // stamps the SPARSE format: a pre-r10 reader would silently return
     // short LIMIT/top-N answers over it, so it must refuse instead
     val sparse = LogMetadata.renderManifest(
       Vector(FileEntry(0, "kc.parquet", 0, 9, 4, 100, 1L)))
-    assert(sparse.contains(s""""format":${LogMetadata.CurrentFormat}"""))
+    assert(sparse.contains(s""""format":${LogMetadata.SparseFormat}"""))
     assert(LogMetadata.parseManifestDoc(sparse).files.head.count === 4)
+    // a structural cleanedMs (KIP-534 horizon) round-trips and stamps the
+    // CLEANED format — a pre-r12 reader's entry regex would zero-match the
+    // 11-element tuple and fabricate an empty topic, so it must refuse
+    val cleanedEntry = FileEntry(0, "kc00000000000-c1234-x.parquet",
+      0, 9, 4, 100, 1L, 5L, 9L, 0L, cleanedMs = 1234L)
+    val cleaned = LogMetadata.renderManifest(Vector(cleanedEntry))
+    assert(cleaned.contains(s""""format":${LogMetadata.CleanedFormat}"""))
+    assert(LogMetadata.parseManifestDoc(cleaned).files.head === cleanedEntry)
+    // entries WITHOUT a horizon keep the shorter tuple (-1 on parse), and a
+    // mixed manifest parses both shapes
+    val mixed = LogMetadata.renderManifest(Vector(cleanedEntry,
+      FileEntry(0, "b.parquet", 10, 11, 2, 100, 1L)))
+    val parsed = LogMetadata.parseManifestDoc(mixed).files
+    assert(parsed.map(_.cleanedMs) === Vector(1234L, -1L))
     val futureMan = man.replaceFirst(
       s""""format":${LogMetadata.DenseFormat}""",
       s""""format":${LogMetadata.CurrentFormat + 9}""")

@@ -176,6 +176,116 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(view("3") === "v2:3")
   }
 
+  test("retention.bytes trims head segments per partition; under-cap and compact topics untouched") {
+    val t = TopicConfig(root, "ret_bytes")
+    val kt = TopicConfig(root, "ret_bytes_compacted")
+    // three same-sized commits per topic -> three segments per partition
+    (0 until 3).foreach { i =>
+      PolarLog.produce(records(i * 200, (i + 1) * 200), t)
+      PolarLog.produce(records(i * 200, (i + 1) * 200), kt)
+    }
+    val meta = LogMetadata.read(t)
+    // cap chosen so Kafka's predicate (delete head while remaining - head
+    // >= cap) keeps exactly the LAST segment of every 3-file partition:
+    // max single-file bytes < cap <= min last-two-file bytes
+    val perPart = meta.filesByPart.collect {
+      case (p, v) if v.size === 3 => p -> v.sortBy(_.minOffset)
+    }
+    assume(perPart.nonEmpty, "need 3-segment partitions")
+    val cap = perPart.values.map(v => v.takeRight(2).map(_.bytes).sum).min
+    assume(perPart.values.forall(_.map(_.bytes).max < cap),
+      "fixture skew too high for a single-file cut")
+    def setProps(c: TopicConfig, ps: Map[String, String]): Unit =
+      LogMetadata.compareAndSet(c, LogMetadata.read(c))(m => m.copy(props = ps))
+    setProps(t, Map(TopicProps.RetentionBytes -> cap.toString))
+    setProps(kt, Map(TopicProps.RetentionBytes -> cap.toString,
+      TopicProps.CleanupPolicy -> "compact"))
+    // validator: positive or the -1 no-cap sentinel only
+    assert(TopicProps.validate(TopicProps.RetentionBytes, "-1"))
+    intercept[IllegalArgumentException] {
+      TopicProps.validate(TopicProps.RetentionBytes, "0")
+    }
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000)
+    val res = sched.sweep()
+    assert(res("ret_bytes").agedDeleted > 0)
+    assert(res("ret_bytes_compacted").agedDeleted === 0,
+      "compact policy exempts size-based retention — keys must survive")
+    val after = LogMetadata.read(t)
+    perPart.keys.foreach { p =>
+      val v = after.filesOf(p)
+      // remaining bytes honor the cap with the fewest possible deletions,
+      // and the trim advanced the log start to the first survivor
+      assert(v.map(_.bytes).sum >= cap, s"part $p under-deleted past the cap")
+      assert(v.size < 3, s"part $p nothing trimmed")
+      assert(after.logStart(p) === v.head.minOffset, s"part $p log start")
+    }
+    // survivors keep their offsets: dense suffix up to the tail
+    val tails = PolarLog.tails(t)
+    PolarLog.consume(spark, t).groupBy("part")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"))
+      .collect().foreach { r =>
+        assert(r.getLong(3) === tails(r.getInt(0)) - 1)
+        assert(r.getLong(3) - r.getLong(2) + 1 === r.getLong(1))
+      }
+    // a partition can never lose its LAST segment (Kafka never deletes the
+    // active one): a 1-byte cap still leaves one file per partition
+    assert(PolarLog.cleanRetentionBytes(t, 1L) > 0)
+    LogMetadata.read(t).filesByPart.foreach { case (p, v) =>
+      if (after.filesOf(p).nonEmpty)
+        assert(v.size === 1, s"part $p must keep its active segment")
+    }
+  }
+
+  test("max.compaction.lag.ms forces a pass below the dirty-ratio floor and disarms after it") {
+    val t = TopicConfig(root, "ret_maxlag")
+    def keyed(tag: String, keys: Range): Unit = {
+      val spark2 = spark; import spark2.implicits._
+      PolarLog.produce(keys.map(k => (k.toString, s"$tag:$k"))
+        .toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value"), t)
+    }
+    keyed("v1", 0 until 60)
+    keyed("v2", 0 until 60)
+    keyed("seal", 5000 until 5200)
+    LogMetadata.compareAndSet(t, LogMetadata.read(t))(m =>
+      m.copy(props = Map(TopicProps.CleanupPolicy -> "compact")))
+    var plain = 0; var forced = 0
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000,
+      keyCleaner = Some { c =>
+        if (c.topic != "ret_maxlag") 0L
+        else { plain += 1; graft.sources.PolarLogCleaner.cleanKeys(spark, c) } },
+      forcedKeyCleaner = Some { c =>
+        if (c.topic != "ret_maxlag") 0L
+        else { forced += 1; graft.sources.PolarLogCleaner.cleanKeys(
+          spark, c, forceRewriteDirty = true) } },
+      dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio),
+      oldestDirtyOf = Some(graft.sources.PolarLogCleaner.oldestDirtyMs))
+    sched.sweep()
+    assert(plain === 1 && forced === 0)
+    // a tiny dirty produce: ratio below 0.5, version advanced — without a
+    // max-lag deadline the floor gates the pass forever
+    keyed("v3", 0 until 2)
+    sched.sweep()
+    assert(plain === 1 && forced === 0, "the ratio floor must gate")
+    // deadline set and already breached (the dirty file is older than 1 ms
+    // by now): the FORCED pass runs despite the floor...
+    LogMetadata.updateProps(t)(_.updated(TopicProps.MaxCompactionLagMs, "1"))
+    Thread.sleep(5)
+    sched.sweep()
+    assert(forced === 1, "a breached max-lag must force the pass")
+    // ...and kc-stamps the removal-free dirty region, so the deadline
+    // DISARMS: nothing is dirty anymore, the next sweep runs neither path
+    assert(graft.sources.PolarLogCleaner.oldestDirtyMs(LogMetadata.read(t)).isEmpty,
+      "a forced pass must kc-stamp the dirty region")
+    sched.sweep()
+    assert(plain === 1 && forced === 1, "a forced pass must disarm the deadline")
+    // validator: Kafka requires >= 1
+    intercept[IllegalArgumentException] {
+      TopicProps.validate(TopicProps.MaxCompactionLagMs, "0")
+    }
+  }
+
   test("sweep deletes aged segments, keeps young ones, preserves surviving offsets") {
     val cfg = TopicConfig(root, "ret_age")
     val nA = PolarLog.produce(records(0, 400), cfg).recordsWritten

@@ -270,6 +270,101 @@ class PolarLogCleanerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted(cfg)("1") === "v2:1")
   }
 
+  test("coexisting kc generations each keep their OWN delete horizon across re-cleans") {
+    // the round-11 defect: collapsing all prior kc clean times to the
+    // per-partition MINIMUM restamps a tombstone first cleaned at t2 with
+    // an older generation's t0, expiring it a window early (under-retain —
+    // the KIP-534 violation). One partition so every generation coexists.
+    val cfg = TopicConfig(root, "kc_gen", clusterSize = 1, rangesPerToken = 1)
+    val w = 3600000L // 1 h tombstone window
+    val t0 = System.currentTimeMillis()
+    def clean(at: Long) = PolarLogCleaner.cleanKeys(spark, cfg,
+      deleteRetentionMs = Some(w), nowMs = at)
+    // gen 1 (stamp t0): v1 of 10-19 superseded by v2
+    produceKeyed(cfg, "v1", 10 until 20)
+    produceKeyed(cfg, "v2", 10 until 20)
+    produceKeyed(cfg, "seal1", 200 until 210)
+    assert(clean(t0) === 10L)
+    // gen 2 (stamp t2 = t0+2h): tombstones 0-9 first cleaned here
+    produceKeyed(cfg, "tomb", 0 until 10, tombstones = (0 until 10).toSet)
+    produceKeyed(cfg, "c1", 300 until 310)
+    produceKeyed(cfg, "c1", 300 until 310) // supersede -> needy
+    produceKeyed(cfg, "seal2", 210 until 220)
+    val t2 = t0 + 2 * w
+    assert(clean(t2) === 10L)
+    assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 10L,
+      "tombstones survive the pass that first cleans them")
+    // both kc generations now coexist with STRUCTURAL distinct horizons
+    val gens = LogMetadata.read(cfg).files.filter(_.name.startsWith("kc"))
+      .map(_.cleanedMs).toSet
+    assert(gens === Set(t0, t2), s"structural horizons $gens")
+    // gen 3: re-clean at t3 = t0+2.5h (inside the tombstones' window) with
+    // fresh churn — each kc-sourced row must keep ITS file's horizon
+    produceKeyed(cfg, "d1", 400 until 410)
+    produceKeyed(cfg, "d1", 400 until 410)
+    produceKeyed(cfg, "seal3", 220 until 230)
+    assert(clean(t0 + w * 5 / 2) > 0L)
+    assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 10L)
+    assert(LogMetadata.read(cfg).files.filter(_.name.startsWith("kc"))
+      .map(_.cleanedMs).toSet.intersect(Set(t0, t2)) === Set(t0, t2),
+      "a re-clean must preserve BOTH generation horizons, not collapse them")
+    // gen 4 at t4 = t0+2.75h: past t0+w, inside t2+w — the min-collapse bug
+    // would have restamped the tombstones t0 and expired them HERE
+    produceKeyed(cfg, "e1", 500 until 510)
+    produceKeyed(cfg, "e1", 500 until 510)
+    produceKeyed(cfg, "seal4", 230 until 240)
+    assert(clean(t0 + w * 11 / 4) > 0L)
+    assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 10L,
+      "a tombstone first cleaned at t2 must survive until t2 + window")
+    // gen 5 at t5 = t0+4h: past t2+w — now they expire
+    produceKeyed(cfg, "f1", 600 until 610)
+    produceKeyed(cfg, "f1", 600 until 610)
+    produceKeyed(cfg, "seal5", 240 until 250)
+    assert(clean(t0 + 4 * w) > 0L)
+    assert(PolarLog.consume(spark, cfg).filter(col("value").isNull).count() === 0L,
+      "past its own window the tombstone expires")
+    // the view was latest-per-key throughout
+    assert(compacted(cfg)("15") === "v2:15" && !compacted(cfg).contains("3"))
+  }
+
+  test("min.compaction.lag.ms: young records neither compact nor supersede until the lag") {
+    val cfg = TopicConfig(root, "kc_minlag")
+    val now = System.currentTimeMillis()
+    produceKeyed(cfg, "v1", 0 until 20)
+    produceKeyed(cfg, "v2", 0 until 20)
+    produceKeyed(cfg, "seal", 9000 until 9200)
+    LogMetadata.updateProps(cfg)(_ +
+      (TopicProps.CleanupPolicy -> "compact") +
+      (TopicProps.MinCompactionLagMs -> "3600000"))
+    // all dirty segments are younger than the lag: the pass excludes the
+    // whole dirty region — nothing removed, nothing rewritten
+    assert(PolarLogCleaner.cleanKeys(spark, cfg, nowMs = now) === 0L)
+    assert(PolarLog.consume(spark, cfg).count() === 40L + 200L,
+      "records within the lag must stay uncompacted")
+    assert(LogMetadata.read(cfg).files.forall(!_.name.startsWith("kc")))
+    // clocked past the lag the same pass compacts normally
+    assert(PolarLogCleaner.cleanKeys(spark, cfg,
+      nowMs = now + 2 * 3600000L) === 20L)
+    assert(compacted(cfg)("5") === "v2:5")
+    // planPass floor semantics, registry-only: the cut starts at the first
+    // too-young DIRTY file and takes everything above it (contiguous
+    // region), never a kc file below
+    def f(name: String, lo: Long, hi: Long, created: Long) =
+      graft.log.FileEntry(0, name, lo, hi, hi - lo + 1, 10L, created)
+    val meta = graft.log.LogMetadata(1L, 1, 1, Vector(40L),
+      filesByPart = Map(0 -> Vector(
+        f("kc00000000000-c500-x.parquet", 0, 9, 400),
+        f("f1.parquet", 10, 19, 2000),
+        f("f2.parquet", 20, 29, 5000),
+        f("f3.parquet", 30, 39, 6000))))
+    val (regions, dirty, kc, heads) = PolarLogCleaner.planPass(meta, 5000L)
+    assert(regions(0).map(_.name) === Vector("kc00000000000-c500-x.parquet", "f1.parquet"))
+    assert(dirty.map(_.name) === Vector("f1.parquet"))
+    assert(kc.size === 1 && heads.map(_.name) === Vector("f3.parquet"))
+    // no floor: the full region is in scope
+    assert(PolarLogCleaner.planPass(meta)._1(0).size === 3)
+  }
+
   test("a pass after a clean pass reads only dirty bytes; compaction keeps the kc marker and age") {
     val cfg = TopicConfig(root, "kc_dirtyonly")
     produceKeyed(cfg, "v1", 0 until 40)
