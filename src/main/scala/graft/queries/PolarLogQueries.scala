@@ -1384,6 +1384,138 @@ object PolarLogQueries extends QueryRegistry {
         HAVING SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) > 0""")),
 
     QueryDef(
+      "polar_retention_bytes",
+      (s, dir) => {
+        // SIZE-BASED RETENTION (Kafka retention.bytes, per partition):
+        // clone the shared 4-commit fixture; the cap is chosen from the
+        // registry so Kafka's head-delete predicate (delete while the
+        // remainder stays at/above the cap) keeps exactly the last two
+        // slices in EVERY partition — survivors are the same dense
+        // [countA+countB, tail) window polar_retention proves, so the two
+        // trim axes (age, size) share one oracle.
+        val cfg = SharedTopics.cloneTopic(SharedTopics.segmentedEvents(s, dir)._1)
+        val meta = LogMetadata.read(cfg)
+        val byPart = meta.filesByPart.collect {
+          case (p, v) if v.nonEmpty => p -> v.sortBy(_.minOffset)
+        }
+        require(byPart.valuesIterator.forall(_.size == 4),
+          "fixture must hold one file per slice per partition")
+        val cap = byPart.valuesIterator.map(_.takeRight(2).map(_.bytes).sum).min
+        require(byPart.valuesIterator.forall(_.last.bytes < cap),
+          "fixture skew too high for a two-slice cut")
+        graft.log.LogMetadata.updateProps(cfg)(
+          _ + (graft.log.TopicProps.RetentionBytes -> cap.toString))
+        new RetentionScheduler(cfg.root,
+          retentionMs = 365L * 24 * 3600 * 1000).sweep()
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
+            min(col("offset")).as("min_off"))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 4 AS rem FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, r.rem, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part,
+               CAST(SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               COUNT(*) AS off_span,
+               CAST(SUM(CASE WHEN rem < 2 THEN 1 ELSE 0 END) AS BIGINT) AS min_off
+        FROM placed GROUP BY part
+        HAVING SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) > 0""")),
+
+    QueryDef(
+      "polar_compaction_lag",
+      (s, dir) => {
+        // min.compaction.lag.ms (r12): one latest-per-key fact per user,
+        // superseded once, sealed. A cleaning pass INSIDE the lag removes
+        // nothing (young segments are excluded from the pass and the
+        // winner map — Kafka's guarantee that a consumer reading within
+        // the lag sees the full intermediate history); the same pass
+        // clocked past the lag compacts normally.
+        val root = Files.createTempDirectory("graft_polar_lag").toString
+        val cfg = TopicConfig(root, "clag")
+        val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        val users = Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("partitionKey")).distinct()
+        PolarLog.produce(users.select(col("partitionKey"),
+          t0.as("timestamp"), col("partitionKey").cast("binary").as("value")), cfg)
+        PolarLog.produce(users.select(col("partitionKey"), t0.as("timestamp"),
+          concat(lit("x"), col("partitionKey")).cast("binary").as("value")), cfg)
+        PolarLog.produce(s.range(500).select(
+          concat(lit("s"), col("id")).cast("string").as("partitionKey"),
+          t0.as("timestamp"), lit("z").cast("binary").as("value")), cfg)
+        graft.log.LogMetadata.updateProps(cfg)(
+          _ + (graft.log.TopicProps.CleanupPolicy -> "compact")
+            + (graft.log.TopicProps.MinCompactionLagMs -> "3600000"))
+        val now = System.currentTimeMillis()
+        val removedWithin =
+          graft.sources.PolarLogCleaner.cleanKeys(s, cfg, nowMs = now)
+        val nWithin = PolarLog.consume(s, cfg).count()
+        val removedPast = graft.sources.PolarLogCleaner.cleanKeys(
+          s, cfg, nowMs = now + 2L * 3600000L)
+        val nPast = PolarLog.consume(s, cfg).count()
+        val spark2 = s; import spark2.implicits._
+        Seq(("within_lag", removedWithin, nWithin),
+          ("past_lag", removedPast, nPast))
+          .toDF("stage", "removed", "n_raw")
+      },
+      Some("""
+        SELECT 'within_lag' AS stage, CAST(0 AS BIGINT) AS removed,
+               CAST(2 * COUNT(DISTINCT user_id) + 500 AS BIGINT) AS n_raw
+        FROM events
+        UNION ALL
+        SELECT 'past_lag' AS stage,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS removed,
+               CAST(COUNT(DISTINCT user_id) + 500 AS BIGINT) AS n_raw
+        FROM events""")),
+
+    QueryDef(
+      "polar_ts_type",
+      (s, dir) => {
+        // message.timestamp.type (r12): the same producer frame lands in a
+        // CreateTime topic (keeps the 2024 event times) and a
+        // LogAppendTime topic (every timestamp forced to the append
+        // wall-clock) — the two modes provably diverge on a "timestamp at
+        // or after produce start" count, and ts-seek follows the
+        // CONFIGURED time: CreateTime seeks past everything (sum of seeks
+        // = sum of tails = N), LogAppendTime seeks to each partition's
+        // first offset (sum 0).
+        val root = Files.createTempDirectory("graft_polar_tst").toString
+        val ct = TopicConfig(root, "tsc")
+        val la = TopicConfig(root, "tsl")
+        graft.log.LogMetadata.updateProps(la)(
+          _ + (graft.log.TopicProps.MessageTimestampType -> "LogAppendTime"))
+        val t0Ms = System.currentTimeMillis()
+        val recs = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(recs, ct)
+        PolarLog.produce(recs, la)
+        val spark2 = s; import spark2.implicits._
+        Seq(ct -> "CreateTime", la -> "LogAppendTime").map { case (cfg, mode) =>
+          val log = PolarLog.consume(s, cfg)
+          val n = log.count()
+          val recent = log.filter(unix_micros(col("timestamp")) >= t0Ms * 1000L)
+            .count()
+          val seekSum = PolarLog.offsetsForTimestamp(s, cfg, t0Ms * 1000L)
+            .values.sum
+          (mode, n, recent, seekSum)
+        }.toDF("mode", "n", "n_recent", "seek_sum")
+      },
+      Some("""
+        SELECT 'CreateTime' AS mode, COUNT(*) AS n,
+               CAST(0 AS BIGINT) AS n_recent, COUNT(*) AS seek_sum
+        FROM events
+        UNION ALL
+        SELECT 'LogAppendTime' AS mode, COUNT(*) AS n,
+               COUNT(*) AS n_recent, CAST(0 AS BIGINT) AS seek_sum
+        FROM events""")),
+
+    QueryDef(
       "polar_compact",
       (s, dir) => {
         // SEGMENT COMPACTION: four per-request-sized produces leave four
