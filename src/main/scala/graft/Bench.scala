@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // contended timings are garbage — warn (or refuse under
+    // GRAFT_GUARD=strict) and make the map self-identifying
+    val contended = tools.ContentionGuard.check("bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -105,7 +108,7 @@ object Bench {
     val controlQs = control
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","control":$controlQs,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,"control":$controlQs,"queries":$qs,"sf":"$sfDir"}"""
     // Emission order matters: stdout capture keeps the TAIL, and the full
     // per-query map (~7 KB at 229 queries) has been front-truncated before
     // (BENCH_r04 lost its tail, BENCH_r06 parsed null). Full line first,
@@ -115,7 +118,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"control":$controlQs,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"contended":$contended,"control":$controlQs,"slowest":$slowest,"sf":"$sfDir"}""")
     // belt-and-braces: the full line always lands in a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

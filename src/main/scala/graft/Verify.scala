@@ -12,6 +12,9 @@ object Verify {
         System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
         sys.exit(2)
     }
+    // contended timings mislead the per-gate profiling lines — warn (or
+    // refuse under GRAFT_GUARD=strict) before the battery starts
+    tools.ContentionGuard.check("verify"): Unit
     // default 8 (was 4): the battery is wall-clock-bounded by its slowest
     // multi-stage gates (graph BSP rounds, the log cleaner's fixture),
     // which parallelize; the per-gate scheduling overhead doesn't grow
