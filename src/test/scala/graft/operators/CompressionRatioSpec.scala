@@ -38,6 +38,26 @@ class CompressionRatioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) < 0.05, "pure repetition must collapse")
   }
 
+  test("golden frame hash at sf0.01: the gate's exact content is pinned") {
+    // the driver's correctness row for text_compression_ratio is rows-only
+    // (zlib is not replayable in SQL) — this hash is its hard signal: one
+    // order-independent digest over the full (doc_id, raw_len, comp_len)
+    // frame at the driver's own scale factor. Deflater level-6 output is
+    // deterministic for a given JDK lineage (zlib's fixed algorithm); a JDK
+    // swap that changes compressed lengths fails HERE, loudly, instead of
+    // silently shifting the gate's dump.
+    val r = TextAnalysis.compressionRatio(
+      graft.Tables.documents(spark, "/root/testdata/sf0.01"), "text", "doc_id")
+    val row = r.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("doc_id"), col("raw_len"), col("comp_len"))).as("h"),
+      sum(col("raw_len")).as("raw"), sum(col("comp_len")).as("comp"))
+      .head()
+    val digest = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(digest === ((500L, -7480950026147948700L, 149174L, 74349L)),
+      s"golden digest moved: $digest")
+  }
+
   test("ratio is deterministic and raw_len matches utf-8 bytes") {
     val s = spark
     import s.implicits._
