@@ -56,7 +56,12 @@ final class RetentionScheduler(
     // forced passes kc-stamp removal-free dirty regions, so a breached
     // topic is cleaned ONCE and the deadline disarms until new dirt lands
     oldestDirtyOf: Option[LogMetadata => Option[Long]] = None,
-    forcedKeyCleaner: Option[TopicConfig => Long] = None)
+    forcedKeyCleaner: Option[TopicConfig => Long] = None,
+    // orphaned multi-topic commit journal recovery
+    // (PolarRoutedWrite.recoverJournals): runs FIRST each sweep, so a
+    // journal's staged files are rolled forward/back before any vacuum
+    // could reclaim them as plain orphans
+    routedRecover: Option[Long => Int] = None)
     extends AutoCloseable {
 
   // topic -> registry version as of its last key-cleaning pass
@@ -65,6 +70,7 @@ final class RetentionScheduler(
 
   @volatile private var sweepsDone: Long = 0L
   @volatile private var mergedDone: Long = 0L
+  @volatile private var recoveredDone: Long = 0L
   @volatile private var lastSweep: Map[String, RetentionScheduler.Sweep] = Map.empty
   @volatile private var lastSweepError: Option[Throwable] = None
   private var scheduled: Option[ScheduledFuture[_]] = None
@@ -97,6 +103,9 @@ final class RetentionScheduler(
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory)
+      // reserved (`_`-prefixed) dirs — txn journals, future control state —
+      // are not topics and would fail TopicConfig's name validation
+      .filter(s => TopicConfig.validTopicName(s.getPath.getName))
       .map(s => TopicConfig(root, s.getPath.getName, clusterSize, rangesPerToken))
       .filter(cfg => fs.exists(new Path(cfg.metadataPath)))
   }
@@ -106,6 +115,11 @@ final class RetentionScheduler(
     * scheduled loop. */
   def sweep(nowMs: Long = System.currentTimeMillis()): Map[String, RetentionScheduler.Sweep] =
     synchronized {
+      // routed-commit journal recovery first (all-or-none convergence for
+      // killed multi-topic fan-outs) — its staged files must be resolved
+      // before the per-topic vacuums below can see them as plain orphans
+      recoveredDone += routedRecover.map(f =>
+        try f(nowMs) catch { case NonFatal(_) => 0 }).getOrElse(0).toLong
       val res = topics().map { cfg =>
         // per-topic overrides (Kafka topic configs, persisted in the root
         // doc): `retention.ms` replaces the global window for this topic;
@@ -206,6 +220,7 @@ final class RetentionScheduler(
 
   def sweeps: Long = sweepsDone
   def merged: Long = mergedDone
+  def recovered: Long = recoveredDone
   def last: Map[String, RetentionScheduler.Sweep] = lastSweep
   def lastError: Option[Throwable] = lastSweepError
 

@@ -1,0 +1,132 @@
+package graft.log
+
+import org.apache.hadoop.fs.Path
+
+/**
+ * Multi-topic routed-commit intent journal: the recovery anchor that makes
+ * a row-routed fan-out atomic ACROSS topics, not just per topic.
+ *
+ * A routed produce commits one CAS per destination topic; a crash between
+ * topic commits used to leave a PERMANENT partial fan-out (documented in
+ * [[graft.sources.PolarRoutedWrite]]). Now a multi-topic commit first
+ * writes an intent journal under `{root}/_polar_txns/txn-<uuid>/`: one
+ * manifest-shaped file per topic naming the staged segments, then a
+ * `txn.json` COMMIT-POINT file (written last — a journal without it is an
+ * incomplete intent and aborts). The per-topic CASes follow; full success
+ * deletes the journal.
+ *
+ * After a kill, the retention sweep's recovery pass
+ * ([[graft.sources.PolarRoutedWrite.recoverJournals]]) finds the orphaned
+ * journal and drives the fan-out to a terminal state: complete journals
+ * roll FORWARD (the staged files are durable — the uncommitted topics'
+ * segments register through the normal commit path, rebase and all),
+ * incomplete ones roll BACK (staged files reclaimed). Either way every
+ * routed topic converges to "all topics carry the epoch" or "none do" —
+ * stronger than Kafka without transactions, built from the CAS machinery
+ * that already exists.
+ *
+ * Journals are tiny (entry tuples per topic) and short-lived; readers
+ * never consult them — visibility stays registry-only, so the hot read
+ * path pays nothing for this.
+ */
+object TxnJournal {
+
+  def dir(root: String): String = s"$root/_polar_txns"
+
+  final case class Journal(
+      path: String,
+      ageAnchorMs: Long,
+      txn: Option[(String, Long)],
+      complete: Boolean,
+      topics: Map[String, Vector[FileEntry]])
+
+  /** Write the intent: per-topic staged-entry manifests FIRST, the
+    * `txn.json` commit point LAST (its presence = the intent is complete).
+    * Returns the journal directory path. */
+  def write(
+      root: String,
+      topics: Map[String, Seq[FileEntry]],
+      txn: Option[(String, Long)]): String = {
+    val jdir = new Path(
+      s"${dir(root)}/txn-${java.util.UUID.randomUUID().toString.take(12)}")
+    val fs = jdir.getFileSystem(HadoopConf.shared)
+    fs.mkdirs(jdir)
+    topics.foreach { case (t, entries) =>
+      require(TopicConfig.validTopicName(t), s"invalid journal topic '$t'")
+      val out = fs.create(new Path(jdir, s"$t.json"), false)
+      try out.write(LogMetadata.renderManifest(entries.toVector)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val head = txn match {
+      case Some((sinkId, batchId)) =>
+        s"""{"format":1,"txn":["${LogMetadata.hexEncode(sinkId)}",$batchId]}"""
+      case None => """{"format":1}"""
+    }
+    val out = fs.create(new Path(jdir, "txn.json"), false)
+    try out.write(head.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    jdir.toString
+  }
+
+  /** Remove a journal (terminal state reached). */
+  def delete(journalPath: String): Unit = {
+    val p = new Path(journalPath)
+    try {
+      val fs = p.getFileSystem(HadoopConf.shared)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Mark a journal undrivable (some staged files are gone AND their topic
+    * never committed — roll-forward impossible, roll-back unsafe): renamed
+    * out of the scan for operator attention instead of being re-chewed
+    * every sweep. */
+  def markFailed(journalPath: String): Unit = {
+    val p = new Path(journalPath)
+    try {
+      val fs = p.getFileSystem(HadoopConf.shared)
+      if (fs.exists(p)) fs.rename(p, new Path(journalPath + ".failed")): Unit
+    } catch { case _: java.io.IOException => () }
+  }
+
+  private val TxnRe = """"txn"\s*:\s*\["([0-9a-f]*)",(\d+)\]""".r
+
+  /** All live journals under `root`, with the age anchor recovery's grace
+    * window is measured against (the commit-point mtime when present). */
+  def list(root: String): Seq[Journal] = {
+    val d = new Path(dir(root))
+    val fs = d.getFileSystem(HadoopConf.shared)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-") &&
+        !s.getPath.getName.endsWith(".failed"))
+      .map { s =>
+        val files = fs.listStatus(s.getPath).filter(_.isFile)
+        val txnFile = files.find(_.getPath.getName == "txn.json")
+        val txn = txnFile.flatMap { f =>
+          val in = fs.open(f.getPath)
+          val text = try {
+            val buf = new Array[Byte](f.getLen.toInt)
+            in.readFully(0, buf); new String(buf, "UTF-8")
+          } finally in.close()
+          TxnRe.findFirstMatchIn(text).map(m =>
+            LogMetadata.hexDecode(m.group(1)) -> m.group(2).toLong)
+        }
+        val topics = files.filter(_.getPath.getName != "txn.json")
+          .filter(_.getPath.getName.endsWith(".json"))
+          .map { f =>
+            val in = fs.open(f.getPath)
+            val text = try {
+              val buf = new Array[Byte](f.getLen.toInt)
+              in.readFully(0, buf); new String(buf, "UTF-8")
+            } finally in.close()
+            f.getPath.getName.stripSuffix(".json") ->
+              LogMetadata.parseManifest(text)
+          }.toMap
+        Journal(s.getPath.toString,
+          txnFile.map(_.getModificationTime).getOrElse(s.getModificationTime),
+          txn, complete = txnFile.isDefined, topics)
+      }
+  }
+}

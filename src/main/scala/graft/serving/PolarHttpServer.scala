@@ -1,7 +1,7 @@
 package graft.serving
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.log.{ConsumerGroups, PolarLog, RetentionScheduler, TopicConfig, TopicOps}
+import graft.log.{ConsumerGroups, PolarLog, RetentionScheduler, RingTemplate, TopicConfig, TopicOps}
 import org.apache.spark.sql.SparkSession
 
 import java.net.InetSocketAddress
@@ -116,7 +116,13 @@ class PolarHttpServer(
       // max.compaction.lag deadline: kc-stamp removal-free dirty regions
       // too, so the breached topic disarms after one forced pass
       graft.sources.PolarLogCleaner.cleanKeys(spark, cfg,
-        deleteOriginals = false, forceRewriteDirty = true)))
+        deleteOriginals = false, forceRewriteDirty = true)),
+    routedRecover = Some(now =>
+      // all-or-none convergence for killed multi-topic routed commits;
+      // grace = one sweep period, same in-flight protection as vacuum
+      graft.sources.PolarRoutedWrite.recoverJournals(
+        RingTemplate(root, clusterSize, rangesPerToken),
+        graceMs = retentionSweepMs, nowMs = now)))
 
   private def cfgOf(topic: String): TopicConfig = coalescer.cfgOf(topic)
 

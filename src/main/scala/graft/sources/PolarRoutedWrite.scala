@@ -99,6 +99,10 @@ class PolarRoutedBatchWrite(
   // topics whose CAS landed — an abort after a partial multi-topic commit
   // must not reclaim THEIR files (they are registered log segments now)
   private val committedTopics = scala.collection.mutable.Set.empty[String]
+  // the intent journal written for a multi-topic commit (crash recovery
+  // anchor); an in-process FAILURE path deletes it in abort — Spark's
+  // abort already resolves that case to the documented partial state
+  private var journal: Option[String] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PolarRoutedWriterFactory(template, schema, maxFileBytes,
@@ -109,6 +113,13 @@ class PolarRoutedBatchWrite(
       case PolarRoutedCommitMessage(m) => m.toSeq
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.groupBy(_._1).map { case (t, vs) => t -> vs.flatMap(_._2) }
+    // a MULTI-topic fan-out writes the intent journal first: a kill
+    // between the per-topic CASes below leaves the journal for the sweep's
+    // recovery pass to drive to all-or-none ([[TxnJournal]]); a
+    // single-topic commit is one CAS and needs none of this
+    if (byTopic.size > 1)
+      journal = Some(graft.log.TxnJournal.write(template.root,
+        byTopic.map { case (t, fs) => t -> fs.toSeq }, txn))
     // deterministic commit order; each topic is one independent CAS with
     // the full rebase/retry/idempotence machinery of a single-topic produce
     byTopic.toSeq.sortBy(_._1).foreach { case (t, files) =>
@@ -116,6 +127,8 @@ class PolarRoutedBatchWrite(
         txn, txnRetentionMs).commit(Array(PolarCommitMessage(files.toSeq)))
       committedTopics += t
     }
+    journal.foreach(graft.log.TxnJournal.delete)
+    journal = None
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,6 +144,105 @@ class PolarRoutedBatchWrite(
         }
       case _ => ()
     }
+    // in-process failure: the uncommitted staged files are gone (above), so
+    // the journal has nothing left to drive — the partial state is the
+    // documented failure semantics, and recovery must not chew on it
+    journal.foreach(graft.log.TxnJournal.delete)
+    journal = None
+  }
+}
+
+object PolarRoutedWrite {
+
+  /** Drive orphaned multi-topic commit journals to a terminal state — the
+    * recovery half of [[graft.log.TxnJournal]], run by the retention
+    * sweep before vacuum (so staged files outlive their journal).
+    *
+    * Per journal older than `graceMs` (in-flight commits are protected):
+    *  - INCOMPLETE intent (no commit point): the commit died before any
+    *    CAS could have run — reclaim the staged files, drop the journal
+    *    ("none").
+    *  - complete: classify each topic — COMMITTED (every journal entry
+    *    registered, or the journal's (sinkId, batchId) txn already
+    *    recorded: a streaming replay re-landed it under rebased names),
+    *    FORWARDABLE (nothing registered, every staged file still on
+    *    disk), or LOST (files gone, never committed). No LOST → roll the
+    *    forwardable topics through the normal commit path (rebase, CAS
+    *    retries, idempotence) and drop the journal ("all"). Any LOST →
+    *    mark the journal `.failed` for the operator — roll-forward is
+    *    impossible and unregistering already-visible topics would yank
+    *    records readers may have consumed.
+    *
+    * Returns the number of journals resolved. */
+  def recoverJournals(
+      template: RingTemplate,
+      graceMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val conf = graft.log.HadoopConf.shared
+    def rm(path: String): Unit =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      } catch { case _: java.io.IOException => () }
+    var resolved = 0
+    graft.log.TxnJournal.list(template.root)
+      .filter(_.ageAnchorMs <= nowMs - graceMs)
+      .foreach { j =>
+        try {
+          if (!j.complete) {
+            j.topics.foreach { case (t, files) =>
+              val cfg = template.topicConfig(t)
+              files.foreach(f => rm(f.path(cfg)))
+            }
+            graft.log.TxnJournal.delete(j.path)
+            resolved += 1
+          } else {
+            sealed trait St
+            case object Committed extends St
+            case object Forwardable extends St
+            case object Lost extends St
+            val states: Map[String, St] = j.topics.map { case (t, files) =>
+              val cfg = template.topicConfig(t)
+              val meta = LogMetadata.read(cfg)
+              val byTxn = j.txn.exists { case (sid, b) =>
+                meta.sinkCommits.get(sid).exists(_ >= b) }
+              val registered = files.forall(f =>
+                meta.filesOf(f.part).exists(_.name == f.name))
+              lazy val onDisk = files.forall { f =>
+                val p = new Path(f.path(cfg))
+                try p.getFileSystem(conf).exists(p)
+                catch { case _: java.io.IOException => false }
+              }
+              t -> (if (registered || byTxn) (Committed: St)
+                    else if (onDisk) Forwardable else Lost)
+            }
+            if (states.valuesIterator.contains(Lost)) {
+              graft.log.TxnJournal.markFailed(j.path)
+            } else {
+              states.foreach {
+                case (t, Forwardable) =>
+                  val cfg = template.topicConfig(t)
+                  new PolarBatchWrite(cfg, graft.log.PolarLog.ValueSchema,
+                    PolarWrite.DefaultMaxFileBytes, j.txn)
+                    .commit(Array(PolarCommitMessage(j.topics(t))))
+                case (t, Committed) =>
+                  // a replay re-landed this topic under rebased names: the
+                  // journal-named duplicates are unregistered orphans
+                  val cfg = template.topicConfig(t)
+                  val meta = LogMetadata.read(cfg)
+                  j.topics(t).filterNot(f =>
+                    meta.filesOf(f.part).exists(_.name == f.name))
+                    .foreach(f => rm(f.path(cfg)))
+                case _ => ()
+              }
+              graft.log.TxnJournal.delete(j.path)
+              resolved += 1
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    resolved
   }
 }
 

@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.log.{FileEntry, LogMetadata, PolarLog, RingTemplate, TxnJournal}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Atomic multi-topic routed commits: the intent journal + sweep recovery
+  * drive a killed fan-out to all-or-none (journal lifecycle, roll-forward,
+  * incomplete-intent rollback, grace window, undrivable marking). */
+class PolarRoutedTxnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private var template: RingTemplate = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_routed_txn").toString
+    template = RingTemplate(root)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def routedProduce(topics: Seq[String], tag: String): Unit = {
+    val s = spark; import s.implicits._
+    val rows = for (t <- topics; k <- 0 until 40) yield (t, k.toString, s"$tag:$t:$k")
+    PolarLog.produceRouted(rows.toDF("topic", "partitionKey", "v")
+      .selectExpr("topic", "partitionKey",
+        "current_timestamp() AS timestamp", "CAST(v AS BINARY) AS value"),
+      template)
+  }
+
+  /** Rewind a topic to its pre-produce registry state WITHOUT touching its
+    * data files — exactly what a kill between the fan-out's per-topic
+    * CASes leaves behind for that topic. Returns the unregistered entries. */
+  private def simulateUncommitted(topic: String): Vector[FileEntry] = {
+    val cfg = template.topicConfig(topic)
+    val meta = LogMetadata.read(cfg)
+    val staged = meta.files
+    LogMetadata.compareAndSet(cfg, meta)(m => m.copy(
+      filesByPart = m.filesByPart.map { case (p, _) => p -> Vector.empty[FileEntry] },
+      producerOffsets = Vector.fill(m.numPartitions)(0L)))
+    staged
+  }
+
+  test("a successful multi-topic commit leaves no journal behind") {
+    routedProduce(Seq("ok_a", "ok_b"), "v1")
+    assert(TxnJournal.list(root).isEmpty,
+      "the intent journal must be deleted once every topic's CAS landed")
+    assert(PolarLog.consume(spark, template.topicConfig("ok_a")).count() === 40L)
+  }
+
+  test("kill between topic commits: recovery rolls the fan-out forward to ALL") {
+    routedProduce(Seq("fw_a", "fw_b"), "v1")
+    val cfgA = template.topicConfig("fw_a")
+    val cfgB = template.topicConfig("fw_b")
+    val committedA = LogMetadata.read(cfgA).files
+    // crash state: fw_a's CAS landed, fw_b's never ran (staged files only)
+    val stagedB = simulateUncommitted("fw_b")
+    assert(PolarLog.consume(spark, cfgB).count() === 0L)
+    TxnJournal.write(root,
+      Map("fw_a" -> committedA, "fw_b" -> stagedB), txn = None)
+    // within the grace window nothing is touched (an in-flight commit)
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 3600000L) === 0)
+    assert(TxnJournal.list(root).size === 1)
+    // past it the journal resolves: fw_b's staged segments register through
+    // the normal commit path — BOTH topics carry the batch
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 1)
+    assert(TxnJournal.list(root).isEmpty)
+    assert(PolarLog.consume(spark, cfgB).count() === 40L)
+    val metaB = LogMetadata.read(cfgB)
+    stagedB.groupBy(_.part).foreach { case (p, fs) =>
+      assert(metaB.producerOffsets(p) === fs.map(_.maxOffset).max + 1,
+        s"part $p tail must advance with the rolled-forward files")
+    }
+    // idempotent: nothing left to resolve
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 0)
+  }
+
+  test("incomplete intent (no commit point): recovery reclaims staged files — NONE") {
+    routedProduce(Seq("rb_a"), "v1")
+    val staged = simulateUncommitted("rb_a")
+    val jdir = TxnJournal.write(root, Map("rb_a" -> staged), txn = None)
+    // a journal whose txn.json never landed is an incomplete intent
+    val fs = new org.apache.hadoop.fs.Path(jdir)
+      .getFileSystem(graft.log.HadoopConf.shared)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$jdir/txn.json"), false)
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 1)
+    assert(TxnJournal.list(root).isEmpty)
+    val cfg = template.topicConfig("rb_a")
+    assert(PolarLog.consume(spark, cfg).count() === 0L)
+    staged.foreach { f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f.path(cfg))),
+        s"staged ${f.name} must be reclaimed")
+    }
+  }
+
+  test("staged files lost and never committed: the journal is marked failed, not chewed") {
+    routedProduce(Seq("lf_a", "lf_b"), "v1")
+    val committedA = LogMetadata.read(template.topicConfig("lf_a")).files
+    val stagedB = simulateUncommitted("lf_b")
+    val cfgB = template.topicConfig("lf_b")
+    val fs = new org.apache.hadoop.fs.Path(cfgB.dir)
+      .getFileSystem(graft.log.HadoopConf.shared)
+    stagedB.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f.path(cfgB)), false))
+    TxnJournal.write(root, Map("lf_a" -> committedA, "lf_b" -> stagedB), None)
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 0)
+    // renamed out of the scan — later sweeps don't re-chew it, the
+    // committed topic keeps its records (unregistering already-visible
+    // data would be worse than the partial state)
+    assert(TxnJournal.list(root).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      TxnJournal.dir(root))), "journal dir survives for the operator")
+    assert(PolarLog.consume(spark, template.topicConfig("lf_a")).count() === 40L)
+  }
+
+  test("the retention sweep drives recovery and skips the reserved journal dir") {
+    routedProduce(Seq("sw_a", "sw_b"), "v1")
+    val committedA = LogMetadata.read(template.topicConfig("sw_a")).files
+    val stagedB = simulateUncommitted("sw_b")
+    TxnJournal.write(root, Map("sw_a" -> committedA, "sw_b" -> stagedB), None)
+    val sched = new graft.log.RetentionScheduler(root,
+      retentionMs = 365L * 24 * 3600 * 1000,
+      routedRecover = Some(now => PolarRoutedWrite.recoverJournals(
+        template, graceMs = 0L, nowMs = now)))
+    sched.sweep()
+    assert(sched.recovered === 1L)
+    assert(PolarLog.consume(spark, template.topicConfig("sw_b")).count() === 40L)
+    // `_polar_txns` is never mistaken for a topic
+    assert(!sched.topics().exists(_.topic.startsWith("_")))
+  }
+}
