@@ -168,8 +168,18 @@ object TopicProps {
   /** The recognized-validated-NORMALIZED subset of `given` (SQL
     * TBLPROPERTIES carry engine/geometry/Spark-reserved keys too — those
     * pass through their own paths and are not persisted here). */
-  def recognized(given: Map[String, String]): Map[String, String] =
-    given.collect { case (k, v) if validate(k, v) => k -> normalize(k, v) }
+  def recognized(given: Map[String, String]): Map[String, String] = {
+    val out = given.collect { case (k, v) if validate(k, v) => k -> normalize(k, v) }
+    // cross-field check Kafka's LogConfig also enforces: a min lag above
+    // the max lag would arm the cleaner's deadline on segments the min-lag
+    // cut then refuses to clean (the scheduler additionally guards at
+    // sweep time for props set across separate ALTERs)
+    for (min <- out.get(MinCompactionLagMs).flatMap(v => scala.util.Try(v.toLong).toOption);
+         max <- out.get(MaxCompactionLagMs).flatMap(v => scala.util.Try(v.toLong).toOption))
+      require(min <= max,
+        s"$MinCompactionLagMs ($min) must not exceed $MaxCompactionLagMs ($max)")
+    out
+  }
 }
 
 object TopicConfig {

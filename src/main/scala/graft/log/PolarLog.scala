@@ -675,16 +675,20 @@ object PolarLog {
     * as [[cleanRetention]], so `logStarts` advance identically. Returns
     * deleted file count. */
   def cleanRetentionBytes(cfg: TopicConfig, capBytes: Long): Int = {
-    if (capBytes < 0) return 0
+    // <= 0: a zero cap would pass Kafka's predicate for EVERY file
+    // including the active segment — treat it like the -1 no-cap sentinel
+    // (the prop validator only admits positive values anyway)
+    if (capBytes <= 0) return 0
     val meta = LogMetadata.read(cfg)
     val doomed: Set[(Int, String)] = meta.filesByPart.toSeq.flatMap {
       case (p, v) =>
         val sorted = v.sortBy(_.minOffset)
         var remaining = sorted.map(_.bytes).sum
-        sorted.takeWhile { f =>
-          val keep = remaining - f.bytes >= capBytes
-          if (keep) remaining -= f.bytes
-          keep
+        // the last (active) segment is never a candidate, whatever the cap
+        sorted.dropRight(1).takeWhile { f =>
+          val del = remaining - f.bytes >= capBytes
+          if (del) remaining -= f.bytes
+          del
         }.map(f => p -> f.name)
     }.toSet
     if (doomed.isEmpty) return 0
@@ -882,7 +886,12 @@ object PolarLog {
       dataGraceMs: Long = 0L,
       dryRun: Boolean = false): Int = {
     val meta = LogMetadata.read(cfg)
-    val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet
+    // files a live routed-commit journal still references are NOT orphans:
+    // recovery may roll them forward, and they are older than their
+    // journal by the stage-to-commit gap, so mtime grace alone would
+    // reclaim them first
+    val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet ++
+      TxnJournal.heldNames(cfg.root, cfg.topic)
     val fs = fileSystem(cfg)
     val dir = new Path(cfg.dir)
     if (!fs.exists(dir)) return 0

@@ -175,11 +175,18 @@ final class RetentionScheduler(
             // and even at an unadvanced version (min-lag may have excluded
             // the segment from the pass that recorded that version) — the
             // Kafka bound on tombstone/PII latency for low-churn topics
+            // the deadline measures against max(maxLag, minLag): a
+            // misconfigured min > max would otherwise force a pass every
+            // sweep that the min-lag cut then empties — a no-op Spark job
+            // per sweep, forever
+            val topicMinLag = props.get(TopicProps.MinCompactionLagMs)
+              .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+              .filter(_ > 0L).getOrElse(0L)
             val lagBreached = props.get(TopicProps.MaxCompactionLagMs)
               .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
               .filter(_ >= 1L)
               .exists(lag => oldestDirtyOf.flatMap(f => f(m))
-                .exists(oldest => nowMs - oldest > lag))
+                .exists(oldest => nowMs - oldest > math.max(lag, topicMinLag)))
             if (lagBreached ||
                 (!lastCleanedVersion.get(cfg.topic).contains(m.version) &&
                   dirtyRatioOf.forall(f => f(m) >= topicMinDirty))) {

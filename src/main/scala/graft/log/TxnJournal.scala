@@ -53,7 +53,9 @@ object TxnJournal {
     fs.mkdirs(jdir)
     topics.foreach { case (t, entries) =>
       require(TopicConfig.validTopicName(t), s"invalid journal topic '$t'")
-      val out = fs.create(new Path(jdir, s"$t.json"), false)
+      // per-topic files carry a `t-` prefix so a topic literally named
+      // "txn" can never collide with the txn.json commit point
+      val out = fs.create(new Path(jdir, s"t-$t.json"), false)
       try out.write(LogMetadata.renderManifest(entries.toVector)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -101,7 +103,11 @@ object TxnJournal {
     fs.listStatus(d).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-") &&
         !s.getPath.getName.endsWith(".failed"))
-      .map { s =>
+      // per-journal resilience: a concurrent in-process commit may DELETE
+      // its journal between the listing and these reads — skip it (it
+      // reached its terminal state; nothing to recover) instead of
+      // aborting the whole recovery pass
+      .flatMap { s => scala.util.Try {
         val files = fs.listStatus(s.getPath).filter(_.isFile)
         val txnFile = files.find(_.getPath.getName == "txn.json")
         val txn = txnFile.flatMap { f =>
@@ -113,20 +119,33 @@ object TxnJournal {
           TxnRe.findFirstMatchIn(text).map(m =>
             LogMetadata.hexDecode(m.group(1)) -> m.group(2).toLong)
         }
-        val topics = files.filter(_.getPath.getName != "txn.json")
-          .filter(_.getPath.getName.endsWith(".json"))
+        val topics = files
+          .filter(f => f.getPath.getName.startsWith("t-") &&
+            f.getPath.getName.endsWith(".json"))
           .map { f =>
             val in = fs.open(f.getPath)
             val text = try {
               val buf = new Array[Byte](f.getLen.toInt)
               in.readFully(0, buf); new String(buf, "UTF-8")
             } finally in.close()
-            f.getPath.getName.stripSuffix(".json") ->
+            f.getPath.getName.stripPrefix("t-").stripSuffix(".json") ->
               LogMetadata.parseManifest(text)
           }.toMap
         Journal(s.getPath.toString,
           txnFile.map(_.getModificationTime).getOrElse(s.getModificationTime),
           txn, complete = txnFile.isDefined, topics)
-      }
+      }.toOption }
   }
+
+  /** Names (`part=p/name`) a live journal still references for `topic` —
+    * what vacuum must treat as protected: staged files are OLDER than
+    * their journal's commit point by the whole stage-to-commit gap, so an
+    * mtime-only grace would reclaim them while the journal is still
+    * within ITS grace, stranding the recovery pass. */
+  def heldNames(root: String, topic: String): Set[String] =
+    scala.util.Try {
+      list(root).iterator
+        .flatMap(_.topics.get(topic)).flatten
+        .map(f => s"part=${f.part}/${f.name}").toSet
+    }.getOrElse(Set.empty)
 }

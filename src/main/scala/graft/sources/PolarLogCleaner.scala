@@ -179,7 +179,10 @@ object PolarLogCleaner {
       .filter(_ > 0L)
     val (regions, regionDirty, regionKc, heads) =
       planPass(meta, minLag.map(nowMs - _).getOrElse(Long.MaxValue))
-    if (regions.isEmpty) return 0L
+    // all regions empty happens whenever min-lag excludes every dirty file
+    // (the steady state of a lagged topic) — skip the whole Spark plan,
+    // not just the no-regions case
+    if (regions.isEmpty || regions.valuesIterator.forall(_.isEmpty)) return 0L
     // cleaned segments roll at the topic's own segment.bytes when set
     val rollBytes = PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)
 

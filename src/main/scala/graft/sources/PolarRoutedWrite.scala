@@ -207,8 +207,13 @@ object PolarRoutedWrite {
               val meta = LogMetadata.read(cfg)
               val byTxn = j.txn.exists { case (sid, b) =>
                 meta.sinkCommits.get(sid).exists(_ >= b) }
-              val registered = files.forall(f =>
-                meta.filesOf(f.part).exists(_.name == f.name))
+              // a commit that lost a CAS race REBASES: the registered name
+              // is `rb<suffix>-<originalName>` and the original file is
+              // deleted — still committed, match either spelling
+              def holds(f: FileEntry): Boolean =
+                meta.filesOf(f.part).exists(e => e.name == f.name ||
+                  (e.name.startsWith("rb") && e.name.endsWith(s"-${f.name}")))
+              val registered = files.forall(holds)
               lazy val onDisk = files.forall { f =>
                 val p = new Path(f.path(cfg))
                 try p.getFileSystem(conf).exists(p)
@@ -217,7 +222,18 @@ object PolarRoutedWrite {
               t -> (if (registered || byTxn) (Committed: St)
                     else if (onDisk) Forwardable else Lost)
             }
-            if (states.valuesIterator.contains(Lost)) {
+            if (!states.valuesIterator.contains(Committed)) {
+              // the kill landed before ANY topic's CAS: the job failed from
+              // its caller's perspective and a batch re-run carries no
+              // idempotence key — roll BACK ("none"), never materialize a
+              // batch its owner believes dead
+              j.topics.foreach { case (t, files) =>
+                val cfg = template.topicConfig(t)
+                files.foreach(f => rm(f.path(cfg)))
+              }
+              graft.log.TxnJournal.delete(j.path)
+              resolved += 1
+            } else if (states.valuesIterator.contains(Lost)) {
               graft.log.TxnJournal.markFailed(j.path)
             } else {
               states.foreach {

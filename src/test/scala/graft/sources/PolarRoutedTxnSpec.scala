@@ -83,6 +83,43 @@ class PolarRoutedTxnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 0)
   }
 
+  test("kill before ANY topic's CAS: recovery rolls back — a failed batch re-run must not duplicate") {
+    // the job failed from its caller's perspective and a batch re-run
+    // carries no idempotence key, so recovery must choose NONE here even
+    // though the staged files could roll forward
+    routedProduce(Seq("nb_a", "nb_b"), "v1")
+    val stagedA = simulateUncommitted("nb_a")
+    val stagedB = simulateUncommitted("nb_b")
+    TxnJournal.write(root, Map("nb_a" -> stagedA, "nb_b" -> stagedB), None)
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 1)
+    assert(TxnJournal.list(root).isEmpty)
+    assert(PolarLog.consume(spark, template.topicConfig("nb_a")).count() === 0L)
+    assert(PolarLog.consume(spark, template.topicConfig("nb_b")).count() === 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(graft.log.HadoopConf.shared)
+    (stagedA.map(_.path(template.topicConfig("nb_a"))) ++
+      stagedB.map(_.path(template.topicConfig("nb_b")))).foreach { p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"staged $p reclaimed")
+    }
+  }
+
+  test("vacuum never reclaims files a live journal references") {
+    routedProduce(Seq("vh_a", "vh_b"), "v1")
+    val committedA = LogMetadata.read(template.topicConfig("vh_a")).files
+    val stagedB = simulateUncommitted("vh_b")
+    TxnJournal.write(root, Map("vh_a" -> committedA, "vh_b" -> stagedB), None)
+    // staged files are UNREGISTERED and older than the journal — an
+    // mtime-only vacuum would eat them before recovery could run
+    val cfgB = template.topicConfig("vh_b")
+    assert(PolarLog.vacuum(cfgB, manifestGraceMs = Long.MaxValue / 2,
+      nowMs = System.currentTimeMillis() + 3600000L,
+      dataGraceMs = 0L, dryRun = true) === 0,
+      "journal-held staged files must not be vacuum candidates")
+    // resolve the journal so later tests see a clean root
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 1)
+    assert(PolarLog.consume(spark, cfgB).count() === 40L)
+  }
+
   test("incomplete intent (no commit point): recovery reclaims staged files — NONE") {
     routedProduce(Seq("rb_a"), "v1")
     val staged = simulateUncommitted("rb_a")
