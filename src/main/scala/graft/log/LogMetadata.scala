@@ -82,10 +82,16 @@ object TopicProps {
     * append wall-clock — changing what ts-seek, time-window reads and
     * watermarks key on. */
   val MessageTimestampType = "message.timestamp.type"
+  /** Kafka's `compression.type`: the segment storage codec — every write
+    * path (produce, streaming, routed, cleaner rewrites, compaction
+    * merges) seals this topic's parquet with it. `producer` (Kafka's
+    * keep-what-the-producer-sent) maps to the engine default (zstd);
+    * `lz4` maps to parquet's LZ4_RAW. */
+  val CompressionType = "compression.type"
   val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy,
     DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes, SegmentBytes,
     RetentionBytes, MinCompactionLagMs, MaxCompactionLagMs,
-    MessageTimestampType)
+    MessageTimestampType, CompressionType)
 
   /** Validate one recognized (key, value); throws on a malformed value.
     * Returns false for unrecognized keys (callers decide refuse/ignore). */
@@ -145,6 +151,13 @@ object TopicProps {
       require(v == "CreateTime" || v == "LogAppendTime",
         s"$MessageTimestampType must be 'CreateTime' or 'LogAppendTime', " +
           s"got '$value'")
+      true
+    case CompressionType =>
+      val v = value.trim
+      require(Set("uncompressed", "zstd", "lz4", "snappy", "gzip",
+          "producer").contains(v),
+        s"$CompressionType must be one of uncompressed|zstd|lz4|snappy|" +
+          s"gzip|producer, got '$value'")
       true
     case _ => false
   }

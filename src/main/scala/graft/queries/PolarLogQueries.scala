@@ -1474,6 +1474,40 @@ object PolarLogQueries extends QueryRegistry {
         FROM events""")),
 
     QueryDef(
+      "polar_compression",
+      (s, dir) => {
+        // compression.type (r12): the same frame lands in an uncompressed
+        // topic and a default-zstd one — contents identical (both counts
+        // replay from events), registered bytes provably larger without
+        // compression. The codec is a pure storage property; nothing
+        // about offsets, placement or values may change with it.
+        val root = Files.createTempDirectory("graft_polar_codec").toString
+        val un = TopicConfig(root, "cun")
+        val zs = TopicConfig(root, "czs")
+        graft.log.LogMetadata.updateProps(un)(
+          _ + (graft.log.TopicProps.CompressionType -> "uncompressed"))
+        val recs = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        PolarLog.produce(recs, un)
+        PolarLog.produce(recs, zs)
+        val bytesUn = LogMetadata.read(un).files.map(_.bytes).sum
+        val bytesZs = LogMetadata.read(zs).files.map(_.bytes).sum
+        val nUn = PolarLog.consume(s, un).count()
+        val nZs = PolarLog.consume(s, zs).count()
+        val spark2 = s; import spark2.implicits._
+        Seq(("uncompressed", nUn, bytesUn > bytesZs),
+          ("zstd", nZs, false))
+          .toDF("codec", "n", "larger_than_zstd")
+      },
+      Some("""
+        SELECT 'uncompressed' AS codec, COUNT(*) AS n,
+               TRUE AS larger_than_zstd FROM events
+        UNION ALL
+        SELECT 'zstd' AS codec, COUNT(*) AS n,
+               FALSE AS larger_than_zstd FROM events""")),
+
+    QueryDef(
       "polar_ts_type",
       (s, dir) => {
         // message.timestamp.type (r12): the same producer frame lands in a

@@ -183,8 +183,10 @@ object PolarLogCleaner {
     // (the steady state of a lagged topic) — skip the whole Spark plan,
     // not just the no-regions case
     if (regions.isEmpty || regions.valuesIterator.forall(_.isEmpty)) return 0L
-    // cleaned segments roll at the topic's own segment.bytes when set
+    // cleaned segments roll at the topic's own segment.bytes when set and
+    // keep the topic's own storage codec
     val rollBytes = PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)
+    val codec = PolarWrite.effectiveCodec(meta.props)
 
     val dirtyRegionRows = PolarLog.consumeFiles(spark, cfg, regionDirty)
     val kcRows = PolarLog.consumeFiles(spark, cfg, regionKc)
@@ -322,7 +324,8 @@ object PolarLogCleaner {
           // for kc-sourced rows, this pass's for newly cleaned ones
           name = f"kc$firstOffset%011d-c$stamp-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-          writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf)
+          writer = PolarDataWriter.open(new Path(s"$dir/part=$p/$name"), conf,
+            codec)
           lo = firstOffset; n = 0L; approxBytes = 0L
           tsMin = Long.MaxValue; tsMax = Long.MinValue; tsNulls = 0L
         }

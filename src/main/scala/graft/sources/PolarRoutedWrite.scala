@@ -360,9 +360,11 @@ class PolarRoutedDataWriter(
       require(meta.clusterSize == cfg.clusterSize &&
           meta.rangesPerToken == cfg.rangesPerToken,
         s"topic $t exists with different ring layout")
-      // per-topic segment.bytes governs this destination's roll size
+      // per-topic segment.bytes governs this destination's roll size;
+      // compression.type its storage codec
       (new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
-        taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)),
+        taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes),
+        PolarWrite.effectiveCodec(meta.props)),
         meta.props.get(graft.log.TopicProps.MaxMessageBytes)
           .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
           .filter(_ > 0).getOrElse(defaultMaxMessageSize),

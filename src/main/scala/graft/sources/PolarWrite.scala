@@ -178,9 +178,11 @@ class PolarStreamingWrite(
   // landing mid-epoch is absorbed by the commit-time rebase, exactly as
   // before.
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val m = LogMetadata.read(cfg)
     new PolarStreamingWriterFactory(cfg, schema, maxFileBytes,
-      LogMetadata.read(cfg).producerOffsets.toArray)
+      m.producerOffsets.toArray, PolarWrite.effectiveCodec(m.props))
+  }
 
   // micro-batch epochs are serial: by commit time the previous epoch's CAS
   // has landed, so a fresh PolarBatchWrite's plan-time snapshot IS the
@@ -202,10 +204,12 @@ class PolarStreamingWriterFactory(
     cfg: TopicConfig,
     schema: StructType,
     maxFileBytes: Long,
-    bases: Array[Long]) extends StreamingDataWriterFactory {
+    bases: Array[Long],
+    codec: CompressionCodecName = CompressionCodecName.ZSTD)
+    extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new PolarDataWriter(cfg.dir, schema, bases, taskId, maxFileBytes)
+    new PolarDataWriter(cfg.dir, schema, bases, taskId, maxFileBytes, codec)
 }
 
 object PolarWrite {
@@ -214,6 +218,22 @@ object PolarWrite {
     * role (bounded segments are what make retention granular and planning
     * parallel at 100 TB). */
   val DefaultMaxFileBytes: Long = 1L << 30
+
+  /** The topic's storage codec (Kafka's `compression.type`): the prop
+    * when configured, else the engine default zstd — the reference's own
+    * chunk codec (`/root/reference/internal/data/` zstd framing).
+    * `producer` (keep-what-was-sent) has no meaning when the engine IS
+    * the producer-side encoder, so it maps to the default; `lz4` maps to
+    * parquet's modern LZ4_RAW. Malformed persisted values degrade to
+    * zstd — a bad config must never brick produces. */
+  def effectiveCodec(props: Map[String, String]): CompressionCodecName =
+    props.get(graft.log.TopicProps.CompressionType).map(_.trim).collect {
+      case "uncompressed" => CompressionCodecName.UNCOMPRESSED
+      case "snappy" => CompressionCodecName.SNAPPY
+      case "gzip" => CompressionCodecName.GZIP
+      case "lz4" => CompressionCodecName.LZ4_RAW
+      case "zstd" => CompressionCodecName.ZSTD
+    }.getOrElse(CompressionCodecName.ZSTD)
 
   /** How long an idle `sinkCommits` txn entry stays replayable before the
     * next txn commit expires it (Delta's txn-version retention role) —
@@ -244,7 +264,11 @@ object PolarBatchWrite {
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val newName = s"rb$suffix-${f.name}"
     val destPath = s"${cfg.dir}/part=${f.part}/$newName"
-    val bytes = copySegments(spark, Seq(f.path(cfg)), destPath, delta)
+    // rebased files keep the topic's own codec (one root read per rebase —
+    // rebases are the rare CAS-loss path)
+    val codec = PolarWrite.effectiveCodec(
+      scala.util.Try(LogMetadata.read(cfg).props).getOrElse(Map.empty))
+    val bytes = copySegments(spark, Seq(f.path(cfg)), destPath, delta, codec)
     val hconf = graft.log.HadoopConf.shared
     try {
       val old = new Path(f.path(cfg))
@@ -265,14 +289,15 @@ object PolarBatchWrite {
       spark: org.apache.spark.sql.SparkSession,
       srcPaths: Seq[String],
       destPath: String,
-      delta: Long): Long = {
+      delta: Long,
+      codec: CompressionCodecName = CompressionCodecName.ZSTD): Long = {
     val rdd = spark.read.schema(PolarLog.ValueSchema).parquet(srcPaths: _*)
       .coalesce(1).sortWithinPartitions("offset")
       .queryExecution.toRdd
     rdd.foreachPartition {
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
         val conf = PolarDataWriter.writeConf()
-        val writer = PolarDataWriter.open(new Path(destPath), conf)
+        val writer = PolarDataWriter.open(new Path(destPath), conf, codec)
         val buf = new GenericInternalRow(5)
         try it.foreach { row =>
           buf.update(0, if (row.isNullAt(0)) null else row.getUTF8String(0))
@@ -325,7 +350,8 @@ class PolarBatchWrite(
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PolarWriterFactory(cfg.dir, schema, meta0.producerOffsets.toArray, maxFileBytes)
+    new PolarWriterFactory(cfg.dir, schema, meta0.producerOffsets.toArray,
+      maxFileBytes, PolarWrite.effectiveCodec(meta0.props))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     var entries: Array[FileEntry] = messages.flatMap {
@@ -507,9 +533,11 @@ class PolarWriterFactory(
     dir: String,
     schema: StructType,
     bases: Array[Long],
-    maxFileBytes: Long) extends DataWriterFactory {
+    maxFileBytes: Long,
+    codec: CompressionCodecName = CompressionCodecName.ZSTD)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PolarDataWriter(dir, schema, bases, taskId, maxFileBytes)
+    new PolarDataWriter(dir, schema, bases, taskId, maxFileBytes, codec)
 }
 
 object PolarDataWriter {
@@ -535,10 +563,12 @@ object PolarDataWriter {
       new ParquetWriteSupport
   }
 
-  def open(path: Path, conf: Configuration): ParquetWriter[InternalRow] =
+  def open(path: Path, conf: Configuration,
+      codec: CompressionCodecName = CompressionCodecName.ZSTD)
+      : ParquetWriter[InternalRow] =
     new RowWriterBuilder(path)
       .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .withCompressionCodec(codec)
       // point-lookup insurance: a bloom filter on partitionKey lets the
       // read path's pushed key predicate drop row groups even when the
       // column overflows dictionary encoding (high-cardinality segments —
@@ -562,7 +592,9 @@ class PolarDataWriter(
     schema: StructType,
     bases: Array[Long],
     taskId: Long,
-    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes) extends DataWriter[InternalRow] {
+    maxFileBytes: Long = PolarWrite.DefaultMaxFileBytes,
+    codec: CompressionCodecName = CompressionCodecName.ZSTD)
+    extends DataWriter[InternalRow] {
 
   private val conf = PolarDataWriter.writeConf()
   private val partIdx = schema.fieldIndex("part")
@@ -574,7 +606,7 @@ class PolarDataWriter(
   private final class Segment(val part: Int, val base: Long) {
     val name = f"w$taskId%05d-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
     val path = new Path(s"$dir/part=$part/$name")
-    val writer = PolarDataWriter.open(path, conf)
+    val writer = PolarDataWriter.open(path, conf, codec)
     var count: Long = 0L
     // self-tracked UNCOMPRESSED size: the parquet writer's own estimate
     // only refreshes at its internal mem-check cadence, far too coarse to
