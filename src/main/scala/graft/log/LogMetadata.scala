@@ -88,10 +88,34 @@ object TopicProps {
     * keep-what-the-producer-sent) maps to the engine default (zstd);
     * `lz4` maps to parquet's LZ4_RAW. */
   val CompressionType = "compression.type"
+  /** Kafka's `segment.ms`: the age ceiling of one segment. Every produce
+    * path here seals its files per batch (there is no long-lived active
+    * segment to roll), so the write-time meaning is structurally always
+    * satisfied; the engine honors it as the maximum CREATION-TIME SPAN a
+    * compaction merge run may cover — merged segments carry the newest
+    * member's `createdMs` forward, so an unbounded merge span would let
+    * one merged file delay whole-segment age/size retention of records
+    * arbitrarily older than its stamp. */
+  val SegmentMs = "segment.ms"
+  /** KIP-937 (`message.timestamp.before.max.ms`): on a CreateTime topic,
+    * the produce rejects records whose timestamp is MORE than this many ms
+    * BEFORE the broker (append) wall-clock. Default: unbounded. Ignored
+    * under LogAppendTime (the broker stamps its own time), per Kafka. */
+  val MessageTimestampBeforeMaxMs = "message.timestamp.before.max.ms"
+  /** KIP-937 (`message.timestamp.after.max.ms`): the future-side twin —
+    * rejects records whose timestamp is more than this many ms AFTER the
+    * broker wall-clock. Default: unbounded. Ignored under LogAppendTime. */
+  val MessageTimestampAfterMaxMs = "message.timestamp.after.max.ms"
+  /** Kafka's pre-3.6 `message.timestamp.difference.max.ms` — the symmetric
+    * legacy bound KIP-937 split in two. Honored as the default for
+    * whichever directional bound is not explicitly set (Kafka 3.6's
+    * compatibility rule). */
+  val MessageTimestampDifferenceMaxMs = "message.timestamp.difference.max.ms"
   val Recognized: Set[String] = Set(RetentionMs, CleanupPolicy,
     DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes, SegmentBytes,
     RetentionBytes, MinCompactionLagMs, MaxCompactionLagMs,
-    MessageTimestampType, CompressionType)
+    MessageTimestampType, CompressionType, MessageTimestampBeforeMaxMs,
+    MessageTimestampAfterMaxMs, MessageTimestampDifferenceMaxMs, SegmentMs)
 
   /** Validate one recognized (key, value); throws on a malformed value.
     * Returns false for unrecognized keys (callers decide refuse/ignore). */
@@ -158,6 +182,18 @@ object TopicProps {
           "producer").contains(v),
         s"$CompressionType must be one of uncompressed|zstd|lz4|snappy|" +
           s"gzip|producer, got '$value'")
+      true
+    case SegmentMs =>
+      // Kafka: atLeast(1)
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 1L),
+        s"$SegmentMs must be a positive integer of milliseconds, got '$value'")
+      true
+    case MessageTimestampBeforeMaxMs | MessageTimestampAfterMaxMs |
+        MessageTimestampDifferenceMaxMs =>
+      // Kafka: atLeast(0); 0 is legal (reject anything on that side of
+      // the broker clock), the default (absent) is unbounded
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0L),
+        s"$key must be a non-negative integer of milliseconds, got '$value'")
       true
     case _ => false
   }

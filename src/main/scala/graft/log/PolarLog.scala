@@ -107,6 +107,32 @@ object PolarLog {
     props.get(TopicProps.MessageTimestampType)
       .exists(_.trim == "LogAppendTime")
 
+  /** Effective (beforeMaxMs, afterMaxMs) CreateTime validation bounds —
+    * KIP-937's directional pair, with Kafka 3.6's compatibility rule: the
+    * legacy symmetric `message.timestamp.difference.max.ms` fills
+    * whichever directional bound is not explicitly set. Long.MaxValue =
+    * unbounded (the default). Callers skip the check entirely under
+    * LogAppendTime, matching the broker (it stamps its own clock, so
+    * producer timestamps are discarded, not validated). */
+  private[graft] def timestampBounds(
+      props: Map[String, String]): (Long, Long) = {
+    def ms(key: String): Option[Long] = props.get(key)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 0L)
+    val legacy = ms(TopicProps.MessageTimestampDifferenceMaxMs)
+    (ms(TopicProps.MessageTimestampBeforeMaxMs).orElse(legacy)
+       .getOrElse(Long.MaxValue),
+     ms(TopicProps.MessageTimestampAfterMaxMs).orElse(legacy)
+       .getOrElse(Long.MaxValue))
+  }
+
+  /** No timestamp bounds configured — the hot-path fast exit. */
+  private[graft] val UnboundedTs: (Long, Long) = (Long.MaxValue, Long.MaxValue)
+
+  /** Bounds at or above this many ms clamp to unbounded: larger than the
+    * span of every representable timestamp (±~9.3e15 ms of epoch), yet
+    * small enough that `broker_clock ± bound` can never overflow Long. */
+  private[graft] val MaxTsBoundMs: Long = 100_000_000_000_000_000L // 1e17
+
   /**
    * Append records to a topic. Input needs a `value` column (binary or
    * string); `partitionKey` (string) and `timestamp` are optional.
@@ -128,9 +154,10 @@ object PolarLog {
       cfg: TopicConfig,
       orderBy: Seq[Column],
       maxMessageSize: Int,
-      appendTime: Boolean): DataFrame =
+      appendTime: Boolean,
+      tsBounds: (Long, Long)): DataFrame =
     envelope(df, cfg.clusterSize, cfg.rangesPerToken, orderBy, maxMessageSize,
-      keepTopic = false, appendTime = appendTime)
+      keepTopic = false, appendTime = appendTime, tsBounds = tsBounds)
 
   private def envelope(
       df: DataFrame,
@@ -144,7 +171,10 @@ object PolarLog {
       // message.timestamp.type=LogAppendTime: override any producer
       // timestamp with the append wall-clock (query-constant, like the
       // broker stamping one batch)
-      appendTime: Boolean = false): DataFrame = {
+      appendTime: Boolean = false,
+      // KIP-937 CreateTime bounds (beforeMaxMs, afterMaxMs) vs the broker
+      // clock; Long.MaxValue = unbounded. Ignored when appendTime.
+      tsBounds: (Long, Long) = UnboundedTs): DataFrame = {
     // resolver-consistent intake: `withColumn` below REPLACES an existing
     // column case-insensitively (Spark's default resolver), so a frame
     // carrying PARTITIONKEY/TIMESTAMP would otherwise pass the exact-case
@@ -175,6 +205,42 @@ object PolarLog {
       if (appendTime) withKey.withColumn("timestamp", current_timestamp())
       else if (withKey.columns.contains("timestamp")) withKey
       else withKey.withColumn("timestamp", current_timestamp())
+    // KIP-937 CreateTime validation: reject records whose event time is
+    // too far behind/ahead of the broker (append) clock. Inline in the
+    // projection like the size cap — codegen'd, zero cost unless violated.
+    // The broker clock is `current_timestamp()` (query-constant, the same
+    // one-stamp-per-batch rule as LogAppendTime; in a streaming produce it
+    // is each epoch's batch timestamp). Null timestamps pass (Kafka's
+    // NO_TIMESTAMP sentinel is never validated); each side is applied only
+    // when finite so the unbounded default adds nothing to the plan.
+    // Comparison is in MILLIS — the configs' own unit — and bounds beyond
+    // MaxTsBoundMs clamp to unbounded: every representable timestamp is
+    // within ±9.3e15 ms of epoch, so a ≥1e17 ms window can never exclude
+    // one, and the clamp keeps `now ± bound` inside Long (ANSI mode would
+    // otherwise turn an absurd-but-valid config into an overflow error).
+    def clampUnbounded(ms: Long): Long =
+      if (ms >= MaxTsBoundMs) Long.MaxValue else ms
+    val (beforeMaxMs, afterMaxMs) =
+      if (appendTime) UnboundedTs
+      else (clampUnbounded(tsBounds._1), clampUnbounded(tsBounds._2))
+    val bounded =
+      if (beforeMaxMs == Long.MaxValue && afterMaxMs == Long.MaxValue) withTs
+      else {
+        val ts = col("timestamp").cast(TimestampType)
+        val nowMs = unix_millis(current_timestamp())
+        var ok: Column = lit(true)
+        if (beforeMaxMs != Long.MaxValue)
+          ok = ok && unix_millis(ts) >= nowMs - lit(beforeMaxMs)
+        if (afterMaxMs != Long.MaxValue)
+          ok = ok && unix_millis(ts) <= nowMs + lit(afterMaxMs)
+        withTs.withColumn("timestamp",
+          when(ts.isNull || ok, ts)
+            .otherwise(raise_error(concat(
+              lit("record timestamp "), ts.cast(StringType),
+              lit(" out of range vs broker time (message.timestamp." +
+                s"before.max.ms=$beforeMaxMs, after.max.ms=$afterMaxMs)")))
+              .cast(TimestampType)))
+      }
     // oversize-value rejection inline in the projection (codegen'd, zero
     // cost unless violated — the produce-path 400 of the reference,
     // `internal/producing/server.go:146-151`)
@@ -185,8 +251,8 @@ object PolarLog {
       if (maxMessageSize == Int.MaxValue)
         // routed produce: per-destination caps are enforced at the append
         // (a topic prop may be wider than any single inline bound)
-        withTs.withColumn("value", col("value").cast(BinaryType))
-      else withTs.withColumn("value",
+        bounded.withColumn("value", col("value").cast(BinaryType))
+      else bounded.withColumn("value",
         when(col("value").isNull ||
             length(col("value").cast(BinaryType)) <= maxMessageSize,
           col("value").cast(BinaryType))
@@ -233,7 +299,8 @@ object PolarLog {
     // `message.timestamp.type=LogAppendTime` likewise forces broker time
     val enveloped = envelope(df, cfg, orderBy,
       effectiveMaxMessageSize(meta0.props, maxMessageSize),
-      appendTime = logAppendTime(meta0.props))
+      appendTime = logAppendTime(meta0.props),
+      tsBounds = timestampBounds(meta0.props))
 
     var writer = enveloped.write
       .format("polar")
@@ -428,7 +495,8 @@ object PolarLog {
     val props =
       try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty[String, String] }
     envelope(df, cfg, orderBy, effectiveMaxMessageSize(props, maxMessageSize),
-      appendTime = logAppendTime(props))
+      appendTime = logAppendTime(props),
+      tsBounds = timestampBounds(props))
       .writeStream
       .format("polar")
       .option("root", cfg.root)

@@ -1550,6 +1550,69 @@ object PolarLogQueries extends QueryRegistry {
         FROM events""")),
 
     QueryDef(
+      "polar_ts_bounds",
+      (s, dir) => {
+        // KIP-937 timestamp bounds (r12): the same 2024-event-time frame
+        // against five topic configurations. A wide before-bound admits
+        // the historical timestamps (and proves the finite-bound plan
+        // path passes clean data); a tight before-bound rejects the whole
+        // produce with NOTHING half-registered; the legacy symmetric
+        // difference.max.ms alias rejects a future-shifted frame; a
+        // LogAppendTime topic carrying the same tight bounds ignores them
+        // (Kafka validates CreateTime only); and a tight after-bound
+        // rejects the future-shifted frame on an otherwise-open topic.
+        val root = Files.createTempDirectory("graft_polar_tsb").toString
+        import graft.log.TopicProps._
+        def topic(name: String, props: (String, String)*): TopicConfig = {
+          val cfg = TopicConfig(root, name)
+          LogMetadata.updateProps(cfg)(_ ++ props.toMap)
+          cfg
+        }
+        val century = 100L * 365 * 24 * 3600 * 1000
+        val wide = topic("tbw", MessageTimestampBeforeMaxMs -> (3 * century).toString)
+        val tight = topic("tbt", MessageTimestampBeforeMaxMs -> "60000")
+        val legacy = topic("tbl", MessageTimestampDifferenceMaxMs -> "60000")
+        val la = topic("tba", MessageTimestampType -> "LogAppendTime",
+          MessageTimestampBeforeMaxMs -> "60000",
+          MessageTimestampAfterMaxMs -> "60000")
+        val fut = topic("tbf", MessageTimestampAfterMaxMs -> "60000")
+        val recs = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        val futureRecs = recs.withColumn("timestamp",
+          col("timestamp") + expr("INTERVAL 100 YEARS"))
+        def attempt(df: DataFrame, cfg: TopicConfig): Boolean =
+          try { PolarLog.produce(df, cfg); false }
+          catch {
+            case e: Exception
+                if Iterator.iterate(e: Throwable)(_.getCause)
+                  .takeWhile(_ != null)
+                  .exists(t => Option(t.getMessage).exists(_.contains("out of range"))) =>
+              true
+          }
+        val spark2 = s; import spark2.implicits._
+        Seq(
+          ("create_wide", attempt(recs, wide), wide),
+          ("create_tight", attempt(recs, tight), tight),
+          ("legacy_alias_future", attempt(futureRecs, legacy), legacy),
+          ("log_append_ignores", attempt(recs, la), la),
+          ("after_max_future", attempt(futureRecs, fut), fut))
+          .map { case (mode, rejected, cfg) =>
+            (mode, rejected, PolarLog.consume(s, cfg).count())
+          }.toDF("mode", "rejected", "n")
+      },
+      Some("""
+        SELECT 'create_wide' AS mode, FALSE AS rejected, COUNT(*) AS n FROM events
+        UNION ALL
+        SELECT 'create_tight' AS mode, TRUE AS rejected, CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT 'legacy_alias_future' AS mode, TRUE AS rejected, CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT 'log_append_ignores' AS mode, FALSE AS rejected, COUNT(*) AS n FROM events
+        UNION ALL
+        SELECT 'after_max_future' AS mode, TRUE AS rejected, CAST(0 AS BIGINT) AS n""")),
+
+    QueryDef(
       "polar_compact",
       (s, dir) => {
         // SEGMENT COMPACTION: four per-request-sized produces leave four
@@ -1585,6 +1648,46 @@ object PolarLogQueries extends QueryRegistry {
         SELECT part, COUNT(*) AS n, COUNT(*) AS off_span,
                CAST(0 AS BIGINT) AS min_off, CAST(1 AS BIGINT) AS n_files
         FROM placed GROUP BY part""")),
+
+    QueryDef(
+      "polar_segment_ms",
+      (s, dir) => {
+        // segment.ms (r12): the age ceiling of one segment, honored as the
+        // maximum createdMs SPAN a compaction run may cover (merged files
+        // carry the newest member's stamp forward, so an unbounded merge
+        // would delay age/size retention of its oldest records). The
+        // cloned 4-commit fixture is restamped as hourly produces; under a
+        // 90-minute ceiling every 4-segment partition must compact to
+        // EXACTLY 2 segments — neither 4 (no merge) nor 1 (span ignored) —
+        // with rows preserved (the consume count replays from `events`).
+        val cfg = SharedTopics.cloneTopic(SharedTopics.segmentedEvents(s, dir)._1)
+        val hour = 3600L * 1000
+        LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg)) { m =>
+          m.copy(filesByPart = m.filesByPart.map { case (p, fseq) =>
+            p -> fseq.sortBy(_.minOffset).zipWithIndex.map {
+              case (fe, i) => fe.copy(createdMs = i * hour)
+            }
+          })
+        }
+        LogMetadata.updateProps(cfg)(_ +
+          (graft.log.TopicProps.SegmentMs -> (90L * 60 * 1000).toString))
+        val quartets = LogMetadata.read(cfg).filesByPart
+          .collect { case (p, fseq) if fseq.size == 4 => p }.toSet
+        val merged = graft.sources.PolarCompaction.compact(s, cfg,
+          smallBytes = 1L << 30, minRun = 2)
+        val after = LogMetadata.read(cfg)
+        val splitOk = quartets.nonEmpty && merged > 0 &&
+          quartets.forall(p => after.filesByPart(p).size == 2)
+        val n = PolarLog.consume(s, cfg).count()
+        val spark2 = s; import spark2.implicits._
+        Seq(("rows_preserved", n),
+          ("quartets_split_in_two", if (splitOk) 1L else 0L))
+          .toDF("chk", "n")
+      },
+      Some("""
+        SELECT 'rows_preserved' AS chk, COUNT(*) AS n FROM events
+        UNION ALL
+        SELECT 'quartets_split_in_two' AS chk, CAST(1 AS BIGINT) AS n""")),
 
     QueryDef(
       "polar_vacuum",

@@ -42,11 +42,18 @@ object PolarCompaction {
       minRun: Int = 2,
       deleteOriginals: Boolean = true): Int = {
     val meta = LogMetadata.read(cfg)
+    // merged runs cap at the topic's segment.bytes when configured, and at
+    // the topic's segment.ms CREATION-TIME SPAN: the merged entry carries
+    // the newest member's createdMs forward, so a run spanning more than
+    // segment.ms would let age/size retention of its oldest records be
+    // delayed past the roll ceiling the topic asked for
+    val maxSpanMs = meta.props.get(graft.log.TopicProps.SegmentMs)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ >= 1L).getOrElse(Long.MaxValue)
     val plans = meta.filesByPart.toSeq.sortBy(_._1).flatMap { case (p, files) =>
-      // merged runs cap at the topic's segment.bytes when configured
       runsOf(files.sortBy(_.minOffset), smallBytes, minRun,
           graft.log.PolarLog.effectiveMaxFileBytes(
-            meta.props, PolarWrite.DefaultMaxFileBytes))
+            meta.props, PolarWrite.DefaultMaxFileBytes), maxSpanMs)
         .map(run => p -> run)
     }
     if (plans.isEmpty) return 0
@@ -139,23 +146,42 @@ object PolarCompaction {
     if (run.forall(_.name.startsWith("kc"))) "kc" else "cp"
 
   /** Maximal runs of adjacent entries all below `smallBytes`, split so a
-    * run's total stays under `maxBytes`, keeping only runs of ≥ `minRun`. */
+    * run's total stays under `maxBytes` AND its members' `createdMs` span
+    * stays within `maxSpanMs` (the topic's `segment.ms` ceiling), keeping
+    * only runs of ≥ `minRun`. */
   private[sources] def runsOf(
       sorted: Vector[FileEntry],
       smallBytes: Long,
       minRun: Int,
-      maxBytes: Long): Seq[Vector[FileEntry]] = {
+      maxBytes: Long,
+      maxSpanMs: Long = Long.MaxValue): Seq[Vector[FileEntry]] = {
     val out = Seq.newBuilder[Vector[FileEntry]]
     var cur = Vector.empty[FileEntry]
     var curBytes = 0L
+    var minCreated = Long.MaxValue
+    var maxCreated = Long.MinValue
     def flush(): Unit = {
       if (cur.length >= minRun) out += cur
       cur = Vector.empty; curBytes = 0L
+      minCreated = Long.MaxValue; maxCreated = Long.MinValue
     }
+    def start(f: FileEntry): Unit = {
+      cur = Vector(f); curBytes = f.bytes
+      minCreated = f.createdMs; maxCreated = f.createdMs
+    }
+    def spanWith(f: FileEntry): Long =
+      math.max(maxCreated, f.createdMs) - math.min(minCreated, f.createdMs)
     sorted.foreach { f =>
       if (f.bytes >= smallBytes) flush()
-      else if (curBytes + f.bytes > maxBytes) { flush(); cur = Vector(f); curBytes = f.bytes }
-      else { cur = cur :+ f; curBytes += f.bytes }
+      else if (cur.isEmpty) start(f)
+      else if (curBytes + f.bytes > maxBytes ||
+          (maxSpanMs != Long.MaxValue && spanWith(f) > maxSpanMs)) {
+        flush(); start(f)
+      } else {
+        cur = cur :+ f; curBytes += f.bytes
+        minCreated = math.min(minCreated, f.createdMs)
+        maxCreated = math.max(maxCreated, f.createdMs)
+      }
     }
     flush()
     out.result()

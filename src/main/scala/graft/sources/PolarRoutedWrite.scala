@@ -343,16 +343,26 @@ class PolarRoutedDataWriter(
   // check, per Kafka — and a topic cap WIDER than the server default is
   // honored here too, matching the single-topic authority rule.
   // message.timestamp.type resolves the same way: per destination, at the
-  // append.
-  private val writers = scala.collection.mutable
-    .LinkedHashMap.empty[String, (PolarDataWriter, Int, Boolean)]
+  // append — and so do the KIP-937 CreateTime timestamp bounds (checked
+  // against THIS task's append clock, the same stamp LogAppendTime uses).
+  private case class Dest(w: PolarDataWriter, cap: Int, appendTime: Boolean,
+      beforeMaxMs: Long, afterMaxMs: Long)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, Dest]
+
+  // same clamp as the envelope path: a bound at/above MaxTsBoundMs is
+  // unbounded (wider than any representable timestamp) and keeps the
+  // `append_clock ± bound` arithmetic inside Long
+  private def msBound(ms: Long): Long =
+    if (ms >= graft.log.PolarLog.MaxTsBoundMs) Long.MaxValue else ms
 
   override def write(row: InternalRow): Unit = {
     if (row.isNullAt(topicIdx)) throw new IllegalArgumentException(
       "row-routed produce: the 'topic' column must not be null " +
         "(set a 'topic' write option for a single-topic default)")
     val t = row.getUTF8String(topicIdx).toString
-    val (w, cap, appendTime) = writers.getOrElseUpdate(t, {
+    val Dest(w, cap, appendTime, beforeMaxMs, afterMaxMs) =
+      writers.getOrElseUpdate(t, {
       if (!TopicConfig.validTopicName(t)) throw new IllegalArgumentException(
         s"Invalid topic name in 'topic' column: '$t'")
       val cfg = template.topicConfig(t)
@@ -362,17 +372,34 @@ class PolarRoutedDataWriter(
         s"topic $t exists with different ring layout")
       // per-topic segment.bytes governs this destination's roll size;
       // compression.type its storage codec
-      (new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
+      val (beforeMs, afterMs) = graft.log.PolarLog.timestampBounds(meta.props)
+      Dest(new PolarDataWriter(cfg.dir, schema, meta.producerOffsets.toArray,
         taskId, graft.log.PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes),
         PolarWrite.effectiveCodec(meta.props)),
         meta.props.get(graft.log.TopicProps.MaxMessageBytes)
           .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
           .filter(_ > 0).getOrElse(defaultMaxMessageSize),
-        graft.log.PolarLog.logAppendTime(meta.props))
+        graft.log.PolarLog.logAppendTime(meta.props),
+        msBound(beforeMs), msBound(afterMs))
     })
     if (!row.isNullAt(valueIdx) && row.getBinary(valueIdx).length > cap)
       throw new IllegalArgumentException(
         s"record value exceeds topic '$t' max.message.bytes=$cap")
+    // KIP-937: CreateTime destinations validate the event time against the
+    // append clock; LogAppendTime destinations skip it (the producer's
+    // timestamp is about to be discarded anyway, per Kafka)
+    if (!appendTime && !row.isNullAt(tsIdx) &&
+        (beforeMaxMs != Long.MaxValue || afterMaxMs != Long.MaxValue)) {
+      // ms granularity, the configs' own unit (micros remainder ignored —
+      // a sub-ms sliver can never decide a clock-skew window)
+      val tsMs = row.getLong(tsIdx) / 1000L
+      val appendMs = appendMicros / 1000L
+      val tooOld = beforeMaxMs != Long.MaxValue && tsMs < appendMs - beforeMaxMs
+      val tooNew = afterMaxMs != Long.MaxValue && tsMs > appendMs + afterMaxMs
+      if (tooOld || tooNew) throw new IllegalArgumentException(
+        s"record timestamp ${tsMs}ms out of range vs broker time for topic " +
+          s"'$t' (message.timestamp.before.max.ms/after.max.ms)")
+    }
     if (appendTime) row match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
         u.setNotNullAt(tsIdx); u.setLong(tsIdx, appendMicros)
@@ -382,17 +409,17 @@ class PolarRoutedDataWriter(
   }
 
   override def commit(): WriterCommitMessage =
-    PolarRoutedCommitMessage(writers.map { case (t, (w, _, _)) =>
-      t -> w.commit().asInstanceOf[PolarCommitMessage].files
+    PolarRoutedCommitMessage(writers.map { case (t, d) =>
+      t -> d.w.commit().asInstanceOf[PolarCommitMessage].files
     }.toMap)
 
-  override def abort(): Unit = writers.values.foreach(_._1.abort())
+  override def abort(): Unit = writers.values.foreach(_.w.abort())
 
-  override def close(): Unit = writers.values.foreach(_._1.close())
+  override def close(): Unit = writers.values.foreach(_.w.close())
 
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val per = writers.values.map(_._1.currentMetricsValues())
+    val per = writers.values.map(_.w.currentMetricsValues())
     def sum(n: String) = per.iterator.flatten.filter(_.name() == n).map(_.value()).sum
     def m(n: String, v: Long) =
       new org.apache.spark.sql.connector.metric.CustomTaskMetric {

@@ -103,4 +103,58 @@ class PolarCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.forall(_.map(_.bytes).sum <= 130))
     assert(capped.flatten.size >= 2)
   }
+
+  test("segment.ms caps a merge run's createdMs span") {
+    val hour = 3600L * 1000
+    val g = (o: Long, created: Long) =>
+      graft.log.FileEntry(0, s"g$o", o, o + 9, 10, 10, created)
+    val files = Vector(g(0, 0), g(10, hour), g(20, 2 * hour), g(30, 3 * hour))
+    // 90-minute ceiling: [t0, t0+1h] merge, adding t0+2h would span 2h
+    val runs = PolarCompaction.runsOf(files, smallBytes = 100, minRun = 2,
+      maxBytes = 1L << 30, maxSpanMs = 90L * 60 * 1000)
+    assert(runs === Seq(Vector(g(0, 0), g(10, hour)),
+      Vector(g(20, 2 * hour), g(30, 3 * hour))))
+    // unbounded (the default) keeps one maximal run
+    assert(PolarCompaction.runsOf(files, smallBytes = 100, minRun = 2,
+      maxBytes = 1L << 30).map(_.size) === Seq(4))
+  }
+
+  test("end-to-end: a segment.ms topic splits compaction at the span ceiling") {
+    val root = Files.createTempDirectory("polar_cp_segms").toString
+    val cfg = TopicConfig(root, "segms")
+    def slice(rem: Int) = graft.Tables.events(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(4)) === rem)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    (0 until 4).foreach(r => PolarLog.produce(slice(r), cfg,
+      orderBy = Seq(col("timestamp"), col("value"))))
+    // simulate hourly produces: restamp each partition's files (in offset
+    // order) to t0, t0+1h, t0+2h, t0+3h — the registry is the only reader
+    // of createdMs, so a CAS restamp is a faithful aging fixture
+    val hour = 3600L * 1000
+    LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg)) { m =>
+      m.copy(filesByPart = m.filesByPart.map { case (p, fs) =>
+        p -> fs.sortBy(_.minOffset).zipWithIndex.map { case (fe, i) =>
+          fe.copy(createdMs = i * hour)
+        }
+      })
+    }
+    LogMetadata.updateProps(cfg)(_ +
+      (graft.log.TopicProps.SegmentMs -> (90L * 60 * 1000).toString))
+    val before = graft.Tables.events(spark, sfDir).count()
+    assert(PolarCompaction.compact(spark, cfg, smallBytes = 1L << 30,
+      minRun = 2) > 0)
+    val meta = LogMetadata.read(cfg)
+    // every data-bearing partition that had 4 slices compacted to exactly
+    // 2 segments (the 90-minute ceiling splits the hourly quartet in two)
+    meta.filesByPart.values.filter(_.map(_.count).sum > 0).foreach { fs =>
+      assert(fs.size <= 2, s"expected <=2 files after span-capped compaction, got ${fs.size}")
+    }
+    // rows, offsets and order preserved
+    assert(PolarLog.consume(spark, cfg).count() === before)
+    // and validation guards the admin face
+    intercept[IllegalArgumentException] {
+      graft.log.TopicProps.validate(graft.log.TopicProps.SegmentMs, "0")
+    }
+  }
 }
