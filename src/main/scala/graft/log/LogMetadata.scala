@@ -97,6 +97,15 @@ object TopicProps {
     * one merged file delay whole-segment age/size retention of records
     * arbitrarily older than its stamp. */
   val SegmentMs = "segment.ms"
+  /** Kafka's `file.delete.delay.ms`: how long an UNREGISTERED segment
+    * stays on disk before its physical delete — the reader-protection
+    * window for queries that planned against a pre-trim registry and
+    * still hold the old file names. 0 (the default) deletes eagerly;
+    * > 0 routes every trim/compaction/key-clean removal through the
+    * root doc's `pendingDeletes` ledger, reclaimed by vacuum past the
+    * deadline. (Kafka's default is 60000; eager is this engine's
+    * pre-existing behavior, kept as the default for compatibility.) */
+  val FileDeleteDelayMs = "file.delete.delay.ms"
   /** KIP-937 (`message.timestamp.before.max.ms`): on a CreateTime topic,
     * the produce rejects records whose timestamp is MORE than this many ms
     * BEFORE the broker (append) wall-clock. Default: unbounded. Ignored
@@ -115,7 +124,8 @@ object TopicProps {
     DeleteRetentionMs, MinCleanableDirtyRatio, MaxMessageBytes, SegmentBytes,
     RetentionBytes, MinCompactionLagMs, MaxCompactionLagMs,
     MessageTimestampType, CompressionType, MessageTimestampBeforeMaxMs,
-    MessageTimestampAfterMaxMs, MessageTimestampDifferenceMaxMs, SegmentMs)
+    MessageTimestampAfterMaxMs, MessageTimestampDifferenceMaxMs, SegmentMs,
+    FileDeleteDelayMs)
 
   /** Validate one recognized (key, value); throws on a malformed value.
     * Returns false for unrecognized keys (callers decide refuse/ignore). */
@@ -194,6 +204,12 @@ object TopicProps {
       // the broker clock), the default (absent) is unbounded
       require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0L),
         s"$key must be a non-negative integer of milliseconds, got '$value'")
+      true
+    case FileDeleteDelayMs =>
+      // Kafka: atLeast(0); 0 = eager physical deletion
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0L),
+        s"$FileDeleteDelayMs must be a non-negative integer of " +
+          s"milliseconds, got '$value'")
       true
     case _ => false
   }
@@ -310,6 +326,12 @@ final case class FileEntry(
  * object-store migration, unlike file mtimes; 0 marks pre-commitMs legacy
  * docs, resolved by mtime fallback.
  */
+/** One deferred physical deletion: `part`/`name` identify the already
+  * UNREGISTERED segment on disk; `dueMs` is the wall-clock after which
+  * vacuum may reclaim it (unregistration time + the topic's
+  * `file.delete.delay.ms`). */
+final case class PendingDelete(part: Int, name: String, dueMs: Long)
+
 final case class LogMetadata(
     version: Long,
     clusterSize: Int,
@@ -339,7 +361,17 @@ final case class LogMetadata(
     // minOffset without any record having been LOST. Empty (legacy docs /
     // never-trimmed topics until the first clean materializes it) falls
     // back to the first registered file's minOffset, the pre-r10 rule.
-    logStarts: Vector[Long] = Vector.empty) {
+    logStarts: Vector[Long] = Vector.empty,
+    // Kafka's `file.delete.delay.ms`, made structural: segments a trim /
+    // compaction / key-clean UNREGISTERED but whose physical delete is
+    // deferred until `dueMs` (the registry analog of Kafka's `.deleted`
+    // rename — a rename would break Spark readers that re-open files by
+    // name). Vacuum treats a pending name as held until due, then deletes
+    // the file and prunes the entry. Nonempty ledgers stamp format 5: an
+    // older vacuum would reclaim held files early (not data loss — they
+    // are already unregistered — but it would silently void the reader
+    // window the topic asked for).
+    pendingDeletes: Vector[PendingDelete] = Vector.empty) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order — O(1) lookup, the
@@ -852,7 +884,13 @@ object LogMetadata {
     val props = m.props.toSeq.sorted.map { case (k, v) =>
       s""""${graft.functions.JsonText.escape(k)}":"${graft.functions.JsonText.escape(v)}""""
     }.mkString(",")
-    s"""{"format":$DenseFormat,""" +
+    // deferred-deletion ledger: only docs that actually CARRY entries
+    // stamp the newer format (same conditional-stamp rule as manifest
+    // cleanedMs) — plain topics stay readable by older binaries
+    val rootFmt = if (m.pendingDeletes.nonEmpty) PendingFormat else DenseFormat
+    val pending = m.pendingDeletes
+      .map(pd => s"""[${pd.part},"${pd.name}",${pd.dueMs}]""").mkString(",")
+    s"""{"format":$rootFmt,""" +
       s""""version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""commitMs":${m.commitMs},""" +
@@ -861,6 +899,8 @@ object LogMetadata {
       (if (m.props.isEmpty) "" else s""""props":{$props},""") +
       (if (m.logStarts.isEmpty) ""
        else s""""logStarts":[${m.logStarts.mkString(",")}],""") +
+      (if (m.pendingDeletes.isEmpty) ""
+       else s""""pendingDeletes":[$pending],""") +
       s""""manifests":[$manifests]}"""
   }
 
@@ -905,7 +945,13 @@ object LogMetadata {
     * match the longer tuple and read the manifest as EMPTY — fail-silent,
     * so the stamp refuses it loudly. Manifests with no cleaned entry keep
     * stamping 2/3, readable by older binaries. */
-  private[log] val CurrentFormat = 4
+  /** Format 5 = root-doc `pendingDeletes` ledger (file.delete.delay.ms):
+    * the entries' semantics — "these unregistered on-disk files are NOT
+    * orphans yet" — is exactly what an older vacuum would violate by
+    * reclaiming them early, so docs that carry entries refuse older
+    * readers loudly. Ledger-free docs keep stamping 2. */
+  private[log] val CurrentFormat = 5
+  private[log] val PendingFormat = 5
   private[log] val CleanedFormat = 4
   private[log] val SparseFormat = 3
   private[log] val DenseFormat = 2
@@ -1016,9 +1062,18 @@ object LogMetadata {
       .map(_.group(1).trim).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toLong).toVector)
       .getOrElse(Vector.empty[Long])
+    // deferred-deletion ledger (r12): tuples hold no nested brackets, so
+    // the section ends at the first `]]`
+    val pendingDeletes = """"pendingDeletes"\s*:\s*\[(.*?\])\s*\]""".r
+      .findFirstMatchIn(s).map(_.group(1))
+      .map(sec => """\[(\d+)\s*,\s*"([^"]+)"\s*,\s*(\d+)\s*\]""".r
+        .findAllMatchIn(sec)
+        .map(m => PendingDelete(m.group(1).toInt, m.group(2), m.group(3).toLong))
+        .toVector)
+      .getOrElse(Vector.empty)
     LogMetadata(longField("version"), longField("clusterSize").toInt,
       longField("rangesPerToken").toInt, offsets, byPart, sinks, names,
-      commitMs, sinkMs, props, logStarts)
+      commitMs, sinkMs, props, logStarts, pendingDeletes)
   }
 }
 

@@ -133,6 +133,13 @@ object PolarLog {
     * small enough that `broker_clock ± bound` can never overflow Long. */
   private[graft] val MaxTsBoundMs: Long = 100_000_000_000_000_000L // 1e17
 
+  /** The topic's `file.delete.delay.ms`: 0 (absent/malformed/non-positive)
+    * = eager physical deletion, the engine's pre-existing behavior. */
+  private[graft] def fileDeleteDelayMs(props: Map[String, String]): Long =
+    props.get(TopicProps.FileDeleteDelayMs)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0L).getOrElse(0L)
+
   /**
    * Append records to a topic. Input needs a `value` column (binary or
    * string); `partitionKey` (string) and `timestamp` are optional.
@@ -713,6 +720,10 @@ object PolarLog {
     val meta = LogMetadata.read(cfg)
     val aged = meta.files.filter(_.createdMs < cutoff)
     if (aged.isEmpty) return 0
+    // file.delete.delay.ms: defer the physical delete — doomed entries
+    // move to the pendingDeletes ledger IN THE SAME CAS that unregisters
+    // them, and vacuum reclaims them past the deadline
+    val delayMs = fileDeleteDelayMs(meta.props)
     LogMetadata.compareAndSet(cfg, meta) { cur =>
       // partitions with nothing aged keep their vector INSTANCE, so their
       // manifests are not rewritten (publish diffs by eq)
@@ -723,13 +734,18 @@ object PolarLog {
       // trimming ADVANCES the log start (Kafka logStartOffset semantics —
       // records below it were removed with intent; compaction never moves
       // this, so failOnDataLoss can tell loss from sparsity)
-      next.copy(logStarts = advancedLogStarts(cur, next))
+      val next2 = next.copy(logStarts = advancedLogStarts(cur, next))
+      if (delayMs == 0L) next2
+      else next2.copy(pendingDeletes = next2.pendingDeletes ++
+        aged.map(f => PendingDelete(f.part, f.name, nowMs + delayMs)))
     }
-    val conf = HadoopConf.shared
-    aged.foreach { f =>
-      val p = new Path(f.path(cfg))
-      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-      catch { case _: java.io.IOException => () }
+    if (delayMs == 0L) {
+      val conf = HadoopConf.shared
+      aged.foreach { f =>
+        val p = new Path(f.path(cfg))
+        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+        catch { case _: java.io.IOException => () }
+      }
     }
     aged.size
   }
@@ -760,18 +776,26 @@ object PolarLog {
         }.map(f => p -> f.name)
     }.toSet
     if (doomed.isEmpty) return 0
+    val delayMs = fileDeleteDelayMs(meta.props)
+    val nowMs = System.currentTimeMillis()
     LogMetadata.compareAndSet(cfg, meta) { cur =>
       val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
         val kept = v.filterNot(f => doomed((p, f.name)))
         p -> (if (kept.length == v.length) v else kept)
       })
-      next.copy(logStarts = advancedLogStarts(cur, next))
+      val next2 = next.copy(logStarts = advancedLogStarts(cur, next))
+      if (delayMs == 0L) next2
+      else next2.copy(pendingDeletes = next2.pendingDeletes ++
+        doomed.toSeq.sorted.map { case (p, n) =>
+          PendingDelete(p, n, nowMs + delayMs) })
     }
-    val conf = HadoopConf.shared
-    meta.files.filter(f => doomed((f.part, f.name))).foreach { f =>
-      val p = new Path(f.path(cfg))
-      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-      catch { case _: java.io.IOException => () }
+    if (delayMs == 0L) {
+      val conf = HadoopConf.shared
+      meta.files.filter(f => doomed((f.part, f.name))).foreach { f =>
+        val p = new Path(f.path(cfg))
+        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+        catch { case _: java.io.IOException => () }
+      }
     }
     doomed.size
   }
@@ -828,6 +852,8 @@ object PolarLog {
     }
     val doomed = meta.files.filter(f => f.maxOffset < cut(f.part))
     if (doomed.isEmpty) return 0
+    val delayMs = fileDeleteDelayMs(meta.props)
+    val nowMs = System.currentTimeMillis()
     LogMetadata.compareAndSet(cfg, meta) { cur =>
       val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
         val kept = v.filter(_.maxOffset >= cut(p))
@@ -836,13 +862,18 @@ object PolarLog {
       // advance the log start (see cleanRetention) — file-granular like
       // the trim itself, so in-file records below the cutoff stay both
       // readable AND inside [logStart, tail)
-      next.copy(logStarts = advancedLogStarts(cur, next))
+      val next2 = next.copy(logStarts = advancedLogStarts(cur, next))
+      if (delayMs == 0L) next2
+      else next2.copy(pendingDeletes = next2.pendingDeletes ++
+        doomed.map(f => PendingDelete(f.part, f.name, nowMs + delayMs)))
     }
-    val conf = HadoopConf.shared
-    doomed.foreach { f =>
-      val p = new Path(f.path(cfg))
-      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-      catch { case _: java.io.IOException => () }
+    if (delayMs == 0L) {
+      val conf = HadoopConf.shared
+      doomed.foreach { f =>
+        val p = new Path(f.path(cfg))
+        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+        catch { case _: java.io.IOException => () }
+      }
     }
     doomed.size
   }
@@ -960,6 +991,12 @@ object PolarLog {
     // reclaim them first
     val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet ++
       TxnJournal.heldNames(cfg.root, cfg.topic)
+    // file.delete.delay.ms ledger: unregistered files a trim/compaction/
+    // key-clean DEFERRED — held strictly until their own deadline (the
+    // topic's configured reader window), then reclaimed here; the mtime
+    // grace below still applies on top (retain-longer direction)
+    val pendingDue: Map[String, Long] = meta.pendingDeletes
+      .map(pd => s"part=${pd.part}/${pd.name}" -> pd.dueMs).toMap
     val fs = fileSystem(cfg)
     val dir = new Path(cfg.dir)
     if (!fs.exists(dir)) return 0
@@ -970,6 +1007,7 @@ object PolarLog {
           val rel = s"${pdir.getPath.getName}/${f.getPath.getName}"
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
               !registered.contains(rel) &&
+              pendingDue.get(rel).forall(_ <= nowMs) &&
               // dataGraceMs > 0 protects readers that planned against a
               // pre-compaction registry and still hold the old file names
               // (<= so the grace-0 default deletes same-millisecond files,
@@ -980,6 +1018,21 @@ object PolarLog {
           }
         }
       }
+    // prune ledger entries past their deadline whose file is gone (just
+    // deleted above, or already reclaimed out-of-band) — held entries
+    // stay, so a later vacuum still knows to protect their files. Racing
+    // a concurrent commit only defers the prune to the next sweep.
+    if (!dryRun) {
+      val prunable = meta.pendingDeletes.filter(pd => pd.dueMs <= nowMs &&
+        !fs.exists(new Path(s"${cfg.dir}/part=${pd.part}/${pd.name}")))
+      if (prunable.nonEmpty) {
+        val gone = prunable.map(pd => (pd.part, pd.name)).toSet
+        try LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg)) { cur =>
+          cur.copy(pendingDeletes =
+            cur.pendingDeletes.filterNot(pd => gone((pd.part, pd.name))))
+        } catch { case _: graft.log.ConcurrentMetadataException => () }
+      }
+    }
     // manifests superseded by later commits (or orphaned by a crash between
     // manifest write and root rename): unreferenced by the CURRENT root and
     // past the grace window that protects readers still resolving a root

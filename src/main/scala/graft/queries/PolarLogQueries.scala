@@ -1428,6 +1428,90 @@ object PolarLogQueries extends QueryRegistry {
         HAVING SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) > 0""")),
 
     QueryDef(
+      "polar_file_delete_delay",
+      (s, dir) => {
+        // file.delete.delay.ms (r12): the reader-protection window between
+        // unregistration and physical delete. Clone the shared 4-commit
+        // fixture, configure a 1 h delay, and age-trim the first two
+        // slices: the trim must (a) hide them from NEW plans immediately
+        // (n = the last-two-slices count, polar_retention's oracle), while
+        // (b) a plan taken BEFORE the trim still reads everything
+        // (pre_n = the full count — the held files keep it executable),
+        // and (c) vacuum holds the files inside the window and reclaims
+        // them past it, pruning the ledger (protocol_ok). One gate proves
+        // visibility, the reader window, and the reclaim deadline at once.
+        val (shared, versions) = SharedTopics.segmentedEvents(s, dir)
+        val cfg = SharedTopics.cloneTopic(shared)
+        graft.log.LogMetadata.updateProps(cfg)(
+          _ + (graft.log.TopicProps.FileDeleteDelayMs -> "3600000"))
+        val meta = LogMetadata.read(cfg)
+        val v2files = LogMetadata.readAt(cfg, versions(1)).files
+          .map(f => (f.part, f.name)).toSet
+        val doomedPaths = meta.files
+          .filter(f => v2files.contains((f.part, f.name))).map(_.path(cfg))
+        val older = meta.files.filter(f => v2files.contains((f.part, f.name)))
+          .map(_.createdMs).max
+        val newer = meta.files.filterNot(f => v2files.contains((f.part, f.name)))
+          .map(_.createdMs).min
+        require(older < newer, "fixture commits lack a createdMs gap")
+        val preTrim = PolarLog.consume(s, cfg) // planned pre-trim, lazy
+        val now = System.currentTimeMillis()
+        new RetentionScheduler(cfg.root,
+          retentionMs = now - (older + newer) / 2).sweep(now)
+        def onDisk(p: String) = new java.io.File(p).isFile
+        // huge manifest grace isolates the DATA-file protocol from routine
+        // superseded-manifest reclamation at the shifted clocks below
+        val mGrace = Long.MaxValue / 2
+        def ledgerPaths = LogMetadata.read(cfg).pendingDeletes
+          .map(pd => s"${cfg.dir}/part=${pd.part}/${pd.name}").toSet
+        val held = doomedPaths.nonEmpty && doomedPaths.forall(onDisk) &&
+          doomedPaths.toSet.subsetOf(ledgerPaths) && {
+            PolarLog.vacuum(cfg, manifestGraceMs = mGrace,
+              nowMs = now + 3599_000L, dataGraceMs = 0L)
+            doomedPaths.forall(onDisk) &&
+              doomedPaths.toSet.subsetOf(ledgerPaths)
+          }
+        // the held files keep the pre-trim plan executable — materialize
+        // its per-part counts NOW (bounded: one row per partition), before
+        // the reclaim below deletes the files it reads
+        val preRows = preTrim.groupBy(col("part"))
+          .agg(count(lit(1)).as("pre_n")).collect()
+        val pre = s.createDataFrame(
+          java.util.Arrays.asList(preRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("part",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("pre_n",
+              org.apache.spark.sql.types.LongType))))
+        PolarLog.vacuum(cfg, manifestGraceMs = mGrace,
+          nowMs = now + 3601_000L, dataGraceMs = 0L)
+        val reclaimed = doomedPaths.forall(p => !onDisk(p)) &&
+          (ledgerPaths & doomedPaths.toSet).isEmpty
+        PolarLog.consume(s, cfg)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("off_span"),
+            min(col("offset")).as("min_off"))
+          .join(pre, "part")
+          .withColumn("protocol_ok", lit(held && reclaimed))
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT CAST(user_id AS VARCHAR) AS pk, event_id % 4 AS rem FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, r.rem, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk)
+        SELECT part,
+               CAST(SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               COUNT(*) AS off_span,
+               CAST(SUM(CASE WHEN rem < 2 THEN 1 ELSE 0 END) AS BIGINT) AS min_off,
+               COUNT(*) AS pre_n,
+               TRUE AS protocol_ok
+        FROM placed GROUP BY part
+        HAVING SUM(CASE WHEN rem >= 2 THEN 1 ELSE 0 END) > 0""")),
+
+    QueryDef(
       "polar_compaction_lag",
       (s, dir) => {
         // min.compaction.lag.ms (r12): one latest-per-key fact per user,

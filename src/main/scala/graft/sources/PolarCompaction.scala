@@ -98,28 +98,42 @@ object PolarCompaction {
     //    membership check makes replaying safe against any interleaving);
     //    if the CAS never lands, the cleanup below reclaims every merged
     //    file and the pass reports 0.
+    // file.delete.delay.ms: with a delay configured, superseded originals
+    // are NOT deleted in step 3 — each applied run's members move to the
+    // root doc's pendingDeletes ledger IN THE SAME CAS that unregisters
+    // them, and vacuum reclaims them past the deadline
+    val delayMs =
+      if (deleteOriginals) graft.log.PolarLog.fileDeleteDelayMs(meta.props)
+      else 0L
+    val nowMs = System.currentTimeMillis()
     var attempts = 0
     var swapped = false
     while (!swapped && attempts < 5) {
       val base = LogMetadata.read(cfg)
       try {
         LogMetadata.compareAndSet(cfg, base) { cur =>
-          cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
+          var pend = cur.pendingDeletes
+          val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
             var vec = v
             merged.filter(_._1._1 == p).foreach { case ((_, run), m) =>
               val names = run.map(_.name).toSet
-              if (names.forall(n => vec.exists(_.name == n)))
+              if (names.forall(n => vec.exists(_.name == n))) {
                 vec = (vec.filterNot(f => names(f.name)) :+ m).sortBy(_.minOffset)
+                if (delayMs > 0L) pend = pend ++ run.map(f =>
+                  graft.log.PendingDelete(p, f.name, nowMs + delayMs))
+              }
             }
             p -> vec
           })
+          if (delayMs > 0L) next.copy(pendingDeletes = pend) else next
         }
         swapped = true
       } catch { case _: graft.log.ConcurrentMetadataException => attempts += 1 }
     }
 
-    // 3) delete what the swap superseded; reclaim merged files whose run
-    //    lost the race
+    // 3) delete what the swap superseded (unless deferred to the ledger);
+    //    reclaim merged files whose run lost the race (never registered,
+    //    so no reader can hold them — always eager)
     val after = LogMetadata.read(cfg)
     val conf = HadoopConf.shared
     def rm(path: String): Unit =
@@ -132,7 +146,7 @@ object PolarCompaction {
     merged.foreach { case ((p, run), m) =>
       if (after.filesOf(p).exists(_.name == m.name)) {
         applied += 1
-        if (deleteOriginals) run.foreach(f => rm(f.path(cfg)))
+        if (deleteOriginals && delayMs == 0L) run.foreach(f => rm(f.path(cfg)))
       } else rm(m.path(cfg))
     }
     applied

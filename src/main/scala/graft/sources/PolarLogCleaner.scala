@@ -382,6 +382,14 @@ object PolarLogCleaner {
     //    where every member is still registered (retention may race); an
     //    all-superseded region swaps to NOTHING. Version churn from
     //    concurrent produces is expected: re-read and replay.
+    // file.delete.delay.ms: with a delay configured, superseded originals
+    // move to the pendingDeletes ledger IN THE SAME CAS that unregisters
+    // them (vacuum reclaims past the deadline) instead of the eager rm in
+    // step 3
+    val delayMs =
+      if (deleteOriginals) graft.log.PolarLog.fileDeleteDelayMs(meta.props)
+      else 0L
+    val pendNowMs = System.currentTimeMillis()
     var attempts = 0
     var swapped = false
     while (!swapped && attempts < 5) {
@@ -393,25 +401,30 @@ object PolarLogCleaner {
           // file's old minOffset without anything having been lost), and
           // the legacy derive-from-files fallback would do exactly that
           val starts = cur.materializedLogStarts
-          cur.copy(
+          var pend = cur.pendingDeletes
+          val next = cur.copy(
             filesByPart = cur.filesByPart.map { case (p, v) =>
               needy.get(p) match {
                 case Some(run) if run.map(_.name).forall(n => v.exists(_.name == n)) =>
                   val names = run.map(_.name).toSet
                   val kept = v.filterNot(f => names(f.name))
+                  if (delayMs > 0L) pend = pend ++ run.map(f =>
+                    graft.log.PendingDelete(p, f.name, pendNowMs + delayMs))
                   p -> (kept ++ entries.getOrElse(p, Vector.empty))
                     .sortBy(_.minOffset)
                 case _ => p -> v
               }
             },
             logStarts = starts)
+          if (delayMs > 0L) next.copy(pendingDeletes = pend) else next
         }
         swapped = true
       } catch { case _: graft.log.ConcurrentMetadataException => attempts += 1 }
     }
 
-    // 3) delete superseded originals; reclaim cleaned files whose swap
-    //    lost the race
+    // 3) delete superseded originals (unless deferred to the ledger);
+    //    reclaim cleaned files whose swap lost the race (never registered
+    //    — always eager)
     val after = LogMetadata.read(cfg)
     def rm(path: String): Unit =
       try {
@@ -427,7 +440,7 @@ object PolarLogCleaner {
         else run.forall(f => !after.filesOf(p).exists(_.name == f.name))
       if (landed) {
         removedApplied += run.map(_.count).sum - survivorCounts.getOrElse(p, 0L)
-        if (deleteOriginals) run.foreach(f => rm(f.path(cfg)))
+        if (deleteOriginals && delayMs == 0L) run.foreach(f => rm(f.path(cfg)))
       } else mine.foreach(e => rm(e.path(cfg)))
     }
     removedApplied min removed

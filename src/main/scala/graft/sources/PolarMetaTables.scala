@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 private[sources] object PolarMetaTables {
 
-  val Names: Set[String] = Set("files", "history", "partitions", "groups")
+  val Names: Set[String] =
+    Set("files", "history", "partitions", "groups", "pending_deletes")
 
   def apply(cfg: TopicConfig, kind: String): Table = apply(cfg, kind, None)
 
@@ -33,8 +34,10 @@ private[sources] object PolarMetaTables {
     * polar.t.files VERSION AS OF 3`); `history` and `groups` are
     * version-independent ledgers and refuse rather than mislead. */
   def apply(cfg: TopicConfig, kind: String, versionAsOf: Option[Long]): Table = {
-    require(versionAsOf.isEmpty || kind == "files" || kind == "partitions",
-      s"VERSION AS OF applies to the files/partitions views, not '$kind' " +
+    require(versionAsOf.isEmpty || kind == "files" || kind == "partitions" ||
+        kind == "pending_deletes",
+      s"VERSION AS OF applies to the files/partitions/pending_deletes " +
+        s"views, not '$kind' " +
         "(history IS the version ledger; groups are live state)")
     def snap(): LogMetadata = versionAsOf match {
       case Some(v) => LogMetadata.readAt(cfg, v)
@@ -67,6 +70,15 @@ private[sources] object PolarMetaTables {
           meta.producerOffsets(p)))
       }
     }
+    // the file.delete.delay.ms ledger: segments already UNREGISTERED whose
+    // physical delete is deferred — what a `vacuum` past each `due_ms`
+    // will reclaim (the operational answer to "why is disk usage above
+    // the registry's byte count")
+    case "pending_deletes" =>
+      table(cfg, "pending_deletes", PendingDeletesSchema, snap) { meta =>
+        meta.pendingDeletes.map(pd => new GenericInternalRow(Array[Any](
+          pd.part, UTF8String.fromString(pd.name), pd.dueMs)))
+      }
     // the `--list` + `--describe` view of Kafka's group tooling in one
     // relation: every registered group × partition with committed/tail/lag
     case "groups" => table(cfg, "groups", GroupsSchema, snap) { _ =>
@@ -103,6 +115,11 @@ private[sources] object PolarMetaTables {
     StructField("committed", LongType, nullable = false),
     StructField("tail", LongType, nullable = false),
     StructField("lag", LongType, nullable = false)))
+
+  val PendingDeletesSchema: StructType = StructType(Seq(
+    StructField("part", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("due_ms", LongType, nullable = false)))
 
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("part", IntegerType, nullable = false),

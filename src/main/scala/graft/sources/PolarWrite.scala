@@ -395,6 +395,10 @@ class PolarBatchWrite(
     // delete exactly like retention; the registry is the visibility
     // authority)
     var doomed: Vector[FileEntry] = Vector.empty
+    // file.delete.delay.ms: an overwrite's doomed files go to the
+    // pendingDeletes ledger in the same CAS (resolved from the topic's
+    // props inside the winning attempt)
+    var overwriteDelayMs = 0L
     try {
       entries = rebase(entries, expected)
       var attempt = 0
@@ -402,7 +406,10 @@ class PolarBatchWrite(
       while (!committed) {
         try {
           LogMetadata.compareAndSet(cfg, expected) { cur =>
-            if (replaceAll) doomed = cur.files
+            if (replaceAll) {
+              doomed = cur.files
+              overwriteDelayMs = graft.log.PolarLog.fileDeleteDelayMs(cur.props)
+            }
             val tails = cur.producerOffsets.toArray
             entries.groupBy(_.part).foreach { case (p, fs) =>
               val sorted = fs.sortBy(_.minOffset)
@@ -428,8 +435,14 @@ class PolarBatchWrite(
             val next = if (!replaceAll) next0 else next0.copy(
               logStarts = Vector.tabulate(next0.numPartitions)(p =>
                 math.max(cur.logStart(p), next0.derivedLogStart(p))))
+            val withLedger =
+              if (replaceAll && overwriteDelayMs > 0L && doomed.nonEmpty)
+                next.copy(pendingDeletes = next.pendingDeletes ++ doomed.map(
+                  f => graft.log.PendingDelete(f.part, f.name,
+                    System.currentTimeMillis() + overwriteDelayMs)))
+              else next
             txn match {
-              case None => next
+              case None => withLedger
               case Some((sinkId, batchId)) =>
                 // register this txn AND expire idle ones: entries whose
                 // last commit predates the retention window can no longer
@@ -445,7 +458,7 @@ class PolarBatchWrite(
                 val live = stamped.collect {
                   case (id, ms) if ms >= now - txnRetentionMs => id
                 }.toSet
-                next.copy(
+                withLedger.copy(
                   sinkCommits = cur.sinkCommits.view
                     .filterKeys(live).toMap + (sinkId -> batchId),
                   sinkCommitMs = stamped.view
@@ -471,8 +484,9 @@ class PolarBatchWrite(
         throw e
     }
     // the replaced segments are unregistered; reclaim them now (a crash
-    // here leaves orphans for vacuum, never dangling registry entries)
-    if (replaceAll) {
+    // here leaves orphans for vacuum, never dangling registry entries) —
+    // unless the topic's file.delete.delay.ms deferred them to the ledger
+    if (replaceAll && overwriteDelayMs == 0L) {
       val conf = graft.log.HadoopConf.shared
       doomed.foreach { f =>
         val p = new Path(f.path(cfg))
