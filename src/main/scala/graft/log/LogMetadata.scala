@@ -300,6 +300,12 @@ final case class FileEntry(
   def dense: Boolean = count == maxOffset - minOffset + 1
 }
 
+/** One deferred physical deletion: `part`/`name` identify the already
+  * UNREGISTERED segment on disk; `dueMs` is the wall-clock after which
+  * vacuum may reclaim it (unregistration time + the topic's
+  * `file.delete.delay.ms`). */
+final case class PendingDelete(part: Int, name: String, dueMs: Long)
+
 /**
  * Driver-side control plane of a topic — the Spark replacement for the
  * reference's generation consensus + producer.offset files
@@ -326,12 +332,6 @@ final case class FileEntry(
  * object-store migration, unlike file mtimes; 0 marks pre-commitMs legacy
  * docs, resolved by mtime fallback.
  */
-/** One deferred physical deletion: `part`/`name` identify the already
-  * UNREGISTERED segment on disk; `dueMs` is the wall-clock after which
-  * vacuum may reclaim it (unregistration time + the topic's
-  * `file.delete.delay.ms`). */
-final case class PendingDelete(part: Int, name: String, dueMs: Long)
-
 final case class LogMetadata(
     version: Long,
     clusterSize: Int,

@@ -140,6 +140,28 @@ object PolarLog {
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .filter(_ > 0L).getOrElse(0L)
 
+  /** Saturating ledger deadline: the validator accepts any non-negative
+    * delay, so an absurd-but-valid `file.delete.delay.ms` must read as
+    * "hold practically forever" — a wrapped-negative due would invert the
+    * window into IMMEDIATE reclamation (the unsafe direction). */
+  private[graft] def dueAt(nowMs: Long, delayMs: Long): Long = {
+    val due = nowMs + delayMs
+    if (due < nowMs) Long.MaxValue else due
+  }
+
+  /** Best-effort physical delete of already-UNREGISTERED segments — the
+    * shared eager tail of every removal path (ledgered topics skip it and
+    * let vacuum reclaim at each entry's deadline). IO races are expected
+    * (another sweep may have reclaimed first) and swallowed. */
+  private[graft] def quietDelete(cfg: TopicConfig, paths: Seq[String]): Unit = {
+    val conf = HadoopConf.shared
+    paths.foreach { s =>
+      val p = new Path(s)
+      try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /**
    * Append records to a topic. Input needs a `value` column (binary or
    * string); `partitionKey` (string) and `timestamp` are optional.
@@ -708,7 +730,10 @@ object PolarLog {
     * `/root/reference/internal/data/datalog_cleaner.go`. The CAS
     * unregistration is the visibility boundary (readers planning from the
     * registry never race a half-deleted file); the physical delete after it
-    * is garbage collection. Returns deleted file count. */
+    * is garbage collection. Returns REMOVED file count: physically deleted
+    * on eager topics, moved to the `pendingDeletes` ledger (reclaimed by
+    * vacuum at each entry's deadline) when the topic configures
+    * `file.delete.delay.ms`. */
   def cleanRetention(cfg: TopicConfig, retentionMs: Long,
       nowMs: Long = System.currentTimeMillis()): Int = {
     // a negative window is the "retention disabled" sentinel (-1): the
@@ -737,16 +762,9 @@ object PolarLog {
       val next2 = next.copy(logStarts = advancedLogStarts(cur, next))
       if (delayMs == 0L) next2
       else next2.copy(pendingDeletes = next2.pendingDeletes ++
-        aged.map(f => PendingDelete(f.part, f.name, nowMs + delayMs)))
+        aged.map(f => PendingDelete(f.part, f.name, dueAt(nowMs, delayMs))))
     }
-    if (delayMs == 0L) {
-      val conf = HadoopConf.shared
-      aged.foreach { f =>
-        val p = new Path(f.path(cfg))
-        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-        catch { case _: java.io.IOException => () }
-      }
-    }
+    if (delayMs == 0L) quietDelete(cfg, aged.map(_.path(cfg)))
     aged.size
   }
 
@@ -757,7 +775,8 @@ object PolarLog {
     * which structurally never deletes the last (active) segment. Pure
     * registry arithmetic riding the same unregister-then-delete trim path
     * as [[cleanRetention]], so `logStarts` advance identically. Returns
-    * deleted file count. */
+    * removed file count (deferred to the ledger, not deleted, on
+    * `file.delete.delay.ms` topics). */
   def cleanRetentionBytes(cfg: TopicConfig, capBytes: Long): Int = {
     // <= 0: a zero cap would pass Kafka's predicate for EVERY file
     // including the active segment — treat it like the -1 no-cap sentinel
@@ -787,16 +806,10 @@ object PolarLog {
       if (delayMs == 0L) next2
       else next2.copy(pendingDeletes = next2.pendingDeletes ++
         doomed.toSeq.sorted.map { case (p, n) =>
-          PendingDelete(p, n, nowMs + delayMs) })
+          PendingDelete(p, n, dueAt(nowMs, delayMs)) })
     }
-    if (delayMs == 0L) {
-      val conf = HadoopConf.shared
-      meta.files.filter(f => doomed((f.part, f.name))).foreach { f =>
-        val p = new Path(f.path(cfg))
-        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-        catch { case _: java.io.IOException => () }
-      }
-    }
+    if (delayMs == 0L) quietDelete(cfg,
+      meta.files.filter(f => doomed((f.part, f.name))).map(_.path(cfg)))
     doomed.size
   }
 
@@ -840,7 +853,8 @@ object PolarLog {
    * A cutoff past the tail is clamped (Kafka errors there; clamping keeps
    * `truncate = trim-to-tail` total); `-1` IS that partition's tail (the
    * kafka-delete-records sentinel), so every caller shares one resolution.
-   * Returns deleted segment count.
+   * Returns removed segment count (deferred to the ledger, not deleted,
+   * on `file.delete.delay.ms` topics).
    */
   def deleteRecords(cfg: TopicConfig, beforeOffsets: Map[Int, Long]): Int = {
     val meta = LogMetadata.read(cfg)
@@ -865,16 +879,9 @@ object PolarLog {
       val next2 = next.copy(logStarts = advancedLogStarts(cur, next))
       if (delayMs == 0L) next2
       else next2.copy(pendingDeletes = next2.pendingDeletes ++
-        doomed.map(f => PendingDelete(f.part, f.name, nowMs + delayMs)))
+        doomed.map(f => PendingDelete(f.part, f.name, dueAt(nowMs, delayMs))))
     }
-    if (delayMs == 0L) {
-      val conf = HadoopConf.shared
-      doomed.foreach { f =>
-        val p = new Path(f.path(cfg))
-        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-        catch { case _: java.io.IOException => () }
-      }
-    }
+    if (delayMs == 0L) quietDelete(cfg, doomed.map(_.path(cfg)))
     doomed.size
   }
 

@@ -246,5 +246,11 @@ object RetentionScheduler {
     * (`internal/data/datalog_cleaner.go:16-37`). */
   val DefaultPeriodMs: Long = 5L * 60 * 1000
 
+  /** One topic's sweep report. `agedDeleted` counts segments REMOVED from
+    * the registry by age/size retention — physically deleted on eager
+    * topics, deferred to the `pendingDeletes` ledger on
+    * `file.delete.delay.ms` topics (reclaimed by a later sweep's vacuum
+    * once due; until then the topic's `pending_deletes` view explains the
+    * disk-vs-registry gap). */
   final case class Sweep(agedDeleted: Int, orphansDeleted: Int, merged: Int = 0)
 }

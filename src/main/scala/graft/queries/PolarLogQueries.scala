@@ -1447,10 +1447,9 @@ object PolarLogQueries extends QueryRegistry {
         val meta = LogMetadata.read(cfg)
         val v2files = LogMetadata.readAt(cfg, versions(1)).files
           .map(f => (f.part, f.name)).toSet
-        val doomedPaths = meta.files
-          .filter(f => v2files.contains((f.part, f.name))).map(_.path(cfg))
-        val older = meta.files.filter(f => v2files.contains((f.part, f.name)))
-          .map(_.createdMs).max
+        val doomedFiles = meta.files.filter(f => v2files((f.part, f.name)))
+        val doomedPaths = doomedFiles.map(_.path(cfg))
+        val older = doomedFiles.map(_.createdMs).max
         val newer = meta.files.filterNot(f => v2files.contains((f.part, f.name)))
           .map(_.createdMs).min
         require(older < newer, "fixture commits lack a createdMs gap")

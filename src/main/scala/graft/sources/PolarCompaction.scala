@@ -101,10 +101,10 @@ object PolarCompaction {
     // file.delete.delay.ms: with a delay configured, superseded originals
     // are NOT deleted in step 3 — each applied run's members move to the
     // root doc's pendingDeletes ledger IN THE SAME CAS that unregisters
-    // them, and vacuum reclaims them past the deadline
-    val delayMs =
-      if (deleteOriginals) graft.log.PolarLog.fileDeleteDelayMs(meta.props)
-      else 0L
+    // them, and vacuum reclaims them past the deadline. The delay is
+    // resolved from the WINNING attempt's props (the copy phase above can
+    // take minutes; a delay configured meanwhile must be honored).
+    var delayMs = 0L
     val nowMs = System.currentTimeMillis()
     var attempts = 0
     var swapped = false
@@ -112,6 +112,9 @@ object PolarCompaction {
       val base = LogMetadata.read(cfg)
       try {
         LogMetadata.compareAndSet(cfg, base) { cur =>
+          delayMs =
+            if (deleteOriginals) graft.log.PolarLog.fileDeleteDelayMs(cur.props)
+            else 0L
           var pend = cur.pendingDeletes
           val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
             var vec = v
@@ -120,7 +123,8 @@ object PolarCompaction {
               if (names.forall(n => vec.exists(_.name == n))) {
                 vec = (vec.filterNot(f => names(f.name)) :+ m).sortBy(_.minOffset)
                 if (delayMs > 0L) pend = pend ++ run.map(f =>
-                  graft.log.PendingDelete(p, f.name, nowMs + delayMs))
+                  graft.log.PendingDelete(p, f.name,
+                    graft.log.PolarLog.dueAt(nowMs, delayMs)))
               }
             }
             p -> vec
@@ -132,22 +136,21 @@ object PolarCompaction {
     }
 
     // 3) delete what the swap superseded (unless deferred to the ledger);
-    //    reclaim merged files whose run lost the race (never registered,
-    //    so no reader can hold them — always eager)
+    //    reclaim merged files whose run lost the race. A merged file can
+    //    be absent from `after` for TWO reasons: the swap never landed
+    //    (never registered — eager rm is safe) or a trim racing between
+    //    our CAS and this read unregistered-and-LEDGERED it — then it is
+    //    inside its reader window and vacuum owns its reclamation.
     val after = LogMetadata.read(cfg)
-    val conf = HadoopConf.shared
+    val ledgered = after.pendingDeletes.map(pd => (pd.part, pd.name)).toSet
     def rm(path: String): Unit =
-      try {
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, false)
-      } catch { case _: java.io.IOException => () }
+      graft.log.PolarLog.quietDelete(cfg, Seq(path))
     var applied = 0
     merged.foreach { case ((p, run), m) =>
       if (after.filesOf(p).exists(_.name == m.name)) {
         applied += 1
         if (deleteOriginals && delayMs == 0L) run.foreach(f => rm(f.path(cfg)))
-      } else rm(m.path(cfg))
+      } else if (!ledgered((p, m.name))) rm(m.path(cfg))
     }
     applied
   }

@@ -385,10 +385,10 @@ object PolarLogCleaner {
     // file.delete.delay.ms: with a delay configured, superseded originals
     // move to the pendingDeletes ledger IN THE SAME CAS that unregisters
     // them (vacuum reclaims past the deadline) instead of the eager rm in
-    // step 3
-    val delayMs =
-      if (deleteOriginals) graft.log.PolarLog.fileDeleteDelayMs(meta.props)
-      else 0L
+    // step 3. Resolved from the WINNING attempt's props — the rewrite job
+    // above can take minutes, and a delay configured meanwhile must be
+    // honored.
+    var delayMs = 0L
     val pendNowMs = System.currentTimeMillis()
     var attempts = 0
     var swapped = false
@@ -396,6 +396,9 @@ object PolarLogCleaner {
       val base = LogMetadata.read(cfg)
       try {
         LogMetadata.compareAndSet(cfg, base) { cur =>
+          delayMs =
+            if (deleteOriginals) graft.log.PolarLog.fileDeleteDelayMs(cur.props)
+            else 0L
           // MATERIALIZE the log starts BEFORE the swap: compaction must
           // never advance them (survivors may start above the first
           // file's old minOffset without anything having been lost), and
@@ -409,7 +412,8 @@ object PolarLogCleaner {
                   val names = run.map(_.name).toSet
                   val kept = v.filterNot(f => names(f.name))
                   if (delayMs > 0L) pend = pend ++ run.map(f =>
-                    graft.log.PendingDelete(p, f.name, pendNowMs + delayMs))
+                    graft.log.PendingDelete(p, f.name,
+                      graft.log.PolarLog.dueAt(pendNowMs, delayMs)))
                   p -> (kept ++ entries.getOrElse(p, Vector.empty))
                     .sortBy(_.minOffset)
                 case _ => p -> v
@@ -423,15 +427,15 @@ object PolarLogCleaner {
     }
 
     // 3) delete superseded originals (unless deferred to the ledger);
-    //    reclaim cleaned files whose swap lost the race (never registered
-    //    — always eager)
+    //    reclaim cleaned files whose swap lost the race. A cleaned entry
+    //    absent from `after` usually means the swap never landed (never
+    //    registered — eager rm safe), but a trim racing between our CAS
+    //    and this read may have unregistered-and-LEDGERED it, or left
+    //    part of `mine` registered — rm only what is provably neither.
     val after = LogMetadata.read(cfg)
+    val ledgered = after.pendingDeletes.map(pd => (pd.part, pd.name)).toSet
     def rm(path: String): Unit =
-      try {
-        val p = new Path(path)
-        val fs = p.getFileSystem(HadoopConf.shared)
-        if (fs.exists(p)) fs.delete(p, false)
-      } catch { case _: java.io.IOException => () }
+      graft.log.PolarLog.quietDelete(cfg, Seq(path))
     var removedApplied = 0L
     needy.foreach { case (p, run) =>
       val mine = entries.getOrElse(p, Vector.empty)
@@ -441,7 +445,10 @@ object PolarLogCleaner {
       if (landed) {
         removedApplied += run.map(_.count).sum - survivorCounts.getOrElse(p, 0L)
         if (deleteOriginals && delayMs == 0L) run.foreach(f => rm(f.path(cfg)))
-      } else mine.foreach(e => rm(e.path(cfg)))
+      } else mine
+        .filterNot(e => after.filesOf(p).exists(_.name == e.name) ||
+          ledgered((p, e.name)))
+        .foreach(e => rm(e.path(cfg)))
     }
     removedApplied min removed
     } finally survivors.unpersist()

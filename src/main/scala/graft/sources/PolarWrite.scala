@@ -439,7 +439,8 @@ class PolarBatchWrite(
               if (replaceAll && overwriteDelayMs > 0L && doomed.nonEmpty)
                 next.copy(pendingDeletes = next.pendingDeletes ++ doomed.map(
                   f => graft.log.PendingDelete(f.part, f.name,
-                    System.currentTimeMillis() + overwriteDelayMs)))
+                    graft.log.PolarLog.dueAt(
+                      System.currentTimeMillis(), overwriteDelayMs))))
               else next
             txn match {
               case None => withLedger
@@ -486,14 +487,8 @@ class PolarBatchWrite(
     // the replaced segments are unregistered; reclaim them now (a crash
     // here leaves orphans for vacuum, never dangling registry entries) —
     // unless the topic's file.delete.delay.ms deferred them to the ledger
-    if (replaceAll && overwriteDelayMs == 0L) {
-      val conf = graft.log.HadoopConf.shared
-      doomed.foreach { f =>
-        val p = new Path(f.path(cfg))
-        try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-        catch { case _: java.io.IOException => () }
-      }
-    }
+    if (replaceAll && overwriteDelayMs == 0L)
+      graft.log.PolarLog.quietDelete(cfg, doomed.map(_.path(cfg)))
   }
 
   /** Best-effort delete of rebase-rewritten (rb*) files after a terminal

@@ -52,6 +52,24 @@ class FileDeleteDelaySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an absurd-but-valid delay saturates to hold-forever instead of wrapping to immediate reclamation") {
+    assert(PolarLog.dueAt(1000L, Long.MaxValue) === Long.MaxValue)
+    assert(PolarLog.dueAt(1000L, 60_000L) === 61_000L)
+    val t = TopicConfig(root, "fdd_overflow")
+    PolarLog.produce(records(0, 100), t)
+    setProps(t, Map(TopicProps.FileDeleteDelayMs -> Long.MaxValue.toString))
+    val paths = LogMetadata.read(t).files.map(_.path(t))
+    val now = System.currentTimeMillis() + 1000
+    PolarLog.cleanRetention(t, retentionMs = 0L, nowMs = now)
+    assert(LogMetadata.read(t).pendingDeletes.forall(_.dueMs === Long.MaxValue))
+    // even the farthest representable vacuum clock holds the files (the
+    // count includes superseded MANIFESTS at such a clock — assert on the
+    // data files and the ledger, not the count)
+    PolarLog.vacuum(t, nowMs = Long.MaxValue - 1, dataGraceMs = 0L)
+    assert(paths.forall(onDisk))
+    assert(LogMetadata.read(t).pendingDeletes.size === paths.size)
+  }
+
   test("ledger round-trips through the root doc and stamps format 5 only when nonempty") {
     val t = TopicConfig(root, "fdd_serde")
     PolarLog.produce(records(0, 50), t)
