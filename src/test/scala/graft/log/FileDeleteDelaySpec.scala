@@ -194,6 +194,28 @@ class FileDeleteDelaySpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM fddcat.fdd_metatable.pending_deletes").count() === 0)
   }
 
+  test("VERSION AS OF a pre-trim snapshot stays readable through the window") {
+    val t = TopicConfig(root, "fdd_timetravel")
+    PolarLog.produce(records(0, 150), t)
+    setProps(t, Map(TopicProps.FileDeleteDelayMs -> DelayMs.toString))
+    val preVersion = LogMetadata.read(t).version
+    PolarLog.produce(records(150, 300), t)
+    val now = System.currentTimeMillis() + 1000
+    PolarLog.cleanRetention(t, retentionMs = 0L, nowMs = now)
+    assert(PolarLog.consume(spark, t).count() === 0)
+    // the snapshot's registry still names the held files — a time-traveled
+    // read inside the window succeeds instead of hitting missing segments
+    val asOf = PolarLog.consumeAt(spark, t, LogMetadata.readAt(t, preVersion))
+    assert(asOf.count() === 150)
+    // past the deadline the files are reclaimed; the same read now fails
+    // loudly at execution (registry names missing data) rather than
+    // returning a silently partial snapshot
+    PolarLog.vacuum(t, nowMs = now + DelayMs + 1, dataGraceMs = 0L)
+    intercept[Exception] {
+      PolarLog.consumeAt(spark, t, LogMetadata.readAt(t, preVersion)).count()
+    }
+  }
+
   test("a reader that planned before the trim still reads held files (the window's point)") {
     val t = TopicConfig(root, "fdd_reader")
     PolarLog.produce(records(0, 300), t)
