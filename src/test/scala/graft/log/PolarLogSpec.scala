@@ -352,6 +352,44 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LogMetadata.parse(LogMetadata.render(withProps)) === withProps)
   }
 
+  test("root-doc fields round-trip over randomized docs (ledger, props, logStarts)") {
+    // deterministic fuzz of the ROOT-doc regex serde: any combination of
+    // optional sections (props / logStarts / pendingDeletes) must parse
+    // back identically — the section extractors are hand-rolled regexes,
+    // and a new section leaking into a neighbor's match is exactly the
+    // class of bug this catches
+    val rnd = new scala.util.Random(20260816L)
+    def randName() = {
+      val pfx = Seq("", "kc", "cp", "rb3-")(rnd.nextInt(4))
+      f"$pfx${rnd.nextInt(1 << 20)}%011d-${rnd.alphanumeric.take(8).mkString}.parquet"
+    }
+    (1 to 200).foreach { _ =>
+      val parts = 1 + rnd.nextInt(24)
+      val m = LogMetadata(
+        rnd.nextInt(1000).toLong, 1 + rnd.nextInt(8), 1 + rnd.nextInt(4),
+        Vector.fill(parts)(rnd.nextLong(1L << 40)),
+        commitMs = rnd.nextLong(1L << 45),
+        props =
+          if (rnd.nextBoolean()) Map.empty
+          else Map("retention.ms" -> rnd.nextInt(1 << 30).toString,
+            "file.delete.delay.ms" -> rnd.nextInt(1 << 30).toString),
+        logStarts =
+          if (rnd.nextBoolean()) Vector.empty
+          else Vector.fill(parts)(rnd.nextLong(1L << 40)),
+        pendingDeletes =
+          if (rnd.nextBoolean()) Vector.empty
+          else Vector.fill(1 + rnd.nextInt(40))(PendingDelete(
+            rnd.nextInt(parts), randName(),
+            if (rnd.nextInt(10) == 0) Long.MaxValue else rnd.nextLong(1L << 45))))
+      val doc = LogMetadata.render(m)
+      assert(LogMetadata.parse(doc) === m, s"round-trip failed for: $doc")
+      // the conditional format stamp: ledger-bearing docs refuse older
+      // readers, plain docs stay compatible
+      val fmt = """"format":(\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
+      assert(fmt === (if (m.pendingDeletes.nonEmpty) 5 else 2))
+    }
+  }
+
   test("format-versioned docs: current stamp round-trips, newer formats refuse loudly") {
     val m = LogMetadata(7L, 3, 4, Vector.tabulate(12)(_.toLong * 5))
     val doc = LogMetadata.render(m)
