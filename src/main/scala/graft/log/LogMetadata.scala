@@ -253,7 +253,10 @@ object TopicConfig {
     * (`/root/reference/internal/producing/server.go:142-143`): non-empty,
     * no path separators, not a reserved (`_`/`.`-prefixed) name. */
   def validTopicName(name: String): Boolean =
-    name.nonEmpty && name.length <= 255 &&
+    // 248, not 255: derived file names must stay within the filesystem's
+    // 255-byte component limit — the txn journal's `t-<topic>.json` adds
+    // 7 bytes (Kafka caps at 249 for its own suffixes, same reasoning)
+    name.nonEmpty && name.length <= 248 &&
       !name.startsWith("_") && !name.startsWith(".") &&
       name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
 }

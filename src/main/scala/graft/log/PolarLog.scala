@@ -153,7 +153,7 @@ object PolarLog {
     * shared eager tail of every removal path (ledgered topics skip it and
     * let vacuum reclaim at each entry's deadline). IO races are expected
     * (another sweep may have reclaimed first) and swallowed. */
-  private[graft] def quietDelete(cfg: TopicConfig, paths: Seq[String]): Unit = {
+  private[graft] def quietDelete(paths: Seq[String]): Unit = {
     val conf = HadoopConf.shared
     paths.foreach { s =>
       val p = new Path(s)
@@ -764,7 +764,7 @@ object PolarLog {
       else next2.copy(pendingDeletes = next2.pendingDeletes ++
         aged.map(f => PendingDelete(f.part, f.name, dueAt(nowMs, delayMs))))
     }
-    if (delayMs == 0L) quietDelete(cfg, aged.map(_.path(cfg)))
+    if (delayMs == 0L) quietDelete(aged.map(_.path(cfg)))
     aged.size
   }
 
@@ -808,7 +808,7 @@ object PolarLog {
         doomed.toSeq.sorted.map { case (p, n) =>
           PendingDelete(p, n, dueAt(nowMs, delayMs)) })
     }
-    if (delayMs == 0L) quietDelete(cfg,
+    if (delayMs == 0L) quietDelete(
       meta.files.filter(f => doomed((f.part, f.name))).map(_.path(cfg)))
     doomed.size
   }
@@ -881,7 +881,7 @@ object PolarLog {
       else next2.copy(pendingDeletes = next2.pendingDeletes ++
         doomed.map(f => PendingDelete(f.part, f.name, dueAt(nowMs, delayMs))))
     }
-    if (delayMs == 0L) quietDelete(cfg, doomed.map(_.path(cfg)))
+    if (delayMs == 0L) quietDelete(doomed.map(_.path(cfg)))
     doomed.size
   }
 
@@ -990,14 +990,19 @@ object PolarLog {
       manifestGraceMs: Long = 10L * 60 * 1000,
       nowMs: Long = System.currentTimeMillis(),
       dataGraceMs: Long = 0L,
-      dryRun: Boolean = false): Int = {
+      dryRun: Boolean = false,
+      // precomputed journal-held names for this topic (the scheduler lists
+      // journals ONCE per sweep instead of once per topic); None = compute
+      // here. Either way a journal read error FAILS CLOSED — the vacuum
+      // throws and the caller skips reclamation for this sweep.
+      heldOverride: Option[Set[String]] = None): Int = {
     val meta = LogMetadata.read(cfg)
     // files a live routed-commit journal still references are NOT orphans:
     // recovery may roll them forward, and they are older than their
     // journal by the stage-to-commit gap, so mtime grace alone would
     // reclaim them first
     val registered = meta.files.map(f => s"part=${f.part}/${f.name}").toSet ++
-      TxnJournal.heldNames(cfg.root, cfg.topic)
+      heldOverride.getOrElse(TxnJournal.heldNames(cfg.root, cfg.topic))
     // file.delete.delay.ms ledger: unregistered files a trim/compaction/
     // key-clean DEFERRED — held strictly until their own deadline (the
     // topic's configured reader window), then reclaimed here; the mtime

@@ -120,6 +120,11 @@ final class RetentionScheduler(
       // before the per-topic vacuums below can see them as plain orphans
       recoveredDone += routedRecover.map(f =>
         try f(nowMs) catch { case NonFatal(_) => 0 }).getOrElse(0).toLong
+      // journal-held names computed ONCE per sweep (vacuum runs per topic;
+      // per-topic listings would be O(topics × journals)). A listing error
+      // leaves None — each vacuum then computes (and fails closed) itself.
+      val heldAll: Option[Map[String, Set[String]]] =
+        try Some(TxnJournal.heldByTopic(root)) catch { case NonFatal(_) => None }
       val res = topics().map { cfg =>
         // per-topic overrides (Kafka topic configs, persisted in the root
         // doc): `retention.ms` replaces the global window for this topic;
@@ -210,7 +215,8 @@ final class RetentionScheduler(
         // (previously grace was only implied by sweep ordering — a query
         // outliving one period could hit FileNotFound mid-scan)
         val orphans =
-          try PolarLog.vacuum(cfg, nowMs = nowMs, dataGraceMs = periodMs)
+          try PolarLog.vacuum(cfg, nowMs = nowMs, dataGraceMs = periodMs,
+            heldOverride = heldAll.map(_.getOrElse(cfg.topic, Set.empty)))
           catch { case NonFatal(_) => 0 }
         // compaction runs AFTER vacuum: a deferred-delete compactor's
         // superseded originals survive as unregistered orphans until a

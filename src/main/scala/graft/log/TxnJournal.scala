@@ -80,10 +80,27 @@ object TxnJournal {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Refresh a live journal's age anchor: the committer touches `hb`
+    * before each per-topic CAS, so recovery's grace window measures from
+    * the last PROGRESS, not from the commit point's write — a multi-topic
+    * commit whose CAS phase outlives one sweep period is not rolled back
+    * underneath itself. (A single CAS stalled longer than the grace is
+    * still exposed; size `graceMs` above the longest expected rebase.) */
+  def heartbeat(journalPath: String): Unit =
+    try {
+      val p = new Path(journalPath, "hb")
+      val fs = p.getFileSystem(HadoopConf.shared)
+      val out = fs.create(p, true)
+      try out.write('1'.toByte) finally out.close()
+    } catch { case _: java.io.IOException => () }
+
   /** Mark a journal undrivable (some staged files are gone AND their topic
     * never committed — roll-forward impossible, roll-back unsafe): renamed
-    * out of the scan for operator attention instead of being re-chewed
-    * every sweep. */
+    * out of the RECOVERY scan for operator attention instead of being
+    * re-chewed every sweep. Its staged files stay vacuum-protected
+    * ([[heldNames]] includes `.failed` journals) so the operator can still
+    * inspect or hand-roll-forward the surviving topics; deleting the
+    * `.failed` directory releases them. */
   def markFailed(journalPath: String): Unit = {
     val p = new Path(journalPath)
     try {
@@ -95,19 +112,27 @@ object TxnJournal {
   private val TxnRe = """"txn"\s*:\s*\["([0-9a-f]*)",(\d+)\]""".r
 
   /** All live journals under `root`, with the age anchor recovery's grace
-    * window is measured against (the commit-point mtime when present). */
-  def list(root: String): Seq[Journal] = {
+    * window is measured against: the NEWEST of the commit-point mtime and
+    * the committer's `hb` heartbeat (see [[heartbeat]]).
+    * `includeFailed` adds `.failed` journals — recovery never drives
+    * those, but vacuum protection ([[heldNames]]) must keep covering
+    * their staged files or marking a journal failed would let the next
+    * sweep eat the very evidence the rename preserves. */
+  def list(root: String, includeFailed: Boolean = false): Seq[Journal] = {
     val d = new Path(dir(root))
     val fs = d.getFileSystem(HadoopConf.shared)
     if (!fs.exists(d)) return Seq.empty
     fs.listStatus(d).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-") &&
-        !s.getPath.getName.endsWith(".failed"))
+        (includeFailed || !s.getPath.getName.endsWith(".failed")))
       // per-journal resilience: a concurrent in-process commit may DELETE
       // its journal between the listing and these reads — skip it (it
-      // reached its terminal state; nothing to recover) instead of
-      // aborting the whole recovery pass
-      .flatMap { s => scala.util.Try {
+      // reached its terminal state; nothing to recover). A journal whose
+      // directory STILL EXISTS but failed to read is a transient error
+      // and propagates: callers must fail CLOSED (vacuum skipping a sweep
+      // beats vacuum deleting files an unreadable journal still holds).
+      .flatMap { s =>
+        scala.util.Try {
         val files = fs.listStatus(s.getPath).filter(_.isFile)
         val txnFile = files.find(_.getPath.getName == "txn.json")
         val txn = txnFile.flatMap { f =>
@@ -131,21 +156,38 @@ object TxnJournal {
             f.getPath.getName.stripPrefix("t-").stripSuffix(".json") ->
               LogMetadata.parseManifest(text)
           }.toMap
-        Journal(s.getPath.toString,
-          txnFile.map(_.getModificationTime).getOrElse(s.getModificationTime),
+        val anchor = (txnFile.map(_.getModificationTime) ++
+          files.find(_.getPath.getName == "hb").map(_.getModificationTime))
+          .maxOption.getOrElse(s.getModificationTime)
+        Journal(s.getPath.toString, anchor,
           txn, complete = txnFile.isDefined, topics)
-      }.toOption }
+        } match {
+          case scala.util.Success(j) => Some(j)
+          case scala.util.Failure(e) =>
+            if (fs.exists(s.getPath)) throw e else None
+        }
+      }
   }
 
-  /** Names (`part=p/name`) a live journal still references for `topic` —
-    * what vacuum must treat as protected: staged files are OLDER than
-    * their journal's commit point by the whole stage-to-commit gap, so an
+  /** Names (`part=p/name`) a journal still references for `topic` — what
+    * vacuum must treat as protected: staged files are OLDER than their
+    * journal's commit point by the whole stage-to-commit gap, so an
     * mtime-only grace would reclaim them while the journal is still
-    * within ITS grace, stranding the recovery pass. */
+    * within ITS grace, stranding the recovery pass. Covers `.failed`
+    * journals too (their files await the operator). FAILS CLOSED: a read
+    * error propagates so the caller skips reclamation instead of treating
+    * held files as orphans. */
   def heldNames(root: String, topic: String): Set[String] =
-    scala.util.Try {
-      list(root).iterator
-        .flatMap(_.topics.get(topic)).flatten
-        .map(f => s"part=${f.part}/${f.name}").toSet
-    }.getOrElse(Set.empty)
+    heldByTopic(root).getOrElse(topic, Set.empty)
+
+  /** One listing for a whole sweep: every topic's held names in one pass
+    * (vacuum runs per topic; re-listing every journal per topic would be
+    * O(topics × journals) root metadata reads). */
+  def heldByTopic(root: String): Map[String, Set[String]] =
+    list(root, includeFailed = true)
+      .flatMap(j => j.topics.toSeq)
+      .groupBy(_._1)
+      .map { case (t, vs) =>
+        t -> vs.flatMap(_._2).map(f => s"part=${f.part}/${f.name}").toSet
+      }
 }

@@ -144,7 +144,7 @@ object PolarCompaction {
     val after = LogMetadata.read(cfg)
     val ledgered = after.pendingDeletes.map(pd => (pd.part, pd.name)).toSet
     def rm(path: String): Unit =
-      graft.log.PolarLog.quietDelete(cfg, Seq(path))
+      graft.log.PolarLog.quietDelete(Seq(path))
     var applied = 0
     merged.foreach { case ((p, run), m) =>
       if (after.filesOf(p).exists(_.name == m.name)) {

@@ -435,7 +435,7 @@ object PolarLogCleaner {
     val after = LogMetadata.read(cfg)
     val ledgered = after.pendingDeletes.map(pd => (pd.part, pd.name)).toSet
     def rm(path: String): Unit =
-      graft.log.PolarLog.quietDelete(cfg, Seq(path))
+      graft.log.PolarLog.quietDelete(Seq(path))
     var removedApplied = 0L
     needy.foreach { case (p, run) =>
       val mine = entries.getOrElse(p, Vector.empty)

@@ -116,15 +116,29 @@ class PolarRoutedBatchWrite(
     // a MULTI-topic fan-out writes the intent journal first: a kill
     // between the per-topic CASes below leaves the journal for the sweep's
     // recovery pass to drive to all-or-none ([[TxnJournal]]); a
-    // single-topic commit is one CAS and needs none of this
+    // single-topic commit is one CAS and needs none of this.
+    // Batch commits (no streaming txn) stamp a SYNTHETIC (sinkId, 0) txn:
+    // each topic's CAS records it in the root doc, so recovery classifies
+    // "already committed" from the doc itself — robust against compaction
+    // or cleaning renaming the staged entries before recovery runs — and
+    // a recovery roll-forward of a topic that actually committed is a
+    // no-op through the normal replay check instead of a duplicate.
+    val effTxn =
+      if (byTopic.size > 1) txn.orElse(Some(
+        s"polar-routed-${java.util.UUID.randomUUID().toString.take(12)}" -> 0L))
+      else txn
     if (byTopic.size > 1)
       journal = Some(graft.log.TxnJournal.write(template.root,
-        byTopic.map { case (t, fs) => t -> fs.toSeq }, txn))
+        byTopic.map { case (t, fs) => t -> fs.toSeq }, effTxn))
     // deterministic commit order; each topic is one independent CAS with
-    // the full rebase/retry/idempotence machinery of a single-topic produce
+    // the full rebase/retry/idempotence machinery of a single-topic
+    // produce. The heartbeat before each CAS keeps recovery's grace
+    // window measured from last PROGRESS, so a long multi-topic commit is
+    // not rolled back underneath itself.
     byTopic.toSeq.sortBy(_._1).foreach { case (t, files) =>
+      journal.foreach(graft.log.TxnJournal.heartbeat)
       new PolarBatchWrite(template.topicConfig(t), schema, maxFileBytes,
-        txn, txnRetentionMs).commit(Array(PolarCommitMessage(files.toSeq)))
+        effTxn, txnRetentionMs).commit(Array(PolarCommitMessage(files.toSeq)))
       committedTopics += t
     }
     journal.foreach(graft.log.TxnJournal.delete)
@@ -132,15 +146,12 @@ class PolarRoutedBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = graft.log.HadoopConf.shared
     messages.foreach {
       case PolarRoutedCommitMessage(m) =>
         m.foreach { case (t, files) =>
-          if (!committedTopics.contains(t)) files.foreach { f =>
-            val p = new Path(s"${template.topicConfig(t).dir}/part=${f.part}/${f.name}")
-            try { val fs = p.getFileSystem(conf); if (fs.exists(p)) fs.delete(p, false) }
-            catch { case _: java.io.IOException => () }
-          }
+          if (!committedTopics.contains(t))
+            graft.log.PolarLog.quietDelete(files.map(f =>
+              s"${template.topicConfig(t).dir}/part=${f.part}/${f.name}"))
         }
       case _ => ()
     }
@@ -179,12 +190,7 @@ object PolarRoutedWrite {
       graceMs: Long,
       nowMs: Long = System.currentTimeMillis()): Int = {
     val conf = graft.log.HadoopConf.shared
-    def rm(path: String): Unit =
-      try {
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, false)
-      } catch { case _: java.io.IOException => () }
+    def rm(path: String): Unit = graft.log.PolarLog.quietDelete(Seq(path))
     var resolved = 0
     graft.log.TxnJournal.list(template.root)
       .filter(_.ageAnchorMs <= nowMs - graceMs)
@@ -256,7 +262,14 @@ object PolarRoutedWrite {
               resolved += 1
             }
           }
-        } catch { case scala.util.control.NonFatal(_) => () }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // leave the journal for the next sweep's retry, but say so: a
+            // DETERMINISTIC thrower would otherwise be re-chewed forever
+            // with zero operator-visible signal
+            System.err.println(
+              s"[polar] journal recovery failed for ${j.path}: ${e.getMessage}")
+        }
       }
     resolved
   }

@@ -488,7 +488,7 @@ class PolarBatchWrite(
     // here leaves orphans for vacuum, never dangling registry entries) —
     // unless the topic's file.delete.delay.ms deferred them to the ledger
     if (replaceAll && overwriteDelayMs == 0L)
-      graft.log.PolarLog.quietDelete(cfg, doomed.map(_.path(cfg)))
+      graft.log.PolarLog.quietDelete(doomed.map(_.path(cfg)))
   }
 
   /** Best-effort delete of rebase-rewritten (rb*) files after a terminal

@@ -158,6 +158,86 @@ class PolarRoutedTxnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolarLog.consume(spark, template.topicConfig("lf_a")).count() === 40L)
   }
 
+  test("batch fan-outs stamp a synthetic txn: recovery stays correct after compaction renames the entries") {
+    routedProduce(Seq("cls_a", "cls_b"), "v1")
+    val cfgA = template.topicConfig("cls_a")
+    val cfgB = template.topicConfig("cls_b")
+    val firstA = LogMetadata.read(cfgA).files
+    val firstB = LogMetadata.read(cfgB).files
+    // the multi-topic BATCH commit recorded its synthetic (sinkId, 0) in
+    // every destination's root doc
+    val sid = LogMetadata.read(cfgA).sinkCommits.keys
+      .find(_.startsWith("polar-routed-"))
+      .getOrElse(fail("batch fan-out must record a synthetic txn"))
+    assert(LogMetadata.read(cfgB).sinkCommits.contains(sid),
+      "every destination records the same fan-out txn")
+    // crash state: the journal survived a kill AFTER both CASes; before
+    // recovery runs, a second batch + compaction REWRITES the registry
+    // names the journal references (originals deleted — the worst case)
+    routedProduce(Seq("cls_a", "cls_b"), "v2")
+    TxnJournal.write(root, Map("cls_a" -> firstA, "cls_b" -> firstB),
+      txn = Some(sid -> 0L))
+    Seq(cfgA, cfgB).foreach { c =>
+      assert(PolarCompaction.compact(spark, c, smallBytes = 1L << 30,
+        minRun = 2) > 0, "fixture must compact")
+    }
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 1)
+    // classified committed FROM THE ROOT DOC (names are gone): no
+    // duplicate roll-forward, no wrongful .failed, journal resolved
+    // (other tests' .failed journals under the shared root persist by
+    // design — scope the check to THIS fan-out's topics)
+    assert(!TxnJournal.list(root, includeFailed = true)
+      .exists(_.topics.contains("cls_a")))
+    assert(PolarLog.consume(spark, cfgA).count() === 80L)
+    assert(PolarLog.consume(spark, cfgB).count() === 80L)
+  }
+
+  test("a .failed journal keeps protecting its surviving staged files from vacuum") {
+    routedProduce(Seq("hold_c", "hold_lost", "hold_keep"), "v1")
+    val committedC = LogMetadata.read(template.topicConfig("hold_c")).files
+    val stagedLost = simulateUncommitted("hold_lost")
+    val stagedKeep = simulateUncommitted("hold_keep")
+    val cfgLost = template.topicConfig("hold_lost")
+    val cfgKeep = template.topicConfig("hold_keep")
+    val fs = new org.apache.hadoop.fs.Path(cfgLost.dir)
+      .getFileSystem(graft.log.HadoopConf.shared)
+    stagedLost.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f.path(cfgLost)), false))
+    TxnJournal.write(root, Map("hold_c" -> committedC,
+      "hold_lost" -> stagedLost, "hold_keep" -> stagedKeep), None)
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 0)
+    assert(TxnJournal.list(root).isEmpty, "renamed out of the recovery scan")
+    // the surviving topic's staged files stay held — an operator can still
+    // inspect/hand-roll-forward them; vacuum must not treat them as orphans
+    val heldK = TxnJournal.heldNames(root, "hold_keep")
+    assert(stagedKeep.map(f => s"part=${f.part}/${f.name}").toSet
+      .subsetOf(heldK))
+    PolarLog.vacuum(cfgKeep, dataGraceMs = 0L)
+    stagedKeep.foreach(f => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(f.path(cfgKeep))),
+      "vacuum must hold a .failed journal's staged files"))
+    // releasing = deleting the .failed dir; clean up for later tests
+    TxnJournal.list(root, includeFailed = true)
+      .foreach(j => TxnJournal.delete(j.path))
+  }
+
+  test("heartbeats keep recovery's grace measured from last progress, not the commit point") {
+    routedProduce(Seq("hb_a", "hb_b"), "v1")
+    val entriesA = LogMetadata.read(template.topicConfig("hb_a")).files
+    val jpath = TxnJournal.write(root, Map("hb_a" -> entriesA), None)
+    val anchor1 = TxnJournal.list(root).head.ageAnchorMs
+    Thread.sleep(1100)
+    TxnJournal.heartbeat(jpath)
+    val anchor2 = TxnJournal.list(root).head.ageAnchorMs
+    assert(anchor2 > anchor1, "the hb file must advance the age anchor")
+    // a clock where the commit point is past grace but the heartbeat is
+    // not: the journal is an in-flight commit and must be left alone
+    assert(PolarRoutedWrite.recoverJournals(template,
+      graceMs = 1000L, nowMs = anchor1 + 1050L) === 0)
+    assert(TxnJournal.list(root).size === 1)
+    assert(PolarRoutedWrite.recoverJournals(template, graceMs = 0L) === 1)
+  }
+
   test("the retention sweep drives recovery and skips the reserved journal dir") {
     routedProduce(Seq("sw_a", "sw_b"), "v1")
     val committedA = LogMetadata.read(template.topicConfig("sw_a")).files
