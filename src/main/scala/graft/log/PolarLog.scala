@@ -520,9 +520,14 @@ object PolarLog {
     // per-topic max.message.bytes / segment.bytes resolved once at
     // stream-build time (the size check is compiled into the plan); a
     // later config change takes effect on query restart, same as a Kafka
-    // producer's metadata refresh
-    val props =
-      try LogMetadata.read(cfg).props catch { case NonFatal(_) => Map.empty[String, String] }
+    // producer's metadata refresh. A topic never produced to has no doc —
+    // empty props is CORRECT there; a read failure on an EXISTING doc
+    // throws (after read()'s retries) instead of silently degrading the
+    // topic's configured semantics (a swallowed error here would stream
+    // CreateTime timestamps onto a LogAppendTime topic for the query's
+    // whole lifetime)
+    val props = LogMetadata.readIfExists(cfg).map(_.props)
+      .getOrElse(Map.empty[String, String])
     envelope(df, cfg, orderBy, effectiveMaxMessageSize(props, maxMessageSize),
       appendTime = logAppendTime(props),
       tsBounds = timestampBounds(props))

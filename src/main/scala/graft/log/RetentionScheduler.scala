@@ -56,6 +56,13 @@ final class RetentionScheduler(
     // forced passes kc-stamp removal-free dirty regions, so a breached
     // topic is cleaned ONCE and the deadline disarms until new dirt lands
     oldestDirtyOf: Option[LogMetadata => Option[Long]] = None,
+    // age of the NEWEST dirty clean-region segment
+    // (PolarLogCleaner.newestDirtyMs): how the sweep detects that a
+    // `min.compaction.lag.ms` cut TRUNCATED the pass it just ran — a
+    // truncated pass must not record the cleaner version, or an idle
+    // topic's within-lag dirt would never be compacted after the lag
+    // elapses (Kafka cleans on an offset checkpoint, not a version gate)
+    newestDirtyOf: Option[LogMetadata => Option[Long]] = None,
     forcedKeyCleaner: Option[TopicConfig => Long] = None,
     // orphaned multi-topic commit journal recovery
     // (PolarRoutedWrite.recoverJournals): runs FIRST each sweep, so a
@@ -174,7 +181,15 @@ final class RetentionScheduler(
           .filter(r => r >= 0.0 && r <= 1.0)
           .getOrElse(minDirtyRatio)
         if (compactPolicy)
-          for (c <- keyCleaner; m <- head) {
+          for (c <- keyCleaner; m0 <- head) {
+            // measure the max-lag deadline against the POST-trim registry:
+            // a dirty segment this sweep's own retention just deleted must
+            // not trigger a spurious forced pass
+            val m =
+              if (aged + agedBySize > 0)
+                (try Some(LogMetadata.read(cfg))
+                 catch { case NonFatal(_) => None }).getOrElse(m0)
+              else m0
             // max.compaction.lag.ms: once the oldest dirty segment is past
             // the deadline, a pass runs even below the dirty-ratio floor
             // and even at an unadvanced version (min-lag may have excluded
@@ -201,9 +216,21 @@ final class RetentionScheduler(
               // A produce landing DURING the clean is folded into the
               // recorded version and gets cleaned one commit later —
               // eventual, like Kafka's cleaner passes.
+              // A min-lag-TRUNCATED pass (young dirt was excluded and is
+              // still uncleaned) records nothing: the version gate would
+              // otherwise skip every later sweep of an idle topic, and
+              // the within-lag records — tombstones included — would
+              // never compact after the lag elapses. Retries stay cheap:
+              // a pass whose truncated region holds no dirty files exits
+              // on registry arithmetic alone.
               try {
                 if (lagBreached) forcedKeyCleaner.getOrElse(c)(cfg) else c(cfg)
-                lastCleanedVersion(cfg.topic) = LogMetadata.read(cfg).version
+                val after = LogMetadata.read(cfg)
+                val lagTruncated = topicMinLag > 0L &&
+                  newestDirtyOf.flatMap(f => f(after))
+                    .exists(newest => nowMs - newest < topicMinLag)
+                if (!lagTruncated)
+                  lastCleanedVersion(cfg.topic) = after.version
               } catch { case NonFatal(_) => () }
             }
           }

@@ -112,6 +112,7 @@ class PolarHttpServer(
         deleteOriginals = false)),
     dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio),
     oldestDirtyOf = Some(graft.sources.PolarLogCleaner.oldestDirtyMs),
+    newestDirtyOf = Some(graft.sources.PolarLogCleaner.newestDirtyMs),
     forcedKeyCleaner = Some(cfg =>
       // max.compaction.lag deadline: kc-stamp removal-free dirty regions
       // too, so the breached topic disarms after one forced pass

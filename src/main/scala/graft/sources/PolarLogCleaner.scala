@@ -133,11 +133,24 @@ object PolarLogCleaner {
     * what the scheduler's `max.compaction.lag.ms` deadline is measured
     * against. Pure registry arithmetic; None when nothing is dirty. */
   def oldestDirtyMs(meta: LogMetadata): Option[Long] = {
-    val ages = meta.filesByPart.valuesIterator
-      .filter(_.size >= 2).flatMap(_.sortBy(_.minOffset).init)
-      .filterNot(_.name.startsWith("kc")).map(_.createdMs)
+    val ages = dirtyAges(meta)
     if (ages.isEmpty) None else Some(ages.min)
   }
+
+  /** Commit age of the NEWEST dirty clean-region segment — what the
+    * scheduler checks to know whether a `min.compaction.lag.ms` cut
+    * TRUNCATED the pass it just ran (young dirt still uncleaned): a
+    * truncated pass must not record the cleaner version, or an idle topic
+    * would never be compacted once the lag elapses. */
+  def newestDirtyMs(meta: LogMetadata): Option[Long] = {
+    val ages = dirtyAges(meta)
+    if (ages.isEmpty) None else Some(ages.max)
+  }
+
+  private def dirtyAges(meta: LogMetadata): Vector[Long] =
+    meta.filesByPart.valuesIterator
+      .filter(_.size >= 2).flatMap(_.sortBy(_.minOffset).init)
+      .filterNot(_.name.startsWith("kc")).map(_.createdMs).toVector
 
   /** Clean every partition whose clean region holds superseded records.
     * Returns the number of records physically removed.
@@ -183,6 +196,23 @@ object PolarLogCleaner {
     // (the steady state of a lagged topic) — skip the whole Spark plan,
     // not just the no-regions case
     if (regions.isEmpty || regions.valuesIterator.forall(_.isEmpty)) return 0L
+    // kc-only pass with nothing to do: min-lag can empty the IN-SCOPE
+    // dirty set while kc files remain in the region — rewriting those
+    // would remove nothing AND restamp their clean times (delaying
+    // tombstone expiry). Exit on registry arithmetic alone unless the
+    // pass has real work: a forced kc-stamp, an explicit tombstone drop,
+    // or a kc tombstone past its delete-retention horizon.
+    if (regionDirty.isEmpty && !forceRewriteDirty && !dropTombstones) {
+      val window = deleteRetentionMs
+        .orElse(meta.props.get(graft.log.TopicProps.DeleteRetentionMs)
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption))
+        .getOrElse(DefaultDeleteRetentionMs)
+      val horizon = nowMs - math.max(window, 0L)
+      val anyExpirable = regionKc.exists { f =>
+        val c = cleanedMs(f); c >= 0 && c < horizon
+      }
+      if (!anyExpirable) return 0L
+    }
     // cleaned segments roll at the topic's own segment.bytes when set and
     // keep the topic's own storage codec
     val rollBytes = PolarLog.effectiveMaxFileBytes(meta.props, maxFileBytes)
@@ -285,11 +315,18 @@ object PolarLogCleaner {
     }
     def stampFor(p: Int, offset: Long): Long = {
       val breaks = stampBreaks.getOrElse(p, Array.empty)
-      var i = breaks.length - 1
-      while (i >= 0 && breaks(i)._1 > offset) i -= 1
+      // binary search for the greatest breakpoint at or below the offset —
+      // called per ROW in the rewrite loop, so a linear scan would cost
+      // O(rows × kc-generations) on heavily re-cleaned partitions
+      var lo = 0; var hi = breaks.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (breaks(mid)._1 <= offset) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
       // no breakpoint at/below the offset cannot happen for a region
       // survivor; fall back to this pass's stamp (the retain-longer side)
-      if (i < 0) nowMs else breaks(i)._2
+      if (ans < 0) nowMs else breaks(ans)._2
     }
     val entries: Map[Int, Vector[FileEntry]] = survivors
       .filter(col("part").isInCollection(needySet.map(Integer.valueOf)))

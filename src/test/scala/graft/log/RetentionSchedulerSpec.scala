@@ -286,6 +286,50 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a min-lag-truncated pass does not poison the version gate: an idle topic compacts once the lag elapses") {
+    val t = TopicConfig(root, "ret_minlag_idle")
+    def keyed(tag: String, keys: Range): Unit = {
+      val spark2 = spark; import spark2.implicits._
+      PolarLog.produce(keys.map(k => (k.toString, s"$tag:$k"))
+        .toDF("partitionKey", "v")
+        .selectExpr("partitionKey", "current_timestamp() AS timestamp",
+          "CAST(v AS BINARY) AS value"), t)
+    }
+    keyed("v1", 0 until 60)
+    keyed("v2", 0 until 60)
+    keyed("seal", 5000 until 5200)
+    LogMetadata.updateProps(t)(_ +
+      (TopicProps.CleanupPolicy -> "compact") +
+      (TopicProps.MinCompactionLagMs -> "3600000"))
+    var passes = 0
+    var fakeNow = System.currentTimeMillis()
+    val sched = new RetentionScheduler(root, retentionMs = 7L * 24 * 3600 * 1000,
+      keyCleaner = Some { c =>
+        if (c.topic != t.topic) 0L
+        else {
+          passes += 1
+          graft.sources.PolarLogCleaner.cleanKeys(spark, c, nowMs = fakeNow)
+        } },
+      dirtyRatioOf = Some(graft.sources.PolarLogCleaner.dirtyRatio),
+      newestDirtyOf = Some(graft.sources.PolarLogCleaner.newestDirtyMs))
+    sched.sweep(fakeNow)
+    assert(passes === 1)
+    assert(PolarLog.consume(spark, t).count() === 320,
+      "within the lag the pass must remove nothing")
+    // the topic goes IDLE (no version advance) and the lag elapses — the
+    // truncated pass above must not have recorded the cleaner version, or
+    // this sweep would skip and the superseded records (tombstones
+    // included, were there any) would never compact
+    fakeNow += 2L * 3600000L
+    sched.sweep(fakeNow)
+    assert(passes === 2, "the lag-elapsed sweep must re-run the cleaner")
+    assert(PolarLog.consume(spark, t).count() === 260,
+      "v1 must compact away once the lag has elapsed")
+    // the covering pass DID record: an unchanged topic is not re-passed
+    sched.sweep(fakeNow)
+    assert(passes === 2, "a clean, recorded topic skips")
+  }
+
   test("sweep deletes aged segments, keeps young ones, preserves surviving offsets") {
     val cfg = TopicConfig(root, "ret_age")
     val nA = PolarLog.produce(records(0, 400), cfg).recordsWritten
