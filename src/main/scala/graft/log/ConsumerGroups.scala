@@ -148,6 +148,44 @@ object ConsumerGroups {
     }.toMap
   }
 
+  /** Record-count-bounded end offsets — same walk and progress guarantee
+    * as [[byteCapEnd]] with a per-record charge of 1: the binary poll
+    * response's item count is a u16, so one poll must never admit more
+    * than 65535 records (offset spans over-count records on sparse
+    * compacted files — the under-serve, safe direction; the remainder is
+    * served by subsequent polls after auto-commit). */
+  def recordCapEnd(
+      meta: LogMetadata,
+      start: Map[Int, Long],
+      end: Map[Int, Long],
+      maxRecords: Long): Map[Int, Long] = {
+    var budget = maxRecords
+    var admittedAny = false
+    end.toSeq.sortBy(_._1).map { case (p, tail) =>
+      var pos = start.getOrElse(p, 0L)
+      if (pos >= tail) p -> tail
+      else {
+        meta.filesOf(p)
+          .filter(f => f.maxOffset >= pos && f.minOffset < tail)
+          .foreach { f =>
+            val lo = math.max(pos, f.minOffset)
+            val hi = math.min(tail - 1, f.maxOffset)
+            if (lo <= hi && pos >= f.minOffset) {
+              val affordable = math.max(budget,
+                if (admittedAny) 0L else 1L)
+              val take = math.min(hi - lo + 1, affordable)
+              if (take > 0) {
+                pos = lo + take
+                budget -= take
+                admittedAny = true
+              }
+            }
+          }
+        p -> pos
+      }
+    }.toMap
+  }
+
   /**
    * Deterministic multi-consumer assignment (SURVEY §2 A16): the flat
    * `(brokerIndex, rangeIndex)` units of the ring are round-robined over the

@@ -175,14 +175,34 @@ class H2cServer(targetPort: => Int, port: Int = 0) {
           case FrameHeaders =>
             var body = payload
             var padLen = 0
-            if ((flags & FlagPadded) != 0) { padLen = body(0) & 0xff; body = body.drop(1) }
-            if ((flags & FlagPriority) != 0) body = body.drop(5)
+            // malformed-frame lengths throw IOException (connection error
+            // per RFC 7540 §4.2/§6.2) — an unchecked body(0) on an empty
+            // padded frame would throw AIOOBE instead, escaping the
+            // handler's catch and leaking the socket
+            if ((flags & FlagPadded) != 0) {
+              if (body.isEmpty) throw new IOException("malformed PADDED HEADERS")
+              padLen = body(0) & 0xff; body = body.drop(1)
+            }
+            if ((flags & FlagPriority) != 0) {
+              if (body.length < 5) throw new IOException("malformed priority block")
+              body = body.drop(5)
+            }
+            if (padLen > body.length)
+              throw new IOException("padding exceeds payload")
             if (padLen > 0) body = body.dropRight(padLen)
             val st = streams.getOrElseUpdate(sid, new StreamState)
             if ((flags & FlagEndStream) != 0) st.ended = true
             if ((flags & FlagEndHeaders) != 0) {
-              st.headers = decoder.decode(body)
-              st.headersDone = true
+              val decoded = decoder.decode(body)
+              // a SECOND header block on a stream is the request TRAILERS:
+              // it must be decoded (the connection's HPACK dynamic table
+              // advances either way) but must never REPLACE the request
+              // headers — :method/:path live there, and a trailer
+              // overwrite would dispatch the request as GET /
+              if (!st.headersDone) {
+                st.headers = decoded
+                st.headersDone = true
+              }
               dispatchIfComplete(sid)
             } else {
               contStream = sid; contEndStream = st.ended
@@ -194,8 +214,11 @@ class H2cServer(targetPort: => Int, port: Int = 0) {
             contBuf.write(payload)
             if ((flags & FlagEndHeaders) != 0) {
               val st = streams.getOrElseUpdate(sid, new StreamState)
-              st.headers = decoder.decode(contBuf.toByteArray)
-              st.headersDone = true
+              val decoded = decoder.decode(contBuf.toByteArray)
+              if (!st.headersDone) {
+                st.headers = decoded
+                st.headersDone = true
+              }
               if (contEndStream) st.ended = true
               contStream = 0
               dispatchIfComplete(sid)
@@ -204,7 +227,10 @@ class H2cServer(targetPort: => Int, port: Int = 0) {
           case FrameData =>
             var body = payload
             if ((flags & FlagPadded) != 0) {
+              if (body.isEmpty) throw new IOException("malformed PADDED DATA")
               val padLen = body(0) & 0xff
+              if (padLen > body.length - 1)
+                throw new IOException("padding exceeds payload")
               body = body.drop(1).dropRight(padLen)
             }
             streams.get(sid).foreach { st =>
@@ -227,6 +253,8 @@ class H2cServer(targetPort: => Int, port: Int = 0) {
             if ((flags & FlagAck) == 0) { writeFrame(out, FramePing, FlagAck, 0, payload); out.flush() }
 
           case FrameWindowUpdate =>
+            if (payload.length < 4)
+              throw new IOException("malformed WINDOW_UPDATE")
             val inc = ((payload(0) & 0x7f).toLong << 24) | ((payload(1) & 0xff) << 16) |
               ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
             if (sid == 0) connSendWindow += inc
@@ -249,7 +277,10 @@ class H2cServer(targetPort: => Int, port: Int = 0) {
       } catch { case _: IOException => }
       sock.close()
     } catch {
-      case _: IOException | _: IllegalArgumentException =>
+      // NonFatal, not just IO/IllegalArgument: any escape here would leak
+      // the socket (and its pool thread's connection slot) — a malformed
+      // frame must never cost a file descriptor
+      case scala.util.control.NonFatal(_) =>
         try sock.close() catch { case _: IOException => }
     }
   }

@@ -85,7 +85,21 @@ class PolarBinaryServer(
     try {
       while (true) {
         val h = readHeader(in)
+        // wire-supplied length: bound it BEFORE any allocation (a crafted
+        // or desynced frame could otherwise demand a 2 GiB buffer), and
+        // drop the connection on violation — past a refused body there is
+        // no way to resynchronize the stream
+        if (h.bodyLength < 0 || h.bodyLength > MaxFrameBytes) {
+          writeFrame(out, writeLock, h.streamId, ErrorOp,
+            errorBody(ServerError,
+              s"frame body length ${h.bodyLength} out of bounds"))
+          return
+        }
+        // every non-produce frame's body must be consumed (or the next
+        // header read parses leftover body bytes as a frame header and the
+        // stream is permanently desynchronized)
         if (!initialized) {
+          in.skipNBytes(h.bodyLength.toLong)
           initialized = true
           if (h.op != StartupOp) {
             writeFrame(out, writeLock, h.streamId, ErrorOp,
@@ -99,8 +113,10 @@ class PolarBinaryServer(
             in.readFully(body)
             handleProduce(h, body, out, writeLock)
           case HeartbeatOp =>
+            in.skipNBytes(h.bodyLength.toLong)
             writeFrame(out, writeLock, h.streamId, ReadyOp, Array.emptyByteArray)
           case _ =>
+            in.skipNBytes(h.bodyLength.toLong)
             writeFrame(out, writeLock, h.streamId, ErrorOp,
               errorBody(ServerError, "Only producer operations are supported"))
         }
@@ -153,6 +169,11 @@ class PolarBinaryServer(
 }
 
 object PolarBinaryServer {
+  /** Transport-level frame cap: generous headroom over the 1 MiB default
+    * record cap (per-topic `max.message.bytes` may raise it), small enough
+    * that a crafted/desynced length can never demand a multi-GiB buffer. */
+  val MaxFrameBytes: Int = 16 << 20
+
   val MessageVersion: Byte = 1
   val WithTimestampFlag: Int = 0x01
   // fixed opcode numbers (`binary_messages.go:22-28`)

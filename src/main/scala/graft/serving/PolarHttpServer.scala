@@ -39,9 +39,12 @@ import java.util.concurrent.{Executors, TimeUnit}
  *    `ConsumerReadThreshold`) of `[committed, tail)` for the consumer's
  *    ASSIGNED partitions (deterministic round-robin over the group's
  *    registered members, A16), auto-committing the previously polled
- *    position first (`docs/rest_api/README.md:178-180`). `Accept:
- *    application/json` → the JSON item array (A19); otherwise the binary
- *    layout `u16-BE count` + items (A18,
+ *    position first (`docs/rest_api/README.md:178-180`). An `Accept`
+ *    that allows JSON (`application/json`, the any-type wildcard, or no
+ *    header — curl's defaults) → the JSON item array (A19); an Accept
+ *    naming something else (e.g. `application/octet-stream`) → the
+ *    binary layout `u16-BE count` + items, never more than 65535 per
+ *    poll (A18,
  *    `internal/consuming/group_read_queue.go:251`,
  *    `internal/consuming/models.go:106-134`). 204 when nothing to read,
  *    409 when unregistered.
@@ -476,6 +479,15 @@ class PolarHttpServer(
     val q = query(ex)
     q.get("consumerId").flatMap(_.headOption)
       .orElse(q.get("consumer_id").flatMap(_.headOption))
+      .map { id =>
+        // explicit ids are interpolated into the groups/describe JSON —
+        // constrain the charset so a crafted id cannot shape the response
+        // (quotes/backslashes), and bound the length
+        if (id.isEmpty || id.length > 128 ||
+            !id.forall(c => c.isLetterOrDigit || "._:-".contains(c)))
+          throw HttpError(400, "Invalid consumerId")
+        id
+      }
       .getOrElse {
         val r = ex.getRemoteAddress
         s"conn-${r.getAddress.getHostAddress}:${r.getPort}"
@@ -488,7 +500,9 @@ class PolarHttpServer(
     val group = q.get("group").flatMap(_.headOption).getOrElse("default")
     if (!ConsumerGroups.validGroupName(group))
       throw HttpError(400, "Invalid group")
-    val topics = q.getOrElse("topic", Seq.empty).filter(_.nonEmpty)
+    // .distinct: a duplicated topic parameter would run the poll loop
+    // twice over the same offsets and serve every record twice
+    val topics = q.getOrElse("topic", Seq.empty).filter(_.nonEmpty).distinct
     if (topics.isEmpty) throw HttpError(400, "topic is required")
     topics.find(!TopicConfig.validTopicName(_))
       .foreach(t => throw HttpError(400, s"Invalid topic '$t'"))
@@ -530,8 +544,12 @@ class PolarHttpServer(
             s""""$t":$lag"""
           }.toOption
         }
-        s"""{"name":"$g","members":[${ids.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""topics":[${topics.map("\"" + _ + "\"").mkString(",")}],""" +
+        // jsonStr everywhere a stored name is reflected: group names are
+        // validated at register, but defense-in-depth beats assuming every
+        // writer path validated (conn-derived ids carry ':' and '.')
+        s"""{"name":${PolarHttpServer.jsonStr(g)},"members":[${
+          ids.map(PolarHttpServer.jsonStr).mkString(",")}],""" +
+          s""""topics":[${topics.map(PolarHttpServer.jsonStr).mkString(",")}],""" +
           s""""lag":{${lags.mkString(",")}}}"""
       }
     respond(ex, 200, body.mkString("""{"groups":[""", ",", "]}"),
@@ -557,7 +575,8 @@ class PolarHttpServer(
       val subs = members.filter(_.topics.contains(t)).map(_.consumerId).distinct.sorted
       val assign = ConsumerGroups.assignment(cfg, subs)
       val assignJson = subs.map { m =>
-        s""""$m":[${assign.getOrElse(m, Seq.empty).sorted.mkString(",")}]"""
+        s"""${PolarHttpServer.jsonStr(m)}:[${
+          assign.getOrElse(m, Seq.empty).sorted.mkString(",")}]"""
       }.mkString("{", ",", "}")
       val parts = tails.toSeq.sortBy(_._1).map { case (p, tl) =>
         val c = comm.getOrElse(p, 0L)
@@ -566,7 +585,8 @@ class PolarHttpServer(
       s"""{"topic":"$t","assignments":$assignJson,"partitions":$parts}"""
     }.mkString("[", ",", "]")
     respond(ex, 200,
-      s"""{"name":"$g","members":[${ids.map("\"" + _ + "\"").mkString(",")}],""" +
+      s"""{"name":${PolarHttpServer.jsonStr(g)},"members":[${
+        ids.map(PolarHttpServer.jsonStr).mkString(",")}],""" +
         s""""topics":$topicJson}""",
       "application/json")
   }
@@ -676,7 +696,13 @@ class PolarHttpServer(
       ConsumerGroups.commitPartial(cfgOf(topic), r.group, offsets)
     }
     val cleared = r.copy(pending = Map.empty)
-    consumers.put(r.consumerId, cleared)
+    // replace-if-present, never put: a consumer evicted DURING a slow
+    // request must not resurrect as a ghost (present in `consumers` but
+    // absent from `lastSeen` — unevictable forever, permanently excluding
+    // its assigned partitions from every live member). The eviction
+    // stands; the client's next call re-registers.
+    if (consumers.replace(r.consumerId, cleared).isDefined)
+      lastSeen.put(r.consumerId, System.currentTimeMillis())
     cleared
   }
 
@@ -687,10 +713,18 @@ class PolarHttpServer(
     val r = commitPending(r0)
     val members = consumers.values.toSeq
       .filter(_.group == r.group).map(_.consumerId).distinct.sorted
+    // content negotiation: JSON when the client accepts it explicitly OR
+    // accepts anything (*/* or no Accept header — curl's default must not
+    // get the binary frame layout); binary only for an Accept that names
+    // something else (e.g. application/octet-stream)
     val json = Option(ex.getRequestHeaders.getFirst("Accept"))
-      .forall(_.contains("application/json"))
+      .forall(a => a.contains("application/json") || a.contains("*/*"))
 
     var servedPending = Map.empty[String, Map[Int, Long]]
+    // the binary response's item count is a u16: cap the records ONE poll
+    // admits across all topics (the remainder auto-commits forward on
+    // later polls, same as the byte cap)
+    var countBudget = if (json) Long.MaxValue else 0xFFFFL
     val itemsPerTopic = r.topics.map { topic =>
       val cfg = cfgOf(topic)
       val mine = ConsumerGroups.assignment(cfg, members)(r.consumerId).toSet
@@ -703,11 +737,15 @@ class PolarHttpServer(
       // byte-bounded chunk per poll — the reference's ConsumerReadThreshold
       // (2 MiB, `internal/conf/config.go:278-280`); the rest is served by
       // subsequent polls after auto-commit
-      val end =
+      val meta = graft.log.LogMetadata.read(cfg)
+      val end1 =
         if (maxPollBytes > 0)
-          ConsumerGroups.byteCapEnd(
-            graft.log.LogMetadata.read(cfg), start, end0, maxPollBytes)
+          ConsumerGroups.byteCapEnd(meta, start, end0, maxPollBytes)
         else end0
+      val end =
+        if (countBudget == Long.MaxValue) end1
+        else if (countBudget <= 0L) start // budget spent: next poll's turn
+        else ConsumerGroups.recordCapEnd(meta, start, end1, countBudget)
       val servedEnd = end.filter { case (p, e) => e > start.getOrElse(p, 0L) }
       if (servedEnd.isEmpty) topic -> Seq.empty[String]
       else {
@@ -715,6 +753,7 @@ class PolarHttpServer(
         val items =
           if (json) TopicOps.pollJson(spark, cfg, start, end).collect().toSeq
           else TopicOps.pollBinary(spark, cfg, start, end).collect().toSeq
+        if (countBudget != Long.MaxValue) countBudget -= items.size
         topic -> items
       }
     }
@@ -722,7 +761,10 @@ class PolarHttpServer(
     if (items.isEmpty) { respond(ex, 204, "") }
     else {
       pollsServed.incrementAndGet()
-      consumers.put(r.consumerId, r.copy(pending = servedPending))
+      // replace-if-present (see commitPending): an evicted consumer must
+      // not resurrect as an unevictable ghost — the served-but-uncommitted
+      // chunk is simply re-served after re-registration (at-least-once)
+      consumers.replace(r.consumerId, r.copy(pending = servedPending)): Unit
       if (json)
         respond(ex, 200, items.mkString("[", ",", "]"), "application/json")
       else {

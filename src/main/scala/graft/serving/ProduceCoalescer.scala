@@ -77,6 +77,23 @@ class ProduceCoalescer(
                 produceBatch(topic, items)
                 items.foreach(_.done.complete(()))
               } catch {
+                // a PER-RECORD validation failure (size cap, KIP-937
+                // timestamp bounds — the envelope's raise_error messages)
+                // must not fail the whole linger window: the innocent
+                // neighbors would get the guilty request's 400, not
+                // retry, and silently lose their never-persisted records.
+                // Re-produce item-by-item so only the guilty ones fail —
+                // failure-path-only cost, bounded by the batch size.
+                case e: Exception if items.size > 1 &&
+                    e.getMessage != null &&
+                    (e.getMessage.contains("maxMessageSize") ||
+                      e.getMessage.contains("timestamp")) =>
+                  items.foreach { i =>
+                    try { produceBatch(topic, Vector(i)); i.done.complete(()) }
+                    catch {
+                      case e2: Exception => i.done.completeExceptionally(e2)
+                    }
+                  }
                 case e: Exception => items.foreach(_.done.completeExceptionally(e))
               }
             }

@@ -177,6 +177,60 @@ class H2cSpec extends AnyFunSuite with BeforeAndAfterAll {
       Hpack.Encoder.encode(Seq(":method" -> method, ":scheme" -> "http",
         ":path" -> path, ":authority" -> "127.0.0.1") ++ extra)
 
+    /** A request whose body is followed by TRAILER headers (second HEADERS
+      * block, END_STREAM) — gRPC's framing shape. */
+    def requestWithTrailers(headerBlock: Array[Byte], body: Array[Byte],
+        trailerBlock: Array[Byte]): (Int, Seq[(String, String)], Array[Byte]) = {
+      val sid = nextStream; nextStream += 2
+      writeFrame(out, FrameHeaders, FlagEndHeaders, sid, headerBlock)
+      writeFrame(out, FrameData, 0, sid, body)
+      writeFrame(out, FrameHeaders, FlagEndHeaders | FlagEndStream, sid, trailerBlock)
+      out.flush()
+      awaitResponse(sid)
+    }
+
+    /** Send one raw frame (malformed-frame tests). */
+    def sendRaw(tpe: Int, flags: Int, sid: Int, payload: Array[Byte]): Unit = {
+      writeFrame(out, tpe, flags, sid, payload); out.flush()
+    }
+
+    /** True when the server closed the connection (EOF/reset on read) —
+      * drains the handful of frames the server legitimately sends first
+      * (its SETTINGS, a GOAWAY) before concluding it stayed open. */
+    def serverClosed(): Boolean =
+      try {
+        var i = 0
+        while (i < 10) { readFrame(); i += 1 }
+        false
+      } catch { case _: java.io.IOException => true }
+
+    private def awaitResponse(sid: Int): (Int, Seq[(String, String)], Array[Byte]) = {
+      var status = -1
+      var headers: Seq[(String, String)] = Nil
+      val respBody = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val (tpe, flags, fsid, payload) = readFrame()
+        tpe match {
+          case FrameSettings =>
+            if ((flags & FlagAck) == 0) {
+              writeFrame(out, FrameSettings, FlagAck, 0, Array.emptyByteArray); out.flush()
+            }
+          case FrameHeaders if fsid == sid =>
+            headers = decoder.decode(payload)
+            status = headers.collectFirst { case (":status", v) => v.toInt }.getOrElse(-1)
+            if ((flags & FlagEndStream) != 0) done = true
+          case FrameData if fsid == sid =>
+            respBody.write(payload)
+            if ((flags & FlagEndStream) != 0) done = true
+          case FramePing if (flags & FlagAck) == 0 =>
+            writeFrame(out, FramePing, FlagAck, 0, payload); out.flush()
+          case _ => ()
+        }
+      }
+      (status, headers, respBody.toByteArray)
+    }
+
     def close(): Unit = sock.close()
   }
 
@@ -273,5 +327,45 @@ class H2cSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (s, _, _) = c.request(c.literalHeaders("GET", "/nope"))
       assert(s === 404)
     } finally c.close()
+  }
+
+  test("request trailers never overwrite the request headers (gRPC framing shape)") {
+    val topic = "h2ctrail"
+    val c = new H2Client(server.h2cPort)
+    try {
+      // HEADERS (no END_STREAM) + DATA + trailer HEADERS (END_STREAM): the
+      // dispatch must still see POST /v1/topic/... — a trailer overwrite
+      // would turn this into GET / and drop the body
+      val (ps, _, _) = c.requestWithTrailers(
+        c.literalHeaders("POST", s"/v1/topic/$topic/messages?partitionKey=tk",
+          Seq("content-type" -> "application/json")),
+        """{"via":"trailers"}""".getBytes(UTF_8),
+        Hpack.Encoder.encode(Seq("x-checksum" -> "abc")))
+      assert(ps === 200, s"trailered produce must dispatch with its headers (got $ps)")
+      val rows = graft.log.PolarLog.consume(spark,
+        graft.log.TopicConfig(root, topic)).collect()
+      assert(rows.length === 1)
+    } finally c.close()
+  }
+
+  test("malformed frames drop the connection without wedging the server") {
+    import H2cServer._
+    val bad = new H2Client(server.h2cPort)
+    // empty PADDED HEADERS: pad-length byte missing — must be treated as a
+    // connection error (socket closed), never an escaped AIOOBE that leaks
+    // the socket and its handler thread
+    bad.sendRaw(FrameHeaders, FlagEndHeaders | FlagPadded, 1, Array.emptyByteArray)
+    assert(bad.serverClosed(), "malformed PADDED frame must close the connection")
+    bad.close()
+    val short = new H2Client(server.h2cPort)
+    short.sendRaw(FrameWindowUpdate, 0, 0, Array[Byte](0, 1)) // < 4 bytes
+    assert(short.serverClosed(), "short WINDOW_UPDATE must close the connection")
+    short.close()
+    // the server stays healthy for new connections
+    val ok = new H2Client(server.h2cPort)
+    try {
+      val (s, _, _) = ok.request(ok.literalHeaders("GET", "/status"))
+      assert(s === 200)
+    } finally ok.close()
   }
 }

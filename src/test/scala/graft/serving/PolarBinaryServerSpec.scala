@@ -129,6 +129,45 @@ class PolarBinaryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("non-produce frames with bodies are drained, not left to desync the stream") {
+    val c = new Client
+    // startup AND heartbeat carrying bodies: the server must consume them,
+    // or the next header read parses leftover body bytes as a frame header
+    c.send(StartupOp, 1, "client-options-blob".getBytes(UTF_8))
+    val (ready, _) = c.read()
+    assert(ready.op === ReadyOp)
+    c.send(HeartbeatOp, 2, "spurious-heartbeat-body".getBytes(UTF_8))
+    val (hb, _) = c.read()
+    assert(hb.op === ReadyOp && hb.streamId === 2)
+    // an unknown opcode with a body must also drain
+    c.send(99.toByte, 3, "unknown-op-body".getBytes(UTF_8))
+    val (err, _) = c.read()
+    assert(err.op === ErrorOp && err.streamId === 3)
+    // the stream is still in sync: a real produce round-trips
+    c.send(ProduceOp, 4, produceBody(None, "k", "bin-sync", Seq("ok".getBytes(UTF_8))))
+    val (resp, _) = c.read()
+    assert(resp.op === ProduceResponseOp && resp.streamId === 4)
+    c.close()
+    assert(PolarLog.consume(spark, TopicConfig(root, "bin-sync")).count() === 1)
+  }
+
+  test("an out-of-bounds frame length is refused and the connection dropped") {
+    val c = new Client
+    c.send(StartupOp, 1); c.read()
+    // forge a header claiming a 2 GiB body (nothing follows): the server
+    // must refuse BEFORE allocating and drop the connection
+    c.out.write(PolarBinaryServer.headerBytes(0, 5, ProduceOp, Int.MaxValue))
+    c.out.flush()
+    val (err, body) = c.read()
+    assert(err.op === ErrorOp && err.streamId === 5)
+    assert(new String(body, 1, body.length - 1, UTF_8).contains("out of bounds"))
+    // connection closed by the server
+    intercept[java.io.IOException] {
+      (0 until 16).foreach { _ => c.send(HeartbeatOp, 6); c.read() }
+    }
+    c.close()
+  }
+
   test("pipelined produces ack per streamId and share coalescer flushes") {
     val c = new Client
     c.send(StartupOp, 1); c.read()

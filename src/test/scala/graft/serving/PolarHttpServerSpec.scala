@@ -377,6 +377,77 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(b, UTF_8).contains("payload"))
   }
 
+  test("accept negotiation: wildcard and absent Accept get JSON; the binary count is record-capped") {
+    val topic = "acc"
+    post(s"/v1/topic/$topic/messages?partitionKey=ka", "v".getBytes(UTF_8))
+    put(s"/v1/consumer/register?consumerId=ca&group=ga&topic=$topic&onNewGroup=startFromEarliest")
+    // curl's default Accept: */* must NOT get the binary frame layout
+    val r = post(s"/v1/consumer/poll?consumerId=ca", Array.empty,
+      Seq("Accept" -> "*/*"))
+    assert(r.statusCode() === 200)
+    assert(r.body().trim.startsWith("["), s"wildcard Accept must be JSON: ${r.body()}")
+    // the u16 guard itself: recordCapEnd bounds one poll's admitted
+    // records across arbitrarily large backlogs (registry-only check —
+    // producing 66k records would dominate the suite's wall clock)
+    val meta = graft.log.LogMetadata(1L, 1, 1, Vector(200000L),
+      filesByPart = Map(0 -> Vector.tabulate(10)(i =>
+        graft.log.FileEntry(0, s"w$i.parquet", i * 20000L, i * 20000L + 19999L,
+          20000L, 1L << 20, 1L, Long.MinValue, Long.MaxValue, -1L))))
+    val capped = graft.log.ConsumerGroups.recordCapEnd(
+      meta, Map(0 -> 0L), Map(0 -> 200000L), 0xFFFFL)
+    val admitted = capped(0) - 0L
+    assert(admitted === 0xFFFFL, s"cap must admit exactly 65535, got $admitted")
+    // progress guarantee: a zero budget still admits one when pending
+    val one = graft.log.ConsumerGroups.recordCapEnd(
+      meta, Map(0 -> 0L), Map(0 -> 200000L), 0L)
+    assert(one(0) === 1L)
+  }
+
+  test("register: duplicate topic params dedupe; crafted consumerIds are refused") {
+    val topic = "dup"
+    (0 until 3).foreach(i =>
+      post(s"/v1/topic/$topic/messages?partitionKey=d$i", s"m$i".getBytes(UTF_8)))
+    put(s"/v1/consumer/register?consumerId=cd&group=gd&topic=$topic&topic=$topic&onNewGroup=startFromEarliest")
+    val poll = post(s"/v1/consumer/poll?consumerId=cd", Array.empty,
+      Seq("Accept" -> "application/json"))
+    assert(poll.statusCode() === 200)
+    (0 until 3).foreach { i =>
+      val first = poll.body().indexOf(s"m$i")
+      assert(first >= 0, s"record m$i missing")
+      assert(poll.body().indexOf(s"m$i", first + 1) < 0,
+        s"record m$i served twice: ${poll.body()}")
+    }
+    // an id that could reshape the groups JSON is rejected up front
+    val bad = put("""/v1/consumer/register?consumerId=x%22,%22injected&group=gd&topic=dup""")
+    assert(bad.statusCode() === 400, bad.body())
+  }
+
+  test("one oversize record fails only its own request, not the shared linger window") {
+    val co = new ProduceCoalescer(spark, root, lingerMs = 50)
+    try {
+      def framed(payload: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(4 + payload.length)
+        b.putInt(payload.length).put(payload); b.array()
+      }
+      val big = new Array[Byte]((1 << 20) + 64) // over the 1 MiB default cap
+      val ok = "fine".getBytes(UTF_8)
+      // both land in the same linger window and the same per-topic batch
+      val fBig = co.append("iso", Some("kb"), None,
+        ProduceCoalescer.BinaryContentType, framed(big))
+      val fOk = co.append("iso", Some("ko"), None,
+        ProduceCoalescer.BinaryContentType, framed(ok))
+      val err = intercept[java.util.concurrent.ExecutionException] {
+        fBig.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      assert(err.getCause.getMessage.contains("maxMessageSize"))
+      // the innocent neighbor commits and its record is durable
+      fOk.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      val rows = graft.log.PolarLog.consume(spark,
+        graft.log.TopicConfig(root, "iso")).collect()
+      assert(rows.length === 1)
+    } finally co.stop()
+  }
+
   test("metrics endpoint exposes serving counters") {
     val m = get("/metrics")
     assert(m.statusCode() === 200)
