@@ -129,6 +129,9 @@ object ConsumerGroups {
         meta.filesOf(p)
           .filter(f => f.maxOffset >= pos && f.minOffset < tail)
           .foreach { f =>
+            // a gap below this file holds no records (trimmed/compacted) —
+            // jump it for free or the walk never admits anything (stall)
+            if (pos < f.minOffset) pos = f.minOffset
             val lo = math.max(pos, f.minOffset)
             val hi = math.min(tail - 1, f.maxOffset)
             if (lo <= hi && pos >= f.minOffset) {
@@ -168,6 +171,8 @@ object ConsumerGroups {
         meta.filesOf(p)
           .filter(f => f.maxOffset >= pos && f.minOffset < tail)
           .foreach { f =>
+            // same gap-jump as byteCapEnd: a gap holds no records
+            if (pos < f.minOffset) pos = f.minOffset
             val lo = math.max(pos, f.minOffset)
             val hi = math.min(tail - 1, f.maxOffset)
             if (lo <= hi && pos >= f.minOffset) {

@@ -1105,8 +1105,11 @@ class PolarScan(
           }.toMap
         case None => Map.empty
       })
-  private def resolveSentinel(o: Long, tail: Long): Long =
-    if (o == -2L) 0L else if (o == -1L) tail
+  private def resolveSentinel(o: Long, tail: Long, logStart: Long): Long =
+    // -2 = earliest resolves to the TRUE log start (a retention-trimmed
+    // head is not data loss, Kafka's logStartOffset distinction) — a
+    // literal 0 below logStart would trip failOnDataLoss spuriously
+    if (o == -2L) logStart else if (o == -1L) tail
     else { require(o >= 0, s"offset must be >= 0 or a -1/-2 sentinel, got $o"); o }
 
   /** First actual row offset at or after `base` in offset-sorted `files` —
@@ -1136,7 +1139,8 @@ class PolarScan(
         // per-partition LIMIT cap must count from the window's own first
         // surviving row, not the global pushed minOffset
         val loBase = math.max(bounds.minOffset,
-          startOverride.get((t, p)).map(resolveSentinel(_, tail)).getOrElse(0L))
+          startOverride.get((t, p))
+            .map(resolveSentinel(_, tail, m.logStart(p))).getOrElse(0L))
         val effStart = firstRowAtOrAfter(m.filesOf(p), loBase)
         // row-COUNT arithmetic (LIMIT cap, offset-ordered TOP-N) equates
         // offsets with rows — only valid while every file is offset-DENSE.
@@ -1147,7 +1151,7 @@ class PolarScan(
         val dense = m.filesOf(p).forall(_.dense)
         var lo = loBase
         var hi = math.min(tail, math.min(
-          endOverride.get((t, p)).map(resolveSentinel(_, tail))
+          endOverride.get((t, p)).map(resolveSentinel(_, tail, m.logStart(p)))
             .getOrElse(Long.MaxValue),
           math.min(bounds.maxOffsetExclusive,
             if (dense) limitCapFrom(effStart) else Long.MaxValue)))
@@ -1173,14 +1177,24 @@ class PolarScan(
   }
 
   private def tsCutFrom(
-      metas: Map[String, LogMetadata], desc: Boolean, n: Int): Option[Long] =
-    TopNPruning.tsCut(
-      (for {
-        (t, m) <- metas.iterator
-        (p, fs) <- m.filesByPart.iterator
-        if bounds.parts.forall(_.contains(p)) && cfg.assigned(t, p)
-        f <- fs
-      } yield f).toVector, desc, n)
+      metas: Map[String, LogMetadata], desc: Boolean, n: Int): Option[Long] = {
+    val files = (for {
+      (t, m) <- metas.iterator
+      (p, fs) <- m.filesByPart.iterator
+      if bounds.parts.forall(_.contains(p)) && cfg.assigned(t, p)
+      f <- fs
+    } yield f).toVector
+    // RE-validate the push-time null-free proof against THIS snapshot: a
+    // commit landing between push and plan can add a file with null (or
+    // sentinel-stat) timestamps — nulls sort into the true top-N (ASC,
+    // NULLS FIRST), so a cut computed over such a snapshot could prune
+    // them away. Dropping the cut only loosens (Spark keeps the
+    // TakeOrdered node) — the aggregate path THROWS for its equivalent
+    // race because its pruning changes answers; here looser is correct.
+    if (files.exists(f =>
+        f.count > 0 && (f.tsNulls != 0 || f.tsMin == Long.MinValue))) None
+    else TopNPruning.tsCut(files, desc, n)
+  }
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -1201,7 +1215,11 @@ class PolarScan(
       // windows — the stats stay EXACT for CDF batches too
       case Some((meta, startsM, endsM)) =>
         meta.filesByPart.foreach { case (p, files) =>
-          if (bounds.parts.forall(_.contains(p))) {
+          // same admission the plan applies: `assign` mode excludes
+          // unassigned partitions from the stats too (stats == plan — an
+          // overcount here mis-sizes AQE/join planning)
+          if (bounds.parts.forall(_.contains(p)) &&
+              cfg.assigned(cfg.topics.head.topic, p)) {
             val winLo = math.max(bounds.minOffset, startsM.getOrElse(p, 0L))
             val winHi = endsM.getOrElse(p, 0L)
             // the LIMIT cap anchors at this partition's first actual row,
@@ -1363,15 +1381,37 @@ final case class PolarOffsets(tails: Map[(String, Int), Long]) extends Offset {
 }
 
 object PolarOffsets {
-  def parse(json: String, defaultTopic: String): PolarOffsets =
-    PolarOffsets(""""([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(json).map { m =>
+  private val EntryRe = """"([^"]+)"\s*:\s*(-?\d+)""".r
+
+  /** STRICT parse of `{"topic/partition": offset, ...}`: anything the
+    * entry pattern does not account for — quoted numbers, Kafka's nested
+    * `{"topic":{"0":23}}` shape, trailing junk — REFUSES with a clear
+    * message. A silently-dropped entry would read the full log (or the
+    * wrong positions) instead of the offsets the user asked for. */
+  def parse(json: String, defaultTopic: String): PolarOffsets = {
+    val s = json.trim
+    require(s.startsWith("{") && s.endsWith("}"),
+      s"""malformed offsets map '$json' (expected {"topic/partition": offset, ...})""")
+    val inner = s.substring(1, s.length - 1)
+    val residue = EntryRe.replaceAllIn(inner, "").replaceAll("[\\s,]+", "")
+    require(residue.isEmpty,
+      s"malformed offsets map '$json': unrecognized content '$residue' " +
+        """(expected {"topic/partition": offset, ...} with NUMERIC offsets; """ +
+        "nested per-topic objects are not supported)")
+    def part(raw: String): Int =
+      try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed offsets map '$json': partition '$raw' is not a number")
+      }
+    PolarOffsets(EntryRe.findAllMatchIn(inner).map { m =>
       val k = m.group(1)
       val slash = k.lastIndexOf('/')
       val key =
-        if (slash < 0) (defaultTopic, k.toInt)
-        else (k.take(slash), k.drop(slash + 1).toInt)
+        if (slash < 0) (defaultTopic, part(k))
+        else (k.take(slash), part(k.drop(slash + 1)))
       key -> m.group(2).toLong
     }.toMap)
+  }
   def zeros(topics: Seq[TopicConfig]): PolarOffsets =
     PolarOffsets(topics.flatMap(c =>
       (0 until c.numPartitions).map(p => (c.topic, p) -> 0L)).toMap)
@@ -1470,7 +1510,8 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       // Kafka's per-partition sentinels resolve here too: -2 = earliest,
       // -1 = that partition's CURRENT tail (latest)
       case other =>
-        val tails = tailsOf(currentMetas).tails
+        val metas0 = currentMetas
+        val tails = tailsOf(metas0).tails
         val explicit = PolarOffsets.parse(other, topics.head.topic)
         // naming a partition outside the assignment is a user error, not
         // something to silently drop
@@ -1481,13 +1522,25 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
             s"startingOffsets names partitions outside 'assign': " +
               outside.map { case (t, p) => s"$t/$p" }.mkString(","))
         }
-        PolarOffsets(explicit.tails.map {
-          case (k, -2L) => k -> 0L
+        def logStartOf(k: (String, Int)): Long =
+          metas0.get(k._1).map(_.logStart(k._2)).getOrElse(0L)
+        val resolved = explicit.tails.map {
+          // -2 = earliest → the TRUE log start (a trimmed head is not
+          // loss); a literal 0 below logStart would trip failOnDataLoss
+          case (k, -2L) => k -> logStartOf(k)
           case (k, -1L) => k -> tails.getOrElse(k, 0L)
           case (k, o) =>
             require(o >= 0, s"offset must be >= 0 or a -1/-2 sentinel, got $o")
             k -> o
-        })
+        }
+        // partitions the map does NOT name start at EARLIEST (their log
+        // start) — resolving them explicitly here keeps the checkpoint
+        // complete and failOnDataLoss sound; defaulting to a literal 0
+        // would silently replay a trimmed head as loss
+        val unnamed = tails.keys.filterNot(resolved.contains)
+          .filter { case (t, p) => cfg.assigned(t, p) }
+          .map(k => k -> logStartOf(k)).toMap
+        PolarOffsets(resolved ++ unnamed)
     }
   }
 
@@ -1503,6 +1556,17 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   // liveness anchor for the min-rows floor: wall time of the last EMITTED
   // batch (Kafka's maxTriggerDelay semantics)
   @volatile private var lastBatchMs = System.currentTimeMillis()
+
+  // admission fairness: which (topic, partition) the capped fill starts at
+  // this trigger (see latestOffset) — advances once per planning call
+  private var admissionRound: Long = -1L
+
+  private def rotate[A](keys: Seq[A]): Seq[A] =
+    if (keys.isEmpty || admissionRound <= 0L) keys
+    else {
+      val r = (admissionRound % keys.size).toInt
+      keys.drop(r) ++ keys.take(r)
+    }
 
   override def prepareForTriggerAvailableNow(): Unit = {
     // re-resolve the pattern before snapshotting the drain cap: an
@@ -1568,12 +1632,19 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
         System.currentTimeMillis() - lastBatchMs >= m.maxTriggerDelayMs()
       if (pending < m.minRows() && !overdue) return from
     }
+    // fairness: rotate the greedy fill's start position each trigger — a
+    // fixed lexicographic order would let one hot early-sorted partition
+    // starve every later one forever under sustained backlog (the
+    // reference's round-robin rotates for the same reason). In-memory
+    // state only: END offsets are checkpointed, so a replayed batch
+    // replays its committed window, never this computation.
+    admissionRound += 1
     val rowCapped = limits.collectFirst { case r: ReadMaxRows => r } match {
       case Some(rows) =>
-        // greedy fill across (topic, partition) in key order — the group
-        // read queue's round-robin-until-threshold, collapsed to one pass
+        // greedy fill across (topic, partition) in rotated key order — the
+        // group read queue's round-robin-until-threshold, one pass
         var budget = rows.maxRows()
-        PolarOffsets(target.tails.toSeq.sortBy(_._1).map { case (k, tail) =>
+        PolarOffsets(rotate(target.tails.toSeq.sortBy(_._1)).map { case (k, tail) =>
           val cur = from.tails.getOrElse(k, 0L)
           val take = math.min(tail - cur, budget)
           budget -= math.max(take, 0L)
@@ -1601,13 +1672,18 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       byteCap: Long): PolarOffsets = {
     var budget = byteCap
     var admittedAny = false
-    val capped = target.tails.toSeq.sortBy(_._1).map { case (k @ (t, p), tail) =>
+    val capped = rotate(target.tails.toSeq.sortBy(_._1)).map { case (k @ (t, p), tail) =>
       var cur = from.tails.getOrElse(k, 0L)
       if (cur >= tail) k -> cur
       else {
         val files = metas(t).filesOf(p).filter(f => f.maxOffset >= cur && f.minOffset < tail)
         var pos = cur
         files.foreach { f =>
+          // an offset gap below this file (trimmed head under
+          // failOnDataLoss=false, compacted-away run) holds NO records —
+          // jump it for free, or the admission loop would never admit
+          // anything and the partition would stall forever
+          if (pos < f.minOffset) pos = f.minOffset
           val lo = math.max(pos, f.minOffset)
           val hi = math.min(tail - 1, f.maxOffset)
           if (lo <= hi && pos >= f.minOffset) {
@@ -1693,6 +1769,11 @@ object PolarMicroBatchStream {
       val startOff = start.tails.getOrElse((t, p), 0L)
       if (endOff <= startOff || !parts.forall(_.contains(p)) ||
           !assign.forall(_.get(t).exists(_.contains(p)))) None
+      // a checkpointed topic that no longer resolves (pattern-subscribed
+      // topic deleted across a restart): the documented behavior is "a
+      // deleted topic simply stops contributing offsets" — skip it
+      // instead of throwing a bare key-not-found out of the replay
+      else if (!metas.contains(t) || !cfgs.contains(t)) None
       else {
         val files = metas(t).filesOf(p)
           .filter(f => f.maxOffset >= startOff && f.minOffset < endOff)
@@ -1702,7 +1783,7 @@ object PolarMicroBatchStream {
           .filter(f => f.tsMax >= tsLo && f.tsMin <= tsHi)
         if (files.isEmpty) None
         else Some(PolarInputPartition(t, cfgs(t).dir, p,
-          files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset)),
+          files.map(f => PolarFileSlice(f.name, f.minOffset, f.maxOffset, f.count)),
           startOff, endOff, keys))
       }
     }.toArray
@@ -1772,7 +1853,13 @@ object PolarMicroBatchStream {
 
 /** A registered file of the partition being read (name relative to the
   * partition directory; exact offset bounds from the registry). */
-final case class PolarFileSlice(name: String, minOffset: Long, maxOffset: Long)
+final case class PolarFileSlice(name: String, minOffset: Long, maxOffset: Long,
+    // registry row count (-1 = unknown on legacy splits): lets readers
+    // tell DENSE files (rows == offset span) from sparse compacted ones,
+    // whose counts the registry alone must answer
+    count: Long = -1L) {
+  def dense: Boolean = count == maxOffset - minOffset + 1
+}
 
 final case class PolarInputPartition(
     topic: String,
@@ -1934,14 +2021,23 @@ class PolarReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   /** An empty projection (`count(*)` with no residual filters) needs only
-    * row COUNTS — and per-file offsets are dense, so the registry stats
-    * answer exactly: emit zero-column batches, never touch data. */
-  private def countOnly(p: PolarInputPartition): PartitionReader[ColumnarBatch] =
+    * row COUNTS. Dense files answer from offset spans; a SPARSE (compacted)
+    * file wholly inside the window answers from its registry `count`; a
+    * window cutting INTO a sparse file cannot be answered from the registry
+    * at all (span arithmetic would count compacted-away rows) and falls
+    * back to one offset-column scan. */
+  private def countOnly(p: PolarInputPartition): PartitionReader[ColumnarBatch] = {
+    val exact = p.files.forall(f => f.dense ||
+      (f.count >= 0 && p.startOffset <= f.minOffset && p.endOffset > f.maxOffset))
+    if (exact) registryCounts(p) else scanCounts(p)
+  }
+
+  private def registryCounts(p: PolarInputPartition): PartitionReader[ColumnarBatch] =
     new PartitionReader[ColumnarBatch] {
       private val counts = p.files.iterator.map { f =>
         val lo = math.max(p.startOffset, f.minOffset)
         val hi = math.min(p.endOffset - 1, f.maxOffset)
-        hi - lo + 1
+        if (hi < lo) 0L else if (f.dense) hi - lo + 1 else f.count
       }.filter(_ > 0)
       private var current: ColumnarBatch = _
       override def next(): Boolean =
@@ -1955,6 +2051,35 @@ class PolarReaderFactory(
         }
       override def get(): ColumnarBatch = current
       override def close(): Unit = ()
+    }
+
+  private def scanCounts(p: PolarInputPartition): PartitionReader[ColumnarBatch] =
+    new PartitionReader[ColumnarBatch] {
+      private val vec = new PolarVectorReader(p,
+        StructType(Seq(StructField("offset", LongType, nullable = false))),
+        new StructType())
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (true) {
+          val b = vec.nextBatch()
+          if (b == null) return false
+          val col = b.column(0)
+          var n = 0; var i = 0
+          while (i < b.numRows()) {
+            val o = col.getLong(i)
+            if (o >= p.startOffset && o < p.endOffset) n += 1
+            i += 1
+          }
+          if (n > 0) {
+            current = new ColumnarBatch(
+              Array.empty[org.apache.spark.sql.vectorized.ColumnVector], n)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = vec.close()
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
