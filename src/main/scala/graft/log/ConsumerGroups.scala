@@ -126,12 +126,16 @@ object ConsumerGroups {
       var pos = start.getOrElse(p, 0L)
       if (pos >= tail) p -> tail // already caught up: keep the empty window
       else {
+        var prevMax = -1L
         meta.filesOf(p)
           .filter(f => f.maxOffset >= pos && f.minOffset < tail)
           .foreach { f =>
             // a gap below this file holds no records (trimmed/compacted) —
-            // jump it for free or the walk never admits anything (stall)
-            if (pos < f.minOffset) pos = f.minOffset
+            // jump it for free or the walk never admits anything (stall).
+            // Only a REAL gap jumps: a budget stop MID-file leaves records
+            // behind, and jumping would serve them uncounted.
+            if (pos < f.minOffset && pos > prevMax) pos = f.minOffset
+            prevMax = f.maxOffset
             val lo = math.max(pos, f.minOffset)
             val hi = math.min(tail - 1, f.maxOffset)
             if (lo <= hi && pos >= f.minOffset) {
@@ -168,11 +172,14 @@ object ConsumerGroups {
       var pos = start.getOrElse(p, 0L)
       if (pos >= tail) p -> tail
       else {
+        var prevMax = -1L
         meta.filesOf(p)
           .filter(f => f.maxOffset >= pos && f.minOffset < tail)
           .foreach { f =>
-            // same gap-jump as byteCapEnd: a gap holds no records
-            if (pos < f.minOffset) pos = f.minOffset
+            // same REAL-gap-only jump as byteCapEnd: a gap holds no
+            // records, but a budget stop mid-file must not jump
+            if (pos < f.minOffset && pos > prevMax) pos = f.minOffset
+            prevMax = f.maxOffset
             val lo = math.max(pos, f.minOffset)
             val hi = math.min(tail - 1, f.maxOffset)
             if (lo <= hi && pos >= f.minOffset) {

@@ -1678,12 +1678,17 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
       else {
         val files = metas(t).filesOf(p).filter(f => f.maxOffset >= cur && f.minOffset < tail)
         var pos = cur
+        var prevMax = -1L
         files.foreach { f =>
           // an offset gap below this file (trimmed head under
           // failOnDataLoss=false, compacted-away run) holds NO records —
           // jump it for free, or the admission loop would never admit
-          // anything and the partition would stall forever
-          if (pos < f.minOffset) pos = f.minOffset
+          // anything and the partition would stall forever. Only a REAL
+          // gap jumps: pos must be past every earlier file (a budget stop
+          // MID-file leaves records there, and jumping would overshoot
+          // the cap past records the window then serves uncounted).
+          if (pos < f.minOffset && pos > prevMax) pos = f.minOffset
+          prevMax = f.maxOffset
           val lo = math.max(pos, f.minOffset)
           val hi = math.min(tail - 1, f.maxOffset)
           if (lo <= hi && pos >= f.minOffset) {

@@ -401,6 +401,20 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = graft.log.ConsumerGroups.recordCapEnd(
       meta, Map(0 -> 0L), Map(0 -> 200000L), 0L)
     assert(one(0) === 1L)
+    // REAL offset gaps (trimmed head, compacted-away run) are jumped for
+    // free; a budget stop mid-file must NOT jump (records remain there)
+    val gappy = graft.log.LogMetadata(1L, 1, 1, Vector(400L),
+      filesByPart = Map(0 -> Vector(
+        graft.log.FileEntry(0, "a.parquet", 100L, 199L, 100L, 4096L, 1L,
+          Long.MinValue, Long.MaxValue, -1L),
+        graft.log.FileEntry(0, "b.parquet", 300L, 399L, 100L, 4096L, 1L,
+          Long.MinValue, Long.MaxValue, -1L))))
+    // budget covers both files: jumps 0->100 and 200->300, admits 200 rows
+    assert(graft.log.ConsumerGroups.recordCapEnd(
+      gappy, Map(0 -> 0L), Map(0 -> 400L), 1000L)(0) === 400L)
+    // budget stops mid-file-a: ends INSIDE a, never jumps to b
+    assert(graft.log.ConsumerGroups.recordCapEnd(
+      gappy, Map(0 -> 0L), Map(0 -> 400L), 50L)(0) === 150L)
   }
 
   test("register: duplicate topic params dedupe; crafted consumerIds are refused") {
