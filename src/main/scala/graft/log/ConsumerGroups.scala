@@ -156,11 +156,17 @@ object ConsumerGroups {
   }
 
   /** Record-count-bounded end offsets — same walk and progress guarantee
-    * as [[byteCapEnd]] with a per-record charge of 1: the binary poll
+    * as [[byteCapEnd]] with a per-record charge: the binary poll
     * response's item count is a u16, so one poll must never admit more
-    * than 65535 records (offset spans over-count records on sparse
-    * compacted files — the under-serve, safe direction; the remainder is
-    * served by subsequent polls after auto-commit). */
+    * than 65535 records. A file admitted WHOLE is charged its exact
+    * registry `count` (sparse compacted files hold far fewer records than
+    * their offset span — span-charging was a severe throughput cliff: a
+    * 65535 budget admitted only a fraction of that many real records). A
+    * PARTIAL slice still charges its raw offset span: a sparse sub-span
+    * may be locally dense, and the u16 is a hard wire limit — pro-rating
+    * an estimate could overshoot it, so under-serve only at the final
+    * boundary file (the remainder is served by subsequent polls after
+    * auto-commit). */
   def recordCapEnd(
       meta: LogMetadata,
       start: Map[Int, Long],
@@ -185,11 +191,20 @@ object ConsumerGroups {
             if (lo <= hi && pos >= f.minOffset) {
               val affordable = math.max(budget,
                 if (admittedAny) 0L else 1L)
-              val take = math.min(hi - lo + 1, affordable)
-              if (take > 0) {
-                pos = lo + take
-                budget -= take
+              val wholeFile = lo == f.minOffset && hi == f.maxOffset
+              if (wholeFile && f.count <= affordable) {
+                // exact: the registry knows precisely how many records a
+                // whole file contributes — no estimate involved
+                pos = hi + 1
+                budget -= f.count
                 admittedAny = true
+              } else {
+                val take = math.min(hi - lo + 1, affordable)
+                if (take > 0) {
+                  pos = lo + take
+                  budget -= take
+                  admittedAny = true
+                }
               }
             }
           }

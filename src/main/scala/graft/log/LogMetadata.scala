@@ -253,12 +253,25 @@ object TopicConfig {
     * (`/root/reference/internal/producing/server.go:142-143`): non-empty,
     * no path separators, not a reserved (`_`/`.`-prefixed) name. */
   def validTopicName(name: String): Boolean =
-    // 248, not 255: derived file names must stay within the filesystem's
-    // 255-byte component limit — the txn journal's `t-<topic>.json` adds
-    // 7 bytes (Kafka caps at 249 for its own suffixes, same reasoning)
-    name.nonEmpty && name.length <= 248 &&
+    // 255 here (the filesystem's component limit): this check runs on EVERY
+    // produce/consume/admin path, so a pre-r12 topic created at 249–255
+    // chars stays readable and writable after upgrade (grandfathered).
+    // NEW topics are capped at 248 by [[validNewTopicName]] at the
+    // creation surfaces, because derived file names (the txn journal's
+    // `t-<topic>.json`) add 7 bytes — Kafka caps at 249 for its own
+    // suffixes, same reasoning.
+    name.nonEmpty && name.length <= 255 &&
       !name.startsWith("_") && !name.startsWith(".") &&
       name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
+
+  /** The CREATION-time rule: everything [[validTopicName]] checks plus the
+    * 248-char cap that keeps every derived file name within the
+    * filesystem's 255-byte component limit. Enforced where a topic comes
+    * into existence (first produce, CREATE TABLE, routed first-encounter,
+    * journal naming) — never on read paths, so pre-cap topics stay
+    * accessible. */
+  def validNewTopicName(name: String): Boolean =
+    validTopicName(name) && name.length <= 248
 }
 
 /** One committed data file of a topic partition: the unit of the metadata

@@ -66,6 +66,19 @@ object PolarLog {
     StructField("timestamp", TimestampType),
     StructField("value", BinaryType)))
 
+  /** Epoch MILLIS (Kafka's timestamp-config unit) or an ISO-8601 instant,
+    * as epoch MICROS — the one parser behind `startingTimestamp`/
+    * `endingTimestamp`, the reset procedures and the HTTP timestamp
+    * params (previously four inline copies). Millis iff the WHOLE string
+    * parses as a long ("2024-01" or "--" must fall through to the instant
+    * parser, whose `DateTimeParseException` names the format, instead of
+    * a raw NumberFormatException). */
+  def epochOrIsoMicros(s: String): Long =
+    scala.util.Try(s.trim.toLong).map(_ * 1000L).getOrElse {
+      val i = java.time.Instant.parse(s.trim)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
   final case class ProduceResult(
       recordsWritten: Long,
       oldTails: Map[Int, Long],

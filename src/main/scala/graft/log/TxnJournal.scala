@@ -52,7 +52,12 @@ object TxnJournal {
     val fs = jdir.getFileSystem(HadoopConf.shared)
     fs.mkdirs(jdir)
     topics.foreach { case (t, entries) =>
-      require(TopicConfig.validTopicName(t), s"invalid journal topic '$t'")
+      // the journal derives `t-<topic>.json`: the 248-char creation cap is
+      // what keeps that name within the filesystem component limit. A
+      // grandfathered 249–255-char topic therefore cannot participate in a
+      // MULTI-topic routed commit (loud refusal here), though single-topic
+      // produces and reads still work for it.
+      require(TopicConfig.validNewTopicName(t), s"invalid journal topic '$t'")
       // per-topic files carry a `t-` prefix so a topic literally named
       // "txn" can never collide with the txn.json commit point
       val out = fs.create(new Path(jdir, s"t-$t.json"), false)

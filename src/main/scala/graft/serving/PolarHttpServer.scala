@@ -325,13 +325,10 @@ class PolarHttpServer(
           if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
           val ts = q2.get("timestamp").flatMap(_.headOption)
             .getOrElse(throw HttpError(400, "timestamp is required"))
-          val micros = scala.util.Try(ts.trim.toLong).map(_ * 1000L).getOrElse {
-            try {
-              val i = java.time.Instant.parse(ts)
-              i.getEpochSecond * 1000000L + i.getNano / 1000L
-            } catch { case _: java.time.format.DateTimeParseException =>
+          val micros =
+            try graft.log.PolarLog.epochOrIsoMicros(ts)
+            catch { case _: java.time.format.DateTimeParseException =>
               throw HttpError(400, "timestamp must be epoch millis or ISO-8601") }
-          }
           val offs = graft.log.PolarLog.offsetsForTimestamp(spark, cfgOf(t), micros)
           respond(ex, 200, offs.toSeq.sorted
             .map { case (p, o) => s""""$p":$o""" }
@@ -638,13 +635,10 @@ class PolarHttpServer(
       case "to-timestamp" =>
         val ts = param("timestamp").getOrElse(
           throw HttpError(400, "mode=to-timestamp requires timestamp"))
-        val micros = scala.util.Try(ts.trim.toLong).map(_ * 1000L).getOrElse {
-          try {
-            val i = java.time.Instant.parse(ts)
-            i.getEpochSecond * 1000000L + i.getNano / 1000L
-          } catch { case _: java.time.format.DateTimeParseException =>
+        val micros =
+          try graft.log.PolarLog.epochOrIsoMicros(ts)
+          catch { case _: java.time.format.DateTimeParseException =>
             throw HttpError(400, "timestamp must be epoch millis or ISO-8601") }
-        }
         ConsumerGroups.ToTimestamp(micros)
       case "shift-by" =>
         val n = param("shift").getOrElse(
@@ -715,10 +709,19 @@ class PolarHttpServer(
       .filter(_.group == r.group).map(_.consumerId).distinct.sorted
     // content negotiation: JSON when the client accepts it explicitly OR
     // accepts anything (*/* or no Accept header — curl's default must not
-    // get the binary frame layout); binary only for an Accept that names
-    // something else (e.g. application/octet-stream)
-    val json = Option(ex.getRequestHeaders.getFirst("Accept"))
-      .forall(a => a.contains("application/json") || a.contains("*/*"))
+    // get the binary frame layout); binary only for an Accept that names a
+    // CONCRETE non-JSON type (e.g. application/octet-stream). The concrete
+    // type wins even when a */* fallback rides along ("application/
+    // octet-stream, */*" is the common client pattern — flipping it to a
+    // JSON array would be a wire-format break for binary consumers), so
+    // wildcards only decide when nothing concrete was named.
+    val json = Option(ex.getRequestHeaders.getFirst("Accept")).forall { a =>
+      val types = a.split(",").iterator
+        .map(_.trim.takeWhile(_ != ';').trim.toLowerCase).filter(_.nonEmpty)
+        .toSeq
+      types.contains("application/json") || types.contains("text/json") ||
+        !types.exists(t => t != "*/*" && t != "application/*" && t != "text/*")
+    }
 
     var servedPending = Map.empty[String, Map[Int, Long]]
     // the binary response's item count is a u16: cap the records ONE poll

@@ -84,10 +84,16 @@ class ProduceCoalescer(
                 // retry, and silently lose their never-persisted records.
                 // Re-produce item-by-item so only the guilty ones fail —
                 // failure-path-only cost, bounded by the batch size.
+                // match the EXACT envelope raise_error texts ("exceeds
+                // maxMessageSize", "out of range vs broker time") — a looser
+                // substring like "timestamp" also matches plan/schema text
+                // embedded in unrelated Spark failures (the envelope has a
+                // `timestamp` column), and re-producing after a failure that
+                // landed its metadata CAS would duplicate the whole window
                 case e: Exception if items.size > 1 &&
                     e.getMessage != null &&
-                    (e.getMessage.contains("maxMessageSize") ||
-                      e.getMessage.contains("timestamp")) =>
+                    (e.getMessage.contains("exceeds maxMessageSize") ||
+                      e.getMessage.contains("out of range vs broker time")) =>
                   items.foreach { i =>
                     try { produceBatch(topic, Vector(i)); i.done.complete(()) }
                     catch {

@@ -189,6 +189,8 @@ class PolarCatalog extends TableCatalog
     val given = properties.asScala.toMap
     val cfg = cfgOf(ident, given)
     if (exists(cfg)) throw new TableAlreadyExistsException(ident)
+    require(TopicConfig.validNewTopicName(cfg.topic),
+      s"Invalid new topic name '${cfg.topic}' (max 248 chars)")
     // persist recognized per-topic configs (Kafka topic-config names:
     // retention.ms, cleanup.policy) in the root doc; geometry rides its
     // own doc fields, Spark-reserved keys pass through unpersisted

@@ -152,10 +152,7 @@ private[sources] object PolarProcedures {
           case "latest" | "to-latest" => ConsumerGroups.ToLatest
           case "to-timestamp" => ConsumerGroups.ToTimestamp(
             // epoch-millis or an ISO-8601 instant, like `startingTimestamp`
-            scala.util.Try(value.toLong).map(_ * 1000L).getOrElse {
-              val i = java.time.Instant.parse(value)
-              i.getEpochSecond * 1000000L + i.getNano / 1000L
-            })
+            graft.log.PolarLog.epochOrIsoMicros(value))
           case "shift-by" => ConsumerGroups.ShiftBy(value.toLong)
           case other => throw new IllegalArgumentException(
             s"unknown reset mode '$other' " +

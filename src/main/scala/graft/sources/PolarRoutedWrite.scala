@@ -383,6 +383,11 @@ class PolarRoutedDataWriter(
       require(meta.clusterSize == cfg.clusterSize &&
           meta.rangesPerToken == cfg.rangesPerToken,
         s"topic $t exists with different ring layout")
+      // routed first-encounter CREATES the topic: new names obey the
+      // 248-char creation cap (existing topics are grandfathered)
+      if (meta.version == 0L && !TopicConfig.validNewTopicName(t))
+        throw new IllegalArgumentException(
+          s"Invalid new topic name in 'topic' column: '$t' (max 248 chars)")
       // per-topic segment.bytes governs this destination's roll size;
       // compression.type its storage codec
       val (beforeMs, afterMs) = graft.log.PolarLog.timestampBounds(meta.props)

@@ -176,22 +176,11 @@ object PolarSource {
       failOnDataLoss = opt("failOnDataLoss").forall(_.trim.toBoolean),
       // epoch millis (Kafka's startingTimestamp unit) or an ISO-8601
       // instant; overrides startingOffsets when present
-      startingTimestampMicros = opt("startingTimestamp").map { s =>
-        // epoch-millis iff the WHOLE string parses as a long ("2024-01"
-        // or "--" must fall through to the instant parser, whose error
-        // names the format, instead of a raw NumberFormatException)
-        scala.util.Try(s.trim.toLong).map(_ * 1000L).getOrElse {
-          val i = java.time.Instant.parse(s)
-          i.getEpochSecond * 1000000L + i.getNano / 1000L
-        }
-      },
+      startingTimestampMicros =
+        opt("startingTimestamp").map(graft.log.PolarLog.epochOrIsoMicros),
       endingOffsets = opt("endingOffsets").map(_.trim),
-      endingTimestampMicros = opt("endingTimestamp").map { s =>
-        scala.util.Try(s.trim.toLong).map(_ * 1000L).getOrElse {
-          val i = java.time.Instant.parse(s)
-          i.getEpochSecond * 1000000L + i.getNano / 1000L
-        }
-      },
+      endingTimestampMicros =
+        opt("endingTimestamp").map(graft.log.PolarLog.epochOrIsoMicros),
       versionAsOf = opt("versionAsOf").map(_.trim.toLong),
       // change-feed start: first batch = the (v, head] version window,
       // then the stream follows the live head
@@ -312,6 +301,25 @@ final case class PolarSourceConfig(
   /** True iff (topic, part) is inside the assignment (or no assignment). */
   def assigned(t: String, p: Int): Boolean =
     assign.forall(_.get(t).exists(_.contains(p)))
+  /** Refuse explicit offset maps naming partitions outside `assign` — a
+    * bound on an unassigned partition is a user error, never silently
+    * dropped. `what` names the offending option in the error. */
+  def requireAssigned(keys: Iterable[(String, Int)], what: String): Unit =
+    assign.foreach { a =>
+      val outside = keys.filterNot { case (t, p) => a.get(t).exists(_.contains(p)) }
+      require(outside.isEmpty,
+        s"$what names partitions outside 'assign': " +
+          outside.map { case (t, p) => s"$t/$p" }.mkString(","))
+    }
+  /** Owner partitions of `keys` across the subscription: key → murmur3
+    * token → owning partition (the reference's leader routing), unioned
+    * across keys and topics — the one kernel behind the builder's
+    * key-equality pushdown and the runtime-filter narrowing. */
+  def ownerParts(keys: Seq[String]): Set[Int] =
+    (for (t <- topics; k <- keys) yield
+      graft.functions.TokenMath.partitionForToken(
+        graft.functions.Murmur3.hashString(k),
+        t.clusterSize, t.rangesPerToken)).toSet
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -727,10 +735,7 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     * partitions, so a union is always a sound superset. An empty key list
     * (e.g. `IN (NULL)`) matches nothing → empty partition set. */
   private def pushKeyParts(keys: Seq[String]): Unit = {
-    val ps = (for (t <- cfg.topics; k <- keys) yield
-      graft.functions.TokenMath.partitionForToken(
-        graft.functions.Murmur3.hashString(k), t.clusterSize, t.rangesPerToken)
-    ).toSet
+    val ps = cfg.ownerParts(keys)
     val ks = keys.toSet
     bounds = bounds.copy(
       parts = Some(bounds.parts.fold(ps)(_ intersect ps)),
@@ -991,18 +996,13 @@ class PolarScan(
     import org.apache.spark.sql.sources.{EqualTo, In}
     def narrow(ps: Set[Int]): Unit =
       bounds = bounds.copy(parts = Some(bounds.parts.fold(ps)(_ intersect ps)))
-    def keyParts(keys: Seq[String]): Set[Int] =
-      (for (t <- cfg.topics; k <- keys) yield
-        graft.functions.TokenMath.partitionForToken(
-          graft.functions.Murmur3.hashString(k),
-          t.clusterSize, t.rangesPerToken)).toSet
     filters.foreach {
       case In("part", vs) =>
         narrow(vs.collect { case n: Number => n.intValue() }.toSet)
       case EqualTo("part", n: Number) => narrow(Set(n.intValue()))
       case In("partitionKey", vs) if vs.forall(v => v == null || v.isInstanceOf[String]) =>
-        narrow(keyParts(vs.collect { case s: String => s }.toSeq))
-      case EqualTo("partitionKey", s: String) => narrow(keyParts(Seq(s)))
+        narrow(cfg.ownerParts(vs.collect { case s: String => s }.toSeq))
+      case EqualTo("partitionKey", s: String) => narrow(cfg.ownerParts(Seq(s)))
       case _ => () // best-effort: unpruned partitions are join-filtered anyway
     }
   }
@@ -1054,13 +1054,7 @@ class PolarScan(
   private lazy val startOverride: Map[(String, Int), Long] =
     if (cfg.startingOffsets.trim.startsWith("{")) {
       val explicit = PolarOffsets.parse(cfg.startingOffsets, cfg.topics.head.topic).tails
-      cfg.assign.foreach { a =>
-        val outside = explicit.keys.filterNot {
-          case (t, p) => a.get(t).exists(_.contains(p)) }
-        require(outside.isEmpty,
-          s"startingOffsets names partitions outside 'assign': " +
-            outside.map { case (t, p) => s"$t/$p" }.mkString(","))
-      }
+      cfg.requireAssigned(explicit.keys, "startingOffsets")
       explicit
     } else cfg.startingTimestampMicros match {
       // batch `startingTimestamp` (Kafka parity): the record-exact seek —
@@ -1083,13 +1077,7 @@ class PolarScan(
         val explicit = PolarOffsets.parse(s, cfg.topics.head.topic).tails
         // same refusal as startOverride: a bound on an unassigned
         // partition must not be silently dropped
-        cfg.assign.foreach { a =>
-          val outside = explicit.keys.filterNot {
-            case (t, p) => a.get(t).exists(_.contains(p)) }
-          require(outside.isEmpty,
-            s"endingOffsets names partitions outside 'assign': " +
-              outside.map { case (t, p) => s"$t/$p" }.mkString(","))
-        }
+        cfg.requireAssigned(explicit.keys, "endingOffsets")
         explicit
       }
       .getOrElse(cfg.endingTimestampMicros match {
@@ -1276,7 +1264,13 @@ class PolarScan(
       new PolarRowsDecodedMetric)
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
+    // planned ONCE per scan: Spark calls planInputPartitions and the
+    // alignment probe in createReaderFactory both read this — previously
+    // the probe re-ran the whole planning pass (a second registry walk on
+    // every batch scan)
+    private lazy val plannedSplits: Array[InputPartition] = doPlan()
+    override def planInputPartitions(): Array[InputPartition] = plannedSplits
+    private def doPlan(): Array[InputPartition] = {
       // BATCH CHANGE FEED (Delta CDF parity): `startingVersion`
       // [+ `endingVersion`] plans exactly the (from, to] per-partition
       // offset windows against the toVersion snapshot's own registry,
@@ -1341,7 +1335,7 @@ class PolarScan(
       // is scan-wide: when every planned window happens to align with its
       // file boundaries (sentinels, whole-file cutoffs), whole-file
       // columnar delivery is already exact and the fast path is kept.
-      def aligned = planInputPartitions().forall { ip =>
+      def aligned = plannedSplits.forall { ip =>
         val s = PolarInputPartition.unwrap(ip)
         s.files.isEmpty || (s.startOffset <= s.files.head.minOffset &&
           s.endOffset > s.files.last.maxOffset)
@@ -1515,13 +1509,7 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
         val explicit = PolarOffsets.parse(other, topics.head.topic)
         // naming a partition outside the assignment is a user error, not
         // something to silently drop
-        cfg.assign.foreach { a =>
-          val outside = explicit.tails.keys.filterNot {
-            case (t, p) => a.get(t).exists(_.contains(p)) }
-          require(outside.isEmpty,
-            s"startingOffsets names partitions outside 'assign': " +
-              outside.map { case (t, p) => s"$t/$p" }.mkString(","))
-        }
+        cfg.requireAssigned(explicit.tails.keys, "startingOffsets")
         def logStartOf(k: (String, Int)): Long =
           metas0.get(k._1).map(_.logStart(k._2)).getOrElse(0L)
         val resolved = explicit.tails.map {

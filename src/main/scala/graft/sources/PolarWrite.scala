@@ -346,6 +346,11 @@ class PolarBatchWrite(
     val m = LogMetadata.read(cfg)
     require(m.clusterSize == cfg.clusterSize && m.rangesPerToken == cfg.rangesPerToken,
       s"topic ${cfg.topic} exists with different ring layout")
+    // first produce CREATES the topic: new names obey the stricter 248-char
+    // cap (derived journal file names); existing topics are grandfathered
+    if (m.version == 0L)
+      require(TopicConfig.validNewTopicName(cfg.topic),
+        s"Invalid new topic name '${cfg.topic}' (max 248 chars)")
     m
   }
 

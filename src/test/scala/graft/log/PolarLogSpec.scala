@@ -573,4 +573,26 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(viewAt.toSeq === Seq(("k1", "c"), ("k2", "y")))
   }
+
+  test("249-255-char topic names: grandfathered topics read and write, new ones refuse") {
+    val long249 = "g" * 249
+    // the split rule itself: read paths accept up to the filesystem's 255,
+    // creation caps at 248 (derived journal names add 7 bytes)
+    assert(TopicConfig.validTopicName(long249))
+    assert(!TopicConfig.validNewTopicName(long249))
+    assert(TopicConfig.validNewTopicName("g" * 248))
+    assert(!TopicConfig.validTopicName("g" * 256))
+    // a PRE-EXISTING topic at 249 chars (created before the cap): its
+    // metadata is on disk with version >= 1 — upgrade must not brick it
+    val cfg = TopicConfig(root, long249, 1, 2)
+    LogMetadata.write(cfg, LogMetadata.empty(cfg).copy(version = 3L))
+    val rows = spark.range(4).selectExpr("cast(id as string) as partitionKey",
+      "timestamp_micros(id) as timestamp", "cast(id as string) as value")
+    PolarLog.produce(rows, cfg)
+    assert(PolarLog.consume(spark, cfg).count() === 4L)
+    // a FRESH 249-char topic refuses at first produce (= creation)
+    val fresh = TopicConfig(root, "h" * 249, 1, 2)
+    val e = intercept[Exception] { PolarLog.produce(rows, fresh) }
+    assert(e.getMessage.contains("248"), s"unexpected: ${e.getMessage}")
+  }
 }

@@ -417,6 +417,56 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       gappy, Map(0 -> 0L), Map(0 -> 400L), 50L)(0) === 150L)
   }
 
+  test("accept negotiation: a concrete non-JSON type wins over a */* fallback") {
+    val topic = "accb"
+    post(s"/v1/topic/$topic/messages?partitionKey=kb", "v".getBytes(UTF_8))
+    put(s"/v1/consumer/register?consumerId=cb2&group=gb2&topic=$topic&onNewGroup=startFromEarliest")
+    // the common client pattern "application/octet-stream, */*" asks for
+    // the BINARY layout — honoring the wildcard here was a wire-format
+    // break for existing binary consumers
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/v1/consumer/poll?consumerId=cb2"))
+        .POST(BodyPublishers.noBody())
+        .header("Accept", "application/octet-stream, */*").build(),
+      BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    val b = r.body()
+    val count = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    assert(count === 1, "concrete octet-stream + */* must get the u16+items binary layout")
+    // but an explicit JSON anywhere in the list still gets JSON, and
+    // q-value parameters are tolerated (fresh record: the binary poll
+    // above consumed and auto-committed the first one)
+    post(s"/v1/topic/$topic/messages?partitionKey=kb", "w".getBytes(UTF_8))
+    val rj = post(s"/v1/consumer/poll?consumerId=cb2", Array.empty,
+      Seq("Accept" -> "application/json;q=0.9, application/octet-stream;q=0.1"))
+    assert(rj.body().trim.startsWith("["), s"explicit JSON must win: ${rj.body()}")
+  }
+
+  test("recordCapEnd charges exact registry counts for whole sparse files") {
+    // heavily compacted topic: 10 files, each spanning 10000 offsets but
+    // holding only 100 real records. Span-charging admitted just 6.5
+    // files' worth of offsets for a 65535 budget (≈650 real records — the
+    // documented throughput cliff); count-charging admits all 1000 real
+    // records and keeps walking.
+    val sparse = graft.log.LogMetadata(1L, 1, 1, Vector(100000L),
+      filesByPart = Map(0 -> Vector.tabulate(10)(i =>
+        graft.log.FileEntry(0, s"kc$i.parquet", i * 10000L, i * 10000L + 9999L,
+          100L, 4096L, 1L, Long.MinValue, Long.MaxValue, -1L))))
+    val end = graft.log.ConsumerGroups.recordCapEnd(
+      sparse, Map(0 -> 0L), Map(0 -> 100000L), 0xFFFFL)
+    assert(end(0) === 100000L,
+      s"a 65535 budget must admit all 10 sparse files (1000 real records), got ${end(0)}")
+    // budget below one file's count: partial slice stays span-charged (a
+    // sparse sub-span may be locally dense; the u16 is a hard wire limit)
+    val partial = graft.log.ConsumerGroups.recordCapEnd(
+      sparse, Map(0 -> 0L), Map(0 -> 100000L), 50L)
+    assert(partial(0) === 50L)
+    // whole-file boundary arithmetic: budget exactly two files' counts
+    val two = graft.log.ConsumerGroups.recordCapEnd(
+      sparse, Map(0 -> 0L), Map(0 -> 100000L), 200L)
+    assert(two(0) === 20000L, s"exactly two whole files, got ${two(0)}")
+  }
+
   test("register: duplicate topic params dedupe; crafted consumerIds are refused") {
     val topic = "dup"
     (0 until 3).foreach(i =>
