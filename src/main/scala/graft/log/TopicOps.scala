@@ -147,30 +147,60 @@ object TopicOps {
       newClusterSize: Int): RepartitionResult = {
     val newCfg = TopicConfig(cfg.root, newTopic, newClusterSize, cfg.rangesPerToken)
     val oldTails = PolarLog.tails(cfg)
-    val records = PolarLog.consume(spark, cfg)
-      .select(col("partitionKey"), col("timestamp"), col("value"),
-        col("part").as("__old_part"), col("offset").as("__old_offset"))
-    val res = PolarLog.produce(records, newCfg,
-      orderBy = Seq(col("__old_part"), col("__old_offset")))
-
-    // project consumer groups (A22)
+    // group inventory BEFORE the data pass: lagging groups decide whether
+    // the projection needs a second pass over the topic at all
     val fs = PolarLog.fileSystem(cfg)
     val groupsDir = new org.apache.hadoop.fs.Path(cfg.groupsDir)
-    val projected = if (!fs.exists(groupsDir)) Seq.empty[String] else {
-      fs.listStatus(groupsDir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+    val committedByGroup: Seq[(String, Map[Int, Long])] =
+      if (!fs.exists(groupsDir)) Seq.empty
+      else fs.listStatus(groupsDir).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
         .map { st =>
           val group = st.getPath.getName.stripSuffix(".json")
-          val committed = ConsumerGroups.committed(cfg, group).getOrElse(Map.empty)
-          val caughtUp = oldTails.forall { case (p, t) => committed.getOrElse(p, 0L) >= t }
-          val newOffsets =
-            if (caughtUp) PolarLog.tails(newCfg)
-            else projectGroupOffsets(records, cfg, newCfg, oldTails, committed)
-          ConsumerGroups.commit(newCfg, group, newOffsets)
-          group
+          group -> ConsumerGroups.committed(cfg, group).getOrElse(Map.empty)
         }
-    }
-    RepartitionResult(newCfg, res.recordsWritten, projected)
+    val lagging = committedByGroup.filterNot { case (_, committed) =>
+      oldTails.forall { case (p, t) => committed.getOrElse(p, 0L) >= t } }
+
+    val records0 = PolarLog.consume(spark, cfg)
+      .select(col("partitionKey"), col("timestamp"), col("value"),
+        col("part").as("__old_part"), col("offset").as("__old_offset"))
+    // lagging groups re-read the topic for the projection pass: pin the
+    // consumed records when the topic is small enough (the produce pass
+    // populates the cache the projection then reuses — one read instead of
+    // two). The size gate is pure registry arithmetic (exact per-file
+    // counts), zero extra jobs; big topics skip the pin and re-read —
+    // persisting O(topic) data is the wrong trade at 100 TB.
+    val pinned = lagging.nonEmpty &&
+      LogMetadata.read(cfg).files.iterator.map(_.count).sum <= RepartitionPinMaxRows
+    val records = if (pinned) records0.persist() else records0
+    try {
+      val res = PolarLog.produce(records, newCfg,
+        orderBy = Seq(col("__old_part"), col("__old_offset")))
+
+      // project consumer groups (A22): caught-up groups start at the new
+      // tails with zero data work; ALL lagging groups share ONE
+      // count-aggregation pass (previously one pass per group)
+      val laggingOffsets: Map[String, Map[Int, Long]] =
+        if (lagging.isEmpty) Map.empty
+        else projectGroupOffsets(records, cfg, newCfg, oldTails, lagging.toMap)
+      // caught-up groups start at the new tails — already in the produce
+      // result, no extra root read
+      val newTails = if (committedByGroup.size > lagging.size)
+        res.newTails else Map.empty[Int, Long]
+      val projected = committedByGroup.map { case (group, _) =>
+        ConsumerGroups.commit(newCfg, group,
+          laggingOffsets.getOrElse(group, newTails))
+        group
+      }
+      RepartitionResult(newCfg, res.recordsWritten, projected)
+    } finally if (pinned) records.unpersist(blocking = false): Unit
   }
+
+  /** Pin cap for the repartition projection pass: topics at or below this
+    * many records cache the consumed frame across the produce + projection
+    * passes; larger topics re-read (caching O(topic) is wrong at scale). */
+  private[log] val RepartitionPinMaxRows = 2000000L
 
   /** Old flat partition -> new flat partitions it spreads into, from the
     * reference's range projection arithmetic (`token.go:133-163`): on
@@ -211,46 +241,57 @@ object TopicOps {
    *    child only advances once ALL parents complete
    *    (`offset_state.go:609-668`).
    *
-   * Cost: one count-aggregation pass per lagging group (the resize itself is
-   * already a full-data op; a deployment with many groups would fold these
-   * into one pass keyed by group).
+   * Cost: ONE count-aggregation pass for ALL lagging groups together —
+   * each group adds one conditional count to the same shuffle (the resize
+   * itself is already a full-data op; per-group passes would be O(groups)
+   * topic scans at scale).
    */
   private[log] def projectGroupOffsets(
       records: DataFrame,
       cfg: TopicConfig,
       newCfg: TopicConfig,
       oldTails: Map[Int, Long],
-      committed: Map[Int, Long]): Map[Int, Long] = {
-    val commMap =
-      if (committed.isEmpty) typedLit(Map.empty[Int, Long])
-      else map(committed.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    val counts = records
+      committedByGroup: Map[String, Map[Int, Long]]): Map[String, Map[Int, Long]] = {
+    val groups = committedByGroup.keys.toSeq.sorted
+    val perGroupCols = groups.zipWithIndex.map { case (g, i) =>
+      val committed = committedByGroup(g)
+      val commMap =
+        if (committed.isEmpty) typedLit(Map.empty[Int, Long])
+        else map(committed.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+      count(when(col("__old_offset") <
+        coalesce(element_at(commMap, col("__old_part")), lit(0L)),
+        lit(1))).as(s"__c$i")
+    }
+    val rows = records
       .withColumn("__new_part", PolarLog.placementExpr(newCfg))
       .groupBy(col("__new_part"), col("__old_part"))
-      .agg(count(lit(1)).as("n"),
-        count(when(col("__old_offset") <
-          coalesce(element_at(commMap, col("__old_part")), lit(0L)),
-          lit(1))).as("c"))
+      .agg(perGroupCols.head, perGroupCols.tail: _*)
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+    val countsOf: Map[(Int, Int), Seq[Long]] = rows
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        groups.indices.map(i => r.getLong(2 + i)))
       .toMap
 
     val sourcesOf = partitionProjection(cfg, newCfg)
       .toSeq.flatMap { case (p, qs) => qs.map(_ -> p) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
 
-    (0 until newCfg.numPartitions).map { q =>
-      var acc = 0L
-      var open = true
-      sourcesOf.getOrElse(q, Seq.empty).foreach { p =>
-        if (open) {
-          val (n, c) = counts.getOrElse((q, p), (0L, 0L))
-          val fullyCommitted = committed.getOrElse(p, 0L) >= oldTails.getOrElse(p, 0L)
-          acc += c
-          if (!fullyCommitted) open = false // later blocks re-serve (at-least-once)
+    groups.zipWithIndex.map { case (g, i) =>
+      val committed = committedByGroup(g)
+      g -> (0 until newCfg.numPartitions).map { q =>
+        var acc = 0L
+        var open = true
+        sourcesOf.getOrElse(q, Seq.empty).foreach { p =>
+          if (open) {
+            val c = countsOf.getOrElse((q, p), Seq.fill(groups.size)(0L))(i)
+            val fullyCommitted =
+              committed.getOrElse(p, 0L) >= oldTails.getOrElse(p, 0L)
+            acc += c
+            if (!fullyCommitted) open = false // later blocks re-serve (at-least-once)
+          }
         }
-      }
-      q -> acc
+        q -> acc
+      }.toMap
     }.toMap
   }
 }

@@ -231,6 +231,48 @@ class TopicOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(servedN < total)
   }
 
+  test("many lagging groups project in ONE data pass, each exactly (A22)") {
+    val cfg = TopicConfig(root, "t_proj_multi", clusterSize = 3)
+    val recs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    PolarLog.produce(recs, cfg)
+    val tails = PolarLog.tails(cfg)
+    val total = tails.values.sum
+    // three groups at different lag points: 1/4, 1/2, 3/4 committed
+    val cuts = Seq("g25" -> 4L, "g50" -> 2L, "g75" -> 4L)
+    val committedOf = cuts.map { case (g, d) =>
+      val m = tails.map { case (p, t) => p -> (if (g == "g75") 3 * (t / d) else t / d) }
+      ConsumerGroups.commit(cfg, g, m)
+      g -> m
+    }.toMap
+    // the single shared aggregation pass must count Spark jobs O(1) in the
+    // number of groups: 3 lagging groups, one projection job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val result = try TopicOps.repartitionTopic(spark, cfg, "t_proj_multi_v2", 6)
+      finally {
+        // listener events are async; a short drain keeps the count stable
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(result.groupsProjected.sorted === Seq("g25", "g50", "g75"))
+    // produce (1-2 jobs) + one shared projection pass; per-group passes
+    // would push this past 6
+    assert(jobs.get() <= 5, s"expected O(1) jobs for 3 lagging groups, got ${jobs.get()}")
+    // scale-up exactness per group: served = total - committed, each group
+    cuts.foreach { case (g, _) =>
+      val served = ConsumerGroups.poll(spark, result.newCfg, g).records.count()
+      assert(served === total - committedOf(g).values.sum,
+        s"group $g served $served")
+    }
+  }
+
   test("metrics listener counts polar stream consumption (A34)") {
     val cfg = TopicConfig(root, "t_metrics")
     val recs = graft.Tables.events(spark, sfDir)
