@@ -306,7 +306,14 @@ final case class FileEntry(
     // encoded in the `kc<off>-c<ms>-` file name, an invariant that any
     // rename/merge path could silently drop). -1 = never cleaned / legacy
     // manifest (readers fall back to the name parse, then createdMs).
-    cleanedMs: Long = -1L) {
+    cleanedMs: Long = -1L,
+    // Producer-transaction mark (r13, Kafka EOS): the `transactional.id`
+    // this segment was produced under while its transaction is UNRESOLVED.
+    // Default readers serve marked files (Kafka read_uncommitted); a
+    // read_committed scan resolves the mark against the transaction state
+    // ([[Transactions.readCommittedView]]). Commit clears the mark via
+    // CAS; abort removes the entry. None = plain committed segment.
+    txn: Option[String] = None) {
   def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
   /** Offset-dense: one row at EVERY offset of [minOffset, maxOffset] —
     * true for every produced segment; false after key compaction removes
@@ -925,7 +932,8 @@ object LogMetadata {
 
   private[log] def renderManifestDoc(doc: ManifestDoc): String = {
     val fmt =
-      if (doc.files.exists(_.cleanedMs >= 0)) CleanedFormat
+      if (doc.files.exists(_.txn.isDefined)) TxnFormat
+      else if (doc.files.exists(_.cleanedMs >= 0)) CleanedFormat
       else if (doc.files.exists(f => f.count > 0 && !f.dense)) SparseFormat
       else DenseFormat
     val head = doc.parent match {
@@ -934,7 +942,12 @@ object LogMetadata {
       case None => s"""{"format":$fmt,"files":["""
     }
     doc.files.map { f =>
-      val tail = if (f.cleanedMs >= 0) s",${f.cleanedMs}" else ""
+      // a txn mark forces the full tuple (cleanedMs rendered even when -1)
+      // so the optional-suffix grammar stays position-unambiguous
+      val tail = f.txn match {
+        case Some(id) => s""",${f.cleanedMs},"${hexEncode(id)}""""
+        case None => if (f.cleanedMs >= 0) s",${f.cleanedMs}" else ""
+      }
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
         s"""${f.bytes},${f.createdMs},${f.tsMin},${f.tsMax},${f.tsNulls}$tail]"""
     }.mkString(head, ",", "]}")
@@ -965,8 +978,18 @@ object LogMetadata {
     * the entries' semantics — "these unregistered on-disk files are NOT
     * orphans yet" — is exactly what an older vacuum would violate by
     * reclaiming them early, so docs that carry entries refuse older
-    * readers loudly. Ledger-free docs keep stamping 2. */
-  private[log] val CurrentFormat = 5
+    * readers loudly. Ledger-free docs keep stamping 2.
+    *
+    * Format 6 = producer-transaction marks (12th tuple element, rendered
+    * only on marked entries): an older reader's regex would silently read
+    * a marked manifest as EMPTY, and even a shape-tolerant reader would
+    * serve UNCOMMITTED (possibly soon-aborted) records to consumers that
+    * asked for committed data — so manifests carrying a mark refuse older
+    * readers loudly. Mark-free manifests keep their older stamps; marks
+    * are transient (commit clears, abort removes), so topics revert to
+    * broadly readable formats as transactions resolve. */
+  private[log] val CurrentFormat = 6
+  private[log] val TxnFormat = 6
   private[log] val PendingFormat = 5
   private[log] val CleanedFormat = 4
   private[log] val SparseFormat = 3
@@ -1005,7 +1028,10 @@ object LogMetadata {
       if (m.group(10) == null) -1L else m.group(10).toLong,
       // cleanedMs is a round-12 addition: absent → -1 (never cleaned /
       // legacy — the cleaner falls back to the kc-name parse)
-      if (m.group(11) == null) -1L else m.group(11).toLong)
+      if (m.group(11) == null) -1L else m.group(11).toLong,
+      // producer-txn mark (r13): hex-encoded transactional.id, absent on
+      // plain committed segments
+      Option(m.group(12)).map(hexDecode))
 
   private[log] def parseManifest(s: String): Vector[FileEntry] =
     FileEntryRe.findAllMatchIn(s).map(entryOf).toVector.sortBy(_.minOffset)
@@ -1025,7 +1051,7 @@ object LogMetadata {
   }
 
   private val FileEntryRe =
-    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+)(?:,(-?\d+))?)?)?\]""".r
+    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+)(?:,(-?\d+)(?:,"([0-9a-f]*)")?)?)?)?\]""".r
 
   private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)(?:,(\d+))?\]""".r
 

@@ -324,7 +324,11 @@ object PolarLog {
       // atomic replace (INSERT OVERWRITE): one CAS unregisters every
       // pre-existing segment while registering this produce's; offsets
       // still continue from the tails
-      replaceAll: Boolean = false)
+      replaceAll: Boolean = false,
+      // producer transaction (Kafka EOS): stage this produce under an open
+      // Transactions handle — registered entries carry the txn mark until
+      // Transactions.commit/abort resolves them
+      producerTxn: Option[Transactions.TxnHandle] = None)
       : ProduceResult = {
     val spark = df.sparkSession
     graft.GraftSession.ensureFunctions(spark)
@@ -356,6 +360,12 @@ object PolarLog {
       writer = writer.option("txnSinkId", sinkId)
         .option("txnBatchId", batchId.toString)
         .option("txnRetentionMs", txnRetentionMs.toString)
+    }
+    producerTxn.foreach { h =>
+      require(h.root == cfg.root,
+        s"transaction handle roots differ: '${h.root}' vs topic root '${cfg.root}'")
+      writer = writer.option("transactional.id", h.txnId)
+        .option("transactional.epoch", h.epoch.toString)
     }
     if (replaceAll) writer = writer.option("replaceAll", "true")
     writer.mode("append").save()
@@ -580,8 +590,17 @@ object PolarLog {
       spark: SparkSession,
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
-      endOffsets: Map[Int, Long] = Map.empty): DataFrame =
-    consumeAt(spark, cfg, LogMetadata.read(cfg), startOffsets, endOffsets)
+      endOffsets: Map[Int, Long] = Map.empty,
+      // Kafka's isolation.level: read_committed resolves producer-txn
+      // marks at planning and caps each partition at its LSO
+      isolation: String = "read_uncommitted"): DataFrame = {
+    val meta0 = LogMetadata.read(cfg)
+    val meta =
+      if (isolation == "read_committed")
+        Transactions.readCommittedView(cfg.root, meta0)
+      else meta0
+    consumeAt(spark, cfg, meta, startOffsets, endOffsets)
+  }
 
   /** The COMPACTED view of a topic — Kafka's log-compaction / Kafka
     * Streams KTable semantics as a declarative query instead of a physical
@@ -761,7 +780,12 @@ object PolarLog {
     if (retentionMs < 0) return 0
     val cutoff = nowMs - retentionMs
     val meta = LogMetadata.read(cfg)
-    val aged = meta.files.filter(_.createdMs < cutoff)
+    // open-producer-transaction segments are never retention candidates:
+    // deleting uncommitted data would make a later Transactions.commit
+    // expose a hole (Kafka likewise never deletes past the LSO). Their
+    // transactions resolve within transaction.timeout.ms, after which the
+    // plain rule applies.
+    val aged = meta.files.filter(f => f.createdMs < cutoff && f.txn.isEmpty)
     if (aged.isEmpty) return 0
     // file.delete.delay.ms: defer the physical delete — doomed entries
     // move to the pendingDeletes ledger IN THE SAME CAS that unregisters
@@ -771,7 +795,7 @@ object PolarLog {
       // partitions with nothing aged keep their vector INSTANCE, so their
       // manifests are not rewritten (publish diffs by eq)
       val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, v) =>
-        val kept = v.filter(_.createdMs >= cutoff)
+        val kept = v.filter(f => f.createdMs >= cutoff || f.txn.isDefined)
         p -> (if (kept.length == v.length) v else kept)
       })
       // trimming ADVANCES the log start (Kafka logStartOffset semantics —
@@ -805,9 +829,11 @@ object PolarLog {
       case (p, v) =>
         val sorted = v.sortBy(_.minOffset)
         var remaining = sorted.map(_.bytes).sum
-        // the last (active) segment is never a candidate, whatever the cap
+        // the last (active) segment is never a candidate, whatever the cap;
+        // an open-transaction segment STOPS the head walk (head-delete must
+        // stay a prefix, and uncommitted data is never deletable)
         sorted.dropRight(1).takeWhile { f =>
-          val del = remaining - f.bytes >= capBytes
+          val del = f.txn.isEmpty && remaining - f.bytes >= capBytes
           if (del) remaining -= f.bytes
           del
         }.map(f => p -> f.name)

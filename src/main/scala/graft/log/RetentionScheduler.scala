@@ -127,6 +127,12 @@ final class RetentionScheduler(
       // before the per-topic vacuums below can see them as plain orphans
       recoveredDone += routedRecover.map(f =>
         try f(nowMs) catch { case NonFatal(_) => 0 }).getOrElse(0).toLong
+      // producer-transaction recovery (the Kafka coordinator's role): runs
+      // with the journal recovery, before retention/vacuum — finishes torn
+      // commit/abort finalizations and timeout-aborts idle transactions,
+      // so marked entries always converge to plain-or-gone
+      recoveredDone += (try Transactions.recover(root, nowMs)
+        catch { case NonFatal(_) => 0 }).toLong
       // journal-held names computed ONCE per sweep (vacuum runs per topic;
       // per-topic listings would be O(topics × journals)). A listing error
       // leaves None — each vacuum then computes (and fails closed) itself.

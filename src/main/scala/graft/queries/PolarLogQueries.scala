@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.log.{ConsumerGroups, LogMetadata, PolarLog, RetentionScheduler, TopicConfig}
+import graft.log.{ConsumerGroups, LogMetadata, PolarLog, RetentionScheduler, TopicConfig, Transactions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -493,6 +493,55 @@ object PolarLogQueries extends QueryRegistry {
         SELECT pk AS partitionKey, COUNT(*) AS n_served
         FROM ranked WHERE rk > n_part // 2
         GROUP BY pk""")),
+
+    QueryDef(
+      "polar_txn_produce",
+      (s, dir) => {
+        // Producer transactions (Kafka EOS): three copies of `events` land
+        // as (1) a plain produce, (2) a transactional produce that COMMITS,
+        // (3) a transactional produce that ABORTS — plus a plain produce
+        // BEHIND the open transaction to prove the LSO rule. read_committed
+        // never sees uncommitted or post-LSO records; after resolution both
+        // isolation levels converge on exactly two visible copies + the
+        // LSO-held one = 3N.
+        val root = Files.createTempDirectory("graft_polar_txn").toString
+        val cfg = TopicConfig(root, "events", clusterSize = 3)
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        def rc() = PolarLog.consume(s, cfg, isolation = "read_committed").count()
+        def ru() = PolarLog.consume(s, cfg).count()
+        PolarLog.produce(records, cfg) // plain base: N
+        val t1 = Transactions.begin(root, "etl-commit")
+        PolarLog.produce(records, cfg, producerTxn = Some(t1)) // staged: N
+        val rcOpen = rc() // open txn invisible to read_committed
+        // a PLAIN produce behind the open transaction: committed data, but
+        // beyond the LSO — read_committed must hold it back too
+        PolarLog.produce(records, cfg)
+        // the DSv2 scan option is the same path users take
+        val rcLso = s.read.format("polar").option("root", root)
+          .option("topic", "events").option("isolation.level", "read_committed")
+          .load().count()
+        val ruOpen = ru() // default (read_uncommitted) sees everything
+        Transactions.commit(t1)
+        val rcCommitted = rc() // commit releases the txn AND the LSO hold
+        val t2 = Transactions.begin(root, "etl-abort")
+        PolarLog.produce(records, cfg, producerTxn = Some(t2))
+        Transactions.abort(t2)
+        val rcAfterAbort = rc()
+        val ruAfterAbort = ru() // aborted records are gone for everyone
+        s.createDataFrame(Seq(
+          ("rc_open", rcOpen), ("rc_lso", rcLso), ("ru_open", ruOpen),
+          ("rc_committed", rcCommitted), ("rc_after_abort", rcAfterAbort),
+          ("ru_after_abort", ruAfterAbort))).toDF("phase", "n")
+      },
+      Some("""
+        SELECT 'rc_open' AS phase, COUNT(*) AS n FROM events
+        UNION ALL SELECT 'rc_lso' AS phase, COUNT(*) AS n FROM events
+        UNION ALL SELECT 'ru_open' AS phase, 3 * COUNT(*) AS n FROM events
+        UNION ALL SELECT 'rc_committed' AS phase, 3 * COUNT(*) AS n FROM events
+        UNION ALL SELECT 'rc_after_abort' AS phase, 3 * COUNT(*) AS n FROM events
+        UNION ALL SELECT 'ru_after_abort' AS phase, 3 * COUNT(*) AS n FROM events""")),
 
     QueryDef(
       "polar_poll_json",

@@ -292,6 +292,36 @@ class PolarHttpServer(
           })
           respond(ex, 200, s"""{"topic":"$t","key":"$key","applied":true}""",
             "application/json")
+        case ("GET", "/v1/admin/txns") =>
+          // transaction observability: live/failed routed-commit journals
+          // (a `.failed` journal is an operator-action queue — its staged
+          // files stay vacuum-protected until the operator clears it) and
+          // producer transactions with their states and ages. Previously
+          // only a metadata-table query could see these.
+          val nowTs = System.currentTimeMillis()
+          def esc2(s: String) = graft.functions.JsonText.escape(s)
+          val journals = graft.log.TxnJournal.list(root, includeFailed = true)
+            .sortBy(_.path).map { j =>
+              val name = new org.apache.hadoop.fs.Path(j.path).getName
+              s"""{"journal":"${esc2(name)}","failed":${name.endsWith(".failed")},""" +
+                s""""complete":${j.complete},"ageMs":${math.max(0L, nowTs - j.ageAnchorMs)},""" +
+                s""""topics":[${j.topics.keys.toSeq.sorted
+                  .map(t => s""""${esc2(t)}"""").mkString(",")}]}"""
+            }
+          val producers = graft.log.Transactions.list(root).map { case (id, st) =>
+            val (state, ageMs, epoch) = st match {
+              case graft.log.Transactions.Open(e, anchor, _) =>
+                ("open", math.max(0L, nowTs - anchor), e)
+              case graft.log.Transactions.Committed => ("committed", -1L, -1L)
+              case graft.log.Transactions.Aborted => ("aborted", -1L, -1L)
+              case graft.log.Transactions.Unknown => ("unknown", -1L, -1L)
+            }
+            s"""{"id":"${esc2(id)}","state":"$state","epoch":$epoch,"ageMs":$ageMs}"""
+          }
+          respond(ex, 200,
+            s"""{"journals":[${journals.mkString(",")}],""" +
+              s""""producerTxns":[${producers.mkString(",")}]}""",
+            "application/json")
         case ("POST", "/v1/admin/retention/sweep") =>
           // manual maintenance trigger; the scheduled loop serializes with it
           val res = retention.sweep()

@@ -189,7 +189,9 @@ object PolarCompaction {
     def spanWith(f: FileEntry): Long =
       math.max(maxCreated, f.createdMs) - math.min(minCreated, f.createdMs)
     sorted.foreach { f =>
-      if (f.bytes >= smallBytes) flush()
+      // open-producer-transaction segments never merge: commit/abort
+      // resolve marks by entry identity, which a merge would destroy
+      if (f.bytes >= smallBytes || f.txn.isDefined) flush()
       else if (cur.isEmpty) start(f)
       else if (curBytes + f.bytes > maxBytes ||
           (maxSpanMs != Long.MaxValue && spanWith(f) > maxSpanMs)) {

@@ -118,9 +118,13 @@ object PolarLogCleaner {
       val region = v.init
       // min-lag cut: appends are committed in offset order, so the first
       // too-young dirty file starts the uncleanable suffix (kc files are
-      // a previous pass's output and always below the dirty ones)
+      // a previous pass's output and always below the dirty ones). An
+      // open-producer-transaction segment cuts the same way — Kafka's
+      // cleaner never cleans past the LSO: uncommitted records must not
+      // act as winners (an abort would resurrect the keys they superseded)
+      // nor be rewritten (commit/abort resolve by entry identity).
       val cut = region.indexWhere(f =>
-        !isCleaned(f) && f.createdMs >= uncleanableFromMs)
+        f.txn.isDefined || (!isCleaned(f) && f.createdMs >= uncleanableFromMs))
       p -> (if (cut >= 0) region.take(cut) else region)
     }
     (regions,
@@ -220,8 +224,12 @@ object PolarLogCleaner {
 
     val dirtyRegionRows = PolarLog.consumeFiles(spark, cfg, regionDirty)
     val kcRows = PolarLog.consumeFiles(spark, cfg, regionKc)
+    // open-transaction heads are excluded from the winner map: uncommitted
+    // records must not supersede committed ones (an abort would resurrect
+    // the keys they cleaned away) — Kafka's clean-below-LSO rule
     val winners = PolarLog.consumeFiles(spark, cfg,
-        if (minLag.isDefined) regionDirty else regionDirty ++ heads)
+        if (minLag.isDefined) regionDirty
+        else regionDirty ++ heads.filter(_.txn.isEmpty))
       .filter(col("partitionKey").isNotNull)
       .groupBy(col("part").as("wp"), col("partitionKey").as("wk"))
       .agg(max(col("offset")).as("wo"))

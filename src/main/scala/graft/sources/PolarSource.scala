@@ -193,7 +193,22 @@ object PolarSource {
       routedTemplate =
         if (names.isEmpty) Some(graft.log.RingTemplate(root, clusterSize, rangesPerToken))
         else None,
-      assign = assign)
+      assign = assign,
+      isolation = opt("isolation.level").map(_.trim.toLowerCase)
+        .getOrElse("read_uncommitted"),
+      // Kafka's transactional.id (+ the handle's fencing epoch): absent
+      // epoch resolves the CURRENT open epoch — convenient for raw-option
+      // writes, but only a handle-carried epoch actually fences zombies
+      producerTxn = opt("transactional.id").map { id =>
+        id -> opt("transactional.epoch").map(_.trim.toLong).getOrElse {
+          graft.log.Transactions.state(root, id) match {
+            case graft.log.Transactions.Open(e, _, _) => e
+            case st => throw new IllegalArgumentException(
+              s"transactional.id '$id' is not open (state: $st); call " +
+                "Transactions.begin first")
+          }
+        }
+      })
   }
 }
 
@@ -254,7 +269,27 @@ final case class PolarSourceConfig(
     // Kafka `assign` mode: explicit (topic → partitions); only these
     // partitions are planned, counted against read limits, or carried in
     // checkpoints. Whole-topic answers (registry-stat aggregates) refuse.
-    assign: Option[Map[String, Set[Int]]] = None) {
+    assign: Option[Map[String, Set[Int]]] = None,
+    // Kafka's `isolation.level`: `read_uncommitted` (default) serves every
+    // registered segment including open-transaction ones;
+    // `read_committed` resolves producer-transaction marks at planning and
+    // caps each partition at its LSO (Transactions.readCommittedView).
+    isolation: String = "read_uncommitted",
+    // WRITE option (Kafka's transactional.id + producer epoch): this
+    // produce stages under an open producer transaction — entries are
+    // registered with the txn mark, visible to read_committed only after
+    // Transactions.commit.
+    producerTxn: Option[(String, Long)] = None) {
+  require(isolation == "read_uncommitted" || isolation == "read_committed",
+    s"isolation.level must be 'read_uncommitted' or 'read_committed', got '$isolation'")
+  // a change feed is version-addressed registry history; an LSO-capped
+  // view of a historical window has no coherent meaning (the marks it
+  // carried are resolved or gone by now) — refuse instead of guessing
+  require(isolation == "read_uncommitted" ||
+      (startingVersion.isEmpty && versionAsOf.isEmpty),
+    "'isolation.level=read_committed' applies to live reads; version-addressed " +
+      "reads (startingVersion/versionAsOf) see the registry as committed at " +
+      "that version")
   require(startingVersion.isEmpty || startingTimestampMicros.isEmpty,
     "specify either 'startingVersion' or 'startingTimestamp', not both")
   require(endingVersion.isEmpty || startingVersion.isDefined,
@@ -320,6 +355,19 @@ final case class PolarSourceConfig(
       graft.functions.TokenMath.partitionForToken(
         graft.functions.Murmur3.hashString(k),
         t.clusterSize, t.rangesPerToken)).toSet
+  def readCommitted: Boolean = isolation == "read_committed"
+  /** The ONE scan-time metadata resolution: versionAsOf snapshot or live
+    * head, with the read_committed transaction view applied when asked —
+    * every planner hook (stats, splits, streaming tails, agg pushdown)
+    * answers from this, so isolation can never disagree between what AQE
+    * was told and what gets read. */
+  def scanMeta(c: TopicConfig): graft.log.LogMetadata = {
+    val m = versionAsOf match {
+      case Some(v) => graft.log.LogMetadata.readAt(c, v)
+      case None => graft.log.LogMetadata.read(c)
+    }
+    if (readCommitted) graft.log.Transactions.readCommittedView(c.root, m) else m
+  }
   /** The single subscribed topic — write paths and single-topic sugar. */
   def topic: TopicConfig = topics.head
   def byName: Map[String, TopicConfig] = topics.map(c => c.topic -> c).toMap
@@ -631,10 +679,7 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
     * ([[PolarAggScan.planInputPartitions]]) — a sentinel commit landing
     * between push and execution must fail loudly, not emit sentinels. */
   private lazy val tsStatsClean: Boolean = {
-    val metas = cfg.topics.map(c => cfg.versionAsOf match {
-      case Some(v) => LogMetadata.readAt(c, v)
-      case None => LogMetadata.read(c)
-    })
+    val metas = cfg.topics.map(cfg.scanMeta)
     !metas.exists(_.files.exists(f => f.count > 0 &&
       (f.tsMin == Long.MinValue || f.tsMax == Long.MaxValue)))
   }
@@ -713,11 +758,7 @@ class PolarScanBuilder(cfg: PolarSourceConfig) extends ScanBuilder
         true
       case "timestamp" =>
         val provenNullFree = cfg.topics.forall { c =>
-          val meta = cfg.versionAsOf match {
-            case Some(v) => LogMetadata.readAt(c, v)
-            case None => LogMetadata.read(c)
-          }
-          meta.filesByPart.valuesIterator.flatten.forall(f =>
+          cfg.scanMeta(c).filesByPart.valuesIterator.flatten.forall(f =>
             f.count == 0 || (f.tsNulls == 0 && f.tsMin != Long.MinValue))
         }
         if (!provenNullFree) return false
@@ -840,10 +881,7 @@ class PolarAggScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val metas = cfg.topics.map(c => cfg.versionAsOf match {
-        case Some(v) => LogMetadata.readAt(c, v)
-        case None => LogMetadata.read(c)
-      })
+      val metas = cfg.topics.map(cfg.scanMeta)
       def rowFor(files: Seq[graft.log.FileEntry]): Array[java.lang.Long] = {
         // READABLE rows (registry file counts) — NOT producer tails, which
         // also count retention-trimmed rows no scan would return
@@ -1019,10 +1057,7 @@ class PolarScan(
     * gap between what AQE was told and what gets read, and an object
     * store sees one metadata GET per topic, not one per planner hook. */
   private lazy val metasSnapshot: Map[String, LogMetadata] =
-    cfg.topics.map(c => c.topic -> (cfg.versionAsOf match {
-      case Some(v) => LogMetadata.readAt(c, v)
-      case None => LogMetadata.read(c)
-    })).toMap
+    cfg.topics.map(c => c.topic -> cfg.scanMeta(c)).toMap
 
   /** The resolved change window per topic (startingVersion reads),
     * memoized for the same reason. */
@@ -1438,7 +1473,7 @@ class PolarMicroBatchStream(cfg: PolarSourceConfig)
   }
 
   private def currentMetas: Map[String, LogMetadata] =
-    topics.map(c => c.topic -> LogMetadata.read(c)).toMap
+    topics.map(c => c.topic -> cfg.scanMeta(c)).toMap
 
   /** `assign` mode: drop unassigned (topic, part) keys from every offset
     * map the stream produces — so read limits never count unassigned

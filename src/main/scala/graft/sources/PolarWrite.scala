@@ -73,6 +73,9 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
       require(cfg.txn.isEmpty,
         "explicit txnSinkId produces target one topic; routed streaming " +
           "epochs carry their own per-topic txn")
+      require(cfg.producerTxn.isEmpty,
+        "transactional.id produces target one explicit topic; row-routed " +
+          "fan-out already has its own atomicity (the routed-commit journal)")
       if (schema.fieldNames.contains("part"))
         return new PolarRoutedWrite(tpl, schema, cfg.maxFileBytes,
           defaultMaxMessageSize = cfg.maxMessageSize,
@@ -91,7 +94,7 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
     if (schema.fieldNames.contains("part"))
       new PolarWrite(cfg.topic, schema, cfg.maxFileBytes, cfg.txn,
         queryId = info.queryId(), txnRetentionMs = cfg.txnRetentionMs,
-        replaceAll = replace)
+        replaceAll = replace, producerTxn = cfg.producerTxn)
     else
       // producer-schema sugar (`df.write.format("polar")` with only
       // value[/partitionKey/timestamp]): route through PolarLog.produce,
@@ -104,7 +107,9 @@ class PolarWriteBuilder(cfg: PolarSourceConfig, info: LogicalWriteInfo)
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             PolarLog.produce(data, cfg.topic,
               maxFileBytes = cfg.maxFileBytes, txn = cfg.txn,
-              replaceAll = overwrite || replace): Unit
+              replaceAll = overwrite || replace,
+              producerTxn = cfg.producerTxn.map { case (id, e) =>
+                graft.log.Transactions.TxnHandle(cfg.topic.root, id, e) }): Unit
           }
       }
   }
@@ -117,7 +122,10 @@ class PolarWrite(
     txn: Option[(String, Long)] = None,
     queryId: String = "",
     txnRetentionMs: Long = PolarWrite.DefaultTxnRetentionMs,
-    replaceAll: Boolean = false)
+    replaceAll: Boolean = false,
+    // producer transaction (transactional.id, fencing epoch): this batch's
+    // entries register MARKED; Transactions.commit makes them stable
+    producerTxn: Option[(String, Long)] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -135,7 +143,7 @@ class PolarWrite(
 
   override def toBatch: BatchWrite =
     new PolarBatchWrite(cfg, schema, maxFileBytes, txn, txnRetentionMs,
-      replaceAll)
+      replaceAll, producerTxn)
 
   /** SQL-UI observability for produces: segments sealed and records
     * written per task — the write twin of the scan's planned-files/rows
@@ -156,6 +164,9 @@ class PolarWrite(
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "a stream appends to the log; overwrite is a batch INSERT OVERWRITE")
+    require(producerTxn.isEmpty,
+      "transactional.id is a batch-produce option; streaming epochs get " +
+        "exactly-once visibility from their own (queryId, epochId) txn")
     new PolarStreamingWrite(cfg, schema, maxFileBytes,
       if (queryId == null) "" else queryId, txnRetentionMs)
   }
@@ -338,7 +349,14 @@ class PolarBatchWrite(
     // batch's — readers see the old topic or the new one, never a mix.
     // Offsets still CONTINUE from the tails (dense numbering is the log's
     // identity), so checkpoints and consumer groups never see a reuse.
-    replaceAll: Boolean = false) extends BatchWrite {
+    replaceAll: Boolean = false,
+    // producer transaction: entries register marked with this id; the mark
+    // resolves at Transactions.commit/abort. Epoch is the fencing guard.
+    producerTxn: Option[(String, Long)] = None) extends BatchWrite {
+
+  require(producerTxn.isEmpty || (!replaceAll && txn.isEmpty),
+    "transactional.id composes with plain appends only: INSERT OVERWRITE " +
+      "and streaming-sink txns have their own atomicity")
 
   // plan-time snapshot: offset bases ship to the writers; the version is the
   // CAS expectation at commit (concurrent-producer guard)
@@ -371,6 +389,16 @@ class PolarBatchWrite(
       LogMetadata.read(cfg).sinkCommits.get(sinkId).exists(_ >= batchId)
     }
     if (replayed) { abort(messages); return }
+    // producer transaction: verify the handle still owns the id (fencing),
+    // heartbeat it (the timeout measures from last progress), and record
+    // the topic in the transaction DURABLY BEFORE the CAS — so an abort or
+    // crash can always enumerate every topic that might carry marks. The
+    // entries themselves are stamped below, inside the winning attempt.
+    producerTxn.foreach { case (id, epoch) =>
+      graft.log.Transactions.requireOpen(cfg.root, id, epoch)
+      graft.log.Transactions.touchTopic(cfg.root, id, cfg.topic)
+      entries = entries.map(_.copy(txn = Some(id)))
+    }
     // Optimistic commit with rebase-and-retry: a lost CAS means another
     // producer advanced the tails after our plan-time snapshot. Our files
     // carry offsets baked from the stale bases, so the loser REBASES — each
@@ -494,6 +522,24 @@ class PolarBatchWrite(
     // unless the topic's file.delete.delay.ms deferred them to the ledger
     if (replaceAll && overwriteDelayMs == 0L)
       graft.log.PolarLog.quietDelete(doomed.map(_.path(cfg)))
+    // producer transaction: close the requireOpen→CAS race window
+    // deterministically. A timeout abort (or a fencing re-begin) landing
+    // inside it may have swept this topic BEFORE our entries registered —
+    // take them back out and fail loudly. A commit racing an in-flight
+    // produce (a user ordering error Kafka also rejects) resolves benignly:
+    // clear our marks so they cannot outlive their transaction directory.
+    producerTxn.foreach { case (id, epoch) =>
+      graft.log.Transactions.state(cfg.root, id) match {
+        case graft.log.Transactions.Open(e, _, _) if e == epoch => ()
+        case graft.log.Transactions.Committed | graft.log.Transactions.Unknown =>
+          graft.log.Transactions.clearMarks(cfg, id)
+        case _ =>
+          graft.log.Transactions.unregisterMarked(cfg, id)
+          throw new IllegalStateException(
+            s"producer transaction '$id' was aborted or fenced while this " +
+              "produce committed; the produce was rolled back")
+      }
+    }
   }
 
   /** Best-effort delete of rebase-rewritten (rb*) files after a terminal

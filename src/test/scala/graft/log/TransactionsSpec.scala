@@ -1,0 +1,206 @@
+package graft.log
+
+import graft.GraftSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Producer transactions: visibility, fencing, crash convergence (the
+  * kill-mid-txn states recovery must drive to all-or-none), and the
+  * maintenance guards that keep uncommitted segments out of retention,
+  * compaction and the key cleaner. */
+class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_txn_spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(n: Int, tag: String) =
+    spark.range(n).selectExpr("cast(id as string) as partitionKey",
+      "timestamp_micros(id) as timestamp", s"cast(concat('$tag', id) as binary) as value")
+
+  private def rcCount(cfg: TopicConfig): Long =
+    PolarLog.consume(spark, cfg, isolation = "read_committed").count()
+  private def ruCount(cfg: TopicConfig): Long = PolarLog.consume(spark, cfg).count()
+
+  private def txnDirPath(id: String) =
+    new Path(s"${Transactions.dir(root)}/${LogMetadata.hexEncode(id)}")
+  private def fs = new Path(root).getFileSystem(HadoopConf.shared)
+
+  test("commit makes staged produces stable; abort reclaims them (offsets gap)") {
+    val cfg = TopicConfig(root, "t_basic", 1, 2)
+    PolarLog.produce(rows(10, "base"), cfg)
+    val h = Transactions.begin(root, "basic")
+    PolarLog.produce(rows(6, "txn"), cfg, producerTxn = Some(h))
+    assert(rcCount(cfg) === 10L)
+    assert(ruCount(cfg) === 16L)
+    Transactions.commit(h)
+    assert(rcCount(cfg) === 16L)
+    // marks are cleared: the manifests revert below the txn format
+    assert(LogMetadata.read(cfg).files.forall(_.txn.isEmpty))
+    assert(Transactions.state(root, "basic") === Transactions.Unknown)
+    // abort: staged files unregistered AND physically reclaimed; the
+    // offsets stay consumed (a gap), later produces continue past them
+    val h2 = Transactions.begin(root, "basic2")
+    PolarLog.produce(rows(5, "gone"), cfg, producerTxn = Some(h2))
+    val tailsBefore = PolarLog.tails(cfg)
+    Transactions.abort(h2)
+    assert(rcCount(cfg) === 16L)
+    assert(ruCount(cfg) === 16L)
+    assert(PolarLog.tails(cfg) === tailsBefore, "abort must not rewind tails")
+    PolarLog.produce(rows(3, "after"), cfg)
+    assert(ruCount(cfg) === 19L)
+    // the admission walks serve across the abort gap
+    assert(PolarLog.consume(spark, cfg)
+      .filter(col("value").cast("string").startsWith("after")).count() === 3L)
+  }
+
+  test("LSO: committed records behind an open transaction stay held back") {
+    val cfg = TopicConfig(root, "t_lso", 1, 1)
+    PolarLog.produce(rows(4, "a"), cfg)
+    val h = Transactions.begin(root, "lso")
+    PolarLog.produce(rows(4, "b"), cfg, producerTxn = Some(h))
+    PolarLog.produce(rows(4, "c"), cfg) // plain, but beyond the LSO
+    assert(rcCount(cfg) === 4L, "read_committed must stop at the LSO")
+    assert(ruCount(cfg) === 12L)
+    // registry-stat agg pushdown answers from the SAME view
+    val rcDf = spark.read.format("polar").option("root", root)
+      .option("topic", "t_lso").option("clusterSize", "1")
+      .option("rangesPerToken", "1")
+      .option("isolation.level", "read_committed").load()
+    assert(rcDf.agg(count(lit(1))).head.getLong(0) === 4L)
+    Transactions.commit(h)
+    assert(rcCount(cfg) === 12L)
+  }
+
+  test("fencing: a re-begun transactional.id refuses the old handle everywhere") {
+    val cfg = TopicConfig(root, "t_fence", 1, 2)
+    val h1 = Transactions.begin(root, "fence")
+    PolarLog.produce(rows(3, "old"), cfg, producerTxn = Some(h1))
+    val h2 = Transactions.begin(root, "fence") // fences h1, aborts its staging
+    assert(h2.epoch > h1.epoch)
+    assert(ruCount(cfg) === 0L, "fencing must abort the old incarnation's staging")
+    val e1 = intercept[Exception] {
+      PolarLog.produce(rows(1, "z"), cfg, producerTxn = Some(h1)) }
+    assert(e1.getMessage.contains("fenced"), e1.getMessage)
+    intercept[IllegalStateException] { Transactions.commit(h1) }
+    PolarLog.produce(rows(2, "new"), cfg, producerTxn = Some(h2))
+    Transactions.commit(h2)
+    assert(rcCount(cfg) === 2L)
+    // terminal-state sanity: once fully finalized the id reads Unknown —
+    // a second commit refuses (Kafka's "no transaction in progress"), and
+    // abort is a no-op
+    intercept[IllegalStateException] { Transactions.commit(h2) }
+    Transactions.abort(h2) // Unknown: nothing staged, nothing to do
+  }
+
+  test("kill mid-txn converges: timeout abort, torn commit, torn abort") {
+    // 1) crashed producer: open txn with staged data, no marker — the
+    // sweep aborts it once idle past its timeout
+    val cfg = TopicConfig(root, "t_kill", 1, 2)
+    PolarLog.produce(rows(5, "base"), cfg)
+    val h = Transactions.begin(root, "kill", timeoutMs = 60000L)
+    PolarLog.produce(rows(5, "doomed"), cfg, producerTxn = Some(h))
+    assert(Transactions.recover(root) === 0, "within timeout: not touched")
+    // drive the sweep's clock past the timeout instead of sleeping
+    assert(Transactions.recover(root,
+      nowMs = System.currentTimeMillis() + 120000L) === 1)
+    assert(ruCount(cfg) === 5L)
+    assert(Transactions.state(root, "kill") === Transactions.Unknown)
+    // 2) torn COMMIT: marker durable, crash before mark-clearing — readers
+    // already treat the marks as committed; recovery finishes the clearing
+    val h2 = Transactions.begin(root, "kill2")
+    PolarLog.produce(rows(4, "ok"), cfg, producerTxn = Some(h2))
+    val d2 = txnDirPath("kill2")
+    val out = fs.create(new Path(d2, "commit.json"), false)
+    out.write("""{"format":1}""".getBytes("UTF-8")); out.close()
+    assert(rcCount(cfg) === 9L, "commit marker alone decides visibility")
+    assert(Transactions.recover(root) === 1)
+    assert(!fs.exists(d2))
+    assert(LogMetadata.read(cfg).files.forall(_.txn.isEmpty))
+    // 3) torn ABORT: marker durable, entries still registered — readers
+    // exclude them now; recovery unregisters and reclaims
+    val h3 = Transactions.begin(root, "kill3")
+    PolarLog.produce(rows(4, "doom2"), cfg, producerTxn = Some(h3))
+    val d3 = txnDirPath("kill3")
+    val out3 = fs.create(new Path(d3, "abort.json"), false)
+    out3.write("""{"format":1}""".getBytes("UTF-8")); out3.close()
+    assert(rcCount(cfg) === 9L)
+    assert(Transactions.recover(root) === 1)
+    assert(ruCount(cfg) === 9L)
+    assert(!fs.exists(d3))
+  }
+
+  test("marks with a MISSING txn directory read as committed (abort removes entries first)") {
+    val cfg = TopicConfig(root, "t_orphanmark", 1, 1)
+    val h = Transactions.begin(root, "orphan")
+    PolarLog.produce(rows(3, "x"), cfg, producerTxn = Some(h))
+    // simulate the crash window after finalizeCommit cleared... nothing
+    // yet: delete the directory OUT FROM UNDER the open txn (the one state
+    // the invariant must still read safely)
+    fs.delete(txnDirPath("orphan"), true)
+    assert(rcCount(cfg) === 3L, "Unknown state = committed leftovers")
+  }
+
+  test("maintenance guards: retention, size cap, compaction and cleaner skip open-txn segments") {
+    val cfg = TopicConfig(root, "t_guard", 1, 1)
+    PolarLog.produce(rows(8, "old"), cfg)
+    val h = Transactions.begin(root, "guard")
+    PolarLog.produce(rows(8, "staged"), cfg, producerTxn = Some(h))
+    val marked = LogMetadata.read(cfg).files.filter(_.txn.isDefined)
+    assert(marked.nonEmpty)
+    // time retention with cutoff in the future would doom EVERYTHING —
+    // marked entries must survive
+    val aged = PolarLog.cleanRetention(cfg, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 10000L)
+    val after = LogMetadata.read(cfg)
+    assert(after.files.nonEmpty && after.files.forall(_.txn.isDefined),
+      s"retention deleted $aged files but must keep the marked ones")
+    // size-cap walk stops at a marked head file
+    assert(PolarLog.cleanRetentionBytes(cfg, 1L) === 0,
+      "retention.bytes must not delete an open-txn prefix file")
+    // compaction never merges marked runs: both files here are tiny and
+    // adjacent — only the guard keeps the merge count at zero
+    assert(graft.sources.PolarCompaction.compact(spark, cfg) === 0,
+      "marked segments must not form merge runs")
+    Transactions.abort(h)
+  }
+
+  test("abort honors file.delete.delay.ms via the pendingDeletes ledger") {
+    val cfg = TopicConfig(root, "t_delay", 1, 1)
+    PolarLog.produce(rows(3, "base"), cfg)
+    LogMetadata.updateProps(cfg)(_ + (TopicProps.FileDeleteDelayMs -> "600000"))
+    val h = Transactions.begin(root, "delay")
+    PolarLog.produce(rows(3, "held"), cfg, producerTxn = Some(h))
+    val stagedPaths = LogMetadata.read(cfg).files
+      .filter(_.txn.isDefined).map(_.path(cfg))
+    Transactions.abort(h)
+    val meta = LogMetadata.read(cfg)
+    assert(meta.files.forall(_.txn.isEmpty))
+    assert(meta.pendingDeletes.size === stagedPaths.size,
+      "aborted files must enter the deferred-deletion ledger")
+    stagedPaths.foreach(p => assert(fs.exists(new Path(p)),
+      "deferred files stay on disk until vacuum's deadline"))
+  }
+
+  test("admin inventory lists producer transactions with state and age") {
+    val h = Transactions.begin(root, "inv")
+    val listed = Transactions.list(root)
+    assert(listed.exists { case (id, st) =>
+      id == "inv" && st.isInstanceOf[Transactions.Open] })
+    Transactions.abort(h)
+    assert(!Transactions.list(root).exists(_._1 == "inv"))
+  }
+}

@@ -467,6 +467,20 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(two(0) === 20000L, s"exactly two whole files, got ${two(0)}")
   }
 
+  test("admin txns endpoint lists routed journals and producer transactions") {
+    val h = graft.log.Transactions.begin(root, "http-txn")
+    try {
+      val r = get("/v1/admin/txns")
+      assert(r.statusCode() === 200)
+      assert(r.body().contains("\"journals\":["), r.body())
+      assert(r.body().contains("\"id\":\"http-txn\""), r.body())
+      assert(r.body().contains("\"state\":\"open\""), r.body())
+      assert(s""""epoch":${h.epoch}""".r.findFirstIn(r.body()).isDefined, r.body())
+    } finally graft.log.Transactions.abort(h)
+    // resolved transactions disappear from the inventory
+    assert(!get("/v1/admin/txns").body().contains("http-txn"))
+  }
+
   test("register: duplicate topic params dedupe; crafted consumerIds are refused") {
     val topic = "dup"
     (0 until 3).foreach(i =>
