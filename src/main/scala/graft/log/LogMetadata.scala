@@ -588,11 +588,20 @@ object LogMetadata {
     * re-read and replay, like `kafka-configs --alter` which never fails
     * because someone is producing. */
   def updateProps(cfg: TopicConfig, maxAttempts: Int = 5)(
-      f: Map[String, String] => Map[String, String]): Unit = {
+      f: Map[String, String] => Map[String, String]): Unit =
+    casWithRetry(cfg, maxAttempts)(cur => cur.copy(props = f(cur.props)))
+
+  /** CAS-with-retry for updates that COMMUTE with concurrent producers
+    * (props changes, mark clearing, entry removal by identity): losing a
+    * version race is never a real conflict — re-read and replay, like
+    * `kafka-configs --alter` which never fails because someone is
+    * producing. */
+  def casWithRetry(cfg: TopicConfig, maxAttempts: Int = 5)(
+      f: LogMetadata => LogMetadata): Unit = {
     var attempt = 0
     while (true) {
       try {
-        compareAndSet(cfg, read(cfg))(cur => cur.copy(props = f(cur.props)))
+        compareAndSet(cfg, read(cfg))(f)
         return
       } catch {
         case e: ConcurrentMetadataException =>

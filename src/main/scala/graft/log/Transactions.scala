@@ -26,14 +26,16 @@ import org.apache.hadoop.fs.Path
  *    (Kafka's last-stable-offset rule). Aborted-but-unreclaimed files are
  *    excluded outright; their offsets become gaps, exactly like Kafka's
  *    aborted records.
- *  - COMMIT writes a `commit.json` marker (the commit point — one atomic
- *    create), then clears the marks topic-by-topic through the normal CAS
- *    and drops the transaction directory. A crash mid-finalize is safe:
+ *  - COMMIT and ABORT race through ONE arbiter: the exclusive create of
+ *    `terminal.json` ([[decideTerminal]]) — the first writer's kind
+ *    stands, the loser follows it. COMMIT's marker (the commit point)
+ *    then clears the marks topic-by-topic through the normal CAS and
+ *    drops the transaction directory. A crash mid-finalize is safe:
  *    readers treat marked entries whose transaction shows a commit marker
  *    — or whose directory is GONE (abort removes entries before the
  *    directory, so surviving marks can only be committed) — as committed;
  *    the sweep's [[recover]] finishes the mark-clearing.
- *  - ABORT writes `abort.json`, unregisters every marked entry via CAS
+ *  - ABORT wins the arbiter, unregisters every marked entry via CAS
  *    (offsets stay consumed — a dense-offset gap, handled by the
  *    admission walks' gap jumps), reclaims the files (through the
  *    `file.delete.delay.ms` ledger when the topic defers deletes), and
@@ -51,7 +53,9 @@ import org.apache.hadoop.fs.Path
  * State lives under `{root}/_polar_txn_producers/<hex(id)>/`:
  * `open.json` (epoch, timeout) → `t-<topic>.json` touch files (written
  * BEFORE each produce's CAS, so every marked entry's topic is always
- * discoverable) → `commit.json` | `abort.json` marker → directory removed.
+ * discoverable) → `terminal.json` (exclusive-create arbiter, kind
+ * commit|abort) → directory removed (open.json first, so a concurrent
+ * [[state]] never reads a finalizing txn as freshly open).
  */
 object Transactions {
 
@@ -107,25 +111,91 @@ object Transactions {
   private def lockFor(root: String, txnId: String): Object =
     locks.computeIfAbsent(s"$root#$txnId", _ => new Object)
 
+  private val KindRe = """"kind"\s*:\s*"(\w+)"""".r
+
+  /** The kind standing in `terminal.json`, retried briefly: a just-created
+    * marker may be momentarily empty (create precedes the content write). */
+  private def terminalKind(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] = {
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        if (!fs.exists(p)) return None
+        val k = KindRe.findFirstMatchIn(readSmall(fs, p)).map(_.group(1))
+        if (k.isDefined) return k
+      } catch { case _: java.io.IOException => () }
+      attempt += 1
+      Thread.sleep(10)
+    }
+    None
+  }
+
+  /** The ATOMIC commit-vs-abort arbiter: exclusive-create `terminal.json`
+    * with `kind`; the FIRST writer's kind stands and is returned — a loser
+    * reads the winner's kind and must follow it. This closes the
+    * commit-racing-timeout-abort window: once either side's marker is
+    * durable the other side cannot half-apply its own decision. (Same-JVM
+    * races are additionally serialized by [[lockFor]]; the exclusive
+    * create is the cross-process guard.) */
+  private def decideTerminal(
+      root: String, txnId: String, kind: String, reason: String): String = {
+    val p = new Path(txnPath(root, txnId), "terminal.json")
+    val fs = fsOf(p)
+    try {
+      val out = fs.create(p, false)
+      try out.write(
+        (s"""{"format":1,"kind":"$kind","reason":"$reason",""" +
+          s""""ms":${System.currentTimeMillis()}}""").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      kind
+    } catch {
+      case _: java.io.IOException => terminalKind(fs, p).getOrElse(kind)
+    }
+  }
+
   def state(root: String, txnId: String): TxnState = {
     val d = txnPath(root, txnId)
     val fs = fsOf(d)
-    if (!fs.exists(d)) return Unknown
-    // abort wins when both markers exist (a commit racing a timeout abort):
-    // the aborting side may already be reclaiming files
-    if (fs.exists(new Path(d, "abort.json"))) return Aborted
-    if (fs.exists(new Path(d, "commit.json"))) return Committed
-    val openP = new Path(d, "open.json")
-    if (!fs.exists(openP)) return Aborted // torn begin: nothing can have staged
-    val text = readSmall(fs, openP)
-    def longOf(name: String, dflt: Long) =
-      s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
-        .map(_.group(1).toLong).getOrElse(dflt)
-    val anchor = (Seq(fs.getFileStatus(openP).getModificationTime) ++
-      (if (fs.exists(new Path(d, "hb")))
-        Seq(fs.getFileStatus(new Path(d, "hb")).getModificationTime)
-      else Seq.empty)).max
-    Open(longOf("epoch", 1L), anchor, longOf("timeoutMs", DefaultTimeoutMs))
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(d)) return Unknown
+        terminalKind(fs, new Path(d, "terminal.json")) match {
+          case Some("commit") => return Committed
+          case Some(_) => return Aborted
+          case None =>
+            val openP = new Path(d, "open.json")
+            if (!fs.exists(openP)) {
+              // finalize deletes open.json BEFORE the directory, so this
+              // state is either a torn begin (nothing staged) or a
+              // finalize already past its mark-resolution — Aborted is
+              // safe for both (recover's Aborted handling is idempotent)
+              return if (fs.exists(d)) Aborted else Unknown
+            }
+            val text = readSmall(fs, openP)
+            def longOf(name: String, dflt: Long) =
+              s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
+                .map(_.group(1).toLong).getOrElse(dflt)
+            val anchor = (Seq(fs.getFileStatus(openP).getModificationTime) ++
+              (if (fs.exists(new Path(d, "hb")))
+                Seq(fs.getFileStatus(new Path(d, "hb")).getModificationTime)
+              else Seq.empty)).max
+            return Open(longOf("epoch", 1L), anchor, longOf("timeoutMs", DefaultTimeoutMs))
+        }
+      } catch {
+        // a concurrent finalize can delete files between the probes: if
+        // the directory itself is gone the answer is Unknown; a still-
+        // present directory retries (transient), then propagates
+        case e: java.io.IOException =>
+          if (!(try fs.exists(d) catch { case _: java.io.IOException => true }))
+            return Unknown
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Start (or fence-and-restart) the transaction `txnId`. An existing
@@ -142,9 +212,14 @@ object Transactions {
       require(timeoutMs > 0, s"transaction timeout must be positive, got $timeoutMs")
       val prevEpoch = state(root, txnId) match {
         case Open(e, _, _) =>
-          writeFile(new Path(txnPath(root, txnId), "abort.json"),
-            s"""{"format":1,"reason":"fenced"}""", overwrite = true)
-          finalizeAbort(root, txnId); e
+          // fence the zombie — but an already-won commit stands (the
+          // arbiter decides; a fencing begin must not roll back a commit
+          // whose marker landed first)
+          decideTerminal(root, txnId, "abort", "fenced") match {
+            case "commit" => finalizeCommit(root, txnId)
+            case _ => finalizeAbort(root, txnId)
+          }
+          e
         case Committed => finalizeCommit(root, txnId); 0L
         case Aborted => finalizeAbort(root, txnId); 0L
         case Unknown => 0L
@@ -199,21 +274,8 @@ object Transactions {
     LogMetadata.readIfExists(TopicConfig(root, topic)).map(m =>
       TopicConfig(root, topic, m.clusterSize, m.rangesPerToken))
 
-  private def casRetry(cfg: TopicConfig, maxAttempts: Int = 8)(
-      f: LogMetadata => LogMetadata): Unit = {
-    var attempt = 0
-    while (true) {
-      try {
-        LogMetadata.compareAndSet(cfg, LogMetadata.read(cfg))(f)
-        return
-      } catch {
-        case e: ConcurrentMetadataException =>
-          attempt += 1
-          if (attempt >= maxAttempts) throw e
-          Thread.sleep(10L * attempt)
-      }
-    }
-  }
+  private def casRetry(cfg: TopicConfig)(f: LogMetadata => LogMetadata): Unit =
+    LogMetadata.casWithRetry(cfg, maxAttempts = 8)(f)
 
   /** Make the transaction's produces durable-visible to `read_committed`:
     * write the commit point, clear the marks, drop the directory. The
@@ -223,16 +285,14 @@ object Transactions {
   def commit(h: TxnHandle): Unit = lockFor(h.root, h.txnId).synchronized {
     state(h.root, h.txnId) match {
       case Open(e, _, _) if e == h.epoch =>
-        writeFile(new Path(txnPath(h.root, h.txnId), "commit.json"),
-          s"""{"format":1,"epoch":$e,"commitMs":${System.currentTimeMillis()}}""",
-          overwrite = false)
-        // a timeout abort may have raced the marker write cross-process:
-        // abort wins (its reclamation may already run) — surface it
-        state(h.root, h.txnId) match {
-          case Aborted => throw new IllegalStateException(
+        // the arbiter decides: if a timeout abort won the race, its
+        // reclamation may already be running — surface it, never
+        // half-apply a commit over it
+        decideTerminal(h.root, h.txnId, "commit", "explicit") match {
+          case "commit" => finalizeCommit(h.root, h.txnId)
+          case _ => throw new IllegalStateException(
             s"transaction '${h.txnId}' was aborted (timed out?) before the " +
               "commit point landed; its produces are rolled back")
-          case _ => finalizeCommit(h.root, h.txnId)
         }
       case Open(e, _, _) => throw new IllegalStateException(
         s"producer fenced: transactional.id '${h.txnId}' was re-begun " +
@@ -248,9 +308,11 @@ object Transactions {
   def abort(h: TxnHandle): Unit = lockFor(h.root, h.txnId).synchronized {
     state(h.root, h.txnId) match {
       case Open(e, _, _) if e == h.epoch =>
-        writeFile(new Path(txnPath(h.root, h.txnId), "abort.json"),
-          s"""{"format":1,"epoch":$e}""", overwrite = true)
-        finalizeAbort(h.root, h.txnId)
+        decideTerminal(h.root, h.txnId, "abort", "explicit") match {
+          case "commit" => throw new IllegalStateException(
+            s"transaction '${h.txnId}' already committed; abort is impossible")
+          case _ => finalizeAbort(h.root, h.txnId)
+        }
       case Open(e, _, _) => throw new IllegalStateException(
         s"producer fenced: transactional.id '${h.txnId}' was re-begun " +
           s"(epoch $e, this producer holds ${h.epoch})")
@@ -273,13 +335,23 @@ object Transactions {
       })
     }
 
+  /** Marks resolved → open.json deleted → directory deleted. The explicit
+    * open.json delete keeps [[state]] deterministic under a concurrent
+    * recursive delete: no observable window reads a finalizing txn as
+    * freshly Open. */
+  private def dropDir(root: String, txnId: String): Unit = {
+    val d = txnPath(root, txnId)
+    val fs = fsOf(d)
+    try { val p = new Path(d, "open.json"); if (fs.exists(p)) fs.delete(p, false) }
+    catch { case _: java.io.IOException => () }
+    if (fs.exists(d)) fs.delete(d, true): Unit
+  }
+
   private def finalizeCommit(root: String, txnId: String): Unit = {
     touchedTopics(root, txnId).foreach { t =>
       topicCfg(root, t).foreach(clearMarks(_, txnId))
     }
-    val d = txnPath(root, txnId)
-    val fs = fsOf(d)
-    if (fs.exists(d)) fs.delete(d, true): Unit
+    dropDir(root, txnId)
   }
 
   /** Unregister and reclaim every entry `txnId` marked in `cfg` — the
@@ -309,9 +381,33 @@ object Transactions {
     touchedTopics(root, txnId).foreach { t =>
       topicCfg(root, t).foreach(unregisterMarked(_, txnId))
     }
-    val d = txnPath(root, txnId)
-    val fs = fsOf(d)
-    if (fs.exists(d)) fs.delete(d, true): Unit
+    dropDir(root, txnId)
+  }
+
+  /** Unregister EXACTLY these (part, name) entries and reclaim their
+    * files (deferred through the ledger when the topic defers deletes) —
+    * the produce path's compensation: it removes only the entries THAT
+    * PRODUCE registered, never another incarnation's staging under the
+    * same transactional.id. */
+  private[graft] def unregisterEntries(
+      cfg: TopicConfig, keys: Set[(Int, String)]): Unit = {
+    if (keys.isEmpty) return
+    var removed: Vector[FileEntry] = Vector.empty
+    var delayMs = 0L
+    casRetry(cfg) { cur =>
+      removed = cur.filesByPart.valuesIterator.flatten
+        .filter(f => keys((f.part, f.name))).toVector
+      delayMs = PolarLog.fileDeleteDelayMs(cur.props)
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, fs) =>
+        p -> fs.filterNot(f => keys((f.part, f.name)))
+      })
+      if (delayMs > 0L && removed.nonEmpty) {
+        val now = System.currentTimeMillis()
+        next.copy(pendingDeletes = next.pendingDeletes ++ removed.map(f =>
+          PendingDelete(f.part, f.name, PolarLog.dueAt(now, delayMs))))
+      } else next
+    }
+    if (delayMs == 0L) PolarLog.quietDelete(removed.map(_.path(cfg)))
   }
 
   /** Every transaction directory under `root` with its state — the admin
@@ -339,9 +435,12 @@ object Transactions {
           case Committed => finalizeCommit(root, id); resolved += 1
           case Aborted => finalizeAbort(root, id); resolved += 1
           case Open(_, anchor, timeoutMs) if nowMs - anchor > timeoutMs =>
-            writeFile(new Path(txnPath(root, id), "abort.json"),
-              s"""{"format":1,"reason":"timeout"}""", overwrite = true)
-            finalizeAbort(root, id)
+            // the coordinator's timeout abort goes through the arbiter: a
+            // commit whose marker landed first stands and gets finished
+            decideTerminal(root, id, "abort", "timeout") match {
+              case "commit" => finalizeCommit(root, id)
+              case _ => finalizeAbort(root, id)
+            }
             resolved += 1
           case _ => () // live and within its timeout
         }

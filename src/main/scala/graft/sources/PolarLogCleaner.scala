@@ -224,12 +224,21 @@ object PolarLogCleaner {
 
     val dirtyRegionRows = PolarLog.consumeFiles(spark, cfg, regionDirty)
     val kcRows = PolarLog.consumeFiles(spark, cfg, regionKc)
-    // open-transaction heads are excluded from the winner map: uncommitted
-    // records must not supersede committed ones (an abort would resurrect
-    // the keys they cleaned away) — Kafka's clean-below-LSO rule
+    // heads at or beyond a partition's LSO are excluded from the winner
+    // map: that covers the open-transaction head itself AND any plain head
+    // sitting ABOVE an open-transaction mid-region segment — records
+    // beyond the LSO must not supersede pre-LSO committed values (an
+    // abort-then-read_committed sequence would otherwise find a key with
+    // its old value cleaned away and its new one held back) — Kafka's
+    // clean-below-LSO rule
+    val lsoByPart: Map[Int, Long] = meta.filesByPart.map { case (p, fs) =>
+      p -> fs.iterator.filter(_.txn.isDefined).map(_.minOffset)
+        .minOption.getOrElse(Long.MaxValue)
+    }
     val winners = PolarLog.consumeFiles(spark, cfg,
         if (minLag.isDefined) regionDirty
-        else regionDirty ++ heads.filter(_.txn.isEmpty))
+        else regionDirty ++ heads.filter(h =>
+          h.minOffset < lsoByPart.getOrElse(h.part, Long.MaxValue)))
       .filter(col("partitionKey").isNotNull)
       .groupBy(col("part").as("wp"), col("partitionKey").as("wk"))
       .agg(max(col("offset")).as("wo"))

@@ -440,6 +440,14 @@ class PolarBatchWrite(
         try {
           LogMetadata.compareAndSet(cfg, expected) { cur =>
             if (replaceAll) {
+              // an overwrite must not silently destroy another producer's
+              // OPEN transaction (its later commit would report success
+              // over vanished data) — refuse while marks exist; the owner
+              // resolves (or the sweep times out) and the overwrite retries
+              require(cur.files.forall(_.txn.isEmpty),
+                s"INSERT OVERWRITE of ${cfg.topic} refused: open producer " +
+                  "transactions hold staged segments here; commit/abort " +
+                  "them (or let the sweep time them out) first")
               doomed = cur.files
               overwriteDelayMs = graft.log.PolarLog.fileDeleteDelayMs(cur.props)
             }
@@ -523,21 +531,23 @@ class PolarBatchWrite(
     if (replaceAll && overwriteDelayMs == 0L)
       graft.log.PolarLog.quietDelete(doomed.map(_.path(cfg)))
     // producer transaction: close the requireOpen→CAS race window
-    // deterministically. A timeout abort (or a fencing re-begin) landing
-    // inside it may have swept this topic BEFORE our entries registered —
-    // take them back out and fail loudly. A commit racing an in-flight
-    // produce (a user ordering error Kafka also rejects) resolves benignly:
-    // clear our marks so they cannot outlive their transaction directory.
+    // deterministically. If the transaction is no longer open under OUR
+    // epoch — aborted (timeout/fencing, whose sweep may have run BEFORE
+    // our entries registered), committed mid-flight (a user ordering
+    // error Kafka also rejects), or fully finalized — this produce cannot
+    // legally belong to any resolved state: take back EXACTLY the entries
+    // this produce registered (by name — never another incarnation's
+    // staging under the same id) and fail loudly. Kafka's contract too:
+    // sends racing commitTransaction/abortTransaction are errors.
     producerTxn.foreach { case (id, epoch) =>
       graft.log.Transactions.state(cfg.root, id) match {
         case graft.log.Transactions.Open(e, _, _) if e == epoch => ()
-        case graft.log.Transactions.Committed | graft.log.Transactions.Unknown =>
-          graft.log.Transactions.clearMarks(cfg, id)
-        case _ =>
-          graft.log.Transactions.unregisterMarked(cfg, id)
+        case other =>
+          graft.log.Transactions.unregisterEntries(cfg,
+            entries.map(f => (f.part, f.name)).toSet)
           throw new IllegalStateException(
-            s"producer transaction '$id' was aborted or fenced while this " +
-              "produce committed; the produce was rolled back")
+            s"producer transaction '$id' left the open state ($other) while " +
+              "this produce committed; the produce was rolled back")
       }
     }
   }

@@ -124,8 +124,8 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h2 = Transactions.begin(root, "kill2")
     PolarLog.produce(rows(4, "ok"), cfg, producerTxn = Some(h2))
     val d2 = txnDirPath("kill2")
-    val out = fs.create(new Path(d2, "commit.json"), false)
-    out.write("""{"format":1}""".getBytes("UTF-8")); out.close()
+    val out = fs.create(new Path(d2, "terminal.json"), false)
+    out.write("""{"format":1,"kind":"commit"}""".getBytes("UTF-8")); out.close()
     assert(rcCount(cfg) === 9L, "commit marker alone decides visibility")
     assert(Transactions.recover(root) === 1)
     assert(!fs.exists(d2))
@@ -135,8 +135,8 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h3 = Transactions.begin(root, "kill3")
     PolarLog.produce(rows(4, "doom2"), cfg, producerTxn = Some(h3))
     val d3 = txnDirPath("kill3")
-    val out3 = fs.create(new Path(d3, "abort.json"), false)
-    out3.write("""{"format":1}""".getBytes("UTF-8")); out3.close()
+    val out3 = fs.create(new Path(d3, "terminal.json"), false)
+    out3.write("""{"format":1,"kind":"abort"}""".getBytes("UTF-8")); out3.close()
     assert(rcCount(cfg) === 9L)
     assert(Transactions.recover(root) === 1)
     assert(ruCount(cfg) === 9L)
@@ -193,6 +193,78 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "aborted files must enter the deferred-deletion ledger")
     stagedPaths.foreach(p => assert(fs.exists(new Path(p)),
       "deferred files stay on disk until vacuum's deadline"))
+  }
+
+  test("arbiter: an abort marker that landed first beats a later commit call") {
+    val cfg = TopicConfig(root, "t_arb", 1, 1)
+    val h = Transactions.begin(root, "arb")
+    PolarLog.produce(rows(3, "r"), cfg, producerTxn = Some(h))
+    // a cross-process timeout abort won the terminal race
+    val out = fs.create(new Path(txnDirPath("arb"), "terminal.json"), false)
+    out.write("""{"format":1,"kind":"abort","reason":"timeout"}""".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] { Transactions.commit(h) }
+    assert(e.getMessage.contains("Aborted") || e.getMessage.contains("aborted"),
+      e.getMessage)
+    assert(Transactions.recover(root) === 1)
+    assert(ruCount(cfg) === 0L, "the abort decision must be fully applied")
+  }
+
+  test("INSERT OVERWRITE refuses while open transactions hold staged segments") {
+    val cfg = TopicConfig(root, "t_ow", 1, 1)
+    PolarLog.produce(rows(3, "base"), cfg)
+    val h = Transactions.begin(root, "ow")
+    PolarLog.produce(rows(2, "staged"), cfg, producerTxn = Some(h))
+    val e = intercept[Exception] {
+      PolarLog.produce(rows(1, "new"), cfg, replaceAll = true) }
+    assert(e.getMessage != null && e.getMessage.contains("refused"),
+      s"unexpected: ${e.getMessage}")
+    // the staged transaction is intact and still commits
+    Transactions.commit(h)
+    assert(rcCount(cfg) === 5L)
+    // with the transaction resolved the overwrite proceeds
+    PolarLog.produce(rows(1, "new"), cfg, replaceAll = true)
+    assert(ruCount(cfg) === 1L)
+  }
+
+  test("cleaner winner map stops at the LSO: a plain head above an open txn never supersedes") {
+    val cfg = TopicConfig(root, "t_lsoclean", 1, 1)
+    LogMetadata.write(cfg, LogMetadata.empty(cfg)
+      .copy(props = Map(TopicProps.CleanupPolicy -> "compact")))
+    def kv(k: String, v: String) = spark.sql(
+      s"SELECT '$k' as partitionKey, timestamp_micros(1) as timestamp, " +
+        s"cast('$v' as binary) as value")
+    PolarLog.produce(kv("K", "v1").unionAll(kv("other", "x")), cfg) // region
+    val h = Transactions.begin(root, "lsoclean")
+    PolarLog.produce(kv("pad", "p"), cfg, producerTxn = Some(h))    // marked
+    PolarLog.produce(kv("K", "v2"), cfg)                            // head, beyond LSO
+    graft.sources.PolarLogCleaner.cleanKeys(spark, cfg)
+    // K=v1 is the latest COMMITTED pre-LSO value: the beyond-LSO head's
+    // v2 must not have superseded it in the rewrite
+    val v1Alive = PolarLog.consume(spark, cfg)
+      .filter(col("value").cast("string") === "v1").count()
+    assert(v1Alive === 1L,
+      "pre-LSO committed value was cleaned away by a beyond-LSO winner")
+    // and read_committed still resolves K (to v1) while the txn is open
+    val rcK = PolarLog.consume(spark, cfg, isolation = "read_committed")
+      .filter(col("partitionKey") === "K")
+      .select(col("value").cast("string")).collect().map(_.getString(0))
+    assert(rcK.toSeq === Seq("v1"))
+    Transactions.abort(h)
+  }
+
+  test("unregisterEntries removes exactly the named entries (the compensation op)") {
+    val cfg = TopicConfig(root, "t_comp", 1, 1)
+    PolarLog.produce(rows(3, "a"), cfg)
+    PolarLog.produce(rows(3, "b"), cfg)
+    val files = LogMetadata.read(cfg).files
+    assert(files.size === 2)
+    val victim = files.last
+    Transactions.unregisterEntries(cfg, Set((victim.part, victim.name)))
+    val after = LogMetadata.read(cfg).files
+    assert(after.map(_.name) === files.init.map(_.name))
+    assert(!fs.exists(new Path(victim.path(cfg))))
+    assert(ruCount(cfg) === 3L)
   }
 
   test("admin inventory lists producer transactions with state and age") {
