@@ -55,7 +55,8 @@ private[sources] object PolarMetaTables {
           f.count, f.bytes, f.createdMs,
           if (f.tsMin == Long.MinValue) null else f.tsMin,
           if (f.tsMax == Long.MaxValue) null else f.tsMax,
-          if (f.tsNulls < 0) null else f.tsNulls))
+          if (f.tsNulls < 0) null else f.tsNulls,
+          f.txn.map(UTF8String.fromString).orNull))
       }
     }
     case "history" => table(cfg, "history", HistorySchema, snap) { _ =>
@@ -101,7 +102,10 @@ private[sources] object PolarMetaTables {
     // null = unknown (legacy pre-stats manifest entries / all-null files)
     StructField("ts_min", LongType, nullable = true),
     StructField("ts_max", LongType, nullable = true),
-    StructField("ts_nulls", LongType, nullable = true)))
+    StructField("ts_nulls", LongType, nullable = true),
+    // producer-transaction mark (null = plain committed segment): the SQL
+    // face of "which segments does an unresolved transaction still hold"
+    StructField("txn", StringType, nullable = true)))
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
