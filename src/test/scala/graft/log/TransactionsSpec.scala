@@ -267,6 +267,36 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ruCount(cfg) === 3L)
   }
 
+  test("a read_committed STREAM stops at the LSO and resumes past it after commit") {
+    val cfg = TopicConfig(root, "t_stream_rc", 1, 2)
+    PolarLog.produce(rows(6, "base"), cfg)
+    val h = Transactions.begin(root, "streamrc")
+    PolarLog.produce(rows(4, "staged"), cfg, producerTxn = Some(h))
+    val ckpt = Files.createTempDirectory("txn_rc_ckpt").toString
+    val served = new java.util.concurrent.atomic.AtomicLong()
+    def drain(): Long = {
+      val q = spark.readStream.format("polar")
+        .option("root", root).option("topic", "t_stream_rc")
+        .option("clusterSize", "1").option("rangesPerToken", "2")
+        .option("startingOffsets", "earliest")
+        .option("isolation.level", "read_committed")
+        .load()
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          served.addAndGet(b.count()): Unit
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      served.get()
+    }
+    assert(drain() === 6L, "an open transaction's records must not stream")
+    Transactions.commit(h)
+    assert(drain() === 10L,
+      "after commit the stream resumes from its checkpoint past the old LSO")
+  }
+
   test("admin inventory lists producer transactions with state and age") {
     val h = Transactions.begin(root, "inv")
     val listed = Transactions.list(root)
