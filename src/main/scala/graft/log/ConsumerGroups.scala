@@ -95,15 +95,31 @@ object ConsumerGroups {
       cfg: TopicConfig,
       group: String,
       policy: ResetPolicy = Latest,
-      maxBytes: Option[Long] = None): Poll = {
+      maxBytes: Option[Long] = None,
+      // Kafka's CONSUMER isolation.level: read_committed polls resolve
+      // producer-transaction marks and stop at the LSO — one registry
+      // view drives tails, admission AND the scan, so they always agree
+      isolation: String = "read_uncommitted"): Poll = {
     val start = startingOffsets(cfg, group, policy)
-    val tails = PolarLog.tails(cfg)
+    val meta = readView(cfg, isolation)
+    val tails = meta.producerOffsets.zipWithIndex.map(_.swap).toMap
     val end = maxBytes match {
-      case Some(cap) => byteCapEnd(LogMetadata.read(cfg), start, tails, cap)
+      case Some(cap) => byteCapEnd(meta, start, tails, cap)
       case None => tails
     }
-    val records = PolarLog.consume(spark, cfg, startOffsets = start, endOffsets = end)
+    val records = PolarLog.consumeAt(spark, cfg, meta,
+      startOffsets = start, endOffsets = end)
     Poll(records, end)
+  }
+
+  /** The isolation-resolved registry view one poll round plans against. */
+  private[graft] def readView(cfg: TopicConfig, isolation: String): LogMetadata = {
+    require(isolation == "read_uncommitted" || isolation == "read_committed",
+      s"isolation must be 'read_uncommitted' or 'read_committed', got '$isolation'")
+    val meta = LogMetadata.read(cfg)
+    if (isolation == "read_committed")
+      Transactions.readCommittedView(cfg.root, meta)
+    else meta
   }
 
   /**
@@ -243,12 +259,15 @@ object ConsumerGroups {
       group: String,
       memberId: String,
       memberIds: Seq[String],
-      policy: ResetPolicy = Latest): Poll = {
+      policy: ResetPolicy = Latest,
+      isolation: String = "read_uncommitted"): Poll = {
     val mine = assignment(cfg, memberIds).getOrElse(memberId,
       throw new IllegalArgumentException(s"$memberId not in member list")).toSet
     val start = startingOffsets(cfg, group, policy)
-    val end = PolarLog.tails(cfg).filter { case (p, _) => mine.contains(p) }
-    val records = PolarLog.consume(spark, cfg,
+    val meta = readView(cfg, isolation)
+    val end = meta.producerOffsets.zipWithIndex.map(_.swap).toMap
+      .filter { case (p, _) => mine.contains(p) }
+    val records = PolarLog.consumeAt(spark, cfg, meta,
         startOffsets = start, endOffsets = end)
       .filter(org.apache.spark.sql.functions.col("part")
         .isInCollection(mine.toSeq.map(Integer.valueOf)))

@@ -37,13 +37,14 @@ object TopicOps {
       spark: SparkSession,
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
-      endOffsets: Map[Int, Long] = Map.empty): Dataset[String] = {
+      endOffsets: Map[Int, Long] = Map.empty,
+      isolation: String = "read_uncommitted"): Dataset[String] = {
     import spark.implicits._
     val ranges = cfg.rangesPerToken
     val brokerTokens = (0 until cfg.clusterSize)
       .map(i => TokenMath.tokenAtIndex(cfg.clusterSize, i))
     val tokenOf = udfFreeTokenMap(brokerTokens, ranges)
-    PolarLog.consume(spark, cfg, startOffsets, endOffsets)
+    PolarLog.consume(spark, cfg, startOffsets, endOffsets, isolation)
       .groupBy(col("part"))
       .agg(min(col("offset")).as("startOffset"),
         sort_array(collect_list(struct(col("offset"),
@@ -89,7 +90,8 @@ object TopicOps {
       spark: SparkSession,
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
-      endOffsets: Map[Int, Long] = Map.empty): Dataset[String] = {
+      endOffsets: Map[Int, Long] = Map.empty,
+      isolation: String = "read_uncommitted"): Dataset[String] = {
     import spark.implicits._
     val ranges = cfg.rangesPerToken
     val tokenHex = array((0 until cfg.clusterSize).map(i =>
@@ -99,7 +101,7 @@ object TopicOps {
       hexI64(unix_micros(col("timestamp"))),
       lpad(hex(length(col("value"))), 8, "0"),
       hex(col("value")))
-    PolarLog.consume(spark, cfg, startOffsets, endOffsets)
+    PolarLog.consume(spark, cfg, startOffsets, endOffsets, isolation)
       .withColumn("__rec", struct(col("offset"), recHex.as("h"),
         (length(col("value")) + 12L).as("bytes")))
       .groupBy(col("part"))

@@ -537,11 +537,18 @@ class PolarHttpServer(
       case Some("startFromEarliest") => ConsumerGroups.Earliest
       case _ => ConsumerGroups.Latest
     }
+    // Kafka's consumer isolation.level: read_committed polls resolve
+    // producer-transaction marks and stop at each partition's LSO
+    val isolation = q.get("isolation").flatMap(_.headOption)
+      .getOrElse("read_uncommitted")
+    if (isolation != "read_uncommitted" && isolation != "read_committed")
+      throw HttpError(400,
+        "isolation must be read_uncommitted or read_committed")
     // registration pins the group's start per topic (idempotent: an existing
     // committed state wins over the policy default)
     topics.foreach(t => ConsumerGroups.startingOffsets(cfgOf(t), group, policy))
     consumers.put(consumerId,
-      Registered(consumerId, group, topics, policy, Map.empty))
+      Registered(consumerId, group, topics, policy, Map.empty, isolation))
     lastSeen.put(consumerId, System.currentTimeMillis())
     respond(ex, 200, "")
   }
@@ -762,7 +769,12 @@ class PolarHttpServer(
       val cfg = cfgOf(topic)
       val mine = ConsumerGroups.assignment(cfg, members)(r.consumerId).toSet
       val start = ConsumerGroups.startingOffsets(cfg, r.group, r.policy)
-      val tails = PolarLog.tails(cfg)
+      // ONE isolation-resolved registry view per topic per poll: tails,
+      // admission and the scan all answer from it (a read_committed
+      // consumer's tails are its LSOs) — also one root read where this
+      // previously took two
+      val meta = ConsumerGroups.readView(cfg, r.isolation)
+      val tails = meta.producerOffsets.zipWithIndex.map(_.swap).toMap
       // non-assigned partitions get an empty [start, start) window
       val end0 = tails.map { case (p, t) =>
         p -> (if (mine.contains(p)) t else start.getOrElse(p, 0L))
@@ -770,7 +782,6 @@ class PolarHttpServer(
       // byte-bounded chunk per poll — the reference's ConsumerReadThreshold
       // (2 MiB, `internal/conf/config.go:278-280`); the rest is served by
       // subsequent polls after auto-commit
-      val meta = graft.log.LogMetadata.read(cfg)
       val end1 =
         if (maxPollBytes > 0)
           ConsumerGroups.byteCapEnd(meta, start, end0, maxPollBytes)
@@ -784,8 +795,10 @@ class PolarHttpServer(
       else {
         servedPending += topic -> servedEnd
         val items =
-          if (json) TopicOps.pollJson(spark, cfg, start, end).collect().toSeq
-          else TopicOps.pollBinary(spark, cfg, start, end).collect().toSeq
+          if (json) TopicOps.pollJson(spark, cfg, start, end, r.isolation)
+            .collect().toSeq
+          else TopicOps.pollBinary(spark, cfg, start, end, r.isolation)
+            .collect().toSeq
         if (countBudget != Long.MaxValue) countBudget -= items.size
         topic -> items
       }
@@ -835,7 +848,9 @@ object PolarHttpServer {
       group: String,
       topics: Seq[String],
       policy: ConsumerGroups.ResetPolicy,
-      pending: Map[String, Map[Int, Long]])
+      pending: Map[String, Map[Int, Long]],
+      // Kafka's consumer isolation.level, fixed at registration
+      isolation: String = "read_uncommitted")
 
   /** Minimal JSON string escaping for user-supplied values interpolated
     * into hand-rolled response bodies (quotes, backslashes, controls). */

@@ -297,6 +297,29 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "after commit the stream resumes from its checkpoint past the old LSO")
   }
 
+  test("group polls honor the consumer isolation.level (tails = LSO)") {
+    val cfg = TopicConfig(root, "t_poll_rc", 1, 2)
+    PolarLog.produce(rows(6, "base"), cfg)
+    val h = Transactions.begin(root, "pollrc")
+    PolarLog.produce(rows(4, "staged"), cfg, producerTxn = Some(h))
+    PolarLog.produce(rows(2, "behind"), cfg) // committed, beyond the LSO
+    // read_committed: only the pre-LSO records; the poll's end offsets ARE
+    // the LSOs, so committing them never skips the held-back records
+    val rc = ConsumerGroups.poll(spark, cfg, "g_rc",
+      ConsumerGroups.Earliest, isolation = "read_committed")
+    assert(rc.records.count() === 6L)
+    ConsumerGroups.commit(cfg, "g_rc", rc.nextOffsets)
+    // default consumer of the same topic sees everything
+    val ru = ConsumerGroups.poll(spark, cfg, "g_ru", ConsumerGroups.Earliest)
+    assert(ru.records.count() === 12L)
+    Transactions.commit(h)
+    // after commit the read_committed group resumes from its committed
+    // position and drains the rest — nothing lost, nothing reserved
+    val rc2 = ConsumerGroups.poll(spark, cfg, "g_rc",
+      ConsumerGroups.Earliest, isolation = "read_committed")
+    assert(rc2.records.count() === 6L)
+  }
+
   test("admin inventory lists producer transactions with state and age") {
     val h = Transactions.begin(root, "inv")
     val listed = Transactions.list(root)

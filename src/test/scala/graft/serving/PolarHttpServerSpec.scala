@@ -467,6 +467,36 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(two(0) === 20000L, s"exactly two whole files, got ${two(0)}")
   }
 
+  test("register with isolation=read_committed: polls exclude open-transaction records") {
+    val topic = "isoc"
+    post(s"/v1/topic/$topic/messages?partitionKey=k1", "committed".getBytes(UTF_8))
+    val cfg = graft.log.TopicConfig(root, topic)
+    val h = graft.log.Transactions.begin(root, "http-iso")
+    try {
+      graft.log.PolarLog.produce(
+        spark.sql("SELECT 'k1' as partitionKey, timestamp_micros(1) as timestamp, " +
+          "cast('staged' as binary) as value"),
+        cfg, producerTxn = Some(h))
+      assert(put(s"/v1/consumer/register?consumerId=ciso&group=giso&topic=$topic" +
+        "&onNewGroup=startFromEarliest&isolation=read_committed").statusCode() === 200)
+      val r = post(s"/v1/consumer/poll?consumerId=ciso", Array.empty,
+        Seq("Accept" -> "application/json"))
+      assert(r.statusCode() === 200)
+      assert(r.body().contains("committed"), r.body())
+      assert(!r.body().contains("staged"),
+        s"read_committed poll served uncommitted records: ${r.body()}")
+      // a default consumer of the same topic sees the staged record
+      put(s"/v1/consumer/register?consumerId=cunc&group=gunc&topic=$topic" +
+        "&onNewGroup=startFromEarliest")
+      val ru = post(s"/v1/consumer/poll?consumerId=cunc", Array.empty,
+        Seq("Accept" -> "application/json"))
+      assert(ru.body().contains("staged"), ru.body())
+      // bad values refuse loudly
+      assert(put(s"/v1/consumer/register?consumerId=cx&group=gx&topic=$topic" +
+        "&isolation=serializable").statusCode() === 400)
+    } finally graft.log.Transactions.abort(h)
+  }
+
   test("admin txns endpoint lists routed journals and producer transactions") {
     val h = graft.log.Transactions.begin(root, "http-txn")
     try {
