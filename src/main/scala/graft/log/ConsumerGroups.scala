@@ -74,11 +74,16 @@ object ConsumerGroups {
     * Latest group that polls twice without committing must re-serve the same
     * records, not skip whatever was produced in between. */
   def startingOffsets(
-      cfg: TopicConfig, group: String, policy: ResetPolicy): Map[Int, Long] =
+      cfg: TopicConfig, group: String, policy: ResetPolicy,
+      isolation: String = "read_uncommitted"): Map[Int, Long] =
     committed(cfg, group).getOrElse {
       val start = policy match {
         case Earliest => (0 until cfg.numPartitions).map(_ -> 0L).toMap
-        case Latest => PolarLog.tails(cfg)
+        // a read_committed consumer's "latest" is the LSO, not the raw
+        // tail (Kafka resolves ListOffsets at the LSO for such consumers):
+        // pinning at the uncommitted tail would permanently skip the
+        // held-back records once their transaction commits
+        case Latest => PolarLog.tailsOf(readView(cfg, isolation))
       }
       commit(cfg, group, start) // registration
       start
@@ -100,13 +105,18 @@ object ConsumerGroups {
       // producer-transaction marks and stop at the LSO — one registry
       // view drives tails, admission AND the scan, so they always agree
       isolation: String = "read_uncommitted"): Poll = {
-    val start = startingOffsets(cfg, group, policy)
+    val start = startingOffsets(cfg, group, policy, isolation)
     val meta = readView(cfg, isolation)
-    val tails = meta.producerOffsets.zipWithIndex.map(_.swap).toMap
-    val end = maxBytes match {
+    val tails = PolarLog.tailsOf(meta)
+    val end0 = maxBytes match {
       case Some(cap) => byteCapEnd(meta, start, tails, cap)
       case None => tails
     }
+    // never rewind: a group whose committed position sits ABOVE the
+    // current LSO (committed under read_uncommitted, polled under
+    // read_committed) gets an empty window, not backward nextOffsets
+    // that a commit would regress the group with
+    val end = end0.map { case (p, e) => p -> math.max(e, start.getOrElse(p, 0L)) }
     val records = PolarLog.consumeAt(spark, cfg, meta,
       startOffsets = start, endOffsets = end)
     Poll(records, end)
@@ -263,10 +273,11 @@ object ConsumerGroups {
       isolation: String = "read_uncommitted"): Poll = {
     val mine = assignment(cfg, memberIds).getOrElse(memberId,
       throw new IllegalArgumentException(s"$memberId not in member list")).toSet
-    val start = startingOffsets(cfg, group, policy)
+    val start = startingOffsets(cfg, group, policy, isolation)
     val meta = readView(cfg, isolation)
-    val end = meta.producerOffsets.zipWithIndex.map(_.swap).toMap
+    val end = PolarLog.tailsOf(meta)
       .filter { case (p, _) => mine.contains(p) }
+      .map { case (p, e) => p -> math.max(e, start.getOrElse(p, 0L)) }
     val records = PolarLog.consumeAt(spark, cfg, meta,
         startOffsets = start, endOffsets = end)
       .filter(org.apache.spark.sql.functions.col("part")

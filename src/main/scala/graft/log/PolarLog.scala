@@ -594,6 +594,10 @@ object PolarLog {
       // Kafka's isolation.level: read_committed resolves producer-txn
       // marks at planning and caps each partition at its LSO
       isolation: String = "read_uncommitted"): DataFrame = {
+    // validate loudly: a typo'd level silently reading uncommitted data
+    // is exactly the failure isolation exists to prevent
+    require(isolation == "read_uncommitted" || isolation == "read_committed",
+      s"isolation must be 'read_uncommitted' or 'read_committed', got '$isolation'")
     val meta0 = LogMetadata.read(cfg)
     val meta =
       if (isolation == "read_committed")
@@ -874,9 +878,15 @@ object PolarLog {
       else math.max(cur.logStart(p), next.derivedLogStart(p))
     }
 
+  /** Tail offsets (next offset per partition) of an EXPLICIT metadata
+    * view — the isolation feature's core derivation (a read_committed
+    * view's tails are its LSOs), shared so tail semantics live in one
+    * place. */
+  def tailsOf(meta: LogMetadata): Map[Int, Long] =
+    meta.producerOffsets.zipWithIndex.map(_.swap).toMap
+
   /** Current tail offsets (next offset per partition). */
-  def tails(cfg: TopicConfig): Map[Int, Long] =
-    LogMetadata.read(cfg).producerOffsets.zipWithIndex.map(_.swap).toMap
+  def tails(cfg: TopicConfig): Map[Int, Long] = tailsOf(LogMetadata.read(cfg))
 
   /**
    * OFFSET-ADDRESSED log trim — `kafka-delete-records` parity: per

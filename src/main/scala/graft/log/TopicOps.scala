@@ -38,13 +38,17 @@ object TopicOps {
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
       endOffsets: Map[Int, Long] = Map.empty,
-      isolation: String = "read_uncommitted"): Dataset[String] = {
+      // the isolation-resolved registry view the POLL planned against:
+      // passing it through keeps one view driving tails + admission + scan
+      // (and spares the second root read per topic per poll)
+      view: Option[graft.log.LogMetadata] = None): Dataset[String] = {
     import spark.implicits._
     val ranges = cfg.rangesPerToken
     val brokerTokens = (0 until cfg.clusterSize)
       .map(i => TokenMath.tokenAtIndex(cfg.clusterSize, i))
     val tokenOf = udfFreeTokenMap(brokerTokens, ranges)
-    PolarLog.consume(spark, cfg, startOffsets, endOffsets, isolation)
+    view.map(m => PolarLog.consumeAt(spark, cfg, m, startOffsets, endOffsets))
+      .getOrElse(PolarLog.consume(spark, cfg, startOffsets, endOffsets))
       .groupBy(col("part"))
       .agg(min(col("offset")).as("startOffset"),
         sort_array(collect_list(struct(col("offset"),
@@ -91,7 +95,7 @@ object TopicOps {
       cfg: TopicConfig,
       startOffsets: Map[Int, Long] = Map.empty,
       endOffsets: Map[Int, Long] = Map.empty,
-      isolation: String = "read_uncommitted"): Dataset[String] = {
+      view: Option[graft.log.LogMetadata] = None): Dataset[String] = {
     import spark.implicits._
     val ranges = cfg.rangesPerToken
     val tokenHex = array((0 until cfg.clusterSize).map(i =>
@@ -101,7 +105,8 @@ object TopicOps {
       hexI64(unix_micros(col("timestamp"))),
       lpad(hex(length(col("value"))), 8, "0"),
       hex(col("value")))
-    PolarLog.consume(spark, cfg, startOffsets, endOffsets, isolation)
+    view.map(m => PolarLog.consumeAt(spark, cfg, m, startOffsets, endOffsets))
+      .getOrElse(PolarLog.consume(spark, cfg, startOffsets, endOffsets))
       .withColumn("__rec", struct(col("offset"), recHex.as("h"),
         (length(col("value")) + 12L).as("bytes")))
       .groupBy(col("part"))

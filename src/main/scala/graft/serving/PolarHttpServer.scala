@@ -545,8 +545,10 @@ class PolarHttpServer(
       throw HttpError(400,
         "isolation must be read_uncommitted or read_committed")
     // registration pins the group's start per topic (idempotent: an existing
-    // committed state wins over the policy default)
-    topics.foreach(t => ConsumerGroups.startingOffsets(cfgOf(t), group, policy))
+    // committed state wins over the policy default); a read_committed
+    // consumer's "latest" pin is the LSO, not the raw tail
+    topics.foreach(t =>
+      ConsumerGroups.startingOffsets(cfgOf(t), group, policy, isolation))
     consumers.put(consumerId,
       Registered(consumerId, group, topics, policy, Map.empty, isolation))
     lastSeen.put(consumerId, System.currentTimeMillis())
@@ -768,13 +770,14 @@ class PolarHttpServer(
     val itemsPerTopic = r.topics.map { topic =>
       val cfg = cfgOf(topic)
       val mine = ConsumerGroups.assignment(cfg, members)(r.consumerId).toSet
-      val start = ConsumerGroups.startingOffsets(cfg, r.group, r.policy)
+      val start = ConsumerGroups.startingOffsets(cfg, r.group, r.policy,
+        r.isolation)
       // ONE isolation-resolved registry view per topic per poll: tails,
       // admission and the scan all answer from it (a read_committed
       // consumer's tails are its LSOs) — also one root read where this
       // previously took two
       val meta = ConsumerGroups.readView(cfg, r.isolation)
-      val tails = meta.producerOffsets.zipWithIndex.map(_.swap).toMap
+      val tails = PolarLog.tailsOf(meta)
       // non-assigned partitions get an empty [start, start) window
       val end0 = tails.map { case (p, t) =>
         p -> (if (mine.contains(p)) t else start.getOrElse(p, 0L))
@@ -795,9 +798,9 @@ class PolarHttpServer(
       else {
         servedPending += topic -> servedEnd
         val items =
-          if (json) TopicOps.pollJson(spark, cfg, start, end, r.isolation)
+          if (json) TopicOps.pollJson(spark, cfg, start, end, Some(meta))
             .collect().toSeq
-          else TopicOps.pollBinary(spark, cfg, start, end, r.isolation)
+          else TopicOps.pollBinary(spark, cfg, start, end, Some(meta))
             .collect().toSeq
         if (countBudget != Long.MaxValue) countBudget -= items.size
         topic -> items

@@ -320,6 +320,38 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rc2.records.count() === 6L)
   }
 
+  test("Latest registration of a read_committed group pins at the LSO, not the raw tail") {
+    val cfg = TopicConfig(root, "t_latest_rc", 1, 1)
+    PolarLog.produce(rows(3, "early"), cfg)
+    val h = Transactions.begin(root, "latestrc")
+    PolarLog.produce(rows(4, "held"), cfg, producerTxn = Some(h))
+    PolarLog.produce(rows(2, "post"), cfg) // committed, beyond the LSO
+    // the pin: a raw-tail pin (9) would permanently skip offsets 3-8
+    val p0 = ConsumerGroups.poll(spark, cfg, "g_lat",
+      ConsumerGroups.Latest, isolation = "read_committed")
+    assert(p0.records.count() === 0L)
+    assert(p0.nextOffsets(0) === 3L, s"Latest must pin at the LSO: ${p0.nextOffsets}")
+    ConsumerGroups.commit(cfg, "g_lat", p0.nextOffsets)
+    Transactions.commit(h)
+    val p1 = ConsumerGroups.poll(spark, cfg, "g_lat",
+      ConsumerGroups.Latest, isolation = "read_committed")
+    assert(p1.records.count() === 6L,
+      "records held back at registration must be served after the txn commits")
+    // no-rewind: a position committed at the raw tail (e.g. under
+    // read_uncommitted) polled under read_committed gets an EMPTY window,
+    // never nextOffsets below its committed start
+    val h2 = Transactions.begin(root, "latestrc2")
+    PolarLog.produce(rows(2, "held2"), cfg, producerTxn = Some(h2))
+    val rawTail = PolarLog.tails(cfg)
+    ConsumerGroups.commit(cfg, "g_tail", rawTail)
+    val p2 = ConsumerGroups.poll(spark, cfg, "g_tail",
+      ConsumerGroups.Earliest, isolation = "read_committed")
+    assert(p2.records.count() === 0L)
+    assert(p2.nextOffsets(0) === rawTail(0),
+      s"rc poll must not rewind a committed position: ${p2.nextOffsets} vs $rawTail")
+    Transactions.abort(h2)
+  }
+
   test("admin inventory lists producer transactions with state and age") {
     val h = Transactions.begin(root, "inv")
     val listed = Transactions.list(root)
