@@ -1,6 +1,7 @@
 package graft.sources
 
-import graft.log.{ConsumerGroups, LogMetadata, PolarLog, TopicConfig}
+import graft.log.{ConsumerGroups, LogMetadata, PolarLog, TopicConfig, Transactions, TxnJournal}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -234,8 +235,50 @@ private[sources] object PolarProcedures {
           PolarAnalyze.analyzeTsStats(spark, cfgOf(a, 0)))))
     }
 
+    // transaction observability from pure SQL — the procedure face of
+    // `GET /v1/admin/txns`: routed-commit journals (a `failed` row is an
+    // operator-action queue whose staged files vacuum protects) and
+    // producer transactions with state/epoch/age
+    val txns = new PolarProcedure(
+      "txns",
+      Seq.empty,
+      StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("id", StringType, nullable = false),
+        StructField("state", StringType, nullable = false),
+        StructField("epoch", LongType, nullable = true),
+        StructField("age_ms", LongType, nullable = true)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val now = System.currentTimeMillis()
+        val journals = TxnJournal.list(root, includeFailed = true)
+          .sortBy(_.path).map { j =>
+            val name = new org.apache.hadoop.fs.Path(j.path).getName
+            val state =
+              if (name.endsWith(".failed")) "failed"
+              else if (j.complete) "live" else "incomplete"
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString("journal"), UTF8String.fromString(name),
+              UTF8String.fromString(state), null,
+              math.max(0L, now - j.ageAnchorMs)))
+          }
+        val producers = Transactions.list(root).map { case (id, st) =>
+          val (state, epoch, age) = st match {
+            case Transactions.Open(e, anchor, _) =>
+              ("open", e: java.lang.Long, math.max(0L, now - anchor): java.lang.Long)
+            case Transactions.Committed => ("committed", null, null)
+            case Transactions.Aborted => ("aborted", null, null)
+            case Transactions.Unknown => ("unknown", null, null)
+          }
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString("producer"), UTF8String.fromString(id),
+            UTF8String.fromString(state), epoch, age))
+        }
+        journals ++ producers
+      }
+    }
+
     Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze,
-        deleteRecords, merge, cleanKeys)
+        deleteRecords, merge, cleanKeys, txns)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -89,6 +89,21 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("CALL polar.system.nope(topic => 'maint')").collect()
     }
     assert(err.getMessage.toLowerCase.contains("nope"))
+
+    // txns: the SQL face of the transaction inventory — an open producer
+    // transaction lists with state/epoch/age, and disappears once resolved
+    val h = graft.log.Transactions.begin(root, "sql-txn")
+    try {
+      val rows = spark.sql("CALL polar.system.txns()").collect()
+      val mine = rows.filter(r =>
+        r.getString(0) == "producer" && r.getString(1) == "sql-txn")
+      assert(mine.length === 1, rows.mkString(","))
+      assert(mine.head.getString(2) === "open")
+      assert(mine.head.getLong(3) === h.epoch)
+      assert(mine.head.getLong(4) >= 0L)
+    } finally graft.log.Transactions.abort(h)
+    assert(!spark.sql("CALL polar.system.txns()").collect()
+      .exists(_.getString(1) == "sql-txn"))
   }
 
   test("CALL polar.system.analyze backfills legacy ts stats, unlocking the ts top-N push") {
