@@ -76,18 +76,28 @@ object ConsumerGroups {
   def startingOffsets(
       cfg: TopicConfig, group: String, policy: ResetPolicy,
       isolation: String = "read_uncommitted"): Map[Int, Long] =
-    committed(cfg, group).getOrElse {
-      val start = policy match {
-        case Earliest => (0 until cfg.numPartitions).map(_ -> 0L).toMap
-        // a read_committed consumer's "latest" is the LSO, not the raw
-        // tail (Kafka resolves ListOffsets at the LSO for such consumers):
-        // pinning at the uncommitted tail would permanently skip the
-        // held-back records once their transaction commits
-        case Latest => PolarLog.tailsOf(readView(cfg, isolation))
-      }
-      commit(cfg, group, start) // registration
-      start
+    committed(cfg, group).getOrElse(
+      register(cfg, group, policy, readView(cfg, isolation)))
+
+  /** The registration write behind [[startingOffsets]], against an
+    * ALREADY-RESOLVED view — what the poll paths use so one poll round
+    * resolves the registry + isolation exactly once, first poll included
+    * (a txn commit landing between two resolutions would otherwise make
+    * the Latest pin and the admission disagree by one view). */
+  private def register(
+      cfg: TopicConfig, group: String, policy: ResetPolicy,
+      meta: LogMetadata): Map[Int, Long] = {
+    val start = policy match {
+      case Earliest => (0 until cfg.numPartitions).map(_ -> 0L).toMap
+      // a read_committed consumer's "latest" is the LSO, not the raw
+      // tail (Kafka resolves ListOffsets at the LSO for such consumers):
+      // pinning at the uncommitted tail would permanently skip the
+      // held-back records once their transaction commits
+      case Latest => PolarLog.tailsOf(meta)
     }
+    commit(cfg, group, start) // registration
+    start
+  }
 
   /** One consume round: everything from the group's position to the current
     * tails — or, with `maxBytes`, a byte-bounded chunk of it (the
@@ -102,11 +112,13 @@ object ConsumerGroups {
       policy: ResetPolicy = Latest,
       maxBytes: Option[Long] = None,
       // Kafka's CONSUMER isolation.level: read_committed polls resolve
-      // producer-transaction marks and stop at the LSO — one registry
-      // view drives tails, admission AND the scan, so they always agree
+      // producer-transaction marks and stop at the LSO — ONE registry
+      // view (resolved once, first poll included) drives the registration
+      // pin, tails, admission AND the scan, so they always agree
       isolation: String = "read_uncommitted"): Poll = {
-    val start = startingOffsets(cfg, group, policy, isolation)
     val meta = readView(cfg, isolation)
+    val start = committed(cfg, group)
+      .getOrElse(register(cfg, group, policy, meta))
     val tails = PolarLog.tailsOf(meta)
     val end0 = maxBytes match {
       case Some(cap) => byteCapEnd(meta, start, tails, cap)
@@ -273,8 +285,11 @@ object ConsumerGroups {
       isolation: String = "read_uncommitted"): Poll = {
     val mine = assignment(cfg, memberIds).getOrElse(memberId,
       throw new IllegalArgumentException(s"$memberId not in member list")).toSet
-    val start = startingOffsets(cfg, group, policy, isolation)
+    // same one-view discipline as [[poll]]: registration pin + tails +
+    // scan all come from a single isolation-resolved read
     val meta = readView(cfg, isolation)
+    val start = committed(cfg, group)
+      .getOrElse(register(cfg, group, policy, meta))
     val end = PolarLog.tailsOf(meta)
       .filter { case (p, _) => mine.contains(p) }
       .map { case (p, e) => p -> math.max(e, start.getOrElse(p, 0L)) }
@@ -409,11 +424,11 @@ object ConsumerGroups {
     if (fc.util().exists(path)) fc.delete(path, false)
   }
 
-  private[log] def render(offsets: Map[Int, Long]): String =
+  private[graft] def render(offsets: Map[Int, Long]): String =
     offsets.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
       .mkString("{\"offsets\":{", ",", "}}")
 
-  private[log] def parseOffsets(s: String): Map[Int, Long] =
+  private[graft] def parseOffsets(s: String): Map[Int, Long] =
     """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
 }

@@ -313,7 +313,13 @@ final case class FileEntry(
     // read_committed scan resolves the mark against the transaction state
     // ([[Transactions.readCommittedView]]). Commit clears the mark via
     // CAS; abort removes the entry. None = plain committed segment.
-    txn: Option[String] = None) {
+    txn: Option[String] = None,
+    // The producing incarnation's fencing epoch (r14): resolution is
+    // (id, epoch)-exact, so a fenced zombie's staging can never be adopted
+    // by a later incarnation's commit under the same transactional.id.
+    // -1 = unknown (r13 manifests; resolved id-only, the pre-epoch rule).
+    // Meaningful only while `txn` is set.
+    txnEpoch: Long = -1L) {
   def path(cfg: TopicConfig): String = s"${cfg.dir}/part=$part/$name"
   /** Offset-dense: one row at EVERY offset of [minOffset, maxOffset] —
     * true for every produced segment; false after key compaction removes
@@ -951,10 +957,11 @@ object LogMetadata {
       case None => s"""{"format":$fmt,"files":["""
     }
     doc.files.map { f =>
-      // a txn mark forces the full tuple (cleanedMs rendered even when -1)
-      // so the optional-suffix grammar stays position-unambiguous
+      // a txn mark forces the full tuple (cleanedMs rendered even when -1,
+      // the epoch even when unknown) so the optional-suffix grammar stays
+      // position-unambiguous
       val tail = f.txn match {
-        case Some(id) => s""",${f.cleanedMs},"${hexEncode(id)}""""
+        case Some(id) => s""",${f.cleanedMs},"${hexEncode(id)}",${f.txnEpoch}"""
         case None => if (f.cleanedMs >= 0) s",${f.cleanedMs}" else ""
       }
       s"""[${f.part},"${f.name}",${f.minOffset},${f.maxOffset},${f.count},""" +
@@ -996,9 +1003,16 @@ object LogMetadata {
     * asked for committed data — so manifests carrying a mark refuse older
     * readers loudly. Mark-free manifests keep their older stamps; marks
     * are transient (commit clears, abort removes), so topics revert to
-    * broadly readable formats as transactions resolve. */
-  private[log] val CurrentFormat = 6
-  private[log] val TxnFormat = 6
+    * broadly readable formats as transactions resolve.
+    *
+    * Format 7 = epoch-stamped txn marks (13th tuple element, r14): a
+    * format-6 reader's regex would read the longer tuple as an EMPTY
+    * manifest — fail-silent — so marked manifests now stamp 7. Same
+    * transience as format 6: topics revert as transactions resolve;
+    * r13-written format-6 marks still parse (epoch reads as -1,
+    * resolution falls back to the id-only rule). */
+  private[log] val CurrentFormat = 7
+  private[log] val TxnFormat = 7
   private[log] val PendingFormat = 5
   private[log] val CleanedFormat = 4
   private[log] val SparseFormat = 3
@@ -1040,7 +1054,10 @@ object LogMetadata {
       if (m.group(11) == null) -1L else m.group(11).toLong,
       // producer-txn mark (r13): hex-encoded transactional.id, absent on
       // plain committed segments
-      Option(m.group(12)).map(hexDecode))
+      Option(m.group(12)).map(hexDecode),
+      // the mark's fencing epoch (r14): absent in r13 manifests → -1
+      // (unknown — resolution falls back to the id-only rule)
+      if (m.group(13) == null) -1L else m.group(13).toLong)
 
   private[log] def parseManifest(s: String): Vector[FileEntry] =
     FileEntryRe.findAllMatchIn(s).map(entryOf).toVector.sortBy(_.minOffset)
@@ -1060,7 +1077,7 @@ object LogMetadata {
   }
 
   private val FileEntryRe =
-    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+)(?:,(-?\d+)(?:,"([0-9a-f]*)")?)?)?)?\]""".r
+    """\[(\d+),"([^"]+)",(-?\d+),(-?\d+),(\d+),(\d+),(\d+)(?:,(-?\d+),(-?\d+)(?:,(-?\d+)(?:,(-?\d+)(?:,"([0-9a-f]*)"(?:,(-?\d+))?)?)?)?)?\]""".r
 
   private val SinkCommitRe = """\["([0-9a-f]*)",(\d+)(?:,(\d+))?\]""".r
 

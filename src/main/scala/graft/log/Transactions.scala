@@ -16,7 +16,8 @@ import org.apache.hadoop.fs.Path
  *  - Transactional produces REGISTER normally (dense offsets from the
  *    shared tails, one CAS per produce — Kafka appends uncommitted records
  *    to the log the same way), but every registered [[FileEntry]] carries
- *    the transaction id ([[FileEntry.txn]]). Default
+ *    the transaction id AND the producing incarnation's epoch
+ *    ([[FileEntry.txn]], [[FileEntry.txnEpoch]]). Default
  *    (`read_uncommitted`) readers see them immediately, per Kafka.
  *  - A `read_committed` scan resolves the marked entries' transaction
  *    states at planning ([[readCommittedView]]): files of OPEN
@@ -25,37 +26,47 @@ import org.apache.hadoop.fs.Path
  *    so later-committed records never overtake an open transaction
  *    (Kafka's last-stable-offset rule). Aborted-but-unreclaimed files are
  *    excluded outright; their offsets become gaps, exactly like Kafka's
- *    aborted records.
+ *    aborted records. Resolution is (id, epoch)-exact: a fenced
+ *    incarnation's leftover marks read as aborted even while a NEWER
+ *    incarnation of the same id is open or committed.
  *  - COMMIT and ABORT race through ONE arbiter: the exclusive create of
  *    `terminal.json` ([[decideTerminal]]) — the first writer's kind
- *    stands, the loser follows it. COMMIT's marker (the commit point)
- *    then clears the marks topic-by-topic through the normal CAS and
- *    drops the transaction directory. A crash mid-finalize is safe:
- *    readers treat marked entries whose transaction shows a commit marker
- *    — or whose directory is GONE (abort removes entries before the
- *    directory, so surviving marks can only be committed) — as committed;
- *    the sweep's [[recover]] finishes the mark-clearing.
+ *    stands, the loser follows it. A loser that cannot READ the standing
+ *    kind retries and then FAILS; it never proceeds with its own kind (a
+ *    guessed kind could half-apply a commit over an abort). COMMIT's
+ *    marker (the commit point) then clears the marks topic-by-topic
+ *    through the normal CAS, applies any consumer-group offsets the
+ *    transaction staged ([[sendOffsets]] — Kafka's
+ *    `sendOffsetsToTransaction`), and drops the transaction directory.
+ *    A crash mid-finalize is safe: readers treat marked entries whose
+ *    transaction shows a commit marker — or whose directory is GONE with
+ *    no contradicting finalize record — as committed; the sweep's
+ *    [[recover]] finishes the mark-clearing and the offset application.
  *  - ABORT wins the arbiter, unregisters every marked entry via CAS
  *    (offsets stay consumed — a dense-offset gap, handled by the
  *    admission walks' gap jumps), reclaims the files (through the
- *    `file.delete.delay.ms` ledger when the topic defers deletes), and
- *    drops the directory.
+ *    `file.delete.delay.ms` ledger when the topic defers deletes),
+ *    discards staged consumer-group offsets, and drops the directory.
  *  - TIMEOUT: the retention sweep aborts open transactions idle past
  *    their `timeoutMs` (Kafka's `transaction.timeout.ms`, coordinator
  *    role). Produces heartbeat the transaction, so a long-running
  *    multi-produce transaction is not aborted underneath itself.
  *  - FENCING: `begin` on an id with a live transaction aborts it and
- *    mints a strictly larger epoch (wall-clock-anchored, so epochs stay
- *    monotone across full finalize cycles); produces and commits verify
- *    their handle's epoch — a zombie producer's writes refuse loudly
- *    (Kafka's producer-epoch fencing).
+ *    mints a strictly larger epoch; produces and commits verify their
+ *    handle's epoch — a zombie producer's writes refuse loudly (Kafka's
+ *    producer-epoch fencing). Epochs are monotone across FULL finalize
+ *    cycles and backwards clock steps: each finalize records the
+ *    incarnation's epoch in a per-id high-water file that SURVIVES the
+ *    directory drop (`<hex(id)>.last`), and `begin` mints past it.
  *
  * State lives under `{root}/_polar_txn_producers/<hex(id)>/`:
  * `open.json` (epoch, timeout) → `t-<topic>.json` touch files (written
  * BEFORE each produce's CAS, so every marked entry's topic is always
- * discoverable) → `terminal.json` (exclusive-create arbiter, kind
- * commit|abort) → directory removed (open.json first, so a concurrent
- * [[state]] never reads a finalizing txn as freshly open).
+ * discoverable) and `g-<hex(topic)>-<hex(group)>.json` staged
+ * consumer-group offsets → `terminal.json` (exclusive-create arbiter,
+ * kind commit|abort + epoch) → `<hex(id)>.last` finalize record →
+ * directory removed (open.json first, so a concurrent [[state]] never
+ * reads a finalizing txn as freshly open).
  */
 object Transactions {
 
@@ -63,6 +74,11 @@ object Transactions {
 
   /** Kafka's `transaction.timeout.ms` default. */
   val DefaultTimeoutMs: Long = 60000L
+
+  /** Consecutive failed recovery sweeps after which a transaction is
+    * surfaced as `failed` in the admin inventory (`polar.system.txns()`,
+    * `GET /v1/admin/txns`) — an operator-action queue, not a log line. */
+  val FailedSweepThreshold: Int = 3
 
   final case class TxnHandle(root: String, txnId: String, epoch: Long)
 
@@ -72,17 +88,30 @@ object Transactions {
     * measured against. */
   final case class Open(epoch: Long, ageAnchorMs: Long, timeoutMs: Long)
       extends TxnState
-  /** Commit point durable; mark-clearing may still be pending. */
-  case object Committed extends TxnState
+  /** Commit point durable; mark-clearing / offset application may still be
+    * pending. `epoch` is the committed incarnation's (-1 = r13 marker,
+    * unknown). */
+  final case class Committed(epoch: Long = -1L) extends TxnState
   /** Abort decided; entry removal / file reclamation may be pending. */
-  case object Aborted extends TxnState
+  final case class Aborted(epoch: Long = -1L) extends TxnState
   /** No directory: never began, or fully finalized. Marked entries that
-    * still reference such an id are COMMITTED leftovers (abort removes
-    * entries before it removes the directory). */
+    * still reference such an id resolve against the id's finalize record
+    * ([[lastRecord]]): with none — or with a mark from an OLDER epoch —
+    * they are COMMITTED leftovers (abort removes entries before it removes
+    * the directory); a mark carrying exactly the last-aborted epoch, or
+    * one NEWER than any finalized epoch, is a zombie produce that raced
+    * the finalize and reads as aborted. */
   case object Unknown extends TxnState
 
   private def txnPath(root: String, txnId: String) =
     new Path(s"${dir(root)}/${LogMetadata.hexEncode(txnId)}")
+
+  /** Per-id finalize record, a SIBLING of the txn directory so it survives
+    * the directory drop: the epoch high-water mark `begin` mints past
+    * (clock-step fencing safety) and the terminal kind [[state]]-Unknown
+    * mark resolution consults. */
+  private def lastPath(root: String, txnId: String) =
+    new Path(s"${dir(root)}/${LogMetadata.hexEncode(txnId)}.last")
 
   private def fsOf(p: Path) = p.getFileSystem(HadoopConf.shared)
 
@@ -106,23 +135,30 @@ object Transactions {
   // same-driver serialization of begin/commit/abort/recover per id — the
   // driver is the only metadata authority (SURVEY §7.1), so this makes the
   // marker writes race-free where they can race at all; the deterministic
-  // abort-wins rule in [[state]] covers exotic cross-process overlap
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // arbiter in [[decideTerminal]] covers cross-process overlap. STRIPED
+  // (bounded): a long-lived driver churning UUID-per-job ids must not leak
+  // one lock object per id for the JVM lifetime — 128 stripes serialize
+  // strictly more than per-id locks, never less.
+  private val lockStripes = Array.fill(128)(new Object)
   private def lockFor(root: String, txnId: String): Object =
-    locks.computeIfAbsent(s"$root#$txnId", _ => new Object)
+    lockStripes(java.lang.Math.floorMod(s"$root#$txnId".hashCode, 128))
 
   private val KindRe = """"kind"\s*:\s*"(\w+)"""".r
+  private val EpochRe = """"epoch"\s*:\s*(-?\d+)""".r
 
-  /** The kind standing in `terminal.json`, retried briefly: a just-created
-    * marker may be momentarily empty (create precedes the content write). */
-  private def terminalKind(
-      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] = {
+  /** The (kind, epoch) standing in a marker/record file, retried briefly: a
+    * just-created marker may be momentarily empty (create precedes the
+    * content write). Epoch is -1 for r13-written markers. */
+  private def kindOf(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[(String, Long)] = {
     var attempt = 0
     while (attempt < 5) {
       try {
         if (!fs.exists(p)) return None
-        val k = KindRe.findFirstMatchIn(readSmall(fs, p)).map(_.group(1))
-        if (k.isDefined) return k
+        val text = readSmall(fs, p)
+        val k = KindRe.findFirstMatchIn(text).map(_.group(1))
+        if (k.isDefined) return k.map(_ -> EpochRe.findFirstMatchIn(text)
+          .map(_.group(1).toLong).getOrElse(-1L))
       } catch { case _: java.io.IOException => () }
       attempt += 1
       Thread.sleep(10)
@@ -130,28 +166,82 @@ object Transactions {
     None
   }
 
+  /** The id's finalize record: (epoch, kind) of the LAST fully finalized
+    * incarnation. None = never finalized (or a pre-r14 finalize). */
+  private[graft] def lastRecord(
+      root: String, txnId: String): Option[(Long, String)] = {
+    val p = lastPath(root, txnId)
+    kindOf(fsOf(p), p).map { case (k, e) => (e, k) }
+  }
+
+  /** Durably record the finalize (epoch high-water + terminal kind) BEFORE
+    * the directory drop — what keeps epoch minting monotone across clock
+    * steps and lets Unknown-state marks resolve correctly. Monotone: never
+    * overwritten with a LOWER epoch (idempotent finalize replays of an old
+    * incarnation must not regress the high-water mark). */
+  private def writeLast(root: String, txnId: String, epoch: Long, kind: String): Unit = {
+    val keep = lastRecord(root, txnId).exists { case (e, _) => e > epoch }
+    if (!keep) writeFile(lastPath(root, txnId),
+      s"""{"format":1,"kind":"$kind","epoch":$epoch,""" +
+        s""""ms":${System.currentTimeMillis()}}""", overwrite = true)
+  }
+
   /** The ATOMIC commit-vs-abort arbiter: exclusive-create `terminal.json`
-    * with `kind`; the FIRST writer's kind stands and is returned — a loser
-    * reads the winner's kind and must follow it. This closes the
-    * commit-racing-timeout-abort window: once either side's marker is
-    * durable the other side cannot half-apply its own decision. (Same-JVM
-    * races are additionally serialized by [[lockFor]]; the exclusive
-    * create is the cross-process guard.) */
+    * with `kind` (+ the incarnation's epoch); the FIRST writer's kind
+    * stands and is returned — a loser reads the winner's kind and must
+    * follow it. A loser that cannot read the standing kind after bounded
+    * retries THROWS — it never defaults to its own kind, because a guessed
+    * kind could half-apply a commit over an abort (or vice versa) under
+    * cross-process I/O flake. (Same-JVM races are additionally serialized
+    * by [[lockFor]]; the exclusive create is the cross-process guard.) */
   private def decideTerminal(
-      root: String, txnId: String, kind: String, reason: String): String = {
-    val p = new Path(txnPath(root, txnId), "terminal.json")
+      root: String, txnId: String, kind: String, reason: String,
+      epoch: Long): String = {
+    val d = txnPath(root, txnId)
+    val p = new Path(d, "terminal.json")
     val fs = fsOf(p)
-    try {
-      val out = fs.create(p, false)
-      try out.write(
-        (s"""{"format":1,"kind":"$kind","reason":"$reason",""" +
-          s""""ms":${System.currentTimeMillis()}}""").getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      kind
-    } catch {
-      case _: java.io.IOException => terminalKind(fs, p).getOrElse(kind)
+    var attempt = 0
+    var lastErr: java.io.IOException = null
+    while (attempt < 10) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(
+          (s"""{"format":1,"kind":"$kind","reason":"$reason",""" +
+            s""""epoch":$epoch,"ms":${System.currentTimeMillis()}}""").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        return kind
+      } catch {
+        case e: java.io.IOException =>
+          lastErr = e
+          // marker already exists (lost the race) or transient flake:
+          // read the standing kind — only a READ kind may be followed
+          kindOf(fs, p) match {
+            case Some((k, _)) => return k
+            case None =>
+              // directory gone: the txn fully finalized under our feet —
+              // the finalize record is the durable answer
+              val dirGone = try !fs.exists(d)
+                catch { case _: java.io.IOException => false }
+              if (dirGone) {
+                lastRecord(root, txnId) match {
+                  case Some((le, k)) if epoch < 0 || le < 0 || le == epoch =>
+                    return k
+                  case _ => throw new IllegalStateException(
+                    s"transaction '$txnId' (epoch $epoch) was finalized " +
+                      "concurrently and its terminal kind cannot be " +
+                      "determined; retry the operation", e)
+                }
+              }
+          }
+      }
+      attempt += 1
+      Thread.sleep(15L * attempt)
     }
+    throw new IllegalStateException(
+      s"cannot decide terminal state of transaction '$txnId': the arbiter " +
+        "marker is unreadable after repeated attempts (refusing to guess " +
+        s"'$kind' — a wrong kind would half-apply)", lastErr)
   }
 
   def state(root: String, txnId: String): TxnState = {
@@ -161,9 +251,9 @@ object Transactions {
     while (true) {
       try {
         if (!fs.exists(d)) return Unknown
-        terminalKind(fs, new Path(d, "terminal.json")) match {
-          case Some("commit") => return Committed
-          case Some(_) => return Aborted
+        kindOf(fs, new Path(d, "terminal.json")) match {
+          case Some(("commit", e)) => return Committed(e)
+          case Some((_, e)) => return Aborted(e)
           case None =>
             val openP = new Path(d, "open.json")
             if (!fs.exists(openP)) {
@@ -171,7 +261,7 @@ object Transactions {
               // state is either a torn begin (nothing staged) or a
               // finalize already past its mark-resolution — Aborted is
               // safe for both (recover's Aborted handling is idempotent)
-              return if (fs.exists(d)) Aborted else Unknown
+              return if (fs.exists(d)) Aborted() else Unknown
             }
             val text = readSmall(fs, openP)
             def longOf(name: String, dflt: Long) =
@@ -201,7 +291,9 @@ object Transactions {
   /** Start (or fence-and-restart) the transaction `txnId`. An existing
     * open transaction under this id is ABORTED first (the new producer
     * incarnation fences the zombie); unfinalized terminal states are
-    * finalized. The minted epoch strictly exceeds every earlier one. */
+    * finalized. The minted epoch strictly exceeds every earlier one —
+    * including across full finalize cycles and backwards clock steps,
+    * via the [[lastRecord]] high-water mark. */
   def begin(
       root: String,
       txnId: String,
@@ -215,19 +307,20 @@ object Transactions {
           // fence the zombie — but an already-won commit stands (the
           // arbiter decides; a fencing begin must not roll back a commit
           // whose marker landed first)
-          decideTerminal(root, txnId, "abort", "fenced") match {
-            case "commit" => finalizeCommit(root, txnId)
-            case _ => finalizeAbort(root, txnId)
+          decideTerminal(root, txnId, "abort", "fenced", e) match {
+            case "commit" => finalizeCommit(root, txnId, e)
+            case _ => finalizeAbort(root, txnId, e)
           }
           e
-        case Committed => finalizeCommit(root, txnId); 0L
-        case Aborted => finalizeAbort(root, txnId); 0L
+        case Committed(e) => finalizeCommit(root, txnId, e); e
+        case Aborted(e) => finalizeAbort(root, txnId, e); e
         case Unknown => 0L
       }
-      // monotone across full finalize cycles (the directory is gone, so a
-      // stored epoch cannot carry): wall-clock floor, bumped past any
-      // same-millisecond predecessor
-      val epoch = math.max(prevEpoch + 1, System.currentTimeMillis())
+      // monotone across full finalize cycles AND clock steps: the finalize
+      // record's epoch high-water mark survives the directory drop, so a
+      // backwards NTP correction can never re-mint a finalized epoch
+      val floor = math.max(prevEpoch, lastRecord(root, txnId).map(_._1).getOrElse(0L))
+      val epoch = math.max(floor + 1, System.currentTimeMillis())
       val d = txnPath(root, txnId)
       fsOf(d).mkdirs(d)
       writeFile(new Path(d, "open.json"),
@@ -261,6 +354,52 @@ object Transactions {
     if (!fs.exists(p)) writeFile(p, "{}", overwrite = true)
   }
 
+  /**
+   * Kafka's `sendOffsetsToTransaction`: stage `group`'s next-offsets for
+   * `cfg.topic` INSIDE the transaction, so the consume-transform-produce
+   * loop is exactly-once — the group's position and the transaction's
+   * produces become visible atomically at the commit point (a crash
+   * between "produce committed" and "offsets committed" cannot
+   * double-process). Applied by the commit finalize, discarded by abort;
+   * a later send for the same (topic, group) replaces the earlier one,
+   * per Kafka. Reference anchor for the manual-commit op this
+   * strengthens: `/root/reference/internal/consuming/server.go:421-488`.
+   */
+  def sendOffsets(
+      h: TxnHandle,
+      cfg: TopicConfig,
+      group: String,
+      nextOffsets: Map[Int, Long]): Unit =
+    lockFor(h.root, h.txnId).synchronized {
+      require(cfg.root == h.root,
+        s"transaction handle roots differ: '${h.root}' vs topic root '${cfg.root}'")
+      require(ConsumerGroups.validGroupName(group), s"Invalid group name: '$group'")
+      requireOpen(h.root, h.txnId, h.epoch)
+      val p = new Path(txnPath(h.root, h.txnId),
+        s"g-${LogMetadata.hexEncode(cfg.topic)}-${LogMetadata.hexEncode(group)}.json")
+      writeFile(p, ConsumerGroups.render(nextOffsets), overwrite = true)
+    }
+
+  private val StagedOffsetsRe = """^g-([0-9a-f]*)-([0-9a-f]*)\.json$""".r
+
+  /** The transaction's staged consumer-group offsets:
+    * (topic, group, offsets, fileName). */
+  private def stagedOffsets(
+      root: String, txnId: String): Seq[(String, String, Map[Int, Long], String)] = {
+    val d = txnPath(root, txnId)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case StagedOffsetsRe(topicHex, groupHex) =>
+          Some((LogMetadata.hexDecode(topicHex), LogMetadata.hexDecode(groupHex),
+            ConsumerGroups.parseOffsets(readSmall(fs, s.getPath)),
+            s.getPath.getName))
+        case _ => None
+      }
+    }
+  }
+
   private def touchedTopics(root: String, txnId: String): Seq[String] = {
     val d = txnPath(root, txnId)
     val fs = fsOf(d)
@@ -277,19 +416,24 @@ object Transactions {
   private def casRetry(cfg: TopicConfig)(f: LogMetadata => LogMetadata): Unit =
     LogMetadata.casWithRetry(cfg, maxAttempts = 8)(f)
 
+  /** Does this mark belong to the resolving incarnation? Epoch-exact when
+    * both sides know their epoch; id-only otherwise (r13 marks / markers). */
+  private def sameIncarnation(markEpoch: Long, epoch: Long): Boolean =
+    markEpoch < 0 || epoch < 0 || markEpoch == epoch
+
   /** Make the transaction's produces durable-visible to `read_committed`:
-    * write the commit point, clear the marks, drop the directory. The
-    * commit point alone already decides visibility (readers resolve marked
-    * entries against it), so a crash anywhere past it converges via
-    * [[recover]]. */
+    * write the commit point, clear the marks, apply the staged
+    * consumer-group offsets, drop the directory. The commit point alone
+    * already decides visibility (readers resolve marked entries against
+    * it), so a crash anywhere past it converges via [[recover]]. */
   def commit(h: TxnHandle): Unit = lockFor(h.root, h.txnId).synchronized {
     state(h.root, h.txnId) match {
       case Open(e, _, _) if e == h.epoch =>
         // the arbiter decides: if a timeout abort won the race, its
         // reclamation may already be running — surface it, never
         // half-apply a commit over it
-        decideTerminal(h.root, h.txnId, "commit", "explicit") match {
-          case "commit" => finalizeCommit(h.root, h.txnId)
+        decideTerminal(h.root, h.txnId, "commit", "explicit", h.epoch) match {
+          case "commit" => finalizeCommit(h.root, h.txnId, h.epoch)
           case _ => throw new IllegalStateException(
             s"transaction '${h.txnId}' was aborted (timed out?) before the " +
               "commit point landed; its produces are rolled back")
@@ -297,43 +441,65 @@ object Transactions {
       case Open(e, _, _) => throw new IllegalStateException(
         s"producer fenced: transactional.id '${h.txnId}' was re-begun " +
           s"(epoch $e, this producer holds ${h.epoch})")
-      case Committed => finalizeCommit(h.root, h.txnId) // idempotent replay
+      case Committed(e) if sameIncarnation(e, h.epoch) =>
+        finalizeCommit(h.root, h.txnId, h.epoch) // idempotent replay
       case other => throw new IllegalStateException(
         s"cannot commit transaction '${h.txnId}' in state $other")
     }
   }
 
   /** Roll the transaction back: every produce it staged is unregistered
-    * and reclaimed; offsets stay consumed (gaps). Idempotent. */
+    * and reclaimed; offsets stay consumed (gaps); staged consumer-group
+    * offsets are discarded. Idempotent. */
   def abort(h: TxnHandle): Unit = lockFor(h.root, h.txnId).synchronized {
     state(h.root, h.txnId) match {
       case Open(e, _, _) if e == h.epoch =>
-        decideTerminal(h.root, h.txnId, "abort", "explicit") match {
+        decideTerminal(h.root, h.txnId, "abort", "explicit", h.epoch) match {
           case "commit" => throw new IllegalStateException(
             s"transaction '${h.txnId}' already committed; abort is impossible")
-          case _ => finalizeAbort(h.root, h.txnId)
+          case _ => finalizeAbort(h.root, h.txnId, h.epoch)
         }
       case Open(e, _, _) => throw new IllegalStateException(
         s"producer fenced: transactional.id '${h.txnId}' was re-begun " +
           s"(epoch $e, this producer holds ${h.epoch})")
-      case Aborted => finalizeAbort(h.root, h.txnId) // finish a torn abort
-      case Committed => throw new IllegalStateException(
+      case Aborted(e) => finalizeAbort(h.root, h.txnId, e) // finish a torn abort
+      case _: Committed => throw new IllegalStateException(
         s"transaction '${h.txnId}' already committed; abort is impossible")
       case Unknown => () // fully finalized or never began — nothing staged
     }
   }
 
-  /** Clear this transaction's marks in one topic (entries become plain
-    * committed segments) — the per-topic commit-finalize op, also the
-    * produce path's self-heal when a commit raced an in-flight produce. */
-  private[graft] def clearMarks(cfg: TopicConfig, txnId: String): Unit =
+  /** The per-topic commit-finalize op, epoch-exact: the committing
+    * incarnation's marks become plain committed segments, while marks of
+    * an OLDER incarnation under the same id (a fenced zombie's staging
+    * whose CAS landed after that incarnation was finalized) are
+    * unregistered and reclaimed — a commit must never adopt entries it
+    * did not produce. Newer-epoch marks are left alone (their own
+    * transaction governs them). */
+  private[graft] def clearMarks(cfg: TopicConfig, txnId: String, epoch: Long = -1L): Unit = {
+    def mine(f: FileEntry) =
+      f.txn.contains(txnId) && sameIncarnation(f.txnEpoch, epoch)
+    def zombie(f: FileEntry) =
+      f.txn.contains(txnId) && !sameIncarnation(f.txnEpoch, epoch) && f.txnEpoch < epoch
+    var removed: Vector[FileEntry] = Vector.empty
+    var delayMs = 0L
     casRetry(cfg) { cur =>
-      cur.copy(filesByPart = cur.filesByPart.map { case (p, fs) =>
-        p -> (if (fs.exists(_.txn.contains(txnId)))
-          fs.map(f => if (f.txn.contains(txnId)) f.copy(txn = None) else f)
-        else fs)
+      removed = cur.filesByPart.valuesIterator.flatten.filter(zombie).toVector
+      delayMs = PolarLog.fileDeleteDelayMs(cur.props)
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, entries) =>
+        p -> (if (entries.exists(f => mine(f) || zombie(f)))
+          entries.filterNot(zombie).map(f =>
+            if (mine(f)) f.copy(txn = None, txnEpoch = -1L) else f)
+        else entries)
       })
+      if (delayMs > 0L && removed.nonEmpty) {
+        val now = System.currentTimeMillis()
+        next.copy(pendingDeletes = next.pendingDeletes ++ removed.map(f =>
+          PendingDelete(f.part, f.name, PolarLog.dueAt(now, delayMs))))
+      } else next
     }
+    if (delayMs == 0L) PolarLog.quietDelete(removed.map(_.path(cfg)))
+  }
 
   /** Marks resolved → open.json deleted → directory deleted. The explicit
     * open.json delete keeps [[state]] deterministic under a concurrent
@@ -347,26 +513,48 @@ object Transactions {
     if (fs.exists(d)) fs.delete(d, true): Unit
   }
 
-  private def finalizeCommit(root: String, txnId: String): Unit = {
+  private def finalizeCommit(root: String, txnId: String, epoch: Long): Unit = {
+    // the finalize record goes FIRST: any mark that survives a crash past
+    // the directory drop must resolve against it (and the epoch
+    // high-water mark must never trail the directory's lifetime)
+    writeLast(root, txnId, epoch, "commit")
     touchedTopics(root, txnId).foreach { t =>
-      topicCfg(root, t).foreach(clearMarks(_, txnId))
+      topicCfg(root, t).foreach(clearMarks(_, txnId, epoch))
+    }
+    // apply staged consumer-group offsets (sendOffsetsToTransaction), then
+    // delete each staged file so a crash-replay of this finalize never
+    // re-applies a position the group has since advanced past. The caller
+    // contract matches Kafka's: the group is quiesced while its offsets
+    // ride inside a transaction.
+    stagedOffsets(root, txnId).foreach { case (topic, group, offs, fileName) =>
+      topicCfg(root, topic) match {
+        case Some(cfg) => ConsumerGroups.commitPartial(cfg, group, offs)
+        case None => System.err.println(
+          s"[polar] txn '$txnId': staged offsets for missing topic '$topic' dropped")
+      }
+      val p = new Path(txnPath(root, txnId), fileName)
+      try { val fs = fsOf(p); if (fs.exists(p)) fs.delete(p, false): Unit }
+      catch { case _: java.io.IOException => () }
     }
     dropDir(root, txnId)
   }
 
-  /** Unregister and reclaim every entry `txnId` marked in `cfg` — the
-    * per-topic abort op, also the produce path's compensation when a
-    * commit discovers it was fenced mid-CAS. Honors the topic's
+  /** Unregister and reclaim every entry `txnId` marked in `cfg` at or
+    * below `epoch` — the per-topic abort op (an abort also reclaims any
+    * OLDER fenced incarnation's leftover staging; newer-epoch marks are
+    * their own transaction's business). Honors the topic's
     * `file.delete.delay.ms` (reclaim through the pendingDeletes ledger). */
-  private[graft] def unregisterMarked(cfg: TopicConfig, txnId: String): Unit = {
+  private[graft] def unregisterMarked(
+      cfg: TopicConfig, txnId: String, epoch: Long = -1L): Unit = {
+    def doomed(f: FileEntry) = f.txn.contains(txnId) &&
+      (f.txnEpoch < 0 || epoch < 0 || f.txnEpoch <= epoch)
     var removed: Vector[FileEntry] = Vector.empty
     var delayMs = 0L
     casRetry(cfg) { cur =>
-      removed = cur.filesByPart.valuesIterator.flatten
-        .filter(_.txn.contains(txnId)).toVector
+      removed = cur.filesByPart.valuesIterator.flatten.filter(doomed).toVector
       delayMs = PolarLog.fileDeleteDelayMs(cur.props)
-      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, fs) =>
-        p -> fs.filterNot(_.txn.contains(txnId))
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, entries) =>
+        p -> entries.filterNot(doomed)
       })
       if (delayMs > 0L && removed.nonEmpty) {
         val now = System.currentTimeMillis()
@@ -377,11 +565,12 @@ object Transactions {
     if (delayMs == 0L) PolarLog.quietDelete(removed.map(_.path(cfg)))
   }
 
-  private def finalizeAbort(root: String, txnId: String): Unit = {
+  private def finalizeAbort(root: String, txnId: String, epoch: Long): Unit = {
+    writeLast(root, txnId, epoch, "abort")
     touchedTopics(root, txnId).foreach { t =>
-      topicCfg(root, t).foreach(unregisterMarked(_, txnId))
+      topicCfg(root, t).foreach(unregisterMarked(_, txnId, epoch))
     }
-    dropDir(root, txnId)
+    dropDir(root, txnId) // staged offsets die with the directory
   }
 
   /** Unregister EXACTLY these (part, name) entries and reclaim their
@@ -422,60 +611,166 @@ object Transactions {
       .map(id => id -> state(root, id))
   }
 
+  // consecutive failed recovery sweeps per "root#id" — the escalation
+  // counter behind [[recoveryFailures]]. Driver-memory (the driver is the
+  // only sweep authority); entries clear on success or full resolution.
+  private val sweepFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
+
+  /** Transactions whose recovery has failed [[FailedSweepThreshold]]+
+    * consecutive sweeps, with their failure counts and last error — the
+    * operator-action queue `polar.system.txns()` / `GET /v1/admin/txns`
+    * surface as state `failed` (the producer-txn analog of a routed
+    * journal's `.failed` marker). */
+  def recoveryFailures(root: String): Map[String, (Int, String)] = {
+    import scala.jdk.CollectionConverters._
+    sweepFailures.asScala.iterator.collect {
+      case (k, v) if k.startsWith(s"$root#") && v._1 >= FailedSweepThreshold =>
+        k.stripPrefix(s"$root#") -> v
+    }.toMap
+  }
+
   /** Drive every transaction to a terminal state: finish torn
     * commit/abort finalizations, and ABORT open transactions idle past
     * their timeout (the Kafka coordinator's timeout abort). Run by the
     * retention sweep alongside routed-journal recovery. Returns the
-    * number of transactions resolved. */
+    * number of transactions resolved. A transaction whose recovery keeps
+    * failing escalates into [[recoveryFailures]] after
+    * [[FailedSweepThreshold]] consecutive failed sweeps. */
   def recover(root: String, nowMs: Long = System.currentTimeMillis()): Int = {
     var resolved = 0
-    list(root).foreach { case (id, st) =>
-      try lockFor(root, id).synchronized {
-        st match {
-          case Committed => finalizeCommit(root, id); resolved += 1
-          case Aborted => finalizeAbort(root, id); resolved += 1
-          case Open(_, anchor, timeoutMs) if nowMs - anchor > timeoutMs =>
-            // the coordinator's timeout abort goes through the arbiter: a
-            // commit whose marker landed first stands and gets finished
-            decideTerminal(root, id, "abort", "timeout") match {
-              case "commit" => finalizeCommit(root, id)
-              case _ => finalizeAbort(root, id)
-            }
-            resolved += 1
-          case _ => () // live and within its timeout
+    val work = list(root)
+    work.foreach { case (id, st) =>
+      val key = s"$root#$id"
+      try {
+        lockFor(root, id).synchronized {
+          st match {
+            case Committed(e) => finalizeCommit(root, id, e); resolved += 1
+            case Aborted(e) => finalizeAbort(root, id, e); resolved += 1
+            case Open(e, anchor, timeoutMs) if nowMs - anchor > timeoutMs =>
+              // the coordinator's timeout abort goes through the arbiter: a
+              // commit whose marker landed first stands and gets finished
+              decideTerminal(root, id, "abort", "timeout", e) match {
+                case "commit" => finalizeCommit(root, id, e)
+                case _ => finalizeAbort(root, id, e)
+              }
+              resolved += 1
+            case _ => () // live and within its timeout
+          }
         }
+        sweepFailures.remove(key): Unit
       } catch {
         case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          val n = sweepFailures.merge(key, (1, msg),
+            (a, b) => (a._1 + b._1, b._2))._1
           System.err.println(
-            s"[polar] producer-txn recovery failed for '$id': ${e.getMessage}")
+            s"[polar] producer-txn recovery failed for '$id' " +
+              s"($n consecutive): $msg")
       }
     }
+    // txns resolved elsewhere (their own commit/abort) must not linger in
+    // the failure queue — prune keys absent from this sweep's worklist
+    val live = work.map { case (id, _) => s"$root#$id" }.toSet
+    sweepFailures.keySet.removeIf(k => k.startsWith(s"$root#") && !live(k))
     resolved
+  }
+
+  /** Batched state resolution for a set of ids: ONE listing of the
+    * transaction root resolves every never-began / fully-finalized id to
+    * Unknown without a per-id existence probe; only ids with a live
+    * directory pay the per-id read. The planning-path workhorse behind
+    * [[readCommittedView]] — O(1) listings + O(live ids) small reads. */
+  private[graft] def states(
+      root: String, ids: Set[String]): Map[String, TxnState] = {
+    if (ids.isEmpty) return Map.empty
+    val d = new Path(dir(root))
+    val fs = fsOf(d)
+    val liveDirs: Set[String] =
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).iterator.filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+    ids.iterator.map { id =>
+      id -> (if (liveDirs(LogMetadata.hexEncode(id))) state(root, id) else Unknown)
+    }.toMap
+  }
+
+  /** How one mark resolves under read_committed. */
+  private sealed trait MarkClass
+  private case object MarkOpen extends MarkClass
+  private case object MarkCommitted extends MarkClass
+  private case object MarkAborted extends MarkClass
+
+  /** Epoch-exact mark resolution: a mark from an OLDER incarnation than
+    * the id's live/terminal epoch is a fenced zombie's staging — aborted,
+    * never adopted. Unknown-state marks resolve against the finalize
+    * record: none (or an older mark epoch) = committed leftovers (abort
+    * removes entries before the directory); exactly the last-aborted
+    * epoch, or NEWER than any finalized epoch, = a produce that raced the
+    * finalize and rolled back. */
+  private def classify(
+      st: TxnState, markEpoch: Long,
+      last: => Option[(Long, String)]): MarkClass = st match {
+    case Open(e, _, _) =>
+      if (markEpoch >= 0 && markEpoch < e) MarkAborted else MarkOpen
+    case Committed(te) =>
+      if (markEpoch >= 0 && te >= 0 && markEpoch < te) MarkAborted
+      else MarkCommitted
+    case Aborted(_) => MarkAborted
+    case Unknown =>
+      if (markEpoch < 0) MarkCommitted
+      else last match {
+        case Some((le, kind)) if le >= 0 =>
+          if (markEpoch == le)
+            (if (kind == "abort") MarkAborted else MarkCommitted)
+          else if (markEpoch > le) MarkAborted
+          else MarkCommitted
+        case _ => MarkCommitted
+      }
   }
 
   /** The `read_committed` view of one topic's metadata, resolved at scan
     * planning: zero extra I/O when nothing is marked (the overwhelmingly
-    * common case), one tiny state read per distinct marked transaction
-    * otherwise. Open transactions cap each partition's readable tail at
-    * its LSO and their files are excluded; aborted-but-unreclaimed files
-    * are excluded outright; committed marks read as plain files. */
+    * common case); otherwise ONE directory listing plus one tiny state
+    * read per distinct LIVE marked transaction ([[states]]). Open
+    * transactions cap each partition's readable tail at its LSO and their
+    * files are excluded; aborted-but-unreclaimed files (including any
+    * fenced incarnation's leftover staging, resolved epoch-exactly) are
+    * excluded outright; committed marks read as plain files. */
+  /** Total [[readCommittedView]] invocations — the spec-side shim that
+    * asserts "one isolation resolution per poll" (the LogMetadata.read
+    * twin of [[LogMetadata.rootReads]]). */
+  val viewResolutions = new java.util.concurrent.atomic.AtomicLong()
+
   def readCommittedView(root: String, meta: LogMetadata): LogMetadata = {
+    viewResolutions.incrementAndGet()
     val ids = meta.filesByPart.valuesIterator.flatten.flatMap(_.txn).toSet
     if (ids.isEmpty) return meta
-    val states = ids.iterator.map(id => id -> state(root, id)).toMap
-    val openIds = states.collect { case (id, _: Open) => id }.toSet
-    val abortedIds = states.collect { case (id, Aborted) => id }.toSet
-    if (openIds.isEmpty && abortedIds.isEmpty) return meta
+    val byId = states(root, ids)
+    val lasts = scala.collection.mutable.Map.empty[String, Option[(Long, String)]]
+    def classOf(f: FileEntry): MarkClass = f.txn match {
+      case None => MarkCommitted
+      case Some(id) => classify(byId(id), f.txnEpoch,
+        lasts.getOrElseUpdate(id, lastRecord(root, id)))
+    }
+    val classes: Map[(Int, String), MarkClass] =
+      meta.filesByPart.valuesIterator.flatten
+        .filter(_.txn.isDefined)
+        .map(f => (f.part, f.name) -> classOf(f)).toMap
+    if (!classes.valuesIterator.exists(c => c == MarkOpen || c == MarkAborted))
+      return meta
     val lso: Map[Int, Long] = meta.filesByPart.map { case (p, fs) =>
-      p -> fs.iterator.filter(_.txn.exists(openIds)).map(_.minOffset)
-        .minOption.getOrElse(Long.MaxValue)
+      p -> fs.iterator
+        .filter(f => f.txn.isDefined && classes((f.part, f.name)) == MarkOpen)
+        .map(_.minOffset).minOption.getOrElse(Long.MaxValue)
     }
     meta.copy(
       filesByPart = meta.filesByPart.map { case (p, fs) =>
         val cut = lso.getOrElse(p, Long.MaxValue)
         // files are offset-disjoint and the LSO is an open file's first
         // offset, so `maxOffset < cut` keeps exactly the pre-LSO files
-        p -> fs.filter(f => f.maxOffset < cut && !f.txn.exists(abortedIds))
+        p -> fs.filter(f => f.maxOffset < cut &&
+          (f.txn.isEmpty || classes((f.part, f.name)) != MarkAborted))
       },
       producerOffsets = meta.producerOffsets.zipWithIndex.map { case (t, p) =>
         math.min(t, lso.getOrElse(p, Long.MaxValue))

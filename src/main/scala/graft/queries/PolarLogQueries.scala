@@ -544,6 +544,58 @@ object PolarLogQueries extends QueryRegistry {
         UNION ALL SELECT 'ru_after_abort' AS phase, 3 * COUNT(*) AS n FROM events""")),
 
     QueryDef(
+      "polar_txn_offsets",
+      (s, dir) => {
+        // Consume-transform-produce EOS (Kafka's sendOffsetsToTransaction,
+        // r14): the consumer group's position on the SOURCE topic commits
+        // atomically with the transactional produces to the SINK topic —
+        // commit makes both visible, abort leaves the position untouched so
+        // the batch is re-processed, never half-committed. The group lag is
+        // the oracle-visible face of the position.
+        val root = Files.createTempDirectory("graft_polar_txn_offs").toString
+        val src = TopicConfig(root, "events_src", clusterSize = 3)
+        val dst = TopicConfig(root, "events_dst", clusterSize = 3)
+        val records = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("partitionKey"),
+          col("ts").as("timestamp"), col("props").as("value"))
+        def relay(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("partitionKey"), col("timestamp"), col("value"))
+        def dstRc() = PolarLog.consume(s, dst, isolation = "read_committed").count()
+        def lag() = ConsumerGroups.groupLag(src, "etl").map(_.lag).sum
+        PolarLog.produce(records, src)
+        val poll = ConsumerGroups.poll(s, src, "etl", ConsumerGroups.Earliest)
+        val lagBefore = lag() // the whole first batch pending: N
+        val h = Transactions.begin(root, "etl-offsets")
+        PolarLog.produce(relay(poll.records), dst, producerTxn = Some(h))
+        Transactions.sendOffsets(h, src, "etl", poll.nextOffsets)
+        val dstOpen = dstRc() // neither records nor position visible yet
+        Transactions.commit(h)
+        val dstCommitted = dstRc() // both land atomically at the commit point
+        val lagCommitted = lag()
+        // abort leg: a second batch, its transaction rolls back
+        PolarLog.produce(records, src)
+        val poll2 = ConsumerGroups.poll(s, src, "etl", ConsumerGroups.Earliest)
+        val h2 = Transactions.begin(root, "etl-offsets")
+        PolarLog.produce(relay(poll2.records), dst, producerTxn = Some(h2))
+        Transactions.sendOffsets(h2, src, "etl", poll2.nextOffsets)
+        Transactions.abort(h2)
+        val dstAfterAbort = dstRc() // the aborted relay is gone
+        val lagAfterAbort = lag() // and the batch is pending again: N
+        s.createDataFrame(Seq(
+          ("lag_before", lagBefore), ("dst_open", dstOpen),
+          ("dst_committed", dstCommitted), ("lag_committed", lagCommitted),
+          ("dst_after_abort", dstAfterAbort), ("lag_after_abort", lagAfterAbort)))
+          .toDF("phase", "n")
+      },
+      Some("""
+        SELECT 'lag_before' AS phase, COUNT(*) AS n FROM events
+        UNION ALL SELECT 'dst_open' AS phase, CAST(0 AS BIGINT) AS n
+        UNION ALL SELECT 'dst_committed' AS phase, COUNT(*) AS n FROM events
+        UNION ALL SELECT 'lag_committed' AS phase, CAST(0 AS BIGINT) AS n
+        UNION ALL SELECT 'dst_after_abort' AS phase, COUNT(*) AS n FROM events
+        UNION ALL SELECT 'lag_after_abort' AS phase, COUNT(*) AS n FROM events""")),
+
+    QueryDef(
       "polar_poll_json",
       (s, dir) => {
         val (cfg, _) = SharedTopics.eventsProps(s, dir)

@@ -308,15 +308,24 @@ class PolarHttpServer(
                 s""""topics":[${j.topics.keys.toSeq.sorted
                   .map(t => s""""${esc2(t)}"""").mkString(",")}]}"""
             }
+          // a txn whose recovery keeps failing is surfaced as `failed`
+          // with its consecutive-failure count — the producer-txn analog
+          // of a journal's `.failed` marker (operator-action queue)
+          val failures = graft.log.Transactions.recoveryFailures(root)
           val producers = graft.log.Transactions.list(root).map { case (id, st) =>
             val (state, ageMs, epoch) = st match {
               case graft.log.Transactions.Open(e, anchor, _) =>
                 ("open", math.max(0L, nowTs - anchor), e)
-              case graft.log.Transactions.Committed => ("committed", -1L, -1L)
-              case graft.log.Transactions.Aborted => ("aborted", -1L, -1L)
+              case graft.log.Transactions.Committed(e) => ("committed", -1L, e)
+              case graft.log.Transactions.Aborted(e) => ("aborted", -1L, e)
               case graft.log.Transactions.Unknown => ("unknown", -1L, -1L)
             }
-            s"""{"id":"${esc2(id)}","state":"$state","epoch":$epoch,"ageMs":$ageMs}"""
+            val (shownState, sweepFails) = failures.get(id) match {
+              case Some((n, _)) => ("failed", n)
+              case None => (state, 0)
+            }
+            s"""{"id":"${esc2(id)}","state":"$shownState","epoch":$epoch,""" +
+              s""""ageMs":$ageMs,"sweepFailures":$sweepFails}"""
           }
           respond(ex, 200,
             s"""{"journals":[${journals.mkString(",")}],""" +
@@ -455,6 +464,14 @@ class PolarHttpServer(
   private def handleProduce(ex: HttpExchange, topic: String): Unit = {
     if (!TopicConfig.validTopicName(topic))
       throw HttpError(400, "Invalid topic")
+    // a produce to a not-yet-existing topic CREATES it: creation obeys the
+    // stricter 248-char cap (derived file names), so refuse here with the
+    // reference's 400 Invalid-topic shape rather than surfacing the write
+    // path's require as a 500. Existing 249-255-char topics (pre-cap) stay
+    // writable — the exists probe only runs for names past the cap.
+    if (!TopicConfig.validNewTopicName(topic) &&
+        graft.log.LogMetadata.readIfExists(TopicConfig(root, topic)).isEmpty)
+      throw HttpError(400, "Invalid topic: new topic names are capped at 248 characters")
     val declaredLen = Option(ex.getRequestHeaders.getFirst("Content-length"))
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
     if (declaredLen <= 0 || declaredLen > maxMessageSize)

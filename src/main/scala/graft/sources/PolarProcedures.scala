@@ -247,7 +247,11 @@ private[sources] object PolarProcedures {
         StructField("id", StringType, nullable = false),
         StructField("state", StringType, nullable = false),
         StructField("epoch", LongType, nullable = true),
-        StructField("age_ms", LongType, nullable = true)))) {
+        StructField("age_ms", LongType, nullable = true),
+        // consecutive failed recovery sweeps (state reads `failed` once
+        // past the escalation threshold — an operator-action queue, the
+        // producer-txn analog of a journal's `.failed` marker)
+        StructField("sweep_failures", IntegerType, nullable = false)))) {
       override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
         val now = System.currentTimeMillis()
         val journals = TxnJournal.list(root, includeFailed = true)
@@ -259,26 +263,114 @@ private[sources] object PolarProcedures {
             new GenericInternalRow(Array[Any](
               UTF8String.fromString("journal"), UTF8String.fromString(name),
               UTF8String.fromString(state), null,
-              math.max(0L, now - j.ageAnchorMs)))
+              math.max(0L, now - j.ageAnchorMs), 0))
           }
+        val failures = Transactions.recoveryFailures(root)
         val producers = Transactions.list(root).map { case (id, st) =>
           val (state, epoch, age) = st match {
             case Transactions.Open(e, anchor, _) =>
               ("open", e: java.lang.Long, math.max(0L, now - anchor): java.lang.Long)
-            case Transactions.Committed => ("committed", null, null)
-            case Transactions.Aborted => ("aborted", null, null)
+            case Transactions.Committed(e) =>
+              ("committed", if (e >= 0) e: java.lang.Long else null, null)
+            case Transactions.Aborted(e) =>
+              ("aborted", if (e >= 0) e: java.lang.Long else null, null)
             case Transactions.Unknown => ("unknown", null, null)
+          }
+          val (shownState, fails) = failures.get(id) match {
+            case Some((n, _)) => ("failed", n)
+            case None => (state, 0)
           }
           new GenericInternalRow(Array[Any](
             UTF8String.fromString("producer"), UTF8String.fromString(id),
-            UTF8String.fromString(state), epoch, age))
+            UTF8String.fromString(shownState), epoch, age, fails))
         }
         journals ++ producers
       }
     }
 
+    // -- producer-transaction lifecycle from pure SQL (Kafka's
+    //    initTransactions/commitTransaction/abortTransaction face): a
+    //    SQL-first user runs the EOS loop end-to-end —
+    //    CALL polar.system.begin_txn(id => 'etl') → epoch,
+    //    transactional produces via the DSv2 write options, then
+    //    CALL polar.system.commit_txn(id => 'etl', epoch => <epoch>).
+    val beginTxn = new PolarProcedure(
+      "begin_txn",
+      Seq(in("id", StringType).build(),
+        in("timeout_ms", LongType)
+          .defaultValue(Transactions.DefaultTimeoutMs.toString)
+          .comment("Kafka's transaction.timeout.ms: idle past this, the sweep aborts")
+          .build()),
+      StructType(Seq(StructField("epoch", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val h = Transactions.begin(root, a.getUTF8String(0).toString, a.getLong(1))
+        Seq(new GenericInternalRow(Array[Any](h.epoch)))
+      }
+    }
+
+    val commitTxn = new PolarProcedure(
+      "commit_txn",
+      Seq(in("id", StringType).build(),
+        in("epoch", LongType)
+          .comment("the fencing epoch begin_txn returned").build()),
+      StructType(Seq(StructField("committed", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        Transactions.commit(Transactions.TxnHandle(
+          root, a.getUTF8String(0).toString, a.getLong(1)))
+        Seq(new GenericInternalRow(Array[Any](true)))
+      }
+    }
+
+    val abortTxn = new PolarProcedure(
+      "abort_txn",
+      Seq(in("id", StringType).build(),
+        in("epoch", LongType)
+          .comment("the fencing epoch begin_txn returned").build()),
+      StructType(Seq(StructField("aborted", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        Transactions.abort(Transactions.TxnHandle(
+          root, a.getUTF8String(0).toString, a.getLong(1)))
+        Seq(new GenericInternalRow(Array[Any](true)))
+      }
+    }
+
+    // Kafka's sendOffsetsToTransaction: stage `group`'s position on
+    // `topic` inside the transaction, so the consume-transform-produce
+    // loop commits records AND progress atomically. With no explicit
+    // offsets JSON the group's CURRENT committed position is staged —
+    // the common pattern after pollAndCommit-style processing is instead
+    // to pass the poll's nextOffsets explicitly.
+    val sendOffsetsTxn = new PolarProcedure(
+      "send_offsets",
+      Seq(in("id", StringType).build(),
+        in("epoch", LongType).build(),
+        in("topic", StringType).build(),
+        in("group_id", StringType).build(),
+        in("offsets", StringType)
+          .defaultValue("''")
+          .comment("""per-partition next offsets as {"0":12,...}; '' = the group's committed position""")
+          .build()),
+      StructType(Seq(StructField("staged_partitions", IntegerType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val cfg = cfgOf(a, 2)
+        val group = a.getUTF8String(3).toString
+        val json = a.getUTF8String(4).toString
+        val offsets =
+          if (json.trim.isEmpty)
+            ConsumerGroups.committed(cfg, group).getOrElse(
+              throw new IllegalArgumentException(
+                s"group '$group' has no committed position on ${cfg.topic}; " +
+                  "pass offsets explicitly"))
+          else ConsumerGroups.parseOffsets(json)
+        Transactions.sendOffsets(Transactions.TxnHandle(
+          root, a.getUTF8String(0).toString, a.getLong(1)), cfg, group, offsets)
+        Seq(new GenericInternalRow(Array[Any](offsets.size)))
+      }
+    }
+
     Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze,
-        deleteRecords, merge, cleanKeys, txns)
+        deleteRecords, merge, cleanKeys, txns, beginTxn, commitTxn, abortTxn,
+        sendOffsetsTxn)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

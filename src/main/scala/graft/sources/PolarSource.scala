@@ -196,18 +196,19 @@ object PolarSource {
       assign = assign,
       isolation = opt("isolation.level").map(_.trim.toLowerCase)
         .getOrElse("read_uncommitted"),
-      // Kafka's transactional.id (+ the handle's fencing epoch): absent
-      // epoch resolves the CURRENT open epoch — convenient for raw-option
-      // writes, but only a handle-carried epoch actually fences zombies
+      // Kafka's transactional.id + the handle's fencing epoch. The epoch
+      // is REQUIRED: auto-resolving "the current open epoch" at
+      // option-parse time would silently forfeit zombie fencing — a stale
+      // writer re-resolving after a fencing begin would pick up the NEW
+      // incarnation's epoch and write as if it were the live producer.
+      // Only the epoch minted by Transactions.begin (what the Scala
+      // PolarLog.produce path always carries) actually fences.
       producerTxn = opt("transactional.id").map { id =>
-        id -> opt("transactional.epoch").map(_.trim.toLong).getOrElse {
-          graft.log.Transactions.state(root, id) match {
-            case graft.log.Transactions.Open(e, _, _) => e
-            case st => throw new IllegalArgumentException(
-              s"transactional.id '$id' is not open (state: $st); call " +
-                "Transactions.begin first")
-          }
-        }
+        id -> opt("transactional.epoch").map(_.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"transactional.id '$id' requires transactional.epoch (the " +
+              "fencing epoch Transactions.begin returned); resolving the " +
+              "current epoch here would disable zombie fencing"))
       })
   }
 }

@@ -397,7 +397,9 @@ class PolarBatchWrite(
     producerTxn.foreach { case (id, epoch) =>
       graft.log.Transactions.requireOpen(cfg.root, id, epoch)
       graft.log.Transactions.touchTopic(cfg.root, id, cfg.topic)
-      entries = entries.map(_.copy(txn = Some(id)))
+      // (id, epoch)-stamped: resolution is epoch-exact, so a fenced
+      // incarnation's staging can never be adopted by a later commit
+      entries = entries.map(_.copy(txn = Some(id), txnEpoch = epoch))
     }
     // Optimistic commit with rebase-and-retry: a lost CAS means another
     // producer advanced the tails after our plan-time snapshot. Our files

@@ -466,6 +466,25 @@ class PolarLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lm.head.tsMin === Long.MinValue && lm.head.tsMax === Long.MaxValue)
   }
 
+  test("epoch-stamped txn marks round-trip (format 7); r13 epoch-less marks parse as -1") {
+    val marked = Vector(
+      FileEntry(0, "m.parquet", 0, 9, 10, 400, 1700000000000L,
+        txn = Some("etl-txn"), txnEpoch = 1755000000123L),
+      FileEntry(0, "plain.parquet", 10, 19, 10, 400, 1700000000001L))
+    val rendered = LogMetadata.renderManifest(marked)
+    assert(rendered.contains(""""format":7"""),
+      s"marked manifests must stamp format 7: $rendered")
+    val back = LogMetadata.parseManifest(rendered)
+    assert(back === marked)
+    // an r13-written mark (12-element tuple, format 6): epoch reads -1
+    val r13 = """{"format":6,"files":[[0,"old.parquet",0,4,5,200,1699999999999,""" +
+      s"""-9223372036854775808,9223372036854775807,-1,-1,"${LogMetadata.hexEncode("legacy-id")}"]]}"""
+    val lm = LogMetadata.parseManifest(r13)
+    assert(lm.head.txn === Some("legacy-id") && lm.head.txnEpoch === -1L)
+    // mark-free manifests keep their older stamps (broadly readable)
+    assert(!LogMetadata.renderManifest(marked.drop(1)).contains(""""format":7"""))
+  }
+
   test("manifest root doc round-trips pointers") {
     val m = LogMetadata(9L, 3, 4, Vector.tabulate(12)(_ => 0L),
       manifestNames = Map(0 -> "part-00000-v9-abc12345.json",

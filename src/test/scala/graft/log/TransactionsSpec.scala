@@ -352,6 +352,221 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Transactions.abort(h2)
   }
 
+  test("epoch-exact commit never adopts a fenced zombie's staging under the same id") {
+    val cfg = TopicConfig(root, "t_adopt", 1, 1)
+    val h = Transactions.begin(root, "adopt")
+    PolarLog.produce(rows(3, "mine"), cfg, producerTxn = Some(h))
+    PolarLog.produce(rows(2, "zomb"), cfg, producerTxn = Some(h))
+    // doctor the second produce's entry to an OLDER epoch — exactly the
+    // staging a fenced prior incarnation's racing CAS would have
+    // registered under the same transactional.id
+    LogMetadata.casWithRetry(cfg) { cur =>
+      cur.copy(filesByPart = cur.filesByPart.map { case (p, entries) =>
+        p -> entries.map(f =>
+          if (f.minOffset == 3L) f.copy(txnEpoch = h.epoch - 10) else f)
+      })
+    }
+    Transactions.commit(h)
+    // the commit cleared ITS OWN (id, epoch) marks and UNREGISTERED the
+    // zombie's — it must never adopt entries it did not produce
+    val after = LogMetadata.read(cfg)
+    assert(after.files.forall(_.txn.isEmpty))
+    assert(after.files.map(_.minOffset) === Vector(0L),
+      s"zombie staging was adopted: ${after.files}")
+    assert(rcCount(cfg) === 3L && ruCount(cfg) === 3L)
+  }
+
+  test("Unknown-state marks resolve by epoch: a zombie produce racing a finalized abort reads aborted") {
+    val cfg = TopicConfig(root, "t_zombmark", 1, 1)
+    PolarLog.produce(rows(4, "base"), cfg)
+    val h = Transactions.begin(root, "zombm")
+    PolarLog.produce(rows(3, "staged"), cfg, producerTxn = Some(h))
+    val staged = LogMetadata.read(cfg).files.filter(_.txn.isDefined)
+    Transactions.abort(h) // full finalize: entries removed, directory dropped
+    assert(Transactions.state(root, "zombm") === Transactions.Unknown)
+    // a zombie CAS that raced the finalize re-registers the marked entries
+    LogMetadata.casWithRetry(cfg)(_.appendFiles(staged))
+    def viewNames = Transactions
+      .readCommittedView(root, LogMetadata.read(cfg))
+      .files.map(_.name).toSet
+    val plain = LogMetadata.read(cfg).files.filter(_.txn.isEmpty).map(_.name).toSet
+    // r13 treated ALL dir-gone marks as committed; the finalize record
+    // knows this epoch was aborted
+    assert(viewNames === plain,
+      "a zombie mark carrying the last-aborted epoch must read as aborted")
+    // a mark NEWER than any finalized epoch (no live directory) is a
+    // rolled-back race too
+    LogMetadata.casWithRetry(cfg) { cur =>
+      cur.copy(filesByPart = cur.filesByPart.map { case (p, entries) =>
+        p -> entries.map(f =>
+          if (f.txn.isDefined) f.copy(txnEpoch = h.epoch + 100) else f)
+      })
+    }
+    assert(viewNames === plain)
+    // but an UNKNOWN-epoch mark (r13 manifest) keeps the committed-leftover
+    // rule — grandfathered, never hidden
+    LogMetadata.casWithRetry(cfg) { cur =>
+      cur.copy(filesByPart = cur.filesByPart.map { case (p, entries) =>
+        p -> entries.map(f =>
+          if (f.txn.isDefined) f.copy(txnEpoch = -1L) else f)
+      })
+    }
+    assert(viewNames !== plain)
+    // cleanup: drop the synthetic zombie entries
+    Transactions.unregisterEntries(cfg,
+      staged.map(f => (f.part, f.name)).toSet)
+  }
+
+  test("begin mints past the finalize record's epoch high-water mark (clock-step fencing)") {
+    val far = System.currentTimeMillis() + 1000L * 86400 * 365
+    // simulate an id whose last incarnation finalized at a FUTURE
+    // wall-clock (the local clock has since stepped backwards)
+    val p = new Path(s"${Transactions.dir(root)}/${LogMetadata.hexEncode("clock")}.last")
+    val out = fs.create(p, false)
+    out.write(s"""{"format":1,"kind":"commit","epoch":$far}""".getBytes("UTF-8"))
+    out.close()
+    val h = Transactions.begin(root, "clock")
+    assert(h.epoch > far,
+      s"epoch ${h.epoch} must exceed the finalized high-water mark $far")
+    // and this incarnation's finalize advances the record (never regresses)
+    Transactions.abort(h)
+    assert(Transactions.lastRecord(root, "clock") === Some((h.epoch, "abort")))
+  }
+
+  test("arbiter loser with an unreadable marker throws — never proceeds with its own kind") {
+    val cfg = TopicConfig(root, "t_unread", 1, 1)
+    val h = Transactions.begin(root, "unread")
+    PolarLog.produce(rows(2, "r"), cfg, producerTxn = Some(h))
+    // a marker that exists but never resolves to a kind (torn write whose
+    // content is lost): the loser must refuse, not guess
+    val out = fs.create(new Path(txnDirPath("unread"), "terminal.json"), false)
+    out.write("""{"format":1}""".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] { Transactions.commit(h) }
+    assert(e.getMessage.contains("refusing to guess"), e.getMessage)
+    // nothing half-applied: the staging is intact
+    assert(LogMetadata.read(cfg).files.forall(_.txn.isDefined))
+    // repair the marker; the decision then follows it
+    fs.delete(new Path(txnDirPath("unread"), "terminal.json"), false)
+    Transactions.abort(h)
+    assert(ruCount(cfg) === 0L)
+  }
+
+  test("sendOffsetsToTransaction: group offsets commit atomically with the produces") {
+    val a = TopicConfig(root, "t_eos_src", 1, 2)
+    val b = TopicConfig(root, "t_eos_dst", 1, 2)
+    PolarLog.produce(rows(10, "in"), a)
+    val p0 = ConsumerGroups.poll(spark, a, "eos", ConsumerGroups.Earliest)
+    assert(p0.records.count() === 10L)
+    val h = Transactions.begin(root, "eos-txn")
+    PolarLog.produce(rows(10, "out"), b, producerTxn = Some(h))
+    Transactions.sendOffsets(h, a, "eos", p0.nextOffsets)
+    // pre-commit: neither the produce nor the position moved
+    assert(rcCount(b) === 0L)
+    assert(ConsumerGroups.committed(a, "eos").get.values.sum === 0L)
+    Transactions.commit(h)
+    assert(rcCount(b) === 10L)
+    assert(ConsumerGroups.committed(a, "eos") === Some(p0.nextOffsets))
+    assert(ConsumerGroups.poll(spark, a, "eos", ConsumerGroups.Earliest)
+      .records.count() === 0L, "committed offsets end redelivery")
+    // ABORT: the produce is reclaimed AND the position is unchanged — the
+    // records get re-processed, never half-committed
+    PolarLog.produce(rows(4, "in2"), a)
+    val p1 = ConsumerGroups.poll(spark, a, "eos", ConsumerGroups.Earliest)
+    assert(p1.records.count() === 4L)
+    val h2 = Transactions.begin(root, "eos-txn")
+    PolarLog.produce(rows(4, "out2"), b, producerTxn = Some(h2))
+    Transactions.sendOffsets(h2, a, "eos", p1.nextOffsets)
+    Transactions.abort(h2)
+    assert(rcCount(b) === 10L)
+    assert(ConsumerGroups.committed(a, "eos") === Some(p0.nextOffsets))
+    assert(ConsumerGroups.poll(spark, a, "eos", ConsumerGroups.Earliest)
+      .records.count() === 4L, "aborted offsets must re-serve the batch")
+  }
+
+  test("kill between the commit point and finalize: the sweep converges records AND offsets") {
+    val a = TopicConfig(root, "t_teos_src", 1, 1)
+    val b = TopicConfig(root, "t_teos_dst", 1, 1)
+    PolarLog.produce(rows(6, "in"), a)
+    val p0 = ConsumerGroups.poll(spark, a, "teos", ConsumerGroups.Earliest)
+    val h = Transactions.begin(root, "teos-txn")
+    PolarLog.produce(rows(6, "out"), b, producerTxn = Some(h))
+    Transactions.sendOffsets(h, a, "teos", p0.nextOffsets)
+    // the commit point lands; the committer dies before finalize
+    val out = fs.create(new Path(txnDirPath("teos-txn"), "terminal.json"), false)
+    out.write(s"""{"format":1,"kind":"commit","epoch":${h.epoch}}"""
+      .getBytes("UTF-8")); out.close()
+    // records are visible from the marker alone; offsets converge via sweep
+    assert(rcCount(b) === 6L)
+    assert(ConsumerGroups.committed(a, "teos").get.values.sum === 0L)
+    assert(Transactions.recover(root) === 1)
+    assert(ConsumerGroups.committed(a, "teos") === Some(p0.nextOffsets))
+    assert(LogMetadata.read(b).files.forall(_.txn.isEmpty))
+    assert(!fs.exists(txnDirPath("teos-txn")))
+    assert(Transactions.recover(root) === 0, "finalize replay is idempotent")
+  }
+
+  test("one registry read and one isolation resolution per poll — first poll included") {
+    val cfg = TopicConfig(root, "t_oneview", 1, 2)
+    PolarLog.produce(rows(6, "base"), cfg)
+    val h = Transactions.begin(root, "oneview")
+    PolarLog.produce(rows(2, "held"), cfg, producerTxn = Some(h))
+    val r0 = LogMetadata.rootReads.get()
+    val v0 = Transactions.viewResolutions.get()
+    val p = ConsumerGroups.poll(spark, cfg, "g_one",
+      ConsumerGroups.Latest, isolation = "read_committed")
+    assert(LogMetadata.rootReads.get() - r0 === 1L,
+      "a first poll must read the registry exactly once")
+    assert(Transactions.viewResolutions.get() - v0 === 1L,
+      "a poll must resolve isolation exactly once")
+    assert(p.nextOffsets.values.sum === 6L,
+      "the Latest pin must come from the same (LSO-capped) view")
+    Transactions.abort(h)
+  }
+
+  test("a raw DSv2 transactional.id write without transactional.epoch refuses (fencing)") {
+    val h = Transactions.begin(root, "rawopt")
+    val e = intercept[Exception] {
+      rows(2, "x").write.format("polar")
+        .option("root", root).option("topic", "t_rawopt")
+        .option("transactional.id", "rawopt")
+        .mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("transactional.epoch")), msgs(e).mkString(" | "))
+    Transactions.abort(h)
+  }
+
+  test("persistently failing recovery escalates into the failed inventory") {
+    val sickRoot = Files.createTempDirectory("polar_txn_sick").toString
+    // a topic whose metadata is GARBAGE: every finalize against it throws
+    val badCfg = TopicConfig(sickRoot, "bad", 1, 1)
+    val badMeta = new Path(badCfg.metadataPath)
+    val bfs = badMeta.getFileSystem(HadoopConf.shared)
+    val o1 = bfs.create(badMeta, true)
+    o1.write("""{"corrupt": true""".getBytes("UTF-8")); o1.close()
+    val h = Transactions.begin(sickRoot, "sick")
+    Transactions.touchTopic(sickRoot, "sick", "bad")
+    val t = bfs.create(new Path(
+      s"${Transactions.dir(sickRoot)}/${LogMetadata.hexEncode("sick")}/terminal.json"), false)
+    t.write(s"""{"format":1,"kind":"abort","epoch":${h.epoch}}""".getBytes("UTF-8"))
+    t.close()
+    (1 to Transactions.FailedSweepThreshold).foreach { i =>
+      Transactions.recover(sickRoot)
+      val failed = Transactions.recoveryFailures(sickRoot)
+      if (i < Transactions.FailedSweepThreshold)
+        assert(!failed.contains("sick"), s"escalated too early at sweep $i")
+      else {
+        assert(failed.contains("sick"))
+        assert(failed("sick")._1 >= Transactions.FailedSweepThreshold)
+      }
+    }
+    // the operator repairs the topic; the next sweep resolves and clears
+    bfs.delete(badMeta, false)
+    assert(Transactions.recover(sickRoot) === 1)
+    assert(!Transactions.recoveryFailures(sickRoot).contains("sick"))
+  }
+
   test("admin inventory lists producer transactions with state and age") {
     val h = Transactions.begin(root, "inv")
     val listed = Transactions.list(root)
