@@ -79,6 +79,15 @@ object ConsumerGroups {
     committed(cfg, group).getOrElse(
       register(cfg, group, policy, readView(cfg, isolation)))
 
+  /** [[startingOffsets]] against an ALREADY-RESOLVED registry view — the
+    * serving façade's poll path shares the library polls' one-view-per-
+    * round discipline (registration pin, tails, admission and scan all
+    * answer from the same read, first poll included). */
+  private[graft] def startingOffsetsIn(
+      cfg: TopicConfig, group: String, policy: ResetPolicy,
+      meta: LogMetadata): Map[Int, Long] =
+    committed(cfg, group).getOrElse(register(cfg, group, policy, meta))
+
   /** The registration write behind [[startingOffsets]], against an
     * ALREADY-RESOLVED view — what the poll paths use so one poll round
     * resolves the registry + isolation exactly once, first poll included

@@ -75,6 +75,14 @@ object Transactions {
   /** Kafka's `transaction.timeout.ms` default. */
   val DefaultTimeoutMs: Long = 60000L
 
+  /** Kafka's `transactional.id.expiration.ms` default (7 days): finalize
+    * records ([[lastRecord]]) of ids idle past this are pruned by the
+    * sweep, bounding the `_polar_txn_producers` listing under
+    * UUID-per-job id churn. The traded-off protections (epoch floor,
+    * Unknown-mark resolution) only matter within an id's active lifetime —
+    * the same reasoning as Kafka's coordinator expiring idle ids. */
+  val IdExpirationMs: Long = 7L * 24 * 3600 * 1000
+
   /** Consecutive failed recovery sweeps after which a transaction is
     * surfaced as `failed` in the admin inventory (`polar.system.txns()`,
     * `GET /v1/admin/txns`) — an operator-action queue, not a log line. */
@@ -137,11 +145,13 @@ object Transactions {
   // marker writes race-free where they can race at all; the deterministic
   // arbiter in [[decideTerminal]] covers cross-process overlap. STRIPED
   // (bounded): a long-lived driver churning UUID-per-job ids must not leak
-  // one lock object per id for the JVM lifetime — 128 stripes serialize
-  // strictly more than per-id locks, never less.
-  private val lockStripes = Array.fill(128)(new Object)
+  // one lock object per id for the JVM lifetime — stripes serialize
+  // strictly more than per-id locks, never less. 1024 stripes keep the
+  // odds of an unrelated id sharing a stripe with a stuck arbiter retry
+  // (worst case ~1s on a torn marker) below 0.1%.
+  private val lockStripes = Array.fill(1024)(new Object)
   private def lockFor(root: String, txnId: String): Object =
-    lockStripes(java.lang.Math.floorMod(s"$root#$txnId".hashCode, 128))
+    lockStripes(java.lang.Math.floorMod(s"$root#$txnId".hashCode, 1024))
 
   private val KindRe = """"kind"\s*:\s*"(\w+)"""".r
   private val EpochRe = """"epoch"\s*:\s*(-?\d+)""".r
@@ -178,12 +188,20 @@ object Transactions {
     * the directory drop — what keeps epoch minting monotone across clock
     * steps and lets Unknown-state marks resolve correctly. Monotone: never
     * overwritten with a LOWER epoch (idempotent finalize replays of an old
-    * incarnation must not regress the high-water mark). */
+    * incarnation must not regress the high-water mark). ATOMIC: written to
+    * a tmp sibling and renamed over, so a crash mid-write can never leave
+    * an empty/torn record (which would silently drop both protections). */
   private def writeLast(root: String, txnId: String, epoch: Long, kind: String): Unit = {
     val keep = lastRecord(root, txnId).exists { case (e, _) => e > epoch }
-    if (!keep) writeFile(lastPath(root, txnId),
+    if (keep) return
+    val p = lastPath(root, txnId)
+    val tmp = new Path(p.toString + ".tmp")
+    writeFile(tmp,
       s"""{"format":1,"kind":"$kind","epoch":$epoch,""" +
         s""""ms":${System.currentTimeMillis()}}""", overwrite = true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, HadoopConf.shared)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The ATOMIC commit-vs-abort arbiter: exclusive-create `terminal.json`
@@ -194,7 +212,7 @@ object Transactions {
     * kind could half-apply a commit over an abort (or vice versa) under
     * cross-process I/O flake. (Same-JVM races are additionally serialized
     * by [[lockFor]]; the exclusive create is the cross-process guard.) */
-  private def decideTerminal(
+  private[log] def decideTerminal(
       root: String, txnId: String, kind: String, reason: String,
       epoch: Long): String = {
     val d = txnPath(root, txnId)
@@ -210,7 +228,25 @@ object Transactions {
             s""""epoch":$epoch,"ms":${System.currentTimeMillis()}}""").getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        return kind
+        // RESURRECTION GUARD: Hadoop's create auto-creates parents, so the
+        // "exclusive" create can succeed in a freshly re-created directory
+        // AFTER a concurrent finalize fully dropped it — our kind would
+        // then stand for a transaction whose opposite decision already
+        // applied. The winner's finalize wrote the .last record BEFORE the
+        // drop: a record at (or past) our epoch proves the resurrection —
+        // undo the marker and follow the recorded kind instead.
+        lastRecord(root, txnId) match {
+          case Some((le, recordedKind)) if epoch >= 0 && le >= epoch =>
+            try {
+              fs.delete(p, false)
+              fs.delete(d, false): Unit // only if we left it empty
+            } catch { case _: java.io.IOException => () }
+            if (le == epoch) return recordedKind
+            else throw new IllegalStateException(
+              s"transaction '$txnId' (epoch $epoch) was finalized " +
+                s"concurrently at epoch $le; this handle is fenced")
+          case _ => return kind
+        }
       } catch {
         case e: java.io.IOException =>
           lastErr = e
@@ -521,14 +557,22 @@ object Transactions {
     touchedTopics(root, txnId).foreach { t =>
       topicCfg(root, t).foreach(clearMarks(_, txnId, epoch))
     }
-    // apply staged consumer-group offsets (sendOffsetsToTransaction), then
-    // delete each staged file so a crash-replay of this finalize never
-    // re-applies a position the group has since advanced past. The caller
-    // contract matches Kafka's: the group is quiesced while its offsets
-    // ride inside a transaction.
+    // apply staged consumer-group offsets (sendOffsetsToTransaction).
+    // NEVER-REWIND: each partition applies max(current, staged), so a
+    // crash between the apply and the staged-file delete cannot make a
+    // finalize REPLAY regress a position the group advanced past in
+    // between (double-processing). Deliberate rewinds have a dedicated
+    // tool (ConsumerGroups.resetOffsets); transactional offsets only move
+    // a group forward, the direction the consume-transform-produce loop
+    // ever needs. The staged file is deleted after applying — belt and
+    // suspenders with the max-merge.
     stagedOffsets(root, txnId).foreach { case (topic, group, offs, fileName) =>
       topicCfg(root, topic) match {
-        case Some(cfg) => ConsumerGroups.commitPartial(cfg, group, offs)
+        case Some(cfg) =>
+          val cur = ConsumerGroups.committed(cfg, group).getOrElse(Map.empty)
+          ConsumerGroups.commitPartial(cfg, group, offs.map { case (p, o) =>
+            p -> math.max(o, cur.getOrElse(p, 0L))
+          })
         case None => System.err.println(
           s"[polar] txn '$txnId': staged offsets for missing topic '$topic' dropped")
       }
@@ -673,6 +717,28 @@ object Transactions {
     // the failure queue — prune keys absent from this sweep's worklist
     val live = work.map { case (id, _) => s"$root#$id" }.toSet
     sweepFailures.keySet.removeIf(k => k.startsWith(s"$root#") && !live(k))
+    // expire finalize records of long-idle ids (and stale .tmp leftovers):
+    // one file per id ever finalized would otherwise grow the listing
+    // without bound under UUID-per-job churn. Only ids with NO live
+    // directory expire — an active incarnation keeps its floor.
+    try {
+      val d = new Path(dir(root))
+      val fs = fsOf(d)
+      if (fs.exists(d)) {
+        val liveDirs = work.map { case (id, _) =>
+          LogMetadata.hexEncode(id) }.toSet
+        fs.listStatus(d).foreach { s =>
+          val n = s.getPath.getName
+          val expirable =
+            (n.endsWith(".last") && !liveDirs(n.stripSuffix(".last"))) ||
+              n.endsWith(".last.tmp")
+          if (s.isFile && expirable &&
+              nowMs - s.getModificationTime > IdExpirationMs)
+            try fs.delete(s.getPath, false): Unit
+            catch { case _: java.io.IOException => () }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
     resolved
   }
 
@@ -729,6 +795,11 @@ object Transactions {
       }
   }
 
+  /** Total [[readCommittedView]] invocations — the spec-side shim that
+    * asserts "one isolation resolution per poll" (the LogMetadata.read
+    * twin of [[LogMetadata.rootReads]]). */
+  val viewResolutions = new java.util.concurrent.atomic.AtomicLong()
+
   /** The `read_committed` view of one topic's metadata, resolved at scan
     * planning: zero extra I/O when nothing is marked (the overwhelmingly
     * common case); otherwise ONE directory listing plus one tiny state
@@ -737,11 +808,6 @@ object Transactions {
     * files are excluded; aborted-but-unreclaimed files (including any
     * fenced incarnation's leftover staging, resolved epoch-exactly) are
     * excluded outright; committed marks read as plain files. */
-  /** Total [[readCommittedView]] invocations — the spec-side shim that
-    * asserts "one isolation resolution per poll" (the LogMetadata.read
-    * twin of [[LogMetadata.rootReads]]). */
-  val viewResolutions = new java.util.concurrent.atomic.AtomicLong()
-
   def readCommittedView(root: String, meta: LogMetadata): LogMetadata = {
     viewResolutions.incrementAndGet()
     val ids = meta.filesByPart.valuesIterator.flatten.flatMap(_.txn).toSet

@@ -787,13 +787,12 @@ class PolarHttpServer(
     val itemsPerTopic = r.topics.map { topic =>
       val cfg = cfgOf(topic)
       val mine = ConsumerGroups.assignment(cfg, members)(r.consumerId).toSet
-      val start = ConsumerGroups.startingOffsets(cfg, r.group, r.policy,
-        r.isolation)
-      // ONE isolation-resolved registry view per topic per poll: tails,
-      // admission and the scan all answer from it (a read_committed
-      // consumer's tails are its LSOs) — also one root read where this
-      // previously took two
+      // ONE isolation-resolved registry view per topic per poll — the
+      // registration pin (first poll of an unregistered group), tails,
+      // admission and the scan all answer from it, so a txn committing
+      // mid-round can never make the Latest pin and the admission disagree
       val meta = ConsumerGroups.readView(cfg, r.isolation)
+      val start = ConsumerGroups.startingOffsetsIn(cfg, r.group, r.policy, meta)
       val tails = PolarLog.tailsOf(meta)
       // non-assigned partitions get an empty [start, start) window
       val end0 = tails.map { case (p, t) =>

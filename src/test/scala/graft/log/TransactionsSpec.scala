@@ -537,6 +537,63 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Transactions.abort(h)
   }
 
+  test("arbiter resurrection guard: a create landing after full finalize follows the record") {
+    val h = Transactions.begin(root, "resur")
+    Transactions.abort(h) // the "winner" fully finalizes: directory gone
+    assert(!fs.exists(txnDirPath("resur")))
+    // the stalled loser's exclusive create now SUCCEEDS in a resurrected
+    // directory (Hadoop's create auto-creates parents) — the guard must
+    // undo the marker and follow the finalize record, never stand a
+    // commit over an applied abort
+    val kind = Transactions.decideTerminal(root, "resur", "commit", "explicit", h.epoch)
+    assert(kind === "abort")
+    assert(!fs.exists(new Path(txnDirPath("resur"), "terminal.json")),
+      "the resurrected marker must be undone")
+    // a record from a NEWER incarnation fences the stale handle outright
+    val h2 = Transactions.begin(root, "resur")
+    Transactions.abort(h2)
+    val e = intercept[IllegalStateException] {
+      Transactions.decideTerminal(root, "resur", "commit", "explicit", h.epoch) }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+  }
+
+  test("finalize replay never regresses a group position advanced in between") {
+    val a = TopicConfig(root, "t_noregress", 1, 1)
+    PolarLog.produce(rows(8, "in"), a)
+    ConsumerGroups.poll(spark, a, "nrg", ConsumerGroups.Earliest) // registers {0:0}
+    val h = Transactions.begin(root, "nrg-txn")
+    Transactions.sendOffsets(h, a, "nrg", Map(0 -> 4L))
+    // the commit point lands; the committer dies before applying offsets
+    val out = fs.create(new Path(txnDirPath("nrg-txn"), "terminal.json"), false)
+    out.write(s"""{"format":1,"kind":"commit","epoch":${h.epoch}}"""
+      .getBytes("UTF-8")); out.close()
+    // the group advances on its own before the sweep replays the finalize
+    ConsumerGroups.commit(a, "nrg", Map(0 -> 8L))
+    assert(Transactions.recover(root) === 1)
+    assert(ConsumerGroups.committed(a, "nrg") === Some(Map(0 -> 8L)),
+      "a stale staged offset must never rewind an advanced group")
+  }
+
+  test("idle finalize records expire after the id-expiration window; live ids keep theirs") {
+    val h = Transactions.begin(root, "expire")
+    Transactions.abort(h)
+    val p = new Path(s"${Transactions.dir(root)}/${LogMetadata.hexEncode("expire")}.last")
+    assert(fs.exists(p))
+    val old = System.currentTimeMillis() - Transactions.IdExpirationMs - 60000L
+    fs.setTimes(p, old, -1)
+    Transactions.recover(root)
+    assert(!fs.exists(p), "an idle id's finalize record must expire")
+    // a LIVE incarnation's record survives the window (the epoch floor of
+    // an active id must not be pruned out from under it)
+    val h2 = Transactions.begin(root, "expire")
+    Transactions.abort(h2)
+    val h3 = Transactions.begin(root, "expire") // directory live again
+    fs.setTimes(p, old, -1)
+    Transactions.recover(root)
+    assert(fs.exists(p), "a live id's finalize record must survive")
+    Transactions.abort(h3)
+  }
+
   test("persistently failing recovery escalates into the failed inventory") {
     val sickRoot = Files.createTempDirectory("polar_txn_sick").toString
     // a topic whose metadata is GARBAGE: every finalize against it throws
