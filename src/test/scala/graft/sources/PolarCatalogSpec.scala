@@ -106,6 +106,58 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(_.getString(1) == "sql-txn"))
   }
 
+  test("CALL polar.system.begin_txn/send_offsets/commit_txn/abort_txn — the SQL EOS loop") {
+    import graft.log.{ConsumerGroups, PolarLog, TopicConfig, Transactions}
+    import org.apache.spark.sql.functions._
+    val src = TopicConfig(root, "sqleos_src", 3, 4)
+    val dst = TopicConfig(root, "sqleos_dst", 3, 4)
+    def recs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value"))
+    def dstRc() = PolarLog.consume(spark, dst, isolation = "read_committed").count()
+    PolarLog.produce(recs, src)
+    val poll = ConsumerGroups.poll(spark, src, "sql_etl", ConsumerGroups.Earliest)
+    val n = poll.records.count()
+    assert(n > 0)
+    // begin → epoch; the handle the DSv2 write options need
+    val epoch = spark.sql("CALL polar.system.begin_txn(id => 'sql-eos')")
+      .head().getLong(0)
+    PolarLog.produce(
+      poll.records.select(col("partitionKey"), col("timestamp"), col("value")),
+      dst, producerTxn = Some(Transactions.TxnHandle(root, "sql-eos", epoch)))
+    val offsJson = poll.nextOffsets.toSeq.sorted
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    spark.sql(s"CALL polar.system.send_offsets(id => 'sql-eos', " +
+      s"epoch => ${epoch}L, topic => 'sqleos_src', group_id => 'sql_etl', " +
+      s"offsets => '$offsJson')")
+    assert(dstRc() === 0L, "nothing visible before the commit point")
+    assert(spark.sql(
+      s"CALL polar.system.commit_txn(id => 'sql-eos', epoch => ${epoch}L)")
+      .head().getBoolean(0))
+    assert(dstRc() === n)
+    assert(ConsumerGroups.committed(src, "sql_etl") === Some(poll.nextOffsets))
+    // abort leg: the relay rolls back, the position stands
+    val e2 = spark.sql(
+      "CALL polar.system.begin_txn(id => 'sql-eos', timeout_ms => 30000L)")
+      .head().getLong(0)
+    assert(e2 > epoch, "epochs stay monotone across finalize cycles")
+    PolarLog.produce(recs, dst,
+      producerTxn = Some(Transactions.TxnHandle(root, "sql-eos", e2)))
+    assert(spark.sql(
+      s"CALL polar.system.abort_txn(id => 'sql-eos', epoch => ${e2}L)")
+      .head().getBoolean(0))
+    assert(dstRc() === n)
+    assert(ConsumerGroups.committed(src, "sql_etl") === Some(poll.nextOffsets))
+    // send_offsets with no offsets argument stages the committed position
+    val e3 = spark.sql("CALL polar.system.begin_txn(id => 'sql-eos')")
+      .head().getLong(0)
+    spark.sql(s"CALL polar.system.send_offsets(id => 'sql-eos', " +
+      s"epoch => ${e3}L, topic => 'sqleos_src', group_id => 'sql_etl')")
+    spark.sql(s"CALL polar.system.commit_txn(id => 'sql-eos', epoch => ${e3}L)")
+    assert(ConsumerGroups.committed(src, "sql_etl") === Some(poll.nextOffsets))
+  }
+
   test("CALL polar.system.analyze backfills legacy ts stats, unlocking the ts top-N push") {
     import graft.log.{LogMetadata, PolarLog, TopicConfig}
     import org.apache.spark.sql.functions._
