@@ -56,7 +56,8 @@ private[sources] object PolarMetaTables {
           if (f.tsMin == Long.MinValue) null else f.tsMin,
           if (f.tsMax == Long.MaxValue) null else f.tsMax,
           if (f.tsNulls < 0) null else f.tsNulls,
-          f.txn.map(UTF8String.fromString).orNull))
+          f.txn.map(UTF8String.fromString).orNull,
+          if (f.txn.isEmpty || f.txnEpoch < 0) null else f.txnEpoch))
       }
     }
     case "history" => table(cfg, "history", HistorySchema, snap) { _ =>
@@ -104,8 +105,11 @@ private[sources] object PolarMetaTables {
     StructField("ts_max", LongType, nullable = true),
     StructField("ts_nulls", LongType, nullable = true),
     // producer-transaction mark (null = plain committed segment): the SQL
-    // face of "which segments does an unresolved transaction still hold"
-    StructField("txn", StringType, nullable = true)))
+    // face of "which segments does an unresolved transaction still hold";
+    // txn_epoch is the producing incarnation's fencing epoch (null for
+    // r13 manifests, whose marks predate epoch stamping)
+    StructField("txn", StringType, nullable = true),
+    StructField("txn_epoch", LongType, nullable = true)))
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
