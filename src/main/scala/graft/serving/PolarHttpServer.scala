@@ -292,6 +292,48 @@ class PolarHttpServer(
           })
           respond(ex, 200, s"""{"topic":"$t","key":"$key","applied":true}""",
             "application/json")
+        case ("POST", "/v1/txn/begin") =>
+          // the HTTP face of the producer-txn lifecycle: begin fences any
+          // zombie incarnation and returns the epoch every later call
+          // (and every transactional DSv2 write) must echo
+          val q = query(ex)
+          val id = q.get("id").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "id is required"))
+          val timeoutMs = q.get("timeoutMs").flatMap(_.headOption)
+            .map(s => scala.util.Try(s.trim.toLong).getOrElse(
+              throw HttpError(400, s"timeoutMs must be a number, got '$s'")))
+            .getOrElse(graft.log.Transactions.DefaultTimeoutMs)
+          val h = txnCall(graft.log.Transactions.begin(root, id, timeoutMs))
+          respond(ex, 200,
+            s"""{"id":${PolarHttpServer.jsonStr(id)},"epoch":${h.epoch},""" +
+              s""""timeoutMs":$timeoutMs}""", "application/json")
+        case ("POST", "/v1/txn/commit") =>
+          txnCall(graft.log.Transactions.commit(txnHandleOf(ex)))
+          respond(ex, 204, "")
+        case ("POST", "/v1/txn/abort") =>
+          txnCall(graft.log.Transactions.abort(txnHandleOf(ex)))
+          respond(ex, 204, "")
+        case ("POST", "/v1/txn/offsets") =>
+          // sendOffsetsToTransaction: stage `group`'s next offsets for
+          // `topic` inside the transaction — `offsets` is the same
+          // {"part":next,...} JSON the commit endpoint takes
+          val q = query(ex)
+          val h = txnHandleOf(ex)
+          val t = q.get("topic").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "topic is required"))
+          if (!TopicConfig.validTopicName(t)) throw HttpError(400, "Invalid topic")
+          val g = q.get("group").flatMap(_.headOption)
+            .getOrElse(throw HttpError(400, "group is required"))
+          if (!ConsumerGroups.validGroupName(g))
+            throw HttpError(400, s"Invalid group name: '$g'")
+          val offsJson = q.get("offsets").flatMap(_.headOption).getOrElse(
+            new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          val offs = ConsumerGroups.parseOffsets(offsJson)
+          if (offs.isEmpty) throw HttpError(400,
+            """offsets are required as {"partition":nextOffset,...} (query param or body)""")
+          txnCall(graft.log.Transactions.sendOffsets(h, cfgOf(t), g, offs))
+          respond(ex, 200, s"""{"stagedPartitions":${offs.size}}""",
+            "application/json")
         case ("GET", "/v1/admin/txns") =>
           // transaction observability: live/failed routed-commit journals
           // (a `.failed` journal is an operator-action queue — its staged
@@ -458,6 +500,32 @@ class PolarHttpServer(
       case _: java.io.IOException => throw HttpError(400, "Malformed gzip body")
     }
   }
+
+  // ------------------------------------------------------------ txn lifecycle
+
+  /** (id, epoch) handle from the request — epoch REQUIRED, it is the
+    * fencing guard (same rule as the DSv2 write options). */
+  private def txnHandleOf(ex: HttpExchange): graft.log.Transactions.TxnHandle = {
+    val q = query(ex)
+    val id = q.get("id").flatMap(_.headOption)
+      .getOrElse(throw HttpError(400, "id is required"))
+    val epoch = q.get("epoch").flatMap(_.headOption)
+      .map(s => scala.util.Try(s.trim.toLong).getOrElse(
+        throw HttpError(400, s"epoch must be a number, got '$s'")))
+      .getOrElse(throw HttpError(400,
+        "epoch is required (the fencing epoch begin returned)"))
+    graft.log.Transactions.TxnHandle(root, id, epoch)
+  }
+
+  /** Map the transaction layer's refusals onto HTTP: a fenced handle or an
+    * arbiter conflict (commit-after-abort, abort-after-commit) is a 409 —
+    * the caller's view of the transaction is stale, not malformed. */
+  private def txnCall[T](f: => T): T =
+    try f
+    catch {
+      case e: IllegalStateException => throw HttpError(409, e.getMessage)
+      case e: IllegalArgumentException => throw HttpError(400, e.getMessage)
+    }
 
   // ---------------------------------------------------------------- produce
 

@@ -59,6 +59,45 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brokers.body().contains(s""""producerPort":${server.boundPort}"""))
   }
 
+  test("txn lifecycle over HTTP: begin/offsets/commit, fencing and conflicts map to 409") {
+    import graft.log.{ConsumerGroups, Transactions}
+    val cfg = TopicConfig(root, "httptxn_src")
+    PolarLog.produce(spark.range(6).selectExpr(
+      "cast(id as string) as partitionKey", "timestamp_micros(id) as timestamp",
+      "cast(id as string) as value"), cfg)
+    ConsumerGroups.poll(spark, cfg, "hg", ConsumerGroups.Earliest) // register {_:0}
+    // begin → epoch
+    val began = post("/v1/txn/begin?id=http-etl&timeoutMs=30000", Array.empty)
+    assert(began.statusCode() === 200, began.body())
+    val epoch = """"epoch":(\d+)""".r.findFirstMatchIn(began.body()).get.group(1).toLong
+    // stage the group's offsets inside the txn (body-carried JSON)
+    val tails = PolarLog.tails(cfg)
+    val offsJson = tails.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+    val staged = post(
+      s"/v1/txn/offsets?id=http-etl&epoch=$epoch&topic=httptxn_src&group=hg",
+      offsJson.getBytes(UTF_8))
+    assert(staged.statusCode() === 200, staged.body())
+    // epoch is required everywhere (fencing), and a WRONG epoch is a 409
+    assert(post("/v1/txn/commit?id=http-etl", Array.empty).statusCode() === 400)
+    assert(post(s"/v1/txn/commit?id=http-etl&epoch=${epoch - 1}", Array.empty)
+      .statusCode() === 409)
+    // commit applies the staged position atomically
+    assert(post(s"/v1/txn/commit?id=http-etl&epoch=$epoch", Array.empty)
+      .statusCode() === 204)
+    assert(ConsumerGroups.committed(cfg, "hg") === Some(tails))
+    // abort over HTTP, then a commit of the aborted incarnation is a 409
+    // conflict (stale view), never a 500
+    val h2 = Transactions.begin(root, "http-etl")
+    assert(post(s"/v1/txn/abort?id=http-etl&epoch=${h2.epoch}", Array.empty)
+      .statusCode() === 204)
+    assert(post(s"/v1/txn/commit?id=http-etl&epoch=${h2.epoch}", Array.empty)
+      .statusCode() === 409)
+    val inv = get("/v1/admin/txns")
+    assert(inv.statusCode() === 200)
+    assert(!inv.body().contains(""""id":"http-etl""""), inv.body())
+  }
+
   test("produce validation: invalid topic and oversize body are 400") {
     assert(post("/v1/topic/_bad/messages", "{}".getBytes(UTF_8)).statusCode() === 400)
     val big = new Array[Byte](PolarLog.DefaultMaxMessageSize + 1)
