@@ -409,6 +409,18 @@ object ConsumerGroups {
   def commitPartial(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
     commit(cfg, group, committed(cfg, group).getOrElse(Map.empty) ++ nextOffsets)
 
+  /** Merge-commit that NEVER REWINDS: each partition takes the max of the
+    * current and offered position, computed from the SAME read the write
+    * derives from (a separate read-then-commitPartial pair leaves a window
+    * where a concurrent advance lands between the two reads and is then
+    * overwritten). The transactional offset-apply path — replay-safe. */
+  def commitFloor(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit = {
+    val cur = committed(cfg, group).getOrElse(Map.empty)
+    commit(cfg, group, cur ++ nextOffsets.map { case (p, o) =>
+      p -> math.max(o, cur.getOrElse(p, 0L))
+    })
+  }
+
   /** Auto-commit analog (`internal/conf/config.go:264-266`'s 5 s auto-commit
     * collapsed to commit-on-poll for the batch path). The returned frame is
     * bounded by the poll's [start, end) offsets over an immutable log, so it

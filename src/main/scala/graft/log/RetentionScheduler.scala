@@ -139,6 +139,13 @@ final class RetentionScheduler(
       val heldAll: Option[Map[String, Set[String]]] =
         try Some(TxnJournal.heldByTopic(root)) catch { case NonFatal(_) => None }
       val res = topics().map { cfg =>
+        // producer-txn mark GC: marks whose transaction is fully finalized
+        // (directory gone) materialize into the registry — committed-class
+        // clear to plain entries, aborted-class unregister — so manifests
+        // revert below the txn format as transactions resolve, and the
+        // finalize-record expiry below can never flip a lingering mark
+        recoveredDone += (try Transactions.reconcileMarks(cfg)
+          catch { case NonFatal(_) => 0 }).toLong
         // per-topic overrides (Kafka topic configs, persisted in the root
         // doc): `retention.ms` replaces the global window for this topic;
         // `cleanup.policy=compact` exempts it from time-based deletion
@@ -258,6 +265,12 @@ final class RetentionScheduler(
           try c(cfg) catch { case NonFatal(_) => 0 }).getOrElse(0)
         cfg.topic -> RetentionScheduler.Sweep(aged + agedBySize, orphans, mer)
       }.toMap
+      // finalize-record expiry LAST — after every topic's reconcileMarks
+      // pass, so an expired record can never change a surviving mark's
+      // resolution (the marks referencing expired ids are already
+      // materialized into the registries above)
+      try Transactions.expireIdleRecords(root, nowMs): Unit
+      catch { case NonFatal(_) => () }
       mergedDone += res.valuesIterator.map(_.merged.toLong).sum
       sweepsDone += 1
       lastSweep = res

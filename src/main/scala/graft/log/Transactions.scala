@@ -192,10 +192,17 @@ object Transactions {
     * a tmp sibling and renamed over, so a crash mid-write can never leave
     * an empty/torn record (which would silently drop both protections). */
   private def writeLast(root: String, txnId: String, epoch: Long, kind: String): Unit = {
-    val keep = lastRecord(root, txnId).exists { case (e, _) => e > epoch }
+    // FIRST finalize wins at a given epoch (>=, not >): the arbiter decides
+    // exactly one kind per incarnation, so a same-epoch record must never
+    // be overwritten — a transiently-resurrected wrong-kind marker read by
+    // a concurrent sweep could otherwise flip an applied abort to "commit"
+    val keep = lastRecord(root, txnId).exists { case (e, _) => e >= epoch }
     if (keep) return
     val p = lastPath(root, txnId)
-    val tmp = new Path(p.toString + ".tmp")
+    // writer-unique tmp name: concurrent cross-process finalize replays
+    // must not clobber each other's staged bytes mid-rename
+    val tmp = new Path(p.toString + ".tmp-" +
+      java.lang.Long.toHexString(Thread.currentThread().getId ^ System.nanoTime()))
     writeFile(tmp,
       s"""{"format":1,"kind":"$kind","epoch":$epoch,""" +
         s""""ms":${System.currentTimeMillis()}}""", overwrite = true)
@@ -218,6 +225,18 @@ object Transactions {
     val d = txnPath(root, txnId)
     val p = new Path(d, "terminal.json")
     val fs = fsOf(p)
+    // resolve BEFORE creating anything when a finalize of this (or a newer)
+    // incarnation already completed — the common resurrection case never
+    // publishes a transient wrong-kind marker at all (the post-create guard
+    // below only remains for a finalize landing inside this tiny gap)
+    lastRecord(root, txnId) match {
+      case Some((le, recordedKind)) if epoch >= 0 && le >= epoch =>
+        if (le == epoch) return recordedKind
+        else throw new IllegalStateException(
+          s"transaction '$txnId' (epoch $epoch) was finalized " +
+            s"concurrently at epoch $le; this handle is fenced")
+      case _ => ()
+    }
     var attempt = 0
     var lastErr: java.io.IOException = null
     while (attempt < 10) {
@@ -237,10 +256,21 @@ object Transactions {
         // undo the marker and follow the recorded kind instead.
         lastRecord(root, txnId) match {
           case Some((le, recordedKind)) if epoch >= 0 && le >= epoch =>
-            try {
-              fs.delete(p, false)
-              fs.delete(d, false): Unit // only if we left it empty
-            } catch { case _: java.io.IOException => () }
+            // undo the resurrected marker, RETRYING: left behind inside a
+            // successor incarnation's directory it would read as that
+            // directory's terminal state
+            var undo = 0
+            var undone = false
+            while (!undone && undo < 5) {
+              try { if (fs.exists(p)) fs.delete(p, false); undone = true }
+              catch {
+                case _: java.io.IOException => undo += 1; Thread.sleep(10L * (undo + 1))
+              }
+            }
+            // the auto-created dir itself: only if we left it empty (a
+            // successor's files legitimately keep it alive)
+            try fs.delete(d, false): Unit
+            catch { case _: java.io.IOException => () }
             if (le == epoch) return recordedKind
             else throw new IllegalStateException(
               s"transaction '$txnId' (epoch $epoch) was finalized " +
@@ -568,11 +598,7 @@ object Transactions {
     // suspenders with the max-merge.
     stagedOffsets(root, txnId).foreach { case (topic, group, offs, fileName) =>
       topicCfg(root, topic) match {
-        case Some(cfg) =>
-          val cur = ConsumerGroups.committed(cfg, group).getOrElse(Map.empty)
-          ConsumerGroups.commitPartial(cfg, group, offs.map { case (p, o) =>
-            p -> math.max(o, cur.getOrElse(p, 0L))
-          })
+        case Some(cfg) => ConsumerGroups.commitFloor(cfg, group, offs)
         case None => System.err.println(
           s"[polar] txn '$txnId': staged offsets for missing topic '$topic' dropped")
       }
@@ -717,28 +743,99 @@ object Transactions {
     // the failure queue — prune keys absent from this sweep's worklist
     val live = work.map { case (id, _) => s"$root#$id" }.toSet
     sweepFailures.keySet.removeIf(k => k.startsWith(s"$root#") && !live(k))
-    // expire finalize records of long-idle ids (and stale .tmp leftovers):
-    // one file per id ever finalized would otherwise grow the listing
-    // without bound under UUID-per-job churn. Only ids with NO live
-    // directory expire — an active incarnation keeps its floor.
+    resolved
+  }
+
+  /** Expire finalize records of long-idle ids (and stale `.tmp-` write
+    * leftovers): one file per id ever finalized would otherwise grow the
+    * `_polar_txn_producers` listing without bound under UUID-per-job
+    * churn. Kafka's `transactional.id.expiration.ms` role. Run by the
+    * retention sweep AFTER [[reconcileMarks]] has walked the topics, so
+    * any lingering mark referencing the id has already been materialized
+    * into the registry — expiring the record can then never flip a
+    * mark's resolution. Ids with a live directory keep their floor,
+    * re-checked at delete time (a begin racing the sweep must not lose
+    * its epoch floor). Returns records expired. */
+  def expireIdleRecords(
+      root: String, nowMs: Long = System.currentTimeMillis()): Int = {
+    var expired = 0
     try {
       val d = new Path(dir(root))
       val fs = fsOf(d)
       if (fs.exists(d)) {
-        val liveDirs = work.map { case (id, _) =>
-          LogMetadata.hexEncode(id) }.toSet
         fs.listStatus(d).foreach { s =>
           val n = s.getPath.getName
-          val expirable =
-            (n.endsWith(".last") && !liveDirs(n.stripSuffix(".last"))) ||
-              n.endsWith(".last.tmp")
-          if (s.isFile && expirable &&
-              nowMs - s.getModificationTime > IdExpirationMs)
-            try fs.delete(s.getPath, false): Unit
-            catch { case _: java.io.IOException => () }
+          val aged = nowMs - s.getModificationTime > IdExpirationMs
+          if (s.isFile && aged &&
+              (n.endsWith(".last") || n.contains(".last.tmp-"))) {
+            // re-check liveness at delete time: a begin() racing this
+            // sweep re-creates the id's directory AFTER our listing
+            val dirAlive = n.endsWith(".last") &&
+              (try fs.exists(new Path(d, n.stripSuffix(".last")))
+               catch { case _: java.io.IOException => true })
+            if (!dirAlive)
+              try { if (fs.delete(s.getPath, false)) expired += 1 }
+              catch { case _: java.io.IOException => () }
+          }
         }
       }
     } catch { case _: java.io.IOException => () }
+    expired
+  }
+
+  /** Materialize the resolution of marks whose transaction directory is
+    * GONE (fully finalized, or lost): committed-class marks clear to
+    * plain entries, aborted-class marks unregister and reclaim — the
+    * per-topic mark GC the retention sweep runs. Keeps manifests from
+    * carrying resolved marks forever (topics revert below the txn format
+    * once clean) and makes [[expireIdleRecords]] safe: by the time an
+    * id's finalize record expires, its lingering marks have long been
+    * materialized here. Marks of LIVE transactions — including any with
+    * an epoch NEWER than the id's last finalize (a successor incarnation
+    * racing this sweep) — are left untouched. Returns marks resolved. */
+  def reconcileMarks(cfg: TopicConfig): Int = {
+    val meta = LogMetadata.read(cfg)
+    val ids = meta.filesByPart.valuesIterator.flatten.flatMap(_.txn).toSet
+    if (ids.isEmpty) return 0
+    val gone = states(cfg.root, ids).collect { case (id, Unknown) => id }.toSet
+    if (gone.isEmpty) return 0
+    val lasts = gone.iterator.map(id => id -> lastRecord(cfg.root, id)).toMap
+    // newer-than-last-finalize marks are EXCLUDED: they can only belong to
+    // a successor incarnation whose begin raced our states() snapshot —
+    // reconciling them would unregister a live transaction's staging.
+    // (readCommittedView still resolves them dynamically; once that id
+    // finalizes, its advanced record makes them reconcilable.)
+    def cls(f: FileEntry): Option[MarkClass] = f.txn.filter(gone).flatMap { id =>
+      val newerThanLast = f.txnEpoch >= 0 &&
+        lasts(id).forall { case (le, _) => f.txnEpoch > le }
+      if (newerThanLast) None
+      else Some(classify(Unknown, f.txnEpoch, lasts(id)))
+    }
+    var resolved = 0
+    var removed: Vector[FileEntry] = Vector.empty
+    var delayMs = 0L
+    casRetry(cfg) { cur =>
+      resolved = 0
+      removed = cur.filesByPart.valuesIterator.flatten
+        .filter(f => cls(f).contains(MarkAborted)).toVector
+      delayMs = PolarLog.fileDeleteDelayMs(cur.props)
+      val next = cur.copy(filesByPart = cur.filesByPart.map { case (p, entries) =>
+        p -> entries.flatMap { f =>
+          cls(f) match {
+            case Some(MarkAborted) => resolved += 1; None
+            case Some(MarkCommitted) =>
+              resolved += 1; Some(f.copy(txn = None, txnEpoch = -1L))
+            case _ => Some(f)
+          }
+        }
+      })
+      if (delayMs > 0L && removed.nonEmpty) {
+        val now = System.currentTimeMillis()
+        next.copy(pendingDeletes = next.pendingDeletes ++ removed.map(f =>
+          PendingDelete(f.part, f.name, PolarLog.dueAt(now, delayMs))))
+      } else next
+    }
+    if (delayMs == 0L) PolarLog.quietDelete(removed.map(_.path(cfg)))
     resolved
   }
 

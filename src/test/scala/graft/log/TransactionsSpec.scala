@@ -569,7 +569,7 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getBytes("UTF-8")); out.close()
     // the group advances on its own before the sweep replays the finalize
     ConsumerGroups.commit(a, "nrg", Map(0 -> 8L))
-    assert(Transactions.recover(root) === 1)
+    assert(Transactions.recover(root) >= 1)
     assert(ConsumerGroups.committed(a, "nrg") === Some(Map(0 -> 8L)),
       "a stale staged offset must never rewind an advanced group")
   }
@@ -581,7 +581,7 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(p))
     val old = System.currentTimeMillis() - Transactions.IdExpirationMs - 60000L
     fs.setTimes(p, old, -1)
-    Transactions.recover(root)
+    assert(Transactions.expireIdleRecords(root) >= 1)
     assert(!fs.exists(p), "an idle id's finalize record must expire")
     // a LIVE incarnation's record survives the window (the epoch floor of
     // an active id must not be pruned out from under it)
@@ -589,9 +589,41 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Transactions.abort(h2)
     val h3 = Transactions.begin(root, "expire") // directory live again
     fs.setTimes(p, old, -1)
-    Transactions.recover(root)
+    Transactions.expireIdleRecords(root)
     assert(fs.exists(p), "a live id's finalize record must survive")
     Transactions.abort(h3)
+  }
+
+  test("sweep mark-reconciliation materializes gone-txn marks; successor marks untouched") {
+    val cfg = TopicConfig(root, "t_reconcile", 1, 1)
+    PolarLog.produce(rows(4, "base"), cfg)
+    val h = Transactions.begin(root, "recon")
+    PolarLog.produce(rows(3, "staged"), cfg, producerTxn = Some(h))
+    val staged = LogMetadata.read(cfg).files.filter(_.txn.isDefined)
+    Transactions.abort(h) // entries removed, dir dropped, .last = (e, abort)
+    // a zombie CAS re-registers the aborted incarnation's marks...
+    LogMetadata.casWithRetry(cfg)(_.appendFiles(staged))
+    // ...plus an r13-legacy mark (epoch unknown = committed leftover) and
+    // a successor-shaped mark NEWER than the last finalize (must be left
+    // to its own transaction)
+    val legacy = staged.head.copy(name = "legacy.parquet",
+      minOffset = 100L, maxOffset = 100L, count = 1L, txnEpoch = -1L)
+    val newer = staged.head.copy(name = "newer.parquet",
+      minOffset = 200L, maxOffset = 200L, count = 1L, txnEpoch = h.epoch + 50)
+    LogMetadata.casWithRetry(cfg)(_.appendFiles(Vector(legacy, newer)))
+    val n = Transactions.reconcileMarks(cfg)
+    assert(n === staged.size + 1, "aborted zombies unregister + legacy clears")
+    val after = LogMetadata.read(cfg).files
+    val stagedNames = staged.map(_.name).toSet
+    assert(!after.exists(f => stagedNames(f.name)),
+      "aborted-class marks must unregister")
+    assert(after.exists(f => f.name == "legacy.parquet" && f.txn.isEmpty),
+      "legacy (unknown-epoch) marks clear to plain committed entries")
+    assert(after.exists(f => f.name == "newer.parquet" && f.txn.isDefined),
+      "marks newer than the last finalize belong to a successor — untouched")
+    assert(Transactions.reconcileMarks(cfg) === 0, "reconcile is idempotent")
+    Transactions.unregisterEntries(cfg,
+      Set((0, "legacy.parquet"), (0, "newer.parquet")))
   }
 
   test("persistently failing recovery escalates into the failed inventory") {
