@@ -404,22 +404,36 @@ object ConsumerGroups {
     next
   }
 
+  // same-driver serialization of group-document read-modify-writes: the
+  // driver is the only metadata authority (SURVEY §7.1), so a JVM stripe
+  // lock makes the merge commits atomic everywhere they can actually race
+  // (a sweep's finalize replay vs a consumer's commit-on-poll run in the
+  // same driver); CONCURRENT committers in separate processes remain
+  // under the quiesce contract, same as Kafka's group semantics.
+  private val groupLocks = Array.fill(256)(new Object)
+  private def lockFor(cfg: TopicConfig, group: String): Object =
+    groupLocks(java.lang.Math.floorMod(
+      s"${cfg.root}/${cfg.topic}#$group".hashCode, 256))
+
   /** Merge-commit a member's partitions into the group document (the other
     * members' offsets are preserved). */
   def commitPartial(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
-    commit(cfg, group, committed(cfg, group).getOrElse(Map.empty) ++ nextOffsets)
+    lockFor(cfg, group).synchronized {
+      commit(cfg, group, committed(cfg, group).getOrElse(Map.empty) ++ nextOffsets)
+    }
 
   /** Merge-commit that NEVER REWINDS: each partition takes the max of the
-    * current and offered position, computed from the SAME read the write
-    * derives from (a separate read-then-commitPartial pair leaves a window
-    * where a concurrent advance lands between the two reads and is then
-    * overwritten). The transactional offset-apply path — replay-safe. */
-  def commitFloor(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit = {
-    val cur = committed(cfg, group).getOrElse(Map.empty)
-    commit(cfg, group, cur ++ nextOffsets.map { case (p, o) =>
-      p -> math.max(o, cur.getOrElse(p, 0L))
-    })
-  }
+    * current and offered position, read and written under the group's
+    * stripe lock (a read-then-write racing a same-driver advance would
+    * otherwise overwrite it). The transactional offset-apply path —
+    * replay-safe. */
+  def commitFloor(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
+    lockFor(cfg, group).synchronized {
+      val cur = committed(cfg, group).getOrElse(Map.empty)
+      commit(cfg, group, cur ++ nextOffsets.map { case (p, o) =>
+        p -> math.max(o, cur.getOrElse(p, 0L))
+      })
+    }
 
   /** Auto-commit analog (`internal/conf/config.go:264-266`'s 5 s auto-commit
     * collapsed to commit-on-poll for the batch path). The returned frame is

@@ -78,6 +78,10 @@ final class RetentionScheduler(
   @volatile private var sweepsDone: Long = 0L
   @volatile private var mergedDone: Long = 0L
   @volatile private var recoveredDone: Long = 0L
+  // marked SEGMENTS materialized by reconcileMarks — its own counter:
+  // one reconciled txn may cover many segments, which would make the
+  // recovered-TRANSACTIONS metric meaningless if folded in
+  @volatile private var reconciledDone: Long = 0L
   @volatile private var lastSweep: Map[String, RetentionScheduler.Sweep] = Map.empty
   @volatile private var lastSweepError: Option[Throwable] = None
   private var scheduled: Option[ScheduledFuture[_]] = None
@@ -138,14 +142,8 @@ final class RetentionScheduler(
       // leaves None — each vacuum then computes (and fails closed) itself.
       val heldAll: Option[Map[String, Set[String]]] =
         try Some(TxnJournal.heldByTopic(root)) catch { case NonFatal(_) => None }
+      var reconcileClean = true
       val res = topics().map { cfg =>
-        // producer-txn mark GC: marks whose transaction is fully finalized
-        // (directory gone) materialize into the registry — committed-class
-        // clear to plain entries, aborted-class unregister — so manifests
-        // revert below the txn format as transactions resolve, and the
-        // finalize-record expiry below can never flip a lingering mark
-        recoveredDone += (try Transactions.reconcileMarks(cfg)
-          catch { case NonFatal(_) => 0 }).toLong
         // per-topic overrides (Kafka topic configs, persisted in the root
         // doc): `retention.ms` replaces the global window for this topic;
         // `cleanup.policy=compact` exempts it from time-based deletion
@@ -153,6 +151,17 @@ final class RetentionScheduler(
         // Kafka's semantics (vacuum and segment merge still run)
         val head =
           try Some(LogMetadata.read(cfg)) catch { case NonFatal(_) => None }
+        // producer-txn mark GC: marks whose transaction is fully finalized
+        // (directory gone) materialize into the registry — committed-class
+        // clear to plain entries, aborted-class unregister — so manifests
+        // revert below the txn format as transactions resolve, and the
+        // finalize-record expiry below can never flip a lingering mark.
+        // The head snapshot answers the (overwhelmingly common) no-marks
+        // case with zero extra reads; a FAILED reconcile pass disarms
+        // this sweep's record expiry (expiring a record whose marks were
+        // not materialized would flip their resolution).
+        reconciledDone += (try Transactions.reconcileMarks(cfg, head)
+          catch { case NonFatal(_) => reconcileClean = false; 0 }).toLong
         val props = head.map(_.props).getOrElse(Map.empty[String, String])
         // defensive parse: a malformed persisted value must degrade to the
         // global window for THIS topic, never abort the sweep for all
@@ -268,9 +277,12 @@ final class RetentionScheduler(
       // finalize-record expiry LAST — after every topic's reconcileMarks
       // pass, so an expired record can never change a surviving mark's
       // resolution (the marks referencing expired ids are already
-      // materialized into the registries above)
-      try Transactions.expireIdleRecords(root, nowMs): Unit
-      catch { case NonFatal(_) => () }
+      // materialized into the registries above). A sweep where ANY
+      // topic's reconcile failed skips expiry entirely: that topic's
+      // marks may still need their records.
+      if (reconcileClean)
+        try Transactions.expireIdleRecords(root, nowMs): Unit
+        catch { case NonFatal(_) => () }
       mergedDone += res.valuesIterator.map(_.merged.toLong).sum
       sweepsDone += 1
       lastSweep = res
@@ -280,6 +292,7 @@ final class RetentionScheduler(
   def sweeps: Long = sweepsDone
   def merged: Long = mergedDone
   def recovered: Long = recoveredDone
+  def reconciled: Long = reconciledDone
   def last: Map[String, RetentionScheduler.Sweep] = lastSweep
   def lastError: Option[Throwable] = lastSweepError
 

@@ -206,6 +206,17 @@ object Transactions {
     writeFile(tmp,
       s"""{"format":1,"kind":"$kind","epoch":$epoch,""" +
         s""""ms":${System.currentTimeMillis()}}""", overwrite = true)
+    // re-check right before the rename: same-JVM writers are serialized by
+    // the caller's stripe lock, and this shrinks the cross-process
+    // check-to-rename window (a second driver replaying an OLD finalize)
+    // from the tmp-write's duration to microseconds — the residual race
+    // is covered by the single-metadata-authority deployment contract
+    // (SURVEY §7.1: one driver owns a root's control plane)
+    if (lastRecord(root, txnId).exists { case (e, _) => e >= epoch }) {
+      try fsOf(tmp).delete(tmp, false): Unit
+      catch { case _: java.io.IOException => () }
+      return
+    }
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, HadoopConf.shared)
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -281,9 +292,14 @@ object Transactions {
         case e: java.io.IOException =>
           lastErr = e
           // marker already exists (lost the race) or transient flake:
-          // read the standing kind — only a READ kind may be followed
+          // read the standing kind — only a READ kind may be followed,
+          // and only when its EPOCH matches this incarnation (a stale
+          // resurrected marker a failed undo left behind must not be
+          // adopted by a successor as its own decision; mismatched
+          // epochs fall through to the retry/throw discipline)
           kindOf(fs, p) match {
-            case Some((k, _)) => return k
+            case Some((k, me)) if me < 0 || epoch < 0 || me == epoch => return k
+            case Some(_) => () // wrong-epoch leftover: retry, then throw
             case None =>
               // directory gone: the txn fully finalized under our feet —
               // the finalize record is the durable answer
@@ -767,7 +783,7 @@ object Transactions {
           val n = s.getPath.getName
           val aged = nowMs - s.getModificationTime > IdExpirationMs
           if (s.isFile && aged &&
-              (n.endsWith(".last") || n.contains(".last.tmp-"))) {
+              (n.endsWith(".last") || n.contains(".last.tmp"))) {
             // re-check liveness at delete time: a begin() racing this
             // sweep re-creates the id's directory AFTER our listing
             val dirAlive = n.endsWith(".last") &&
@@ -793,8 +809,12 @@ object Transactions {
     * materialized here. Marks of LIVE transactions — including any with
     * an epoch NEWER than the id's last finalize (a successor incarnation
     * racing this sweep) — are left untouched. Returns marks resolved. */
-  def reconcileMarks(cfg: TopicConfig): Int = {
-    val meta = LogMetadata.read(cfg)
+  def reconcileMarks(
+      cfg: TopicConfig, metaHint: Option[LogMetadata] = None): Int = {
+    // the hint (the sweep's already-read head snapshot) answers the
+    // overwhelmingly common no-marks case with ZERO extra reads; the CAS
+    // below re-reads authoritatively when marks exist
+    val meta = metaHint.getOrElse(LogMetadata.read(cfg))
     val ids = meta.filesByPart.valuesIterator.flatten.flatMap(_.txn).toSet
     if (ids.isEmpty) return 0
     val gone = states(cfg.root, ids).collect { case (id, Unknown) => id }.toSet
