@@ -195,6 +195,8 @@ class PolarHttpServer(
                |polar_produce_flushes ${coalescer.flushCount}
                |polar_retention_sweeps ${retention.sweeps}
                |polar_segments_merged ${compactionsRun.get + retention.merged}
+               |polar_txns_recovered ${retention.recovered}
+               |polar_txn_marks_reconciled ${retention.reconciled}
                |""".stripMargin + lagLines.map(_ + "\n").mkString)
         case ("GET", "/v1/admin/topics") =>
           // topic inventory with registry stats — the admin `--list`

@@ -600,6 +600,8 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.statusCode() === 200)
     assert(m.body().contains("polar_messages_received"))
     assert(m.body().contains("polar_produce_flushes"))
+    assert(m.body().contains("polar_txns_recovered"))
+    assert(m.body().contains("polar_txn_marks_reconciled"))
   }
 
   test("admin compact endpoint merges the per-request segments of a topic") {
