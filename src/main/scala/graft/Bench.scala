@@ -66,6 +66,15 @@ object Bench {
         .toDF().count()
       spark.range(4)
         .select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
+      // SHARED TOPIC FIXTURES build here, untimed: they are produced once
+      // per session and read by ~20 gates — left lazy, the FIRST
+      // alphabetical consumer absorbed the whole multi-produce build into
+      // its timed window (r14's polar_changes "regression": 0.43→2.85 s
+      // with an untouched scan path, while its kernel twin
+      // polar_changes_batch got FASTER). Fixture construction is harness
+      // cost, not query cost.
+      queries.SharedTopics.eventsProps(spark, sfDir): Unit
+      queries.SharedTopics.segmentedEvents(spark, sfDir): Unit
       Materialize.sweep(spark)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -56,6 +56,11 @@ object ConsumerGroups {
   }
 
   def commit(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit = {
+    // writer-lease gate: group docs are read-merge-rename (no CAS doc to
+    // carry a stamp), so the lease check IS the cross-process guard here —
+    // a fenced driver's deadline check fails before the rename can clobber
+    // a successor's merge (same-driver atomicity stays on the stripe lock)
+    WriterLease.checkWrite(cfg.root)
     val path = groupPath(cfg, group)
     val tmp = new Path(path.toString + ".tmp")
     val fc = FileContext.getFileContext(path.toUri, new org.apache.hadoop.conf.Configuration())
@@ -430,6 +435,17 @@ object ConsumerGroups {
   def commitFloor(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
     lockFor(cfg, group).synchronized {
       val cur = committed(cfg, group).getOrElse(Map.empty)
+      // DOCUMENTED TRADE-OFF vs Kafka's TxnOffsetCommit (last-write-wins,
+      // rewinds permitted): a staged rewind here silently no-ops at the
+      // commit point — replay safety is worth more than rewind-in-a-txn,
+      // and deliberate rewinds have a dedicated tool (resetOffsets). Warn
+      // so a deliberate reprocess doesn't fail to move the group silently.
+      val rewinds = nextOffsets.filter { case (p, o) => o < cur.getOrElse(p, 0L) }
+      if (rewinds.nonEmpty) System.err.println(
+        s"[polar] group '$group' on ${cfg.topic}: transactional offsets " +
+          s"below the committed position ignored (never-rewind floor) for " +
+          s"partitions ${rewinds.keys.toSeq.sorted.mkString(",")}; use " +
+          "ConsumerGroups.resetOffsets for a deliberate rewind")
       commit(cfg, group, cur ++ nextOffsets.map { case (p, o) =>
         p -> math.max(o, cur.getOrElse(p, 0L))
       })

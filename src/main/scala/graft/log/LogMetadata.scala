@@ -400,7 +400,17 @@ final case class LogMetadata(
     // older vacuum would reclaim held files early (not data loss — they
     // are already unregistered — but it would silently void the reader
     // window the topic asked for).
-    pendingDeletes: Vector[PendingDelete] = Vector.empty) {
+    pendingDeletes: Vector[PendingDelete] = Vector.empty,
+    // Writer-lease stamp (r15, [[WriterLease]]): the lease epoch of the
+    // LAST lease-holding writer to publish this doc — monotone (carried
+    // forward by every publish), so a CAS by a driver whose lease epoch is
+    // OLDER than the stamp fails loudly instead of silently corrupting a
+    // root two drivers share. 0 = never written under a lease (the
+    // default, pre-lease behavior). Stamped docs carry root format 8: a
+    // pre-lease binary would silently DROP the stamp on its next CAS —
+    // exactly the un-enforced two-driver hole the lease closes — so it
+    // must refuse loudly instead.
+    writerEpoch: Long = 0L) {
   def numPartitions: Int = clusterSize * rangesPerToken
 
   /** Registered files of one partition in offset order — O(1) lookup, the
@@ -675,6 +685,10 @@ object LogMetadata {
   def compareAndSet(cfg: TopicConfig, expected: LogMetadata)(
       f: LogMetadata => LogMetadata): LogMetadata = lockFor(cfg).synchronized {
     val current = read(cfg)
+    // writer-lease fencing, zero extra I/O: the stamp rides the doc this
+    // CAS already read — a doc last published under a NEWER lease epoch
+    // fences this writer loudly (another driver owns the root now)
+    WriterLease.checkStamp(cfg.root, current.writerEpoch)
     if (current.version != expected.version)
       throw new ConcurrentMetadataException(
         s"concurrent producer detected on ${cfg.topic}: metadata version " +
@@ -685,8 +699,17 @@ object LogMetadata {
 
   private def publish(
       cfg: TopicConfig,
-      next0: LogMetadata,
+      next00: LogMetadata,
       prev: Option[LogMetadata]): LogMetadata = {
+    // writer-lease gate: holders validate their deadline in memory (and
+    // auto-renew at half-TTL); non-holders refuse while a live foreign
+    // lease stands. The published doc carries the MONOTONE lease-epoch
+    // stamp — max of what the doc already had (f() copies it through)
+    // and this writer's own epoch — which is what compareAndSet's
+    // checkStamp fences against.
+    WriterLease.checkWrite(cfg.root)
+    val next0 = next00.copy(writerEpoch =
+      math.max(next00.writerEpoch, WriterLease.heldEpoch(cfg.root)))
     val rootPath = new Path(cfg.metadataPath)
     val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
     val prevNames = prev.map(_.manifestNames).getOrElse(Map.empty)
@@ -922,13 +945,18 @@ object LogMetadata {
     val props = m.props.toSeq.sorted.map { case (k, v) =>
       s""""${graft.functions.JsonText.escape(k)}":"${graft.functions.JsonText.escape(v)}""""
     }.mkString(",")
-    // deferred-deletion ledger: only docs that actually CARRY entries
-    // stamp the newer format (same conditional-stamp rule as manifest
-    // cleanedMs) — plain topics stay readable by older binaries
-    val rootFmt = if (m.pendingDeletes.nonEmpty) PendingFormat else DenseFormat
+    // conditional format stamps (same rule as manifest cleanedMs): only
+    // docs that actually CARRY the newer field stamp the newer format, so
+    // plain topics stay readable by older binaries. A writer-lease stamp
+    // forces format 8 deliberately — see the field doc.
+    val rootFmt =
+      if (m.writerEpoch > 0L) LeaseFormat
+      else if (m.pendingDeletes.nonEmpty) PendingFormat
+      else DenseFormat
     val pending = m.pendingDeletes
       .map(pd => s"""[${pd.part},"${pd.name}",${pd.dueMs}]""").mkString(",")
     s"""{"format":$rootFmt,""" +
+      (if (m.writerEpoch > 0L) s""""writerEpoch":${m.writerEpoch},""" else "") +
       s""""version":${m.version},"clusterSize":${m.clusterSize},""" +
       s""""rangesPerToken":${m.rangesPerToken},""" +
       s""""commitMs":${m.commitMs},""" +
@@ -1011,7 +1039,14 @@ object LogMetadata {
     * transience as format 6: topics revert as transactions resolve;
     * r13-written format-6 marks still parse (epoch reads as -1,
     * resolution falls back to the id-only rule). */
-  private[log] val CurrentFormat = 7
+  /** Format 8 = writer-lease stamp in the ROOT doc (r15, `writerEpoch`):
+    * the stamp is the cross-process fencing floor, so a pre-lease binary —
+    * whose render would silently DROP it on the next CAS, re-opening the
+    * two-driver corruption hole the lease closes — must refuse loudly.
+    * Only lease-guarded roots ever stamp it; unleased deployments keep
+    * their older formats. */
+  private[log] val CurrentFormat = 8
+  private[log] val LeaseFormat = 8
   private[log] val TxnFormat = 7
   private[log] val PendingFormat = 5
   private[log] val CleanedFormat = 4
@@ -1139,9 +1174,12 @@ object LogMetadata {
         .map(m => PendingDelete(m.group(1).toInt, m.group(2), m.group(3).toLong))
         .toVector)
       .getOrElse(Vector.empty)
+    // writer-lease stamp (r15): absent in pre-lease docs → 0 (unleased)
+    val writerEpoch = """"writerEpoch"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
     LogMetadata(longField("version"), longField("clusterSize").toInt,
       longField("rangesPerToken").toInt, offsets, byPart, sinks, names,
-      commitMs, sinkMs, props, logStarts, pendingDeletes)
+      commitMs, sinkMs, props, logStarts, pendingDeletes, writerEpoch)
   }
 }
 

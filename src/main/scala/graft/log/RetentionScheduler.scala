@@ -126,6 +126,13 @@ final class RetentionScheduler(
     * scheduled loop. */
   def sweep(nowMs: Long = System.currentTimeMillis()): Map[String, RetentionScheduler.Sweep] =
     synchronized {
+      // writer-lease gate, checked ONCE for the whole sweep: a fenced
+      // driver's sweep must not delete orphans/finalize records the
+      // successor still references (the per-topic CAS paths would refuse
+      // individually, but vacuum's physical deletes don't CAS). Throws
+      // loudly — the scheduled loop records it in lastSweepError, a manual
+      // trigger surfaces it to the operator.
+      WriterLease.checkWrite(root)
       // routed-commit journal recovery first (all-or-none convergence for
       // killed multi-topic fan-outs) — its staged files must be resolved
       // before the per-topic vacuums below can see them as plain orphans

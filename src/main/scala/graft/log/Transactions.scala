@@ -333,27 +333,50 @@ object Transactions {
     while (true) {
       try {
         if (!fs.exists(d)) return Unknown
-        kindOf(fs, new Path(d, "terminal.json")) match {
-          case Some(("commit", e)) => return Committed(e)
-          case Some((_, e)) => return Aborted(e)
-          case None =>
-            val openP = new Path(d, "open.json")
-            if (!fs.exists(openP)) {
-              // finalize deletes open.json BEFORE the directory, so this
-              // state is either a torn begin (nothing staged) or a
-              // finalize already past its mark-resolution — Aborted is
-              // safe for both (recover's Aborted handling is idempotent)
-              return if (fs.exists(d)) Aborted() else Unknown
+        val openP = new Path(d, "open.json")
+        def openState(): Option[Open] = {
+          if (!fs.exists(openP)) return None
+          val text = readSmall(fs, openP)
+          def longOf(name: String, dflt: Long) =
+            s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
+              .map(_.group(1).toLong).getOrElse(dflt)
+          val anchor = (Seq(fs.getFileStatus(openP).getModificationTime) ++
+            (if (fs.exists(new Path(d, "hb")))
+              Seq(fs.getFileStatus(new Path(d, "hb")).getModificationTime)
+            else Seq.empty)).max
+          Some(Open(longOf("epoch", 1L), anchor, longOf("timeoutMs", DefaultTimeoutMs)))
+        }
+        val termP = new Path(d, "terminal.json")
+        kindOf(fs, termP) match {
+          case Some((k, e)) =>
+            // STALE-LEFTOVER GUARD: a marker whose epoch is LOWER than the
+            // live open.json's can only be a resurrected-marker undo that
+            // failed all its delete retries (decideTerminal's guard) —
+            // trusting it would let recover() apply the OLD incarnation's
+            // kind over the LIVE successor (and drop its directory).
+            // Ignore it as this directory's terminal state and clear it:
+            // its presence also wedges the successor's own arbiter (same
+            // file name, exclusive create). Epoch-mismatch re-checked by
+            // kindOf above; decideTerminal never adopts mismatched epochs,
+            // so a racing arbiter cannot have followed this marker.
+            openState() match {
+              case Some(live) if e >= 0 && live.epoch > e =>
+                try { if (fs.exists(termP)) fs.delete(termP, false): Unit }
+                catch { case _: java.io.IOException => () }
+                return live
+              case _ =>
+                return if (k == "commit") Committed(e) else Aborted(e)
             }
-            val text = readSmall(fs, openP)
-            def longOf(name: String, dflt: Long) =
-              s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
-                .map(_.group(1).toLong).getOrElse(dflt)
-            val anchor = (Seq(fs.getFileStatus(openP).getModificationTime) ++
-              (if (fs.exists(new Path(d, "hb")))
-                Seq(fs.getFileStatus(new Path(d, "hb")).getModificationTime)
-              else Seq.empty)).max
-            return Open(longOf("epoch", 1L), anchor, longOf("timeoutMs", DefaultTimeoutMs))
+          case None =>
+            openState() match {
+              case Some(live) => return live
+              case None =>
+                // finalize deletes open.json BEFORE the directory, so this
+                // state is either a torn begin (nothing staged) or a
+                // finalize already past its mark-resolution — Aborted is
+                // safe for both (recover's Aborted handling is idempotent)
+                return if (fs.exists(d)) Aborted() else Unknown
+            }
         }
       } catch {
         // a concurrent finalize can delete files between the probes: if
@@ -384,6 +407,9 @@ object Transactions {
       require(txnId.nonEmpty && txnId.length <= 120,
         s"transactional.id must be 1-120 chars, got ${txnId.length}")
       require(timeoutMs > 0, s"transaction timeout must be positive, got $timeoutMs")
+      // writer-lease gate: the txn lifecycle mutates root-level state
+      // (directories, markers, finalize records) outside any topic CAS
+      WriterLease.checkWrite(root)
       val prevEpoch = state(root, txnId) match {
         case Open(e, _, _) =>
           // fence the zombie — but an already-won commit stands (the
@@ -456,27 +482,40 @@ object Transactions {
       require(cfg.root == h.root,
         s"transaction handle roots differ: '${h.root}' vs topic root '${cfg.root}'")
       require(ConsumerGroups.validGroupName(group), s"Invalid group name: '$group'")
+      WriterLease.checkWrite(h.root)
       requireOpen(h.root, h.txnId, h.epoch)
       val p = new Path(txnPath(h.root, h.txnId),
         s"g-${LogMetadata.hexEncode(cfg.topic)}-${LogMetadata.hexEncode(group)}.json")
-      writeFile(p, ConsumerGroups.render(nextOffsets), overwrite = true)
+      // EPOCH-STAMPED, like the file-entry marks: requireOpen-then-write is
+      // not atomic, so a cross-process zombie's write can race a fencing
+      // begin() and land inside the SUCCESSOR incarnation's directory
+      // (txnPath is per-id, not per-epoch). The finalize applies only
+      // entries stamped with the finalizing epoch — a zombie's staged
+      // offsets are discarded, never adopted by a commit that did not
+      // stage them.
+      writeFile(p,
+        s"""{"epoch":${h.epoch},${ConsumerGroups.render(nextOffsets).stripPrefix("{")}""",
+        overwrite = true)
     }
 
   private val StagedOffsetsRe = """^g-([0-9a-f]*)-([0-9a-f]*)\.json$""".r
 
   /** The transaction's staged consumer-group offsets:
-    * (topic, group, offsets, fileName). */
+    * (topic, group, offsets, fileName, stagingEpoch). Epoch is -1 for
+    * pre-r15 staged files (no stamp — resolved id-only, like r13 marks). */
   private def stagedOffsets(
-      root: String, txnId: String): Seq[(String, String, Map[Int, Long], String)] = {
+      root: String, txnId: String): Seq[(String, String, Map[Int, Long], String, Long)] = {
     val d = txnPath(root, txnId)
     val fs = fsOf(d)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.flatMap { s =>
       s.getPath.getName match {
         case StagedOffsetsRe(topicHex, groupHex) =>
+          val text = readSmall(fs, s.getPath)
           Some((LogMetadata.hexDecode(topicHex), LogMetadata.hexDecode(groupHex),
-            ConsumerGroups.parseOffsets(readSmall(fs, s.getPath)),
-            s.getPath.getName))
+            ConsumerGroups.parseOffsets(text),
+            s.getPath.getName,
+            EpochRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(-1L)))
         case _ => None
       }
     }
@@ -509,6 +548,7 @@ object Transactions {
     * already decides visibility (readers resolve marked entries against
     * it), so a crash anywhere past it converges via [[recover]]. */
   def commit(h: TxnHandle): Unit = lockFor(h.root, h.txnId).synchronized {
+    WriterLease.checkWrite(h.root)
     state(h.root, h.txnId) match {
       case Open(e, _, _) if e == h.epoch =>
         // the arbiter decides: if a timeout abort won the race, its
@@ -534,6 +574,7 @@ object Transactions {
     * and reclaimed; offsets stay consumed (gaps); staged consumer-group
     * offsets are discarded. Idempotent. */
   def abort(h: TxnHandle): Unit = lockFor(h.root, h.txnId).synchronized {
+    WriterLease.checkWrite(h.root)
     state(h.root, h.txnId) match {
       case Open(e, _, _) if e == h.epoch =>
         decideTerminal(h.root, h.txnId, "abort", "explicit", h.epoch) match {
@@ -612,12 +653,23 @@ object Transactions {
     // a group forward, the direction the consume-transform-produce loop
     // ever needs. The staged file is deleted after applying — belt and
     // suspenders with the max-merge.
-    stagedOffsets(root, txnId).foreach { case (topic, group, offs, fileName) =>
-      topicCfg(root, topic) match {
-        case Some(cfg) => ConsumerGroups.commitFloor(cfg, group, offs)
-        case None => System.err.println(
-          s"[polar] txn '$txnId': staged offsets for missing topic '$topic' dropped")
-      }
+    stagedOffsets(root, txnId).foreach { case (topic, group, offs, fileName, se) =>
+      // EPOCH-EXACT apply (the staged-offset twin of clearMarks): a
+      // cross-process zombie's sendOffsets racing a fencing begin() can
+      // land its g-file inside the SUCCESSOR incarnation's directory —
+      // applying it would advance the group past records the successor
+      // never relayed. Only entries stamped with the finalizing epoch
+      // apply; mismatches are discarded with the directory.
+      if (sameIncarnation(se, epoch)) {
+        topicCfg(root, topic) match {
+          case Some(cfg) => ConsumerGroups.commitFloor(cfg, group, offs)
+          case None => System.err.println(
+            s"[polar] txn '$txnId': staged offsets for missing topic '$topic' dropped")
+        }
+      } else System.err.println(
+        s"[polar] txn '$txnId': staged offsets for group '$group' carry " +
+          s"epoch $se, not the committing epoch $epoch — a fenced " +
+          "incarnation's staging, discarded")
       val p = new Path(txnPath(root, txnId), fileName)
       try { val fs = fsOf(p); if (fs.exists(p)) fs.delete(p, false): Unit }
       catch { case _: java.io.IOException => () }
@@ -724,6 +776,9 @@ object Transactions {
     * failing escalates into [[recoveryFailures]] after
     * [[FailedSweepThreshold]] consecutive failed sweeps. */
   def recover(root: String, nowMs: Long = System.currentTimeMillis()): Int = {
+    // a fenced driver's sweep must not finalize/abort the successor's
+    // transactions — lease-gate the whole recovery pass
+    WriterLease.checkWrite(root)
     var resolved = 0
     val work = list(root)
     work.foreach { case (id, st) =>
@@ -774,6 +829,8 @@ object Transactions {
     * its epoch floor). Returns records expired. */
   def expireIdleRecords(
       root: String, nowMs: Long = System.currentTimeMillis()): Int = {
+    // a fenced driver must not prune the successor's epoch floors
+    WriterLease.checkWrite(root)
     var expired = 0
     try {
       val d = new Path(dir(root))
@@ -895,8 +952,11 @@ object Transactions {
       entries.get("terminal.json") match {
         case Some(_) =>
           kindOf(fs, new Path(d, "terminal.json")) match {
-            case Some(("commit", e)) => Committed(e)
-            case Some((_, e)) => Aborted(e)
+            // a marker alongside a LIVE open.json needs the stale-leftover
+            // epoch comparison — delegate to the full discipline
+            case Some((k, e)) if !entries.contains("open.json") || e < 0 =>
+              if (k == "commit") Committed(e) else Aborted(e)
+            case Some(_) => state(root, txnId)
             case None => state(root, txnId) // torn marker: full discipline
           }
         case None => entries.get("open.json") match {

@@ -1,0 +1,346 @@
+package graft.log
+
+import org.apache.hadoop.fs.Path
+
+/**
+ * Cross-process enforcement of the single-metadata-authority contract.
+ *
+ * The engine's control plane (root docs, group documents, transaction
+ * state) assumes ONE driver owns a root at a time — the reference enforces
+ * its equivalent with CAS rounds across replicas
+ * (`/root/reference/internal/ownership/process_local.go:16-133`). Before
+ * r15 that was a documented deployment contract (SURVEY §7.1); this module
+ * converts it into an enforced invariant: a WRITER LEASE on the root.
+ *
+ * Mechanics — built from the two primitives the storage contract already
+ * requires (see [[graft.log.StorageProbe]]): exclusive create and atomic
+ * rename.
+ *
+ *  - The lease lives under `{root}/_polar_writer_lease/` as epoch-named
+ *    files `e<epoch>.json` ({holder, deadlineMs, ttlMs}). The EXCLUSIVE
+ *    CREATE of the next epoch file is the acquisition arbiter — exactly
+ *    one contender can mint a given epoch, and the largest epoch on disk
+ *    is the authoritative lease (the same first-writer-wins discipline as
+ *    the transaction arbiter's `terminal.json`).
+ *  - [[acquire]] succeeds when the root is unleased, the standing lease is
+ *    EXPIRED (past its deadline) or RELEASED, or the standing holder IS
+ *    the caller (restart re-acquisition). `takeover = true` fences a live
+ *    incumbent immediately — the operator's "the old driver is dead"
+ *    override. Epochs are monotone (max(standing + 1, wall clock)), so a
+ *    fenced incumbent can never mint past its successor.
+ *  - Renewal mints the next epoch under the same holder; [[checkWrite]]
+ *    auto-renews at half-TTL, so an actively writing holder keeps its
+ *    lease alive with zero extra calls and an idle one lets it expire.
+ *  - ENFORCEMENT rides the data: every root-doc publish of a lease holder
+ *    stamps its epoch into the doc (`writerEpoch`, root format 8), and
+ *    every CAS compares — a doc stamped by a NEWER epoch fences the older
+ *    writer loudly ([[FencedWriterException]]) at the very next write, no
+ *    lease read needed. Writers holding NO lease probe the lease directory
+ *    (TTL-cached) and refuse while a live foreign lease stands. Reads stay
+ *    lease-free.
+ *
+ * Residual window, stated honestly: lease enforcement is time-based
+ * between renewals — a holder whose clock is badly skewed can write for up
+ * to one TTL after a FORCED takeover on topics the successor has not yet
+ * stamped. Expiry-based handover has no such window (the incumbent's own
+ * deadline check fails first, assuming clock skew below the TTL). This is
+ * the standard lease argument (Gray & Cheriton); the deployment contract
+ * shrinks from "never run two drivers" to "keep clock skew below ttl/2 or
+ * use takeover only on dead drivers".
+ */
+object WriterLease {
+
+  /** Default lease TTL. Renewal at half-TTL happens inline on the write
+    * path, so the TTL bounds BOTH the failover wait after a driver dies
+    * and the residual zombie window under forced takeover. */
+  val DefaultTtlMs: Long = 30000L
+
+  final case class Lease(
+      root: String, holderId: String, epoch: Long, deadlineMs: Long, ttlMs: Long)
+
+  /** A write was refused because another driver holds (or held) the
+    * root's writer lease. IllegalStateException so the serving façades
+    * map it to 409 like every other fencing conflict. */
+  final class FencedWriterException(msg: String) extends IllegalStateException(msg)
+
+  def leaseDir(root: String): String = s"$root/_polar_writer_lease"
+
+  /** Total writes refused by lease fencing — `/metrics` surface. */
+  val fencedWrites = new java.util.concurrent.atomic.AtomicLong()
+
+  // the lease(s) THIS process holds, by root — what checkWrite validates
+  // against on the hot path (no I/O while the deadline is comfortably out)
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Lease]()
+
+  // unleased-writer probe cache: root -> (checkedAtMs, standing lease if a
+  // LIVE foreign one was seen). A negative ("unguarded") answer is cached
+  // for ProbeTtlMs so the no-lease deployment (the default) pays one tiny
+  // directory probe per root per TTL, not per write; a positive answer is
+  // re-checked on every write (the writer is erroring anyway, and expiry
+  // must un-fence promptly).
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  @volatile private[log] var probeTtlMs: Long = 30000L
+
+  /** Test hook: drop cached "unguarded" probe answers so a just-acquired
+    * lease is seen immediately. */
+  private[graft] def resetProbeCache(): Unit = probeCache.clear()
+
+  /** Test hook: forget leases held by this process (simulates a crashed
+    * driver whose lease file still stands). */
+  private[graft] def dropHeldForTest(root: String): Unit = { held.remove(root): Unit }
+
+  /** Test hook: install a lease object as this process's belief — the
+    * same-JVM simulation of a SECOND driver process (whose registry the
+    * real deployment would keep in its own JVM). */
+  private[graft] def installHeldForTest(lease: Lease): Unit = {
+    held.put(lease.root, lease): Unit
+  }
+
+  private def fsOf(p: Path) = p.getFileSystem(HadoopConf.shared)
+
+  private val EpochNameRe = """^e(\d+)\.json$""".r
+  private val HolderRe = """"holder"\s*:\s*"([^"]*)"""".r
+  private val DeadlineRe = """"deadlineMs"\s*:\s*(-?\d+)""".r
+  private val TtlRe = """"ttlMs"\s*:\s*(-?\d+)""".r
+
+  /** Valid holder ids are file/JSON-safe (same charset as group names). */
+  def validHolderId(id: String): Boolean =
+    id.nonEmpty && id.length <= 120 &&
+      id.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
+
+  /** The authoritative lease on disk: the largest-epoch file's content.
+    * None = never leased (or the directory was wiped). A just-created
+    * file's content may trail its name by a beat — retried briefly, then
+    * resolved conservatively (held by an unknown writer). */
+  def current(root: String): Option[Lease] = {
+    val d = new Path(leaseDir(root))
+    val fs = fsOf(d)
+    val names =
+      try {
+        if (!fs.exists(d)) return None
+        fs.listStatus(d).iterator.map(_.getPath.getName).collect {
+          case n @ EpochNameRe(e) => (e.toLong, n)
+        }.toSeq
+      } catch { case _: java.io.IOException => return None }
+    if (names.isEmpty) return None
+    val (epoch, name) = names.maxBy(_._1)
+    val p = new Path(d, name)
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        val in = fs.open(p)
+        val text = try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val holder = HolderRe.findFirstMatchIn(text).map(_.group(1))
+        if (holder.isDefined) {
+          return Some(Lease(root, holder.get, epoch,
+            DeadlineRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L),
+            TtlRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(DefaultTtlMs)))
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // pruned under us: a newer epoch exists — re-list
+          return current(root)
+        case _: java.io.IOException => ()
+      }
+      attempt += 1
+      Thread.sleep(10)
+    }
+    // unreadable content under a standing epoch file: held by an unknown
+    // writer until proven otherwise (fail-safe for contenders)
+    Some(Lease(root, "<unreadable>", epoch, Long.MaxValue, DefaultTtlMs))
+  }
+
+  /** Does this process hold a (locally believed) live lease on `root`? */
+  def heldLease(root: String): Option[Lease] = Option(held.get(root))
+
+  /** The epoch this process stamps into `root`'s doc writes: its held
+    * lease's, or 0 (unleased writer — the pre-lease behavior). */
+  private[log] def heldEpoch(root: String): Long =
+    Option(held.get(root)).map(_.epoch).getOrElse(0L)
+
+  /** Acquire (or re-acquire, or — with `takeover` — seize) the writer
+    * lease on `root` for `holderId`. Succeeds against: no lease, an
+    * expired lease, a released lease, or a standing lease already held by
+    * `holderId` (driver restart). A LIVE foreign lease refuses with
+    * [[FencedWriterException]] unless `takeover = true` — the operator's
+    * assertion that the incumbent is dead (its residual window is one
+    * TTL, see the class doc). */
+  def acquire(
+      root: String,
+      holderId: String = "driver-" + java.util.UUID.randomUUID().toString.take(12),
+      ttlMs: Long = DefaultTtlMs,
+      takeover: Boolean = false): Lease = {
+    require(validHolderId(holderId),
+      s"holder id must be 1-120 filename-safe chars, got '$holderId'")
+    require(ttlMs > 0, s"lease ttl must be positive, got $ttlMs")
+    // the lease's fencing correctness is built ON the exclusive-create and
+    // atomic-rename primitives — refuse to hand out authority a
+    // non-compliant store (raw S3A) cannot actually enforce
+    StorageProbe.check(root, refuse = true): Unit
+    val lease = mint(root, holderId, ttlMs, takeover, acquiring = true)
+    held.put(root, lease)
+    probeCache.remove(root)
+    lease
+  }
+
+  /** Extend this process's lease on `root` by one TTL (minting the next
+    * epoch under the same holder). Fences loudly if the lease was taken
+    * over. Normally invoked automatically by [[checkWrite]]. */
+  def renew(root: String): Lease = {
+    val mine = Option(held.get(root)).getOrElse(throw new IllegalStateException(
+      s"this process holds no writer lease on '$root'"))
+    val next =
+      try mint(root, mine.holderId, mine.ttlMs, takeover = false, acquiring = false)
+      catch {
+        case e: FencedWriterException => held.remove(root); throw e
+      }
+    held.put(root, next)
+    next
+  }
+
+  /** Release this process's lease on `root`: a released marker (deadline
+    * 0) is minted so the NEXT contender acquires immediately instead of
+    * waiting out the TTL. Idempotent; a lease lost to takeover releases
+    * quietly (the successor already owns the root). */
+  def release(root: String): Unit = {
+    val mine = held.remove(root)
+    if (mine == null) return
+    try {
+      current(root) match {
+        case Some(l) if l.holderId == mine.holderId =>
+          writeEpochFile(root, math.max(l.epoch + 1, System.currentTimeMillis()),
+            mine.holderId, deadlineMs = 0L, ttlMs = mine.ttlMs): Unit
+        case _ => () // taken over or wiped — nothing to hand back
+      }
+    } catch { case _: java.io.IOException => () }
+    probeCache.remove(root)
+  }
+
+  /** One epoch-minting round: read the standing lease, decide whether this
+    * holder may mint past it, exclusive-create the next epoch file, prune
+    * older epochs. Collisions (a contender minted the same epoch first)
+    * re-read and re-decide — bounded attempts. */
+  private def mint(
+      root: String, holderId: String, ttlMs: Long,
+      takeover: Boolean, acquiring: Boolean): Lease = {
+    var attempt = 0
+    while (attempt < 10) {
+      val now = System.currentTimeMillis()
+      val standing = current(root)
+      standing match {
+        case Some(l) if l.holderId != holderId && l.deadlineMs > now && !takeover =>
+          fencedWrites.incrementAndGet()
+          throw new FencedWriterException(
+            if (acquiring)
+              s"root '$root' is write-leased by '${l.holderId}' (epoch ${l.epoch}) " +
+                s"for another ${l.deadlineMs - now} ms; pass takeover=true only " +
+                "if that driver is known dead"
+            else
+              s"writer lease on '$root' was taken over by '${l.holderId}' " +
+                s"(epoch ${l.epoch}); this driver is fenced")
+        case _ =>
+          val epoch = math.max(standing.map(_.epoch + 1).getOrElse(1L), now)
+          writeEpochFile(root, epoch, holderId, now + ttlMs, ttlMs) match {
+            case Some(lease) =>
+              prune(root, epoch)
+              return lease
+            case None => () // lost the exclusive create — re-read, re-decide
+          }
+      }
+      attempt += 1
+      Thread.sleep(10L * attempt)
+    }
+    throw new IllegalStateException(
+      s"cannot mint a writer-lease epoch on '$root' after repeated collisions")
+  }
+
+  /** Exclusive-create `e<epoch>.json`; None = the epoch was taken. */
+  private def writeEpochFile(
+      root: String, epoch: Long, holderId: String,
+      deadlineMs: Long, ttlMs: Long): Option[Lease] = {
+    val p = new Path(leaseDir(root), s"e$epoch.json")
+    val fs = fsOf(p)
+    try {
+      val out = fs.create(p, false)
+      try out.write(
+        (s"""{"format":1,"holder":"$holderId","deadlineMs":$deadlineMs,""" +
+          s""""ttlMs":$ttlMs,"ms":${System.currentTimeMillis()}}""").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      Some(Lease(root, holderId, epoch, deadlineMs, ttlMs))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Drop epoch files strictly below `keep` — only the max matters, and a
+    * concurrent reader computing its own max never loses it to a prune. */
+  private def prune(root: String, keep: Long): Unit = {
+    val d = new Path(leaseDir(root))
+    val fs = fsOf(d)
+    try fs.listStatus(d).foreach { s =>
+      s.getPath.getName match {
+        case EpochNameRe(e) if e.toLong < keep =>
+          try fs.delete(s.getPath, false): Unit
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /**
+   * The write-path gate, called by every control-plane mutation (root-doc
+   * publish, group-doc commit, transaction lifecycle):
+   *
+   *  - holder: in-memory deadline check (zero I/O); past half-TTL the
+   *    lease auto-renews inline — so the renewal cost amortizes over
+   *    ttl/2 of writes and an idle driver's lease expires naturally;
+   *  - non-holder: refuse while a LIVE foreign lease stands. The
+   *    "unguarded" answer (no lease dir — the default deployment) is
+   *    cached for [[probeTtlMs]]; a standing lease is re-read every time
+   *    so expiry un-fences promptly.
+   */
+  def checkWrite(root: String): Unit = {
+    val mine = held.get(root)
+    if (mine != null) {
+      val now = System.currentTimeMillis()
+      if (now > mine.deadlineMs - mine.ttlMs / 2) renew(root): Unit
+      return
+    }
+    val cached = probeCache.get(root)
+    val now = System.currentTimeMillis()
+    if (cached != null && now - cached < probeTtlMs) return
+    current(root) match {
+      case Some(l) if l.deadlineMs > now =>
+        fencedWrites.incrementAndGet()
+        throw new FencedWriterException(
+          s"root '$root' is write-leased by '${l.holderId}' (epoch ${l.epoch}); " +
+            "this driver holds no lease — acquire the writer lease (or stop " +
+            "the other driver) before writing")
+      case _ =>
+        probeCache.put(root, java.lang.Long.valueOf(now)): Unit
+    }
+  }
+
+  /** The CAS-side stamp comparison: a doc last stamped by a NEWER lease
+    * epoch than this writer's fences the writer — the cross-process race
+    * the lease exists to close, enforced with zero extra I/O because the
+    * stamp rides the doc the CAS already read. Unleased writers are
+    * governed by [[checkWrite]]'s probe instead (a doc stamp alone cannot
+    * distinguish a live lease from a long-released one). */
+  private[log] def checkStamp(root: String, docEpoch: Long): Unit = {
+    val mineEpoch = heldEpoch(root)
+    if (mineEpoch > 0 && docEpoch > mineEpoch) {
+      fencedWrites.incrementAndGet()
+      held.remove(root)
+      throw new FencedWriterException(
+        s"writer fenced on '$root': the topic doc was stamped by lease epoch " +
+          s"$docEpoch, newer than this driver's $mineEpoch — another driver " +
+          "has taken over the root")
+    }
+  }
+}

@@ -139,6 +139,10 @@ class PolarHttpServer(
   def h2cPort: Int = h2c.boundPort
 
   def start(): this.type = {
+    // startup storage-contract probe: a store without exclusive-create /
+    // atomic-rename (raw S3A) breaks the txn arbiter and doc swaps — warn
+    // loudly here instead of failing silently at the first torn commit
+    graft.log.StorageProbe.check(root): Unit
     server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
     server.start()
@@ -197,7 +201,22 @@ class PolarHttpServer(
                |polar_segments_merged ${compactionsRun.get + retention.merged}
                |polar_txns_recovered ${retention.recovered}
                |polar_txn_marks_reconciled ${retention.reconciled}
+               |polar_lease_fenced_writes ${graft.log.WriterLease.fencedWrites.get}
                |""".stripMargin + lagLines.map(_ + "\n").mkString)
+        case ("GET", "/v1/admin/lease") =>
+          // writer-lease observability: the standing lease on the root (if
+          // any) and whether THIS server's driver holds it — the first
+          // thing an operator checks when writes start returning 409
+          val standing = graft.log.WriterLease.current(root)
+          val mine = graft.log.WriterLease.heldLease(root)
+          val nowL = System.currentTimeMillis()
+          def leaseJson(l: graft.log.WriterLease.Lease) =
+            s"""{"holder":"${graft.functions.JsonText.escape(l.holderId)}",""" +
+              s""""epoch":${l.epoch},"deadlineMs":${l.deadlineMs},""" +
+              s""""ttlMs":${l.ttlMs},"live":${l.deadlineMs > nowL}}"""
+          respond(ex, 200,
+            s"""{"lease":${standing.map(leaseJson).getOrElse("null")},""" +
+              s""""heldByThisDriver":${mine.isDefined}}""", "application/json")
         case ("GET", "/v1/admin/topics") =>
           // topic inventory with registry stats — the admin `--list`
           // (per topic: partitions, files, records, bytes, version), pure

@@ -656,6 +656,51 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Transactions.recoveryFailures(sickRoot).contains("sick"))
   }
 
+  test("a zombie's staged offsets landing in a successor's directory never apply") {
+    val a = TopicConfig(root, "t_zoff_src", 1, 1)
+    PolarLog.produce(rows(8, "in"), a)
+    ConsumerGroups.poll(spark, a, "zg", ConsumerGroups.Earliest) // registers {0:0}
+    val h1 = Transactions.begin(root, "zoff")
+    val h2 = Transactions.begin(root, "zoff") // fences h1
+    // cross-process zombie: h1's requireOpen raced the fencing begin and
+    // passed before h2's directory landed — simulate the post-race write
+    // (the g-file lands inside h2's directory, stamped with h1's epoch)
+    val gName = s"g-${LogMetadata.hexEncode(a.topic)}-${LogMetadata.hexEncode("zg")}.json"
+    val out = fs.create(new Path(txnDirPath("zoff"), gName), true)
+    out.write(s"""{"epoch":${h1.epoch},"offsets":{"0":8}}""".getBytes("UTF-8"))
+    out.close()
+    Transactions.commit(h2)
+    assert(ConsumerGroups.committed(a, "zg") === Some(Map(0 -> 0L)),
+      "a fenced incarnation's staged offsets must be discarded, not applied")
+    // the successor's OWN staging (matching epoch) applies normally
+    val h3 = Transactions.begin(root, "zoff")
+    Transactions.sendOffsets(h3, a, "zg", Map(0 -> 5L))
+    Transactions.commit(h3)
+    assert(ConsumerGroups.committed(a, "zg") === Some(Map(0 -> 5L)))
+  }
+
+  test("a stale lower-epoch terminal marker inside a live txn reads as Open and is cleared") {
+    val h0 = Transactions.begin(root, "stalemark")
+    Transactions.abort(h0)
+    val h1 = Transactions.begin(root, "stalemark") // live successor
+    // a failed resurrection-undo leftover: the OLD incarnation's marker
+    // standing inside the successor's directory (all delete retries lost)
+    val out = fs.create(new Path(txnDirPath("stalemark"), "terminal.json"), false)
+    out.write(s"""{"format":1,"kind":"abort","epoch":${h0.epoch}}""".getBytes("UTF-8"))
+    out.close()
+    Transactions.state(root, "stalemark") match {
+      case Transactions.Open(e, _, _) => assert(e === h1.epoch)
+      case other => fail(s"stale marker must not mask the live txn: $other")
+    }
+    assert(!fs.exists(new Path(txnDirPath("stalemark"), "terminal.json")),
+      "the stale marker must be cleared (it wedges the live txn's arbiter)")
+    // recover() must NOT apply the stale abort over the live transaction
+    assert(Transactions.recover(root) === 0)
+    Transactions.commit(h1) // the un-wedged arbiter accepts the live commit
+    assert(Transactions.state(root, "stalemark") === Transactions.Unknown)
+    assert(Transactions.lastRecord(root, "stalemark") === Some((h1.epoch, "commit")))
+  }
+
   test("admin inventory lists producer transactions with state and age") {
     val h = Transactions.begin(root, "inv")
     val listed = Transactions.list(root)

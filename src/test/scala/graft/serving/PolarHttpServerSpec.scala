@@ -66,6 +66,12 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cast(id as string) as partitionKey", "timestamp_micros(id) as timestamp",
       "cast(id as string) as value"), cfg)
     ConsumerGroups.poll(spark, cfg, "hg", ConsumerGroups.Earliest) // register {_:0}
+    // a zero/negative timeout is a validation error at begin (400), not a
+    // confusing 409 at commit after the next sweep aborts it
+    assert(post("/v1/txn/begin?id=http-etl&timeoutMs=0", Array.empty)
+      .statusCode() === 400)
+    assert(post("/v1/txn/begin?id=http-etl&timeoutMs=-5", Array.empty)
+      .statusCode() === 400)
     // begin → epoch
     val began = post("/v1/txn/begin?id=http-etl&timeoutMs=30000", Array.empty)
     assert(began.statusCode() === 200, began.body())

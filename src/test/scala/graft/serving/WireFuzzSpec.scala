@@ -1,0 +1,284 @@
+package graft.serving
+
+import graft.GraftSession
+import graft.log.{PolarLog, TopicConfig}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.Files
+
+/**
+ * Property-fuzz over the wire surfaces (VERDICT r14 directive 6): the
+ * binary frame protocol, the h2c listener and the HTTP/1.1 produce path
+ * are the oracle-blind code — no DuckDB gate can see a desynced stream or
+ * a leaked socket. Deterministically seeded random frames assert the three
+ * invariants a server owes a hostile/buggy client:
+ *
+ *  1. crash-free: no malformed input kills the acceptor — a clean client
+ *     always works afterwards;
+ *  2. bounded allocation: wire-declared lengths never drive multi-GiB
+ *     buffers (the 16 MiB frame cap refuses first);
+ *  3. clean errors: a response, an error frame, or a dropped connection —
+ *     never a hang (every read here is SO_TIMEOUT-bounded).
+ */
+class WireFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  import PolarBinaryServer._
+
+  private var spark: SparkSession = _
+  private var server: PolarHttpServer = _
+  private var binary: PolarBinaryServer = _
+  private var root: String = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = Files.createTempDirectory("polar_fuzz").toString
+    server = new PolarHttpServer(spark, root, lingerMs = 5).start()
+    binary = new PolarBinaryServer(spark, root).start()
+  }
+
+  override def afterAll(): Unit = {
+    if (binary != null) binary.stop()
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  // ------------------------------------------------------------- harness
+
+  private def withSocket[T](port: Int, timeoutMs: Int = 5000)(
+      f: (DataInputStream, DataOutputStream) => T): T = {
+    val s = new Socket("127.0.0.1", port)
+    s.setSoTimeout(timeoutMs)
+    s.setTcpNoDelay(true)
+    try f(new DataInputStream(s.getInputStream),
+      new DataOutputStream(s.getOutputStream))
+    finally s.close()
+  }
+
+  /** Read one binary-protocol frame; None = orderly close/timeout-free EOF. */
+  private def readFrame(in: DataInputStream): Option[(Header, Array[Byte])] = {
+    val raw = new Array[Byte](HeaderSize)
+    try {
+      in.readFully(raw)
+      val b = ByteBuffer.wrap(raw)
+      val h = Header(b.get() & 0xFF, b.get() & 0xFF, b.getShort() & 0xFFFF,
+        b.get(), b.getInt())
+      val body = new Array[Byte](h.bodyLength)
+      in.readFully(body)
+      Some((h, body))
+    } catch { case _: EOFException => None }
+  }
+
+  private def startup(in: DataInputStream, out: DataOutputStream): Unit = {
+    out.write(headerBytes(0, 0, StartupOp, 0)); out.flush()
+    val r = readFrame(in)
+    assert(r.exists(_._1.op == ReadyOp), s"startup must ack ready, got $r")
+  }
+
+  /** The liveness oracle: a clean client startup/heartbeats fine. */
+  private def binaryStillServes(): Unit =
+    withSocket(binary.boundPort) { (in, out) =>
+      startup(in, out)
+      out.write(headerBytes(0, 7, HeartbeatOp, 0)); out.flush()
+      val r = readFrame(in)
+      assert(r.exists(h => h._1.op == ReadyOp && h._1.streamId == 7))
+    }
+
+  // ------------------------------------------------- binary frame fuzzing
+
+  test("binary: raw garbage streams never kill the acceptor") {
+    val rnd = new scala.util.Random(0xb1a5ed)
+    (0 until 40).foreach { i =>
+      withSocket(binary.boundPort, timeoutMs = 2000) { (in, out) =>
+        val n = 1 + rnd.nextInt(64)
+        val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+        try {
+          out.write(junk); out.flush()
+          // whatever happens — error frame, close, silence — must be bounded
+          try readFrame(in) catch { case _: java.net.SocketTimeoutException => None }
+        } catch { case _: java.io.IOException => () } // early RST is fine
+      }
+      if (i % 10 == 9) binaryStillServes()
+    }
+    binaryStillServes()
+  }
+
+  test("binary: wire-declared lengths are bounded BEFORE allocation") {
+    // oversized: refuse with an error frame naming the bound, then close
+    withSocket(binary.boundPort) { (in, out) =>
+      startup(in, out)
+      out.write(headerBytes(0, 1, ProduceOp, MaxFrameBytes + 1)); out.flush()
+      val r = readFrame(in)
+      assert(r.exists(_._1.op == ErrorOp), s"oversize must error, got $r")
+      assert(r.exists(f => new String(f._2.drop(1), UTF_8).contains("out of bounds")))
+      assert(readFrame(in).isEmpty, "a desynced stream must be dropped")
+    }
+    // negative length: same refusal (a signed-int attack must not wrap
+    // into an allocation)
+    withSocket(binary.boundPort) { (in, out) =>
+      startup(in, out)
+      out.write(headerBytes(0, 2, ProduceOp, -2147483000)); out.flush()
+      val r = readFrame(in)
+      assert(r.exists(_._1.op == ErrorOp))
+      assert(readFrame(in).isEmpty)
+    }
+    binaryStillServes()
+  }
+
+  test("binary: random post-startup frames get a response or a close, never a hang") {
+    val rnd = new scala.util.Random(0xf2a3e5)
+    (0 until 30).foreach { _ =>
+      withSocket(binary.boundPort, timeoutMs = 3000) { (in, out) =>
+        startup(in, out)
+        val op = rnd.nextInt(256).toByte
+        val flags = rnd.nextInt(4)
+        val body = Array.fill(rnd.nextInt(32))(rnd.nextInt(256).toByte)
+        try {
+          out.write(headerBytes(flags, rnd.nextInt(65536), op, body.length))
+          out.write(body); out.flush()
+          op match {
+            case StartupOp | HeartbeatOp =>
+              assert(readFrame(in).exists(_._1.op == ReadyOp))
+            case ProduceOp => () // async ack or sync error — next loop's
+              // startup liveness check is the assertion that matters
+            case _ =>
+              val r = readFrame(in)
+              assert(r.exists(_._1.op == ErrorOp), s"op $op must error, got $r")
+          }
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    binaryStillServes()
+  }
+
+  test("binary: malformed produce bodies error per-frame and the connection survives") {
+    val rnd = new scala.util.Random(0xdecade)
+    withSocket(binary.boundPort, timeoutMs = 5000) { (in, out) =>
+      startup(in, out)
+      // bodies crafted to FAIL parsing or validation deterministically:
+      // either truncated (keyLen/topicLen point past the end) or carrying
+      // an always-invalid topic charset — the error comes back sync
+      (1 to 25).foreach { sid =>
+        val body: Array[Byte] =
+          if (rnd.nextBoolean()) {
+            // truncated: claim a long key in a short body
+            val b = Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(256).toByte)
+            b(0) = (200 + rnd.nextInt(56)).toByte
+            b
+          } else {
+            // well-formed lengths, invalid topic (reserved char '!')
+            val key = "k".getBytes(UTF_8)
+            val topic = ("!" * (1 + rnd.nextInt(5))).getBytes(UTF_8)
+            val payload = Array.fill(rnd.nextInt(16))(rnd.nextInt(256).toByte)
+            val buf = ByteBuffer.allocate(1 + key.length + 1 + topic.length + payload.length)
+            buf.put(key.length.toByte).put(key)
+              .put(topic.length.toByte).put(topic).put(payload)
+            buf.array()
+          }
+        out.write(headerBytes(0, sid, ProduceOp, body.length))
+        out.write(body); out.flush()
+        val r = readFrame(in)
+        assert(r.exists(f => f._1.op == ErrorOp && f._1.streamId == sid),
+          s"frame $sid: expected a per-frame error, got $r")
+      }
+      // the connection is still in protocol sync after 25 refused frames
+      out.write(headerBytes(0, 99, HeartbeatOp, 0)); out.flush()
+      assert(readFrame(in).exists(f => f._1.op == ReadyOp && f._1.streamId == 99))
+    }
+  }
+
+  // --------------------------------------------------------- h2c fuzzing
+
+  private def httpStillServes(): Unit = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/status")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 200)
+  }
+
+  test("h2c: garbage prefaces and random frames drop cleanly; listener survives") {
+    val rnd = new scala.util.Random(0x42c0ffee)
+    val preface = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(ISO_8859_1)
+    (0 until 30).foreach { i =>
+      withSocket(server.h2cPort, timeoutMs = 2000) { (in, out) =>
+        try {
+          if (i % 3 == 0) {
+            // wrong preface: must close without a byte of response state
+            out.write(Array.fill(preface.length)(rnd.nextInt(256).toByte))
+            out.flush()
+            assert(in.read() === -1, "bad preface must close the connection")
+          } else {
+            // right preface, then garbage frames (random type/flags/stream,
+            // random ≤64 B payloads with matching declared lengths)
+            out.write(preface); out.flush()
+            (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+              val payload = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+              H2cServer.writeFrame(out, rnd.nextInt(16), rnd.nextInt(256),
+                rnd.nextInt(8), payload)
+            }
+            out.flush()
+            // drain whatever comes back (settings/acks/goaway) until close
+            // or timeout — bounded either way
+            try { while (in.read() != -1) () }
+            catch { case _: java.net.SocketTimeoutException => () }
+          }
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    // the pool/listener survived 30 hostile connections: a REAL h2c PING
+    // round-trips and HTTP/1.1 still serves
+    withSocket(server.h2cPort) { (in, out) =>
+      out.write(preface)
+      H2cServer.writeFrame(out, 0x4, 0, 0, Array.emptyByteArray) // SETTINGS
+      H2cServer.writeFrame(out, 0x6, 0, 0, new Array[Byte](8))   // PING
+      out.flush()
+      // expect the server's SETTINGS, our SETTINGS ack, then the PING ack
+      var sawPingAck = false
+      (0 until 3).foreach { _ =>
+        val len = (in.read() << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+        val tpe = in.readUnsignedByte()
+        val flags = in.readUnsignedByte()
+        in.readInt()
+        in.skipNBytes(len.toLong)
+        if (tpe == 0x6 && (flags & 0x1) != 0) sawPingAck = true
+      }
+      assert(sawPingAck, "a live h2c server must ack PING after the fuzz")
+    }
+    httpStillServes()
+  }
+
+  test("http: random bodies and paths never take the server down") {
+    val rnd = new scala.util.Random(0x7e57ab1e)
+    val client = java.net.http.HttpClient.newHttpClient()
+    (0 until 30).foreach { _ =>
+      val path = "/" + rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+      val body = Array.fill(rnd.nextInt(256))(rnd.nextInt(256).toByte)
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() >= 200 && resp.statusCode() < 600)
+    }
+    // and a real produce still lands (end-to-end liveness, not just /status)
+    val cfg = TopicConfig(root, "fuzz_alive")
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(
+          s"http://127.0.0.1:${server.boundPort}/v1/topic/fuzz_alive/messages"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("""{"ok":1}"""))
+        .build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 200, resp.body()) // 200 = committed
+    assert(PolarLog.consume(spark, cfg).count() >= 1L)
+  }
+}
