@@ -51,26 +51,14 @@ object StorageProbe {
 
   private[log] class RealOps extends Ops {
     private def fsOf(p: Path) = p.getFileSystem(HadoopConf.shared)
-    def createExclusive(p: Path, content: String): Unit = {
-      val out = fsOf(p).create(p, false)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    def createExclusive(p: Path, content: String): Unit =
+      FsIO.writeString(p, content, overwrite = false)
     def renameOverwrite(src: Path, dst: Path): Unit = {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         dst.toUri, HadoopConf.shared)
       fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
-    def read(p: Path): String = {
-      val fs = fsOf(p)
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    }
+    def read(p: Path): String = FsIO.readString(fsOf(p), p)
     def delete(p: Path): Unit = { fsOf(p).delete(p, true): Unit }
     def mkdirs(p: Path): Unit = { fsOf(p).mkdirs(p): Unit }
   }

@@ -123,22 +123,11 @@ object Transactions {
 
   private def fsOf(p: Path) = p.getFileSystem(HadoopConf.shared)
 
-  private def writeFile(p: Path, text: String, overwrite: Boolean): Unit = {
-    val fs = fsOf(p)
-    val out = fs.create(p, overwrite)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeFile(p: Path, text: String, overwrite: Boolean): Unit =
+    FsIO.writeString(p, text, overwrite)
 
-  private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    FsIO.readString(fs, p)
 
   // same-driver serialization of begin/commit/abort/recover per id — the
   // driver is the only metadata authority (SURVEY §7.1), so this makes the
@@ -354,15 +343,30 @@ object Transactions {
             // failed all its delete retries (decideTerminal's guard) —
             // trusting it would let recover() apply the OLD incarnation's
             // kind over the LIVE successor (and drop its directory).
-            // Ignore it as this directory's terminal state and clear it:
-            // its presence also wedges the successor's own arbiter (same
-            // file name, exclusive create). Epoch-mismatch re-checked by
-            // kindOf above; decideTerminal never adopts mismatched epochs,
-            // so a racing arbiter cannot have followed this marker.
+            // Ignore it as this directory's terminal state; CLEAR it (its
+            // presence also wedges the successor's own arbiter — same file
+            // name, exclusive create) only with durable PROOF of staleness:
+            // the id's finalize record at/past the marker's epoch. A delete
+            // on the epoch comparison alone could race a concurrent
+            // finalize-then-begin-then-commit ladder and remove the LIVE
+            // successor's just-created marker (its .last is written only by
+            // finalize) — re-opening the dual-decision half-apply. The
+            // stripe lock below serializes against every same-process
+            // arbiter write; the re-read inside confirms the marker is
+            // still the one we judged stale.
             openState() match {
               case Some(live) if e >= 0 && live.epoch > e =>
-                try { if (fs.exists(termP)) fs.delete(termP, false): Unit }
-                catch { case _: java.io.IOException => () }
+                val finalized = lastRecord(root, txnId)
+                  .exists { case (le, _) => le >= e }
+                if (finalized) lockFor(root, txnId).synchronized {
+                  try {
+                    if (kindOf(fs, termP).exists { case (_, e2) => e2 == e })
+                      fs.delete(termP, false): Unit
+                  } catch { case _: java.io.IOException => () }
+                }
+                // without the finalize-record proof the marker stays (the
+                // live txn's commit will fail loudly on the wedged arbiter
+                // — operator-visible, never silently mis-resolved)
                 return live
               case _ =>
                 return if (k == "commit") Committed(e) else Aborted(e)

@@ -39,14 +39,19 @@ import org.apache.hadoop.fs.Path
  *    (TTL-cached) and refuse while a live foreign lease stands. Reads stay
  *    lease-free.
  *
- * Residual window, stated honestly: lease enforcement is time-based
+ * Residual windows, stated honestly: lease enforcement is time-based
  * between renewals — a holder whose clock is badly skewed can write for up
  * to one TTL after a FORCED takeover on topics the successor has not yet
  * stamped. Expiry-based handover has no such window (the incumbent's own
  * deadline check fails first, assuming clock skew below the TTL). This is
  * the standard lease argument (Gray & Cheriton); the deployment contract
  * shrinks from "never run two drivers" to "keep clock skew below ttl/2 or
- * use takeover only on dead drivers".
+ * use takeover only on dead drivers". Second window, at ROLLOUT: an
+ * unleased writer caches the "unguarded" probe answer for [[probeTtlMs]],
+ * so drivers already writing when the FIRST lease on a root is acquired
+ * keep writing un-fenced for up to that long — enforcement is crisp from
+ * the first acquire only against writers that start after it (quiesce
+ * existing unleased writers for one probe-TTL when turning enforcement on).
  */
 object WriterLease {
 
@@ -71,6 +76,16 @@ object WriterLease {
   // the lease(s) THIS process holds, by root — what checkWrite validates
   // against on the hot path (no I/O while the deadline is comfortably out)
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Lease]()
+
+  // per-root serialization of acquire/renew/release: two same-process
+  // threads hitting the half-TTL renewal window together must not BOTH
+  // mint (the later held.put could then REGRESS the registered epoch below
+  // one already stamped into a doc, and checkStamp would self-fence the
+  // rightful holder — wedging every write until the TTL expired)
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 
   // unleased-writer probe cache: root -> (checkedAtMs, standing lease if a
   // LIVE foreign one was seen). A negative ("unguarded") answer is cached
@@ -129,13 +144,7 @@ object WriterLease {
     var attempt = 0
     while (attempt < 5) {
       try {
-        val in = fs.open(p)
-        val text = try {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val buf = new Array[Byte](len)
-          in.readFully(0, buf)
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
+        val text = FsIO.readString(fs, p)
         val holder = HolderRe.findFirstMatchIn(text).map(_.group(1))
         if (holder.isDefined) {
           return Some(Lease(root, holder.get, epoch,
@@ -151,9 +160,16 @@ object WriterLease {
       attempt += 1
       Thread.sleep(10)
     }
-    // unreadable content under a standing epoch file: held by an unknown
-    // writer until proven otherwise (fail-safe for contenders)
-    Some(Lease(root, "<unreadable>", epoch, Long.MaxValue, DefaultTtlMs))
+    // unreadable content under a standing epoch file (a contender crashed
+    // between create and close): held by an unknown writer — but only for
+    // one default TTL from the file's mtime. A permanent hold here would
+    // convert one torn acquire into an unrecoverable fence on every writer
+    // (re-read on every probe, so expiry un-fences promptly); the bounded
+    // hold keeps the fail-safe without voiding the TTL failover guarantee.
+    val deadline =
+      try fs.getFileStatus(p).getModificationTime + DefaultTtlMs
+      catch { case _: java.io.IOException => System.currentTimeMillis() + DefaultTtlMs }
+    Some(Lease(root, "<unreadable>", epoch, deadline, DefaultTtlMs))
   }
 
   /** Does this process hold a (locally believed) live lease on `root`? */
@@ -175,7 +191,7 @@ object WriterLease {
       root: String,
       holderId: String = "driver-" + java.util.UUID.randomUUID().toString.take(12),
       ttlMs: Long = DefaultTtlMs,
-      takeover: Boolean = false): Lease = {
+      takeover: Boolean = false): Lease = lockFor(root).synchronized {
     require(validHolderId(holderId),
       s"holder id must be 1-120 filename-safe chars, got '$holderId'")
     require(ttlMs > 0, s"lease ttl must be positive, got $ttlMs")
@@ -192,9 +208,12 @@ object WriterLease {
   /** Extend this process's lease on `root` by one TTL (minting the next
     * epoch under the same holder). Fences loudly if the lease was taken
     * over. Normally invoked automatically by [[checkWrite]]. */
-  def renew(root: String): Lease = {
+  def renew(root: String): Lease = lockFor(root).synchronized {
     val mine = Option(held.get(root)).getOrElse(throw new IllegalStateException(
       s"this process holds no writer lease on '$root'"))
+    // a concurrent thread may have renewed while we waited on the lock —
+    // if the registered lease is comfortably live again, don't re-mint
+    if (System.currentTimeMillis() <= mine.deadlineMs - mine.ttlMs / 2) return mine
     val next =
       try mint(root, mine.holderId, mine.ttlMs, takeover = false, acquiring = false)
       catch {
@@ -208,7 +227,7 @@ object WriterLease {
     * 0) is minted so the NEXT contender acquires immediately instead of
     * waiting out the TTL. Idempotent; a lease lost to takeover releases
     * quietly (the successor already owns the root). */
-  def release(root: String): Unit = {
+  def release(root: String): Unit = lockFor(root).synchronized {
     val mine = held.remove(root)
     if (mine == null) return
     try {
@@ -235,7 +254,9 @@ object WriterLease {
       val standing = current(root)
       standing match {
         case Some(l) if l.holderId != holderId && l.deadlineMs > now && !takeover =>
-          fencedWrites.incrementAndGet()
+          // NOT counted in fencedWrites: an acquire/renew refusal is lease
+          // contention, not a refused WRITE — a standby driver polling
+          // acquire must not inflate the write-fencing metric
           throw new FencedWriterException(
             if (acquiring)
               s"root '$root' is write-leased by '${l.holderId}' (epoch ${l.epoch}) " +
@@ -265,14 +286,11 @@ object WriterLease {
       root: String, epoch: Long, holderId: String,
       deadlineMs: Long, ttlMs: Long): Option[Lease] = {
     val p = new Path(leaseDir(root), s"e$epoch.json")
-    val fs = fsOf(p)
     try {
-      val out = fs.create(p, false)
-      try out.write(
-        (s"""{"format":1,"holder":"$holderId","deadlineMs":$deadlineMs,""" +
-          s""""ttlMs":$ttlMs,"ms":${System.currentTimeMillis()}}""").getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      FsIO.writeString(p,
+        s"""{"format":1,"holder":"$holderId","deadlineMs":$deadlineMs,""" +
+          s""""ttlMs":$ttlMs,"ms":${System.currentTimeMillis()}}""",
+        overwrite = false)
       Some(Lease(root, holderId, epoch, deadlineMs, ttlMs))
     } catch { case _: java.io.IOException => None }
   }

@@ -368,9 +368,65 @@ private[sources] object PolarProcedures {
       }
     }
 
+    // -- writer lease from pure SQL (the r15 single-authority enforcement,
+    //    [[graft.log.WriterLease]]): acquire/renew happen implicitly on the
+    //    write path once acquired; these procedures are the operator face.
+    val acquireLease = new PolarProcedure(
+      "acquire_lease",
+      Seq(in("holder", StringType).build(),
+        in("ttl_ms", LongType)
+          .defaultValue(graft.log.WriterLease.DefaultTtlMs.toString)
+          .comment("lease TTL; the write path auto-renews at half-TTL")
+          .build(),
+        in("takeover", BooleanType)
+          .defaultValue("false")
+          .comment("seize a LIVE foreign lease — only if that driver is dead")
+          .build()),
+      StructType(Seq(
+        StructField("epoch", LongType, nullable = false),
+        StructField("deadline_ms", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val l = graft.log.WriterLease.acquire(root,
+          a.getUTF8String(0).toString, a.getLong(1), a.getBoolean(2))
+        Seq(new GenericInternalRow(Array[Any](l.epoch, l.deadlineMs)))
+      }
+    }
+
+    val releaseLease = new PolarProcedure(
+      "release_lease",
+      Seq.empty,
+      StructType(Seq(StructField("released", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        graft.log.WriterLease.release(root)
+        Seq(new GenericInternalRow(Array[Any](true)))
+      }
+    }
+
+    val leaseInfo = new PolarProcedure(
+      "lease",
+      Seq.empty,
+      StructType(Seq(
+        StructField("holder", StringType, nullable = true),
+        StructField("epoch", LongType, nullable = true),
+        StructField("deadline_ms", LongType, nullable = true),
+        StructField("live", BooleanType, nullable = false),
+        StructField("held_by_this_driver", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+        val now = System.currentTimeMillis()
+        val standing = graft.log.WriterLease.current(root)
+        val mine = graft.log.WriterLease.heldLease(root)
+        Seq(new GenericInternalRow(Array[Any](
+          standing.map(l => UTF8String.fromString(l.holderId)).orNull,
+          standing.map(_.epoch: java.lang.Long).orNull,
+          standing.map(_.deadlineMs: java.lang.Long).orNull,
+          standing.exists(_.deadlineMs > now),
+          mine.isDefined)))
+      }
+    }
+
     Seq(compact, cleanRetention, vacuum, history, resetOffsets, analyze,
         deleteRecords, merge, cleanKeys, txns, beginTxn, commitTxn, abortTxn,
-        sendOffsetsTxn)
+        sendOffsetsTxn, acquireLease, releaseLease, leaseInfo)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -701,6 +701,28 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Transactions.lastRecord(root, "stalemark") === Some((h1.epoch, "commit")))
   }
 
+  test("a stale-looking marker WITHOUT finalize-record proof is ignored but never deleted") {
+    // the review-found race: deleting on the epoch comparison alone could
+    // remove a LIVE successor's just-created marker (whose .last is only
+    // written by finalize) — the guard must demand durable proof
+    val h1 = Transactions.begin(root, "noproof")
+    val out = fs.create(new Path(txnDirPath("noproof"), "terminal.json"), false)
+    out.write(s"""{"format":1,"kind":"abort","epoch":${h1.epoch - 10}}""".getBytes("UTF-8"))
+    out.close()
+    assert(Transactions.lastRecord(root, "noproof").isEmpty, "fixture: no record")
+    Transactions.state(root, "noproof") match {
+      case Transactions.Open(e, _, _) => assert(e === h1.epoch)
+      case other => fail(s"must ignore the unproven marker as state: $other")
+    }
+    assert(fs.exists(new Path(txnDirPath("noproof"), "terminal.json")),
+      "without finalize-record proof the marker must NOT be deleted")
+    // the wedged arbiter fails the live commit LOUDLY (operator-visible),
+    // never mis-resolves it
+    intercept[IllegalStateException] { Transactions.commit(h1) }
+    fs.delete(new Path(txnDirPath("noproof"), "terminal.json"), false)
+    Transactions.abort(h1)
+  }
+
   test("admin inventory lists producer transactions with state and age") {
     val h = Transactions.begin(root, "inv")
     val listed = Transactions.list(root)

@@ -161,6 +161,52 @@ class WriterLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     WriterLease.release(root)
   }
 
+  test("a torn epoch file (crash between create and close) holds for ONE TTL, not forever") {
+    val root = freshRoot()
+    val cfg = TopicConfig(root, "t_torn", 1, 1)
+    // simulate the torn acquire: an empty epoch file, no content
+    val d = new Path(WriterLease.leaseDir(root))
+    val fs = d.getFileSystem(HadoopConf.shared)
+    fs.mkdirs(d)
+    fs.create(new Path(d, "e12345.json"), false).close()
+    val standing = WriterLease.current(root)
+    assert(standing.exists(_.holderId === "<unreadable>"))
+    assert(standing.exists(_.deadlineMs < Long.MaxValue),
+      "a torn file must hold for a bounded window, never forever")
+    // while within the window: unleased writes fence, acquire refuses
+    WriterLease.resetProbeCache()
+    fenced(ConsumerGroups.commit(cfg, "g", Map(0 -> 1L)))
+    fenced(WriterLease.acquire(root, "driver-t", ttlMs = 60000L))
+    // age the torn file past the default TTL: the hold expires and a real
+    // contender acquires (epoch minted past the torn one)
+    fs.setTimes(new Path(d, "e12345.json"),
+      System.currentTimeMillis() - WriterLease.DefaultTtlMs - 1000L, -1)
+    val l = WriterLease.acquire(root, "driver-t", ttlMs = 60000L)
+    assert(l.epoch > 12345L)
+    WriterLease.release(root)
+  }
+
+  test("acquire refusals are lease contention, not refused writes (metric purity)") {
+    val root = freshRoot()
+    WriterLease.acquire(root, "driver-m", ttlMs = 600000L)
+    WriterLease.dropHeldForTest(root)
+    val before = WriterLease.fencedWrites.get()
+    // a standby polling acquire must not inflate the write-fencing counter
+    (1 to 3).foreach { _ =>
+      intercept[WriterLease.FencedWriterException] {
+        WriterLease.acquire(root, "driver-standby", ttlMs = 600000L)
+      }
+    }
+    assert(WriterLease.fencedWrites.get() === before,
+      "acquire refusals must not count as fenced writes")
+    // ...but a refused WRITE does count
+    WriterLease.resetProbeCache()
+    fenced(ConsumerGroups.commit(TopicConfig(root, "t_m", 1, 1), "g", Map(0 -> 1L)))
+    assert(WriterLease.fencedWrites.get() === before + 1)
+    WriterLease.installHeldForTest(WriterLease.current(root).get)
+    WriterLease.release(root)
+  }
+
   test("txn EOS loop under a held lease works end-to-end (the happy path)") {
     val root = freshRoot()
     val src = TopicConfig(root, "lease_src", 1, 1)

@@ -158,6 +158,38 @@ class PolarCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerGroups.committed(src, "sql_etl") === Some(poll.nextOffsets))
   }
 
+  test("CALL polar.system.acquire_lease/lease/release_lease — the SQL writer-lease face") {
+    import graft.log.{PolarLog, TopicConfig}
+    import org.apache.spark.sql.functions._
+    val acquired = spark.sql(
+      "CALL polar.system.acquire_lease(holder => 'sql-driver', ttl_ms => 600000L)")
+      .head()
+    val epoch = acquired.getLong(0)
+    assert(acquired.getLong(1) > System.currentTimeMillis(), "deadline in the future")
+    val info = spark.sql("CALL polar.system.lease()").head()
+    assert(info.getString(0) === "sql-driver")
+    assert(info.getLong(1) === epoch)
+    assert(info.getBoolean(3), "live")
+    assert(info.getBoolean(4), "held by this driver")
+    // writes under the lease stamp the doc (the enforcement signal)
+    val t = TopicConfig(root, "sql_lease_t", 3, 4)
+    PolarLog.produce(graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(20)
+      .select(col("user_id").cast("string").as("partitionKey"),
+        col("ts").as("timestamp"), col("props").as("value")), t)
+    assert(graft.log.LogMetadata.read(t).writerEpoch === epoch)
+    // a second holder cannot seize it from SQL without takeover (409-shaped)
+    val e = intercept[Exception] {
+      spark.sql("CALL polar.system.acquire_lease(holder => 'other-driver')").head()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("write-leased")), msgs(e).mkString(" | "))
+    assert(spark.sql("CALL polar.system.release_lease()").head().getBoolean(0))
+    assert(!spark.sql("CALL polar.system.lease()").head().getBoolean(3),
+      "released lease reads not-live")
+  }
+
   test("CALL polar.system.analyze backfills legacy ts stats, unlocking the ts top-N push") {
     import graft.log.{LogMetadata, PolarLog, TopicConfig}
     import org.apache.spark.sql.functions._
