@@ -211,9 +211,6 @@ object WriterLease {
   def renew(root: String): Lease = lockFor(root).synchronized {
     val mine = Option(held.get(root)).getOrElse(throw new IllegalStateException(
       s"this process holds no writer lease on '$root'"))
-    // a concurrent thread may have renewed while we waited on the lock —
-    // if the registered lease is comfortably live again, don't re-mint
-    if (System.currentTimeMillis() <= mine.deadlineMs - mine.ttlMs / 2) return mine
     val next =
       try mint(root, mine.holderId, mine.ttlMs, takeover = false, acquiring = false)
       catch {
@@ -221,6 +218,23 @@ object WriterLease {
       }
     held.put(root, next)
     next
+  }
+
+  /** [[renew]] only when the registered lease is past its half-TTL — the
+    * write path's trigger. The early return under the root lock is what
+    * keeps N concurrent writers from minting N epochs in one window (a
+    * later `held.put` of a LOWER epoch would self-fence the holder); the
+    * PUBLIC [[renew]] always extends, per its contract. */
+  private def renewIfDue(root: String): Unit = {
+    val mine = held.get(root)
+    if (mine == null) return
+    if (System.currentTimeMillis() <= mine.deadlineMs - mine.ttlMs / 2) return
+    lockFor(root).synchronized {
+      val cur = held.get(root)
+      if (cur != null &&
+          System.currentTimeMillis() > cur.deadlineMs - cur.ttlMs / 2)
+        renew(root): Unit
+    }
   }
 
   /** Release this process's lease on `root`: a released marker (deadline
@@ -254,9 +268,11 @@ object WriterLease {
       val standing = current(root)
       standing match {
         case Some(l) if l.holderId != holderId && l.deadlineMs > now && !takeover =>
-          // NOT counted in fencedWrites: an acquire/renew refusal is lease
-          // contention, not a refused WRITE — a standby driver polling
-          // acquire must not inflate the write-fencing metric
+          // ACQUIRE refusals are lease contention, not refused writes — a
+          // standby polling acquire must not inflate the fencing metric.
+          // A RENEW refusal (!acquiring) IS a refused write: it fires from
+          // checkWrite on the write path when a takeover is discovered.
+          if (!acquiring) fencedWrites.incrementAndGet()
           throw new FencedWriterException(
             if (acquiring)
               s"root '$root' is write-leased by '${l.holderId}' (epoch ${l.epoch}) " +
@@ -269,8 +285,20 @@ object WriterLease {
           val epoch = math.max(standing.map(_.epoch + 1).getOrElse(1L), now)
           writeEpochFile(root, epoch, holderId, now + ttlMs, ttlMs) match {
             case Some(lease) =>
-              prune(root, epoch)
-              return lease
+              // POST-CREATE VERIFICATION (the same re-check-after-act
+              // discipline as the txn arbiter): a contender that judged a
+              // TORN epoch file expired can mint PAST it while its torn
+              // writer is still alive between create and close — without
+              // this re-list, both would install believed-held leases
+              // (dual writers under plain expiry, the exact state the
+              // lease exists to prevent). Whoever's epoch is not the max
+              // after its own durable write has lost.
+              current(root) match {
+                case Some(l) if l.epoch > epoch => () // superseded: re-decide
+                case _ =>
+                  prune(root, epoch)
+                  return lease
+              }
             case None => () // lost the exclusive create — re-read, re-decide
           }
       }
@@ -325,8 +353,7 @@ object WriterLease {
   def checkWrite(root: String): Unit = {
     val mine = held.get(root)
     if (mine != null) {
-      val now = System.currentTimeMillis()
-      if (now > mine.deadlineMs - mine.ttlMs / 2) renew(root): Unit
+      renewIfDue(root)
       return
     }
     val cached = probeCache.get(root)

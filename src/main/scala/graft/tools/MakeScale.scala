@@ -64,13 +64,15 @@ object MakeScale {
       .getFileSystem(graft.log.HadoopConf.shared)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
       .foreach { t =>
-        // overwrite=true: a re-run onto an existing dstDir must replace the
-        // copy (copy-without-overwrite nests INTO an existing directory —
-        // t.parquet/t.parquet — and every consumer then reads zero rows)
+        // delete-then-copy: a re-run onto an existing dstDir must replace
+        // the copy outright — FileUtil.copy descends INTO an existing
+        // DIRECTORY destination before the overwrite flag is consulted
+        // (nesting t.parquet/t.parquet; consumers then read zero rows)
+        val dstP = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+        if (fs.exists(dstP)) fs.delete(dstP, true)
         org.apache.hadoop.fs.FileUtil.copy(fs,
           new org.apache.hadoop.fs.Path(s"$src/$t.parquet"), fs,
-          new org.apache.hadoop.fs.Path(s"$dst/$t.parquet"),
-          false, true, fs.getConf)
+          dstP, false, true, fs.getConf)
       }
     println(s"PROBE wrote ${k}x of $src to $dst: events=${maxE + 1}->${(maxE + 1) * k} " +
       s"docs=${maxD + 1}->${(maxD + 1) * k} vecs=${maxV + 1}->${(maxV + 1) * k}")

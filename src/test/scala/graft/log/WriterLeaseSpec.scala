@@ -102,9 +102,13 @@ class WriterLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("taken over"), e.getMessage)
     assert(WriterLease.heldLease(root).isEmpty, "fencing drops the dead lease")
     // an incumbent due for renewal discovers the takeover at the lease dir
+    // — and THAT refusal is a refused write, so it counts in the metric
+    val fencedBefore = WriterLease.fencedWrites.get()
     WriterLease.installHeldForTest(a.copy(deadlineMs = System.currentTimeMillis() - 1))
     val e2 = fenced(ConsumerGroups.commit(cfg, "g", Map(0 -> 1L)))
     assert(e2.getMessage.contains("driver-b"), e2.getMessage)
+    assert(WriterLease.fencedWrites.get() === fencedBefore + 1,
+      "a renew-discovered takeover on the write path must count as a fenced write")
     // the survivor's writes keep flowing
     WriterLease.installHeldForTest(b)
     PolarLog.produce(rows(1, "b2"), cfg)
