@@ -257,6 +257,35 @@ class WireFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     httpStillServes()
   }
 
+  test("hpack: random header blocks and huffman bytes decode or refuse cleanly, bounded") {
+    val rnd = new scala.util.Random(0x48504b)
+    (0 until 3000).foreach { i =>
+      val block = Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte)
+      val d = new Hpack.Decoder()
+      try {
+        val hs = d.decode(block)
+        // output is bounded by the input (no amplification): every decoded
+        // string came from a length-checked slice of the block
+        assert(hs.map { case (n, v) => n.length + v.length }.sum <= block.length * 2 + hs.size * 64,
+          s"iteration $i: suspicious amplification")
+      } catch {
+        // the two legal refusal shapes (both caught by the h2c handler's
+        // NonFatal): a diagnosed protocol error or a truncated-buffer read
+        case _: IllegalArgumentException => ()
+        case _: ArrayIndexOutOfBoundsException => ()
+      }
+    }
+    // huffman decode: random bytes either decode or refuse — never hang
+    (0 until 3000).foreach { _ =>
+      val raw = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      try Hpack.huffmanDecode(raw)
+      catch { case _: IllegalArgumentException => () }
+    }
+    // and well-formed blocks still round-trip after the fuzz (sanity)
+    val enc = Hpack.Encoder.encode(Seq(":status" -> "200", "x-k" -> "v"))
+    assert(new Hpack.Decoder().decode(enc) === Seq(":status" -> "200", "x-k" -> "v"))
+  }
+
   test("http: random bodies and paths never take the server down") {
     val rnd = new scala.util.Random(0x7e57ab1e)
     val client = java.net.http.HttpClient.newHttpClient()
