@@ -104,6 +104,29 @@ class PolarHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inv.body().contains(""""id":"http-etl""""), inv.body())
   }
 
+  test("GET /v1/admin/lease reports the standing writer lease and holder-ship") {
+    import graft.log.WriterLease
+    // unleased root: null lease, not held
+    val before = get("/v1/admin/lease")
+    assert(before.statusCode() === 200)
+    assert(before.body().contains(""""lease":null"""), before.body())
+    assert(before.body().contains(""""heldByThisDriver":false"""))
+    // acquire (same JVM = this "driver"): live lease, held
+    WriterLease.acquire(root, "http-admin", ttlMs = 600000L)
+    try {
+      val during = get("/v1/admin/lease")
+      assert(during.body().contains(""""holder":"http-admin""""), during.body())
+      assert(during.body().contains(""""live":true"""))
+      assert(during.body().contains(""""heldByThisDriver":true"""))
+      // the metrics face carries the fencing counter
+      val metrics = get("/metrics")
+      assert(metrics.body().contains("polar_lease_fenced_writes"), metrics.body())
+    } finally WriterLease.release(root)
+    val after = get("/v1/admin/lease")
+    assert(after.body().contains(""""live":false"""), after.body())
+    assert(after.body().contains(""""heldByThisDriver":false"""))
+  }
+
   test("produce validation: invalid topic and oversize body are 400") {
     assert(post("/v1/topic/_bad/messages", "{}".getBytes(UTF_8)).statusCode() === 400)
     val big = new Array[Byte](PolarLog.DefaultMaxMessageSize + 1)
