@@ -44,7 +44,24 @@ class ProduceCoalescer(
 
   def stop(): Unit = {
     running = false
-    done.await(10, TimeUnit.SECONDS)
+    // a silent timeout here would abandon an in-flight flush mid-produce
+    // with producers still blocked on acks — surface it
+    if (!done.await(10, TimeUnit.SECONDS))
+      System.err.println("[polar] coalescer stop timed out with a flush " +
+        "in flight; pending producer acks may be incomplete")
+    // whatever is STILL queued after the drain loop exited can never be
+    // flushed — fail those producers loudly instead of hanging them
+    failRemaining("coalescer stopped")
+  }
+
+  private def failRemaining(why: String): Unit = {
+    var p = queue.poll()
+    while (p != null) {
+      queued.decrementAndGet()
+      p.done.completeExceptionally(new IllegalStateException(
+        s"produce not flushed: $why")): Unit
+      p = queue.poll()
+    }
   }
 
   /** Enqueue one produce request; the future completes when its batch's
@@ -59,6 +76,11 @@ class ProduceCoalescer(
       new CompletableFuture[Unit]())
     queue.add(p)
     queued.incrementAndGet()
+    // enqueue-then-check closes the append-vs-stop race BOTH ways: an
+    // append that lost to stop() (the flusher may already have observed
+    // queued==0 and exited) must not leave its caller blocked forever on
+    // an ack no thread will ever complete
+    if (!running) failRemaining("coalescer stopped")
     p.done
   }
 
@@ -107,7 +129,18 @@ class ProduceCoalescer(
           }
         }
       }
-    } finally done.countDown()
+    } catch {
+      // an interrupt (executor shutdown) or any escape must not leave the
+      // flusher dead with `running` still true — producers would block on
+      // acks no thread will ever complete
+      case _: InterruptedException => running = false
+      case e: Throwable =>
+        running = false
+        System.err.println(s"[polar] coalescer flush loop died: ${e.getMessage}")
+    } finally {
+      failRemaining("coalescer flush loop exited")
+      done.countDown()
+    }
   }
 
   private def produceBatch(topic: String, items: Vector[Pending]): Unit = {
