@@ -259,8 +259,13 @@ object TopicConfig {
     // NEW topics are capped at 248 by [[validNewTopicName]] at the
     // creation surfaces, because derived file names (the txn journal's
     // `t-<topic>.json`) add 7 bytes — Kafka caps at 249 for its own
-    // suffixes, same reasoning.
-    name.nonEmpty && name.length <= 255 &&
+    // suffixes, same reasoning. Caps are UTF-8 BYTES (the unit the
+    // filesystem limit is in): isLetterOrDigit admits multibyte letters,
+    // and a char-counted cap would pass names whose derived file names
+    // then fail fs.create mid-write (review-found). ASCII names — every
+    // name the test battery uses — count identically either way.
+    name.nonEmpty &&
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 255 &&
       !name.startsWith("_") && !name.startsWith(".") &&
       name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
 
@@ -271,7 +276,8 @@ object TopicConfig {
     * journal naming) — never on read paths, so pre-cap topics stay
     * accessible. */
   def validNewTopicName(name: String): Boolean =
-    validTopicName(name) && name.length <= 248
+    validTopicName(name) &&
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 248
 }
 
 /** One committed data file of a topic partition: the unit of the metadata

@@ -49,15 +49,22 @@ object TxnJournal {
       txn: Option[(String, Long)]): String = {
     val jdir = new Path(
       s"${dir(root)}/txn-${java.util.UUID.randomUUID().toString.take(12)}")
+    // the journal derives `t-<topic>.json`: the 248-byte creation cap is
+    // what keeps that name within the filesystem component limit. A
+    // grandfathered 249–255-byte topic therefore cannot participate in a
+    // MULTI-topic routed commit (loud refusal), though single-topic
+    // produces and reads still work for it. Validated BEFORE any journal
+    // state exists: a refusal mid-loop would leak a partial directory the
+    // caller can never clean up (no journal handle returned), costing a
+    // recovery-sweep rollback of a no-op journal (review-found).
+    topics.keys.foreach(t => require(TopicConfig.validNewTopicName(t),
+      s"topic '$t' cannot participate in a multi-topic routed commit: the " +
+        "journal's derived t-<topic>.json must fit the filesystem's " +
+        "255-byte component limit (topic max 248 UTF-8 bytes); " +
+        "single-topic produces to it still work"))
     val fs = jdir.getFileSystem(HadoopConf.shared)
     fs.mkdirs(jdir)
     topics.foreach { case (t, entries) =>
-      // the journal derives `t-<topic>.json`: the 248-char creation cap is
-      // what keeps that name within the filesystem component limit. A
-      // grandfathered 249–255-char topic therefore cannot participate in a
-      // MULTI-topic routed commit (loud refusal here), though single-topic
-      // produces and reads still work for it.
-      require(TopicConfig.validNewTopicName(t), s"invalid journal topic '$t'")
       // per-topic files carry a `t-` prefix so a topic literally named
       // "txn" can never collide with the txn.json commit point
       val out = fs.create(new Path(jdir, s"t-$t.json"), false)

@@ -379,15 +379,19 @@ class PolarRoutedDataWriter(
       if (!TopicConfig.validTopicName(t)) throw new IllegalArgumentException(
         s"Invalid topic name in 'topic' column: '$t'")
       val cfg = template.topicConfig(t)
-      val meta = LogMetadata.read(cfg)
+      // routed first-encounter CREATES the topic: new names obey the
+      // 248-byte creation cap. Existence is the ROOT DOC's (readIfExists),
+      // not version == 0: a CREATE TABLE'd never-produced topic sits at
+      // version 0 with a doc on disk — a grandfathered long-named one must
+      // stay writable, exactly like the HTTP produce surface (review-found)
+      val metaOpt = LogMetadata.readIfExists(cfg)
+      if (metaOpt.isEmpty && !TopicConfig.validNewTopicName(t))
+        throw new IllegalArgumentException(
+          s"Invalid new topic name in 'topic' column: '$t' (max 248 UTF-8 bytes)")
+      val meta = metaOpt.getOrElse(LogMetadata.empty(cfg))
       require(meta.clusterSize == cfg.clusterSize &&
           meta.rangesPerToken == cfg.rangesPerToken,
         s"topic $t exists with different ring layout")
-      // routed first-encounter CREATES the topic: new names obey the
-      // 248-char creation cap (existing topics are grandfathered)
-      if (meta.version == 0L && !TopicConfig.validNewTopicName(t))
-        throw new IllegalArgumentException(
-          s"Invalid new topic name in 'topic' column: '$t' (max 248 chars)")
       // per-topic segment.bytes governs this destination's roll size;
       // compression.type its storage codec
       val (beforeMs, afterMs) = graft.log.PolarLog.timestampBounds(meta.props)

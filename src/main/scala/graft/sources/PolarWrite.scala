@@ -361,14 +361,19 @@ class PolarBatchWrite(
   // plan-time snapshot: offset bases ship to the writers; the version is the
   // CAS expectation at commit (concurrent-producer guard)
   private val meta0 = {
-    val m = LogMetadata.read(cfg)
+    // first produce CREATES the topic: new names obey the stricter
+    // 248-byte cap (derived journal file names); existing topics are
+    // grandfathered. Existence = the root doc on disk (readIfExists), NOT
+    // version == 0 — a CREATE TABLE'd never-produced topic sits at
+    // version 0 with a doc, and a grandfathered long-named one must stay
+    // writable (review-found; the HTTP surface already probes this way)
+    val mOpt = LogMetadata.readIfExists(cfg)
+    if (mOpt.isEmpty)
+      require(TopicConfig.validNewTopicName(cfg.topic),
+        s"Invalid new topic name '${cfg.topic}' (max 248 UTF-8 bytes)")
+    val m = mOpt.getOrElse(LogMetadata.empty(cfg))
     require(m.clusterSize == cfg.clusterSize && m.rangesPerToken == cfg.rangesPerToken,
       s"topic ${cfg.topic} exists with different ring layout")
-    // first produce CREATES the topic: new names obey the stricter 248-char
-    // cap (derived journal file names); existing topics are grandfathered
-    if (m.version == 0L)
-      require(TopicConfig.validNewTopicName(cfg.topic),
-        s"Invalid new topic name '${cfg.topic}' (max 248 chars)")
     m
   }
 
