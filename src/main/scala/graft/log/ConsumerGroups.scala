@@ -151,13 +151,20 @@ object ConsumerGroups {
       // producer-transaction marks and stop at the LSO — ONE registry
       // view (resolved once, first poll included) drives the registration
       // pin, tails, admission AND the scan, so they always agree
-      isolation: String = "read_uncommitted"): Poll = {
+      isolation: String = "read_uncommitted",
+      // record-count admission cap (the library face of the serving
+      // path's u16 budget) — applied after the byte cap when both are set
+      maxRecords: Option[Long] = None): Poll = {
     val meta = readView(cfg, isolation)
     val start = startingOffsetsIn(cfg, group, policy, meta)
     val tails = PolarLog.tailsOf(meta)
-    val end0 = maxBytes match {
+    val endB = maxBytes match {
       case Some(cap) => byteCapEnd(meta, start, tails, cap)
       case None => tails
+    }
+    val end0 = maxRecords match {
+      case Some(cap) => recordCapEnd(meta, start, endB, cap)
+      case None => endB
     }
     // never rewind: a group whose committed position sits ABOVE the
     // current LSO (committed under read_uncommitted, polled under
@@ -180,65 +187,33 @@ object ConsumerGroups {
   }
 
   /**
-   * Byte-bounded end offsets: walk each partition's pending registry files
-   * in offset order, charging `records × bytes/record` from the file's
-   * exact stats, stopping at the cap but always admitting at least one
-   * record when any is pending (progress guarantee) — the batch-path mirror
-   * of the streaming source's `maxBytesPerTrigger` admission, both standing
-   * in for the reference's round-robin-until-threshold read queue. Pure
-   * metadata arithmetic: no file I/O.
+   * Byte-bounded end offsets with a FAIR per-partition budget split — the
+   * batch-path mirror of the streaming source's `maxBytesPerTrigger`
+   * admission, both standing in for the reference's
+   * round-robin-until-threshold read queue
+   * (`internal/consuming/group_read_queue.go:115-118`). Pure metadata
+   * arithmetic: each partition's pending registry files are walked in
+   * offset order, charging `records × bytes/record` from the file's exact
+   * stats — no file I/O.
    *
-   * KNOWN FAIRNESS LIMIT (documented, not yet rotated): the walk spends
-   * the budget in ascending partition order, so a partition whose inflow
-   * CONTINUOUSLY exceeds the whole cap can starve higher partitions until
-   * its backlog drains (transient backlogs drain fine — auto-commit
-   * advances the hot partition each poll). The reference's queue
-   * round-robins; a stateless fair fix is an even per-backlogged-partition
-   * budget split with one redistribution pass — planned, changes poll
-   * chunking observed by the serving gates so it lands with its own gates.
+   * Fairness (stateless round-robin parity): the cap is split EVENLY
+   * across the backlogged partitions first, then one ascending
+   * redistribution pass hands what the short backlogs left unspent to the
+   * still-hungry ones — so a partition whose inflow continuously exceeds
+   * the whole cap can no longer starve the others (it gets its even
+   * share; they get theirs), while a single hot partition with everyone
+   * else idle still receives the full cap. At least one record is
+   * admitted whenever any is pending (progress guarantee).
    */
   def byteCapEnd(
       meta: LogMetadata,
       start: Map[Int, Long],
       end: Map[Int, Long],
-      maxBytes: Long): Map[Int, Long] = {
-    var budget = maxBytes
-    var admittedAny = false
-    end.toSeq.sortBy(_._1).map { case (p, tail) =>
-      var pos = start.getOrElse(p, 0L)
-      if (pos >= tail) p -> tail // already caught up: keep the empty window
-      else {
-        var prevMax = -1L
-        meta.filesOf(p)
-          .filter(f => f.maxOffset >= pos && f.minOffset < tail)
-          .foreach { f =>
-            // a gap below this file holds no records (trimmed/compacted) —
-            // jump it for free or the walk never admits anything (stall).
-            // Only a REAL gap jumps: a budget stop MID-file leaves records
-            // behind, and jumping would serve them uncounted.
-            if (pos < f.minOffset && pos > prevMax) pos = f.minOffset
-            prevMax = f.maxOffset
-            val lo = math.max(pos, f.minOffset)
-            val hi = math.min(tail - 1, f.maxOffset)
-            if (lo <= hi && pos >= f.minOffset) {
-              val perRecord = math.max(1L, f.bytes / math.max(1L, f.count))
-              val affordable = math.max(budget / perRecord,
-                if (admittedAny) 0L else 1L)
-              val take = math.min(hi - lo + 1, affordable)
-              if (take > 0) {
-                pos = lo + take
-                budget -= take * perRecord
-                admittedAny = true
-              }
-            }
-          }
-        p -> pos
-      }
-    }.toMap
-  }
+      maxBytes: Long): Map[Int, Long] =
+    fairCapEnd(meta, start, end, maxBytes, chargeBytes = true)
 
-  /** Record-count-bounded end offsets — same walk and progress guarantee
-    * as [[byteCapEnd]] with a per-record charge: the binary poll
+  /** Record-count-bounded end offsets — same fair split and progress
+    * guarantee as [[byteCapEnd]] with a per-record charge: the binary poll
     * response's item count is a u16, so one poll must never admit more
     * than 65535 records. A file admitted WHOLE is charged its exact
     * registry `count` (sparse compacted files hold far fewer records than
@@ -253,46 +228,122 @@ object ConsumerGroups {
       meta: LogMetadata,
       start: Map[Int, Long],
       end: Map[Int, Long],
-      maxRecords: Long): Map[Int, Long] = {
-    var budget = maxRecords
-    var admittedAny = false
-    end.toSeq.sortBy(_._1).map { case (p, tail) =>
-      var pos = start.getOrElse(p, 0L)
-      if (pos >= tail) p -> tail
-      else {
-        var prevMax = -1L
-        meta.filesOf(p)
-          .filter(f => f.maxOffset >= pos && f.minOffset < tail)
-          .foreach { f =>
-            // same REAL-gap-only jump as byteCapEnd: a gap holds no
-            // records, but a budget stop mid-file must not jump
-            if (pos < f.minOffset && pos > prevMax) pos = f.minOffset
-            prevMax = f.maxOffset
-            val lo = math.max(pos, f.minOffset)
-            val hi = math.min(tail - 1, f.maxOffset)
-            if (lo <= hi && pos >= f.minOffset) {
-              val affordable = math.max(budget,
-                if (admittedAny) 0L else 1L)
-              val wholeFile = lo == f.minOffset && hi == f.maxOffset
-              if (wholeFile && f.count <= affordable) {
-                // exact: the registry knows precisely how many records a
-                // whole file contributes — no estimate involved
-                pos = hi + 1
-                budget -= f.count
-                admittedAny = true
-              } else {
-                val take = math.min(hi - lo + 1, affordable)
-                if (take > 0) {
-                  pos = lo + take
-                  budget -= take
-                  admittedAny = true
-                }
+      maxRecords: Long): Map[Int, Long] =
+    fairCapEnd(meta, start, end, maxRecords, chargeBytes = false)
+
+  // One partition's admission walk: advance from `pos0` toward `tail`
+  // spending at most `budget` (bytes or records), returning the final
+  // position, the amount spent, and the records admitted. `forceOne`
+  // admits one record even on a zero budget (the caller's global progress
+  // guarantee — per-partition forcing would overshoot the cap B-fold).
+  private final case class Walk(pos: Long, spent: Long, recs: Long)
+  private def advanceWalk(
+      meta: LogMetadata, p: Int, pos0: Long, tail: Long,
+      budget: Long, chargeBytes: Boolean, forceOne: Boolean): Walk = {
+    var pos = pos0
+    var spent = 0L
+    var recs = 0L
+    var prevMax = -1L
+    meta.filesOf(p)
+      .filter(f => f.maxOffset >= pos0 && f.minOffset < tail)
+      .foreach { f =>
+        // a gap below this file holds no records (trimmed/compacted) —
+        // jump it for free or the walk never admits anything (stall).
+        // Only a REAL gap jumps: a budget stop MID-file leaves records
+        // behind, and jumping would serve them uncounted.
+        if (pos < f.minOffset && pos > prevMax) pos = f.minOffset
+        prevMax = f.maxOffset
+        val lo = math.max(pos, f.minOffset)
+        val hi = math.min(tail - 1, f.maxOffset)
+        if (lo <= hi && pos >= f.minOffset) {
+          val left = budget - spent
+          if (chargeBytes) {
+            val perRecord = math.max(1L, f.bytes / math.max(1L, f.count))
+            val affordable = math.max(left / perRecord,
+              if (recs > 0 || !forceOne) 0L else 1L)
+            val take = math.min(hi - lo + 1, affordable)
+            if (take > 0) {
+              pos = lo + take
+              spent += take * perRecord
+              recs += take
+            }
+          } else {
+            val affordable = math.max(left,
+              if (recs > 0 || !forceOne) 0L else 1L)
+            val wholeFile = lo == f.minOffset && hi == f.maxOffset
+            if (wholeFile && f.count <= affordable) {
+              // exact: the registry knows precisely how many records a
+              // whole file contributes — no estimate involved
+              pos = hi + 1
+              spent += f.count
+              recs += f.count
+            } else {
+              val take = math.min(hi - lo + 1, affordable)
+              if (take > 0) {
+                pos = lo + take
+                spent += take
+                recs += take
               }
             }
           }
-        p -> pos
+        }
       }
-    }.toMap
+    Walk(pos, spent, recs)
+  }
+
+  // The shared fair-split driver behind [[byteCapEnd]] / [[recordCapEnd]]:
+  // pass 1 gives every backlogged partition an even cap/B share; pass 2
+  // redistributes the unspent remainder (short backlogs + the integer
+  // remainder) ascending over the still-backlogged partitions; a final
+  // global progress guarantee forces one record when the cap admitted none
+  // anywhere but records are pending.
+  private def fairCapEnd(
+      meta: LogMetadata,
+      start: Map[Int, Long],
+      end: Map[Int, Long],
+      cap: Long,
+      chargeBytes: Boolean): Map[Int, Long] = {
+    val parts = end.toSeq.sortBy(_._1)
+    val result = scala.collection.mutable.Map.empty[Int, Long]
+    val backlogged = parts.flatMap { case (p, tail) =>
+      val s = start.getOrElse(p, 0L)
+      if (s >= tail) { result(p) = tail; None } // caught up: empty window
+      else Some((p, s, tail))
+    }
+    if (backlogged.isEmpty) return result.toMap
+    var budget = cap
+    val share = cap / backlogged.size
+    var admitted = 0L
+    // pass 1: even share per backlogged partition
+    val after1 = backlogged.map { case (p, s, tail) =>
+      val w = advanceWalk(meta, p, s, tail, share, chargeBytes, forceOne = false)
+      budget -= w.spent
+      admitted += w.recs
+      (p, tail, w.pos)
+    }
+    // pass 2: hand the leftover to the still-hungry, ascending
+    val after2 = after1.map { case (p, tail, pos) =>
+      if (budget > 0 && pos < tail) {
+        val w = advanceWalk(meta, p, pos, tail, budget, chargeBytes, forceOne = false)
+        budget -= w.spent
+        admitted += w.recs
+        (p, tail, w.pos)
+      } else (p, tail, pos)
+    }
+    after2.foreach { case (p, _, pos) => result(p) = pos }
+    // progress guarantee: a cap below one record's charge still serves one
+    if (admitted == 0L) {
+      val it = after2.iterator
+      var forced = false
+      while (!forced && it.hasNext) {
+        val (p, tail, pos) = it.next()
+        if (pos < tail) {
+          val w = advanceWalk(meta, p, pos, tail, 0L, chargeBytes, forceOne = true)
+          if (w.recs > 0) { result(p) = w.pos; forced = true }
+        }
+      }
+    }
+    result.toMap
   }
 
   /**

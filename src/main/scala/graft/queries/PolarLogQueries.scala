@@ -677,6 +677,76 @@ object PolarLogQueries extends QueryRegistry {
       }),
 
     QueryDef(
+      "polar_poll_fair",
+      (s, dir) => {
+        // FAIR POLL ADMISSION (A17, reference round-robin parity,
+        // `internal/consuming/group_read_queue.go:115-118`): a capped poll
+        // splits its budget EVENLY across the backlogged partitions, then
+        // redistributes what the short backlogs left unspent in one
+        // ascending pass — a hot partition can no longer starve the rest.
+        // Three caps derived FROM the data (so the oracle derives the
+        // same): 'even' = B×K with K ≤ every backlog (each partition
+        // admits exactly K, zero leftover); 'redistribute' = less than
+        // the total backlog (short partitions drain, the leftover tops up
+        // the long ones ascending); 'drain' = above the total (everything
+        // admits). Offsets are dense, so admitted = nextOffset exactly.
+        val (cfg, _) = SharedTopics.eventsProps(s, dir)
+        val tails = PolarLog.tails(cfg).filter(_._2 > 0L)
+        val b = tails.values
+        val bCount = b.size.toLong
+        val k = math.max(1L, b.min / 2)
+        val caps = Seq(
+          "even" -> bCount * k,
+          "redistribute" -> math.max(bCount, b.sum - math.max(1L, b.max / 2)),
+          "drain" -> (b.sum + 5L))
+        val rows = caps.flatMap { case (phase, cap) =>
+          val group = "fair-" + java.util.UUID.randomUUID().toString
+          val p = ConsumerGroups.poll(s, cfg, group, ConsumerGroups.Earliest,
+            maxRecords = Some(cap))
+          p.nextOffsets.toSeq
+            .filter { case (part, _) => tails.contains(part) }
+            .map { case (part, next) => (phase, part, next) }
+        }
+        s.createDataFrame(rows).toDF("phase", "part", "admitted")
+      },
+      // the oracle replays the fair split itself: per-partition backlogs
+      // from the placement kernel, share = cap // B, pass 1 = min(b,
+      // share), pass 2 = greedy ascending over the leftover (a running-sum
+      // window IS one ascending redistribution pass)
+      Some(s"""
+        WITH recs AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+        keys AS (SELECT DISTINCT pk FROM recs),
+        ${OracleSql.murmur3H1ShortKeyCtes},
+        placed AS (
+          SELECT r.pk, CAST($part34Sql AS INTEGER) AS part
+          FROM recs r JOIN murmur_tok t ON r.pk = t.pk),
+        backlog AS (SELECT part, COUNT(*) AS b FROM placed GROUP BY part),
+        params AS (
+          SELECT COUNT(*) AS bc, MIN(b) AS minb, MAX(b) AS maxb,
+                 SUM(b) AS tot
+          FROM backlog),
+        caps AS (
+          SELECT 'even' AS phase, bc * greatest(1, minb // 2) AS cap FROM params
+          UNION ALL
+          SELECT 'redistribute', greatest(bc, tot - greatest(1, maxb // 2)) FROM params
+          UNION ALL
+          SELECT 'drain', tot + 5 FROM params),
+        pass1 AS (
+          SELECT c.phase, k.part, k.b, c.cap,
+                 least(k.b, c.cap // p.bc) AS a1
+          FROM caps c CROSS JOIN params p CROSS JOIN backlog k),
+        pass2 AS (
+          SELECT phase, part, a1,
+                 least(b - a1, greatest(0,
+                   (cap - SUM(a1) OVER (PARTITION BY phase)) -
+                   COALESCE(SUM(b - a1) OVER (PARTITION BY phase
+                     ORDER BY part
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 )) AS a2
+          FROM pass1)
+        SELECT phase, part, CAST(a1 + a2 AS BIGINT) AS admitted FROM pass2""")),
+
+    QueryDef(
       "polar_sql_roundtrip",
       (s, dir) => {
         // the SQL surface end-to-end: topics as catalog tables, produce via
