@@ -46,11 +46,20 @@ object ConsumerGroups {
 
   // the strict persisted shape [[render]] writes — torn/truncated docs
   // (a crashed rename on an exotic store) must fail LOUDLY here, not parse
-  // to a partial map that silently rewinds absent partitions to 0
+  // to a partial map that silently rewinds absent partitions to 0. The
+  // optional writerEpoch stamp (r16) is the lease holder's fencing mark.
   private val GroupDocRe =
-    """^\{"offsets":\{("\d+":\d+(,"\d+":\d+)*)?\}\}$""".r
+    """^\{"offsets":\{("\d+":\d+(,"\d+":\d+)*)?\}(,"writerEpoch":\d+)?\}$""".r
+  private val GroupEpochRe = """"writerEpoch"\s*:\s*(\d+)""".r
 
-  def committed(cfg: TopicConfig, group: String): Option[Map[Int, Long]] = {
+  def committed(cfg: TopicConfig, group: String): Option[Map[Int, Long]] =
+    readDoc(cfg, group).map(_._1)
+
+  // the raw doc: (offsets, writerEpoch stamp). Stamp 0 = written by an
+  // unleased driver (or a pre-r16 binary) — checkStamp treats it as
+  // unguarded, exactly like an unstamped root doc.
+  private def readDoc(
+      cfg: TopicConfig, group: String): Option[(Map[Int, Long], Long)] = {
     val path = groupPath(cfg, group)
     val fc = FileContext.getFileContext(path.toUri, HadoopConf.shared)
     if (!fc.util().exists(path)) return None
@@ -64,7 +73,8 @@ object ConsumerGroups {
         s"group document for '$group' on ${cfg.topic} is corrupt " +
           s"(${text.take(64)}…); refusing to adopt a partial position — " +
           "restore it or delete the doc to re-register from the reset policy")
-    Some(parseOffsets(text))
+    Some((parseOffsets(text),
+      GroupEpochRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)))
   }
 
   def commit(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
@@ -75,25 +85,40 @@ object ConsumerGroups {
     // DESIGN across committers (Kafka's OffsetCommit), the quiesce
     // contract covers concurrent committers of one group.
     lockFor(cfg, group).synchronized {
-      // writer-lease gate: group docs are read-merge-rename (no CAS doc to
-      // carry a stamp), so the lease check IS the cross-process guard here —
-      // a fenced driver's deadline check fails before the rename can clobber
-      // a successor's merge
-      WriterLease.checkWrite(cfg.root)
-      val path = groupPath(cfg, group)
-      // writer-unique tmp: cross-process committers must not clobber each
-      // other's staged bytes mid-rename (same discipline as the root doc)
-      val tmp = new Path(path.toString + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
-      val fc = FileContext.getFileContext(path.toUri, HadoopConf.shared)
-      val out = fc.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-        Options.CreateOpts.createParent())
-      try out.write(render(nextOffsets).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      fc.rename(tmp, path, Options.Rename.OVERWRITE)
+      writeDoc(cfg, group, nextOffsets, readDoc(cfg, group).map(_._2).getOrElse(0L))
     }
+
+  // The guarded group-doc write every commit path funnels through, called
+  // under the group's stripe lock with the CURRENT doc's stamp:
+  //  - checkWrite — the time-based gate (a fenced driver's own deadline
+  //    check fails before the rename can clobber a successor's merge);
+  //  - checkStamp — the offsets-path twin of root-doc stamp fencing
+  //    (r16): a doc already stamped by a NEWER lease epoch fences this
+  //    writer even while its local deadline still looks live, shrinking
+  //    the forced-takeover zombie window on consumer positions from
+  //    ≤1 TTL to one commit;
+  //  - the write stamps this holder's own epoch (0 = unleased, field
+  //    omitted — byte-identical docs for the default deployment).
+  private def writeDoc(
+      cfg: TopicConfig, group: String,
+      nextOffsets: Map[Int, Long], docEpoch: Long): Unit = {
+    WriterLease.checkWrite(cfg.root)
+    WriterLease.checkStamp(cfg.root, docEpoch)
+    val path = groupPath(cfg, group)
+    // writer-unique tmp: cross-process committers must not clobber each
+    // other's staged bytes mid-rename (same discipline as the root doc)
+    val tmp = new Path(path.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val fc = FileContext.getFileContext(path.toUri, HadoopConf.shared)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(render(nextOffsets, WriterLease.heldEpoch(cfg.root))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, path, Options.Rename.OVERWRITE)
+  }
 
   /** Starting offsets for a group: committed state, or — for a brand-new
     * group — the reset policy's defaults, which are PERSISTED immediately
@@ -504,7 +529,9 @@ object ConsumerGroups {
     * members' offsets are preserved). */
   def commitPartial(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
     lockFor(cfg, group).synchronized {
-      commit(cfg, group, committed(cfg, group).getOrElse(Map.empty) ++ nextOffsets)
+      val doc = readDoc(cfg, group)
+      writeDoc(cfg, group, doc.map(_._1).getOrElse(Map.empty) ++ nextOffsets,
+        doc.map(_._2).getOrElse(0L))
     }
 
   /** Merge-commit that NEVER REWINDS: each partition takes the max of the
@@ -514,7 +541,8 @@ object ConsumerGroups {
     * replay-safe. */
   def commitFloor(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =
     lockFor(cfg, group).synchronized {
-      val cur = committed(cfg, group).getOrElse(Map.empty)
+      val doc = readDoc(cfg, group)
+      val cur = doc.map(_._1).getOrElse(Map.empty)
       // DOCUMENTED TRADE-OFF vs Kafka's TxnOffsetCommit (last-write-wins,
       // rewinds permitted): a staged rewind here silently no-ops at the
       // commit point — replay safety is worth more than rewind-in-a-txn,
@@ -526,9 +554,9 @@ object ConsumerGroups {
           s"below the committed position ignored (never-rewind floor) for " +
           s"partitions ${rewinds.keys.toSeq.sorted.mkString(",")}; use " +
           "ConsumerGroups.resetOffsets for a deliberate rewind")
-      commit(cfg, group, cur ++ nextOffsets.map { case (p, o) =>
+      writeDoc(cfg, group, cur ++ nextOffsets.map { case (p, o) =>
         p -> math.max(o, cur.getOrElse(p, 0L))
-      })
+      }, doc.map(_._2).getOrElse(0L))
     }
 
   /** Auto-commit analog (`internal/conf/config.go:264-266`'s 5 s auto-commit
@@ -555,9 +583,13 @@ object ConsumerGroups {
     if (fc.util().exists(path)) fc.delete(path, false)
   }
 
-  private[graft] def render(offsets: Map[Int, Long]): String =
-    offsets.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
-      .mkString("{\"offsets\":{", ",", "}}")
+  private[graft] def render(offsets: Map[Int, Long], writerEpoch: Long = 0L): String = {
+    val body = offsets.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString("{\"offsets\":{", ",", "}")
+    // epoch 0 (unleased) omits the field — docs stay byte-identical to the
+    // pre-stamp format for the default deployment
+    if (writerEpoch > 0L) s"""$body,"writerEpoch":$writerEpoch}""" else s"$body}"
+  }
 
   private[graft] def parseOffsets(s: String): Map[Int, Long] =
     """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)

@@ -131,45 +131,69 @@ object WriterLease {
   def current(root: String): Option[Lease] = {
     val d = new Path(leaseDir(root))
     val fs = fsOf(d)
-    val names =
-      try {
-        if (!fs.exists(d)) return None
-        fs.listStatus(d).iterator.map(_.getPath.getName).collect {
-          case n @ EpochNameRe(e) => (e.toLong, n)
-        }.toSeq
-      } catch { case _: java.io.IOException => return None }
-    if (names.isEmpty) return None
-    val (epoch, name) = names.maxBy(_._1)
-    val p = new Path(d, name)
-    var attempt = 0
-    while (attempt < 5) {
-      try {
-        val text = FsIO.readString(fs, p)
-        val holder = HolderRe.findFirstMatchIn(text).map(_.group(1))
-        if (holder.isDefined) {
-          return Some(Lease(root, holder.get, epoch,
-            DeadlineRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L),
-            TtlRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(DefaultTtlMs)))
+    // bounded re-list loop (NOT recursion): a max-epoch file pruned
+    // between list and read means a newer epoch exists — re-list and
+    // re-resolve, but only a bounded number of times (the same
+    // bounded-attempt discipline as every other retry in this module;
+    // sustained mint/prune churn must not grow the stack).
+    var relist = 0
+    while (relist < 8) {
+      relist += 1
+      val names =
+        try {
+          if (!fs.exists(d)) return None
+          fs.listStatus(d).iterator.map(_.getPath.getName).collect {
+            case n @ EpochNameRe(e) => (e.toLong, n)
+          }.toSeq
+        } catch { case _: java.io.IOException => return None }
+      if (names.isEmpty) return None
+      val (epoch, name) = names.maxBy(_._1)
+      val p = new Path(d, name)
+      var attempt = 0
+      var pruned = false
+      while (attempt < 5 && !pruned) {
+        try {
+          val text = FsIO.readString(fs, p)
+          val holder = HolderRe.findFirstMatchIn(text).map(_.group(1))
+          if (holder.isDefined) {
+            return Some(Lease(root, holder.get, epoch,
+              DeadlineRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L),
+              TtlRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(DefaultTtlMs)))
+          }
+        } catch {
+          case _: java.io.FileNotFoundException => pruned = true // re-list
+          case _: java.io.IOException => ()
         }
-      } catch {
-        case _: java.io.FileNotFoundException =>
-          // pruned under us: a newer epoch exists — re-list
-          return current(root)
-        case _: java.io.IOException => ()
+        if (!pruned) { attempt += 1; Thread.sleep(10) }
       }
-      attempt += 1
-      Thread.sleep(10)
+      if (!pruned) {
+        // unreadable content under a standing epoch file (a contender
+        // crashed between create and close): held by an unknown writer —
+        // but only for one DEFAULT TTL from the file's mtime, regardless
+        // of any longer TTL the torn acquire may have requested (safe:
+        // a torn file means its creator died between create and close —
+        // it never got a lease object to write under). A permanent hold
+        // would convert one torn acquire into an unrecoverable fence on
+        // every writer (re-read on every probe, so expiry un-fences
+        // promptly); logged so operators can tell the conservative hold
+        // from a normal expiry.
+        val deadline =
+          try fs.getFileStatus(p).getModificationTime + DefaultTtlMs
+          catch { case _: java.io.IOException => System.currentTimeMillis() + DefaultTtlMs }
+        System.err.println(s"[polar] writer-lease epoch file $p is " +
+          s"unreadable (torn acquire?) — holding '$root' conservatively " +
+          s"for ${math.max(0L, deadline - System.currentTimeMillis())} ms " +
+          "(one default TTL from its mtime), then treating it as expired")
+        return Some(Lease(root, "<unreadable>", epoch, deadline, DefaultTtlMs))
+      }
+      // pruned: fall through to re-list
     }
-    // unreadable content under a standing epoch file (a contender crashed
-    // between create and close): held by an unknown writer — but only for
-    // one default TTL from the file's mtime. A permanent hold here would
-    // convert one torn acquire into an unrecoverable fence on every writer
-    // (re-read on every probe, so expiry un-fences promptly); the bounded
-    // hold keeps the fail-safe without voiding the TTL failover guarantee.
-    val deadline =
-      try fs.getFileStatus(p).getModificationTime + DefaultTtlMs
-      catch { case _: java.io.IOException => System.currentTimeMillis() + DefaultTtlMs }
-    Some(Lease(root, "<unreadable>", epoch, deadline, DefaultTtlMs))
+    // 8 consecutive list/read races means epochs are being minted and
+    // pruned faster than we can look — someone certainly holds the root;
+    // answer conservatively (held by an unknown writer for one TTL)
+    // rather than "unleased", which would wave a second writer through.
+    Some(Lease(root, "<contended>", 0L,
+      System.currentTimeMillis() + DefaultTtlMs, DefaultTtlMs))
   }
 
   /** Does this process hold a (locally believed) live lease on `root`? */

@@ -79,8 +79,17 @@ class ProduceCoalescer(
     // enqueue-then-check closes the append-vs-stop race BOTH ways: an
     // append that lost to stop() (the flusher may already have observed
     // queued==0 and exited) must not leave its caller blocked forever on
-    // an ack no thread will ever complete
-    if (!running) failRemaining("coalescer stopped")
+    // an ack no thread will ever complete. Fail ONLY this request — the
+    // flusher's final drain (loop condition `running || queued > 0`) is
+    // still flushing everything queued before the stop, and failing the
+    // whole queue here would spuriously reject other producers' requests
+    // it was about to land durably. remove(p) == false means the flusher
+    // already took this one too — its batch decides the ack.
+    if (!running && queue.remove(p)) {
+      queued.decrementAndGet()
+      p.done.completeExceptionally(new IllegalStateException(
+        "produce not flushed: coalescer stopped")): Unit
+    }
     p.done
   }
 

@@ -116,6 +116,52 @@ class WriterLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     WriterLease.release(root)
   }
 
+  test("group docs carry the stamp: a fenced incumbent's commit is refused even with a live-looking local deadline") {
+    val root = freshRoot()
+    val cfg = TopicConfig(root, "t_groupstamp", 1, 1)
+    PolarLog.produce(rows(4, "g"), cfg)
+    // unleased docs stay byte-identical to the pre-stamp format
+    ConsumerGroups.commit(cfg, "plain", Map(0 -> 1L))
+    val plainDoc = FsIO.readString(
+      new Path(cfg.groupsDir).getFileSystem(HadoopConf.shared),
+      new Path(s"${cfg.groupsDir}/plain.json"))
+    assert(!plainDoc.contains("writerEpoch"), plainDoc)
+    // holder a stamps its epoch into the group doc
+    val a = WriterLease.acquire(root, "driver-a", ttlMs = 3600000L)
+    ConsumerGroups.commit(cfg, "g", Map(0 -> 2L))
+    val aDoc = FsIO.readString(
+      new Path(cfg.groupsDir).getFileSystem(HadoopConf.shared),
+      new Path(s"${cfg.groupsDir}/g.json"))
+    assert(aDoc.contains(s""""writerEpoch":${a.epoch}"""), aDoc)
+    // driver-b seizes the root and advances the group
+    val b = WriterLease.acquire(root, "driver-b", ttlMs = 3600000L, takeover = true)
+    ConsumerGroups.commitPartial(cfg, "g", Map(0 -> 3L))
+    // the incumbent resurfaces with a local deadline that still LOOKS live
+    // (hours out — checkWrite's time gate passes, renewal is not due): the
+    // doc's b-stamp alone must fence it, shrinking the forced-takeover
+    // zombie window on consumer positions from ≤1 TTL to one commit
+    WriterLease.installHeldForTest(a)
+    val before = WriterLease.fencedWrites.get()
+    val e = fenced(ConsumerGroups.commit(cfg, "g", Map(0 -> 999L)))
+    assert(e.getMessage.contains("stamped by lease epoch"), e.getMessage)
+    assert(WriterLease.fencedWrites.get() === before + 1)
+    assert(WriterLease.heldLease(root).isEmpty, "stamp fencing drops the dead lease")
+    // the successor's position is untouched, and merge paths kept its stamp
+    assert(ConsumerGroups.committed(cfg, "g") === Some(Map(0 -> 3L)))
+    val bDoc = FsIO.readString(
+      new Path(cfg.groupsDir).getFileSystem(HadoopConf.shared),
+      new Path(s"${cfg.groupsDir}/g.json"))
+    assert(bDoc.contains(s""""writerEpoch":${b.epoch}"""), bDoc)
+    // the fenced incumbent's merge paths are equally refused
+    WriterLease.installHeldForTest(a)
+    fenced(ConsumerGroups.commitPartial(cfg, "g", Map(0 -> 999L)))
+    WriterLease.installHeldForTest(a)
+    fenced(ConsumerGroups.commitFloor(cfg, "g", Map(0 -> 999L)))
+    assert(ConsumerGroups.committed(cfg, "g") === Some(Map(0 -> 3L)))
+    WriterLease.installHeldForTest(b)
+    WriterLease.release(root)
+  }
+
   test("expiry hands over cleanly; an expired lease un-fences unleased writers promptly") {
     val root = freshRoot()
     val cfg = TopicConfig(root, "t_expiry", 1, 1)
