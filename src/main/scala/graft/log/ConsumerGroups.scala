@@ -68,13 +68,17 @@ object ConsumerGroups {
       val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       new String(bytes, StandardCharsets.UTF_8)
     } finally in.close()
-    if (GroupDocRe.findFirstIn(text.trim).isEmpty)
-      throw new IllegalStateException(
-        s"group document for '$group' on ${cfg.topic} is corrupt " +
-          s"(${text.take(64)}…); refusing to adopt a partial position — " +
-          "restore it or delete the doc to re-register from the reset policy")
-    Some((parseOffsets(text),
+    def corrupt() = throw new IllegalStateException(
+      s"group document for '$group' on ${cfg.topic} is corrupt " +
+        s"(${text.take(64)}…); refusing to adopt a partial position — " +
+        "restore it or delete the doc to re-register from the reset policy")
+    if (GroupDocRe.findFirstIn(text.trim).isEmpty) corrupt()
+    // the shape regex admits any digit run; values too long for Int/Long
+    // are corruption too — same LOUD refusal, never a bare
+    // NumberFormatException (and never a partial adoption)
+    try Some((parseOffsets(text),
       GroupEpochRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)))
+    catch { case _: NumberFormatException => corrupt() }
   }
 
   def commit(cfg: TopicConfig, group: String, nextOffsets: Map[Int, Long]): Unit =

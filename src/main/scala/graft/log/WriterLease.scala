@@ -143,8 +143,11 @@ object WriterLease {
         try {
           if (!fs.exists(d)) return None
           fs.listStatus(d).iterator.map(_.getPath.getName).collect {
-            case n @ EpochNameRe(e) => (e.toLong, n)
-          }.toSeq
+            // toLongOption: an all-digits name too long for a Long is
+            // planted junk, not an epoch — skipped like any stray file,
+            // never a NumberFormatException out of the probe path
+            case n @ EpochNameRe(e) => e.toLongOption.map(v => (v, n))
+          }.flatten.toSeq
         } catch { case _: java.io.IOException => return None }
       if (names.isEmpty) return None
       val (epoch, name) = names.maxBy(_._1)
@@ -155,10 +158,17 @@ object WriterLease {
         try {
           val text = FsIO.readString(fs, p)
           val holder = HolderRe.findFirstMatchIn(text).map(_.group(1))
-          if (holder.isDefined) {
-            return Some(Lease(root, holder.get, epoch,
-              DeadlineRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L),
-              TtlRe.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(DefaultTtlMs)))
+          val deadline =
+            DeadlineRe.findFirstMatchIn(text).flatMap(_.group(1).toLongOption)
+          // BOTH fields must parse for the doc to speak for its creator: a
+          // holder whose deadline is torn off (or overflows a Long) falls
+          // through to the conservative unreadable hold below — treating
+          // it as deadline-0 would make a torn-but-holder-intact file
+          // instantly seizable, skipping the one-TTL safety window
+          if (holder.isDefined && deadline.isDefined) {
+            return Some(Lease(root, holder.get, epoch, deadline.get,
+              TtlRe.findFirstMatchIn(text).flatMap(_.group(1).toLongOption)
+                .getOrElse(DefaultTtlMs)))
           }
         } catch {
           case _: java.io.FileNotFoundException => pruned = true // re-list
@@ -354,7 +364,7 @@ object WriterLease {
     val fs = fsOf(d)
     try fs.listStatus(d).foreach { s =>
       s.getPath.getName match {
-        case EpochNameRe(e) if e.toLong < keep =>
+        case EpochNameRe(e) if e.toLongOption.exists(_ < keep) =>
           try fs.delete(s.getPath, false): Unit
           catch { case _: java.io.IOException => () }
         case _ => ()
