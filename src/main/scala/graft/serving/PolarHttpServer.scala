@@ -77,7 +77,18 @@ class PolarHttpServer(
     maxPollBytes: Long = 2L << 20,
     inactivityTimeoutMs: Long = 120000L,
     retentionMs: Long = RetentionScheduler.DefaultRetentionMs,
-    retentionSweepMs: Long = RetentionScheduler.DefaultPeriodMs) {
+    retentionSweepMs: Long = RetentionScheduler.DefaultPeriodMs,
+    // opt-in lease-aware lifecycle (the ops story USAGE §Deployment
+    // describes): Some(holderId) makes start() ACQUIRE the writer lease
+    // on the root (refusing to start if another driver holds it — two
+    // leased façades on one root is a deployment error surfaced at
+    // startup, not at the first torn commit), keeps it renewed while the
+    // server runs (writes renew inline via checkWrite; a keepalive
+    // daemon covers idle stretches so the façade stays authoritative),
+    // and releases it on stop() so a successor acquires immediately.
+    // None (default) keeps the unleased probe-and-warn behavior.
+    leaseHolderId: Option[String] = None,
+    leaseTtlMs: Long = graft.log.WriterLease.DefaultTtlMs) {
 
   import PolarHttpServer._
 
@@ -138,11 +149,50 @@ class PolarHttpServer(
   val h2c = new H2cServer(boundPort)
   def h2cPort: Int = h2c.boundPort
 
+  // the lease keepalive (leased mode only): renews at ttl/3 so an IDLE
+  // façade stays authoritative between requests — the write path's inline
+  // half-TTL renewal only fires while writes flow. Exits quietly on fence
+  // (a takeover is the operator's decision; the server keeps serving
+  // reads, writes 409 like every other fencing conflict).
+  @volatile private var leaseKeepalive: Option[Thread] = None
+  // set only by a SUCCESSFUL acquire in start(): stop() must not release
+  // a lease this instance never got (a second leased façade in the same
+  // JVM whose start() was refused would otherwise release the first's)
+  @volatile private var leaseAcquired = false
+
   def start(): this.type = {
-    // startup storage-contract probe: a store without exclusive-create /
-    // atomic-rename (raw S3A) breaks the txn arbiter and doc swaps — warn
-    // loudly here instead of failing silently at the first torn commit
-    graft.log.StorageProbe.check(root): Unit
+    leaseHolderId match {
+      case Some(holder) =>
+        // leased lifecycle: acquisition IS the storage probe (refuses a
+        // non-compliant store) and refuses a root another driver holds —
+        // both surfaced at startup, not at the first torn commit
+        graft.log.WriterLease.acquire(root, holder, leaseTtlMs): Unit
+        leaseAcquired = true
+        val t = new Thread(() => {
+          try {
+            while (graft.log.WriterLease.heldLease(root).isDefined) {
+              Thread.sleep(math.max(1L, leaseTtlMs / 3))
+              if (graft.log.WriterLease.heldLease(root).isDefined)
+                graft.log.WriterLease.renew(root): Unit
+            }
+          } catch {
+            case _: InterruptedException => ()
+            case e: graft.log.WriterLease.FencedWriterException =>
+              System.err.println(s"[polar] façade lease on '$root' was " +
+                s"taken over (${e.getMessage}); serving continues, " +
+                "control-plane writes will return 409")
+          }
+        }, "polar-lease-keepalive")
+        t.setDaemon(true)
+        t.start()
+        leaseKeepalive = Some(t)
+      case None =>
+        // startup storage-contract probe: a store without exclusive-create
+        // / atomic-rename (raw S3A) breaks the txn arbiter and doc swaps —
+        // warn loudly here instead of failing silently at the first torn
+        // commit
+        graft.log.StorageProbe.check(root): Unit
+    }
     server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => route(ex))
     server.start()
@@ -157,6 +207,12 @@ class PolarHttpServer(
     h2c.stop()
     server.stop(0)
     pool.shutdown()
+    leaseKeepalive.foreach { t => t.interrupt(); t.join(2000) }
+    leaseKeepalive = None
+    // release AFTER the last in-flight write can run: a successor
+    // acquires immediately instead of waiting out the TTL. Idempotent —
+    // unleased mode (or a lease lost to takeover) releases nothing.
+    if (leaseAcquired) graft.log.WriterLease.release(root)
   }
 
   // ---------------------------------------------------------------- routing

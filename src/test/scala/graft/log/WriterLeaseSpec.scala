@@ -236,6 +236,33 @@ class WriterLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     WriterLease.release(root)
   }
 
+  test("lease-aware façade lifecycle: acquire on start, keepalive while idle, release on stop") {
+    val root = freshRoot()
+    val s1 = new graft.serving.PolarHttpServer(spark, root,
+      leaseHolderId = Some("facade-1"), leaseTtlMs = 1500L).start()
+    try {
+      val l0 = WriterLease.current(root)
+      assert(l0.exists(_.holderId == "facade-1"), s"start() must acquire: $l0")
+      // a SECOND leased façade on the same root refuses to start — the
+      // deployment error surfaces at startup, not at the first torn commit
+      val s2 = new graft.serving.PolarHttpServer(spark, root,
+        leaseHolderId = Some("facade-2"))
+      fenced(s2.start())
+      // idle keepalive: several TTLs pass with NO traffic, the lease
+      // stays live and facade-1's (renewed, epochs monotone)
+      Thread.sleep(4000L)
+      val l1 = WriterLease.current(root).get
+      assert(l1.holderId === "facade-1")
+      assert(l1.deadlineMs > System.currentTimeMillis(),
+        "an idle leased façade must stay authoritative")
+      assert(l1.epoch > l0.get.epoch, "keepalive mints renewal epochs")
+    } finally s1.stop()
+    // release on stop: the next contender acquires immediately, no TTL wait
+    val a = WriterLease.acquire(root, "successor", 60000L)
+    assert(a.holderId === "successor")
+    WriterLease.release(root)
+  }
+
   test("acquire refusals are lease contention, not refused writes (metric purity)") {
     val root = freshRoot()
     WriterLease.acquire(root, "driver-m", ttlMs = 600000L)
