@@ -89,7 +89,15 @@ object ConsumerGroups {
     // DESIGN across committers (Kafka's OffsetCommit), the quiesce
     // contract covers concurrent committers of one group.
     lockFor(cfg, group).synchronized {
-      writeDoc(cfg, group, nextOffsets, readDoc(cfg, group).map(_._2).getOrElse(0L))
+      // the stamp read only matters to a LEASED writer (checkStamp is a
+      // no-op at heldEpoch 0 — unleased writers are governed by
+      // checkWrite's probe): don't tax the default deployment's hottest
+      // commit path with a doc read whose answer is ignored
+      val stamp =
+        if (WriterLease.heldEpoch(cfg.root) > 0L)
+          readDoc(cfg, group).map(_._2).getOrElse(0L)
+        else 0L
+      writeDoc(cfg, group, nextOffsets, stamp)
     }
 
   // The guarded group-doc write every commit path funnels through, called

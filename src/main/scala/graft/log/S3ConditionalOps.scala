@@ -65,7 +65,14 @@ object S3ConditionalStore {
 private[log] class S3ConditionalOps(
     store: S3ConditionalStore.ConditionalStore) extends StorageProbe.Ops {
 
-  private def key(p: Path): String = p.toUri.getPath
+  // authority-qualified keys: a ConditionalStore may serve many buckets
+  // (one S3 client usually does) — dropping the authority would collide
+  // s3x://bucket-a/root/doc with s3x://bucket-b/root/doc onto one key,
+  // letting one root's lease or terminal.json arbitrate the other's
+  private def key(p: Path): String = {
+    val u = p.toUri
+    Option(u.getAuthority).getOrElse("") + u.getPath
+  }
 
   /** Exclusive create = conditional PUT `If-None-Match: *`. Server-side
     * arbitration — no HEAD-then-PUT race window, unlike S3A. */
@@ -91,9 +98,13 @@ private[log] class S3ConditionalOps(
       throw new java.io.FileNotFoundException(p.toString))
 
   def delete(p: Path): Unit = {
-    // recursive prefix delete (the probe cleans its scratch dir this way)
+    // recursive subtree delete (the probe cleans its scratch dir this
+    // way): list with a '/'-bounded prefix — a raw startsWith would also
+    // sweep SIBLINGS that merely share the name prefix (deleting
+    // /w/topic must not touch /w/topic-archive/...), unlike
+    // fs.delete(p, recursive) which removes only the subtree
     val k = key(p)
-    store.list(k).foreach(store.delete)
+    store.list(k + "/").foreach(store.delete)
     store.delete(k)
   }
 

@@ -118,6 +118,13 @@ object WriterLease {
   private val HolderRe = """"holder"\s*:\s*"([^"]*)"""".r
   private val DeadlineRe = """"deadlineMs"\s*:\s*(-?\d+)""".r
   private val TtlRe = """"ttlMs"\s*:\s*(-?\d+)""".r
+  // the COMPLETE shape writeEpochFile emits — adoption requires a full
+  // match: a doc torn mid-deadline-digits would still satisfy the field
+  // regexes with a TRUNCATED (earlier) deadline, turning a torn acquire
+  // into an instantly seizable lease while its writer may be alive; the
+  // end anchor makes any truncation fall to the conservative hold
+  private val LeaseDocRe =
+    """^\{"format":1,"holder":"[^"]*","deadlineMs":-?\d+,"ttlMs":-?\d+,"ms":-?\d+\}$""".r
 
   /** Valid holder ids are file/JSON-safe (same charset as group names). */
   def validHolderId(id: String): Boolean =
@@ -156,16 +163,16 @@ object WriterLease {
       var pruned = false
       while (attempt < 5 && !pruned) {
         try {
-          val text = FsIO.readString(fs, p)
+          val text = FsIO.readString(fs, p).trim
+          // the WHOLE doc must match the written shape for it to speak
+          // for its creator (plus overflow-safe field parses): any
+          // truncation or corruption falls to the conservative
+          // unreadable hold below, never to a bogus earlier deadline
           val holder = HolderRe.findFirstMatchIn(text).map(_.group(1))
           val deadline =
             DeadlineRe.findFirstMatchIn(text).flatMap(_.group(1).toLongOption)
-          // BOTH fields must parse for the doc to speak for its creator: a
-          // holder whose deadline is torn off (or overflows a Long) falls
-          // through to the conservative unreadable hold below — treating
-          // it as deadline-0 would make a torn-but-holder-intact file
-          // instantly seizable, skipping the one-TTL safety window
-          if (holder.isDefined && deadline.isDefined) {
+          if (LeaseDocRe.findFirstIn(text).isDefined &&
+              holder.isDefined && deadline.isDefined) {
             return Some(Lease(root, holder.get, epoch, deadline.get,
               TtlRe.findFirstMatchIn(text).flatMap(_.group(1).toLongOption)
                 .getOrElse(DefaultTtlMs)))
@@ -328,10 +335,15 @@ object WriterLease {
               // lease exists to prevent). Whoever's epoch is not the max
               // after its own durable write has lost.
               current(root) match {
-                case Some(l) if l.epoch > epoch => () // superseded: re-decide
-                case _ =>
+                // POSITIVE confirmation only: our epoch must BE the max.
+                // A higher epoch means superseded; the <contended>
+                // sentinel (epoch 0) or None mean the re-list could not
+                // resolve — confirming on those would hand out a lease
+                // the verification never actually verified.
+                case Some(l) if l.epoch == epoch =>
                   prune(root, epoch)
                   return lease
+                case _ => () // superseded or unresolved: re-read, re-decide
               }
             case None => () // lost the exclusive create — re-read, re-decide
           }

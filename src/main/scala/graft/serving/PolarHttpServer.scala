@@ -181,6 +181,11 @@ class PolarHttpServer(
               System.err.println(s"[polar] façade lease on '$root' was " +
                 s"taken over (${e.getMessage}); serving continues, " +
                 "control-plane writes will return 409")
+            // the lease can be dropped between the held check and renew()
+            // (a write-path stamp fence, or stop()'s release racing the
+            // loop) — renew then throws plain IllegalStateException;
+            // exit quietly, the lease is simply gone
+            case _: IllegalStateException => ()
           }
         }, "polar-lease-keepalive")
         t.setDaemon(true)
@@ -500,6 +505,11 @@ class PolarHttpServer(
       }
     } catch {
       case HttpError(status, msg) => respond(ex, status, msg)
+      // lease fencing is a CONFLICT, not a server fault: the class doc,
+      // USAGE and the keepalive's operator message all promise 409 here
+      // (the same shape as every other fencing conflict)
+      case e: graft.log.WriterLease.FencedWriterException =>
+        respond(ex, 409, s"Fenced: ${e.getMessage}")
       case e: Exception => respond(ex, 500, s"Internal error: ${e.getMessage}")
     } finally ex.close()
   }
@@ -649,9 +659,16 @@ class PolarHttpServer(
       respond(ex, 200, "")
     } catch {
       case e: java.util.concurrent.ExecutionException =>
-        val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
-        if (msg != null && msg.contains("maxMessageSize")) throw HttpError(400, msg)
-        else throw HttpError(500, s"Produce failed: $msg")
+        e.getCause match {
+          // a fenced root-doc CAS inside the coalescer's flush is the
+          // same 409 conflict as a direct fenced write
+          case f: graft.log.WriterLease.FencedWriterException =>
+            throw HttpError(409, s"Fenced: ${f.getMessage}")
+          case cause =>
+            val msg = Option(cause).map(_.getMessage).getOrElse(e.getMessage)
+            if (msg != null && msg.contains("maxMessageSize")) throw HttpError(400, msg)
+            else throw HttpError(500, s"Produce failed: $msg")
+        }
     }
   }
 

@@ -77,6 +77,14 @@ class DocFuzzSpec extends AnyFunSuite {
     val torn = WriterLease.current(root).get
     assert(torn.holderId === "<unreadable>",
       "holder-intact-deadline-torn must take the conservative path")
+    // torn MID-DIGITS: the deadline regex alone would 'parse' the
+    // truncated run as a bogus EARLIER deadline (instantly seizable) —
+    // the full-shape anchor must force the conservative path instead
+    plant(p, """{"format":1,"holder":"h","deadlineMs":17654""".getBytes("UTF-8"))
+    val tornDigits = WriterLease.current(root).get
+    assert(tornDigits.holderId === "<unreadable>",
+      "a deadline truncated mid-digits must never be adopted")
+    assert(tornDigits.deadlineMs > 17654L)
     // and a valid doc still parses exactly
     plant(p, validLease.getBytes("UTF-8"))
     val ok = WriterLease.current(root).get

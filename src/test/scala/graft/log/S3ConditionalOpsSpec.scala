@@ -76,8 +76,9 @@ class S3ConditionalOpsSpec extends AnyFunSuite {
     assert(wins.get() === 1L, "exactly one contender may decide")
     val content = ops.read(p)
     assert(content.startsWith("winner-"), content)
-    // the winner's content is never altered by the losers
-    assert(store.get("/root/_txn/t1/terminal.json").exists(_._1 == content))
+    // the winner's content is never altered by the losers; keys carry
+    // the bucket authority so two buckets' docs can never collide
+    assert(store.get("b/root/_txn/t1/terminal.json").exists(_._1 == content))
   }
 
   test("put-if-match is a true CAS: an interleaved update fails the stale writer") {
@@ -120,7 +121,24 @@ class S3ConditionalOpsSpec extends AnyFunSuite {
     assert(bad.get() === null, s"reader saw a torn doc: ${bad.get()}")
     assert(ops.read(dst) === "doc-500")
     // tmp residue is gone (the delete leg ran)
-    assert(store.list("/root/topic/_manifests/root.json.tmp").isEmpty)
+    assert(store.list("b/root/topic/_manifests/root.json.tmp").isEmpty)
+  }
+
+  test("buckets are separate namespaces; subtree delete never touches name-prefix siblings") {
+    val ops = new S3ConditionalOps(new MemStore)
+    // same path on two buckets: BOTH exclusive creates must win
+    ops.createExclusive(new Path("s3x://bucket-a/root/doc"), "A")
+    ops.createExclusive(new Path("s3x://bucket-b/root/doc"), "B")
+    assert(ops.read(new Path("s3x://bucket-a/root/doc")) === "A")
+    assert(ops.read(new Path("s3x://bucket-b/root/doc")) === "B")
+    // deleting /w/topic must not sweep /w/topic-archive (shared name
+    // prefix, different subtree)
+    ops.createExclusive(new Path("s3x://bucket-a/w/topic/d1"), "gone")
+    ops.createExclusive(new Path("s3x://bucket-a/w/topic-archive/d1"), "keep")
+    ops.delete(new Path("s3x://bucket-a/w/topic"))
+    intercept[java.io.FileNotFoundException](
+      ops.read(new Path("s3x://bucket-a/w/topic/d1")))
+    assert(ops.read(new Path("s3x://bucket-a/w/topic-archive/d1")) === "keep")
   }
 
   test("rename of a missing source fails loudly; delete is prefix-recursive") {

@@ -263,6 +263,30 @@ class WriterLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     WriterLease.release(root)
   }
 
+  test("a fenced control-plane write surfaces over HTTP as 409, not 500") {
+    val root = freshRoot()
+    val s1 = new graft.serving.PolarHttpServer(spark, root, lingerMs = 2,
+      leaseHolderId = Some("facade-x"), leaseTtlMs = 3600000L).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def produce(): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:${s1.boundPort}/v1/topic/t409/messages?partitionKey=k"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("v")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(produce() === 200)
+      val mine = WriterLease.heldLease(root).get
+      // an operator seizes the root from another driver and stamps the
+      // topic; the façade resurfaces believing its stale (but locally
+      // live) lease — its next produce is fenced by the doc stamp, and
+      // the client must see the documented 409 conflict, not a 500
+      WriterLease.acquire(root, "op-2", 3600000L, takeover = true): Unit
+      PolarLog.produce(rows(1, "x"), TopicConfig(root, "t409"))
+      WriterLease.installHeldForTest(mine)
+      assert(produce() === 409)
+    } finally s1.stop()
+  }
+
   test("acquire refusals are lease contention, not refused writes (metric purity)") {
     val root = freshRoot()
     WriterLease.acquire(root, "driver-m", ttlMs = 600000L)
