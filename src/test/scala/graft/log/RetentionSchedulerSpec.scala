@@ -418,10 +418,14 @@ class RetentionSchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
       retentionMs = 0L, periodMs = 100L).start()
     try {
       // generous poll-until deadline (load-proof: exits the moment the
-      // loop's sweep lands; 60 s only bounds a genuinely hung scheduler)
+      // loop's sweep lands; 60 s only bounds a genuinely hung scheduler).
+      // Poll the sweep COUNTER too: file deletion happens mid-sweep while
+      // sweepsDone increments at sweep end (after vacuum/compaction/txn
+      // expiry), so files-empty alone can race the counter under load.
       val deadline = System.currentTimeMillis() + 60000
       while (System.currentTimeMillis() < deadline &&
-        LogMetadata.read(cfg).files.nonEmpty) Thread.sleep(100)
+        (sched.sweeps < 1 || LogMetadata.read(cfg).files.nonEmpty))
+        Thread.sleep(100)
       assert(LogMetadata.read(cfg).files.isEmpty, "aged files not GC'd by the loop")
       assert(sched.sweeps >= 1,
         s"before=$before last=${sched.last} err=${sched.lastError}")
