@@ -51,6 +51,21 @@ object Materialize {
     cp
   }
 
+  /** Eager localCheckpoint + count, registry-owned: the standard BSP
+    * round materialization (truncated plan — `persist` alone is NOT a
+    * substitute: it keeps the full logical tree, and an iterative
+    * operator's plan then embeds every prior round's tree, growing
+    * exponentially; measured as minutes of driver time stringifying/
+    * canonicalizing plans when tried). The count is a second, cheap job
+    * over the materialized blocks; callers use it for convergence checks
+    * and for driver-side size-gated broadcast hints (the checkpointed
+    * LogicalRDD carries no stats, so the count IS the statistic the
+    * planner is missing). */
+  def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val cp = localCheckpoint(df)
+    (cp, cp.count())
+  }
+
   /** Size-gated pin for multi-consumer intermediates: `localCheckpoint`
     * (lineage cut, memory blocks) when a BOUNDED probe of `gate` finds at
     * most `maxRows` rows, resilient `persist` otherwise. The probe is

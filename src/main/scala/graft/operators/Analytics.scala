@@ -458,23 +458,50 @@ object Analytics {
    * self-loop-free, and deduplicated — [[kCoreGate]]-style callers build it
    * with one DISTINCT over canonical pairs then a union of both directions.
    */
+  /** The checkpointed round frames carry NO statistics (a LogicalRDD
+    * plans as unknown-huge), so every BSP round's join used to get a
+    * sort-merge initial plan whose probe-side edge shuffle AQE could
+    * only downgrade to a local read, never remove — and the broadcast
+    * build it substituted at runtime was built per join. But the DRIVER
+    * knows each round frame's exact row count (the convergence check
+    * already pays for it): when an upper bound on the build side's
+    * hashed size fits the session's broadcast threshold, hint broadcast
+    * at plan time (guide §3.1 — "use an explicit hint when you know a
+    * side is small"). The gate scales with the session threshold and
+    * the measured counts, not a local constant: a 100 TB frame fails
+    * the bound and keeps the sort-merge + AQE path unchanged. */
+  private def hintBroadcastIfSmall(df: DataFrame, rowBound: Long): DataFrame = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    // ~32 bytes/row of hashed-relation footprint for a long key row
+    if (threshold > 0 && rowBound >= 0 && rowBound * 32 < threshold)
+      broadcast(df)
+    else df
+  }
+
   def kCore(
       edges: DataFrame, // (src, dst), symmetrized
       k: Int,
       maxRounds: Int = 8): DataFrame = {
-    var e = graft.Materialize.localCheckpoint(
+    var (e, rows) = graft.Materialize.checkpointCounted(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
-    var n = e.count() / 2 // directed rows / 2 = undirected edges
+    var n = rows / 2 // directed rows / 2 = undirected edges
     var round = 0
     var converged = false
     while (round < maxRounds && !converged && n > 0) {
-      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      val next = graft.Materialize.localCheckpoint(
-        e.join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      // alive ⊆ distinct src ⊆ the 2n directed rows — the free row bound
+      // for the broadcast gate; both semi-joins probe the SAME alive
+      // frame keyed the same way (no per-side rename), so the planner
+      // builds one broadcast relation and reuses it for the second join
+      val alive = hintBroadcastIfSmall(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("node")),
+        rowBound = 2 * n)
+      val (next, nextRows) = graft.Materialize.checkpointCounted(
+        e.join(alive, e("src") === alive("node"), "left_semi")
+          .join(alive, e("dst") === alive("node"), "left_semi")
           .select(col("src"), col("dst")))
-      val nNext = next.count() / 2
+      val nNext = nextRows / 2
       converged = nNext == n
       graft.Materialize.drop(e)
       e = next
@@ -504,29 +531,49 @@ object Analytics {
    */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bfsDistances needs maxHops >= 1, got $maxHops")
+    // The settled set accumulates as a lazy UNION of per-hop CHECKPOINTED
+    // frames (disjoint by construction) instead of being re-materialized
+    // whole every round: the old checkpoint-the-union shape rewrote
+    // O(rounds·|V|) settled rows across the run and spent two extra jobs
+    // per round (isEmpty probe + union re-checkpoint). Each hop's exact
+    // row count (paid for by the convergence check) drives driver-side
+    // broadcast hints for the frontier expansion and the settled
+    // anti-join — plan-time broadcast for small frontiers, unchanged
+    // sort-merge + AQE for 100 TB ones. Memory across the run is the
+    // settled set ONCE (the parts are disjoint), strictly less than the
+    // old shape's settled-plus-next transient. The union is flat (one
+    // node per hop), so the plan grows linearly in hops, not
+    // exponentially.
     val e = graft.Materialize.localCheckpoint(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
-    var settled = graft.Materialize.localCheckpoint(
+    val (seed0, nSeeds) = graft.Materialize.checkpointCounted(
       seeds.select(col("node").cast("long")).distinct()
         .withColumn("dist", lit(0L)))
-    var frontier: DataFrame = settled.select(col("node"))
+    var settled: DataFrame = seed0
+    var nSettled = nSeeds
+    var frontier: DataFrame = seed0.select(col("node"))
+    var nFrontier = nSeeds
     var hop = 1L
     var done = false
     while (hop <= maxHops && !done) {
-      val cand = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+      val cand = e.join(
+          hintBroadcastIfSmall(frontier.withColumnRenamed("node", "src"),
+            rowBound = nFrontier),
+          Seq("src"))
         .select(col("dst").as("node")).distinct()
-      val fresh = graft.Materialize.localCheckpoint(
-        cand.join(settled, Seq("node"), "left_anti")
+      val (fresh, nFresh) = graft.Materialize.checkpointCounted(
+        cand.join(hintBroadcastIfSmall(settled, rowBound = nSettled),
+            Seq("node"), "left_anti")
           .withColumn("dist", lit(hop)))
-      done = fresh.isEmpty
-      val next = graft.Materialize.localCheckpoint(settled.unionAll(fresh))
-      graft.Materialize.drop(settled)
-      graft.Materialize.drop(fresh)
-      settled = next
-      frontier = settled.filter(col("dist") === hop).select(col("node"))
+      done = nFresh == 0L
+      if (!done) {
+        settled = settled.unionAll(fresh)
+        nSettled += nFresh
+        frontier = fresh.select(col("node"))
+        nFrontier = nFresh
+      }
       hop += 1
     }
-    graft.Materialize.drop(e)
     settled
   }
 
@@ -557,8 +604,16 @@ object Analytics {
     // round 1 degenerates: neighbor labels are the (distinct) neighbor ids,
     // every count is 1, so "most frequent, ties to smallest" = min(dst) —
     // one aggregate instead of seed-checkpoint + join + two aggregates
+    // the label table holds one row per node in EVERY round, so the first
+    // checkpoint's count bounds the build side of every later step — the
+    // driver-side broadcast gate (hintBroadcastIfSmall) turns each
+    // round's edge⨝labels join into a plan-time broadcast at gate scale
+    // (no per-round probe shuffle of the edge frame) while a 100 TB
+    // label table fails the bound and keeps sort-merge + AQE unchanged
+    var nNodes = -1L
     def step(prev: DataFrame): DataFrame =
-      e.join(prev.withColumnRenamed("node", "dst"), Seq("dst"))
+      e.join(hintBroadcastIfSmall(
+          prev.withColumnRenamed("node", "dst"), rowBound = nNodes), Seq("dst"))
         .groupBy(col("src"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("src").as("node"))
@@ -572,7 +627,8 @@ object Analytics {
     var owned: Option[DataFrame] = None
     var r = 1
     while (r < rounds) {
-      val cp = graft.Materialize.localCheckpoint(labels)
+      val (cp, nl) = graft.Materialize.checkpointCounted(labels)
+      nNodes = nl
       owned.foreach(graft.Materialize.drop) // predecessor, now safe
       owned = Some(cp)
       labels = step(cp)

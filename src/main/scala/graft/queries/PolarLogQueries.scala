@@ -891,31 +891,41 @@ object PolarLogQueries extends QueryRegistry {
       (s, dir) => {
         val root = Files.createTempDirectory("graft_polar_kc").toString
         val cfg = TopicConfig(root, "kc")
+        // ONE keyed aggregate feeds all four produces and the key counts
+        // (was: the same GROUP BY user_id re-aggregated from the raw scan
+        // per produce — 4 identical shuffles; guide §2.4 "two operations
+        // keyed the same way share one exchange", here via an explicit
+        // registry-owned checkpoint because the consumers are separate
+        // actions). The WHERE in the old v3 filtered whole key groups, so
+        // deriving it from the unfiltered aggregate is value-identical.
         Tables.events(s, dir).createOrReplaceTempView("events_kc_src")
-        def keyed(sel: String) = s.sql(
-          s"SELECT CAST(user_id AS STRING) AS partitionKey, MAX(ts) AS timestamp, " +
-            s"$sel FROM events_kc_src GROUP BY user_id")
+        graft.Materialize.localCheckpoint(s.sql(
+          "SELECT user_id, MAX(ts) AS mts, MAX(props) AS mp " +
+            "FROM events_kc_src GROUP BY user_id"))
+          .createOrReplaceTempView("events_kc_agg")
         // v1, v2: whole keyset; v3 touches only PART of it (odd keys
         // upsert, every 14th key a tombstone), so v2's file keeps an
         // INTERLEAVED subset — genuine offset sparsity after cleaning
-        PolarLog.produce(keyed("CAST('v1:' || MAX(props) AS BINARY) AS value"), cfg)
-        PolarLog.produce(keyed("CAST('v2:' || MAX(props) AS BINARY) AS value"), cfg)
+        def keyed(sel: String) = s.sql(
+          s"SELECT CAST(user_id AS STRING) AS partitionKey, mts AS timestamp, " +
+            s"$sel FROM events_kc_agg")
+        PolarLog.produce(keyed("CAST('v1:' || mp AS BINARY) AS value"), cfg)
+        PolarLog.produce(keyed("CAST('v2:' || mp AS BINARY) AS value"), cfg)
         PolarLog.produce(s.sql("""
-          SELECT CAST(user_id AS STRING) AS partitionKey, MAX(ts) AS timestamp,
+          SELECT CAST(user_id AS STRING) AS partitionKey, mts AS timestamp,
                  CASE WHEN user_id % 14 = 0 THEN CAST(NULL AS BINARY)
-                      ELSE CAST('v3:' || MAX(props) AS BINARY) END AS value
-          FROM events_kc_src WHERE user_id % 2 = 1 OR user_id % 14 = 0
-          GROUP BY user_id"""), cfg)
+                      ELSE CAST('v3:' || mp AS BINARY) END AS value
+          FROM events_kc_agg WHERE user_id % 2 = 1 OR user_id % 14 = 0"""), cfg)
         // a 4th commit seals the head, so v3 sits in the CLEAN region
         PolarLog.produce(s.sql("""
           SELECT CAST(user_id + 1000000 AS STRING) AS partitionKey,
-                 MAX(ts) AS timestamp, CAST('seal' AS BINARY) AS value
-          FROM events_kc_src GROUP BY user_id"""), cfg)
+                 mts AS timestamp, CAST('seal' AS BINARY) AS value
+          FROM events_kc_agg"""), cfg)
         val Array(keys, touched) = s.sql(
-          """SELECT count(DISTINCT user_id),
-                    count(DISTINCT CASE WHEN user_id % 2 = 1 OR user_id % 14 = 0
-                                        THEN user_id END)
-             FROM events_kc_src""").head() match {
+          """SELECT count(*),
+                    count(CASE WHEN user_id % 2 = 1 OR user_id % 14 = 0
+                               THEN 1 END)
+             FROM events_kc_agg""").head() match {
           case r => Array(r.getLong(0), r.getLong(1))
         }
         val viewBefore = PolarLog.consumeCompacted(s, cfg)
@@ -930,7 +940,7 @@ object PolarLogQueries extends QueryRegistry {
           "cleaning must leave offset-sparse survivors")
         // a latest tombstone survives in the raw log (the delete fact)
         val tombKey = s.sql(
-          "SELECT CAST(user_id AS STRING) FROM events_kc_src WHERE user_id % 14 = 0 LIMIT 1")
+          "SELECT CAST(user_id AS STRING) FROM events_kc_agg WHERE user_id % 14 = 0 LIMIT 1")
           .head().getString(0)
         val tombRows = PolarLog.consume(s, cfg)
           .filter(col("partitionKey") === tombKey).collect()
@@ -1693,8 +1703,10 @@ object PolarLogQueries extends QueryRegistry {
         val root = Files.createTempDirectory("graft_polar_lag").toString
         val cfg = TopicConfig(root, "clag")
         val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
-        val users = Tables.events(s, dir)
-          .select(col("user_id").cast("string").as("partitionKey")).distinct()
+        // checkpoint the distinct keyset once: both produces consume it
+        // (was: two identical distinct-shuffles over events, guide §2.4)
+        val users = graft.Materialize.localCheckpoint(Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("partitionKey")).distinct())
         PolarLog.produce(users.select(col("partitionKey"),
           t0.as("timestamp"), col("partitionKey").cast("binary").as("value")), cfg)
         PolarLog.produce(users.select(col("partitionKey"), t0.as("timestamp"),
