@@ -704,21 +704,30 @@ object Dedup {
       greatest(col("a.len"), col("b.len")) - lit(q - 1 + q * maxDistance)
     // The block key has FEW distinct values (a handful of length buckets),
     // so a plain equi-join lands each block's O(c²) work on ONE task —
-    // measured as the whole query's bottleneck, not the DP. Standard skew
-    // fragmentation: replicate side A across `width` fragments, tag side B
-    // with its hash fragment, join on (blk, fragment) — every pair still
-    // meets exactly once, and each block's quadratic work is spread over
-    // `width` tasks by construction (the sketch rows are thin enough that
-    // the ×width replication is noise). The explicit repartition on the
-    // join key also guarantees the quadratic stage is width-parallel even
-    // when AQE turns the small side into a broadcast.
-    val frags = width
-    val replicated = docs
-      .withColumn("fb", explode(lit((0 until frags).toArray)))
-      .repartition(width, col("blk"), col("fb"))
-    val tagged = docs.withColumn("frag", pmod(hash(col("id")), lit(frags)))
-    replicated.as("a").join(tagged.as("b"),
-        col("a.blk") === col("b.blk") && col("a.fb") === col("b.frag") &&
+    // measured as the whole query's bottleneck, not the DP. Skew
+    // fragmentation via the √w×√w OUTER-PRODUCT GRID (r16; guide §2.3
+    // "shuffle fewer bytes"): side A replicates to its row-stripe
+    // (ga(a), *) and side B to its column-stripe (*, gb(b)), so a pair
+    // meets exactly once — in cell (ga(a), gb(b)) — and each block's
+    // quadratic work spreads over r² ≥ width cells by construction. The
+    // previous one-sided scheme replicated A's payload rows (text +
+    // q-gram sketch) ×width; the grid replicates EACH side only ×r=√w —
+    // at width 32 that is ~5× fewer shuffled payload bytes for the same
+    // parallelism, and the gap widens with width (×√w vs ×w). The
+    // explicit repartition on the full cell key still guarantees the
+    // quadratic stage is cell-parallel even when AQE turns the other
+    // side into a broadcast.
+    val r = math.max(1, math.ceil(math.sqrt(width.toDouble)).toInt)
+    val aSide = docs
+      .withColumn("ga", pmod(hash(col("id")), lit(r)))
+      .withColumn("gb", explode(lit((0 until r).toArray)))
+      .repartition(width, col("blk"), col("ga"), col("gb"))
+    val bSide = docs
+      .withColumn("gb", pmod(hash(col("id")), lit(r)))
+      .withColumn("ga", explode(lit((0 until r).toArray)))
+    aSide.as("a").join(bSide.as("b"),
+        col("a.blk") === col("b.blk") && col("a.ga") === col("b.ga") &&
+          col("a.gb") === col("b.gb") &&
           col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDistance &&
           graft.functions.GraftFunctions

@@ -19,6 +19,16 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  */
 object MediaCodec {
 
+  // ImageIO's stream factory defaults to FILE-backed caching: every
+  // decode of an in-memory payload creates, writes and deletes a temp
+  // file (FileCacheImageInputStream). Harmless on a single thread;
+  // once codec passes fan out across all cores the temp-file churn
+  // contends in the kernel — measured ~10× task-CPU inflation on the
+  // scene-cut gate. The payloads are byte arrays already in RAM, so
+  // memory-cached streams are strictly better at any scale. Class-load
+  // initializer: runs once per executor JVM before the first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** 8×8 box-averaged luma grid (row-major, values 0..255) + true dims. */
   final case class DecodedImage(width: Int, height: Int, luma: Array[Int])
 

@@ -51,6 +51,21 @@ final case class DecodedMedia(
  */
 object Multimodal {
 
+  /** Parallelism floor for codec passes (guide §2.5 "input skew: one huge
+    * unsplittable file → repartition immediately after the read"): a
+    * single parquet file scans as ONE partition, so the heavy per-row
+    * codec work (PNG/WAV decode, frame diffing) would run on one core
+    * while the rest of the machine idles — measured 3 tasks total on the
+    * scene-cut gate before this. Only fires when the input has fewer
+    * partitions than the cluster's default parallelism: a 100 TB scan
+    * with thousands of splits passes through untouched, so the shuffle
+    * (payload moves once, to parallelize) is strictly a small-input
+    * rescue, never a tax at scale. */
+  def parallelismFloor[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+  }
+
   /** Wrap documents as fake media payloads: bytes = UTF-8 of the text,
     * metadata derived arithmetically from the payload (SQL-mirrorable). */
   def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
@@ -78,7 +93,7 @@ object Multimodal {
       featureDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
+    parallelismFloor(ds).mapPartitions { it =>
       // per-partition init happens here (codec warm-up, model load)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
@@ -105,7 +120,7 @@ object Multimodal {
   def decode(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMedia] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
+    parallelismFloor(ds).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           (MediaCodec.sniff(m.media) match {
@@ -142,7 +157,7 @@ object Multimodal {
       ds: Dataset[MediaRecord], stride: Int): Dataset[FrameHash] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
+    parallelismFloor(ds).mapPartitions { it =>
       it.flatMap { m =>
         val buf = java.nio.ByteBuffer.wrap(m.media)
         val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -178,7 +193,7 @@ object Multimodal {
       ds: Dataset[MediaRecord], threshold: Long): Dataset[FrameCut] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
+    parallelismFloor(ds).mapPartitions { it =>
       it.flatMap { m =>
         val buf = java.nio.ByteBuffer.wrap(m.media)
         val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]

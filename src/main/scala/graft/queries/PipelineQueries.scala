@@ -1935,8 +1935,8 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = Multimodal.parallelismFloor(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)])
           .mapPartitions { it =>
             it.map { case (id, text) =>
               val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1982,8 +1982,8 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = Multimodal.parallelismFloor(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)])
           .mapPartitions { it =>
             it.map { case (id, text) =>
               val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -2107,8 +2107,8 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = Multimodal.parallelismFloor(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)])
           .mapPartitions { it =>
             it.map { case (id, text) =>
               val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -2161,8 +2161,8 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = Multimodal.parallelismFloor(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)])
           .mapPartitions { it =>
             it.map { case (id, text) =>
               val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
