@@ -653,9 +653,18 @@ object Analytics {
    */
   def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
     val Q = 1L << 20
-    val e = edges.select(col("src"), col("dst")).distinct()
-    var hub = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(Q))
+    // materialize the canonical edge set once (it anchors FOUR join
+    // subtrees across the iterations) and use its exact row count to
+    // gate plan-time broadcast of the score tables: hub/auth hold one
+    // row per src/dst node ⊆ e's rows, so eRows bounds both build
+    // sides. Small graphs get BroadcastHashJoin in the initial plan (no
+    // probe-side shuffle of e per half-iteration); a 100 TB edge set
+    // fails the bound and keeps the sort-merge + AQE path unchanged.
+    val (e, eRows) = graft.Materialize.checkpointCounted(
+      edges.select(col("src"), col("dst")).distinct())
+    def hinted(df: DataFrame): DataFrame = hintBroadcastIfSmall(df, eRows)
+    var hub = hinted(e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(Q)))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
       // raw ≤ degree·2^20, so raw·Q passes int64 once a node's weighted
@@ -665,15 +674,15 @@ object Analytics {
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
       val amax = araw.agg(max(col("raw")).as("mx"))
-      auth = araw.crossJoin(broadcast(amax))
+      auth = hinted(araw.crossJoin(broadcast(amax))
         .select(col("dst").as("node"),
-          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("a"))
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("a")))
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("raw"))
       val hmax = hraw.agg(max(col("raw")).as("mx"))
-      hub = hraw.crossJoin(broadcast(hmax))
+      hub = hinted(hraw.crossJoin(broadcast(hmax))
         .select(col("src").as("node"),
-          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("h"))
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("h")))
     }
     auth.select(lit("auth").as("side"), col("node"), col("a").as("score"))
       .unionAll(hub.select(lit("hub").as("side"), col("node"), col("h").as("score")))

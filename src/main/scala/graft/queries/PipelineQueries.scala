@@ -2030,8 +2030,8 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        val media = Multimodal.parallelismFloor(Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)])
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
               val n = 256 + (nChars % 256).toInt
@@ -2212,8 +2212,8 @@ object PipelineQueries extends QueryRegistry {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        val media = Multimodal.parallelismFloor(Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)])
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
               val n = 256 + (nChars % 256).toInt
