@@ -470,7 +470,7 @@ object Analytics {
     * side is small"). The gate scales with the session threshold and
     * the measured counts, not a local constant: a 100 TB frame fails
     * the bound and keeps the sort-merge + AQE path unchanged. */
-  private def hintBroadcastIfSmall(df: DataFrame, rowBound: Long): DataFrame = {
+  def hintBroadcastIfSmall(df: DataFrame, rowBound: Long): DataFrame = {
     val threshold = org.apache.spark.sql.internal.SQLConf.get
       .autoBroadcastJoinThreshold
     // ~32 bytes/row of hashed-relation footprint for a long key row
