@@ -13,6 +13,27 @@ import org.apache.spark.sql.SparkSession
  * threshold raised to dimension-table scale.
  */
 object Bench {
+
+  /** Cumulative (stealTicks, totalTicks) from /proc/stat's first line —
+    * the kernel's own record of hypervisor CPU steal. Sampled at every
+    * gate boundary (a ~50 µs read), the per-gate delta identifies which
+    * timings a noisy-neighbor storm contaminated: r16's driver run carried
+    * a 64 s stream_quantile (2.6 s at 8 cores, same binary) with no way to
+    * tell from the artifact alone. Additions-only: the JSON line gains
+    * `steal_pct` (battery-wide) and `steal_gates` (per-gate %, only gates
+    * over 2%), the existing contract fields are untouched. */
+  private def stealSample(): (Long, Long) = try {
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat")).get(0)
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    (if (f.length > 7) f(7) else 0L, f.sum)
+  } catch { case _: Throwable => (0L, 0L) }
+
+  private def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+    val dTotal = after._2 - before._2
+    if (dTotal <= 0) 0.0 else 100.0 * (after._1 - before._1) / dTotal
+  }
+
   def main(args: Array[String]): Unit = {
     // contended timings are garbage — warn (or refuse under
     // GRAFT_GUARD=strict) and make the map self-identifying
@@ -108,18 +129,23 @@ object Bench {
     // cost, not query cost); a periodic System.gc() lets ContextCleaner
     // reclaim any checkpoint blocks that escaped explicit ownership.
     var sinceGc = 0
+    val batteryStealStart = stealSample()
+    val gateSteal = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = stealSample()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      gateSteal(name) = stealPct(s0, stealSample())
       Materialize.sweep(spark)
       sinceGc += 1
       if (sinceGc >= 4) { System.gc(); sinceGc = 0 }
       name -> dt
     }
+    val batteryStealPct = stealPct(batteryStealStart, stealSample())
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -151,11 +177,17 @@ object Bench {
     val outliers =
       if (reference.nonEmpty)
         // absolute floor: a 0.2 s gate jittering to 0.5 s is noise nobody
-        // grades; only retime where the delta could move a verdict
+        // grades; only retime where the delta could move a verdict.
+        // Ordered WORST EXCESS FIRST, not battery order: r16's steal storm
+        // inflated >20 gates and the alphabetically-late stream_* block
+        // (64 s of garbage) fell off the cap while milder outliers got
+        // retimed. The cap exists to bound retime time, so spend it on the
+        // gates whose standing numbers are most wrong.
         results.filter { case (n, t) =>
           reference.get(n).exists(r => t > 2.0 * r && t - r > 1.0) }
+          .sortBy { case (n, t) => -(t - 2.0 * reference(n)) }
       else results.sortBy(-_._2).take(8)
-    val retimed = outliers.take(20).map { case (name, _) =>
+    val retimed = outliers.take(40).map { case (name, _) =>
       Materialize.sweep(spark)
       System.gc()
       Thread.sleep(200)
@@ -174,8 +206,12 @@ object Bench {
     // two must never disagree on the control numbers
     val controlQs = control
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    // per-gate steal, reported only where it matters (>2% of the gate's
+    // window) — the full 295-entry map would drown the artifact in zeros
+    val stealGates = gateSteal.toSeq.filter(_._2 > 2.0)
+      .map { case (k, v) => "\"" + k + f"""":$v%.1f""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,"control":$controlQs,"retimed":$retimedQs,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,"steal_pct":$batteryStealPct%.2f,"steal_gates":$stealGates,"control":$controlQs,"retimed":$retimedQs,"queries":$qs,"sf":"$sfDir"}"""
     // Emission order matters: stdout capture keeps the TAIL, and the full
     // per-query map (~7 KB at 229 queries) has been front-truncated before
     // (BENCH_r04 lost its tail, BENCH_r06 parsed null). Full line first,
@@ -185,7 +221,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"contended":$contended,"control":$controlQs,"retimed":$retimedQs,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"contended":$contended,"steal_pct":$batteryStealPct%.2f,"steal_gates":$stealGates,"control":$controlQs,"retimed":$retimedQs,"slowest":$slowest,"sf":"$sfDir"}""")
     // belt-and-braces: the full line always lands in a file as well
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -56,14 +56,36 @@ object Materialize {
     * substitute: it keeps the full logical tree, and an iterative
     * operator's plan then embeds every prior round's tree, growing
     * exponentially; measured as minutes of driver time stringifying/
-    * canonicalizing plans when tried). The count is a second, cheap job
-    * over the materialized blocks; callers use it for convergence checks
-    * and for driver-side size-gated broadcast hints (the checkpointed
-    * LogicalRDD carries no stats, so the count IS the statistic the
-    * planner is missing). */
+    * canonicalizing plans when tried). Callers use the count for
+    * convergence checks and for driver-side size-gated broadcast hints
+    * (the checkpointed LogicalRDD carries no stats, so the count IS the
+    * statistic the planner is missing).
+    *
+    * The count is FUSED into the materialization job: one `runJob` over
+    * the checkpoint-marked internal RDD both caches every partition
+    * (local checkpointing persists on first compute) and tallies its
+    * rows. The previous shape — eager `Dataset.localCheckpoint` followed
+    * by `cp.count()` — paid a second job with two stages that re-read
+    * every materialized block; per BSP round × per gate that was pure
+    * scheduling overhead at bench scale and a full second pass over the
+    * round frame at 100 TB. Same `toRdd.map(_.copy())` + `fromDataset`
+    * construction as `Dataset.localCheckpoint` itself, so the resulting
+    * plan (partitioning, ordering, constraints) is identical. */
   def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
-    val cp = localCheckpoint(df)
-    (cp, cp.count())
+    val spark = df.sparkSession
+    val classicDs = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val internal = classicDs.queryExecution.toRdd.map(_.copy())
+    internal.localCheckpoint()
+    val counts = spark.sparkContext.runJob(internal,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      })
+    ownedRdds.add(internal)
+    val cp = org.apache.spark.sql.graftshims.GraftShims
+      .checkpointedFrom(df, internal)
+    (cp, counts.sum)
   }
 
   /** Size-gated pin for multi-consumer intermediates: `localCheckpoint`

@@ -21,8 +21,31 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
  */
 object Tables {
 
+  /** Schema memo, keyed by (path, mtime, size): `spark.read.parquet`
+    * without an explicit schema runs parquet footer INFERENCE on every
+    * call — measured 104-159 ms/call at sf0.1 (it launches a schema-merge
+    * job even for one file), paid ~2-4× per gate × ~300 gates per battery,
+    * all to re-derive a schema that never changes. Supplying the memoized
+    * schema drops resolution to 11-20 ms/call. This caches METADATA only
+    * (a StructType — the same thing a catalog table pins); every action
+    * still scans the parquet file itself, and the mtime+size key makes a
+    * regenerated fixture re-infer. Attribute IDs stay fresh per load (each
+    * call builds a new relation), so self-joins of two loads of the same
+    * table behave exactly as before. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val df =
+      if (f.isFile) {
+        val key = (path, f.lastModified(), f.length())
+        val schema = schemaCache.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      } else spark.read.parquet(path) // multi-file dir: infer as before
     name match {
       case "events" =>
         df.schema("ts").dataType match {

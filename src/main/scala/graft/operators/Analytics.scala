@@ -473,8 +473,17 @@ object Analytics {
   def hintBroadcastIfSmall(df: DataFrame, rowBound: Long): DataFrame = {
     val threshold = org.apache.spark.sql.internal.SQLConf.get
       .autoBroadcastJoinThreshold
-    // ~32 bytes/row of hashed-relation footprint for a long key row
-    if (threshold > 0 && rowBound >= 0 && rowBound * 32 < threshold)
+    // 64 bytes/row of hashed-relation footprint: the hinted frames are
+    // 1-2 long columns, and LongHashedRelation's per-row overhead
+    // (key array slot + row object + padding) lands in the 40-80 B
+    // range — 32 B underestimated it and let frames near the gate
+    // exceed the threshold severalfold. The hint is also capped at
+    // 128 MB independent of the session threshold: broadcast() is
+    // unconditional once applied, and a user-raised threshold (e.g.
+    // 1 GB) must not scale a "small-side" hint into real driver
+    // memory pressure.
+    val cap = math.min(threshold, 128L << 20)
+    if (threshold > 0 && rowBound >= 0 && rowBound * 64 < cap)
       broadcast(df)
     else df
   }
@@ -574,6 +583,11 @@ object Analytics {
       }
       hop += 1
     }
+    // e is not referenced by the returned union (every part is its own
+    // checkpoint) — drop its O(|E|) blocks now instead of leaving them
+    // pinned until the harness sweep; long-lived sessions embedding this
+    // operator otherwise hold the edge frame for the session's life
+    graft.Materialize.drop(e)
     settled
   }
 
@@ -660,12 +674,28 @@ object Analytics {
     // sides. Small graphs get BroadcastHashJoin in the initial plan (no
     // probe-side shuffle of e per half-iteration); a 100 TB edge set
     // fails the bound and keeps the sort-merge + AQE path unchanged.
+    //
+    // Each half-iteration's score frame is CHECKPOINTED (the kCore/
+    // labelProp round discipline): without it every half-iteration's tree
+    // embedded the prior one TWICE (once under the crossJoined max, once
+    // under the raw aggregate), so the plan doubled per half-iteration —
+    // 316 k chars / 224 join nodes at 2 iterations before the r16 hints,
+    // still 155 k / 88 after. With per-half-iteration truncation the plan
+    // is constant-size per round and the returned frame is two selects
+    // over the last two checkpoints. The checkpoint count is exact, so
+    // the broadcast gate runs on the true score-table size instead of the
+    // eRows upper bound; predecessor frames are dropped as soon as their
+    // successor materializes (only the two returned frames stay owned).
     val (e, eRows) = graft.Materialize.checkpointCounted(
       edges.select(col("src"), col("dst")).distinct())
-    def hinted(df: DataFrame): DataFrame = hintBroadcastIfSmall(df, eRows)
-    var hub = hinted(e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(Q)))
+    // iteration 1's hub table (every src node at weight Q) stays lazy —
+    // it is read exactly once, by araw's join below
+    var hub = hintBroadcastIfSmall(
+      e.select(col("src").as("node")).distinct().withColumn("h", lit(Q)),
+      rowBound = eRows)
     var auth: DataFrame = null
+    var prevAuth: Option[DataFrame] = None
+    var prevHub: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       // raw ≤ degree·2^20, so raw·Q passes int64 once a node's weighted
       // degree exceeds 2^43 (in-degree ~8.4M) — reachable at large SFs.
@@ -674,15 +704,23 @@ object Analytics {
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
       val amax = araw.agg(max(col("raw")).as("mx"))
-      auth = hinted(araw.crossJoin(broadcast(amax))
-        .select(col("dst").as("node"),
-          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("a")))
+      val (authCp, aRows) = graft.Materialize.checkpointCounted(
+        araw.crossJoin(broadcast(amax))
+          .select(col("dst").as("node"),
+            expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("a")))
+      prevAuth.foreach(graft.Materialize.drop)
+      prevAuth = Some(authCp)
+      auth = hintBroadcastIfSmall(authCp, aRows)
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("raw"))
       val hmax = hraw.agg(max(col("raw")).as("mx"))
-      hub = hinted(hraw.crossJoin(broadcast(hmax))
-        .select(col("src").as("node"),
-          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("h")))
+      val (hubCp, hRows) = graft.Materialize.checkpointCounted(
+        hraw.crossJoin(broadcast(hmax))
+          .select(col("src").as("node"),
+            expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Q div mx AS BIGINT)").as("h")))
+      prevHub.foreach(graft.Materialize.drop)
+      prevHub = Some(hubCp)
+      hub = hintBroadcastIfSmall(hubCp, hRows)
     }
     auth.select(lit("auth").as("side"), col("node"), col("a").as("score"))
       .unionAll(hub.select(lit("hub").as("side"), col("node"), col("h").as("score")))

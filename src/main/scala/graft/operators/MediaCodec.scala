@@ -25,9 +25,11 @@ object MediaCodec {
   // once codec passes fan out across all cores the temp-file churn
   // contends in the kernel — measured ~10× task-CPU inflation on the
   // scene-cut gate. The payloads are byte arrays already in RAM, so
-  // memory-cached streams are strictly better at any scale. Class-load
-  // initializer: runs once per executor JVM before the first decode.
-  javax.imageio.ImageIO.setUseCache(false)
+  // memory-cached streams are strictly better at any scale. Built
+  // PER CALL below (MemoryCacheImageInput/OutputStream) rather than via
+  // the JVM-global `ImageIO.setUseCache(false)` toggle, which silently
+  // changed behavior for every other ImageIO consumer in the JVM and
+  // only took effect if this object happened to class-load first.
 
   /** 8×8 box-averaged luma grid (row-major, values 0..255) + true dims. */
   final case class DecodedImage(width: Int, height: Int, luma: Array[Int])
@@ -55,7 +57,9 @@ object MediaCodec {
     * bytes (caller falls back to the byte-fold path). */
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes)))
       if (img == null) None
       else {
         val w = img.getWidth
@@ -208,7 +212,8 @@ object MediaCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 

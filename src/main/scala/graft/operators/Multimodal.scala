@@ -63,7 +63,19 @@ object Multimodal {
     * rescue, never a tax at scale. */
   def parallelismFloor[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+    // Probe ONLY exchange-free (scan-like) plans: under AQE, `Dataset.rdd`
+    // eagerly materializes any upstream shuffle stages to build the final
+    // plan, so probing an exchange-bearing input would execute its
+    // upstream work twice (once for the probe, once when the repartitioned
+    // plan re-runs from the logical plan). An exchange-free plan's RDD is
+    // pure lineage — the probe costs planning only, never a job. And an
+    // input that already has an exchange has already had its parallelism
+    // decided by that exchange; the floor has nothing to add.
+    val exchangeFree = !ds.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (exchangeFree && ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
 
   /** Wrap documents as fake media payloads: bytes = UTF-8 of the text,

@@ -25,8 +25,22 @@ object GateProf {
     val shufRead = new AtomicLong
     val shufWrite = new AtomicLong
     val input = new AtomicLong
+    // job wall intervals: the union of [start, end] windows is the time at
+    // least one job was running; wall − union = DRIVER-ONLY time (Catalyst
+    // analysis/optimization, AQE stage re-planning between jobs, file
+    // listing, action setup) — the quantity that decides whether a tiny
+    // gate's floor is scheduling or planning (guide §7.3)
+    val intervals = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val jobStartTs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); jobStartTs.put(j.jobId, j.time); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStartTs.getOrDefault(j.jobId, 0L)
+        jobStartTs.remove(j.jobId)
+        if (s != 0L) { intervals.add((s, j.time)); () }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
@@ -44,16 +58,38 @@ object GateProf {
     for (i <- 1 to reps) {
       Seq(jobs, stages, tasks).foreach(_.set(0))
       Seq(taskTimeMs, gcTimeMs, shufRead, shufWrite, input).foreach(_.set(0))
+      intervals.clear(); jobStartTs.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async: let the queue drain before reading counters
-      Thread.sleep(500)
+      // listener bus is async: drain it fully before reading counters (a
+      // fixed sleep undercounted under load, and one rep's async sweep
+      // events could bleed into the next rep's counters)
+      org.apache.spark.sql.graftshims.GraftShims
+        .waitListenerBusEmpty(spark, 10000)
+      // union of job windows (sorted merge) → driver-only gap
+      val ivs = {
+        import scala.jdk.CollectionConverters._
+        intervals.asScala.toSeq.sortBy(_._1)
+      }
+      var busyMs = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      ivs.foreach { case (s, e) =>
+        if (s > curE) { if (curE > curS) busyMs += curE - curS; curS = s; curE = e }
+        else if (e > curE) curE = e
+      }
+      if (curE > curS) busyMs += curE - curS
+      val gap = wall - busyMs / 1e3
       println(f"PROF $name run$i: wall=$wall%.2fs rows=$n jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} taskTime=${taskTimeMs.get / 1e3}%.1fs " +
         f"gc=${gcTimeMs.get / 1e3}%.1fs input=${input.get / 1e6}%.1fMB " +
-        f"shufR=${shufRead.get / 1e6}%.1fMB shufW=${shufWrite.get / 1e6}%.1fMB")
+        f"shufR=${shufRead.get / 1e6}%.1fMB shufW=${shufWrite.get / 1e6}%.1fMB " +
+        f"jobBusy=${busyMs / 1e3}%.2fs driverGap=$gap%.2fs")
       Materialize.sweep(spark)
+      // the sweep's own async unpersist events must land before the next
+      // rep resets the counters, or they'd be charged to that rep
+      org.apache.spark.sql.graftshims.GraftShims
+        .waitListenerBusEmpty(spark, 10000)
     }
     spark.stop()
   }

@@ -59,6 +59,32 @@ object GraftShims {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** A DataFrame over an already-materialized internal RDD, carrying the
+    * origin frame's schema, partitioning, ordering and constraints — the
+    * exact construction `Dataset.localCheckpoint` performs
+    * (`LogicalRDD.fromDataset`), exposed so a caller can materialize the
+    * RDD itself (e.g. fusing a row count into the checkpointing job)
+    * instead of paying a separate count pass over the blocks. */
+  def checkpointedFrom(
+      origin: org.apache.spark.sql.DataFrame,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame = {
+    val classic = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      classic.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, classic, isStreaming = false))
+  }
+
+  /** Drain the async listener bus: block until every queued event has been
+    * delivered (or the timeout passes — best-effort, never throws). The
+    * profiling tools read listener-fed counters right after an action;
+    * a fixed sleep undercounts under load and lets one rep's async sweep
+    * events bleed into the next rep's counters. */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMillis: Long): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+    catch { case _: Throwable => () }
+
   /** A DataFrame over an already-analyzed logical plan — the inverse seam:
     * a rewritten SQL command (MERGE INTO → log merge) hands its resolved
     * source subtree back to the DataFrame API at execution time. */
