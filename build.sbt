@@ -32,14 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // JDK 17's default POSIX_SPAWN launch mechanism runs every
-  // Runtime.exec through a forked jspawnhelper binary; the sandbox's
-  // process reaper has been observed SIGTERM-ing that helper mid-exec
-  // ("Failed to exec spawn helper", r16 driver test run), which aborts
-  // whatever Hadoop local-FS shell-out was in flight and takes the
-  // SparkContext down with it. Plain FORK launches the child directly
-  // from the JVM (copy-on-write, a few ms for this heap) — no helper
-  // process to kill. Shell-outs are rare (local-FS permission calls),
-  // so the per-exec cost difference is noise.
-  "-Djdk.lang.Process.launchMechanism=FORK",
 )

@@ -17,6 +17,9 @@ object GateProf {
     val reps = if (args.length > 1) args(1).toInt else 2
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    // diagnosing needs INFO occasionally (e.g. Executor "Fetching <url>"
+    // lines); default stays WARN
+    sys.env.get("GRAFT_LOGLEVEL").foreach(spark.sparkContext.setLogLevel)
     val jobs = new AtomicInteger
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
